@@ -1,13 +1,778 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.{AsOfJoin, SafeMap, TopK}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator family from SURVEY.md §2; the
+  * matching [[oracleSql]] is the DuckDB-dialect equivalent the driver runs on
+  * the same parquet fixtures. Conventions that make the hash-compare exact:
+  *
+  *  - Double aggregation is ORDER-DEPENDENT, so every sum/avg over doubles is
+  *    computed in decimal (exact, associative) and cast back to double; both
+  *    engines then produce bit-identical doubles.
+  *  - Every query ends in a total ORDER BY (unique tiebreak) on both sides.
+  *  - Column names are aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- helpers ---------------------------------------------------------
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact decimal image of a 2-dp double column (prices, discounts, ...). */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+  /** Exact decimal sum of a double column, surfaced as double. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  /** Exact mean: decimal sum / count, in double (deterministic). */
+  private def davg(c: Column): Column = (sum(dec(c)).cast("double") / count(lit(1)))
+
+  private case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  // ---- query inventory --------------------------------------------------
+  private lazy val inventory: Seq[Q] = relational ++ temporal ++ northStar ++ framework
+
+  /** §2.B relational coverage: scan/filter/project/join/agg/window/setops/
+    * scalar families, each oracle-checked. */
+  private lazy val relational: Seq[Q] = Seq(
+
+    // -- q01: filter + hash-agg, the TPC-H Q1 pricing summary -------------
+    Q("q01_pricing_summary",
+      (s, dir) => {
+        T(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+              .cast("double").as("sum_disc_price"),
+            sum(dec(col("l_extendedprice")) *
+              (lit(1.0) - col("l_discount")).cast(DecimalType(8, 4)) *
+              (lit(1.0) + col("l_tax")).cast(DecimalType(8, 4)))
+              .cast(DecimalType(18, 6)).cast("double").as("sum_charge"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_extendedprice")).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(8,4)) * CAST(1.0 + l_tax AS DECIMAL(8,4))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+          count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // -- q02: predicate families (IN/BETWEEN/LIKE/RLIKE) + projection -----
+    Q("q02_filter_project",
+      (s, dir) => {
+        T(s, dir, "lineitem")
+          .filter(col("l_returnflag").isin("A", "R") &&
+            col("l_quantity").between(10, 20) &&
+            col("l_linestatus").like("F%") &&
+            col("l_returnflag").rlike("^[AR]$") &&
+            col("l_shipdate").isNotNull)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+              .cast("double").as("net_price"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+          CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4)) AS DOUBLE) AS net_price
+        FROM lineitem
+        WHERE l_returnflag IN ('A','R') AND l_quantity BETWEEN 10 AND 20
+          AND l_linestatus LIKE 'F%' AND regexp_matches(l_returnflag, '^[AR]$')
+          AND l_shipdate IS NOT NULL
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // -- q03: multi-way join + agg (TPC-H Q5 shape; dims broadcast) --------
+    Q("q03_join_agg_revenue",
+      (s, dir) => {
+        val cust = T(s, dir, "customer"); val ord = T(s, dir, "orders")
+        val li = T(s, dir, "lineitem"); val nat = T(s, dir, "nation")
+        val reg = T(s, dir, "region")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""
+        SELECT r_name, n_name,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name""")),
+
+    // -- q04: broadcast dim join + avg -------------------------------------
+    Q("q04_broadcast_dims",
+      (s, dir) => {
+        T(s, dir, "customer")
+          .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_customers"), davg(col("c_acctbal")).as("avg_bal"))
+          .orderBy("r_name")
+      },
+      Some("""
+        SELECT r_name, count(*) AS n_customers,
+          CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""")),
+
+    // -- q05: left-semi join (EXISTS) — also the memoization primitive -----
+    Q("q05_semi_join",
+      (s, dir) => {
+        val cust = T(s, dir, "customer")
+        val ords = T(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        cust.join(ords, cust("c_custkey") === ords("o_custkey"), "left_semi")
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // -- q06: left-anti join (NOT EXISTS) ----------------------------------
+    Q("q06_anti_join",
+      (s, dir) => {
+        val cust = T(s, dir, "customer")
+        val big = T(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        cust.join(big, cust("c_custkey") === big("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_big_order"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_without_big_order
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // -- q07: equi join + range residual (temporal band) -------------------
+    Q("q07_join_range_residual",
+      (s, dir) => {
+        val ord = T(s, dir, "orders"); val li = T(s, dir, "lineitem")
+        li.join(ord, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_shipped_90d"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n_shipped_90d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // -- q08: cross join (small-small) --------------------------------------
+    Q("q08_cross_join",
+      (s, dir) => {
+        val reg = T(s, dir, "region").select("r_name")
+        val st = T(s, dir, "orders").select("o_orderstatus").distinct()
+        reg.crossJoin(st).orderBy("r_name", "o_orderstatus")
+      },
+      Some("""
+        SELECT r_name, o_orderstatus
+        FROM (SELECT r_name FROM region) CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        ORDER BY r_name, o_orderstatus""")),
+
+    // -- q09: top-k per group (row_number window) ---------------------------
+    Q("q09_topk_per_group",
+      (s, dir) => {
+        TopK.perGroup(
+          T(s, dir, "orders"), Seq("o_custkey"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+          .orderBy("o_custkey", "rk")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+          FROM orders) WHERE rk <= 3
+        ORDER BY o_custkey, rk""")),
+
+    // -- q10: analytic windows: lag/lead/rank/running sum -------------------
+    Q("q10_window_analytics",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"),
+          rank().over(w).as("seq_rank"),
+          sum(dec(col("o_totalprice"))).over(wf).cast("double").as("run_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+          lag(o_totalprice, 1)  OVER w AS prev_price,
+          lead(o_totalprice, 1) OVER w AS next_price,
+          rank()                OVER w AS seq_rank,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // -- q11: rolling row-frame window over event stream --------------------
+    Q("q11_window_rolling_rows",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(-2, Window.currentRow)
+        T(s, dir, "events").select(
+          col("user_id"), col("event_id"),
+          (sum(dec(col("value"))).over(w).cast("double") / count(lit(1)).over(w)).as("roll_avg3"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""
+        SELECT user_id, event_id,
+          CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) / count(*) OVER w AS roll_avg3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id""")),
+
+    // -- q12: rolling time-range window (1 hour) ----------------------------
+    Q("q12_window_rolling_time",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600000000L, Window.currentRow)
+        T(s, dir, "events").select(
+          col("user_id"), col("event_id"),
+          sum(dec(col("value"))).over(w).cast("double").as("roll_sum_1h"),
+          count(lit(1)).over(w).as("n_events_1h"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""
+        SELECT user_id, event_id,
+          CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS roll_sum_1h,
+          count(*) OVER w AS n_events_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id""")),
+
+    // -- q13: global top-k (TakeOrderedAndProject, no full sort) ------------
+    Q("q13_topk_global",
+      (s, dir) => TopK.global(
+        T(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        10, Seq(col("o_totalprice").desc, col("o_orderkey").asc)),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")),
+
+    // -- q14: distinct -------------------------------------------------------
+    Q("q14_distinct",
+      (s, dir) => T(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity").distinct()
+        .orderBy("l_returnflag", "l_linestatus", "l_quantity"),
+      Some("""
+        SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem
+        ORDER BY l_returnflag, l_linestatus, l_quantity""")),
+
+    // -- q15: set operations (union/intersect/except) ------------------------
+    Q("q15_set_ops",
+      (s, dir) => {
+        val ord = T(s, dir, "orders")
+        val f = ord.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        val o = ord.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        val inter = f.intersect(o).agg(count(lit(1)).as("n")).withColumn("op", lit("intersect"))
+        val exc = f.except(o).agg(count(lit(1)).as("n")).withColumn("op", lit("except"))
+        val uni = f.union(o).distinct().agg(count(lit(1)).as("n")).withColumn("op", lit("union"))
+        inter.unionByName(exc).unionByName(uni).select("op", "n").orderBy("op")
+      },
+      Some("""
+        WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus='F'),
+             o AS (SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+        SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM f INTERSECT SELECT * FROM o)
+        UNION ALL
+        SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM f EXCEPT SELECT * FROM o)
+        UNION ALL
+        SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM f UNION SELECT * FROM o)
+        ORDER BY op""")),
+
+    // -- q16: rollup ---------------------------------------------------------
+    Q("q16_rollup",
+      (s, dir) => T(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus"),
+      Some("""
+        SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+               coalesce(l_linestatus, '(all)') AS linestatus,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus""")),
+
+    // -- q17: cube -----------------------------------------------------------
+    Q("q17_cube",
+      (s, dir) => T(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"), col("n"))
+        .orderBy("status", "priority"),
+      Some("""
+        SELECT coalesce(o_orderstatus, '(all)') AS status,
+               coalesce(o_orderpriority, '(all)') AS priority,
+               count(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")),
+
+    // -- q18: pivot ----------------------------------------------------------
+    Q("q18_pivot",
+      (s, dir) => {
+        val cust = T(s, dir, "customer"); val ord = T(s, dir, "orders")
+        cust.join(ord, col("c_custkey") === col("o_custkey"))
+          .groupBy("c_mktsegment")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(col("c_mktsegment"),
+            coalesce(col("F"), lit(0L)).as("F"),
+            coalesce(col("O"), lit(0L)).as("O"),
+            coalesce(col("P"), lit(0L)).as("P"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment,
+          count(*) FILTER (WHERE o_orderstatus='F') AS "F",
+          count(*) FILTER (WHERE o_orderstatus='O') AS "O",
+          count(*) FILTER (WHERE o_orderstatus='P') AS "P"
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // -- q19: unpivot (melt) -------------------------------------------------
+    Q("q19_unpivot",
+      (s, dir) => {
+        val wide = T(s, dir, "orders").groupBy("o_orderpriority").agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("F"),
+          count(when(col("o_orderstatus") === "O", 1)).as("O"),
+          count(when(col("o_orderstatus") === "P", 1)).as("P"))
+        wide.unpivot(Array(col("o_orderpriority")), Array(col("F"), col("O"), col("P")),
+            "status", "cnt")
+          .orderBy("o_orderpriority", "status")
+      },
+      Some("""
+        WITH wide AS (
+          SELECT o_orderpriority,
+            count(*) FILTER (WHERE o_orderstatus='F') AS f,
+            count(*) FILTER (WHERE o_orderstatus='O') AS o,
+            count(*) FILTER (WHERE o_orderstatus='P') AS p
+          FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, 'F' AS status, f AS cnt FROM wide
+        UNION ALL SELECT o_orderpriority, 'O', o FROM wide
+        UNION ALL SELECT o_orderpriority, 'P', p FROM wide
+        ORDER BY o_orderpriority, status""")),
+
+    // -- q20: conditional aggregation ---------------------------------------
+    Q("q20_conditional_agg",
+      (s, dir) => T(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("count_if(o_totalprice > 150000)").as("n_big"),
+          sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice"))))
+            .cast("double").as("sum_f_price"),
+          count(when(col("o_orderstatus") === "O", 1)).as("n_open"))
+        .orderBy("o_orderpriority"),
+      Some("""
+        SELECT o_orderpriority,
+          count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+          CAST(sum(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_f_price,
+          count(*) FILTER (WHERE o_orderstatus='O') AS n_open
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // -- q21: approx aggregates (no exact oracle — rows-only check;
+    //         accuracy asserted in ScalaTest against exact values) ----------
+    Q("q21_approx_agg",
+      (s, dir) => T(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_median_qty")),
+      None),
+
+    // -- q22: string function family ----------------------------------------
+    Q("q22_string_funcs",
+      (s, dir) => T(s, dir, "part").select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lname"),
+        upper(col("p_brand")).as("ubrand"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size4"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        levenshtein(col("p_brand"), lit("Brand#11")).as("lev"),
+        trim(col("p_name")).as("trimmed"),
+        split(col("p_type"), " ").as("type_words"))
+        .orderBy("p_partkey"),
+      Some("""
+        SELECT p_partkey,
+          lower(p_name) AS lname,
+          upper(p_brand) AS ubrand,
+          substring(p_type, 1, 5) AS type5,
+          length(p_name) AS name_len,
+          concat_ws('-', p_brand, p_type) AS brand_type,
+          lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+          regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+          regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+          levenshtein(p_brand, 'Brand#11') AS lev,
+          trim(p_name) AS trimmed,
+          string_split(p_type, ' ') AS type_words
+        FROM part ORDER BY p_partkey""")),
+
+    // -- q23: date/time function family --------------------------------------
+    Q("q23_date_funcs",
+      (s, dir) => T(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        last_day(col("o_orderdate")).as("eom"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        to_date(col("o_orderdate")).as("odate"))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey,
+          year(o_orderdate) AS yr,
+          month(o_orderdate) AS mo,
+          dayofmonth(o_orderdate) AS dom,
+          quarter(o_orderdate) AS qtr,
+          CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+          dayofweek(o_orderdate) + 1 AS dow,
+          CAST(last_day(o_orderdate) AS DATE) AS eom,
+          datediff('day', DATE '1995-01-01', o_orderdate) AS days_since,
+          o_orderdate + INTERVAL 30 DAY AS plus30,
+          CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+          CAST(o_orderdate AS DATE) AS odate
+        FROM orders ORDER BY o_orderkey""")),
+
+    // -- q24: math function family --------------------------------------------
+    Q("q24_math_funcs",
+      (s, dir) => T(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_extendedprice") - 30000.0).as("abs_diff"),
+          ceil(col("l_extendedprice")).as("ceil_p"),
+          floor(col("l_extendedprice")).as("floor_p"),
+          round(dec(col("l_extendedprice")), 1).cast("double").as("round1"),
+          sqrt(col("l_quantity")).as("sqrt_q"),
+          pow(col("l_quantity"), 2).as("qty_sq"),
+          round(log(col("l_extendedprice")), 6).as("ln_p"),
+          (col("l_orderkey") % 7).as("mod7"),
+          signum(col("l_discount") - 0.05).as("sgn"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+          abs(l_extendedprice - 30000.0) AS abs_diff,
+          CAST(ceil(l_extendedprice) AS DOUBLE) AS ceil_p,
+          CAST(floor(l_extendedprice) AS DOUBLE) AS floor_p,
+          CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)), 1) AS DOUBLE) AS round1,
+          sqrt(l_quantity) AS sqrt_q,
+          pow(l_quantity, 2) AS qty_sq,
+          round(ln(l_extendedprice), 6) AS ln_p,
+          l_orderkey % 7 AS mod7,
+          CAST(CASE WHEN l_discount - 0.05 > 0 THEN 1 WHEN l_discount - 0.05 < 0 THEN -1 ELSE 0 END AS DOUBLE) AS sgn
+        FROM lineitem WHERE l_orderkey % 100 = 0
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // -- q25: array function family -------------------------------------------
+    Q("q25_array_funcs",
+      (s, dir) => T(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("e1"),
+        slice(col("embedding"), 1, 3).as("first3"),
+        sequence(lit(1), (col("vec_id") % 5 + 1).cast("int")).as("seq"),
+        transform(sequence(lit(1), (col("vec_id") % 5 + 1).cast("int")), x => x * x).as("squares"),
+        aggregate(sequence(lit(1), (col("vec_id") % 5 + 1).cast("int")),
+          lit(0), (acc, x) => acc + x).as("seq_sum"),
+        array_contains(sequence(lit(1), (col("vec_id") % 5 + 1).cast("int")), 3).as("has3"))
+        .orderBy("vec_id"),
+      Some("""
+        SELECT vec_id,
+          len(embedding) AS dim,
+          embedding[1] AS e1,
+          embedding[1:3] AS first3,
+          range(1, (vec_id % 5 + 1)::INT + 1) AS seq,
+          list_transform(range(1, (vec_id % 5 + 1)::INT + 1), x -> x * x) AS squares,
+          CAST(list_sum(range(1, (vec_id % 5 + 1)::INT + 1)) AS INT) AS seq_sum,
+          list_contains(range(1, (vec_id % 5 + 1)::INT + 1), 3) AS has3
+        FROM embeddings ORDER BY vec_id""")),
+
+    // -- q26: JSON extraction --------------------------------------------------
+    Q("q26_json_funcs",
+      (s, dir) => T(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
+          .getField("k").as("k_int"))
+        .orderBy("event_id"),
+      Some("""
+        SELECT event_id,
+          json_extract_string(props, '$.k') AS k_str,
+          CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+        FROM events ORDER BY event_id""")),
+
+    // -- q27: struct build/access + map ----------------------------------------
+    Q("q27_struct_map",
+      (s, dir) => T(s, dir, "customer").select(
+        col("c_custkey"),
+        struct(col("c_acctbal").as("bal"), col("c_mktsegment").as("seg")).as("info"))
+        .select(
+          col("c_custkey"),
+          col("info.bal").as("bal"),
+          col("info.seg").as("seg"),
+          element_at(
+            map_from_arrays(array(lit("key"), lit("nation")),
+              array(col("c_custkey"), col("c_custkey") * 2)), "nation").as("mapped"))
+        .orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey, c_acctbal AS bal, c_mktsegment AS seg,
+               c_custkey * 2 AS mapped
+        FROM customer ORDER BY c_custkey""")),
+
+    // -- q28: explode / unnest ---------------------------------------------------
+    Q("q28_explode_tokens",
+      (s, dir) => T(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20),
+      Some("""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""")),
+
+    // -- q29: hash functions (md5/sha2 cross-engine stable) -----------------------
+    Q("q29_hash_funcs",
+      (s, dir) => T(s, dir, "documents").select(
+        col("doc_id"),
+        md5(col("text")).as("md5_hex"),
+        sha2(col("text"), 256).as("sha256_hex"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+        FROM documents ORDER BY doc_id""")),
+
+    // -- q30: deterministic arithmetic sampling (portable `sample`) ----------------
+    Q("q30_sample_deterministic",
+      (s, dir) => T(s, dir, "orders")
+        .filter((col("o_orderkey") * 2654435761L) % 100 < 7)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE (o_orderkey * 2654435761) % 100 < 7
+        ORDER BY o_orderkey"""))
+  )
+
+  /** Temporal / event-stream coverage (as-of join, tumbling + session windows). */
+  private lazy val temporal: Seq[Q] = Seq(
+
+    // -- q31: as-of join (point-in-time enrichment) -------------------------
+    Q("q31_asof_join",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_event_id"),
+            col("value").as("view_value"), col("ts"))
+        AsOfJoin.asofBackward(purchases, views, Seq("user_id"), "ts", "ts",
+            Seq("view_event_id", "view_value"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""
+        SELECT p.user_id, p.event_id, p.ts,
+               v.event_id AS view_event_id, v.value AS view_value,
+               v.ts AS matched_ts
+        FROM (SELECT user_id, event_id, ts FROM events WHERE event_type='purchase') p
+        ASOF LEFT JOIN (SELECT user_id, event_id, value, ts FROM events WHERE event_type='view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+        ORDER BY p.user_id, p.event_id""")),
+
+    // -- q32: event-time tumbling window -------------------------------------
+    Q("q32_tumbling_window",
+      (s, dir) => T(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour_start", "event_type"),
+      Some("""
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""")),
+
+    // -- q33: session windows (30 min gap) ------------------------------------
+    Q("q33_session_window",
+      (s, dir) => T(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start"),
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS brk
+          FROM events),
+        sess AS (
+          SELECT user_id, ts, value,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged)
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, session_start"""))
+  )
+
+  /** North-star LLM-pipeline ops — filled in by Dedup/Similarity/Text (batch 2). */
+  private lazy val northStar: Seq[Q] = Seq()
+
+  /** Framework semantics (SURVEY §2.A): record versioning, memoization,
+    * failure-tolerant map — expressed as oracle-checkable queries. */
+  private lazy val framework: Seq[Q] = Seq(
+
+    // -- q60: the M0 flagship feature — customer order stats + record-level
+    //    version hash (A10/A11). md5 over a canonical string rendering keeps
+    //    the hash oracle-checkable (engine-internal hashing uses xxhash64).
+    Q("q60_feature_customer_stats",
+      (s, dir) => {
+        val cust = T(s, dir, "customer"); val ord = T(s, dir, "orders")
+        val spend = sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2))
+        cust.join(ord, col("c_custkey") === col("o_custkey"))
+          .groupBy("c_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            spend.as("__spend_dec"),
+            max(col("o_orderdate")).as("last_order"))
+          .select(
+            col("c_custkey"), col("n_orders"),
+            col("__spend_dec").cast("double").as("total_spend"),
+            col("last_order"),
+            md5(concat_ws("|",
+              col("c_custkey"), col("n_orders"),
+              col("__spend_dec").cast("string"),
+              col("last_order").cast("string"))).as("__data_hash"),
+            lit("v1").as("__code_version"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        WITH agg AS (
+          SELECT c_custkey, count(*) AS n_orders,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS spend_dec,
+                 max(o_orderdate) AS last_order
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+        SELECT c_custkey, n_orders,
+               CAST(spend_dec AS DOUBLE) AS total_spend,
+               last_order,
+               md5(concat_ws('|', c_custkey, n_orders, CAST(spend_dec AS VARCHAR), CAST(last_order AS VARCHAR))) AS __data_hash,
+               'v1' AS __code_version
+        FROM agg ORDER BY c_custkey""")),
+
+    // -- q61: record-level memoization primitive: anti-join novel rows (A10) --
+    Q("q61_memo_novel_rows",
+      (s, dir) => {
+        val ord = T(s, dir, "orders")
+        val keyed = ord.select(col("o_orderkey"),
+          md5(concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
+            dec(col("o_totalprice")).cast(DecimalType(18, 2)).cast("string"))).as("__data_hash"))
+        val cutoff = lit("1998-01-01").cast("timestamp")
+        val stored = ord.filter(col("o_orderdate") < cutoff).select(col("o_orderkey"),
+          md5(concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
+            dec(col("o_totalprice")).cast(DecimalType(18, 2)).cast("string"))).as("__data_hash"))
+        keyed.join(stored, Seq("o_orderkey", "__data_hash"), "left_anti")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        WITH keyed AS (
+          SELECT o_orderkey,
+            md5(concat_ws('|', o_orderkey, o_orderstatus,
+                CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DECIMAL(18,2)) AS VARCHAR))) AS __data_hash
+          FROM orders),
+        stored AS (
+          SELECT o_orderkey,
+            md5(concat_ws('|', o_orderkey, o_orderstatus,
+                CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DECIMAL(18,2)) AS VARCHAR))) AS __data_hash
+          FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01')
+        SELECT k.o_orderkey, k.__data_hash FROM keyed k
+        WHERE NOT EXISTS (SELECT 1 FROM stored s
+          WHERE s.o_orderkey = k.o_orderkey AND s.__data_hash = k.__data_hash)
+        ORDER BY o_orderkey""")),
+
+    // -- q62: failure-tolerant per-row compute — errors as data (A2) ----------
+    Q("q62_failure_tolerant_map",
+      (s, dir) => {
+        val df = SafeMap.safeExpr(
+          T(s, dir, "customer"),
+          failsWhen = col("c_custkey") % 7 === 0,
+          error = concat(lit("DivideByZero: custkey "), col("c_custkey")),
+          valueExpr = (lit(100.0) / (col("c_custkey") % 7)))
+        df.select(col("c_custkey"),
+          col("result.ok").as("ok"),
+          col("result.value").as("value"),
+          col("result.error").as("error"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey,
+          (c_custkey % 7 <> 0) AS ok,
+          CASE WHEN c_custkey % 7 <> 0 THEN 100.0 / (c_custkey % 7) END AS value,
+          CASE WHEN c_custkey % 7 = 0 THEN 'DivideByZero: custkey ' || c_custkey END AS error
+        FROM customer ORDER BY c_custkey"""))
+  )
+
+  // ---- driver contract ----------------------------------------------------
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q60_feature_customer_stats")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    inventory.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    inventory.flatMap(q => q.oracle.map(sql => q.name -> sql.trim.stripMargin)).toMap
 }
