@@ -668,8 +668,298 @@ object SparkEntry {
         ORDER BY user_id, session_start"""))
   )
 
-  /** North-star LLM-pipeline ops — filled in by Dedup/Similarity/Text (batch 2). */
-  private lazy val northStar: Seq[Q] = Seq()
+  // Shared SQL fragments for the north-star oracles (kept in lockstep with
+  // graft.ops.{Dedup,Similarity,TextOps} — same constants, same hash scheme).
+  private val P = ops.Dedup.P
+  /** DuckDB: 60-bit md5-prefix hash of expr `e`, mod P. */
+  private def sqlH60(e: String): String =
+    s"(CAST('0x' || substr(md5($e),1,15) AS BIGINT) % $P)"
+  /** DuckDB: word-3-gram shingle hash set of text expr `t` (list of BIGINT). */
+  private def sqlShingles(t: String): String =
+    s"""list_distinct(list_transform(
+          range(1, greatest(2, len(string_split($t,' ')) - 1)),
+          i -> ${sqlH60(s"concat_ws(' ', string_split($t,' ')[i], string_split($t,' ')[i+1], string_split($t,' ')[i+2])")}))"""
+  /** DuckDB: quantized embedding (micro-unit BIGINT list). */
+  private val sqlQVec =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))"
+  /** DuckDB: exact int dot product of two quantized vec exprs. */
+  private def sqlDotQ(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> ($a)[i] * ($b)[i]))"
+
+  /** North-star LLM-pipeline ops: dedup (exact / MinHash-LSH / SimHash /
+    * n-gram Jaccard / embedding-cosine), similarity search (brute + LSH),
+    * text analysis, multimodal plumbing. */
+  private lazy val northStar: Seq[Q] = Seq(
+
+    // -- q70: exact dedup by content digest (scale: shuffle on 16-byte key) --
+    Q("q70_exact_dedup",
+      (s, dir) => ops.Dedup.exactByContent(T(s, dir, "documents"), "doc_id", Seq("text"))
+        .select(col("__digest"), col("keep_id"), col("n_copies"))
+        .orderBy("__digest"),
+      Some("""
+        SELECT md5(text) AS __digest, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY md5(text) ORDER BY __digest""")),
+
+    // -- q71: MinHash-LSH near-dup candidate pairs + exact-Jaccard verify ----
+    Q("q71_minhash_lsh_neardup",
+      (s, dir) => ops.Dedup.minhashNearDupPairs(
+        T(s, dir, "documents"), "doc_id", "text",
+        n = 3, numHashes = 12, bands = 4, threshold = 0.2)
+        .orderBy("id_l", "id_r"),
+      Some {
+        val coeffs = ops.Dedup.hashCoeffs(12)
+        val sig = coeffs.map { case (a, b) =>
+          s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))"
+        }.mkString("[", ", ", "]")
+        val bandKeys = (0 until 4).map(bi =>
+          s"md5(concat_ws(',', sig[${bi * 3 + 1}], sig[${bi * 3 + 2}], sig[${bi * 3 + 3}]))")
+          .mkString("[", ", ", "]")
+        s"""
+        WITH sh AS (
+          SELECT doc_id, ${sqlShingles("text")} AS sh FROM documents),
+        sig AS (
+          SELECT doc_id, sh, $sig AS sig FROM sh),
+        banded AS (
+          SELECT doc_id, sh, unnest($bandKeys) AS band_key,
+                 unnest(range(0, 4)) AS band_id
+          FROM sig),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+          FROM banded l JOIN banded r
+            ON l.band_id = r.band_id AND l.band_key = r.band_key
+           AND l.doc_id < r.doc_id),
+        verified AS (
+          SELECT c.id_l, c.id_r,
+            CASE WHEN len(list_distinct(l.sh || r.sh)) = 0 THEN 1.0
+                 ELSE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                      / len(list_distinct(l.sh || r.sh)) END AS jaccard
+          FROM cand c
+          JOIN sh l ON c.id_l = l.doc_id
+          JOIN sh r ON c.id_r = r.doc_id)
+        SELECT id_l, id_r, jaccard FROM verified WHERE jaccard >= 0.2
+        ORDER BY id_l, id_r"""
+      }),
+
+    // -- q72: SimHash near-dup (exact pigeonhole banding, hamming <= 3) -------
+    Q("q72_simhash_neardup",
+      (s, dir) => ops.Dedup.simhashNearDupPairs(
+        T(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_l", "id_r"),
+      Some {
+        val tokH = "CAST('0x' || substr(md5(t),1,15) AS BIGINT)"
+        s"""
+        WITH sim AS (
+          SELECT doc_id,
+            list_sum(list_transform(range(0, 60), j ->
+              CASE WHEN list_sum(list_transform(string_split(text,' '), t ->
+                     (($tokH >> j) & 1) * 2 - 1)) > 0
+                   THEN (1::BIGINT << j) ELSE 0 END)) AS simhash
+          FROM documents WHERE doc_id < 200),
+        pairs AS (
+          SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+                 bit_count(xor(l.simhash, r.simhash)) AS hamming
+          FROM sim l JOIN sim r ON l.doc_id < r.doc_id)
+        SELECT id_l, id_r, CAST(hamming AS INT) AS hamming
+        FROM pairs WHERE hamming <= 3 ORDER BY id_l, id_r"""
+      }),
+
+    // -- q73: n-gram Jaccard similarity within a blocking key -----------------
+    Q("q73_ngram_jaccard_pairs",
+      (s, dir) => ops.Dedup.ngramJaccardPairs(
+        T(s, dir, "documents"), "doc_id", "text", blockCol = "source",
+        n = 3, threshold = 0.2)
+        .orderBy("id_l", "id_r"),
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id, source, ${sqlShingles("text")} AS sh FROM documents),
+        pairs AS (
+          SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+            CASE WHEN len(list_distinct(l.sh || r.sh)) = 0 THEN 1.0
+                 ELSE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                      / len(list_distinct(l.sh || r.sh)) END AS jaccard
+          FROM sh l JOIN sh r ON l.source = r.source AND l.doc_id < r.doc_id)
+        SELECT id_l, id_r, jaccard FROM pairs WHERE jaccard >= 0.2
+        ORDER BY id_l, id_r""")),
+
+    // -- q74: embedding-cosine near-dup pairs (LSH-blocked, exact verify) -----
+    Q("q74_cosine_neardup",
+      (s, dir) => ops.Similarity.cosineNearDupPairs(
+        T(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.5, planes = 4)
+        .orderBy("id_l", "id_r"),
+      Some {
+        val planeBit = (p: Int) =>
+          s"""CASE WHEN list_sum(list_transform(range(1, 65),
+                i -> v[i] * (((CAST('0x' || substr(md5(concat_ws(':', 'plane', '$p', i - 1)),1,15) AS BIGINT)) & 1) * 2 - 1))) > 0
+              THEN ${1L << p} ELSE 0 END"""
+        val bucket = (0 until 4).map(planeBit).mkString(" + ")
+        s"""
+        WITH q AS (
+          SELECT vec_id, $sqlQVec AS v FROM embeddings),
+        b AS (
+          SELECT vec_id, v, $bucket AS bucket FROM q),
+        pairs AS (
+          SELECT l.vec_id AS id_l, r.vec_id AS id_r,
+            CAST(${sqlDotQ("l.v", "r.v")} AS DOUBLE)
+              / sqrt(CAST(${sqlDotQ("l.v", "l.v")} AS DOUBLE) * CAST(${sqlDotQ("r.v", "r.v")} AS DOUBLE)) AS cosine
+          FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+        SELECT DISTINCT id_l, id_r, cosine FROM pairs WHERE cosine >= 0.5
+        ORDER BY id_l, id_r"""
+      }),
+
+    // -- q75: brute-force cosine top-k (correctness baseline for ANN) ---------
+    Q("q75_cosine_topk_brute",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        ops.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 10), emb, "vec_id", "vec_id", "embedding", k = 5)
+          .select("query_id", "corpus_id", "cosine", "rank")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, $sqlQVec AS v FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS corpus_id, $sqlQVec AS v FROM embeddings),
+        scored AS (
+          SELECT q.query_id, c.corpus_id,
+            CAST(${sqlDotQ("q.v", "c.v")} AS DOUBLE)
+              / sqrt(CAST(${sqlDotQ("q.v", "q.v")} AS DOUBLE) * CAST(${sqlDotQ("c.v", "c.v")} AS DOUBLE)) AS cosine
+          FROM q CROSS JOIN c),
+        ranked AS (
+          SELECT query_id, corpus_id, cosine,
+            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // -- q76: LSH-bucketed cosine top-k (the 100 TB ANN path) ------------------
+    Q("q76_cosine_topk_lsh",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        ops.Similarity.lshTopK(
+          emb.filter(col("vec_id") < 10), emb, "vec_id", "vec_id", "embedding",
+          k = 5, planes = 4)
+          .select("query_id", "corpus_id", "cosine", "rank")
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        val planeBit = (p: Int) =>
+          s"""CASE WHEN list_sum(list_transform(range(1, 65),
+                i -> v[i] * (((CAST('0x' || substr(md5(concat_ws(':', 'plane', '$p', i - 1)),1,15) AS BIGINT)) & 1) * 2 - 1))) > 0
+              THEN ${1L << p} ELSE 0 END"""
+        val bucket = (0 until 4).map(planeBit).mkString(" + ")
+        s"""
+        WITH base AS (SELECT vec_id, $sqlQVec AS v FROM embeddings),
+        b AS (SELECT vec_id, v, $bucket AS bucket FROM base),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+            CAST(${sqlDotQ("q.v", "c.v")} AS DOUBLE)
+              / sqrt(CAST(${sqlDotQ("q.v", "q.v")} AS DOUBLE) * CAST(${sqlDotQ("c.v", "c.v")} AS DOUBLE)) AS cosine
+          FROM b q JOIN b c ON q.bucket = c.bucket
+          WHERE q.vec_id < 10),
+        ranked AS (
+          SELECT query_id, corpus_id, cosine,
+            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+      }),
+
+    // -- q77: text quality features + token counting ---------------------------
+    Q("q77_text_quality",
+      (s, dir) => T(s, dir, "documents")
+        .withColumn("__q", ops.TextOps.qualityFeatures(col("text")))
+        .select(
+          col("doc_id"),
+          ops.TextOps.tokenCount(col("text")).as("n_tokens"),
+          ops.TextOps.subwordCount(col("text")).as("n_subwords"),
+          col("__q.avg_token_len").as("avg_token_len"),
+          col("__q.stopword_ratio").as("stopword_ratio"),
+          col("__q.uniq_ratio").as("uniq_ratio"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+          len(string_split(text, ' ')) AS n_tokens,
+          len(string_split(text, ' ')) + (length(text) - length(regexp_replace(text, '[aeiouAEIOU0-9]', '', 'g'))) AS n_subwords,
+          CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+          CAST(len(list_filter(string_split(text, ' '),
+            t -> list_contains(['the','a','of','and','to','in','is','on'], t))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS stopword_ratio,
+          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS uniq_ratio
+        FROM documents ORDER BY doc_id""")),
+
+    // -- q78: heuristic language-ID (deterministic argmax) ---------------------
+    Q("q78_lang_id",
+      (s, dir) => T(s, dir, "documents")
+        .select(col("doc_id"), ops.TextOps.langId(col("text")).as("lang_guess"))
+        .groupBy("lang_guess").agg(count(lit(1)).as("n"))
+        .orderBy("lang_guess"),
+      Some {
+        // Same fold as TextOps.langId: languages in lexicographic order,
+        // strictly-greater score wins, no hits -> unknown.
+        val profiles = ops.TextOps.langProfiles.sortBy(_._1)
+        val scoreExprs = profiles.map { case (lang, words) =>
+          val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
+          s"len(list_filter(string_split(lower(text),' '), t -> list_contains($arr, t))) AS s_$lang"
+        }.mkString(", ")
+        val (bestLang, bestScore) = profiles.foldLeft(("'unknown'", "0")) {
+          case ((bl, bs), (lang, _)) =>
+            (s"CASE WHEN s_$lang > $bs THEN '$lang' ELSE $bl END",
+             s"greatest(s_$lang, $bs)")
+        }
+        s"""
+        WITH scored AS (SELECT doc_id, $scoreExprs FROM documents)
+        SELECT CASE WHEN $bestScore > 0 THEN $bestLang ELSE 'unknown' END AS lang_guess,
+               count(*) AS n
+        FROM scored GROUP BY 1 ORDER BY lang_guess"""
+      }),
+
+    // -- q79: document fingerprinting (content md5 + winnow min) ---------------
+    Q("q79_doc_fingerprint",
+      (s, dir) => T(s, dir, "documents")
+        .withColumn("__fp", ops.TextOps.fingerprint(col("text"), shingleN = 5))
+        .select(col("doc_id"), col("__fp.content_md5").as("content_md5"),
+          col("__fp.winnow_min").as("winnow_min"))
+        .orderBy("doc_id"),
+      Some {
+        val sh5 = s"""list_distinct(list_transform(
+            range(1, greatest(2, len(string_split(text,' ')) - 3)),
+            i -> ${sqlH60("concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1], string_split(text,' ')[i+2], string_split(text,' ')[i+3], string_split(text,' ')[i+4])")}))"""
+        s"""
+        SELECT doc_id, md5(text) AS content_md5, list_min($sh5) AS winnow_min
+        FROM documents ORDER BY doc_id"""
+      }),
+
+    // -- q80: multimodal binary columns: payload synth + metadata extraction +
+    //    frame sampling (decode stub exercised in ScalaTest, not here) --------
+    Q("q80_multimodal_meta",
+      (s, dir) => T(s, dir, "documents")
+        .select(col("doc_id"), ops.Multimodal.fakePayload(col("doc_id")).as("payload"))
+        .select(
+          col("doc_id"),
+          ops.Multimodal.extractMeta(col("payload")).as("meta"),
+          ops.Multimodal.frameSample(col("payload"), frameBytes = 8, everyN = 2).as("frames"))
+        .select(col("doc_id"),
+          col("meta.format").as("format"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.n_bytes").as("n_bytes"),
+          size(col("frames")).as("n_sampled_frames"),
+          col("frames")(0).cast("string").as("first_frame"))
+        .orderBy("doc_id"),
+      Some("""
+        WITH payload AS (
+          SELECT doc_id,
+            concat('IMG:', CAST((doc_id % 4 + 1) * 64 AS VARCHAR), 'x',
+                   CAST((doc_id % 3 + 1) * 64 AS VARCHAR), ':',
+                   md5(concat('body', CAST(doc_id AS VARCHAR)))) AS p
+          FROM documents)
+        SELECT doc_id,
+          'IMG' AS format,
+          CAST((doc_id % 4 + 1) * 64 AS INT) AS width,
+          CAST((doc_id % 3 + 1) * 64 AS INT) AS height,
+          CAST(length(p) AS BIGINT) AS n_bytes,
+          CAST(ceil(CAST(length(p) // 8 AS DOUBLE) / 2) AS INT) AS n_sampled_frames,
+          substr(p, 1, 8) AS first_frame
+        FROM payload ORDER BY doc_id"""))
+  )
 
   /** Framework semantics (SURVEY §2.A): record versioning, memoization,
     * failure-tolerant map — expressed as oracle-checkable queries. */

@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora (north-star surface;
+  * the reference's record-level hashing dependency `polars-hash`
+  * (reference: projects/feray/pyproject.toml:26) covers only exact content
+  * hashing — near-dup families below are the 100 TB training-data extensions).
+  *
+  * Design notes for scale:
+  *  - Exact dedup is a single hash-shuffle on the content digest (never on the
+  *    raw text — the shuffle key is 16 bytes, not kilobytes).
+  *  - MinHash/LSH turns all-pairs O(n²) into `bands` keyed shuffles: only
+  *    documents sharing a band bucket ever meet. Candidate verification is a
+  *    join on (idL, idR), linear in candidate count.
+  *  - SimHash banding is EXACT for a hamming radius: splitting the 60-bit
+  *    fingerprint into maxHamming+1 bands guarantees (pigeonhole) that any
+  *    pair within the radius collides on ≥1 band — no recall loss, same
+  *    keyed-shuffle shape.
+  *  - Every hash is engine-reproducible (md5-derived, no JVM-specific seeds)
+  *    so results are testable against an independent SQL oracle.
+  */
+object Dedup {
+
+  /** 2^31-1, Mersenne prime — universal-hash modulus kept below 2^31 so
+    * `a*h+b` stays under 2^62 (no bigint overflow in either engine). */
+  val P: Long = 2147483647L
+
+  /** Deterministic universal-hash coefficients (LCG from a fixed seed, odd,
+    * < P). Interpolated into both the Spark plan and the SQL oracle. */
+  def hashCoeffs(numHashes: Int): Seq[(Long, Long)] = {
+    var s = 42L
+    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L) & 0x7fffffffffffffffL; s % (P - 2) + 1 }
+    Seq.fill(numHashes)((next() | 1L, next()))
+  }
+
+  /** Stable 60-bit non-negative hash of a string column: first 15 hex chars of
+    * md5, as a long. Reproducible in any engine with md5. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingle hashes, reduced mod P, de-duplicated (a set).
+    * Shorter-than-n docs produce one shingle of the whole text
+    * (concat_ws skips the null tail tokens). */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(lit(1), size(toks) - (n - 1))),
+      i => pmod(md5Hash60(concat_ws(" ", (0 until n).map(k => get(toks, i + (k - 1))): _*)), lit(P))))
+  }
+
+  /** MinHash signature: for each universal hash (a,b), min over the shingle
+    * set of (a*h+b) mod P. One pass over the shingles per hasher, all
+    * codegen'd builtins — no UDF. */
+  def minhashSignature(shingles: Column, coeffs: Seq[(Long, Long)]): Column =
+    array(coeffs.map { case (a, b) =>
+      aggregate(shingles, lit(Long.MaxValue),
+        (acc, h) => least(acc, (lit(a) * h + lit(b)) % lit(P)))
+    }: _*)
+
+  /** Explode a signature into (band_id, band_key) rows; band_key is the md5 of
+    * the band's slice so the shuffle key is small and uniform. */
+  def explodeBands(df: DataFrame, sigCol: String, bands: Int, rowsPerBand: Int,
+                   bandIdCol: String = "band_id", bandKeyCol: String = "band_key"): DataFrame =
+    df.select(col("*"), posexplode(transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws(",", slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)))))
+    ).as(Seq(bandIdCol, bandKeyCol)))
+
+  /** Exact Jaccard similarity of two shingle-hash sets. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val uni = size(array_union(a, b))
+    when(uni === 0, lit(1.0)).otherwise(inter.cast("double") / uni.cast("double"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * Pipeline: shingle → minhash signature → band explode → self-join on
+    * (band_id, band_key) with idL < idR → distinct candidates → exact-Jaccard
+    * verify ≥ threshold. The self-join is the only shuffle that grows with
+    * corpus size, and it is keyed on 16-byte band hashes.
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                          threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val coeffs = hashCoeffs(numHashes)
+    val sh = df.select(col(idCol), shingleHashes(col(textCol), n).as("__shingles"))
+      .withColumn("__sig", minhashSignature(col("__shingles"), coeffs))
+    val banded = explodeBands(sh.select(col(idCol), col("__sig")), "__sig", bands, rowsPerBand)
+      .select(col(idCol), col("band_id"), col("band_key"))
+    val l = banded.select(col(idCol).as("id_l"), col("band_id"), col("band_key"))
+    val r = banded.select(col(idCol).as("id_r"), col("band_id"), col("band_key"))
+    val cand = l.join(r, Seq("band_id", "band_key")).where(col("id_l") < col("id_r"))
+      .select("id_l", "id_r").distinct()
+    val sets = sh.select(col(idCol), col("__shingles"))
+    cand
+      .join(sets.select(col(idCol).as("id_l"), col("__shingles").as("__sh_l")), Seq("id_l"))
+      .join(sets.select(col(idCol).as("id_r"), col("__shingles").as("__sh_r")), Seq("id_r"))
+      .select(col("id_l"), col("id_r"),
+        jaccard(col("__sh_l"), col("__sh_r")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 60-bit SimHash of the token multiset: bit j is set iff the weighted sum
+    * of token-hash bits j is positive. Nested higher-order aggregates, no UDF. */
+  def simhash60(text: Column): Column = {
+    val hs = transform(tokens(text), t => md5Hash60(t))
+    aggregate(
+      sequence(lit(0), lit(59)), lit(0L),
+      (acc, j) => acc + when(
+        aggregate(hs, lit(0L), (a, h) => a + (call_function("shiftright", h, j).bitwiseAND(lit(1L)) * 2 - 1)) > 0,
+        call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming`, using EXACT pigeonhole
+    * banding: the 60-bit fingerprint is split into maxHamming+1 bands; any
+    * pair with hamming ≤ maxHamming must agree on at least one band, so
+    * banding loses nothing while keeping the join keyed (no all-pairs). */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val bitsPer = 60 / nBands
+    val withSim = df.select(col(idCol), simhash60(col(textCol)).as("__simhash"))
+    val banded = withSim.select(col(idCol), col("__simhash"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+        b => call_function("shiftright", col("__simhash"), b * lit(bitsPer))
+          .bitwiseAND(lit((1L << bitsPer) - 1)))).as(Seq("band_id", "band_key")))
+    val l = banded.select(col(idCol).as("id_l"), col("__simhash").as("__sim_l"), col("band_id"), col("band_key"))
+    val r = banded.select(col(idCol).as("id_r"), col("__simhash").as("__sim_r"), col("band_id"), col("band_key"))
+    l.join(r, Seq("band_id", "band_key")).where(col("id_l") < col("id_r"))
+      .select(col("id_l"), col("id_r"),
+        bit_count(col("__sim_l").bitwiseXOR(col("__sim_r"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard for ALL candidate pairs produced by a blocking
+    * column (e.g. same `source`). Blocking keeps the join keyed; at 100 TB a
+    * caller blocks on LSH bands (see [[minhashNearDupPairs]]) instead. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, n: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val sh = df.select(col(idCol), col(blockCol), shingleHashes(col(textCol), n).as("__sh"))
+    val l = sh.select(col(idCol).as("id_l"), col(blockCol), col("__sh").as("__sh_l"))
+    val r = sh.select(col(idCol).as("id_r"), col(blockCol), col("__sh").as("__sh_r"))
+    l.join(r, Seq(blockCol)).where(col("id_l") < col("id_r"))
+      .select(col("id_l"), col("id_r"), jaccard(col("__sh_l"), col("__sh_r")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Exact dedup: keep the smallest id per content digest. One shuffle keyed
+    * on the 32-byte digest; the raw payload never shuffles. */
+  def exactByContent(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
+    val digest = md5(concat_ws("", contentCols.map(col): _*))
+    df.withColumn("__digest", digest)
+      .groupBy("__digest")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north-star surface).
+  * All pure built-in expressions — fully codegen'd, no UDFs, so they stay
+  * inside whole-stage codegen at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish subword estimate: whitespace tokens plus one split before every
+    * vowel/digit — a deterministic, regex-portable proxy for tokenizer
+    * token counts. */
+  def subwordCount(text: Column): Column =
+    size(split(text, " ")) +
+      (length(text) - length(regexp_replace(text, "[aeiouAEIOU0-9]", "")))
+
+  /** Quality-score feature struct: lengths, ratios, lexical diversity.
+    * Everything a fast quality filter needs, one projection. */
+  def qualityFeatures(text: Column): Column = {
+    val toks = split(text, " ")
+    val nTok = size(toks)
+    val nChar = length(text)
+    val stop = array(Seq("the", "a", "of", "and", "to", "in", "is", "on").map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stop, t)))
+    val nUniq = size(array_distinct(toks))
+    val punct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    struct(
+      nChar.as("n_chars"),
+      nTok.as("n_tokens"),
+      when(nTok > 0, nChar.cast("double") / nTok.cast("double")).otherwise(lit(0.0)).as("avg_token_len"),
+      when(nTok > 0, nStop.cast("double") / nTok.cast("double")).otherwise(lit(0.0)).as("stopword_ratio"),
+      when(nTok > 0, nUniq.cast("double") / nTok.cast("double")).otherwise(lit(0.0)).as("uniq_ratio"),
+      when(nChar > 0, punct.cast("double") / nChar.cast("double")).otherwise(lit(0.0)).as("punct_ratio"))
+  }
+
+  /** Language profiles for the n-gram-free stopword heuristic: token hits per
+    * language, deterministic argmax (score desc, then language name asc). */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist"))
+
+  /** Heuristic language-ID: count profile-stopword hits per language, pick the
+    * max (ties → lexicographic, no hits → "unknown"). */
+  def langId(text: Column): Column = {
+    val toks = split(lower(text), " ")
+    val scored = langProfiles.map { case (lang, words) =>
+      val profile = array(words.map(lit): _*)
+      (lang, size(filter(toks, t => array_contains(profile, t))))
+    }
+    // argmax by (score desc, lang asc) via left fold over the ordered list
+    val best = scored.sortBy(_._1).foldLeft((lit("unknown"), lit(0))) {
+      case ((bl, bs), (lang, s)) => (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("unknown"))
+  }
+
+  /** Word n-grams (as strings). */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    transform(
+      sequence(lit(1), greatest(lit(1), size(toks) - (n - 1))),
+      i => concat_ws(" ", (0 until n).map(k => get(toks, i + (k - 1))): _*))
+  }
+
+  /** Document fingerprint: (full-content md5, winnowed rolling-hash minimum).
+    * The winnow min is the smallest shingle hash — a cheap locality-sensitive
+    * sketch: near-dup docs usually share it. */
+  def fingerprint(text: Column, shingleN: Int = 5): Column =
+    struct(
+      md5(text).as("content_md5"),
+      array_min(Dedup.shingleHashes(text, shingleN)).as("winnow_min"))
+
+  /** Corpus-level quality report: one row per language with quality stats. */
+  def qualityReport(df: DataFrame, textCol: String, langCol: String): DataFrame =
+    df.withColumn("__q", qualityFeatures(col(textCol)))
+      .groupBy(col(langCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__q.n_tokens")).as("total_tokens"),
+        avg(col("__q.uniq_ratio")).as("avg_uniq_ratio"),
+        avg(col("__q.stopword_ratio")).as("avg_stopword_ratio"))
+}
