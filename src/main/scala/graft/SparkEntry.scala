@@ -38,7 +38,8 @@ object SparkEntry {
       oracle: Option[String])
 
   // ---- query inventory --------------------------------------------------
-  private lazy val inventory: Seq[Q] = relational ++ temporal ++ northStar ++ framework
+  private lazy val inventory: Seq[Q] =
+    relational ++ relational2 ++ temporal ++ northStar ++ framework
 
   /** §2.B relational coverage: scan/filter/project/join/agg/window/setops/
     * scalar families, each oracle-checked. */
@@ -603,6 +604,348 @@ object SparkEntry {
         SELECT o_orderkey, o_totalprice FROM orders
         WHERE (o_orderkey * 2654435761) % 100 < 7
         ORDER BY o_orderkey"""))
+  )
+
+  /** §2.B continued: aggregate families, window ranks, map funcs, grouping
+    * sets, set-op ALL variants, sources (CSV/JSON/partitioned parquet),
+    * remaining scalar families. */
+  private lazy val relational2: Seq[Q] = Seq(
+
+    // -- q34: aggregate family: count_distinct / min_by / max_by / bool ------
+    Q("q34_agg_families",
+      (s, dir) => T(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_custs"),
+          min_by(col("o_orderstatus"), col("o_orderkey")).as("first_status"),
+          max_by(col("o_orderstatus"), col("o_orderkey")).as("last_status"),
+          expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+          expr("bool_or(o_totalprice > 400000)").as("any_over_400k"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("o_orderpriority"),
+      Some("""
+        SELECT o_orderpriority,
+          count(DISTINCT o_custkey) AS n_custs,
+          min_by(o_orderstatus, o_orderkey) AS first_status,
+          max_by(o_orderstatus, o_orderkey) AS last_status,
+          bool_and(o_totalprice > 1000) AS all_over_1k,
+          bool_or(o_totalprice > 400000) AS any_over_400k,
+          min(o_totalprice) AS min_price,
+          max(o_totalprice) AS max_price
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // -- q35: variance/stddev via exact decimal sums (deterministic doubles) --
+    Q("q35_stddev_var",
+      (s, dir) => {
+        val x = dec(col("c_acctbal"))
+        T(s, dir, "customer")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(x * x).cast("double").as("sxx"))
+          .select(col("c_mktsegment"), col("n"),
+            ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_samp"),
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("std_samp"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        WITH a AS (
+          SELECT c_mktsegment, count(*) AS n,
+            CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(c_acctbal AS DECIMAL(18,4)) * CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+          FROM customer GROUP BY c_mktsegment)
+        SELECT c_mktsegment, n,
+          (sxx - sx * sx / n) / (n - 1) AS var_samp,
+          sqrt((sxx - sx * sx / n) / (n - 1)) AS std_samp
+        FROM a ORDER BY c_mktsegment""")),
+
+    // -- q36: collect_list / collect_set (sorted for determinism) ------------
+    Q("q36_collect",
+      (s, dir) => T(s, dir, "orders")
+        .filter(col("o_custkey") < 50)
+        .groupBy("o_custkey")
+        .agg(
+          sort_array(collect_list(col("o_orderstatus"))).as("statuses"),
+          sort_array(collect_set(col("o_orderpriority"))).as("priorities"))
+        .orderBy("o_custkey"),
+      Some("""
+        SELECT o_custkey,
+          list_sort(list(o_orderstatus)) AS statuses,
+          list_sort(list(DISTINCT o_orderpriority)) AS priorities
+        FROM orders WHERE o_custkey < 50
+        GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // -- q37: GROUPING SETS + grouping() flags (SQL surface) ------------------
+    Q("q37_grouping_sets",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT coalesce(o_orderstatus, '(all)') AS status,
+                 coalesce(o_orderpriority, '(all)') AS priority,
+                 grouping(o_orderstatus) AS g_status,
+                 grouping(o_orderpriority) AS g_priority,
+                 count(*) AS n
+          FROM orders
+          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+          ORDER BY status, priority""")
+      },
+      Some("""
+        SELECT coalesce(o_orderstatus, '(all)') AS status,
+               coalesce(o_orderpriority, '(all)') AS priority,
+               CAST(grouping(o_orderstatus) AS TINYINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS TINYINT) AS g_priority,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY status, priority""")),
+
+    // -- q38: INTERSECT ALL / EXCEPT ALL (multiset semantics) -----------------
+    Q("q38_intersect_except_all",
+      (s, dir) => {
+        val li = T(s, dir, "lineitem")
+        val a = li.filter(col("l_returnflag") === "A").select("l_orderkey", "l_quantity")
+        val b = li.filter(col("l_returnflag") === "R").select("l_orderkey", "l_quantity")
+        val ia = a.intersectAll(b).agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+        val ea = a.exceptAll(b).agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+        ia.unionByName(ea).select("op", "n").orderBy("op")
+      },
+      Some("""
+        WITH a AS (SELECT l_orderkey, l_quantity FROM lineitem WHERE l_returnflag='A'),
+             b AS (SELECT l_orderkey, l_quantity FROM lineitem WHERE l_returnflag='R')
+        SELECT 'intersect_all' AS op, count(*) AS n FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        UNION ALL
+        SELECT 'except_all' AS op, count(*) AS n FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        ORDER BY op""")),
+
+    // -- q39: unionByName with missing columns --------------------------------
+    Q("q39_union_byname_missing",
+      (s, dir) => {
+        val a = T(s, dir, "region").select(col("r_name").as("name"), col("r_regionkey").as("key"))
+        val b = T(s, dir, "nation").select(col("n_name").as("name"))
+        a.unionByName(b, allowMissingColumns = true)
+          .orderBy(col("name"), col("key").asc_nulls_first)
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT r_name AS name, r_regionkey AS key FROM region
+          UNION ALL BY NAME
+          SELECT n_name AS name FROM nation)
+        ORDER BY name, key ASC NULLS FIRST""")),
+
+    // -- q40: ranking window family -------------------------------------------
+    Q("q40_window_ranks",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        T(s, dir, "orders").filter(col("o_custkey") < 100).select(
+          col("o_orderpriority"), col("o_orderkey"),
+          dense_rank().over(w).as("drank"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"),
+          nth_value(col("o_orderkey"), 2).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("second_key"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some("""
+        SELECT o_orderpriority, o_orderkey,
+          CAST(dense_rank() OVER w AS INT) AS drank,
+          CAST(ntile(4) OVER w AS INT) AS quartile,
+          percent_rank() OVER w AS prank,
+          cume_dist() OVER w AS cdist,
+          nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+        FROM orders WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+        ORDER BY o_orderpriority, o_orderkey""")),
+
+    // -- q41: map function family (projected to sorted arrays for compare) ----
+    Q("q41_map_funcs",
+      (s, dir) => T(s, dir, "customer")
+        .filter(col("c_custkey") < 100)
+        .select(col("c_custkey"),
+          map_from_entries(array(
+            struct(lit("bal").as("k"), col("c_acctbal").as("v")),
+            struct(lit("key2x").as("k"), (col("c_custkey") * 2).cast("double").as("v")))).as("m"))
+        .select(col("c_custkey"),
+          map_keys(col("m")).as("ks"),
+          map_values(col("m")).as("vs"),
+          element_at(col("m"), "bal").as("bal"),
+          size(map_entries(col("m"))).as("n_entries"),
+          map_values(map_filter(col("m"), (_, v) => v > 50)).as("big_vals"),
+          map_values(transform_values(col("m"), (_, v) => v * 10)).as("vals_x10"))
+        .orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey,
+          ['bal', 'key2x'] AS ks,
+          [c_acctbal, CAST(c_custkey * 2 AS DOUBLE)] AS vs,
+          c_acctbal AS bal,
+          2 AS n_entries,
+          list_filter([c_acctbal, CAST(c_custkey * 2 AS DOUBLE)], v -> v > 50) AS big_vals,
+          [c_acctbal * 10, CAST(c_custkey * 2 AS DOUBLE) * 10] AS vals_x10
+        FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""")),
+
+    // -- q42: posexplode + explode_outer ---------------------------------------
+    Q("q42_posexplode",
+      (s, dir) => T(s, dir, "part")
+        .filter(col("p_partkey") < 100)
+        .select(col("p_partkey"), posexplode_outer(split(col("p_type"), " ")).as(Seq("pos", "word")))
+        .orderBy("p_partkey", "pos"),
+      Some("""
+        SELECT p_partkey,
+          CAST(unnest(range(0, len(string_split(p_type,' ')))) AS INT) AS pos,
+          unnest(string_split(p_type, ' ')) AS word
+        FROM part WHERE p_partkey < 100 ORDER BY p_partkey, pos""")),
+
+    // -- q43: CSV source round-trip (write + schema-full read) -----------------
+    Q("q43_csv_roundtrip",
+      (s, dir) => {
+        val path = s"/tmp/graft_csv_${dir.replaceAll("[^0-9.]", "")}"
+        T(s, dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal", "c_nationkey")
+          .write.mode("overwrite").option("header", "true").csv(path)
+        s.read.option("header", "true")
+          .schema("c_custkey LONG, c_mktsegment STRING, c_acctbal DOUBLE, c_nationkey LONG")
+          .csv(path)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), davg(col("c_acctbal")).as("avg_bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n,
+          CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_bal
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // -- q44: JSON (ndjson) source round-trip ----------------------------------
+    Q("q44_json_roundtrip",
+      (s, dir) => {
+        val path = s"/tmp/graft_json_${dir.replaceAll("[^0-9.]", "")}"
+        T(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").json(path)
+        s.read.schema("o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+          .json(path)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus, count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // -- q45: partitioned parquet write + partition-pruned read ----------------
+    Q("q45_partitioned_scan",
+      (s, dir) => {
+        val path = s"/tmp/graft_part_${dir.replaceAll("[^0-9.]", "")}"
+        T(s, dir, "orders").write.mode("overwrite")
+          .partitionBy("o_orderstatus").parquet(path)
+        // the filter on the partition column prunes directories at planning
+        s.read.parquet(path)
+          .filter(col("o_orderstatus") === "F")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // -- q46: string family 2: translate/instr/repeat/reverse/printf/initcap --
+    Q("q46_string_funcs2",
+      (s, dir) => T(s, dir, "part")
+        .filter(col("p_partkey") < 200)
+        .select(col("p_partkey"),
+          translate(col("p_brand"), "Bd#", "bD_").as("translated"),
+          instr(col("p_type"), "ED").as("pos_ed"),
+          repeat(col("p_brand"), 2).as("cc"),
+          reverse(col("p_brand")).as("rev"),
+          ascii(col("p_brand")).as("first_ascii"),
+          format_string("%05d-%s", col("p_partkey"), col("p_brand")).as("fmt"),
+          initcap(lower(col("p_name"))).as("icap"))
+        .orderBy("p_partkey"),
+      Some("""
+        SELECT p_partkey,
+          translate(p_brand, 'Bd#', 'bD_') AS translated,
+          CAST(instr(p_type, 'ED') AS INT) AS pos_ed,
+          repeat(p_brand, 2) AS cc,
+          reverse(p_brand) AS rev,
+          ascii(p_brand) AS first_ascii,
+          printf('%05d-%s', p_partkey, p_brand) AS fmt,
+          array_to_string(list_transform(string_split(lower(p_name), ' '),
+            w -> upper(w[1]) || w[2:]), ' ') AS icap
+        FROM part WHERE p_partkey < 200 ORDER BY p_partkey""")),
+
+    // -- q47: date family 2: make_date/make_timestamp/add_months/extracts ------
+    Q("q47_date_funcs2",
+      (s, dir) => T(s, dir, "orders")
+        .filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)).as("month_first"),
+          add_months(to_date(col("o_orderdate")), 2).as("plus2m"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          weekofyear(col("o_orderdate")).as("woy"),
+          date_sub(to_date(col("o_orderdate")), 7).as("minus7d"),
+          to_timestamp(concat(lit("2024-01-01 "), lpad(hour(col("o_orderdate")).cast("string"), 2, "0"), lit(":00:00"))).as("synth_ts"))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey,
+          make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS month_first,
+          CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+          CAST(dayofyear(o_orderdate) AS INT) AS doy,
+          CAST(weekofyear(o_orderdate) AS INT) AS woy,
+          CAST(o_orderdate AS DATE) - 7 AS minus7d,
+          CAST(concat('2024-01-01 ', lpad(CAST(hour(o_orderdate) AS VARCHAR), 2, '0'), ':00:00') AS TIMESTAMP) AS synth_ts
+        FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""")),
+
+    // -- q48: null/conditional family: nullif/nvl/nanvl/try_cast/greatest ------
+    Q("q48_null_funcs",
+      (s, dir) => T(s, dir, "customer")
+        .filter(col("c_custkey") < 200)
+        .select(col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"),
+          nvl(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(was building)")).as("seg_filled"),
+          nanvl(when(col("c_custkey") % 10 === 0, lit(Double.NaN)).otherwise(col("c_acctbal")), lit(-1.0)).as("bal_nan_guard"),
+          col("c_mktsegment").try_cast(org.apache.spark.sql.types.IntegerType).as("seg_as_int"),
+          col("c_custkey").cast("string").try_cast(org.apache.spark.sql.types.IntegerType).as("key_as_int"),
+          greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+          least(col("c_acctbal"), lit(1000.0)).as("bal_cap"))
+        .orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey,
+          nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+          ifnull(nullif(c_mktsegment, 'BUILDING'), '(was building)') AS seg_filled,
+          CASE WHEN c_custkey % 10 = 0 THEN -1.0 ELSE c_acctbal END AS bal_nan_guard,
+          TRY_CAST(c_mktsegment AS INT) AS seg_as_int,
+          TRY_CAST(CAST(c_custkey AS VARCHAR) AS INT) AS key_as_int,
+          greatest(c_acctbal, 0.0) AS bal_floor,
+          least(c_acctbal, 1000.0) AS bal_cap
+        FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""")),
+
+    // -- q49: ORDER BY ... LIMIT ... OFFSET ------------------------------------
+    Q("q49_limit_offset",
+      (s, dir) => T(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(5).limit(10)
+        .select("o_orderkey", "o_totalprice"),
+      Some("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 5""")),
+
+    // -- q50: exact quantiles (dyadic fractions -> deterministic interp) -------
+    Q("q50_quantiles",
+      (s, dir) => T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("median(l_quantity)").as("med_qty"),
+          expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("quartiles"))
+        .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+          median(l_quantity) AS med_qty,
+          quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS quartiles
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 
   /** Temporal / event-stream coverage (as-of join, tumbling + session windows). */
