@@ -1399,9 +1399,33 @@ object SparkEntry {
 
   // ---- driver contract ----------------------------------------------------
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q60_feature_customer_stats")(spark, "/root/testdata/sf0.001")
+  /** Flagship on sf=0.001; driver smoke-checks rows>0. Runs the M0 feature
+    * pipeline through the real framework (store + registry + record-level
+    * memoization, SURVEY §7 M0) and returns the materialized feature table. */
+  def entry(spark: SparkSession): DataFrame = {
+    implicit val s: SparkSession = spark
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_entry").toString
+    val store = new core.FeatureStore(root)
+    val registry = new core.Registry(root)
+    val feature = core.FeatureDef(
+      name = "customer_order_stats",
+      entityKeys = Seq("c_custkey"),
+      codeVersion = "v1",
+      transform = df => df.groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total_spend"),
+          max(col("o_orderdate")).as("last_order")))
+    val input = T(spark, dir, "customer")
+      .join(T(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+    val r1 = core.PipelineRunner.run(feature, input, store, registry,
+      checks = Seq(core.Checks.notNull("c_custkey"), core.Checks.unique(Seq("c_custkey"))))
+    // rerun must be a record-level memo hit — fail the smoke loudly if not
+    val r2 = core.PipelineRunner.run(feature, input, store, registry)
+    require(!r1.memoHit && r2.memoHit && r2.report.nNovel == 0,
+      s"memoization contract violated: r1=${r1.report.nNovel} novel, r2=${r2.report.nNovel} novel")
+    store.read(feature.name)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     inventory.map(q => q.name -> q.run).toMap

@@ -73,7 +73,7 @@ object Multimodal {
 
   /** Row-level decode outcome: errors travel as data (SafeMap contract, A2). */
   private val decodeResultType = StructType(Seq(
-    StructField("ok", BooleanType, nullable = false),
+    StructField("ok", BooleanType, nullable = true),
     StructField("features", ArrayType(FloatType), nullable = true),
     StructField("error", StringType, nullable = true)))
 

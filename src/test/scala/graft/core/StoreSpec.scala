@@ -1,0 +1,39 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("versioned writes + time travel") {
+    val store = new FeatureStore(tmpDir("store"))
+    val v0 = store.write(Seq((1, "a"), (2, "b")).toDF("id", "x"), "f")
+    val v1 = store.write(Seq((1, "a2"), (2, "b"), (3, "c")).toDF("id", "x"), "f")
+    assert(v0 == 0 && v1 == 1)
+    assert(store.read("f").count() == 3)
+    assert(store.read("f", asOfVersion = Some(0)).count() == 2)
+    assert(store.read("f", Some(0)).filter($"id" === 1 && $"x" === "a").count() == 1)
+    assert(store.versions("f") == Seq(0L, 1L))
+    assert(store.manifest("f", 1).contains("\"version\": \"1\""))
+  }
+
+  test("merge upserts by key and keeps unmatched rows") {
+    val store = new FeatureStore(tmpDir("store"))
+    store.write(Seq((1, "a"), (2, "b")).toDF("id", "x"), "f")
+    store.merge("f", Seq((2, "B!"), (3, "c")).toDF("id", "x"), Seq("id"))
+    val out = store.read("f").as[(Int, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1, "a"), (2, "B!"), (3, "c")))
+    // time travel still sees the pre-merge state
+    assert(store.read("f", Some(0)).count() == 2)
+  }
+
+  test("reading a missing feature fails; readOrEmpty yields empty frame") {
+    val store = new FeatureStore(tmpDir("store"))
+    intercept[IllegalArgumentException](store.read("nope"))
+    val empty = store.readOrEmpty("nope",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType))))
+    assert(empty.count() == 0)
+  }
+}

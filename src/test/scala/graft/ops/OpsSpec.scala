@@ -1,0 +1,176 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("backward as-of join: latest right row at or before left ts") {
+    val left = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), "p1"),
+      ("u1", ts("2024-01-01 12:00:00"), "p2"),
+      ("u2", ts("2024-01-01 09:00:00"), "p3")).toDF("k", "lts", "lid")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:30:00"), 1.0),
+      ("u1", ts("2024-01-01 11:00:00"), 2.0),
+      ("u2", ts("2024-01-01 09:00:00"), 3.0)). // exact tie: <= matches
+      toDF("k", "rts", "v")
+    val out = AsOfJoin.asofBackward(left, right, Seq("k"), "lts", "rts", Seq("v"))
+      .select("lid", "v").as[(String, Option[Double])].collect().toMap
+    assert(out == Map("p1" -> Some(1.0), "p2" -> Some(2.0), "p3" -> Some(3.0)))
+  }
+
+  test("tolerance nulls out stale matches") {
+    val left = Seq(("u1", ts("2024-01-01 12:00:00"), "p")).toDF("k", "lts", "lid")
+    val right = Seq(("u1", ts("2024-01-01 09:00:00"), 7.0)).toDF("k", "rts", "v")
+    val strict = AsOfJoin.asofBackward(left, right, Seq("k"), "lts", "rts", Seq("v"),
+      toleranceMicros = Some(3600L * 1000000L)) // 1h < 3h gap
+    assert(strict.select("v").as[Option[Double]].head().isEmpty)
+    val loose = AsOfJoin.asofBackward(left, right, Seq("k"), "lts", "rts", Seq("v"),
+      toleranceMicros = Some(4 * 3600L * 1000000L))
+    assert(loose.select("v").as[Option[Double]].head().contains(7.0))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup groups identical content") {
+    val df = Seq((1L, "same text here"), (2L, "same text here"), (3L, "different"))
+      .toDF("id", "text")
+    val out = Dedup.exactByContent(df, "id", Seq("text"))
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash-LSH finds planted near-duplicates and skips unrelated docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val nearDup = base + " omicron"  // one appended token: Jaccard = 12/13
+    val unrelated = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.3)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash pigeonhole banding finds ALL pairs within the hamming radius") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(60)
+    val viaBanding = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 8)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    // brute force over all pairs (no banding) as ground truth
+    val sims = docs.select(col("doc_id"), Dedup.simhash60(col("text")).as("s"))
+    val brute = sims.as("l").join(sims.as("r"), col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id"), col("r.doc_id"),
+        bit_count(col("l.s").bitwiseXOR(col("r.s"))).as("d"))
+      .filter(col("d") <= 8)
+      .select(col("l.doc_id"), col("r.doc_id")).as[(Long, Long)].collect().toSet
+    assert(viaBanding == brute, "banding must be lossless within the radius")
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute-force top-k: self is rank 1 with cosine 1.0") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val out = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 3), emb, "vec_id", "vec_id", "embedding", k = 3)
+    val top1 = out.filter(col("rank") === 1)
+      .select("query_id", "corpus_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(top1.forall { case (q, c, cos) => q == c && math.abs(cos - 1.0) < 1e-9 })
+  }
+
+  test("LSH top-k achieves reasonable recall vs brute force") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id", "embedding", k = 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(queries, emb, "vec_id", "vec_id", "embedding", k = 5, planes = 2)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall > 0.3, s"LSH recall too low: $recall") // 2 planes ≈ 4 buckets
+    // self-match always survives (same vector → same bucket)
+    assert((0L until 20L).forall(q => lsh.contains((q, q))))
+  }
+}
+
+class SafeMapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("safeUdf captures exceptions as data; job completes") {
+    val f = SafeMap.safeUdf((x: Int) => if (x % 3 == 0) throw new IllegalStateException(s"bad $x") else x * 2)
+    val df = spark.range(10).select(col("id").cast("int").as("x"))
+      .withColumn("result", f(col("x")))
+    val (ok, bad) = SafeMap.split(df)
+    assert(ok.count() == 6 && bad.count() == 4)
+    assert(bad.select("result.error").as[String].collect().forall(_.startsWith("IllegalStateException")))
+    assert(ok.select("result.value").as[Int].collect().forall(_ % 2 == 0))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decodeFeatures: per-partition decode with per-row failure capture") {
+    val df = Seq(
+      (1L, "IMG:64x64:payloadbytes".getBytes("UTF-8")),
+      (2L, Array.empty[Byte]), // corrupt: decoder throws
+      (3L, "IMG:128x64:other".getBytes("UTF-8"))).toDF("id", "payload")
+    val out = Multimodal.decodeFeatures(df, "payload", new Multimodal.StubDecoder(8))
+    val rows = out.select(col("id"), col("decoded.ok"), size(col("decoded.features")), col("decoded.error"))
+      .as[(Long, Boolean, Option[Int], Option[String])].collect().sortBy(_._1)
+    assert(rows(0)._2 && rows(0)._3.contains(8))
+    assert(!rows(1)._2 && rows(1)._4.exists(_.contains("empty payload")))
+    assert(rows(2)._2)
+    // deterministic: same payload → same features
+    val f1 = out.filter(col("id") === 1).select("decoded.features").as[Seq[Float]].head()
+    val f2 = Multimodal.decodeFeatures(df, "payload", new Multimodal.StubDecoder(8))
+      .filter(col("id") === 1).select("decoded.features").as[Seq[Float]].head()
+    assert(f1 == f2)
+  }
+
+  test("metadata extraction and frame sampling") {
+    val df = spark.range(1, 5).select(col("id"),
+      Multimodal.fakePayload(col("id")).as("p"))
+    val meta = df.select(col("id"), Multimodal.extractMeta(col("p")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .as[(Long, String, Int, Int)].collect()
+    assert(meta.forall { case (id, f, w, h) =>
+      f == "IMG" && w == ((id % 4 + 1) * 64) && h == ((id % 3 + 1) * 64) })
+    val frames = df.select(size(Multimodal.frameSample(col("p"), 8, 2)).as("n")).as[Int].collect()
+    assert(frames.forall(_ > 0))
+  }
+}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quality features and language id are deterministic and sane") {
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "el perro es grande y la casa es blanca"),
+      (3L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextOps.langId(col("text")).as("lang"),
+      TextOps.qualityFeatures(col("text")).as("q"))
+    val langs = out.select("doc_id", "lang").as[(Long, String)].collect().toMap
+    assert(langs(1L) == "en" && langs(2L) == "es" && langs(3L) == "unknown")
+    val q1 = out.filter(col("doc_id") === 1).select("q.stopword_ratio").as[Double].head()
+    assert(q1 > 0.2) // "the" twice + "on" in 6 tokens
+  }
+
+  test("fingerprint winnow-min matches for identical text only") {
+    val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "h i j k l m n"))
+      .toDF("id", "text")
+    val fp = df.select(col("id"), TextOps.fingerprint(col("text")).as("f"))
+      .select(col("id"), col("f.content_md5"), col("f.winnow_min"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(fp(0)._2 == fp(1)._2 && fp(0)._3 == fp(1)._3)
+    assert(fp(0)._2 != fp(2)._2)
+  }
+}
