@@ -1258,10 +1258,9 @@ object SparkEntry {
 
     // -- q79: document fingerprinting (content md5 + winnow min) ---------------
     Q("q79_doc_fingerprint",
-      (s, dir) => T(s, dir, "documents")
-        .withColumn("__fp", ops.TextOps.fingerprint(col("text"), shingleN = 5))
-        .select(col("doc_id"), col("__fp.content_md5").as("content_md5"),
-          col("__fp.winnow_min").as("winnow_min"))
+      (s, dir) => ops.TextOps.fingerprintDf(
+        T(s, dir, "documents"), "doc_id", "text", shingleN = 5)
+        .select("doc_id", "content_md5", "winnow_min")
         .orderBy("doc_id"),
       Some {
         val sh5 = s"""list_distinct(list_transform(

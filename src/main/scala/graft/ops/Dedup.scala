@@ -43,14 +43,41 @@ object Dedup {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingle hashes, reduced mod P, de-duplicated (a set).
+  /** Word n-gram shingle STRINGS (no hashing — keep the lambda cheap; Spark
+    * evaluates higher-order-function bodies interpreted, so crypto hashes
+    * belong in a flat codegen'd projection AFTER the explode, not in here).
     * Shorter-than-n docs produce one shingle of the whole text
     * (concat_ws skips the null tail tokens). */
-  def shingleHashes(text: Column, n: Int): Column = {
+  def shingleStrings(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    array_distinct(transform(
+    transform(
       sequence(lit(1), greatest(lit(1), size(toks) - (n - 1))),
-      i => pmod(md5Hash60(concat_ws(" ", (0 until n).map(k => get(toks, i + (k - 1))): _*)), lit(P))))
+      i => concat_ws(" ", (0 until n).map(k => get(toks, i + (k - 1))): _*))
+  }
+
+  /** Word n-gram shingle hashes, reduced mod P, de-duplicated (a set).
+    * Column form (per-row, zero-shuffle) — use [[shingleProfiles]] for the
+    * high-throughput exploded pipeline. */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(shingleStrings(text, n), s => pmod(md5Hash60(s), lit(P))))
+
+  /** The high-throughput shingle pipeline: explode shingle strings, hash in
+    * a flat codegen'd projection, then ONE groupBy(id) computing BOTH the
+    * minhash signature (one `min` aggregate per hasher) and the distinct
+    * shingle-hash set. One keyed shuffle total; md5 never runs interpreted. */
+  def shingleProfiles(df: DataFrame, idCol: String, textCol: String, n: Int,
+                      coeffs: Seq[(Long, Long)], keep: Seq[String] = Nil): DataFrame = {
+    val exploded = df
+      .select(col(idCol) +: keep.map(col) :+ explode(shingleStrings(col(textCol), n)).as("__s"): _*)
+      .select(col(idCol) +: keep.map(col) :+ pmod(md5Hash60(col("__s")), lit(P)).as("__h"): _*)
+    val sigMins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("__h") + lit(b)) % lit(P)).as(s"__m$i")
+    }
+    val grouped = exploded.groupBy((col(idCol) +: keep.map(col)): _*)
+      .agg(collect_set(col("__h")).as("__shingles"), sigMins: _*)
+    if (coeffs.isEmpty) grouped
+    else grouped.select(col(idCol) +: keep.map(col) :+ col("__shingles") :+
+      array(coeffs.indices.map(i => col(s"__m$i")): _*).as("__sig"): _*)
   }
 
   /** MinHash signature: for each universal hash (a,b), min over the shingle
@@ -91,8 +118,11 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     val coeffs = hashCoeffs(numHashes)
-    val sh = df.select(col(idCol), shingleHashes(col(textCol), n).as("__shingles"))
-      .withColumn("__sig", minhashSignature(col("__shingles"), coeffs))
+    // both sides of the band self-join AND the verify joins read this frame:
+    // cache it (small: id + signature + hash set) or Spark recomputes the
+    // whole shingle pipeline once per reference
+    val sh = shingleProfiles(df, idCol, textCol, n, coeffs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = explodeBands(sh.select(col(idCol), col("__sig")), "__sig", bands, rowsPerBand)
       .select(col(idCol), col("band_id"), col("band_key"))
     val l = banded.select(col(idCol).as("id_l"), col("band_id"), col("band_key"))
@@ -109,7 +139,8 @@ object Dedup {
   }
 
   /** 60-bit SimHash of the token multiset: bit j is set iff the weighted sum
-    * of token-hash bits j is positive. Nested higher-order aggregates, no UDF. */
+    * of token-hash bits j is positive. Column form (per-row, zero-shuffle;
+    * interpreted HOF body — fine for small frames, tests, and the oracle). */
   def simhash60(text: Column): Column = {
     val hs = transform(tokens(text), t => md5Hash60(t))
     aggregate(
@@ -117,6 +148,23 @@ object Dedup {
       (acc, j) => acc + when(
         aggregate(hs, lit(0L), (a, h) => a + (call_function("shiftright", h, j).bitwiseAND(lit(1L)) * 2 - 1)) > 0,
         call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
+  }
+
+  /** High-throughput SimHash pipeline: explode tokens, hash in a codegen'd
+    * projection, ONE groupBy(id) with 60 per-bit weighted-sum aggregates.
+    * Identical output to [[simhash60]] (integer sums are order-insensitive). */
+  def simhashes(df: DataFrame, idCol: String, textCol: String,
+                outCol: String = "__simhash"): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol), md5Hash60(col("__t")).as("__h"))
+    val bitSums = (0 until 60).map(j =>
+      sum(shiftright(col("__h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"__b$j"))
+    exploded.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 60).map(j => when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as(outCol))
   }
 
   /** SimHash near-dup pairs within `maxHamming`, using EXACT pigeonhole
@@ -127,7 +175,8 @@ object Dedup {
                           maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val bitsPer = 60 / nBands
-    val withSim = df.select(col(idCol), simhash60(col(textCol)).as("__simhash"))
+    val withSim = simhashes(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSim.select(col(idCol), col("__simhash"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         b => call_function("shiftright", col("__simhash"), b * lit(bitsPer))
@@ -146,10 +195,17 @@ object Dedup {
     * caller blocks on LSH bands (see [[minhashNearDupPairs]]) instead. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val sh = df.select(col(idCol), col(blockCol), shingleHashes(col(textCol), n).as("__sh"))
-    val l = sh.select(col(idCol).as("id_l"), col(blockCol), col("__sh").as("__sh_l"))
-    val r = sh.select(col(idCol).as("id_r"), col(blockCol), col("__sh").as("__sh_r"))
+    val sh = shingleProfiles(df, idCol, textCol, n, coeffs = Nil, keep = Seq(blockCol))
+      .select(col(idCol), col(blockCol), col("__shingles").as("__sh"),
+        size(col("__shingles")).as("__sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = sh.select(col(idCol).as("id_l"), col(blockCol), col("__sh").as("__sh_l"), col("__sz").as("__sz_l"))
+    val r = sh.select(col(idCol).as("id_r"), col(blockCol), col("__sh").as("__sh_r"), col("__sz").as("__sz_r"))
     l.join(r, Seq(blockCol)).where(col("id_l") < col("id_r"))
+      // exact size bound: J(A,B) <= min(|A|,|B|)/max(|A|,|B|) — prunes most
+      // pairs before the per-pair set intersection is ever evaluated
+      .where(least(col("__sz_l"), col("__sz_r")).cast("double") /
+        greatest(col("__sz_l"), col("__sz_r")).cast("double") >= threshold)
       .select(col("id_l"), col("id_r"), jaccard(col("__sh_l"), col("__sh_r")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }

@@ -71,11 +71,24 @@ object TextOps {
 
   /** Document fingerprint: (full-content md5, winnowed rolling-hash minimum).
     * The winnow min is the smallest shingle hash — a cheap locality-sensitive
-    * sketch: near-dup docs usually share it. */
+    * sketch: near-dup docs usually share it. Column form (per-row HOF). */
   def fingerprint(text: Column, shingleN: Int = 5): Column =
     struct(
       md5(text).as("content_md5"),
       array_min(Dedup.shingleHashes(text, shingleN)).as("winnow_min"))
+
+  /** High-throughput fingerprint pipeline: explode shingles, hash in a flat
+    * codegen'd projection, one groupBy(id) with (first(content_md5),
+    * min(shingle_hash)) — identical output to [[fingerprint]], no
+    * interpreted md5 in lambdas. */
+  def fingerprintDf(df: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int = 5): DataFrame =
+    df.select(col(idCol), md5(col(textCol)).as("content_md5"),
+        explode(Dedup.shingleStrings(col(textCol), shingleN)).as("__s"))
+      .select(col(idCol), col("content_md5"),
+        pmod(Dedup.md5Hash60(col("__s")), lit(Dedup.P)).as("__h"))
+      .groupBy(col(idCol))
+      .agg(first(col("content_md5")).as("content_md5"), min(col("__h")).as("winnow_min"))
 
   /** Corpus-level quality report: one row per language with quality stats. */
   def qualityReport(df: DataFrame, textCol: String, langCol: String): DataFrame =
