@@ -48,12 +48,18 @@ object Dedup {
     * belong in a flat codegen'd projection AFTER the explode, not in here).
     * Shorter-than-n docs produce one shingle of the whole text
     * (concat_ws skips the null tail tokens). */
-  def shingleStrings(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shingleStrings(text: Column, n: Int): Column =
+    shingleStringsFromTokens(tokens(text), n)
+
+  /** Shingles from an already-materialized token ARRAY COLUMN. Callers on a
+    * hot path must bind the tokens to a column first: expression trees are
+    * not common-subexpression-eliminated inside interpreted lambdas, so
+    * shingling directly off `split(text)` re-splits the text once per
+    * `get()` — O(n·shingles) splits per row. */
+  def shingleStringsFromTokens(toks: Column, n: Int): Column =
     transform(
       sequence(lit(1), greatest(lit(1), size(toks) - (n - 1))),
       i => concat_ws(" ", (0 until n).map(k => get(toks, i + (k - 1))): _*))
-  }
 
   /** Word n-gram shingle hashes, reduced mod P, de-duplicated (a set).
     * Column form (per-row, zero-shuffle) — use [[shingleProfiles]] for the
@@ -68,7 +74,8 @@ object Dedup {
   def shingleProfiles(df: DataFrame, idCol: String, textCol: String, n: Int,
                       coeffs: Seq[(Long, Long)], keep: Seq[String] = Nil): DataFrame = {
     val exploded = df
-      .select(col(idCol) +: keep.map(col) :+ explode(shingleStrings(col(textCol), n)).as("__s"): _*)
+      .select(col(idCol) +: keep.map(col) :+ tokens(col(textCol)).as("__toks"): _*)
+      .select(col(idCol) +: keep.map(col) :+ explode(shingleStringsFromTokens(col("__toks"), n)).as("__s"): _*)
       .select(col(idCol) +: keep.map(col) :+ pmod(md5Hash60(col("__s")), lit(P)).as("__h"): _*)
     val sigMins = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("__h") + lit(b)) % lit(P)).as(s"__m$i")

@@ -84,7 +84,9 @@ object TextOps {
   def fingerprintDf(df: DataFrame, idCol: String, textCol: String,
                     shingleN: Int = 5): DataFrame =
     df.select(col(idCol), md5(col(textCol)).as("content_md5"),
-        explode(Dedup.shingleStrings(col(textCol), shingleN)).as("__s"))
+        Dedup.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("content_md5"),
+        explode(Dedup.shingleStringsFromTokens(col("__toks"), shingleN)).as("__s"))
       .select(col(idCol), col("content_md5"),
         pmod(Dedup.md5Hash60(col("__s")), lit(Dedup.P)).as("__h"))
       .groupBy(col(idCol))
