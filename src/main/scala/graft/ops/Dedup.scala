@@ -35,10 +35,14 @@ object Dedup {
     Seq.fill(numHashes)((next() | 1L, next()))
   }
 
-  /** Stable 60-bit non-negative hash of a string column: first 15 hex chars of
-    * md5, as a long. Reproducible in any engine with md5. */
+  /** Stable 60-bit non-negative hash of a string column: first 15 hex chars
+    * of md5, as a long. Reproducible in any engine with md5 (the oracle uses
+    * `conv(substring(md5(c),1,15),16,10)`); computed natively by the codegen
+    * expression [[graft.expressions.Md5Hash60]] — digest bytes straight to
+    * long, no hex-string round trip. */
   def md5Hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftColumn.of(
+      graft.expressions.Md5Hash60(org.apache.spark.sql.GraftColumn.expr(c)))
 
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
