@@ -1,0 +1,96 @@
+package graft
+
+import graft.core.{FeatureDef, FeatureGraph, Versioning}
+import graft.ops.{Dedup, SkewJoin}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY §5): hash stability, jaccard bounds, fingerprint
+  * laws — ScalaCheck generators driven explicitly (the scalatest-scalacheck
+  * bridge artifact isn't in the offline cache). */
+class PropertySpec extends AnyFunSuite {
+
+  /** Run `body` over `n` generated samples with deterministic seeds. */
+  private def forAllSamples[A](gen: Gen[A], n: Int = 50)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  test("hashCoeffs are deterministic, odd multipliers, within [1, P)") {
+    val a = Dedup.hashCoeffs(64); val b = Dedup.hashCoeffs(64)
+    assert(a == b)
+    assert(a.forall { case (m, c) => m % 2 == 1 && m > 0 && m < Dedup.P && c > 0 && c < Dedup.P })
+    assert(a.map(_._1).distinct.size == 64, "multipliers must not repeat")
+  }
+
+  test("pipeline fingerprint: permutation-invariant, injective on code version") {
+    forAllSamples(Gen.listOfN(5, Gen.alphaNumStr.suchThat(_.nonEmpty))) { ups =>
+      val f1 = Versioning.pipelineFingerprint("v1", ups)
+      val f2 = Versioning.pipelineFingerprint("v1", scala.util.Random.shuffle(ups))
+      assert(f1 == f2)
+      assert(f1 != Versioning.pipelineFingerprint("v2", ups))
+    }
+  }
+
+  test("FeatureGraph topo order respects dependencies and rejects cycles") {
+    def fd(n: String) = FeatureDef(n, Seq("k"), "v1", identity)
+    val g = FeatureGraph(
+      Seq(fd("c"), fd("a"), fd("b")),
+      deps = Map("c" -> Seq("b"), "b" -> Seq("a")))
+    assert(g.topoOrder.map(_.name) == Seq("a", "b", "c"))
+    val cyc = FeatureGraph(Seq(fd("x"), fd("y")), deps = Map("x" -> Seq("y"), "y" -> Seq("x")))
+    intercept[IllegalArgumentException](cyc.topoOrder)
+  }
+}
+
+/** Spark-backed property-style checks (shared session). */
+class SparkPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("record hash: permutation of rows/columns never changes per-row hashes") {
+    val feature = FeatureDef("f", Seq("id"), "v1", identity)
+    val data = (1 to 50).map(i => (i.toLong, s"s$i", i * 1.5))
+    val base = Versioning.withSystemColumns(data.toDF("id", "s", "d"), feature)
+      .select("id", Versioning.DataHashCol).as[(Long, Long)].collect().toMap
+    val shuffled = Versioning.withSystemColumns(
+      scala.util.Random.shuffle(data).toDF("id", "s", "d").select("d", "s", "id"), feature)
+      .select("id", Versioning.DataHashCol).as[(Long, Long)].collect().toMap
+    assert(base == shuffled)
+  }
+
+  test("jaccard pairs: symmetric inputs give values in [0,1]; self-pair jaccard is 1") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(40)
+    val withSelf = docs.select(col("doc_id"), col("text"))
+      .union(docs.select(col("doc_id") + 1000000, col("text")))  // exact copies
+    val pairs = Dedup.ngramJaccardPairs(withSelf.withColumn("b", lit(1)),
+      "doc_id", "text", "b", threshold = 0.0)
+    val j = pairs.select("jaccard").as[Double].collect()
+    assert(j.forall(x => x >= 0.0 && x <= 1.0))
+    // every original doc pairs with its planted copy at jaccard 1.0
+    val perfect = pairs.filter(col("id_r") - col("id_l") === 1000000).select("jaccard").as[Double].collect()
+    assert(perfect.length >= 40 && perfect.forall(_ == 1.0))
+  }
+
+  test("salted join equals plain join (any salt count)") {
+    val left = (1 to 200).map(i => (i % 7L, i.toLong)).toDF("k", "v")
+    val right = Seq((0L, "z"), (1L, "a"), (2L, "b"), (6L, "f")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).select("k", "v", "name")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    for (salts <- Seq(1, 4, 16)) {
+      val salted = SkewJoin.saltedEquiJoin(left, right, Seq("k"), salts)
+        .select("k", "v", "name").as[(Long, Long, String)].collect().sorted.toSeq
+      assert(salted == plain, s"salts=$salts diverged")
+    }
+  }
+
+  test("exact dedup is idempotent: dedup of dedup output changes nothing") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val d1 = Dedup.exactByContent(docs, "doc_id", Seq("text"))
+    val kept = docs.join(d1.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val d2 = Dedup.exactByContent(kept, "doc_id", Seq("text"))
+    assert(d1.count() == d2.count())
+    assert(d2.filter(col("n_copies") > 1).count() == 0)
+  }
+}
