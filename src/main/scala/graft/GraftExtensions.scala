@@ -21,5 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Md5Hash60.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Md5Hash60(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dotq"),
+      graft.expressions.ArrayDotProduct.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.expressions.ArrayDotProduct(children(0), children(1))))
   }
 }

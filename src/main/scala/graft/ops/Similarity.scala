@@ -35,9 +35,12 @@ object Similarity {
   def quantize(vec: Column, dim: Int): Column =
     array((0 until dim).map(i => round(get(vec, lit(i)).cast("double") * 1000000d).cast("long")): _*)
 
-  /** Exact int64 dot product — unrolled, codegen'd. */
+  /** Exact int64 dot product — fused native expression (tight primitive
+    * loop; tiny codegen footprint vs a 64-term unrolled tree whose Janino
+    * compilation dominates short jobs). `dim` kept for API stability. */
   def dotQ(a: Column, b: Column, dim: Int): Column =
-    (0 until dim).map(i => get(a, lit(i)) * get(b, lit(i))).reduce(_ + _)
+    org.apache.spark.sql.GraftColumn.of(graft.expressions.ArrayDotProduct(
+      org.apache.spark.sql.GraftColumn.expr(a), org.apache.spark.sql.GraftColumn.expr(b)))
 
   /** Cosine from a per-pair dot and per-ROW norms (norms computed once per
     * vector before any join; int64 → double conversions are exact, the norm
@@ -63,8 +66,10 @@ object Similarity {
     * bit p is (±1-plane-p · vec) > 0. Signs are plan-time literals; each
     * plane projection is an unrolled codegen'd sum. */
   def lshBucket(qvec: Column, planes: Int, dim: Int): Column = {
+    // each plane is a CONSTANT ±1 vector → dot against a literal array via
+    // the fused native expression (one tight loop per plane)
     def planeDot(p: Int): Column =
-      (0 until dim).map(i => get(qvec, lit(i)) * lit(planeSign(p, i))).reduce(_ + _)
+      dotQ(qvec, typedLit((0 until dim).map(i => planeSign(p, i)).toArray), dim)
     (0 until planes).map(p => when(planeDot(p) > 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
   }
