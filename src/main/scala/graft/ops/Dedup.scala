@@ -84,8 +84,10 @@ object Dedup {
     val sigMins = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("__h") + lit(b)) % lit(P)).as(s"__m$i")
     }
+    // sets come out SORTED (sorted once per doc) so pair-wise verification
+    // can use the native linear-merge intersect instead of per-pair hash sets
     val grouped = exploded.groupBy((col(idCol) +: keep.map(col)): _*)
-      .agg(collect_set(col("__h")).as("__shingles"), sigMins: _*)
+      .agg(sort_array(collect_set(col("__h"))).as("__shingles"), sigMins: _*)
     if (coeffs.isEmpty) grouped
     else grouped.select(col(idCol) +: keep.map(col) :+ col("__shingles") :+
       array(coeffs.indices.map(i => col(s"__m$i")): _*).as("__sig"): _*)
@@ -113,6 +115,16 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
     val uni = size(array_union(a, b))
+    when(uni === 0, lit(1.0)).otherwise(inter.cast("double") / uni.cast("double"))
+  }
+
+  /** Exact Jaccard over SORTED distinct arrays: native linear-merge intersect
+    * (zero allocation per pair); |A∪B| = |A|+|B|−|A∩B|. */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = org.apache.spark.sql.GraftColumn.of(
+      graft.expressions.SortedIntersectCount(
+        org.apache.spark.sql.GraftColumn.expr(a), org.apache.spark.sql.GraftColumn.expr(b)))
+    val uni = size(a).cast("long") + size(b).cast("long") - inter
     when(uni === 0, lit(1.0)).otherwise(inter.cast("double") / uni.cast("double"))
   }
 
@@ -145,7 +157,7 @@ object Dedup {
       .join(sets.select(col(idCol).as("id_l"), col("__shingles").as("__sh_l")), Seq("id_l"))
       .join(sets.select(col(idCol).as("id_r"), col("__shingles").as("__sh_r")), Seq("id_r"))
       .select(col("id_l"), col("id_r"),
-        jaccard(col("__sh_l"), col("__sh_r")).as("jaccard"))
+        jaccardSorted(col("__sh_l"), col("__sh_r")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -217,7 +229,7 @@ object Dedup {
       // pairs before the per-pair set intersection is ever evaluated
       .where(least(col("__sz_l"), col("__sz_r")).cast("double") /
         greatest(col("__sz_l"), col("__sz_r")).cast("double") >= threshold)
-      .select(col("id_l"), col("id_r"), jaccard(col("__sh_l"), col("__sh_r")).as("jaccard"))
+      .select(col("id_l"), col("id_r"), jaccardSorted(col("__sh_l"), col("__sh_r")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
