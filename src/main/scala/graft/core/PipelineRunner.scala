@@ -27,6 +27,28 @@ object PipelineRunner {
 
   final case class RunResult(report: RunReport, memoHit: Boolean)
 
+  /** Materialize a whole feature DAG in topological order. Each feature's
+    * input is built by `inputFor` (from raw tables and/or upstream feature
+    * tables in the store); upstream DATA VERSIONS chain into each downstream
+    * fingerprint, so an unchanged upstream short-circuits the downstream run
+    * (A8 automation: recompute iff upstream changed or output missing). */
+  def runGraph(
+      graph: FeatureGraph,
+      inputFor: (FeatureDef, FeatureStore) => DataFrame,
+      store: FeatureStore,
+      registry: Registry,
+      checks: Map[String, Seq[Check]] = Map.empty)
+      (implicit spark: SparkSession): Map[String, RunResult] = {
+    val done = scala.collection.mutable.LinkedHashMap[String, RunResult]()
+    graph.topoOrder.foreach { f =>
+      val upstreamVersions = graph.deps.getOrElse(f.name, Nil)
+        .map(up => done(up).report.dataVersion)
+      done += f.name -> run(f, inputFor(f, store), store, registry,
+        checks.getOrElse(f.name, Nil), upstreamDataVersions = upstreamVersions)
+    }
+    done.toMap
+  }
+
   def run(
       feature: FeatureDef,
       input: DataFrame,

@@ -86,4 +86,29 @@ class RunnerSpec extends SparkSpec {
     assert(r.report.checkFailures.nonEmpty)
     assert(registry.runs(Some("customer_order_stats")).count() == 1)
   }
+
+  test("runGraph: topo order, upstream data versions chain into fingerprints") {
+    val root = tmpDir("graft_graph")
+    val store = new FeatureStore(root)
+    val registry = new Registry(root)
+    val base = FeatureDef("order_totals", Seq("o_custkey"), "v1",
+      df => df.groupBy("o_custkey").agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend")))
+    val derived = FeatureDef("spend_tier", Seq("o_custkey"), "v1",
+      df => df.select(col("o_custkey"),
+        when(col("spend") > 100000, "high").otherwise("low").as("tier")))
+    val graph = FeatureGraph(Seq(base, derived), deps = Map("spend_tier" -> Seq("order_totals")))
+    def inputs(f: FeatureDef, st: FeatureStore) = f.name match {
+      case "order_totals" => Tables.load(spark, sfDir, "orders")
+      case "spend_tier" => st.read("order_totals")
+    }
+    val r1 = PipelineRunner.runGraph(graph, inputs, store, registry)
+    assert(!r1("order_totals").memoHit && !r1("spend_tier").memoHit)
+    assert(store.read("spend_tier").count() > 0)
+    // nothing changed: BOTH features short-circuit (downstream via the
+    // upstream data-version fingerprint)
+    val r2 = PipelineRunner.runGraph(graph, inputs, store, registry)
+    assert(r2("order_totals").memoHit && r2("spend_tier").memoHit)
+    assert(r2("spend_tier").report.nNovel == 0)
+  }
 }
