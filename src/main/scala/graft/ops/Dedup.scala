@@ -174,20 +174,19 @@ object Dedup {
   }
 
   /** High-throughput SimHash pipeline: explode tokens, hash in a codegen'd
-    * projection, ONE groupBy(id) with 60 per-bit weighted-sum aggregates.
+    * projection, ONE groupBy(id) running the one-pass custom aggregate
+    * [[graft.expressions.SimhashAgg]] (all 60 bit counters in a single
+    * primitive buffer — vs 60 separate sum aggregates).
     * Identical output to [[simhash60]] (integer sums are order-insensitive). */
   def simhashes(df: DataFrame, idCol: String, textCol: String,
                 outCol: String = "__simhash"): DataFrame = {
     val exploded = df
       .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
       .select(col(idCol), md5Hash60(col("__t")).as("__h"))
-    val bitSums = (0 until 60).map(j =>
-      sum(shiftright(col("__h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"__b$j"))
-    exploded.groupBy(col(idCol))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol),
-        (0 until 60).map(j => when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as(outCol))
+    val agg = org.apache.spark.sql.GraftColumn.of(
+      graft.expressions.SimhashAgg(org.apache.spark.sql.GraftColumn.expr(col("__h")))
+        .toAggregateExpression())
+    exploded.groupBy(col(idCol)).agg(agg.as(outCol))
   }
 
   /** SimHash near-dup pairs within `maxHamming`, using EXACT pigeonhole
