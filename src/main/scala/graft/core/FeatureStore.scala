@@ -87,6 +87,21 @@ final class FeatureStore(val root: String)(implicit spark: SparkSession) {
     write(merged, feature, meta + ("operation" -> "merge"))
   }
 
+  /** Drop all but the newest `keepLast` versions: delete version dirs FIRST,
+    * manifests LAST (mirror of the manifest-last commit — a crashed vacuum
+    * leaves dangling manifests pointing at deleted dirs, so readers of old
+    * versions fail loudly rather than read partial data; latest is never
+    * touched). Bounds storage growth of the copy-on-write MERGE at scale. */
+  def vacuum(feature: String, keepLast: Int = 1): Seq[Long] = {
+    require(keepLast >= 1)
+    val old = versions(feature).dropRight(keepLast)
+    old.foreach { v =>
+      fs.delete(new Path(versionDir(feature, v)), true)
+      fs.delete(new Path(logDir(feature), s"$v.json"), false)
+    }
+    old
+  }
+
   /** Manifest JSON (raw) for audit / registry display. */
   def manifest(feature: String, v: Long): String = {
     val in = fs.open(new Path(logDir(feature), s"$v.json"))

@@ -89,4 +89,69 @@ object AsOfJoin {
       rightCols.map(c => when(stale, lit(null)).otherwise(col(s"__f_$c")).as(c)) :+
       when(stale, lit(null)).otherwise(col("__f_ts")).cast(right.schema(rightTs).dataType).as(s"matched_$rightTs")): _*)
   }
+
+  /** Forward as-of join (Polars `strategy="forward"` parity): for each left
+    * row, attach the EARLIEST right row with `right.ts >= left.ts` for the
+    * same key. Same single-shuffle union+window shape, with the window
+    * looking forward and the tie sort flipped so an equal timestamp matches
+    * (right sorts after left at ties under a descending-side scan). */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String],
+      toleranceMicros: Option[Long] = None): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val tsCol = "__asof_ts"
+    val sideCol = "__asof_side" // right = 0: ordering (ts DESC, side ASC)
+                                // puts an equal-ts right row BEFORE the left
+                                // row in scan order → inclusive >= match
+    val matchedTs = "__asof_matched_ts"
+
+    val l = left
+      .withColumn(tsCol, col(leftTs))
+      .withColumn(sideCol, lit(1))
+      .select((Seq(col(tsCol), col(sideCol)) ++ on.map(col) ++
+        leftCols.filterNot(on.contains).map(col) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) :+
+        lit(null).cast(right.schema(rightTs).dataType).as(matchedTs)): _*)
+    val r = right
+      .withColumn(tsCol, col(rightTs))
+      .withColumn(sideCol, lit(0))
+      .select((Seq(col(tsCol), col(sideCol)) ++ on.map(col) ++
+        leftCols.filterNot(on.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(c => col(c).as(s"__r_$c")) :+
+        col(rightTs).cast(right.schema(rightTs).dataType).as(matchedTs)): _*)
+
+    val unioned = l.unionByName(r)
+    // scan in ts-DESC order: the running last(...) seen so far is the
+    // EARLIEST right row at-or-after the current left row
+    val w = Window
+      .partitionBy(on.map(col): _*)
+      .orderBy(col(tsCol).desc, col(sideCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filledCols = rightCols.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"__f_$c"))
+    val filledTs = last(col(matchedTs), ignoreNulls = true).over(w).as("__f_ts")
+
+    val filled = unioned
+      .select((unioned.columns.map(col).toSeq ++ filledCols :+ filledTs): _*)
+      .where(col(sideCol) === 1)
+
+    val stale: Column = toleranceMicros match {
+      case Some(tol) =>
+        col("__f_ts").isNull ||
+          (unix_micros(col("__f_ts")) - unix_micros(col(tsCol))) > tol
+      case None => col("__f_ts").isNull
+    }
+
+    filled.select((on.map(col) ++
+      leftCols.filterNot(on.contains).map(col) ++
+      rightCols.map(c => when(stale, lit(null)).otherwise(col(s"__f_$c")).as(c)) :+
+      when(stale, lit(null)).otherwise(col("__f_ts")).cast(right.schema(rightTs).dataType).as(s"matched_$rightTs")): _*)
+  }
 }

@@ -36,4 +36,15 @@ class StoreSpec extends SparkSpec {
         org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType))))
     assert(empty.count() == 0)
   }
+
+  test("vacuum keeps the newest versions and removes the rest") {
+    val store = new FeatureStore(tmpDir("store"))
+    import spark.implicits._
+    (0 until 4).foreach(i => store.write(Seq((i, s"v$i")).toDF("id", "x"), "f"))
+    val dropped = store.vacuum("f", keepLast = 2)
+    assert(dropped == Seq(0L, 1L))
+    assert(store.versions("f") == Seq(2L, 3L))
+    assert(store.read("f").as[(Int, String)].head() == ((3, "v3")))
+    intercept[IllegalArgumentException](store.read("f", Some(0)))
+  }
 }

@@ -23,6 +23,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Map("p1" -> Some(1.0), "p2" -> Some(2.0), "p3" -> Some(3.0)))
   }
 
+  test("forward as-of join: earliest right row at or after left ts") {
+    val left = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), "p1"),
+      ("u1", ts("2024-01-01 12:00:00"), "p2"),
+      ("u2", ts("2024-01-01 09:00:00"), "p3")).toDF("k", "lts", "lid")
+    val right = Seq(
+      ("u1", ts("2024-01-01 11:00:00"), 1.0),
+      ("u1", ts("2024-01-01 13:00:00"), 2.0),
+      ("u2", ts("2024-01-01 09:00:00"), 3.0)). // exact tie: >= matches
+      toDF("k", "rts", "v")
+    val out = AsOfJoin.asofForward(left, right, Seq("k"), "lts", "rts", Seq("v"))
+      .select("lid", "v").as[(String, Option[Double])].collect().toMap
+    assert(out == Map("p1" -> Some(1.0), "p2" -> Some(2.0), "p3" -> Some(3.0)))
+    // forward tolerance: match further than tol ahead is nulled
+    val strict = AsOfJoin.asofForward(left, right, Seq("k"), "lts", "rts", Seq("v"),
+      toleranceMicros = Some(1800L * 1000000L)) // 30 min
+      .select("lid", "v").as[(String, Option[Double])].collect().toMap
+    assert(strict("p1").isEmpty && strict("p2").isEmpty && strict("p3").contains(3.0))
+  }
+
   test("tolerance nulls out stale matches") {
     val left = Seq(("u1", ts("2024-01-01 12:00:00"), "p")).toDF("k", "lts", "lid")
     val right = Seq(("u1", ts("2024-01-01 09:00:00"), 7.0)).toDF("k", "rts", "v")
