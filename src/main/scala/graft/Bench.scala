@@ -49,7 +49,11 @@ object Bench {
       val t0 = System.nanoTime()
       try stripProtocolSort(fn(spark, sfDir)).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // ops that self-join persist their profile frame; drop it so cached
+      // partitions don't accumulate across 60+ queries and squeeze the pool
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -973,6 +973,45 @@ object SparkEntry {
           ON p.user_id = v.user_id AND p.ts >= v.ts
         ORDER BY p.user_id, p.event_id""")),
 
+    // -- q81: FORWARD as-of join (Polars strategy="forward" parity) ----------
+    Q("q81_asof_forward",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select("user_id", "event_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_event_id"),
+            col("value").as("purchase_value"), col("ts"))
+        AsOfJoin.asofForward(views, purchases, Seq("user_id"), "ts", "ts",
+            Seq("purchase_event_id", "purchase_value"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""
+        SELECT v.user_id, v.event_id, v.ts,
+               p.event_id AS purchase_event_id, p.value AS purchase_value,
+               p.ts AS matched_ts
+        FROM (SELECT user_id, event_id, ts FROM events WHERE event_type='view') v
+        ASOF LEFT JOIN (SELECT user_id, event_id, value, ts FROM events WHERE event_type='purchase') p
+          ON v.user_id = p.user_id AND v.ts <= p.ts
+        ORDER BY v.user_id, v.event_id""")),
+
+    // -- q82: salted skew join == plain join (hot-key spreading) -------------
+    Q("q82_salted_join",
+      (s, dir) => {
+        val li = T(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+        val ord = T(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .withColumnRenamed("o_orderkey", "l_orderkey")
+        ops.SkewJoin.saltedEquiJoin(li, ord, Seq("l_orderkey"), salts = 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // -- q32: event-time tumbling window -------------------------------------
     Q("q32_tumbling_window",
       (s, dir) => T(s, dir, "events")
