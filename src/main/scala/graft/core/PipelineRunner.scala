@@ -96,18 +96,30 @@ object PipelineRunner {
         else store.merge(feature.name, novel, feature.entityKeys,
           Map("feature" -> feature.name, "code_version" -> feature.codeVersion, "run_id" -> runId))
 
-      // 6. checks + report over the materialized table
+      // 6. checks + data version + row count over the materialized table —
+      // fused into ONE aggregation job (separate passes triple the
+      // post-materialization latency, which is what fastlane mode pays)
       val materialized = store.read(feature.name)
-      val checkResults = Checks.run(materialized, checks)
+      val versionAggs = Seq(
+        sum(col(Versioning.DataHashCol).cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__h"),
+        count(lit(1)).as("__n"))
+      val row = materialized.agg(versionAggs.head,
+        (versionAggs.tail ++ checks.map(_.agg)): _*).collect()(0)
+      val hashSum = if (row.isNullAt(0)) "0" else row.getDecimal(0).toBigInteger.toString(16)
+      val nRows = row.getLong(1)
+      val checkResults = checks.zipWithIndex.map { case (c, i) =>
+        val v = row.get(i + 2)
+        CheckResult(c.name, v != null && c.pass(v), String.valueOf(v))
+      }
       val failures = checkResults.filterNot(_.passed).map(r => s"${r.name}=${r.observed}")
       val report = RunReport(
         feature = feature.name,
         runId = runId,
         codeVersion = feature.codeVersion,
-        dataVersion = Versioning.dataVersion(materialized),
+        dataVersion = s"$hashSum-$nRows",
         fingerprint = fingerprint,
         storeVersion = storeVersion,
-        nRows = materialized.count(),
+        nRows = nRows,
         nNovel = nNovel,
         memoHit = memoHit,
         status = if (failures.isEmpty) "ok" else "check_failed",
