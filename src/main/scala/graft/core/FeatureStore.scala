@@ -87,6 +87,61 @@ final class FeatureStore(val root: String)(implicit spark: SparkSession) {
     write(merged, feature, meta + ("operation" -> "merge"))
   }
 
+  // ---- append-delta path (fastlane serving) -------------------------------
+  // A MERGE per micro-batch rewrites the whole table (copy-on-write): O(table)
+  // per batch — unacceptable for single-row serving. Deltas make the write
+  // O(batch): each batch lands in its own sequence dir under the CURRENT base
+  // version; readers overlay deltas onto the base with last-write-wins per
+  // entity; compact() folds everything into the next full version.
+
+  private def deltaRoot(feature: String, base: Long) = new Path(s"$root/$feature/_deltas/$base")
+
+  private def deltaSeqs(feature: String, base: Long): Seq[Long] = {
+    val dir = deltaRoot(feature, base)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName.toLong).sorted.toSeq
+  }
+
+  /** O(batch) upsert: append `rows` as the next delta of the current base
+    * version. Returns the delta sequence number. */
+  def appendDelta(feature: String, rows: DataFrame): Long = {
+    val base = latestVersion(feature)
+      .getOrElse(throw new IllegalArgumentException(s"feature $feature has no base version to delta"))
+    val seq = deltaSeqs(feature, base).lastOption.map(_ + 1).getOrElse(0L)
+    rows.write.mode(SaveMode.ErrorIfExists).parquet(s"${deltaRoot(feature, base)}/$seq")
+    seq
+  }
+
+  /** Current state = latest base version overlaid with its deltas,
+    * last-write-wins per entity key (later delta seq beats earlier; any
+    * delta beats base). One keyed window — no table rewrite on read. */
+  def readCurrent(feature: String, entityKeys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = latestVersion(feature)
+      .getOrElse(throw new IllegalArgumentException(s"feature $feature has no versions"))
+    val seqs = deltaSeqs(feature, base)
+    if (seqs.isEmpty) return read(feature)
+    val baseDf = read(feature).withColumn("__delta_seq", lit(-1L))
+    val deltas = seqs.map(s0 =>
+      spark.read.parquet(s"${deltaRoot(feature, base)}/$s0").withColumn("__delta_seq", lit(s0)))
+    val all = deltas.foldLeft(baseDf)(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(entityKeys.map(col): _*).orderBy(col("__delta_seq").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "__delta_seq")
+  }
+
+  /** Fold base + deltas into the next full version and clear the deltas. */
+  def compact(feature: String, entityKeys: Seq[String],
+              meta: Map[String, String] = Map.empty): Long = {
+    val base = latestVersion(feature)
+      .getOrElse(throw new IllegalArgumentException(s"feature $feature has no versions"))
+    val v = write(readCurrent(feature, entityKeys), feature, meta + ("operation" -> "compact"))
+    fs.delete(deltaRoot(feature, base), true)
+    v
+  }
+
   /** Drop all but the newest `keepLast` versions: delete version dirs FIRST,
     * manifests LAST (mirror of the manifest-last commit — a crashed vacuum
     * leaves dangling manifests pointing at deleted dirs, so readers of old

@@ -49,4 +49,29 @@ object Fastlane {
     store.merge(feature.name, out, feature.entityKeys,
       Map("feature" -> feature.name, "mode" -> "fastlane_once"))
   }
+
+  /** High-frequency serving: O(batch) delta append per micro-batch instead of
+    * the O(table) copy-on-write MERGE — the write cost no longer grows with
+    * table size. Read the serving state with
+    * `store.readCurrent(feature, keys)`; run `store.compact` periodically
+    * (e.g. from the batch lane) to fold deltas. */
+  def serveAppend(
+      feature: FeatureDef,
+      stream: DataFrame,
+      store: FeatureStore,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow())
+      (implicit spark: SparkSession): StreamingQuery = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val out = Versioning.withSystemColumns(feature.transform(batch), feature)
+          store.appendDelta(feature.name, out)
+          ()
+        }
+      }
+      .start()
+  }
 }

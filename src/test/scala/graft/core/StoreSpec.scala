@@ -47,4 +47,22 @@ class StoreSpec extends SparkSpec {
     assert(store.read("f").as[(Int, String)].head() == ((3, "v3")))
     intercept[IllegalArgumentException](store.read("f", Some(0)))
   }
+
+  test("append-delta: O(batch) upserts overlay the base, compact folds them") {
+    val store = new FeatureStore(tmpDir("store"))
+    import spark.implicits._
+    store.write(Seq((1, "a"), (2, "b")).toDF("id", "x"), "f")
+    store.appendDelta("f", Seq((2, "B1"), (3, "c")).toDF("id", "x"))
+    store.appendDelta("f", Seq((2, "B2")).toDF("id", "x"))  // later delta wins
+    val cur = store.readCurrent("f", Seq("id")).as[(Int, String)].collect().sortBy(_._1).toSeq
+    assert(cur == Seq((1, "a"), (2, "B2"), (3, "c")))
+    // base version unchanged until compaction (time travel intact)
+    assert(store.read("f").count() == 2)
+    val v = store.compact("f", Seq("id"))
+    assert(v == 1L)
+    assert(store.readCurrent("f", Seq("id")).count() == 3)
+    assert(store.read("f", Some(0)).count() == 2)
+    // post-compact: no deltas left, readCurrent == read
+    assert(store.read("f").as[(Int, String)].collect().sortBy(_._1).toSeq == cur)
+  }
 }
