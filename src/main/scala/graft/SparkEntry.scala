@@ -933,6 +933,31 @@ object SparkEntry {
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 5""")),
 
+    // -- q83: first/last_value with IGNORE NULLS over frames -------------------
+    Q("q83_window_ignore_nulls",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T(s, dir, "orders").filter(col("o_custkey") < 200)
+          .withColumn("maybe_price",
+            when(col("o_orderstatus") === "O", col("o_totalprice")))
+          .select(col("o_custkey"), col("o_orderkey"),
+            first(col("maybe_price"), ignoreNulls = true).over(w).as("first_open_price"),
+            last(col("maybe_price"), ignoreNulls = true).over(w).as("last_open_price"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+          first_value(maybe_price IGNORE NULLS) OVER w AS first_open_price,
+          last_value(maybe_price IGNORE NULLS) OVER w AS last_open_price
+        FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                CASE WHEN o_orderstatus='O' THEN o_totalprice END AS maybe_price
+              FROM orders WHERE o_custkey < 200)
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey""")),
+
     // -- q50: exact quantiles (dyadic fractions -> deterministic interp) -------
     Q("q50_quantiles",
       (s, dir) => T(s, dir, "lineitem")

@@ -27,7 +27,7 @@ final case class RunReport(
     finishedAt: java.sql.Timestamp,
     checkFailures: Seq[String])
 
-final class Registry(val root: String)(implicit spark: SparkSession) {
+class Registry(val root: String)(implicit spark: SparkSession) {
   import spark.implicits._
 
   private val path = s"$root/_graft_registry"
@@ -49,5 +49,37 @@ final class Registry(val root: String)(implicit spark: SparkSession) {
     val rows = runs(Some(feature)).filter($"status" === "ok")
       .orderBy($"finishedAt".desc).limit(1).as[RunReport].collect()
     rows.headOption
+  }
+}
+
+/** JDBC-backed registry: the literal Postgres-catalog shape of the reference
+  * (README.md:16) — same [[RunReport]] rows through `df.write.jdbc`. Works
+  * against any JDBC database; tests use embedded Derby. `checkFailures` is
+  * flattened to one string column (JDBC has no array type portably). */
+class JdbcRegistry(url: String, table: String, props: java.util.Properties)
+                  (implicit spark: SparkSession) extends Registry(root = "") {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  override def record(r: RunReport): Unit =
+    Seq(r).toDF()
+      .withColumn("checkFailures", concat_ws("; ", col("checkFailures")))
+      .write.mode(SaveMode.Append)
+      // VARCHAR, not the CLOB default: filters push down as string
+      // comparisons, and Derby can't compare CLOBs
+      .option("createTableColumnTypes",
+        "feature VARCHAR(256), runId VARCHAR(64), codeVersion VARCHAR(128), " +
+        "dataVersion VARCHAR(128), fingerprint VARCHAR(64), status VARCHAR(32), " +
+        "checkFailures VARCHAR(4096)")
+      .jdbc(url, table, props)
+
+  override def runs(feature: Option[String] = None): DataFrame = {
+    val df =
+      try spark.read.jdbc(url, table, props)
+        .withColumn("checkFailures",
+          when(col("checkFailures") === "", array().cast("array<string>"))
+            .otherwise(split(col("checkFailures"), "; ")))
+      catch { case _: Exception => return Seq.empty[RunReport].toDF() } // table not created yet
+    feature.map(f => df.filter(col("feature") === f)).getOrElse(df)
   }
 }

@@ -31,4 +31,21 @@ class JdbcSpec extends SparkSpec {
     assert(ranged.rdd.getNumPartitions == 2)
     assert(ranged.count() == 3)
   }
+
+  test("JdbcRegistry: the full runner works against a JDBC catalog") {
+    val url = s"jdbc:derby:${tmpDir("derby")}/catdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val store = new FeatureStore(tmpDir("jdbc_store"))
+    val registry = new JdbcRegistry(url, "graft_runs", props)
+    val feature = FeatureDef("cnt_by_seg", Seq("c_mktsegment"), "v1",
+      df => df.groupBy("c_mktsegment").agg(count(lit(1)).as("n")))
+    val input = graft.Tables.load(spark, sfDir, "customer")
+    val r1 = PipelineRunner.run(feature, input, store, registry)
+    assert(!r1.memoHit && r1.report.status == "ok")
+    // second run: the fingerprint/memo machinery reads back THROUGH JDBC
+    val r2 = PipelineRunner.run(feature, input, store, registry)
+    assert(r2.memoHit && r2.report.nNovel == 0)
+    assert(registry.runs(Some("cnt_by_seg")).count() == 2)
+  }
 }
