@@ -65,4 +65,22 @@ class StoreSpec extends SparkSpec {
     // post-compact: no deltas left, readCurrent == read
     assert(store.read("f").as[(Int, String)].collect().sortBy(_._1).toSeq == cur)
   }
+
+  test("review workflow: pending -> decide -> approved-only serving gate") {
+    import spark.implicits._
+    val store = new FeatureStore(tmpDir("store"))
+    val stamped = Review.stampPending(Seq((1, 0.9), (2, 0.2), (3, 0.7)).toDF("id", "score"))
+    store.write(stamped, "scored")
+    assert(Review.pendingQueue(store.read("scored")).count() == 3)
+    // reviewer approves high scores, rejects the low one
+    val decided = Review.decide(
+      Review.decide(store.read("scored"), col("score") >= 0.5, Review.Approved),
+      col("score") < 0.5, Review.Rejected)
+    store.write(decided, "scored")
+    val served = Review.approvedOnly(store.read("scored")).select("id").as[Int].collect().sorted
+    assert(served.toSeq == Seq(1, 3))
+    assert(Review.stats(store.read("scored")) == Map("approved" -> 2L, "rejected" -> 1L))
+    // pre-review state still time-travelable
+    assert(Review.pendingQueue(store.read("scored", Some(0))).count() == 3)
+  }
 }
