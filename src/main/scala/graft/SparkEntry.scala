@@ -194,6 +194,29 @@ object SparkEntry {
           AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // -- q84: full-outer join (supplier vs customer presence per nation) -----
+    Q("q84_full_outer_join",
+      (s, dir) => {
+        val sup = T(s, dir, "supplier").groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_suppliers"))
+        val cust = T(s, dir, "customer").groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_customers"))
+        sup.join(cust, col("s_nationkey") === col("c_nationkey"), "full_outer")
+          .select(
+            coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
+            coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+            coalesce(col("n_customers"), lit(0L)).as("n_customers"))
+          .orderBy("nationkey")
+      },
+      Some("""
+        WITH s AS (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY s_nationkey),
+             c AS (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY c_nationkey)
+        SELECT coalesce(s_nationkey, c_nationkey) AS nationkey,
+               coalesce(n_suppliers, 0) AS n_suppliers,
+               coalesce(n_customers, 0) AS n_customers
+        FROM s FULL OUTER JOIN c ON s_nationkey = c_nationkey
+        ORDER BY nationkey""")),
+
     // -- q08: cross join (small-small) --------------------------------------
     Q("q08_cross_join",
       (s, dir) => {
