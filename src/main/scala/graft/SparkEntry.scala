@@ -1293,6 +1293,54 @@ object SparkEntry {
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
       }),
 
+    // -- q85: IVF-flat ANN top-k (inverted lists + probe, the other scale path)
+    Q("q85_cosine_topk_ivf",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        ops.Similarity.ivfTopK(
+          emb.filter(col("vec_id") < 10), emb, "vec_id", "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 4)
+          .select("query_id", "corpus_id", "cosine", "rank")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT vec_id AS corpus_id, $sqlQVec AS v FROM embeddings),
+        cent AS (
+          SELECT corpus_id AS cent_id, v AS centv FROM c WHERE corpus_id < 16),
+        assigned AS (
+          SELECT c.corpus_id, c.v, cent.cent_id,
+            CAST(${sqlDotQ("c.v", "cent.centv")} AS DOUBLE)
+              / sqrt(CAST(${sqlDotQ("c.v", "c.v")} AS DOUBLE) * CAST(${sqlDotQ("cent.centv", "cent.centv")} AS DOUBLE)) AS csim,
+            row_number() OVER (PARTITION BY c.corpus_id ORDER BY
+              CAST(${sqlDotQ("c.v", "cent.centv")} AS DOUBLE)
+                / sqrt(CAST(${sqlDotQ("c.v", "c.v")} AS DOUBLE) * CAST(${sqlDotQ("cent.centv", "cent.centv")} AS DOUBLE)) DESC,
+              cent.cent_id ASC) AS cr
+          FROM c CROSS JOIN cent),
+        lists AS (
+          SELECT cent_id, corpus_id, v FROM assigned WHERE cr = 1),
+        q AS (
+          SELECT vec_id AS query_id, $sqlQVec AS qv FROM embeddings WHERE vec_id < 10),
+        probes AS (
+          SELECT query_id, qv, cent_id FROM (
+            SELECT q.query_id, q.qv, cent.cent_id,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                CAST(${sqlDotQ("q.qv", "cent.centv")} AS DOUBLE)
+                  / sqrt(CAST(${sqlDotQ("q.qv", "q.qv")} AS DOUBLE) * CAST(${sqlDotQ("cent.centv", "cent.centv")} AS DOUBLE)) DESC,
+                cent.cent_id ASC) AS pr
+            FROM q CROSS JOIN cent) WHERE pr <= 4),
+        scored AS (
+          SELECT p.query_id, l.corpus_id,
+            CAST(${sqlDotQ("p.qv", "l.v")} AS DOUBLE)
+              / sqrt(CAST(${sqlDotQ("p.qv", "p.qv")} AS DOUBLE) * CAST(${sqlDotQ("l.v", "l.v")} AS DOUBLE)) AS cosine
+          FROM probes p JOIN lists l ON p.cent_id = l.cent_id),
+        ranked AS (
+          SELECT query_id, corpus_id, cosine,
+            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // -- q77: text quality features + token counting ---------------------------
     Q("q77_text_quality",
       (s, dir) => T(s, dir, "documents")

@@ -111,6 +111,49 @@ object Similarity {
       Seq(col("cosine").desc, col("corpus_id").asc), k, rankCol = "rank")
   }
 
+  /** IVF-flat ANN top-k: corpus is partitioned into `nlist` inverted lists by
+    * nearest centroid; a query scores only the lists of its `nprobe` nearest
+    * centroids. Centroids are the first `nlist` corpus vectors (deterministic
+    * seeding — a k-means refinement would drop in without changing the
+    * query-side shape, at the cost of oracle reproducibility).
+    *
+    * Scale shape: assignment is corpus × nlist (nlist ≈ √N keeps it linear in
+    * N·√N with a BROADCAST of the small centroid set — never corpus×corpus);
+    * the probe join is keyed on the centroid id, so each query touches
+    * nprobe/nlist of the corpus. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              queryIdCol: String, corpusIdCol: String, vecCol: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4, dim: Int = 64): DataFrame = {
+    val c = corpus.select(col(corpusIdCol).as("corpus_id"), quantize(col(vecCol), dim).as("__cv"))
+      .withColumn("__cn", dotQ(col("__cv"), col("__cv"), dim))
+    val cent = c.where(col("corpus_id") < nlist)
+      .select(col("corpus_id").as("cent_id"), col("__cv").as("__centv"), col("__cn").as("__centn"))
+    // inverted lists: nearest centroid per corpus vector (ties -> smaller id)
+    val assigned = c.join(broadcast(cent))
+      .select(col("corpus_id"), col("__cv"), col("__cn"), col("cent_id"),
+        cosineFromParts(dotQ(col("__cv"), col("__centv"), dim), col("__cn"), col("__centn")).as("__csim"))
+    val lists = TopK.perGroup(assigned, Seq("corpus_id"),
+      Seq(col("__csim").desc, col("cent_id").asc), 1, rankCol = "__cr")
+      .select(col("cent_id"), col("corpus_id"), col("__cv"), col("__cn"))
+    // probes: nprobe nearest centroids per query
+    val q = queries.select(col(queryIdCol).as("query_id"), quantize(col(vecCol), dim).as("__qv"))
+      .withColumn("__qn", dotQ(col("__qv"), col("__qv"), dim))
+    val probes = TopK.perGroup(
+      q.join(broadcast(cent))
+        .select(col("query_id"), col("__qv"), col("__qn"), col("cent_id"),
+          cosineFromParts(dotQ(col("__qv"), col("__centv"), dim), col("__qn"), col("__centn")).as("__psim")),
+      Seq("query_id"), Seq(col("__psim").desc, col("cent_id").asc), nprobe, rankCol = "__pr")
+      .select(col("query_id"), col("__qv"), col("__qn"), col("cent_id"))
+    // score only candidates in probed lists (join keyed on cent_id)
+    val scored = probes.join(lists, Seq("cent_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosineFromParts(dotQ(col("__qv"), col("__cv"), dim), col("__qn"), col("__cn")).as("cosine"))
+    // no distinct needed: every corpus vector lives in exactly ONE list
+    // (assignment rank=1 with a total tiebreak)
+    TopK.perGroup(scored, Seq("query_id"),
+      Seq(col("cosine").desc, col("corpus_id").asc), k, rankCol = "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-blocked, then exact cosine
     * filter. Same keyed-shuffle shape as [[Dedup.minhashNearDupPairs]]. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -117,6 +117,19 @@ class SimilaritySpec extends SparkSpec {
     // self-match always survives (same vector → same bucket)
     assert((0L until 20L).forall(q => lsh.contains((q, q))))
   }
+
+  test("IVF top-k: self-match survives and recall vs brute force is reasonable") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id", "embedding", k = 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 3)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert((0L until 20L).forall(q => ivf.contains((q, q))), "self-match lost")
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall > 0.3, s"IVF recall too low: $recall")
+  }
 }
 
 class SafeMapSpec extends SparkSpec {
