@@ -1170,6 +1170,58 @@ object SparkEntry {
         ORDER BY id_l, id_r"""
       }),
 
+    // -- q86: near-dup clustering: pairs -> connected components -> keep reps
+    Q("q86_neardup_clusters",
+      (s, dir) => {
+        val pairs = ops.Dedup.minhashNearDupPairs(
+          T(s, dir, "documents"), "doc_id", "text",
+          n = 3, numHashes = 12, bands = 4, threshold = 0.2)
+        ops.Dedup.nearDupClusters(pairs).orderBy("id")
+      },
+      Some {
+        // same candidate pairs as q71's oracle, then transitive closure via a
+        // recursive CTE: cluster rep = min id reachable in the pair graph
+        val coeffs = ops.Dedup.hashCoeffs(12)
+        val sig = coeffs.map { case (a, b) =>
+          s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))"
+        }.mkString("[", ", ", "]")
+        val bandKeys = (0 until 4).map(bi =>
+          s"md5(concat_ws(',', sig[${bi * 3 + 1}], sig[${bi * 3 + 2}], sig[${bi * 3 + 3}]))")
+          .mkString("[", ", ", "]")
+        s"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id, ${sqlShingles("text")} AS sh FROM documents),
+        sig AS (
+          SELECT doc_id, sh, $sig AS sig FROM sh),
+        banded AS (
+          SELECT doc_id, sh, unnest($bandKeys) AS band_key,
+                 unnest(range(0, 4)) AS band_id
+          FROM sig),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+          FROM banded l JOIN banded r
+            ON l.band_id = r.band_id AND l.band_key = r.band_key
+           AND l.doc_id < r.doc_id),
+        verified AS (
+          SELECT c.id_l, c.id_r
+          FROM cand c
+          JOIN sh l ON c.id_l = l.doc_id
+          JOIN sh r ON c.id_r = r.doc_id
+          WHERE CASE WHEN len(list_distinct(l.sh || r.sh)) = 0 THEN 1.0
+                     ELSE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                          / len(list_distinct(l.sh || r.sh)) END >= 0.2),
+        edges AS (
+          SELECT id_l AS src, id_r AS dst FROM verified
+          UNION SELECT id_r, id_l FROM verified),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach AS (
+          SELECT id, id AS r FROM nodes
+          UNION
+          SELECT e.dst AS id, reach.r
+          FROM reach JOIN edges e ON e.src = reach.id)
+        SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id ORDER BY id"""
+      }),
+
     // -- q72: SimHash near-dup (exact pigeonhole banding, hamming <= 3) -------
     Q("q72_simhash_neardup",
       (s, dir) => ops.Dedup.simhashNearDupPairs(

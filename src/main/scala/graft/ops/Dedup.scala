@@ -232,6 +232,58 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup pairs: every document gets the
+    * MINIMUM id reachable through the pair graph as its cluster
+    * representative. Iterative min-label propagation — each round is one
+    * keyed aggregation (the standard Spark shape; large-star/small-star
+    * would halve rounds at extreme diameters but near-dup clusters are
+    * shallow). Converges in O(component diameter) rounds; `maxIter` bounds
+    * the loop, and convergence is checked with a cheap count, not collect. */
+  def nearDupClusters(pairs: DataFrame, idLCol: String = "id_l", idRCol: String = "id_r",
+                      maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edges, both directions + self-loops over the node set
+    val edges = pairs.select(col(idLCol).as("src"), col(idRCol).as("dst"))
+      .union(pairs.select(col(idRCol).as("src"), col(idLCol).as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // candidate label per node: min over (own label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src").withColumnRenamed("rep", "nrep"), Seq("src"))
+        .select(col("dst").as("id"), col("nrep").as("rep"))
+      val next = labels.select(col("id"), col("rep"))
+        .union(viaNeighbors)
+        .groupBy("id").agg(min("rep").as("rep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("rep", "old"), Seq("id"))
+        .where(col("rep") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("rep").as("cluster_rep"))
+  }
+
+  /** End-to-end near-dup corpus dedup: MinHash-LSH pairs → connected
+    * components → keep the cluster representative (min id); documents with
+    * no near-dup survive untouched (they never enter the pair graph). */
+  def dedupCorpusNear(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, n, numHashes, bands, threshold)
+    val clusters = nearDupClusters(pairs)
+    df.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .where(col("cluster_rep").isNull || col("cluster_rep") === col(idCol))
+      .drop("cluster_rep")
+  }
+
   /** Exact dedup: keep the smallest id per content digest. One shuffle keyed
     * on the 32-byte digest; the raw payload never shuffles. */
   def exactByContent(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {

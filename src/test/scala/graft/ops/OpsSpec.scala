@@ -77,6 +77,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("near-dup clustering: transitive closure with min-id representative") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_l", "id_r")
+    val cc = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    // {1,2,3,9} -> 1, {5,6} -> 5
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("dedupCorpusNear keeps one representative per near-dup cluster") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val docs = Seq(
+      (1L, base), (2L, base + " omicron"), (3L, base + " omicron pi"),
+      (7L, "one two three four five six seven eight nine ten eleven twelve")).toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpusNear(docs, "doc_id", "text", threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(7L))
+    assert(!kept.contains(2L), s"near-dup 2 should be removed: $kept")
+  }
+
   test("simhash pigeonhole banding finds ALL pairs within the hamming radius") {
     val docs = Tables.load(spark, sfDir, "documents").limit(60)
     val viaBanding = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 8)
