@@ -1174,7 +1174,7 @@ object SparkEntry {
     Q("q86_neardup_clusters",
       (s, dir) => {
         val pairs = ops.Dedup.minhashNearDupPairs(
-          T(s, dir, "documents"), "doc_id", "text",
+          T(s, dir, "documents").filter(col("doc_id") < 2000), "doc_id", "text",
           n = 3, numHashes = 12, bands = 4, threshold = 0.2)
         ops.Dedup.nearDupClusters(pairs).orderBy("id")
       },
@@ -1190,7 +1190,7 @@ object SparkEntry {
           .mkString("[", ", ", "]")
         s"""
         WITH RECURSIVE sh AS (
-          SELECT doc_id, ${sqlShingles("text")} AS sh FROM documents),
+          SELECT doc_id, ${sqlShingles("text")} AS sh FROM documents WHERE doc_id < 2000),
         sig AS (
           SELECT doc_id, sh, $sig AS sig FROM sh),
         banded AS (

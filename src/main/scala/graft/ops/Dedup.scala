@@ -246,11 +246,17 @@ object Dedup {
     val edges = pairs.select(col(idLCol).as("src"), col(idRCol).as("dst"))
       .union(pairs.select(col(idRCol).as("src"), col(idLCol).as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id"))
+    // round 0 folded into initialization: label = min(self, direct neighbors)
+    var labels = edges.select(col("src").as("id"), col("dst").as("rep"))
+      .union(edges.select(col("src").as("id"), col("src").as("rep")))
+      .groupBy("id").agg(min("rep").as("rep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var converged = false
+    // labels only ever DECREASE, so an unchanged label sum ⇔ fixpoint — the
+    // convergence check rides the same single action that materializes the
+    // round (no extra join+count job per iteration)
+    var prevSum: Option[java.math.BigDecimal] = None
     while (iter < maxIter && !converged) {
       // candidate label per node: min over (own label, neighbors' labels)
       val viaNeighbors = edges
@@ -260,11 +266,12 @@ object Dedup {
         .union(viaNeighbors)
         .groupBy("id").agg(min("rep").as("rep"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("rep", "old"), Seq("id"))
-        .where(col("rep") =!= col("old")).limit(1).count()
+      val s = next.agg(sum(col("rep").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect()(0).getDecimal(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = prevSum.exists(_.compareTo(s) == 0)
+      prevSum = Some(s)
       iter += 1
     }
     edges.unpersist()
