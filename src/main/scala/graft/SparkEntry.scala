@@ -561,6 +561,59 @@ object SparkEntry {
           list_contains(range(1, (vec_id % 5 + 1)::INT + 1), 3) AS has3
         FROM embeddings ORDER BY vec_id""")),
 
+    // -- q87: array family 2 (flatten/position/repeat/join/overlap/...) -------
+    Q("q87_array_funcs2",
+      (s, dir) => T(s, dir, "embeddings")
+        .select(col("vec_id"), sequence(lit(1), (col("vec_id") % 5 + 2).cast("int")).as("arr"))
+        .select(col("vec_id"),
+          flatten(array(col("arr"), col("arr"))).as("doubled"),
+          array_position(col("arr"), 2).as("pos2"),
+          array_position(col("arr"), 99).as("pos99"),
+          array_repeat(col("vec_id") % 3, 3).as("repeated"),
+          array_join(transform(col("arr"), x => x.cast("string")), "-").as("joined"),
+          arrays_overlap(col("arr"), array(lit(3L), lit(99L))).as("has3or99"),
+          array_remove(col("arr"), 2).as("no2"),
+          array_max(col("arr")).as("mx"),
+          array_min(col("arr")).as("mn"),
+          reverse(col("arr")).as("rev"),
+          sort_array(col("arr"), asc = false).as("descsort"))
+        .orderBy("vec_id"),
+      Some("""
+        WITH b AS (SELECT vec_id, range(1, (vec_id % 5 + 2)::INT + 1) AS arr FROM embeddings)
+        SELECT vec_id,
+          flatten([arr, arr]) AS doubled,
+          CAST(list_position(arr, 2) AS BIGINT) AS pos2,
+          CAST(list_position(arr, 99) AS BIGINT) AS pos99,
+          list_transform(range(0,3), i -> vec_id % 3) AS repeated,
+          array_to_string(arr, '-') AS joined,
+          list_has_any(arr, [3, 99]) AS has3or99,
+          list_filter(arr, x -> x != 2) AS no2,
+          list_max(arr) AS mx,
+          list_min(arr) AS mn,
+          list_reverse(arr) AS rev,
+          list_sort(arr, 'DESC') AS descsort
+        FROM b ORDER BY vec_id""")),
+
+    // -- q88: regexp family (extract_all / count / full-match split) ----------
+    Q("q88_regexp_funcs",
+      (s, dir) => T(s, dir, "part")
+        .filter(col("p_partkey") < 300)
+        .select(col("p_partkey"),
+          expr("regexp_extract_all(p_name, '[aeiou]+', 0)").as("vowel_runs"),
+          size(expr("regexp_extract_all(p_name, '[aeiou]+', 0)")).as("n_vowel_runs"),
+          regexp_replace(col("p_type"), "(ED|SS)", "<$1>").as("marked"),
+          col("p_brand").rlike("#[0-9]{2}$").as("two_digit_brand"),
+          regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("first_word"))
+        .orderBy("p_partkey"),
+      Some("""
+        SELECT p_partkey,
+          regexp_extract_all(p_name, '[aeiou]+') AS vowel_runs,
+          len(regexp_extract_all(p_name, '[aeiou]+')) AS n_vowel_runs,
+          regexp_replace(p_type, '(ED|SS)', '<\1>', 'g') AS marked,
+          regexp_matches(p_brand, '#[0-9]{2}$') AS two_digit_brand,
+          regexp_extract(p_type, '^([A-Z]+)', 1) AS first_word
+        FROM part WHERE p_partkey < 300 ORDER BY p_partkey""")),
+
     // -- q26: JSON extraction --------------------------------------------------
     Q("q26_json_funcs",
       (s, dir) => T(s, dir, "events").select(
