@@ -1113,6 +1113,33 @@ object SparkEntry {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // -- q89: big-big interval join via bucketized equi prefilter ------------
+    Q("q89_bucketed_range_join",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            (col("ts") - expr("INTERVAL 30 MINUTES")).as("win_start"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("win_end"))
+        ops.RangeJoin.bucketedIntervalJoin(
+            views, "ts", purchases, "win_start", "win_end",
+            bucketWidthMicros = 30L * 60 * 1000000)
+          .groupBy("purchase_id")
+          .agg(count(lit(1)).as("n_views_in_window"))
+          .orderBy("purchase_id")
+      },
+      Some("""
+        SELECT p.purchase_id, count(*) AS n_views_in_window
+        FROM (SELECT event_id AS purchase_id,
+                     ts - INTERVAL 30 MINUTE AS win_start,
+                     ts + INTERVAL 30 MINUTE AS win_end
+              FROM events WHERE event_type='purchase') p
+        JOIN (SELECT event_id, ts FROM events WHERE event_type='view') v
+          ON v.ts >= p.win_start AND v.ts <= p.win_end
+        GROUP BY p.purchase_id ORDER BY p.purchase_id""")),
+
     // -- q32: event-time tumbling window -------------------------------------
     Q("q32_tumbling_window",
       (s, dir) => T(s, dir, "events")

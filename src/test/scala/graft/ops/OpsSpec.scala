@@ -153,6 +153,33 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("bucketed interval join == plain non-equi join; plan is an equi join") {
+    val points = Seq((1L, ts("2024-01-01 10:15:00")), (2L, ts("2024-01-01 11:45:00")),
+      (3L, ts("2024-01-01 23:59:00"))).toDF("pid", "pts")
+    val ivals = Seq((10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (20L, ts("2024-01-01 11:30:00"), ts("2024-01-01 12:30:00"))).toDF("iid", "s0", "e0")
+    val got = RangeJoin.bucketedIntervalJoin(points, "pts", ivals, "s0", "e0", 600L * 1000000)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val plain = points.join(ivals, col("pts") >= col("s0") && col("pts") <= col("e0"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == plain && got == Set((1L, 10L), (2L, 20L)))
+    // the join is keyed (SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin on
+    // __bucket), never a nested-loop over all pairs
+    val plan = RangeJoin.bucketedIntervalJoin(points, "pts", ivals, "s0", "e0", 600L * 1000000)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+  }
+
+  test("toLocalIterator streams results without materializing the frame on the driver") {
+    val it = spark.range(1000).toDF("id").toLocalIterator()
+    assert(it.hasNext && it.next().getLong(0) == 0L)
+  }
+}
+
 class SafeMapSpec extends SparkSpec {
   import spark.implicits._
 
