@@ -975,6 +975,50 @@ object SparkEntry {
           CAST(concat('2024-01-01 ', lpad(CAST(hour(o_orderdate) AS VARCHAR), 2, '0'), ':00:00') AS TIMESTAMP) AS synth_ts
         FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""")),
 
+    // -- q90: bitwise function family ------------------------------------------
+    Q("q90_bit_funcs",
+      (s, dir) => T(s, dir, "orders")
+        .filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("and255"),
+          col("o_orderkey").bitwiseOR(lit(16L)).as("or16"),
+          col("o_orderkey").bitwiseXOR(lit(85L)).as("xor85"),
+          shiftleft(col("o_orderkey"), 3).as("shl3"),
+          shiftright(col("o_orderkey"), 2).as("shr2"),
+          bitwise_not(col("o_orderkey")).as("flipped"),
+          bit_count(col("o_orderkey")).as("popcount"))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey,
+          o_orderkey & 255 AS and255,
+          o_orderkey | 16 AS or16,
+          xor(o_orderkey, 85) AS xor85,
+          o_orderkey << 3 AS shl3,
+          o_orderkey >> 2 AS shr2,
+          ~o_orderkey AS flipped,
+          CAST(bit_count(o_orderkey) AS INT) AS popcount
+        FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""")),
+
+    // -- q91: timestamp-unit arithmetic (timestampadd/diff) --------------------
+    Q("q91_timestamp_units",
+      (s, dir) => T(s, dir, "events")
+        .filter(col("event_id") < 500)
+        .select(col("event_id"),
+          expr("timestampadd(MINUTE, 90, ts)").as("plus90m"),
+          expr("timestampadd(HOUR, -3, ts)").as("minus3h"),
+          expr("timestampdiff(MINUTE, TIMESTAMP '2024-01-01 00:00:00', ts)").as("mins_since_ny"),
+          expr("timestampdiff(HOUR, TIMESTAMP '2024-01-01 00:00:00', ts)").as("hours_since_ny"),
+          greatest(col("ts"), lit("2024-06-01 00:00:00").cast("timestamp")).as("capped"))
+        .orderBy("event_id"),
+      Some("""
+        SELECT event_id,
+          ts + INTERVAL 90 MINUTE AS plus90m,
+          ts - INTERVAL 3 HOUR AS minus3h,
+          date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', ts) AS mins_since_ny,
+          date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS hours_since_ny,
+          greatest(ts, TIMESTAMP '2024-06-01 00:00:00') AS capped
+        FROM events WHERE event_id < 500 ORDER BY event_id""")),
+
     // -- q48: null/conditional family: nullif/nvl/nanvl/try_cast/greatest ------
     Q("q48_null_funcs",
       (s, dir) => T(s, dir, "customer")
