@@ -61,4 +61,26 @@ class StreamOpsSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM dedup").count() == 2)
     q.stop()
   }
+
+  test("stream-stream join: views join purchases within the watermark window") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val views = MemoryStream[Evt]
+    val buys = MemoryStream[Evt]
+    val v = views.toDF().select(col("user_id"), col("ts").as("v_ts"), col("value").as("v_val"))
+      .withWatermark("v_ts", "1 hour")
+    val b = buys.toDF().select(col("user_id").as("b_user"), col("ts").as("b_ts"), col("value").as("b_val"))
+      .withWatermark("b_ts", "1 hour")
+    val joined = v.join(b,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("v_ts") && col("b_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    views.addData(Evt(1, ts("2024-01-01 10:00:00"), 1.0), Evt(2, ts("2024-01-01 10:00:00"), 2.0))
+    buys.addData(Evt(1, ts("2024-01-01 10:20:00"), 10.0), // within 30m of view
+      Evt(2, ts("2024-01-01 11:30:00"), 20.0))            // outside the window
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT user_id, b_val FROM ssj").as[(Long, Double)].collect().toSet
+    assert(rows == Set((1L, 10.0)))
+    q.stop()
+  }
 }
