@@ -291,6 +291,12 @@ object Dedup {
       .drop("cluster_rep")
   }
 
+  /** Exact corpus dedup: drop all but the smallest-id row per content
+    * digest (the table-in, table-out form of [[exactByContent]]). */
+  def dedupCorpusExact(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame =
+    df.join(exactByContent(df, idCol, contentCols)
+        .select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
+
   /** Exact dedup: keep the smallest id per content digest. One shuffle keyed
     * on the 32-byte digest; the raw payload never shuffles. */
   def exactByContent(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {

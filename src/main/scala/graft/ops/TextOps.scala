@@ -92,6 +92,18 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(first(col("content_md5")).as("content_md5"), min(col("__h")).as("winnow_min"))
 
+  /** Quality gate: keep documents passing minimum-quality thresholds — the
+    * standard pre-training corpus filter, one codegen'd predicate pass. */
+  def qualityFilter(df: DataFrame, textCol: String,
+                    minTokens: Int = 5, maxAvgTokenLen: Double = 20.0,
+                    minUniqRatio: Double = 0.2, maxPunctRatio: Double = 0.3): DataFrame =
+    df.withColumn("__q", qualityFeatures(col(textCol)))
+      .where(col("__q.n_tokens") >= minTokens &&
+        col("__q.avg_token_len") <= maxAvgTokenLen &&
+        col("__q.uniq_ratio") >= minUniqRatio &&
+        col("__q.punct_ratio") <= maxPunctRatio)
+      .drop("__q")
+
   /** Corpus-level quality report: one row per language with quality stats. */
   def qualityReport(df: DataFrame, textCol: String, langCol: String): DataFrame =
     df.withColumn("__q", qualityFeatures(col(textCol)))

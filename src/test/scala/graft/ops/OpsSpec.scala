@@ -66,6 +66,14 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("dedupCorpusExact keeps one row per distinct content") {
+    import spark.implicits._
+    val df = Seq((5L, "x"), (2L, "x"), (3L, "y")).toDF("id", "text")
+    val kept = Dedup.dedupCorpusExact(df, "id", Seq("text"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("minhash-LSH finds planted near-duplicates and skips unrelated docs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
     val nearDup = base + " omicron"  // one appended token: Jaccard = 12/13
@@ -243,6 +251,16 @@ class TextOpsSpec extends SparkSpec {
     assert(langs(1L) == "en" && langs(2L) == "es" && langs(3L) == "unknown")
     val q1 = out.filter(col("doc_id") === 1).select("q.stopword_ratio").as[Double].head()
     assert(q1 > 0.2) // "the" twice + "on" in 6 tokens
+  }
+
+  test("qualityFilter drops degenerate documents") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a reasonable length document with several distinct tokens here"),
+      (2L, "x x x x x x x x x x x x"),            // uniq_ratio 1/12
+      (3L, "too short")).toDF("doc_id", "text")   // < 5 tokens
+    val kept = TextOps.qualityFilter(df, "text").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
   }
 
   test("fingerprint winnow-min matches for identical text only") {
