@@ -1,0 +1,126 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+import java.nio.charset.StandardCharsets
+
+/** Bucketed versioned store with FILE-LEVEL incremental MERGE — the
+  * Delta-grade upgrade over [[FeatureStore]]'s copy-on-write (SURVEY §4
+  * marks data-skipping/file-level ops as the deferred CUSTOM piece).
+  *
+  * Layout:
+  * {{{
+  *   root/<feature>/b=K/v<N>.parquet        // one file per (bucket, write)
+  *   root/<feature>/_graft_log/N.json       // manifest: bucket -> file
+  * }}}
+  *
+  * Rows are routed to `numBuckets` stable hash-buckets of the entity key.
+  * A MERGE reads ONLY the buckets that updates touch, rewrites those as new
+  * files, and the new version's manifest references the untouched buckets'
+  * EXISTING files — at 100 TB a point-update of one entity rewrites
+  * 1/numBuckets of the table instead of all of it, and time travel is free
+  * (old manifests still reference the old files; nothing is overwritten).
+  * Bucket routing also means a key-equi join against another table bucketed
+  * the same way needs no shuffle of this side.
+  */
+final class BucketedStore(val root: String, val numBuckets: Int = 64)
+                         (implicit spark: SparkSession) {
+  require(numBuckets > 0)
+
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def logDir(feature: String) = new Path(s"$root/$feature/_graft_log")
+
+  private def bucketCol(entityKeys: Seq[String]) =
+    pmod(xxhash64(entityKeys.map(col): _*), lit(numBuckets)).cast("int")
+
+  def versions(feature: String): Seq[Long] = {
+    val dir = logDir(feature)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong).sorted.toSeq
+  }
+
+  def latestVersion(feature: String): Option[Long] = versions(feature).lastOption
+
+  /** manifest = bucket id -> relative file path */
+  private def readManifest(feature: String, v: Long): Map[Int, String] = {
+    val in = fs.open(new Path(logDir(feature), s"$v.json"))
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    // minimal parser for {"<bucket>": "<path>", ...}
+    "\"([0-9]+)\"\\s*:\\s*\"([^\"]+)\"".r.findAllMatchIn(json)
+      .map(m => m.group(1).toInt -> m.group(2)).toMap
+  }
+
+  private def writeManifest(feature: String, v: Long, manifest: Map[Int, String]): Unit = {
+    val json = manifest.toSeq.sortBy(_._1)
+      .map { case (b, p) => s""""$b": "$p"""" }.mkString("{", ", ", "}")
+    val out = fs.create(new Path(logDir(feature), s"$v.json"), true)
+    out.write(json.getBytes(StandardCharsets.UTF_8)); out.close()
+  }
+
+  /** Write `df` as a full new version: every non-empty bucket gets one file
+    * directory. Returns the version. */
+  def write(df: DataFrame, feature: String, entityKeys: Seq[String]): Long = {
+    val v = latestVersion(feature).map(_ + 1).getOrElse(0L)
+    val bucketed = df.withColumn("__b", bucketCol(entityKeys))
+    bucketed.write.mode(SaveMode.Overwrite)
+      .partitionBy("__b").parquet(s"$root/$feature/files_v$v")
+    val buckets = bucketed.select("__b").distinct().collect().map(_.getInt(0))
+    writeManifest(feature, v, buckets.map(b => b -> s"files_v$v/__b=$b").toMap)
+    v
+  }
+
+  /** Read a version (default latest) by loading exactly the files its
+    * manifest references. */
+  def read(feature: String, entityKeys: Seq[String], asOfVersion: Option[Long] = None): DataFrame = {
+    val v = asOfVersion.orElse(latestVersion(feature))
+      .getOrElse(throw new IllegalArgumentException(s"feature $feature has no versions"))
+    val manifest = readManifest(feature, v)
+    val paths = manifest.values.map(p => s"$root/$feature/$p").toSeq
+    spark.read.parquet(paths: _*)
+  }
+
+  /** FILE-LEVEL MERGE: upsert `updates` by entity key, rewriting ONLY the
+    * buckets the updates hash into; all other buckets carry into the new
+    * version by manifest reference (zero IO). */
+  def merge(feature: String, updates: DataFrame, entityKeys: Seq[String]): Long = {
+    val prev = latestVersion(feature)
+      .getOrElse(throw new IllegalArgumentException(s"merge into empty feature $feature; write() first"))
+    val manifest = readManifest(feature, prev)
+    val v = prev + 1
+
+    val upd = updates.withColumn("__b", bucketCol(entityKeys))
+    val touched = upd.select("__b").distinct().collect().map(_.getInt(0)).toSet
+
+    // current rows of ONLY the touched buckets
+    val touchedPaths = manifest.filter(t => touched(t._1)).values
+      .map(p => s"$root/$feature/$p").toSeq
+    val currentTouched =
+      if (touchedPaths.isEmpty) None
+      else Some(spark.read.parquet(touchedPaths: _*))
+
+    val merged = currentTouched match {
+      case None => upd
+      case Some(cur) =>
+        cur.withColumn("__b", bucketCol(entityKeys))
+          .join(upd.select(entityKeys.map(col): _*), entityKeys, "left_anti")
+          .unionByName(upd, allowMissingColumns = true)
+    }
+    merged.write.mode(SaveMode.Overwrite)
+      .partitionBy("__b").parquet(s"$root/$feature/files_v$v")
+    val newBuckets = merged.select("__b").distinct().collect().map(_.getInt(0))
+    val newManifest = (manifest -- touched) ++
+      newBuckets.map(b => b -> s"files_v$v/__b=$b").toMap
+    writeManifest(feature, v, newManifest)
+    v
+  }
+
+  /** Fraction of the table a merge of `updates` would rewrite (observability
+    * for the 100 TB story). */
+  def rewriteFraction(feature: String, updates: DataFrame, entityKeys: Seq[String]): Double = {
+    val touched = updates.withColumn("__b", bucketCol(entityKeys))
+      .select("__b").distinct().count()
+    touched.toDouble / numBuckets
+  }
+}

@@ -1,0 +1,49 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BucketedStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file-level merge rewrites only touched buckets; untouched files are shared across versions") {
+    val store = new BucketedStore(tmpDir("bstore"), numBuckets = 16)
+    val base = (1L to 1000L).map(i => (i, s"name$i", i * 1.0)).toDF("id", "name", "score")
+    store.write(base, "f", Seq("id"))
+
+    // update 3 entities → at most 3 of 16 buckets rewritten
+    val updates = Seq((5L, "FIVE", 5.5), (6L, "SIX", 6.6), (700L, "SEVEN", 7.7))
+      .toDF("id", "name", "score")
+    assert(store.rewriteFraction("f", updates, Seq("id")) <= 3.0 / 16)
+    store.merge("f", updates, Seq("id"))
+
+    // correctness: upserted rows replaced, everything else intact
+    val cur = store.read("f", Seq("id"))
+    assert(cur.count() == 1000)
+    assert(cur.filter($"id" === 5L).select("name").as[String].head() == "FIVE")
+    assert(cur.filter($"id" === 10L).select("name").as[String].head() == "name10")
+
+    // time travel: version 0 still has the original rows
+    val v0 = store.read("f", Seq("id"), asOfVersion = Some(0))
+    assert(v0.filter($"id" === 5L).select("name").as[String].head() == "name5")
+
+    // file sharing: the two manifests agree on every untouched bucket path
+    val m0 = scala.io.Source.fromFile(s"${store.root}/f/_graft_log/0.json").mkString
+    val m1 = scala.io.Source.fromFile(s"${store.root}/f/_graft_log/1.json").mkString
+    def paths(s: String) = "\"([0-9]+)\": \"([^\"]+)\"".r.findAllMatchIn(s)
+      .map(m => m.group(1).toInt -> m.group(2)).toMap
+    val (p0, p1) = (paths(m0), paths(m1))
+    val shared = p1.filter { case (b, p) => p0.get(b).contains(p) }
+    assert(shared.size >= 13, s"expected >=13 of 16 buckets shared, got ${shared.size}")
+    assert(shared.values.forall(_.startsWith("files_v0/")), "shared buckets must reference v0 files")
+  }
+
+  test("new entities land in their buckets; merge into missing feature fails loudly") {
+    val store = new BucketedStore(tmpDir("bstore"), numBuckets = 4)
+    store.write(Seq((1L, "a")).toDF("id", "x"), "g", Seq("id"))
+    store.merge("g", Seq((2L, "b"), (3L, "c")).toDF("id", "x"), Seq("id"))
+    assert(store.read("g", Seq("id")).count() == 3)
+    intercept[IllegalArgumentException](
+      store.merge("nope", Seq((1L, "a")).toDF("id", "x"), Seq("id")))
+  }
+}
