@@ -116,6 +116,26 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     v
   }
 
+  /** Point lookup: hash the literal key to its bucket and read ONLY that
+    * bucket's file — a serving-side get that touches 1/numBuckets of the
+    * table regardless of table size. */
+  def lookup(feature: String, entityKeys: Seq[String], keyValues: Seq[Any],
+             asOfVersion: Option[Long] = None): DataFrame = {
+    require(entityKeys.length == keyValues.length)
+    val v = asOfVersion.orElse(latestVersion(feature))
+      .getOrElse(throw new IllegalArgumentException(s"feature $feature has no versions"))
+    // same hash the writer used, evaluated on a one-row literal frame
+    val b = spark.range(1)
+      .select(pmod(xxhash64(keyValues.map(lit): _*), lit(numBuckets)).cast("int").as("b"))
+      .collect()(0).getInt(0)
+    readManifest(feature, v).get(b) match {
+      case None => read(feature, entityKeys, Some(v)).limit(0)
+      case Some(p) =>
+        val df = spark.read.parquet(s"$root/$feature/$p")
+        entityKeys.zip(keyValues).foldLeft(df) { case (d, (k, kv)) => d.filter(col(k) === lit(kv)) }
+    }
+  }
+
   /** Fraction of the table a merge of `updates` would rewrite (observability
     * for the 100 TB story). */
   def rewriteFraction(feature: String, updates: DataFrame, entityKeys: Seq[String]): Double = {

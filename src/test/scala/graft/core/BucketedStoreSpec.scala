@@ -38,6 +38,20 @@ class BucketedStoreSpec extends SparkSpec {
     assert(shared.values.forall(_.startsWith("files_v0/")), "shared buckets must reference v0 files")
   }
 
+  test("point lookup reads a single bucket and returns the row") {
+    val store = new BucketedStore(tmpDir("bstore"), numBuckets = 16)
+    val base = (1L to 500L).map(i => (i, s"name$i")).toDF("id", "name")
+    store.write(base, "f", Seq("id"))
+    val hit = store.lookup("f", Seq("id"), Seq(42L))
+    assert(hit.select("name").as[String].collect().toSeq == Seq("name42"))
+    // reads one bucket: scanned files come from exactly one __b dir
+    val files = hit.inputFiles
+    assert(files.nonEmpty && files.map(_.split("/__b=")(1).split("/")(0)).distinct.length == 1, files.toSeq)
+    // lookup after merge sees the update
+    store.merge("f", Seq((42L, "FORTY-TWO")).toDF("id", "name"), Seq("id"))
+    assert(store.lookup("f", Seq("id"), Seq(42L)).select("name").as[String].head() == "FORTY-TWO")
+  }
+
   test("new entities land in their buckets; merge into missing feature fails loudly") {
     val store = new BucketedStore(tmpDir("bstore"), numBuckets = 4)
     store.write(Seq((1L, "a")).toDF("id", "x"), "g", Seq("id"))
