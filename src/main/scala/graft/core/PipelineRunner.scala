@@ -49,6 +49,59 @@ object PipelineRunner {
     done.toMap
   }
 
+  /** [[run]] against a [[BucketedStore]]: identical memoization semantics,
+    * but the upsert is the FILE-LEVEL merge — only the hash-buckets the
+    * novel records touch get rewritten, so an incremental run's write cost
+    * is proportional to the change, not the table. */
+  def runBucketed(
+      feature: FeatureDef,
+      input: DataFrame,
+      store: BucketedStore,
+      registry: Registry,
+      checks: Seq[Check] = Seq.empty)
+      (implicit spark: SparkSession): RunResult = {
+    val startedAt = new java.sql.Timestamp(System.currentTimeMillis())
+    val runId = java.util.UUID.randomUUID().toString
+    val transformed = Versioning.withSystemColumns(feature.transform(input), feature)
+    val memoKey = feature.entityKeys :+ Versioning.DataHashCol :+ Versioning.CodeVersionCol
+    val novel = store.latestVersion(feature.name) match {
+      case None => transformed
+      case Some(_) =>
+        val storedIds = store.read(feature.name, feature.entityKeys).select(memoKey.map(col): _*)
+        transformed.join(storedIds, memoKey, "left_anti")
+    }
+    novel.cache()
+    try {
+      val nNovel = novel.count()
+      val memoHit = nNovel == 0 && store.latestVersion(feature.name).isDefined
+      val storeVersion =
+        if (memoHit) store.latestVersion(feature.name).get
+        else if (store.latestVersion(feature.name).isEmpty)
+          store.write(novel, feature.name, feature.entityKeys)
+        else store.merge(feature.name, novel, feature.entityKeys)
+      val materialized = store.read(feature.name, feature.entityKeys)
+      val row = materialized.agg(
+        sum(col(Versioning.DataHashCol).cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__h"),
+        (count(lit(1)).as("__n") +: checks.map(_.agg)): _*).collect()(0)
+      val hashSum = if (row.isNullAt(0)) "0" else row.getDecimal(0).toBigInteger.toString(16)
+      val nRows = row.getLong(1)
+      val checkResults = checks.zipWithIndex.map { case (c, i) =>
+        val v = row.get(i + 2)
+        CheckResult(c.name, v != null && c.pass(v), String.valueOf(v))
+      }
+      val failures = checkResults.filterNot(_.passed).map(r => s"${r.name}=${r.observed}")
+      val report = RunReport(feature.name, runId, feature.codeVersion,
+        s"$hashSum-$nRows", fingerprint = "", storeVersion = storeVersion,
+        nRows = nRows, nNovel = nNovel, memoHit = memoHit,
+        status = if (failures.isEmpty) "ok" else "check_failed",
+        startedAt = startedAt,
+        finishedAt = new java.sql.Timestamp(System.currentTimeMillis()),
+        checkFailures = failures)
+      registry.record(report)
+      RunResult(report, memoHit)
+    } finally novel.unpersist()
+  }
+
   def run(
       feature: FeatureDef,
       input: DataFrame,

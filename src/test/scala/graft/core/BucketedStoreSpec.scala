@@ -60,4 +60,26 @@ class BucketedStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       store.merge("nope", Seq((1L, "a")).toDF("id", "x"), Seq("id")))
   }
+
+  test("runBucketed: memoizing runner over file-level merge") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("brun")
+    val store = new BucketedStore(root, numBuckets = 16)
+    val registry = new Registry(root)
+    val feature = FeatureDef("cust_stats", Seq("c_custkey"), "v1",
+      df => df.groupBy("c_custkey").agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend")))
+    val input = graft.Tables.load(spark, sfDir, "customer")
+      .join(graft.Tables.load(spark, sfDir, "orders"), col("c_custkey") === col("o_custkey"))
+    val r1 = PipelineRunner.runBucketed(feature, input, store, registry,
+      checks = Seq(Checks.unique(Seq("c_custkey"))))
+    assert(!r1.memoHit && r1.report.status == "ok")
+    // rerun: record-level memo hit, no new version
+    val r2 = PipelineRunner.runBucketed(feature, input, store, registry)
+    assert(r2.memoHit && r2.report.nNovel == 0 && r2.report.storeVersion == r1.report.storeVersion)
+    // one changed entity -> one novel record, tiny rewrite
+    val changed = input.filter(col("o_orderkey") =!= input.select(min("o_orderkey")).collect()(0).getLong(0))
+    val r3 = PipelineRunner.runBucketed(feature, changed, store, registry)
+    assert(r3.report.nNovel == 1 && r3.report.nRows == r1.report.nRows)
+  }
 }
