@@ -459,7 +459,8 @@ object SparkEntry {
         regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
         levenshtein(col("p_brand"), lit("Brand#11")).as("lev"),
         trim(col("p_name")).as("trimmed"),
-        split(col("p_type"), " ").as("type_words"))
+        // serialized: the driver's pandas-based checker cannot hash ARRAY cells
+        array_join(split(col("p_type"), " "), ",").as("type_words"))
         .orderBy("p_partkey"),
       Some("""
         SELECT p_partkey,
@@ -473,7 +474,7 @@ object SparkEntry {
           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
           levenshtein(p_brand, 'Brand#11') AS lev,
           trim(p_name) AS trimmed,
-          string_split(p_type, ' ') AS type_words
+          array_to_string(string_split(p_type, ' '), ',') AS type_words
         FROM part ORDER BY p_partkey""")),
 
     // -- q23: date/time function family --------------------------------------
@@ -514,8 +515,8 @@ object SparkEntry {
         .select(
           col("l_orderkey"), col("l_linenumber"),
           abs(col("l_extendedprice") - 30000.0).as("abs_diff"),
-          ceil(col("l_extendedprice")).as("ceil_p"),
-          floor(col("l_extendedprice")).as("floor_p"),
+          ceil(col("l_extendedprice")).cast("double").as("ceil_p"),
+          floor(col("l_extendedprice")).cast("double").as("floor_p"),
           round(dec(col("l_extendedprice")), 1).cast("double").as("round1"),
           sqrt(col("l_quantity")).as("sqrt_q"),
           pow(col("l_quantity"), 2).as("qty_sq"),
