@@ -544,9 +544,15 @@ object SparkEntry {
         col("vec_id"),
         size(col("embedding")).as("dim"),
         element_at(col("embedding"), 1).as("e1"),
-        slice(col("embedding"), 1, 3).as("first3"),
-        sequence(lit(1), (col("vec_id") % 5 + 1).cast("int")).as("seq"),
-        transform(sequence(lit(1), (col("vec_id") % 5 + 1).cast("int")), x => x * x).as("squares"),
+        // arrays serialized to strings: the driver's pandas checker cannot hash
+        // ARRAY cells; float elements quantized to 1e-6 so both engines render
+        // the identical integer string
+        array_join(transform(slice(col("embedding"), 1, 3),
+          x => round(x.cast("double") * 1e6).cast("bigint").cast("string")), ",").as("first3"),
+        array_join(transform(sequence(lit(1), (col("vec_id") % 5 + 1).cast("int")),
+          x => x.cast("string")), ",").as("seq"),
+        array_join(transform(sequence(lit(1), (col("vec_id") % 5 + 1).cast("int")),
+          x => (x * x).cast("string")), ",").as("squares"),
         aggregate(sequence(lit(1), (col("vec_id") % 5 + 1).cast("int")),
           lit(0), (acc, x) => acc + x).as("seq_sum"),
         array_contains(sequence(lit(1), (col("vec_id") % 5 + 1).cast("int")), 3).as("has3"))
@@ -555,9 +561,10 @@ object SparkEntry {
         SELECT vec_id,
           len(embedding) AS dim,
           embedding[1] AS e1,
-          embedding[1:3] AS first3,
-          range(1, (vec_id % 5 + 1)::INT + 1) AS seq,
-          list_transform(range(1, (vec_id % 5 + 1)::INT + 1), x -> x * x) AS squares,
+          array_to_string(list_transform(embedding[1:3],
+            x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)), ',') AS first3,
+          array_to_string(range(1, (vec_id % 5 + 1)::INT + 1), ',') AS seq,
+          array_to_string(list_transform(range(1, (vec_id % 5 + 1)::INT + 1), x -> x * x), ',') AS squares,
           CAST(list_sum(range(1, (vec_id % 5 + 1)::INT + 1)) AS INT) AS seq_sum,
           list_contains(range(1, (vec_id % 5 + 1)::INT + 1), 3) AS has3
         FROM embeddings ORDER BY vec_id""")),
@@ -567,32 +574,33 @@ object SparkEntry {
       (s, dir) => T(s, dir, "embeddings")
         .select(col("vec_id"), sequence(lit(1), (col("vec_id") % 5 + 2).cast("int")).as("arr"))
         .select(col("vec_id"),
-          flatten(array(col("arr"), col("arr"))).as("doubled"),
+          // arrays serialized: the driver's pandas checker cannot hash ARRAY cells
+          array_join(flatten(array(col("arr"), col("arr"))).cast("array<string>"), ",").as("doubled"),
           array_position(col("arr"), 2).as("pos2"),
           array_position(col("arr"), 99).as("pos99"),
-          array_repeat(col("vec_id") % 3, 3).as("repeated"),
+          array_join(array_repeat(col("vec_id") % 3, 3).cast("array<string>"), ",").as("repeated"),
           array_join(transform(col("arr"), x => x.cast("string")), "-").as("joined"),
           arrays_overlap(col("arr"), array(lit(3L), lit(99L))).as("has3or99"),
-          array_remove(col("arr"), 2).as("no2"),
+          array_join(array_remove(col("arr"), 2).cast("array<string>"), ",").as("no2"),
           array_max(col("arr")).as("mx"),
           array_min(col("arr")).as("mn"),
-          reverse(col("arr")).as("rev"),
-          sort_array(col("arr"), asc = false).as("descsort"))
+          array_join(reverse(col("arr")).cast("array<string>"), ",").as("rev"),
+          array_join(sort_array(col("arr"), asc = false).cast("array<string>"), ",").as("descsort"))
         .orderBy("vec_id"),
       Some("""
         WITH b AS (SELECT vec_id, range(1, (vec_id % 5 + 2)::INT + 1) AS arr FROM embeddings)
         SELECT vec_id,
-          flatten([arr, arr]) AS doubled,
+          array_to_string(flatten([arr, arr]), ',') AS doubled,
           CAST(list_position(arr, 2) AS BIGINT) AS pos2,
-          CAST(list_position(arr, 99) AS BIGINT) AS pos99,
-          list_transform(range(0,3), i -> vec_id % 3) AS repeated,
+          CAST(coalesce(list_position(arr, 99), 0) AS BIGINT) AS pos99,
+          array_to_string(list_transform(range(0,3), i -> vec_id % 3), ',') AS repeated,
           array_to_string(arr, '-') AS joined,
           list_has_any(arr, [3, 99]) AS has3or99,
-          list_filter(arr, x -> x != 2) AS no2,
+          array_to_string(list_filter(arr, x -> x != 2), ',') AS no2,
           list_max(arr) AS mx,
           list_min(arr) AS mn,
-          list_reverse(arr) AS rev,
-          list_sort(arr, 'DESC') AS descsort
+          array_to_string(list_reverse(arr), ',') AS rev,
+          array_to_string(list_sort(arr, 'DESC'), ',') AS descsort
         FROM b ORDER BY vec_id""")),
 
     // -- q88: regexp family (extract_all / count / full-match split) ----------
@@ -600,7 +608,8 @@ object SparkEntry {
       (s, dir) => T(s, dir, "part")
         .filter(col("p_partkey") < 300)
         .select(col("p_partkey"),
-          expr("regexp_extract_all(p_name, '[aeiou]+', 0)").as("vowel_runs"),
+          // serialized: the driver's pandas checker cannot hash ARRAY cells
+          array_join(expr("regexp_extract_all(p_name, '[aeiou]+', 0)"), ",").as("vowel_runs"),
           size(expr("regexp_extract_all(p_name, '[aeiou]+', 0)")).as("n_vowel_runs"),
           regexp_replace(col("p_type"), "(ED|SS)", "<$1>").as("marked"),
           col("p_brand").rlike("#[0-9]{2}$").as("two_digit_brand"),
@@ -608,7 +617,7 @@ object SparkEntry {
         .orderBy("p_partkey"),
       Some("""
         SELECT p_partkey,
-          regexp_extract_all(p_name, '[aeiou]+') AS vowel_runs,
+          array_to_string(regexp_extract_all(p_name, '[aeiou]+'), ',') AS vowel_runs,
           len(regexp_extract_all(p_name, '[aeiou]+')) AS n_vowel_runs,
           regexp_replace(p_type, '(ED|SS)', '<\1>', 'g') AS marked,
           regexp_matches(p_brand, '#[0-9]{2}$') AS two_digit_brand,
@@ -743,13 +752,14 @@ object SparkEntry {
         .filter(col("o_custkey") < 50)
         .groupBy("o_custkey")
         .agg(
-          sort_array(collect_list(col("o_orderstatus"))).as("statuses"),
-          sort_array(collect_set(col("o_orderpriority"))).as("priorities"))
+          // serialized: the driver's pandas checker cannot hash ARRAY cells
+          array_join(sort_array(collect_list(col("o_orderstatus"))), ",").as("statuses"),
+          array_join(sort_array(collect_set(col("o_orderpriority"))), ",").as("priorities"))
         .orderBy("o_custkey"),
       Some("""
         SELECT o_custkey,
-          list_sort(list(o_orderstatus)) AS statuses,
-          list_sort(list(DISTINCT o_orderpriority)) AS priorities
+          array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses,
+          array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities
         FROM orders WHERE o_custkey < 50
         GROUP BY o_custkey ORDER BY o_custkey""")),
 
@@ -847,21 +857,30 @@ object SparkEntry {
             struct(lit("bal").as("k"), col("c_acctbal").as("v")),
             struct(lit("key2x").as("k"), (col("c_custkey") * 2).cast("double").as("v")))).as("m"))
         .select(col("c_custkey"),
-          map_keys(col("m")).as("ks"),
-          map_values(col("m")).as("vs"),
+          // arrays serialized to strings for the driver's pandas checker;
+          // double elements quantized to 1e-4 so both engines render identically
+          array_join(map_keys(col("m")), ",").as("ks"),
+          array_join(transform(map_values(col("m")),
+            v => round(v * 10000).cast("bigint").cast("string")), ",").as("vs"),
           element_at(col("m"), "bal").as("bal"),
           size(map_entries(col("m"))).as("n_entries"),
-          map_values(map_filter(col("m"), (_, v) => v > 50)).as("big_vals"),
-          map_values(transform_values(col("m"), (_, v) => v * 10)).as("vals_x10"))
+          array_join(transform(map_values(map_filter(col("m"), (_, v) => v > 50)),
+            v => round(v * 10000).cast("bigint").cast("string")), ",").as("big_vals"),
+          array_join(transform(map_values(transform_values(col("m"), (_, v) => v * 10)),
+            v => round(v * 10000).cast("bigint").cast("string")), ",").as("vals_x10"))
         .orderBy("c_custkey"),
       Some("""
         SELECT c_custkey,
-          ['bal', 'key2x'] AS ks,
-          [c_acctbal, CAST(c_custkey * 2 AS DOUBLE)] AS vs,
+          'bal,key2x' AS ks,
+          array_to_string(list_transform([c_acctbal, CAST(c_custkey * 2 AS DOUBLE)],
+            v -> CAST(round(v * 10000) AS BIGINT)), ',') AS vs,
           c_acctbal AS bal,
           2 AS n_entries,
-          list_filter([c_acctbal, CAST(c_custkey * 2 AS DOUBLE)], v -> v > 50) AS big_vals,
-          [c_acctbal * 10, CAST(c_custkey * 2 AS DOUBLE) * 10] AS vals_x10
+          coalesce(array_to_string(list_transform(
+            list_filter([c_acctbal, CAST(c_custkey * 2 AS DOUBLE)], v -> v > 50),
+            v -> CAST(round(v * 10000) AS BIGINT)), ','), '') AS big_vals,
+          array_to_string(list_transform([c_acctbal * 10, CAST(c_custkey * 2 AS DOUBLE) * 10],
+            v -> CAST(round(v * 10000) AS BIGINT)), ',') AS vals_x10
         FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""")),
 
     // -- q42: posexplode + explode_outer ---------------------------------------
@@ -1085,12 +1104,16 @@ object SparkEntry {
         .groupBy("l_returnflag")
         .agg(
           expr("median(l_quantity)").as("med_qty"),
-          expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("quartiles"))
+          // serialized: quartiles quantized to 1e-4 per element, then joined,
+          // so the driver's pandas checker can hash the cell
+          array_join(transform(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))"),
+            v => round(v * 10000).cast("bigint").cast("string")), ",").as("quartiles"))
         .orderBy("l_returnflag"),
       Some("""
         SELECT l_returnflag,
           median(l_quantity) AS med_qty,
-          quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS quartiles
+          array_to_string(list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+            v -> CAST(round(v * 10000) AS BIGINT)), ',') AS quartiles
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 
