@@ -45,24 +45,42 @@ object Bench {
         case _ => df
       }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // best of 2: first execution pays plan + Janino codegen compilation,
-      // the repeat measures the query; min is the standard noise reducer
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try stripProtocolSort(fn(spark, sfDir)).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // ops that self-join persist their profile frame; drop it so cached
-        // partitions don't accumulate across 60+ queries and squeeze the pool
-        spark.catalog.clearCache()
-        dt
-      }
-      name -> times.min
+    // per-query protocol: 1 discarded warm-up run (plan + Janino codegen
+    // compilation), then `runs` measured runs, report the MEDIAN. The sandbox
+    // swings identical bytecode up to 12x run-to-run; a single min-of-2 can't
+    // separate regression from noise, a median can.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    def sec(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      val dt = (System.nanoTime() - t0) / 1e9
+      // ops that self-join persist their profile frame; drop it so cached
+      // partitions don't accumulate across 60+ queries and squeeze the pool
+      spark.catalog.clearCache()
+      dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def fmt(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var failed = false
+      def once(): Double = sec {
+        try stripProtocolSort(fn(spark, sfDir)).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          failed = true; System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+      }
+      once() // warm-up, discarded
+      val times = (1 to runs).map(_ => once()).sorted
+      val median = times(times.length / 2)
+      // per-query progress line — anything the log tail truncates is
+      // recoverable from these; the machine-readable total comes LAST
+      println(s"""{"query":"$name","sec":${fmt(median)},"runs":[${times.map(fmt).mkString(",")}]${if (failed) ",\"failed\":true" else ""}}""")
+      name -> median
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the ONE contract line, printed last so the driver's tail capture can
+    // never truncate it (r1-r4 lost the total + q01-q16 to exactly that)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

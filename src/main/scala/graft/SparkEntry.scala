@@ -624,14 +624,13 @@ object SparkEntry {
           regexp_extract(p_type, '^([A-Z]+)', 1) AS first_word
         FROM part WHERE p_partkey < 300 ORDER BY p_partkey""")),
 
-    // -- q26: JSON extraction --------------------------------------------------
+    // -- q26: JSON extraction — ONE parse per row (json_tuple is a generator,
+    //    so the string is parsed once; the int view is a cast of that output,
+    //    not a second from_json/get_json_object pass over the raw string) ----
     Q("q26_json_funcs",
-      (s, dir) => T(s, dir, "events").select(
-        col("event_id"),
-        get_json_object(col("props"), "$.k").as("k_str"),
-        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
-          .getField("k").as("k_int"))
+      (s, dir) => T(s, dir, "events")
+        .select(col("event_id"), json_tuple(col("props"), "k").as("k_str"))
+        .select(col("event_id"), col("k_str"), col("k_str").cast("int").as("k_int"))
         .orderBy("event_id"),
       Some("""
         SELECT event_id,
@@ -870,18 +869,22 @@ object SparkEntry {
             v => round(v * 10000).cast("bigint").cast("string")), ",").as("vals_x10"))
         .orderBy("c_custkey"),
       Some("""
+        WITH m AS (
+          SELECT c_custkey,
+                 map(['bal','key2x'], [c_acctbal, CAST(c_custkey * 2 AS DOUBLE)]) AS m
+          FROM customer WHERE c_custkey < 100)
         SELECT c_custkey,
-          'bal,key2x' AS ks,
-          array_to_string(list_transform([c_acctbal, CAST(c_custkey * 2 AS DOUBLE)],
+          array_to_string(map_keys(m), ',') AS ks,
+          array_to_string(list_transform(map_values(m),
             v -> CAST(round(v * 10000) AS BIGINT)), ',') AS vs,
-          c_acctbal AS bal,
-          2 AS n_entries,
+          map_extract(m, 'bal')[1] AS bal,
+          CAST(cardinality(m) AS INT) AS n_entries,
           coalesce(array_to_string(list_transform(
-            list_filter([c_acctbal, CAST(c_custkey * 2 AS DOUBLE)], v -> v > 50),
+            list_filter(map_values(m), v -> v > 50),
             v -> CAST(round(v * 10000) AS BIGINT)), ','), '') AS big_vals,
-          array_to_string(list_transform([c_acctbal * 10, CAST(c_custkey * 2 AS DOUBLE) * 10],
-            v -> CAST(round(v * 10000) AS BIGINT)), ',') AS vals_x10
-        FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""")),
+          array_to_string(list_transform(map_values(m),
+            v -> CAST(round((v * 10) * 10000) AS BIGINT)), ',') AS vals_x10
+        FROM m ORDER BY c_custkey""")),
 
     // -- q42: posexplode + explode_outer ---------------------------------------
     Q("q42_posexplode",
@@ -1114,7 +1117,172 @@ object SparkEntry {
           median(l_quantity) AS med_qty,
           array_to_string(list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
             v -> CAST(round(v * 10000) AS BIGINT)), ',') AS quartiles
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // -- q92: soundex over the part-name vocabulary. DuckDB 1.0 has no soundex,
+    //    so the oracle is a CASE table generated from an INDEPENDENT
+    //    implementation of the public algorithm (standard American Soundex,
+    //    H/W transparent, vowels reset — same spec Spark implements); the
+    //    ELSE '??' arm turns any vocabulary drift into a loud mismatch.
+    //    Public test vectors (Robert→R163 &c.) are asserted in ScalarFuncsSpec.
+    Q("q92_soundex",
+      (s, dir) => T(s, dir, "part")
+        .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("word"))
+        .select(col("p_partkey"), col("word"), soundex(col("word")).as("sdx"))
+        .orderBy("p_partkey", "word"),
+      Some("""
+        WITH w AS (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part)
+        SELECT p_partkey, word,
+          CASE word
+            WHEN 'AUTOMOBILE' THEN 'A351'
+            WHEN 'BUILDING' THEN 'B435'
+            WHEN 'ECONOMY' THEN 'E255'
+            WHEN 'FURNITURE' THEN 'F653'
+            WHEN 'HOUSEHOLD' THEN 'H243'
+            WHEN 'LARGE' THEN 'L620'
+            WHEN 'MACHINERY' THEN 'M256'
+            WHEN 'MEDIUM' THEN 'M350'
+            WHEN 'PROMO' THEN 'P650'
+            WHEN 'SMALL' THEN 'S540'
+            WHEN 'STANDARD' THEN 'S353'
+            WHEN 'anvil' THEN 'A514'
+            WHEN 'blue' THEN 'B400'
+            WHEN 'bolt' THEN 'B430'
+            WHEN 'cold' THEN 'C430'
+            WHEN 'gear' THEN 'G600'
+            WHEN 'gizmo' THEN 'G250'
+            WHEN 'hot' THEN 'H300'
+            WHEN 'large' THEN 'L620'
+            WHEN 'new' THEN 'N000'
+            WHEN 'old' THEN 'O430'
+            WHEN 'plate' THEN 'P430'
+            WHEN 'red' THEN 'R300'
+            WHEN 'ring' THEN 'R520'
+            WHEN 'rod' THEN 'R300'
+            WHEN 'small' THEN 'S540'
+            WHEN 'widget' THEN 'W323'
+            ELSE '??' END AS sdx
+        FROM w ORDER BY p_partkey, word""")),
+
+    // -- q93: datetime long tail: months_between / from_unixtime /
+    //    make_timestamp / unix_timestamp. DuckDB has no months_between, so the
+    //    oracle reproduces Spark's documented formula (whole months + residual
+    //    days/31; the anchor's day-of-month is 1, so the day1==day2 and
+    //    both-last-day special cases collapse into the same expression).
+    Q("q93_datetime_extras",
+      (s, dir) => T(s, dir, "orders").select(
+        col("o_orderkey"),
+        round(months_between(col("o_orderdate"), lit("1995-01-01").cast("timestamp")) * 10000)
+          .cast("bigint").as("mb_q"),
+        from_unixtime(unix_timestamp(col("o_orderdate"))).as("fu"),
+        unix_timestamp(col("o_orderdate")).as("ut"),
+        expr("make_timestamp(year(o_orderdate), month(o_orderdate), day(o_orderdate), 10, 30, 0)").as("mk"))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey,
+          CAST(round(((date_part('year', o_orderdate) - 1995) * 12
+                      + (date_part('month', o_orderdate) - 1)
+                      + (date_part('day', o_orderdate) - 1) / 31.0) * 10000) AS BIGINT) AS mb_q,
+          strftime(make_timestamp(CAST(epoch(o_orderdate) AS BIGINT) * 1000000),
+                   '%Y-%m-%d %H:%M:%S') AS fu,
+          CAST(epoch(o_orderdate) AS BIGINT) AS ut,
+          make_timestamp(date_part('year', o_orderdate), date_part('month', o_orderdate),
+                         date_part('day', o_orderdate), 10, 30, 0) AS mk
+        FROM orders ORDER BY o_orderkey""")),
+
+    // -- q94: to_json / json_tuple round-trip (structured -> JSON -> extract) --
+    Q("q94_json_roundtrip",
+      (s, dir) => T(s, dir, "customer")
+        .select(col("c_custkey"),
+          to_json(struct(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))).as("js"))
+        .select(col("c_custkey"), col("js"), json_tuple(col("js"), "seg").as("seg_back"))
+        .orderBy("c_custkey"),
+      Some("""
+        WITH j AS (
+          SELECT c_custkey, to_json({'k': c_custkey, 'seg': c_mktsegment}) AS js
+          FROM customer)
+        SELECT c_custkey, CAST(js AS VARCHAR) AS js,
+               json_extract_string(js, '$.seg') AS seg_back
+        FROM j ORDER BY c_custkey""")),
+
+    // -- q95: binary-codec family: base64/unbase64, hex/unhex, round-trips.
+    //    crc32/sha1 exist in Spark but not DuckDB 1.0 — they are verified
+    //    against public test vectors in ScalarFuncsSpec instead.
+    //    Spark's base64 is MIME-chunked (CRLF every 76 chars); DuckDB's
+    //    to_base64 is not — strip the fold for the comparison (unbase64
+    //    accepts both, so the round-trip still proves the codec).
+    Q("q95_binary_funcs",
+      (s, dir) => {
+        val bin = col("text").cast("binary")
+        T(s, dir, "documents").select(
+          col("doc_id"),
+          translate(base64(bin), "\r\n", "").as("b64"),
+          decode(unbase64(base64(bin)), "UTF-8").as("b64_round"),
+          lower(hex(bin)).as("hx"),
+          decode(unhex(hex(bin)), "UTF-8").as("hx_round"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+          to_base64(CAST(text AS BLOB)) AS b64,
+          text AS b64_round,
+          lower(hex(CAST(text AS BLOB))) AS hx,
+          text AS hx_round
+        FROM documents ORDER BY doc_id""")),
+
+    // -- q96: array zip/HOF long tail: arrays_zip, zip_with, exists, forall ----
+    Q("q96_array_zip_hofs",
+      (s, dir) => T(s, dir, "part")
+        .select(col("p_partkey"), split(col("p_name"), " ").as("toks"))
+        .select(col("p_partkey"), col("toks"),
+          transform(col("toks"), t => length(t)).as("lens"))
+        .select(col("p_partkey"),
+          array_join(zip_with(col("toks"), col("lens"),
+            (t, l) => concat_ws(":", t, l)), ",").as("zipped"),
+          array_join(transform(arrays_zip(col("toks"), col("lens")),
+            x => concat_ws("@", x.getField("toks"), x.getField("lens"))), ",").as("az"),
+          exists(col("lens"), l => l > 5).as("has_long"),
+          forall(col("lens"), l => l >= 3).as("all_ge3"))
+        .orderBy("p_partkey"),
+      Some("""
+        WITH a AS (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part),
+        b AS (SELECT p_partkey, toks, list_transform(toks, t -> len(t)) AS lens FROM a)
+        SELECT p_partkey,
+          array_to_string(list_transform(range(1, len(toks) + 1),
+            i -> toks[i] || ':' || CAST(lens[i] AS VARCHAR)), ',') AS zipped,
+          array_to_string(list_transform(range(1, len(toks) + 1),
+            i -> toks[i] || '@' || CAST(lens[i] AS VARCHAR)), ',') AS az,
+          len(list_filter(lens, l -> l > 5)) > 0 AS has_long,
+          len(list_filter(lens, l -> l < 3)) = 0 AS all_ge3
+        FROM b ORDER BY p_partkey""")),
+
+    // -- q97: map construction long tail: map_concat + map_from_entries --------
+    Q("q97_map_extras",
+      (s, dir) => {
+        val m = map_concat(
+          map_from_arrays(array(lit("a")), array(col("c_acctbal"))),
+          map_from_entries(array(struct(lit("b").as("k"),
+            (col("c_custkey") * 2).cast("double").as("v")))))
+        T(s, dir, "customer").select(col("c_custkey"), m.as("m"))
+          .select(col("c_custkey"),
+            array_join(map_keys(col("m")), ",").as("ks"),
+            array_join(transform(map_values(col("m")),
+              v => round(v * 10000).cast("bigint").cast("string")), ",").as("vs"),
+            element_at(col("m"), "b").as("b_val"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        WITH m AS (
+          SELECT c_custkey,
+                 map_concat(map(['a'], [c_acctbal]),
+                            map_from_entries([{'k': 'b', 'v': CAST(c_custkey * 2 AS DOUBLE)}])) AS m
+          FROM customer)
+        SELECT c_custkey,
+          array_to_string(map_keys(m), ',') AS ks,
+          array_to_string(list_transform(map_values(m),
+            v -> CAST(round(v * 10000) AS BIGINT)), ',') AS vs,
+          map_extract(m, 'b')[1] AS b_val
+        FROM m ORDER BY c_custkey"""))
   )
 
   /** Temporal / event-stream coverage (as-of join, tumbling + session windows). */
@@ -1164,22 +1332,36 @@ object SparkEntry {
           ON v.user_id = p.user_id AND v.ts <= p.ts
         ORDER BY v.user_id, v.event_id""")),
 
-    // -- q82: salted skew join == plain join (hot-key spreading) -------------
+    // -- q82: salted skew join ON AN ACTUALLY SKEWED KEY -----------------------
+    // ~30% of lineitem rows are remapped onto one hot orderkey, then joined
+    // shuffle-style (broadcast suppressed via hint) so the hot key would land
+    // on ONE reducer without salting. q82b is the unsalted twin — same data,
+    // same plan shape minus the salt — so BENCH_r* records the head-to-head.
     Q("q82_salted_join",
       (s, dir) => {
-        val li = T(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
-        val ord = T(s, dir, "orders").select("o_orderkey", "o_orderpriority")
-          .withColumnRenamed("o_orderkey", "l_orderkey")
-        ops.SkewJoin.saltedEquiJoin(li, ord, Seq("l_orderkey"), salts = 8)
+        ops.SkewJoin.saltedEquiJoin(
+            skewedLineitem(s, dir), T(s, dir, "orders")
+              .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+              .hint("shuffle_hash"),
+            Seq("k"), salts = 8)
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
           .orderBy("o_orderpriority")
       },
-      Some("""
-        SELECT o_orderpriority, count(*) AS n,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+      Some(skewedJoinOracle)),
+
+    // -- q82b: the unsalted control for q82 (same skewed fixture) --------------
+    Q("q82b_plain_join_skewed",
+      (s, dir) => {
+        skewedLineitem(s, dir)
+          .join(T(s, dir, "orders")
+            .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+            .hint("shuffle_hash"), Seq("k"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some(skewedJoinOracle)),
 
     // -- q89: big-big interval join via bucketized equi prefilter ------------
     Q("q89_bucketed_range_join",
@@ -1245,6 +1427,22 @@ object SparkEntry {
         FROM sess GROUP BY user_id, sid
         ORDER BY user_id, session_start"""))
   )
+
+  /** Skewed join fixture shared by q82/q82b: ~30% of lineitem rows collapse
+    * onto orderkey 1 (a real hot key), the rest keep their own key. */
+  private def skewedLineitem(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem").select(
+      when(col("l_orderkey") % 10 < 3, lit(1L)).otherwise(col("l_orderkey")).as("k"),
+      col("l_quantity"))
+
+  private val skewedJoinOracle = """
+    WITH li AS (
+      SELECT CASE WHEN l_orderkey % 10 < 3 THEN 1 ELSE l_orderkey END AS k, l_quantity
+      FROM lineitem)
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM li JOIN orders ON k = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
   // Shared SQL fragments for the north-star oracles (kept in lockstep with
   // graft.ops.{Dedup,Similarity,TextOps} — same constants, same hash scheme).

@@ -262,10 +262,18 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src").withColumnRenamed("rep", "nrep"), Seq("src"))
         .select(col("dst").as("id"), col("nrep").as("rep"))
-      val next = labels.select(col("id"), col("rep"))
+      val grown = labels.select(col("id"), col("rep"))
         .union(viaNeighbors)
         .groupBy("id").agg(min("rep").as("rep"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // every 3rd round, TRUNCATE the lineage: the logical plan otherwise
+      // chains through all prior rounds, so at 100 TB one evicted cached
+      // partition cascades recompute to round 0 and the driver holds an
+      // ever-deeper plan. localCheckpoint is eager and persists the result,
+      // so it doubles as this round's materializing action.
+      val checkpointRound = iter % 3 == 2
+      val next =
+        if (checkpointRound) grown.localCheckpoint()
+        else grown.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val s = next.agg(sum(col("rep").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .collect()(0).getDecimal(0)
       labels.unpersist()
@@ -298,9 +306,19 @@ object Dedup {
         .select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
 
   /** Exact dedup: keep the smallest id per content digest. One shuffle keyed
-    * on the 32-byte digest; the raw payload never shuffles. */
+    * on the 16-byte digest; the raw payload never shuffles.
+    *
+    * Multi-column content digests a JSON rendering of the column struct, NOT
+    * a separator-joined concat: field boundaries always survive (a value
+    * containing the separator byte can't shift them — ("ab","c") ≠ ("a","bc")
+    * for every input), and NULL stays distinct from "" because concat_ws
+    * SKIPS nulls while JSON renders them. Single-column keeps the direct md5
+    * (same digest any engine computes from the raw value). */
   def exactByContent(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
-    val digest = md5(concat_ws("", contentCols.map(col): _*))
+    val digest = contentCols match {
+      case Seq(one) => md5(col(one).cast("string"))
+      case cols     => md5(to_json(struct(cols.map(col): _*)))
+    }
     df.withColumn("__digest", digest)
       .groupBy("__digest")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))

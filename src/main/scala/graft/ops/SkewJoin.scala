@@ -17,7 +17,12 @@ object SkewJoin {
   def saltedEquiJoin(left: DataFrame, right: DataFrame, on: Seq[String],
                      salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
-    val l = left.withColumn("__salt", (rand(42) * salts).cast("int"))
+    // salt must be a pure function of the ROW, not of task placement:
+    // rand(seed) re-draws per task attempt, so AQE replanning or a retry
+    // re-salts rows non-reproducibly. xxhash64 over the full row spreads a
+    // hot key uniformly and is deterministic everywhere.
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(salts)).cast("int"))
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, on :+ "__salt", joinType).drop("__salt")
   }

@@ -61,6 +61,52 @@ class PlanSpec extends SparkSpec {
       p.contains("CartesianProduct") == false, p)
   }
 
+  test("CBO: ANALYZE stats drive a 3-way join reorder (small table pulled innermost)") {
+    // own session: CBO confs are session-scoped, so the shared spec session
+    // keeps its default (rule-based) behavior
+    val s = spark.newSession()
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // plan .stats is evaluated lazily on THIS thread via SQLConf.get, which
+    // reads the ACTIVE session — newSession() doesn't activate itself, so
+    // without this the rowCount check sees the base session's cbo=false
+    org.apache.spark.sql.SparkSession.setActiveSession(s)
+    try {
+      s.range(3000).selectExpr("id % 50 AS k", "id AS p1")
+        .write.mode("overwrite").saveAsTable("cbo_big1")
+      s.range(3000).selectExpr("id % 50 AS k", "id AS p2")
+        .write.mode("overwrite").saveAsTable("cbo_big2")
+      s.range(10).selectExpr("id AS k", "id AS p3")
+        .write.mode("overwrite").saveAsTable("cbo_small")
+      Seq("cbo_big1", "cbo_big2", "cbo_small").foreach(t =>
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+      // stats are in the catalog and reach the optimizer
+      val rc = s.table("cbo_big1").queryExecution.optimizedPlan.stats.rowCount
+      assert(rc.contains(BigInt(3000)), s"stats missing: $rc")
+      // written worst-first: big1 x big2 (180k intermediate) then small;
+      // CBO must rewire so the 10-row table joins before the big-big pair
+      val q = s.sql(
+        """SELECT count(*) FROM cbo_big1 b1
+           JOIN cbo_big2 b2 ON b1.k = b2.k
+           JOIN cbo_small sm ON b1.k = sm.k""")
+      val joins = q.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      assert(joins.size == 2, q.queryExecution.optimizedPlan.toString)
+      val innermostTables = joins.last.collectLeaves().flatMap(_.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.catalogTable.map(_.identifier.table).getOrElse("")
+      })
+      assert(innermostTables.contains("cbo_small"),
+        s"CBO did not reorder; innermost join reads $innermostTables\n" +
+          q.queryExecution.optimizedPlan.toString)
+    } finally {
+      Seq("cbo_big1", "cbo_big2", "cbo_small").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("memoization anti-join projects only the 3-column memo key from the store") {
     val ord = Tables.load(spark, sfDir, "orders")
     import org.apache.spark.sql.functions._

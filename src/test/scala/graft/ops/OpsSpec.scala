@@ -43,6 +43,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(strict("p1").isEmpty && strict("p2").isEmpty && strict("p3").contains(3.0))
   }
 
+  test("NULL payload on the matched row is NOT back-filled from an older row") {
+    // right row at 11:00 matches but carries v=NULL, w="b"; a per-column fill
+    // would splice v=1.0 from the 09:00 row — the whole-row struct fill must
+    // keep the matched row atomic (Polars/DuckDB asof semantics)
+    val left = Seq(("u1", ts("2024-01-01 12:00:00"), "p")).toDF("k", "lts", "lid")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:00:00"), Some(1.0), "a"),
+      ("u1", ts("2024-01-01 11:00:00"), None, "b")).toDF("k", "rts", "v", "w")
+    val row = AsOfJoin.asofBackward(left, right, Seq("k"), "lts", "rts", Seq("v", "w"))
+      .select("v", "w", "matched_rts").as[(Option[Double], String, java.sql.Timestamp)].head()
+    assert(row == ((None, "b", ts("2024-01-01 11:00:00"))), s"spliced: $row")
+    // forward direction: left at 08:00 matches the 09:00 row; a later NULL-v
+    // row must not leak backwards either — mirror with NULL on the matched row
+    val left2 = Seq(("u1", ts("2024-01-01 10:00:00"), "p")).toDF("k", "lts", "lid")
+    val row2 = AsOfJoin.asofForward(left2, right, Seq("k"), "lts", "rts", Seq("v", "w"))
+      .select("v", "w", "matched_rts").as[(Option[Double], String, java.sql.Timestamp)].head()
+    assert(row2 == ((None, "b", ts("2024-01-01 11:00:00"))), s"spliced: $row2")
+  }
+
   test("tolerance nulls out stale matches") {
     val left = Seq(("u1", ts("2024-01-01 12:00:00"), "p")).toDF("k", "lts", "lid")
     val right = Seq(("u1", ts("2024-01-01 09:00:00"), 7.0)).toDF("k", "rts", "v")
@@ -64,6 +83,22 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.exactByContent(df, "id", Seq("text"))
       .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("multi-column digest preserves field boundaries and null-vs-empty") {
+    // a separator-joined concat collides ("ab","c") with ("a","bc") when a
+    // value contains the separator, and NULL with "" (concat_ws skips nulls);
+    // the JSON-struct digest must keep all five rows distinct
+    // (row 3 embeds the old \u0001 separator byte inside a value)
+    val df = Seq(
+      (1L, "ab", "c"), (2L, "a", "bc"),
+      (3L, "ab", "c"), (4L, null.asInstanceOf[String], ""), (5L, "", null.asInstanceOf[String]))
+      .toDF("id", "x", "y")
+    val out = Dedup.exactByContent(df, "id", Seq("x", "y"))
+    assert(out.count() == 5, "multi-column contents silently merged")
+    // and identical multi-column content still merges
+    val same = Seq((1L, "a", "b"), (2L, "a", "b")).toDF("id", "x", "y")
+    assert(Dedup.exactByContent(same, "id", Seq("x", "y")).count() == 1)
   }
 
   test("dedupCorpusExact keeps one row per distinct content") {
@@ -92,6 +127,19 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     // {1,2,3,9} -> 1, {5,6} -> 5
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("CC loop truncates lineage: plan depth stays bounded over many rounds") {
+    import spark.implicits._
+    // a chain graph needs ~diameter rounds of min-label propagation; without
+    // periodic localCheckpoint the returned frame's logical plan chains
+    // through EVERY round (hundreds of nodes) — the scale-killer at 100 TB
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_l", "id_r")
+    val out = Dedup.nearDupClusters(chain)
+    val depth = out.queryExecution.logical.numberedTreeString.linesIterator.size
+    assert(depth < 80, s"plan depth $depth suggests unbounded lineage")
+    val cc = out.as[(Long, Long)].collect().toMap
+    assert(cc.keySet == (1L to 12L).toSet && cc.values.toSet == Set(1L))
   }
 
   test("dedupCorpusNear keeps one representative per near-dup cluster") {
@@ -185,6 +233,30 @@ class RangeJoinSpec extends SparkSpec {
   test("toLocalIterator streams results without materializing the frame on the driver") {
     val it = spark.range(1000).toDF("id").toLocalIterator()
     assert(it.hasNext && it.next().getLong(0) == 0L)
+  }
+}
+
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join == plain join, and the hot key spreads across all salts") {
+    val salts = 8
+    // 1200 of 2000 left rows share key 1 — the hot key
+    val left = spark.range(2000).select(
+      when(col("id") < 1200, lit(1L)).otherwise(col("id")).as("k"), col("id").as("payload"))
+    val right = spark.range(2000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val plain = left.join(right, Seq("k")).select("payload", "v")
+      .as[(Long, Long)].collect().toSet
+    val salted = SkewJoin.saltedEquiJoin(left, right, Seq("k"), salts).select("payload", "v")
+      .as[(Long, Long)].collect().toSet
+    assert(salted == plain)
+    // the salt is a pure row function: recomputing assigns identical salts
+    val saltExpr = pmod(xxhash64(col("k"), col("payload")), lit(salts))
+    val spread = left.filter(col("k") === 1).select(saltExpr).distinct().count()
+    assert(spread == salts, s"hot key only reached $spread of $salts salt partitions")
+    val a = left.select(saltExpr.as("s")).as[Long].collect()
+    val b = left.select(saltExpr.as("s")).as[Long].collect()
+    assert(a.sameElements(b), "salt assignment must be deterministic")
   }
 }
 
