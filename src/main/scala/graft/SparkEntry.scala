@@ -1332,18 +1332,21 @@ object SparkEntry {
           ON v.user_id = p.user_id AND v.ts <= p.ts
         ORDER BY v.user_id, v.event_id""")),
 
-    // -- q82: salted skew join ON AN ACTUALLY SKEWED KEY -----------------------
+    // -- q82: hot-key salted skew join ON AN ACTUALLY SKEWED KEY ---------------
     // ~30% of lineitem rows are remapped onto one hot orderkey, then joined
     // shuffle-style (broadcast suppressed via hint) so the hot key would land
-    // on ONE reducer without salting. q82b is the unsalted twin — same data,
-    // same plan shape minus the salt — so BENCH_r* records the head-to-head.
+    // on ONE reducer without salting. autoSaltedJoin detects the heavy hitter
+    // from the key-column counts, salts ONLY its rows, and plain-joins the
+    // rest — the 100 TB shape (×salts replication bounded to the hot slice).
+    // q82b is the unsalted twin — same data, same plan shape minus the salt —
+    // so BENCH_r* records the head-to-head.
     Q("q82_salted_join",
       (s, dir) => {
-        ops.SkewJoin.saltedEquiJoin(
+        ops.SkewJoin.autoSaltedJoin(
             skewedLineitem(s, dir), T(s, dir, "orders")
               .select(col("o_orderkey").as("k"), col("o_orderpriority"))
               .hint("shuffle_hash"),
-            Seq("k"), salts = 8)
+            Seq("k"), salts = 8, hotFraction = 0.05)
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
           .orderBy("o_orderpriority")

@@ -59,15 +59,68 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     out.write(json.getBytes(StandardCharsets.UTF_8)); out.close()
   }
 
+  // ---- per-bucket column stats (file-skipping, Delta/Z-order-style) --------
+
+  /** stats = bucket -> col -> (min, max), numeric columns only. Stored as a
+    * TSV sidecar next to the manifest; buckets whose stats column is entirely
+    * NULL carry no entry (a range predicate can't match NULL, so [[scanPruned]]
+    * may still skip them — see there). */
+  private def statsFile(feature: String, v: Long) = new Path(logDir(feature), s"$v.stats.tsv")
+
+  private def readStats(feature: String, v: Long): Map[Int, Map[String, (Double, Double)]] = {
+    val p = statsFile(feature, v)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      txt.linesIterator.filter(_.nonEmpty).toSeq
+        .map { line =>
+          val Array(b, c, mn, mx) = line.split('\t')
+          (b.toInt, c, (mn.toDouble, mx.toDouble))
+        }
+        .groupBy(_._1)
+        .map { case (b, rows) => b -> rows.map(r => r._2 -> r._3).toMap }
+    }
+  }
+
+  private def writeStats(feature: String, v: Long,
+                         stats: Map[Int, Map[String, (Double, Double)]]): Unit = {
+    if (stats.isEmpty) return
+    val txt = stats.toSeq.sortBy(_._1).flatMap { case (b, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) => s"$b\t$c\t$mn\t$mx" }
+    }.mkString("\n")
+    val out = fs.create(statsFile(feature, v), true)
+    out.write(txt.getBytes(StandardCharsets.UTF_8)); out.close()
+  }
+
+  /** One narrow agg pass over the already-bucketed frame: per-bucket min/max
+    * of each stats column, collected to the driver (≤ numBuckets rows). */
+  private def computeStats(bucketed: DataFrame, statsCols: Seq[String]): Map[Int, Map[String, (Double, Double)]] = {
+    if (statsCols.isEmpty) return Map.empty
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"), max(col(c).cast("double")).as(s"__mx_$c")))
+    bucketed.groupBy("__b").agg(aggs.head, aggs.tail: _*).collect().map { row =>
+      val b = row.getInt(0)
+      b -> statsCols.flatMap { c =>
+        val mn = row.getAs[Any](s"__mn_$c"); val mx = row.getAs[Any](s"__mx_$c")
+        if (mn == null || mx == null) None
+        else Some(c -> (mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
+      }.toMap
+    }.toMap
+  }
+
   /** Write `df` as a full new version: every non-empty bucket gets one file
-    * directory. Returns the version. */
-  def write(df: DataFrame, feature: String, entityKeys: Seq[String]): Long = {
+    * directory. `statsCols` (numeric) get per-bucket min/max recorded for
+    * [[scanPruned]] file skipping. Returns the version. */
+  def write(df: DataFrame, feature: String, entityKeys: Seq[String],
+            statsCols: Seq[String] = Nil): Long = {
     val v = latestVersion(feature).map(_ + 1).getOrElse(0L)
     val bucketed = df.withColumn("__b", bucketCol(entityKeys))
     bucketed.write.mode(SaveMode.Overwrite)
       .partitionBy("__b").parquet(s"$root/$feature/files_v$v")
     val buckets = bucketed.select("__b").distinct().collect().map(_.getInt(0))
     writeManifest(feature, v, buckets.map(b => b -> s"files_v$v/__b=$b").toMap)
+    writeStats(feature, v, computeStats(bucketed, statsCols))
     v
   }
 
@@ -113,7 +166,46 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     val newManifest = (manifest -- touched) ++
       newBuckets.map(b => b -> s"files_v$v/__b=$b").toMap
     writeManifest(feature, v, newManifest)
+    // stats: untouched buckets carry forward by reference (their files didn't
+    // change); rewritten buckets recompute over the same columns the previous
+    // version tracked — one narrow agg over only the rewritten slice
+    val prevStats = readStats(feature, prev)
+    val trackedCols = prevStats.values.flatMap(_.keys).toSeq.distinct
+    if (trackedCols.nonEmpty) {
+      val recomputed = computeStats(merged, trackedCols.filter(merged.columns.contains))
+      writeStats(feature, v, (prevStats -- touched) ++ recomputed)
+    }
     v
+  }
+
+  /** Stats-pruned range scan: read ONLY the bucket files whose recorded
+    * [min,max] for `statsCol` intersects [lo,hi] (inclusive), then apply the
+    * filter. Buckets with NO stats entry for the column fall into two cases:
+    * the version tracked the column (entry absent ⇒ the bucket's values are
+    * all NULL ⇒ a range predicate can never match ⇒ skip), or the version
+    * tracked nothing (no sidecar ⇒ cannot skip ⇒ read). At 100 TB this is
+    * the manifest-level analogue of parquet row-group skipping: the planner
+    * touches `numBuckets` stat rows instead of listing every file. */
+  def scanPruned(feature: String, entityKeys: Seq[String], statsCol: String,
+                 lo: Double, hi: Double, asOfVersion: Option[Long] = None): DataFrame = {
+    val v = asOfVersion.orElse(latestVersion(feature))
+      .getOrElse(throw new IllegalArgumentException(s"feature $feature has no versions"))
+    val stats = readStats(feature, v)
+    val manifest = readManifest(feature, v)
+    // a column NO bucket has an entry for is indistinguishable from untracked
+    // (an all-NULL bucket writes no entry) — reading everything is the
+    // conservative-correct answer for both
+    val tracked = stats.values.exists(_.contains(statsCol))
+    val keep = manifest.filter { case (b, _) =>
+      if (!tracked) true
+      else stats.get(b).flatMap(_.get(statsCol)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => false // tracked column, all-NULL bucket: skip
+      }
+    }
+    val pred = col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi)
+    if (keep.isEmpty) read(feature, entityKeys, Some(v)).where(pred).limit(0)
+    else spark.read.parquet(keep.values.map(p => s"$root/$feature/$p").toSeq: _*).where(pred)
   }
 
   /** Point lookup: hash the literal key to its bucket and read ONLY that

@@ -61,6 +61,53 @@ class BucketedStoreSpec extends SparkSpec {
       store.merge("nope", Seq((1L, "a")).toDF("id", "x"), Seq("id")))
   }
 
+  test("scanPruned reads only the bucket files whose min/max intersects the range") {
+    val store = new BucketedStore(tmpDir("bstats"), numBuckets = 4)
+    // craft values DISJOINT per bucket: v = bucket(id)*1000 + id, computing
+    // the bucket with the same hash the store uses, so each file's [min,max]
+    // is a distinct thousand-band and pruning is observable
+    val df = spark.range(100).select(col("id"))
+      .withColumn("b", pmod(xxhash64(col("id")), lit(4)).cast("int"))
+      .select(col("id"), (col("b") * 1000 + col("id")).cast("double").as("v"))
+    store.write(df, "s", Seq("id"), statsCols = Seq("v"))
+
+    val banded = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expect = banded.filter { case (_, v) => v >= 2000 && v <= 2999 }.toSet
+    val pruned = store.scanPruned("s", Seq("id"), "v", 2000, 2999)
+    assert(pruned.select("id", "v").as[(Long, Double)].collect().toSet == expect)
+    // file skipping happened: every scanned file is the one 2xxx bucket dir
+    val dirs = pruned.inputFiles.map(_.split("/__b=")(1).split("/")(0)).distinct
+    assert(dirs.length == 1, s"read ${dirs.toSeq}, wanted 1 bucket")
+
+    // empty intersection: zero files, schema intact
+    val none = store.scanPruned("s", Seq("id"), "v", 99999, 100000)
+    assert(none.count() == 0 && none.columns.contains("v"))
+    // untracked column: conservative full read, still correct
+    val all = store.scanPruned("s", Seq("id"), "id", 10, 20)
+    assert(all.count() == 11)
+  }
+
+  test("merge recomputes stats for rewritten buckets and carries the rest") {
+    val store = new BucketedStore(tmpDir("bstats2"), numBuckets = 4)
+    val df = spark.range(100).select(col("id"))
+      .withColumn("b", pmod(xxhash64(col("id")), lit(4)).cast("int"))
+      .select(col("id"), (col("b") * 1000 + col("id")).cast("double").as("v"))
+    store.write(df, "s", Seq("id"), statsCols = Seq("v"))
+    // push id=7's value far outside its bucket's old band
+    store.merge("s", Seq((7L, 500000.0)).toDF("id", "v"), Seq("id"))
+    val hit = store.scanPruned("s", Seq("id"), "v", 499999, 500001)
+    assert(hit.select("id").as[Long].collect().toSeq == Seq(7L))
+    // the rewritten bucket's max widened to 500000, so only bands BELOW its
+    // min can still prove disjointness — query one of those and expect one file
+    val b7 = spark.range(1).select(pmod(xxhash64(lit(7L)), lit(4)).cast("int")).head().getInt(0)
+    val (target, expectDirs) =
+      if (b7 >= 1) (b7 - 1, 1) // below the widened bucket: prunes to 1 file
+      else (1, 2)              // widened bucket is band 0: overlaps everything
+    val band = store.scanPruned("s", Seq("id"), "v", target * 1000.0, target * 1000.0 + 999)
+    val dirs = band.inputFiles.map(_.split("/__b=")(1).split("/")(0)).distinct
+    assert(dirs.length == expectDirs, s"read ${dirs.toSeq}, wanted $expectDirs")
+  }
+
   test("runBucketed: memoizing runner over file-level merge") {
     import org.apache.spark.sql.functions._
     val root = tmpDir("brun")

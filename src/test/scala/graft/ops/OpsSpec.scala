@@ -258,6 +258,45 @@ class SkewJoinSpec extends SparkSpec {
     val b = left.select(saltExpr.as("s")).as[Long].collect()
     assert(a.sameElements(b), "salt assignment must be deterministic")
   }
+
+  test("hotKeys finds exactly the heavy hitters") {
+    // key 1 owns 60% of rows, key 2 owns 20%, the rest are singletons
+    val left = spark.range(1000).select(
+      when(col("id") < 600, lit(1L)).when(col("id") < 800, lit(2L))
+        .otherwise(col("id")).as("k"))
+    val hot = SkewJoin.hotKeys(left, Seq("k"), hotFraction = 0.1)
+    assert(hot.map(_.head).toSet == Set(1L, 2L), s"got $hot")
+  }
+
+  test("hotKeySaltedJoin == plain join, hot slice salted, cold slice not replicated") {
+    val salts = 4
+    val left = spark.range(500).select(
+      when(col("id") < 300, lit(1L)).otherwise(col("id")).as("k"), col("id").as("payload"))
+    val right = spark.range(500).select(col("id").as("k"), (col("id") * 3).as("v"))
+    val plain = left.join(right, Seq("k")).select("payload", "v")
+      .as[(Long, Long)].collect().toSet
+    val twoPath = SkewJoin.autoSaltedJoin(left, right, Seq("k"), salts, hotFraction = 0.1)
+      .select("payload", "v").as[(Long, Long)].collect().toSet
+    assert(twoPath == plain)
+  }
+
+  test("hotKeySaltedJoin preserves null-keyed rows (cold path) on inner/left") {
+    val left = Seq((Some(1L), "h1"), (Some(1L), "h2"), (None, "ln"), (Some(9L), "lc"))
+      .toDF("k", "payload")
+    val right = Seq((Some(1L), "r1"), (None, "rn"), (Some(7L), "rc")).toDF("k", "v")
+    val hot = Seq(Seq(1L: java.lang.Long))
+    for (jt <- Seq("inner", "left")) {
+      val exp = left.join(right, Seq("k"), jt).select("payload", "v")
+        .as[(Option[String], Option[String])].collect().toSet
+      val got = SkewJoin.hotKeySaltedJoin(left, right, Seq("k"), 4, hot, jt)
+        .select("payload", "v").as[(Option[String], Option[String])].collect().toSet
+      assert(got == exp, s"$jt: $got != $exp")
+    }
+    // right/full outer would multiply unmatched right rows ×salts — refused
+    intercept[IllegalArgumentException] {
+      SkewJoin.hotKeySaltedJoin(left, right, Seq("k"), 4, hot, "full")
+    }
+  }
 }
 
 class SafeMapSpec extends SparkSpec {
