@@ -1282,7 +1282,27 @@ object SparkEntry {
           array_to_string(list_transform(map_values(m),
             v -> CAST(round(v * 10000) AS BIGINT)), ',') AS vs,
           map_extract(m, 'b')[1] AS b_val
-        FROM m ORDER BY c_custkey"""))
+        FROM m ORDER BY c_custkey""")),
+
+    // -- q98: manifest-level data skipping (BucketedStore.scanPruned) ----------
+    //    write orders into a bucketed store with o_totalprice min/max stats,
+    //    then range-scan via the stats — only files whose [min,max] intersects
+    //    the range are read; the result must equal a plain filtered scan.
+    Q("q98_store_pruned_scan",
+      (s, dir) => {
+        val root = s"/tmp/graft_bstore_${dir.replaceAll("[^0-9.]", "")}"
+        val store = new core.BucketedStore(root, numBuckets = 16)(s)
+        store.write(
+          T(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+          "orders_pruned", Seq("o_orderkey"), statsCols = Seq("o_totalprice"))
+        store.scanPruned("orders_pruned", Seq("o_orderkey"), "o_totalprice", 1000.0, 2000.0)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_totalprice BETWEEN 1000.0 AND 2000.0
+        ORDER BY o_orderkey"""))
   )
 
   /** Temporal / event-stream coverage (as-of join, tumbling + session windows). */

@@ -111,11 +111,60 @@ object Similarity {
       Seq(col("cosine").desc, col("corpus_id").asc), k, rankCol = "rank")
   }
 
+  /** Lloyd-refined IVF centroids, fully deterministic: seeds are the first
+    * `nlist` corpus vectors; each iteration assigns every corpus vector to
+    * its nearest centroid (broadcast join — never corpus×corpus) and
+    * recomputes each centroid as the per-dimension MEAN re-quantized to
+    * int64, so downstream dot products stay exact integer arithmetic.
+    * Per-iteration reduction is nlist×dim rows (1k-ish) — driver-safe at any
+    * corpus size. Empty clusters keep their previous centroid. */
+  def kmeansCentroids(corpus: DataFrame, corpusIdCol: String, vecCol: String,
+                      nlist: Int, iters: Int, dim: Int = 64): Seq[(Long, Array[Long])] = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(corpusIdCol).as("corpus_id"), quantize(col(vecCol), dim).as("__cv"))
+      .withColumn("__cn", dotQ(col("__cv"), col("__cv"), dim))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Seq[(Long, Array[Long])] = c.where(col("corpus_id") < nlist)
+        .select(col("corpus_id"), col("__cv")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1).toSeq
+      for (_ <- 0 until iters) {
+        val centDf = spark.createDataFrame(cents.map { case (id, v) => (id, v.toSeq) })
+          .toDF("cent_id", "__centv")
+          .withColumn("__centn", dotQ(col("__centv"), col("__centv"), dim))
+        val assigned = TopK.perGroup(
+          c.join(broadcast(centDf))
+            .select(col("corpus_id"), col("__cv"), col("cent_id"),
+              cosineFromParts(dotQ(col("__cv"), col("__centv"), dim),
+                col("__cn"), col("__centn")).as("__sim")),
+          Seq("corpus_id"), Seq(col("__sim").desc, col("cent_id").asc), 1, rankCol = "__r")
+        // per-(centroid, dim) exact long sums; re-quantized mean on the driver
+        val sums = assigned
+          .select(col("cent_id"), posexplode(col("__cv")).as(Seq("pos", "v")))
+          .groupBy("cent_id", "pos")
+          .agg(sum("v").as("s"), count(lit(1)).as("n"))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        val byCent = sums.groupBy(_._1)
+        cents = cents.map { case (id, prev) =>
+          byCent.get(id) match {
+            case None => id -> prev // empty cluster: keep the old centroid
+            case Some(rows) =>
+              val v = new Array[Long](dim)
+              rows.foreach { case (_, pos, s, n) => v(pos) = math.round(s.toDouble / n) }
+              id -> v
+          }
+        }
+      }
+      cents
+    } finally c.unpersist()
+  }
+
   /** IVF-flat ANN top-k: corpus is partitioned into `nlist` inverted lists by
     * nearest centroid; a query scores only the lists of its `nprobe` nearest
-    * centroids. Centroids are the first `nlist` corpus vectors (deterministic
-    * seeding — a k-means refinement would drop in without changing the
-    * query-side shape, at the cost of oracle reproducibility).
+    * centroids. Centroids are the first `nlist` corpus vectors
+    * (deterministic seeding, oracle-reproducible); `refineIters > 0` runs
+    * [[kmeansCentroids]] Lloyd rounds first — still deterministic, better
+    * recall, but no longer expressible as a short SQL oracle.
     *
     * Scale shape: assignment is corpus × nlist (nlist ≈ √N keeps it linear in
     * N·√N with a BROADCAST of the small centroid set — never corpus×corpus);
@@ -123,11 +172,21 @@ object Similarity {
     * nprobe/nlist of the corpus. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               queryIdCol: String, corpusIdCol: String, vecCol: String,
-              k: Int, nlist: Int = 16, nprobe: Int = 4, dim: Int = 64): DataFrame = {
+              k: Int, nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
+              refineIters: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
     val c = corpus.select(col(corpusIdCol).as("corpus_id"), quantize(col(vecCol), dim).as("__cv"))
       .withColumn("__cn", dotQ(col("__cv"), col("__cv"), dim))
-    val cent = c.where(col("corpus_id") < nlist)
-      .select(col("corpus_id").as("cent_id"), col("__cv").as("__centv"), col("__cn").as("__centn"))
+    val cent =
+      if (refineIters <= 0)
+        c.where(col("corpus_id") < nlist)
+          .select(col("corpus_id").as("cent_id"), col("__cv").as("__centv"), col("__cn").as("__centn"))
+      else
+        spark.createDataFrame(
+            kmeansCentroids(corpus, corpusIdCol, vecCol, nlist, refineIters, dim)
+              .map { case (id, v) => (id, v.toSeq) })
+          .toDF("cent_id", "__centv")
+          .withColumn("__centn", dotQ(col("__centv"), col("__centv"), dim))
     // inverted lists: nearest centroid per corpus vector (ties -> smaller id)
     val assigned = c.join(broadcast(cent))
       .select(col("corpus_id"), col("__cv"), col("__cn"), col("cent_id"),

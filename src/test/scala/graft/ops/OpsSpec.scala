@@ -207,6 +207,30 @@ class SimilaritySpec extends SparkSpec {
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall > 0.3, s"IVF recall too low: $recall")
   }
+
+  test("k-means-refined IVF is deterministic and does not lose recall vs seeded") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    def run(iters: Int): Set[(Long, Long)] =
+      Similarity.ivfTopK(queries, emb, "vec_id", "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 3, refineIters = iters)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id", "embedding", k = 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val seeded = run(0)
+    val refined = run(2)
+    val rSeeded = (brute & seeded).size.toDouble / brute.size
+    val rRefined = (brute & refined).size.toDouble / brute.size
+    assert(rRefined >= rSeeded - 0.05, s"refined $rRefined < seeded $rSeeded")
+    assert((0L until 20L).forall(q => refined.contains((q, q))), "self-match lost")
+    // Lloyd in quantized space is fully deterministic: same input, same lists
+    assert(run(2) == refined)
+    // centroids actually moved off the seeds
+    val c0 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", nlist = 8, iters = 0)
+    val c2 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", nlist = 8, iters = 2)
+    assert(c0.map(_._1) == c2.map(_._1))
+    assert(c0.zip(c2).exists { case ((_, a), (_, b)) => !a.sameElements(b) })
+  }
 }
 
 class RangeJoinSpec extends SparkSpec {
