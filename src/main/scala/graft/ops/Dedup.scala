@@ -242,10 +242,15 @@ object Dedup {
   def nearDupClusters(pairs: DataFrame, idLCol: String = "id_l", idRCol: String = "id_r",
                       maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
-    // undirected edges, both directions + self-loops over the node set
+    // undirected edges, both directions + self-loops over the node set.
+    // localCheckpoint (not persist): truncates the logical plan to the
+    // materialized RDD, so the pair-generation lineage (the whole LSH
+    // pipeline) is analyzed/optimized ONCE here instead of on every round's
+    // action — without it each iteration re-plans the full upstream tree
+    // (twice, via the union branches) and driver planning dominates the loop.
     val edges = pairs.select(col(idLCol).as("src"), col(idRCol).as("dst"))
       .union(pairs.select(col(idRCol).as("src"), col(idLCol).as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // round 0 folded into initialization: label = min(self, direct neighbors)
     var labels = edges.select(col("src").as("id"), col("dst").as("rep"))
       .union(edges.select(col("src").as("id"), col("src").as("rep")))
@@ -282,7 +287,8 @@ object Dedup {
       prevSum = Some(s)
       iter += 1
     }
-    edges.unpersist()
+    // edges/labels checkpoint blocks are reclaimed by the ContextCleaner once
+    // the frames go out of scope; nothing data-sized is pinned past the loop
     labels.select(col("id"), col("rep").as("cluster_rep"))
   }
 
