@@ -1873,7 +1873,69 @@ object SparkEntry {
           CAST(length(p) AS BIGINT) AS n_bytes,
           CAST(ceil(CAST(length(p) // 8 AS DOUBLE) / 2) AS INT) AS n_sampled_frames,
           substr(p, 1, 8) AS first_frame
-        FROM payload ORDER BY doc_id"""))
+        FROM payload ORDER BY doc_id""")),
+
+    // -- q99: benchmark decontamination — training docs sharing 3-gram
+    //    shingles with a (synthetic) held-out eval split; the join is keyed
+    //    on 60-bit n-gram hashes, eval side broadcast ------------------------
+    Q("q99_decontaminate",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        ops.TextOps.contaminationReport(
+          docs.filter(col("doc_id") % 10 < 9), docs.filter(col("doc_id") % 10 === 9),
+          "doc_id", "text", "doc_id", "text", n = 3, minShared = 2)
+          .orderBy("doc_id", "eval_id")
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT doc_id, unnest(${sqlShingles("text")}) AS h
+          FROM documents WHERE doc_id % 10 < 9),
+        e AS (
+          SELECT doc_id AS eval_id, unnest(${sqlShingles("text")}) AS h
+          FROM documents WHERE doc_id % 10 = 9)
+        SELECT c.doc_id, e.eval_id, count(*) AS shared_ngrams
+        FROM c JOIN e ON c.h = e.h
+        GROUP BY c.doc_id, e.eval_id
+        HAVING count(*) >= 2
+        ORDER BY doc_id, eval_id""")),
+
+    // -- q100: Gopher-style repetition quality signals (dup/top 2-gram
+    //    fractions) — explode, hash, two keyed aggregations -----------------
+    Q("q100_repetition_stats",
+      (s, dir) => ops.TextOps.repetitionStats(
+        T(s, dir, "documents"), "doc_id", "text", n = 2)
+        .orderBy("doc_id"),
+      Some {
+        val g2 = sqlH60("concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1])")
+        s"""
+        WITH g AS (
+          SELECT doc_id, unnest(list_transform(
+            range(1, greatest(2, len(string_split(text,' ')))), i -> $g2)) AS h
+          FROM documents),
+        pc AS (SELECT doc_id, h, count(*) AS c FROM g GROUP BY doc_id, h)
+        SELECT doc_id,
+          CAST(sum(c) AS BIGINT) AS n_grams,
+          count(*) AS distinct_grams,
+          CAST(max(c) AS BIGINT) AS top_gram_count,
+          CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_gram_frac,
+          CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_gram_frac
+        FROM pc GROUP BY doc_id ORDER BY doc_id"""
+      }),
+
+    // -- q101: embedding L2-normalize + symmetric int8 quantization ---------
+    Q("q101_embed_quantize",
+      (s, dir) => ops.Similarity.quantizeInt8(
+        T(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("l2_norm"),
+          array_join(transform(col("codes"), c => c.cast("string")), ",").as("codes"))
+        .orderBy("vec_id"),
+      Some(s"""
+        WITH q AS (SELECT vec_id, $sqlQVec AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(CAST(${sqlDotQ("v", "v")} AS DOUBLE)) AS nq FROM q)
+        SELECT vec_id, nq / 1000000.0 AS l2_norm,
+          array_to_string(list_transform(v, x -> CASE WHEN nq = 0 THEN 0
+            ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / nq + 0.5) AS INT) END), ',') AS codes
+        FROM n ORDER BY vec_id"""))
   )
 
   /** Framework semantics (SURVEY §2.A): record versioning, memoization,

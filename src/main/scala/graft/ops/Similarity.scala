@@ -213,6 +213,26 @@ object Similarity {
       Seq(col("cosine").desc, col("corpus_id").asc), k, rankCol = "rank")
   }
 
+  /** L2-normalize + symmetric int8 quantization of an embedding column —
+    * the standard storage/serving compression for embedding corpora (16→1
+    * bytes per dim at dim·float32). code_i = floor(v_i·127/‖v‖ + 0.5):
+    * explicit floor(x+0.5) because `round` half-way semantics differ across
+    * engines (Spark HALF_UP vs DuckDB away-from-zero), while floor is floor
+    * everywhere. Zero vectors quantize to all-zero codes. Norms come from
+    * the exact int64 micro-unit dot (order-independent, oracle-checkable);
+    * one projection per row, no shuffle. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String,
+                   dim: Int = 64): DataFrame = {
+    val q = df.select(col(idCol), quantize(col(vecCol), dim).as("__qv"))
+      .withColumn("__norm", sqrt(dotQ(col("__qv"), col("__qv"), dim).cast("double")))
+    q.select(col(idCol),
+      (col("__norm") / 1000000d).as("l2_norm"),
+      array((0 until dim).map(i =>
+        when(col("__norm") === 0d, lit(0))
+          .otherwise(floor(get(col("__qv"), lit(i)).cast("double") * 127.0 / col("__norm") + 0.5)
+            .cast("int"))): _*).as("codes"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-blocked, then exact cosine
     * filter. Same keyed-shuffle shape as [[Dedup.minhashNearDupPairs]]. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -104,6 +104,63 @@ object TextOps {
         col("__q.punct_ratio") <= maxPunctRatio)
       .drop("__q")
 
+  /** Benchmark decontamination report: training docs sharing ≥ `minShared`
+    * distinct word n-grams with an eval/benchmark doc, one row per
+    * contaminated (train, eval) pair with the shared-n-gram count.
+    *
+    * Scale shape: each side reduces to a flat (id, 60-bit n-gram hash)
+    * relation — the raw text never shuffles. The eval side (benchmarks, ≪
+    * corpus) is broadcast, so the corpus streams through map-side; the only
+    * wide operation is the keyed count aggregation on (doc, eval) pairs that
+    * actually collide, not corpus × eval. */
+  def contaminationReport(corpus: DataFrame, evalSet: DataFrame,
+                          idCol: String, textCol: String,
+                          evalIdCol: String, evalTextCol: String,
+                          n: Int = 3, minShared: Int = 1): DataFrame = {
+    def grams(df: DataFrame, id: String, text: String, outId: String) =
+      df.select(col(id).as(outId), Dedup.tokens(col(text)).as("__toks"))
+        .select(col(outId), explode(Dedup.shingleStringsFromTokens(col("__toks"), n)).as("__s"))
+        .select(col(outId), pmod(Dedup.md5Hash60(col("__s")), lit(Dedup.P)).as("__h"))
+        .distinct()
+    grams(corpus, idCol, textCol, "doc_id")
+      .join(broadcast(grams(evalSet, evalIdCol, evalTextCol, "eval_id")), Seq("__h"))
+      .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("shared_ngrams"))
+      .where(col("shared_ngrams") >= minShared)
+  }
+
+  /** Drop every training doc flagged by [[contaminationReport]] — the
+    * standard pre-training decontamination pass (anti-join on doc id). */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+                    idCol: String, textCol: String,
+                    evalIdCol: String, evalTextCol: String,
+                    n: Int = 3, minShared: Int = 1): DataFrame =
+    corpus.join(
+      contaminationReport(corpus, evalSet, idCol, textCol, evalIdCol, evalTextCol, n, minShared)
+        .select(col("doc_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  /** Gopher-style repetition signals per document: total / distinct / most
+    * frequent word n-gram occurrence counts plus the derived duplicate-gram
+    * and top-gram fractions (high values ⇒ boilerplate or degenerate text).
+    *
+    * Scale shape: explode n-grams into a flat projection, hash each gram to
+    * a 60-bit key (the shuffle carries (id, int64), never gram strings),
+    * then two keyed aggregations — per-(doc, gram) counts, per-doc rollup. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame =
+    df.select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(Dedup.shingleStringsFromTokens(col("__toks"), n)).as("__g"))
+      .select(col(idCol), pmod(Dedup.md5Hash60(col("__g")), lit(Dedup.P)).as("__h"))
+      .groupBy(col(idCol), col("__h")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum("__c").as("n_grams"),
+        count(lit(1)).as("distinct_grams"),
+        max("__c").as("top_gram_count"))
+      .withColumn("dup_gram_frac",
+        (col("n_grams") - col("distinct_grams")).cast("double") / col("n_grams").cast("double"))
+      .withColumn("top_gram_frac",
+        col("top_gram_count").cast("double") / col("n_grams").cast("double"))
+
   /** Corpus-level quality report: one row per language with quality stats. */
   def qualityReport(df: DataFrame, textCol: String, langCol: String): DataFrame =
     df.withColumn("__q", qualityFeatures(col(textCol)))

@@ -407,4 +407,72 @@ class TextOpsSpec extends SparkSpec {
     assert(fp(0)._2 == fp(1)._2 && fp(0)._3 == fp(1)._3)
     assert(fp(0)._2 != fp(2)._2)
   }
+
+  test("contaminationReport finds shared n-grams; decontaminate drops flagged docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contains eval 10's 3-grams
+      (2L, "completely unrelated training text about spark engines"),
+      (3L, "quick brown fox appears here too")).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (10L, "the quick brown fox jumps"),
+      (11L, "nothing in common at all")).toDF("doc_id", "text")
+    val report = TextOps.contaminationReport(
+      corpus, evalSet, "doc_id", "text", "doc_id", "text", n = 3, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1 shares "the quick brown","quick brown fox","brown fox jumps" with eval 10;
+    // doc 3 shares "quick brown fox"
+    assert(report == Set((1L, 10L, 3L), (3L, 10L, 1L)))
+    val survivors = TextOps.decontaminate(
+      corpus, evalSet, "doc_id", "text", "doc_id", "text", n = 3, minShared = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(2L))
+    // raising the bar to >= 2 shared grams keeps doc 3
+    val lax = TextOps.decontaminate(
+      corpus, evalSet, "doc_id", "text", "doc_id", "text", n = 3, minShared = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(lax == Set(2L, 3L))
+  }
+
+  test("repetitionStats: counts and fractions on a degenerate vs normal doc") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam"),        // 2-grams: "spam spam" x3
+      (2L, "all distinct words here now") // 4 distinct 2-grams
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(df, "doc_id", "text", n = 2)
+      .select("doc_id", "n_grams", "distinct_grams", "top_gram_count",
+        "dup_gram_frac", "top_gram_frac")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 1L, 3L, 2.0 / 3.0, 1.0)))
+    assert(out(2L) == ((2L, 4L, 4L, 1L, 0.0, 0.25)))
+  }
+}
+
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantizeInt8: codes are floor(v*127/norm + 0.5), zero vector -> zero codes") {
+    val dim = 4
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f, 0.0f, 0.0f)), // norm 5
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector
+      (3L, Array(-3.0f, 4.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding", dim = dim)
+      .select("vec_id", "l2_norm", "codes")
+      .as[(Long, Double, Seq[Int])].collect().map(r => r._1 -> r).toMap
+    assert(math.abs(out(1L)._2 - 5.0) < 1e-9)
+    // 3/5*127 = 76.2 -> 76; 4/5*127 = 101.6 -> floor(102.1) = 102
+    assert(out(1L)._3 == Seq(76, 102, 0, 0))
+    assert(out(2L)._2 == 0.0 && out(2L)._3 == Seq(0, 0, 0, 0))
+    // negative component: floor(-76.2 + 0.5) = floor(-75.7) = -76
+    assert(out(3L)._3 == Seq(-76, 102, 0, 0))
+    // codes reconstruct the direction: cosine(original, codes) ~ 1
+    val c = out(1L)._3.map(_.toDouble)
+    val v = Seq(3.0, 4.0, 0.0, 0.0)
+    val cos = c.zip(v).map { case (a, b) => a * b }.sum /
+      (math.sqrt(c.map(x => x * x).sum) * math.sqrt(v.map(x => x * x).sum))
+    assert(cos > 0.9999)
+  }
 }
