@@ -1935,7 +1935,50 @@ object SparkEntry {
         SELECT vec_id, nq / 1000000.0 AS l2_norm,
           array_to_string(list_transform(v, x -> CASE WHEN nq = 0 THEN 0
             ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / nq + 0.5) AS INT) END), ',') AS codes
-        FROM n ORDER BY vec_id"""))
+        FROM n ORDER BY vec_id""")),
+
+    // -- q102: concat-then-chunk sequence packing into 512-token windows,
+    //    sharded by source (window agg per shard — never a global sort) ------
+    Q("q102_pack_sequences",
+      (s, dir) => ops.TextOps.packSequences(
+        T(s, dir, "documents").select(col("doc_id"), col("source"),
+          ops.TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 512, shardCol = "source")
+        .orderBy("source", "doc_id"),
+      Some("""
+        WITH d AS (
+          SELECT source, doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT source, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d)
+        SELECT source, doc_id, n_tokens,
+          CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+          CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset
+        FROM c ORDER BY source, doc_id""")),
+
+    // -- q103: deterministic hash-Bernoulli mixture sampling (75% of the
+    //    first ten sources, 25% of the rest) — map-side only, no shuffle ----
+    Q("q103_mixture_sample",
+      (s, dir) => {
+        val fractions =
+          ((0 to 9).map(i => s"src$i" -> 0.75) ++ (10 to 19).map(i => s"src$i" -> 0.25)).toMap
+        ops.TextOps.sampleMixture(
+          T(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", "source", fractions)
+          .orderBy("doc_id")
+      },
+      Some {
+        val first10 = (0 to 9).map(i => s"'src$i'").mkString(", ")
+        s"""
+        SELECT doc_id, source FROM documents
+        WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000)
+          < CASE WHEN source IN ($first10) THEN 750000 ELSE 250000 END
+        ORDER BY doc_id"""
+      })
   )
 
   /** Framework semantics (SURVEY §2.A): record versioning, memoization,

@@ -161,6 +161,42 @@ object TextOps {
       .withColumn("top_gram_frac",
         col("top_gram_count").cast("double") / col("n_grams").cast("double"))
 
+  /** Concat-then-chunk sequence packing — the standard LLM pre-training
+    * layout: within each shard, documents are laid out in id order and cut
+    * into fixed `budget`-token context windows; a document belongs to the
+    * pack where it starts (`pack_id`) at `pack_offset` tokens in (docs may
+    * straddle pack boundaries, exactly like concatenated-corpus chunking).
+    *
+    * Scale shape: one window aggregation PARTITIONED BY the shard column —
+    * never a global sort. Shards are the unit of training-data layout
+    * anyway (per-source or per-file), so the window partitions match how a
+    * 100 TB corpus is actually organized. */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    budget: Int, shardCol: String): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+    df.withColumn("__cum", sum(col(tokensCol).cast("long")).over(w))
+      .select(col(shardCol), col(idCol), col(tokensCol),
+        ((col("__cum") - col(tokensCol)) / budget).cast("long").as("pack_id"),
+        ((col("__cum") - col(tokensCol)) % budget).cast("long").as("pack_offset"))
+  }
+
+  /** Deterministic mixture sampling: keep a row of source `s` iff
+    * md5-hash(id) mod 1e6 falls under `round(fractions(s) * 1e6)` — the
+    * data-mixing primitive for hitting a target source distribution.
+    * Sources absent from `fractions` are dropped. Pure map-side predicate:
+    * no shuffle, no RNG state, reproducible across runs/retries/engines
+    * (unlike `sample`, whose seeded RNG is partition-placement-dependent). */
+  def sampleMixture(df: DataFrame, idCol: String, sourceCol: String,
+                    fractions: Map[String, Double]): DataFrame = {
+    val thresh = fractions.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (src, f)) =>
+        when(col(sourceCol) === src, lit(math.round(f * 1000000))).otherwise(acc)
+    }
+    df.where(pmod(Dedup.md5Hash60(col(idCol).cast("string")), lit(1000000L)) < thresh)
+  }
+
   /** Corpus-level quality report: one row per language with quality stats. */
   def qualityReport(df: DataFrame, textCol: String, langCol: String): DataFrame =
     df.withColumn("__q", qualityFeatures(col(textCol)))

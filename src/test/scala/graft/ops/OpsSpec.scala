@@ -434,6 +434,38 @@ class TextOpsSpec extends SparkSpec {
     assert(lax == Set(2L, 3L))
   }
 
+  test("packSequences: concat-then-chunk layout per shard, docs may straddle packs") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 300L), ("a", 2L, 300L), ("a", 3L, 100L), // shard a: cum 300, 600, 700
+      ("b", 4L, 600L)                                    // shard b: oversized doc
+    ).toDF("source", "doc_id", "n_tokens")
+    val out = TextOps.packSequences(df, "doc_id", "n_tokens", budget = 512, shardCol = "source")
+      .select("doc_id", "pack_id", "pack_offset")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((0L, 0L)))   // starts at 0
+    assert(out(2L) == ((0L, 300L))) // starts at 300, straddles into pack 1
+    assert(out(3L) == ((1L, 88L)))  // starts at 600 = pack 1, offset 88
+    assert(out(4L) == ((0L, 0L)))   // shard b restarts at 0
+  }
+
+  test("sampleMixture: deterministic per-source hash thresholds; unlisted sources drop") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, if (i <= 200) "keep_all" else if (i <= 300) "half" else "ghost"))
+      .toDF("doc_id", "source")
+    val out = TextOps.sampleMixture(df, "doc_id", "source",
+      Map("keep_all" -> 1.0, "half" -> 0.5))
+    val bySrc = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("keep_all") == 200L)        // fraction 1.0 keeps everything
+    assert(!bySrc.contains("ghost"))          // absent from the map -> dropped
+    assert(bySrc("half") > 20 && bySrc("half") < 80) // ~50 of 100, hash-dependent
+    // reproducible: second run selects the identical id set
+    val ids1 = out.select("doc_id").as[Long].collect().toSet
+    val ids2 = TextOps.sampleMixture(df, "doc_id", "source",
+      Map("keep_all" -> 1.0, "half" -> 0.5)).select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
+
   test("repetitionStats: counts and fractions on a degenerate vs normal doc") {
     import spark.implicits._
     val df = Seq(
