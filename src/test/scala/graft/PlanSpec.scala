@@ -24,6 +24,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q03: partial aggregates sit BELOW the joins (lineitem collapses per order, then per customer, before any fact-fact shuffle)") {
+    val df = SparkEntry.queries("q03_join_agg_revenue")(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan
+    val joins = plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.size == 4, plan.toString)
+    // the per-order and per-customer rollups must survive optimization as
+    // Aggregates underneath join children — Catalyst must not collapse them
+    // back into one post-join aggregation
+    val aggsUnderJoins = joins.map(_.children.map(c =>
+      c.collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }.size).sum).sum
+    assert(aggsUnderJoins >= 2, s"pre-join aggregates lost:\n$plan")
+  }
+
   test("q01/q34: aggregates are partial+final (map-side combine)") {
     Seq("q01_pricing_summary", "q34_agg_families").foreach { q =>
       val p = planOf(q)
@@ -105,6 +118,27 @@ class PlanSpec extends SparkSpec {
         s.sql(s"DROP TABLE IF EXISTS $t"))
       org.apache.spark.sql.SparkSession.setActiveSession(spark)
     }
+  }
+
+  test("q99: decontamination broadcasts the eval side; corpus text never joins raw") {
+    val p = planOf("q99_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q103: mixture sampling is map-side only (no exchange before the protocol sort)") {
+    val df = SparkEntry.queries("q103_mixture_sample")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the ONLY exchange allowed is the final rangepartitioning for ORDER BY
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("q102: sequence packing shuffles once, keyed on the shard column") {
+    val df = SparkEntry.queries("q102_pack_sequences")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(source".r.findAllIn(p).size >= 1, p)
+    // no global single-partition window
+    assert(!p.contains("SinglePartition"), p)
   }
 
   test("memoization anti-join projects only the 3-column memo key from the store") {
