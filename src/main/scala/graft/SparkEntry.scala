@@ -736,26 +736,35 @@ object SparkEntry {
     // -- q35: variance/stddev via exact decimal sums (deterministic doubles) --
     Q("q35_stddev_var",
       (s, dir) => {
-        val x = dec(col("c_acctbal"))
+        // Exact integer-cent sums: sum(c) and sum(c*c) stay in int64 (Q ≈
+        // 3.6e15 per segment at sf0.1 ≪ 2^63) and int64→double conversion is
+        // correctly rounded in BOTH engines. A DECIMAL(38,8) sum-of-squares
+        // is NOT cross-engine-safe: its scaled integer (~1.8e20) exceeds
+        // 2^53, and DuckDB's int128-decimal→double cast double-rounds — the
+        // last-ulp divergence only appears at sf0.1+.
+        val c = round(col("c_acctbal") * 100).cast("long")
         T(s, dir, "customer")
+          .withColumn("__c", c)
           .groupBy("c_mktsegment")
           .agg(count(lit(1)).as("n"),
-            sum(x).cast("double").as("sx"),
-            sum(x * x).cast("double").as("sxx"))
+            sum(col("__c")).as("s"),
+            sum(col("__c") * col("__c")).as("q"))
           .select(col("c_mktsegment"), col("n"),
-            ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_samp"),
-            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("std_samp"))
+            ((col("q").cast("double") - col("s").cast("double") * col("s").cast("double") / col("n"))
+              / (col("n") - 1) / 10000d).as("var_samp"),
+            sqrt((col("q").cast("double") - col("s").cast("double") * col("s").cast("double") / col("n"))
+              / (col("n") - 1) / 10000d).as("std_samp"))
           .orderBy("c_mktsegment")
       },
       Some("""
         WITH a AS (
           SELECT c_mktsegment, count(*) AS n,
-            CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-            CAST(sum(CAST(c_acctbal AS DECIMAL(18,4)) * CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+            CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+            CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT) * CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS q
           FROM customer GROUP BY c_mktsegment)
         SELECT c_mktsegment, n,
-          (sxx - sx * sx / n) / (n - 1) AS var_samp,
-          sqrt((sxx - sx * sx / n) / (n - 1)) AS std_samp
+          (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) / 10000.0 AS var_samp,
+          sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) / 10000.0) AS std_samp
         FROM a ORDER BY c_mktsegment""")),
 
     // -- q36: collect_list / collect_set (sorted for determinism) ------------
@@ -1978,7 +1987,23 @@ object SparkEntry {
         WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000)
           < CASE WHEN source IN ($first10) THEN 750000 ELSE 250000 END
         ORDER BY doc_id"""
-      })
+      }),
+
+    // -- q104: corpus vocabulary — top tokens by frequency with doc counts
+    //    (explode + one keyed agg + TakeOrderedAndProject top-k) ------------
+    Q("q104_top_tokens",
+      (s, dir) => ops.TextOps.topTokens(
+        T(s, dir, "documents"), "doc_id", "text", topK = 100)
+        .orderBy(col("n_occurrences").desc, col("token").asc),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+        SELECT token, count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs
+        FROM t GROUP BY token
+        ORDER BY n_occurrences DESC, token ASC
+        LIMIT 100"""))
   )
 
   /** Framework semantics (SURVEY §2.A): record versioning, memoization,

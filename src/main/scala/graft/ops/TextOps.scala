@@ -197,6 +197,23 @@ object TextOps {
     df.where(pmod(Dedup.md5Hash60(col(idCol).cast("string")), lit(1000000L)) < thresh)
   }
 
+  /** Corpus vocabulary: the `topK` most frequent whitespace tokens with
+    * total occurrences and document frequency, ordered (count desc, token
+    * asc). The tokenizer-training / vocab-pruning primitive.
+    *
+    * Scale shape: explode + one keyed aggregation; `count_distinct(doc)`
+    * rides the same shuffle (partial aggregation handles the fan-in); the
+    * global top-k is TakeOrderedAndProject over the (small) distinct-token
+    * set — never a full sort of the corpus. */
+  def topTokens(df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
+    val counted = df
+      .select(col(idCol).as("__doc"), explode(Dedup.tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("__doc")).as("n_docs"))
+    TopK.global(counted, topK, Seq(col("n_occurrences").desc, col("token").asc))
+  }
+
   /** Corpus-level quality report: one row per language with quality stats. */
   def qualityReport(df: DataFrame, textCol: String, langCol: String): DataFrame =
     df.withColumn("__q", qualityFeatures(col(textCol)))

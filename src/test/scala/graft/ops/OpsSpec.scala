@@ -466,6 +466,15 @@ class TextOpsSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("topTokens: frequency-ordered vocabulary with occurrence and doc counts") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a"), (2L, "a c"), (3L, "b b")).toDF("doc_id", "text")
+    // a: 3 occurrences in 2 docs; b: 3 in 2; c: 1 in 1
+    val out = TextOps.topTokens(df, "doc_id", "text", topK = 2)
+      .as[(String, Long, Long)].collect().sortBy(r => (-r._2, r._1)).toList
+    assert(out == List(("a", 3L, 2L), ("b", 3L, 2L)))
+  }
+
   test("repetitionStats: counts and fractions on a degenerate vs normal doc") {
     import spark.implicits._
     val df = Seq(
