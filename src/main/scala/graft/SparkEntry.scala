@@ -2003,7 +2003,83 @@ object SparkEntry {
                count(DISTINCT doc_id) AS n_docs
         FROM t GROUP BY token
         ORDER BY n_occurrences DESC, token ASC
-        LIMIT 100"""))
+        LIMIT 100""")),
+
+    // -- q105: batch gap-based sessionization — one user-keyed shuffle
+    //    carries the lag, the running session counter, AND the per-session
+    //    agg (complements q33's streaming session_window) ------------------
+    Q("q105_sessionize",
+      (s, dir) => ops.Events.sessionize(
+        T(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        gapSec = 1800)
+        .orderBy("user_id", "session_seq"),
+      Some("""
+        WITH e AS (
+          SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us,
+            lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events),
+        s AS (
+          SELECT user_id, ts, event_type,
+            CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+          FROM e)
+        SELECT user_id, session_seq,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events,
+               count(DISTINCT event_type) AS n_event_types,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
+        FROM s GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq""")),
+
+    // -- q106: zero-filled daily activity grid (resample/gap-fill) — the
+    //    only event-sized pass is the daily keyed agg; the spine and fill
+    //    join are grid-sized --------------------------------------------------
+    Q("q106_gapfill_daily",
+      (s, dir) => ops.Events.gapFillDaily(
+        T(s, dir, "events"), "event_type", "ts")
+        .orderBy("event_type", "day"),
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        spine AS (
+          SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                             CAST(d1 AS TIMESTAMP),
+                                             INTERVAL 1 DAY)) AS DATE) AS day
+          FROM b),
+        grid AS (
+          SELECT t.event_type, s.day
+          FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN spine s)
+        SELECT g.event_type, g.day, coalesce(d.n_events, 0) AS n_events
+        FROM grid g LEFT JOIN daily d
+          ON g.event_type = d.event_type AND g.day = d.day
+        ORDER BY g.event_type, g.day""")),
+
+    // -- q107: per-doc TF-IDF keywords — integer-exact ranking (tf desc,
+    //    df asc, token asc ≡ tf·idf order for monotone idf); the float
+    //    score never crosses the oracle boundary -----------------------------
+    Q("q107_doc_keywords",
+      (s, dir) => ops.TextOps.keywords(
+        T(s, dir, "documents"), "doc_id", "text", topK = 3)
+        .drop("tfidf")
+        .orderBy("doc_id", "rank"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        tf AS (
+          SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+        dfreq AS (
+          SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        r AS (
+          SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+            CAST(row_number() OVER (PARTITION BY tf.doc_id
+              ORDER BY tf.tf DESC, dfreq.df ASC, tf.token ASC) AS INT) AS rank
+          FROM tf JOIN dfreq USING (token))
+        SELECT doc_id, rank, token, tf, df
+        FROM r WHERE rank <= 3 ORDER BY doc_id, rank"""))
   )
 
   /** Framework semantics (SURVEY §2.A): record versioning, memoization,

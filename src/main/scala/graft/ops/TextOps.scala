@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (north-star surface).
@@ -212,6 +213,32 @@ object TextOps {
       .agg(count(lit(1)).as("n_occurrences"),
         count_distinct(col("__doc")).as("n_docs"))
     TopK.global(counted, topK, Seq(col("n_occurrences").desc, col("token").asc))
+  }
+
+  /** Per-document top-`topK` keywords by TF-IDF. The RANKING is integer-exact
+    * — (tf desc, df asc, token asc) is the same order as (tf · idf) for any
+    * monotone-decreasing idf, with a total tie-break — so results are
+    * bit-identical cross-engine; the float `tfidf` score (tf · ln(N/df)) is
+    * exposed for consumers but never consulted for ordering.
+    *
+    * Scale shape: explode + two keyed aggregations; the tf⋈df join is a
+    * keyed shuffle on the token (vocab-sized, not corpus-sized, after the
+    * partial aggs); the per-doc top-k is a rank window on the doc key.
+    */
+  def keywords(df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("token"))
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (doc, token) pairs, so counting them per token IS
+    // the document frequency — no second pass over the corpus
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(dfreq, "token")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .withColumn("tfidf", col("tf") * log(lit(nDocs.toDouble) / col("df").cast("double")))
+      .select("doc_id", "rank", "token", "tf", "df", "tfidf")
   }
 
   /** Corpus-level quality report: one row per language with quality stats. */

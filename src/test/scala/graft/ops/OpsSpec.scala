@@ -517,3 +517,66 @@ class QuantizeSpec extends SparkSpec {
     assert(cos > 0.9999)
   }
 }
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+  import java.sql.Timestamp
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessionize: strict gap split, ordinal per user, duration and type counts") {
+    val df = Seq(
+      // user 1: two sessions — 10:00/10:10 then a 31-min gap to 10:41
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "click"),
+      (3L, ts("2024-01-01 10:41:00"), 1L, "view"),
+      // user 2: one session — gap exactly 30 min does NOT split (strict >)
+      (4L, ts("2024-01-01 09:00:00"), 2L, "view"),
+      (5L, ts("2024-01-01 09:30:00"), 2L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.sessionize(df, "user_id", "ts", "event_id", "event_type", gapSec = 1800)
+      .select("user_id", "session_seq", "n_events", "n_event_types", "duration_sec")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    assert(out == List(
+      (1L, 1L, 2L, 2L, 600L), // view+click, 10 min
+      (1L, 2L, 1L, 1L, 0L),
+      (2L, 1L, 2L, 1L, 1800L)))
+  }
+
+  test("gapFillDaily: missing (key, day) cells appear with 0") {
+    val df = Seq(
+      ("a", ts("2024-01-01 05:00:00")),
+      ("a", ts("2024-01-03 05:00:00")),
+      ("b", ts("2024-01-02 05:00:00")))
+      .toDF("event_type", "ts")
+    val out = Events.gapFillDaily(df, "event_type", "ts")
+      .select(col("event_type"), col("day").cast("string"), col("n_events"))
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    // full 3-day spine for both keys, zeros where absent
+    assert(out == List(
+      ("a", "2024-01-01", 1L), ("a", "2024-01-02", 0L), ("a", "2024-01-03", 1L),
+      ("b", "2024-01-01", 0L), ("b", "2024-01-02", 1L), ("b", "2024-01-03", 0L)))
+  }
+}
+
+class KeywordsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keywords: tf-desc/df-asc/token-asc ranking, tfidf consistent with counts") {
+    val df = Seq(
+      (1L, "x x y common"),
+      (2L, "y common common"),
+      (3L, "z common")).toDF("doc_id", "text")
+    val out = TextOps.keywords(df, "doc_id", "text", topK = 2)
+      .as[(Long, Int, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // doc 1: x (tf 2) first; then y (df 2) beats common (df 3)
+    assert(out((1L, 1))._3 == "x" && out((1L, 1))._4 == 2L && out((1L, 1))._5 == 1L)
+    assert(out((1L, 2))._3 == "y")
+    // doc 2: common tf 2 wins; doc 3: z (df 1) beats common
+    assert(out((2L, 1))._3 == "common")
+    assert(out((3L, 1))._3 == "z")
+    // tfidf = tf * ln(N/df): x in doc1 = 2*ln(3/1)
+    assert(math.abs(out((1L, 1))._6 - 2.0 * math.log(3.0)) < 1e-12)
+  }
+}
