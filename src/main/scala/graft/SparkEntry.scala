@@ -2079,7 +2079,38 @@ object SparkEntry {
               ORDER BY tf.tf DESC, dfreq.df ASC, tf.token ASC) AS INT) AS rank
           FROM tf JOIN dfreq USING (token))
         SELECT doc_id, rank, token, tf, df
-        FROM r WHERE rank <= 3 ORDER BY doc_id, rank"""))
+        FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // -- q108: fixed-width histogram — map-side bin projection + one keyed
+    //    agg; the exchange carries O(tasks · nBins), never O(rows).
+    //    Bin math is pure IEEE double arithmetic → bit-stable cross-engine --
+    Q("q108_histogram",
+      (s, dir) => ops.Stats.histogram(
+        T(s, dir, "customer"), "c_acctbal", lo = -1000.0, hi = 10000.0, nBins = 22)
+        .orderBy("bin"),
+      Some("""
+        SELECT CAST(least(greatest(floor((c_acctbal - (-1000.0)) / ((10000.0 - (-1000.0)) / 22)), 0.0), 21.0) AS BIGINT) AS bin,
+               count(*) AS n, min(c_acctbal) AS min_v, max(c_acctbal) AS max_v
+        FROM customer WHERE c_acctbal IS NOT NULL
+        GROUP BY 1 ORDER BY bin""")),
+
+    // -- q109: per-label embedding centroids (average pooling) — exact int64
+    //    sums of 1e-6-quantized components; the mean division is the only
+    //    float op (identically rounded in both engines) --------------------
+    Q("q109_label_centroids",
+      (s, dir) => ops.Similarity.labelCentroids(
+        T(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label", "dim"),
+      Some("""
+        WITH q AS (
+          SELECT label,
+            CAST(unnest(range(0, len(embedding))) AS INT) AS dim,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+          FROM embeddings)
+        SELECT label, dim, count(*) AS n,
+               CAST(CAST(sum(qv) AS BIGINT) AS DOUBLE) / count(*) AS centroid_q
+        FROM q GROUP BY label, dim
+        ORDER BY label, dim"""))
   )
 
   /** Framework semantics (SURVEY §2.A): record versioning, memoization,

@@ -249,4 +249,22 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .distinct()
   }
+
+  /** Per-label embedding centroids (average pooling / class prototypes),
+    * emitted flat as `(label, dim, n, centroid_q)` where `centroid_q` is the
+    * mean of the 1e-6-quantized components — exact int64 sums, so the single
+    * final division is the only float op and is identically rounded in any
+    * IEEE-754 engine.
+    *
+    * Scale shape: posexplode is map-side; partial aggregation collapses each
+    * task to |labels|·dim rows before the one keyed shuffle — the exchange
+    * never carries corpus-sized data. */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(col("label"), col("dim"),
+        round(col("__x").cast("double") * 1000000d).cast("long").as("__q"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum("__q").as("__sum_q"))
+      .select(col("label"), col("dim"), col("n"),
+        (col("__sum_q").cast("double") / col("n")).as("centroid_q"))
 }

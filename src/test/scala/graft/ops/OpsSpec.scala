@@ -580,3 +580,35 @@ class KeywordsSpec extends SparkSpec {
     assert(math.abs(out((1L, 1))._6 - 2.0 * math.log(3.0)) < 1e-12)
   }
 }
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogram: fixed-width bins, out-of-range values clamp to edges, nulls dropped") {
+    val df = Seq[java.lang.Double](-5.0, 0.0, 0.5, 1.0, 3.9, 4.0, 99.0, null)
+      .toDF("v")
+    // [0,4) in 4 bins of width 1; -5 clamps to bin 0, 99 and 4.0 clamp to bin 3
+    val out = Stats.histogram(df, "v", lo = 0.0, hi = 4.0, nBins = 4)
+      .select("bin", "n", "min_v", "max_v")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toList
+    assert(out == List(
+      (0L, 3L, -5.0, 0.5), (1L, 1L, 1.0, 1.0), (3L, 3L, 3.9, 99.0)))
+  }
+}
+
+class CentroidsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("labelCentroids: exact quantized means per (label, dim)") {
+    val df = Seq(
+      (0, Array(1.0f, 0.0f)),
+      (0, Array(0.0f, 1.0f)),
+      (1, Array(0.5f, 0.5f))).toDF("label", "embedding")
+    val out = Similarity.labelCentroids(df, "label", "embedding")
+      .as[(Int, Int, Long, Double)].collect().map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out((0, 0)) == ((2L, 500000.0)))
+    assert(out((0, 1)) == ((2L, 500000.0)))
+    assert(out((1, 0)) == ((1L, 500000.0)))
+    assert(out((1, 1)) == ((1L, 500000.0)))
+  }
+}
