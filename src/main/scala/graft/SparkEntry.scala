@@ -2110,7 +2110,35 @@ object SparkEntry {
         SELECT label, dim, count(*) AS n,
                CAST(CAST(sum(qv) AS BIGINT) AS DOUBLE) / count(*) AS centroid_q
         FROM q GROUP BY label, dim
-        ORDER BY label, dim"""))
+        ORDER BY label, dim""")),
+
+    // -- q110: PII redaction — synthetic email/phone/IP seeded per doc_id so
+    //    the scrub is exercised on every row; pure map-side regexp
+    //    projections, flags computed before replacement on both sides -------
+    Q("q110_pii_redaction",
+      (s, dir) => {
+        val seeded = T(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or +1 555 000 "), (col("doc_id") % 10000).cast("string"),
+            lit(" at 10.0."), expr("doc_id div 256 % 256").cast("string"),
+            lit("."), (col("doc_id") % 256).cast("string")).as("text"))
+        ops.TextOps.redactPii(seeded, "text").orderBy("doc_id")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+            concat(text, ' contact user', doc_id, '@mail.example.com or +1 555 000 ',
+                   doc_id % 10000, ' at 10.0.', (doc_id // 256) % 256, '.', doc_id % 256) AS text
+          FROM documents)
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '${ops.TextOps.EmailRe}', '<EMAIL>', 'g'),
+            '${ops.TextOps.Ipv4Re}', '<IP>', 'g'),
+            '${ops.TextOps.PhoneRe}', '<PHONE>', 'g') AS text,
+          regexp_matches(text, '${ops.TextOps.EmailRe}') AS has_email,
+          regexp_matches(text, '${ops.TextOps.Ipv4Re}') AS has_ip,
+          regexp_matches(text, '${ops.TextOps.PhoneRe}') AS has_phone
+        FROM d ORDER BY doc_id"""))
   )
 
   /** Framework semantics (SURVEY §2.A): record versioning, memoization,

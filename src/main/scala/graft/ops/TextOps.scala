@@ -241,6 +241,27 @@ object TextOps {
       .select("doc_id", "rank", "token", "tf", "df", "tfidf")
   }
 
+  /** PII patterns, RE2-safe (no lookahead/backreferences) so the identical
+    * literal pattern runs under Java regex AND RE2-based engines. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhoneRe = "\\+[0-9][0-9 -]{7,}[0-9]"
+
+  /** PII redaction: mask emails, IPv4 addresses, and international-format
+    * phone numbers with typed placeholder tokens, and emit per-row hit flags
+    * for audit sampling. Replacement order (email → ip → phone) is fixed so
+    * overlapping matches resolve identically everywhere.
+    *
+    * Scale shape: pure codegen'd regexp projections — map-side, zero
+    * shuffle, runs inside the scan's whole-stage-codegen span. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("has_email", col(textCol).rlike(EmailRe))
+      .withColumn("has_ip", col(textCol).rlike(Ipv4Re))
+      .withColumn("has_phone", col(textCol).rlike(PhoneRe))
+      .withColumn(textCol,
+        regexp_replace(regexp_replace(regexp_replace(col(textCol),
+          EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>"))
+
   /** Corpus-level quality report: one row per language with quality stats. */
   def qualityReport(df: DataFrame, textCol: String, langCol: String): DataFrame =
     df.withColumn("__q", qualityFeatures(col(textCol)))

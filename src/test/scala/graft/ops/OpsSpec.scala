@@ -612,3 +612,23 @@ class CentroidsSpec extends SparkSpec {
     assert(out((1, 1)) == ((1L, 500000.0)))
   }
 }
+
+class PiiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii: masks email/ip/phone, flags reflect the original text") {
+    val df = Seq(
+      (1L, "mail me at bob.smith+x@corp.example.org today"),
+      (2L, "server 192.168.0.1 responded"),
+      (3L, "call +1 415 555 0199 now"),
+      (4L, "clean text, nothing to hide")).toDF("id", "text")
+    val out = TextOps.redactPii(df, "text")
+      .select("id", "text", "has_email", "has_ip", "has_phone")
+      .as[(Long, String, Boolean, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == "mail me at <EMAIL> today" && out(1L)._3)
+    assert(out(2L)._2 == "server <IP> responded" && out(2L)._4)
+    assert(out(3L)._2 == "call <PHONE> now" && out(3L)._5)
+    assert(out(4L)._2 == "clean text, nothing to hide"
+      && !out(4L)._3 && !out(4L)._4 && !out(4L)._5)
+  }
+}
