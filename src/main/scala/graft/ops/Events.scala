@@ -58,9 +58,13 @@ object Events {
     * at 100 TB the grid is |keys|·|days|, never event-sized.
     */
   def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    // persisted: the spine bounds, the key list, and the fill join all read
+    // this grid-sized frame — without the persist each use re-runs the
+    // event-sized aggregation (three full scans at 100 TB)
     val daily = df
       .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("n_events"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
     val grid = daily.select(col(keyCol)).distinct().crossJoin(spine)

@@ -151,4 +151,37 @@ class PlanSpec extends SparkSpec {
     val p = novel.queryExecution.executedPlan.toString
     assert(p.contains("LeftAnti"), p)
   }
+
+  test("q105: sessionization is ONE user-keyed shuffle (no join; lag, counter, and session agg share it)") {
+    val df = SparkEntry.queries("q105_sessionize")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    // one hashpartitioning exchange for the window; the session groupBy
+    // reuses the user clustering (plus the protocol sort's rangepartitioning)
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q106: gap-fill's event-sized work is a single keyed agg; the fill join is grid-sized") {
+    val df = SparkEntry.queries("q106_gapfill_daily")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the spine bounds, the key list, and the fill join must ALL read the
+    // persisted post-agg frame — any InMemoryTableScan short of 3 means one
+    // consumer re-runs the event-sized aggregation (a full re-scan at 100 TB)
+    assert("InMemoryTableScan".r.findAllIn(p).size == 3, p)
+  }
+
+  test("q108: histogram aggregates partial+final (exchange carries bins, not rows)") {
+    val p = SparkEntry.queries("q108_histogram")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_count") || p.contains("partial_min"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q110: PII redaction is map-side only (no exchange before the protocol sort)") {
+    val df = SparkEntry.queries("q110_pii_redaction")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // only the final ORDER BY rangepartitioning; no hashpartitioning anywhere
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
