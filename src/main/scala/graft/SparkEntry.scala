@@ -2138,7 +2138,97 @@ object SparkEntry {
           regexp_matches(text, '${ops.TextOps.EmailRe}') AS has_email,
           regexp_matches(text, '${ops.TextOps.Ipv4Re}') AS has_ip,
           regexp_matches(text, '${ops.TextOps.PhoneRe}') AS has_phone
-        FROM d ORDER BY doc_id"""))
+        FROM d ORDER BY doc_id""")),
+
+    // -- q111: deterministic stratified sample — hash-ordered row_number per
+    //    group, stable across runs/retries/engines (never rand()) ----------
+    Q("q111_stratified_sample",
+      (s, dir) => ops.Stats.stratifiedSample(
+        T(s, dir, "documents"), "source", "doc_id", n = 20)
+        .select("source", "doc_id", "sample_rank")
+        .orderBy("source", "sample_rank"),
+      Some(s"""
+        WITH r AS (
+          SELECT source, doc_id,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY ${sqlH60("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS INT) AS sample_rank
+          FROM documents)
+        SELECT source, doc_id, sample_rank
+        FROM r WHERE sample_rank <= 20
+        ORDER BY source, sample_rank""")),
+
+    // -- q112: per-group z-score — group stats from exact integer cents
+    //    (q35 pattern) broadcast back; the fact side never shuffles ----------
+    Q("q112_zscore",
+      (s, dir) => ops.Stats.zscorePerGroup(
+        T(s, dir, "customer"), "c_mktsegment", "c_custkey", "c_acctbal")
+        .orderBy("c_custkey"),
+      Some("""
+        WITH c AS (
+          SELECT c_mktsegment, c_custkey,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS cc
+          FROM customer),
+        st AS (
+          SELECT c_mktsegment, count(*) AS n,
+                 CAST(sum(cc) AS BIGINT) AS s, CAST(sum(cc * cc) AS BIGINT) AS q
+          FROM c GROUP BY 1)
+        SELECT c.c_mktsegment, c.c_custkey,
+          CASE WHEN (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n = 0 THEN 0.0
+               ELSE (CAST(cc AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                    / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+          END AS z
+        FROM c JOIN st USING (c_mktsegment)
+        ORDER BY c_custkey""")),
+
+    // -- q113: three-step funnel (view → click → purchase) in ONE user-keyed
+    //    shuffle — prefix window minima decide step qualification, no
+    //    self-joins anywhere ---------------------------------------------------
+    Q("q113_funnel",
+      (s, dir) => ops.Events.funnel(
+        T(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        "view", "click", "purchase")
+        .orderBy("user_id"),
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        w1 AS (
+          SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+            OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t1r
+          FROM e),
+        w2 AS (
+          SELECT *, min(CASE WHEN event_type = 'click' AND t1r IS NOT NULL AND us > t1r THEN us END)
+            OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t2r
+          FROM w1),
+        agg AS (
+          SELECT user_id,
+            min(CASE WHEN event_type = 'view' THEN us END) AS t1_us,
+            min(CASE WHEN event_type = 'click' AND t1r IS NOT NULL AND us > t1r THEN us END) AS t2_us,
+            min(CASE WHEN event_type = 'purchase' AND t2r IS NOT NULL AND us > t2r THEN us END) AS t3_us
+          FROM w2 GROUP BY user_id)
+        SELECT user_id, t1_us, t2_us, t3_us,
+          CAST(CASE WHEN t3_us IS NOT NULL THEN 3
+                    WHEN t2_us IS NOT NULL THEN 2
+                    WHEN t1_us IS NOT NULL THEN 1 ELSE 0 END AS INT) AS depth
+        FROM agg ORDER BY user_id""")),
+
+    // -- q114: weekly retention cohorts — user-keyed clustering reused for
+    //    distinct, first-activity, and the join; cohort rollup is map-side
+    //    partial ----------------------------------------------------------------
+    Q("q114_retention",
+      (s, dir) => ops.Events.retentionCohorts(
+        T(s, dir, "events"), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset"),
+      Some("""
+        WITH active AS (
+          SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+        first AS (SELECT u, min(d) AS d0 FROM active GROUP BY 1)
+        SELECT CAST(date_trunc('week', d0) AS DATE) AS cohort_week,
+               date_diff('day', d0, d) // 7 AS week_offset,
+               count(DISTINCT a.u) AS n_users
+        FROM active a JOIN first f ON a.u = f.u
+        GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""))
   )
 
   /** Framework semantics (SURVEY §2.A): record versioning, memoization,

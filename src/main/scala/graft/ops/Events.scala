@@ -71,4 +71,58 @@ object Events {
     grid.join(daily, Seq(keyCol, "day"), "left")
       .na.fill(0L, Seq("n_events"))
   }
+
+  /** Three-step funnel in ONE user-keyed shuffle — no self-joins. For each
+    * user: `t1` = earliest step-1 event, `t2` = earliest step-2 event
+    * strictly after SOME step-1 event, `t3` = likewise after a qualifying
+    * step-2. Prefix window minima make the per-row qualification exact: a
+    * step-2 row qualifies iff a step-1 event precedes it in time, which is
+    * precisely a property of its own ordered prefix — so the running
+    * `min(step-1 ts)` decides it without a join, and the global minima fall
+    * out of the final aggregation on the same clustering. Times are emitted
+    * as epoch micros (exact int64).
+    */
+  def funnel(df: DataFrame, userCol: String, tsCol: String, tieCol: String,
+      typeCol: String, s1: String, s2: String, s3: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // materialize each running min before the next consults it — the window
+    // specs are identical, so the projections share one exchange + sort
+    val step1 = col(typeCol) === s1
+    val base = df.withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__t1c", when(step1, col("__us")))
+      .withColumn("__t1r", min(col("__t1c")).over(w))
+    val step2 = col(typeCol) === s2 && col("__t1r").isNotNull && col("__us") > col("__t1r")
+    val base2 = base.withColumn("__t2c", when(step2, col("__us")))
+      .withColumn("__t2r", min(col("__t2c")).over(w))
+    val step3 = col(typeCol) === s3 && col("__t2r").isNotNull && col("__us") > col("__t2r")
+    base2
+      .withColumn("__t3c", when(step3, col("__us")))
+      .groupBy(col(userCol))
+      .agg(min("__t1c").as("t1_us"), min("__t2c").as("t2_us"), min("__t3c").as("t3_us"))
+      .withColumn("depth",
+        when(col("t3_us").isNotNull, 3)
+          .when(col("t2_us").isNotNull, 2)
+          .when(col("t1_us").isNotNull, 1).otherwise(0))
+  }
+
+  /** Weekly retention cohorts: users grouped by the ISO week of their first
+    * activity; for each (cohort_week, week_offset) the count of users still
+    * active that many weeks later.
+    *
+    * Scale shape: per-user-day distinct + per-user first-day agg + the
+    * activity⋈first join are ALL keyed on the user — one clustering reused
+    * thrice; the final cohort rollup aggregates |users|·|active days| →
+    * |cohorts|·|offsets| with map-side partials.
+    */
+  def retentionCohorts(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val active = df.select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d")).distinct()
+    val first = active.groupBy("__u").agg(min("__d").as("__d0"))
+    active.join(first, "__u")
+      .select(col("__u"),
+        date_trunc("week", col("__d0")).cast("date").as("cohort_week"),
+        expr("datediff(__d, __d0) div 7").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count_distinct(col("__u")).as("n_users"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution statistics over feature columns — the profiling pass a
@@ -33,5 +34,49 @@ object Stats {
       .select(bin.as("bin"), col(valueCol).as("__v"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), min("__v").as("min_v"), max("__v").as("max_v"))
+  }
+
+  /** Deterministic stratified sample: at most `n` rows per group, chosen by
+    * the 60-bit md5 hash of the id — stable across runs, task retries, AND
+    * engines (never `rand()`), so a resumed pipeline re-selects the exact
+    * same rows.
+    *
+    * Scale shape: one group-keyed shuffle; the rank window sorts within the
+    * group. For pathologically hot groups, pre-filtering on a hash
+    * threshold (cf. `TextOps.sampleMixture`) bounds the sort input.
+    */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val h = pmod(Dedup.md5Hash60(col(idCol).cast("string")), lit(Dedup.P))
+    val w = Window.partitionBy(groupCol).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= n)
+  }
+
+  /** Per-group z-score normalization. Mean and variance come from exact
+    * integer-cent sums (the q35 cross-engine pattern: int64 sums, then one
+    * correctly-rounded int64→double conversion per term), so every float op
+    * downstream — subtract, divide, sqrt — is identically rounded in any
+    * IEEE-754 engine. Degenerate groups (zero variance) get z = 0.
+    *
+    * Scale shape: one keyed agg (partial+final), then the group-stats frame
+    * — |groups| rows — broadcasts back onto the fact side: the fact table
+    * never shuffles for the normalization.
+    */
+  def zscorePerGroup(df: DataFrame, keyCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val c = round(col(valueCol) * 100).cast("long")
+    val stats = df.withColumn("__c", c)
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("__n"), sum("__c").as("__s"),
+        sum(col("__c") * col("__c")).as("__q"))
+    val mean = col("__s").cast("double") / col("__n")
+    val varPop = (col("__q").cast("double")
+      - col("__s").cast("double") * col("__s").cast("double") / col("__n")) / col("__n")
+    df.withColumn("__c", c)
+      .join(broadcast(stats), Seq(keyCol))
+      .select(col(keyCol), col(idCol),
+        when(varPop === 0d, 0d)
+          .otherwise((col("__c").cast("double") - mean) / sqrt(varPop)).as("z"))
   }
 }

@@ -632,3 +632,89 @@ class PiiSpec extends SparkSpec {
       && !out(4L)._3 && !out(4L)._4 && !out(4L)._5)
   }
 }
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel: steps must occur strictly in order; out-of-order events don't count") {
+    val df = Seq(
+      // user 1 completes the funnel in order
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "click"),
+      (3L, ts("2024-01-01 10:10:00"), 1L, "purchase"),
+      // user 2: click BEFORE any view — depth stops at 1 (the later view)
+      (4L, ts("2024-01-01 09:00:00"), 2L, "click"),
+      (5L, ts("2024-01-01 09:30:00"), 2L, "view"),
+      // user 3: purchase before click — view->click ok, purchase doesn't count
+      (6L, ts("2024-01-01 08:00:00"), 3L, "view"),
+      (7L, ts("2024-01-01 08:10:00"), 3L, "purchase"),
+      (8L, ts("2024-01-01 08:20:00"), 3L, "click"),
+      // user 4: no funnel events at all
+      (9L, ts("2024-01-01 07:00:00"), 4L, "error"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.funnel(df, "user_id", "ts", "event_id", "event_type",
+      "view", "click", "purchase")
+      .select("user_id", "depth").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 0))
+  }
+
+  test("funnel: a second click after a late view still completes step 2") {
+    val df = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1L, "click"),   // too early
+      (2L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (3L, ts("2024-01-01 11:00:00"), 1L, "click"),   // qualifies
+      (4L, ts("2024-01-01 12:00:00"), 1L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.funnel(df, "user_id", "ts", "event_id", "event_type",
+      "view", "click", "purchase")
+      .select("user_id", "t2_us", "depth").as[(Long, Option[Long], Int)].collect().head
+    assert(out._3 == 3)
+    assert(out._2.contains(ts("2024-01-01 11:00:00").getTime * 1000))
+  }
+}
+
+class RetentionSpec extends SparkSpec {
+  import spark.implicits._
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("retentionCohorts: offsets in 7-day buckets from first activity") {
+    val df = Seq(
+      // u1 first active Mon 2024-01-01 week; returns 8 days later (offset 1)
+      (1L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-10 10:00:00")),
+      // u2 same cohort week, only week 0
+      (2L, ts("2024-01-03 10:00:00")))
+      .toDF("user_id", "ts")
+    val out = Events.retentionCohorts(df, "user_id", "ts")
+      .select(col("cohort_week").cast("string"), col("week_offset"), col("n_users"))
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    assert(out == List(("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L)))
+  }
+}
+
+class StratifiedZscoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratifiedSample: deterministic across invocations, capped per group") {
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "grp")
+    val s1 = Stats.stratifiedSample(df, "grp", "id", n = 10)
+      .select("grp", "id").as[(String, Long)].collect().sorted.toList
+    val s2 = Stats.stratifiedSample(df, "grp", "id", n = 10)
+      .select("grp", "id").as[(String, Long)].collect().sorted.toList
+    assert(s1 == s2)
+    assert(s1.count(_._1 == "a") == 10 && s1.count(_._1 == "b") == 10)
+  }
+
+  test("zscorePerGroup: zero-mean unit-variance within group; degenerate group -> 0") {
+    val df = Seq(
+      ("g", 1L, 10.0), ("g", 2L, 20.0), ("g", 3L, 30.0),
+      ("h", 4L, 5.0), ("h", 5L, 5.0)).toDF("grp", "id", "v")
+    val out = Stats.zscorePerGroup(df, "grp", "id", "v")
+      .as[(String, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(math.abs(out(2L)) < 1e-12)                 // mean of g
+    assert(math.abs(out(1L) + out(3L)) < 1e-12)       // symmetric
+    assert(math.abs(out(3L) - math.sqrt(1.5)) < 1e-9) // (30-20)/sqrt(200/3)
+    assert(out(4L) == 0.0 && out(5L) == 0.0)          // zero variance
+  }
+}
