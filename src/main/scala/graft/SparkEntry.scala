@@ -48,36 +48,58 @@ object SparkEntry {
     // -- q01: filter + hash-agg, the TPC-H Q1 pricing summary -------------
     Q("q01_pricing_summary",
       (s, dir) => {
+        // Exact integer-cent arithmetic (the q35 pattern): every product and
+        // sum stays in int64 (max ~2.4e16 ≪ 2^63), so the per-row math runs
+        // as primitive long ops inside whole-stage codegen instead of the
+        // ~5x-slower decimal128 path — and the final int64→double conversion
+        // + divisions are identically rounded in both engines.
         T(s, dir, "lineitem")
           .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            round(col("l_quantity") * 100).cast("long").as("qc"),
+            round(col("l_extendedprice") * 100).cast("long").as("pc"),
+            round(col("l_discount") * 100).cast("long").as("d100"),
+            round(col("l_tax") * 100).cast("long").as("t100"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            dsum(col("l_quantity")).as("sum_qty"),
-            dsum(col("l_extendedprice")).as("sum_base_price"),
-            sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
-              .cast("double").as("sum_disc_price"),
-            sum(dec(col("l_extendedprice")) *
-              (lit(1.0) - col("l_discount")).cast(DecimalType(8, 4)) *
-              (lit(1.0) + col("l_tax")).cast(DecimalType(8, 4)))
-              .cast(DecimalType(18, 6)).cast("double").as("sum_charge"),
-            davg(col("l_quantity")).as("avg_qty"),
-            davg(col("l_extendedprice")).as("avg_price"),
+            sum("qc").as("sq"), sum("pc").as("sp"),
+            sum(col("pc") * (lit(100L) - col("d100"))).as("sdp"),
+            sum(col("pc") * (lit(100L) - col("d100")) * (lit(100L) + col("t100"))).as("sc"),
             count(lit(1)).as("count_order"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            (col("sq").cast("double") / 100d).as("sum_qty"),
+            (col("sp").cast("double") / 100d).as("sum_base_price"),
+            (col("sdp").cast("double") / 10000d).as("sum_disc_price"),
+            (col("sc").cast("double") / 1000000d).as("sum_charge"),
+            (col("sq").cast("double") / 100d / col("count_order")).as("avg_qty"),
+            (col("sp").cast("double") / 100d / col("count_order")).as("avg_price"),
+            col("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
       },
       Some("""
+        WITH c AS (
+          SELECT l_returnflag, l_linestatus,
+            CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+            CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+            CAST(round(l_discount * 100) AS BIGINT) AS d100,
+            CAST(round(l_tax * 100) AS BIGINT) AS t100
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'),
+        a AS (
+          SELECT l_returnflag, l_linestatus,
+            CAST(sum(qc) AS BIGINT) AS sq, CAST(sum(pc) AS BIGINT) AS sp,
+            CAST(sum(pc * (100 - d100)) AS BIGINT) AS sdp,
+            CAST(sum(pc * (100 - d100) * (100 + t100)) AS BIGINT) AS sc,
+            count(*) AS count_order
+          FROM c GROUP BY 1, 2)
         SELECT l_returnflag, l_linestatus,
-          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(8,4)) * CAST(1.0 + l_tax AS DECIMAL(8,4))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
-          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
-          count(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-01'
-        GROUP BY l_returnflag, l_linestatus
-        ORDER BY l_returnflag, l_linestatus""")),
+          CAST(sq AS DOUBLE) / 100 AS sum_qty,
+          CAST(sp AS DOUBLE) / 100 AS sum_base_price,
+          CAST(sdp AS DOUBLE) / 10000 AS sum_disc_price,
+          CAST(sc AS DOUBLE) / 1000000 AS sum_charge,
+          CAST(sq AS DOUBLE) / 100 / count_order AS avg_qty,
+          CAST(sp AS DOUBLE) / 100 / count_order AS avg_price,
+          count_order
+        FROM a ORDER BY l_returnflag, l_linestatus""")),
 
     // -- q02: predicate families (IN/BETWEEN/LIKE/RLIKE) + projection -----
     Q("q02_filter_project",
@@ -115,27 +137,39 @@ object SparkEntry {
         // (key, decimal, long) instead of every lineitem row — the difference
         // between shuffling ~100 TB and ~25 TB at the real scale factor.
         // Decimal partial sums re-sum exactly, so results are bit-identical.
-        val perOrder = li.groupBy(col("l_orderkey"))
-          .agg(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount"))).as("rev"),
-            count(lit(1)).as("n_items"))
+        // Revenue in exact 1e-4 units: cents x (100 - discount-hundredths)
+        // stays int64 end-to-end (global sum ~2.3e14 < 2^53, so even the
+        // final double conversion is exact) — primitive long math in place
+        // of the decimal128 product path.
+        val perOrder = li
+          .select(col("l_orderkey"),
+            (round(col("l_extendedprice") * 100).cast("long")
+              * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rc"))
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("rc")).as("rc"), count(lit(1)).as("n_items"))
         val perCust = perOrder
           .join(ord, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_custkey"))
-          .agg(sum(col("rev")).as("rev"), sum(col("n_items")).as("n_items"))
+          .agg(sum(col("rc")).as("rc"), sum(col("n_items")).as("n_items"))
         perCust
           .join(cust, col("o_custkey") === col("c_custkey"))
           .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name", "n_name")
-          .agg(sum(col("rev")).cast("double").as("revenue"),
+          .agg((sum(col("rc")).cast("double") / 10000d).as("revenue"),
             sum(col("n_items")).as("n_items"))
           .orderBy("r_name", "n_name")
       },
       Some("""
+        WITH li AS (
+          SELECT l_orderkey,
+            CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rc
+          FROM lineitem)
         SELECT r_name, n_name,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          CAST(CAST(sum(rc) AS BIGINT) AS DOUBLE) / 10000 AS revenue,
           count(*) AS n_items
-        FROM lineitem
+        FROM li
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         JOIN nation   ON c_nationkey = n_nationkey
