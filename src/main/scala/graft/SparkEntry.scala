@@ -393,8 +393,10 @@ object SparkEntry {
     // -- q16: rollup ---------------------------------------------------------
     Q("q16_rollup",
       (s, dir) => T(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("l_quantity") * 100).cast("long").as("qc"))
         .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), (sum("qc").cast("double") / 100d).as("sum_qty"))
         .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
           col("n"), col("sum_qty"))
@@ -403,7 +405,7 @@ object SparkEntry {
         SELECT coalesce(l_returnflag, '(all)') AS returnflag,
                coalesce(l_linestatus, '(all)') AS linestatus,
                count(*) AS n,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+               CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100 AS sum_qty
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY returnflag, linestatus""")),
 
