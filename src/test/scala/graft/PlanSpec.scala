@@ -184,4 +184,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("runtime bloom filter from a selective dim filter prunes the fact scan (shuffle join)") {
+    // own session: thresholds scaled to the fixture (prod defaults assume a
+    // 10 GB application side); broadcast disabled so the join actually
+    // shuffles — broadcast joins don't need the bloom filter
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = Tables.load(s, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val ord = Tables.load(s, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val p = j.queryExecution.optimizedPlan.toString
+    assert(p.toLowerCase.contains("bloom"), s"no runtime bloom filter injected:\n$p")
+  }
 }
