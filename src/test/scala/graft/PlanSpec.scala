@@ -201,4 +201,29 @@ class PlanSpec extends SparkSpec {
     val p = j.queryExecution.optimizedPlan.toString
     assert(p.toLowerCase.contains("bloom"), s"no runtime bloom filter injected:\n$p")
   }
+
+  test("AQE splits a skewed shuffle-join partition at runtime (skew=true in the final plan)") {
+    // own session: thresholds scaled down so the fixture's hot key (60% of
+    // rows on one value) crosses the skew factor; broadcast disabled so the
+    // join shuffles. This is the runtime half of the skew story — SkewJoin
+    // covers the planned half for KNOWN hot keys.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val left = s.range(200000)
+      .selectExpr("CASE WHEN id % 10 < 6 THEN 0 ELSE id END AS k", "id AS payload")
+    val right = s.range(50000).selectExpr("id AS k", "id * 2 AS v")
+    val j = left.join(right, "k")
+    // collect() runs THIS dataset's QueryExecution (write.save() would spawn
+    // a fresh one and leave j's adaptive plan unfinalized)
+    j.collect()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"), s"no runtime skew split:\n$p")
+  }
 }
