@@ -486,13 +486,28 @@ object SparkEntry {
           count(*) FILTER (WHERE o_orderstatus='O') AS n_open
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
-    // -- q21: approx aggregates (no exact oracle — rows-only check;
-    //         accuracy asserted in ScalaTest against exact values) ----------
+    // -- q21: approx aggregates. The approx values are engine-specific (no
+    //         DuckDB twin exists), so the oracle-checkable output is the exact
+    //         values PLUS booleans asserting the approx results landed within
+    //         the documented bounds — fully hash-checkable, and any accuracy
+    //         regression flips a boolean loudly. Tighter accuracy assertions
+    //         live in ApproxSpec. --------------------------------------------
     Q("q21_approx_agg",
-      (s, dir) => T(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_median_qty")),
-      None),
+      (s, dir) => T(s, dir, "lineitem")
+        .agg(
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("__ap"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("__am"),
+          expr("percentile(l_quantity, 0.5)").as("__em"))
+        .select(
+          col("exact_parts"),
+          (abs(col("__ap") - col("exact_parts")).cast("double") / col("exact_parts")
+            <= 0.05).as("approx_parts_ok"),
+          (abs(col("__am") - col("__em")) / col("__em") <= 0.05).as("approx_median_ok")),
+      Some("""
+        SELECT count(DISTINCT l_partkey) AS exact_parts,
+          TRUE AS approx_parts_ok, TRUE AS approx_median_ok
+        FROM lineitem""")),
 
     // -- q22: string function family ----------------------------------------
     Q("q22_string_funcs",
@@ -1428,7 +1443,10 @@ object SparkEntry {
             skewedLineitem(s, dir), T(s, dir, "orders")
               .select(col("o_orderkey").as("k"), col("o_orderpriority"))
               .hint("shuffle_hash"),
-            Seq("k"), salts = 8, hotFraction = 0.05)
+            Seq("k"), salts = 8, hotFraction = 0.05,
+            // bounded salt source: key + one varying column — wide rows never
+            // pay a full-row hash (the 100 TB shape)
+            saltCols = Seq("k", "l_quantity"))
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
           .orderBy("o_orderpriority")

@@ -216,16 +216,27 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     require(entityKeys.length == keyValues.length)
     val v = asOfVersion.orElse(latestVersion(feature))
       .getOrElse(throw new IllegalArgumentException(s"feature $feature has no versions"))
-    // same hash the writer used, evaluated on a one-row literal frame
-    val b = spark.range(1)
-      .select(pmod(xxhash64(keyValues.map(lit): _*), lit(numBuckets)).cast("int").as("b"))
-      .collect()(0).getInt(0)
+    // same hash the writer used, evaluated IN-PROCESS: lookup is the serving
+    // path (A14 fastlane), and a one-row Spark job spends ~50-100 ms of
+    // scheduler latency computing a hash the driver evaluates in microseconds.
+    // Literal() assigns the same types lit() would, so the bucket is
+    // bit-identical to the executor-side bucketCol routing.
+    val b = bucketOf(keyValues)
     readManifest(feature, v).get(b) match {
       case None => read(feature, entityKeys, Some(v)).limit(0)
       case Some(p) =>
         val df = spark.read.parquet(s"$root/$feature/$p")
         entityKeys.zip(keyValues).foldLeft(df) { case (d, (k, kv)) => d.filter(col(k) === lit(kv)) }
     }
+  }
+
+  /** Driver-side twin of [[bucketCol]]: evaluate pmod(xxhash64(keys), n) on
+    * literal values with the catalyst expressions themselves — no Spark job.
+    * Exposed for spec-level routing-equivalence assertions. */
+  private[graft] def bucketOf(keyValues: Seq[Any]): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit, Pmod, XxHash64}
+    val hash = new XxHash64(keyValues.map(v => CatLit(v)))
+    new Pmod(hash, CatLit(numBuckets.toLong)).eval(null).asInstanceOf[Long].toInt
   }
 
   /** Fraction of the table a merge of `updates` would rewrite (observability

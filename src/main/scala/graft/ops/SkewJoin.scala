@@ -26,16 +26,21 @@ object SkewJoin {
   private val SaltableJoinTypes = Set("inner", "left", "leftouter", "left_outer", "cross")
 
   def saltedEquiJoin(left: DataFrame, right: DataFrame, on: Seq[String],
-                     salts: Int, joinType: String = "inner"): DataFrame = {
+                     salts: Int, joinType: String = "inner",
+                     saltCols: Seq[String] = Nil): DataFrame = {
     require(salts > 0)
     require(SaltableJoinTypes(joinType.toLowerCase.replace(" ", "")),
       s"salted join supports ${SaltableJoinTypes.mkString("/")}, not $joinType")
-    // salt must be a pure function of the ROW, not of task placement:
+    // salt must be (a) a pure function of the ROW, not of task placement —
     // rand(seed) re-draws per task attempt, so AQE replanning or a retry
-    // re-salts rows non-reproducibly. xxhash64 over the full row spreads a
-    // hot key uniformly and is deterministic everywhere.
+    // re-salts rows non-reproducibly — and (b) varying WITHIN a hot key, or
+    // every hot row lands on one salt and nothing spreads (key-only hashing
+    // is useless here). Default: hash every left column. At 100 TB pass
+    // `saltCols` = join keys + one unique/high-cardinality column so wide
+    // rows don't pay a full-row hash per row.
+    val src = if (saltCols.nonEmpty) saltCols else left.columns.toSeq
     val l = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salts)).cast("int"))
+      pmod(xxhash64(src.map(col): _*), lit(salts)).cast("int"))
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, on :+ "__salt", joinType).drop("__salt")
   }
@@ -75,7 +80,8 @@ object SkewJoin {
     */
   def hotKeySaltedJoin(left: DataFrame, right: DataFrame, on: Seq[String],
                        salts: Int, hot: Seq[Seq[Any]],
-                       joinType: String = "inner"): DataFrame = {
+                       joinType: String = "inner",
+                       saltCols: Seq[String] = Nil): DataFrame = {
     require(salts > 0)
     if (hot.isEmpty) return left.join(right, on, joinType)
     val hotPred: Column = hot.map { kv =>
@@ -86,7 +92,7 @@ object SkewJoin {
     // (they never equi-match, but outer joins must still preserve them)
     val isHot = coalesce(hotPred, lit(false))
     val hotJoin = saltedEquiJoin(
-      left.where(isHot), right.where(isHot), on, salts, joinType)
+      left.where(isHot), right.where(isHot), on, salts, joinType, saltCols)
     val coldJoin = left.where(!isHot).join(right.where(!isHot), on, joinType)
     hotJoin.unionByName(coldJoin)
   }
@@ -96,7 +102,8 @@ object SkewJoin {
     * salted (default 1%). */
   def autoSaltedJoin(left: DataFrame, right: DataFrame, on: Seq[String],
                      salts: Int, hotFraction: Double = 0.01,
-                     joinType: String = "inner"): DataFrame =
+                     joinType: String = "inner",
+                     saltCols: Seq[String] = Nil): DataFrame =
     hotKeySaltedJoin(left, right, on, salts,
-      hotKeys(left, on, hotFraction), joinType)
+      hotKeys(left, on, hotFraction), joinType, saltCols)
 }

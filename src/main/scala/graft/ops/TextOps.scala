@@ -20,14 +20,25 @@ object TextOps {
     size(split(text, " ")) +
       (length(text) - length(regexp_replace(text, "[aeiouAEIOU0-9]", "")))
 
+  /** Exact multiset occurrence count of `words` inside token array `toks`,
+    * pure codegen'd built-ins: count(w) = size(toks) - size(array_remove(toks,
+    * w)), summed over the word list. `array_remove` keeps duplicates of every
+    * OTHER element, so the size difference is the exact per-word hit count
+    * (`array_except` would deduplicate and under-count; `filter(toks, t =>
+    * array_contains(...))` is a CodegenFallback lambda with no CSE — it
+    * re-evaluates the split per language per row and dominated the r5 bench).
+    * Whole-stage codegen's subexpression elimination evaluates `toks` once
+    * even though it appears in every term. */
+  def multisetHits(toks: Column, words: Seq[String]): Column =
+    words.map(w => size(toks) - size(array_remove(toks, lit(w)))).reduce(_ + _)
+
   /** Quality-score feature struct: lengths, ratios, lexical diversity.
     * Everything a fast quality filter needs, one projection. */
   def qualityFeatures(text: Column): Column = {
     val toks = split(text, " ")
     val nTok = size(toks)
     val nChar = length(text)
-    val stop = array(Seq("the", "a", "of", "and", "to", "in", "is", "on").map(lit): _*)
-    val nStop = size(filter(toks, t => array_contains(stop, t)))
+    val nStop = multisetHits(toks, Seq("the", "a", "of", "and", "to", "in", "is", "on"))
     val nUniq = size(array_distinct(toks))
     val punct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
     struct(
@@ -52,8 +63,7 @@ object TextOps {
   def langId(text: Column): Column = {
     val toks = split(lower(text), " ")
     val scored = langProfiles.map { case (lang, words) =>
-      val profile = array(words.map(lit): _*)
-      (lang, size(filter(toks, t => array_contains(profile, t))))
+      (lang, multisetHits(toks, words))
     }
     // argmax by (score desc, lang asc) via left fold over the ordered list
     val best = scored.sortBy(_._1).foldLeft((lit("unknown"), lit(0))) {

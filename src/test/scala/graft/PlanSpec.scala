@@ -185,6 +185,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q77/q78: text-quality and lang-id plans are lambda-free (stay in whole-stage codegen)") {
+    // r5 regression class: filter(toks, t => array_contains(...)) is a
+    // CodegenFallback HOF whose lambda body gets no CSE — it re-evaluated the
+    // split per language per row. The multiset counting must stay native.
+    Seq("q77_text_quality", "q78_lang_id").foreach { q =>
+      val p = planOf(q).toLowerCase
+      assert(!p.contains("lambdafunction"), s"$q plan contains an interpreted HOF lambda")
+    }
+  }
+
   test("runtime bloom filter from a selective dim filter prunes the fact scan (shuffle join)") {
     // own session: thresholds scaled to the fixture (prod defaults assume a
     // 10 GB application side); broadcast disabled so the join actually
