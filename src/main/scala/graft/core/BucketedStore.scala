@@ -187,7 +187,20 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     * the manifest-level analogue of parquet row-group skipping: the planner
     * touches `numBuckets` stat rows instead of listing every file. */
   def scanPruned(feature: String, entityKeys: Seq[String], statsCol: String,
-                 lo: Double, hi: Double, asOfVersion: Option[Long] = None): DataFrame = {
+                 lo: Double, hi: Double, asOfVersion: Option[Long] = None): DataFrame =
+    scanPrunedMulti(feature, entityKeys, Seq((statsCol, lo, hi)), asOfVersion)
+
+  /** CONJUNCTIVE multi-column stats pruning: a bucket is read only if its
+    * recorded [min,max] intersects EVERY requested range — the keep-sets of
+    * the individual predicates intersect, so adding a predicate can only
+    * shrink the file list (Z-order-style data skipping without the curve:
+    * the sidecar already stores per-column min/max per bucket). Per column,
+    * untracked ⇒ conservative keep; tracked but entry absent ⇒ the bucket's
+    * values are all NULL ⇒ the range can't match ⇒ skip. */
+  def scanPrunedMulti(feature: String, entityKeys: Seq[String],
+      ranges: Seq[(String, Double, Double)],
+      asOfVersion: Option[Long] = None): DataFrame = {
+    require(ranges.nonEmpty, "scanPrunedMulti needs at least one (col, lo, hi) range")
     val v = asOfVersion.orElse(latestVersion(feature))
       .getOrElse(throw new IllegalArgumentException(s"feature $feature has no versions"))
     val stats = readStats(feature, v)
@@ -195,15 +208,19 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     // a column NO bucket has an entry for is indistinguishable from untracked
     // (an all-NULL bucket writes no entry) — reading everything is the
     // conservative-correct answer for both
-    val tracked = stats.values.exists(_.contains(statsCol))
+    val tracked = ranges.map { case (c, _, _) =>
+      c -> stats.values.exists(_.contains(c)) }.toMap
     val keep = manifest.filter { case (b, _) =>
-      if (!tracked) true
-      else stats.get(b).flatMap(_.get(statsCol)) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None           => false // tracked column, all-NULL bucket: skip
+      ranges.forall { case (c, lo, hi) =>
+        if (!tracked(c)) true
+        else stats.get(b).flatMap(_.get(c)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None           => false // tracked column, all-NULL bucket: skip
+        }
       }
     }
-    val pred = col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi)
+    val pred = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
     if (keep.isEmpty) read(feature, entityKeys, Some(v)).where(pred).limit(0)
     else spark.read.parquet(keep.values.map(p => s"$root/$feature/$p").toSeq: _*).where(pred)
   }
@@ -216,27 +233,52 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     require(entityKeys.length == keyValues.length)
     val v = asOfVersion.orElse(latestVersion(feature))
       .getOrElse(throw new IllegalArgumentException(s"feature $feature has no versions"))
+    val manifest = readManifest(feature, v)
+    if (manifest.isEmpty) return read(feature, entityKeys, Some(v)).limit(0)
     // same hash the writer used, evaluated IN-PROCESS: lookup is the serving
     // path (A14 fastlane), and a one-row Spark job spends ~50-100 ms of
     // scheduler latency computing a hash the driver evaluates in microseconds.
-    // Literal() assigns the same types lit() would, so the bucket is
-    // bit-identical to the executor-side bucketCol routing.
-    val b = bucketOf(keyValues)
-    readManifest(feature, v).get(b) match {
+    // xxhash64 hashes by TYPE, so each literal is cast to the STORED key
+    // column's type first (an Int passed for a Long column would otherwise
+    // hash differently and silently miss) — types come from one cached
+    // parquet footer read.
+    val schema = keySchema(feature, v, manifest)
+    val types = entityKeys.map(k => schema(k).dataType)
+    val b = bucketOf(keyValues, types)
+    manifest.get(b) match {
       case None => read(feature, entityKeys, Some(v)).limit(0)
       case Some(p) =>
         val df = spark.read.parquet(s"$root/$feature/$p")
-        entityKeys.zip(keyValues).foldLeft(df) { case (d, (k, kv)) => d.filter(col(k) === lit(kv)) }
+        entityKeys.zip(keyValues).foldLeft(df) { case (d, (k, kv)) =>
+          d.filter(col(k) === lit(kv).cast(schema(k).dataType)) }
     }
   }
 
+  // one footer read per (feature, version), then in-memory — the serving
+  // path stays Spark-job-free after the first lookup
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), org.apache.spark.sql.types.StructType]
+  private def keySchema(feature: String, v: Long,
+      manifest: Map[Int, String]): org.apache.spark.sql.types.StructType =
+    schemaCache.getOrElseUpdate((feature, v),
+      spark.read.parquet(s"$root/$feature/${manifest.values.head}").schema)
+
   /** Driver-side twin of [[bucketCol]]: evaluate pmod(xxhash64(keys), n) on
     * literal values with the catalyst expressions themselves — no Spark job.
+    * Each literal is cast to the stored key column's Catalyst type so the
+    * bucket is bit-identical to the executor-side bucketCol routing even
+    * when the caller's Scala type differs (Int for a LongType key, ...).
     * Exposed for spec-level routing-equivalence assertions. */
-  private[graft] def bucketOf(keyValues: Seq[Any]): Int = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit, Pmod, XxHash64}
-    val hash = new XxHash64(keyValues.map(v => CatLit(v)))
-    new Pmod(hash, CatLit(numBuckets.toLong)).eval(null).asInstanceOf[Long].toInt
+  private[graft] def bucketOf(keyValues: Seq[Any],
+      keyTypes: Seq[org.apache.spark.sql.types.DataType]): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal => CatLit, Pmod, XxHash64}
+    require(keyValues.length == keyTypes.length)
+    val lits = keyValues.zip(keyTypes).map { case (kv, t) =>
+      val l = CatLit(kv)
+      if (l.dataType == t) l else CatLit(Cast(l, t).eval(null), t)
+    }
+    new Pmod(new XxHash64(lits), CatLit(numBuckets.toLong))
+      .eval(null).asInstanceOf[Long].toInt
   }
 
   /** Fraction of the table a merge of `updates` would rewrite (observability

@@ -31,6 +31,13 @@ object SkewJoin {
     require(salts > 0)
     require(SaltableJoinTypes(joinType.toLowerCase.replace(" ", "")),
       s"salted join supports ${SaltableJoinTypes.mkString("/")}, not $joinType")
+    // enforced, not just documented: a saltCols list that is a subset of the
+    // join keys is constant WITHIN each key, so every hot row would hash to
+    // one salt — zero spread — while the right side still pays the ×salts
+    // explode
+    require(saltCols.isEmpty || saltCols.exists(c => !on.contains(c)),
+      s"saltCols (${saltCols.mkString(",")}) must include a column outside the " +
+        s"join keys (${on.mkString(",")}), or the salt is constant per key and spreads nothing")
     // salt must be (a) a pure function of the ROW, not of task placement —
     // rand(seed) re-draws per task attempt, so AQE replanning or a retry
     // re-salts rows non-reproducibly — and (b) varying WITHIN a hot key, or

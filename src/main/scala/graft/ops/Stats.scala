@@ -36,6 +36,47 @@ object Stats {
       .agg(count(lit(1)).as("n"), min("__v").as("min_v"), max("__v").as("max_v"))
   }
 
+  /** Exact percentile of a BOUNDED-CARDINALITY value column via its value
+    * histogram — the scale-safe replacement for the interpreted global
+    * `percentile()` aggregate, which buffers every value of its group on one
+    * reducer (for a global percentile at 100 TB that one buffer is the whole
+    * column). Here the map side collapses the column to one (value, count)
+    * row per distinct value, the exchange carries bins, and the
+    * interpolation runs over the bounded histogram; the single-partition
+    * window is over the HISTOGRAM, never rows.
+    *
+    * Reproduces `percentile(col, p)`'s definition exactly: k = p*(n-1);
+    * result = v[floor(k)] + frac(k)*(v[ceil(k)] - v[floor(k)]) with v the
+    * 0-based sorted values — a row's sorted-index range is [lo, hi) from the
+    * cumulative counts, so the two picks are conditional maxes over the
+    * histogram (asserted value-equal to percentile() in ApproxSpec).
+    *
+    * Use when the column's distinct-value count is bounded (quantities,
+    * grades, categorical scores); for unbounded doubles use
+    * percentile_approx.
+    */
+  def histogramPercentile(df: DataFrame, valueCol: String, p: Double): DataFrame = {
+    val cw = Window.orderBy("__q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fw = Window.orderBy("__q")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__q"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__hi", sum("__c").over(cw))
+      .withColumn("__lo", col("__hi") - col("__c"))
+      .withColumn("__k", (sum("__c").over(fw) - 1) * p)
+      .agg(
+        max(when(col("__lo") <= floor(col("__k")) && floor(col("__k")) < col("__hi"),
+          col("__q"))).as("__vlo"),
+        max(when(col("__lo") <= ceil(col("__k")) && ceil(col("__k")) < col("__hi"),
+          col("__q"))).as("__vhi"),
+        max(col("__k")).as("__k"))
+      .select((col("__vlo")
+        + (col("__k") - floor(col("__k"))) * (col("__vhi") - col("__vlo")))
+        .as("percentile"))
+  }
+
   /** Deterministic stratified sample: at most `n` rows per group, chosen by
     * the 60-bit md5 hash of the id — stable across runs, task retries, AND
     * engines (never `rand()`), so a resumed pipeline re-selects the exact

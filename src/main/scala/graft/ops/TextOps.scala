@@ -88,13 +88,16 @@ object TextOps {
       md5(text).as("content_md5"),
       array_min(Dedup.shingleHashes(text, shingleN)).as("winnow_min"))
 
-  /** High-throughput fingerprint pipeline: explode shingles, hash in a flat
-    * codegen'd projection, one groupBy(id) with (first(content_md5),
-    * min(shingle_hash)) — identical output to [[fingerprint]], no
-    * interpreted md5 in lambdas. */
+  /** High-throughput fingerprint pipeline: repartition by id (the one
+    * exchange — it carries each text ONCE, not a 32-char md5 string per
+    * exploded gram row), then shingle, hash in a flat codegen'd projection,
+    * and groupBy(id) within the established partitioning — identical output
+    * to [[fingerprint]], no interpreted md5 in lambdas, no second shuffle. */
   def fingerprintDf(df: DataFrame, idCol: String, textCol: String,
                     shingleN: Int = 5): DataFrame =
-    df.select(col(idCol), md5(col(textCol)).as("content_md5"),
+    df.select(col(idCol), col(textCol))
+      .repartition(col(idCol))
+      .select(col(idCol), md5(col(textCol)).as("content_md5"),
         Dedup.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), col("content_md5"),
         explode(Dedup.shingleStringsFromTokens(col("__toks"), shingleN)).as("__s"))
@@ -102,6 +105,55 @@ object TextOps {
         pmod(Dedup.md5Hash60(col("__s")), lit(Dedup.P)).as("__h"))
       .groupBy(col(idCol))
       .agg(first(col("content_md5")).as("content_md5"), min(col("__h")).as("winnow_min"))
+
+  /** FUSED corpus profile: fingerprint (content md5 + winnow min), MinHash
+    * signature, sorted distinct shingle-hash set, and Gopher-style repetition
+    * stats — everything [[fingerprintDf]], [[Dedup.shingleProfiles]], and
+    * [[repetitionStats]] compute separately, in ONE pass over the raw text.
+    * A pipeline needing all of them (the normal case: dedup + quality filter
+    * + fingerprint run together) scans a 100 TB corpus once, not four times.
+    *
+    * Scale shape: ONE exchange total. The frame is repartitioned by doc id
+    * FIRST (the shuffle carries each text once — comparable bytes to one
+    * exploded gram-hash shuffle), then shingling, hashing, the per-(doc,gram)
+    * count, and the per-doc rollup all run within the established
+    * partitioning: hashpartitioning(id) satisfies the clustering of BOTH
+    * downstream aggregations, so Catalyst inserts no further exchange
+    * (locked in PlanSpec). MinHash mins ride the per-gram level — min over
+    * distinct grams equals min over the multiset.
+    */
+  def corpusProfile(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, numHashes: Int = 12): DataFrame = {
+    val coeffs = Dedup.hashCoeffs(numHashes)
+    val perGram = df.select(col(idCol), col(textCol))
+      .repartition(col(idCol))
+      .select(col(idCol), md5(col(textCol)).as("content_md5"),
+        Dedup.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("content_md5"),
+        explode(Dedup.shingleStringsFromTokens(col("__toks"), n)).as("__s"))
+      .select(col(idCol), col("content_md5"),
+        pmod(Dedup.md5Hash60(col("__s")), lit(Dedup.P)).as("__h"))
+      .groupBy(col(idCol), col("__h"))
+      .agg(first("content_md5").as("content_md5"), count(lit(1)).as("__c"))
+    val sigMins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("__h") + lit(b)) % lit(Dedup.P)).as(s"__m$i")
+    }
+    perGram.groupBy(col(idCol))
+      .agg(first("content_md5").as("content_md5"),
+        (min("__h").as("winnow_min") +:
+          sort_array(collect_list(col("__h"))).as("shingles") +:
+          sum("__c").as("n_grams") +:
+          count(lit(1)).as("distinct_grams") +:
+          max("__c").as("top_gram_count") +: sigMins): _*)
+      .select(col(idCol) +: col("content_md5") +: col("winnow_min") +:
+        col("shingles") +:
+        array(coeffs.indices.map(i => col(s"__m$i")): _*).as("minhash_sig") +:
+        col("n_grams") +: col("distinct_grams") +: col("top_gram_count") +:
+        ((col("n_grams") - col("distinct_grams")).cast("double")
+          / col("n_grams").cast("double")).as("dup_gram_frac") +:
+        (col("top_gram_count").cast("double")
+          / col("n_grams").cast("double")).as("top_gram_frac") +: Nil: _*)
+  }
 
   /** Quality gate: keep documents passing minimum-quality thresholds — the
     * standard pre-training corpus filter, one codegen'd predicate pass. */
@@ -154,12 +206,16 @@ object TextOps {
     * frequent word n-gram occurrence counts plus the derived duplicate-gram
     * and top-gram fractions (high values ⇒ boilerplate or degenerate text).
     *
-    * Scale shape: explode n-grams into a flat projection, hash each gram to
-    * a 60-bit key (the shuffle carries (id, int64), never gram strings),
-    * then two keyed aggregations — per-(doc, gram) counts, per-doc rollup. */
+    * Scale shape: ONE exchange — repartition by doc id first (the shuffle
+    * carries each text once), then the explode, gram hashing, and BOTH keyed
+    * aggregations (per-(doc, gram) counts, per-doc rollup) run within that
+    * partitioning: hashpartitioning(id) satisfies both aggregations'
+    * clustering, so no further exchange is inserted (r6 shape was two). */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 2): DataFrame =
-    df.select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
+    df.select(col(idCol), col(textCol))
+      .repartition(col(idCol))
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), explode(Dedup.shingleStringsFromTokens(col("__toks"), n)).as("__g"))
       .select(col(idCol), pmod(Dedup.md5Hash60(col("__g")), lit(Dedup.P)).as("__h"))
       .groupBy(col(idCol), col("__h")).agg(count(lit(1)).as("__c"))

@@ -21,4 +21,29 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(approxMed - exactMed) <= 1.0,
       s"approx median too far off: $approxMed vs $exactMed")
   }
+
+  test("histogramPercentile matches the interpreted percentile() bit-for-bit") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0).foreach { p =>
+      val hp = graft.ops.Stats.histogramPercentile(li, "l_quantity", p)
+        .as[Double].head()
+      val ref = li.agg(expr(s"percentile(l_quantity, $p)")).as[Double].head()
+      assert(hp == ref, s"p=$p: histogram $hp vs percentile() $ref")
+    }
+    // odd/even small frames exercise both interpolation branches
+    val odd = Seq(3.0, 1.0, 2.0).toDF("v")
+    assert(graft.ops.Stats.histogramPercentile(odd, "v", 0.5).as[Double].head() == 2.0)
+    val even = Seq(1.0, 2.0, 3.0, 10.0).toDF("v")
+    assert(graft.ops.Stats.histogramPercentile(even, "v", 0.5).as[Double].head() == 2.5)
+    // duplicates spanning the pick
+    val dup = Seq(1.0, 2.0, 2.0, 2.0, 9.0).toDF("v")
+    assert(graft.ops.Stats.histogramPercentile(dup, "v", 0.5).as[Double].head() == 2.0)
+  }
+
+  test("q21 bounds-booleans hold and the plan avoids the value-buffering shapes") {
+    val row = SparkEntry.queries("q21_approx_agg")(spark, sfDir).head()
+    assert(row.getLong(0) > 0)
+    assert(row.getBoolean(1), s"approx_parts_ok false: $row")
+    assert(row.getBoolean(2), s"approx_median_ok false: $row")
+  }
 }

@@ -195,6 +195,46 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q21: no exact percentile(), no Expand, and no sketch aggregate keyed by a data column") {
+    // r6/r7 regression class, two shapes of the same disease:
+    //  (a) exact percentile() buffers EVERY value of its global group on one
+    //      reducer — the median must come from the bounded value histogram;
+    //  (b) count_distinct mixed with ANY sketch aggregate makes the
+    //      one-distinct rewrite key the partial agg by l_partkey, so every
+    //      distinct key carries its own multi-KB HLL/percentile buffer
+    //      (14-18 s at sf0.1; unbounded at 100 TB). Sketch aggregates must
+    //      only ever appear GLOBAL (no grouping keys).
+    val df = SparkEntry.queries("q21_approx_agg")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("percentile("), s"interpreted exact percentile in plan:\n$p")
+    assert(!p.contains("Expand"), s"distinct-rewrite Expand in plan:\n$p")
+    val sketchAggs = df.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }
+    assert(sketchAggs.forall(_.asInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec]
+        .groupingExpressions.isEmpty),
+      s"sketch aggregate keyed by a data column (per-key buffers):\n$p")
+  }
+
+  test("q115: fused corpus profile is ONE exchange and ONE corpus explode") {
+    // the point of the fusion: repartition(id) is the only shuffle — the
+    // per-(doc,gram) count AND the per-doc rollup both run inside that
+    // partitioning (hashpartitioning(id) satisfies both clusterings), and
+    // the corpus is shingled exactly once
+    val df = SparkEntry.queries("q115_corpus_profile")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Generate".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q100/q79: repetitionStats and fingerprintDf shuffle ONCE (text rides the repartition)") {
+    Seq("q100_repetition_stats", "q79_doc_fingerprint").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      assert("hashpartitioning".r.findAllIn(p).size == 1, s"$q:\n$p")
+    }
+  }
+
   test("runtime bloom filter from a selective dim filter prunes the fact scan (shuffle join)") {
     // own session: thresholds scaled to the fixture (prod defaults assume a
     // 10 GB application side); broadcast disabled so the join actually

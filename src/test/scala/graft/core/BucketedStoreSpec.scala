@@ -87,6 +87,69 @@ class BucketedStoreSpec extends SparkSpec {
     assert(all.count() == 11)
   }
 
+  test("lookup routing is bit-identical to writer routing for non-Long key types") {
+    // INT key column: a caller passing a Scala Int OR a Long must land on the
+    // same bucket the writer's xxhash64(IntegerType) routed the row to —
+    // xxhash64 hashes by type, so the literal is cast to the STORED type
+    val store = new BucketedStore(tmpDir("btypes"), numBuckets = 16)
+    val ints = (1 to 500).map(i => (i, s"name$i")).toDF("id", "name")
+    store.write(ints, "fi", Seq("id"))
+    assert(store.lookup("fi", Seq("id"), Seq(42)).select("name").as[String]
+      .collect().toSeq == Seq("name42"), "Int literal for Int column")
+    assert(store.lookup("fi", Seq("id"), Seq(42L)).select("name").as[String]
+      .collect().toSeq == Seq("name42"), "Long literal for Int column (cast to stored type)")
+    // LONG key column, Int literal — the exact silent-miss case from ADVICE
+    val longs = (1L to 500L).map(i => (i, s"name$i")).toDF("id", "name")
+    store.write(longs, "fl", Seq("id"))
+    assert(store.lookup("fl", Seq("id"), Seq(42)).select("name").as[String]
+      .collect().toSeq == Seq("name42"), "Int literal for Long column")
+    // STRING key column for good measure
+    val strs = (1 to 200).map(i => (s"key$i", i)).toDF("id", "n")
+    store.write(strs, "fs", Seq("id"))
+    assert(store.lookup("fs", Seq("id"), Seq("key42")).select("n").as[Int]
+      .collect().toSeq == Seq(42))
+  }
+
+  test("scanPrunedMulti: conjunctive 2-column predicate reads fewer files than either alone") {
+    val store = new BucketedStore(tmpDir("bmulti"), numBuckets = 8)
+    // two stats columns with DIFFERENT bucket->band layouts: v bands by
+    // bucket, w bands by bucket reversed — a (v, w) conjunction can only be
+    // satisfied where both keep-sets intersect
+    val df = spark.range(400).select(col("id"))
+      .withColumn("b", pmod(xxhash64(col("id")), lit(8)).cast("int"))
+      .select(col("id"),
+        (col("b") * 1000 + col("id")).cast("double").as("v"),
+        ((lit(7) - col("b")) * 1000 + col("id")).cast("double").as("w"))
+    store.write(df, "m", Seq("id"), statsCols = Seq("v", "w"))
+
+    def nFiles(d: org.apache.spark.sql.DataFrame) =
+      d.inputFiles.map(_.split("/__b=")(1).split("/")(0)).distinct.length
+    // v in bucket-3 band AND w in bucket-5 band: disjoint buckets -> 0 rows,
+    // and the conjunction proves it from stats alone (no files read)
+    val disjoint = store.scanPrunedMulti("m", Seq("id"),
+      Seq(("v", 3000.0, 3999.0), ("w", 2000.0, 2999.0)))
+    assert(disjoint.count() == 0)
+    // v band selects bucket 3; w band for the SAME bucket (w = (7-3)*1000+id)
+    // agrees -> exactly that bucket's file, same as single-column pruning
+    val oneV = store.scanPruned("m", Seq("id"), "v", 3000.0, 3999.0)
+    val both = store.scanPrunedMulti("m", Seq("id"),
+      Seq(("v", 3000.0, 3999.0), ("w", 4000.0, 4999.0)))
+    assert(nFiles(both) == 1 && nFiles(oneV) == 1)
+    assert(both.select("id").as[Long].collect().toSet ==
+      oneV.select("id").as[Long].collect().toSet)
+    // a WIDE v range (all buckets) + narrow w range: the second column does
+    // the pruning — strictly fewer files than the v-only scan
+    val wideV = store.scanPruned("m", Seq("id"), "v", 0.0, 8000.0)
+    val narrowed = store.scanPrunedMulti("m", Seq("id"),
+      Seq(("v", 0.0, 8000.0), ("w", 4000.0, 4999.0)))
+    assert(nFiles(narrowed) == 1 && nFiles(wideV) == 8,
+      s"conjunction read ${nFiles(narrowed)}, v-only read ${nFiles(wideV)}")
+    // correctness: conjunction == full read + both predicates
+    val expect = df.where(col("v").between(0.0, 8000.0) && col("w").between(4000.0, 4999.0))
+      .select("id").as[Long].collect().toSet
+    assert(narrowed.select("id").as[Long].collect().toSet == expect)
+  }
+
   test("merge recomputes stats for rewritten buckets and carries the rest") {
     val store = new BucketedStore(tmpDir("bstats2"), numBuckets = 4)
     val df = spark.range(100).select(col("id"))

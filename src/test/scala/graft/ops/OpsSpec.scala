@@ -321,6 +321,17 @@ class SkewJoinSpec extends SparkSpec {
       SkewJoin.hotKeySaltedJoin(left, right, Seq("k"), 4, hot, "full")
     }
   }
+
+  test("saltCols that only repeat the join keys are refused (salt would be constant per key)") {
+    val left = Seq((1L, "a"), (1L, "b")).toDF("k", "payload")
+    val right = Seq((1L, "r")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedEquiJoin(left, right, Seq("k"), 4, saltCols = Seq("k"))
+    }
+    // keys + a varying column is the documented 100 TB shape — accepted
+    val ok = SkewJoin.saltedEquiJoin(left, right, Seq("k"), 4, saltCols = Seq("k", "payload"))
+    assert(ok.count() == 2)
+  }
 }
 
 class SafeMapSpec extends SparkSpec {
@@ -488,6 +499,39 @@ class TextOpsSpec extends SparkSpec {
       .map(r => r._1 -> r).toMap
     assert(out(1L) == ((1L, 3L, 1L, 3L, 2.0 / 3.0, 1.0)))
     assert(out(2L) == ((2L, 4L, 4L, 1L, 0.0, 0.25)))
+  }
+
+  test("corpusProfile == fingerprintDf + shingleProfiles sig/set + repetitionStats, one pass") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+    val n = 3; val numHashes = 12
+    val prof = TextOps.corpusProfile(docs, "doc_id", "text", n, numHashes)
+      .persist()
+    // fingerprint half (corpusProfile's winnow_min is at the SAME n)
+    val fp = TextOps.fingerprintDf(docs, "doc_id", "text", shingleN = n)
+      .select(col("doc_id"), col("content_md5"), col("winnow_min"))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // minhash signature + sorted shingle set half
+    val sh = graft.ops.Dedup.shingleProfiles(docs, "doc_id", "text", n,
+      graft.ops.Dedup.hashCoeffs(numHashes))
+      .select(col("doc_id"), col("__shingles"), col("__sig"))
+      .as[(Long, Seq[Long], Seq[Long])].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // repetition half at the same n
+    val rep = TextOps.repetitionStats(docs, "doc_id", "text", n)
+      .select("doc_id", "n_grams", "distinct_grams", "top_gram_count")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val got = prof.select(col("doc_id"), col("content_md5"), col("winnow_min"),
+      col("shingles"), col("minhash_sig"), col("n_grams"),
+      col("distinct_grams"), col("top_gram_count"))
+      .as[(Long, String, Long, Seq[Long], Seq[Long], Long, Long, Long)].collect()
+    assert(got.length == fp.size && got.nonEmpty)
+    got.foreach { case (id, md5v, wmin, set, sig, ng, dg, tg) =>
+      assert((md5v, wmin) == fp(id), s"fingerprint mismatch doc $id")
+      assert(set == sh(id)._1, s"shingle set mismatch doc $id")
+      assert(sig == sh(id)._2, s"signature mismatch doc $id")
+      assert((id, ng, dg, tg) == rep(id), s"repetition mismatch doc $id")
+    }
+    prof.unpersist()
   }
 }
 
