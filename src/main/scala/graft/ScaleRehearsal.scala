@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for the similarity/dedup family (the ops whose 100 TB
+  * safety the PlanSpec locks argue only structurally): run q71/q73/q74/q86's
+  * operator invocations at 1x and Nx the sf0.1 corpus and report the runtime
+  * ratio against linear.
+  *
+  * The Nx corpus preserves the 1x workload SHAPE so the comparison is fair:
+  *  - documents: replica i prefixes every token with "xi" — all shingles
+  *    differ across replica families (no cross-family near-dups), while each
+  *    family internally reproduces the original pair structure exactly, so
+  *    the true near-dup pair count scales linearly with N;
+  *  - embeddings: replica i rotates the 64 dims by i — rotation preserves
+  *    norms and intra-family dot products (same near-dup pairs per family)
+  *    and decorrelates cross-family cosines.
+  *
+  * Usage: runMain graft.ScaleRehearsal [baseDir] [factor]
+  * Prints one JSON line per (op, scale) and a final summary with ratios.
+  */
+object ScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs0 = Tables.load(spark, baseDir, "documents")
+    val emb0 = Tables.load(spark, baseDir, "embeddings")
+    val nDocs = docs0.count()
+    val nVecs = emb0.count()
+
+    def scaledDocs(k: Int): DataFrame =
+      (0 until k).map { i =>
+        if (i == 0) docs0.select(col("doc_id"), col("text"), col("source"))
+        else docs0.select(
+          (col("doc_id") + lit(i * nDocs)).as("doc_id"),
+          concat(lit(s"x$i"), regexp_replace(col("text"), " ", s" x$i")).as("text"),
+          col("source"))
+      }.reduce(_ unionByName _)
+
+    def scaledEmb(k: Int): DataFrame =
+      (0 until k).map { i =>
+        if (i == 0) emb0.select(col("vec_id"), col("embedding"))
+        else emb0.select(
+          (col("vec_id") + lit(i * nVecs)).as("vec_id"),
+          concat(slice(col("embedding"), i + 1, 64 - i),
+            slice(col("embedding"), 1, i)).as("embedding"))
+      }.reduce(_ unionByName _)
+
+    // materialize each scale as parquet so every op pays a realistic scan,
+    // not an in-memory union recompute
+    def prep(k: Int): String = {
+      val dir = s"/tmp/graft_scale_$k"
+      scaledDocs(k).write.mode("overwrite").parquet(s"$dir/documents")
+      scaledEmb(k).write.mode("overwrite").parquet(s"$dir/embeddings")
+      dir
+    }
+
+    def sec(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); dt
+    }
+    def run(dir: String): Map[String, Double] = {
+      val docs = spark.read.parquet(s"$dir/documents")
+      val emb = spark.read.parquet(s"$dir/embeddings")
+      def force(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      Seq(
+        "q71_minhash_lsh" -> (() => force(ops.Dedup.minhashNearDupPairs(
+          docs, "doc_id", "text", n = 3, numHashes = 12, bands = 4, threshold = 0.2))),
+        "q73_ngram_jaccard" -> (() => force(ops.Dedup.ngramJaccardPairs(
+          docs, "doc_id", "text", blockCol = "source", n = 3, threshold = 0.2))),
+        "q74_cosine_neardup" -> (() => force(ops.Similarity.cosineNearDupPairs(
+          emb, "vec_id", "embedding", threshold = 0.5, planes = 4))),
+        "q86_neardup_clusters" -> (() => force(ops.Dedup.nearDupClusters(
+          ops.Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+            n = 3, numHashes = 12, bands = 4, threshold = 0.2))))
+      ).map { case (name, thunk) =>
+        thunk() // warmup (codegen + plan); measured run follows
+        val t = sec(thunk())
+        println(s"""{"op":"$name","dir":"$dir","sec":${"%.3f".formatLocal(java.util.Locale.ROOT, t)}}""")
+        name -> t
+      }.toMap
+    }
+
+    val d1 = prep(1)
+    val dN = prep(factor)
+    val t1 = run(d1)
+    val tN = run(dN)
+    val summary = t1.keys.toSeq.sorted.map { k =>
+      val ratio = tN(k) / t1(k)
+      s""""$k":{"t1":${"%.3f".formatLocal(java.util.Locale.ROOT, t1(k))},"t$factor":${"%.3f".formatLocal(java.util.Locale.ROOT, tN(k))},"ratio":${"%.2f".formatLocal(java.util.Locale.ROOT, ratio)}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_rehearsal","factor":$factor,"base":"$baseDir","ops":$summary}""")
+    spark.stop()
+  }
+}

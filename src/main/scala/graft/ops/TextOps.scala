@@ -28,9 +28,41 @@ object TextOps {
     * array_contains(...))` is a CodegenFallback lambda with no CSE — it
     * re-evaluates the split per language per row and dominated the r5 bench).
     * Whole-stage codegen's subexpression elimination evaluates `toks` once
-    * even though it appears in every term. */
+    * even though it appears in every term.
+    *
+    * COST IS O(|words| × |toks|) PER ROW — each array_remove term rescans
+    * the token array. The right trade for the ≤8-word stopword profiles this
+    * backs (one map-side projection, zero shuffle); for lexicons past a few
+    * dozen words the per-row rescan dominates — use [[lexiconHits]], whose
+    * explode + broadcast-join shape is O(|toks|) per row regardless of
+    * lexicon size. */
   def multisetHits(toks: Column, words: Seq[String]): Column =
     words.map(w => size(toks) - size(array_remove(toks, lit(w)))).reduce(_ + _)
+
+  /** [[multisetHits]] for LARGE lexicons, as a table op: per input row, the
+    * exact multiset count of tokens that appear in `lexicon`. Output is the
+    * input plus `outCol` (long). Row identity is positional — `idCol` must
+    * be unique per row (it keys the count re-attach).
+    *
+    * Scale shape: tokens explode into (id, token) rows, the lexicon becomes
+    * a BROADCAST frame joined on the token (per-row cost O(|toks|), never
+    * O(|lexicon| × |toks|)), and one keyed count per id re-attaches via a
+    * second broadcast-free join on the unique id. Crossover vs multisetHits:
+    * the explode pays a shuffle of (id, count) rows, so below a few dozen
+    * lexicon words the zero-shuffle multisetHits wins; past that this wins —
+    * asserted value-equal to multisetHits in TextOpsSpec. */
+  def lexiconHits(df: DataFrame, idCol: String, textCol: String,
+                  lexicon: Seq[String], outCol: String = "lexicon_hits"): DataFrame = {
+    import df.sparkSession.implicits._
+    val lexDf = lexicon.distinct.toDF("__w")
+    val counts = df
+      .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("__t"))
+      .join(broadcast(lexDf), col("__t") === col("__w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as(outCol))
+    df.join(counts, Seq(idCol), "left")
+      .withColumn(outCol, coalesce(col(outCol), lit(0L)))
+  }
 
   /** Quality-score feature struct: lengths, ratios, lexical diversity.
     * Everything a fast quality filter needs, one projection. */

@@ -10,6 +10,47 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   */
 object StreamOps {
 
+  /** Declarative stream-source descriptor: which `readStream` format to use
+    * and its options. Pipelines written against [[source]] are one CONFIG
+    * swap away from any connector — the same windowed-agg/fastlane code runs
+    * off files in a test, the rate source in a soak, and Kafka in production.
+    * (This build environment ships no Kafka connector jar, so the [[kafka]]
+    * descriptor can't be STARTED here; the descriptor carries the standard
+    * option keys (`kafka.bootstrap.servers`/`subscribe`/`startingOffsets`)
+    * so it binds as soon as the jar is on the classpath.) */
+  final case class StreamSource(
+      format: String,
+      options: Map[String, String] = Map.empty,
+      path: Option[String] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+
+  object StreamSource {
+    /** File-based source (json/csv/parquet dir); streaming file sources
+      * require an explicit schema. */
+    def file(format: String, dir: String,
+             schema: org.apache.spark.sql.types.StructType,
+             options: Map[String, String] = Map.empty): StreamSource =
+      StreamSource(format, options, Some(dir), Some(schema))
+    /** Built-in rate source (soak/throughput testing). */
+    def rate(rowsPerSecond: Int): StreamSource =
+      StreamSource("rate", Map("rowsPerSecond" -> rowsPerSecond.toString))
+    /** Kafka topic subscription (needs the spark-sql-kafka connector jar). */
+    def kafka(bootstrapServers: String, topic: String,
+              startingOffsets: String = "earliest"): StreamSource =
+      StreamSource("kafka", Map(
+        "kafka.bootstrap.servers" -> bootstrapServers,
+        "subscribe" -> topic,
+        "startingOffsets" -> startingOffsets))
+  }
+
+  /** Open a streaming DataFrame from a descriptor — the single entry point
+    * every pipeline should read through (see [[StreamSource]]). */
+  def source(spark: org.apache.spark.sql.SparkSession, src: StreamSource): DataFrame = {
+    val reader = spark.readStream.format(src.format).options(src.options)
+    src.schema.foreach(reader.schema)
+    src.path.map(reader.load).getOrElse(reader.load())
+  }
+
   /** Event-time tumbling/sliding window aggregation with a watermark (late
     * data beyond `watermarkDelay` is dropped and state is bounded — the only
     * sane configuration at 100 TB/day stream volume). */

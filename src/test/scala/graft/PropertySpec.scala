@@ -65,9 +65,9 @@ class SparkPropertySpec extends SparkSpec {
     val withSelf = docs.select(col("doc_id"), col("text"))
       .union(docs.select(col("doc_id") + 1000000, col("text")))  // exact copies
     val pairs = Dedup.ngramJaccardPairs(withSelf.withColumn("b", lit(1)),
-      "doc_id", "text", "b", threshold = 0.0)
+      "doc_id", "text", "b", threshold = 0.05)
     val j = pairs.select("jaccard").as[Double].collect()
-    assert(j.forall(x => x >= 0.0 && x <= 1.0))
+    assert(j.forall(x => x >= 0.05 && x <= 1.0))
     // every original doc pairs with its planted copy at jaccard 1.0
     val perfect = pairs.filter(col("id_r") - col("id_l") === 1000000).select("jaccard").as[Double].collect()
     assert(perfect.length >= 40 && perfect.forall(_ == 1.0))

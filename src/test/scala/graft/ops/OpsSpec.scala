@@ -501,6 +501,44 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 4L, 4L, 1L, 0.0, 0.25)))
   }
 
+  test("ngramJaccardPairs prefix filtering == brute-force all-pairs (zero recall loss)") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents").limit(150)
+      .select(col("doc_id"), col("text"), col("source"))
+    for (t <- Seq(0.1, 0.2, 0.5)) {
+      val got = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+        n = 3, threshold = t)
+        .select("id_l", "id_r", "jaccard").as[(Long, Long, Double)].collect().toSet
+      // brute force: every same-block pair, exact jaccard, no prefix filter
+      val sh = graft.ops.Dedup.shingleProfiles(docs, "doc_id", "text", 3, Nil, Seq("source"))
+      val brute = sh.select(col("doc_id").as("id_l"), col("source"), col("__shingles").as("a"))
+        .join(sh.select(col("doc_id").as("id_r"), col("source"), col("__shingles").as("b")), Seq("source"))
+        .where(col("id_l") < col("id_r"))
+        .select(col("id_l"), col("id_r"), graft.ops.Dedup.jaccardSorted(col("a"), col("b")).as("j"))
+        .where(col("j") >= t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == brute, s"t=$t: prefix-filtered ${got.size} vs brute ${brute.size}")
+    }
+  }
+
+  test("lexiconHits == multisetHits on the stopword lexicon; empty/no-hit rows get 0") {
+    import spark.implicits._
+    val lex = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+    val docs = Tables.load(spark, sfDir, "documents").limit(300)
+    val viaJoin = TextOps.lexiconHits(docs, "doc_id", "text", lex, "hits")
+      .select("doc_id", "hits").as[(Long, Long)].collect().toMap
+    val viaScan = docs.select(col("doc_id"),
+      TextOps.multisetHits(graft.ops.Dedup.tokens(col("text")), lex).cast("long").as("hits"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaJoin == viaScan)
+    // a row with zero lexicon hits still comes back (left join + coalesce)
+    val zero = TextOps.lexiconHits(
+      Seq((1L, "xyzzy plugh"), (2L, "the cat on the mat")).toDF("doc_id", "text"),
+      "doc_id", "text", lex, "hits")
+      .select("doc_id", "hits").as[(Long, Long)].collect().toMap
+    assert(zero == Map(1L -> 0L, 2L -> 3L))
+  }
+
   test("corpusProfile == fingerprintDf + shingleProfiles sig/set + repetitionStats, one pass") {
     import spark.implicits._
     val docs = Tables.load(spark, sfDir, "documents").limit(200)
