@@ -109,6 +109,56 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     }.toMap
   }
 
+  // ---- Delta-log compatibility probe ---------------------------------------
+  // Each version ALSO emits root/<feature>/_delta_log/<v padded to 20>.json
+  // with protocol/metaData/add/remove actions in the open Delta commit
+  // layout, so an external Delta reader can open simple tables written here.
+  // Scope limits (this environment ships no delta jars to prove more):
+  // no checkpoints, no per-file stats, no deletion vectors, metaData emitted
+  // at v0 only (schema evolution via merge is not reflected); the native
+  // manifest remains the source of truth — the log is a faithful mirror of
+  // it, written right after.
+
+  private def deltaLogFile(feature: String, v: Long) =
+    new Path(s"$root/$feature/_delta_log/" + f"$v%020d" + ".json")
+
+  /** (relativePath, size, modificationTime) of every part file under a
+    * manifest-relative bucket directory. */
+  private def listPartFiles(feature: String, rel: String): Seq[(String, Long, Long)] = {
+    val dir = new Path(s"$root/$feature/$rel")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.getPath.getName.startsWith("part-"))
+      .map(f => (s"$rel/${f.getPath.getName}", f.getLen, f.getModificationTime))
+  }
+
+  private def jsonEsc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def writeDeltaLog(feature: String, v: Long, schemaJson: String,
+      addRels: Seq[String], removeRels: Seq[String]): Unit = {
+    val now = System.currentTimeMillis
+    val header = if (v == 0L) Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(s"$root/$feature".getBytes(StandardCharsets.UTF_8))}","format":{"provider":"parquet","options":{}},"schemaString":"${jsonEsc(schemaJson)}","partitionColumns":["__b"],"configuration":{},"createdTime":$now}}""")
+    else Seq.empty
+    val adds = addRels.sorted.flatMap(rel => listPartFiles(feature, rel).map {
+      case (p, len, mt) =>
+        val b = rel.substring(rel.lastIndexOf("__b=") + 4)
+        s"""{"add":{"path":"${jsonEsc(p)}","partitionValues":{"__b":"$b"},"size":$len,"modificationTime":$mt,"dataChange":true}}"""
+    })
+    val removes = removeRels.sorted.flatMap(rel => listPartFiles(feature, rel).map {
+      case (p, _, _) =>
+        s"""{"remove":{"path":"${jsonEsc(p)}","deletionTimestamp":$now,"dataChange":true}}"""
+    })
+    val out = fs.create(deltaLogFile(feature, v), true)
+    out.write((header ++ adds ++ removes).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    out.close()
+  }
+
   /** Write `df` as a full new version: every non-empty bucket gets one file
     * directory. `statsCols` (numeric) get per-bucket min/max recorded for
     * [[scanPruned]] file skipping. Returns the version. */
@@ -121,6 +171,12 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     val buckets = bucketed.select("__b").distinct().collect().map(_.getInt(0))
     writeManifest(feature, v, buckets.map(b => b -> s"files_v$v/__b=$b").toMap)
     writeStats(feature, v, computeStats(bucketed, statsCols))
+    // a full write REPLACES the table: previous version's files are removed
+    // from the Delta view (they stay on disk for native time travel)
+    val prevFiles =
+      if (v == 0L) Seq.empty else readManifest(feature, v - 1).values.toSeq
+    writeDeltaLog(feature, v, bucketed.schema.json,
+      buckets.map(b => s"files_v$v/__b=$b").toSeq, prevFiles)
     v
   }
 
@@ -175,6 +231,11 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
       val recomputed = computeStats(merged, trackedCols.filter(merged.columns.contains))
       writeStats(feature, v, (prevStats -- touched) ++ recomputed)
     }
+    // Delta view of the merge: rewritten buckets' new files are added, the
+    // replaced files removed; untouched buckets carry implicitly
+    writeDeltaLog(feature, v, merged.schema.json,
+      newBuckets.map(b => s"files_v$v/__b=$b").toSeq,
+      manifest.filter(t => touched(t._1)).values.toSeq)
     v
   }
 

@@ -171,6 +171,57 @@ class BucketedStoreSpec extends SparkSpec {
     assert(dirs.length == expectDirs, s"read ${dirs.toSeq}, wanted $expectDirs")
   }
 
+  test("delta-log probe: commit JSONs mirror the manifest and replay to the live file set") {
+    val store = new BucketedStore(tmpDir("bdelta"), numBuckets = 8)
+    val base = (1L to 400L).map(i => (i, s"name$i")).toDF("id", "name")
+    store.write(base, "f", Seq("id"))
+    store.merge("f", Seq((42L, "FORTY-TWO"), (300L, "THREE")).toDF("id", "name"), Seq("id"))
+
+    def actions(v: Long): Seq[String] = {
+      val p = f"${store.root}/f/_delta_log/$v%020d.json"
+      scala.io.Source.fromFile(p).getLines().toSeq
+    }
+    def field(line: String, key: String): String =
+      s""""$key":"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(line).map(_.group(1))
+        .getOrElse(fail(s"no $key in $line"))
+
+    // v0: protocol, metaData (schemaString parses back to a Spark schema,
+    // partitioned by __b), one add per manifest bucket, every path live
+    val v0 = actions(0)
+    assert(v0.head.contains(""""protocol":{"minReaderVersion":1"""))
+    val meta = v0(1)
+    assert(meta.contains(""""partitionColumns":["__b"]"""))
+    val schemaStr = field(meta, "schemaString").replace("\\\"", "\"")
+    val parsed = org.apache.spark.sql.types.DataType.fromJson(schemaStr)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(parsed.fieldNames.toSet == Set("id", "name", "__b"), parsed.treeString)
+    val adds0 = v0.drop(2)
+    assert(adds0.forall(_.contains(""""add":{""")))
+    adds0.foreach { a =>
+      assert(new java.io.File(s"${store.root}/f/${field(a, "path")}").exists(), a)
+    }
+
+    // v1 (merge): adds for rewritten buckets, removes for the replaced files
+    val v1 = actions(1)
+    val adds1 = v1.filter(_.contains(""""add":{"""))
+    val removes1 = v1.filter(_.contains(""""remove":{"""))
+    assert(adds1.nonEmpty && removes1.nonEmpty)
+    assert(removes1.forall(r => field(r, "path").startsWith("files_v0/")))
+
+    // replaying the log (v0 adds + v1 adds - v1 removes) reconstructs
+    // EXACTLY the file set the native v1 manifest references
+    val replayed = (adds0 ++ adds1).map(field(_, "path")).toSet --
+      removes1.map(field(_, "path")).toSet
+    val m1 = scala.io.Source.fromFile(s"${store.root}/f/_graft_log/1.json").mkString
+    val manifestDirs = "\"([0-9]+)\": \"([^\"]+)\"".r.findAllMatchIn(m1)
+      .map(_.group(2)).toSet
+    val live = manifestDirs.flatMap { rel =>
+      new java.io.File(s"${store.root}/f/$rel").listFiles()
+        .filter(_.getName.startsWith("part-")).map(f => s"$rel/${f.getName}")
+    }
+    assert(replayed == live, s"replayed ${replayed.size} vs live ${live.size}")
+  }
+
   test("runBucketed: memoizing runner over file-level merge") {
     import org.apache.spark.sql.functions._
     val root = tmpDir("brun")
