@@ -1919,8 +1919,9 @@ object SparkEntry {
 
     // -- q78: heuristic language-ID (deterministic argmax) ---------------------
     Q("q78_lang_id",
-      (s, dir) => T(s, dir, "documents")
-        .select(col("doc_id"), ops.TextOps.langId(col("text")).as("lang_guess"))
+      // table-form langIdDf: one token explode + broadcast profile dict
+      // instead of 20 per-row array rescans (spec-equal to TextOps.langId)
+      (s, dir) => ops.TextOps.langIdDf(T(s, dir, "documents"), "doc_id", "text")
         .groupBy("lang_guess").agg(count(lit(1)).as("n"))
         .orderBy("lang_guess"),
       Some {

@@ -501,6 +501,27 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 4L, 4L, 1L, 0.0, 0.25)))
   }
 
+  test("langIdDf == column-form langId on the corpus (same argmax, same ties, same unknowns)") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents").limit(400)
+      .select(col("doc_id"), col("text"))
+      // adversarial extras: no hits, exact tie (en "the a" vs es "el la"
+      // resolves lexicographically), multiset counts (repeated stopwords)
+      .unionByName(Seq(
+        (9000001L, "xyzzy plugh qwerty"),
+        (9000002L, "the a el la"),
+        (9000003L, "the the the el"),
+        (9000004L, "")).toDF("doc_id", "text"))
+    val viaCol = docs.select(col("doc_id"),
+      TextOps.langId(col("text")).as("g")).as[(Long, String)].collect().toMap
+    val viaDf = TextOps.langIdDf(docs, "doc_id", "text", "g")
+      .as[(Long, String)].collect().toMap
+    assert(viaDf == viaCol)
+    assert(viaDf(9000001L) == "unknown" && viaDf(9000004L) == "unknown")
+    assert(viaDf(9000002L) == "en") // tie 2-2 -> lexicographic first
+    assert(viaDf(9000003L) == "en") // multiset: 'the' x3 beats 'el' x1
+  }
+
   test("ngramJaccardPairs prefix filtering == brute-force all-pairs (zero recall loss)") {
     import spark.implicits._
     val docs = Tables.load(spark, sfDir, "documents").limit(150)
