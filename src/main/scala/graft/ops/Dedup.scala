@@ -138,13 +138,29 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 3, numHashes: Int = 12, bands: Int = 4,
                           threshold: Double = 0.5): DataFrame = {
+    val sh = shingleProfiles(df, idCol, textCol, n, hashCoeffs(numHashes))
+    minhashPairsFromProfile(sh, idCol, "__sig", "__shingles",
+      numHashes, bands, threshold)
+  }
+
+  /** MinHash-LSH near-dup pairs from a PRECOMPUTED profile frame — the
+    * fused-pass consumer: a pipeline runs [[graft.ops.TextOps.corpusProfile]]
+    * ONCE over the raw corpus, then near-dup pairs, clustering, and
+    * fingerprint consumers all reuse it without re-shingling 100 TB of text
+    * (spec-asserted identical to the from-raw-text path). The profile needs
+    * a minhash-signature array column (numHashes longs from [[hashCoeffs]])
+    * and the sorted distinct shingle-hash set. */
+  def minhashPairsFromProfile(profile: DataFrame, idCol: String,
+                              sigCol: String, shinglesCol: String,
+                              numHashes: Int, bands: Int,
+                              threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val coeffs = hashCoeffs(numHashes)
     // both sides of the band self-join AND the verify joins read this frame:
     // cache it (small: id + signature + hash set) or Spark recomputes the
-    // whole shingle pipeline once per reference
-    val sh = shingleProfiles(df, idCol, textCol, n, coeffs)
+    // whole upstream profile pipeline once per reference
+    val sh = profile.select(col(idCol), col(sigCol).as("__sig"),
+        col(shinglesCol).as("__shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = explodeBands(sh.select(col(idCol), col("__sig")), "__sig", bands, rowsPerBand)
       .select(col(idCol), col("band_id"), col("band_key"))

@@ -501,6 +501,21 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 4L, 4L, 1L, 0.0, 0.25)))
   }
 
+  test("minhashPairsFromProfile over corpusProfile == minhashNearDupPairs from raw text") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents").limit(400)
+    val fromText = graft.ops.Dedup.minhashNearDupPairs(
+      docs, "doc_id", "text", n = 3, numHashes = 12, bands = 4, threshold = 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    val profile = TextOps.corpusProfile(docs, "doc_id", "text", n = 3, numHashes = 12)
+    val fromProfile = graft.ops.Dedup.minhashPairsFromProfile(
+      profile, "doc_id", "minhash_sig", "shingles",
+      numHashes = 12, bands = 4, threshold = 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromProfile == fromText)
+    assert(fromText.nonEmpty, "fixture should contain planted near-dups")
+  }
+
   test("langIdDf == column-form langId on the corpus (same argmax, same ties, same unknowns)") {
     import spark.implicits._
     val docs = Tables.load(spark, sfDir, "documents").limit(400)
