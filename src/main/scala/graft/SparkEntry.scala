@@ -1430,6 +1430,33 @@ object SparkEntry {
       Some("""
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders WHERE o_totalprice BETWEEN 1000.0 AND 2000.0
+        ORDER BY o_orderkey""")),
+
+    // -- q116: Z-ORDER clustered scan — the write-side half of multi-column
+    //    data skipping. Hash bucketing leaves every file's [min,max] ≈ the
+    //    global range (q98 prunes only because its fixture bands values BY
+    //    bucket); writeClustered routes rows by a Morton value over equi-depth
+    //    bins of BOTH predicate columns, so this conjunctive box reads a
+    //    handful of the 16 files (file-skip ratio asserted in
+    //    BucketedStoreSpec). Result must equal a plain 2-predicate filter. ----
+    Q("q116_zorder_scan",
+      (s, dir) => {
+        val root = s"/tmp/graft_bzorder_${dir.replaceAll("[^0-9.]", "")}"
+        val store = new core.BucketedStore(root, numBuckets = 16)(s)
+        if (store.latestVersion("orders_z").isEmpty)
+          store.writeClustered(
+            T(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+            "orders_z", Seq("o_orderkey"), clusterCols = Seq("o_totalprice", "o_custkey"))
+        store.scanPrunedMulti("orders_z", Seq("o_orderkey"),
+            Seq(("o_totalprice", 1000.0, 50000.0), ("o_custkey", 100.0, 400.0)))
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice BETWEEN 1000.0 AND 50000.0
+          AND o_custkey BETWEEN 100 AND 400
         ORDER BY o_orderkey"""))
   )
 

@@ -180,6 +180,94 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     v
   }
 
+  // ---- Z-order clustered layout --------------------------------------------
+
+  private def layoutFile(feature: String, v: Long) = new Path(logDir(feature), s"$v.zorder")
+
+  /** Cluster columns of version `v` if it was written by [[writeClustered]];
+    * empty for hash-bucketed versions. */
+  def clusteredBy(feature: String, v: Long): Seq[String] = {
+    val p = layoutFile(feature, v)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      txt.trim.split('\t').toSeq.filter(_.nonEmpty)
+    }
+  }
+
+  /** Z-ORDER clustered full write (the OPTIMIZE ZORDER analogue): instead of
+    * hash-routing rows to buckets, each row's file is chosen by the top bits
+    * of a Morton value interleaved from EQUI-DEPTH bin ids of `clusterCols` —
+    * rows close in every cluster dimension land in the same file, so each
+    * file's recorded [min,max] per column is a tight band and
+    * [[scanPrunedMulti]]'s conjunctive pruning skips real files. Hash
+    * bucketing scatters every value range across all buckets (per-bucket
+    * min/max ≈ the global range — nothing prunes); this layout is the write
+    * side that makes the multi-column read side effective.
+    *
+    * Scale shape: one Greenwald-Khanna quantile-sketch pass computes the
+    * (1<<bitsPerCol)-1 bin boundaries per column (driver receives only the
+    * boundaries), then the routing column is pure codegen'd integer
+    * arithmetic — no sort, no extra shuffle beyond the partitioned write
+    * itself. Equi-depth bins keep file sizes balanced under skew, exactly
+    * where equi-width interleaving degenerates.
+    *
+    * Rows with NULL in a cluster column route to bin 0 (a range predicate can
+    * never match NULL, and min/max stats ignore NULLs, so pruning stays
+    * correct). Clustered versions don't support hash-routed [[merge]]/
+    * [[lookup]] — those fail loudly rather than mis-route; re-cluster with a
+    * fresh writeClustered after bulk changes (same policy as Delta, where
+    * Z-order is a table-maintenance rewrite, not an incremental property). */
+  def writeClustered(df: DataFrame, feature: String, entityKeys: Seq[String],
+                     clusterCols: Seq[String], statsCols: Seq[String] = Nil,
+                     bitsPerCol: Int = 6): Long = {
+    require(clusterCols.nonEmpty, "writeClustered needs at least one cluster column")
+    require(bitsPerCol >= 1 && bitsPerCol * clusterCols.length <= 30,
+      s"bitsPerCol=$bitsPerCol x ${clusterCols.length} cols must stay under 30 z-bits")
+    val nBins = 1 << bitsPerCol
+    // equi-depth boundaries per column from one sketch pass; duplicate
+    // quantiles (heavy skew) collapse — fewer, still-correct bins
+    val probs = (1 until nBins).map(_.toDouble / nBins).toArray
+    val boundaries: Seq[Array[Double]] = clusterCols.map { c =>
+      df.select(col(c).cast("double").as(c)).stat
+        .approxQuantile(c, probs, 0.001).distinct.sorted
+    }
+    // bin id = #boundaries strictly below the value: a fold of codegen'd
+    // comparisons (<= 2^bitsPerCol terms), NULL-safe (NULL fails every
+    // comparison -> bin 0)
+    val binIds = clusterCols.zip(boundaries).map { case (c, bs) =>
+      bs.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(c).cast("double") > lit(b), 1).otherwise(0) }
+    }
+    // Morton interleave: bit i of column j lands at z-bit i*ncols + j
+    val ncols = clusterCols.length
+    val z = (0 until bitsPerCol).foldLeft(lit(0)) { (acc, i) =>
+      binIds.zipWithIndex.foldLeft(acc) { case (a, (bin, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(bin, i).bitwiseAND(lit(1)), i * ncols + j))
+      }
+    }
+    // file id = z scaled into [0, numBuckets): with equi-depth bins z is
+    // ~uniform, so files are balanced for any numBuckets (no power-of-two
+    // requirement)
+    val fileId = shiftright(z.cast("long") * numBuckets, bitsPerCol * ncols).cast("int")
+
+    val v = latestVersion(feature).map(_ + 1).getOrElse(0L)
+    val bucketed = df.withColumn("__b", fileId)
+    bucketed.write.mode(SaveMode.Overwrite)
+      .partitionBy("__b").parquet(s"$root/$feature/files_v$v")
+    val buckets = bucketed.select("__b").distinct().collect().map(_.getInt(0))
+    writeManifest(feature, v, buckets.map(b => b -> s"files_v$v/__b=$b").toMap)
+    writeStats(feature, v, computeStats(bucketed, (clusterCols ++ statsCols).distinct))
+    val lay = fs.create(layoutFile(feature, v), true)
+    lay.write(clusterCols.mkString("\t").getBytes(StandardCharsets.UTF_8)); lay.close()
+    val prevFiles =
+      if (v == 0L) Seq.empty else readManifest(feature, v - 1).values.toSeq
+    writeDeltaLog(feature, v, bucketed.schema.json,
+      buckets.map(b => s"files_v$v/__b=$b").toSeq, prevFiles)
+    v
+  }
+
   /** Read a version (default latest) by loading exactly the files its
     * manifest references. */
   def read(feature: String, entityKeys: Seq[String], asOfVersion: Option[Long] = None): DataFrame = {
@@ -196,6 +284,10 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
   def merge(feature: String, updates: DataFrame, entityKeys: Seq[String]): Long = {
     val prev = latestVersion(feature)
       .getOrElse(throw new IllegalArgumentException(s"merge into empty feature $feature; write() first"))
+    // a clustered version's manifest keys are z-ranges, not hash buckets —
+    // hash-routing updates into it would silently corrupt; fail loudly
+    require(clusteredBy(feature, prev).isEmpty,
+      s"feature $feature v$prev is Z-order clustered; merge needs a hash-bucketed version (re-write, then merge)")
     val manifest = readManifest(feature, prev)
     val v = prev + 1
 
@@ -294,6 +386,8 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     require(entityKeys.length == keyValues.length)
     val v = asOfVersion.orElse(latestVersion(feature))
       .getOrElse(throw new IllegalArgumentException(s"feature $feature has no versions"))
+    require(clusteredBy(feature, v).isEmpty,
+      s"feature $feature v$v is Z-order clustered; point lookup needs a hash-bucketed version")
     val manifest = readManifest(feature, v)
     if (manifest.isEmpty) return read(feature, entityKeys, Some(v)).limit(0)
     // same hash the writer used, evaluated IN-PROCESS: lookup is the serving

@@ -150,6 +150,51 @@ class BucketedStoreSpec extends SparkSpec {
     assert(narrowed.select("id").as[Long].collect().toSet == expect)
   }
 
+  test("writeClustered: Z-order layout prunes multi-column ranges that hash bucketing cannot") {
+    // two INDEPENDENT pseudo-uniform columns: under hash bucketing every
+    // bucket's [min,max] spans ~the full range of both (nothing prunes);
+    // under Z-order clustering a conjunctive box predicate touches only the
+    // files whose z-range intersects the box
+    val df = spark.range(8000).select(col("id"),
+      (col("id") % 100).cast("double").as("v"),
+      ((col("id") * 7919) % 100).cast("double").as("w"))
+    val ranges = Seq(("v", 0.0, 24.0), ("w", 0.0, 24.0))
+    def nFiles(d: org.apache.spark.sql.DataFrame) =
+      d.inputFiles.map(_.split("/__b=")(1).split("/")(0)).distinct.length
+
+    val hashStore = new BucketedStore(tmpDir("bzh"), numBuckets = 16)
+    hashStore.write(df, "t", Seq("id"), statsCols = Seq("v", "w"))
+    val hashScan = hashStore.scanPrunedMulti("t", Seq("id"), ranges)
+
+    val zStore = new BucketedStore(tmpDir("bzz"), numBuckets = 16)
+    zStore.writeClustered(df, "t", Seq("id"), clusterCols = Seq("v", "w"))
+    assert(zStore.clusteredBy("t", 0) == Seq("v", "w"))
+    val zScan = zStore.scanPrunedMulti("t", Seq("id"), ranges)
+
+    // identical results...
+    val expect = df.where(col("v") <= 24.0 && col("w") <= 24.0)
+      .select("id").as[Long].collect().toSet
+    assert(hashScan.select("id").as[Long].collect().toSet == expect)
+    assert(zScan.select("id").as[Long].collect().toSet == expect)
+    // ...but the clustered layout actually skips files: a quarter-by-quarter
+    // box covers ~1/16 of the z-space — at most a third of the 16 files even
+    // with bin-boundary slop, while the hash layout reads all of them
+    assert(nFiles(hashScan) == 16, s"hash layout read ${nFiles(hashScan)}")
+    assert(nFiles(zScan) <= 5, s"z layout read ${nFiles(zScan)} of 16 files")
+
+    // clustered files stay balanced under equi-depth binning (no empty/giant
+    // file skew): every file within 3x of the mean row count
+    val sizes = zStore.read("t", Seq("id"))
+      .groupBy(input_file_name()).count().select("count").as[Long].collect()
+    assert(sizes.length >= 8, s"expected >=8 non-empty files, got ${sizes.length}")
+    assert(sizes.max <= 3 * (8000 / sizes.length), s"skewed file sizes: ${sizes.toSeq}")
+
+    // hash-routed ops on a clustered version fail loudly instead of mis-routing
+    intercept[IllegalArgumentException](zStore.lookup("t", Seq("id"), Seq(7L)))
+    intercept[IllegalArgumentException](
+      zStore.merge("t", Seq((1L, 1.0, 1.0)).toDF("id", "v", "w"), Seq("id")))
+  }
+
   test("merge recomputes stats for rewritten buckets and carries the rest") {
     val store = new BucketedStore(tmpDir("bstats2"), numBuckets = 4)
     val df = spark.range(100).select(col("id"))
