@@ -2399,7 +2399,34 @@ object SparkEntry {
           CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_gram_frac,
           CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_gram_frac
         FROM pc GROUP BY doc_id, content_md5 ORDER BY doc_id"""
-      })
+      }),
+
+    // -- q117: corpus-self bigram LM score (CCNet-style typicality signal).
+    //    Cross-engine exact: per-occurrence transition probabilities are
+    //    fixed-pointed to integer micro-probs, so the per-doc sum is exact
+    //    integer arithmetic and the mean one deterministic IEEE division —
+    //    no ln()/exp() in the hash-compared output. -------------------------
+    Q("q117_bigram_lm",
+      (s, dir) => ops.TextOps.bigramLmScore(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (
+          SELECT doc_id, t[i] AS p, concat_ws(' ', t[i], t[i+1]) AS gstr
+          FROM (SELECT doc_id, t, unnest(range(1, greatest(2, len(t)))) AS i FROM tt)),
+        occ AS (SELECT doc_id, ${sqlH60("p")} AS hp, ${sqlH60("gstr")} AS hg FROM g),
+        cb AS (SELECT hp, hg, count(*) AS c_bigram FROM occ GROUP BY 1, 2),
+        cp AS (SELECT hp, CAST(sum(c_bigram) AS BIGINT) AS c_prefix FROM cb GROUP BY 1),
+        pr AS (
+          SELECT hp, hg,
+            CAST(round(1000000.0 * (CAST(c_bigram AS DOUBLE) / CAST(c_prefix AS DOUBLE))) AS BIGINT) AS micro
+          FROM cb JOIN cp USING (hp))
+        SELECT doc_id,
+          CAST(sum(micro) AS BIGINT) AS lm_micro_sum,
+          count(*) AS n_bigrams,
+          CAST(sum(micro) AS DOUBLE) / count(*) AS lm_score
+        FROM occ JOIN pr USING (hp, hg)
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** Framework semantics (SURVEY §2.A): record versioning, memoization,

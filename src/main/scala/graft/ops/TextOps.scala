@@ -388,6 +388,58 @@ object TextOps {
         regexp_replace(regexp_replace(regexp_replace(col(textCol),
           EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>"))
 
+  /** Corpus-self bigram language-model score per document — the CCNet-style
+    * "how typical is this document of the corpus" quality signal. For every
+    * bigram occurrence (w1, w2) the transition probability is
+    * P(w2|w1) = c(w1,w2) / Σ_w c(w1,w), estimated from the corpus itself;
+    * the document score is the mean over its bigram occurrences. High score ⇒
+    * templated/predictable text, low score ⇒ unusual token transitions
+    * (OCR noise, code, non-target language) — filterable from either end.
+    *
+    * Cross-engine exactness: each probability is fixed-pointed to an integer
+    * micro-probability `round(1e6 · c_b/c_p)` — IEEE division and
+    * multiplication are correctly rounded and round() is half-away-from-zero
+    * in both engines for positive values, so the per-doc SUM is exact integer
+    * arithmetic and the final mean is one deterministic division. (A log-prob
+    * formulation would hang the oracle on ln(), which no engine guarantees
+    * correctly rounded.)
+    *
+    * Scale shape: the text is tokenized once; every shuffle after the explode
+    * carries (doc_id, two 60-bit gram hashes) — never words. Bigram counts
+    * collapse to the vocab²-bounded (prefix, gram) table map-side; prefix
+    * totals aggregate THAT table, not the corpus. The probability table joins
+    * back to occurrences keyed on the gram hashes (AQE broadcasts it when the
+    * vocabulary is small). Gram identity is the shared md5-based 60-bit hash,
+    * so the rare collision produces identical results in engine and oracle.
+    *
+    * Output: (doc_id, lm_micro_sum, n_bigrams, lm_score), one row per doc
+    * (docs shorter than 2 tokens contribute their single token as its own
+    * gram, same edge rule as [[Dedup.shingleStringsFromTokens]]). */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    // (prefix, bigram-string) pairs, 1-based index idiom shared with the SQL
+    // oracle twin (concat_ws drops the null tail token on the last position)
+    val pairs = transform(
+      sequence(lit(1), greatest(lit(1), size(toks) - 1)),
+      i => struct(get(toks, i - 1).as("p"),
+        concat_ws(" ", get(toks, i - 1), get(toks, i)).as("g")))
+    val occ = df
+      .select(col(idCol).as("doc_id"), explode(pairs).as("__pg"))
+      .select(col("doc_id"),
+        pmod(Dedup.md5Hash60(col("__pg.p")), lit(Dedup.P)).as("__hp"),
+        pmod(Dedup.md5Hash60(col("__pg.g")), lit(Dedup.P)).as("__hg"))
+    val cb = occ.groupBy("__hp", "__hg").agg(count(lit(1)).as("__cb"))
+    val cp = cb.groupBy("__hp").agg(sum("__cb").as("__cp"))
+    val probs = cb.join(cp, "__hp").select(col("__hp"), col("__hg"),
+      round(lit(1000000.0) * (col("__cb").cast("double") / col("__cp").cast("double")))
+        .cast("long").as("__micro"))
+    occ.join(probs, Seq("__hp", "__hg"))
+      .groupBy("doc_id")
+      .agg(sum("__micro").as("lm_micro_sum"), count(lit(1)).as("n_bigrams"))
+      .withColumn("lm_score",
+        col("lm_micro_sum").cast("double") / col("n_bigrams").cast("double"))
+  }
+
   /** Corpus-level quality report: one row per language with quality stats. */
   def qualityReport(df: DataFrame, textCol: String, langCol: String): DataFrame =
     df.withColumn("__q", qualityFeatures(col(textCol)))

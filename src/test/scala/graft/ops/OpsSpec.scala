@@ -575,6 +575,26 @@ class TextOpsSpec extends SparkSpec {
     assert(zero == Map(1L -> 0L, 2L -> 3L))
   }
 
+  test("bigramLmScore: hand-computed micro-prob means; single-token edge rule") {
+    import spark.implicits._
+    // corpus: c(a b)=1, c(b a)=1, c(a c)=1 -> P(b|a)=P(c|a)=1/2, P(a|b)=1;
+    // "x y" and the single-token doc "z" are their own only transitions (p=1)
+    val docs = Seq((1L, "a b a c"), (2L, "x y"), (3L, "z")).toDF("doc_id", "text")
+    val out = TextOps.bigramLmScore(docs, "doc_id", "text")
+      .select("doc_id", "lm_micro_sum", "n_bigrams", "lm_score")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((2000000L, 3L, 2000000.0 / 3)))
+    assert(out(2L) == ((1000000L, 1L, 1000000.0)))
+    assert(out(3L) == ((1000000L, 1L, 1000000.0)))
+    // templated text scores strictly higher than the same tokens scrambled
+    // into unique transitions
+    val mix = Seq((1L, "the cat sat . the cat sat . the cat sat ."),
+      (2L, "sat the . cat sat cat the . sat . the cat")).toDF("doc_id", "text")
+    val s = TextOps.bigramLmScore(mix, "doc_id", "text")
+      .select("doc_id", "lm_score").as[(Long, Double)].collect().toMap
+    assert(s(1L) > s(2L), s.toString)
+  }
+
   test("corpusProfile == fingerprintDf + shingleProfiles sig/set + repetitionStats, one pass") {
     import spark.implicits._
     val docs = Tables.load(spark, sfDir, "documents").limit(200)
