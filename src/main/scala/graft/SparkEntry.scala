@@ -2426,7 +2426,58 @@ object SparkEntry {
           count(*) AS n_bigrams,
           CAST(sum(micro) AS DOUBLE) / count(*) AS lm_score
         FROM occ JOIN pr USING (hp, hg)
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // -- q118: INCREMENTAL near-dup — a new batch (doc_id % 5 == 4) matched
+    //    against the already-profiled rest of the corpus. The corpus is
+    //    shingled once into a stored profile; the batch's banded signatures
+    //    broadcast against it, so per-batch cost is independent of corpus
+    //    size (the production ingest shape; no corpus re-scan). -------------
+    Q("q118_incremental_neardup",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val corpus = docs.where(pmod(col("doc_id"), lit(5)) < 4)
+        val newDocs = docs.where(pmod(col("doc_id"), lit(5)) === 4)
+        val prof = ops.Dedup.shingleProfiles(corpus, "doc_id", "text",
+          n = 3, coeffs = ops.Dedup.hashCoeffs(12))
+        ops.Dedup.minhashNewVsCorpus(newDocs, "doc_id", "text",
+            prof, "doc_id", "__sig", "__shingles",
+            n = 3, numHashes = 12, bands = 4, threshold = 0.2)
+          .orderBy("new_id", "corpus_id")
+      },
+      Some {
+        val coeffs = ops.Dedup.hashCoeffs(12)
+        val sig = coeffs.map { case (a, b) =>
+          s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))"
+        }.mkString("[", ", ", "]")
+        val bandKeys = (0 until 4).map(bi =>
+          s"md5(concat_ws(',', sig[${bi * 3 + 1}], sig[${bi * 3 + 2}], sig[${bi * 3 + 3}]))")
+          .mkString("[", ", ", "]")
+        s"""
+        WITH sh AS (
+          SELECT doc_id, ${sqlShingles("text")} AS sh FROM documents),
+        sig AS (
+          SELECT doc_id, sh, $sig AS sig FROM sh),
+        banded AS (
+          SELECT doc_id, sh, unnest($bandKeys) AS band_key,
+                 unnest(range(0, 4)) AS band_id
+          FROM sig),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+          FROM banded c JOIN banded n
+            ON c.band_id = n.band_id AND c.band_key = n.band_key
+          WHERE c.doc_id % 5 < 4 AND n.doc_id % 5 = 4),
+        verified AS (
+          SELECT cd.new_id, cd.corpus_id,
+            CASE WHEN len(list_distinct(n.sh || c.sh)) = 0 THEN 1.0
+                 ELSE CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
+                      / len(list_distinct(n.sh || c.sh)) END AS jaccard
+          FROM cand cd
+          JOIN sh n ON cd.new_id = n.doc_id
+          JOIN sh c ON cd.corpus_id = c.doc_id)
+        SELECT new_id, corpus_id, jaccard FROM verified WHERE jaccard >= 0.2
+        ORDER BY new_id, corpus_id"""
+      })
   )
 
   /** Framework semantics (SURVEY §2.A): record versioning, memoization,

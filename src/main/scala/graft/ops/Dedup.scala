@@ -177,6 +177,54 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** INCREMENTAL MinHash-LSH: near-dup matches of a NEW document batch
+    * against an ALREADY-PROFILED corpus — the streaming-ingest shape. A
+    * 100 TB corpus is shingled once (its stored [[shingleProfiles]] /
+    * [[graft.ops.TextOps.corpusProfile]] output is reused as-is); each
+    * arriving batch shingles ONLY its own text, bands its signatures, and
+    * joins its banded rows against the corpus's banded signatures. With
+    * `broadcastNew` (the normal case: batch ≪ corpus) the candidate join is
+    * map-side over the corpus — the corpus profile never shuffles, and
+    * per-batch cost is O(batch + collisions), independent of corpus size.
+    * Verification joins touch only colliding (new, corpus) pairs.
+    *
+    * Output: (new_id, corpus_id, jaccard ≥ threshold) — feed to
+    * [[admitNonDup]] to keep only genuinely novel documents. */
+  def minhashNewVsCorpus(newDocs: DataFrame, idCol: String, textCol: String,
+                         corpusProfile: DataFrame, corpusIdCol: String,
+                         sigCol: String, shinglesCol: String,
+                         n: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                         threshold: Double = 0.5,
+                         broadcastNew: Boolean = true): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val newProf = shingleProfiles(newDocs, idCol, textCol, n, hashCoeffs(numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = corpusProfile.select(col(corpusIdCol).as("corpus_id"),
+      col(sigCol).as("__csig"), col(shinglesCol).as("__csh"))
+    val bandedNew = explodeBands(newProf.select(col(idCol), col("__sig")),
+        "__sig", bands, rowsPerBand)
+      .select(col(idCol).as("new_id"), col("band_id"), col("band_key"))
+    val bandedCorpus = explodeBands(corpus.select(col("corpus_id"), col("__csig").as("__sig")),
+        "__sig", bands, rowsPerBand)
+      .select(col("corpus_id"), col("band_id"), col("band_key"))
+    val newSide = if (broadcastNew) broadcast(bandedNew) else bandedNew
+    val cand = bandedCorpus.join(newSide, Seq("band_id", "band_key"))
+      .select("new_id", "corpus_id").distinct()
+    cand
+      .join(newProf.select(col(idCol).as("new_id"), col("__shingles").as("__sh_n")), Seq("new_id"))
+      .join(corpus.select(col("corpus_id"), col("__csh").as("__sh_c")), Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        jaccardSorted(col("__sh_n"), col("__sh_c")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Ingest filter over [[minhashNewVsCorpus]]: the new-batch rows with NO
+    * near-dup in the profiled corpus (anti-join on the match list). */
+  def admitNonDup(newDocs: DataFrame, idCol: String, matches: DataFrame): DataFrame =
+    newDocs.join(matches.select(col("new_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** 60-bit SimHash of the token multiset: bit j is set iff the weighted sum
     * of token-hash bits j is positive. Column form (per-row, zero-shuffle;
     * interpreted HOF body — fine for small frames, tests, and the oracle). */

@@ -120,6 +120,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental new-vs-corpus matches == full-corpus pairs restricted to cross-split; admitNonDup filters") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(300)
+    val corpus = docs.where(pmod(col("doc_id"), lit(5)) < 4)
+    val newDocs = docs.where(pmod(col("doc_id"), lit(5)) === 4)
+    val prof = Dedup.shingleProfiles(corpus, "doc_id", "text", 3, Dedup.hashCoeffs(12))
+    val inc = Dedup.minhashNewVsCorpus(newDocs, "doc_id", "text",
+        prof, "doc_id", "__sig", "__shingles", threshold = 0.2)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // ground truth: the batch-oblivious full-corpus run, keeping only pairs
+    // that straddle the split (canonicalized to unordered form)
+    val full = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.2)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    val crossFull = full.filter { case (l, r) => (l % 5 == 4) != (r % 5 == 4) }
+      .map { case (l, r) => if (l % 5 == 4) (l, r) else (r, l) }
+    assert(inc == crossFull, s"incremental $inc vs full-restricted $crossFull")
+    // admitNonDup keeps exactly the unmatched new docs
+    val matches = Dedup.minhashNewVsCorpus(newDocs, "doc_id", "text",
+      prof, "doc_id", "__sig", "__shingles", threshold = 0.2)
+    val admitted = Dedup.admitNonDup(newDocs, "doc_id", matches)
+      .select("doc_id").as[Long].collect().toSet
+    val newIds = newDocs.select("doc_id").as[Long].collect().toSet
+    assert(admitted == newIds -- inc.map(_._1))
+  }
+
   test("near-dup clustering: transitive closure with min-id representative") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_l", "id_r")
