@@ -228,6 +228,33 @@ class PlanSpec extends SparkSpec {
     assert("Generate".r.findAllIn(p).size == 1, p)
   }
 
+  test("q118: incremental near-dup broadcasts the new batch; corpus profile never shuffles for the candidate join") {
+    // the incremental contract: per-batch cost independent of corpus size —
+    // the banded corpus side streams map-side through a BroadcastHashJoin
+    // against the (small) new batch's banded signatures
+    val df = SparkEntry.queries("q118_incremental_neardup")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"candidate join not broadcast:\n$p")
+  }
+
+  test("q117: bigram LM probability table joins keyed on gram hashes; raw text shuffles at most once") {
+    // after the one tokenize+explode, every exchange carries (doc_id, 60-bit
+    // hashes) — no exchange may partition on a string column (the text/gram
+    // strings themselves must never be shuffle keys)
+    val df = SparkEntry.queries("q117_bigram_lm")(spark, sfDir)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val stringKeyed = shuffles.filter(_.outputPartitioning match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        h.expressions.exists(_.dataType ==
+          org.apache.spark.sql.types.StringType)
+      case _ => false
+    })
+    assert(stringKeyed.isEmpty,
+      s"exchange keyed on a string column:\n${stringKeyed.mkString("\n")}")
+  }
+
   test("q100/q79: repetitionStats and fingerprintDf shuffle ONCE (text rides the repartition)") {
     Seq("q100_repetition_stats", "q79_doc_fingerprint").foreach { q =>
       val p = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
