@@ -2477,7 +2477,40 @@ object SparkEntry {
           JOIN sh c ON cd.corpus_id = c.doc_id)
         SELECT new_id, corpus_id, jaccard FROM verified WHERE jaccard >= 0.2
         ORDER BY new_id, corpus_id"""
-      })
+      }),
+
+    // -- q119: bounded-memory heavy hitters (Misra–Gries sketch, k=199).
+    //    The sketch content is engine-internal, so the oracle-checkable
+    //    output is the EXACT heavy-hitter set (true count > N/(k+1), computed
+    //    exactly by both engines) plus booleans asserting the sketch's
+    //    deterministic guarantees held: every heavy item present, and
+    //    est <= true <= est + N/(k+1). Any guarantee violation flips a
+    //    hash-checked boolean loudly (same pattern as q21). ------------------
+    Q("q119_heavy_hitters",
+      (s, dir) => {
+        val toks = T(s, dir, "documents")
+          .select(explode(ops.Dedup.tokens(col("text"))).as("token"))
+        val sketch = ops.Stats.heavyHitters(toks, "token", k = 199)
+        val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_count"))
+        val total = toks.agg(count(lit(1)).as("n"))
+        val bound = col("n").cast("double") / 200.0
+        exact.crossJoin(broadcast(total))
+          .where(col("exact_count").cast("double") > bound)
+          .join(broadcast(sketch), col("token") === col("item"), "left")
+          .select(col("token"), col("exact_count"),
+            col("item").isNotNull.as("in_sketch"),
+            (col("est").isNotNull && col("est") <= col("exact_count") &&
+              (col("exact_count") - col("est")).cast("double") <= bound).as("est_ok"))
+          .orderBy("token")
+      },
+      Some("""
+        WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        tot AS (SELECT count(*) AS n FROM tok),
+        cnt AS (SELECT token, count(*) AS exact_count FROM tok GROUP BY token)
+        SELECT token, exact_count, TRUE AS in_sketch, TRUE AS est_ok
+        FROM cnt, tot
+        WHERE CAST(exact_count AS DOUBLE) > CAST(n AS DOUBLE) / 200.0
+        ORDER BY token"""))
   )
 
   /** Framework semantics (SURVEY §2.A): record versioning, memoization,

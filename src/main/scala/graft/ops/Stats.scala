@@ -120,4 +120,23 @@ object Stats {
         when(varPop === 0d, 0d)
           .otherwise((col("__c").cast("double") - mean) / sqrt(varPop)).as("z"))
   }
+
+  /** Approximate heavy hitters of a string column via the Misra–Gries sketch
+    * [[graft.expressions.FreqItemsAgg]]: one row per surviving sketch item
+    * with its estimate and the total stream length. Memory is `k` counters
+    * PER AGGREGATION BUFFER regardless of stream length or cardinality — the
+    * 100 TB alternative to a full vocabulary-sized groupBy when only the
+    * frequent tail matters — and the deterministic guarantee
+    * `est <= true <= est + n_total/(k+1)` means every item with true count
+    * above `n_total/(k+1)` is present. Buffers merge soundly under Spark's
+    * partial aggregation (any partitioning / merge order). */
+  def heavyHitters(df: DataFrame, itemCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumn
+    val agg = GraftColumn.of(
+      graft.expressions.FreqItemsAgg(GraftColumn.expr(col(itemCol).cast("string")), k)
+        .toAggregateExpression())
+    df.groupBy().agg(agg.as("__s"))
+      .select(col("__s.n").as("n_total"), explode(col("__s.items")).as("__e"))
+      .select(col("__e.item").as("item"), col("__e.est").as("est"), col("n_total"))
+  }
 }

@@ -758,6 +758,44 @@ class StatsSpec extends SparkSpec {
   }
 }
 
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Misra-Gries guarantees hold under multi-partition merges: est <= true <= est + n/(k+1)") {
+    // skewed stream: token i appears i^2 times, plus a high-cardinality tail
+    // of singletons; shuffled ordering and 16 partitions force real partial
+    // buffers and merges
+    val heavyPart = (1 to 30).flatMap(i => Seq.fill(i * i)(s"tok$i"))
+    val tail = (1 to 5000).map(i => s"rare$i")
+    val stream = scala.util.Random.shuffle(heavyPart ++ tail)
+    val df = stream.toDF("token").repartition(16)
+    val k = 20
+    val n = stream.size.toLong
+    val exact = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val sketch = graft.ops.Stats.heavyHitters(df, "token", k)
+      .select("item", "est", "n_total").as[(String, Long, Long)].collect()
+    assert(sketch.forall(_._3 == n))
+    assert(sketch.length <= k, s"sketch holds ${sketch.length} > k=$k items")
+    // underestimate bounded by n/(k+1); never an overestimate
+    sketch.foreach { case (item, est, _) =>
+      val truth = exact.getOrElse(item, 0L)
+      assert(est <= truth, s"$item overestimated: $est > $truth")
+      assert(truth - est <= n / (k + 1) + 1, s"$item est too low: $est vs $truth")
+    }
+    // presence guarantee: every item with true count > n/(k+1) is in the sketch
+    val present = sketch.map(_._1).toSet
+    exact.filter(_._2 > n.toDouble / (k + 1)).keys.foreach { hh =>
+      assert(present.contains(hh), s"heavy hitter $hh missing from sketch")
+    }
+  }
+
+  test("uniform high-cardinality stream stays within k counters (no heavy items to report)") {
+    val df = (1 to 20000).map(i => s"u${i % 4000}").toDF("token").repartition(8)
+    val out = graft.ops.Stats.heavyHitters(df, "token", 10).collect()
+    assert(out.length <= 10)
+  }
+}
+
 class CentroidsSpec extends SparkSpec {
   import spark.implicits._
 
