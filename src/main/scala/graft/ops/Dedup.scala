@@ -365,8 +365,10 @@ object Dedup {
         .collect()(0).getDecimal(0)
       labels.unpersist()
       labels = next
-      converged = prevSum.exists(_.compareTo(s) == 0)
-      prevSum = Some(s)
+      // s is null iff the label set is empty (no pairs at all) — trivially
+      // a fixpoint, and compareTo(null) would throw
+      converged = s == null || prevSum.exists(_.compareTo(s) == 0)
+      prevSum = Option(s)
       iter += 1
     }
     // edges/labels checkpoint blocks are reclaimed by the ContextCleaner once

@@ -416,7 +416,10 @@ object TextOps {
     * (docs shorter than 2 tokens contribute their single token as its own
     * gram, same edge rule as [[Dedup.shingleStringsFromTokens]]). */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = Dedup.tokens(col(textCol))
+    // tokens BOUND to a column before the HOF: interpreted lambda bodies get
+    // no CSE, so `get(split(text), i)` would re-split the text per element
+    // (the shingleStringsFromTokens pitfall — measured 3x on this operator)
+    val toks = col("__toks")
     // (prefix, bigram-string) pairs, 1-based index idiom shared with the SQL
     // oracle twin (concat_ws drops the null tail token on the last position)
     val pairs = transform(
@@ -424,18 +427,27 @@ object TextOps {
       i => struct(get(toks, i - 1).as("p"),
         concat_ws(" ", get(toks, i - 1), get(toks, i)).as("g")))
     val occ = df
-      .select(col(idCol).as("doc_id"), explode(pairs).as("__pg"))
+      .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(pairs).as("__pg"))
       .select(col("doc_id"),
         pmod(Dedup.md5Hash60(col("__pg.p")), lit(Dedup.P)).as("__hp"),
         pmod(Dedup.md5Hash60(col("__pg.g")), lit(Dedup.P)).as("__hg"))
-    val cb = occ.groupBy("__hp", "__hg").agg(count(lit(1)).as("__cb"))
+    // collapse occurrences to per-doc gram counts FIRST: the explode + md5
+    // pass (the dominant cost) runs exactly once, every later frame is
+    // distinct-(doc,gram)-sized, and both the corpus counts and the final
+    // per-doc sum derive from this one persisted frame
+    val docCb = occ.groupBy(col("doc_id"), col("__hp"), col("__hg"))
+      .agg(count(lit(1)).as("__dc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = docCb.groupBy("__hp", "__hg").agg(sum("__dc").as("__cb"))
     val cp = cb.groupBy("__hp").agg(sum("__cb").as("__cp"))
     val probs = cb.join(cp, "__hp").select(col("__hp"), col("__hg"),
       round(lit(1000000.0) * (col("__cb").cast("double") / col("__cp").cast("double")))
         .cast("long").as("__micro"))
-    occ.join(probs, Seq("__hp", "__hg"))
+    docCb.join(probs, Seq("__hp", "__hg"))
       .groupBy("doc_id")
-      .agg(sum("__micro").as("lm_micro_sum"), count(lit(1)).as("n_bigrams"))
+      .agg(sum(col("__micro") * col("__dc")).as("lm_micro_sum"),
+        sum("__dc").as("n_bigrams"))
       .withColumn("lm_score",
         col("lm_micro_sum").cast("double") / col("n_bigrams").cast("double"))
   }

@@ -1,7 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.hadoop.fs.Path
 import graft.core.{FeatureDef, FeatureStore, Versioning}
 
 /** Fastlane (serving) mode: the reference's single-row low-latency path
@@ -48,6 +50,64 @@ object Fastlane {
     val out = Versioning.withSystemColumns(feature.transform(rows), feature)
     store.merge(feature.name, out, feature.entityKeys,
       Map("feature" -> feature.name, "mode" -> "fastlane_once"))
+  }
+
+  /** Streaming near-dup-gated corpus ingest — the online form of
+    * [[graft.ops.Dedup.minhashNewVsCorpus]]. Each micro-batch is (1) deduped
+    * against ITSELF (near-dup pairs within the batch keep the min-id rep),
+    * (2) matched against the profile of everything admitted so far, and only
+    * novel documents are (3) appended to `corpusDir` with (4) their shingle
+    * profiles appended to `profileDir` — so later batches dedup against the
+    * full admitted history without ever re-shingling it.
+    *
+    * Scale shape per batch: the corpus-side cost is one scan of the stored
+    * PROFILE table (ids + signatures + shingle sets — no raw text), the
+    * batch's banded signatures broadcast into the candidate join, and the
+    * profile append is O(admitted batch). The admitted corpus itself is
+    * never rewritten or re-read. Exactly-once: replays re-admit the same
+    * ids; pair downstream readers with exact id dedup, or fence batches via
+    * `batchId` as in [[serve]]. */
+  def ingestDeduped(
+      stream: DataFrame,
+      idCol: String, textCol: String,
+      corpusDir: String, profileDir: String,
+      checkpointDir: String,
+      n: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5,
+      trigger: Trigger = Trigger.AvailableNow())
+      (implicit spark: SparkSession): StreamingQuery = {
+    import graft.ops.Dedup
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // (1) intra-batch near-dup: keep one representative per cluster
+          val selfDeduped = Dedup.dedupCorpusNear(
+              batch.select(col(idCol), col(textCol)),
+              idCol, textCol, n, numHashes, bands, threshold)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // (2) match against the admitted history's stored profile
+          val hasHistory =
+            new Path(profileDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(new Path(profileDir))
+          val admitted =
+            if (!hasHistory) selfDeduped
+            else {
+              val prof = spark.read.parquet(profileDir)
+              val matches = Dedup.minhashNewVsCorpus(selfDeduped, idCol, textCol,
+                prof, idCol, "__sig", "__shingles", n, numHashes, bands, threshold)
+              Dedup.admitNonDup(selfDeduped, idCol, matches)
+            }
+          // (3) + (4) append the novel docs and their profiles
+          admitted.write.mode("append").parquet(corpusDir)
+          Dedup.shingleProfiles(admitted, idCol, textCol, n, Dedup.hashCoeffs(numHashes))
+            .write.mode("append").parquet(profileDir)
+          selfDeduped.unpersist()
+          ()
+        }
+      }
+      .start()
   }
 
   /** High-frequency serving: O(batch) delta append per micro-batch instead of

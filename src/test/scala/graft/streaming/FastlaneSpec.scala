@@ -43,6 +43,37 @@ class FastlaneSpec extends SparkSpec {
     assert(store.versions(feature.name).size >= 2)
   }
 
+  test("ingestDeduped: streaming near-dup gate admits only novel docs across batches") {
+    val corpusDir = tmpDir("ing_corpus") + "/c"
+    val profileDir = tmpDir("ing_prof") + "/p"
+    val srcDir = tmpDir("ing_src")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val other = "one two three four five six seven eight nine ten eleven twelve"
+
+    // batch 1: two distinct docs plus an intra-batch near-dup of doc 1
+    Seq((1L, base), (2L, other), (3L, base + " nu"))
+      .toDF("doc_id", "text").write.mode("overwrite").json(s"$srcDir/b1")
+    val stream1 = spark.readStream.schema("doc_id LONG, text STRING").json(s"$srcDir/*")
+    val ckpt = tmpDir("ing_ckpt")
+    Fastlane.ingestDeduped(stream1, "doc_id", "text", corpusDir, profileDir,
+      ckpt, threshold = 0.5).awaitTermination(60000)
+    val after1 = spark.read.parquet(corpusDir).select("doc_id").as[Long].collect().toSet
+    assert(after1 == Set(1L, 2L), s"intra-batch near-dup not collapsed: $after1")
+
+    // batch 2: a near-dup of admitted doc 1, and a genuinely new doc
+    Seq((4L, base + " xi"), (5L, "completely different words about spark engines at scale here"))
+      .toDF("doc_id", "text").write.mode("overwrite").json(s"$srcDir/b2")
+    val stream2 = spark.readStream.schema("doc_id LONG, text STRING").json(s"$srcDir/*")
+    Fastlane.ingestDeduped(stream2, "doc_id", "text", corpusDir, profileDir,
+      ckpt, threshold = 0.5).awaitTermination(60000)
+    val after2 = spark.read.parquet(corpusDir).select("doc_id").as[Long].collect().toSet
+    assert(after2 == Set(1L, 2L, 5L), s"cross-batch near-dup admitted: $after2")
+    // the profile store tracks exactly the admitted corpus (no re-shingling
+    // of history: one profile row per admitted doc)
+    val profIds = spark.read.parquet(profileDir).select("doc_id").as[Long].collect().toSet
+    assert(profIds == after2)
+  }
+
   test("same transform in batch and fastlane produces identical results") {
     val rootA = tmpDir("modeA"); val rootB = tmpDir("modeB")
     val storeA = new FeatureStore(rootA); val storeB = new FeatureStore(rootB)
