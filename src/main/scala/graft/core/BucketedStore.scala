@@ -436,6 +436,50 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
       .eval(null).asInstanceOf[Long].toInt
   }
 
+  /** Table maintenance: re-cluster the LATEST version by Z-order (the
+    * OPTIMIZE ZORDER BY analogue). Reads the current version and writes a
+    * new clustered one; older versions (and time travel to them) are
+    * untouched. Typical cycle at scale: hash-bucketed writes + merges absorb
+    * updates cheaply, a periodic optimize re-establishes tight per-file
+    * ranges for the hot predicate columns, [[vacuum]] reclaims the old
+    * files once the retention window passes. */
+  def optimizeZorder(feature: String, entityKeys: Seq[String],
+                     clusterCols: Seq[String], statsCols: Seq[String] = Nil,
+                     bitsPerCol: Int = 6): Long = {
+    val cur = read(feature, entityKeys).drop("__b")
+    writeClustered(cur, feature, entityKeys, clusterCols, statsCols, bitsPerCol)
+  }
+
+  /** Table maintenance: delete data files not referenced by any of the last
+    * `keepVersions` manifests (the VACUUM analogue — bounded storage under
+    * continuous merges, at the cost of time travel past the horizon).
+    * Returns the deleted relative paths. Never touches the manifests or the
+    * Delta log mirror (history stays auditable; only bytes are reclaimed). */
+  def vacuum(feature: String, keepVersions: Int = 2): Seq[String] = {
+    require(keepVersions >= 1, "vacuum must keep at least the latest version")
+    val vs = versions(feature)
+    if (vs.size <= keepVersions) return Seq.empty
+    val live: Set[String] = vs.takeRight(keepVersions)
+      .flatMap(v => readManifest(feature, v).values).toSet
+    val featureDir = new Path(s"$root/$feature")
+    // candidate bucket dirs live under files_v*/__b=*; a dir is reclaimable
+    // iff NO retained manifest references it
+    val dead = fs.listStatus(featureDir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("files_v"))
+      .flatMap { vdir =>
+        fs.listStatus(vdir.getPath).toSeq.filter(_.isDirectory)
+          .map(b => s"${vdir.getPath.getName}/${b.getPath.getName}")
+      }
+      .filterNot(live)
+    dead.foreach(rel => fs.delete(new Path(s"$root/$feature/$rel"), true))
+    // drop now-empty files_vN roots so the layout stays listable at scale
+    fs.listStatus(featureDir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("files_v"))
+      .foreach { vdir =>
+        if (fs.listStatus(vdir.getPath).isEmpty) fs.delete(vdir.getPath, false) }
+    dead
+  }
+
   /** Fraction of the table a merge of `updates` would rewrite (observability
     * for the 100 TB story). */
   def rewriteFraction(feature: String, updates: DataFrame, entityKeys: Seq[String]): Double = {

@@ -195,6 +195,39 @@ class BucketedStoreSpec extends SparkSpec {
       zStore.merge("t", Seq((1L, 1.0, 1.0)).toDF("id", "v", "w"), Seq("id")))
   }
 
+  test("optimizeZorder + vacuum: maintenance cycle re-clusters the table and reclaims dead files") {
+    val store = new BucketedStore(tmpDir("bmaint"), numBuckets = 8)
+    val df = spark.range(2000).select(col("id"),
+      (col("id") % 50).cast("double").as("v"),
+      ((col("id") * 7919) % 50).cast("double").as("w"))
+    store.write(df, "t", Seq("id"), statsCols = Seq("v", "w"))
+    store.merge("t", Seq((7L, 1.0, 1.0)).toDF("id", "v", "w"), Seq("id"))
+
+    // OPTIMIZE: new clustered version; content identical, layout clustered
+    val v = store.optimizeZorder("t", Seq("id"), Seq("v", "w"))
+    assert(store.clusteredBy("t", v) == Seq("v", "w"))
+    val expect = df.where(col("id") =!= 7L).select("id").as[Long].collect().toSet + 7L
+    assert(store.read("t", Seq("id")).select("id").as[Long].collect().toSet == expect)
+    // the clustered layout prunes a 2-col box the hash layout couldn't
+    val box = Seq(("v", 0.0, 9.0), ("w", 0.0, 9.0))
+    val nBefore = store.scanPrunedMulti("t", Seq("id"), box, asOfVersion = Some(1))
+      .inputFiles.map(_.split("/__b=")(1).split("/")(0)).distinct.length
+    val nAfter = store.scanPrunedMulti("t", Seq("id"), box)
+      .inputFiles.map(_.split("/__b=")(1).split("/")(0)).distinct.length
+    assert(nAfter < nBefore, s"clustered scan read $nAfter vs hash $nBefore")
+
+    // VACUUM keeping only the clustered version: v0/v1 bucket dirs reclaimed,
+    // latest fully readable, manifests still on disk for audit
+    val deleted = store.vacuum("t", keepVersions = 1)
+    assert(deleted.nonEmpty && deleted.forall(p => p.startsWith("files_v0/") || p.startsWith("files_v1/")))
+    assert(store.read("t", Seq("id")).count() == 2000)
+    assert(store.versions("t") == Seq(0L, 1L, 2L))
+    // below the horizon the data is gone (that's the documented trade)
+    intercept[Exception](store.read("t", Seq("id"), asOfVersion = Some(0)).count())
+    // idempotent: nothing left to reclaim
+    assert(store.vacuum("t", keepVersions = 1).isEmpty)
+  }
+
   test("merge recomputes stats for rewritten buckets and carries the rest") {
     val store = new BucketedStore(tmpDir("bstats2"), numBuckets = 4)
     val df = spark.range(100).select(col("id"))
