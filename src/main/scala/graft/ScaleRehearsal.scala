@@ -64,6 +64,14 @@ object ScaleRehearsal {
       val dir = s"/tmp/graft_scale_$k"
       scaledDocs(k).write.mode("overwrite").parquet(s"$dir/documents")
       scaledEmb(k).write.mode("overwrite").parquet(s"$dir/embeddings")
+      // the incremental-dedup rehearsal matches a FIXED batch against the
+      // stored profile of everything else — the profile is precomputed here
+      // (production keeps it on disk; per-batch cost must not re-pay it)
+      val all = spark.read.parquet(s"$dir/documents")
+      val corpus = all.where(pmod(col("doc_id"), lit(5)) < 4 ||
+        col("doc_id") >= nDocs)
+      ops.Dedup.shingleProfiles(corpus, "doc_id", "text", 3, ops.Dedup.hashCoeffs(12))
+        .write.mode("overwrite").parquet(s"$dir/profile")
       dir
     }
 
@@ -86,7 +94,22 @@ object ScaleRehearsal {
           emb, "vec_id", "embedding", threshold = 0.5, planes = 4))),
         "q86_neardup_clusters" -> (() => force(ops.Dedup.nearDupClusters(
           ops.Dedup.minhashNearDupPairs(docs, "doc_id", "text",
-            n = 3, numHashes = 12, bands = 4, threshold = 0.2))))
+            n = 3, numHashes = 12, bands = 4, threshold = 0.2)))),
+        "q117_bigram_lm" -> (() => force(ops.TextOps.bigramLmScore(
+          docs, "doc_id", "text"))),
+        // incremental contract: a FIXED batch (1/5 of ONE replica family)
+        // matched against the PRE-STORED profile of everything else — the
+        // per-batch cost should stay ~flat while the corpus scales
+        "q118_incremental" -> (() => {
+          val batch = docs.where(pmod(col("doc_id"), lit(5)) === 4 &&
+            col("doc_id") < nDocs)
+          val prof = spark.read.parquet(s"$dir/profile")
+          force(ops.Dedup.minhashNewVsCorpus(batch, "doc_id", "text",
+            prof, "doc_id", "__sig", "__shingles", threshold = 0.2))
+        }),
+        "q119_heavy_hitters" -> (() => force(ops.Stats.heavyHitters(
+          docs.select(explode(ops.Dedup.tokens(col("text"))).as("token")),
+          "token", k = 199)))
       ).map { case (name, thunk) =>
         thunk() // warmup (codegen + plan); measured run follows
         val t = sec(thunk())
