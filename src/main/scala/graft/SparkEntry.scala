@@ -2510,7 +2510,36 @@ object SparkEntry {
         SELECT token, exact_count, TRUE AS in_sketch, TRUE AS est_ok
         FROM cnt, tot
         WHERE CAST(exact_count AS DOUBLE) > CAST(n AS DOUBLE) / 200.0
-        ORDER BY token"""))
+        ORDER BY token""")),
+
+    // -- q120: winsorize (percentile clipping) — p05/p95 bounds from the
+    //    exact value histogram (one bins-sized exchange; bounds broadcast
+    //    back, the fact side never shuffles), then a per-flag rollup of the
+    //    clipped values quantized to 1e-4 (absorbs last-ulp interpolation
+    //    differences, the q50 pattern). ---------------------------------------
+    Q("q120_winsorize",
+      (s, dir) => {
+        val w = ops.Stats.winsorize(T(s, dir, "lineitem"), "l_quantity",
+          0.05, 0.95, outCol = "__w")
+        w.select(col("l_returnflag"),
+            round(col("__w") * 10000).cast("long").as("__wq"))
+          .groupBy("l_returnflag")
+          .agg(min("__wq").as("min_w"), max("__wq").as("max_w"),
+            sum("__wq").as("sum_w"), count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH b AS (
+          SELECT quantile_cont(l_quantity, 0.05) AS lo,
+                 quantile_cont(l_quantity, 0.95) AS hi
+          FROM lineitem),
+        w AS (
+          SELECT l_returnflag,
+            CAST(round(least(greatest(CAST(l_quantity AS DOUBLE), lo), hi) * 10000) AS BIGINT) AS wq
+          FROM lineitem, b)
+        SELECT l_returnflag, min(wq) AS min_w, max(wq) AS max_w,
+               CAST(sum(wq) AS BIGINT) AS sum_w, count(*) AS n
+        FROM w GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 
   /** Framework semantics (SURVEY §2.A): record versioning, memoization,

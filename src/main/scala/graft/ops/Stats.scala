@@ -77,6 +77,48 @@ object Stats {
         .as("percentile"))
   }
 
+  /** Winsorize (percentile-clip) a value column: values below the `pLo`
+    * percentile clamp up to it, values above `pHi` clamp down — the standard
+    * outlier treatment before normalization/feature scaling. Both bounds use
+    * [[histogramPercentile]]'s exact interpolation over ONE shared value
+    * histogram (same bounded-cardinality contract; one histogram aggregation,
+    * one single-row broadcast back onto the fact side — the fact table never
+    * shuffles). NULLs pass through as NULL. Appends `outCol` (double). */
+  def winsorize(df: DataFrame, valueCol: String, pLo: Double, pHi: Double,
+                outCol: String = "winsorized"): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val cw = Window.orderBy("__q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fw = Window.orderBy("__q")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val hist = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__q"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__hi", sum("__c").over(cw))
+      .withColumn("__lo", col("__hi") - col("__c"))
+      .withColumn("__n", sum("__c").over(fw))
+    def pick(p: Double, tag: String) = {
+      val k = (col("__n") - 1) * p
+      Seq(
+        max(when(col("__lo") <= floor(k) && floor(k) < col("__hi"), col("__q"))).as(s"__vlo_$tag"),
+        max(when(col("__lo") <= ceil(k) && ceil(k) < col("__hi"), col("__q"))).as(s"__vhi_$tag"),
+        max(k).as(s"__k_$tag"))
+    }
+    def interp(tag: String) =
+      col(s"__vlo_$tag") + (col(s"__k_$tag") - floor(col(s"__k_$tag"))) *
+        (col(s"__vhi_$tag") - col(s"__vlo_$tag"))
+    val aggs = pick(pLo, "l") ++ pick(pHi, "h")
+    val bounds = hist.agg(aggs.head, aggs.tail: _*)
+      .select(interp("l").as("__wlo"), interp("h").as("__whi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(outCol,
+        // explicit NULL passthrough: greatest/least SKIP nulls, they don't
+        // propagate them, so a NULL value would silently clamp to the bound
+        when(col(valueCol).isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(col(valueCol).cast("double"), col("__wlo")), col("__whi"))))
+      .drop("__wlo", "__whi")
+  }
+
   /** Deterministic stratified sample: at most `n` rows per group, chosen by
     * the 60-bit md5 hash of the id — stable across runs, task retries, AND
     * engines (never `rand()`), so a resumed pipeline re-selects the exact

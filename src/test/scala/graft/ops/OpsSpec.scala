@@ -758,6 +758,32 @@ class StatsSpec extends SparkSpec {
   }
 }
 
+class WinsorizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("winsorize clips to exact interpolated percentiles; NULLs pass through") {
+    // values 0..100 plus an outlier pair; p10/p90 of 0..100 ∪ {-1000, 1000}:
+    // n=103, k_lo = 102*0.1 = 10.2 over sorted values
+    val vals = (0 to 100).map(_.toDouble) ++ Seq(-1000.0, 1000.0)
+    val df = (vals.map(Option(_)) :+ Option.empty[Double]).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = graft.ops.Stats.winsorize(df, "v", 0.1, 0.9, "w")
+      .select("id", "w").as[(Long, Option[Double])].collect().toMap
+    // expected bounds = percentile() definition over the sorted list
+    val sorted = vals.sorted
+    def pct(p: Double): Double = {
+      val k = (sorted.length - 1) * p
+      sorted(k.floor.toInt) + (k - k.floor) * (sorted(k.ceil.toInt) - sorted(k.floor.toInt))
+    }
+    val (lo, hi) = (pct(0.1), pct(0.9))
+    vals.indices.foreach { i =>
+      val expect = math.min(math.max(vals(i), lo), hi)
+      assert(out(i.toLong).contains(expect), s"id $i: ${out(i.toLong)} vs $expect")
+    }
+    assert(out(vals.length.toLong).isEmpty, "NULL must stay NULL, not clamp")
+  }
+}
+
 class HeavyHittersSpec extends SparkSpec {
   import spark.implicits._
 
