@@ -72,8 +72,10 @@ object Bench {
       .map { case (name, fn) =>
       var failed = false
       def once(): Double = sec {
+        // NonFatal: a failing query is isolated and reported, but OOM/fatal
+        // JVM errors must crash the bench loudly — timings after one are lies
         try stripProtocolSort(fn(spark, sfDir)).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           failed = true; System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
       }

@@ -2539,7 +2539,28 @@ object SparkEntry {
           FROM lineitem, b)
         SELECT l_returnflag, min(wq) AS min_w, max(wq) AS max_w,
                CAST(sum(wq) AS BIGINT) AS sum_w, count(*) AS n
-        FROM w GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM w GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // -- q121: per-group exact percentiles via per-group value histograms —
+    //    the grouped form of the q21 fix (interpreted percentile() buffers a
+    //    whole group per reducer; the histogram form's exchange carries
+    //    (group, value) bins and the window + final agg share ONE
+    //    hashpartitioning(group), locked in PlanSpec). Values quantized to
+    //    1e-4 (the q50 pattern). ---------------------------------------------
+    Q("q121_grouped_percentiles",
+      (s, dir) => ops.Stats.groupedHistogramPercentiles(
+          T(s, dir, "lineitem"), "l_returnflag", "l_quantity", Seq(0.25, 0.5, 0.9))
+        .select(col("l_returnflag"),
+          round(col("p25") * 10000).cast("long").as("p25q"),
+          round(col("p50") * 10000).cast("long").as("p50q"),
+          round(col("p90") * 10000).cast("long").as("p90q"))
+        .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+          CAST(round(quantile_cont(l_quantity, 0.25) * 10000) AS BIGINT) AS p25q,
+          CAST(round(quantile_cont(l_quantity, 0.50) * 10000) AS BIGINT) AS p50q,
+          CAST(round(quantile_cont(l_quantity, 0.90) * 10000) AS BIGINT) AS p90q
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 
   /** Framework semantics (SURVEY §2.A): record versioning, memoization,

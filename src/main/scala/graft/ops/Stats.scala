@@ -77,6 +77,48 @@ object Stats {
         .as("percentile"))
   }
 
+  /** Exact PER-GROUP percentiles over the per-group value histogram — the
+    * grouped form of [[histogramPercentile]], and the scale-safe replacement
+    * for `percentile() OVER group`: the interpreted aggregate buffers every
+    * value of each group on its reducer (a hot group's buffer is that whole
+    * group), while here the map side collapses each group to its (value,
+    * count) histogram and the cumulative windows run over histogram rows.
+    *
+    * One exchange total: the window's hashpartitioning(group) also satisfies
+    * the final per-group aggregation, so Catalyst inserts no further
+    * exchange. Same `percentile()` interpolation (k = p·(n−1), linear
+    * between the two bracketing sorted values) per group, one output column
+    * per requested p named `p<round(p*100)>`. Bounded-cardinality contract
+    * as [[histogramPercentile]]. */
+  def groupedHistogramPercentiles(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"ps must be in [0,1]: $ps")
+    val names = ps.map(p => s"p${math.round(p * 100)}")
+    require(names.distinct.size == names.size, s"p labels collide: $names")
+    val cw = Window.partitionBy(groupCol).orderBy("__q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fw = Window.partitionBy(groupCol).orderBy("__q")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val hist = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).cast("double").as("__q"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__hi", sum("__c").over(cw))
+      .withColumn("__lo", col("__hi") - col("__c"))
+      .withColumn("__n", sum("__c").over(fw))
+    val aggs = ps.zip(names).flatMap { case (p, nm) =>
+      val k = (col("__n") - 1) * p
+      Seq(
+        max(when(col("__lo") <= floor(k) && floor(k) < col("__hi"), col("__q"))).as(s"__vlo_$nm"),
+        max(when(col("__lo") <= ceil(k) && ceil(k) < col("__hi"), col("__q"))).as(s"__vhi_$nm"),
+        max(k).as(s"__k_$nm"))
+    }
+    hist.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol) +: names.map { nm =>
+        (col(s"__vlo_$nm") + (col(s"__k_$nm") - floor(col(s"__k_$nm"))) *
+          (col(s"__vhi_$nm") - col(s"__vlo_$nm"))).as(nm)
+      }: _*)
+  }
+
   /** Winsorize (percentile-clip) a value column: values below the `pLo`
     * percentile clamp up to it, values above `pHi` clamp down — the standard
     * outlier treatment before normalization/feature scaling. Both bounds use

@@ -255,6 +255,27 @@ class PlanSpec extends SparkSpec {
       s"exchange keyed on a string column:\n${stringKeyed.mkString("\n")}")
   }
 
+  test("q120: winsorize bounds come from a bins-sized agg broadcast back; the fact side never shuffles for the clip") {
+    val df = SparkEntry.queries("q120_winsorize")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"bounds not broadcast:\n$p")
+    assert(!p.contains("percentile("), s"interpreted percentile in plan:\n$p")
+  }
+
+  test("q121: grouped percentiles are bins-only after the partial agg; window partitioning feeds the final agg; no interpreted percentile") {
+    // the scale contract: exchange 1 carries MAP-SIDE-COMBINED (group, value)
+    // bins (partial_count below it), exchange 2 re-keys bins by group for the
+    // window, and the final agg runs INSIDE that partitioning (no third
+    // exchange) — nothing row-sized ever shuffles, no per-group value buffer
+    val df = SparkEntry.queries("q121_grouped_percentiles")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("percentile("), s"interpreted percentile in plan:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected the two bins-sized exchanges only:\n$p")
+    assert(p.contains("partial_count"), s"histogram agg lost its map-side combine:\n$p")
+  }
+
   test("q100/q79: repetitionStats and fingerprintDf shuffle ONCE (text rides the repartition)") {
     Seq("q100_repetition_stats", "q79_doc_fingerprint").foreach { q =>
       val p = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString

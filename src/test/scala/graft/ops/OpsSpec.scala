@@ -761,6 +761,21 @@ class StatsSpec extends SparkSpec {
 class WinsorizeSpec extends SparkSpec {
   import spark.implicits._
 
+  test("groupedHistogramPercentiles == interpreted percentile() per group") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val viaHist = graft.ops.Stats.groupedHistogramPercentiles(
+        li, "l_returnflag", "l_quantity", Seq(0.25, 0.5, 0.9))
+      .select("l_returnflag", "p25", "p50", "p90")
+      .as[(String, Double, Double, Double)].collect().toSet
+    val viaExact = li.groupBy("l_returnflag").agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"))
+      .select("l_returnflag", "p25", "p50", "p90")
+      .as[(String, Double, Double, Double)].collect().toSet
+    assert(viaHist == viaExact)
+  }
+
   test("winsorize clips to exact interpolated percentiles; NULLs pass through") {
     // values 0..100 plus an outlier pair; p10/p90 of 0..100 ∪ {-1000, 1000}:
     // n=103, k_lo = 102*0.1 = 10.2 over sorted values
