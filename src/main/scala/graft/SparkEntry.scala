@@ -2560,7 +2560,29 @@ object SparkEntry {
           CAST(round(quantile_cont(l_quantity, 0.25) * 10000) AS BIGINT) AS p25q,
           CAST(round(quantile_cont(l_quantity, 0.50) * 10000) AS BIGINT) AS p50q,
           CAST(round(quantile_cont(l_quantity, 0.90) * 10000) AS BIGINT) AS p90q
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // -- q122: robust per-group scaling (median/IQR — the outlier-resistant
+    //    z-score). Group stats from ONE per-group histogram pass broadcast
+    //    back; fact side never shuffles. Output quantized to 1e-6 to absorb
+    //    last-ulp interpolation differences between engines. ------------------
+    Q("q122_robust_scale",
+      (s, dir) => ops.Stats.robustScalePerGroup(
+          T(s, dir, "customer"), "c_mktsegment", "c_custkey", "c_acctbal")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          round(col("robust_z") * 1000000).cast("long").as("zq"))
+        .orderBy("c_custkey"),
+      Some("""
+        WITH s AS (
+          SELECT c_mktsegment,
+            quantile_cont(c_acctbal, 0.5) AS med,
+            quantile_cont(c_acctbal, 0.75) - quantile_cont(c_acctbal, 0.25) AS iqr
+          FROM customer GROUP BY 1)
+        SELECT c.c_mktsegment, c_custkey,
+          CAST(round(CASE WHEN iqr = 0 THEN 0.0
+            ELSE (CAST(c_acctbal AS DOUBLE) - med) / iqr END * 1000000) AS BIGINT) AS zq
+        FROM customer c JOIN s USING (c_mktsegment)
+        ORDER BY c_custkey"""))
   )
 
   /** Framework semantics (SURVEY §2.A): record versioning, memoization,

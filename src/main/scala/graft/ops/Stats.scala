@@ -205,6 +205,25 @@ object Stats {
           .otherwise((col("__c").cast("double") - mean) / sqrt(varPop)).as("z"))
   }
 
+  /** Robust per-group scaling: (value − group median) / group IQR — the
+    * outlier-resistant counterpart of [[zscorePerGroup]] (mean/stddev move
+    * with every outlier; median/IQR don't). Group stats come from ONE
+    * [[groupedHistogramPercentiles]] pass (bins-only exchanges) and
+    * broadcast back; the fact side never shuffles. Degenerate groups
+    * (IQR = 0) get 0, NULL values stay NULL. */
+  def robustScalePerGroup(df: DataFrame, keyCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val stats = groupedHistogramPercentiles(df, keyCol, valueCol, Seq(0.25, 0.5, 0.75))
+      .select(col(keyCol), col("p50").as("__med"),
+        (col("p75") - col("p25")).as("__iqr"))
+    df.join(broadcast(stats), Seq(keyCol))
+      .select(col(keyCol), col(idCol),
+        when(col(valueCol).isNull, lit(null).cast("double"))
+          .when(col("__iqr") === 0d, 0d)
+          .otherwise((col(valueCol).cast("double") - col("__med")) / col("__iqr"))
+          .as("robust_z"))
+  }
+
   /** Approximate heavy hitters of a string column via the Misra–Gries sketch
     * [[graft.expressions.FreqItemsAgg]]: one row per surviving sketch item
     * with its estimate and the total stream length. Memory is `k` counters

@@ -95,6 +95,25 @@ object StreamOps {
       .select(col("latest.*"))
   }
 
+  /** Continuously-updated heavy hitters over an unbounded stream: the
+    * Misra–Gries aggregate [[graft.expressions.FreqItemsAgg]] as a streaming
+    * global aggregation — Structured Streaming keeps the sketch buffer (≤ k
+    * counters + the stream length, a few KB) as the query state and merges
+    * each micro-batch's partials into it, so state size is CONSTANT in
+    * stream length and cardinality where an exact token-count aggregation's
+    * state grows with the vocabulary. The deterministic
+    * `est ≤ true ≤ est + n/(k+1)` bound holds over everything ingested so
+    * far (the merge is order-insensitive). Emit with
+    * `outputMode("complete")`; output is one row: (n_total, items). */
+  def heavyHittersStream(stream: DataFrame, itemCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumn
+    val agg = GraftColumn.of(
+      graft.expressions.FreqItemsAgg(GraftColumn.expr(col(itemCol).cast("string")), k)
+        .toAggregateExpression())
+    stream.groupBy().agg(agg.as("__s"))
+      .select(col("__s.n").as("n_total"), col("__s.items").as("items"))
+  }
+
   /** Streaming exact dedup on a key with a watermark-bounded state window:
     * first occurrence passes, replays within the watermark horizon are
     * dropped (Structured Streaming's dropDuplicates keeps state only for

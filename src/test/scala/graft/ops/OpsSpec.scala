@@ -776,6 +776,20 @@ class WinsorizeSpec extends SparkSpec {
     assert(viaHist == viaExact)
   }
 
+  test("robustScalePerGroup: hand-computed median/IQR; degenerate and NULL edges") {
+    // group a: values 1..5 -> med 3, q1 2, q3 4, iqr 2; group b: constant
+    val df = Seq(
+      (1L, "a", Some(1.0)), (2L, "a", Some(2.0)), (3L, "a", Some(3.0)),
+      (4L, "a", Some(4.0)), (5L, "a", Some(5.0)), (6L, "a", None),
+      (7L, "b", Some(9.0)), (8L, "b", Some(9.0))).toDF("id", "g", "v")
+    val out = graft.ops.Stats.robustScalePerGroup(df, "g", "id", "v")
+      .select("id", "robust_z").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(-1.0) && out(3L).contains(0.0) && out(5L).contains(1.0))
+    assert(out(2L).contains(-0.5) && out(4L).contains(0.5))
+    assert(out(6L).isEmpty, "NULL value must stay NULL")
+    assert(out(7L).contains(0.0) && out(8L).contains(0.0), "zero-IQR group -> 0")
+  }
+
   test("winsorize clips to exact interpolated percentiles; NULLs pass through") {
     // values 0..100 plus an outlier pair; p10/p90 of 0..100 ∪ {-1000, 1000}:
     // n=103, k_lo = 102*0.1 = 10.2 over sorted values

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -30,6 +31,32 @@ class StreamOpsSpec extends SparkSpec {
       (ts("2024-01-01 10:00:00"), 1L, 2L, 3.0),
       (ts("2024-01-01 11:00:00"), 1L, 1L, 4.0),
       (ts("2024-01-01 10:00:00"), 2L, 1L, 8.0)))
+    q.stop()
+  }
+
+  test("heavyHittersStream: sketch state merges across micro-batches; bound holds over the whole stream") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = StreamOps.heavyHittersStream(mem.toDF().toDF("token"), "token", k = 5)
+    val q = out.writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    // batch 1: "hot" dominates; batch 2: "warm" surges + singleton noise —
+    // the guarantee must hold over the UNION, not per batch
+    mem.addData(Seq.fill(60)("hot") ++ (1 to 30).map(i => s"n1_$i"): _*)
+    q.processAllAvailable()
+    mem.addData(Seq.fill(50)("warm") ++ Seq.fill(20)("hot") ++ (1 to 40).map(i => s"n2_$i"): _*)
+    q.processAllAvailable()
+    val row = spark.sql("SELECT n_total, items FROM hh_stream").collect().head
+    val n = row.getLong(0)
+    assert(n == 200, s"stream length $n")
+    val items = row.getSeq[Row](1).map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(items.size <= 5)
+    val exact = Map("hot" -> 80L, "warm" -> 50L)
+    // every item with true count > n/(k+1) = 33.3 must be present, est bounded
+    exact.foreach { case (tok, truth) =>
+      val est = items.getOrElse(tok, fail(s"heavy hitter $tok missing: $items"))
+      assert(est <= truth && truth - est <= n / 6 + 1, s"$tok est $est vs $truth")
+    }
     q.stop()
   }
 
