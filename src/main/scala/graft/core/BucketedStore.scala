@@ -139,7 +139,8 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
   }
 
   private def writeDeltaLog(feature: String, v: Long, schemaJson: String,
-      addRels: Seq[String], removeRels: Seq[String]): Unit = {
+      addRels: Seq[String], removeRels: Seq[String],
+      stats: Map[Int, Map[String, (Double, Double)]] = Map.empty): Unit = {
     val now = System.currentTimeMillis
     val header = if (v == 0L) Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
@@ -148,7 +149,18 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     val adds = addRels.sorted.flatMap(rel => listPartFiles(feature, rel).map {
       case (p, len, mt) =>
         val b = rel.substring(rel.lastIndexOf("__b=") + 4)
-        s"""{"add":{"path":"${jsonEsc(p)}","partitionValues":{"__b":"$b"},"size":$len,"modificationTime":$mt,"dataChange":true}}"""
+        // per-file stats in the open Delta layout (a JSON string inside the
+        // action) from the bucket's tracked min/max — bucket-level ranges are
+        // conservative-correct per file (a reader may scan more, never less);
+        // numRecords is omitted (per-bucket, not per-file, in the sidecar)
+        val statsField = stats.get(b.toInt).filter(_.nonEmpty).map { cols =>
+          val mins = cols.toSeq.sortBy(_._1)
+            .map { case (c, (mn, _)) => s""""${jsonEsc(c)}":$mn""" }.mkString(",")
+          val maxs = cols.toSeq.sortBy(_._1)
+            .map { case (c, (_, mx)) => s""""${jsonEsc(c)}":$mx""" }.mkString(",")
+          s""","stats":"${jsonEsc(s"""{"minValues":{$mins},"maxValues":{$maxs}}""")}""""
+        }.getOrElse("")
+        s"""{"add":{"path":"${jsonEsc(p)}","partitionValues":{"__b":"$b"},"size":$len,"modificationTime":$mt,"dataChange":true$statsField}}"""
     })
     val removes = removeRels.sorted.flatMap(rel => listPartFiles(feature, rel).map {
       case (p, _, _) =>
@@ -170,13 +182,14 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
       .partitionBy("__b").parquet(s"$root/$feature/files_v$v")
     val buckets = bucketed.select("__b").distinct().collect().map(_.getInt(0))
     writeManifest(feature, v, buckets.map(b => b -> s"files_v$v/__b=$b").toMap)
-    writeStats(feature, v, computeStats(bucketed, statsCols))
+    val st = computeStats(bucketed, statsCols)
+    writeStats(feature, v, st)
     // a full write REPLACES the table: previous version's files are removed
     // from the Delta view (they stay on disk for native time travel)
     val prevFiles =
       if (v == 0L) Seq.empty else readManifest(feature, v - 1).values.toSeq
     writeDeltaLog(feature, v, bucketed.schema.json,
-      buckets.map(b => s"files_v$v/__b=$b").toSeq, prevFiles)
+      buckets.map(b => s"files_v$v/__b=$b").toSeq, prevFiles, st)
     v
   }
 
@@ -258,13 +271,14 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
       .partitionBy("__b").parquet(s"$root/$feature/files_v$v")
     val buckets = bucketed.select("__b").distinct().collect().map(_.getInt(0))
     writeManifest(feature, v, buckets.map(b => b -> s"files_v$v/__b=$b").toMap)
-    writeStats(feature, v, computeStats(bucketed, (clusterCols ++ statsCols).distinct))
+    val st = computeStats(bucketed, (clusterCols ++ statsCols).distinct)
+    writeStats(feature, v, st)
     val lay = fs.create(layoutFile(feature, v), true)
     lay.write(clusterCols.mkString("\t").getBytes(StandardCharsets.UTF_8)); lay.close()
     val prevFiles =
       if (v == 0L) Seq.empty else readManifest(feature, v - 1).values.toSeq
     writeDeltaLog(feature, v, bucketed.schema.json,
-      buckets.map(b => s"files_v$v/__b=$b").toSeq, prevFiles)
+      buckets.map(b => s"files_v$v/__b=$b").toSeq, prevFiles, st)
     v
   }
 
@@ -319,15 +333,19 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     // version tracked — one narrow agg over only the rewritten slice
     val prevStats = readStats(feature, prev)
     val trackedCols = prevStats.values.flatMap(_.keys).toSeq.distinct
-    if (trackedCols.nonEmpty) {
-      val recomputed = computeStats(merged, trackedCols.filter(merged.columns.contains))
-      writeStats(feature, v, (prevStats -- touched) ++ recomputed)
-    }
+    val mergedStats =
+      if (trackedCols.isEmpty) Map.empty[Int, Map[String, (Double, Double)]]
+      else {
+        val recomputed = computeStats(merged, trackedCols.filter(merged.columns.contains))
+        val st = (prevStats -- touched) ++ recomputed
+        writeStats(feature, v, st)
+        st
+      }
     // Delta view of the merge: rewritten buckets' new files are added, the
     // replaced files removed; untouched buckets carry implicitly
     writeDeltaLog(feature, v, merged.schema.json,
       newBuckets.map(b => s"files_v$v/__b=$b").toSeq,
-      manifest.filter(t => touched(t._1)).values.toSeq)
+      manifest.filter(t => touched(t._1)).values.toSeq, mergedStats)
     v
   }
 

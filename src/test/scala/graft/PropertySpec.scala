@@ -85,6 +85,44 @@ class SparkPropertySpec extends SparkSpec {
     }
   }
 
+  test("histogram percentiles == interpreted percentile() on random multisets and probabilities") {
+    // random duplicate-heavy value lists × random p: the histogram
+    // formulation must track percentile()'s interpolation bit-for-bit
+    val rnd = new scala.util.Random(7)
+    (0 until 8).foreach { trial =>
+      val n = 20 + rnd.nextInt(200)
+      val vals = Seq.fill(n)((rnd.nextInt(15) + 1).toDouble)
+      val p = math.rint(rnd.nextDouble() * 100) / 100.0
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val hist = graft.ops.Stats.histogramPercentile(df, "v", p)
+        .as[Double].head()
+      val exact = df.agg(expr(s"percentile(v, $p)")).as[Double].head()
+      assert(hist == exact, s"trial $trial: p=$p hist=$hist exact=$exact")
+      // winsorize bounds clamp into [min, max] and are monotone in p
+      val w = graft.ops.Stats.winsorize(df, "v", 0.1, 0.9, "w")
+        .select("w").as[Double].collect()
+      assert(w.min >= vals.min && w.max <= vals.max)
+    }
+  }
+
+  test("heavy-hitter sketch: merging any partitioning of a stream keeps the MG bound") {
+    val rnd = new scala.util.Random(11)
+    (0 until 4).foreach { trial =>
+      val stream = Seq.fill(3000)(s"t${(math.pow(rnd.nextDouble(), 3) * 50).toInt}")
+      val exact = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      for (parts <- Seq(1, 7, 32)) {
+        val out = graft.ops.Stats.heavyHitters(
+          stream.toDF("t").repartition(parts), "t", 12)
+          .select("item", "est").as[(String, Long)].collect()
+        out.foreach { case (item, est) =>
+          val truth = exact.getOrElse(item, 0L)
+          assert(est <= truth && truth - est <= 3000 / 13 + 1,
+            s"trial $trial parts=$parts: $item est=$est truth=$truth")
+        }
+      }
+    }
+  }
+
   test("exact dedup is idempotent: dedup of dedup output changes nothing") {
     val docs = Tables.load(spark, sfDir, "documents")
     val d1 = Dedup.exactByContent(docs, "doc_id", Seq("text"))

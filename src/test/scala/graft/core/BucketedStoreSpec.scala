@@ -249,6 +249,29 @@ class BucketedStoreSpec extends SparkSpec {
     assert(dirs.length == expectDirs, s"read ${dirs.toSeq}, wanted $expectDirs")
   }
 
+  test("delta-log add actions carry per-file min/max stats in the open layout") {
+    val store = new BucketedStore(tmpDir("bdstats"), numBuckets = 4)
+    val df = spark.range(100).select(col("id"),
+      (col("id") * 2).cast("double").as("v"))
+    store.write(df, "f", Seq("id"), statsCols = Seq("v"))
+    val adds = scala.io.Source.fromFile(f"${store.root}/f/_delta_log/${0L}%020d.json")
+      .getLines().filter(_.contains(""""add":{""")).toSeq
+    assert(adds.nonEmpty)
+    adds.foreach { a =>
+      // the stats field is a JSON STRING (escaped) per the Delta spec
+      val m = """"stats":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(a)
+        .getOrElse(fail(s"no stats in $a"))
+      val stats = m.group(1).replace("\\\"", "\"")
+      assert(stats.contains(""""minValues":{"v":""") &&
+        stats.contains(""""maxValues":{"v":"""), stats)
+    }
+    // untracked write: adds carry no stats field, log still well-formed
+    store.write(df.select("id"), "g", Seq("id"))
+    val g = scala.io.Source.fromFile(f"${store.root}/g/_delta_log/${0L}%020d.json")
+      .getLines().filter(_.contains(""""add":{""")).toSeq
+    assert(g.nonEmpty && g.forall(!_.contains(""""stats"""")))
+  }
+
   test("delta-log probe: commit JSONs mirror the manifest and replay to the live file set") {
     val store = new BucketedStore(tmpDir("bdelta"), numBuckets = 8)
     val base = (1L to 400L).map(i => (i, s"name$i")).toDF("id", "name")
