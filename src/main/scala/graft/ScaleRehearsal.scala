@@ -90,8 +90,15 @@ object ScaleRehearsal {
           docs, "doc_id", "text", n = 3, numHashes = 12, bands = 4, threshold = 0.2))),
         "q73_ngram_jaccard" -> (() => force(ops.Dedup.ngramJaccardPairs(
           docs, "doc_id", "text", blockCol = "source", n = 3, threshold = 0.2))),
-        "q74_cosine_neardup" -> (() => force(ops.Similarity.cosineNearDupPairs(
-          emb, "vec_id", "embedding", threshold = 0.5, planes = 4))),
+        // planes scale with the corpus (autoPlanes) — the documented LSH
+        // dial; a FIXED plane count grows buckets linearly and the
+        // within-bucket join quadratically (13x wall at 30x rows)
+        "q74_cosine_neardup" -> (() => {
+          val n = emb.count()
+          force(ops.Similarity.cosineNearDupPairs(
+            emb, "vec_id", "embedding", threshold = 0.5,
+            planes = ops.Similarity.autoPlanes(n)))
+        }),
         "q86_neardup_clusters" -> (() => force(ops.Dedup.nearDupClusters(
           ops.Dedup.minhashNearDupPairs(docs, "doc_id", "text",
             n = 3, numHashes = 12, bands = 4, threshold = 0.2)))),

@@ -20,9 +20,11 @@ object Verify {
     // compare of each read side then closes the loop
     SparkEntry.prepareFixtures(spark, sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
+      // NonFatal: one failing query is reported and the dump continues, but
+      // OOM/fatal JVM errors abort — a partial dump after one is misleading
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache()

@@ -233,8 +233,20 @@ object Similarity {
             .cast("int"))): _*).as("codes"))
   }
 
+  /** Plane count that keeps LSH bucket population ~`targetBucket` for an
+    * `n`-vector corpus: 2^planes buckets, so planes must GROW with the
+    * corpus — with planes fixed, bucket population grows linearly and the
+    * within-bucket candidate join quadratically (measured 13x wall at 30x
+    * rows in the ScaleRehearsal vs ~linear once planes scale). More planes
+    * = smaller buckets = stricter blocking (lower recall per pair, like any
+    * LSH precision/recall dial); near-dup thresholds ≥0.5 tolerate it well. */
+  def autoPlanes(n: Long, targetBucket: Int = 1000): Int =
+    math.max(4, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket))
+      / math.log(2.0)).toInt)
+
   /** Embedding-cosine near-duplicate pairs: LSH-blocked, then exact cosine
-    * filter. Same keyed-shuffle shape as [[Dedup.minhashNearDupPairs]]. */
+    * filter. Same keyed-shuffle shape as [[Dedup.minhashNearDupPairs]].
+    * `planes` must scale with corpus size — see [[autoPlanes]]. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, planes: Int = 4, dim: Int = 64): DataFrame = {
     val v = df.select(col(idCol), quantize(col(vecCol), dim).as("__v"))
