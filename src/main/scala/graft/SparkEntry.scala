@@ -1643,6 +1643,42 @@ object SparkEntry {
   private def sqlDotQ(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> ($a)[i] * ($b)[i]))"
 
+  /** Shared oracle for the incremental near-dup pair (q118 scan path, q123
+    * indexed path — both must produce exactly this). */
+  private lazy val sqlIncrementalNeardup: String = {
+    val coeffs = ops.Dedup.hashCoeffs(12)
+    val sig = coeffs.map { case (a, b) =>
+      s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))"
+    }.mkString("[", ", ", "]")
+    val bandKeys = (0 until 4).map(bi =>
+      s"md5(concat_ws(',', sig[${bi * 3 + 1}], sig[${bi * 3 + 2}], sig[${bi * 3 + 3}]))")
+      .mkString("[", ", ", "]")
+    s"""
+        WITH sh AS (
+          SELECT doc_id, ${sqlShingles("text")} AS sh FROM documents),
+        sig AS (
+          SELECT doc_id, sh, $sig AS sig FROM sh),
+        banded AS (
+          SELECT doc_id, sh, unnest($bandKeys) AS band_key,
+                 unnest(range(0, 4)) AS band_id
+          FROM sig),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+          FROM banded c JOIN banded n
+            ON c.band_id = n.band_id AND c.band_key = n.band_key
+          WHERE c.doc_id % 5 < 4 AND n.doc_id % 5 = 4),
+        verified AS (
+          SELECT cd.new_id, cd.corpus_id,
+            CASE WHEN len(list_distinct(n.sh || c.sh)) = 0 THEN 1.0
+                 ELSE CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
+                      / len(list_distinct(n.sh || c.sh)) END AS jaccard
+          FROM cand cd
+          JOIN sh n ON cd.new_id = n.doc_id
+          JOIN sh c ON cd.corpus_id = c.doc_id)
+        SELECT new_id, corpus_id, jaccard FROM verified WHERE jaccard >= 0.2
+        ORDER BY new_id, corpus_id"""
+  }
+
   /** North-star LLM-pipeline ops: dedup (exact / MinHash-LSH / SimHash /
     * n-gram Jaccard / embedding-cosine), similarity search (brute + LSH),
     * text analysis, multimodal plumbing. */
@@ -2445,39 +2481,7 @@ object SparkEntry {
             n = 3, numHashes = 12, bands = 4, threshold = 0.2)
           .orderBy("new_id", "corpus_id")
       },
-      Some {
-        val coeffs = ops.Dedup.hashCoeffs(12)
-        val sig = coeffs.map { case (a, b) =>
-          s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))"
-        }.mkString("[", ", ", "]")
-        val bandKeys = (0 until 4).map(bi =>
-          s"md5(concat_ws(',', sig[${bi * 3 + 1}], sig[${bi * 3 + 2}], sig[${bi * 3 + 3}]))")
-          .mkString("[", ", ", "]")
-        s"""
-        WITH sh AS (
-          SELECT doc_id, ${sqlShingles("text")} AS sh FROM documents),
-        sig AS (
-          SELECT doc_id, sh, $sig AS sig FROM sh),
-        banded AS (
-          SELECT doc_id, sh, unnest($bandKeys) AS band_key,
-                 unnest(range(0, 4)) AS band_id
-          FROM sig),
-        cand AS (
-          SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
-          FROM banded c JOIN banded n
-            ON c.band_id = n.band_id AND c.band_key = n.band_key
-          WHERE c.doc_id % 5 < 4 AND n.doc_id % 5 = 4),
-        verified AS (
-          SELECT cd.new_id, cd.corpus_id,
-            CASE WHEN len(list_distinct(n.sh || c.sh)) = 0 THEN 1.0
-                 ELSE CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
-                      / len(list_distinct(n.sh || c.sh)) END AS jaccard
-          FROM cand cd
-          JOIN sh n ON cd.new_id = n.doc_id
-          JOIN sh c ON cd.corpus_id = c.doc_id)
-        SELECT new_id, corpus_id, jaccard FROM verified WHERE jaccard >= 0.2
-        ORDER BY new_id, corpus_id"""
-      }),
+      Some(sqlIncrementalNeardup)),
 
     // -- q119: bounded-memory heavy hitters (Misra–Gries sketch, k=199).
     //    The sketch content is engine-internal, so the oracle-checkable
@@ -2582,7 +2586,33 @@ object SparkEntry {
           CAST(round(CASE WHEN iqr = 0 THEN 0.0
             ELSE (CAST(c_acctbal AS DOUBLE) - med) / iqr END * 1000000) AS BIGINT) AS zq
         FROM customer c JOIN s USING (c_mktsegment)
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // -- q123: INDEX-ACCELERATED incremental near-dup — same semantics and
+    //    SAME ORACLE as q118, but candidate generation and shingle
+    //    verification read only the LSH-index buckets the batch's band keys
+    //    hash into (BucketedStore.readTouched) — per-batch IO independent of
+    //    corpus size for a fixed batch. The index is built once per fixture
+    //    dir (the q98/q116 pattern); bucket-subset behavior is asserted in
+    //    DedupSpec. --------------------------------------------------------
+    Q("q123_indexed_neardup",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val corpus = docs.where(pmod(col("doc_id"), lit(5)) < 4)
+        val newDocs = docs.where(pmod(col("doc_id"), lit(5)) === 4)
+        val root = s"/tmp/graft_lshidx_${dir.replaceAll("[^0-9.]", "")}"
+        val store = new core.BucketedStore(root, numBuckets = 32)(s)
+        if (store.latestVersion("corpus_bands").isEmpty)
+          ops.Dedup.indexCorpus(
+            ops.Dedup.shingleProfiles(corpus, "doc_id", "text",
+              n = 3, coeffs = ops.Dedup.hashCoeffs(12)),
+            "doc_id", "__sig", "__shingles", store, "corpus",
+            numHashes = 12, bands = 4)
+        ops.Dedup.matchIndexed(newDocs, "doc_id", "text", store, "corpus",
+            n = 3, numHashes = 12, bands = 4, threshold = 0.2)
+          .orderBy("new_id", "corpus_id")
+      },
+      Some(sqlIncrementalNeardup))
   )
 
   /** Framework semantics (SURVEY §2.A): record versioning, memoization,

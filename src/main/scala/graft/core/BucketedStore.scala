@@ -396,6 +396,29 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     else spark.read.parquet(keep.values.map(p => s"$root/$feature/$p").toSeq: _*).where(pred)
   }
 
+  /** SET-pruned read: load only the buckets that the key values present in
+    * `keys` hash into — the batch form of [[lookup]] (one Spark job computes
+    * the distinct bucket ids — ≤ numBuckets ints to the driver — then one
+    * scan of just those files). At 100 TB this is how an incremental
+    * pipeline touches an indexed table: per-batch IO is
+    * |touched buckets| / numBuckets of the table, independent of table
+    * size for a fixed batch. `keys` must have the entity-key columns with
+    * the STORED column types (same frame family the index was built from). */
+  def readTouched(feature: String, entityKeys: Seq[String], keys: DataFrame,
+                  asOfVersion: Option[Long] = None): DataFrame = {
+    val v = asOfVersion.orElse(latestVersion(feature))
+      .getOrElse(throw new IllegalArgumentException(s"feature $feature has no versions"))
+    require(clusteredBy(feature, v).isEmpty,
+      s"feature $feature v$v is Z-order clustered; readTouched needs hash routing")
+    val manifest = readManifest(feature, v)
+    val touched = keys.select(bucketCol(entityKeys).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val paths = manifest.filter(t => touched(t._1)).values
+      .map(p => s"$root/$feature/$p").toSeq
+    if (paths.isEmpty) read(feature, entityKeys, Some(v)).limit(0)
+    else spark.read.parquet(paths: _*)
+  }
+
   /** Point lookup: hash the literal key to its bucket and read ONLY that
     * bucket's file — a serving-side get that touches 1/numBuckets of the
     * table regardless of table size. */

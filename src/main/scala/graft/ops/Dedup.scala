@@ -219,6 +219,61 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Build the PERSISTENT LSH index for [[matchIndexed]]: the corpus
+    * profile's banded signatures land in a [[graft.core.BucketedStore]]
+    * hash-bucketed BY BAND KEY, and the shingle sets in a sibling table
+    * bucketed by document id. A batch then touches only the buckets its own
+    * band keys hash into — per-batch IO is |touched buckets|/numBuckets of
+    * the index, independent of corpus size for a fixed batch (where
+    * [[minhashNewVsCorpus]] must still scan the whole profile every batch).
+    * Rebuild (or [[graft.core.BucketedStore.merge]] new docs' rows in) as
+    * the corpus grows. */
+  def indexCorpus(profile: DataFrame, idCol: String,
+                  sigCol: String, shinglesCol: String,
+                  store: graft.core.BucketedStore, feature: String,
+                  numHashes: Int = 12, bands: Int = 4): Unit = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val banded = explodeBands(
+        profile.select(col(idCol).as("corpus_id"), col(sigCol).as("__sig")),
+        "__sig", bands, numHashes / bands)
+      .select(col("corpus_id"), col("band_id"), col("band_key"))
+    store.write(banded, s"${feature}_bands", Seq("band_key"))
+    store.write(
+      profile.select(col(idCol).as("corpus_id"), col(shinglesCol).as("__shingles")),
+      s"${feature}_profile", Seq("corpus_id"))
+  }
+
+  /** Index-accelerated [[minhashNewVsCorpus]]: candidate generation reads
+    * ONLY the index buckets the batch's band keys hash into
+    * (`readTouched`), and shingle verification reads only the buckets of
+    * the candidate corpus ids — two set-pruned scans instead of two full
+    * ones. Output is identical to [[minhashNewVsCorpus]] over the same
+    * profile (spec-asserted). */
+  def matchIndexed(newDocs: DataFrame, idCol: String, textCol: String,
+                   store: graft.core.BucketedStore, feature: String,
+                   n: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                   threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val newProf = shingleProfiles(newDocs, idCol, textCol, n, hashCoeffs(numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBanded = explodeBands(newProf.select(col(idCol), col("__sig")),
+        "__sig", bands, numHashes / bands)
+      .select(col(idCol).as("new_id"), col("band_id"), col("band_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandsSubset = store.readTouched(s"${feature}_bands", Seq("band_key"),
+      newBanded.select("band_key"))
+    val cand = bandsSubset.join(broadcast(newBanded), Seq("band_id", "band_key"))
+      .select("new_id", "corpus_id").distinct()
+    val profSubset = store.readTouched(s"${feature}_profile", Seq("corpus_id"),
+      cand.select("corpus_id"))
+    cand
+      .join(newProf.select(col(idCol).as("new_id"), col("__shingles").as("__sh_n")), Seq("new_id"))
+      .join(profSubset.select(col("corpus_id"), col("__shingles").as("__sh_c")), Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        jaccardSorted(col("__sh_n"), col("__sh_c")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Ingest filter over [[minhashNewVsCorpus]]: the new-batch rows with NO
     * near-dup in the profiled corpus (anti-join on the match list). */
   def admitNonDup(newDocs: DataFrame, idCol: String, matches: DataFrame): DataFrame =

@@ -144,6 +144,39 @@ class DedupSpec extends SparkSpec {
     assert(admitted == newIds -- inc.map(_._1))
   }
 
+  test("indexed incremental match == scan-based match; batch touches a strict subset of index buckets") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(300)
+    val corpus = docs.where(pmod(col("doc_id"), lit(5)) < 4)
+    val newDocs = docs.where(pmod(col("doc_id"), lit(5)) === 4)
+    val prof = Dedup.shingleProfiles(corpus, "doc_id", "text", 3, Dedup.hashCoeffs(12))
+    val store = new graft.core.BucketedStore(tmpDir("lshidx"), numBuckets = 32)
+    Dedup.indexCorpus(prof, "doc_id", "__sig", "__shingles", store, "corpus")
+
+    val indexed = Dedup.matchIndexed(newDocs, "doc_id", "text",
+        store, "corpus", threshold = 0.2)
+      .select("new_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val scanned = Dedup.minhashNewVsCorpus(newDocs, "doc_id", "text",
+        prof, "doc_id", "__sig", "__shingles", threshold = 0.2)
+      .select("new_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(indexed == scanned, s"indexed $indexed vs scanned $scanned")
+
+    // the pruned band read touches strictly fewer buckets than a full scan
+    // for a single-doc batch (its <= bands band keys hash into <= bands of
+    // the 32 buckets)
+    val one = newDocs.limit(1)
+    val oneProf = Dedup.shingleProfiles(one, "doc_id", "text", 3, Dedup.hashCoeffs(12))
+    val oneBanded = Dedup.explodeBands(oneProf.select(col("doc_id"), col("__sig")),
+      "__sig", 4, 3).select("band_key")
+    val touched = store.readTouched("corpus_bands", Seq("band_key"), oneBanded)
+      .inputFiles.map(_.split("/__b=")(1).split("/")(0)).distinct.length
+    val total = store.read("corpus_bands", Seq("band_key"))
+      .inputFiles.map(_.split("/__b=")(1).split("/")(0)).distinct.length
+    assert(touched <= 4 && touched < total,
+      s"single-doc batch read $touched of $total buckets")
+  }
+
   test("near-dup clustering: transitive closure with min-id representative") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_l", "id_r")
