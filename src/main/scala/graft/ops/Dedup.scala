@@ -226,8 +226,10 @@ object Dedup {
     * band keys hash into — per-batch IO is |touched buckets|/numBuckets of
     * the index, independent of corpus size for a fixed batch (where
     * [[minhashNewVsCorpus]] must still scan the whole profile every batch).
-    * Rebuild (or [[graft.core.BucketedStore.merge]] new docs' rows in) as
-    * the corpus grows. */
+    * REBUILD the index as the corpus grows (accumulate admitted batches,
+    * rebuild on a cadence): `BucketedStore.merge` is NOT an index update —
+    * it upserts BY KEY, and many documents legitimately share a band key,
+    * so merging a batch's band rows would silently replace siblings. */
   def indexCorpus(profile: DataFrame, idCol: String,
                   sigCol: String, shinglesCol: String,
                   store: graft.core.BucketedStore, feature: String,

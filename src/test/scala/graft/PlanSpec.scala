@@ -276,6 +276,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"histogram agg lost its map-side combine:\n$p")
   }
 
+  test("q123: indexed incremental match broadcasts the batch against set-pruned index scans") {
+    // the index contract: the corpus side is plain pruned parquet scans of
+    // the touched buckets, joined map-side against the broadcast batch —
+    // never a corpus-wide shuffle for candidates
+    val df = SparkEntry.queries("q123_indexed_neardup")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"candidate join not broadcast:\n$p")
+  }
+
   test("q100/q79: repetitionStats and fingerprintDf shuffle ONCE (text rides the repartition)") {
     Seq("q100_repetition_stats", "q79_doc_fingerprint").foreach { q =>
       val p = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
