@@ -43,18 +43,21 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
 
   def latestVersion(feature: String): Option[Long] = versions(feature).lastOption
 
-  /** manifest = bucket id -> relative file path */
-  private def readManifest(feature: String, v: Long): Map[Int, String] = {
+  /** manifest = bucket id -> relative file dirs. One dir per bucket after a
+    * full write/merge; [[appendBucketed]] adds dirs (";"-joined in the JSON
+    * — the separator can't occur in the `files_vN/__b=K` paths the store
+    * generates) and [[compactBuckets]] folds them back to one. */
+  private def readManifest(feature: String, v: Long): Map[Int, Seq[String]] = {
     val in = fs.open(new Path(logDir(feature), s"$v.json"))
     val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    // minimal parser for {"<bucket>": "<path>", ...}
+    // minimal parser for {"<bucket>": "<path>[;<path>...]", ...}
     "\"([0-9]+)\"\\s*:\\s*\"([^\"]+)\"".r.findAllMatchIn(json)
-      .map(m => m.group(1).toInt -> m.group(2)).toMap
+      .map(m => m.group(1).toInt -> m.group(2).split(';').toSeq).toMap
   }
 
-  private def writeManifest(feature: String, v: Long, manifest: Map[Int, String]): Unit = {
+  private def writeManifest(feature: String, v: Long, manifest: Map[Int, Seq[String]]): Unit = {
     val json = manifest.toSeq.sortBy(_._1)
-      .map { case (b, p) => s""""$b": "$p"""" }.mkString("{", ", ", "}")
+      .map { case (b, ps) => s""""$b": "${ps.mkString(";")}"""" }.mkString("{", ", ", "}")
     val out = fs.create(new Path(logDir(feature), s"$v.json"), true)
     out.write(json.getBytes(StandardCharsets.UTF_8)); out.close()
   }
@@ -181,13 +184,13 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     bucketed.write.mode(SaveMode.Overwrite)
       .partitionBy("__b").parquet(s"$root/$feature/files_v$v")
     val buckets = bucketed.select("__b").distinct().collect().map(_.getInt(0))
-    writeManifest(feature, v, buckets.map(b => b -> s"files_v$v/__b=$b").toMap)
+    writeManifest(feature, v, buckets.map(b => b -> Seq(s"files_v$v/__b=$b")).toMap)
     val st = computeStats(bucketed, statsCols)
     writeStats(feature, v, st)
     // a full write REPLACES the table: previous version's files are removed
     // from the Delta view (they stay on disk for native time travel)
     val prevFiles =
-      if (v == 0L) Seq.empty else readManifest(feature, v - 1).values.toSeq
+      if (v == 0L) Seq.empty else readManifest(feature, v - 1).values.flatten.toSeq
     writeDeltaLog(feature, v, bucketed.schema.json,
       buckets.map(b => s"files_v$v/__b=$b").toSeq, prevFiles, st)
     v
@@ -270,13 +273,13 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     bucketed.write.mode(SaveMode.Overwrite)
       .partitionBy("__b").parquet(s"$root/$feature/files_v$v")
     val buckets = bucketed.select("__b").distinct().collect().map(_.getInt(0))
-    writeManifest(feature, v, buckets.map(b => b -> s"files_v$v/__b=$b").toMap)
+    writeManifest(feature, v, buckets.map(b => b -> Seq(s"files_v$v/__b=$b")).toMap)
     val st = computeStats(bucketed, (clusterCols ++ statsCols).distinct)
     writeStats(feature, v, st)
     val lay = fs.create(layoutFile(feature, v), true)
     lay.write(clusterCols.mkString("\t").getBytes(StandardCharsets.UTF_8)); lay.close()
     val prevFiles =
-      if (v == 0L) Seq.empty else readManifest(feature, v - 1).values.toSeq
+      if (v == 0L) Seq.empty else readManifest(feature, v - 1).values.flatten.toSeq
     writeDeltaLog(feature, v, bucketed.schema.json,
       buckets.map(b => s"files_v$v/__b=$b").toSeq, prevFiles, st)
     v
@@ -288,7 +291,7 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     val v = asOfVersion.orElse(latestVersion(feature))
       .getOrElse(throw new IllegalArgumentException(s"feature $feature has no versions"))
     val manifest = readManifest(feature, v)
-    val paths = manifest.values.map(p => s"$root/$feature/$p").toSeq
+    val paths = manifest.values.flatten.map(p => s"$root/$feature/$p").toSeq
     spark.read.parquet(paths: _*)
   }
 
@@ -309,7 +312,7 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     val touched = upd.select("__b").distinct().collect().map(_.getInt(0)).toSet
 
     // current rows of ONLY the touched buckets
-    val touchedPaths = manifest.filter(t => touched(t._1)).values
+    val touchedPaths = manifest.filter(t => touched(t._1)).values.flatten
       .map(p => s"$root/$feature/$p").toSeq
     val currentTouched =
       if (touchedPaths.isEmpty) None
@@ -326,7 +329,7 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
       .partitionBy("__b").parquet(s"$root/$feature/files_v$v")
     val newBuckets = merged.select("__b").distinct().collect().map(_.getInt(0))
     val newManifest = (manifest -- touched) ++
-      newBuckets.map(b => b -> s"files_v$v/__b=$b").toMap
+      newBuckets.map(b => b -> Seq(s"files_v$v/__b=$b")).toMap
     writeManifest(feature, v, newManifest)
     // stats: untouched buckets carry forward by reference (their files didn't
     // change); rewritten buckets recompute over the same columns the previous
@@ -345,7 +348,88 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     // replaced files removed; untouched buckets carry implicitly
     writeDeltaLog(feature, v, merged.schema.json,
       newBuckets.map(b => s"files_v$v/__b=$b").toSeq,
-      manifest.filter(t => touched(t._1)).values.toSeq, mergedStats)
+      manifest.filter(t => touched(t._1)).values.flatten.toSeq, mergedStats)
+    v
+  }
+
+  /** O(batch) APPEND: route `rows` to their buckets and ADD the new file
+    * dirs to the touched buckets' manifest entries — no existing file is
+    * read or rewritten (vs [[merge]]'s rewrite of every touched bucket).
+    * The growth path for monotonically-appending tables (event logs, the
+    * LSH dedup index): write cost is O(batch) regardless of table size.
+    * NOT an upsert — duplicate keys accumulate; dedupe downstream or with
+    * [[merge]]. Tracked stats WIDEN with the appended slice (union of
+    * ranges — conservative-correct for pruning). Run [[compactBuckets]] on
+    * a cadence to fold multi-dir buckets back to one. */
+  def appendBucketed(feature: String, rows: DataFrame, entityKeys: Seq[String]): Long = {
+    val prev = latestVersion(feature)
+      .getOrElse(throw new IllegalArgumentException(s"append into empty feature $feature; write() first"))
+    require(clusteredBy(feature, prev).isEmpty,
+      s"feature $feature v$prev is Z-order clustered; append needs hash routing")
+    val manifest = readManifest(feature, prev)
+    val v = prev + 1
+    val bucketed = rows.withColumn("__b", bucketCol(entityKeys))
+    bucketed.write.mode(SaveMode.Overwrite)
+      .partitionBy("__b").parquet(s"$root/$feature/files_v$v")
+    val newBuckets = bucketed.select("__b").distinct().collect().map(_.getInt(0))
+    writeManifest(feature, v, manifest ++ newBuckets.map(b =>
+      b -> (manifest.getOrElse(b, Seq.empty) :+ s"files_v$v/__b=$b")).toMap)
+    val prevStats = readStats(feature, prev)
+    val tracked = prevStats.values.flatMap(_.keys).toSeq.distinct
+    val stats =
+      if (tracked.isEmpty) Map.empty[Int, Map[String, (Double, Double)]]
+      else {
+        val add = computeStats(bucketed, tracked.filter(rows.columns.contains))
+        val widened = (prevStats.keySet ++ add.keySet).map { b =>
+          val pm = prevStats.getOrElse(b, Map.empty[String, (Double, Double)])
+          val am = add.getOrElse(b, Map.empty[String, (Double, Double)])
+          b -> (pm.keySet ++ am.keySet).map { c =>
+            c -> ((pm.get(c), am.get(c)) match {
+              case (Some((l1, h1)), Some((l2, h2))) => (math.min(l1, l2), math.max(h1, h2))
+              case (Some(x), None) => x
+              case (None, x) => x.get
+            })
+          }.toMap
+        }.toMap
+        writeStats(feature, v, widened)
+        widened
+      }
+    // append = pure adds in the Delta view; nothing is removed
+    writeDeltaLog(feature, v, bucketed.schema.json,
+      newBuckets.map(b => s"files_v$v/__b=$b").toSeq, Seq.empty, stats)
+    v
+  }
+
+  /** Fold every multi-dir bucket (accumulated by [[appendBucketed]]) back
+    * to one file dir — the OPTIMIZE/compaction half of the append cycle.
+    * Reads ONLY the multi-dir buckets; single-dir buckets carry by
+    * reference. No-op (returns the current version) when nothing needs
+    * compacting. Old dirs stay on disk for time travel until [[vacuum]]. */
+  def compactBuckets(feature: String, entityKeys: Seq[String]): Long = {
+    val prev = latestVersion(feature)
+      .getOrElse(throw new IllegalArgumentException(s"feature $feature has no versions"))
+    require(clusteredBy(feature, prev).isEmpty,
+      s"feature $feature v$prev is Z-order clustered; compact needs hash routing")
+    val manifest = readManifest(feature, prev)
+    val multi = manifest.filter(_._2.size > 1)
+    if (multi.isEmpty) return prev
+    val v = prev + 1
+    // reading bucket dirs directly drops the __b partition column, so the
+    // routing column is re-derived with the identical hash
+    val rows = spark.read.parquet(
+      multi.values.flatten.map(p => s"$root/$feature/$p").toSeq: _*)
+    val bucketed = rows.withColumn("__b", bucketCol(entityKeys))
+    bucketed.write.mode(SaveMode.Overwrite)
+      .partitionBy("__b").parquet(s"$root/$feature/files_v$v")
+    val rewritten = bucketed.select("__b").distinct().collect().map(_.getInt(0))
+    writeManifest(feature, v, manifest ++ rewritten.map(b =>
+      b -> Seq(s"files_v$v/__b=$b")).toMap)
+    // ranges are unchanged by compaction: carry the stats sidecar forward
+    val prevStats = readStats(feature, prev)
+    writeStats(feature, v, prevStats)
+    writeDeltaLog(feature, v, bucketed.schema.json,
+      rewritten.map(b => s"files_v$v/__b=$b").toSeq,
+      multi.values.flatten.toSeq, prevStats)
     v
   }
 
@@ -393,7 +477,7 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     val pred = ranges.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
     if (keep.isEmpty) read(feature, entityKeys, Some(v)).where(pred).limit(0)
-    else spark.read.parquet(keep.values.map(p => s"$root/$feature/$p").toSeq: _*).where(pred)
+    else spark.read.parquet(keep.values.flatten.map(p => s"$root/$feature/$p").toSeq: _*).where(pred)
   }
 
   /** SET-pruned read: load only the buckets that the key values present in
@@ -413,7 +497,7 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     val manifest = readManifest(feature, v)
     val touched = keys.select(bucketCol(entityKeys).as("__b"))
       .distinct().collect().map(_.getInt(0)).toSet
-    val paths = manifest.filter(t => touched(t._1)).values
+    val paths = manifest.filter(t => touched(t._1)).values.flatten
       .map(p => s"$root/$feature/$p").toSeq
     if (paths.isEmpty) read(feature, entityKeys, Some(v)).limit(0)
     else spark.read.parquet(paths: _*)
@@ -443,8 +527,8 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     val b = bucketOf(keyValues, types)
     manifest.get(b) match {
       case None => read(feature, entityKeys, Some(v)).limit(0)
-      case Some(p) =>
-        val df = spark.read.parquet(s"$root/$feature/$p")
+      case Some(ps) =>
+        val df = spark.read.parquet(ps.map(p => s"$root/$feature/$p"): _*)
         entityKeys.zip(keyValues).foldLeft(df) { case (d, (k, kv)) =>
           d.filter(col(k) === lit(kv).cast(schema(k).dataType)) }
     }
@@ -455,9 +539,9 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
   private val schemaCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), org.apache.spark.sql.types.StructType]
   private def keySchema(feature: String, v: Long,
-      manifest: Map[Int, String]): org.apache.spark.sql.types.StructType =
+      manifest: Map[Int, Seq[String]]): org.apache.spark.sql.types.StructType =
     schemaCache.getOrElseUpdate((feature, v),
-      spark.read.parquet(s"$root/$feature/${manifest.values.head}").schema)
+      spark.read.parquet(s"$root/$feature/${manifest.values.head.head}").schema)
 
   /** Driver-side twin of [[bucketCol]]: evaluate pmod(xxhash64(keys), n) on
     * literal values with the catalyst expressions themselves — no Spark job.
@@ -501,7 +585,7 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     val vs = versions(feature)
     if (vs.size <= keepVersions) return Seq.empty
     val live: Set[String] = vs.takeRight(keepVersions)
-      .flatMap(v => readManifest(feature, v).values).toSet
+      .flatMap(v => readManifest(feature, v).values.flatten).toSet
     val featureDir = new Path(s"$root/$feature")
     // candidate bucket dirs live under files_v*/__b=*; a dir is reclaimable
     // iff NO retained manifest references it

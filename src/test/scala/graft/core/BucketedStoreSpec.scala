@@ -249,6 +249,45 @@ class BucketedStoreSpec extends SparkSpec {
     assert(dirs.length == expectDirs, s"read ${dirs.toSeq}, wanted $expectDirs")
   }
 
+  test("appendBucketed + compactBuckets: O(batch) growth, widened stats, fold-back, vacuum") {
+    val store = new BucketedStore(tmpDir("bappend"), numBuckets = 8)
+    val base = spark.range(800).select(col("id"), (col("id") % 100).cast("double").as("v"))
+    store.write(base, "t", Seq("id"), statsCols = Seq("v"))
+
+    // append a small batch with an OUT-OF-RANGE stats value
+    val batch = Seq((9001L, 5000.0), (9002L, 5001.0)).toDF("id", "v")
+    store.appendBucketed("t", batch, Seq("id"))
+    // content: union, no rewrite of untouched buckets (their v0 dirs remain
+    // the only entry)
+    assert(store.read("t", Seq("id")).count() == 802)
+    val m1 = scala.io.Source.fromFile(s"${store.root}/t/_graft_log/1.json").mkString
+    val entries = "\"([0-9]+)\": \"([^\"]+)\"".r.findAllMatchIn(m1)
+      .map(m => m.group(1).toInt -> m.group(2).split(';').toSeq).toMap
+    assert(entries.values.count(_.size > 1) <= 2, s"more buckets touched than batch rows: $entries")
+    assert(entries.values.count(_.size > 1) >= 1)
+    assert(entries.values.flatten.count(_.startsWith("files_v0/")) == 8,
+      "append must keep every v0 dir referenced")
+    // lookup sees appended rows through the multi-dir bucket
+    assert(store.lookup("t", Seq("id"), Seq(9001L)).select("v").as[Double]
+      .collect().toSeq == Seq(5000.0))
+    // stats widened: the 5000-range scan finds the appended rows
+    val hit = store.scanPruned("t", Seq("id"), "v", 4999.0, 5002.0)
+    assert(hit.select("id").as[Long].collect().toSet == Set(9001L, 9002L))
+
+    // compact folds multi-dir buckets back to one; content and stats survive
+    val vC = store.compactBuckets("t", Seq("id"))
+    val mC = scala.io.Source.fromFile(s"${store.root}/t/_graft_log/$vC.json").mkString
+    assert(!mC.contains(";"), s"compacted manifest still multi-dir: $mC")
+    assert(store.read("t", Seq("id")).count() == 802)
+    assert(store.scanPruned("t", Seq("id"), "v", 4999.0, 5002.0)
+      .select("id").as[Long].collect().toSet == Set(9001L, 9002L))
+    // idempotent no-op when nothing is multi-dir
+    assert(store.compactBuckets("t", Seq("id")) == vC)
+    // vacuum keeps the compacted layout readable
+    store.vacuum("t", keepVersions = 1)
+    assert(store.read("t", Seq("id")).count() == 802)
+  }
+
   test("delta-log add actions carry per-file min/max stats in the open layout") {
     val store = new BucketedStore(tmpDir("bdstats"), numBuckets = 4)
     val df = spark.range(100).select(col("id"),
