@@ -226,10 +226,10 @@ object Dedup {
     * band keys hash into — per-batch IO is |touched buckets|/numBuckets of
     * the index, independent of corpus size for a fixed batch (where
     * [[minhashNewVsCorpus]] must still scan the whole profile every batch).
-    * REBUILD the index as the corpus grows (accumulate admitted batches,
-    * rebuild on a cadence): `BucketedStore.merge` is NOT an index update —
-    * it upserts BY KEY, and many documents legitimately share a band key,
-    * so merging a batch's band rows would silently replace siblings. */
+    * Grow the index with [[appendToIndex]] (O(batch) dir-appends; NEVER
+    * `BucketedStore.merge`, which upserts by key — many documents share a
+    * band key, so merging band rows would silently replace siblings), and
+    * run `store.compactBuckets` on a cadence. */
   def indexCorpus(profile: DataFrame, idCol: String,
                   sigCol: String, shinglesCol: String,
                   store: graft.core.BucketedStore, feature: String,
@@ -243,6 +243,28 @@ object Dedup {
     store.write(
       profile.select(col(idCol).as("corpus_id"), col(shinglesCol).as("__shingles")),
       s"${feature}_profile", Seq("corpus_id"))
+  }
+
+  /** Incrementally grow an LSH index built by [[indexCorpus]] with a batch
+    * of newly admitted documents' profiles: their banded signatures and
+    * shingle sets APPEND to the index tables (`appendBucketed` — O(batch)
+    * new-dir adds, no existing index file read or rewritten). With this,
+    * the full online loop is: [[matchIndexed]] the batch → admit novel docs
+    * → appendToIndex their profiles — every step independent of corpus
+    * size. Compact on a cadence via `store.compactBuckets`. */
+  def appendToIndex(newProfile: DataFrame, idCol: String,
+                    sigCol: String, shinglesCol: String,
+                    store: graft.core.BucketedStore, feature: String,
+                    numHashes: Int = 12, bands: Int = 4): Unit = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val banded = explodeBands(
+        newProfile.select(col(idCol).as("corpus_id"), col(sigCol).as("__sig")),
+        "__sig", bands, numHashes / bands)
+      .select(col("corpus_id"), col("band_id"), col("band_key"))
+    store.appendBucketed(s"${feature}_bands", banded, Seq("band_key"))
+    store.appendBucketed(s"${feature}_profile",
+      newProfile.select(col(idCol).as("corpus_id"), col(shinglesCol).as("__shingles")),
+      Seq("corpus_id"))
   }
 
   /** Index-accelerated [[minhashNewVsCorpus]]: candidate generation reads

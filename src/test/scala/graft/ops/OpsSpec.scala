@@ -177,6 +177,34 @@ class DedupSpec extends SparkSpec {
       s"single-doc batch read $touched of $total buckets")
   }
 
+  test("appendToIndex: incrementally grown index == index rebuilt from the full corpus") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(300)
+    val part1 = docs.where(pmod(col("doc_id"), lit(5)) < 2)
+    val part2 = docs.where(pmod(col("doc_id"), lit(5)).isin(2, 3))
+    val newDocs = docs.where(pmod(col("doc_id"), lit(5)) === 4)
+    def profOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.shingleProfiles(df, "doc_id", "text", 3, Dedup.hashCoeffs(12))
+
+    // grown: index part1, then append part2's profiles
+    val grown = new graft.core.BucketedStore(tmpDir("idxgrow"), numBuckets = 32)
+    Dedup.indexCorpus(profOf(part1), "doc_id", "__sig", "__shingles", grown, "c")
+    Dedup.appendToIndex(profOf(part2), "doc_id", "__sig", "__shingles", grown, "c")
+    // rebuilt: one index over the union
+    val rebuilt = new graft.core.BucketedStore(tmpDir("idxfull"), numBuckets = 32)
+    Dedup.indexCorpus(profOf(part1.unionByName(part2)), "doc_id", "__sig", "__shingles",
+      rebuilt, "c")
+
+    def matches(store: graft.core.BucketedStore) =
+      Dedup.matchIndexed(newDocs, "doc_id", "text", store, "c", threshold = 0.2)
+        .select("new_id", "corpus_id", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    assert(matches(grown) == matches(rebuilt))
+    // compaction keeps the grown index's answers identical
+    grown.compactBuckets("c_bands", Seq("band_key"))
+    grown.compactBuckets("c_profile", Seq("corpus_id"))
+    assert(matches(grown) == matches(rebuilt))
+  }
+
   test("near-dup clustering: transitive closure with min-id representative") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_l", "id_r")
