@@ -110,6 +110,58 @@ object Fastlane {
       .start()
   }
 
+  /** INDEX-BACKED [[ingestDeduped]]: the same near-dup-gated ingest loop,
+    * but matching and growth run against the persistent LSH index instead
+    * of a full profile scan — per batch: self-dedup, [[graft.ops.Dedup
+    * .matchIndexed]] (two set-pruned bucket reads), admit novel docs to
+    * `corpusDir`, [[graft.ops.Dedup.appendToIndex]] their profiles
+    * (O(batch) dir-appends). EVERY step is independent of corpus size —
+    * the shape that survives an unbounded stream over a 100 TB corpus.
+    * The first batch bootstraps the index. Compact on a cadence from the
+    * batch lane: `store.compactBuckets(s"${feature}_bands", Seq("band_key"))`
+    * and `..._profile` by `corpus_id`. */
+  def ingestDedupedIndexed(
+      stream: DataFrame,
+      idCol: String, textCol: String,
+      store: graft.core.BucketedStore, feature: String,
+      corpusDir: String, checkpointDir: String,
+      n: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5,
+      trigger: Trigger = Trigger.AvailableNow())
+      (implicit spark: SparkSession): StreamingQuery = {
+    import graft.ops.Dedup
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val selfDeduped = Dedup.dedupCorpusNear(
+              batch.select(col(idCol), col(textCol)),
+              idCol, textCol, n, numHashes, bands, threshold)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val admitted =
+            if (store.latestVersion(s"${feature}_bands").isEmpty) selfDeduped
+            else {
+              val matches = Dedup.matchIndexed(selfDeduped, idCol, textCol,
+                store, feature, n, numHashes, bands, threshold)
+              Dedup.admitNonDup(selfDeduped, idCol, matches)
+            }
+          admitted.write.mode("append").parquet(corpusDir)
+          val prof = Dedup.shingleProfiles(admitted, idCol, textCol, n,
+            Dedup.hashCoeffs(numHashes))
+          if (store.latestVersion(s"${feature}_bands").isEmpty)
+            Dedup.indexCorpus(prof, idCol, "__sig", "__shingles",
+              store, feature, numHashes, bands)
+          else
+            Dedup.appendToIndex(prof, idCol, "__sig", "__shingles",
+              store, feature, numHashes, bands)
+          selfDeduped.unpersist()
+          ()
+        }
+      }
+      .start()
+  }
+
   /** High-frequency serving: O(batch) delta append per micro-batch instead of
     * the O(table) copy-on-write MERGE — the write cost no longer grows with
     * table size. Read the serving state with

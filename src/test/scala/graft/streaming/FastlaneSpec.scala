@@ -74,6 +74,37 @@ class FastlaneSpec extends SparkSpec {
     assert(profIds == after2)
   }
 
+  test("ingestDedupedIndexed: index-backed gate matches the scan-backed gate across batches") {
+    val corpusDir = tmpDir("ingx_corpus") + "/c"
+    val srcDir = tmpDir("ingx_src")
+    val store = new graft.core.BucketedStore(tmpDir("ingx_idx"), numBuckets = 16)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val other = "one two three four five six seven eight nine ten eleven twelve"
+
+    Seq((1L, base), (2L, other), (3L, base + " nu"))
+      .toDF("doc_id", "text").write.mode("overwrite").json(s"$srcDir/b1")
+    val ckpt = tmpDir("ingx_ckpt")
+    Fastlane.ingestDedupedIndexed(
+      spark.readStream.schema("doc_id LONG, text STRING").json(s"$srcDir/*"),
+      "doc_id", "text", store, "corpus", corpusDir, ckpt, threshold = 0.5)
+      .awaitTermination(60000)
+    assert(spark.read.parquet(corpusDir).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L))
+
+    Seq((4L, base + " xi"), (5L, "completely different words about spark engines at scale here"))
+      .toDF("doc_id", "text").write.mode("overwrite").json(s"$srcDir/b2")
+    Fastlane.ingestDedupedIndexed(
+      spark.readStream.schema("doc_id LONG, text STRING").json(s"$srcDir/*"),
+      "doc_id", "text", store, "corpus", corpusDir, ckpt, threshold = 0.5)
+      .awaitTermination(60000)
+    assert(spark.read.parquet(corpusDir).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L, 5L), "cross-batch near-dup must be rejected via the index")
+    // the index grew with the admitted history (bands table holds 3 docs)
+    val indexed = store.read("corpus_bands", Seq("band_key"))
+      .select("corpus_id").distinct().as[Long].collect().toSet
+    assert(indexed == Set(1L, 2L, 5L))
+  }
+
   test("same transform in batch and fastlane produces identical results") {
     val rootA = tmpDir("modeA"); val rootB = tmpDir("modeB")
     val storeA = new FeatureStore(rootA); val storeB = new FeatureStore(rootB)
