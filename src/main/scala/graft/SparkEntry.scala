@@ -2612,7 +2612,33 @@ object SparkEntry {
             n = 3, numHashes = 12, bands = 4, threshold = 0.2)
           .orderBy("new_id", "corpus_id")
       },
-      Some(sqlIncrementalNeardup))
+      Some(sqlIncrementalNeardup)),
+
+    // -- q124: O(batch) append + compaction cycle under the oracle — the
+    //    store ingests orders in two slices (full write, then appendBucketed
+    //    of the rest), compacts the multi-dir buckets, and a stats-pruned
+    //    range scan over the result must equal a plain filter over the whole
+    //    table (append widened the ranges; compaction preserved them). ------
+    Q("q124_append_compact_scan",
+      (s, dir) => {
+        val root = s"/tmp/graft_bappend_${dir.replaceAll("[^0-9.]", "")}"
+        val store = new core.BucketedStore(root, numBuckets = 16)(s)
+        val orders = T(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        if (store.latestVersion("orders_app").isEmpty) {
+          store.write(orders.where(col("o_orderkey") % 3 =!= 0),
+            "orders_app", Seq("o_orderkey"), statsCols = Seq("o_totalprice"))
+          store.appendBucketed("orders_app",
+            orders.where(col("o_orderkey") % 3 === 0), Seq("o_orderkey"))
+          store.compactBuckets("orders_app", Seq("o_orderkey"))
+        }
+        store.scanPruned("orders_app", Seq("o_orderkey"), "o_totalprice", 1000.0, 60000.0)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_totalprice BETWEEN 1000.0 AND 60000.0
+        ORDER BY o_orderkey"""))
   )
 
   /** Framework semantics (SURVEY §2.A): record versioning, memoization,
