@@ -37,8 +37,11 @@ object ScaleRehearsal {
 
     val docs0 = Tables.load(spark, baseDir, "documents")
     val emb0 = Tables.load(spark, baseDir, "embeddings")
+    val li0 = Tables.load(spark, baseDir, "lineitem")
+    val ord0 = Tables.load(spark, baseDir, "orders")
     val nDocs = docs0.count()
     val nVecs = emb0.count()
+    val nOrd = ord0.count()
 
     def scaledDocs(k: Int): DataFrame =
       (0 until k).map { i =>
@@ -58,12 +61,28 @@ object ScaleRehearsal {
             slice(col("embedding"), 1, i)).as("embedding"))
       }.reduce(_ unionByName _)
 
+    // relational fact/dim replicas: order keys shift per replica so the
+    // join fan-out and group cardinalities scale linearly with k
+    def scaledFacts(k: Int): (DataFrame, DataFrame) = (
+      (0 until k).map { i =>
+        if (i == 0) li0 else li0.withColumn("l_orderkey",
+          col("l_orderkey") + lit(i * 10L * nOrd))
+      }.reduce(_ unionByName _),
+      (0 until k).map { i =>
+        if (i == 0) ord0 else ord0
+          .withColumn("o_orderkey", col("o_orderkey") + lit(i * 10L * nOrd))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * 1000000L))
+      }.reduce(_ unionByName _))
+
     // materialize each scale as parquet so every op pays a realistic scan,
     // not an in-memory union recompute
     def prep(k: Int): String = {
       val dir = s"/tmp/graft_scale_$k"
       scaledDocs(k).write.mode("overwrite").parquet(s"$dir/documents")
       scaledEmb(k).write.mode("overwrite").parquet(s"$dir/embeddings")
+      val (li, ord) = scaledFacts(k)
+      li.write.mode("overwrite").parquet(s"$dir/lineitem")
+      ord.write.mode("overwrite").parquet(s"$dir/orders")
       // the incremental-dedup rehearsal matches a FIXED batch against the
       // stored profile of everything else — the profile is precomputed here
       // (production keeps it on disk; per-batch cost must not re-pay it)
@@ -83,9 +102,25 @@ object ScaleRehearsal {
     def run(dir: String): Map[String, Double] = {
       val docs = spark.read.parquet(s"$dir/documents")
       val emb = spark.read.parquet(s"$dir/embeddings")
+      val li = spark.read.parquet(s"$dir/lineitem")
+      val ord = spark.read.parquet(s"$dir/orders")
       def force(df: DataFrame): Unit =
         df.write.format("noop").mode("overwrite").save()
       Seq(
+        // relational core: the q01 aggregation and q03-shaped fact-fact
+        // join + rollup (partial aggs below the join, locked in PlanSpec)
+        "q01_scan_agg" -> (() => force(li
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qc"),
+            sum(round(col("l_extendedprice") * 100).cast("long")).as("pc"),
+            count(lit(1)).as("n")))),
+        "q03_join_agg" -> (() => force(li
+          .groupBy("l_orderkey").agg(
+            sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
+          .join(ord.select("o_orderkey", "o_custkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_custkey")
+          .agg(sum("rev").as("rev"), max("o_orderdate").as("last")))),
         "q71_minhash_lsh" -> (() => force(ops.Dedup.minhashNearDupPairs(
           docs, "doc_id", "text", n = 3, numHashes = 12, bands = 4, threshold = 0.2))),
         "q73_ngram_jaccard" -> (() => force(ops.Dedup.ngramJaccardPairs(
