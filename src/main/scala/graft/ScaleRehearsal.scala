@@ -154,6 +154,11 @@ object ScaleRehearsal {
           "token", k = 199)))
       ).map { case (name, thunk) =>
         thunk() // warmup (codegen + plan); measured run follows
+        // drop the warmup's persisted intermediates BEFORE timing: ops
+        // persist profile frames, and the measured run's plan-identical
+        // frames would silently substitute the warmup's InMemoryRelation —
+        // timing a cache read instead of the claimed realistic scan
+        spark.catalog.clearCache()
         val t = sec(thunk())
         println(s"""{"op":"$name","dir":"$dir","sec":${"%.3f".formatLocal(java.util.Locale.ROOT, t)}}""")
         name -> t

@@ -597,11 +597,14 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
       }
       .filterNot(live)
     dead.foreach(rel => fs.delete(new Path(s"$root/$feature/$rel"), true))
-    // drop now-empty files_vN roots so the layout stays listable at scale
+    // drop files_vN roots with no remaining bucket DIRS so the layout stays
+    // listable at scale (Spark leaves a _SUCCESS marker in every root, so an
+    // emptiness check would never fire — the marker goes with the root)
     fs.listStatus(featureDir).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("files_v"))
       .foreach { vdir =>
-        if (fs.listStatus(vdir.getPath).isEmpty) fs.delete(vdir.getPath, false) }
+        if (!fs.listStatus(vdir.getPath).exists(_.isDirectory))
+          fs.delete(vdir.getPath, true) }
     dead
   }
 

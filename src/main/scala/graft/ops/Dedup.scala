@@ -286,8 +286,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandsSubset = store.readTouched(s"${feature}_bands", Seq("band_key"),
       newBanded.select("band_key"))
+    // persisted: readTouched's bucket-id collect is an action and the verify
+    // join reads cand again — without this the pruned index scan + candidate
+    // join would execute twice per call
     val cand = bandsSubset.join(broadcast(newBanded), Seq("band_id", "band_key"))
       .select("new_id", "corpus_id").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val profSubset = store.readTouched(s"${feature}_profile", Seq("corpus_id"),
       cand.select("corpus_id"))
     cand

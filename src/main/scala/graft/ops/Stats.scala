@@ -56,6 +56,7 @@ object Stats {
     * percentile_approx.
     */
   def histogramPercentile(df: DataFrame, valueCol: String, p: Double): DataFrame = {
+    require(p >= 0 && p <= 1, s"p must be in [0,1], got $p")
     val cw = Window.orderBy("__q")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fw = Window.orderBy("__q")
@@ -216,7 +217,12 @@ object Stats {
     val stats = groupedHistogramPercentiles(df, keyCol, valueCol, Seq(0.25, 0.5, 0.75))
       .select(col(keyCol), col("p50").as("__med"),
         (col("p75") - col("p25")).as("__iqr"))
-    df.join(broadcast(stats), Seq(keyCol))
+    // LEFT join: a group whose values are entirely NULL has no histogram
+    // rows and thus no stats row — an inner join would silently DROP its
+    // rows; with the left join they survive with z = NULL (the natural
+    // null-propagation of the arithmetic, matching SQL semantics where the
+    // group's quantiles are NULL)
+    df.join(broadcast(stats), Seq(keyCol), "left")
       .select(col(keyCol), col(idCol),
         when(col(valueCol).isNull, lit(null).cast("double"))
           .when(col("__iqr") === 0d, 0d)
@@ -233,13 +239,18 @@ object Stats {
     * `est <= true <= est + n_total/(k+1)` means every item with true count
     * above `n_total/(k+1)` is present. Buffers merge soundly under Spark's
     * partial aggregation (any partitioning / merge order). */
-  def heavyHitters(df: DataFrame, itemCol: String, k: Int): DataFrame = {
+  /** The Misra–Gries aggregate as a Column — shared by [[heavyHitters]] and
+    * the streaming form (`StreamOps.heavyHittersStream`) so the two paths
+    * can never diverge in how the sketch is constructed. */
+  private[graft] def freqItemsAgg(itemCol: String, k: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.GraftColumn
-    val agg = GraftColumn.of(
+    GraftColumn.of(
       graft.expressions.FreqItemsAgg(GraftColumn.expr(col(itemCol).cast("string")), k)
         .toAggregateExpression())
-    df.groupBy().agg(agg.as("__s"))
+  }
+
+  def heavyHitters(df: DataFrame, itemCol: String, k: Int): DataFrame =
+    df.groupBy().agg(freqItemsAgg(itemCol, k).as("__s"))
       .select(col("__s.n").as("n_total"), explode(col("__s.items")).as("__e"))
       .select(col("__e.item").as("item"), col("__e.est").as("est"), col("n_total"))
-  }
 }

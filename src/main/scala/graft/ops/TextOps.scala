@@ -54,12 +54,16 @@ object TextOps {
   def lexiconHits(df: DataFrame, idCol: String, textCol: String,
                   lexicon: Seq[String], outCol: String = "lexicon_hits"): DataFrame = {
     import df.sparkSession.implicits._
-    val lexDf = lexicon.distinct.toDF("__w")
+    // multiplicity-preserving: multisetHits counts a word listed twice in
+    // the lexicon once PER LISTING (one array_remove term each), so the
+    // join side must weight each word by its listing count, not dedupe it
+    val lexDf = lexicon.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.toDF("__w", "__mult")
     val counts = df
       .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("__t"))
       .join(broadcast(lexDf), col("__t") === col("__w"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as(outCol))
+      .agg(sum(col("__mult")).as(outCol))
     df.join(counts, Seq(idCol), "left")
       .withColumn(outCol, coalesce(col(outCol), lit(0L)))
   }

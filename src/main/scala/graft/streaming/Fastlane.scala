@@ -99,11 +99,19 @@ object Fastlane {
                 prof, idCol, "__sig", "__shingles", n, numHashes, bands, threshold)
               Dedup.admitNonDup(selfDeduped, idCol, matches)
             }
-          // (3) + (4) append the novel docs and their profiles
-          admitted.write.mode("append").parquet(corpusDir)
-          Dedup.shingleProfiles(admitted, idCol, textCol, n, Dedup.hashCoeffs(numHashes))
+          // (3) + (4) append the novel docs and their profiles. `admitted` is
+          // persisted so the match pipeline runs once, not once per write.
+          val adm = admitted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          adm.write.mode("append").parquet(corpusDir)
+          Dedup.shingleProfiles(adm, idCol, textCol, n, Dedup.hashCoeffs(numHashes))
             .write.mode("append").parquet(profileDir)
-          selfDeduped.unpersist()
+          // the dedup operators persist internal frames (profiles, bands)
+          // that this caller cannot reach; a long-lived ingest query must
+          // not accumulate a batch's worth of dead cache entries forever.
+          // The ingest job owns its session (the normal Structured Streaming
+          // deployment), so clearing the session cache per batch is the
+          // bounded-state choice.
+          selfDeduped.sparkSession.catalog.clearCache()
           ()
         }
       }
@@ -146,16 +154,24 @@ object Fastlane {
                 store, feature, n, numHashes, bands, threshold)
               Dedup.admitNonDup(selfDeduped, idCol, matches)
             }
-          admitted.write.mode("append").parquet(corpusDir)
-          val prof = Dedup.shingleProfiles(admitted, idCol, textCol, n,
+          // persisted: the write, the index build/append (each a write plus
+          // a distinct-collect), and the profile all act on `admitted` —
+          // without this the whole match pipeline re-executes per action
+          val adm = admitted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          adm.write.mode("append").parquet(corpusDir)
+          val prof = Dedup.shingleProfiles(adm, idCol, textCol, n,
             Dedup.hashCoeffs(numHashes))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           if (store.latestVersion(s"${feature}_bands").isEmpty)
             Dedup.indexCorpus(prof, idCol, "__sig", "__shingles",
               store, feature, numHashes, bands)
           else
             Dedup.appendToIndex(prof, idCol, "__sig", "__shingles",
               store, feature, numHashes, bands)
-          selfDeduped.unpersist()
+          // bounded state for an unbounded stream: the dedup operators
+          // persist internal frames this caller cannot reach — the ingest
+          // job owns its session, so clear the session cache per batch
+          selfDeduped.sparkSession.catalog.clearCache()
           ()
         }
       }

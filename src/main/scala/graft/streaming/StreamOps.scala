@@ -105,14 +105,9 @@ object StreamOps {
     * `est ≤ true ≤ est + n/(k+1)` bound holds over everything ingested so
     * far (the merge is order-insensitive). Emit with
     * `outputMode("complete")`; output is one row: (n_total, items). */
-  def heavyHittersStream(stream: DataFrame, itemCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.GraftColumn
-    val agg = GraftColumn.of(
-      graft.expressions.FreqItemsAgg(GraftColumn.expr(col(itemCol).cast("string")), k)
-        .toAggregateExpression())
-    stream.groupBy().agg(agg.as("__s"))
+  def heavyHittersStream(stream: DataFrame, itemCol: String, k: Int): DataFrame =
+    stream.groupBy().agg(graft.ops.Stats.freqItemsAgg(itemCol, k).as("__s"))
       .select(col("__s.n").as("n_total"), col("__s.items").as("items"))
-  }
 
   /** Streaming exact dedup on a key with a watermark-bounded state window:
     * first occurrence passes, replays within the watermark horizon are

@@ -658,6 +658,16 @@ class TextOpsSpec extends SparkSpec {
       "doc_id", "text", lex, "hits")
       .select("doc_id", "hits").as[(Long, Long)].collect().toMap
     assert(zero == Map(1L -> 0L, 2L -> 3L))
+    // a word listed TWICE in the lexicon counts once per listing, exactly
+    // like multisetHits' one-term-per-list-element semantics
+    val dup = Seq("the", "the", "cat")
+    val dupDf = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    val viaJoinDup = TextOps.lexiconHits(dupDf, "doc_id", "text", dup, "hits")
+      .select("hits").as[Long].head()
+    val viaScanDup = dupDf.select(
+      TextOps.multisetHits(graft.ops.Dedup.tokens(col("text")), dup).cast("long"))
+      .as[Long].head()
+    assert(viaJoinDup == 3L && viaJoinDup == viaScanDup)
   }
 
   test("bigramLmScore: hand-computed micro-prob means; single-token edge rule") {
@@ -849,6 +859,16 @@ class WinsorizeSpec extends SparkSpec {
     assert(out(2L).contains(-0.5) && out(4L).contains(0.5))
     assert(out(6L).isEmpty, "NULL value must stay NULL")
     assert(out(7L).contains(0.0) && out(8L).contains(0.0), "zero-IQR group -> 0")
+    // a group whose values are ALL NULL must keep its rows (z = NULL), not
+    // silently vanish through an inner stats join
+    val withNullGroup = df.unionByName(
+      Seq((9L, "c", Option.empty[Double]), (10L, "c", Option.empty[Double]))
+        .toDF("id", "g", "v"))
+    val out2 = graft.ops.Stats.robustScalePerGroup(withNullGroup, "g", "id", "v")
+      .select("id", "robust_z").as[(Long, Option[Double])].collect().toMap
+    assert(out2.keySet.contains(9L) && out2.keySet.contains(10L),
+      s"all-NULL group rows dropped: ${out2.keySet}")
+    assert(out2(9L).isEmpty && out2(10L).isEmpty)
   }
 
   test("winsorize clips to exact interpolated percentiles; NULLs pass through") {
