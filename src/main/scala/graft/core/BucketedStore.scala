@@ -100,8 +100,16 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     * of each stats column, collected to the driver (≤ numBuckets rows). */
   private def computeStats(bucketed: DataFrame, statsCols: Seq[String]): Map[Int, Map[String, (Double, Double)]] = {
     if (statsCols.isEmpty) return Map.empty
-    val aggs = statsCols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"__mn_$c"), max(col(c).cast("double")).as(s"__mx_$c")))
+    // NaN is EXCLUDED from the ranges: Spark's max orders NaN above every
+    // double, so one NaN row would poison mx to NaN and `mx >= lo` would
+    // prune buckets that hold matching rows. A range predicate can never
+    // match NaN, so excluding it keeps pruning sound (all-NaN bucket => no
+    // entry => skip, same rule as all-NULL).
+    val aggs = statsCols.flatMap { c =>
+      val d = col(c).cast("double")
+      val clean = when(!isnan(d), d)
+      Seq(min(clean).as(s"__mn_$c"), max(clean).as(s"__mx_$c"))
+    }
     bucketed.groupBy("__b").agg(aggs.head, aggs.tail: _*).collect().map { row =>
       val b = row.getInt(0)
       b -> statsCols.flatMap { c =>
@@ -156,7 +164,12 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
         // action) from the bucket's tracked min/max — bucket-level ranges are
         // conservative-correct per file (a reader may scan more, never less);
         // numRecords is omitted (per-bucket, not per-file, in the sidecar)
-        val statsField = stats.get(b.toInt).filter(_.nonEmpty).map { cols =>
+        // only finite bounds are emitted: NaN/Infinity are not legal JSON
+        // tokens and would make the commit unreadable to external parsers
+        val statsField = stats.get(b.toInt)
+          .map(_.filter { case (_, (mn, mx)) =>
+            !mn.isNaN && !mn.isInfinity && !mx.isNaN && !mx.isInfinity })
+          .filter(_.nonEmpty).map { cols =>
           val mins = cols.toSeq.sortBy(_._1)
             .map { case (c, (mn, _)) => s""""${jsonEsc(c)}":$mn""" }.mkString(",")
           val maxs = cols.toSeq.sortBy(_._1)
@@ -285,14 +298,26 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     v
   }
 
+  /** All manifest-driven reads go through here: mergeSchema reconciles
+    * files written before/after a schema-widening merge or append (Spark
+    * otherwise infers from one arbitrary footer, silently dropping the new
+    * columns — and a compaction after that would make the loss permanent).
+    * Empty path lists fail LOUDLY: an empty write leaves no footer to
+    * recover a schema from, so there is no correct silent answer. */
+  private def readPaths(feature: String, v: Long, rels: Seq[String]): DataFrame = {
+    if (rels.isEmpty)
+      throw new IllegalStateException(
+        s"feature $feature v$v references no data files (empty write?)")
+    spark.read.option("mergeSchema", "true")
+      .parquet(rels.map(p => s"$root/$feature/$p"): _*)
+  }
+
   /** Read a version (default latest) by loading exactly the files its
     * manifest references. */
   def read(feature: String, entityKeys: Seq[String], asOfVersion: Option[Long] = None): DataFrame = {
     val v = asOfVersion.orElse(latestVersion(feature))
       .getOrElse(throw new IllegalArgumentException(s"feature $feature has no versions"))
-    val manifest = readManifest(feature, v)
-    val paths = manifest.values.flatten.map(p => s"$root/$feature/$p").toSeq
-    spark.read.parquet(paths: _*)
+    readPaths(feature, v, readManifest(feature, v).values.flatten.toSeq)
   }
 
   /** FILE-LEVEL MERGE: upsert `updates` by entity key, rewriting ONLY the
@@ -309,14 +334,20 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     val v = prev + 1
 
     val upd = updates.withColumn("__b", bucketCol(entityKeys))
+    // one-row-per-key upsert contract: a batch with duplicate keys would
+    // anti-join away the stored row and append BOTH copies — the silent
+    // version of Delta's "multiple source rows matched" error. Cheap check:
+    // updates are batch-sized, and both counts ride one cached frame.
+    val updKeys = updates.select(entityKeys.map(col): _*)
+    require(updKeys.count() == updKeys.distinct().count(),
+      s"merge batch contains duplicate entity keys for $feature; dedupe the batch first")
     val touched = upd.select("__b").distinct().collect().map(_.getInt(0)).toSet
 
     // current rows of ONLY the touched buckets
-    val touchedPaths = manifest.filter(t => touched(t._1)).values.flatten
-      .map(p => s"$root/$feature/$p").toSeq
+    val touchedRels = manifest.filter(t => touched(t._1)).values.flatten.toSeq
     val currentTouched =
-      if (touchedPaths.isEmpty) None
-      else Some(spark.read.parquet(touchedPaths: _*))
+      if (touchedRels.isEmpty) None
+      else Some(readPaths(feature, prev, touchedRels))
 
     val merged = currentTouched match {
       case None => upd
@@ -416,8 +447,7 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     val v = prev + 1
     // reading bucket dirs directly drops the __b partition column, so the
     // routing column is re-derived with the identical hash
-    val rows = spark.read.parquet(
-      multi.values.flatten.map(p => s"$root/$feature/$p").toSeq: _*)
+    val rows = readPaths(feature, prev, multi.values.flatten.toSeq)
     val bucketed = rows.withColumn("__b", bucketCol(entityKeys))
     bucketed.write.mode(SaveMode.Overwrite)
       .partitionBy("__b").parquet(s"$root/$feature/files_v$v")
@@ -477,7 +507,7 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     val pred = ranges.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
     if (keep.isEmpty) read(feature, entityKeys, Some(v)).where(pred).limit(0)
-    else spark.read.parquet(keep.values.flatten.map(p => s"$root/$feature/$p").toSeq: _*).where(pred)
+    else readPaths(feature, v, keep.values.flatten.toSeq).where(pred)
   }
 
   /** SET-pruned read: load only the buckets that the key values present in
@@ -497,10 +527,9 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     val manifest = readManifest(feature, v)
     val touched = keys.select(bucketCol(entityKeys).as("__b"))
       .distinct().collect().map(_.getInt(0)).toSet
-    val paths = manifest.filter(t => touched(t._1)).values.flatten
-      .map(p => s"$root/$feature/$p").toSeq
-    if (paths.isEmpty) read(feature, entityKeys, Some(v)).limit(0)
-    else spark.read.parquet(paths: _*)
+    val rels = manifest.filter(t => touched(t._1)).values.flatten.toSeq
+    if (rels.isEmpty) read(feature, entityKeys, Some(v)).limit(0)
+    else readPaths(feature, v, rels)
   }
 
   /** Point lookup: hash the literal key to its bucket and read ONLY that
@@ -528,7 +557,7 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     manifest.get(b) match {
       case None => read(feature, entityKeys, Some(v)).limit(0)
       case Some(ps) =>
-        val df = spark.read.parquet(ps.map(p => s"$root/$feature/$p"): _*)
+        val df = readPaths(feature, v, ps)
         entityKeys.zip(keyValues).foldLeft(df) { case (d, (k, kv)) =>
           d.filter(col(k) === lit(kv).cast(schema(k).dataType)) }
     }

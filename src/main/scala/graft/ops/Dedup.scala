@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   *    keyed-shuffle shape.
   *  - Every hash is engine-reproducible (md5-derived, no JVM-specific seeds)
   *    so results are testable against an independent SQL oracle.
+  *  - CACHE LIFECYCLE: the multi-consumer operators (pair generation,
+  *    incremental matching) persist internal frames (profiles, band rows,
+  *    candidates) that outlive the returned DataFrame. One-shot callers are
+  *    fine; long-lived sessions invoking them repeatedly should
+  *    `spark.catalog.clearCache()` after materializing each result — the
+  *    bench harness and the streaming ingest loops do exactly this.
   */
 object Dedup {
 
@@ -312,7 +318,7 @@ object Dedup {
     * of token-hash bits j is positive. Column form (per-row, zero-shuffle;
     * interpreted HOF body — fine for small frames, tests, and the oracle). */
   def simhash60(text: Column): Column = {
-    val hs = transform(tokens(text), t => md5Hash60(t))
+    val hs = transform(tokens(coalesce(text, lit(""))), t => md5Hash60(t))
     aggregate(
       sequence(lit(0), lit(59)), lit(0L),
       (acc, j) => acc + when(
@@ -328,7 +334,10 @@ object Dedup {
   def simhashes(df: DataFrame, idCol: String, textCol: String,
                 outCol: String = "__simhash"): DataFrame = {
     val exploded = df
-      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      // NULL text coalesces to "" (one empty token) so the doc keeps a
+      // simhash instead of vanishing through explode(NULL) — matching the
+      // minhash family, which shingles NULL-as-empty and retains the doc
+      .select(col(idCol), explode(tokens(coalesce(col(textCol), lit("")))).as("__t"))
       .select(col(idCol), md5Hash60(col("__t")).as("__h"))
     val agg = org.apache.spark.sql.GraftColumn.of(
       graft.expressions.SimhashAgg(org.apache.spark.sql.GraftColumn.expr(col("__h")))
@@ -381,9 +390,14 @@ object Dedup {
     val prefixLen = (col("__sz") - ceil(col("__sz") * threshold) + 1).cast("int")
     val pre = sh.select(col(idCol), col(blockCol), col("__sz"),
       explode(slice(col("__sh"), lit(1), prefixLen)).as("__p"))
-    val l = pre.select(col(idCol).as("id_l"), col(blockCol), col("__sz").as("__sz_l"), col("__p"))
-    val r = pre.select(col(idCol).as("id_r"), col(blockCol), col("__sz").as("__sz_r"), col("__p"))
-    val cand = l.join(r, Seq(blockCol, "__p")).where(col("id_l") < col("id_r"))
+    val l = pre.select(col(idCol).as("id_l"), col(blockCol).as("__blk_l"), col("__sz").as("__sz_l"), col("__p"))
+    val r = pre.select(col(idCol).as("id_r"), col(blockCol).as("__blk_r"), col("__sz").as("__sz_r"), col("__p"))
+    // null-safe block equality: rows with a NULL block form their own block
+    // (a plain equi-join's NULL != NULL would silently never compare them —
+    // two identical NULL-block docs would both survive dedup)
+    val cand = l.join(r,
+        col("__blk_l") <=> col("__blk_r") && l("__p") === r("__p"))
+      .where(col("id_l") < col("id_r"))
       // exact size bound: J(A,B) <= min(|A|,|B|)/max(|A|,|B|) — prunes most
       // candidates before the distinct and the per-pair set intersection
       .where(least(col("__sz_l"), col("__sz_r")).cast("double") /

@@ -288,6 +288,33 @@ class BucketedStoreSpec extends SparkSpec {
     assert(store.read("t", Seq("id")).count() == 802)
   }
 
+  test("stats stay sound under NaN values; merge rejects duplicate-key batches; schema widens through append+compact") {
+    val store = new BucketedStore(tmpDir("bedge"), numBuckets = 4)
+    // one NaN row must not poison its bucket's max (which would prune away
+    // real matches); the NaN row itself is range-unmatchable
+    val df = spark.range(100).select(col("id"),
+      when(col("id") === 7, lit(Double.NaN)).otherwise(col("id").cast("double")).as("v"))
+    store.write(df, "t", Seq("id"), statsCols = Seq("v"))
+    val hit = store.scanPruned("t", Seq("id"), "v", 50.0, 60.0)
+    assert(hit.select("id").as[Long].collect().toSet == (50L to 60L).toSet)
+
+    // merge with duplicate keys in the batch = silent double-row corruption;
+    // must fail loudly instead
+    intercept[IllegalArgumentException](
+      store.merge("t", Seq((7L, 1.0), (7L, 2.0)).toDF("id", "v"), Seq("id")))
+
+    // a widening append (new column) + compact must not lose the column to
+    // single-footer schema inference
+    store.appendBucketed("t",
+      Seq((9001L, 1.0, "extra")).toDF("id", "v", "note"), Seq("id"))
+    store.compactBuckets("t", Seq("id"))
+    val out = store.read("t", Seq("id"))
+    assert(out.columns.contains("note"), out.columns.mkString(","))
+    assert(out.where(col("id") === 9001L).select("note").as[String]
+      .collect().toSeq == Seq("extra"))
+    assert(out.count() == 101)
+  }
+
   test("delta-log add actions carry per-file min/max stats in the open layout") {
     val store = new BucketedStore(tmpDir("bdstats"), numBuckets = 4)
     val df = spark.range(100).select(col("id"),

@@ -205,6 +205,25 @@ class DedupSpec extends SparkSpec {
     assert(matches(grown) == matches(rebuilt))
   }
 
+  test("NULL edges: NULL-block docs still pair; NULL-text docs keep a simhash") {
+    // two identical docs whose block column is NULL: the null-safe block
+    // join must still compare them (a plain equi-join never would)
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, txt, null.asInstanceOf[String]),
+      (2L, txt, null.asInstanceOf[String]),
+      (3L, "one two three four five six seven eight nine ten", "b1"))
+      .toDF("doc_id", "text", "src")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "src", threshold = 0.5)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+    // NULL text must not vanish from the simhash universe (minhash keeps it)
+    val withNull = Seq((1L, null.asInstanceOf[String]), (2L, "real text here"))
+      .toDF("doc_id", "text")
+    val sims = Dedup.simhashes(withNull, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(sims == Set(1L, 2L), s"NULL-text doc dropped: $sims")
+  }
+
   test("near-dup clustering: transitive closure with min-id representative") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_l", "id_r")
