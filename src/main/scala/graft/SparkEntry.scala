@@ -2338,13 +2338,14 @@ object SparkEntry {
                  CAST(round(c_acctbal * 100) AS BIGINT) AS cc
           FROM customer),
         st AS (
-          SELECT c_mktsegment, count(*) AS n,
-                 CAST(sum(cc) AS BIGINT) AS s, CAST(sum(cc * cc) AS BIGINT) AS q
+          SELECT c_mktsegment, count(cc) AS n,
+                 CAST(sum(cc) AS DOUBLE) AS s, CAST(sum(cc * cc) AS DOUBLE) AS q
           FROM c GROUP BY 1)
         SELECT c.c_mktsegment, c.c_custkey,
-          CASE WHEN (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n = 0 THEN 0.0
-               ELSE (CAST(cc AS DOUBLE) - CAST(s AS DOUBLE) / n)
-                    / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+          CASE WHEN cc IS NULL THEN NULL
+               WHEN (q - s * s / n) / n <= 0 THEN 0.0
+               ELSE (CAST(cc AS DOUBLE) - s / n)
+                    / sqrt((q - s * s / n) / n)
           END AS z
         FROM c JOIN st USING (c_mktsegment)
         ORDER BY c_custkey""")),

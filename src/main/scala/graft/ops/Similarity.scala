@@ -166,6 +166,12 @@ object Similarity {
     * [[kmeansCentroids]] Lloyd rounds first — still deterministic, better
     * recall, but no longer expressible as a short SQL oracle.
     *
+    * SEEDING CONTRACT: `id < nlist` requires a DENSE NUMERIC id column —
+    * string/UUID or sparse hashed ids would silently seed an empty or
+    * undersized centroid set (the comparison NULLs out non-numeric ids), so
+    * the id type is checked loudly below. For arbitrary ids, densify first
+    * (`row_number` over a deterministic order) or use [[lshTopK]].
+    *
     * Scale shape: assignment is corpus × nlist (nlist ≈ √N keeps it linear in
     * N·√N with a BROADCAST of the small centroid set — never corpus×corpus);
     * the probe join is keyed on the centroid id, so each query touches
@@ -175,6 +181,10 @@ object Similarity {
               k: Int, nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
               refineIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
+    require(corpus.schema(corpusIdCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"ivfTopK seeds centroids by '$corpusIdCol' < nlist and needs a dense " +
+        "numeric id column; densify arbitrary ids first or use lshTopK")
     val c = corpus.select(col(corpusIdCol).as("corpus_id"), quantize(col(vecCol), dim).as("__cv"))
       .withColumn("__cn", dotQ(col("__cv"), col("__cv"), dim))
     val cent =
@@ -259,7 +269,10 @@ object Similarity {
       .select(col("id_l"), col("id_r"),
         cosineFromParts(dotQ(col("__v_l"), col("__v_r"), dim), col("__n_l"), col("__n_r")).as("cosine"))
       .where(col("cosine") >= threshold)
-      .distinct()
+    // no distinct: each vector has exactly ONE hyperplane bucket, so the
+    // id_l < id_r self-join emits every pair at most once already (the
+    // multi-band minhash path genuinely duplicates; this one never does —
+    // a distinct here would shuffle the whole output for nothing)
   }
 
   /** Per-label embedding centroids (average pooling / class prototypes),

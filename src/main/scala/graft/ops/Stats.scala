@@ -27,6 +27,8 @@ object Stats {
     */
   def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
       nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
     val width = (hi - lo) / nBins
     val bin = least(greatest(floor((col(valueCol) - lo) / width), lit(0.0)),
       lit((nBins - 1).toDouble)).cast("long")
@@ -192,17 +194,28 @@ object Stats {
   def zscorePerGroup(df: DataFrame, keyCol: String, idCol: String,
       valueCol: String): DataFrame = {
     val c = round(col(valueCol) * 100).cast("long")
+    // n counts NON-NULL values only (count(*) would mix NULL rows into the
+    // mean/variance denominators while sum skips them — corrupting every
+    // non-null row's z); sums go through decimal so c² can't wrap int64
+    // (30k.00 quantizes to 3e6 cents, c² = 9e12 — ~1M such rows overflow a
+    // long sum)
+    val cd = col("__c").cast(org.apache.spark.sql.types.DecimalType(38, 0))
     val stats = df.withColumn("__c", c)
       .groupBy(keyCol)
-      .agg(count(lit(1)).as("__n"), sum("__c").as("__s"),
-        sum(col("__c") * col("__c")).as("__q"))
+      .agg(count(col("__c")).as("__n"), sum(cd).as("__s"),
+        sum(cd * col("__c")).as("__q"))
     val mean = col("__s").cast("double") / col("__n")
     val varPop = (col("__q").cast("double")
       - col("__s").cast("double") * col("__s").cast("double") / col("__n")) / col("__n")
     df.withColumn("__c", c)
       .join(broadcast(stats), Seq(keyCol))
       .select(col(keyCol), col(idCol),
-        when(varPop === 0d, 0d)
+        // NULL value -> NULL z (before the degenerate-group clamp, which
+        // would otherwise emit 0); varPop <= 0 catches both true-zero
+        // variance AND the tiny negatives double rounding can produce,
+        // where sqrt would return NaN
+        when(col("__c").isNull, lit(null).cast("double"))
+          .when(varPop <= 0d, 0d)
           .otherwise((col("__c").cast("double") - mean) / sqrt(varPop)).as("z"))
   }
 

@@ -136,13 +136,11 @@ object TextOps {
       when(best._2 > 0, best._1).otherwise(lit("unknown")).as(outCol))
   }
 
-  /** Word n-grams (as strings). */
-  def ngrams(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    transform(
-      sequence(lit(1), greatest(lit(1), size(toks) - (n - 1))),
-      i => concat_ws(" ", (0 until n).map(k => get(toks, i + (k - 1))): _*))
-  }
+  /** Word n-grams (as strings). Delegates to the one shingling
+    * implementation — hot paths should bind tokens to a column first and
+    * call [[Dedup.shingleStringsFromTokens]] (interpreted HOF lambdas get
+    * no CSE, so shingling straight off `split(text)` re-splits per gram). */
+  def ngrams(text: Column, n: Int): Column = Dedup.shingleStrings(text, n)
 
   /** Document fingerprint: (full-content md5, winnowed rolling-hash minimum).
     * The winnow min is the smallest shingle hash — a cheap locality-sensitive
@@ -345,11 +343,16 @@ object TextOps {
     TopK.global(counted, topK, Seq(col("n_occurrences").desc, col("token").asc))
   }
 
-  /** Per-document top-`topK` keywords by TF-IDF. The RANKING is integer-exact
-    * — (tf desc, df asc, token asc) is the same order as (tf · idf) for any
-    * monotone-decreasing idf, with a total tie-break — so results are
-    * bit-identical cross-engine; the float `tfidf` score (tf · ln(N/df)) is
-    * exposed for consumers but never consulted for ordering.
+  /** Per-document top-`topK` keyword extraction. The RANKING is the
+    * integer-exact lexicographic order (tf desc, df asc, token asc) — NOT
+    * the tf·idf product order (lexicographic equals the product order only
+    * when one factor ties; a high-tf stopword can outrank a mid-tf rare
+    * word here where tf·ln(N/df) would not). The trade is deliberate:
+    * product ordering needs float comparison, whose cross-engine tie cases
+    * break hash-exactness, while this order is bit-identical everywhere.
+    * Pair with a stopword prefilter ([[qualityFilter]]/[[lexiconHits]])
+    * when the corpus has an untrimmed head; the float `tfidf` score
+    * (tf · ln(N/df)) is exposed for consumers but never drives ordering.
     *
     * Scale shape: explode + two keyed aggregations; the tf⋈df join is a
     * keyed shuffle on the token (vocab-sized, not corpus-sized, after the
@@ -418,7 +421,12 @@ object TextOps {
     *
     * Output: (doc_id, lm_micro_sum, n_bigrams, lm_score), one row per doc
     * (docs shorter than 2 tokens contribute their single token as its own
-    * gram, same edge rule as [[Dedup.shingleStringsFromTokens]]). */
+    * gram, same edge rule as [[Dedup.shingleStringsFromTokens]]).
+    *
+    * Persists the per-doc gram-count frame internally (it feeds both the
+    * corpus counts and the final sum); long-lived sessions calling this
+    * repeatedly should `spark.catalog.clearCache()` after materializing
+    * the result — same lifecycle contract as [[graft.ops.Dedup]]. */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // tokens BOUND to a column before the HOF: interpreted lambda bodies get
     // no CSE, so `get(split(text), i)` would re-split the text per element

@@ -196,7 +196,14 @@ object Fastlane {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val out = Versioning.withSystemColumns(feature.transform(batch), feature)
-          store.appendDelta(feature.name, out)
+          // first batch of a brand-new feature bootstraps the base version
+          // (appendDelta requires one and would otherwise fail this batch on
+          // every checkpoint replay, permanently wedging the query)
+          if (store.latestVersion(feature.name).isEmpty)
+            store.write(out, feature.name,
+              Map("feature" -> feature.name, "mode" -> "fastlane_append_bootstrap",
+                "batch_id" -> batchId.toString))
+          else store.appendDelta(feature.name, out)
           ()
         }
       }

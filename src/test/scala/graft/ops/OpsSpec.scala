@@ -1061,6 +1061,18 @@ class StratifiedZscoreSpec extends SparkSpec {
     assert(s1.count(_._1 == "a") == 10 && s1.count(_._1 == "b") == 10)
   }
 
+  test("zscorePerGroup: NULL values neither corrupt group stats nor clamp to 0") {
+    // group g: [10, 20, null] — stats must come from the two non-null rows
+    // (n=2, mean=15), and the null row's z must be NULL, not 0
+    val df = Seq(("g", 1L, Some(10.0)), ("g", 2L, Some(20.0)), ("g", 3L, Option.empty[Double]))
+      .toDF("grp", "id", "v")
+    val out = Stats.zscorePerGroup(df, "grp", "id", "v")
+      .select("id", "z").as[(Long, Option[Double])].collect().toMap
+    assert(out(3L).isEmpty, "NULL value must yield NULL z")
+    assert(out(1L).exists(z => math.abs(z + 1.0) < 1e-12), out.toString)
+    assert(out(2L).exists(z => math.abs(z - 1.0) < 1e-12), out.toString)
+  }
+
   test("zscorePerGroup: zero-mean unit-variance within group; degenerate group -> 0") {
     val df = Seq(
       ("g", 1L, 10.0), ("g", 2L, 20.0), ("g", 3L, 30.0),

@@ -105,6 +105,31 @@ class FastlaneSpec extends SparkSpec {
     assert(indexed == Set(1L, 2L, 5L))
   }
 
+  test("serveAppend bootstraps a brand-new feature, then delta-appends; readCurrent sees both") {
+    val store = new FeatureStore(tmpDir("fappend"))
+    val srcDir = tmpDir("fappend_src")
+    val ckpt = tmpDir("fappend_ckpt")
+    // batch 1 against an EMPTY feature: must bootstrap the base version
+    // instead of failing appendDelta on every checkpoint replay
+    Seq((1L, 10.0), (2L, 5.0)).toDF("user_id", "value")
+      .write.mode("overwrite").json(s"$srcDir/b1")
+    Fastlane.serveAppend(feature,
+      spark.readStream.schema("user_id LONG, value DOUBLE").json(s"$srcDir/*"),
+      store, ckpt).awaitTermination(60000)
+    val v1 = store.readCurrent(feature.name, feature.entityKeys)
+      .select("user_id", "sum_value").as[(Long, Double)].collect().toMap
+    assert(v1 == Map(1L -> 10.0, 2L -> 5.0))
+    // batch 2: O(batch) delta append, merged view through readCurrent
+    Seq((1L, 2.5), (3L, 7.0)).toDF("user_id", "value")
+      .write.mode("overwrite").json(s"$srcDir/b2")
+    Fastlane.serveAppend(feature,
+      spark.readStream.schema("user_id LONG, value DOUBLE").json(s"$srcDir/*"),
+      store, ckpt).awaitTermination(60000)
+    val v2 = store.readCurrent(feature.name, feature.entityKeys)
+      .select("user_id", "sum_value").as[(Long, Double)].collect().toMap
+    assert(v2 == Map(1L -> 2.5, 2L -> 5.0, 3L -> 7.0))
+  }
+
   test("same transform in batch and fastlane produces identical results") {
     val rootA = tmpDir("modeA"); val rootB = tmpDir("modeB")
     val storeA = new FeatureStore(rootA); val storeB = new FeatureStore(rootB)
