@@ -34,6 +34,25 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
   private def bucketCol(entityKeys: Seq[String]) =
     pmod(xxhash64(entityKeys.map(col): _*), lit(numBuckets)).cast("int")
 
+  /** Lowest version whose data files [[vacuum]] guaranteed to retain; reads
+    * of versions below this fail loudly (their files were reclaimed). */
+  def vacuumHorizon(feature: String): Option[Long] =
+    readSmall(new Path(logDir(feature), "_vacuum_horizon")).map(_.trim.toLong)
+
+  /** Resolve the version a read targets, failing with a store-level error —
+    * naming the retention horizon — when it points below [[vacuum]]'s
+    * reclaim line (instead of a generic parquet file-not-found later). */
+  private def resolveVersion(feature: String, asOfVersion: Option[Long]): Long = {
+    val v = asOfVersion.orElse(latestVersion(feature))
+      .getOrElse(throw new IllegalArgumentException(s"feature $feature has no versions"))
+    vacuumHorizon(feature).foreach { h =>
+      if (v < h) throw new IllegalStateException(
+        s"feature $feature version $v is below the vacuum horizon $h: its data " +
+          s"files were reclaimed; earliest time-travelable version is $h")
+    }
+    v
+  }
+
   def versions(feature: String): Seq[Long] = {
     val dir = logDir(feature)
     if (!fs.exists(dir)) Seq.empty
@@ -124,14 +143,36 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
   // Each version ALSO emits root/<feature>/_delta_log/<v padded to 20>.json
   // with protocol/metaData/add/remove actions in the open Delta commit
   // layout, so an external Delta reader can open simple tables written here.
+  // Add actions carry per-file min/max stats; metaData is re-emitted on any
+  // commit whose schema differs from the last emitted one (schema evolution
+  // via merge is reflected, as delta-rs does); maintenance rewrites
+  // (compactBuckets/optimizeZorder) commit with dataChange:false so a Delta
+  // streaming reader does not reprocess compacted files as new rows.
   // Scope limits (this environment ships no delta jars to prove more):
-  // no checkpoints, no per-file stats, no deletion vectors, metaData emitted
-  // at v0 only (schema evolution via merge is not reflected); the native
-  // manifest remains the source of truth — the log is a faithful mirror of
-  // it, written right after.
+  // no checkpoints, no deletion vectors, and vacuum() is NOT mirrored (the
+  // log keeps advertising reclaimed files — the native horizon marker makes
+  // the native reader fail loudly instead; see vacuum).
+  // The native manifest remains the source of truth — the log is a faithful
+  // mirror of it, written right after.
 
   private def deltaLogFile(feature: String, v: Long) =
     new Path(s"$root/$feature/_delta_log/" + f"$v%020d" + ".json")
+
+  /** Last schemaString emitted into the Delta mirror, so a commit can detect
+    * schema evolution and re-emit metaData exactly when it changes. */
+  private def deltaSchemaFile(feature: String) = new Path(logDir(feature), "_delta_schema")
+
+  private def readSmall(p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString) finally in.close()
+    }
+
+  private def writeSmall(p: Path, txt: String): Unit = {
+    val out = fs.create(p, true)
+    out.write(txt.getBytes(StandardCharsets.UTF_8)); out.close()
+  }
 
   /** (relativePath, size, modificationTime) of every part file under a
     * manifest-relative bucket directory. */
@@ -151,12 +192,20 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
 
   private def writeDeltaLog(feature: String, v: Long, schemaJson: String,
       addRels: Seq[String], removeRels: Seq[String],
-      stats: Map[Int, Map[String, (Double, Double)]] = Map.empty): Unit = {
+      stats: Map[Int, Map[String, (Double, Double)]] = Map.empty,
+      dataChange: Boolean = true): Unit = {
     val now = System.currentTimeMillis
-    val header = if (v == 0L) Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-      s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(s"$root/$feature".getBytes(StandardCharsets.UTF_8))}","format":{"provider":"parquet","options":{}},"schemaString":"${jsonEsc(schemaJson)}","partitionColumns":["__b"],"configuration":{},"createdTime":$now}}""")
-    else Seq.empty
+    // metaData is (re-)emitted when the commit's schema differs from the
+    // last emitted one — v0 always, and any schema-evolving merge/append
+    // after that (delta-rs readers pick up the widened schema mid-log)
+    val protocol =
+      if (v == 0L) Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+      else Seq.empty
+    val metaData =
+      if (v == 0L || !readSmall(deltaSchemaFile(feature)).contains(schemaJson)) Seq(
+        s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(s"$root/$feature".getBytes(StandardCharsets.UTF_8))}","format":{"provider":"parquet","options":{}},"schemaString":"${jsonEsc(schemaJson)}","partitionColumns":["__b"],"configuration":{},"createdTime":$now}}""")
+      else Seq.empty
+    val header = protocol ++ metaData
     val adds = addRels.sorted.flatMap(rel => listPartFiles(feature, rel).map {
       case (p, len, mt) =>
         val b = rel.substring(rel.lastIndexOf("__b=") + 4)
@@ -176,15 +225,16 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
             .map { case (c, (_, mx)) => s""""${jsonEsc(c)}":$mx""" }.mkString(",")
           s""","stats":"${jsonEsc(s"""{"minValues":{$mins},"maxValues":{$maxs}}""")}""""
         }.getOrElse("")
-        s"""{"add":{"path":"${jsonEsc(p)}","partitionValues":{"__b":"$b"},"size":$len,"modificationTime":$mt,"dataChange":true$statsField}}"""
+        s"""{"add":{"path":"${jsonEsc(p)}","partitionValues":{"__b":"$b"},"size":$len,"modificationTime":$mt,"dataChange":$dataChange$statsField}}"""
     })
     val removes = removeRels.sorted.flatMap(rel => listPartFiles(feature, rel).map {
       case (p, _, _) =>
-        s"""{"remove":{"path":"${jsonEsc(p)}","deletionTimestamp":$now,"dataChange":true}}"""
+        s"""{"remove":{"path":"${jsonEsc(p)}","deletionTimestamp":$now,"dataChange":$dataChange}}"""
     })
     val out = fs.create(deltaLogFile(feature, v), true)
     out.write((header ++ adds ++ removes).mkString("\n").getBytes(StandardCharsets.UTF_8))
     out.close()
+    writeSmall(deltaSchemaFile(feature), schemaJson)
   }
 
   /** Write `df` as a full new version: every non-empty bucket gets one file
@@ -250,7 +300,16 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     * Z-order is a table-maintenance rewrite, not an incremental property). */
   def writeClustered(df: DataFrame, feature: String, entityKeys: Seq[String],
                      clusterCols: Seq[String], statsCols: Seq[String] = Nil,
-                     bitsPerCol: Int = 6): Long = {
+                     bitsPerCol: Int = 6): Long =
+    writeClusteredInternal(df, feature, entityKeys, clusterCols, statsCols,
+      bitsPerCol, dataChange = true)
+
+  /** `dataChange=false` only for [[optimizeZorder]]: the rewrite changes no
+    * logical rows, and the open Delta format marks maintenance commits so
+    * streaming readers don't reprocess rewritten files as new data. */
+  private def writeClusteredInternal(df: DataFrame, feature: String, entityKeys: Seq[String],
+                     clusterCols: Seq[String], statsCols: Seq[String],
+                     bitsPerCol: Int, dataChange: Boolean): Long = {
     require(clusterCols.nonEmpty, "writeClustered needs at least one cluster column")
     require(bitsPerCol >= 1 && bitsPerCol * clusterCols.length <= 30,
       s"bitsPerCol=$bitsPerCol x ${clusterCols.length} cols must stay under 30 z-bits")
@@ -294,7 +353,7 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     val prevFiles =
       if (v == 0L) Seq.empty else readManifest(feature, v - 1).values.flatten.toSeq
     writeDeltaLog(feature, v, bucketed.schema.json,
-      buckets.map(b => s"files_v$v/__b=$b").toSeq, prevFiles, st)
+      buckets.map(b => s"files_v$v/__b=$b").toSeq, prevFiles, st, dataChange)
     v
   }
 
@@ -315,8 +374,7 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
   /** Read a version (default latest) by loading exactly the files its
     * manifest references. */
   def read(feature: String, entityKeys: Seq[String], asOfVersion: Option[Long] = None): DataFrame = {
-    val v = asOfVersion.orElse(latestVersion(feature))
-      .getOrElse(throw new IllegalArgumentException(s"feature $feature has no versions"))
+    val v = resolveVersion(feature, asOfVersion)
     readPaths(feature, v, readManifest(feature, v).values.flatten.toSeq)
   }
 
@@ -333,13 +391,22 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     val manifest = readManifest(feature, prev)
     val v = prev + 1
 
+    // persisted: the dup-key check, the touched-bucket collect, and the
+    // merged write are all actions over this frame — without the persist an
+    // arbitrary upstream pipeline executes once per action, and a
+    // NON-DETERMINISTIC source could pass the check yet route/write
+    // different rows. Batch-sized by the merge contract.
     val upd = updates.withColumn("__b", bucketCol(entityKeys))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // one-row-per-key upsert contract: a batch with duplicate keys would
     // anti-join away the stored row and append BOTH copies — the silent
-    // version of Delta's "multiple source rows matched" error. Cheap check:
-    // updates are batch-sized, and both counts ride one cached frame.
-    val updKeys = updates.select(entityKeys.map(col): _*)
-    require(updKeys.count() == updKeys.distinct().count(),
+    // version of Delta's "multiple source rows matched" error. ONE agg pass
+    // computes both counts; the struct wrapper keeps countDistinct null-safe
+    // (a bare multi-column countDistinct drops rows with any NULL key).
+    val cnts = upd.agg(count(lit(1)).as("__n"),
+      countDistinct(struct(entityKeys.map(col): _*)).as("__nd")).head()
+    require(cnts.getLong(0) == cnts.getLong(1),
       s"merge batch contains duplicate entity keys for $feature; dedupe the batch first")
     val touched = upd.select("__b").distinct().collect().map(_.getInt(0)).toSet
 
@@ -381,6 +448,7 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
       newBuckets.map(b => s"files_v$v/__b=$b").toSeq,
       manifest.filter(t => touched(t._1)).values.flatten.toSeq, mergedStats)
     v
+    } finally upd.unpersist(false)
   }
 
   /** O(batch) APPEND: route `rows` to their buckets and ADD the new file
@@ -457,9 +525,11 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     // ranges are unchanged by compaction: carry the stats sidecar forward
     val prevStats = readStats(feature, prev)
     writeStats(feature, v, prevStats)
+    // compaction changes no logical rows — dataChange:false keeps Delta
+    // streaming readers from reprocessing the folded files as new data
     writeDeltaLog(feature, v, bucketed.schema.json,
       rewritten.map(b => s"files_v$v/__b=$b").toSeq,
-      multi.values.flatten.toSeq, prevStats)
+      multi.values.flatten.toSeq, prevStats, dataChange = false)
     v
   }
 
@@ -486,8 +556,7 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
       ranges: Seq[(String, Double, Double)],
       asOfVersion: Option[Long] = None): DataFrame = {
     require(ranges.nonEmpty, "scanPrunedMulti needs at least one (col, lo, hi) range")
-    val v = asOfVersion.orElse(latestVersion(feature))
-      .getOrElse(throw new IllegalArgumentException(s"feature $feature has no versions"))
+    val v = resolveVersion(feature, asOfVersion)
     val stats = readStats(feature, v)
     val manifest = readManifest(feature, v)
     // a column NO bucket has an entry for is indistinguishable from untracked
@@ -520,8 +589,7 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     * the STORED column types (same frame family the index was built from). */
   def readTouched(feature: String, entityKeys: Seq[String], keys: DataFrame,
                   asOfVersion: Option[Long] = None): DataFrame = {
-    val v = asOfVersion.orElse(latestVersion(feature))
-      .getOrElse(throw new IllegalArgumentException(s"feature $feature has no versions"))
+    val v = resolveVersion(feature, asOfVersion)
     require(clusteredBy(feature, v).isEmpty,
       s"feature $feature v$v is Z-order clustered; readTouched needs hash routing")
     val manifest = readManifest(feature, v)
@@ -538,8 +606,7 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
   def lookup(feature: String, entityKeys: Seq[String], keyValues: Seq[Any],
              asOfVersion: Option[Long] = None): DataFrame = {
     require(entityKeys.length == keyValues.length)
-    val v = asOfVersion.orElse(latestVersion(feature))
-      .getOrElse(throw new IllegalArgumentException(s"feature $feature has no versions"))
+    val v = resolveVersion(feature, asOfVersion)
     require(clusteredBy(feature, v).isEmpty,
       s"feature $feature v$v is Z-order clustered; point lookup needs a hash-bucketed version")
     val manifest = readManifest(feature, v)
@@ -601,20 +668,26 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
                      clusterCols: Seq[String], statsCols: Seq[String] = Nil,
                      bitsPerCol: Int = 6): Long = {
     val cur = read(feature, entityKeys).drop("__b")
-    writeClustered(cur, feature, entityKeys, clusterCols, statsCols, bitsPerCol)
+    writeClusteredInternal(cur, feature, entityKeys, clusterCols, statsCols,
+      bitsPerCol, dataChange = false)
   }
 
   /** Table maintenance: delete data files not referenced by any of the last
     * `keepVersions` manifests (the VACUUM analogue — bounded storage under
     * continuous merges, at the cost of time travel past the horizon).
     * Returns the deleted relative paths. Never touches the manifests or the
-    * Delta log mirror (history stays auditable; only bytes are reclaimed). */
+    * Delta log mirror (history stays auditable; only bytes are reclaimed) —
+    * but the retention horizon is recorded in `_graft_log/_vacuum_horizon`
+    * so reads of reclaimed versions fail with a store-level error naming
+    * the horizon instead of a generic parquet file-not-found. */
   def vacuum(feature: String, keepVersions: Int = 2): Seq[String] = {
     require(keepVersions >= 1, "vacuum must keep at least the latest version")
     val vs = versions(feature)
     if (vs.size <= keepVersions) return Seq.empty
-    val live: Set[String] = vs.takeRight(keepVersions)
+    val retained = vs.takeRight(keepVersions)
+    val live: Set[String] = retained
       .flatMap(v => readManifest(feature, v).values.flatten).toSet
+    writeSmall(new Path(logDir(feature), "_vacuum_horizon"), retained.head.toString)
     val featureDir = new Path(s"$root/$feature")
     // candidate bucket dirs live under files_v*/__b=*; a dir is reclaimable
     // iff NO retained manifest references it

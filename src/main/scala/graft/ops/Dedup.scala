@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.TrackedCache.TrackedDataset
 
 /** Deduplication operators for large-scale text corpora (north-star surface;
   * the reference's record-level hashing dependency `polars-hash`
@@ -167,7 +168,7 @@ object Dedup {
     // whole upstream profile pipeline once per reference
     val sh = profile.select(col(idCol), col(sigCol).as("__sig"),
         col(shinglesCol).as("__shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val banded = explodeBands(sh.select(col(idCol), col("__sig")), "__sig", bands, rowsPerBand)
       .select(col(idCol), col("band_id"), col("band_key"))
     val l = banded.select(col(idCol).as("id_l"), col("band_id"), col("band_key"))
@@ -205,7 +206,7 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     val newProf = shingleProfiles(newDocs, idCol, textCol, n, hashCoeffs(numHashes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val corpus = corpusProfile.select(col(corpusIdCol).as("corpus_id"),
       col(sigCol).as("__csig"), col(shinglesCol).as("__csh"))
     val bandedNew = explodeBands(newProf.select(col(idCol), col("__sig")),
@@ -285,11 +286,11 @@ object Dedup {
                    threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val newProf = shingleProfiles(newDocs, idCol, textCol, n, hashCoeffs(numHashes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val newBanded = explodeBands(newProf.select(col(idCol), col("__sig")),
         "__sig", bands, numHashes / bands)
       .select(col(idCol).as("new_id"), col("band_id"), col("band_key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val bandsSubset = store.readTouched(s"${feature}_bands", Seq("band_key"),
       newBanded.select("band_key"))
     // persisted: readTouched's bucket-id collect is an action and the verify
@@ -297,7 +298,7 @@ object Dedup {
     // join would execute twice per call
     val cand = bandsSubset.join(broadcast(newBanded), Seq("band_id", "band_key"))
       .select("new_id", "corpus_id").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val profSubset = store.readTouched(s"${feature}_profile", Seq("corpus_id"),
       cand.select("corpus_id"))
     cand
@@ -354,7 +355,7 @@ object Dedup {
     val nBands = maxHamming + 1
     val bitsPer = 60 / nBands
     val withSim = simhashes(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val banded = withSim.select(col(idCol), col("__simhash"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         b => call_function("shiftright", col("__simhash"), b * lit(bitsPer))
@@ -386,7 +387,7 @@ object Dedup {
     val sh = shingleProfiles(df, idCol, textCol, n, coeffs = Nil, keep = Seq(blockCol))
       .select(col(idCol), col(blockCol), col("__shingles").as("__sh"),
         size(col("__shingles")).as("__sz"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val prefixLen = (col("__sz") - ceil(col("__sz") * threshold) + 1).cast("int")
     val pre = sh.select(col(idCol), col(blockCol), col("__sz"),
       explode(slice(col("__sh"), lit(1), prefixLen)).as("__p"))
@@ -434,7 +435,7 @@ object Dedup {
     var labels = edges.select(col("src").as("id"), col("dst").as("rep"))
       .union(edges.select(col("src").as("id"), col("src").as("rep")))
       .groupBy("id").agg(min("rep").as("rep"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     var iter = 0
     var converged = false
     // labels only ever DECREASE, so an unchanged label sum ⇔ fixpoint — the
@@ -457,7 +458,7 @@ object Dedup {
       val checkpointRound = iter % 3 == 2
       val next =
         if (checkpointRound) grown.localCheckpoint()
-        else grown.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else grown.persistTracked()
       val s = next.agg(sum(col("rep").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .collect()(0).getDecimal(0)
       labels.unpersist()

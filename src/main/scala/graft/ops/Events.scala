@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.TrackedCache.TrackedDataset
 
 /** Event-stream batch operators: gap-based sessionization and time-grid
   * gap-filling (resampling). Complements the Structured Streaming
@@ -64,7 +65,7 @@ object Events {
     val daily = df
       .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("n_events"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
     val grid = daily.select(col(keyCol)).distinct().crossJoin(spine)

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.TrackedCache.TrackedDataset
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (north-star surface; the reference stack's Ray Data declares Arrow tensor
@@ -262,7 +263,7 @@ object Similarity {
     val v = df.select(col(idCol), quantize(col(vecCol), dim).as("__v"))
       .withColumn("__bucket", lshBucket(col("__v"), planes, dim))
       .withColumn("__n", dotQ(col("__v"), col("__v"), dim))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val l = v.select(col(idCol).as("id_l"), col("__v").as("__v_l"), col("__n").as("__n_l"), col("__bucket"))
     val r = v.select(col(idCol).as("id_r"), col("__v").as("__v_r"), col("__n").as("__n_r"), col("__bucket"))
     l.join(r, Seq("__bucket")).where(col("id_l") < col("id_r"))

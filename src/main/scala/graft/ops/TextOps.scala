@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.TrackedCache.TrackedDataset
 
 /** Text-analysis operators for training-data pipelines (north-star surface).
   * All pure built-in expressions — fully codegen'd, no UDFs, so they stay
@@ -450,7 +451,7 @@ object TextOps {
     // per-doc sum derive from this one persisted frame
     val docCb = occ.groupBy(col("doc_id"), col("__hp"), col("__hg"))
       .agg(count(lit(1)).as("__dc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val cb = docCb.groupBy("__hp", "__hg").agg(sum("__dc").as("__cb"))
     val cp = cb.groupBy("__hp").agg(sum("__cb").as("__cp"))
     val probs = cb.join(cp, "__hp").select(col("__hp"), col("__hg"),

@@ -105,13 +105,13 @@ object Fastlane {
           adm.write.mode("append").parquet(corpusDir)
           Dedup.shingleProfiles(adm, idCol, textCol, n, Dedup.hashCoeffs(numHashes))
             .write.mode("append").parquet(profileDir)
-          // the dedup operators persist internal frames (profiles, bands)
-          // that this caller cannot reach; a long-lived ingest query must
-          // not accumulate a batch's worth of dead cache entries forever.
-          // The ingest job owns its session (the normal Structured Streaming
-          // deployment), so clearing the session cache per batch is the
-          // bounded-state choice.
-          selfDeduped.sparkSession.catalog.clearCache()
+          // bounded state for an unbounded stream: release THIS batch's
+          // frames plus the internal ones the dedup ops persisted (tracked
+          // via TrackedCache) — not catalog.clearCache(), which would evict
+          // every cache in a session shared with other work.
+          adm.unpersist(false)
+          selfDeduped.unpersist(false)
+          graft.core.TrackedCache.release()
           ()
         }
       }
@@ -168,10 +168,12 @@ object Fastlane {
           else
             Dedup.appendToIndex(prof, idCol, "__sig", "__shingles",
               store, feature, numHashes, bands)
-          // bounded state for an unbounded stream: the dedup operators
-          // persist internal frames this caller cannot reach — the ingest
-          // job owns its session, so clear the session cache per batch
-          selfDeduped.sparkSession.catalog.clearCache()
+          // bounded state for an unbounded stream: release this batch's own
+          // frames and the ops' tracked internal persists — see above
+          prof.unpersist(false)
+          adm.unpersist(false)
+          selfDeduped.unpersist(false)
+          graft.core.TrackedCache.release()
           ()
         }
       }

@@ -389,6 +389,46 @@ class BucketedStoreSpec extends SparkSpec {
     assert(replayed == live, s"replayed ${replayed.size} vs live ${live.size}")
   }
 
+  test("delta-log fidelity: maintenance commits are dataChange:false, schema evolution re-emits metaData, vacuum horizon fails loudly") {
+    val store = new BucketedStore(tmpDir("bfidelity"), numBuckets = 4)
+    val base = (1L to 200L).map(i => (i, i.toDouble)).toDF("id", "v")
+    store.write(base, "f", Seq("id"))                                  // v0
+    def actions(v: Long): Seq[String] = scala.io.Source
+      .fromFile(f"${store.root}/f/_delta_log/$v%020d.json").getLines().toSeq
+
+    // schema-EVOLVING merge (new column w): metaData is re-emitted with the
+    // widened schema, as an external reader needs to pick up mid-log
+    store.merge("f", Seq((5L, 5.0, "x")).toDF("id", "v", "w"), Seq("id")) // v1
+    val meta1 = actions(1).filter(_.contains(""""metaData":{"""))
+    assert(meta1.size == 1, "schema-evolving merge must re-emit metaData")
+    assert(meta1.head.contains("\\\"w\\\""), meta1.head)
+    // schema-PRESERVING merge: no metaData action
+    store.merge("f", Seq((6L, 6.0, "y")).toDF("id", "v", "w"), Seq("id")) // v2
+    assert(actions(2).forall(!_.contains(""""metaData":{""")))
+
+    // append + compact: the compaction commit carries dataChange:false on
+    // every action (a Delta streaming reader must not re-ingest the files)
+    store.appendBucketed("f", Seq((901L, 1.0, "z")).toDF("id", "v", "w"), Seq("id")) // v3
+    assert(actions(3).filter(_.contains(""""add":{"""))
+      .forall(_.contains(""""dataChange":true""")))
+    val v4 = store.compactBuckets("f", Seq("id"))
+    assert(v4 == 4L)
+    val acts4 = actions(4).filter(a => a.contains(""""add":{""") || a.contains(""""remove":{"""))
+    assert(acts4.nonEmpty && acts4.forall(_.contains(""""dataChange":false""")), acts4.mkString("\n"))
+    // OPTIMIZE ZORDER is likewise a logical no-op rewrite
+    store.optimizeZorder("f", Seq("id"), Seq("v"))                     // v5
+    val acts5 = actions(5).filter(a => a.contains(""""add":{""") || a.contains(""""remove":{"""))
+    assert(acts5.nonEmpty && acts5.forall(_.contains(""""dataChange":false""")))
+
+    // vacuum records its horizon; a read below it names the horizon instead
+    // of failing deep in parquet path resolution
+    store.vacuum("f", keepVersions = 1)
+    assert(store.vacuumHorizon("f").contains(5L))
+    val e = intercept[IllegalStateException](store.read("f", Seq("id"), asOfVersion = Some(1)))
+    assert(e.getMessage.contains("vacuum horizon 5"), e.getMessage)
+    assert(store.read("f", Seq("id")).count() == 201)
+  }
+
   test("runBucketed: memoizing runner over file-level merge") {
     import org.apache.spark.sql.functions._
     val root = tmpDir("brun")
