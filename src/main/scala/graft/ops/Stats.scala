@@ -13,6 +13,24 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Bins cap for the exact-histogram percentile family: above this the
+    * "bins-only exchange" claim is void (the histogram is becoming the
+    * column) and the correct tool is percentile_approx. */
+  val DefaultMaxDistinct = 65536
+
+  /** Runtime guard for the bounded-cardinality contract: adds 0 when the
+    * histogram is within bounds, raises a loud error the moment any window
+    * partition's bin count exceeds `maxDistinct`. Embedded into an already-
+    * computed windowed column so it costs nothing and can't be pruned. */
+  private def cardinalityGuard(binCount: org.apache.spark.sql.Column,
+      maxDistinct: Int, op: String, valueCol: String): org.apache.spark.sql.Column =
+    when(binCount > maxDistinct, raise_error(lit(
+      s"$op: column '$valueCol' exceeds $maxDistinct distinct values — the exact " +
+        "histogram path would carry ~one bin per value through the exchange " +
+        "(a row-sized shuffle, the thing this operator exists to avoid). Use " +
+        "percentile_approx for continuous columns, or raise maxDistinct if the " +
+        "cardinality is genuinely bounded."))).otherwise(lit(0L))
+
   /** Fixed-width histogram of `valueCol` over `[lo, hi)` with `nBins` bins;
     * out-of-range values clamp into the edge bins (no silent drops). Rows
     * with NULL values are excluded.
@@ -55,9 +73,14 @@ object Stats {
     *
     * Use when the column's distinct-value count is bounded (quantities,
     * grades, categorical scores); for unbounded doubles use
-    * percentile_approx.
+    * percentile_approx. The `maxDistinct` guard enforces that contract AT
+    * RUNTIME: a continuous double column would silently turn the "bins"
+    * exchange into a row-sized shuffle, so the histogram fails loudly
+    * instead (the check rides the existing full-frame window — no extra
+    * pass; it can only fire on the already-aggregated bins frame).
     */
-  def histogramPercentile(df: DataFrame, valueCol: String, p: Double): DataFrame = {
+  def histogramPercentile(df: DataFrame, valueCol: String, p: Double,
+      maxDistinct: Int = DefaultMaxDistinct): DataFrame = {
     require(p >= 0 && p <= 1, s"p must be in [0,1], got $p")
     val cw = Window.orderBy("__q")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -68,7 +91,9 @@ object Stats {
       .agg(count(lit(1)).as("__c"))
       .withColumn("__hi", sum("__c").over(cw))
       .withColumn("__lo", col("__hi") - col("__c"))
-      .withColumn("__k", (sum("__c").over(fw) - 1) * p)
+      .withColumn("__k", (sum("__c").over(fw) - 1) * p
+        + cardinalityGuard(count(lit(1)).over(fw), maxDistinct,
+            "histogramPercentile", valueCol))
       .agg(
         max(when(col("__lo") <= floor(col("__k")) && floor(col("__k")) < col("__hi"),
           col("__q"))).as("__vlo"),
@@ -92,9 +117,11 @@ object Stats {
     * exchange. Same `percentile()` interpolation (k = p·(n−1), linear
     * between the two bracketing sorted values) per group, one output column
     * per requested p named `p<round(p*100)>`. Bounded-cardinality contract
-    * as [[histogramPercentile]]. */
+    * (and runtime `maxDistinct` guard, here per GROUP — the window is
+    * group-partitioned) as [[histogramPercentile]]. */
   def groupedHistogramPercentiles(df: DataFrame, groupCol: String,
-      valueCol: String, ps: Seq[Double]): DataFrame = {
+      valueCol: String, ps: Seq[Double],
+      maxDistinct: Int = DefaultMaxDistinct): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"ps must be in [0,1]: $ps")
     val names = ps.map(p => s"p${math.round(p * 100)}")
     require(names.distinct.size == names.size, s"p labels collide: $names")
@@ -107,7 +134,9 @@ object Stats {
       .agg(count(lit(1)).as("__c"))
       .withColumn("__hi", sum("__c").over(cw))
       .withColumn("__lo", col("__hi") - col("__c"))
-      .withColumn("__n", sum("__c").over(fw))
+      .withColumn("__n", sum("__c").over(fw)
+        + cardinalityGuard(count(lit(1)).over(fw), maxDistinct,
+            "groupedHistogramPercentiles", valueCol))
     val aggs = ps.zip(names).flatMap { case (p, nm) =>
       val k = (col("__n") - 1) * p
       Seq(
@@ -130,7 +159,8 @@ object Stats {
     * one single-row broadcast back onto the fact side — the fact table never
     * shuffles). NULLs pass through as NULL. Appends `outCol` (double). */
   def winsorize(df: DataFrame, valueCol: String, pLo: Double, pHi: Double,
-                outCol: String = "winsorized"): DataFrame = {
+                outCol: String = "winsorized",
+                maxDistinct: Int = DefaultMaxDistinct): DataFrame = {
     require(0 <= pLo && pLo < pHi && pHi <= 1, s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
     val cw = Window.orderBy("__q")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -141,7 +171,8 @@ object Stats {
       .agg(count(lit(1)).as("__c"))
       .withColumn("__hi", sum("__c").over(cw))
       .withColumn("__lo", col("__hi") - col("__c"))
-      .withColumn("__n", sum("__c").over(fw))
+      .withColumn("__n", sum("__c").over(fw)
+        + cardinalityGuard(count(lit(1)).over(fw), maxDistinct, "winsorize", valueCol))
     def pick(p: Double, tag: String) = {
       val k = (col("__n") - 1) * p
       Seq(
@@ -226,8 +257,9 @@ object Stats {
     * broadcast back; the fact side never shuffles. Degenerate groups
     * (IQR = 0) get 0, NULL values stay NULL. */
   def robustScalePerGroup(df: DataFrame, keyCol: String, idCol: String,
-      valueCol: String): DataFrame = {
-    val stats = groupedHistogramPercentiles(df, keyCol, valueCol, Seq(0.25, 0.5, 0.75))
+      valueCol: String, maxDistinct: Int = DefaultMaxDistinct): DataFrame = {
+    val stats = groupedHistogramPercentiles(df, keyCol, valueCol,
+      Seq(0.25, 0.5, 0.75), maxDistinct)
       .select(col(keyCol), col("p50").as("__med"),
         (col("p75") - col("p25")).as("__iqr"))
     // LEFT join: a group whose values are entirely NULL has no histogram

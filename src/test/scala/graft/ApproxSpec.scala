@@ -40,6 +40,28 @@ class ApproxSpec extends SparkSpec {
     assert(graft.ops.Stats.histogramPercentile(dup, "v", 0.5).as[Double].head() == 2.0)
   }
 
+  test("histogram-percentile family fails loudly past the cardinality bound") {
+    // a "continuous" column: every value distinct — exactly the case where
+    // the exact histogram silently becomes a row-sized shuffle
+    val cont = spark.range(1000).select((col("id") + 0.5).as("v"))
+    val e = intercept[Exception](
+      graft.ops.Stats.histogramPercentile(cont, "v", 0.5, maxDistinct = 100)
+        .as[Double].head())
+    assert(e.getMessage.contains("distinct values"), e.getMessage)
+    // grouped form guards PER GROUP
+    val grouped = spark.range(1000).select((col("id") % 2).as("g"), (col("id") + 0.5).as("v"))
+    val eg = intercept[Exception](
+      graft.ops.Stats.groupedHistogramPercentiles(grouped, "g", "v", Seq(0.5), maxDistinct = 100)
+        .collect())
+    assert(eg.getMessage.contains("distinct values"), eg.getMessage)
+    val ew = intercept[Exception](
+      graft.ops.Stats.winsorize(cont, "v", 0.05, 0.95, maxDistinct = 100).collect())
+    assert(ew.getMessage.contains("distinct values"), ew.getMessage)
+    // within the bound the same shapes still answer
+    assert(graft.ops.Stats.histogramPercentile(cont, "v", 0.5, maxDistinct = 1000)
+      .as[Double].head() == 500.0)
+  }
+
   test("q21 bounds-booleans hold and the plan avoids the value-buffering shapes") {
     val row = SparkEntry.queries("q21_approx_agg")(spark, sfDir).head()
     assert(row.getLong(0) > 0)
