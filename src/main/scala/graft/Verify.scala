@@ -19,7 +19,13 @@ object Verify {
     // the WRITE half of the q43/q44/q45 source round-trips — the DuckDB
     // compare of each read side then closes the loop
     SparkEntry.prepareFixtures(spark, sfDir)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_ONLY=q85_cosine_topk_ivf,... — dump (and list in
+    // oracle_sql.json) only a subset, for fast targeted re-verification
+    // while iterating; the driver never sets this.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       // NonFatal: one failing query is reported and the dump continues, but
       // OOM/fatal JVM errors abort — a partial dump after one is misleading
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -42,6 +48,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -112,8 +112,25 @@ object Similarity {
       Seq(col("cosine").desc, col("corpus_id").asc), k, rankCol = "rank")
   }
 
-  /** Lloyd-refined IVF centroids, fully deterministic: seeds are the first
-    * `nlist` corpus vectors; each iteration assigns every corpus vector to
+  /** Deterministic seed centroids for the IVF family: the `nlist` corpus
+    * vectors with the SMALLEST ids under the id column's own ordering —
+    * a global top-k (TakeOrderedAndProject: per-partition heads, one small
+    * merge; no full sort, no single-partition shuffle) — densified to
+    * `cent_id` 0..nlist-1. Works for ANY orderable id type (strings, UUIDs,
+    * sparse hashes); for a dense numeric 0..N-1 corpus it reproduces the
+    * historical `id < nlist` seeding exactly (cent_id == corpus_id), so the
+    * q85 oracle stays bit-identical. NULL ids order last (never seeded).
+    * The row_number window runs over the already-limited nlist-row frame. */
+  private def seedCentroids(c: DataFrame, nlist: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("corpus_id").asc_nulls_last)
+    c.orderBy(col("corpus_id").asc_nulls_last).limit(nlist)
+      .withColumn("cent_id", row_number().over(w).cast("long") - 1)
+      .select(col("cent_id"), col("__cv").as("__centv"), col("__cn").as("__centn"))
+  }
+
+  /** Lloyd-refined IVF centroids, fully deterministic: seeds are the
+    * `nlist` smallest-id corpus vectors ([[seedCentroids]] — any orderable
+    * id type); each iteration assigns every corpus vector to
     * its nearest centroid (broadcast join — never corpus×corpus) and
     * recomputes each centroid as the per-dimension MEAN re-quantized to
     * int64, so downstream dot products stay exact integer arithmetic.
@@ -126,8 +143,8 @@ object Similarity {
       .withColumn("__cn", dotQ(col("__cv"), col("__cv"), dim))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var cents: Seq[(Long, Array[Long])] = c.where(col("corpus_id") < nlist)
-        .select(col("corpus_id"), col("__cv")).collect()
+      var cents: Seq[(Long, Array[Long])] = seedCentroids(c, nlist)
+        .select(col("cent_id"), col("__centv")).collect()
         .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1).toSeq
       for (_ <- 0 until iters) {
         val centDf = spark.createDataFrame(cents.map { case (id, v) => (id, v.toSeq) })
@@ -162,16 +179,11 @@ object Similarity {
 
   /** IVF-flat ANN top-k: corpus is partitioned into `nlist` inverted lists by
     * nearest centroid; a query scores only the lists of its `nprobe` nearest
-    * centroids. Centroids are the first `nlist` corpus vectors
-    * (deterministic seeding, oracle-reproducible); `refineIters > 0` runs
+    * centroids. Centroids are the `nlist` smallest-id corpus vectors
+    * ([[seedCentroids]] — deterministic for ANY orderable id type, including
+    * strings/UUIDs, and oracle-reproducible); `refineIters > 0` runs
     * [[kmeansCentroids]] Lloyd rounds first — still deterministic, better
     * recall, but no longer expressible as a short SQL oracle.
-    *
-    * SEEDING CONTRACT: `id < nlist` requires a DENSE NUMERIC id column —
-    * string/UUID or sparse hashed ids would silently seed an empty or
-    * undersized centroid set (the comparison NULLs out non-numeric ids), so
-    * the id type is checked loudly below. For arbitrary ids, densify first
-    * (`row_number` over a deterministic order) or use [[lshTopK]].
     *
     * Scale shape: assignment is corpus × nlist (nlist ≈ √N keeps it linear in
     * N·√N with a BROADCAST of the small centroid set — never corpus×corpus);
@@ -182,16 +194,10 @@ object Similarity {
               k: Int, nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
               refineIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
-    require(corpus.schema(corpusIdCol).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"ivfTopK seeds centroids by '$corpusIdCol' < nlist and needs a dense " +
-        "numeric id column; densify arbitrary ids first or use lshTopK")
     val c = corpus.select(col(corpusIdCol).as("corpus_id"), quantize(col(vecCol), dim).as("__cv"))
       .withColumn("__cn", dotQ(col("__cv"), col("__cv"), dim))
     val cent =
-      if (refineIters <= 0)
-        c.where(col("corpus_id") < nlist)
-          .select(col("corpus_id").as("cent_id"), col("__cv").as("__centv"), col("__cn").as("__centn"))
+      if (refineIters <= 0) seedCentroids(c, nlist)
       else
         spark.createDataFrame(
             kmeansCentroids(corpus, corpusIdCol, vecCol, nlist, refineIters, dim)

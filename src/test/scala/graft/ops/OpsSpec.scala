@@ -312,6 +312,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.3, s"IVF recall too low: $recall")
   }
 
+  test("IVF top-k works over arbitrary (string) ids; dense-numeric results unchanged") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // same corpus, ids mapped to NON-numeric strings ("doc-0042"): the
+    // seeding must not depend on ids being dense numerics
+    val sEmb = emb.select(format_string("doc-%04d", col("vec_id")).as("vec_id"),
+      col("embedding"))
+    val sQueries = sEmb.filter(col("vec_id") < "doc-0020")
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id", "embedding", k = 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val sIvf = Similarity.ivfTopK(sQueries, sEmb, "vec_id", "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 3)
+      .select("query_id", "corpus_id").as[(String, String)].collect().toSet
+    // self-match survives and recall holds — the functional bar, id-type-free
+    assert((0 until 20).forall(q => sIvf.contains((f"doc-$q%04d", f"doc-$q%04d"))), "self-match lost")
+    // zero-padded string order == numeric order here, so the string-id run
+    // must select the SAME (query, corpus) pairs as the numeric-id run
+    val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 3)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(sIvf.map { case (q, c) => (q.drop(4).toLong, c.drop(4).toLong) } == ivf)
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall > 0.3, s"IVF recall too low: $recall")
+    // refined path over string ids too (kmeansCentroids shares the seeding)
+    val refined = Similarity.ivfTopK(sQueries, sEmb, "vec_id", "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 3, refineIters = 1)
+      .select("query_id", "corpus_id").as[(String, String)].collect().toSet
+    assert((0 until 20).forall(q => refined.contains((f"doc-$q%04d", f"doc-$q%04d"))))
+  }
+
   test("k-means-refined IVF is deterministic and does not lose recall vs seeded") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 20)
