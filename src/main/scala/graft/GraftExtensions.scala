@@ -1,30 +1,131 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.expressions.Md5Hash60
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import graft.expressions.{ArrayDotProduct, Md5Hash60}
 
-/** Session extensions: register graft's native expressions on the SQL
-  * surface (`SELECT graft_md5hash60(x)`), so plain-SQL users get the same
-  * codegen'd primitives the Column API uses.
-  *
-  * Activate with:
+/** Session extensions: register graft's native expressions AND the
+  * north-star operators as SQL TABLE FUNCTIONS, so plain-SQL users reach
+  * the same dedup/ANN pipelines the Scala API builds (the reference's
+  * declared surface is SQL-first via Ibis —
+  * projects/feray/pyproject.toml:24):
   * {{{
-  *   SparkSession.builder()
-  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   SELECT * FROM graft_neardup_pairs('docs', 'doc_id', 'text', 3, 12, 4, 0.5)
+  *   SELECT * FROM graft_cosine_topk('queries', 'corpus', 'qid', 'cid', 'vec', 10)
   * }}}
+  *
+  * Activate at session build with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`, or on a live
+  * session with [[GraftExtensions.install]]. A TVF call expands, at analysis
+  * time, to the SAME logical plan the Scala API produces — banded LSH joins,
+  * broadcast query sides, keyed shuffles — so the 100 TB shape is identical
+  * on both surfaces (and the SQL route is oracle-checked by q125).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_md5hash60"),
-      Md5Hash60.info,
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Md5Hash60(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_dotq"),
-      graft.expressions.ArrayDotProduct.info,
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.expressions.ArrayDotProduct(children(0), children(1))))
+    GraftExtensions.scalarFunctions.foreach(ext.injectFunction)
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
   }
+}
+
+object GraftExtensions {
+
+  type Builder[T] = Seq[Expression] => T
+
+  /** Register everything on an ALREADY-RUNNING session (the config route
+    * only applies at session build). Idempotent. */
+  def install(spark: SparkSession): Unit = {
+    val freg = spark.sessionState.functionRegistry
+    scalarFunctions.foreach { case (id, info, b) =>
+      if (!freg.functionExists(id)) freg.registerFunction(id, info, b) }
+    val treg = spark.sessionState.tableFunctionRegistry
+    tableFunctions.foreach { case (id, info, b) =>
+      if (!treg.functionExists(id)) treg.registerFunction(id, info, b) }
+  }
+
+  private[graft] val scalarFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Builder[Expression])] = Seq(
+    (FunctionIdentifier("graft_md5hash60"), Md5Hash60.info,
+      (children: Seq[Expression]) => Md5Hash60(children.head)),
+    (FunctionIdentifier("graft_dotq"), ArrayDotProduct.info,
+      (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))))
+
+  // ---- TVF argument extraction: literals only, loud errors ----------------
+  // Table-function arguments arrive as Catalyst expressions; the operator
+  // parameters (table names, column names, thresholds) must be plan-time
+  // constants, so anything non-foldable is rejected by name.
+
+  private def litOf(e: Expression, what: String): Any = {
+    require(e.foldable, s"$what must be a literal, got: ${e.sql}")
+    e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+  }
+  private def str(e: Expression, what: String): String = litOf(e, what) match {
+    case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    case other => throw new IllegalArgumentException(s"$what must be a string, got $other")
+  }
+  private def int(e: Expression, what: String): Int = litOf(e, what) match {
+    case n: java.lang.Number => n.intValue()
+    case d: org.apache.spark.sql.types.Decimal => d.toInt
+    case other => throw new IllegalArgumentException(s"$what must be an integer, got $other")
+  }
+  private def dbl(e: Expression, what: String): Double = litOf(e, what) match {
+    case n: java.lang.Number => n.doubleValue()
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case other => throw new IllegalArgumentException(s"$what must be numeric, got $other")
+  }
+  /** Resolve a table/view name through the ACTIVE session's catalog — the
+    * builder runs inside analysis, where an active session always exists. */
+  private def table(name: String): DataFrame = SparkSession.active.table(name)
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.GraftExtensions", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  /** North-star ops on the SQL surface. Each builder expands to the Scala
+    * API's logical plan (`queryExecution.logical` — analyzed with the outer
+    * query), so SQL callers inherit the exact scale shape, plan locks and
+    * oracle behavior of the Column-API route. */
+  private[graft] val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Builder[LogicalPlan])] = Seq(
+    (FunctionIdentifier("graft_neardup_pairs"),
+      info("graft_neardup_pairs",
+        "graft_neardup_pairs(table, idCol, textCol, n, numHashes, bands, threshold) - MinHash-LSH near-duplicate pairs with exact-Jaccard verification"),
+      (args: Seq[Expression]) => {
+        require(args.length == 7,
+          "usage: graft_neardup_pairs(table, idCol, textCol, n, numHashes, bands, threshold)")
+        ops.Dedup.minhashNearDupPairs(table(str(args(0), "table")),
+          str(args(1), "idCol"), str(args(2), "textCol"), int(args(3), "n"),
+          int(args(4), "numHashes"), int(args(5), "bands"), dbl(args(6), "threshold"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_ngram_jaccard_pairs"),
+      info("graft_ngram_jaccard_pairs",
+        "graft_ngram_jaccard_pairs(table, idCol, textCol, blockCol, n, threshold) - exact n-gram Jaccard pairs via PPJoin prefix filtering"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "usage: graft_ngram_jaccard_pairs(table, idCol, textCol, blockCol, n, threshold)")
+        ops.Dedup.ngramJaccardPairs(table(str(args(0), "table")),
+          str(args(1), "idCol"), str(args(2), "textCol"), str(args(3), "blockCol"),
+          int(args(4), "n"), dbl(args(5), "threshold"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_cosine_topk"),
+      info("graft_cosine_topk",
+        "graft_cosine_topk(queryTable, corpusTable, queryIdCol, corpusIdCol, vecCol, k) - brute-force cosine top-k (query side broadcast)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "usage: graft_cosine_topk(queryTable, corpusTable, queryIdCol, corpusIdCol, vecCol, k)")
+        ops.Similarity.bruteForceTopK(table(str(args(0), "queryTable")),
+          table(str(args(1), "corpusTable")), str(args(2), "queryIdCol"),
+          str(args(3), "corpusIdCol"), str(args(4), "vecCol"), int(args(5), "k"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_exact_dedup"),
+      info("graft_exact_dedup",
+        "graft_exact_dedup(table, idCol, textCol) - exact duplicate groups by content digest (digest, keep_id, n_copies)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "usage: graft_exact_dedup(table, idCol, textCol)")
+        ops.Dedup.exactByContent(table(str(args(0), "table")),
+          str(args(1), "idCol"), Seq(str(args(2), "textCol")))
+          .queryExecution.logical
+      }))
 }

@@ -1643,6 +1643,42 @@ object SparkEntry {
   private def sqlDotQ(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> ($a)[i] * ($b)[i]))"
 
+  /** Shared oracle for the MinHash-LSH near-dup pairs: q71 (Scala API) and
+    * q125 (the SQL TVF route) must both produce exactly this. */
+  private lazy val sqlMinhashPairs: String = {
+    val coeffs = ops.Dedup.hashCoeffs(12)
+    val sig = coeffs.map { case (a, b) =>
+      s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))"
+    }.mkString("[", ", ", "]")
+    val bandKeys = (0 until 4).map(bi =>
+      s"md5(concat_ws(',', sig[${bi * 3 + 1}], sig[${bi * 3 + 2}], sig[${bi * 3 + 3}]))")
+      .mkString("[", ", ", "]")
+    s"""
+    WITH sh AS (
+      SELECT doc_id, ${sqlShingles("text")} AS sh FROM documents),
+    sig AS (
+      SELECT doc_id, sh, $sig AS sig FROM sh),
+    banded AS (
+      SELECT doc_id, sh, unnest($bandKeys) AS band_key,
+             unnest(range(0, 4)) AS band_id
+      FROM sig),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+      FROM banded l JOIN banded r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+       AND l.doc_id < r.doc_id),
+    verified AS (
+      SELECT c.id_l, c.id_r,
+        CASE WHEN len(list_distinct(l.sh || r.sh)) = 0 THEN 1.0
+             ELSE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                  / len(list_distinct(l.sh || r.sh)) END AS jaccard
+      FROM cand c
+      JOIN sh l ON c.id_l = l.doc_id
+      JOIN sh r ON c.id_r = r.doc_id)
+    SELECT id_l, id_r, jaccard FROM verified WHERE jaccard >= 0.2
+    ORDER BY id_l, id_r"""
+  }
+
   /** Shared oracle for the incremental near-dup pair (q118 scan path, q123
     * indexed path — both must produce exactly this). */
   private lazy val sqlIncrementalNeardup: String = {
@@ -1699,39 +1735,7 @@ object SparkEntry {
         T(s, dir, "documents"), "doc_id", "text",
         n = 3, numHashes = 12, bands = 4, threshold = 0.2)
         .orderBy("id_l", "id_r"),
-      Some {
-        val coeffs = ops.Dedup.hashCoeffs(12)
-        val sig = coeffs.map { case (a, b) =>
-          s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))"
-        }.mkString("[", ", ", "]")
-        val bandKeys = (0 until 4).map(bi =>
-          s"md5(concat_ws(',', sig[${bi * 3 + 1}], sig[${bi * 3 + 2}], sig[${bi * 3 + 3}]))")
-          .mkString("[", ", ", "]")
-        s"""
-        WITH sh AS (
-          SELECT doc_id, ${sqlShingles("text")} AS sh FROM documents),
-        sig AS (
-          SELECT doc_id, sh, $sig AS sig FROM sh),
-        banded AS (
-          SELECT doc_id, sh, unnest($bandKeys) AS band_key,
-                 unnest(range(0, 4)) AS band_id
-          FROM sig),
-        cand AS (
-          SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
-          FROM banded l JOIN banded r
-            ON l.band_id = r.band_id AND l.band_key = r.band_key
-           AND l.doc_id < r.doc_id),
-        verified AS (
-          SELECT c.id_l, c.id_r,
-            CASE WHEN len(list_distinct(l.sh || r.sh)) = 0 THEN 1.0
-                 ELSE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
-                      / len(list_distinct(l.sh || r.sh)) END AS jaccard
-          FROM cand c
-          JOIN sh l ON c.id_l = l.doc_id
-          JOIN sh r ON c.id_r = r.doc_id)
-        SELECT id_l, id_r, jaccard FROM verified WHERE jaccard >= 0.2
-        ORDER BY id_l, id_r"""
-      }),
+      Some(sqlMinhashPairs)),
 
     // -- q86: near-dup clustering: pairs -> connected components -> keep reps
     Q("q86_neardup_clusters",
@@ -2639,7 +2643,26 @@ object SparkEntry {
       Some("""
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders WHERE o_totalprice BETWEEN 1000.0 AND 60000.0
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // -- q125: the SQL-surface route — the reference exposes every operator
+    //    through SQL (Ibis, projects/feray/pyproject.toml:24), so SQL-only
+    //    users must reach the north-star ops too. graft_neardup_pairs is a
+    //    session-registered TABLE FUNCTION (GraftExtensions) that expands to
+    //    the SAME logical plan as q71's Scala call; the oracle is shared
+    //    verbatim with q71, so the two surfaces can never drift. The view
+    //    name is per-sf (Verify runs one session across fixture dirs). -----
+    Q("q125_sql_tvf_neardup",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val view = s"documents_tvf_${dir.replaceAll("[^0-9]", "")}"
+        T(s, dir, "documents").createOrReplaceTempView(view)
+        s.sql(s"""
+          SELECT id_l, id_r, jaccard
+          FROM graft_neardup_pairs('$view', 'doc_id', 'text', 3, 12, 4, 0.2)
+          ORDER BY id_l, id_r""")
+      },
+      Some(sqlMinhashPairs))
   )
 
   /** Framework semantics (SURVEY §2.A): record versioning, memoization,

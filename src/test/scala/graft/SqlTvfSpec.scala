@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The SQL table-function surface (GraftExtensions) must be plan-equivalent
+  * to the Scala API: same rows, and the TVF expansion IS the Scala call's
+  * logical plan, so any drift would be a bug in the registration glue. */
+class SqlTvfSpec extends SparkSpec {
+
+  GraftExtensions.install(spark)
+
+  private def docs = Tables.load(spark, sfDir, "documents")
+  private def emb = Tables.load(spark, sfDir, "embeddings")
+
+  private def same(a: DataFrame, b: DataFrame): Unit = {
+    val ca = a.columns.sorted.toSeq
+    assert(ca == b.columns.sorted.toSeq, s"$ca vs ${b.columns.sorted.toSeq}")
+    val sa = a.select(ca.map(col): _*).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val sb = b.select(ca.map(col): _*).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(sa.sameElements(sb), s"${sa.length} vs ${sb.length} rows or content differ")
+  }
+
+  test("graft_neardup_pairs == Dedup.minhashNearDupPairs") {
+    docs.createOrReplaceTempView("tvf_docs")
+    same(
+      spark.sql("SELECT * FROM graft_neardup_pairs('tvf_docs','doc_id','text',3,12,4,0.2)"),
+      ops.Dedup.minhashNearDupPairs(docs, "doc_id", "text", 3, 12, 4, 0.2))
+  }
+
+  test("graft_ngram_jaccard_pairs == Dedup.ngramJaccardPairs") {
+    docs.createOrReplaceTempView("tvf_docs")
+    same(
+      spark.sql("SELECT * FROM graft_ngram_jaccard_pairs('tvf_docs','doc_id','text','source',3,0.2)"),
+      ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 3, 0.2))
+  }
+
+  test("graft_cosine_topk == Similarity.bruteForceTopK") {
+    emb.createOrReplaceTempView("tvf_emb")
+    emb.filter(col("vec_id") < 5).createOrReplaceTempView("tvf_q")
+    same(
+      spark.sql("SELECT * FROM graft_cosine_topk('tvf_q','tvf_emb','vec_id','vec_id','embedding',5)"),
+      ops.Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "vec_id", "embedding", 5))
+  }
+
+  test("graft_exact_dedup == Dedup.exactByContent; composes with SQL around it") {
+    docs.createOrReplaceTempView("tvf_docs")
+    same(
+      spark.sql("SELECT * FROM graft_exact_dedup('tvf_docs','doc_id','text')"),
+      ops.Dedup.exactByContent(docs, "doc_id", Seq("text")))
+    // the TVF result is a real relation: joins/filters/aggregates compose
+    val n = spark.sql("""
+      SELECT count(*) AS n FROM graft_exact_dedup('tvf_docs','doc_id','text')
+      WHERE n_copies > 1""").head().getLong(0)
+    assert(n >= 0)
+  }
+
+  test("non-literal and malformed TVF arguments fail loudly") {
+    docs.createOrReplaceTempView("tvf_docs")
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft_neardup_pairs('tvf_docs','doc_id','text',3,12,4)"))
+    assert(e.getMessage.contains("usage:"), e.getMessage)
+  }
+}
