@@ -424,10 +424,14 @@ object TextOps {
     * (docs shorter than 2 tokens contribute their single token as its own
     * gram, same edge rule as [[Dedup.shingleStringsFromTokens]]).
     *
-    * Persists the per-doc gram-count frame internally (it feeds both the
-    * corpus counts and the final sum); long-lived sessions calling this
-    * repeatedly should `spark.catalog.clearCache()` after materializing
-    * the result — same lifecycle contract as [[graft.ops.Dedup]]. */
+    * Nothing is persisted: the per-doc gram-count frame's two consumers
+    * (corpus counts, final sum) share the ONE repartition exchange below via
+    * Spark's ReuseExchange — the tokenize+explode+md5 pass physically runs
+    * once and both branches read the same shuffle files, with the exchange's
+    * hash partitioning visible to every downstream aggregation (a persisted
+    * frame under AQE reports Unknown partitioning from the cache and every
+    * consumer re-shuffles — the r7 shape paid two extra doc-gram-sized
+    * exchanges for exactly that). */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // tokens BOUND to a column before the HOF: interpreted lambda bodies get
     // no CSE, so `get(split(text), i)` would re-split the text per element
@@ -439,20 +443,38 @@ object TextOps {
       sequence(lit(1), greatest(lit(1), size(toks) - 1)),
       i => struct(get(toks, i - 1).as("p"),
         concat_ws(" ", get(toks, i - 1), get(toks, i)).as("g")))
+    // ONE gram-hash-keyed exchange of the exploded stream, then EVERYTHING
+    // up to the final per-doc rollup rides it: hashpartitioning(hp, hg)
+    // satisfies the per-doc collapse (subset rule: {hp,hg} ⊆ {doc,hp,hg}),
+    // the corpus counts (exact), and the probability join's left side —
+    // the r7 shape re-shuffled the doc-gram frame twice more (once into the
+    // corpus counts, once into the prob join), tripling the big exchanges.
     val occ = df
       .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), explode(pairs).as("__pg"))
       .select(col("doc_id"),
         pmod(Dedup.md5Hash60(col("__pg.p")), lit(Dedup.P)).as("__hp"),
         pmod(Dedup.md5Hash60(col("__pg.g")), lit(Dedup.P)).as("__hg"))
-    // collapse occurrences to per-doc gram counts FIRST: the explode + md5
-    // pass (the dominant cost) runs exactly once, every later frame is
-    // distinct-(doc,gram)-sized, and both the corpus counts and the final
-    // per-doc sum derive from this one persisted frame
+      // explicit null filter (null hash ⇔ null text edge): output-equivalent
+      // (a null key can never survive the inner probability join), and it
+      // keeps BOTH consumers' subtrees byte-identical — the prob join would
+      // otherwise push an inferred isnotnull into only ITS branch, defeating
+      // the exchange reuse this plan is built around
+      .where(col("__hp").isNotNull && col("__hg").isNotNull)
+      .repartition(col("__hp"), col("__hg"))
+    // collapse occurrences to per-doc gram counts (no exchange — see above):
+    // the explode + md5 pass runs exactly once (ReuseExchange dedupes the
+    // identical repartition subtree under both consumers), every later frame
+    // is distinct-(doc,gram)-sized
     val docCb = occ.groupBy(col("doc_id"), col("__hp"), col("__hg"))
       .agg(count(lit(1)).as("__dc"))
-      .persistTracked()
     val cb = docCb.groupBy("__hp", "__hg").agg(sum("__dc").as("__cb"))
+    // the prefix totals and the (vocab-sized) probability table DO
+    // re-exchange — on bins-/vocab-sized frames only. No explicit re-key of
+    // probs: AQE broadcasts it when the vocabulary is small, and at scale
+    // EnsureRequirements shuffles ONLY this vocab-sized side into the
+    // doc-gram side's (hp, hg) partitioning — the doc-gram frame stays put
+    // either way.
     val cp = cb.groupBy("__hp").agg(sum("__cb").as("__cp"))
     val probs = cb.join(cp, "__hp").select(col("__hp"), col("__hg"),
       round(lit(1000000.0) * (col("__cb").cast("double") / col("__cp").cast("double")))

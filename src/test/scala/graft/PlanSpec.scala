@@ -11,6 +11,16 @@ class PlanSpec extends SparkSpec {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
+  /** Physical plan with the AQE wrapper unwrapped: the adaptive node is an
+    * opaque LEAF, so `.collect` on it silently finds nothing and a shape
+    * assertion passes vacuously. (toString is unaffected — it prints the
+    * whole initial plan.) */
+  private def physical(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+
   test("q01: filter and projection reach the parquet scan") {
     val p = planOf("q01_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
@@ -208,7 +218,7 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("percentile("), s"interpreted exact percentile in plan:\n$p")
     assert(!p.contains("Expand"), s"distinct-rewrite Expand in plan:\n$p")
-    val sketchAggs = df.queryExecution.executedPlan.collect {
+    val sketchAggs = physical(df).collect {
       case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
       case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
     }
@@ -242,7 +252,7 @@ class PlanSpec extends SparkSpec {
     // hashes) — no exchange may partition on a string column (the text/gram
     // strings themselves must never be shuffle keys)
     val df = SparkEntry.queries("q117_bigram_lm")(spark, sfDir)
-    val shuffles = df.queryExecution.executedPlan.collect {
+    val shuffles = physical(df).collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
     val stringKeyed = shuffles.filter(_.outputPartitioning match {
@@ -253,6 +263,19 @@ class PlanSpec extends SparkSpec {
     })
     assert(stringKeyed.isEmpty,
       s"exchange keyed on a string column:\n${stringKeyed.mkString("\n")}")
+    // the gram-hash exchanges (two long keys) must all be canonically EQUAL:
+    // the per-doc collapse, corpus counts and prob join share ONE physical
+    // repartition via exchange reuse — the tokenize+explode pass runs once
+    // and the doc-gram frame never re-shuffles (r7 paid it three times)
+    val gramKeyed = shuffles.filter(_.outputPartitioning match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        h.expressions.length == 2 &&
+          h.expressions.forall(_.dataType == org.apache.spark.sql.types.LongType)
+      case _ => false
+    })
+    assert(gramKeyed.nonEmpty, "expected gram-hash-keyed exchanges")
+    assert(gramKeyed.map(_.canonicalized).distinct.size == 1,
+      s"gram exchanges not reusable (distinct canonical forms):\n${gramKeyed.mkString("\n")}")
   }
 
   test("q120: winsorize bounds come from a bins-sized agg broadcast back; the fact side never shuffles for the clip") {
