@@ -21,8 +21,13 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      // integer division: ts is ~1.7e18 ns, beyond double's exact range
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      df.schema("ts").dataType match {
+        // integer division: ts is ~1.7e18 ns, beyond double's exact range
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        // regenerated fixtures (Sf1Gen) already carry TIMESTAMP(MICROS)
+        case _ => df
+      }
     else df
   }
 
