@@ -52,13 +52,18 @@ object ScaleRehearsal {
           col("source"))
       }.reduce(_ unionByName _)
 
+    // rotation cycles mod 64 (slice length must stay >= 0 at factor > 64);
+    // replica families 64 apart share a rotation — each vector then has one
+    // exact twin per shared family, adding LINEARLY many cross-family pairs
+    // (bounded, shape-preserving), never a quadratic blow-up
     def scaledEmb(k: Int): DataFrame =
       (0 until k).map { i =>
-        if (i == 0) emb0.select(col("vec_id"), col("embedding"))
+        val r = i % 64
+        if (r == 0) emb0.select((col("vec_id") + lit(i * nVecs)).as("vec_id"), col("embedding"))
         else emb0.select(
           (col("vec_id") + lit(i * nVecs)).as("vec_id"),
-          concat(slice(col("embedding"), i + 1, 64 - i),
-            slice(col("embedding"), 1, i)).as("embedding"))
+          concat(slice(col("embedding"), r + 1, 64 - r),
+            slice(col("embedding"), 1, r)).as("embedding"))
       }.reduce(_ unionByName _)
 
     // relational fact/dim replicas: order keys shift per replica so the
