@@ -43,12 +43,15 @@ object ScaleRehearsal {
     val nVecs = emb0.count()
     val nOrd = ord0.count()
 
+    // prefix delimiter "_" keeps families unambiguous at factor > 10:
+    // bare "x$i" would make (replica 1, token "1t") and (replica 11,
+    // token "t") collide as "x11t", sharing shingles across families
     def scaledDocs(k: Int): DataFrame =
       (0 until k).map { i =>
         if (i == 0) docs0.select(col("doc_id"), col("text"), col("source"))
         else docs0.select(
           (col("doc_id") + lit(i * nDocs)).as("doc_id"),
-          concat(lit(s"x$i"), regexp_replace(col("text"), " ", s" x$i")).as("text"),
+          concat(lit(s"x${i}_"), regexp_replace(col("text"), " ", s" x${i}_")).as("text"),
           col("source"))
       }.reduce(_ unionByName _)
 

@@ -65,7 +65,11 @@ object Sf1Gen {
     def writeOne(df: DataFrame, name: String): Unit = {
       val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val tmp = new Path(s"$outDir/__tmp_$name")
-      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      // repartition(1), NOT coalesce(1): coalesce would propagate the
+      // single-partition constraint upstream and run the whole 10x
+      // replicate/transform in one task; repartition keeps it parallel and
+      // serializes only the write
+      df.repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val part = fs.listStatus(tmp).map(_.getPath)
         .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"no part file for $name"))
@@ -103,9 +107,11 @@ object Sf1Gen {
         .withColumn("user_id", col("user_id") + lit(i * CUST))
     }, "events")
     writeOne(replicate(T("documents")) { (d, i) =>
+      // "_" delimiter: unambiguous across replica families at any factor
+      // (bare "x$i" collides for factor > 10 — x1+"1t" == x11+"t")
       d.withColumn("doc_id", col("doc_id") + lit(i * DOC))
         .withColumn("text",
-          concat(lit(s"x$i"), regexp_replace(col("text"), " ", s" x$i")))
+          concat(lit(s"x${i}_"), regexp_replace(col("text"), " ", s" x${i}_")))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents")
     writeOne(replicate(T("embeddings")) { (d, i) =>

@@ -22,7 +22,9 @@ object Verify {
     // SPARK_GRAFT_VERIFY_ONLY=q85_cosine_topk_ivf,... — dump (and list in
     // oracle_sql.json) only a subset, for fast targeted re-verification
     // while iterating; the driver never sets this.
-    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").map(_.trim).toSet)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // empty/blank env var = no filter, not "skip all"
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -687,7 +687,11 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     val retained = vs.takeRight(keepVersions)
     val live: Set[String] = retained
       .flatMap(v => readManifest(feature, v).values.flatten).toSet
-    writeSmall(new Path(logDir(feature), "_vacuum_horizon"), retained.head.toString)
+    // horizon is MONOTONE: a later vacuum with a larger keepVersions must
+    // not lower it below versions whose files an earlier vacuum already
+    // reclaimed (the guard would silently re-open the file-not-found hole)
+    val horizon = math.max(retained.head, vacuumHorizon(feature).getOrElse(Long.MinValue))
+    writeSmall(new Path(logDir(feature), "_vacuum_horizon"), horizon.toString)
     val featureDir = new Path(s"$root/$feature")
     // candidate bucket dirs live under files_v*/__b=*; a dir is reclaimable
     // iff NO retained manifest references it

@@ -18,19 +18,29 @@ import org.apache.spark.storage.StorageLevel
   * Unpersisting an already-unpersisted frame is a Spark no-op, so ops that
   * sometimes clean up after themselves can still track here safely. */
 object TrackedCache {
-  private val live = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  // WEAK references: callers that never release() (the batch API — Bench,
+  // Verify, ad-hoc drivers) must not have the registry pin thousands of
+  // dead Datasets (and their analyzed plans) for the JVM lifetime; once a
+  // frame is unreachable its cached blocks are already reclaimable via
+  // Spark's ContextCleaner, and the GC'd entry drains on the next release.
+  private val live =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.lang.ref.WeakReference[Dataset[_]]]()
 
   /** Persist `ds` MEMORY_AND_DISK and remember it for the next [[release]]. */
   def persist[T](ds: Dataset[T]): Dataset[T] = {
     ds.persist(StorageLevel.MEMORY_AND_DISK)
-    live.add(ds)
+    live.add(new java.lang.ref.WeakReference[Dataset[_]](ds))
     ds
   }
 
   /** Unpersist (non-blocking) every frame tracked since the last drain. */
   def release(): Unit = {
-    var d = live.poll()
-    while (d != null) { d.unpersist(false); d = live.poll() }
+    var r = live.poll()
+    while (r != null) {
+      val d = r.get()
+      if (d != null) d.unpersist(false)
+      r = live.poll()
+    }
   }
 
   /** `df.persistTracked()` — drop-in for `.persist(MEMORY_AND_DISK)` at the

@@ -427,6 +427,14 @@ class BucketedStoreSpec extends SparkSpec {
     val e = intercept[IllegalStateException](store.read("f", Seq("id"), asOfVersion = Some(1)))
     assert(e.getMessage.contains("vacuum horizon 5"), e.getMessage)
     assert(store.read("f", Seq("id")).count() == 201)
+    // horizon is MONOTONE: after new versions land, a vacuum with a larger
+    // keepVersions must NOT lower it below already-reclaimed versions
+    // (v5 is clustered, so the new version is a full write, not a merge)
+    store.write(base.toDF("id", "v"), "f", Seq("id"))                  // v6
+    store.vacuum("f", keepVersions = 5)
+    assert(store.vacuumHorizon("f").contains(5L),
+      s"horizon dropped to ${store.vacuumHorizon("f")} — reads of reclaimed versions would pass the guard")
+    intercept[IllegalStateException](store.read("f", Seq("id"), asOfVersion = Some(3)))
   }
 
   test("runBucketed: memoizing runner over file-level merge") {

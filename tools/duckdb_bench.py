@@ -26,9 +26,13 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 
 def timed_exec(sql):
     """One execution; with a timeout, interrupt and return None on overrun."""
+    fired = [False]
     timer = None
     if timeout_sec > 0:
-        timer = threading.Timer(timeout_sec, con.interrupt)
+        def _interrupt():
+            fired[0] = True
+            con.interrupt()
+        timer = threading.Timer(timeout_sec, _interrupt)
         timer.start()
     t0 = time.time()
     try:
@@ -39,6 +43,14 @@ def timed_exec(sql):
     finally:
         if timer:
             timer.cancel()
+            if fired[0]:
+                # the timer may fire AFTER the query completed but before
+                # cancel(): absorb the stale interrupt flag so it cannot
+                # falsely cancel the NEXT execution
+                try:
+                    con.execute("SELECT 1").fetchall()
+                except duckdb.InterruptException:
+                    pass
 
 oracle = json.load(open(oracle_path))
 results = {}
@@ -54,10 +66,13 @@ for name in sorted(oracle):
     times = []
     for _ in range(runs):
         dt = timed_exec(sql)
+        if dt is None:
+            timeouts.add(name)  # measured-run overrun: result is a lower bound
         times.append(timeout_sec if dt is None else dt)
     times.sort()
     results[name] = times[len(times) // 2]
-    print(f'{{"query":"{name}","sec":{results[name]:.4f}}}', file=sys.stderr)
+    flag = ',"timeout":true' if name in timeouts else ""
+    print(f'{{"query":"{name}","sec":{results[name]:.4f}}}{flag}', file=sys.stderr)
 
 total = sum(results.values())
 qs = ",".join(f'"{k}":{v:.4f}' for k, v in results.items())
