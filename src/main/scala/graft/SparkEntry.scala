@@ -65,11 +65,17 @@ object SparkEntry {
       T(s, dir, "orders").write.mode("overwrite")
         .partitionBy("o_orderstatus").parquet(p)
     }
+  private def orcFixture(s: SparkSession, dir: String, force: Boolean = false): String =
+    fixture("orc", dir, force) { p =>
+      T(s, dir, "lineitem").select("l_returnflag", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").orc(p)
+    }
   /** Force-write all source round-trip fixtures (Bench setup / Verify). */
   def prepareFixtures(s: SparkSession, dir: String): Unit = {
     csvFixture(s, dir, force = true)
     jsonFixture(s, dir, force = true)
     partFixture(s, dir, force = true)
+    orcFixture(s, dir, force = true)
   }
 
   // ---- query inventory --------------------------------------------------
@@ -1059,6 +1065,23 @@ object SparkEntry {
           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // -- q129: ORC source round-trip (columnar alternative to parquet; the
+    //    oracle aggregates the same rows from the parquet originals) --------
+    Q("q129_orc_roundtrip",
+      (s, dir) => {
+        val path = orcFixture(s, dir)
+        s.read.orc(path)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+               dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // -- q45: partitioned parquet write + partition-pruned read ----------------
     Q("q45_partitioned_scan",
       (s, dir) => {
@@ -1642,6 +1665,16 @@ object SparkEntry {
   /** DuckDB: exact int dot product of two quantized vec exprs. */
   private def sqlDotQ(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> ($a)[i] * ($b)[i]))"
+  /** DuckDB: hyperplane-LSH bucket over alias `v` (a quantized vec) — the
+    * exact sign planes `Similarity.lshBucket` derives from Md5Hash60.
+    * Shared by q74 and q127 so their oracles block identically. */
+  private def sqlPlaneBucket(planes: Int): String = {
+    val planeBit = (p: Int) =>
+      s"""CASE WHEN list_sum(list_transform(range(1, 65),
+            i -> v[i] * (((CAST('0x' || substr(md5(concat_ws(':', 'plane', '$p', i - 1)),1,15) AS BIGINT)) & 1) * 2 - 1))) > 0
+          THEN ${1L << p} ELSE 0 END"""
+    (0 until planes).map(planeBit).mkString(" + ")
+  }
 
   /** Shared oracle for the MinHash-LSH near-dup pairs: q71 (Scala API) and
     * q125 (the SQL TVF route) must both produce exactly this. */
@@ -1854,16 +1887,11 @@ object SparkEntry {
         T(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.5, planes = 4)
         .orderBy("id_l", "id_r"),
       Some {
-        val planeBit = (p: Int) =>
-          s"""CASE WHEN list_sum(list_transform(range(1, 65),
-                i -> v[i] * (((CAST('0x' || substr(md5(concat_ws(':', 'plane', '$p', i - 1)),1,15) AS BIGINT)) & 1) * 2 - 1))) > 0
-              THEN ${1L << p} ELSE 0 END"""
-        val bucket = (0 until 4).map(planeBit).mkString(" + ")
         s"""
         WITH q AS (
           SELECT vec_id, $sqlQVec AS v FROM embeddings),
         b AS (
-          SELECT vec_id, v, $bucket AS bucket FROM q),
+          SELECT vec_id, v, ${sqlPlaneBucket(4)} AS bucket FROM q),
         pairs AS (
           SELECT l.vec_id AS id_l, r.vec_id AS id_r,
             CAST(${sqlDotQ("l.v", "r.v")} AS DOUBLE)
@@ -1872,6 +1900,72 @@ object SparkEntry {
         SELECT DISTINCT id_l, id_r, cosine FROM pairs WHERE cosine >= 0.5
         ORDER BY id_l, id_r"""
       }),
+
+    // -- q127: SemDeDup-style semantic dedup: cosine pairs -> connected
+    //    components -> keep the min-id representative; every corpus row
+    //    emitted with (rep, kept). Oracle composes q74's pair SQL with
+    //    q86's recursive-CTE transitive closure. ---------------------------
+    Q("q127_semantic_dedup",
+      (s, dir) => ops.Similarity.semanticDedup(
+        T(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.5, planes = 4)
+        .orderBy("id"),
+      Some {
+        s"""
+        WITH RECURSIVE q AS (
+          SELECT vec_id, $sqlQVec AS v FROM embeddings),
+        b AS (
+          SELECT vec_id, v, ${sqlPlaneBucket(4)} AS bucket FROM q),
+        pairs AS (
+          SELECT l.vec_id AS id_l, r.vec_id AS id_r
+          FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+          WHERE CAST(${sqlDotQ("l.v", "r.v")} AS DOUBLE)
+              / sqrt(CAST(${sqlDotQ("l.v", "l.v")} AS DOUBLE) * CAST(${sqlDotQ("r.v", "r.v")} AS DOUBLE)) >= 0.5),
+        edges AS (
+          SELECT id_l AS src, id_r AS dst FROM pairs
+          UNION SELECT id_r, id_l FROM pairs),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach AS (
+          SELECT id, id AS r FROM nodes
+          UNION
+          SELECT e.dst AS id, reach.r
+          FROM reach JOIN edges e ON e.src = reach.id),
+        clus AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+        SELECT e.vec_id AS id, coalesce(c.rep, e.vec_id) AS rep,
+               (c.rep IS NULL OR c.rep = e.vec_id) AS kept
+        FROM embeddings e LEFT JOIN clus c ON c.id = e.vec_id
+        ORDER BY id"""
+      }),
+
+    // -- q128: passage-level exact dedup (MassiveText recipe): duplicate
+    //    20-token windows removed corpus-wide, first occurrence wins,
+    //    surviving text reconstructed per document. ------------------------
+    Q("q128_paragraph_dedup",
+      (s, dir) => ops.Dedup.paragraphDedup(
+        T(s, dir, "documents").filter(col("doc_id") < 2000), "doc_id", "text",
+        tokensPerPassage = 20)
+        .orderBy("id"),
+      Some("""
+        WITH np AS (
+          SELECT doc_id AS id, string_split(text, ' ') AS t,
+                 CAST(ceil(len(string_split(text, ' ')) / 20.0) AS BIGINT) AS n_total
+          FROM documents WHERE doc_id < 2000),
+        ptext AS (
+          SELECT id, unnest(range(0, n_total)) AS passage_idx, t FROM np),
+        passages AS (
+          SELECT id, passage_idx,
+            array_to_string(list_slice(t, CAST(passage_idx*20+1 AS INT), CAST(passage_idx*20+20 AS INT)), ' ') AS passage
+          FROM ptext),
+        kept AS (
+          SELECT id, passage_idx, passage,
+            row_number() OVER (PARTITION BY md5(passage) ORDER BY id, passage_idx) AS rn
+          FROM passages),
+        recon AS (
+          SELECT id, string_agg(passage, ' ' ORDER BY passage_idx) AS clean_text,
+                 count(*) AS n_kept
+          FROM kept WHERE rn = 1 GROUP BY id)
+        SELECT n.id, coalesce(r.clean_text, '') AS clean_text,
+               coalesce(r.n_kept, 0) AS n_kept, n.n_total
+        FROM np n LEFT JOIN recon r USING (id) ORDER BY n.id""")),
 
     // -- q75: brute-force cosine top-k (correctness baseline for ANN) ---------
     Q("q75_cosine_topk_brute",

@@ -493,6 +493,59 @@ object Dedup {
     df.join(exactByContent(df, idCol, contentCols)
         .select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
 
+  /** Passage-level exact dedup (the MassiveText/Gopher recipe: duplicated
+    * paragraphs are removed corpus-wide, not whole documents): split each
+    * document into fixed `tokensPerPassage`-token non-overlapping windows
+    * (a deterministic stand-in for paragraph boundaries — the fixture
+    * corpus has no newlines), keep the FIRST occurrence of every distinct
+    * passage by `(id, passage_idx)` order, and reconstruct the surviving
+    * text per document. Intra-document repeats collapse too.
+    *
+    * Output: one row per input document —
+    * `(id, clean_text, n_kept, n_total)`; a document whose every passage
+    * was seen earlier survives with `clean_text = ""` / `n_kept = 0`, so
+    * callers decide the drop policy.
+    *
+    * Scale shape: two keyed exchanges, both linear, and NO join. The
+    * winner-per-passage window partitions on the passage's 16-byte digest
+    * (each passage's text rides the shuffle exactly once — same key
+    * discipline as [[exactByContent]]; WindowGroupLimit prunes losers
+    * before the exchange too), then ALL passages regroup onto id with the
+    * keep decision as a flag — so a fully-duplicated document still emits
+    * its empty row without a corpus-sized outer join back to the doc
+    * list. No driver materialization, no all-pairs anywhere. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     tokensPerPassage: Int = 20): DataFrame = {
+    require(tokensPerPassage > 0, s"tokensPerPassage must be positive, got $tokensPerPassage")
+    val w = tokensPerPassage
+    val toks = df.select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
+      .withColumn("__n_total",
+        ceil(size(col("__toks")).cast("double") / lit(w.toDouble)).cast("long"))
+    // passage_idx → window text, exploded map-side (no exchange yet)
+    val passages = toks.select(col("id"), col("__n_total"),
+        posexplode(transform(
+          sequence(lit(0L), col("__n_total") - 1),
+          i => concat_ws(" ", slice(col("__toks"), (i * w + 1).cast("int"), lit(w)))
+        )).as(Seq("passage_idx", "passage")))
+    // first (id, passage_idx) wins per distinct passage, keyed on the digest
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(md5(col("passage")))
+      .orderBy(col("id"), col("passage_idx"))
+    // reconstruct: every passage flows to its document with a kept flag
+    // (collect_list SKIPS the nulls of dropped passages), so each document
+    // reappears — empty when everything was a duplicate
+    passages
+      .withColumn("__rn", row_number().over(win))
+      .groupBy("id").agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("__rn") === 1, struct(col("passage_idx"), col("passage"))))),
+          p => p.getField("passage"))).as("clean_text"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        first(col("__n_total")).as("n_total"))
+      .select(col("id"), col("clean_text"), col("n_kept"), col("n_total"))
+  }
+
   /** Exact dedup: keep the smallest id per content digest. One shuffle keyed
     * on the 16-byte digest; the raw payload never shuffles.
     *

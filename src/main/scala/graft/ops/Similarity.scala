@@ -282,6 +282,38 @@ object Similarity {
     // a distinct here would shuffle the whole output for nothing)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): embedding near-duplicate pairs → connected
+    * components → keep the minimum-id representative per cluster. The
+    * published recipe blocks with k-means; the hyperplane-LSH blocking of
+    * [[cosineNearDupPairs]] plays the same role with a deterministic,
+    * oracle-expressible bucket function, and the transitive closure makes
+    * the keep/drop decision stable under blocking (A≈B≈C collapses to one
+    * survivor even when A,C never share a bucket but both pair with B).
+    *
+    * Returns one row per corpus row: `(id, rep, kept)` — `rep` is the
+    * cluster representative (the row itself when it has no near-dup) and
+    * `kept` marks the survivors, so callers can either filter the corpus
+    * (`kept`) or re-key references onto representatives (`rep`).
+    *
+    * Scale shape: pairs and components are the plan-locked shapes of
+    * q74/q86; the final left join keys the corpus once on id, and the
+    * cluster side holds only pair-touched rows (≪ corpus for real
+    * near-dup rates) so AQE broadcasts it. Pass `planes =`
+    * [[autoPlanes]]`(n)` in production — the fixed default exists for
+    * oracle parity. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, planes: Int = 4, dim: Int = 64): DataFrame = {
+    val pairs = cosineNearDupPairs(df, idCol, vecCol, threshold, planes, dim)
+      .select(col("id_l"), col("id_r"))
+    val clusters = Dedup.nearDupClusters(pairs)
+    df.select(col(idCol).as("id"))
+      .join(clusters, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_rep"), col("id")).as("rep"),
+        (col("cluster_rep").isNull || col("cluster_rep") === col("id")).as("kept"))
+  }
+
   /** Per-label embedding centroids (average pooling / class prototypes),
     * emitted flat as `(label, dim, n, centroid_q)` where `centroid_q` is the
     * mean of the 1e-6-quantized components — exact int64 sums, so the single

@@ -308,6 +308,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"candidate join not broadcast:\n$p")
   }
 
+  test("q128: passage dedup is join-free — one explode, digest + id exchanges only") {
+    // the keep decision travels as a flag into the per-doc regroup, so a
+    // fully-duplicated document reappears WITHOUT an outer join against a
+    // corpus-sized doc list (that join's build side would be the whole
+    // corpus at scale); no exchange may partition on a raw string either —
+    // the winner window keys on the passage's md5 digest
+    val df = SparkEntry.queries("q128_paragraph_dedup")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"passage dedup grew a join:\n$p")
+    assert("Generate".r.findAllIn(p).size == 1, p)
+    assert("hashpartitioning".r.findAllIn(p).size == 2, p) // digest, then id
+  }
+
   test("q100/q79: repetitionStats and fingerprintDf shuffle ONCE (text rides the repartition)") {
     Seq("q100_repetition_stats", "q79_doc_fingerprint").foreach { q =>
       val p = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString

@@ -109,6 +109,38 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("paragraphDedup removes duplicated passages corpus-wide, first occurrence wins") {
+    val p1 = (1 to 20).map(i => s"a$i").mkString(" ")   // shared passage
+    val p2 = (1 to 20).map(i => s"b$i").mkString(" ")
+    val u  = (1 to 20).map(i => s"u$i").mkString(" ")
+    val tail = (1 to 5).map(i => s"t$i").mkString(" ")  // partial final window
+    val docs = Seq(
+      (1L, s"$p1 $p2"),        // both passages first seen here — all kept
+      (2L, s"$p1 $u"),         // p1 already seen in doc 1 — only u survives
+      (3L, s"$p2 $p2"),        // cross-doc AND intra-doc repeat — nothing survives
+      (4L, s"$u $tail"))       // u seen in doc 2; 5-token tail window kept
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text", tokensPerPassage = 20)
+      .select("id", "clean_text", "n_kept", "n_total")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, s"$p1 $p2", 2L, 2L)))
+    assert(out(1) == ((2L, u, 1L, 2L)))
+    assert(out(2) == ((3L, "", 0L, 2L)))
+    assert(out(3) == ((4L, tail, 1L, 2L)))
+  }
+
+  test("paragraphDedup reconstruction preserves document order of kept passages") {
+    // three distinct windows; the middle one is a duplicate of an earlier
+    // doc's — reconstruction must stitch window 0 and window 2 in order
+    val w0 = (1 to 20).map(i => s"x$i").mkString(" ")
+    val dup = (1 to 20).map(i => s"d$i").mkString(" ")
+    val w2 = (1 to 20).map(i => s"y$i").mkString(" ")
+    val docs = Seq((1L, dup), (2L, s"$w0 $dup $w2")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text", tokensPerPassage = 20)
+      .filter(col("id") === 2L).select("clean_text").as[String].collect()
+    assert(out.head == s"$w0 $w2")
+  }
+
   test("minhash-LSH finds planted near-duplicates and skips unrelated docs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
     val nearDup = base + " omicron"  // one appended token: Jaccard = 12/13
@@ -297,6 +329,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.3, s"LSH recall too low: $recall") // 2 planes ≈ 4 buckets
     // self-match always survives (same vector → same bucket)
     assert((0L until 20L).forall(q => lsh.contains((q, q))))
+  }
+
+  test("semanticDedup collapses a transitive near-dup chain to one survivor") {
+    // A(0°) ≈ B(18°) ≈ C(36°) at threshold 0.9: cos18° ≈ .951 ≥ .9 but
+    // cos36° ≈ .809 < .9 — A and C are NOT a direct pair, only reachable
+    // through B. The connected-components step must still collapse all
+    // three onto rep A. D is orthogonal and untouched.
+    def v(deg: Double): Array[Float] = {
+      val a = Array.fill(64)(0f)
+      a(0) = math.cos(math.toRadians(deg)).toFloat
+      a(1) = math.sin(math.toRadians(deg)).toFloat
+      a
+    }
+    val d = Array.fill(64)(0f); d(2) = 1f
+    val emb = Seq((10L, v(0)), (11L, v(18)), (12L, v(36)), (13L, d))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.9, planes = 2)
+      .select("id", "rep", "kept").as[(Long, Long, Boolean)].collect().toSet
+    assert(out == Set((10L, 10L, true), (11L, 10L, false), (12L, 10L, false),
+      (13L, 13L, true)))
+  }
+
+  test("semanticDedup invariants on the real corpus: reps are minima, kept ⇔ self-rep") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.5, planes = 4)
+      .select("id", "rep", "kept").as[(Long, Long, Boolean)].collect()
+    assert(out.length == emb.count(), "one row per corpus row")
+    assert(out.forall { case (id, rep, kept) => rep <= id && kept == (rep == id) })
+    // every cluster's rep is itself kept (the min member survives)
+    val reps = out.map(_._2).toSet
+    val keptIds = out.filter(_._3).map(_._1).toSet
+    assert(reps.subsetOf(keptIds))
   }
 
   test("IVF top-k: self-match survives and recall vs brute force is reasonable") {
