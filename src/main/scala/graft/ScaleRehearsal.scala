@@ -146,6 +146,15 @@ object ScaleRehearsal {
         "q86_neardup_clusters" -> (() => force(ops.Dedup.nearDupClusters(
           ops.Dedup.minhashNearDupPairs(docs, "doc_id", "text",
             n = 3, numHashes = 12, bands = 4, threshold = 0.2)))),
+        // end-to-end SemDeDup: pairs + CC + corpus-wide keep decision —
+        // the CC rounds and the final corpus join are part of the op cost
+        "q127_semantic_dedup" -> (() => force(ops.Similarity.semanticDedup(
+          emb, "vec_id", "embedding", threshold = 0.5,
+          planes = ops.Similarity.autoPlanes(nEmb)))),
+        // passage dedup: replica prefixing keeps dup passages within a
+        // family, so true passage-dup volume scales linearly with k
+        "q128_paragraph_dedup" -> (() => force(ops.Dedup.paragraphDedup(
+          docs, "doc_id", "text", tokensPerPassage = 20))),
         "q117_bigram_lm" -> (() => force(ops.TextOps.bigramLmScore(
           docs, "doc_id", "text"))),
         // incremental contract: a FIXED batch (1/5 of ONE replica family)
