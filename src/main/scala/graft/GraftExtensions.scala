@@ -127,5 +127,26 @@ object GraftExtensions {
         ops.Dedup.exactByContent(table(str(args(0), "table")),
           str(args(1), "idCol"), Seq(str(args(2), "textCol")))
           .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_semantic_dedup"),
+      info("graft_semantic_dedup",
+        "graft_semantic_dedup(table, idCol, vecCol, threshold, planes) - SemDeDup: cosine near-dup clusters to min-id reps; (id, rep, kept) per row"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "usage: graft_semantic_dedup(table, idCol, vecCol, threshold, planes)")
+        ops.Similarity.semanticDedup(table(str(args(0), "table")),
+          str(args(1), "idCol"), str(args(2), "vecCol"),
+          dbl(args(3), "threshold"), int(args(4), "planes"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_paragraph_dedup"),
+      info("graft_paragraph_dedup",
+        "graft_paragraph_dedup(table, idCol, textCol, tokensPerPassage) - passage-level exact dedup with per-doc reconstruction (id, clean_text, n_kept, n_total)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "usage: graft_paragraph_dedup(table, idCol, textCol, tokensPerPassage)")
+        ops.Dedup.paragraphDedup(table(str(args(0), "table")),
+          str(args(1), "idCol"), str(args(2), "textCol"), int(args(3), "tokensPerPassage"))
+          .queryExecution.logical
       }))
 }

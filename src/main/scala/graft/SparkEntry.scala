@@ -1901,6 +1901,25 @@ object SparkEntry {
         ORDER BY id_l, id_r"""
       }),
 
+    // -- q130: weighted (PPS) Bernoulli sampling — length-weighted corpus
+    //    subsample; inclusion test is integer cross-multiplication in
+    //    DECIMAL(38,0)/HUGEINT so both engines pick the IDENTICAL set -----
+    Q("q130_weighted_sample",
+      (s, dir) => ops.Stats.weightedBernoulliSample(
+        T(s, dir, "documents").withColumn("weight",
+          size(split(col("text"), " ")).cast("long")),
+        "doc_id", "weight", expectedN = 100)
+        .select("doc_id", "weight").orderBy("doc_id"),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS weight
+          FROM documents),
+        tot AS (SELECT sum(CAST(weight AS HUGEINT)) AS W FROM w)
+        SELECT doc_id, weight FROM w, tot
+        WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 13) AS BIGINT) AS HUGEINT) * W
+            < CAST(weight AS HUGEINT) * 100 * 4503599627370496
+        ORDER BY doc_id""")),
+
     // -- q127: SemDeDup-style semantic dedup: cosine pairs -> connected
     //    components -> keep the min-id representative; every corpus row
     //    emitted with (rep, kept). Oracle composes q74's pair SQL with

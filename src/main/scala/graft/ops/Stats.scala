@@ -212,6 +212,37 @@ object Stats {
       .where(col("sample_rank") <= n)
   }
 
+  /** Weighted (probability-proportional-to-size) Bernoulli sampling:
+    * include a row with probability `min(1, weight·expectedN / W)` where
+    * `W = Σ weight` — the Poisson-sampling form of weighted subsampling
+    * (quality- or length-weighted corpus selection). Deterministic and
+    * engine-portable BY CONSTRUCTION: the uniform draw is the first 52
+    * bits of `md5(id:seed)` and the inclusion test is the integer
+    * cross-multiplication `u52·W < weight·expectedN·2^52` in
+    * DECIMAL(38,0) — no float op anywhere, so any engine that can hash
+    * md5 and multiply integers selects the IDENTICAL row set. Weights
+    * must be integral (pre-quantize float weights); magnitudes must keep
+    * both products under 38 digits (u52 < 2^52 ≈ 16 digits, so W up to
+    * ~20 digits is safe).
+    *
+    * Scale shape: one aggregation pass for the scalar W (bounded driver
+    * collect), then the filter is map-side only — zero shuffles on the
+    * sampled table, retry-stable under speculative re-execution. */
+  def weightedBernoulliSample(df: DataFrame, idCol: String, weightCol: String,
+      expectedN: Long, seed: String = "graft"): DataFrame = {
+    require(expectedN >= 0, s"expectedN must be >= 0, got $expectedN")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wRow = df.agg(sum(col(weightCol).cast(dec)).as("W")).collect()(0)
+    if (wRow.isNullAt(0)) df.where(lit(false)) // empty/all-null weights
+    else {
+      val totalW = wRow.getDecimal(0)
+      val u52 = conv(substring(
+        md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 13), 16, 10).cast(dec)
+      df.where(u52 * lit(totalW) <
+        col(weightCol).cast(dec) * lit(expectedN).cast(dec) * lit(1L << 52).cast(dec))
+    }
+  }
+
   /** Per-group z-score normalization. Mean and variance come from exact
     * integer-cent sums (the q35 cross-engine pattern: int64 sums, then one
     * correctly-rounded int64→double conversion per term), so every float op

@@ -56,6 +56,24 @@ class SqlTvfSpec extends SparkSpec {
     assert(n >= 0)
   }
 
+  test("graft_semantic_dedup == Similarity.semanticDedup") {
+    emb.createOrReplaceTempView("tvf_emb")
+    same(
+      spark.sql("SELECT * FROM graft_semantic_dedup('tvf_emb','vec_id','embedding',0.5,4)"),
+      ops.Similarity.semanticDedup(emb, "vec_id", "embedding", 0.5, 4))
+  }
+
+  test("graft_paragraph_dedup == Dedup.paragraphDedup; composes with SQL around it") {
+    docs.createOrReplaceTempView("tvf_docs")
+    same(
+      spark.sql("SELECT * FROM graft_paragraph_dedup('tvf_docs','doc_id','text',20)"),
+      ops.Dedup.paragraphDedup(docs, "doc_id", "text", 20))
+    val n = spark.sql("""
+      SELECT count(*) AS n FROM graft_paragraph_dedup('tvf_docs','doc_id','text',20)
+      WHERE n_kept < n_total""").head().getLong(0)
+    assert(n >= 0)
+  }
+
   test("non-literal and malformed TVF arguments fail loudly") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception](

@@ -942,6 +942,28 @@ class StatsSpec extends SparkSpec {
     assert(out == List(
       (0L, 3L, -5.0, 0.5), (1L, 1L, 1.0, 1.0), (3L, 3L, 3.9, 99.0)))
   }
+
+  test("weightedBernoulliSample: deterministic, weight-0 excluded, dominant weight certain, expected count in range") {
+    val df = (0L until 1000L).map(i => (i, if (i == 0) 0L else 10L))
+      .toDF("id", "w")
+    val a = Stats.weightedBernoulliSample(df, "id", "w", expectedN = 100)
+      .select("id").as[Long].collect().toSet
+    val b = Stats.weightedBernoulliSample(df, "id", "w", expectedN = 100)
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "same seed must select the same set")
+    assert(!a.contains(0L), "zero-weight row sampled")
+    // expected |a| = 100·(uniform weights); md5 draws are iid-ish — allow 3σ
+    assert(a.size > 60 && a.size < 140, s"count ${a.size} far from expected 100")
+    // a row carrying ≥ W/expectedN of the total weight has p = 1
+    val df2 = (0L until 100L).map(i => (i, if (i == 7) 1000000L else 1L)).toDF("id", "w")
+    val s2 = Stats.weightedBernoulliSample(df2, "id", "w", expectedN = 10)
+      .select("id").as[Long].collect().toSet
+    assert(s2.contains(7L), "certain-inclusion row missing")
+    // different seed decorrelates
+    val c = Stats.weightedBernoulliSample(df, "id", "w", expectedN = 100, seed = "other")
+      .select("id").as[Long].collect().toSet
+    assert(a != c, "seed has no effect")
+  }
 }
 
 class WinsorizeSpec extends SparkSpec {
