@@ -1920,6 +1920,49 @@ object SparkEntry {
             < CAST(weight AS HUGEINT) * 100 * 4503599627370496
         ORDER BY doc_id""")),
 
+    // -- q131: Gopher rule filter (arXiv:2112.11446): published document-
+    //    quality rules as per-rule boolean reasons + combined accept;
+    //    zero-shuffle map-side projection ---------------------------------
+    Q("q131_gopher_rules",
+      (s, dir) => ops.TextOps.gopherRules(
+        T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
+        m AS (
+          SELECT id, CAST(len(toks) AS BIGINT) AS n_words,
+            CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mean_word_len,
+            CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS alpha_ratio,
+            len(list_intersect(list_distinct(toks),
+              ['the','be','to','of','and','that','have','with'])) AS stop_hits
+          FROM t)
+        SELECT id, n_words, mean_word_len,
+          (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+          (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_word_len,
+          (alpha_ratio >= 0.8) AS r_alpha_words,
+          (stop_hits >= 2) AS r_stopwords,
+          ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+            AND (alpha_ratio >= 0.8) AND (stop_hits >= 2)) AS accept
+        FROM m ORDER BY id""")),
+
+    // -- q132: deterministic corpus shuffle -> training shards: md5-draw
+    //    permutation key + balanced shard id, reproducible on any engine --
+    Q("q132_shard_assign",
+      (s, dir) => ops.Shards.assign(
+        T(s, dir, "documents"), "doc_id", nShards = 8)
+        .select("doc_id", "shard", "ord").orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 13) AS BIGINT) % 8 AS shard,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 13) AS BIGINT) AS ord
+        FROM documents ORDER BY doc_id""")),
+
     // -- q127: SemDeDup-style semantic dedup: cosine pairs -> connected
     //    components -> keep the min-id representative; every corpus row
     //    emitted with (rep, kept). Oracle composes q74's pair SQL with

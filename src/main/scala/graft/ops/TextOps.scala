@@ -230,6 +230,39 @@ object TextOps {
         col("__q.punct_ratio") <= maxPunctRatio)
       .drop("__q")
 
+  /** Gopher-style rule filter (Rae et al. 2021, arXiv:2112.11446 §A1.1):
+    * the published document-quality rules as per-rule boolean REASONS plus
+    * the combined accept — downstream pipelines keep the reject reasons for
+    * corpus diagnostics rather than silently dropping rows ([[qualityFilter]]
+    * is the threshold-tunable filter form; this is the fixed published
+    * rule set with provenance). Rules kept engine-exact: every ratio is one
+    * correctly-rounded division of exact integer counts, so any IEEE-754
+    * engine draws identical accept decisions.
+    *
+    * Scale shape: a single map-side projection — zero shuffle, no UDFs
+    * (higher-order `aggregate`/`filter` stay in codegen). */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  minAlphaRatio: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    val meanLen = when(n > 0, sumLen.cast("double") / n.cast("double")).otherwise(lit(0.0))
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]")))
+    val alphaRatio = when(n > 0, nAlpha.cast("double") / n.cast("double")).otherwise(lit(0.0))
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = size(array_intersect(array_distinct(toks), array(gopherStops.map(lit): _*)))
+    df.select(col(idCol).as("id"), n.cast("long").as("n_words"), meanLen.as("mean_word_len"),
+        (n >= minWords && n <= maxWords).as("r_word_count"),
+        (meanLen >= minMeanLen && meanLen <= maxMeanLen).as("r_mean_word_len"),
+        (alphaRatio >= minAlphaRatio).as("r_alpha_words"),
+        (stopHits >= minStopHits).as("r_stopwords"))
+      .withColumn("accept",
+        col("r_word_count") && col("r_mean_word_len") &&
+        col("r_alpha_words") && col("r_stopwords"))
+  }
+
   /** Benchmark decontamination report: training docs sharing ≥ `minShared`
     * distinct word n-grams with an eval/benchmark doc, one row per
     * contaminated (train, eval) pair with the shared-n-gram count.

@@ -433,6 +433,46 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class ShardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("assign is deterministic, covers every shard, and balances within reason") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val a = Shards.assign(docs, "doc_id", 8)
+      .select("doc_id", "shard", "ord").as[(Long, Long, Long)].collect()
+    val b = Shards.assign(docs, "doc_id", 8)
+      .select("doc_id", "shard", "ord").as[(Long, Long, Long)].collect()
+    assert(a.toSet == b.toSet, "assignment must be deterministic")
+    val sizes = a.groupBy(_._2).map(_._2.length)
+    assert(a.map(_._2).toSet == (0L until 8L).toSet, "some shard is empty")
+    assert(sizes.max <= 3 * sizes.min, s"shards badly unbalanced: $sizes")
+    // a different seed re-shuffles
+    val c = Shards.assign(docs, "doc_id", 8, seed = "other")
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    val aMap = a.map(t => t._1 -> t._2).toMap
+    assert(aMap != c, "seed has no effect on shard placement")
+  }
+
+  test("shuffled: contiguous sorted shard runs, invariant to input partitioning") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(400)
+    def partitionOrders(in: org.apache.spark.sql.DataFrame) =
+      Shards.shuffled(in, "doc_id", 4)
+        .select("shard", "ord", "doc_id").rdd
+        .mapPartitions(it => Iterator(it.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList))
+        .collect().toSeq
+    val p1 = partitionOrders(docs)
+    val p2 = partitionOrders(docs.repartition(13))
+    assert(p1.length == 4, "repartition must produce nShards tasks")
+    // within every task: shard runs contiguous and each sorted by the draw
+    // (the hash partitioner may map two shard ids into one task — the
+    // write contract survives that because the sort leads with shard)
+    assert(p1.forall(p => p == p.sorted), "rows not sorted by (shard, draw) within a task")
+    assert(p1.flatten.map(_._1).toSet == Set(0L, 1L, 2L, 3L), "missing shard")
+    // the same reproducible order regardless of how the input was partitioned
+    assert(p1 == p2, "shard order depends on input partitioning")
+  }
+}
+
 class RangeJoinSpec extends SparkSpec {
   import spark.implicits._
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
@@ -584,6 +624,28 @@ class MultimodalSpec extends SparkSpec {
 
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
+
+  test("gopherRules: each rule rejects independently; a conforming doc passes all") {
+    // 60 words, mean length in [3,10], all alphabetic, ≥2 Gopher stopwords
+    val good = (1 to 56).map(i => s"word$i").mkString(" ") + " the and of with"
+    val tooShort = "the and just a few words here"                  // < 50 words
+    val longWords = (1 to 60).map(_ => "supercalifragilistic").mkString(" ") +
+      " the and"                                                    // mean len > 10
+    val nonAlpha = ((1 to 55).map(_ => "12345") ++ Seq("the", "and", "of", "with", "to"))
+      .mkString(" ")                                                // alpha ratio 5/60 < 0.8
+    val noStops = (1 to 60).map(i => s"token$i").mkString(" ")      // 0 stopword hits
+    val df = Seq((1L, good), (2L, tooShort), (3L, longWords), (4L, nonAlpha), (5L, noStops))
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherRules(df, "doc_id", "text")
+      .select("id", "r_word_count", "r_mean_word_len", "r_alpha_words", "r_stopwords", "accept")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, true, true, true, true, true)), s"good doc: ${out(1L)}")
+    assert(!out(2L)._2 && !out(2L)._6, "word-count rule missed")
+    assert(!out(3L)._3 && !out(3L)._6, "mean-word-len rule missed")
+    assert(!out(4L)._4 && !out(4L)._6, "alpha-words rule missed")
+    assert(!out(5L)._5 && !out(5L)._6, "stopword rule missed")
+  }
 
   test("quality features and language id are deterministic and sane") {
     val df = Seq(
