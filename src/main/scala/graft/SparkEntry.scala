@@ -2255,6 +2255,28 @@ object SparkEntry {
         HAVING count(*) >= 2
         ORDER BY doc_id, eval_id""")),
 
+    // -- q133: Bloom-filter decontamination SOUNDNESS gate: the bloom flag
+    //    may add false positives but NEVER misses an exactly-contaminated
+    //    doc — the violation set must be empty (q119-style guarantee check;
+    //    the bloom bits themselves are engine-specific, the no-false-
+    //    negative property is not) -----------------------------------------
+    Q("q133_bloom_decontaminate_sound",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 10 < 9)
+        val evalSet = docs.filter(col("doc_id") % 10 === 9)
+        val flagged = ops.TextOps.bloomDecontaminate(corpus, evalSet,
+          "doc_id", "text", "doc_id", "text", n = 3,
+          expectedEvalGrams = 100000L, fpp = 0.01)
+        val exact = ops.TextOps.contaminationReport(corpus, evalSet,
+          "doc_id", "text", "doc_id", "text", n = 3, minShared = 1)
+          .select("doc_id").distinct()
+        exact.join(flagged.where(!col("bloom_hit")).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id FROM documents WHERE 1 = 0 ORDER BY doc_id")),
+
     // -- q100: Gopher-style repetition quality signals (dup/top 2-gram
     //    fractions) — explode, hash, two keyed aggregations -----------------
     Q("q100_repetition_stats",

@@ -298,6 +298,61 @@ object TextOps {
         .select(col("doc_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Bloom-filter decontamination flagging — the 100 TB path when the eval
+    * set is itself too large for [[contaminationReport]]'s exact broadcast
+    * join: the eval side collapses to ONE Bloom sketch (a few MB for
+    * hundreds of millions of n-grams at 1–3% fpp), the corpus side stays
+    * map-side against it, and only flagged doc ids enter a keyed shuffle.
+    *
+    * Returns the corpus plus a `bloom_hit` boolean. The Bloom guarantee —
+    * NO false negatives — makes the flag a sound pre-filter: every doc the
+    * exact pass would flag has `bloom_hit = true` (q133 checks exactly this
+    * implication against the oracle's exact join); false positives (≤ fpp
+    * per gram) only send extra docs into whatever exact verification or
+    * drop policy follows.
+    *
+    * Scale shape: eval grams → `bloom_filter_agg` (partial-merged, one
+    * binary out); the 1-row sketch broadcasts; corpus grams filter through
+    * `might_contain` map-side; the distinct-hit-ids frame (≪ corpus) joins
+    * back as a broadcast/AQE-picked semi join. Corpus text never shuffles. */
+  def bloomDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String,
+                         evalIdCol: String, evalTextCol: String,
+                         n: Int = 3, expectedEvalGrams: Long = 1000000L,
+                         fpp: Double = 0.03): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    def grams(df: DataFrame, id: String, text: String, outId: String) =
+      df.select(col(id).as(outId), Dedup.tokens(col(text)).as("__toks"))
+        .select(col(outId), explode(Dedup.shingleStringsFromTokens(col("__toks"), n)).as("__s"))
+        .select(col(outId), pmod(Dedup.md5Hash60(col("__s")), lit(Dedup.P)).as("__h"))
+    // standard Bloom sizing: m = -n ln(p) / (ln 2)^2. The aggregate and
+    // probe are the engine's own runtime-filter expressions (not in the
+    // public function registry — bridged via GraftColumn like Md5Hash60)
+    val numBits = math.max(64L, math.ceil(
+      -expectedEvalGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    import org.apache.spark.sql.GraftColumn
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val bloomAgg = GraftColumn.of(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        GraftColumn.expr(col("__h")), Literal(expectedEvalGrams), Literal(numBits))
+        .toAggregateExpression())
+    val sketch = grams(evalSet, evalIdCol, evalTextCol, "eval_id")
+      .agg(bloomAgg.as("__bloom"))
+    // might_contain demands a CONSTANT/scalar-subquery bloom (the same
+    // contract the engine's injected runtime filters obey) — embed the
+    // sketch as a scalar subquery rather than a join column
+    val mightContain = GraftColumn.of(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+          sketch.queryExecution.analyzed),
+        GraftColumn.expr(col("__h"))))
+    val hitIds = grams(corpus, idCol, textCol, "__cid")
+      .where(mightContain)
+      .select(col("__cid").as(idCol)).distinct()
+    corpus.join(hitIds.withColumn("bloom_hit", lit(true)), Seq(idCol), "left")
+      .withColumn("bloom_hit", coalesce(col("bloom_hit"), lit(false)))
+  }
+
   /** Gopher-style repetition signals per document: total / distinct / most
     * frequent word n-gram occurrence counts plus the derived duplicate-gram
     * and top-gram fractions (high values ⇒ boilerplate or degenerate text).

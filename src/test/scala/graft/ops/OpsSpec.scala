@@ -647,6 +647,31 @@ class TextOpsSpec extends SparkSpec {
     assert(!out(5L)._5 && !out(5L)._6, "stopword rule missed")
   }
 
+  test("bloomDecontaminate: flags every exactly-contaminated doc; planted hit caught, clean doc clean") {
+    val evalSet = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro words then alpha beta gamma appears here"),   // shares a trigram
+      (2L, "completely unrelated content nothing shared at all"),
+      (3L, "delta epsilon zeta closes the eval sentence too"))  // shares a trigram
+      .toDF("doc_id", "text")
+    val out = TextOps.bloomDecontaminate(corpus, evalSet,
+        "doc_id", "text", "doc_id", "text", n = 3,
+        expectedEvalGrams = 1000L, fpp = 0.001)
+      .select("doc_id", "bloom_hit").as[(Long, Boolean)].collect().toMap
+    assert(out(1L) && out(3L), "planted contamination missed — bloom false negative")
+    assert(!out(2L), "clean doc flagged (possible but fpp=0.001 over 6 grams; deterministic hash)")
+    // superset property on the real fixture: bloom hits ⊇ exact hits
+    val docs = Tables.load(spark, sfDir, "documents")
+    val c = docs.where(col("doc_id") % 10 < 9)
+    val e = docs.where(col("doc_id") % 10 === 9)
+    val bloomIds = TextOps.bloomDecontaminate(c, e, "doc_id", "text", "doc_id", "text")
+      .where(col("bloom_hit")).select("doc_id").as[Long].collect().toSet
+    val exactIds = TextOps.contaminationReport(c, e, "doc_id", "text", "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactIds.subsetOf(bloomIds),
+      s"${(exactIds -- bloomIds).size} exact hits escaped the bloom")
+  }
+
   test("quality features and language id are deterministic and sane") {
     val df = Seq(
       (1L, "the cat sat on the mat"),
