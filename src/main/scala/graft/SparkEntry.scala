@@ -67,7 +67,11 @@ object SparkEntry {
     }
   private def orcFixture(s: SparkSession, dir: String, force: Boolean = false): String =
     fixture("orc", dir, force) { p =>
+      // repartition before the write: the upstream parquet is a single
+      // split, and a single ORC file would make the read one task — file
+      // layout IS the read parallelism (same lesson at cluster scale)
       T(s, dir, "lineitem").select("l_returnflag", "l_quantity", "l_extendedprice")
+        .repartition(32)
         .write.mode("overwrite").orc(p)
     }
   /** Force-write all source round-trip fixtures (Bench setup / Verify). */
