@@ -131,4 +131,38 @@ class SparkPropertySpec extends SparkSpec {
     assert(d1.count() == d2.count())
     assert(d2.filter(col("n_copies") > 1).count() == 0)
   }
+
+  test("paragraph dedup laws on random corpora: conservation, idempotence, all-unique identity") {
+    // random docs over a TINY vocab so cross-doc window collisions actually
+    // happen; window = 3 tokens to exercise ragged tails
+    val doc = Gen.chooseNum(3, 23).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    def samples[A](gen: Gen[A], n: Int)(body: A => Unit): Unit =
+      (0 until n).foreach(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body))
+    samples(Gen.listOfN(12, doc), n = 8) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = Dedup.paragraphDedup(df, "doc_id", "text", tokensPerPassage = 3)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // conservation: every doc reappears exactly once; kept ≤ total
+      assert(once.length == texts.length)
+      assert(once.forall { case (_, _, k, t) => k >= 0 && k <= t })
+      // total kept passages across the corpus == number of DISTINCT windows
+      val allWindows = texts.zipWithIndex.flatMap { case (t, _) =>
+        t.split(" ").grouped(3).map(_.mkString(" ")) }
+      assert(once.map(_._3).sum == allWindows.distinct.size.toLong)
+      // idempotence: re-deduping the kept text (same window size) is identity
+      // — every surviving window is globally unique already
+      val cleaned = once.filter(_._2.nonEmpty).map(t => (t._1, t._2)).toSeq.toDF("doc_id", "text")
+      val twice = Dedup.paragraphDedup(cleaned, "doc_id", "text", tokensPerPassage = 3)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      once.filter(_._2.nonEmpty).foreach { case (id, txt, _, _) =>
+        assert(twice(id) == txt, s"doc $id not stable under re-dedup")
+      }
+    }
+    // all-unique corpus passes through byte-identical
+    val uniq = Seq((1L, "u1 u2 u3 u4 u5 u6 u7"), (2L, "v1 v2 v3")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(uniq, "doc_id", "text", tokensPerPassage = 3)
+      .select("id", "clean_text").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(1L -> "u1 u2 u3 u4 u5 u6 u7", 2L -> "v1 v2 v3"))
+  }
 }
