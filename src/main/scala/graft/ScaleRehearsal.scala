@@ -169,7 +169,17 @@ object ScaleRehearsal {
         }),
         "q119_heavy_hitters" -> (() => force(ops.Stats.heavyHitters(
           docs.select(explode(ops.Dedup.tokens(col("text"))).as("token")),
-          "token", k = 199)))
+          "token", k = 199))),
+        // fixed eval set (family 0 only), corpus scales: the sketch build
+        // stays flat and the map-side probe should track corpus bytes
+        "q133_bloom_decontaminate" -> (() => {
+          val evalSet = docs.where(col("doc_id") % 10 === 9 && col("doc_id") < nDocs)
+          force(ops.TextOps.bloomDecontaminate(docs, evalSet,
+            "doc_id", "text", "doc_id", "text", n = 3,
+            expectedEvalGrams = 100000L, fpp = 0.01))
+        }),
+        "q131_gopher_rules" -> (() => force(ops.TextOps.gopherRules(
+          docs, "doc_id", "text")))
       ).map { case (name, thunk) =>
         thunk() // warmup (codegen + plan); measured run follows
         // drop the warmup's persisted intermediates BEFORE timing: ops

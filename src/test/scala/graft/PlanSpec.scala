@@ -308,6 +308,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"candidate join not broadcast:\n$p")
   }
 
+  test("bloomDecontaminate: corpus text never a shuffle key; sketch is a subquery, not a join side") {
+    // the probe side must stay map-side against the scalar bloom: no
+    // exchange may carry a string column, and the only joins in the plan
+    // are the final flag attach (id-keyed) — not a gram-level join
+    val docs = Tables.load(spark, sfDir, "documents")
+    val df = graft.ops.TextOps.bloomDecontaminate(
+      docs.where(col("doc_id") % 10 < 9), docs.where(col("doc_id") % 10 === 9),
+      "doc_id", "text", "doc_id", "text")
+    val shuffles = physical(df).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val stringKeyed = shuffles.filter(_.outputPartitioning match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        h.expressions.exists(_.dataType == org.apache.spark.sql.types.StringType)
+      case _ => false
+    })
+    assert(stringKeyed.isEmpty,
+      s"exchange keyed on a string column:\n${stringKeyed.mkString("\n")}")
+    assert(physical(df).toString.contains("Subquery"),
+      "bloom sketch must reach might_contain as a scalar subquery")
+  }
+
   test("q128: passage dedup is join-free — one explode, digest + id exchanges only") {
     // the keep decision travels as a flag into the per-doc regroup, so a
     // fully-duplicated document reappears WITHOUT an outer join against a
