@@ -148,5 +148,23 @@ object GraftExtensions {
         ops.Dedup.paragraphDedup(table(str(args(0), "table")),
           str(args(1), "idCol"), str(args(2), "textCol"), int(args(3), "tokensPerPassage"))
           .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_gopher_rules"),
+      info("graft_gopher_rules",
+        "graft_gopher_rules(table, idCol, textCol) - Gopher document-quality rules as per-rule boolean reasons + accept"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "usage: graft_gopher_rules(table, idCol, textCol)")
+        ops.TextOps.gopherRules(table(str(args(0), "table")),
+          str(args(1), "idCol"), str(args(2), "textCol"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_shard_assign"),
+      info("graft_shard_assign",
+        "graft_shard_assign(table, idCol, nShards) - deterministic training-shard assignment (adds shard, ord)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "usage: graft_shard_assign(table, idCol, nShards)")
+        ops.Shards.assign(table(str(args(0), "table")),
+          str(args(1), "idCol"), int(args(2), "nShards"))
+          .queryExecution.logical
       }))
 }

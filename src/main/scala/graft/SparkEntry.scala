@@ -74,6 +74,20 @@ object SparkEntry {
         .repartition(32)
         .write.mode("overwrite").orc(p)
     }
+  /** Build-once persistent IVF ANN index for q134 (the q123 LSH-index
+    * pattern): the full embeddings table indexed into 16 inverted lists,
+    * one store bucket per list id, under a per-sf /tmp root. Seed centroids
+    * (refineIters = 0) keep the index's geometry oracle-identical to q85's
+    * in-memory route, so both share [[sqlIvfTopk]] verbatim. */
+  private def ivfIndexFixture(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_ivfidx_${dir.replaceAll("[^0-9.]", "")}"
+    val store = new core.BucketedStore(root, numBuckets = 16)(s)
+    if (store.latestVersion("ann_lists").isEmpty)
+      ops.Similarity.indexVectors(T(s, dir, "embeddings"), "vec_id", "embedding",
+        store, "ann", nlist = 16)
+    root
+  }
+
   /** Force-write all source round-trip fixtures (Bench setup / Verify). */
   def prepareFixtures(s: SparkSession, dir: String): Unit = {
     csvFixture(s, dir, force = true)
@@ -1752,6 +1766,46 @@ object SparkEntry {
         ORDER BY new_id, corpus_id"""
   }
 
+  /** Shared oracle for the IVF ANN family: q85 (in-memory route) and q134
+    * (persistent-index route) must both produce exactly this. Centroids are
+    * the seed rule (`corpus_id < nlist`), assignment is rank-1 by cosine
+    * with a cent_id tiebreak — mirroring [[graft.ops.Similarity.ivfTopK]]. */
+  private lazy val sqlIvfTopk: String = s"""
+        WITH c AS (
+          SELECT vec_id AS corpus_id, $sqlQVec AS v FROM embeddings),
+        cent AS (
+          SELECT corpus_id AS cent_id, v AS centv FROM c WHERE corpus_id < 16),
+        assigned AS (
+          SELECT c.corpus_id, c.v, cent.cent_id,
+            row_number() OVER (PARTITION BY c.corpus_id ORDER BY
+              CAST(${sqlDotQ("c.v", "cent.centv")} AS DOUBLE)
+                / sqrt(CAST(${sqlDotQ("c.v", "c.v")} AS DOUBLE) * CAST(${sqlDotQ("cent.centv", "cent.centv")} AS DOUBLE)) DESC,
+              cent.cent_id ASC) AS cr
+          FROM c CROSS JOIN cent),
+        lists AS (
+          SELECT cent_id, corpus_id, v FROM assigned WHERE cr = 1),
+        q AS (
+          SELECT vec_id AS query_id, $sqlQVec AS qv FROM embeddings WHERE vec_id < 10),
+        probes AS (
+          SELECT query_id, qv, cent_id FROM (
+            SELECT q.query_id, q.qv, cent.cent_id,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                CAST(${sqlDotQ("q.qv", "cent.centv")} AS DOUBLE)
+                  / sqrt(CAST(${sqlDotQ("q.qv", "q.qv")} AS DOUBLE) * CAST(${sqlDotQ("cent.centv", "cent.centv")} AS DOUBLE)) DESC,
+                cent.cent_id ASC) AS pr
+            FROM q CROSS JOIN cent) WHERE pr <= 4),
+        scored AS (
+          SELECT p.query_id, l.corpus_id,
+            CAST(${sqlDotQ("p.qv", "l.v")} AS DOUBLE)
+              / sqrt(CAST(${sqlDotQ("p.qv", "p.qv")} AS DOUBLE) * CAST(${sqlDotQ("l.v", "l.v")} AS DOUBLE)) AS cosine
+          FROM probes p JOIN lists l ON p.cent_id = l.cent_id),
+        ranked AS (
+          SELECT query_id, corpus_id, cosine,
+            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** North-star LLM-pipeline ops: dedup (exact / MinHash-LSH / SimHash /
     * n-gram Jaccard / embedding-cosine), similarity search (brute + LSH),
     * text analysis, multimodal plumbing. */
@@ -2100,43 +2154,23 @@ object SparkEntry {
           .select("query_id", "corpus_id", "cosine", "rank")
           .orderBy("query_id", "rank")
       },
-      Some(s"""
-        WITH c AS (
-          SELECT vec_id AS corpus_id, $sqlQVec AS v FROM embeddings),
-        cent AS (
-          SELECT corpus_id AS cent_id, v AS centv FROM c WHERE corpus_id < 16),
-        assigned AS (
-          SELECT c.corpus_id, c.v, cent.cent_id,
-            CAST(${sqlDotQ("c.v", "cent.centv")} AS DOUBLE)
-              / sqrt(CAST(${sqlDotQ("c.v", "c.v")} AS DOUBLE) * CAST(${sqlDotQ("cent.centv", "cent.centv")} AS DOUBLE)) AS csim,
-            row_number() OVER (PARTITION BY c.corpus_id ORDER BY
-              CAST(${sqlDotQ("c.v", "cent.centv")} AS DOUBLE)
-                / sqrt(CAST(${sqlDotQ("c.v", "c.v")} AS DOUBLE) * CAST(${sqlDotQ("cent.centv", "cent.centv")} AS DOUBLE)) DESC,
-              cent.cent_id ASC) AS cr
-          FROM c CROSS JOIN cent),
-        lists AS (
-          SELECT cent_id, corpus_id, v FROM assigned WHERE cr = 1),
-        q AS (
-          SELECT vec_id AS query_id, $sqlQVec AS qv FROM embeddings WHERE vec_id < 10),
-        probes AS (
-          SELECT query_id, qv, cent_id FROM (
-            SELECT q.query_id, q.qv, cent.cent_id,
-              row_number() OVER (PARTITION BY q.query_id ORDER BY
-                CAST(${sqlDotQ("q.qv", "cent.centv")} AS DOUBLE)
-                  / sqrt(CAST(${sqlDotQ("q.qv", "q.qv")} AS DOUBLE) * CAST(${sqlDotQ("cent.centv", "cent.centv")} AS DOUBLE)) DESC,
-                cent.cent_id ASC) AS pr
-            FROM q CROSS JOIN cent) WHERE pr <= 4),
-        scored AS (
-          SELECT p.query_id, l.corpus_id,
-            CAST(${sqlDotQ("p.qv", "l.v")} AS DOUBLE)
-              / sqrt(CAST(${sqlDotQ("p.qv", "p.qv")} AS DOUBLE) * CAST(${sqlDotQ("l.v", "l.v")} AS DOUBLE)) AS cosine
-          FROM probes p JOIN lists l ON p.cent_id = l.cent_id),
-        ranked AS (
-          SELECT query_id, corpus_id, cosine,
-            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
-          FROM scored)
-        SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank
-        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
+      Some(sqlIvfTopk)),
+
+    // -- q134: the SAME IVF search through the PERSISTENT index: inverted
+    //    lists in a BucketedStore keyed by list id, candidate IO = only the
+    //    probed buckets (readTouched). Shares q85's oracle verbatim — the
+    //    index route must be output-identical to the in-memory route. -----
+    Q("q134_indexed_ann_topk",
+      (s, dir) => {
+        val root = ivfIndexFixture(s, dir)
+        val store = new graft.core.BucketedStore(root, 16)(s)
+        ops.Similarity.searchIndexed(
+          T(s, dir, "embeddings").filter(col("vec_id") < 10), "vec_id", "embedding",
+          store, "ann", k = 5, nprobe = 4)
+          .select("query_id", "corpus_id", "cosine", "rank")
+          .orderBy("query_id", "rank")
+      },
+      Some(sqlIvfTopk)),
 
     // -- q77: text quality features + token counting ---------------------------
     Q("q77_text_quality",

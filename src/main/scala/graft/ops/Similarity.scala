@@ -204,13 +204,9 @@ object Similarity {
               .map { case (id, v) => (id, v.toSeq) })
           .toDF("cent_id", "__centv")
           .withColumn("__centn", dotQ(col("__centv"), col("__centv"), dim))
-    // inverted lists: nearest centroid per corpus vector (ties -> smaller id)
-    val assigned = c.join(broadcast(cent))
-      .select(col("corpus_id"), col("__cv"), col("__cn"), col("cent_id"),
-        cosineFromParts(dotQ(col("__cv"), col("__centv"), dim), col("__cn"), col("__centn")).as("__csim"))
-    val lists = TopK.perGroup(assigned, Seq("corpus_id"),
-      Seq(col("__csim").desc, col("cent_id").asc), 1, rankCol = "__cr")
-      .select(col("cent_id"), col("corpus_id"), col("__cv"), col("__cn"))
+    // inverted lists: nearest centroid per corpus vector (ties -> smaller
+    // id) — the same assignment the persistent index materializes
+    val lists = assignToLists(c, cent, dim)
     // probes: nprobe nearest centroids per query
     val q = queries.select(col(queryIdCol).as("query_id"), quantize(col(vecCol), dim).as("__qv"))
       .withColumn("__qn", dotQ(col("__qv"), col("__qv"), dim))
@@ -226,6 +222,91 @@ object Similarity {
         cosineFromParts(dotQ(col("__qv"), col("__cv"), dim), col("__qn"), col("__cn")).as("cosine"))
     // no distinct needed: every corpus vector lives in exactly ONE list
     // (assignment rank=1 with a total tiebreak)
+    TopK.perGroup(scored, Seq("query_id"),
+      Seq(col("cosine").desc, col("corpus_id").asc), k, rankCol = "rank")
+  }
+
+  /** Persistent IVF ANN index — the serving-scale path, mirroring the LSH
+    * dedup index ([[Dedup.indexCorpus]]): inverted lists land in a
+    * [[graft.core.BucketedStore]] BUCKETED BY LIST ID, so a query's top-k
+    * reads only its `nprobe` probed buckets (`readTouched` — IO independent
+    * of corpus size) and new vectors append O(batch) (`appendBucketed`,
+    * compact on a cadence via `store.compactBuckets`). Centroids persist
+    * alongside so every later search and append shares the exact assignment
+    * geometry the index was built with. */
+  def indexVectors(corpus: DataFrame, corpusIdCol: String, vecCol: String,
+                   store: graft.core.BucketedStore, feature: String,
+                   nlist: Int = 16, dim: Int = 64, refineIters: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(corpusIdCol).as("corpus_id"), quantize(col(vecCol), dim).as("__cv"))
+      .withColumn("__cn", dotQ(col("__cv"), col("__cv"), dim))
+    val cent =
+      if (refineIters <= 0) seedCentroids(c, nlist)
+      else
+        spark.createDataFrame(
+            kmeansCentroids(corpus, corpusIdCol, vecCol, nlist, refineIters, dim)
+              .map { case (id, v) => (id, v.toSeq) })
+          .toDF("cent_id", "__centv")
+          .withColumn("__centn", dotQ(col("__centv"), col("__centv"), dim))
+    store.write(assignToLists(c, cent, dim), s"${feature}_lists", Seq("cent_id"))
+    store.write(cent.select(col("cent_id"), col("__centv")),
+      s"${feature}_centroids", Seq("cent_id"))
+  }
+
+  /** Nearest-centroid assignment shared by build/append: every vector joins
+    * the broadcast centroid set and keeps exactly ONE list (rank-1 with a
+    * total tiebreak) — never corpus×corpus. */
+  private def assignToLists(c: DataFrame, cent: DataFrame, dim: Int): DataFrame = {
+    val assigned = c.join(broadcast(cent))
+      .select(col("corpus_id"), col("__cv"), col("__cn"), col("cent_id"),
+        cosineFromParts(dotQ(col("__cv"), col("__centv"), dim), col("__cn"), col("__centn")).as("__csim"))
+    TopK.perGroup(assigned, Seq("corpus_id"),
+      Seq(col("__csim").desc, col("cent_id").asc), 1, rankCol = "__cr")
+      .select(col("cent_id"), col("corpus_id"), col("__cv"), col("__cn"))
+  }
+
+  /** O(batch) index growth: assign the new vectors against the STORED
+    * centroids and append to the touched list buckets only — no existing
+    * index file is read or rewritten, so ingest cost is independent of
+    * index size. */
+  def appendToVectorIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+                          store: graft.core.BucketedStore, feature: String,
+                          dim: Int = 64): Unit = {
+    val cent = store.read(s"${feature}_centroids", Seq("cent_id"))
+      .select(col("cent_id"), col("__centv"))
+      .withColumn("__centn", dotQ(col("__centv"), col("__centv"), dim))
+    val c = newVecs.select(col(idCol).as("corpus_id"), quantize(col(vecCol), dim).as("__cv"))
+      .withColumn("__cn", dotQ(col("__cv"), col("__cv"), dim))
+    store.appendBucketed(s"${feature}_lists", assignToLists(c, cent, dim), Seq("cent_id"))
+  }
+
+  /** Index-accelerated [[ivfTopK]]: identical output over the same corpus
+    * and parameters (spec-asserted), but candidate IO is ONLY the probed
+    * list buckets via `readTouched` — the 100 TB ANN serving shape. */
+  def searchIndexed(queries: DataFrame, queryIdCol: String, vecCol: String,
+                    store: graft.core.BucketedStore, feature: String,
+                    k: Int, nprobe: Int = 4, dim: Int = 64): DataFrame = {
+    val cent = store.read(s"${feature}_centroids", Seq("cent_id"))
+      .select(col("cent_id"), col("__centv"))
+      .withColumn("__centn", dotQ(col("__centv"), col("__centv"), dim))
+    val q = queries.select(col(queryIdCol).as("query_id"), quantize(col(vecCol), dim).as("__qv"))
+      .withColumn("__qn", dotQ(col("__qv"), col("__qv"), dim))
+    // persisted: the probe frame keys readTouched's bucket pruning (an
+    // action) AND joins the pruned lists — without this the query-side
+    // centroid ranking would execute twice per search
+    val probes = TopK.perGroup(
+      q.join(broadcast(cent))
+        .select(col("query_id"), col("__qv"), col("__qn"), col("cent_id"),
+          cosineFromParts(dotQ(col("__qv"), col("__centv"), dim), col("__qn"), col("__centn")).as("__psim")),
+      Seq("query_id"), Seq(col("__psim").desc, col("cent_id").asc), nprobe, rankCol = "__pr")
+      .select(col("query_id"), col("__qv"), col("__qn"), col("cent_id"))
+      .persistTracked()
+    val listsSubset = store.readTouched(s"${feature}_lists", Seq("cent_id"),
+      probes.select("cent_id"))
+    val scored = probes
+      .join(listsSubset.select(col("cent_id"), col("corpus_id"), col("__cv"), col("__cn")), Seq("cent_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosineFromParts(dotQ(col("__qv"), col("__cv"), dim), col("__qn"), col("__cn")).as("cosine"))
     TopK.perGroup(scored, Seq("query_id"),
       Seq(col("cosine").desc, col("corpus_id").asc), k, rankCol = "rank")
   }

@@ -74,6 +74,16 @@ class SqlTvfSpec extends SparkSpec {
     assert(n >= 0)
   }
 
+  test("graft_gopher_rules and graft_shard_assign == their Scala APIs") {
+    docs.createOrReplaceTempView("tvf_docs")
+    same(
+      spark.sql("SELECT * FROM graft_gopher_rules('tvf_docs','doc_id','text')"),
+      ops.TextOps.gopherRules(docs, "doc_id", "text"))
+    same(
+      spark.sql("SELECT * FROM graft_shard_assign('tvf_docs','doc_id',8)"),
+      ops.Shards.assign(docs, "doc_id", 8))
+  }
+
   test("non-literal and malformed TVF arguments fail loudly") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception](

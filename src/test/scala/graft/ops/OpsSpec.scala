@@ -431,6 +431,54 @@ class SimilaritySpec extends SparkSpec {
     assert(c0.map(_._1) == c2.map(_._1))
     assert(c0.zip(c2).exists { case ((_, a), (_, b)) => !a.sameElements(b) })
   }
+
+  test("persistent IVF index: searchIndexed == in-memory ivfTopK, probe IO is bucket-pruned") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val store = new graft.core.BucketedStore(tmpDir("ivfidx"), numBuckets = 16)
+    Similarity.indexVectors(emb, "vec_id", "embedding", store, "ann", nlist = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val mem = rows(Similarity.ivfTopK(queries, emb, "vec_id", "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4))
+    val idx = rows(Similarity.searchIndexed(queries, "vec_id", "embedding",
+      store, "ann", k = 5, nprobe = 4))
+    assert(idx == mem, "index route must be output-identical to the in-memory route")
+    // a single query probes nprobe=2 lists -> readTouched must open at most
+    // 2 of the 16 list buckets (the sub-linear serving contract)
+    val one = Similarity.searchIndexed(emb.filter(col("vec_id") === 0), "vec_id",
+      "embedding", store, "ann", k = 3, nprobe = 2)
+    def bucketsOf(df: org.apache.spark.sql.DataFrame) =
+      df.inputFiles.filter(_.contains("ann_lists"))
+        .map(_.split("/__b=")(1).split("/")(0)).distinct.length
+    val total = bucketsOf(store.read("ann_lists", Seq("cent_id")))
+    val touched = bucketsOf(one)
+    assert(touched >= 1 && touched <= 2 && touched < total,
+      s"single-query probe read $touched of $total list buckets")
+  }
+
+  test("appendToVectorIndex: grown index answers == index rebuilt from the full corpus") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // split so part1 keeps ids 0..15: seedCentroids picks the 16 smallest
+    // ids, so part1's seeds == the union's seeds and grown/rebuilt share the
+    // exact centroid geometry (assignment is centroid-relative)
+    val part2 = emb.filter(col("vec_id") >= 16 && col("vec_id") % 4 === 0)
+    val part1 = emb.filter(col("vec_id") < 16 || col("vec_id") % 4 =!= 0)
+    val grown = new graft.core.BucketedStore(tmpDir("ivfgrow"), numBuckets = 16)
+    Similarity.indexVectors(part1, "vec_id", "embedding", grown, "ann", nlist = 16)
+    Similarity.appendToVectorIndex(part2, "vec_id", "embedding", grown, "ann")
+    val rebuilt = new graft.core.BucketedStore(tmpDir("ivffull"), numBuckets = 16)
+    Similarity.indexVectors(emb, "vec_id", "embedding", rebuilt, "ann", nlist = 16)
+    val queries = emb.filter(col("vec_id") < 10)
+    def rows(st: graft.core.BucketedStore) =
+      Similarity.searchIndexed(queries, "vec_id", "embedding", st, "ann", k = 5, nprobe = 4)
+        .select("query_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val before = rows(grown)
+    assert(before == rows(rebuilt))
+    // compaction folds the appended dirs without changing any answer
+    grown.compactBuckets("ann_lists", Seq("cent_id"))
+    assert(rows(grown) == before)
+  }
 }
 
 class ShardsSpec extends SparkSpec {
