@@ -180,6 +180,77 @@ object Fastlane {
       .start()
   }
 
+  /** Streaming SEMANTIC-dedup-gated embedding ingest — the online form of
+    * [[graft.ops.Similarity.semanticDedup]] running against the PERSISTENT
+    * IVF ANN index ([[graft.ops.Similarity.indexVectors]]). Per micro-batch:
+    * (1) the batch is deduped against ITSELF (cosine >= threshold clusters
+    * keep the min-id representative), (2) survivors probe the index for
+    * their nearest admitted neighbor ([[graft.ops.Similarity.searchIndexed]]
+    * — IO = the nprobe probed list buckets, independent of corpus size) and
+    * are dropped if it clears the threshold, (3) novel vectors append to
+    * `corpusDir` and to the index (O(batch) dir-appends). The first batch
+    * bootstraps the index and FIXES its centroid geometry — later batches
+    * assign against those centroids, so recall properties stay those of the
+    * bootstrap sample. Compact on a cadence from the batch lane:
+    * `store.compactBuckets(s"${feature}_lists", Seq("cent_id"))`.
+    * Exactly-once: replays re-admit the same ids; fence by batchId or pair
+    * readers with exact id dedup, as in [[serve]]. */
+  def ingestVectorsIndexed(
+      stream: DataFrame,
+      idCol: String, vecCol: String,
+      store: graft.core.BucketedStore, feature: String,
+      corpusDir: String, checkpointDir: String,
+      threshold: Double = 0.9,
+      nlist: Int = 16, nprobe: Int = 4, planes: Int = 4, dim: Int = 64,
+      trigger: Trigger = Trigger.AvailableNow())
+      (implicit spark: SparkSession): StreamingQuery = {
+    import graft.ops.Similarity
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // (1) intra-batch semantic dedup: keep cluster representatives
+          val keep = Similarity.semanticDedup(
+              batch.select(col(idCol), col(vecCol)), idCol, vecCol,
+              threshold, planes, dim)
+            .where(col("kept")).select(col("id").as(idCol))
+          val selfDeduped = batch.select(col(idCol), col(vecCol))
+            .join(keep, Seq(idCol))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // (2) nearest admitted neighbor via the index; the batch is NOT in
+          // the index yet, so any hit >= threshold is a true cross-batch dup
+          val bootstrap = store.latestVersion(s"${feature}_lists").isEmpty
+          val admitted =
+            if (bootstrap) selfDeduped
+            else {
+              val dups = Similarity.searchIndexed(selfDeduped, idCol, vecCol,
+                  store, feature, k = 1, nprobe = nprobe, dim = dim)
+                .where(col("cosine") >= threshold)
+                .select(col("query_id").as(idCol)).distinct()
+              selfDeduped.join(dups, Seq(idCol), "left_anti")
+            }
+          // persisted: the corpus write and the index build/append both act
+          // on `admitted` — without this the gate pipeline runs per action
+          val adm = admitted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          if (!adm.isEmpty) {
+            adm.write.mode("append").parquet(corpusDir)
+            if (bootstrap)
+              Similarity.indexVectors(adm, idCol, vecCol, store, feature, nlist, dim)
+            else
+              Similarity.appendToVectorIndex(adm, idCol, vecCol, store, feature, dim)
+          }
+          // bounded state for an unbounded stream: release this batch's own
+          // frames and the ops' tracked internal persists — see above
+          adm.unpersist(false)
+          selfDeduped.unpersist(false)
+          graft.core.TrackedCache.release()
+          ()
+        }
+      }
+      .start()
+  }
+
   /** High-frequency serving: O(batch) delta append per micro-batch instead of
     * the O(table) copy-on-write MERGE — the write cost no longer grows with
     * table size. Read the serving state with

@@ -105,6 +105,52 @@ class FastlaneSpec extends SparkSpec {
     assert(indexed == Set(1L, 2L, 5L))
   }
 
+  test("ingestVectorsIndexed: streaming semantic-dedup gate over the persistent ANN index") {
+    // unit vectors in a 64-dim space: v(deg) rotates in the (0,1) plane;
+    // axis(k) is orthogonal to everything else. threshold 0.9 ~ 25.8 deg.
+    def v(deg: Double): Array[Float] = {
+      val a = Array.fill(64)(0f)
+      a(0) = math.cos(math.toRadians(deg)).toFloat
+      a(1) = math.sin(math.toRadians(deg)).toFloat
+      a
+    }
+    def axis(k: Int): Array[Float] = { val a = Array.fill(64)(0f); a(k) = 1f; a }
+    val corpusDir = tmpDir("ingv_corpus") + "/c"
+    val srcDir = tmpDir("ingv_src")
+    val store = new graft.core.BucketedStore(tmpDir("ingv_idx"), numBuckets = 16)
+    val ckpt = tmpDir("ingv_ckpt")
+    def stream() = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>").json(s"$srcDir/*")
+
+    // batch 1: two distinct vectors plus an intra-batch near-dup of vec 1
+    // (cos 10 deg ~ .985 >= .9 collapses to the min id)
+    Seq((1L, v(0)), (2L, axis(2)), (3L, v(10)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").json(s"$srcDir/b1")
+    Fastlane.ingestVectorsIndexed(stream(), "vec_id", "embedding",
+      store, "ann", corpusDir, ckpt, threshold = 0.9).awaitTermination(60000)
+    val after1 = spark.read.parquet(corpusDir).select("vec_id").as[Long].collect().toSet
+    assert(after1 == Set(1L, 2L), s"intra-batch semantic dup not collapsed: $after1")
+
+    // batch 2: a near-dup of admitted vec 1 (5 deg), and a genuinely new axis
+    Seq((4L, v(5)), (5L, axis(3)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").json(s"$srcDir/b2")
+    Fastlane.ingestVectorsIndexed(stream(), "vec_id", "embedding",
+      store, "ann", corpusDir, ckpt, threshold = 0.9).awaitTermination(60000)
+    val after2 = spark.read.parquet(corpusDir).select("vec_id").as[Long].collect().toSet
+    assert(after2 == Set(1L, 2L, 5L), s"cross-batch semantic dup admitted: $after2")
+    // the index's inverted lists hold exactly the admitted corpus
+    val indexed = store.read("ann_lists", Seq("cent_id"))
+      .select("corpus_id").distinct().as[Long].collect().toSet
+    assert(indexed == Set(1L, 2L, 5L))
+    // and the index answers serving queries over the admitted corpus: the
+    // nearest admitted neighbor of a 3-deg rotation of vec 1 is vec 1
+    val near = graft.ops.Similarity.searchIndexed(
+        Seq((100L, v(3))).toDF("vec_id", "embedding"), "vec_id", "embedding",
+        store, "ann", k = 1, nprobe = 4)
+      .select("corpus_id").as[Long].head()
+    assert(near == 1L)
+  }
+
   test("serveAppend bootstraps a brand-new feature, then delta-appends; readCurrent sees both") {
     val store = new FeatureStore(tmpDir("fappend"))
     val srcDir = tmpDir("fappend_src")
