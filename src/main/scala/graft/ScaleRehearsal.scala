@@ -99,6 +99,16 @@ object ScaleRehearsal {
         col("doc_id") >= nDocs)
       ops.Dedup.shingleProfiles(corpus, "doc_id", "text", 3, ops.Dedup.hashCoeffs(12))
         .write.mode("overwrite").parquet(s"$dir/profile")
+      // persistent IVF ANN index for the serving rehearsal: built HERE
+      // (production amortizes the build across the index lifetime), rebuilt
+      // unconditionally so a prior run's timed appends don't accumulate.
+      // nlist scales as sqrt(N) (autoNlist) with one list per store bucket —
+      // the dial that keeps per-query probe IO sub-linear.
+      val embAll = spark.read.parquet(s"$dir/embeddings")
+      val nlist = ops.Similarity.autoNlist(embAll.count())
+      val store = new core.BucketedStore(s"$dir/ivfidx", numBuckets = nlist)(spark)
+      ops.Similarity.indexVectors(embAll, "vec_id", "embedding", store, "ann",
+        nlist = nlist)
       dir
     }
 
@@ -179,7 +189,28 @@ object ScaleRehearsal {
             expectedEvalGrams = 100000L, fpp = 0.01))
         }),
         "q131_gopher_rules" -> (() => force(ops.TextOps.gopherRules(
-          docs, "doc_id", "text")))
+          docs, "doc_id", "text"))),
+        // persistent ANN serving: a FIXED 100-query set against the stored
+        // index. Per-query candidate IO = nprobe probed lists of ~sqrt(N)
+        // vectors each (autoNlist) — expect ~sqrt growth, NOT linear
+        "q134_indexed_search" -> (() => {
+          val store = new core.BucketedStore(s"$dir/ivfidx",
+            numBuckets = ops.Similarity.autoNlist(nEmb))(spark)
+          force(ops.Similarity.searchIndexed(
+            emb.where(col("vec_id") < 100), "vec_id", "embedding",
+            store, "ann", k = 5, nprobe = 4))
+        }),
+        // O(batch) index growth: a FIXED 500-vector batch (fresh ids)
+        // assigned against the stored centroids and dir-appended — no
+        // existing index file read or rewritten, so expect ~flat
+        "q135_index_append" -> (() => {
+          val store = new core.BucketedStore(s"$dir/ivfidx",
+            numBuckets = ops.Similarity.autoNlist(nEmb))(spark)
+          val batch = emb.where(col("vec_id") < 500)
+            .select((col("vec_id") + lit(10000000L)).as("vec_id"), col("embedding"))
+          ops.Similarity.appendToVectorIndex(batch, "vec_id", "embedding",
+            store, "ann")
+        })
       ).map { case (name, thunk) =>
         thunk() // warmup (codegen + plan); measured run follows
         // drop the warmup's persisted intermediates BEFORE timing: ops

@@ -342,6 +342,15 @@ object Similarity {
     math.max(4, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket))
       / math.log(2.0)).toInt)
 
+  /** IVF list-count dial, the [[autoPlanes]] analogue for [[ivfTopK]] /
+    * [[indexVectors]]: nlist ≈ √n keeps the assignment join at n·√n work
+    * and each inverted list at ~√n vectors, so a query's candidate IO
+    * (nprobe probed lists) grows as √n — sub-linear in corpus size. A FIXED
+    * nlist makes per-list size (and so per-query cost) linear in n, the
+    * same degeneracy autoPlanes fixes for the hyperplane path. */
+  def autoNlist(n: Long): Int =
+    math.max(16, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+
   /** Embedding-cosine near-duplicate pairs: LSH-blocked, then exact cosine
     * filter. Same keyed-shuffle shape as [[Dedup.minhashNearDupPairs]].
     * `planes` must scale with corpus size — see [[autoPlanes]]. */

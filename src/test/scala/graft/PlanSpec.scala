@@ -308,6 +308,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"candidate join not broadcast:\n$p")
   }
 
+  test("q134: indexed ANN search joins broadcast centroids/probes; never a cartesian corpus product") {
+    // the serving contract: centroid ranking and the probe->list candidate
+    // join ride broadcasts (centroid set and probe set are both tiny);
+    // candidates come from pruned parquet scans of the probed buckets — a
+    // CartesianProduct anywhere means the corpus got cross-joined
+    val df = SparkEntry.queries("q134_indexed_ann_topk")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"corpus cross-join in plan:\n$p")
+    assert(p.contains("Broadcast"), s"no broadcast in the probe path:\n$p")
+  }
+
   test("bloomDecontaminate: corpus text never a shuffle key; sketch is a subquery, not a join side") {
     // the probe side must stay map-side against the scalar bloom: no
     // exchange may carry a string column, and the only joins in the plan
