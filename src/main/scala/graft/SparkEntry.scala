@@ -1766,6 +1766,18 @@ object SparkEntry {
         ORDER BY new_id, corpus_id"""
   }
 
+  /** Shared oracle for the stratified-sample pair: q111 (window-rank form)
+    * and q136 (bounded ReservoirAgg form) must pick the IDENTICAL rows. */
+  private lazy val sqlStratifiedSample: String = s"""
+        WITH r AS (
+          SELECT source, doc_id,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY ${sqlH60("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS INT) AS sample_rank
+          FROM documents)
+        SELECT source, doc_id, sample_rank
+        FROM r WHERE sample_rank <= 20
+        ORDER BY source, sample_rank"""
+
   /** Shared oracle for the IVF ANN family: q85 (in-memory route) and q134
     * (persistent-index route) must both produce exactly this. Centroids are
     * the seed rule (`corpus_id < nlist`), assignment is rank-1 by cosine
@@ -2554,15 +2566,18 @@ object SparkEntry {
         T(s, dir, "documents"), "source", "doc_id", n = 20)
         .select("source", "doc_id", "sample_rank")
         .orderBy("source", "sample_rank"),
-      Some(s"""
-        WITH r AS (
-          SELECT source, doc_id,
-            CAST(row_number() OVER (PARTITION BY source
-              ORDER BY ${sqlH60("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS INT) AS sample_rank
-          FROM documents)
-        SELECT source, doc_id, sample_rank
-        FROM r WHERE sample_rank <= 20
-        ORDER BY source, sample_rank""")),
+      Some(sqlStratifiedSample)),
+
+    // -- q136: the SAME sample via the bounded ReservoirAgg — map tasks keep
+    //    <= n (draw,id) pairs per group under partial aggregation, so the
+    //    exchange never carries the table (the 100 TB form of q111). Shares
+    //    q111's oracle verbatim: the two forms must pick identical rows. ---
+    Q("q136_stratified_sample_bounded",
+      (s, dir) => ops.Stats.stratifiedSampleBounded(
+        T(s, dir, "documents"), "source", "doc_id", n = 20)
+        .select("source", "doc_id", "sample_rank")
+        .orderBy("source", "sample_rank"),
+      Some(sqlStratifiedSample)),
 
     // -- q112: per-group z-score — group stats from exact integer cents
     //    (q35 pattern) broadcast back; the fact side never shuffles ----------

@@ -212,6 +212,32 @@ object Stats {
       .where(col("sample_rank") <= n)
   }
 
+  /** Bounded-memory form of [[stratifiedSample]]: same deterministic
+    * hash-ordered sample (identical (group, id, sample_rank) set — spec- and
+    * oracle-asserted), but computed with [[graft.expressions.ReservoirAgg]]
+    * under partial aggregation. The window form SHUFFLES EVERY ROW of the
+    * table to rank it; here each map task keeps ≤ n (draw, id) pairs per
+    * group, so the exchange carries ≤ n·tasks rows per group and the
+    * 100 TB fact table itself never moves. Returns (group, id, sample_rank)
+    * — semi-join the ids back to fetch full rows (ids-only output is the
+    * point: the payload never rides the aggregation). `idCol` must be
+    * integral (cast to bigint); the draw hashes its decimal string form so
+    * ranks match [[stratifiedSample]] exactly. */
+  def stratifiedSampleBounded(df: DataFrame, groupCol: String, idCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumn
+    val draw = pmod(Dedup.md5Hash60(col(idCol).cast("string")), lit(Dedup.P))
+    val agg = GraftColumn.of(
+      graft.expressions.ReservoirAgg(
+        GraftColumn.expr(draw), GraftColumn.expr(col(idCol).cast("long")), n)
+        .toAggregateExpression())
+    df.groupBy(col(groupCol))
+      .agg(agg.as("__sample"))
+      .select(col(groupCol), posexplode(col("__sample")).as(Seq("__pos", "__s")))
+      .select(col(groupCol), col("__s.id").as(idCol),
+        (col("__pos") + 1).cast("int").as("sample_rank"))
+  }
+
   /** Weighted (probability-proportional-to-size) Bernoulli sampling:
     * include a row with probability `min(1, weight·expectedN / W)` where
     * `W = Σ weight` — the Poisson-sampling form of weighted subsampling

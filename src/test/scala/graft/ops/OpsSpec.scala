@@ -1314,6 +1314,28 @@ class StratifiedZscoreSpec extends SparkSpec {
     assert(s1.count(_._1 == "a") == 10 && s1.count(_._1 == "b") == 10)
   }
 
+  test("stratifiedSampleBounded == window form; plan is agg-only with no window rank") {
+    // the bounded form must pick the IDENTICAL (grp, id, rank) set — over a
+    // deliberately re-partitioned input so partial buffers really merge
+    val df = (1L to 1000L).map(i => (i, s"g${i % 5}")).toDF("id", "grp")
+      .repartition(13)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("grp", "id", "sample_rank").as[(String, Long, Int)].collect().toSet
+    val win = rows(Stats.stratifiedSample(df, "grp", "id", n = 17))
+    val bounded = Stats.stratifiedSampleBounded(df, "grp", "id", n = 17)
+    assert(rows(bounded) == win)
+    // the scale contract: no Window/row_number anywhere — the sample comes
+    // from a partial+final aggregate over k-bounded reservoir buffers
+    val p = bounded.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"bounded form fell back to a window rank:\n$p")
+    assert(p.contains("graft_reservoir"), s"reservoir aggregate missing:\n$p")
+    // groups smaller than n return the whole group, ranked identically
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp")
+    assert(rows(Stats.stratifiedSampleBounded(tiny, "grp", "id", n = 10)) ==
+      rows(Stats.stratifiedSample(tiny, "grp", "id", n = 10)))
+    assert(Stats.stratifiedSampleBounded(tiny, "grp", "id", n = 10).count() == 3)
+  }
+
   test("zscorePerGroup: NULL values neither corrupt group stats nor clamp to 0") {
     // group g: [10, 20, null] — stats must come from the two non-null rows
     // (n=2, mean=15), and the null row's z must be NULL, not 0
