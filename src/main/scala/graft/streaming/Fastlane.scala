@@ -125,9 +125,10 @@ object Fastlane {
     * `corpusDir`, [[graft.ops.Dedup.appendToIndex]] their profiles
     * (O(batch) dir-appends). EVERY step is independent of corpus size —
     * the shape that survives an unbounded stream over a 100 TB corpus.
-    * The first batch bootstraps the index. Compact on a cadence from the
-    * batch lane: `store.compactBuckets(s"${feature}_bands", Seq("band_key"))`
-    * and `..._profile` by `corpus_id`. */
+    * The first batch bootstraps the index. `compactEvery = N` folds the
+    * append dirs back (compactBuckets on bands + profile) every N batches
+    * so read fan-in stays bounded on a long stream; 0 leaves maintenance
+    * to the batch lane. */
   def ingestDedupedIndexed(
       stream: DataFrame,
       idCol: String, textCol: String,
@@ -135,13 +136,14 @@ object Fastlane {
       corpusDir: String, checkpointDir: String,
       n: Int = 3, numHashes: Int = 12, bands: Int = 4,
       threshold: Double = 0.5,
+      compactEvery: Int = 0,
       trigger: Trigger = Trigger.AvailableNow())
       (implicit spark: SparkSession): StreamingQuery = {
     import graft.ops.Dedup
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val selfDeduped = Dedup.dedupCorpusNear(
               batch.select(col(idCol), col(textCol)),
@@ -168,6 +170,12 @@ object Fastlane {
           else
             Dedup.appendToIndex(prof, idCol, "__sig", "__shingles",
               store, feature, numHashes, bands)
+          // maintenance on a cadence: fold the append dirs back into one
+          // file per bucket so read fan-in stays bounded on a long stream
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+            store.compactBuckets(s"${feature}_bands", Seq("band_key"))
+            store.compactBuckets(s"${feature}_profile", Seq("corpus_id"))
+          }
           // bounded state for an unbounded stream: release this batch's own
           // frames and the ops' tracked internal persists — see above
           prof.unpersist(false)
@@ -191,8 +199,8 @@ object Fastlane {
     * `corpusDir` and to the index (O(batch) dir-appends). The first batch
     * bootstraps the index and FIXES its centroid geometry — later batches
     * assign against those centroids, so recall properties stay those of the
-    * bootstrap sample. Compact on a cadence from the batch lane:
-    * `store.compactBuckets(s"${feature}_lists", Seq("cent_id"))`.
+    * bootstrap sample. `compactEvery = N` folds the appended list dirs back
+    * every N batches (0 = leave maintenance to the batch lane).
     * Exactly-once: replays re-admit the same ids; fence by batchId or pair
     * readers with exact id dedup, as in [[serve]]. */
   def ingestVectorsIndexed(
@@ -202,13 +210,14 @@ object Fastlane {
       corpusDir: String, checkpointDir: String,
       threshold: Double = 0.9,
       nlist: Int = 16, nprobe: Int = 4, planes: Int = 4, dim: Int = 64,
+      compactEvery: Int = 0,
       trigger: Trigger = Trigger.AvailableNow())
       (implicit spark: SparkSession): StreamingQuery = {
     import graft.ops.Similarity
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           // (1) intra-batch semantic dedup: keep cluster representatives
           val keep = Similarity.semanticDedup(
@@ -239,6 +248,8 @@ object Fastlane {
               Similarity.indexVectors(adm, idCol, vecCol, store, feature, nlist, dim)
             else
               Similarity.appendToVectorIndex(adm, idCol, vecCol, store, feature, dim)
+            if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+              store.compactBuckets(s"${feature}_lists", Seq("cent_id"))
           }
           // bounded state for an unbounded stream: release this batch's own
           // frames and the ops' tracked internal persists — see above

@@ -93,9 +93,12 @@ class FastlaneSpec extends SparkSpec {
 
     Seq((4L, base + " xi"), (5L, "completely different words about spark engines at scale here"))
       .toDF("doc_id", "text").write.mode("overwrite").json(s"$srcDir/b2")
+    // compactEvery = 1: this batch (batchId 1) also folds the append dirs —
+    // the gate's answers must be unaffected by mid-stream maintenance
     Fastlane.ingestDedupedIndexed(
       spark.readStream.schema("doc_id LONG, text STRING").json(s"$srcDir/*"),
-      "doc_id", "text", store, "corpus", corpusDir, ckpt, threshold = 0.5)
+      "doc_id", "text", store, "corpus", corpusDir, ckpt, threshold = 0.5,
+      compactEvery = 1)
       .awaitTermination(60000)
     assert(spark.read.parquet(corpusDir).select("doc_id").as[Long].collect().toSet
       == Set(1L, 2L, 5L), "cross-batch near-dup must be rejected via the index")
@@ -134,8 +137,11 @@ class FastlaneSpec extends SparkSpec {
     // batch 2: a near-dup of admitted vec 1 (5 deg), and a genuinely new axis
     Seq((4L, v(5)), (5L, axis(3)))
       .toDF("vec_id", "embedding").write.mode("overwrite").json(s"$srcDir/b2")
+    // compactEvery = 1: batch 1 also folds the appended list dirs — the
+    // admitted set and the serving answers below must be unaffected
     Fastlane.ingestVectorsIndexed(stream(), "vec_id", "embedding",
-      store, "ann", corpusDir, ckpt, threshold = 0.9).awaitTermination(60000)
+      store, "ann", corpusDir, ckpt, threshold = 0.9,
+      compactEvery = 1).awaitTermination(60000)
     val after2 = spark.read.parquet(corpusDir).select("vec_id").as[Long].collect().toSet
     assert(after2 == Set(1L, 2L, 5L), s"cross-batch semantic dup admitted: $after2")
     // the index's inverted lists hold exactly the admitted corpus
