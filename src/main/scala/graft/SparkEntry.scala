@@ -2579,6 +2579,29 @@ object SparkEntry {
         .orderBy("source", "sample_rank"),
       Some(sqlStratifiedSample)),
 
+    // -- q137: bounded top-k per group — the aggregate replacement for the
+    //    q09-style window rank: each buffer keeps <= k (key,id) pairs, the
+    //    table never shuffles. Desc order rides the bitwise complement. ----
+    Q("q137_topk_per_group_bounded",
+      (s, dir) => ops.Stats.topKPerGroupBounded(
+        T(s, dir, "orders")
+          .withColumn("cents", round(col("o_totalprice") * 100).cast("long")),
+        "o_orderstatus", "o_orderkey", "cents", k = 10, desc = true)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("cents"),
+          col("__rank").as("rank"))
+        .orderBy("o_orderstatus", "rank"),
+      Some("""
+        WITH r AS (
+          SELECT o_orderstatus, o_orderkey,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+            CAST(row_number() OVER (PARTITION BY o_orderstatus
+              ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                       o_orderkey ASC) AS INT) AS rank
+          FROM orders)
+        SELECT o_orderstatus, o_orderkey, cents, rank
+        FROM r WHERE rank <= 10
+        ORDER BY o_orderstatus, rank""")),
+
     // -- q112: per-group z-score — group stats from exact integer cents
     //    (q35 pattern) broadcast back; the fact side never shuffles ----------
     Q("q112_zscore",

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -225,17 +225,45 @@ object Stats {
     * ranks match [[stratifiedSample]] exactly. */
   def stratifiedSampleBounded(df: DataFrame, groupCol: String, idCol: String,
       n: Int): DataFrame = {
-    import org.apache.spark.sql.GraftColumn
     val draw = pmod(Dedup.md5Hash60(col(idCol).cast("string")), lit(Dedup.P))
+    reservoir(df, groupCol, idCol, draw, n)
+      .select(col(groupCol), col(idCol), col("__rank").as("sample_rank"))
+  }
+
+  /** Bounded-memory top-k per group by an integral order column — the
+    * aggregate replacement for `row_number() OVER (PARTITION BY g ORDER BY
+    * v)` + `rank <= k`, which shuffles EVERY row to rank it. Same
+    * [[graft.expressions.ReservoirAgg]] machinery as
+    * [[stratifiedSampleBounded]]: each buffer keeps ≤ k (key, id) pairs, so
+    * the exchange carries ≤ k·tasks per group. Descending order rides the
+    * BITWISE COMPLEMENT of the value (`~v` is a monotone order reversal
+    * with no `-Long.MinValue` overflow). Ties break on smaller id — the
+    * window form's `ORDER BY v [DESC], id ASC`. Returns (group, id,
+    * orderCol, rank). */
+  def topKPerGroupBounded(df: DataFrame, groupCol: String, idCol: String,
+      orderCol: String, k: Int, desc: Boolean = true): DataFrame = {
+    val v = col(orderCol).cast("long")
+    val draw = if (desc) bitwise_not(v) else v
+    reservoir(df, groupCol, idCol, draw, k)
+      .select(col(groupCol), col(idCol),
+        (if (desc) bitwise_not(col("__draw")) else col("__draw")).as(orderCol),
+        col("__rank"))
+  }
+
+  /** Shared reservoir plumbing: k smallest (draw, id) per group via the
+    * bounded aggregate, exploded to (group, id, __draw, __rank). */
+  private def reservoir(df: DataFrame, groupCol: String, idCol: String,
+      draw: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumn
     val agg = GraftColumn.of(
       graft.expressions.ReservoirAgg(
-        GraftColumn.expr(draw), GraftColumn.expr(col(idCol).cast("long")), n)
+        GraftColumn.expr(draw), GraftColumn.expr(col(idCol).cast("long")), k)
         .toAggregateExpression())
     df.groupBy(col(groupCol))
       .agg(agg.as("__sample"))
       .select(col(groupCol), posexplode(col("__sample")).as(Seq("__pos", "__s")))
-      .select(col(groupCol), col("__s.id").as(idCol),
-        (col("__pos") + 1).cast("int").as("sample_rank"))
+      .select(col(groupCol), col("__s.id").as(idCol), col("__s.draw").as("__draw"),
+        (col("__pos") + 1).cast("int").as("__rank"))
   }
 
   /** Weighted (probability-proportional-to-size) Bernoulli sampling:

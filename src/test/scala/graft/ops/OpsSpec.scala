@@ -1336,6 +1336,29 @@ class StratifiedZscoreSpec extends SparkSpec {
     assert(Stats.stratifiedSampleBounded(tiny, "grp", "id", n = 10).count() == 3)
   }
 
+  test("topKPerGroupBounded == window rank across signs, both directions, MinValue edge") {
+    // values span negative/positive INCLUDING Long.MinValue: the descending
+    // order rides ~v, which must stay a monotone reversal everywhere
+    val df = Seq(
+      ("a", 1L, 5L), ("a", 2L, -3L), ("a", 3L, Long.MinValue), ("a", 4L, 5L),
+      ("a", 5L, Long.MaxValue), ("b", 6L, 0L), ("b", 7L, -1L))
+      .toDF("grp", "id", "v").repartition(7)
+    def window(desc: Boolean) = {
+      val o = if (desc) col("v").desc else col("v").asc
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("grp").orderBy(o, col("id").asc)
+      df.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+        .select("grp", "id", "v", "rank")
+        .as[(String, Long, Long, Int)].collect().toSet
+    }
+    def bounded(desc: Boolean) =
+      Stats.topKPerGroupBounded(df, "grp", "id", "v", k = 3, desc = desc)
+        .select(col("grp"), col("id"), col("v"), col("__rank"))
+        .as[(String, Long, Long, Int)].collect().toSet
+    assert(bounded(desc = true) == window(desc = true))
+    assert(bounded(desc = false) == window(desc = false))
+  }
+
   test("zscorePerGroup: NULL values neither corrupt group stats nor clamp to 0") {
     // group g: [10, 20, null] — stats must come from the two non-null rows
     // (n=2, mean=15), and the null row's z must be NULL, not 0
