@@ -166,5 +166,24 @@ object GraftExtensions {
         ops.Shards.assign(table(str(args(0), "table")),
           str(args(1), "idCol"), int(args(2), "nShards"))
           .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_stratified_sample"),
+      info("graft_stratified_sample",
+        "graft_stratified_sample(table, groupCol, idCol, n) - deterministic N-per-group sample via the bounded reservoir aggregate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "usage: graft_stratified_sample(table, groupCol, idCol, n)")
+        ops.Stats.stratifiedSampleBounded(table(str(args(0), "table")),
+          str(args(1), "groupCol"), str(args(2), "idCol"), int(args(3), "n"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_topk_group"),
+      info("graft_topk_group",
+        "graft_topk_group(table, groupCol, idCol, orderCol, k, desc) - bounded top-k per group by an integral order column (desc: 1 or 0)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6, "usage: graft_topk_group(table, groupCol, idCol, orderCol, k, desc)")
+        ops.Stats.topKPerGroupBounded(table(str(args(0), "table")),
+          str(args(1), "groupCol"), str(args(2), "idCol"), str(args(3), "orderCol"),
+          int(args(4), "k"), desc = int(args(5), "desc") != 0)
+          .queryExecution.logical
       }))
 }

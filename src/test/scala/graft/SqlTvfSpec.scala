@@ -84,6 +84,19 @@ class SqlTvfSpec extends SparkSpec {
       ops.Shards.assign(docs, "doc_id", 8))
   }
 
+  test("graft_stratified_sample and graft_topk_group == their Scala APIs") {
+    docs.createOrReplaceTempView("tvf_docs")
+    same(
+      spark.sql("SELECT * FROM graft_stratified_sample('tvf_docs','source','doc_id',5)"),
+      ops.Stats.stratifiedSampleBounded(docs, "source", "doc_id", 5))
+    docs.selectExpr("source", "doc_id", "length(text) AS len")
+      .createOrReplaceTempView("tvf_docs_len")
+    same(
+      spark.sql("SELECT * FROM graft_topk_group('tvf_docs_len','source','doc_id','len',3,1)"),
+      ops.Stats.topKPerGroupBounded(
+        spark.table("tvf_docs_len"), "source", "doc_id", "len", 3, desc = true))
+  }
+
   test("non-literal and malformed TVF arguments fail loudly") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception](
