@@ -200,6 +200,18 @@ object ScaleRehearsal {
             emb.where(col("vec_id") < 100), "vec_id", "embedding",
             store, "ann", k = 5, nprobe = 4))
         }),
+        // window-rank vs bounded-reservoir sampling, HEAD TO HEAD on the
+        // FACT table (few groups, many rows — the 100 TB pathology): the
+        // window form shuffles every row into 3 l_returnflag partitions and
+        // ranks them on 3 reducers; the aggregate form moves <= k pairs per
+        // group per task. Same rows out (q136 shares q111's oracle).
+        "q111_stratified_window" -> (() => force(ops.Stats.stratifiedSample(
+          li.withColumn("lid", col("l_orderkey") * 10 + col("l_linenumber")),
+          "l_returnflag", "lid", n = 20)
+          .select("l_returnflag", "lid", "sample_rank"))),
+        "q136_stratified_bounded" -> (() => force(ops.Stats.stratifiedSampleBounded(
+          li.withColumn("lid", col("l_orderkey") * 10 + col("l_linenumber")),
+          "l_returnflag", "lid", n = 20))),
         // O(batch) index growth: a FIXED 500-vector batch (fresh ids)
         // assigned against the stored centroids and dir-appended — no
         // existing index file read or rewritten, so expect ~flat
