@@ -49,7 +49,24 @@ object GraftExtensions {
     (FunctionIdentifier("graft_md5hash60"), Md5Hash60.info,
       (children: Seq[Expression]) => Md5Hash60(children.head)),
     (FunctionIdentifier("graft_dotq"), ArrayDotProduct.info,
-      (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))),
+    // typed aggregates: builders return the AggregateFunction, the analyzer
+    // wraps it — usable directly in SQL GROUP BY queries
+    (FunctionIdentifier("graft_simhash60"), graft.expressions.SimhashAgg.info,
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "usage: graft_simhash60(hash60)")
+        graft.expressions.SimhashAgg(children.head)
+      }),
+    (FunctionIdentifier("graft_freq_items"), graft.expressions.FreqItemsAgg.info,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "usage: graft_freq_items(item, k)")
+        graft.expressions.FreqItemsAgg(children(0), int(children(1), "k"))
+      }),
+    (FunctionIdentifier("graft_reservoir"), graft.expressions.ReservoirAgg.info,
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "usage: graft_reservoir(draw, id, k)")
+        graft.expressions.ReservoirAgg(children(0), children(1), int(children(2), "k"))
+      }))
 
   // ---- TVF argument extraction: literals only, loud errors ----------------
   // Table-function arguments arrive as Catalyst expressions; the operator

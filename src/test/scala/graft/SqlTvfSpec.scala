@@ -97,6 +97,38 @@ class SqlTvfSpec extends SparkSpec {
         spark.table("tvf_docs_len"), "source", "doc_id", "len", 3, desc = true))
   }
 
+  test("SQL aggregate surface: graft_reservoir in GROUP BY == the Scala sampler") {
+    docs.createOrReplaceTempView("tvf_docs")
+    val sqlIds = spark.sql(s"""
+        SELECT source, s.id AS doc_id
+        FROM (SELECT source, graft_reservoir(
+                pmod(graft_md5hash60(CAST(doc_id AS STRING)), ${ops.Dedup.P}L),
+                doc_id, 5) AS smp
+              FROM tvf_docs GROUP BY source)
+        LATERAL VIEW explode(smp) t AS s""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val scalaIds = ops.Stats.stratifiedSampleBounded(docs, "source", "doc_id", 5)
+      .select("source", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(sqlIds == scalaIds)
+  }
+
+  test("SQL aggregate surface: graft_freq_items guarantees a >N/(k+1) item survives") {
+    docs.createOrReplaceTempView("tvf_docs")
+    // half the stream is one item — true count N/2 > N/4, so the sketch
+    // GUARANTEES it in the output (the Misra-Gries bound); the rest are
+    // near-unique and may legitimately all be retired
+    val r = spark.sql("""
+        SELECT graft_freq_items(
+          CASE WHEN doc_id % 2 = 0 THEN 'heavy' ELSE concat('x', doc_id) END, 3) AS f
+        FROM tvf_docs""")
+      .selectExpr("f.n", "size(f.items)", "f.items").collect()(0)
+    assert(r.getLong(0) == docs.count())
+    assert(r.getInt(1) <= 3 && r.getInt(1) >= 1)
+    val items = r.getSeq[org.apache.spark.sql.Row](2).map(_.getString(0))
+    assert(items.contains("heavy"))
+  }
+
   test("non-literal and malformed TVF arguments fail loudly") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception](
