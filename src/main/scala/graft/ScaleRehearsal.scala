@@ -109,6 +109,12 @@ object ScaleRehearsal {
       val store = new core.BucketedStore(s"$dir/ivfidx", numBuckets = nlist)(spark)
       ops.Similarity.indexVectors(embAll, "vec_id", "embedding", store, "ann",
         nlist = nlist)
+      // a SEPARATE scratch feature for the append rehearsal: q135's thunk
+      // runs twice (warmup + timed) and appendToVectorIndex is append-only,
+      // so growing "ann" itself would leave duplicate rows for any later
+      // reader of the searched index regardless of op ordering
+      ops.Similarity.indexVectors(embAll, "vec_id", "embedding", store, "annx",
+        nlist = nlist)
       dir
     }
 
@@ -221,7 +227,7 @@ object ScaleRehearsal {
           val batch = emb.where(col("vec_id") < 500)
             .select((col("vec_id") + lit(10000000L)).as("vec_id"), col("embedding"))
           ops.Similarity.appendToVectorIndex(batch, "vec_id", "embedding",
-            store, "ann")
+            store, "annx")
         })
       ).map { case (name, thunk) =>
         thunk() // warmup (codegen + plan); measured run follows

@@ -74,13 +74,30 @@ object SparkEntry {
         .repartition(32)
         .write.mode("overwrite").orc(p)
     }
+  /** /tmp root for a build-once store fixture, keyed by the FULL source
+    * dir AND the source table's modification time: a regenerated fixture
+    * (new mtime) or a distinct dir whose name shares digits gets a fresh
+    * root, so a stale or foreign index can never serve a query whose
+    * oracle reads the new data. */
+  private def storeFixtureRoot(s: SparkSession, dir: String, kind: String,
+      table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val mtime = fs.getFileStatus(p).getModificationTime
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir@$mtime".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map("%02x".format(_)).mkString
+    s"/tmp/graft_${kind}_$key"
+  }
+
   /** Build-once persistent IVF ANN index for q134 (the q123 LSH-index
     * pattern): the full embeddings table indexed into 16 inverted lists,
-    * one store bucket per list id, under a per-sf /tmp root. Seed centroids
-    * (refineIters = 0) keep the index's geometry oracle-identical to q85's
-    * in-memory route, so both share [[sqlIvfTopk]] verbatim. */
+    * one store bucket per list id, under a content-keyed /tmp root
+    * ([[storeFixtureRoot]]). Seed centroids (refineIters = 0) keep the
+    * index's geometry oracle-identical to q85's in-memory route, so both
+    * share [[sqlIvfTopk]] verbatim. */
   private def ivfIndexFixture(s: SparkSession, dir: String): String = {
-    val root = s"/tmp/graft_ivfidx_${dir.replaceAll("[^0-9.]", "")}"
+    val root = storeFixtureRoot(s, dir, "ivfidx", "embeddings")
     val store = new core.BucketedStore(root, numBuckets = 16)(s)
     if (store.latestVersion("ann_lists").isEmpty)
       ops.Similarity.indexVectors(T(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1455,7 +1472,7 @@ object SparkEntry {
     //    the range are read; the result must equal a plain filtered scan.
     Q("q98_store_pruned_scan",
       (s, dir) => {
-        val root = s"/tmp/graft_bstore_${dir.replaceAll("[^0-9.]", "")}"
+        val root = storeFixtureRoot(s, dir, "bstore", "orders")
         val store = new core.BucketedStore(root, numBuckets = 16)(s)
         // fixture data is deterministic per `dir`, so the store is written
         // once and repeated invocations (bench warm-up + measured runs) time
@@ -1482,7 +1499,7 @@ object SparkEntry {
     //    BucketedStoreSpec). Result must equal a plain 2-predicate filter. ----
     Q("q116_zorder_scan",
       (s, dir) => {
-        val root = s"/tmp/graft_bzorder_${dir.replaceAll("[^0-9.]", "")}"
+        val root = storeFixtureRoot(s, dir, "bzorder", "orders")
         val store = new core.BucketedStore(root, numBuckets = 16)(s)
         if (store.latestVersion("orders_z").isEmpty)
           store.writeClustered(
@@ -2587,8 +2604,7 @@ object SparkEntry {
         T(s, dir, "orders")
           .withColumn("cents", round(col("o_totalprice") * 100).cast("long")),
         "o_orderstatus", "o_orderkey", "cents", k = 10, desc = true)
-        .select(col("o_orderstatus"), col("o_orderkey"), col("cents"),
-          col("__rank").as("rank"))
+        .select("o_orderstatus", "o_orderkey", "cents", "rank")
         .orderBy("o_orderstatus", "rank"),
       Some("""
         WITH r AS (
@@ -2877,7 +2893,7 @@ object SparkEntry {
         val docs = T(s, dir, "documents")
         val corpus = docs.where(pmod(col("doc_id"), lit(5)) < 4)
         val newDocs = docs.where(pmod(col("doc_id"), lit(5)) === 4)
-        val root = s"/tmp/graft_lshidx_${dir.replaceAll("[^0-9.]", "")}"
+        val root = storeFixtureRoot(s, dir, "lshidx", "documents")
         val store = new core.BucketedStore(root, numBuckets = 32)(s)
         if (store.latestVersion("corpus_bands").isEmpty)
           ops.Dedup.indexCorpus(
@@ -2898,7 +2914,7 @@ object SparkEntry {
     //    table (append widened the ranges; compaction preserved them). ------
     Q("q124_append_compact_scan",
       (s, dir) => {
-        val root = s"/tmp/graft_bappend_${dir.replaceAll("[^0-9.]", "")}"
+        val root = storeFixtureRoot(s, dir, "bappend", "orders")
         val store = new core.BucketedStore(root, numBuckets = 16)(s)
         val orders = T(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
         if (store.latestVersion("orders_app").isEmpty) {

@@ -24,8 +24,10 @@ import org.apache.spark.sql.types._
   *
   * Output: ARRAY<STRUCT<draw BIGINT, id BIGINT>> sorted ascending, so
   * `posexplode` yields the same `sample_rank` the window form assigns.
-  * Both children must be BIGINT and non-null per row (null draw or id
-  * skips the row, mirroring window-rank's null ordering exclusion).
+  * Both children must be BIGINT; a row with NULL draw or id is SKIPPED —
+  * callers that claim parity with a window-rank form must exclude those
+  * rows there too (row_number ranks NULLs, it does not drop them; see
+  * [[graft.ops.Stats.stratifiedSample]]'s explicit isNotNull filter).
   */
 case class ReservoirAgg(
     draw: Expression,

@@ -208,7 +208,12 @@ object Stats {
       n: Int): DataFrame = {
     val h = pmod(Dedup.md5Hash60(col(idCol).cast("string")), lit(Dedup.P))
     val w = Window.partitionBy(groupCol).orderBy(h.asc, col(idCol).asc)
-    df.withColumn("sample_rank", row_number().over(w))
+    // NULL ids are not sampleable identities: excluded EXPLICITLY here so
+    // the window and bounded ([[stratifiedSampleBounded]]) forms agree on
+    // any input — without the filter, ASC null-first ordering would give
+    // NULL-id rows the leading ranks in this form only
+    df.where(col(idCol).isNotNull)
+      .withColumn("sample_rank", row_number().over(w))
       .where(col("sample_rank") <= n)
   }
 
@@ -220,14 +225,17 @@ object Stats {
     * group, so the exchange carries ≤ n·tasks rows per group and the
     * 100 TB fact table itself never moves. Returns (group, id, sample_rank)
     * — semi-join the ids back to fetch full rows (ids-only output is the
-    * point: the payload never rides the aggregation). `idCol` must be
-    * integral (cast to bigint); the draw hashes its decimal string form so
-    * ranks match [[stratifiedSample]] exactly. */
+    * point: the payload never rides the aggregation). `idCol` must be an
+    * integral column (loudly required — a silent cast would turn string ids
+    * into an empty sample); the draw hashes its decimal string form so
+    * ranks match [[stratifiedSample]] exactly. NULL ids are excluded in
+    * both forms. */
   def stratifiedSampleBounded(df: DataFrame, groupCol: String, idCol: String,
       n: Int): DataFrame = {
+    requireIntegral(df, idCol, "stratifiedSampleBounded idCol")
     val draw = pmod(Dedup.md5Hash60(col(idCol).cast("string")), lit(Dedup.P))
     reservoir(df, groupCol, idCol, draw, n)
-      .select(col(groupCol), col(idCol), col("__rank").as("sample_rank"))
+      .select(col(groupCol), col(idCol), col("rank").as("sample_rank"))
   }
 
   /** Bounded-memory top-k per group by an integral order column — the
@@ -239,19 +247,38 @@ object Stats {
     * BITWISE COMPLEMENT of the value (`~v` is a monotone order reversal
     * with no `-Long.MinValue` overflow). Ties break on smaller id — the
     * window form's `ORDER BY v [DESC], id ASC`. Returns (group, id,
-    * orderCol, rank). */
+    * orderCol, rank). Both `idCol` and `orderCol` must be integral columns
+    * (loudly required — a silent double truncation would reorder the
+    * top-k); rows with NULL id or order value are excluded. */
   def topKPerGroupBounded(df: DataFrame, groupCol: String, idCol: String,
       orderCol: String, k: Int, desc: Boolean = true): DataFrame = {
+    requireIntegral(df, idCol, "topKPerGroupBounded idCol")
+    requireIntegral(df, orderCol, "topKPerGroupBounded orderCol")
     val v = col(orderCol).cast("long")
     val draw = if (desc) bitwise_not(v) else v
     reservoir(df, groupCol, idCol, draw, k)
       .select(col(groupCol), col(idCol),
         (if (desc) bitwise_not(col("__draw")) else col("__draw")).as(orderCol),
-        col("__rank"))
+        col("rank"))
+  }
+
+  /** The bounded forms route ids and order values through int64: anything
+    * non-integral would cast to NULL (string ids → empty sample) or
+    * truncate (double scores → reordered top-k) SILENTLY. Fail loudly
+    * instead; callers pre-quantize doubles (cents/micro-units) the same way
+    * every exact op in this engine does. */
+  private def requireIntegral(df: DataFrame, c: String, what: String): Unit = {
+    val dt = df.schema(c).dataType
+    require(dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.ShortType ||
+        dt == org.apache.spark.sql.types.ByteType,
+      s"$what must be an integral column, got ${dt.catalogString} for '$c' — " +
+        "quantize doubles (e.g. cents) or densify string ids first")
   }
 
   /** Shared reservoir plumbing: k smallest (draw, id) per group via the
-    * bounded aggregate, exploded to (group, id, __draw, __rank). */
+    * bounded aggregate, exploded to (group, id, __draw, rank). */
   private def reservoir(df: DataFrame, groupCol: String, idCol: String,
       draw: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.GraftColumn
@@ -263,7 +290,7 @@ object Stats {
       .agg(agg.as("__sample"))
       .select(col(groupCol), posexplode(col("__sample")).as(Seq("__pos", "__s")))
       .select(col(groupCol), col("__s.id").as(idCol), col("__s.draw").as("__draw"),
-        (col("__pos") + 1).cast("int").as("__rank"))
+        (col("__pos") + 1).cast("int").as("rank"))
   }
 
   /** Weighted (probability-proportional-to-size) Bernoulli sampling:

@@ -1353,10 +1353,28 @@ class StratifiedZscoreSpec extends SparkSpec {
     }
     def bounded(desc: Boolean) =
       Stats.topKPerGroupBounded(df, "grp", "id", "v", k = 3, desc = desc)
-        .select(col("grp"), col("id"), col("v"), col("__rank"))
+        .select(col("grp"), col("id"), col("v"), col("rank"))
         .as[(String, Long, Long, Int)].collect().toSet
     assert(bounded(desc = true) == window(desc = true))
     assert(bounded(desc = false) == window(desc = false))
+    // non-integral columns fail LOUDLY (a silent cast would empty or
+    // reorder the result)
+    val bad = df.withColumn("vd", col("v").cast("double"))
+      .withColumn("ids", concat(lit("x"), col("id")))
+    intercept[IllegalArgumentException](
+      Stats.topKPerGroupBounded(bad, "grp", "id", "vd", k = 3))
+    intercept[IllegalArgumentException](
+      Stats.stratifiedSampleBounded(bad, "grp", "ids", n = 3))
+  }
+
+  test("both sampler forms exclude NULL ids identically") {
+    val df = Seq((Some(1L), "a"), (Some(2L), "a"), (None, "a"), (Some(3L), "b"))
+      .toDF("id", "grp")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("grp", "id", "sample_rank").as[(String, Long, Int)].collect().toSet
+    val win = rows(Stats.stratifiedSample(df, "grp", "id", n = 10))
+    assert(win == rows(Stats.stratifiedSampleBounded(df, "grp", "id", n = 10)))
+    assert(win.map(_._2) == Set(1L, 2L, 3L), "NULL id must not be sampled or ranked")
   }
 
   test("zscorePerGroup: NULL values neither corrupt group stats nor clamp to 0") {
