@@ -52,6 +52,24 @@ object Fastlane {
       Map("feature" -> feature.name, "mode" -> "fastlane_once"))
   }
 
+  /** Shared micro-batch scaffolding for the ingest loops: checkpointed
+    * foreachBatch, empty batches skipped, and the ops' tracked internal
+    * persists released after EVERY batch (bounded state for an unbounded
+    * stream) — centralized so the three gates can't drift on the
+    * release-ordering mechanics. */
+  private def ingestLoop(stream: DataFrame, checkpointDir: String,
+      trigger: Trigger)(body: (DataFrame, Long) => Unit): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          body(batch, batchId)
+          graft.core.TrackedCache.release()
+        }
+      }
+      .start()
+
   /** Streaming near-dup-gated corpus ingest — the online form of
     * [[graft.ops.Dedup.minhashNewVsCorpus]]. Each micro-batch is (1) deduped
     * against ITSELF (near-dup pairs within the batch keep the min-id rep),
@@ -77,45 +95,36 @@ object Fastlane {
       trigger: Trigger = Trigger.AvailableNow())
       (implicit spark: SparkSession): StreamingQuery = {
     import graft.ops.Dedup
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          // (1) intra-batch near-dup: keep one representative per cluster
-          val selfDeduped = Dedup.dedupCorpusNear(
-              batch.select(col(idCol), col(textCol)),
-              idCol, textCol, n, numHashes, bands, threshold)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          // (2) match against the admitted history's stored profile
-          val hasHistory =
-            new Path(profileDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .exists(new Path(profileDir))
-          val admitted =
-            if (!hasHistory) selfDeduped
-            else {
-              val prof = spark.read.parquet(profileDir)
-              val matches = Dedup.minhashNewVsCorpus(selfDeduped, idCol, textCol,
-                prof, idCol, "__sig", "__shingles", n, numHashes, bands, threshold)
-              Dedup.admitNonDup(selfDeduped, idCol, matches)
-            }
-          // (3) + (4) append the novel docs and their profiles. `admitted` is
-          // persisted so the match pipeline runs once, not once per write.
-          val adm = admitted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          adm.write.mode("append").parquet(corpusDir)
-          Dedup.shingleProfiles(adm, idCol, textCol, n, Dedup.hashCoeffs(numHashes))
-            .write.mode("append").parquet(profileDir)
-          // bounded state for an unbounded stream: release THIS batch's
-          // frames plus the internal ones the dedup ops persisted (tracked
-          // via TrackedCache) — not catalog.clearCache(), which would evict
-          // every cache in a session shared with other work.
-          adm.unpersist(false)
-          selfDeduped.unpersist(false)
-          graft.core.TrackedCache.release()
-          ()
+    ingestLoop(stream, checkpointDir, trigger) { (batch, _) =>
+      // (1) intra-batch near-dup: keep one representative per cluster
+      val selfDeduped = Dedup.dedupCorpusNear(
+          batch.select(col(idCol), col(textCol)),
+          idCol, textCol, n, numHashes, bands, threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // (2) match against the admitted history's stored profile
+      val hasHistory =
+        new Path(profileDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(new Path(profileDir))
+      val admitted =
+        if (!hasHistory) selfDeduped
+        else {
+          val prof = spark.read.parquet(profileDir)
+          val matches = Dedup.minhashNewVsCorpus(selfDeduped, idCol, textCol,
+            prof, idCol, "__sig", "__shingles", n, numHashes, bands, threshold)
+          Dedup.admitNonDup(selfDeduped, idCol, matches)
         }
-      }
-      .start()
+      // (3) + (4) append the novel docs and their profiles. `admitted` is
+      // persisted so the match pipeline runs once, not once per write.
+      val adm = admitted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      adm.write.mode("append").parquet(corpusDir)
+      Dedup.shingleProfiles(adm, idCol, textCol, n, Dedup.hashCoeffs(numHashes))
+        .write.mode("append").parquet(profileDir)
+      // release THIS batch's frames; the ops' tracked internal persists are
+      // released by ingestLoop — never catalog.clearCache(), which would
+      // evict every cache in a session shared with other work.
+      adm.unpersist(false)
+      selfDeduped.unpersist(false)
+    }
   }
 
   /** INDEX-BACKED [[ingestDeduped]]: the same near-dup-gated ingest loop,
@@ -140,52 +149,42 @@ object Fastlane {
       trigger: Trigger = Trigger.AvailableNow())
       (implicit spark: SparkSession): StreamingQuery = {
     import graft.ops.Dedup
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val selfDeduped = Dedup.dedupCorpusNear(
-              batch.select(col(idCol), col(textCol)),
-              idCol, textCol, n, numHashes, bands, threshold)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val admitted =
-            if (store.latestVersion(s"${feature}_bands").isEmpty) selfDeduped
-            else {
-              val matches = Dedup.matchIndexed(selfDeduped, idCol, textCol,
-                store, feature, n, numHashes, bands, threshold)
-              Dedup.admitNonDup(selfDeduped, idCol, matches)
-            }
-          // persisted: the write, the index build/append (each a write plus
-          // a distinct-collect), and the profile all act on `admitted` —
-          // without this the whole match pipeline re-executes per action
-          val adm = admitted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          adm.write.mode("append").parquet(corpusDir)
-          val prof = Dedup.shingleProfiles(adm, idCol, textCol, n,
-            Dedup.hashCoeffs(numHashes))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          if (store.latestVersion(s"${feature}_bands").isEmpty)
-            Dedup.indexCorpus(prof, idCol, "__sig", "__shingles",
-              store, feature, numHashes, bands)
-          else
-            Dedup.appendToIndex(prof, idCol, "__sig", "__shingles",
-              store, feature, numHashes, bands)
-          // maintenance on a cadence: fold the append dirs back into one
-          // file per bucket so read fan-in stays bounded on a long stream
-          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-            store.compactBuckets(s"${feature}_bands", Seq("band_key"))
-            store.compactBuckets(s"${feature}_profile", Seq("corpus_id"))
-          }
-          // bounded state for an unbounded stream: release this batch's own
-          // frames and the ops' tracked internal persists — see above
-          prof.unpersist(false)
-          adm.unpersist(false)
-          selfDeduped.unpersist(false)
-          graft.core.TrackedCache.release()
-          ()
+    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
+      val selfDeduped = Dedup.dedupCorpusNear(
+          batch.select(col(idCol), col(textCol)),
+          idCol, textCol, n, numHashes, bands, threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val admitted =
+        if (store.latestVersion(s"${feature}_bands").isEmpty) selfDeduped
+        else {
+          val matches = Dedup.matchIndexed(selfDeduped, idCol, textCol,
+            store, feature, n, numHashes, bands, threshold)
+          Dedup.admitNonDup(selfDeduped, idCol, matches)
         }
+      // persisted: the write, the index build/append (each a write plus
+      // a distinct-collect), and the profile all act on `admitted` —
+      // without this the whole match pipeline re-executes per action
+      val adm = admitted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      adm.write.mode("append").parquet(corpusDir)
+      val prof = Dedup.shingleProfiles(adm, idCol, textCol, n,
+        Dedup.hashCoeffs(numHashes))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (store.latestVersion(s"${feature}_bands").isEmpty)
+        Dedup.indexCorpus(prof, idCol, "__sig", "__shingles",
+          store, feature, numHashes, bands)
+      else
+        Dedup.appendToIndex(prof, idCol, "__sig", "__shingles",
+          store, feature, numHashes, bands)
+      // maintenance on a cadence: fold the append dirs back into one
+      // file per bucket so read fan-in stays bounded on a long stream
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+        store.compactBuckets(s"${feature}_bands", Seq("band_key"))
+        store.compactBuckets(s"${feature}_profile", Seq("corpus_id"))
       }
-      .start()
+      prof.unpersist(false)
+      adm.unpersist(false)
+      selfDeduped.unpersist(false)
+    }
   }
 
   /** Streaming SEMANTIC-dedup-gated embedding ingest — the online form of
@@ -214,52 +213,42 @@ object Fastlane {
       trigger: Trigger = Trigger.AvailableNow())
       (implicit spark: SparkSession): StreamingQuery = {
     import graft.ops.Similarity
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          // (1) intra-batch semantic dedup: keep cluster representatives
-          val keep = Similarity.semanticDedup(
-              batch.select(col(idCol), col(vecCol)), idCol, vecCol,
-              threshold, planes, dim)
-            .where(col("kept")).select(col("id").as(idCol))
-          val selfDeduped = batch.select(col(idCol), col(vecCol))
-            .join(keep, Seq(idCol))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          // (2) nearest admitted neighbor via the index; the batch is NOT in
-          // the index yet, so any hit >= threshold is a true cross-batch dup
-          val bootstrap = store.latestVersion(s"${feature}_lists").isEmpty
-          val admitted =
-            if (bootstrap) selfDeduped
-            else {
-              val dups = Similarity.searchIndexed(selfDeduped, idCol, vecCol,
-                  store, feature, k = 1, nprobe = nprobe, dim = dim)
-                .where(col("cosine") >= threshold)
-                .select(col("query_id").as(idCol)).distinct()
-              selfDeduped.join(dups, Seq(idCol), "left_anti")
-            }
-          // persisted: the corpus write and the index build/append both act
-          // on `admitted` — without this the gate pipeline runs per action
-          val adm = admitted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          if (!adm.isEmpty) {
-            adm.write.mode("append").parquet(corpusDir)
-            if (bootstrap)
-              Similarity.indexVectors(adm, idCol, vecCol, store, feature, nlist, dim)
-            else
-              Similarity.appendToVectorIndex(adm, idCol, vecCol, store, feature, dim)
-            if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-              store.compactBuckets(s"${feature}_lists", Seq("cent_id"))
-          }
-          // bounded state for an unbounded stream: release this batch's own
-          // frames and the ops' tracked internal persists — see above
-          adm.unpersist(false)
-          selfDeduped.unpersist(false)
-          graft.core.TrackedCache.release()
-          ()
+    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
+      // (1) intra-batch semantic dedup: keep cluster representatives
+      val keep = Similarity.semanticDedup(
+          batch.select(col(idCol), col(vecCol)), idCol, vecCol,
+          threshold, planes, dim)
+        .where(col("kept")).select(col("id").as(idCol))
+      val selfDeduped = batch.select(col(idCol), col(vecCol))
+        .join(keep, Seq(idCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // (2) nearest admitted neighbor via the index; the batch is NOT in
+      // the index yet, so any hit >= threshold is a true cross-batch dup
+      val bootstrap = store.latestVersion(s"${feature}_lists").isEmpty
+      val admitted =
+        if (bootstrap) selfDeduped
+        else {
+          val dups = Similarity.searchIndexed(selfDeduped, idCol, vecCol,
+              store, feature, k = 1, nprobe = nprobe, dim = dim)
+            .where(col("cosine") >= threshold)
+            .select(col("query_id").as(idCol)).distinct()
+          selfDeduped.join(dups, Seq(idCol), "left_anti")
         }
+      // persisted: the corpus write and the index build/append both act
+      // on `admitted` — without this the gate pipeline runs per action
+      val adm = admitted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (!adm.isEmpty) {
+        adm.write.mode("append").parquet(corpusDir)
+        if (bootstrap)
+          Similarity.indexVectors(adm, idCol, vecCol, store, feature, nlist, dim)
+        else
+          Similarity.appendToVectorIndex(adm, idCol, vecCol, store, feature, dim)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          store.compactBuckets(s"${feature}_lists", Seq("cent_id"))
       }
-      .start()
+      adm.unpersist(false)
+      selfDeduped.unpersist(false)
+    }
   }
 
   /** High-frequency serving: O(batch) delta append per micro-batch instead of
