@@ -115,6 +115,24 @@ object ScaleRehearsal {
       // reader of the searched index regardless of op ordering
       ops.Similarity.indexVectors(embAll, "vec_id", "embedding", store, "annx",
         nlist = nlist)
+      // append-growth rehearsal pair: both indexes bootstrap from family 0
+      // ONLY (geometry = autoNlist(nVecs)) and grow to the full corpus
+      // through O(batch) appends. "annf" keeps the FROZEN bootstrap
+      // geometry — per-list size (hence per-query probe IO) grows linearly
+      // with the corpus; "anng" then runs relistVectorIndex, the
+      // maintenance op that re-buckets at autoNlist(N_now) and restores
+      // sub-sqrt(N) search. The timed q134f/q134g ops below measure the
+      // contrast.
+      val fam0 = embAll.where(col("vec_id") < nVecs)
+      val rest = embAll.where(col("vec_id") >= nVecs)
+      val nlist0 = ops.Similarity.autoNlist(nVecs)
+      Seq("annf", "anng").foreach { f =>
+        ops.Similarity.indexVectors(fam0, "vec_id", "embedding", store, f,
+          nlist = nlist0)
+        if (k > 1)
+          ops.Similarity.appendToVectorIndex(rest, "vec_id", "embedding", store, f)
+      }
+      ops.Similarity.relistVectorIndex(store, "anng")
       dir
     }
 
@@ -228,6 +246,25 @@ object ScaleRehearsal {
             .select((col("vec_id") + lit(10000000L)).as("vec_id"), col("embedding"))
           ops.Similarity.appendToVectorIndex(batch, "vec_id", "embedding",
             store, "annx")
+        }),
+        // index grown through APPENDS with geometry FROZEN at the bootstrap
+        // nlist: per-list size grows linearly with the corpus, so expect
+        // ~linear search growth — the degeneracy relist maintenance fixes
+        "q134f_frozen_append_search" -> (() => {
+          val store = new core.BucketedStore(s"$dir/ivfidx",
+            numBuckets = ops.Similarity.autoNlist(nEmb))(spark)
+          force(ops.Similarity.searchIndexed(
+            emb.where(col("vec_id") < 100), "vec_id", "embedding",
+            store, "annf", k = 5, nprobe = 4))
+        }),
+        // the SAME append-grown index after relistVectorIndex at
+        // autoNlist(N_now): search should track q134's sub-sqrt(N) growth
+        "q134g_relisted_search" -> (() => {
+          val store = new core.BucketedStore(s"$dir/ivfidx",
+            numBuckets = ops.Similarity.autoNlist(nEmb))(spark)
+          force(ops.Similarity.searchIndexed(
+            emb.where(col("vec_id") < 100), "vec_id", "embedding",
+            store, "anng", k = 5, nprobe = 4))
         })
       ).map { case (name, thunk) =>
         thunk() // warmup (codegen + plan); measured run follows

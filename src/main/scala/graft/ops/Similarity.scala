@@ -138,43 +138,50 @@ object Similarity {
     * corpus size. Empty clusters keep their previous centroid. */
   def kmeansCentroids(corpus: DataFrame, corpusIdCol: String, vecCol: String,
                       nlist: Int, iters: Int, dim: Int = 64): Seq[(Long, Array[Long])] = {
-    val spark = corpus.sparkSession
     val c = corpus.select(col(corpusIdCol).as("corpus_id"), quantize(col(vecCol), dim).as("__cv"))
       .withColumn("__cn", dotQ(col("__cv"), col("__cv"), dim))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var cents: Seq[(Long, Array[Long])] = seedCentroids(c, nlist)
-        .select(col("cent_id"), col("__centv")).collect()
-        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1).toSeq
-      for (_ <- 0 until iters) {
-        val centDf = spark.createDataFrame(cents.map { case (id, v) => (id, v.toSeq) })
-          .toDF("cent_id", "__centv")
-          .withColumn("__centn", dotQ(col("__centv"), col("__centv"), dim))
-        val assigned = TopK.perGroup(
-          c.join(broadcast(centDf))
-            .select(col("corpus_id"), col("__cv"), col("cent_id"),
-              cosineFromParts(dotQ(col("__cv"), col("__centv"), dim),
-                col("__cn"), col("__centn")).as("__sim")),
-          Seq("corpus_id"), Seq(col("__sim").desc, col("cent_id").asc), 1, rankCol = "__r")
-        // per-(centroid, dim) exact long sums; re-quantized mean on the driver
-        val sums = assigned
-          .select(col("cent_id"), posexplode(col("__cv")).as(Seq("pos", "v")))
-          .groupBy("cent_id", "pos")
-          .agg(sum("v").as("s"), count(lit(1)).as("n"))
-          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-        val byCent = sums.groupBy(_._1)
-        cents = cents.map { case (id, prev) =>
-          byCent.get(id) match {
-            case None => id -> prev // empty cluster: keep the old centroid
-            case Some(rows) =>
-              val v = new Array[Long](dim)
-              rows.foreach { case (_, pos, s, n) => v(pos) = math.round(s.toDouble / n) }
-              id -> v
-          }
+    try kmeansCentroidsQ(c, nlist, iters, dim) finally c.unpersist()
+  }
+
+  /** Lloyd loop over an ALREADY-QUANTIZED `(corpus_id, __cv, __cn)` frame —
+    * shared by the raw-vector entry point above and [[relistVectorIndex]],
+    * whose input is the stored index's quantized vectors (re-running the
+    * float quantizer over longs would be wrong). Caller persists `c`. */
+  private def kmeansCentroidsQ(c: DataFrame, nlist: Int, iters: Int,
+                               dim: Int): Seq[(Long, Array[Long])] = {
+    val spark = c.sparkSession
+    var cents: Seq[(Long, Array[Long])] = seedCentroids(c, nlist)
+      .select(col("cent_id"), col("__centv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1).toSeq
+    for (_ <- 0 until iters) {
+      val centDf = spark.createDataFrame(cents.map { case (id, v) => (id, v.toSeq) })
+        .toDF("cent_id", "__centv")
+        .withColumn("__centn", dotQ(col("__centv"), col("__centv"), dim))
+      val assigned = TopK.perGroup(
+        c.join(broadcast(centDf))
+          .select(col("corpus_id"), col("__cv"), col("cent_id"),
+            cosineFromParts(dotQ(col("__cv"), col("__centv"), dim),
+              col("__cn"), col("__centn")).as("__sim")),
+        Seq("corpus_id"), Seq(col("__sim").desc, col("cent_id").asc), 1, rankCol = "__r")
+      // per-(centroid, dim) exact long sums; re-quantized mean on the driver
+      val sums = assigned
+        .select(col("cent_id"), posexplode(col("__cv")).as(Seq("pos", "v")))
+        .groupBy("cent_id", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      val byCent = sums.groupBy(_._1)
+      cents = cents.map { case (id, prev) =>
+        byCent.get(id) match {
+          case None => id -> prev // empty cluster: keep the old centroid
+          case Some(rows) =>
+            val v = new Array[Long](dim)
+            rows.foreach { case (_, pos, s, n) => v(pos) = math.round(s.toDouble / n) }
+            id -> v
         }
       }
-      cents
-    } finally c.unpersist()
+    }
+    cents
   }
 
   /** IVF-flat ANN top-k: corpus is partitioned into `nlist` inverted lists by
@@ -278,6 +285,48 @@ object Similarity {
     val c = newVecs.select(col(idCol).as("corpus_id"), quantize(col(vecCol), dim).as("__cv"))
       .withColumn("__cn", dotQ(col("__cv"), col("__cv"), dim))
     store.appendBucketed(s"${feature}_lists", assignToLists(c, cent, dim), Seq("cent_id"))
+  }
+
+  /** Index MAINTENANCE: re-list the persistent IVF index at the geometry the
+    * CURRENT corpus size calls for — the missing half of the append cycle.
+    * [[appendToVectorIndex]] keeps the build-time `nlist` forever, so an
+    * index grown 100× through appends has 100×-longer lists and per-query
+    * candidate IO grows linearly — exactly the degeneracy [[autoNlist]]
+    * prevents at build time. Run this on a cadence (the
+    * `compactBuckets`/`optimizeZorder` pattern): it re-seeds `nlist =
+    * autoNlist(N_now)` centroids (or Lloyd-refines them with
+    * `refineIters > 0`) from the STORED quantized vectors and rewrites both
+    * index tables as new store versions — time travel to the old geometry
+    * stays free, and the full write folds any append dirs, so a relist
+    * subsumes that cycle's compaction.
+    *
+    * Scale shape: one scan of the stored lists (the corpus, already
+    * quantized — no re-quantization, no raw-vector re-read), one broadcast
+    * assignment pass at the new `nlist` — the same O(N·√N) work as a fresh
+    * build, amortized over the appends since the last relist. Returns the
+    * new list count. */
+  def relistVectorIndex(store: graft.core.BucketedStore, feature: String,
+                        nlist: Int = 0, dim: Int = 64,
+                        refineIters: Int = 0): Int = {
+    val c = store.read(s"${feature}_lists", Seq("cent_id"))
+      .select(col("corpus_id"), col("__cv"), col("__cn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val spark = c.sparkSession
+      val nl = if (nlist > 0) nlist else autoNlist(c.count())
+      val cent =
+        if (refineIters <= 0) seedCentroids(c, nl)
+        else
+          spark.createDataFrame(
+              kmeansCentroidsQ(c, nl, refineIters, dim)
+                .map { case (id, v) => (id, v.toSeq) })
+            .toDF("cent_id", "__centv")
+            .withColumn("__centn", dotQ(col("__centv"), col("__centv"), dim))
+      store.write(assignToLists(c, cent, dim), s"${feature}_lists", Seq("cent_id"))
+      store.write(cent.select(col("cent_id"), col("__centv")),
+        s"${feature}_centroids", Seq("cent_id"))
+      nl
+    } finally c.unpersist(false)
   }
 
   /** Index-accelerated [[ivfTopK]]: identical output over the same corpus

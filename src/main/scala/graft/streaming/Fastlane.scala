@@ -196,10 +196,15 @@ object Fastlane {
     * — IO = the nprobe probed list buckets, independent of corpus size) and
     * are dropped if it clears the threshold, (3) novel vectors append to
     * `corpusDir` and to the index (O(batch) dir-appends). The first batch
-    * bootstraps the index and FIXES its centroid geometry — later batches
-    * assign against those centroids, so recall properties stay those of the
-    * bootstrap sample. `compactEvery = N` folds the appended list dirs back
-    * every N batches (0 = leave maintenance to the batch lane).
+    * bootstraps the index — without maintenance its centroid geometry stays
+    * FROZEN at the bootstrap sample's `nlist`, so per-list size (and
+    * per-query candidate IO) grows linearly with the stream. `relistEvery =
+    * N` re-lists the index every N batches at `autoNlist(corpus-now)`
+    * ([[graft.ops.Similarity.relistVectorIndex]]) — list count tracks √N as
+    * the corpus grows, per-query IO stays sub-linear, and the relist's full
+    * rewrite subsumes that cycle's compaction. `compactEvery = N` folds the
+    * appended list dirs back every N batches (0 = leave maintenance to the
+    * batch lane).
     * Exactly-once: replays re-admit the same ids; fence by batchId or pair
     * readers with exact id dedup, as in [[serve]]. */
   def ingestVectorsIndexed(
@@ -210,6 +215,7 @@ object Fastlane {
       threshold: Double = 0.9,
       nlist: Int = 16, nprobe: Int = 4, planes: Int = 4, dim: Int = 64,
       compactEvery: Int = 0,
+      relistEvery: Int = 0,
       trigger: Trigger = Trigger.AvailableNow())
       (implicit spark: SparkSession): StreamingQuery = {
     import graft.ops.Similarity
@@ -243,7 +249,11 @@ object Fastlane {
           Similarity.indexVectors(adm, idCol, vecCol, store, feature, nlist, dim)
         else
           Similarity.appendToVectorIndex(adm, idCol, vecCol, store, feature, dim)
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        // relist beats compact when both cadences fire: its full rewrite
+        // already folds the append dirs AND refreshes the list geometry
+        if (relistEvery > 0 && batchId > 0 && batchId % relistEvery == 0)
+          Similarity.relistVectorIndex(store, feature, dim = dim)
+        else if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           store.compactBuckets(s"${feature}_lists", Seq("cent_id"))
       }
       adm.unpersist(false)

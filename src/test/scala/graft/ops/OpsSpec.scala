@@ -479,6 +479,53 @@ class SimilaritySpec extends SparkSpec {
     grown.compactBuckets("ann_lists", Seq("cent_id"))
     assert(rows(grown) == before)
   }
+
+  test("relistVectorIndex: re-listed index == index rebuilt at the new geometry") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // grow an index through appends from a small bootstrap (nlist=4 frozen),
+    // then relist at the full-corpus geometry
+    val part1 = emb.filter(col("vec_id") < 100)
+    val part2 = emb.filter(col("vec_id") >= 100)
+    val grown = new graft.core.BucketedStore(tmpDir("ivfrelist"), numBuckets = 16)
+    Similarity.indexVectors(part1, "vec_id", "embedding", grown, "ann", nlist = 4)
+    Similarity.appendToVectorIndex(part2, "vec_id", "embedding", grown, "ann")
+    val newNlist = Similarity.relistVectorIndex(grown, "ann", nlist = 16)
+    assert(newNlist == 16)
+    val rebuilt = new graft.core.BucketedStore(tmpDir("ivfrelistref"), numBuckets = 16)
+    Similarity.indexVectors(emb, "vec_id", "embedding", rebuilt, "ann", nlist = 16)
+    val queries = emb.filter(col("vec_id") < 10)
+    def rows(st: graft.core.BucketedStore) =
+      Similarity.searchIndexed(queries, "vec_id", "embedding", st, "ann", k = 5, nprobe = 4)
+        .select("query_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(rows(grown) == rows(rebuilt),
+      "relisted index must answer identically to one rebuilt at the same nlist")
+    // the stored centroid table reflects the new geometry
+    assert(grown.read("ann_centroids", Seq("cent_id")).count() == 16)
+    // auto mode picks autoNlist(N) of the STORED corpus
+    val autoN = Similarity.relistVectorIndex(grown, "ann")
+    assert(autoN == Similarity.autoNlist(emb.count()))
+    // time travel: the pre-relist list table is still readable
+    val vs = grown.versions("ann_lists")
+    assert(vs.size >= 3) // build, append, relist, auto-relist
+    assert(grown.read("ann_lists", Seq("cent_id"), Some(vs.head)).count() == part1.count())
+  }
+
+  test("relistVectorIndex with refineIters: deterministic and answers stay index-consistent") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val store = new graft.core.BucketedStore(tmpDir("ivfrelistkm"), numBuckets = 16)
+    Similarity.indexVectors(emb, "vec_id", "embedding", store, "ann", nlist = 4)
+    Similarity.relistVectorIndex(store, "ann", nlist = 8, refineIters = 2)
+    // refined relist must agree with the in-memory refined route over the
+    // same corpus and geometry (kmeansCentroidsQ shares the Lloyd loop)
+    val queries = emb.filter(col("vec_id") < 10)
+    val idx = Similarity.searchIndexed(queries, "vec_id", "embedding", store, "ann",
+        k = 5, nprobe = 3)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val mem = Similarity.ivfTopK(queries, emb, "vec_id", "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 3, refineIters = 2)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(idx == mem)
+  }
 }
 
 class ShardsSpec extends SparkSpec {

@@ -155,6 +155,28 @@ class FastlaneSpec extends SparkSpec {
         store, "ann", k = 1, nprobe = 4)
       .select("corpus_id").as[Long].head()
     assert(near == 1L)
+
+    // batch 3 with relistEvery = 1: the new axis is admitted, then the index
+    // is RE-LISTED at autoNlist(corpus) — geometry tracks the grown corpus
+    // (the bootstrap batch froze nlist; relist is the maintenance that
+    // unfreezes it) and serving answers stay correct afterwards
+    Seq((6L, axis(4))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").json(s"$srcDir/b3")
+    Fastlane.ingestVectorsIndexed(stream(), "vec_id", "embedding",
+      store, "ann", corpusDir, ckpt, threshold = 0.9,
+      relistEvery = 1).awaitTermination(60000)
+    val after3 = spark.read.parquet(corpusDir).select("vec_id").as[Long].collect().toSet
+    assert(after3 == Set(1L, 2L, 5L, 6L))
+    // relist rewrote the centroid table at autoNlist(4) = 16 centroids
+    // floored — but only 4 corpus vectors exist, so the seeded centroid
+    // count is bounded by the corpus: centroids == min(autoNlist(4), 4)
+    val nCent = store.read("ann_centroids", Seq("cent_id")).count()
+    assert(nCent == 4L, s"relist should seed one centroid per stored vector, got $nCent")
+    val near3 = graft.ops.Similarity.searchIndexed(
+        Seq((101L, axis(4))).toDF("vec_id", "embedding"), "vec_id", "embedding",
+        store, "ann", k = 1, nprobe = 4)
+      .select("corpus_id").as[Long].head()
+    assert(near3 == 6L)
   }
 
   test("serveAppend bootstraps a brand-new feature, then delta-appends; readCurrent sees both") {
