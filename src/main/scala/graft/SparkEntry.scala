@@ -1711,6 +1711,23 @@ object SparkEntry {
     (0 until planes).map(planeBit).mkString(" + ")
   }
 
+  /** Cosine near-dup pair oracle at a given plane count — q74 pins it at 4;
+    * [[dynamicOracleSql]] instantiates it at the resolved autoPlanes count
+    * for q126 (the production path). */
+  private def sqlCosinePairs(planes: Int): String =
+    s"""
+    WITH q AS (
+      SELECT vec_id, $sqlQVec AS v FROM embeddings),
+    b AS (
+      SELECT vec_id, v, ${sqlPlaneBucket(planes)} AS bucket FROM q),
+    pairs AS (
+      SELECT l.vec_id AS id_l, r.vec_id AS id_r,
+        CAST(${sqlDotQ("l.v", "r.v")} AS DOUBLE)
+          / sqrt(CAST(${sqlDotQ("l.v", "l.v")} AS DOUBLE) * CAST(${sqlDotQ("r.v", "r.v")} AS DOUBLE)) AS cosine
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+    SELECT DISTINCT id_l, id_r, cosine FROM pairs WHERE cosine >= 0.5
+    ORDER BY id_l, id_r"""
+
   /** Shared oracle for the MinHash-LSH near-dup pairs: q71 (Scala API) and
     * q125 (the SQL TVF route) must both produce exactly this. */
   private lazy val sqlMinhashPairs: String = {
@@ -1952,14 +1969,15 @@ object SparkEntry {
 
     // -- q74: embedding-cosine near-dup pairs (LSH-blocked, exact verify) -----
     // -- q126: the PRODUCTION cosine-near-dup path — planes scale with the
-    //    corpus (autoPlanes), which a static SQL oracle cannot express (the
-    //    oracle's plane-sign arrays are literals for a fixed plane count),
-    //    so this rides the driver's weaker rows-only check. q74 keeps the
-    //    pinned-planes oracle contract; THIS entry is what the bench should
-    //    be judged on at scale (the pinned q74 goes quadratic by design —
-    //    13.4x wall at 10x — while autoPlanes holds 5.8x at 100x in the
-    //    ScaleRehearsal). Recall-equivalence of the two paths per family is
-    //    spec-locked in SimilaritySpec. ------------------------------------
+    //    corpus (autoPlanes). The plane count is a corpus-size-dependent
+    //    literal, so the SQL can't live in the STATIC oracle map — it is
+    //    resolved at dump time by [[dynamicOracleSql]] (Verify counts the
+    //    corpus, instantiates [[sqlCosinePairs]] at the resolved count) and
+    //    then hash-checked by the driver exactly like every other entry.
+    //    q74 keeps the pinned-planes contract; THIS entry is what the bench
+    //    should be judged on at scale (the pinned q74 goes quadratic by
+    //    design — 13.4x wall at 10x — while autoPlanes holds 5.8x at 100x
+    //    in the ScaleRehearsal). ------------------------------------------
     Q("q126_cosine_neardup_auto",
       (s, dir) => {
         val emb = T(s, dir, "embeddings")
@@ -1973,20 +1991,7 @@ object SparkEntry {
       (s, dir) => ops.Similarity.cosineNearDupPairs(
         T(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.5, planes = 4)
         .orderBy("id_l", "id_r"),
-      Some {
-        s"""
-        WITH q AS (
-          SELECT vec_id, $sqlQVec AS v FROM embeddings),
-        b AS (
-          SELECT vec_id, v, ${sqlPlaneBucket(4)} AS bucket FROM q),
-        pairs AS (
-          SELECT l.vec_id AS id_l, r.vec_id AS id_r,
-            CAST(${sqlDotQ("l.v", "r.v")} AS DOUBLE)
-              / sqrt(CAST(${sqlDotQ("l.v", "l.v")} AS DOUBLE) * CAST(${sqlDotQ("r.v", "r.v")} AS DOUBLE)) AS cosine
-          FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
-        SELECT DISTINCT id_l, id_r, cosine FROM pairs WHERE cosine >= 0.5
-        ORDER BY id_l, id_r"""
-      }),
+      Some(sqlCosinePairs(4))),
 
     // -- q130: weighted (PPS) Bernoulli sampling — length-weighted corpus
     //    subsample; inclusion test is integer cross-multiplication in
@@ -3081,4 +3086,15 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     inventory.flatMap(q => q.oracle.map(sql => q.name -> sql.trim.stripMargin)).toMap
+
+  /** Oracles whose SQL carries DATA-dependent literals, resolved against the
+    * actual fixture dir at dump time (Verify merges these into
+    * oracle_sql.json, and the driver hash-checks them like every static
+    * entry). q126's plane count is autoPlanes(corpus size) — the same
+    * literal-interpolation the static oracles already do for hashCoeffs,
+    * just bound at dump time instead of compile time. */
+  def dynamicOracleSql(spark: SparkSession, dir: String): Map[String, String] = {
+    val p = ops.Similarity.autoPlanes(T(spark, dir, "embeddings").count())
+    Map("q126_cosine_neardup_auto" -> sqlCosinePairs(p).trim.stripMargin)
+  }
 }
