@@ -72,7 +72,7 @@ for name in sorted(oracle):
     times.sort()
     results[name] = times[len(times) // 2]
     flag = ',"timeout":true' if name in timeouts else ""
-    print(f'{{"query":"{name}","sec":{results[name]:.4f}}}{flag}', file=sys.stderr)
+    print(f'{{"query":"{name}","sec":{results[name]:.4f}{flag}}}', file=sys.stderr)
 
 total = sum(results.values())
 qs = ",".join(f'"{k}":{v:.4f}' for k, v in results.items())
