@@ -24,9 +24,11 @@ import java.nio.charset.StandardCharsets
   * Bucket routing also means a key-equi join against another table bucketed
   * the same way needs no shuffle of this side.
   */
-final class BucketedStore(val root: String, val numBuckets: Int = 64)
+final class BucketedStore(val root: String, val numBuckets: Int = 64,
+                          val deltaCheckpointEvery: Int = 10)
                          (implicit spark: SparkSession) {
   require(numBuckets > 0)
+  require(deltaCheckpointEvery > 0)
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def logDir(feature: String) = new Path(s"$root/$feature/_graft_log")
@@ -190,6 +192,23 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     case c => c.toString
   }
 
+  /** RAW per-file stats JSON for a bucket (Delta `stats` field content) —
+    * shared by the commit writer (escaped into the action) and the
+    * checkpoint writer (stored as a plain string column). Only finite
+    * bounds are emitted: NaN/Infinity are not legal JSON tokens. */
+  private def fileStatsJson(stats: Map[Int, Map[String, (Double, Double)]],
+                            b: Int): Option[String] =
+    stats.get(b)
+      .map(_.filter { case (_, (mn, mx)) =>
+        !mn.isNaN && !mn.isInfinity && !mx.isNaN && !mx.isInfinity })
+      .filter(_.nonEmpty).map { cols =>
+        val mins = cols.toSeq.sortBy(_._1)
+          .map { case (c, (mn, _)) => s""""${jsonEsc(c)}":$mn""" }.mkString(",")
+        val maxs = cols.toSeq.sortBy(_._1)
+          .map { case (c, (_, mx)) => s""""${jsonEsc(c)}":$mx""" }.mkString(",")
+        s"""{"minValues":{$mins},"maxValues":{$maxs}}"""
+      }
+
   private def writeDeltaLog(feature: String, v: Long, schemaJson: String,
       addRels: Seq[String], removeRels: Seq[String],
       stats: Map[Int, Map[String, (Double, Double)]] = Map.empty,
@@ -213,18 +232,8 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
         // action) from the bucket's tracked min/max — bucket-level ranges are
         // conservative-correct per file (a reader may scan more, never less);
         // numRecords is omitted (per-bucket, not per-file, in the sidecar)
-        // only finite bounds are emitted: NaN/Infinity are not legal JSON
-        // tokens and would make the commit unreadable to external parsers
-        val statsField = stats.get(b.toInt)
-          .map(_.filter { case (_, (mn, mx)) =>
-            !mn.isNaN && !mn.isInfinity && !mx.isNaN && !mx.isInfinity })
-          .filter(_.nonEmpty).map { cols =>
-          val mins = cols.toSeq.sortBy(_._1)
-            .map { case (c, (mn, _)) => s""""${jsonEsc(c)}":$mn""" }.mkString(",")
-          val maxs = cols.toSeq.sortBy(_._1)
-            .map { case (c, (_, mx)) => s""""${jsonEsc(c)}":$mx""" }.mkString(",")
-          s""","stats":"${jsonEsc(s"""{"minValues":{$mins},"maxValues":{$maxs}}""")}""""
-        }.getOrElse("")
+        val statsField = fileStatsJson(stats, b.toInt)
+          .map(j => s""","stats":"${jsonEsc(j)}"""").getOrElse("")
         s"""{"add":{"path":"${jsonEsc(p)}","partitionValues":{"__b":"$b"},"size":$len,"modificationTime":$mt,"dataChange":$dataChange$statsField}}"""
     })
     val removes = removeRels.sorted.flatMap(rel => listPartFiles(feature, rel).map {
@@ -235,6 +244,103 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
     out.write((header ++ adds ++ removes).mkString("\n").getBytes(StandardCharsets.UTF_8))
     out.close()
     writeSmall(deltaSchemaFile(feature), schemaJson)
+    // a long-lived table's log replay otherwise costs O(versions) per open:
+    // every deltaCheckpointEvery commits, snapshot the aggregated state so
+    // a reader pays one checkpoint + the tail commits
+    if (v > 0 && v % deltaCheckpointEvery == 0)
+      writeDeltaCheckpoint(feature, v, schemaJson)
+  }
+
+  // ---- Delta checkpointing -------------------------------------------------
+  // Every `deltaCheckpointEvery` commits the mirror also writes the open
+  // Delta checkpoint layout: `<v padded to 20>.checkpoint.parquet` holding
+  // the AGGREGATED state at v (protocol + metaData + one add per live file,
+  // each action a nullable struct column) plus the `_last_checkpoint`
+  // pointer {"version":v,"size":n}. A reader then replays one parquet file
+  // + the commits AFTER v instead of every version since 0 —
+  // [[deltaLiveFiles]] is that replay, and the spec asserts the bound.
+  // Tombstones (expired removes) are omitted: the mirror never vacuums
+  // through the Delta view, so nothing downstream depends on them.
+
+  private def deltaCheckpointFile(feature: String, v: Long) =
+    new Path(s"$root/$feature/_delta_log/" + f"$v%020d" + ".checkpoint.parquet")
+
+  private def lastCheckpointFile(feature: String) =
+    new Path(s"$root/$feature/_delta_log/_last_checkpoint")
+
+  private def writeDeltaCheckpoint(feature: String, v: Long, schemaJson: String): Unit = {
+    import spark.implicits._
+    val manifest = readManifest(feature, v)
+    val stats = readStats(feature, v)
+    val now = System.currentTimeMillis
+    val proto = BucketedStore.CkptRow(
+      protocol = Some(BucketedStore.CkptProtocol(1, 2)),
+      metaData = None, add = None)
+    val meta = BucketedStore.CkptRow(
+      protocol = None,
+      metaData = Some(BucketedStore.CkptMetaData(
+        id = java.util.UUID.nameUUIDFromBytes(
+          s"$root/$feature".getBytes(StandardCharsets.UTF_8)).toString,
+        format = BucketedStore.CkptFormat("parquet", Map.empty),
+        schemaString = schemaJson,
+        partitionColumns = Seq("__b"),
+        configuration = Map.empty,
+        createdTime = now)),
+      add = None)
+    val adds = manifest.toSeq.sortBy(_._1).flatMap { case (b, rels) =>
+      rels.flatMap(rel => listPartFiles(feature, rel)).map { case (p, len, mt) =>
+        BucketedStore.CkptRow(None, None, Some(BucketedStore.CkptAdd(
+          path = p, partitionValues = Map("__b" -> b.toString),
+          size = len, modificationTime = mt, dataChange = true,
+          stats = fileStatsJson(stats, b).orNull)))
+      }
+    }
+    val rows = Seq(proto, meta) ++ adds
+    // Spark writes a directory; the Delta layout wants ONE file with the
+    // exact checkpoint name — write to a temp dir, move the single part in
+    val tmp = new Path(s"$root/$feature/_delta_log/.ckpt_tmp_$v")
+    rows.toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"checkpoint write for $feature v$v produced no part file"))
+    val dest = deltaCheckpointFile(feature, v)
+    if (fs.exists(dest)) fs.delete(dest, false)
+    fs.rename(part, dest)
+    fs.delete(tmp, true)
+    writeSmall(lastCheckpointFile(feature), s"""{"version":$v,"size":${rows.length}}""")
+  }
+
+  /** Reconstruct the LIVE file set of the latest version from the Delta
+    * mirror alone — the replay an external Delta reader performs: start
+    * from `_last_checkpoint`'s snapshot when present, then apply only the
+    * commits after it. Returns (live relative paths, commit JSONs read) —
+    * the second element is the spec's handle on the O(tail) bound. */
+  private[graft] def deltaLiveFiles(feature: String): (Set[String], Int) = {
+    val logDirPath = new Path(s"$root/$feature/_delta_log")
+    val ckptVersion = readSmall(lastCheckpointFile(feature)).flatMap { txt =>
+      "\"version\"\\s*:\\s*([0-9]+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    }
+    val base: Set[String] = ckptVersion match {
+      case None => Set.empty
+      case Some(cv) =>
+        spark.read.parquet(deltaCheckpointFile(feature, cv).toString)
+          .where(col("add").isNotNull).select("add.path")
+          .collect().map(_.getString(0)).toSet
+    }
+    val commitVs = fs.listStatus(logDirPath).map(_.getPath.getName).toSeq
+      .filter(n => n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit))
+      .map(_.stripSuffix(".json").toLong)
+      .filter(v => ckptVersion.forall(_ < v)).sorted
+    val live = commitVs.foldLeft(base) { (acc, v) =>
+      val in = fs.open(deltaLogFile(feature, v))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val added = "\"add\":\\{\"path\":\"([^\"]+)\"".r
+        .findAllMatchIn(txt).map(_.group(1)).toSet
+      val removed = "\"remove\":\\{\"path\":\"([^\"]+)\"".r
+        .findAllMatchIn(txt).map(_.group(1)).toSet
+      acc -- removed ++ added
+    }
+    (live, commitVs.size)
   }
 
   /** Write `df` as a full new version: every non-empty bucket gets one file
@@ -721,4 +827,19 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64)
       .select("__b").distinct().count()
     touched.toDouble / numBuckets
   }
+}
+
+object BucketedStore {
+  // Checkpoint row layout (the open Delta checkpoint schema, minimal
+  // columns): one action per row, the others null. Top-level case classes so
+  // Spark's product encoder derives the nullable-struct schema.
+  case class CkptFormat(provider: String, options: Map[String, String])
+  case class CkptProtocol(minReaderVersion: Int, minWriterVersion: Int)
+  case class CkptMetaData(id: String, format: CkptFormat, schemaString: String,
+      partitionColumns: Seq[String], configuration: Map[String, String],
+      createdTime: Long)
+  case class CkptAdd(path: String, partitionValues: Map[String, String],
+      size: Long, modificationTime: Long, dataChange: Boolean, stats: String)
+  case class CkptRow(protocol: Option[CkptProtocol],
+      metaData: Option[CkptMetaData], add: Option[CkptAdd])
 }

@@ -389,6 +389,52 @@ class BucketedStoreSpec extends SparkSpec {
     assert(replayed == live, s"replayed ${replayed.size} vs live ${live.size}")
   }
 
+  test("delta checkpoint: 20-version table opens from checkpoint + tail commits only") {
+    // checkpoint every 5 commits: a 20-version history must open from the
+    // v20 checkpoint + 0 tail commits, not a 21-commit replay
+    val store = new BucketedStore(tmpDir("bckpt"), numBuckets = 8,
+      deltaCheckpointEvery = 5)
+    val base = (1L to 400L).map(i => (i, s"name$i")).toDF("id", "name")
+    store.write(base, "f", Seq("id"))                                   // v0
+    (1 to 20).foreach { i =>                                            // v1..v20
+      store.merge("f",
+        Seq((i.toLong, s"UPD$i"), (200L + i, s"U$i")).toDF("id", "name"), Seq("id"))
+    }
+    val logDir = new java.io.File(s"${store.root}/f/_delta_log")
+    // _last_checkpoint points at the newest multiple of 5
+    val last = scala.io.Source.fromFile(new java.io.File(logDir, "_last_checkpoint")).mkString
+    assert(last.contains("\"version\":20"), last)
+    assert(new java.io.File(logDir, f"${20L}%020d.checkpoint.parquet").isFile)
+    // the checkpoint parquet carries protocol + metaData + one add per live
+    // file, with per-file stats where tracked
+    val ck = spark.read.parquet(s"${store.root}/f/_delta_log/" + f"${20L}%020d" + ".checkpoint.parquet")
+    assert(ck.where(col("protocol").isNotNull).count() == 1)
+    assert(ck.where(col("metaData").isNotNull).count() == 1)
+    val nAdds = ck.where(col("add").isNotNull).count()
+    // replay FROM THE MIRROR ALONE: live set matches the native manifest,
+    // and the replay read zero tail commits past the checkpoint
+    val (live, commitsRead) = store.deltaLiveFiles("f")
+    assert(commitsRead == 0, s"read $commitsRead tail commits, checkpoint should cover all")
+    assert(live.size == nAdds.toInt)
+    val native = store.read("f", Seq("id")).inputFiles
+      .map(_.split("/f/").last).toSet
+    assert(live == native, s"mirror live set ${live.size} != native ${native.size}")
+    // two more commits: replay = checkpoint + exactly the 2 tail commits
+    store.merge("f", Seq((999L, "tail1")).toDF("id", "name"), Seq("id")) // v21
+    store.merge("f", Seq((998L, "tail2")).toDF("id", "name"), Seq("id")) // v22
+    val (live2, commitsRead2) = store.deltaLiveFiles("f")
+    assert(commitsRead2 == 2, s"expected 2 tail commits, read $commitsRead2")
+    val native2 = store.read("f", Seq("id")).inputFiles
+      .map(_.split("/f/").last).toSet
+    assert(live2 == native2)
+    // next multiple of 5 rolls the checkpoint forward
+    (1 to 3).foreach(i =>
+      store.merge("f", Seq((900L + i, s"x$i")).toDF("id", "name"), Seq("id"))) // v23..v25
+    val last2 = scala.io.Source.fromFile(new java.io.File(logDir, "_last_checkpoint")).mkString
+    assert(last2.contains("\"version\":25"), last2)
+    assert(store.deltaLiveFiles("f")._2 == 0)
+  }
+
   test("delta-log fidelity: maintenance commits are dataChange:false, schema evolution re-emits metaData, vacuum horizon fails loudly") {
     val store = new BucketedStore(tmpDir("bfidelity"), numBuckets = 4)
     val base = (1L to 200L).map(i => (i, i.toDouble)).toDF("id", "v")
