@@ -1642,6 +1642,29 @@ object SparkEntry {
                CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""")),
 
+    // -- q138: SLIDING event-time windows (1 h window, 15 min slide): each
+    //    event multiplies into duration/slide = 4 overlapping windows, then
+    //    one keyed shuffle on (window, type) with map-side partial agg AFTER
+    //    the expansion — the same shape Structured Streaming executes, so
+    //    the batch oracle locks the streaming semantics. DuckDB mirrors the
+    //    epoch-aligned window starts with time_bucket - i*slide. -----------
+    Q("q138_sliding_window",
+      (s, dir) => T(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("win_start", "event_type"),
+      Some("""
+        WITH wins AS (
+          SELECT event_type, value,
+            time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+              - INTERVAL 15 MINUTE * i AS win_start
+          FROM events, generate_series(0, 3) AS t(i))
+        SELECT win_start, event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM wins GROUP BY 1, 2 ORDER BY win_start, event_type""")),
+
     // -- q33: session windows (30 min gap) ------------------------------------
     Q("q33_session_window",
       (s, dir) => T(s, dir, "events")

@@ -34,6 +34,28 @@ class StreamOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("sliding window aggregation: events land in every overlapping window") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Evt]
+    val out = StreamOps.windowedAgg(mem.toDF(), "ts", "1 hour", "2 hours",
+        slide = Some("30 minutes"))(
+      (col("user_id"), Seq(count(lit(1)).as("n"), sum("value").as("sv"))))
+      .select(col("window.start").as("ws"), col("user_id"), col("n"), col("sv"))
+    val q = out.writeStream.format("memory").queryName("slide_agg")
+      .outputMode("update").start()
+    mem.addData(
+      Evt(1, ts("2024-01-01 10:05:00"), 1.0),  // windows 09:30 and 10:00
+      Evt(1, ts("2024-01-01 10:40:00"), 2.0))  // windows 10:00 and 10:30
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM slide_agg")
+      .as[(java.sql.Timestamp, Long, Long, Double)].collect().toSet
+    assert(rows == Set(
+      (ts("2024-01-01 09:30:00"), 1L, 1L, 1.0),
+      (ts("2024-01-01 10:00:00"), 1L, 2L, 3.0),
+      (ts("2024-01-01 10:30:00"), 1L, 1L, 2.0)))
+    q.stop()
+  }
+
   test("heavyHittersStream: sketch state merges across micro-batches; bound holds over the whole stream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[String]
