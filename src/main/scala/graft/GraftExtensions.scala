@@ -101,7 +101,18 @@ object GraftExtensions {
   /** North-star ops on the SQL surface. Each builder expands to the Scala
     * API's logical plan (`queryExecution.logical` — analyzed with the outer
     * query), so SQL callers inherit the exact scale shape, plan locks and
-    * oracle behavior of the Column-API route. */
+    * oracle behavior of the Column-API route.
+    *
+    * ANALYSIS-TIME EXECUTION caveat: builders whose underlying op is
+    * ITERATIVE (`graft_semantic_dedup` — nearDupClusters' connected-
+    * components fixpoint drives Spark actions to converge) run those jobs
+    * while the SQL statement is being ANALYZED, not executed — so EXPLAIN
+    * pays the full clustering cost, and every re-analysis of the same
+    * statement re-runs it. This mirrors the Scala API (semanticDedup also
+    * computes eagerly at call time); SQL callers iterating on such a query
+    * should materialize the TVF result once (CREATE TEMP VIEW ... AS
+    * SELECT, or cache) instead of re-issuing the TVF per statement. All
+    * other TVFs expand to purely declarative plans and defer as usual. */
   private[graft] val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Builder[LogicalPlan])] = Seq(
     (FunctionIdentifier("graft_neardup_pairs"),
       info("graft_neardup_pairs",
@@ -147,7 +158,7 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_semantic_dedup"),
       info("graft_semantic_dedup",
-        "graft_semantic_dedup(table, idCol, vecCol, threshold, planes) - SemDeDup: cosine near-dup clusters to min-id reps; (id, rep, kept) per row"),
+        "graft_semantic_dedup(table, idCol, vecCol, threshold, planes) - SemDeDup: cosine near-dup clusters to min-id reps; (id, rep, kept) per row. NOTE: the clustering fixpoint runs at ANALYSIS time (EXPLAIN included); materialize the result rather than re-issuing per statement"),
       (args: Seq[Expression]) => {
         require(args.length == 5,
           "usage: graft_semantic_dedup(table, idCol, vecCol, threshold, planes)")

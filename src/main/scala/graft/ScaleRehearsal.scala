@@ -39,9 +39,11 @@ object ScaleRehearsal {
     val emb0 = Tables.load(spark, baseDir, "embeddings")
     val li0 = Tables.load(spark, baseDir, "lineitem")
     val ord0 = Tables.load(spark, baseDir, "orders")
+    val ev0 = Tables.load(spark, baseDir, "events")
     val nDocs = docs0.count()
     val nVecs = emb0.count()
     val nOrd = ord0.count()
+    val nEv = ev0.count()
 
     // prefix delimiter "_" keeps families unambiguous at factor > 10:
     // bare "x$i" would make (replica 1, token "1t") and (replica 11,
@@ -69,6 +71,18 @@ object ScaleRehearsal {
             slice(col("embedding"), 1, r)).as("embedding"))
       }.reduce(_ unionByName _)
 
+    // event replicas: user ids shift per replica, so the number of window
+    // partitions / sessions / as-of groups scales linearly while each
+    // user's time series stays identical — the shape of adding users, the
+    // way an event table actually grows
+    def scaledEvents(k: Int): DataFrame =
+      (0 until k).map { i =>
+        if (i == 0) ev0
+        else ev0
+          .withColumn("user_id", col("user_id") + lit(i * 10000000L))
+          .withColumn("event_id", col("event_id") + lit(i * 10L * nEv))
+      }.reduce(_ unionByName _)
+
     // relational fact/dim replicas: order keys shift per replica so the
     // join fan-out and group cardinalities scale linearly with k
     def scaledFacts(k: Int): (DataFrame, DataFrame) = (
@@ -91,6 +105,7 @@ object ScaleRehearsal {
       val (li, ord) = scaledFacts(k)
       li.write.mode("overwrite").parquet(s"$dir/lineitem")
       ord.write.mode("overwrite").parquet(s"$dir/orders")
+      scaledEvents(k).write.mode("overwrite").parquet(s"$dir/events")
       // the incremental-dedup rehearsal matches a FIXED batch against the
       // stored profile of everything else — the profile is precomputed here
       // (production keeps it on disk; per-batch cost must not re-pay it)
@@ -146,6 +161,7 @@ object ScaleRehearsal {
       val emb = spark.read.parquet(s"$dir/embeddings")
       val li = spark.read.parquet(s"$dir/lineitem")
       val ord = spark.read.parquet(s"$dir/orders")
+      val ev = spark.read.parquet(s"$dir/events")
       // hoisted OUT of the timed thunk: a production caller sizes autoPlanes
       // from a known (amortized) corpus count, so the counting scan is not
       // part of the operator cost being rehearsed
@@ -167,6 +183,51 @@ object ScaleRehearsal {
             col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_custkey")
           .agg(sum("rev").as("rev"), max("o_orderdate").as("last")))),
+        // window family (q10/q11/q12 shapes): ONE user-keyed shuffle each,
+        // then in-partition sort + frame evaluation. Replicas add USERS
+        // (partitions), not rows per user, so expect ~linear wall — a
+        // super-linear point here would mean the sort or frame evaluation
+        // leaks across partition boundaries
+        "q10_window_cumulative" -> (() => {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          val wf = w.rowsBetween(Long.MinValue, 0)
+          force(ord.select(col("o_custkey"), col("o_orderkey"),
+            lag("o_totalprice", 1).over(w).as("prev_price"),
+            rank().over(w).as("seq_rank"),
+            sum(round(col("o_totalprice") * 100).cast("long")).over(wf).as("run_total")))
+        }),
+        "q11_window_rolling_rows" -> (() => {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+            .rowsBetween(-2, 0)
+          force(ev.select(col("user_id"), col("event_id"),
+            (sum(round(col("value") * 100).cast("long")).over(w).cast("double")
+              / count(lit(1)).over(w)).as("roll_avg3")))
+        }),
+        "q12_window_rolling_time" -> (() => {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(unix_micros(col("ts")))
+            .rangeBetween(-3600000000L, 0)
+          force(ev.select(col("user_id"), col("event_id"),
+            sum(round(col("value") * 100).cast("long")).over(w).as("roll_sum_1h"),
+            count(lit(1)).over(w).as("n_events_1h")))
+        }),
+        // as-of join (q31 shape): both sides shuffle once on the user key,
+        // then a per-key sorted backward match — linear in events
+        "q31_asof_join" -> (() => {
+          val purchases = ev.where(col("event_type") === "purchase")
+            .select("user_id", "event_id", "ts")
+          val views = ev.where(col("event_type") === "view")
+            .select(col("user_id"), col("event_id").as("view_event_id"),
+              col("value").as("view_value"), col("ts"))
+          force(ops.AsOfJoin.asofBackward(purchases, views, Seq("user_id"),
+            "ts", "ts", Seq("view_event_id", "view_value")))
+        }),
+        // sessionization (q105 shape): one user-keyed shuffle, gap-break
+        // running sum in-partition
+        "q105_sessionize" -> (() => force(ops.Events.sessionize(
+          ev, "user_id", "ts", "event_id", "event_type", gapSec = 1800))),
         "q71_minhash_lsh" -> (() => force(ops.Dedup.minhashNearDupPairs(
           docs, "doc_id", "text", n = 3, numHashes = 12, bands = 4, threshold = 0.2))),
         "q73_ngram_jaccard" -> (() => force(ops.Dedup.ngramJaccardPairs(

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Fastlane serving-latency measurement (reference promise: low-latency
+  * single-row serving — reference: README.md:47-50). Reports warm-session
+  * [[graft.streaming.Fastlane.serveOnce]] wall latency (transform + store
+  * MERGE included) as p50/p95/p99 over `calls` single-row invocations, next
+  * to the full batch-lane cost (PipelineRunner.run: fingerprint, memo
+  * anti-join, checks, report, store write) on the same one-row frame — the
+  * gap between the two is what the fastlane exists to avoid.
+  *
+  * Usage: runMain graft.ServeLatency [calls]  (default 100)
+  * Prints one JSON line {"metric":"serve_latency", ...}.
+  */
+object ServeLatency {
+  def main(args: Array[String]): Unit = {
+    val calls = args.headOption.map(_.toInt).getOrElse(100)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft_servelat").toString
+    val store = new core.FeatureStore(root)
+    val registry = new core.Registry(root)
+    val feature = core.FeatureDef(
+      name = "user_value_sum",
+      entityKeys = Seq("user_id"),
+      codeVersion = "v1",
+      transform = df => df.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").cast("double").as("sum_value")))
+
+    // seed the store so every measured call is a MERGE into an existing
+    // table (the serving steady state), not a bootstrap write
+    val seed = (1L to 1000L).map(i => (i, i * 1.5)).toDF("user_id", "value")
+    store.write(core.Versioning.withSystemColumns(feature.transform(seed), feature),
+      feature.name, Map("mode" -> "seed"))
+
+    def oneRow(i: Long) = Seq((i, i * 2.0)).toDF("user_id", "value")
+
+    // warm-up: codegen, parquet committer, Derby — not billed
+    (1 to 5).foreach(i => streaming.Fastlane.serveOnce(feature, oneRow(9000000L + i), store)(spark))
+
+    val lat = (1 to calls).map { i =>
+      val t0 = System.nanoTime()
+      streaming.Fastlane.serveOnce(feature, oneRow(1000000L + i), store)(spark)
+      (System.nanoTime() - t0) / 1e6 // ms
+    }.sorted
+    def pct(p: Double) = lat((p * (lat.size - 1)).round.toInt)
+
+    // batch lane on the SAME one-row frame: full run machinery + store write
+    val batch = (1 to 10).map { i =>
+      val t0 = System.nanoTime()
+      core.PipelineRunner.run(feature, oneRow(2000000L + i), store, registry)
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+
+    def fmt(v: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    println(s"""{"metric":"serve_latency","calls":$calls,"p50_ms":${fmt(pct(0.5))},"p95_ms":${fmt(pct(0.95))},"p99_ms":${fmt(pct(0.99))},"batch_p50_ms":${fmt(batch(batch.size / 2))},"batch_min_ms":${fmt(batch.head)}}""")
+    spark.stop()
+  }
+}

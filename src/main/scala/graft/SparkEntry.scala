@@ -2051,7 +2051,7 @@ object SparkEntry {
               THEN CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks)
               ELSE 0.0 END AS mean_word_len,
             CASE WHEN len(toks) > 0
-              THEN CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(toks)
+              THEN CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(toks)
               ELSE 0.0 END AS alpha_ratio,
             len(list_intersect(list_distinct(toks),
               ['the','be','to','of','and','that','have','with'])) AS stop_hits

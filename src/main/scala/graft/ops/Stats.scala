@@ -256,9 +256,14 @@ object Stats {
     requireIntegral(df, orderCol, "topKPerGroupBounded orderCol")
     val v = col(orderCol).cast("long")
     val draw = if (desc) bitwise_not(v) else v
+    // the reconstructed order value is cast BACK to the input column's type:
+    // the draw rides int64 internally, but emitting long for an int/short
+    // input would drift the output schema from the window form it replaces
+    val orderType = df.schema(orderCol).dataType
     reservoir(df, groupCol, idCol, draw, k)
       .select(col(groupCol), col(idCol),
-        (if (desc) bitwise_not(col("__draw")) else col("__draw")).as(orderCol),
+        (if (desc) bitwise_not(col("__draw")) else col("__draw"))
+          .cast(orderType).as(orderCol),
         col("rank"))
   }
 

@@ -249,7 +249,10 @@ object TextOps {
     val n = size(toks)
     val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
     val meanLen = when(n > 0, sumLen.cast("double") / n.cast("double")).otherwise(lit(0.0))
-    val nAlpha = size(filter(toks, t => t.rlike("[a-z]")))
+    // case-insensitive: the published rule is "at least one ALPHABETIC
+    // character" — ALL-CAPS/acronym words must count (q131's oracle uses
+    // the same class)
+    val nAlpha = size(filter(toks, t => t.rlike("[a-zA-Z]")))
     val alphaRatio = when(n > 0, nAlpha.cast("double") / n.cast("double")).otherwise(lit(0.0))
     val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val stopHits = size(array_intersect(array_distinct(toks), array(gopherStops.map(lit): _*)))

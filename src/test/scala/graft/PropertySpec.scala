@@ -60,6 +60,53 @@ class SparkPropertySpec extends SparkSpec {
     assert(base == shuffled)
   }
 
+  test("reservoir sampler: bounded == window form on inputs with DUPLICATED (group, id) rows") {
+    // duplicate ids stress the eviction boundary: a pair exactly equal to
+    // the heap top must be kept or dropped exactly as multiset-k-smallest
+    // semantics demand — the window form (row_number over draw, id) is the
+    // ground truth. Generated multisets draw ids from a SMALL range so
+    // duplicates (2x, 3x copies) are common at every k boundary.
+    import graft.ops.Stats
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      nRows <- Gen.chooseNum(1, 40)
+      ids <- Gen.listOfN(nRows, Gen.chooseNum(0L, 12L))  // heavy duplication
+      k <- Gen.chooseNum(1, 6)
+    } yield (ids, k)
+    (0 until 12).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { case (ids, k) =>
+        val df = ids.zipWithIndex.map { case (id, j) => (id, s"g${j % 2}") }
+          .toDF("id", "grp").repartition(5)
+        def rows(d: org.apache.spark.sql.DataFrame) =
+          d.select("grp", "id", "sample_rank").as[(String, Long, Int)]
+            .collect().sorted.toList
+        val win = rows(Stats.stratifiedSample(df, "grp", "id", n = k))
+        val bounded = rows(Stats.stratifiedSampleBounded(df, "grp", "id", n = k))
+        assert(bounded == win,
+          s"seed=$i k=$k ids=$ids:\n window=$win\n bounded=$bounded")
+      }
+    }
+    // same pinning for the top-k form: duplicated (order, id) pairs at the
+    // boundary, both directions; output order-column TYPE must match input
+    val dup = Seq(("a", 1L, 5), ("a", 1L, 5), ("a", 2L, 5), ("a", 3L, 4),
+        ("a", 3L, 4), ("b", 1L, 7), ("b", 1L, 7))
+      .toDF("grp", "id", "v").repartition(3)
+    Seq(true, false).foreach { desc =>
+      val o = if (desc) col("v").desc else col("v").asc
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("grp").orderBy(o, col("id").asc)
+      val win = dup.withColumn("rank", row_number().over(w)).where(col("rank") <= 2)
+        .select("grp", "id", "v", "rank")
+        .as[(String, Long, Int, Int)].collect().sorted.toList
+      val b = Stats.topKPerGroupBounded(dup, "grp", "id", "v", k = 2, desc = desc)
+      assert(b.schema("v").dataType == org.apache.spark.sql.types.IntegerType,
+        "reconstructed order column must keep the input type, not widen to long")
+      assert(b.select("grp", "id", "v", "rank")
+        .as[(String, Long, Int, Int)].collect().sorted.toList == win, s"desc=$desc")
+    }
+  }
+
   test("jaccard pairs: symmetric inputs give values in [0,1]; self-pair jaccard is 1") {
     val docs = Tables.load(spark, sfDir, "documents").limit(40)
     val withSelf = docs.select(col("doc_id"), col("text"))
