@@ -17,13 +17,17 @@ import org.apache.spark.sql.functions._
   *    norms and intra-family dot products (same near-dup pairs per family)
   *    and decorrelates cross-family cosines.
   *
-  * Usage: runMain graft.ScaleRehearsal [baseDir] [factor]
-  * Prints one JSON line per (op, scale) and a final summary with ratios.
+  * Usage: runMain graft.ScaleRehearsal [baseDir] [factor] [op1,op2,...]
+  * (the optional third arg times only the named ops — prep still builds
+  * everything). Prints one JSON line per (op, scale) and a final summary
+  * with ratios.
   */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val opFilter = args.lift(2).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -309,25 +313,29 @@ object ScaleRehearsal {
             store, "annx")
         }),
         // index grown through APPENDS with geometry FROZEN at the bootstrap
-        // nlist: per-list size grows linearly with the corpus, so expect
-        // ~linear search growth — the degeneracy relist maintenance fixes
+        // nlist: per-list size grows linearly with the corpus, so CANDIDATE
+        // IO per query does too — the degeneracy relist maintenance fixes.
+        // 1000 queries (vs q134's 100): per-run fixed cost (probe TopK, two
+        // store opens, one parquet dir per touched bucket) is amortized so
+        // the scoring volume — the term that grows — carries the timing
         "q134f_frozen_append_search" -> (() => {
           val store = new core.BucketedStore(s"$dir/ivfidx",
             numBuckets = ops.Similarity.autoNlist(nEmb))(spark)
           force(ops.Similarity.searchIndexed(
-            emb.where(col("vec_id") < 100), "vec_id", "embedding",
+            emb.where(col("vec_id") < 1000), "vec_id", "embedding",
             store, "annf", k = 5, nprobe = 4))
         }),
         // the SAME append-grown index after relistVectorIndex at
-        // autoNlist(N_now): search should track q134's sub-sqrt(N) growth
+        // autoNlist(N_now): candidate IO per query tracks sqrt(N)
         "q134g_relisted_search" -> (() => {
           val store = new core.BucketedStore(s"$dir/ivfidx",
             numBuckets = ops.Similarity.autoNlist(nEmb))(spark)
           force(ops.Similarity.searchIndexed(
-            emb.where(col("vec_id") < 100), "vec_id", "embedding",
+            emb.where(col("vec_id") < 1000), "vec_id", "embedding",
             store, "anng", k = 5, nprobe = 4))
         })
-      ).map { case (name, thunk) =>
+      ).filter { case (name, _) => opFilter.forall(_.contains(name)) }
+        .map { case (name, thunk) =>
         thunk() // warmup (codegen + plan); measured run follows
         // drop the warmup's persisted intermediates BEFORE timing: ops
         // persist profile frames, and the measured run's plan-identical

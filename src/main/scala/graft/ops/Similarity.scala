@@ -256,8 +256,19 @@ object Similarity {
           .toDF("cent_id", "__centv")
           .withColumn("__centn", dotQ(col("__centv"), col("__centv"), dim))
     store.write(assignToLists(c, cent, dim), s"${feature}_lists", Seq("cent_id"))
-    store.write(cent.select(col("cent_id"), col("__centv")),
-      s"${feature}_centroids", Seq("cent_id"))
+    writeCentroids(store, feature, cent)
+  }
+
+  /** Centroid persistence: the table is nlist TINY rows read in full by
+    * EVERY search/append, so it lands in ONE bucket (constant routing key)
+    * — bucketing it by cent_id would open O(nlist) parquet files per query,
+    * a per-call fixed cost that grows with the index (measured: +1.3 s per
+    * search at nlist=387 vs one file). */
+  private def writeCentroids(store: graft.core.BucketedStore, feature: String,
+                             cent: DataFrame): Unit = {
+    store.write(cent.select(col("cent_id"), col("__centv")).withColumn("__ck", lit(0)),
+      s"${feature}_centroids", Seq("__ck"))
+    ()
   }
 
   /** Nearest-centroid assignment shared by build/append: every vector joins
@@ -323,8 +334,7 @@ object Similarity {
             .toDF("cent_id", "__centv")
             .withColumn("__centn", dotQ(col("__centv"), col("__centv"), dim))
       store.write(assignToLists(c, cent, dim), s"${feature}_lists", Seq("cent_id"))
-      store.write(cent.select(col("cent_id"), col("__centv")),
-        s"${feature}_centroids", Seq("cent_id"))
+      writeCentroids(store, feature, cent)
       nl
     } finally c.unpersist(false)
   }
