@@ -56,6 +56,19 @@ object ServeLatency {
     }.sorted
     def pct(p: Double) = lat((p * (lat.size - 1)).round.toInt)
 
+    // file-level serving merge ([[streaming.Fastlane.serveOnceBucketed]]):
+    // rewrites only the served key's bucket (1/numBuckets of the table) —
+    // the merge whose latency is independent of table size
+    val bstore = new core.BucketedStore(s"$root/bucketed", numBuckets = 64)
+    streaming.Fastlane.serveOnceBucketed(feature, seed, bstore) // bootstrap
+    (1 to 5).foreach(i =>
+      streaming.Fastlane.serveOnceBucketed(feature, oneRow(8000000L + i), bstore))
+    val bucketed = (1 to calls).map { i =>
+      val t0 = System.nanoTime()
+      streaming.Fastlane.serveOnceBucketed(feature, oneRow(4000000L + i), bstore)
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+
     // the O(batch) delta-append serving write ([[streaming.Fastlane
     // .serveAppend]]'s per-batch path): no table rewrite, no merge read —
     // the lowest-latency write the store offers
@@ -75,7 +88,32 @@ object ServeLatency {
     }.sorted
 
     def fmt(v: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, v)
-    println(s"""{"metric":"serve_latency","calls":$calls,"p50_ms":${fmt(pct(0.5))},"p95_ms":${fmt(pct(0.95))},"p99_ms":${fmt(pct(0.99))},"append_p50_ms":${fmt(append(append.size / 2))},"append_p95_ms":${fmt(append((0.95 * (append.size - 1)).round.toInt))},"batch_p50_ms":${fmt(batch(batch.size / 2))},"batch_min_ms":${fmt(batch.head)}}""")
+    println(s"""{"metric":"serve_latency","calls":$calls,"p50_ms":${fmt(pct(0.5))},"p95_ms":${fmt(pct(0.95))},"p99_ms":${fmt(pct(0.99))},"bucketed_p50_ms":${fmt(bucketed(bucketed.size / 2))},"bucketed_p95_ms":${fmt(bucketed((0.95 * (bucketed.size - 1)).round.toInt))},"append_p50_ms":${fmt(append(append.size / 2))},"append_p95_ms":${fmt(append((0.95 * (append.size - 1)).round.toInt))},"batch_p50_ms":${fmt(batch(batch.size / 2))},"batch_min_ms":${fmt(batch.head)}}""")
+
+    // the crossover the bucketed route exists for: at a LARGE stored table,
+    // the copy-on-write merge rewrites every row per call (O(table)) while
+    // the file-level merge rewrites 1/numBuckets — per-call wall should
+    // separate by ~table size / bucket size here and keep separating as the
+    // table grows
+    val bigN = sys.env.getOrElse("SPARK_GRAFT_SERVE_BIG_N", "500000").toLong
+    val big = spark.range(1L, bigN + 1).select(col("id").as("user_id"),
+      (col("id") * 1.5).as("value"))
+    val root2 = java.nio.file.Files.createTempDirectory("graft_servelat_big").toString
+    val flatBig = new core.FeatureStore(root2)
+    val buckBig = new core.BucketedStore(s"$root2/bucketed", numBuckets = 64)
+    streaming.Fastlane.serveOnce(feature, big, flatBig)
+    streaming.Fastlane.serveOnceBucketed(feature, big, buckBig)
+    val flatLarge = (1 to 5).map { i =>
+      val t0 = System.nanoTime()
+      streaming.Fastlane.serveOnce(feature, oneRow(5000000L + i), flatBig)
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+    val buckLarge = (1 to 15).map { i =>
+      val t0 = System.nanoTime()
+      streaming.Fastlane.serveOnceBucketed(feature, oneRow(6000000L + i), buckBig)
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+    println(s"""{"metric":"serve_latency_large_table","rows":$bigN,"flat_merge_p50_ms":${fmt(flatLarge(flatLarge.size / 2))},"bucketed_merge_p50_ms":${fmt(buckLarge(buckLarge.size / 2))}}""")
     spark.stop()
   }
 }

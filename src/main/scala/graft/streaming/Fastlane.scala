@@ -52,6 +52,23 @@ object Fastlane {
       Map("feature" -> feature.name, "mode" -> "fastlane_once"))
   }
 
+  /** [[serveOnce]] over the FILE-LEVEL store: the FeatureStore route
+    * rewrites the WHOLE table per upsert (copy-on-write), so its serving
+    * latency grows with table size; the bucketed merge rewrites only the
+    * 1/numBuckets bucket the served key hashes into — the serving write
+    * whose cost is independent of table size. First call bootstraps the
+    * feature (merge requires a base version; bootstrapping here keeps
+    * checkpoint-replay semantics identical to [[serveAppend]]'s). */
+  def serveOnceBucketed(feature: FeatureDef, rows: DataFrame,
+                        store: graft.core.BucketedStore)
+                       (implicit spark: SparkSession): Long = {
+    val out = Versioning.withSystemColumns(feature.transform(rows), feature)
+    if (store.latestVersion(feature.name).isEmpty)
+      store.write(out, feature.name, feature.entityKeys)
+    else
+      store.merge(feature.name, out, feature.entityKeys)
+  }
+
   /** Shared micro-batch scaffolding for the ingest loops: checkpointed
     * foreachBatch, empty batches skipped, and the ops' tracked internal
     * persists released after EVERY batch (bounded state for an unbounded

@@ -179,6 +179,32 @@ class FastlaneSpec extends SparkSpec {
     assert(near3 == 6L)
   }
 
+  test("serveOnceBucketed: file-level serving merge rewrites ONE bucket, matches the copy-on-write route") {
+    val flat = new FeatureStore(tmpDir("fsrvflat"))
+    val bucketed = new graft.core.BucketedStore(tmpDir("fsrvbuck"), numBuckets = 16)
+    // seed both stores with the same 200-entity state
+    val seed = (1L to 200L).map(i => (i, i * 1.0)).toDF("user_id", "value")
+    Fastlane.serveOnce(feature, seed, flat)
+    Fastlane.serveOnceBucketed(feature, seed, bucketed) // bootstrap write
+    // serve the same single row through both routes
+    val one = Seq((42L, 99.0)).toDF("user_id", "value")
+    Fastlane.serveOnce(feature, one, flat)
+    val vPrev = bucketed.latestVersion(feature.name).get
+    Fastlane.serveOnceBucketed(feature, one, bucketed)
+    // identical serving state
+    def state(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "sum_value").as[(Long, Double)].collect().toMap
+    assert(state(bucketed.read(feature.name, feature.entityKeys)) ==
+      state(flat.readCurrent(feature.name, feature.entityKeys)))
+    // the bucketed merge rewrote exactly ONE bucket: the new version's file
+    // set differs from the previous version's by one bucket dir
+    val newFiles = bucketed.read(feature.name, feature.entityKeys).inputFiles.toSet
+    val prevFiles = bucketed.read(feature.name, feature.entityKeys, Some(vPrev)).inputFiles.toSet
+    assert((newFiles -- prevFiles).map(_.split("/__b=")(1).split("/")(0)).size == 1,
+      "single-key serve must rewrite exactly one bucket")
+    assert((prevFiles & newFiles).nonEmpty, "untouched buckets must carry by reference")
+  }
+
   test("serveAppend bootstraps a brand-new feature, then delta-appends; readCurrent sees both") {
     val store = new FeatureStore(tmpDir("fappend"))
     val srcDir = tmpDir("fappend_src")
