@@ -171,6 +171,18 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("q138: sliding window is window-expansion + ONE keyed agg shuffle (partial agg AFTER the expansion)") {
+    val df = SparkEntry.queries("q138_sliding_window")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    // the duration/slide expansion must NOT multiply rows through the
+    // exchange raw: partial aggregation collapses each task to (window,
+    // type) groups first, so exactly one hashpartitioning exchange (plus
+    // the protocol sort's range partitioning) moves group rows only
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial"), s"map-side partial aggregate missing:\n$p")
+  }
+
   test("q106: gap-fill's event-sized work is a single keyed agg; the fill join is grid-sized") {
     val df = SparkEntry.queries("q106_gapfill_daily")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
