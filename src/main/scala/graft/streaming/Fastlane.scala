@@ -52,6 +52,32 @@ object Fastlane {
       Map("feature" -> feature.name, "mode" -> "fastlane_once"))
   }
 
+  /** Streaming [[serve]] over the FILE-LEVEL store: each micro-batch
+    * MERGE-upserts through [[graft.core.BucketedStore.merge]], so the
+    * per-batch write cost is |touched buckets|/numBuckets of the table
+    * instead of a full copy-on-write — the serving loop whose steady-state
+    * cost is independent of table size. First batch bootstraps the
+    * feature; replays of a bootstrapped batch fall through to merge, which
+    * is idempotent per (entityKey, __data_hash). */
+  def serveBucketed(
+      feature: FeatureDef,
+      stream: DataFrame,
+      store: graft.core.BucketedStore,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow())
+      (implicit spark: SparkSession): StreamingQuery = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          serveOnceBucketed(feature, batch, store)
+          ()
+        }
+      }
+      .start()
+  }
+
   /** [[serveOnce]] over the FILE-LEVEL store: the FeatureStore route
     * rewrites the WHOLE table per upsert (copy-on-write), so its serving
     * latency grows with table size; the bucketed merge rewrites only the

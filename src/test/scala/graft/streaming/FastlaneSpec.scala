@@ -179,6 +179,29 @@ class FastlaneSpec extends SparkSpec {
     assert(near3 == 6L)
   }
 
+  test("serveBucketed: streaming micro-batches merge file-level; state matches the flat streaming route") {
+    val flat = new FeatureStore(tmpDir("fsbflat"))
+    val bucketed = new graft.core.BucketedStore(tmpDir("fsbbuck"), numBuckets = 16)
+    val srcDir = tmpDir("fsb_src")
+    val ck1 = tmpDir("fsb_ck1"); val ck2 = tmpDir("fsb_ck2")
+    def stream() = spark.readStream.schema("user_id LONG, value DOUBLE").json(s"$srcDir/*")
+    // batch 1 bootstraps; batch 2 merges (same checkpoints across restarts)
+    Seq((1L, 10.0), (2L, 5.0)).toDF("user_id", "value")
+      .write.mode("overwrite").json(s"$srcDir/b1")
+    Fastlane.serve(feature, stream(), flat, ck1).awaitTermination(60000)
+    Fastlane.serveBucketed(feature, stream(), bucketed, ck2).awaitTermination(60000)
+    Seq((1L, 2.5), (3L, 7.0)).toDF("user_id", "value")
+      .write.mode("overwrite").json(s"$srcDir/b2")
+    Fastlane.serve(feature, stream(), flat, ck1).awaitTermination(60000)
+    Fastlane.serveBucketed(feature, stream(), bucketed, ck2).awaitTermination(60000)
+    def state(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "sum_value").as[(Long, Double)].collect().toMap
+    assert(state(bucketed.read(feature.name, feature.entityKeys)) ==
+      state(flat.readCurrent(feature.name, feature.entityKeys)))
+    // two stream batches -> bootstrap version + one merge version
+    assert(bucketed.versions(feature.name).size == 2)
+  }
+
   test("serveOnceBucketed: file-level serving merge rewrites ONE bucket, matches the copy-on-write route") {
     val flat = new FeatureStore(tmpDir("fsrvflat"))
     val bucketed = new graft.core.BucketedStore(tmpDir("fsrvbuck"), numBuckets = 16)
