@@ -135,12 +135,43 @@ object Dedup {
     when(uni === 0, lit(1.0)).otherwise(inter.cast("double") / uni.cast("double"))
   }
 
+  /** LSH band planner (Leskovec/Rajaraman/Ullman, MMDS §3.4.3): choose
+    * (bands, rowsPerBand) with bands·rows = numHashes whose candidate
+    * S-curve p(s) = 1 − (1 − s^rows)^bands best matches a step at
+    * `threshold` — minimizing ∫₀ᵗ p(s) ds + ∫ₜ¹ (1 − p(s)) ds (expected
+    * false-positive candidate mass plus false-negative mass under a uniform
+    * similarity prior). Exact-Jaccard verification downstream removes the
+    * FPs but pays their join cost; FNs are unrecoverable — which is exactly
+    * what the integral trades. More bands = permissive (low crossover),
+    * more rows = strict; the default (12 hashes, 4 bands) has its crossover
+    * (1/b)^(1/r) at 0.63, right for thresholds ≥ 0.5 but missing pairs at
+    * 0.2–0.3 — this planner picks the divisor pair a caller's threshold
+    * actually wants. */
+  def planBands(threshold: Double, numHashes: Int): (Int, Int) = {
+    require(threshold > 0 && threshold < 1,
+      s"planBands threshold must be in (0,1), got $threshold")
+    require(numHashes >= 2, s"planBands needs >= 2 hashes, got $numHashes")
+    val divisorPairs = (1 to numHashes)
+      .filter(numHashes % _ == 0).map(b => (b, numHashes / b))
+    def err(b: Int, r: Int): Double = {
+      val n = 1000
+      (0 until n).map { i =>
+        val s = (i + 0.5) / n
+        val p = 1 - math.pow(1 - math.pow(s, r.toDouble), b.toDouble)
+        if (s < threshold) p else 1 - p
+      }.sum / n
+    }
+    divisorPairs.minBy { case (b, r) => err(b, r) }
+  }
+
   /** MinHash-LSH near-duplicate pairs.
     *
     * Pipeline: shingle → minhash signature → band explode → self-join on
     * (band_id, band_key) with idL < idR → distinct candidates → exact-Jaccard
     * verify ≥ threshold. The self-join is the only shuffle that grows with
-    * corpus size, and it is keyed on 16-byte band hashes.
+    * corpus size, and it is keyed on 16-byte band hashes. Size `bands` with
+    * [[planBands]] when the threshold differs from the defaults' 0.63
+    * crossover.
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 3, numHashes: Int = 12, bands: Int = 4,

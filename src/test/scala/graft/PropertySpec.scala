@@ -18,6 +18,37 @@ class PropertySpec extends AnyFunSuite {
       gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
     }
 
+  test("planBands: divisor contract, error-optimality, monotone strictness in threshold") {
+    def scurve(b: Int, r: Int, s: Double) =
+      1 - math.pow(1 - math.pow(s, r.toDouble), b.toDouble)
+    def err(b: Int, r: Int, t: Double): Double = {
+      val n = 1000
+      (0 until n).map { i =>
+        val s = (i + 0.5) / n
+        if (s < t) scurve(b, r, s) else 1 - scurve(b, r, s)
+      }.sum / n
+    }
+    for (nh <- Seq(12, 16, 24, 60); t <- Seq(0.2, 0.4, 0.5, 0.7, 0.9)) {
+      val (b, r) = Dedup.planBands(t, nh)
+      assert(b * r == nh, s"($b,$r) must factor $nh")
+      // optimal among ALL divisor pairs (independent re-derivation)
+      val all = (1 to nh).filter(nh % _ == 0).map(bb => (bb, nh / bb))
+      val best = all.map { case (bb, rr) => err(bb, rr, t) }.min
+      assert(math.abs(err(b, r, t) - best) < 1e-12,
+        s"t=$t nh=$nh: planBands picked ($b,$r) err=${err(b, r, t)} vs best $best")
+      // crossover sits on the correct side-ish of the threshold: the
+      // S-curve at t is between 5% and 95% (a degenerate all-or-nothing
+      // plan would pin it to 0 or 1)
+      val p = scurve(b, r, t)
+      assert(p > 0.05 && p < 0.95, s"t=$t nh=$nh ($b,$r): curve at t = $p")
+    }
+    // stricter threshold => at least as many rows per band (monotone dial)
+    val rows = Seq(0.2, 0.5, 0.8).map(t => Dedup.planBands(t, 24)._2)
+    assert(rows == rows.sorted, s"rows per band must grow with threshold: $rows")
+    intercept[IllegalArgumentException](Dedup.planBands(0.0, 12))
+    intercept[IllegalArgumentException](Dedup.planBands(0.5, 1))
+  }
+
   test("hashCoeffs are deterministic, odd multipliers, within [1, P)") {
     val a = Dedup.hashCoeffs(64); val b = Dedup.hashCoeffs(64)
     assert(a == b)
