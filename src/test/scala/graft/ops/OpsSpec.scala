@@ -704,6 +704,80 @@ class MultimodalSpec extends SparkSpec {
     assert(f1 == f2)
   }
 
+  test("WavDecoder: real RIFF/PCM-16 parse — sine RMS, duration, channels; corrupt rejected") {
+    // synthesize a REAL wav: 1 channel, 8 kHz, 16-bit PCM, 0.5 s of a
+    // 440 Hz sine at amplitude 0.5 — RMS must land at 0.5/sqrt(2)
+    def wav(channels: Int, rate: Int, seconds: Double, amp: Double): Array[Byte] = {
+      val frames = (rate * seconds).toInt
+      val n = frames * channels
+      val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + n * 2); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(channels.toShort); bb.putInt(rate)
+      bb.putInt(rate * channels * 2); bb.putShort((channels * 2).toShort); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(n * 2)
+      (0 until frames).foreach { i =>
+        val s = (amp * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toShort
+        (0 until channels).foreach(_ => bb.putShort(s))
+      }
+      bb.array()
+    }
+    val df = Seq(
+      (1L, wav(1, 8000, 0.5, 0.5)),
+      (2L, wav(2, 16000, 0.25, 0.9)),
+      (3L, "RIFFxxxxWAVEjunk".getBytes("UTF-8"))).toDF("id", "payload")
+    val out = Multimodal.decodeFeatures(df, "payload", new Multimodal.WavDecoder)
+      .select(col("id"), col("decoded.ok"), col("decoded.features"), col("decoded.error"))
+      .as[(Long, Boolean, Option[Seq[Float]], Option[String])].collect().sortBy(_._1)
+    val Some(f1) = out(0)._3
+    assert(out(0)._2 && f1(0) == 1f, "channels")
+    assert(math.abs(f1(1) - 8000f / 48000f) < 1e-4, "sample rate")
+    assert(math.abs(f1(2) - 0.5f) < 1e-3, "duration")
+    assert(math.abs(f1(3) - 0.5 / math.sqrt(2)) < 0.01, s"sine RMS: ${f1(3)}")
+    assert(f1(4) > 0.49f && f1(4) <= 0.51f, "peak ~ amplitude")
+    val Some(f2) = out(1)._3
+    assert(f2(0) == 2f && math.abs(f2(2) - 0.25f) < 1e-3)
+    assert(!out(2)._2 && out(2)._4.nonEmpty, out(2)._4.toString)
+  }
+
+  test("BmpDecoder: real 24bpp BMP parse — solid color means, padded rows; corrupt rejected") {
+    // synthesize a REAL bmp: 24bpp bottom-up, rows padded to 4 bytes
+    def bmp(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+      val rowBytes = ((w * 3 + 3) / 4) * 4
+      val bb = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte); bb.put('M'.toByte); bb.putInt(54 + rowBytes * h)
+      bb.putInt(0); bb.putInt(54)                      // reserved, data offset
+      bb.putInt(40); bb.putInt(w); bb.putInt(h)        // info header
+      bb.putShort(1); bb.putShort(24); bb.putInt(0)    // planes, bpp, compression
+      bb.putInt(rowBytes * h); bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+      (0 until h).foreach { _ =>
+        (0 until w).foreach { _ =>
+          bb.put(b.toByte); bb.put(g.toByte); bb.put(r.toByte)
+        }
+        (w * 3 until rowBytes).foreach(_ => bb.put(0.toByte))
+      }
+      bb.array()
+    }
+    // width 3 forces row padding (9 -> 12 bytes): padding must not leak
+    // into the means
+    val df = Seq(
+      (1L, bmp(3, 2, 255, 0, 0)),    // solid red, padded rows
+      (2L, bmp(4, 4, 10, 200, 30)),
+      (3L, Array[Byte]('B', 'M', 1, 2, 3))).toDF("id", "payload")
+    val out = Multimodal.decodeFeatures(df, "payload", new Multimodal.BmpDecoder)
+      .select(col("id"), col("decoded.ok"), col("decoded.features"), col("decoded.error"))
+      .as[(Long, Boolean, Option[Seq[Float]], Option[String])].collect().sortBy(_._1)
+    val Some(f1) = out(0)._3
+    assert(out(0)._2 && f1(0) == 3f / 4096 && f1(1) == 2f / 4096)
+    assert(f1(3) == 1f && f1(4) == 0f && f1(5) == 0f, s"solid red means: $f1")
+    assert(f1(7) == 0f, "solid color has zero luma stddev")
+    val Some(f2) = out(1)._3
+    assert(math.abs(f2(3) - 10f / 255) < 1e-4 && math.abs(f2(4) - 200f / 255) < 1e-4)
+    assert(!out(2)._2, "truncated BMP must be captured as a row error")
+  }
+
   test("metadata extraction and frame sampling") {
     val df = spark.range(1, 5).select(col("id"),
       Multimodal.fakePayload(col("id")).as("p"))
