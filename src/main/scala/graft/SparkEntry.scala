@@ -105,6 +105,26 @@ object SparkEntry {
     root
   }
 
+  /** Build-once store fixture for q139 (CDF): customer v0, then one merge
+    * that updates every `c_custkey % 97 == 0` row (+100.0 acctbal — exact
+    * in IEEE doubles, so both engines agree bit-for-bit) and inserts one
+    * synthetic key. The change feed between v0 and v1 is then fully
+    * reconstructible in oracle SQL from the same base parquet. */
+  private def cdfStoreFixture(s: SparkSession, dir: String): String = {
+    val root = storeFixtureRoot(s, dir, "cdf", "customer")
+    val store = new core.BucketedStore(root, numBuckets = 16)(s)
+    if (store.latestVersion("cust").isEmpty) {
+      val cust = T(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      store.write(cust, "cust", Seq("c_custkey"))
+      val upd = cust.where(col("c_custkey") % 97 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
+      val ins = s.range(1).select(lit(9999999L).as("c_custkey"),
+        lit("NEW").as("c_name"), lit(0.0).as("c_acctbal"))
+      store.merge("cust", upd.unionByName(ins), Seq("c_custkey"))
+    }
+    root
+  }
+
   /** Force-write all source round-trip fixtures (Bench setup / Verify). */
   def prepareFixtures(s: SparkSession, dir: String): Unit = {
     csvFixture(s, dir, force = true)
@@ -2960,6 +2980,29 @@ object SparkEntry {
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders WHERE o_totalprice BETWEEN 1000.0 AND 60000.0
         ORDER BY o_orderkey""")),
+
+    // -- q139: CHANGE DATA FEED between store versions (Delta CDF parity,
+    //    reference commitment: delta-rs, README.md:15). The store diffs
+    //    ONLY the buckets the v0->v1 merge rewrote (manifest-level file
+    //    skipping) and classifies rows by a null-safe fingerprint join; the
+    //    oracle reconstructs the identical feed from the base parquet. ----
+    Q("q139_change_data_feed",
+      (s, dir) => {
+        val root = cdfStoreFixture(s, dir)
+        val store = new core.BucketedStore(root, numBuckets = 16)(s)
+        store.changes("cust", Seq("c_custkey"), 0L, 1L)
+          .orderBy("c_custkey", "_change_type")
+      },
+      Some("""
+        WITH upd AS (
+          SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 97 = 0)
+        SELECT CAST(9999999 AS BIGINT) AS c_custkey, 'NEW' AS c_name,
+               CAST(0.0 AS DOUBLE) AS c_acctbal, 'insert' AS _change_type
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal, 'update_preimage' FROM upd
+        UNION ALL
+        SELECT c_custkey, c_name, CAST(c_acctbal + 100.0 AS DOUBLE), 'update_postimage' FROM upd
+        ORDER BY c_custkey, _change_type""")),
 
     // -- q125: the SQL-surface route — the reference exposes every operator
     //    through SQL (Ibis, projects/feray/pyproject.toml:24), so SQL-only

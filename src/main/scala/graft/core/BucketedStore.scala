@@ -820,6 +820,88 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64,
     dead
   }
 
+  /** CHANGE DATA FEED between two versions (the Delta CDF analogue):
+    * returns the rows that changed with a `_change_type` column —
+    * `insert`, `delete`, `update_preimage`, `update_postimage` — keyed on
+    * the entity.
+    *
+    * Scale shape: the manifests say exactly WHICH buckets differ between
+    * the versions (merge/append rewrite only touched buckets; untouched
+    * buckets share file references), so the diff reads ONLY the changed
+    * buckets of each version — at 100 TB a single-entity merge's change
+    * feed reads 2/numBuckets of the table, not two full snapshots. Within
+    * the changed buckets, one full-outer join on the entity key classifies
+    * rows; non-key columns are compared by a null-safe xxhash64 fingerprint
+    * over the UNION of both versions' columns (schema evolution: a column
+    * absent in the older version fingerprints as NULL there, so a row that
+    * gained a value registers as an update).
+    *
+    * Both versions must be at or above the vacuum horizon and hash-bucketed
+    * (fails loudly otherwise, like every versioned read here). Defined for
+    * tables under the one-row-per-key upsert discipline ([[merge]]'s
+    * contract); duplicate keys accumulated via [[appendBucketed]] multiply
+    * through the key join — dedupe first. */
+  def changes(feature: String, entityKeys: Seq[String],
+              fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changes needs fromVersion < toVersion, got $fromVersion >= $toVersion")
+    val vFrom = resolveVersion(feature, Some(fromVersion))
+    val vTo = resolveVersion(feature, Some(toVersion))
+    require(clusteredBy(feature, vFrom).isEmpty && clusteredBy(feature, vTo).isEmpty,
+      s"feature $feature has a Z-order clustered endpoint; CDF needs hash-bucketed versions")
+    val mFrom = readManifest(feature, vFrom)
+    val mTo = readManifest(feature, vTo)
+    val changedBuckets = (mFrom.keySet ++ mTo.keySet)
+      .filter(b => mFrom.get(b) != mTo.get(b))
+    val relsFrom = mFrom.filter(t => changedBuckets(t._1)).values.flatten.toSeq
+    val relsTo = mTo.filter(t => changedBuckets(t._1)).values.flatten.toSeq
+
+    // nothing rewritten between the versions: empty feed with the TO schema
+    if (changedBuckets.isEmpty)
+      return read(feature, entityKeys, Some(vTo)).limit(0)
+        .withColumn("_change_type", lit(""))
+
+    val oldRows = if (relsFrom.isEmpty) None else Some(readPaths(feature, vFrom, relsFrom))
+    val newRows = if (relsTo.isEmpty) None else Some(readPaths(feature, vTo, relsTo))
+    // output schema = the TO version's schema (+ _change_type); preimages of
+    // dropped columns are reported under the to-schema with nulls
+    val toCols: Seq[String] = newRows.orElse(oldRows).map(_.columns.toSeq).getOrElse(Seq.empty)
+      .filterNot(_ == "__b")
+    def aligned(df: DataFrame, all: Seq[String]): DataFrame =
+      df.select(all.map(c => if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
+    val allCols: Seq[String] =
+      (oldRows.map(_.columns.toSeq).getOrElse(Seq.empty) ++
+        newRows.map(_.columns.toSeq).getOrElse(Seq.empty))
+        .distinct.filterNot(_ == "__b")
+    val nonKey = allCols.filterNot(entityKeys.contains)
+    // same null-safety rule as Versioning.dataHash: xxhash64 passes the seed
+    // through on NULL, which alone would make (NULL, x) ≡ (x, NULL) — the
+    // interleaved isNull flags pin every column position in the fold
+    def fp(df: DataFrame): DataFrame =
+      df.withColumn("__fp",
+        if (nonKey.isEmpty) lit(0L)
+        else xxhash64(nonKey.sorted.flatMap(c => Seq(col(c).isNull, col(c))): _*))
+    val empty = aligned(newRows.orElse(oldRows).get, allCols).limit(0)
+    val o = fp(oldRows.map(aligned(_, allCols)).getOrElse(empty))
+      .select((entityKeys.map(col) :+ struct((nonKey.map(col) :+ col("__fp")): _*).as("__o")): _*)
+    val n = fp(newRows.map(aligned(_, allCols)).getOrElse(empty))
+      .select((entityKeys.map(col) :+ struct((nonKey.map(col) :+ col("__fp")): _*).as("__n")): _*)
+    val joined = o.join(n, entityKeys, "full_outer")
+    def emit(side: org.apache.spark.sql.Column, kind: String) =
+      (entityKeys.map(col) ++ nonKey.map(c => side.getField(c).as(c)) :+
+        lit(kind).as("_change_type"))
+    val inserts = joined.where(col("__o").isNull)
+      .select(emit(col("__n"), "insert"): _*)
+    val deletes = joined.where(col("__n").isNull)
+      .select(emit(col("__o"), "delete"): _*)
+    val updated = joined.where(col("__o").isNotNull && col("__n").isNotNull &&
+      col("__o").getField("__fp") =!= col("__n").getField("__fp"))
+    val pre = updated.select(emit(col("__o"), "update_preimage"): _*)
+    val post = updated.select(emit(col("__n"), "update_postimage"): _*)
+    inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+      .select((toCols.map(col) :+ col("_change_type")): _*)
+  }
+
   /** Fraction of the table a merge of `updates` would rewrite (observability
     * for the 100 TB story). */
   def rewriteFraction(feature: String, updates: DataFrame, entityKeys: Seq[String]): Double = {

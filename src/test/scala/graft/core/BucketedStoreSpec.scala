@@ -389,6 +389,46 @@ class BucketedStoreSpec extends SparkSpec {
     assert(replayed == live, s"replayed ${replayed.size} vs live ${live.size}")
   }
 
+  test("changes: CDF between versions reads only rewritten buckets; insert/update/delete classified") {
+    val store = new BucketedStore(tmpDir("bcdf"), numBuckets = 8)
+    val base = (1L to 400L).map(i => (i, s"name$i")).toDF("id", "name")
+    store.write(base, "f", Seq("id"))                                    // v0
+    store.merge("f", Seq((42L, "FORTY-TWO"), (998L, "NEW")).toDF("id", "name"), Seq("id")) // v1
+    val cdf = store.changes("f", Seq("id"), 0L, 1L)
+    val rows = cdf.select("id", "name", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(rows == Set(
+      (998L, "NEW", "insert"),
+      (42L, "name42", "update_preimage"),
+      (42L, "FORTY-TWO", "update_postimage")),
+      s"unexpected feed: $rows")
+    // file-level bound: the feed reads only the rewritten buckets' files of
+    // the two versions, never the untouched snapshot
+    val touched = cdf.inputFiles.map(_.split("/__b=")(1).split("/")(0)).distinct
+    assert(touched.length <= 2 * 2, s"CDF read ${touched.length} buckets for a 2-key merge")
+    // identical versions adjacent: merging an EQUAL row is an update by
+    // hash only if the payload differs — re-merging the same value emits
+    // nothing for that key
+    store.merge("f", Seq((42L, "FORTY-TWO"), (999L, "X")).toDF("id", "name"), Seq("id")) // v2
+    val cdf2 = store.changes("f", Seq("id"), 1L, 2L)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(cdf2 == Set((999L, "insert")), s"re-merged equal row must not appear: $cdf2")
+    // schema evolution: v3 adds column w for one key — the feed carries the
+    // TO schema and the gained value registers as an update
+    store.merge("f", Seq((7L, "name7", 3.5)).toDF("id", "name", "w"), Seq("id")) // v3
+    val cdf3 = store.changes("f", Seq("id"), 2L, 3L)
+    assert(cdf3.columns.toSet == Set("id", "name", "w", "_change_type"))
+    val r3 = cdf3.select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(r3 == Set((7L, "update_preimage"), (7L, "update_postimage")), r3.toString)
+    // a full write that drops rows surfaces them as deletes
+    store.write(base.where(col("id") <= 100), "f", Seq("id"))            // v4
+    val del = store.changes("f", Seq("id"), 3L, 4L)
+      .where(col("_change_type") === "delete").count()
+    assert(del == 302, s"expected 300 base deletes + 998/999 inserts gone, got $del")
+    // no changes between a version and itself-equivalent span: empty feed
+    assert(store.changes("f", Seq("id"), 0L, 1L).count() == 3)
+  }
+
   test("delta checkpoint: 20-version table opens from checkpoint + tail commits only") {
     // checkpoint every 5 commits: a 20-version history must open from the
     // v20 checkpoint + 0 tail commits, not a 21-commit replay
