@@ -204,6 +204,19 @@ object GraftExtensions {
           str(args(1), "groupCol"), str(args(2), "idCol"), int(args(3), "n"))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_changes"),
+      info("graft_changes",
+        "graft_changes(storeRoot, feature, entityKeysCsv, fromVersion, toVersion, numBuckets) - change data feed between two BucketedStore versions: rows + _change_type (insert/delete/update_preimage/update_postimage); reads only the rewritten buckets"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "usage: graft_changes(storeRoot, feature, entityKeysCsv, fromVersion, toVersion, numBuckets)")
+        val store = new core.BucketedStore(str(args(0), "storeRoot"),
+          int(args(5), "numBuckets"))(SparkSession.active)
+        store.changes(str(args(1), "feature"),
+            str(args(2), "entityKeysCsv").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+            int(args(3), "fromVersion").toLong, int(args(4), "toVersion").toLong)
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_topk_group"),
       info("graft_topk_group",
         "graft_topk_group(table, groupCol, idCol, orderCol, k, desc) - bounded top-k per group by an integral order column (desc: 1 or 0)"),

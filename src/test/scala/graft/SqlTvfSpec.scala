@@ -97,6 +97,22 @@ class SqlTvfSpec extends SparkSpec {
         spark.table("tvf_docs_len"), "source", "doc_id", "len", 3, desc = true))
   }
 
+  test("graft_changes == BucketedStore.changes; composes with SQL filters") {
+    val root = tmpDir("tvfcdf")
+    val store = new graft.core.BucketedStore(root, numBuckets = 8)
+    import spark.implicits._
+    store.write((1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"), "f", Seq("id"))
+    store.merge("f", Seq((7L, "UPDATED"), (99L, "NEW")).toDF("id", "v"), Seq("id"))
+    same(
+      spark.sql(s"SELECT * FROM graft_changes('$root','f','id',0,1,8)"),
+      store.changes("f", Seq("id"), 0L, 1L))
+    // SQL composes around the feed
+    val n = spark.sql(
+      s"SELECT count(*) FROM graft_changes('$root','f','id',0,1,8) WHERE _change_type = 'insert'")
+      .as[Long].head()
+    assert(n == 1L)
+  }
+
   test("SQL aggregate surface: graft_reservoir in GROUP BY == the Scala sampler") {
     docs.createOrReplaceTempView("tvf_docs")
     val sqlIds = spark.sql(s"""
