@@ -902,6 +902,58 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64,
       .select((toCols.map(col) :+ col("_change_type")): _*)
   }
 
+  // ---- incremental CDF consumption ----------------------------------------
+  // The consumer side of [[changes]]: a named durable cursor per downstream
+  // pipeline, so each poll emits exactly the changes since the consumer's
+  // last COMMITTED position. Two-phase by design — pollChanges never moves
+  // the cursor; the consumer processes the feed, then calls advanceCursor
+  // with the returned toVersion. A crash between the two replays the same
+  // feed on the next poll (at-least-once, the same contract as the
+  // checkpointed ingest loops; pair with idempotent downstream writes).
+
+  private def cursorFile(feature: String, cursor: String) = {
+    require(cursor.nonEmpty && cursor.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"cursor name must be [A-Za-z0-9_-]+, got '$cursor'")
+    new Path(logDir(feature), s"_cursor_$cursor")
+  }
+
+  /** Committed position of `cursor` (None = never advanced). */
+  def cursorPosition(feature: String, cursor: String): Option[Long] =
+    readSmall(cursorFile(feature, cursor)).map(_.trim.toLong)
+
+  /** Changes since the cursor's committed position, up to the latest
+    * version. First poll (no committed position) emits the CURRENT snapshot
+    * as `insert` rows — the bootstrap a brand-new consumer needs. Returns
+    * (feed, toVersion); an already-caught-up consumer gets an empty feed
+    * with toVersion = its position. Commit with [[advanceCursor]] AFTER
+    * processing. */
+  def pollChanges(feature: String, entityKeys: Seq[String],
+                  cursor: String): (DataFrame, Long) = {
+    val latest = latestVersion(feature)
+      .getOrElse(throw new IllegalArgumentException(s"feature $feature has no versions"))
+    cursorPosition(feature, cursor) match {
+      case None =>
+        (read(feature, entityKeys, Some(latest)).drop("__b")
+          .withColumn("_change_type", lit("insert")), latest)
+      case Some(pos) if pos >= latest =>
+        (read(feature, entityKeys, Some(latest)).limit(0)
+          .withColumn("_change_type", lit("")), pos)
+      case Some(pos) =>
+        (changes(feature, entityKeys, pos, latest), latest)
+    }
+  }
+
+  /** Commit a consumer position. Monotone: moving a cursor backwards is
+    * refused (it would silently re-deliver already-committed history —
+    * reset by deleting the cursor file deliberately, not by accident). */
+  def advanceCursor(feature: String, cursor: String, toVersion: Long): Unit = {
+    cursorPosition(feature, cursor).foreach { pos =>
+      require(toVersion >= pos,
+        s"cursor $cursor at $pos cannot move backwards to $toVersion")
+    }
+    writeSmall(cursorFile(feature, cursor), toVersion.toString)
+  }
+
   /** Fraction of the table a merge of `updates` would rewrite (observability
     * for the 100 TB story). */
   def rewriteFraction(feature: String, updates: DataFrame, entityKeys: Seq[String]): Double = {

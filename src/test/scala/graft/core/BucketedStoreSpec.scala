@@ -429,6 +429,37 @@ class BucketedStoreSpec extends SparkSpec {
     assert(store.changes("f", Seq("id"), 0L, 1L).count() == 3)
   }
 
+  test("pollChanges: durable cursor delivers each change once; crash before advance replays") {
+    val store = new BucketedStore(tmpDir("bpoll"), numBuckets = 8)
+    store.write((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), "f", Seq("id")) // v0
+    // first poll: bootstrap snapshot as inserts
+    val (boot, to0) = store.pollChanges("f", Seq("id"), "consumer_a")
+    assert(to0 == 0L && boot.count() == 100 &&
+      boot.select("_change_type").distinct().as[String].collect().toSeq == Seq("insert"))
+    store.advanceCursor("f", "consumer_a", to0)
+    // caught up: empty feed, position unchanged
+    val (empty, toSame) = store.pollChanges("f", Seq("id"), "consumer_a")
+    assert(toSame == 0L && empty.count() == 0)
+    // two merges, then one poll: the feed spans BOTH versions
+    store.merge("f", Seq((5L, "UPD5")).toDF("id", "v"), Seq("id"))   // v1
+    store.merge("f", Seq((200L, "NEW")).toDF("id", "v"), Seq("id")) // v2
+    val (feed, to2) = store.pollChanges("f", Seq("id"), "consumer_a")
+    assert(to2 == 2L)
+    val kinds = feed.select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(kinds == Set((5L, "update_preimage"), (5L, "update_postimage"), (200L, "insert")), kinds.toString)
+    // crash before advance: the SAME feed replays (at-least-once)
+    val (replay, toR) = store.pollChanges("f", Seq("id"), "consumer_a")
+    assert(toR == 2L &&
+      replay.select("id", "_change_type").as[(Long, String)].collect().toSet == kinds)
+    store.advanceCursor("f", "consumer_a", to2)
+    assert(store.pollChanges("f", Seq("id"), "consumer_a")._1.count() == 0)
+    // a SECOND consumer has its own independent cursor (bootstraps fresh)
+    val (boot2, _) = store.pollChanges("f", Seq("id"), "consumer_b")
+    assert(boot2.count() == 101)
+    // cursors are monotone: accidental rewind is refused
+    intercept[IllegalArgumentException](store.advanceCursor("f", "consumer_a", 0L))
+  }
+
   test("delta checkpoint: 20-version table opens from checkpoint + tail commits only") {
     // checkpoint every 5 commits: a 20-version history must open from the
     // v20 checkpoint + 0 tail commits, not a 21-commit replay
