@@ -3004,6 +3004,107 @@ object SparkEntry {
         SELECT c_custkey, c_name, CAST(c_acctbal + 100.0 AS DOUBLE), 'update_postimage' FROM upd
         ORDER BY c_custkey, _change_type""")),
 
+    // -- q140: exact-substring duplicated-span stats (Lee et al. 2022,
+    //    suffix-array dedup at 8-token-gram granularity): per-doc maximal
+    //    merged spans whose grams repeat corpus-wide. Exchanges carry
+    //    (id, pos, hash) — never text; gram window + doc islands ----------
+    Q("q140_dup_span_stats",
+      (s, dir) => ops.Dedup.duplicateSpanStats(
+        T(s, dir, "documents"), "doc_id", "text", spanTokens = 8)
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+                i -> {'pos': i - 1, 'h': ${sqlH60("array_to_string(toks[i:i+7], ' ')")}})) AS u
+              FROM t),
+        d AS (SELECT doc_id, pos FROM (
+                SELECT doc_id, u.pos AS pos, count(*) OVER (PARTITION BY u.h) AS c FROM g)
+              WHERE c >= 2),
+        i1 AS (SELECT doc_id, pos,
+                CASE WHEN pos > coalesce(max(pos + 7) OVER (
+                     PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                THEN 1 ELSE 0 END AS brk
+              FROM d),
+        i2 AS (SELECT doc_id, pos, sum(brk) OVER (
+                 PARTITION BY doc_id ORDER BY pos) AS island FROM i1),
+        sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+               FROM i2 GROUP BY doc_id, island),
+        agg AS (SELECT doc_id, count(*) AS dup_spans,
+                  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens FROM sp GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          coalesce(dup_spans, 0) AS dup_spans,
+          coalesce(dup_tokens, 0) AS dup_tokens,
+          CAST(coalesce(dup_tokens, 0) AS DOUBLE) / len(toks) AS dup_frac
+        FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")),
+
+    // -- q141: the destructive half — duplicated spans REMOVED from the
+    //    text; span arrays join doc-keyed, token filtering is map-side ----
+    Q("q141_strip_dup_spans",
+      (s, dir) => ops.Dedup.stripDuplicateSpans(
+        T(s, dir, "documents"), "doc_id", "text", spanTokens = 8)
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+                i -> {'pos': i - 1, 'h': ${sqlH60("array_to_string(toks[i:i+7], ' ')")}})) AS u
+              FROM t),
+        d AS (SELECT doc_id, pos FROM (
+                SELECT doc_id, u.pos AS pos, count(*) OVER (PARTITION BY u.h) AS c FROM g)
+              WHERE c >= 2),
+        i1 AS (SELECT doc_id, pos,
+                CASE WHEN pos > coalesce(max(pos + 7) OVER (
+                     PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                THEN 1 ELSE 0 END AS brk
+              FROM d),
+        i2 AS (SELECT doc_id, pos, sum(brk) OVER (
+                 PARTITION BY doc_id ORDER BY pos) AS island FROM i1),
+        sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+               FROM i2 GROUP BY doc_id, island),
+        tok AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+                  i -> {'pos': i - 1, 'tk': toks[i]})) AS u FROM t),
+        kept AS (SELECT tok.doc_id, u.pos AS pos, u.tk AS tk
+                 FROM tok LEFT JOIN sp ON tok.doc_id = sp.doc_id
+                                      AND u.pos BETWEEN sp.s AND sp.e
+                 WHERE sp.s IS NULL),
+        k2 AS (SELECT doc_id,
+                 coalesce(string_agg(tk, ' ' ORDER BY pos), '') AS clean_text,
+                 count(*) AS n_kept FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, coalesce(clean_text, '') AS clean_text,
+          CAST(len(toks) - coalesce(n_kept, 0) AS BIGINT) AS n_removed
+        FROM t LEFT JOIN k2 USING (doc_id) ORDER BY doc_id""")),
+
+    // -- q142: overlap-FRACTION contamination (PaLM/GPT-3 recipe — vs
+    //    q99's absolute shared-gram pair counts): eval gram set broadcast,
+    //    one doc-keyed exchange ------------------------------------------
+    Q("q142_overlap_contamination",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        ops.TextOps.overlapContamination(
+          docs.filter(col("doc_id") % 10 < 9), docs.filter(col("doc_id") % 10 === 9),
+          "doc_id", "text", "doc_id", "text", n = 3, maxOverlap = 0.5)
+          .orderBy("doc_id")
+      },
+      Some {
+        val h3 = sqlH60("concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1], string_split(text,' ')[i+2])")
+        s"""
+        WITH e AS (SELECT DISTINCT unnest(list_transform(
+            range(1, greatest(2, len(string_split(text,' ')) - 1)),
+            i -> $h3)) AS h
+          FROM documents WHERE doc_id % 10 = 9),
+        c AS (SELECT doc_id, unnest(list_transform(
+            range(1, greatest(2, len(string_split(text,' ')) - 1)),
+            i -> $h3)) AS h
+          FROM documents WHERE doc_id % 10 < 9)
+        SELECT doc_id, count(*) AS n_grams,
+          CAST(count(e.h) AS BIGINT) AS hit_grams,
+          CAST(count(e.h) AS DOUBLE) / count(*) AS overlap_frac,
+          (CAST(count(e.h) AS DOUBLE) / count(*)) >= 0.5 AS contaminated
+        FROM c LEFT JOIN e ON c.h = e.h
+        GROUP BY doc_id ORDER BY doc_id"""
+      }),
+
     // -- q125: the SQL-surface route — the reference exposes every operator
     //    through SQL (Ibis, projects/feray/pyproject.toml:24), so SQL-only
     //    users must reach the north-star ops too. graft_neardup_pairs is a

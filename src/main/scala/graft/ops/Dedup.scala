@@ -577,6 +577,117 @@ object Dedup {
       .select(col("id"), col("clean_text"), col("n_kept"), col("n_total"))
   }
 
+  /** Merged maximal duplicated spans per document — the shared core of
+    * [[duplicateSpanStats]] and [[stripDuplicateSpans]]. A token position is
+    * duplicated when the `spanTokens`-token gram starting there occurs ≥ 2
+    * times corpus-wide (any document, including the same one); overlapping
+    * duplicated grams coalesce into maximal `[span_start, span_end]` token
+    * intervals (classic gaps-and-islands over the position stream).
+    *
+    * Returns `(id, span_start, span_end)` — documents with no duplicated
+    * span emit nothing; callers re-join onto their own doc spine.
+    *
+    * Scale shape: the exploded frame is `(id, pos, h)` — 20 bytes per token
+    * position, never the text. Two keyed exchanges: one on the 60-bit gram
+    * hash (a windowed corpus-wide occurrence count — the distributed stand-in
+    * for the suffix-array scan), one on the doc id (island merge); the
+    * island groupBy reuses the doc partitioning (subset clustering), so no
+    * third exchange. Linear in total token count, no all-pairs. */
+  private def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                             spanTokens: Int): DataFrame = {
+    require(spanTokens > 1, s"spanTokens must be > 1, got $spanTokens")
+    val L = spanTokens
+    import org.apache.spark.sql.expressions.Window
+    // gram STRINGS explode first; the crypto hash runs in the flat codegen'd
+    // projection after (HOF lambdas evaluate interpreted — same discipline
+    // as shingleProfiles)
+    val pos = df
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
+      .where(size(col("__toks")) >= L)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("__toks")) - L),
+        p => concat_ws(" ", (0 until L).map(k => get(col("__toks"), p + k)): _*)))
+        .as(Seq("pos", "__s")))
+      .select(col("id"), col("pos"), pmod(md5Hash60(col("__s")), lit(P)).as("__h"))
+    val dup = pos
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .where(col("__cnt") >= 2)
+      .select(col("id"), col("pos"))
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    dup
+      .withColumn("__prev_end",
+        max(col("pos") + lit(L - 1)).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__brk",
+        when(col("__prev_end").isNull || col("pos") > col("__prev_end"), 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__brk")).over(wDoc))
+      .groupBy(col("id"), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(L - 1)).as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"))
+  }
+
+  /** Cross-corpus duplicated-span statistics — the exact-substring dedup
+    * signal of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (2022), with the suffix array approximated at token-gram
+    * granularity: a position is duplicated iff its `spanTokens`-token gram
+    * repeats anywhere in the corpus, and overlapping duplicated grams merge
+    * into maximal spans (exactly the paper's ≥-L-token repeated substrings,
+    * at token rather than byte resolution).
+    *
+    * Output: one row per input document —
+    * `(id, n_tokens, dup_spans, dup_tokens, dup_frac)`; documents shorter
+    * than `spanTokens` or with no repeated gram report zeros.
+    *
+    * Scale shape: [[duplicateSpans]]' two linear keyed exchanges, then the
+    * narrow per-doc span aggregate joins back to an `(id, n_tokens)` spine —
+    * the doc text itself never shuffles anywhere. */
+  def duplicateSpanStats(df: DataFrame, idCol: String, textCol: String,
+                         spanTokens: Int = 8): DataFrame = {
+    val spine = df.select(col(idCol).as("id"),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    val perDoc = duplicateSpans(df, idCol, textCol, spanTokens)
+      .groupBy("id").agg(
+        count(lit(1)).as("dup_spans"),
+        sum(col("span_end") - col("span_start") + 1).cast("long").as("dup_tokens"))
+    spine.join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_frac", col("dup_tokens").cast("double") / col("n_tokens"))
+  }
+
+  /** Remove every duplicated span found by [[duplicateSpanStats]] from the
+    * text (the destructive half of the Lee et al. recipe): tokens covered by
+    * any merged duplicated span are dropped, survivors re-join in order.
+    *
+    * Output: one row per input document — `(id, clean_text, n_removed)`;
+    * a document that is one big duplicated span survives with
+    * `clean_text = ""` so callers decide the drop policy (same contract as
+    * [[paragraphDedup]]).
+    *
+    * Scale shape: spans collect into one small per-doc array (bounded by
+    * n_tokens / spanTokens entries) under the island partitioning, then join
+    * doc-keyed back to the input; token filtering is a map-side
+    * higher-order-function pass — the text crosses the join exchange once
+    * and nothing quadratic appears. */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                          spanTokens: Int = 8): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, spanTokens)
+      .groupBy("id").agg(collect_list(
+        struct(col("span_start").as("s"), col("span_end").as("e"))).as("__spans"))
+    val emptySpans = array().cast("array<struct<s:int,e:int>>")
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
+      .join(spans, Seq("id"), "left")
+      .withColumn("__spans", coalesce(col("__spans"), emptySpans))
+      .withColumn("__kept", filter(
+        transform(col("__toks"), (t, i) => struct(t.as("t"), i.as("i"))),
+        x => !exists(col("__spans"),
+          sp => x.getField("i") >= sp.getField("s") && x.getField("i") <= sp.getField("e"))))
+      .select(col("id").as(idCol),
+        concat_ws(" ", transform(col("__kept"), x => x.getField("t"))).as("clean_text"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   /** Exact dedup: keep the smallest id per content digest. One shuffle keyed
     * on the 16-byte digest; the raw payload never shuffles.
     *

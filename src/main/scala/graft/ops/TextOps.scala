@@ -356,6 +356,46 @@ object TextOps {
       .withColumn("bloom_hit", coalesce(col("bloom_hit"), lit(false)))
   }
 
+  /** Overlap-FRACTION contamination report (the PaLM/GPT-3 recipe: a
+    * training doc is contaminated when a high fraction of its n-grams also
+    * appear in the held-out eval set — versus [[contaminationReport]]'s
+    * absolute shared-gram count per (doc, eval-doc) pair). Every n-gram
+    * OCCURRENCE counts (a doc that repeats a leaked gram is more
+    * contaminated than one containing it once); the eval side is a distinct
+    * gram set so join multiplicity can't inflate the hit count.
+    *
+    * Output: one row per corpus doc —
+    * `(id, n_grams, hit_grams, overlap_frac, contaminated)` with
+    * `contaminated = overlap_frac >= maxOverlap`.
+    *
+    * Scale shape: the eval gram set collapses to a distinct 60-bit hash set
+    * and BROADCASTS (for eval sets too big to broadcast, chain
+    * [[bloomDecontaminate]] in front); the corpus side explodes map-side and
+    * aggregates in ONE doc-keyed exchange carrying `(id, hit)` pairs — the
+    * text never shuffles. */
+  def overlapContamination(corpus: DataFrame, evalSet: DataFrame,
+                           idCol: String, textCol: String,
+                           evalIdCol: String, evalTextCol: String,
+                           n: Int = 3, maxOverlap: Double = 0.5): DataFrame = {
+    require(maxOverlap > 0 && maxOverlap <= 1, s"maxOverlap must be in (0,1], got $maxOverlap")
+    val evalGrams = evalSet
+      .select(Dedup.tokens(col(evalTextCol)).as("__toks"))
+      .select(explode(Dedup.shingleStringsFromTokens(col("__toks"), n)).as("__s"))
+      .select(pmod(Dedup.md5Hash60(col("__s")), lit(Dedup.P)).as("__h"))
+      .distinct()
+    corpus
+      .select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), explode(Dedup.shingleStringsFromTokens(col("__toks"), n)).as("__s"))
+      .select(col("id"), pmod(Dedup.md5Hash60(col("__s")), lit(Dedup.P)).as("__h"))
+      .join(broadcast(evalGrams.withColumn("__hit", lit(1L))), Seq("__h"), "left")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("hit_grams"))
+      .select(col("id").as(idCol), col("n_grams"), col("hit_grams"))
+      .withColumn("overlap_frac", col("hit_grams").cast("double") / col("n_grams"))
+      .withColumn("contaminated", col("overlap_frac") >= lit(maxOverlap))
+  }
+
   /** Gopher-style repetition signals per document: total / distinct / most
     * frequent word n-gram occurrence counts plus the derived duplicate-gram
     * and top-gram fractions (high values ⇒ boilerplate or degenerate text).

@@ -141,6 +141,61 @@ class DedupSpec extends SparkSpec {
     assert(out.head == s"$w0 $w2")
   }
 
+  test("duplicateSpanStats finds and merges cross-doc repeated token spans") {
+    // ten-token shared run inside distinct surroundings: with spanTokens=4
+    // the run contributes 7 overlapping duplicated 4-grams per doc, which
+    // must merge into ONE maximal 10-token span each; doc 3 has no repeat
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared a4 a5"),
+      (2L, s"b1 $shared b2 b3 b4"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanStats(docs, "doc_id", "text", spanTokens = 4)
+      .select("doc_id", "n_tokens", "dup_spans", "dup_tokens", "dup_frac")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 15L, 1L, 10L, 10.0 / 15)))
+    assert(out(1) == ((2L, 14L, 1L, 10L, 10.0 / 14)))
+    assert(out(2) == ((3L, 8L, 0L, 0L, 0.0)))
+  }
+
+  test("duplicateSpanStats: INTRA-doc repeats count; disjoint repeats stay separate spans") {
+    val run = "r1 r2 r3 r4"                       // repeated twice inside doc 1
+    val docs = Seq(
+      (1L, s"$run x1 x2 x3 $run"),                // two disjoint 4-token spans
+      (2L, "y1 y2 y3 y4 y5 y6 y7 y8"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanStats(docs, "doc_id", "text", spanTokens = 4)
+      .where(col("doc_id") === 1L)
+      .select("dup_spans", "dup_tokens").as[(Long, Long)].head()
+    assert(out == ((2L, 8L)))
+  }
+
+  test("stripDuplicateSpans removes exactly the duplicated tokens, n_removed == stats dup_tokens") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared a4 a5"),
+      (2L, s"b1 $shared b2 b3 b4"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8"),
+      (4L, shared))                               // doc IS one big span → ""
+      .toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateSpans(docs, "doc_id", "text", spanTokens = 4)
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "a1 a2 a3 a4 a5", 10L)))
+    assert(out(1) == ((2L, "b1 b2 b3 b4", 10L)))
+    assert(out(2) == ((3L, "c1 c2 c3 c4 c5 c6 c7 c8", 0L)))
+    assert(out(3) == ((4L, "", 10L)))
+    // cross-op law on real data: strip's removal count equals stats' span size
+    val docsReal = Tables.load(spark, sfDir, "documents").limit(200)
+    val stats = Dedup.duplicateSpanStats(docsReal, "doc_id", "text", spanTokens = 8)
+      .select(col("doc_id"), col("dup_tokens"))
+    val strip = Dedup.stripDuplicateSpans(docsReal, "doc_id", "text", spanTokens = 8)
+      .select(col("doc_id"), col("n_removed"))
+    assert(stats.join(strip, Seq("doc_id"))
+      .where(col("dup_tokens") =!= col("n_removed")).count() == 0)
+  }
+
   test("minhash-LSH finds planted near-duplicates and skips unrelated docs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
     val nearDup = base + " omicron"  // one appended token: Jaccard = 12/13
@@ -899,6 +954,30 @@ class TextOpsSpec extends SparkSpec {
       corpus, evalSet, "doc_id", "text", "doc_id", "text", n = 3, minShared = 2)
       .select("doc_id").as[Long].collect().toSet
     assert(lax == Set(2L, 3L))
+  }
+
+  test("overlapContamination: occurrence-weighted gram fraction vs the eval set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),          // 3 grams, all in eval 10
+      (2L, "totally unrelated training words here"),
+      (3L, "the quick brown fox jumps the quick brown fox jumps")) // 8 grams, all hit
+      .toDF("doc_id", "text")
+    val evalSet = Seq((10L, "the quick brown fox jumps over")).toDF("doc_id", "text")
+    val out = TextOps.overlapContamination(
+      corpus, evalSet, "doc_id", "text", "doc_id", "text", n = 3, maxOverlap = 0.5)
+      .select("doc_id", "n_grams", "hit_grams", "contaminated")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 3L, 3L, true)))
+    assert(out(1)._3 == 0L && !out(1)._4)
+    // doc 3's grams: 8 total; the wrap-around grams ("jumps the quick",
+    // "fox jumps the") are NOT in the eval set → 6/8 hit, still >= 0.5
+    assert(out(2) == ((3L, 8L, 6L, true)))
+    // the plan must broadcast the eval gram set — corpus text never shuffles
+    val plan = TextOps.overlapContamination(
+      corpus, evalSet, "doc_id", "text", "doc_id", "text").queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"expected broadcast eval-gram join, got:\n$plan")
   }
 
   test("packSequences: concat-then-chunk layout per shard, docs may straddle packs") {
