@@ -217,6 +217,20 @@ object GraftExtensions {
             int(args(3), "fromVersion").toLong, int(args(4), "toVersion").toLong)
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_time_travel"),
+      info("graft_time_travel",
+        "graft_time_travel(storeRoot, feature, entityKeysCsv, asOfVersion, numBuckets) - read a BucketedStore feature AS OF a committed version (-1 = latest): the SQL surface of the store's time travel"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "usage: graft_time_travel(storeRoot, feature, entityKeysCsv, asOfVersion, numBuckets)")
+        val v = int(args(3), "asOfVersion").toLong
+        val store = new core.BucketedStore(str(args(0), "storeRoot"),
+          int(args(4), "numBuckets"))(SparkSession.active)
+        store.read(str(args(1), "feature"),
+            str(args(2), "entityKeysCsv").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+            if (v < 0) None else Some(v))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_topk_group"),
       info("graft_topk_group",
         "graft_topk_group(table, groupCol, idCol, orderCol, k, desc) - bounded top-k per group by an integral order column (desc: 1 or 0)"),

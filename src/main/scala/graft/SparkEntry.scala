@@ -3105,6 +3105,22 @@ object SparkEntry {
         GROUP BY doc_id ORDER BY doc_id"""
       }),
 
+    // -- q143: TIME TRAVEL through the SQL surface — read the CDF fixture's
+    //    v0 AS OF through graft_time_travel AFTER the v1 merge exists; the
+    //    oracle is the untouched base projection, so any leakage of v1's
+    //    updates/insert into the v0 read hash-mismatches ------------------
+    Q("q143_time_travel_sql",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val root = cdfStoreFixture(s, dir)
+        s.sql(s"""
+          SELECT c_custkey, c_name, c_acctbal
+          FROM graft_time_travel('$root', 'cust', 'c_custkey', 0, 16)
+          ORDER BY c_custkey""")
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey""")),
+
     // -- q125: the SQL-surface route — the reference exposes every operator
     //    through SQL (Ibis, projects/feray/pyproject.toml:24), so SQL-only
     //    users must reach the north-star ops too. graft_neardup_pairs is a

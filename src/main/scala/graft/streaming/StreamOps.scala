@@ -109,6 +109,34 @@ object StreamOps {
     stream.groupBy().agg(graft.ops.Stats.freqItemsAgg(itemCol, k).as("__s"))
       .select(col("__s.n").as("n_total"), col("__s.items").as("items"))
 
+  /** Stream-stream equi-join with an event-time range bound — the
+    * Structured Streaming two-stream join (clicks-to-impressions, features-
+    * to-labels): rows join when keys match AND the right event falls inside
+    * `[left.ts, left.ts + within]`. BOTH sides carry watermarks and the
+    * time-range predicate, which is what lets Spark expire join state — an
+    * unconstrained stream-stream join's state grows with the whole stream,
+    * the one unbounded-memory shape a 100 TB/day pipeline cannot ship.
+    * Inner joins emit as matches arrive; `left_outer` additionally emits
+    * unmatched left rows once their watermark horizon passes. Right-side
+    * columns are suffixed `suffix` so the two event schemas can share
+    * names. */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+                          keyCol: String, leftTsCol: String, rightTsCol: String,
+                          watermarkDelay: String, within: String,
+                          joinType: String = "inner",
+                          suffix: String = "_r"): DataFrame = {
+    require(Seq("inner", "left_outer").contains(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
+    val l = left.withWatermark(leftTsCol, watermarkDelay)
+    val r0 = right.withWatermark(rightTsCol, watermarkDelay)
+    val r = r0.columns.foldLeft(r0)((d, c) => d.withColumnRenamed(c, c + suffix))
+    l.join(r,
+      col(keyCol) === col(keyCol + suffix) &&
+        col(rightTsCol + suffix) >= col(leftTsCol) &&
+        col(rightTsCol + suffix) <= col(leftTsCol) + expr(s"INTERVAL $within"),
+      joinType)
+  }
+
   /** Streaming exact dedup on a key with a watermark-bounded state window:
     * first occurrence passes, replays within the watermark horizon are
     * dropped (Structured Streaming's dropDuplicates keeps state only for

@@ -113,6 +113,26 @@ class SqlTvfSpec extends SparkSpec {
     assert(n == 1L)
   }
 
+  test("graft_time_travel == BucketedStore.read at each version; -1 = latest") {
+    val root = tmpDir("tvftt")
+    val store = new graft.core.BucketedStore(root, numBuckets = 8)
+    import spark.implicits._
+    store.write((1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"), "f", Seq("id"))
+    store.merge("f", Seq((7L, "UPDATED"), (99L, "NEW")).toDF("id", "v"), Seq("id"))
+    same(
+      spark.sql(s"SELECT * FROM graft_time_travel('$root','f','id',0,8)"),
+      store.read("f", Seq("id"), Some(0L)))
+    same(
+      spark.sql(s"SELECT * FROM graft_time_travel('$root','f','id',-1,8)"),
+      store.read("f", Seq("id")))
+    // v0 must NOT see the merge
+    import spark.implicits._
+    val v0 = spark.sql(
+      s"SELECT count(*) FROM graft_time_travel('$root','f','id',0,8) WHERE id = 99")
+      .as[Long].head()
+    assert(v0 == 0L)
+  }
+
   test("SQL aggregate surface: graft_reservoir in GROUP BY == the Scala sampler") {
     docs.createOrReplaceTempView("tvf_docs")
     val sqlIds = spark.sql(s"""

@@ -116,20 +116,43 @@ class StreamOpsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val views = MemoryStream[Evt]
     val buys = MemoryStream[Evt]
-    val v = views.toDF().select(col("user_id"), col("ts").as("v_ts"), col("value").as("v_val"))
-      .withWatermark("v_ts", "1 hour")
-    val b = buys.toDF().select(col("user_id").as("b_user"), col("ts").as("b_ts"), col("value").as("b_val"))
-      .withWatermark("b_ts", "1 hour")
-    val joined = v.join(b,
-      col("user_id") === col("b_user") &&
-        col("b_ts") >= col("v_ts") && col("b_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+    val joined = StreamOps.intervalJoinStreams(
+      views.toDF(), buys.toDF(), "user_id", "ts", "ts",
+      watermarkDelay = "1 hour", within = "30 MINUTES")
     val q = joined.writeStream.format("memory").queryName("ssj").outputMode("append").start()
     views.addData(Evt(1, ts("2024-01-01 10:00:00"), 1.0), Evt(2, ts("2024-01-01 10:00:00"), 2.0))
     buys.addData(Evt(1, ts("2024-01-01 10:20:00"), 10.0), // within 30m of view
       Evt(2, ts("2024-01-01 11:30:00"), 20.0))            // outside the window
     q.processAllAvailable()
-    val rows = spark.sql("SELECT user_id, b_val FROM ssj").as[(Long, Double)].collect().toSet
+    val rows = spark.sql("SELECT user_id, value_r FROM ssj").as[(Long, Double)].collect().toSet
     assert(rows == Set((1L, 10.0)))
+    q.stop()
+  }
+
+  test("stream-stream LEFT OUTER interval join emits unmatched left rows after the horizon") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val views = MemoryStream[Evt]
+    val buys = MemoryStream[Evt]
+    val joined = StreamOps.intervalJoinStreams(
+      views.toDF(), buys.toDF(), "user_id", "ts", "ts",
+      watermarkDelay = "10 minutes", within = "30 MINUTES", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssjlo").outputMode("append").start()
+    views.addData(Evt(1, ts("2024-01-01 10:00:00"), 1.0),  // will match
+      Evt(2, ts("2024-01-01 10:00:00"), 2.0))              // never matches
+    buys.addData(Evt(1, ts("2024-01-01 10:05:00"), 10.0))
+    q.processAllAvailable()
+    // advance both watermarks far past view 2's join horizon so its
+    // unmatched row flushes as (user 2, NULL right side)
+    views.addData(Evt(9, ts("2024-01-01 13:00:00"), 0.0))
+    buys.addData(Evt(9, ts("2024-01-01 13:00:01"), 0.0))
+    q.processAllAvailable()
+    views.addData(Evt(9, ts("2024-01-01 14:00:00"), 0.0))
+    buys.addData(Evt(9, ts("2024-01-01 14:00:01"), 0.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT user_id, value_r FROM ssjlo WHERE user_id IN (1, 2)")
+      .as[(Long, Option[Double])].collect().toSet
+    assert(rows == Set((1L, Some(10.0)), (2L, None)))
     q.stop()
   }
 
