@@ -256,6 +256,21 @@ object ScaleRehearsal {
           docs, "doc_id", "text", tokensPerPassage = 20))),
         "q117_bigram_lm" -> (() => force(ops.TextOps.bigramLmScore(
           docs, "doc_id", "text"))),
+        // exact-substring span dedup: replica token prefixes keep repeated
+        // grams within a family, so dup-span volume scales linearly; the
+        // exploded (id, pos, hash) stream is linear in total tokens and the
+        // two window exchanges are both keyed — expect ~linear wall
+        "q140_dup_span_stats" -> (() => force(ops.Dedup.duplicateSpanStats(
+          docs, "doc_id", "text", spanTokens = 8))),
+        // overlap contamination: FIXED eval set (family 0), corpus scales —
+        // the broadcast gram set stays flat, the map-side probe and the one
+        // doc-keyed agg track corpus bytes (same contract as q133)
+        "q142_overlap_contamination" -> (() => {
+          val evalSet = docs.where(col("doc_id") % 10 === 9 &&
+            col("doc_id") < nDocs)
+          force(ops.TextOps.overlapContamination(docs, evalSet,
+            "doc_id", "text", "doc_id", "text", n = 3))
+        }),
         // incremental contract: a FIXED batch (1/5 of ONE replica family)
         // matched against the PRE-STORED profile of everything else — the
         // per-batch cost should stay ~flat while the corpus scales

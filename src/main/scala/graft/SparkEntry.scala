@@ -2473,6 +2473,49 @@ object SparkEntry {
         ORDER BY doc_id"""
       }),
 
+    // -- q144: temperature mixture resampling (mT5 recipe, T = 0.5 so the
+    //    whole rate chain is IEEE correctly-rounded in any engine): source
+    //    sizes → tempered keep rates broadcast back, map-side filter -------
+    Q("q144_temperature_mixture",
+      (s, dir) => ops.TextOps.temperatureMixture(
+        T(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source", temperature = 0.5)
+        .orderBy("doc_id"),
+      Some("""
+        WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        r AS (SELECT source, sqrt(CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS rel FROM n),
+        t AS (SELECT source,
+                CAST(floor((rel / (SELECT max(rel) FROM r)) * 1000000.0) AS BIGINT) AS thresh
+              FROM r)
+        SELECT doc_id, source FROM documents JOIN t USING (source)
+        WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000)
+          < thresh
+        ORDER BY doc_id""")),
+
+    // -- q145: length-bucketed fixed-size batching (padding-waste killer):
+    //    ONE exchange on the bucket id; rank window, batch slots, and the
+    //    per-batch max all run inside that partitioning ------------------
+    Q("q145_batch_by_length",
+      (s, dir) => ops.Shards.batchByLength(
+        T(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", batchSize = 8, bucketWidth = 50)
+        .orderBy("doc_id"),
+      Some("""
+        WITH s AS (
+          SELECT doc_id, n_chars,
+            CAST(floor(CAST(n_chars AS DOUBLE) / 50) AS BIGINT) AS bucket,
+            row_number() OVER (
+              PARTITION BY floor(CAST(n_chars AS DOUBLE) / 50)
+              ORDER BY n_chars, doc_id) - 1 AS slot
+          FROM documents),
+        x AS (SELECT doc_id, n_chars, bucket,
+                CAST(floor(CAST(slot AS DOUBLE) / 8) AS BIGINT) AS batch,
+                CAST(slot % 8 AS BIGINT) AS pos
+              FROM s)
+        SELECT doc_id, n_chars, bucket, batch, pos,
+          max(n_chars) OVER (PARTITION BY bucket, batch) AS batch_max_len
+        FROM x ORDER BY doc_id""")),
+
     // -- q104: corpus vocabulary — top tokens by frequency with doc counts
     //    (explode + one keyed agg + TakeOrderedAndProject top-k) ------------
     Q("q104_top_tokens",

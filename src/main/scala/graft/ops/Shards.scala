@@ -49,4 +49,36 @@ object Shards {
     assign(df, idCol, nShards, seed)
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("ord"), col(idCol))
+
+  /** Length-bucketed fixed-size batching — the padding-waste killer for
+    * padded training/inference batches: documents bucket by
+    * `floor(length / bucketWidth)`, batches of `batchSize` form WITHIN a
+    * bucket (in deterministic (length, id) order), so every batch pads to
+    * the max of near-equal lengths instead of the corpus max. Emits per
+    * row: `bucket`, `batch` (bucket-local), `pos` (0-based slot), and
+    * `batch_max_len` (what the batch pads to) — `sum(length) /
+    * sum(batch_max_len)` over a batch's rows is its padding efficiency.
+    *
+    * Scale shape: ONE keyed exchange, on the bucket id; both window passes
+    * (rank → batch slot, then the per-(bucket,batch) max) and nothing else
+    * run inside that partitioning — subset clustering keeps the second
+    * window and any downstream per-batch aggregation exchange-free. A
+    * bucket's rows are bounded by the corpus' length distribution, not the
+    * corpus (pick `bucketWidth` so buckets stay task-sized at scale; the
+    * in-bucket sort is the exchange's spill-safe sort, not a global one). */
+  def batchByLength(df: DataFrame, idCol: String, lengthCol: String,
+                    batchSize: Int, bucketWidth: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    import org.apache.spark.sql.expressions.Window
+    val bucket = floor(col(lengthCol).cast("long") / lit(bucketWidth.toLong))
+    val wB = Window.partitionBy(col("bucket"))
+      .orderBy(col(lengthCol), col(idCol))
+    val slot = row_number().over(wB) - 1
+    val wBatch = Window.partitionBy(col("bucket"), col("batch"))
+    df.withColumn("bucket", bucket)
+      .withColumn("batch", floor(slot / lit(batchSize)).cast("long"))
+      .withColumn("pos", pmod(slot, lit(batchSize)).cast("long"))
+      .withColumn("batch_max_len", max(col(lengthCol)).over(wBatch))
+  }
 }

@@ -458,6 +458,44 @@ object TextOps {
     df.where(pmod(Dedup.md5Hash60(col(idCol).cast("string")), lit(1000000L)) < thresh)
   }
 
+  /** Temperature-based mixture resampling (the mT5/XLM-R multi-source
+    * recipe): target proportions q_s ∝ n_s^T flatten the source
+    * distribution for T < 1; each source keeps rate r_s = (q_s/n_s) /
+    * max_s(q_s/n_s) — the largest relative source keeps everything, the
+    * rest downsample toward the tempered mixture (downsample-only: no row
+    * duplication). Keep decisions are the deterministic per-id draw of
+    * [[sampleMixture]], so the output is reproducible row-for-row.
+    *
+    * Cross-engine exactness: the normalizer Σ n^T cancels out of the rate
+    * ratio, so every surviving operation at T = 0.5 (sqrt, divide, max,
+    * floor) is IEEE correctly-rounded — an independent SQL engine derives
+    * bit-identical keep thresholds; other temperatures use `pow`, whose
+    * last-ulp rounding is libm-specific — fine in production, but
+    * hash-exact oracles should pin T = 0.5.
+    *
+    * Scale shape: source sizes are ONE tiny keyed aggregation; the rate
+    * table (one row per source) re-joins BROADCAST; the keep filter is
+    * map-side. The corpus itself never shuffles. */
+  def temperatureMixture(df: DataFrame, idCol: String, sourceCol: String,
+                         temperature: Double = 0.5): DataFrame = {
+    require(temperature > 0 && temperature <= 1,
+      s"temperature must be in (0,1], got $temperature")
+    val tempered =
+      if (temperature == 0.5) sqrt(col("__n").cast("double"))
+      else pow(col("__n").cast("double"), lit(temperature))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    val rates = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      // q_s/n_s ∝ n_s^(T-1); normalizing by the max makes the largest
+      // relative source keep rate 1 and cancels the mixture denominator
+      .withColumn("__rel", tempered / col("__n").cast("double"))
+      .withColumn("__rate", col("__rel") / max(col("__rel")).over(w))
+      .select(col(sourceCol), floor(col("__rate") * lit(1000000.0)).as("__thresh"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .where(pmod(Dedup.md5Hash60(col(idCol).cast("string")), lit(1000000L)) < col("__thresh"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Corpus vocabulary: the `topK` most frequent whitespace tokens with
     * total occurrences and document frequency, ordered (count desc, token
     * asc). The tokenizer-training / vocab-pruning primitive.

@@ -586,6 +586,47 @@ class SimilaritySpec extends SparkSpec {
 class ShardsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("batchByLength: bounded batches of near-equal lengths; per-batch max is the pad target") {
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "n_chars")
+    val out = Shards.batchByLength(docs, "doc_id", "n_chars",
+      batchSize = 8, bucketWidth = 50)
+    assert(out.count() == docs.count(), "batching must not drop or duplicate rows")
+    // batch invariants: ≤ batchSize rows, pos is a 0..size-1 permutation,
+    // batch_max_len == the batch's true max length
+    val bad = out.groupBy("bucket", "batch").agg(
+        count(lit(1)).as("sz"), max("pos").as("mx"), count_distinct(col("pos")).as("np"),
+        max("n_chars").as("truemax"), first("batch_max_len").as("claimed"),
+        count_distinct(col("batch_max_len")).as("nclaims"))
+      .where(col("sz") > 8 || col("mx") =!= col("sz") - 1 || col("np") =!= col("sz") ||
+        col("truemax") =!= col("claimed") || col("nclaims") =!= 1)
+    assert(bad.count() == 0, s"batch invariant violations:\n${bad.collect().mkString("\n")}")
+    // every row's length lands inside its bucket's range
+    assert(out.where(floor(col("n_chars").cast("double") / 50) =!= col("bucket")).count() == 0)
+    // padding efficiency must beat (or match) one-global-batch padding
+    val (len, pad) = out.agg(sum(col("n_chars")), sum(col("batch_max_len")))
+      .as[(Long, Long)].head()
+    val globalMax = docs.agg(max("n_chars")).as[Long].head()
+    assert(pad <= globalMax * docs.count(), "bucketed padding must not exceed global-max padding")
+    assert(len <= pad)
+  }
+
+  test("temperatureMixture: T=1 keeps all; T=0.5 keeps the smallest source whole and flattens") {
+    val df = ((1L to 1000L).map(i => (i, "big")) ++ (2001L to 2010L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    assert(TextOps.temperatureMixture(df, "doc_id", "source", 1.0).count() == 1010)
+    val kept = TextOps.temperatureMixture(df, "doc_id", "source", 0.5)
+    val bySrc = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    // rel = n^(T-1) is maximal for the SMALLEST source → it keeps rate 1
+    assert(bySrc.getOrElse("small", 0L) == 10L)
+    // big keeps ≈ sqrt(10/1000) = 10% — deterministic, bounded loosely here
+    val bigKept = bySrc.getOrElse("big", 0L)
+    assert(bigKept > 50 && bigKept < 200, s"big source kept $bigKept of 1000")
+    // reproducible row-for-row
+    val again = TextOps.temperatureMixture(df, "doc_id", "source", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("assign is deterministic, covers every shard, and balances within reason") {
     val docs = Tables.load(spark, sfDir, "documents")
     val a = Shards.assign(docs, "doc_id", 8)
