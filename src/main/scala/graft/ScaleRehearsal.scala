@@ -271,6 +271,18 @@ object ScaleRehearsal {
           force(ops.TextOps.overlapContamination(docs, evalSet,
             "doc_id", "text", "doc_id", "text", n = 3))
         }),
+        // temperature mixture: the rate table stays one-row-per-source
+        // (broadcast) however big the corpus gets; the keep filter is
+        // map-side — expect ~linear wall tracking corpus bytes
+        "q144_temperature_mixture" -> (() => force(ops.TextOps.temperatureMixture(
+          docs.select(col("doc_id"), col("source")), "doc_id", "source",
+          temperature = 0.5))),
+        // length-bucketed batching: ONE exchange on the bucket id; buckets
+        // grow with the corpus but stay bounded by the length distribution,
+        // so the in-bucket windows parallelize — expect ~linear wall
+        "q145_batch_by_length" -> (() => force(ops.Shards.batchByLength(
+          docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars",
+          batchSize = 8, bucketWidth = 50))),
         // incremental contract: a FIXED batch (1/5 of ONE replica family)
         // matched against the PRE-STORED profile of everything else — the
         // per-batch cost should stay ~flat while the corpus scales
