@@ -211,7 +211,7 @@ object ScaleRehearsal {
         }),
         "q12_window_rolling_time" -> (() => {
           val w = org.apache.spark.sql.expressions.Window
-            .partitionBy("user_id").orderBy(unix_micros(col("ts")))
+            .partitionBy("user_id").orderBy(ops.TimeCols.epochMicros(col("ts")))
             .rangeBetween(-3600000000L, 0)
           force(ev.select(col("user_id"), col("event_id"),
             sum(round(col("value") * 100).cast("long")).over(w).as("roll_sum_1h"),

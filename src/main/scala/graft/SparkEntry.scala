@@ -431,7 +431,7 @@ object SparkEntry {
     // -- q12: rolling time-range window (1 hour) ----------------------------
     Q("q12_window_rolling_time",
       (s, dir) => {
-        val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        val w = Window.partitionBy("user_id").orderBy(ops.TimeCols.epochMicros(col("ts")))
           .rangeBetween(-3600000000L, Window.currentRow)
         T(s, dir, "events").select(
           col("user_id"), col("event_id"),

@@ -125,8 +125,8 @@ object AsOfJoin {
     val stale: Column = toleranceMicros match {
       case Some(tol) =>
         val age =
-          if (forward) unix_micros(fTs) - unix_micros(col(tsCol))
-          else unix_micros(col(tsCol)) - unix_micros(fTs)
+          if (forward) TimeCols.epochMicros(fTs) - TimeCols.epochMicros(col(tsCol))
+          else TimeCols.epochMicros(col(tsCol)) - TimeCols.epochMicros(fTs)
         col("__f").isNull || age > tol
       case None => col("__f").isNull
     }

@@ -32,8 +32,8 @@ object Events {
   def sessionize(df: DataFrame, userCol: String, tsCol: String, tieCol: String,
       typeCol: String, gapSec: Long): DataFrame = {
     val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
-    val us = unix_micros(col(tsCol))
-    val prev = lag(unix_micros(col(tsCol)), 1).over(w)
+    val us = TimeCols.epochMicros(col(tsCol))
+    val prev = lag(TimeCols.epochMicros(col(tsCol)), 1).over(w)
     val isNew = when(prev.isNull || us - prev > gapSec * 1000000L, 1L).otherwise(0L)
     df.withColumn("__brk", isNew)
       .withColumn("session_seq", sum(col("__brk")).over(w))
@@ -44,7 +44,7 @@ object Events {
         count(lit(1)).as("n_events"),
         count_distinct(col(typeCol)).as("n_event_types"))
       .withColumn("duration_sec",
-        ((unix_micros(col("session_end")) - unix_micros(col("session_start")))
+        ((TimeCols.epochMicros(col("session_end")) - TimeCols.epochMicros(col("session_start")))
           / lit(1000000L)).cast("long"))
   }
 
@@ -90,7 +90,7 @@ object Events {
     // materialize each running min before the next consults it — the window
     // specs are identical, so the projections share one exchange + sort
     val step1 = col(typeCol) === s1
-    val base = df.withColumn("__us", unix_micros(col(tsCol)))
+    val base = df.withColumn("__us", TimeCols.epochMicros(col(tsCol)))
       .withColumn("__t1c", when(step1, col("__us")))
       .withColumn("__t1r", min(col("__t1c")).over(w))
     val step2 = col(typeCol) === s2 && col("__t1r").isNotNull && col("__us") > col("__t1r")

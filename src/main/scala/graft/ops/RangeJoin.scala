@@ -25,11 +25,11 @@ object RangeJoin {
       right: DataFrame, rightStart: String, rightEnd: String,
       bucketWidthMicros: Long,
       joinType: String = "inner"): DataFrame = {
-    val l = left.withColumn("__bucket", floor(unix_micros(col(leftTs)) / bucketWidthMicros))
+    val l = left.withColumn("__bucket", floor(TimeCols.epochMicros(col(leftTs)) / bucketWidthMicros))
     val r = right.withColumn("__bucket",
       explode(sequence(
-        floor(unix_micros(col(rightStart)) / bucketWidthMicros),
-        floor(unix_micros(col(rightEnd)) / bucketWidthMicros))))
+        floor(TimeCols.epochMicros(col(rightStart)) / bucketWidthMicros),
+        floor(TimeCols.epochMicros(col(rightEnd)) / bucketWidthMicros))))
     l.join(r, Seq("__bucket"), joinType)
       .where(col(leftTs) >= col(rightStart) && col(leftTs) <= col(rightEnd))
       .drop("__bucket")
