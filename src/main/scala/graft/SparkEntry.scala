@@ -2516,6 +2516,113 @@ object SparkEntry {
           max(n_chars) OVER (PARTITION BY bucket, batch) AS batch_max_len
         FROM x ORDER BY doc_id""")),
 
+    // -- q146: UniMax budget-capped mixture (arXiv:2304.09151): integer
+    //    waterfill over per-lang sizes (keyed on the SKEWED lang column so
+    //    both the kept-whole prefix and the remainder split are exercised),
+    //    then hash-ranked selection of exactly the allocation ------------
+    Q("q146_unimax_mixture",
+      (s, dir) => ops.TextOps.unimaxMixture(
+        T(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", budget = 358)
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH n AS (SELECT CAST(lang AS VARCHAR) AS src, count(*) AS n
+                   FROM documents WHERE doc_id IS NOT NULL GROUP BY 1),
+        o AS (SELECT src, n,
+                row_number() OVER (ORDER BY n, src) AS rk,
+                sum(n) OVER (ORDER BY n, src ROWS UNBOUNDED PRECEDING) AS cum,
+                count(*) OVER () AS s
+              FROM n),
+        w AS (SELECT *,
+                min(CASE WHEN n * (s - rk + 1) <= 358 - (cum - n) THEN 1 ELSE 0 END)
+                  OVER (ORDER BY n, src ROWS UNBOUNDED PRECEDING) AS whole
+              FROM o),
+        agg AS (SELECT coalesce(sum(CASE WHEN whole = 1 THEN n END), 0) AS wsum,
+                       coalesce(sum(whole), 0) AS j, max(s) AS s FROM w),
+        a AS (SELECT w.src,
+                CASE WHEN w.whole = 1 THEN w.n
+                     ELSE (358 - agg.wsum) // (agg.s - agg.j)
+                          + CASE WHEN w.rk - agg.j <= (358 - agg.wsum) % (agg.s - agg.j)
+                                 THEN 1 ELSE 0 END END AS alloc
+              FROM w, agg),
+        d AS (SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY ${sqlH60("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rnk
+              FROM documents WHERE doc_id IS NOT NULL)
+        SELECT d.doc_id, d.lang FROM d JOIN a ON CAST(d.lang AS VARCHAR) = a.src
+        WHERE d.rnk <= a.alloc ORDER BY d.doc_id""")),
+
+    // -- q147: C4 document heuristics (arXiv:1910.10683 §2.2) as per-rule
+    //    boolean reasons + combined accept; zero-shuffle projection -------
+    Q("q147_c4_rules",
+      (s, dir) => ops.TextOps.c4Rules(
+        T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id"),
+      Some("""
+        WITH m AS (
+          SELECT doc_id AS id,
+            CAST(len(list_filter(regexp_split_to_array(text, '[.!?]'),
+              x -> len(trim(x)) > 0)) AS BIGINT) AS n_sentences,
+            CAST(len(list_filter(string_split(text, chr(10)),
+              l -> len(trim(l)) > 0)) AS BIGINT) AS n_lines,
+            CAST(len(list_filter(
+              list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0),
+              l -> len(list_filter(string_split(trim(l), ' '),
+                       w -> len(w) > 0)) < 5)) AS BIGINT) AS n_short_lines,
+            (instr(lower(text), 'lorem ipsum') > 0) AS has_lorem_ipsum,
+            (instr(text, '{') > 0) AS has_brace
+          FROM documents)
+        SELECT id, n_sentences, n_lines, n_short_lines, has_lorem_ipsum, has_brace,
+          n_sentences >= 3 AS r_sentences,
+          n_short_lines = 0 AS r_line_words,
+          NOT has_lorem_ipsum AS r_lorem,
+          NOT has_brace AS r_brace,
+          (n_sentences >= 3 AND n_short_lines = 0
+           AND NOT has_lorem_ipsum AND NOT has_brace) AS accept
+        FROM m ORDER BY id""")),
+
+    // -- q148: DSIR hashed n-gram importance scores (arXiv:2302.03169):
+    //    target = src0/src1 docs; unigram+bigram buckets, Laplace-smoothed
+    //    fixed-point likelihood-ratio per bucket, occurrence-weighted sum
+    //    per doc. Histograms collapse map-side; score table broadcasts. ---
+    Q("q148_dsir_scores",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        ops.TextOps.dsirScores(
+          docs, docs.where(col("source").isin("src0", "src1")),
+          "doc_id", "text", buckets = 512)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (
+          SELECT doc_id, g FROM (
+            SELECT doc_id, unnest(t) AS g FROM tok
+            UNION ALL
+            SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS g
+            FROM (SELECT doc_id, t, unnest(range(1, greatest(2, len(t)))) AS i FROM tok))),
+        b AS (SELECT doc_id,
+                (CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 512) AS b FROM g),
+        q AS (SELECT b, count(*) AS q FROM b GROUP BY b),
+        p AS (SELECT b.b, count(*) AS p
+              FROM b JOIN documents d USING (doc_id)
+              WHERE d.source IN ('src0', 'src1') GROUP BY b.b),
+        tot AS (SELECT
+          (SELECT count(*) FROM b JOIN documents d USING (doc_id)
+           WHERE d.source IN ('src0', 'src1')) + 512 AS pt,
+          (SELECT count(*) FROM b) + 512 AS qt),
+        sc AS (SELECT r.range AS b,
+                 CAST((CAST(coalesce(p.p, 0) + 1 AS HUGEINT) * tot.qt * 1000000)
+                      // (CAST(coalesce(q.q, 0) + 1 AS HUGEINT) * tot.pt) AS BIGINT) AS s
+               FROM range(0, 512) r
+               LEFT JOIN p ON p.b = r.range
+               LEFT JOIN q ON q.b = r.range, tot)
+        SELECT b.doc_id, count(*) AS n_grams,
+          CAST(sum(sc.s) AS BIGINT) AS dsir_micro_sum,
+          CAST(sum(sc.s) AS DOUBLE) / count(*) AS dsir_score
+        FROM b JOIN sc USING (b)
+        GROUP BY b.doc_id ORDER BY b.doc_id""")),
+
     // -- q104: corpus vocabulary — top tokens by frequency with doc counts
     //    (explode + one keyed agg + TakeOrderedAndProject top-k) ------------
     Q("q104_top_tokens",

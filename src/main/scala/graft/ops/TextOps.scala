@@ -496,6 +496,154 @@ object TextOps {
       .select(df.columns.map(col): _*)
   }
 
+  /** UniMax budget-capped mixture (Chung et al. 2023, arXiv:2304.09151):
+    * distribute a total DOCUMENT budget across sources as uniformly as the
+    * source sizes allow — waterfilling with each source capped at its own
+    * size (the one-epoch cap; no row is ever duplicated) — then keep exactly
+    * the allocated count per source. Small sources are kept whole whenever
+    * the remaining per-source equal share covers them; the remaining budget
+    * splits evenly over the larger sources, the first `remainder` of them
+    * (in ascending (size, source) order) taking one extra. All integer
+    * arithmetic, so any engine derives the identical allocation.
+    *
+    * Selection within a source is the deterministic hash-ranked draw of
+    * [[graft.ops.Stats.stratifiedSample]]: rank by (md5-draw, id) and keep
+    * rank ≤ allocation — reproducible row-for-row across runs and engines.
+    * NULL ids are excluded (not sampleable identities).
+    *
+    * Scale shape: source sizes are ONE tiny keyed aggregation (collected —
+    * |sources| rows, bounded); the waterfill is driver-side integer math on
+    * that bounded list; the allocation table re-joins BROADCAST; the only
+    * data-sized exchange is the per-source rank window — the same shape as
+    * q111, and the [[graft.ops.Stats.stratifiedSampleBounded]] reservoir
+    * route applies when allocations are uniform. */
+  def unimaxMixture(df: DataFrame, idCol: String, sourceCol: String,
+                    budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    val live = df.where(col(idCol).isNotNull)
+    val sorted = live
+      .groupBy(col(sourceCol).cast("string").as("__src"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (s, n) => (n, s) }.toSeq
+    // ascending waterfill: prefix of sources small enough to keep whole
+    var remaining = budget
+    var k = sorted.size
+    var filling = true
+    val whole = Seq.newBuilder[(String, Long)]
+    val rest = Seq.newBuilder[(String, Long)]
+    for ((s, n) <- sorted) {
+      if (filling && n * k <= remaining) { whole += ((s, n)); remaining -= n; k -= 1 }
+      else { filling = false; rest += ((s, n)) }
+    }
+    val restSeq = rest.result()
+    val base = if (restSeq.nonEmpty) remaining / restSeq.size else 0L
+    val rem = if (restSeq.nonEmpty) (remaining % restSeq.size).toInt else 0
+    val alloc = whole.result() ++
+      restSeq.zipWithIndex.map { case ((s, _), i) => (s, base + (if (i < rem) 1L else 0L)) }
+    val allocDf = spark.createDataFrame(alloc).toDF("__src", "__alloc")
+    val h = pmod(Dedup.md5Hash60(col(idCol).cast("string")), lit(Dedup.P))
+    val w = Window.partitionBy(sourceCol).orderBy(h.asc, col(idCol).asc)
+    live.withColumn("__rank", row_number().over(w))
+      .join(broadcast(allocDf), col(sourceCol).cast("string") === col("__src"))
+      .where(col("__rank") <= col("__alloc"))
+      .select(df.columns.map(col): _*)
+  }
+
+  /** C4-style document heuristics (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2) as per-rule boolean reasons plus the combined accept — the
+    * [[gopherRules]] cousin for the C4 rule family:
+    *  - ≥ `minSentences` sentences (split on terminal punctuation `[.!?]`);
+    *  - no line with fewer than `minWordsPerLine` words;
+    *  - no "lorem ipsum" (case-insensitive), no `{` (code leakage).
+    * The policy/bad-word list rules of the published filter need external
+    * wordlists and are deliberately out of scope.
+    *
+    * Parity note: sentence and line splits avoid regex beyond the shared
+    * `[.!?]` class, and empty fragments are filtered by length — identical
+    * trailing-empty semantics in any engine.
+    *
+    * Scale shape: a single map-side projection — zero shuffle, no UDFs. */
+  def c4Rules(df: DataFrame, idCol: String, textCol: String,
+              minSentences: Int = 3, minWordsPerLine: Int = 5): DataFrame = {
+    val t = col(textCol)
+    val sentences = filter(split(t, "[.!?]"), s => length(trim(s)) > 0)
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val lineWords = (l: Column) => size(filter(split(trim(l), " "), w => length(w) > 0))
+    val shortLines = size(filter(lines, l => lineWords(l) < minWordsPerLine))
+    val nSentences = size(sentences).cast("long")
+    df.select(col(idCol).as("id"),
+        nSentences.as("n_sentences"),
+        size(lines).cast("long").as("n_lines"),
+        shortLines.cast("long").as("n_short_lines"),
+        (instr(lower(t), "lorem ipsum") > 0).as("has_lorem_ipsum"),
+        (instr(t, "{") > 0).as("has_brace"))
+      .withColumn("r_sentences", col("n_sentences") >= minSentences)
+      .withColumn("r_line_words", col("n_short_lines") === 0)
+      .withColumn("r_lorem", !col("has_lorem_ipsum"))
+      .withColumn("r_brace", !col("has_brace"))
+      .withColumn("accept",
+        col("r_sentences") && col("r_line_words") && col("r_lorem") && col("r_brace"))
+  }
+
+  /** DSIR-style hashed n-gram importance scores (Xie et al. 2023,
+    * arXiv:2302.03169): how target-like each raw document's unigram+bigram
+    * distribution is. Grams hash into `buckets` slots; the target and raw
+    * corpora each reduce to a bucket histogram; each bucket gets an exact
+    * fixed-point likelihood-ratio score
+    * `floor(1e6 · (p_b+1)/Ptot ÷ (q_b+1)/Qtot)` (Laplace-smoothed), and a
+    * document's score is the occurrence-weighted SUM of its grams' bucket
+    * scores. The published estimator sums per-gram LOG ratios; summing
+    * fixed-point linear ratios keeps every operation exact integer
+    * arithmetic (`ln` is not correctly-rounded across engines, which would
+    * break hash-exact verification) — rankings agree when per-bucket ratios
+    * are moderate, and the caller thresholds/ranks either way. Use the
+    * scores to rank (select top-N) or threshold the raw corpus toward the
+    * target distribution.
+    *
+    * Scale shape: both histograms collapse to ≤ `buckets` rows under
+    * partial aggregation; the per-bucket score table is computed exactly on
+    * the driver (BigInt — bounded by `buckets`, never data-sized) and
+    * re-joins BROADCAST; the only data-sized exchange is the final per-doc
+    * keyed aggregation. Raw text never shuffles. */
+  def dsirScores(corpus: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0 && buckets <= 65536, s"buckets must be in [1, 65536], got $buckets")
+    val spark = corpus.sparkSession
+    def gramBuckets(df: DataFrame): DataFrame = {
+      val toks = df.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("__toks"))
+      val uni = toks.select(col("id"), explode(col("__toks")).as("__g"))
+      val bi = toks.select(col("id"),
+        explode(Dedup.shingleStringsFromTokens(col("__toks"), 2)).as("__g"))
+      uni.unionAll(bi)
+        .select(col("id"), pmod(Dedup.md5Hash60(col("__g")), lit(buckets.toLong)).as("__b"))
+    }
+    def histogram(df: DataFrame): Map[Long, Long] =
+      gramBuckets(df).groupBy("__b").agg(count(lit(1)).as("__c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p = histogram(target)
+    val q = histogram(corpus)
+    val pTot = BigInt(p.values.sum) + buckets
+    val qTot = BigInt(q.values.sum) + buckets
+    // exact per-bucket fixed-point ratio — BigInt on the driver, so no
+    // decimal-division rounding ambiguity reaches either engine
+    val scores = (0L until buckets.toLong).map { b =>
+      val num = BigInt(p.getOrElse(b, 0L) + 1) * qTot * 1000000
+      val den = BigInt(q.getOrElse(b, 0L) + 1) * pTot
+      (b, (num / den).toLong)
+    }
+    val scoreDf = spark.createDataFrame(scores).toDF("__b", "__s")
+    gramBuckets(corpus)
+      .join(broadcast(scoreDf), Seq("__b"))
+      .groupBy(col("id").as(idCol)).agg(
+        count(lit(1)).as("n_grams"),
+        sum("__s").as("dsir_micro_sum"))
+      .select(col(idCol), col("n_grams"), col("dsir_micro_sum"),
+        (col("dsir_micro_sum").cast("double") / col("n_grams").cast("double"))
+          .as("dsir_score"))
+  }
+
   /** Corpus vocabulary: the `topK` most frequent whitespace tokens with
     * total occurrences and document frequency, ordered (count desc, token
     * asc). The tokenizer-training / vocab-pruning primitive.

@@ -1213,6 +1213,73 @@ class TextOpsSpec extends SparkSpec {
     }
     prof.unpersist()
   }
+
+  test("unimaxMixture: exact budget, whole-source prefix, remainder to smallest; identity above total") {
+    // sizes: tiny=2, mid=5, big=20  (total 27)
+    val df = ((1L to 2L).map((_, "tiny")) ++ (11L to 15L).map((_, "mid")) ++
+      (101L to 120L).map((_, "big"))).toDF("doc_id", "source")
+    // budget >= total keeps everything (one-epoch cap)
+    assert(TextOps.unimaxMixture(df, "doc_id", "source", 27).count() == 27)
+    assert(TextOps.unimaxMixture(df, "doc_id", "source", 100).count() == 27)
+    // budget 12: tiny kept whole (2*3=6 <= 12); mid: 5*2=10 <= 10 -> whole;
+    // big takes the remaining 5
+    val a12 = TextOps.unimaxMixture(df, "doc_id", "source", 12)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(a12 == Map("tiny" -> 2L, "mid" -> 5L, "big" -> 5L), a12.toString)
+    // budget 9: tiny whole (2*3=6 <= 9); mid fails (5*2=10 > 7) -> mid/big
+    // split 7 = 3 each + remainder 1 to mid (smaller source first)
+    val a9 = TextOps.unimaxMixture(df, "doc_id", "source", 9)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(a9 == Map("tiny" -> 2L, "mid" -> 4L, "big" -> 3L), a9.toString)
+    // exact budget and reproducible row-for-row
+    val k1 = TextOps.unimaxMixture(df, "doc_id", "source", 9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(k1.size == 9)
+    assert(k1 == TextOps.unimaxMixture(df, "doc_id", "source", 9)
+      .select("doc_id").as[Long].collect().toSet)
+    // NULL ids are not sampleable
+    val withNull = df.unionAll(Seq((Option.empty[Long], "tiny")).toDF("doc_id", "source"))
+    assert(TextOps.unimaxMixture(withNull, "doc_id", "source", 100).count() == 27)
+  }
+
+  test("c4Rules: sentence/line/lorem/brace rules hand-computed") {
+    val df = Seq(
+      (1L, "A good doc sentence one. And sentence two here! A third question?"),
+      (2L, "only one sentence here."),
+      (3L, "lines\nwith few words. second sentence ok. third one here."),
+      (4L, "Lorem Ipsum dolor sit amet. More text here now. Third sentence too."),
+      (5L, "code { leaked } doc. second sentence words. third sentence words."))
+      .toDF("doc_id", "text")
+    val out = TextOps.c4Rules(df, "doc_id", "text")
+      .select("id", "n_sentences", "n_short_lines", "r_sentences", "r_line_words",
+        "r_lorem", "r_brace", "accept")
+      .as[(Long, Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == (1L, 3L, 0L, true, true, true, true, true))
+    assert(out(2L) == (2L, 1L, 0L, false, true, true, true, false))
+    // doc 3: line "lines" has 1 word (< 5)
+    assert(out(3L)._3 == 1L && !out(3L)._5 && !out(3L)._8)
+    assert(!out(4L)._6 && !out(4L)._8, "lorem ipsum must be case-insensitive")
+    assert(!out(5L)._7 && !out(5L)._8)
+  }
+
+  test("dsirScores: target-like docs outscore off-target; gram counts exact") {
+    // target distribution = docs about "cats"; raw corpus has one on-target
+    // and one off-target doc of the same length
+    val target = Seq((100L, "cat cat cat cat"), (101L, "cat cat cat cat")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "cat cat cat cat"), (2L, "dog dog dog dog")).toDF("doc_id", "text")
+    val out = TextOps.dsirScores(corpus, target, "doc_id", "text", buckets = 64)
+      .select("doc_id", "n_grams", "dsir_micro_sum")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // 4 unigrams + 3 bigrams each
+    assert(out(1L)._2 == 7L && out(2L)._2 == 7L)
+    assert(out(1L)._3 > out(2L)._3,
+      s"on-target doc must outscore off-target: ${out(1L)._3} vs ${out(2L)._3}")
+    // reproducible
+    val again = TextOps.dsirScores(corpus, target, "doc_id", "text", buckets = 64)
+      .select("doc_id", "dsir_micro_sum").as[(Long, Long)].collect().toMap
+    assert(again == out.map { case (k, v) => k -> v._3 })
+  }
 }
 
 class QuantizeSpec extends SparkSpec {
