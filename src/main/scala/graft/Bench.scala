@@ -25,6 +25,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def loadavg1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    // CONTENTION GATE: r9's driver record ran at loadavg 5.78 and carried 4
+    // entries inflated 3-5x vs their clean history — and the cross-round 3x
+    // defense can't see UNIFORM contention (the prior record it compares
+    // against absorbed the same load). Two countermeasures: (a) wait
+    // (bounded) for the machine to go idle before the first measurement;
+    // (b) record the loadavg at each query's measurement and re-measure the
+    // queries that ran under load after the main loop (below).
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "4.0").toDouble
+    val loadWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT", "120").toInt
+    val waitStart = System.nanoTime()
+    while (loadavg1() > loadMax &&
+        (System.nanoTime() - waitStart) / 1e9 < loadWaitSec) {
+      System.err.println(f"[bench] loadavg ${loadavg1()}%.2f > $loadMax%.1f — waiting for idle")
+      Thread.sleep(5000)
+    }
+
     // warmup: initialize parquet reader, codegen, shuffle machinery
     val w = Tables.load(spark, sfDir, "region")
     w.join(w.select(org.apache.spark.sql.functions.col("r_regionkey").as("k")),
@@ -100,6 +120,7 @@ object Bench {
         }
       }
       once() // warm-up, discarded
+      val load0 = loadavg1()
       val first = (1 to runs).map(_ => once()).sorted
       // SPREAD GUARD: identical bytecode spreading >3x across its own runs is
       // the signature of external contention, not the query (r7's driver
@@ -119,37 +140,65 @@ object Bench {
       // recoverable from these; the machine-readable total comes LAST
       val retryField = if (retried)
         s""","spread_retry":true,"first_runs":[${first.map(fmt).mkString(",")}]""" else ""
-      println(s"""{"query":"$name","sec":${fmt(median)},"runs":[${times.map(fmt).mkString(",")}]$retryField${if (failed) ",\"failed\":true" else ""}}""")
-      (name, median, retried, failed)
+      println(s"""{"query":"$name","sec":${fmt(median)},"load":${fmt(load0)},"runs":[${times.map(fmt).mkString(",")}]$retryField${if (failed) ",\"failed\":true" else ""}}""")
+      (name, median, retried, failed, load0)
     }
-    // CROSS-ROUND DEFENSE, after the main loop: re-measure (one fresh
-    // warm-up + median set) every non-failed query that landed >3x its
-    // prior-record median, keep the better median, record both.
     val fnByName = queryFns.toMap
-    val defended = results.map { case r @ (name, median, retried, failed) =>
+    // shared re-measure: one fresh warm-up + a median set; returns
+    // (median, failed)
+    def remeasure(name: String): (Double, Boolean) = {
+      var reFailed = false
+      def once2(): Double = sec {
+        try stripProtocolSort(fnByName(name)(spark, sfDir))
+          .write.format("noop").mode("overwrite").save()
+        catch { case scala.util.control.NonFatal(e) =>
+          reFailed = true; System.err.println(s"[bench] $name re-run failed: ${e.getMessage}")
+        }
+      }
+      once2() // warm-up, discarded
+      val re = (1 to runs).map(_ => once2()).sorted
+      (re(re.length / 2), reFailed)
+    }
+    // CROSS-ROUND DEFENSE, after the main loop: re-measure every non-failed
+    // query that landed >3x its prior-record median, keep the better median,
+    // record both.
+    val defended = results.map { case r @ (name, median, retried, failed, load0) =>
       prior.get(name) match {
         case Some(p) if !failed && p > 0 && median > 3 * p =>
-          var reFailed = false
-          def once2(): Double = sec {
-            try stripProtocolSort(fnByName(name)(spark, sfDir))
-              .write.format("noop").mode("overwrite").save()
-            catch { case scala.util.control.NonFatal(e) =>
-              reFailed = true; System.err.println(s"[bench] $name re-run failed: ${e.getMessage}")
-            }
-          }
-          once2() // warm-up, discarded
-          val re = (1 to runs).map(_ => once2()).sorted
-          val reMedian = re(re.length / 2)
+          val (reMedian, reFailed) = remeasure(name)
           val best = if (!reFailed && reMedian < median) reMedian else median
           println(s"""{"query":"$name","prior_retry":true,"prior_sec":${fmt(p)},"main_sec":${fmt(median)},"rerun_sec":${fmt(reMedian)},"sec":${fmt(best)}}""")
-          (name, best, retried, failed, true)
-        case _ => (r._1, r._2, r._3, r._4, false)
+          (name, best, retried, failed, load0, true)
+        case _ => (r._1, r._2, r._3, r._4, r._5, false)
       }
     }
-    val qs = defended.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = defended.map(_._2).sum
-    val nRetries = defended.count(_._3)
-    val nPriorRetries = defended.count(_._5)
+    // LOAD DEFENSE: the prior-median test is blind when the prior record was
+    // taken under the SAME machine-wide load, so any query whose measurement
+    // STARTED at loadavg > loadMax gets one re-measure now (the transient
+    // has usually passed by end of run), worst-affected first, capped so a
+    // fully-contended run can't double its own wall time.
+    val loadRetryCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_RETRIES", "16").toInt
+    val loadSuspects = defended
+      .filter { case (_, _, _, failed, load0, priorRetried) =>
+        !failed && !priorRetried && load0 > loadMax }
+      .sortBy { case (_, _, _, _, load0, _) => -load0 }
+      .take(loadRetryCap)
+      .map(_._1).toSet
+    val loadDefended = defended.map { case r @ (name, median, retried, failed, load0, pr) =>
+      if (!loadSuspects.contains(name)) r
+      else {
+        val (reMedian, reFailed) = remeasure(name)
+        val best = if (!reFailed && reMedian < median) reMedian else median
+        println(s"""{"query":"$name","load_retry":true,"load_at_run":${fmt(load0)},"load_now":${fmt(loadavg1())},"main_sec":${fmt(median)},"rerun_sec":${fmt(reMedian)},"sec":${fmt(best)}}""")
+        (name, best, retried, failed, load0, pr)
+      }
+    }
+    val qs = loadDefended.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val loads = loadDefended.map { case (k, _, _, _, l, _) => "\"" + k + "\":" + fmt(l) }.mkString("{", ",", "}")
+    val total = loadDefended.map(_._2).sum
+    val nRetries = loadDefended.count(_._3)
+    val nPriorRetries = loadDefended.count(_._6)
+    val nLoadRetries = loadSuspects.size
     // bench environment snapshot — lets a reader separate sandbox contention
     // from a real regression without needing a clean re-run
     val loadavg =
@@ -158,7 +207,7 @@ object Bench {
     val nProcs =
       try new java.io.File("/proc").listFiles.count(_.getName.forall(_.isDigit))
       catch { case scala.util.control.NonFatal(_) => -1 }
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":"$loadavg","n_processes":$nProcs,"runs_per_query":$runs,"spread_retries":$nRetries,"prior_median_retries":$nPriorRetries}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":"$loadavg","query_loads":$loads,"n_processes":$nProcs,"runs_per_query":$runs,"spread_retries":$nRetries,"prior_median_retries":$nPriorRetries,"load_retries":$nLoadRetries}"""
     println(full)
     // the full JSON also goes to a FILE — immune to any log-capture truncation
     try {

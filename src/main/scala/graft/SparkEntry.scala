@@ -3157,7 +3157,8 @@ object SparkEntry {
     // -- q140: exact-substring duplicated-span stats (Lee et al. 2022,
     //    suffix-array dedup at 8-token-gram granularity): per-doc maximal
     //    merged spans whose grams repeat corpus-wide. Exchanges carry
-    //    (id, pos, hash) — never text; gram window + doc islands ----------
+    //    (id, pos, hash) — never text; the corpus-wide gram count is a
+    //    skew-proof groupBy+semi-join (ReuseExchange — not a hot window) --
     Q("q140_dup_span_stats",
       (s, dir) => ops.Dedup.duplicateSpanStats(
         T(s, dir, "documents"), "doc_id", "text", spanTokens = 8)

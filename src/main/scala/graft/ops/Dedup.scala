@@ -588,11 +588,16 @@ object Dedup {
     * span emit nothing; callers re-join onto their own doc spine.
     *
     * Scale shape: the exploded frame is `(id, pos, h)` — 20 bytes per token
-    * position, never the text. Two keyed exchanges: one on the 60-bit gram
-    * hash (a windowed corpus-wide occurrence count — the distributed stand-in
-    * for the suffix-array scan), one on the doc id (island merge); the
-    * island groupBy reuses the doc partitioning (subset clustering), so no
-    * third exchange. Linear in total token count, no all-pairs. */
+    * position, never the text. The corpus-wide occurrence count (the
+    * distributed stand-in for the suffix-array scan) is a
+    * `groupBy(__h).count` + LEFT SEMI join — NOT a window over `__h`: a
+    * boilerplate gram repeated 10⁸× partial-aggregates to one row per map
+    * task instead of buffering every position in a single hot window
+    * partition, and both the count and the join consume the SAME shuffle of
+    * the position frame on `__h` (ReuseExchange), so the skew-proof shape
+    * costs no extra exchange. One more keyed exchange on the doc id merges
+    * islands; the island groupBy reuses the doc partitioning (subset
+    * clustering). Linear in total token count, no all-pairs. */
   private def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                              spanTokens: Int): DataFrame = {
     require(spanTokens > 1, s"spanTokens must be > 1, got $spanTokens")
@@ -609,9 +614,10 @@ object Dedup {
         p => concat_ws(" ", (0 until L).map(k => get(col("__toks"), p + k)): _*)))
         .as(Seq("pos", "__s")))
       .select(col("id"), col("pos"), pmod(md5Hash60(col("__s")), lit(P)).as("__h"))
-    val dup = pos
-      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("__h"))))
+    val dupHashes = pos.groupBy(col("__h")).agg(count(lit(1)).as("__cnt"))
       .where(col("__cnt") >= 2)
+      .select(col("__h"))
+    val dup = pos.join(dupHashes, Seq("__h"), "left_semi")
       .select(col("id"), col("pos"))
     val wDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
     dup

@@ -196,6 +196,130 @@ object Multimodal {
     }
   }
 
+  /** REAL image decoder, pure JVM — PNG's pixel stream is zlib/Deflate,
+    * which ships IN the JDK (`java.util.zip.Inflater`), so 8-bit
+    * truecolor PNG (color type 2 RGB / 6 RGBA, non-interlaced) decodes
+    * with no external codec: chunk walk (IHDR/IDAT/IEND), one Inflater
+    * pass over the concatenated IDAT stream, then per-row unfiltering
+    * (None/Sub/Up/Average/Paeth — the full filter set). Emits the same 8
+    * features as [[BmpDecoder]] — width and height (per 4096),
+    * bits-per-pixel (per 32), mean R/G/B and mean luma (per 255), luma
+    * standard deviation — alpha is parsed but excluded from the stats.
+    * Palette/grayscale/16-bit/interlaced variants throw (captured per-row
+    * by [[decodeFeatures]]); JPEG still needs an external codec. */
+  final class PngDecoder extends MediaDecoder {
+    val dim = 8
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      import java.nio.ByteBuffer
+      if (bytes == null || bytes.length < 45)
+        throw new IllegalArgumentException("payload too short for a PNG stream")
+      val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      var k = 0
+      while (k < 8) {
+        if ((bytes(k) & 0xff) != sig(k))
+          throw new IllegalArgumentException("not a PNG payload")
+        k += 1
+      }
+      val bb = ByteBuffer.wrap(bytes) // PNG ints are big-endian (the default)
+      var off = 8
+      var width = 0; var height = 0; var colorType = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var sawIend = false
+      while (off + 8 <= bytes.length && !sawIend) {
+        val len = bb.getInt(off)
+        if (len < 0 || off + 12 + len.toLong > bytes.length)
+          throw new IllegalArgumentException("chunk overruns payload")
+        new String(bytes, off + 4, 4, "US-ASCII") match {
+          case "IHDR" =>
+            width = bb.getInt(off + 8); height = bb.getInt(off + 12)
+            val bitDepth = bytes(off + 16) & 0xff
+            colorType = bytes(off + 17) & 0xff
+            val interlace = bytes(off + 20) & 0xff
+            if (width <= 0 || height <= 0)
+              throw new IllegalArgumentException(s"bad dimensions ${width}x$height")
+            if (bitDepth != 8 || (colorType != 2 && colorType != 6))
+              throw new IllegalArgumentException(
+                s"only 8-bit RGB/RGBA supported (depth=$bitDepth, color=$colorType)")
+            if (interlace != 0)
+              throw new IllegalArgumentException("interlaced PNG not supported")
+          case "IDAT" => idat.write(bytes, off + 8, len)
+          case "IEND" => sawIend = true
+          case _ => () // ancillary chunks (tEXt, pHYs, …) are skippable
+        }
+        off += 12 + len
+      }
+      if (colorType < 0 || idat.size() == 0)
+        throw new IllegalArgumentException("missing IHDR or IDAT chunk")
+      val bpp = if (colorType == 2) 3 else 4 // bytes per pixel
+      val stride = width * bpp
+      if ((stride + 1).toLong * height > Int.MaxValue - 8)
+        throw new IllegalArgumentException("pixel array too large for one buffer")
+      val raw = new Array[Byte]((stride + 1) * height)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      try {
+        while (got < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, got, raw.length - got)
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+            throw new IllegalArgumentException("truncated IDAT stream")
+          got += n
+        }
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(s"corrupt zlib stream: ${e.getMessage}")
+      } finally inf.end()
+      if (got < raw.length)
+        throw new IllegalArgumentException("short pixel data")
+      var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
+      var y = 0
+      while (y < height) {
+        val rowOff = y * (stride + 1)
+        val filter = raw(rowOff) & 0xff
+        val cur = rowOff + 1
+        val prev = cur - (stride + 1) // valid only when y > 0
+        var i = 0
+        while (i < stride) {
+          val x = raw(cur + i) & 0xff
+          val a = if (i >= bpp) raw(cur + i - bpp) & 0xff else 0
+          val b = if (y > 0) raw(prev + i) & 0xff else 0
+          val c = if (y > 0 && i >= bpp) raw(prev + i - bpp) & 0xff else 0
+          val recon = filter match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + (a + b) / 2
+            case 4 =>
+              // Paeth: nearest of a/b/c to the gradient p = a + b - c
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            case f => throw new IllegalArgumentException(s"bad filter type $f")
+          }
+          raw(cur + i) = (recon & 0xff).toByte
+          i += 1
+        }
+        var px = 0
+        while (px < width) {
+          val r = raw(cur + px * bpp) & 0xff
+          val g = raw(cur + px * bpp + 1) & 0xff
+          val bch = raw(cur + px * bpp + 2) & 0xff
+          val l = 0.299 * r + 0.587 * g + 0.114 * bch
+          sr += r; sg += g; sb += bch; sl += l; sl2 += l * l
+          px += 1
+        }
+        y += 1
+      }
+      val n = width.toDouble * height
+      val meanL = sl / n
+      Array(
+        width / 4096f, height / 4096f, (bpp * 8) / 32f,
+        (sr / n / 255).toFloat, (sg / n / 255).toFloat, (sb / n / 255).toFloat,
+        (meanL / 255).toFloat,
+        (math.sqrt(math.max(0, sl2 / n - meanL * meanL)) / 255).toFloat)
+    }
+  }
+
   /** Row-level decode outcome: errors travel as data (SafeMap contract, A2). */
   private val decodeResultType = StructType(Seq(
     StructField("ok", BooleanType, nullable = true),

@@ -509,19 +509,29 @@ object TextOps {
     * Selection within a source is the deterministic hash-ranked draw of
     * [[graft.ops.Stats.stratifiedSample]]: rank by (md5-draw, id) and keep
     * rank ≤ allocation — reproducible row-for-row across runs and engines.
-    * NULL ids are excluded (not sampleable identities).
+    * NULL ids are excluded (not sampleable identities), and NULL sources
+    * are excluded BEFORE the size aggregation — an unidentifiable source
+    * can neither receive nor silently consume budget.
     *
     * Scale shape: source sizes are ONE tiny keyed aggregation (collected —
     * |sources| rows, bounded); the waterfill is driver-side integer math on
-    * that bounded list; the allocation table re-joins BROADCAST; the only
-    * data-sized exchange is the per-source rank window — the same shape as
-    * q111, and the [[graft.ops.Stats.stratifiedSampleBounded]] reservoir
-    * route applies when allocations are uniform. */
+    * that bounded list. Sources kept WHOLE never rank at all — a broadcast
+    * semi-join keeps them map-side with zero data-sized exchange. Only the
+    * budget-capped sources need per-source selection, and that routes
+    * through the [[graft.expressions.ReservoirAgg]] bounded aggregate
+    * (k = the largest capped allocation): each map task carries ≤ k
+    * (draw, id) pairs per source, so with few sources the corpus does NOT
+    * funnel through |sources| reducer partitions the way a
+    * `row_number().over(partitionBy(source))` window would — partial
+    * aggregation absorbs the skew, and the selected ids semi-join back on
+    * the well-distributed (source, id) key. Non-integral id columns (which
+    * the reservoir's int64 draw can't carry) fall back to the window form
+    * for the capped sources only. */
   def unimaxMixture(df: DataFrame, idCol: String, sourceCol: String,
                     budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val spark = df.sparkSession
-    val live = df.where(col(idCol).isNotNull)
+    val live = df.where(col(idCol).isNotNull && col(sourceCol).isNotNull)
     val sorted = live
       .groupBy(col(sourceCol).cast("string").as("__src"))
       .agg(count(lit(1)).as("__n"))
@@ -537,18 +547,47 @@ object TextOps {
       if (filling && n * k <= remaining) { whole += ((s, n)); remaining -= n; k -= 1 }
       else { filling = false; rest += ((s, n)) }
     }
+    val wholeSeq = whole.result()
     val restSeq = rest.result()
     val base = if (restSeq.nonEmpty) remaining / restSeq.size else 0L
     val rem = if (restSeq.nonEmpty) (remaining % restSeq.size).toInt else 0
-    val alloc = whole.result() ++
-      restSeq.zipWithIndex.map { case ((s, _), i) => (s, base + (if (i < rem) 1L else 0L)) }
-    val allocDf = spark.createDataFrame(alloc).toDF("__src", "__alloc")
-    val h = pmod(Dedup.md5Hash60(col(idCol).cast("string")), lit(Dedup.P))
-    val w = Window.partitionBy(sourceCol).orderBy(h.asc, col(idCol).asc)
-    live.withColumn("__rank", row_number().over(w))
-      .join(broadcast(allocDf), col(sourceCol).cast("string") === col("__src"))
-      .where(col("__rank") <= col("__alloc"))
-      .select(df.columns.map(col): _*)
+    val restAlloc = restSeq.zipWithIndex
+      .map { case ((s, _), i) => (s, base + (if (i < rem) 1L else 0L)) }
+    val srcStr = col(sourceCol).cast("string")
+    val outCols = df.columns.map(col)
+    // whole sources: every row survives — no rank, no data-sized exchange
+    val wholeDf = spark.createDataFrame(wholeSeq).toDF("__src", "__n")
+    val keptWhole = live.join(broadcast(wholeDf), srcStr === col("__src"), "left_semi")
+      .select(outCols: _*)
+    val maxAlloc = if (restSeq.isEmpty) 0L else base + (if (rem > 0) 1L else 0L)
+    if (maxAlloc <= 0L) return keptWhole
+    val restAllocDf = spark.createDataFrame(restAlloc).toDF("__src", "__alloc")
+    val restRows = live.join(broadcast(restAllocDf), srcStr === col("__src"), "left_semi")
+    val idIntegral = {
+      import org.apache.spark.sql.types._
+      df.schema(idCol).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    }
+    val keptRest =
+      if (idIntegral && maxAlloc <= Int.MaxValue.toLong) {
+        // bounded route: rank per source at k = max capped allocation, then
+        // trim each source to its own allocation
+        val selIds = Stats.stratifiedSampleBounded(restRows, sourceCol, idCol, maxAlloc.toInt)
+          .join(broadcast(restAllocDf), col(sourceCol).cast("string") === col("__src"))
+          .where(col("sample_rank") <= col("__alloc"))
+          .select(col(sourceCol), col(idCol))
+        restRows.join(selIds, Seq(sourceCol, idCol), "left_semi").select(outCols: _*)
+      } else {
+        val h = pmod(Dedup.md5Hash60(col(idCol).cast("string")), lit(Dedup.P))
+        val w = Window.partitionBy(sourceCol).orderBy(h.asc, col(idCol).asc)
+        restRows.withColumn("__rank", row_number().over(w))
+          .join(broadcast(restAllocDf), srcStr === col("__src"))
+          .where(col("__rank") <= col("__alloc"))
+          .select(outCols: _*)
+      }
+    keptWhole.unionAll(keptRest)
   }
 
   /** C4-style document heuristics (Raffel et al. 2020, arXiv:1910.10683
@@ -602,11 +641,14 @@ object TextOps {
     * scores to rank (select top-N) or threshold the raw corpus toward the
     * target distribution.
     *
-    * Scale shape: both histograms collapse to ≤ `buckets` rows under
-    * partial aggregation; the per-bucket score table is computed exactly on
-    * the driver (BigInt — bounded by `buckets`, never data-sized) and
-    * re-joins BROADCAST; the only data-sized exchange is the final per-doc
-    * keyed aggregation. Raw text never shuffles. */
+    * Scale shape: the corpus tokenize+explode+md5 pass — the dominant cost
+    * at scale — runs ONCE: the exploded corpus bucket frame persists
+    * (TrackedCache) and feeds both the q-histogram and the scoring join.
+    * Both histograms collapse to ≤ `buckets` rows under partial
+    * aggregation; the per-bucket score table is computed exactly on the
+    * driver (BigInt — bounded by `buckets`, never data-sized) and re-joins
+    * BROADCAST; the only data-sized exchange is the final per-doc keyed
+    * aggregation. Raw text never shuffles. */
   def dsirScores(corpus: DataFrame, target: DataFrame, idCol: String,
                  textCol: String, buckets: Int = 1024): DataFrame = {
     require(buckets > 0 && buckets <= 65536, s"buckets must be in [1, 65536], got $buckets")
@@ -619,11 +661,14 @@ object TextOps {
       uni.unionAll(bi)
         .select(col("id"), pmod(Dedup.md5Hash60(col("__g")), lit(buckets.toLong)).as("__b"))
     }
-    def histogram(df: DataFrame): Map[Long, Long] =
-      gramBuckets(df).groupBy("__b").agg(count(lit(1)).as("__c"))
+    def histogram(bucketed: DataFrame): Map[Long, Long] =
+      bucketed.groupBy("__b").agg(count(lit(1)).as("__c"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val p = histogram(target)
-    val q = histogram(corpus)
+    // the corpus explode runs ONCE: persisted, it feeds both the
+    // q-histogram action and the scoring join below
+    val corpusBuckets = gramBuckets(corpus).persistTracked()
+    val p = histogram(gramBuckets(target))
+    val q = histogram(corpusBuckets)
     val pTot = BigInt(p.values.sum) + buckets
     val qTot = BigInt(q.values.sum) + buckets
     // exact per-bucket fixed-point ratio — BigInt on the driver, so no
@@ -634,7 +679,7 @@ object TextOps {
       (b, (num / den).toLong)
     }
     val scoreDf = spark.createDataFrame(scores).toDF("__b", "__s")
-    gramBuckets(corpus)
+    corpusBuckets
       .join(broadcast(scoreDf), Seq("__b"))
       .groupBy(col("id").as(idCol)).agg(
         count(lit(1)).as("n_grams"),

@@ -16,6 +16,16 @@ import org.apache.spark.sql.functions._
   * exactly DuckDB's `epoch_us` reading of the same naive parquet value, so
   * oracle hash-parity holds on either input type. */
 object TimeCols {
-  /** Microseconds since the epoch for TIMESTAMP *or* TIMESTAMP_NTZ input. */
-  def epochMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+  /** Microseconds since the epoch for TIMESTAMP *or* TIMESTAMP_NTZ input.
+    *
+    * The route goes THROUGH a timestamp_ntz cast on purpose: numeric types
+    * do not cast to TIMESTAMP_NTZ, so a caller accidentally passing a raw
+    * LONG column (e.g. pre-converted epoch nanos) fails at ANALYSIS time
+    * instead of being silently read as epoch SECONDS — which a direct
+    * `cast("timestamp")` would do, producing values off by 10⁶. For the two
+    * supported input types the extra hop is value-exact: NTZ→NTZ is a
+    * no-op, and TIMESTAMP→NTZ→TIMESTAMP round-trips identically under any
+    * single session timezone (all entry points pin UTC). */
+  def epochMicros(c: Column): Column =
+    unix_micros(c.cast("timestamp_ntz").cast("timestamp"))
 }

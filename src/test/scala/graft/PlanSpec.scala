@@ -414,4 +414,23 @@ class PlanSpec extends SparkSpec {
     val p = j.queryExecution.executedPlan.toString
     assert(p.contains("skew=true"), s"no runtime skew split:\n$p")
   }
+
+  test("q140: span dedup's corpus-wide gram count is groupBy+semi-join, never a window on the gram hash") {
+    val df = SparkEntry.queries("q140_dup_span_stats")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // a Window partitioned on __h would buffer every position of a hot gram
+    // in ONE partition; the groupBy form partial-aggregates it map-side
+    assert(!p.contains("windowspecdefinition(__h"), p)
+    assert(p.contains("LeftSemi"), p)
+    // island merge still windows on the doc id — that partitioning is fine
+    assert(p.contains("windowspecdefinition(id"), p)
+  }
+
+  test("q146: UniMax selection is the bounded reservoir — no Window anywhere in the plan") {
+    val df = SparkEntry.queries("q146_unimax_mixture")(spark, sfDir)
+    val p = physical(df).toString
+    assert(!p.contains("windowspecdefinition"),
+      s"unimaxMixture must not funnel the corpus through |sources| window partitions:\n$p")
+    assert(p.toLowerCase.contains("reservoir"), s"bounded reservoir route not taken:\n$p")
+  }
 }

@@ -874,6 +874,46 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(2)._2, "truncated BMP must be captured as a row error")
   }
 
+  test("PngDecoder: real 8-bit PNG (independently JDK-encoded) — solid/gradient stats, RGBA alpha ignored, corrupt rejected") {
+    import java.awt.image.BufferedImage
+    // the PNGs come from the JDK's OWN encoder (javax.imageio), so the
+    // decoder is checked against an independent implementation — including
+    // whatever row filters the encoder's heuristics pick
+    def png(im: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, "png", bos), "JDK PNG encoder unavailable")
+      bos.toByteArray
+    }
+    def solid(w: Int, h: Int, argb: Int, typ: Int): BufferedImage = {
+      val im = new BufferedImage(w, h, typ)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, argb)
+      im
+    }
+    // horizontal gray ramp 0..255: known mean 127.5 and variance 65535/12
+    val ramp = new BufferedImage(256, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 256) ramp.setRGB(x, y, (x << 16) | (x << 8) | x)
+    val df = Seq(
+      (1L, png(solid(5, 3, 0xffff0000, BufferedImage.TYPE_INT_RGB))),  // solid red, RGB
+      (2L, png(ramp)),
+      (3L, png(solid(4, 4, 0x400a14c8, BufferedImage.TYPE_INT_ARGB))), // RGBA, alpha 0x40
+      (4L, "not a png at all".getBytes("UTF-8"))).toDF("id", "payload")
+    val out = Multimodal.decodeFeatures(df, "payload", new Multimodal.PngDecoder)
+      .select(col("id"), col("decoded.ok"), col("decoded.features"), col("decoded.error"))
+      .as[(Long, Boolean, Option[Seq[Float]], Option[String])].collect().sortBy(_._1)
+    val Some(f1) = out(0)._3
+    assert(out(0)._2 && f1(0) == 5f / 4096 && f1(1) == 3f / 4096 && f1(2) == 24f / 32, f1.toString)
+    assert(f1(3) == 1f && f1(4) == 0f && f1(5) == 0f, s"solid red means: $f1")
+    assert(f1(7) < 1e-6, "solid color has ~zero luma stddev")
+    val Some(f2) = out(1)._3
+    assert(math.abs(f2(3) - 127.5 / 255) < 1e-4, s"ramp mean: ${f2(3)}")
+    assert(math.abs(f2(7) - math.sqrt(65535.0 / 12) / 255) < 1e-3, s"ramp std: ${f2(7)}")
+    val Some(f3) = out(2)._3
+    assert(f3(2) == 1f, "RGBA is 32 bpp")
+    assert(math.abs(f3(3) - 10f / 255) < 1e-4 && math.abs(f3(4) - 20f / 255) < 1e-4 &&
+      math.abs(f3(5) - 200f / 255) < 1e-4, s"alpha must not leak into channel means: $f3")
+    assert(!out(3)._2 && out(3)._4.exists(_.contains("PNG")), out(3)._4.toString)
+  }
+
   test("metadata extraction and frame sampling") {
     val df = spark.range(1, 5).select(col("id"),
       Multimodal.fakePayload(col("id")).as("p"))
@@ -1240,6 +1280,33 @@ class TextOpsSpec extends SparkSpec {
     // NULL ids are not sampleable
     val withNull = df.unionAll(Seq((Option.empty[Long], "tiny")).toDF("doc_id", "source"))
     assert(TextOps.unimaxMixture(withNull, "doc_id", "source", 100).count() == 27)
+    // NULL sources are excluded BEFORE the size aggregation: they neither
+    // receive budget nor silently consume it (pre-r10 they inflated the
+    // waterfill then vanished at the allocation join)
+    val withNullSrc = df.unionAll(
+      Seq((900L, Option.empty[String]), (901L, Option.empty[String])).toDF("doc_id", "source"))
+    val ns = TextOps.unimaxMixture(withNullSrc, "doc_id", "source", 9)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(ns == Map("tiny" -> 2L, "mid" -> 4L, "big" -> 3L), ns.toString)
+  }
+
+  test("unimaxMixture: bounded reservoir route == window form, multi-partition input") {
+    // long ids take the ReservoirAgg route; casting the SAME ids to string
+    // forces the window fallback — md5 draws are identical (both hash the
+    // decimal string), so the selected id sets must agree exactly
+    val df = (Seq((1L, "tiny"), (2L, "tiny")) ++
+      (11L to 15L).map((_, "mid")) ++
+      (101L to 120L).map((_, "big"))).toDF("doc_id", "source")
+      .repartition(7)
+    for (budget <- Seq(5L, 9L, 12L, 27L)) {
+      val bounded = TextOps.unimaxMixture(df, "doc_id", "source", budget)
+        .select("doc_id").as[Long].collect().toSet
+      val window = TextOps.unimaxMixture(
+        df.withColumn("doc_id", col("doc_id").cast("string")), "doc_id", "source", budget)
+        .select("doc_id").as[String].collect().toSet.map((s: String) => s.toLong)
+      assert(bounded == window, s"budget=$budget: $bounded vs $window")
+      assert(bounded.size == math.min(budget, 27L), s"budget=$budget size=${bounded.size}")
+    }
   }
 
   test("c4Rules: sentence/line/lorem/brace rules hand-computed") {
@@ -1256,7 +1323,8 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
       .collect().map(r => r._1 -> r).toMap
     assert(out(1L) == (1L, 3L, 0L, true, true, true, true, true))
-    assert(out(2L) == (2L, 1L, 0L, false, true, true, true, false))
+    // doc 2: its single line "only one sentence here." has 4 words (< 5)
+    assert(out(2L) == (2L, 1L, 1L, false, false, true, true, false))
     // doc 3: line "lines" has 1 word (< 5)
     assert(out(3L)._3 == 1L && !out(3L)._5 && !out(3L)._8)
     assert(!out(4L)._6 && !out(4L)._8, "lorem ipsum must be case-insensitive")
@@ -1306,6 +1374,26 @@ class QuantizeSpec extends SparkSpec {
     val cos = c.zip(v).map { case (a, b) => a * b }.sum /
       (math.sqrt(c.map(x => x * x).sum) * math.sqrt(v.map(x => x * x).sum))
     assert(cos > 0.9999)
+  }
+}
+
+class TimeColsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("epochMicros: zoned and NTZ agree; raw numeric input fails at analysis") {
+    val zoned = Seq(java.sql.Timestamp.valueOf("2024-01-02 03:04:05.000006"))
+      .toDF("ts")
+    val z = zoned.select(TimeCols.epochMicros(col("ts")).as("us")).as[Long].head()
+    val n = zoned.select(TimeCols.epochMicros(col("ts").cast("timestamp_ntz")).as("us"))
+      .as[Long].head()
+    assert(z == n, s"zoned $z vs ntz $n")
+    // a raw LONG (e.g. pre-converted epoch nanos) must be rejected at
+    // analysis, not silently read as epoch seconds
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1704164645000006L).toDF("ns")
+        .select(TimeCols.epochMicros(col("ns"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("cast"), err.getMessage)
   }
 }
 
