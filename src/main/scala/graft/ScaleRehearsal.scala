@@ -170,6 +170,9 @@ object ScaleRehearsal {
       // from a known (amortized) corpus count, so the counting scan is not
       // part of the operator cost being rehearsed
       val nEmb = emb.count()
+      // likewise the UniMax budget: production budgets come from the run
+      // config, not a count inside the op
+      val nDocsDir = docs.count()
       def force(df: DataFrame): Unit =
         df.write.format("noop").mode("overwrite").save()
       Seq(
@@ -283,6 +286,39 @@ object ScaleRehearsal {
         "q145_batch_by_length" -> (() => force(ops.Shards.batchByLength(
           docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars",
           batchSize = 8, bucketWidth = 50))),
+        // span dedup under a PLANTED hot gram: 10^4 extra docs sharing one
+        // boilerplate sentence give every one of its grams 10^4 corpus-wide
+        // occurrences. The groupBy+semi-join occurrence count collapses the
+        // hot key map-side (partial aggregation); the pre-r10 window form
+        // buffered all 10^4 positions in ONE partition per gram. Expect the
+        // same ~linear wall as q140 — a blow-up here means the skew path
+        // regressed
+        "q140h_dup_span_hotgram" -> (() => {
+          val hot = spark.range(10000).select(
+            (col("id") + lit(100L * nDocs * factor)).as("doc_id"),
+            lit("boilerplate legal footer repeated verbatim across every scraped page here").as("text"))
+          force(ops.Dedup.duplicateSpanStats(
+            docs.select("doc_id", "text").unionByName(hot),
+            "doc_id", "text", spanTokens = 8))
+        }),
+        // UniMax mixture: budget scales with the corpus (half of it), so
+        // per-source allocations grow proportionally; the whole-source
+        // prefix never shuffles and capped sources ride the bounded
+        // reservoir (<= k pairs per map task) — expect ~linear wall with
+        // NO |sources|-reducer funnel
+        "q146_unimax_mixture" -> (() => force(ops.TextOps.unimaxMixture(
+          docs.select(col("doc_id"), col("source")), "doc_id", "source",
+          budget = math.max(1L, nDocsDir / 2)))),
+        // C4 rules: zero-shuffle codegen projection — wall tracks bytes
+        "q147_c4_rules" -> (() => force(ops.TextOps.c4Rules(
+          docs, "doc_id", "text"))),
+        // DSIR: FIXED target (family-0 src0/src1), corpus scales; the one
+        // corpus explode persists and feeds histogram + scoring join, so
+        // expect ~linear wall (the pre-r10 double pass paid it twice)
+        "q148_dsir_scores" -> (() => force(ops.TextOps.dsirScores(
+          docs, docs.where(col("doc_id") < nDocs &&
+            col("source").isin("src0", "src1")),
+          "doc_id", "text", buckets = 512))),
         // incremental contract: a FIXED batch (1/5 of ONE replica family)
         // matched against the PRE-STORED profile of everything else — the
         // per-batch cost should stay ~flat while the corpus scales

@@ -2581,6 +2581,79 @@ object SparkEntry {
            AND NOT has_lorem_ipsum AND NOT has_brace) AS accept
         FROM m ORDER BY id""")),
 
+    // -- q150: FUSED filter pipeline (C4/Gopher/FineWeb composition):
+    //    language gate + quality thresholds + Gopher rules + C4 rules in
+    //    ONE zero-shuffle projection (per-family verdicts preserved);
+    //    oracle composes the q78/q77/q131/q147 rule SQL verbatim ---------
+    Q("q150_filter_pipeline",
+      (s, dir) => ops.TextOps.filterPipeline(
+        T(s, dir, "documents"), "doc_id", "text", wantedLangs = Seq("en", "de"))
+        .orderBy("id"),
+      Some {
+        // the same langId fold as q78's oracle
+        val profiles = ops.TextOps.langProfiles.sortBy(_._1)
+        val scoreExprs = profiles.map { case (lang, words) =>
+          val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
+          s"len(list_filter(string_split(lower(text),' '), t -> list_contains($arr, t))) AS s_$lang"
+        }.mkString(", ")
+        val (bestLang, bestScore) = profiles.foldLeft(("'unknown'", "0")) {
+          case ((bl, bs), (lang, _)) =>
+            (s"CASE WHEN s_$lang > $bs THEN '$lang' ELSE $bl END",
+             s"greatest(s_$lang, $bs)")
+        }
+        s"""
+        WITH lang AS (
+          SELECT id, CASE WHEN $bestScore > 0 THEN $bestLang ELSE 'unknown' END AS lang_guess
+          FROM (SELECT doc_id AS id, $scoreExprs FROM documents)),
+        q AS (
+          SELECT doc_id AS id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) AS uniq_ratio,
+            CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+              / length(text) AS punct_ratio
+          FROM documents),
+        g AS (
+          SELECT id,
+            ((n_words >= 50 AND n_words <= 100000)
+              AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+              AND (alpha_ratio >= 0.8) AND (stop_hits >= 2)) AS r_gopher
+          FROM (
+            SELECT doc_id AS id, CAST(len(toks) AS BIGINT) AS n_words,
+              CASE WHEN len(toks) > 0
+                THEN CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS mean_word_len,
+              CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS alpha_ratio,
+              len(list_intersect(list_distinct(toks),
+                ['the','be','to','of','and','that','have','with'])) AS stop_hits
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+        c AS (
+          SELECT doc_id AS id,
+            (CAST(len(list_filter(regexp_split_to_array(text, '[.!?]'),
+               x -> len(trim(x)) > 0)) AS BIGINT) >= 3
+             AND CAST(len(list_filter(
+               list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0),
+               l -> len(list_filter(string_split(trim(l), ' '),
+                        w -> len(w) > 0)) < 5)) AS BIGINT) = 0
+             AND NOT (instr(lower(text), 'lorem ipsum') > 0)
+             AND NOT (instr(text, '{') > 0)) AS r_c4
+          FROM documents)
+        SELECT lang.id, lang.lang_guess, q.n_tokens,
+          (lang.lang_guess IN ('en', 'de')) AS r_lang,
+          (q.n_tokens >= 5 AND q.avg_token_len <= 20.0
+            AND q.uniq_ratio >= 0.2 AND q.punct_ratio <= 0.3) AS r_quality,
+          g.r_gopher, c.r_c4,
+          ((lang.lang_guess IN ('en', 'de'))
+            AND (q.n_tokens >= 5 AND q.avg_token_len <= 20.0
+                 AND q.uniq_ratio >= 0.2 AND q.punct_ratio <= 0.3)
+            AND g.r_gopher AND c.r_c4) AS accept
+        FROM lang JOIN q USING (id) JOIN g USING (id) JOIN c USING (id)
+        ORDER BY id"""
+      }),
+
     // -- q148: DSIR hashed n-gram importance scores (arXiv:2302.03169):
     //    target = src0/src1 docs; unigram+bigram buckets, Laplace-smoothed
     //    fixed-point likelihood-ratio per bucket, occurrence-weighted sum
@@ -2622,6 +2695,39 @@ object SparkEntry {
           CAST(sum(sc.s) AS DOUBLE) / count(*) AS dsir_score
         FROM b JOIN sc USING (b)
         GROUP BY b.doc_id ORDER BY b.doc_id""")),
+
+    // -- q149: the stream-stream interval join's ROW SEMANTICS, hash-pinned
+    //    in batch (EliminateEventTimeWatermark makes the SAME function a
+    //    batch equi-join + time-range residual): clicks within 5 min after
+    //    a view, inner AND left_outer (the unmatched-left horizon rule) ----
+    Q("q149_interval_join",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select("user_id", "event_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "event_id", "ts")
+        def j(t: String) = streaming.StreamOps.intervalJoinStreams(
+          views, clicks, "user_id", "ts", "ts",
+          watermarkDelay = "10 minutes", within = "5 minutes", joinType = t)
+          .select(lit(t).as("join_type"), col("user_id"), col("event_id"),
+            col("ts"), col("event_id_r"), col("ts_r"))
+        j("inner").unionAll(j("left_outer"))
+          .orderBy("join_type", "user_id", "event_id", "event_id_r")
+      },
+      Some("""
+        WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+             c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        i AS (SELECT 'inner' AS join_type, v.user_id, v.event_id, v.ts,
+                     c.event_id AS event_id_r, c.ts AS ts_r
+              FROM v JOIN c ON v.user_id = c.user_id
+                AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 5 MINUTE),
+        l AS (SELECT 'left_outer' AS join_type, v.user_id, v.event_id, v.ts,
+                     c.event_id AS event_id_r, c.ts AS ts_r
+              FROM v LEFT JOIN c ON v.user_id = c.user_id
+                AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 5 MINUTE)
+        SELECT * FROM i UNION ALL SELECT * FROM l
+        ORDER BY join_type, user_id, event_id, event_id_r""")),
 
     // -- q104: corpus vocabulary — top tokens by frequency with doc counts
     //    (explode + one keyed agg + TakeOrderedAndProject top-k) ------------

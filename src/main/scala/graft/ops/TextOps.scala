@@ -245,7 +245,21 @@ object TextOps {
                   minWords: Int = 50, maxWords: Int = 100000,
                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
                   minAlphaRatio: Double = 0.8, minStopHits: Int = 2): DataFrame = {
-    val toks = split(col(textCol), " ")
+    val g = gopherStruct(col(textCol), minWords, maxWords, minMeanLen,
+      maxMeanLen, minAlphaRatio, minStopHits)
+    df.select(col(idCol).as("id"), g.as("__g"))
+      .select(col("id"), col("__g.n_words"), col("__g.mean_word_len"),
+        col("__g.r_word_count"), col("__g.r_mean_word_len"),
+        col("__g.r_alpha_words"), col("__g.r_stopwords"), col("__g.accept"))
+  }
+
+  /** Column form of [[gopherRules]] — the ONE implementation of the rule
+    * measures, shared by the table op and [[filterPipeline]] so the fused
+    * pass cannot drift from the standalone one. */
+  private def gopherStruct(text: Column, minWords: Int, maxWords: Int,
+                           minMeanLen: Double, maxMeanLen: Double,
+                           minAlphaRatio: Double, minStopHits: Int): Column = {
+    val toks = split(text, " ")
     val n = size(toks)
     val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
     val meanLen = when(n > 0, sumLen.cast("double") / n.cast("double")).otherwise(lit(0.0))
@@ -256,14 +270,14 @@ object TextOps {
     val alphaRatio = when(n > 0, nAlpha.cast("double") / n.cast("double")).otherwise(lit(0.0))
     val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val stopHits = size(array_intersect(array_distinct(toks), array(gopherStops.map(lit): _*)))
-    df.select(col(idCol).as("id"), n.cast("long").as("n_words"), meanLen.as("mean_word_len"),
-        (n >= minWords && n <= maxWords).as("r_word_count"),
-        (meanLen >= minMeanLen && meanLen <= maxMeanLen).as("r_mean_word_len"),
-        (alphaRatio >= minAlphaRatio).as("r_alpha_words"),
-        (stopHits >= minStopHits).as("r_stopwords"))
-      .withColumn("accept",
-        col("r_word_count") && col("r_mean_word_len") &&
-        col("r_alpha_words") && col("r_stopwords"))
+    val rWord = n >= minWords && n <= maxWords
+    val rMean = meanLen >= minMeanLen && meanLen <= maxMeanLen
+    val rAlpha = alphaRatio >= minAlphaRatio
+    val rStop = stopHits >= minStopHits
+    struct(n.cast("long").as("n_words"), meanLen.as("mean_word_len"),
+      rWord.as("r_word_count"), rMean.as("r_mean_word_len"),
+      rAlpha.as("r_alpha_words"), rStop.as("r_stopwords"),
+      (rWord && rMean && rAlpha && rStop).as("accept"))
   }
 
   /** Benchmark decontamination report: training docs sharing ≥ `minShared`
@@ -606,24 +620,76 @@ object TextOps {
     * Scale shape: a single map-side projection — zero shuffle, no UDFs. */
   def c4Rules(df: DataFrame, idCol: String, textCol: String,
               minSentences: Int = 3, minWordsPerLine: Int = 5): DataFrame = {
-    val t = col(textCol)
+    val c = c4Struct(col(textCol), minSentences, minWordsPerLine)
+    df.select(col(idCol).as("id"), c.as("__c"))
+      .select(col("id"), col("__c.n_sentences"), col("__c.n_lines"),
+        col("__c.n_short_lines"), col("__c.has_lorem_ipsum"), col("__c.has_brace"),
+        col("__c.r_sentences"), col("__c.r_line_words"), col("__c.r_lorem"),
+        col("__c.r_brace"), col("__c.accept"))
+  }
+
+  /** Column form of [[c4Rules]] — the ONE implementation of the rule
+    * measures, shared by the table op and [[filterPipeline]]. */
+  private def c4Struct(t: Column, minSentences: Int, minWordsPerLine: Int): Column = {
     val sentences = filter(split(t, "[.!?]"), s => length(trim(s)) > 0)
     val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
     val lineWords = (l: Column) => size(filter(split(trim(l), " "), w => length(w) > 0))
-    val shortLines = size(filter(lines, l => lineWords(l) < minWordsPerLine))
+    val shortLines = size(filter(lines, l => lineWords(l) < minWordsPerLine)).cast("long")
     val nSentences = size(sentences).cast("long")
-    df.select(col(idCol).as("id"),
-        nSentences.as("n_sentences"),
-        size(lines).cast("long").as("n_lines"),
-        shortLines.cast("long").as("n_short_lines"),
-        (instr(lower(t), "lorem ipsum") > 0).as("has_lorem_ipsum"),
-        (instr(t, "{") > 0).as("has_brace"))
-      .withColumn("r_sentences", col("n_sentences") >= minSentences)
-      .withColumn("r_line_words", col("n_short_lines") === 0)
-      .withColumn("r_lorem", !col("has_lorem_ipsum"))
-      .withColumn("r_brace", !col("has_brace"))
+    val hasLorem = instr(lower(t), "lorem ipsum") > 0
+    val hasBrace = instr(t, "{") > 0
+    val rSentences = nSentences >= minSentences
+    val rLineWords = shortLines === 0
+    struct(
+      nSentences.as("n_sentences"),
+      size(lines).cast("long").as("n_lines"),
+      shortLines.as("n_short_lines"),
+      hasLorem.as("has_lorem_ipsum"),
+      hasBrace.as("has_brace"),
+      rSentences.as("r_sentences"),
+      rLineWords.as("r_line_words"),
+      (!hasLorem).as("r_lorem"),
+      (!hasBrace).as("r_brace"),
+      (rSentences && rLineWords && !hasLorem && !hasBrace).as("accept"))
+  }
+
+  /** FUSED document-filter pipeline — the standard pre-training cleaning
+    * pass (the C4/Gopher/FineWeb composition): language gate
+    * ([[langId]]), quality thresholds ([[qualityFeatures]] — the same
+    * predicate as [[qualityFilter]]), the published Gopher rules
+    * ([[gopherRules]]), and the C4 heuristics ([[c4Rules]]), evaluated
+    * TOGETHER with per-family verdicts and the combined accept. Reject
+    * reasons are preserved per family (corpus diagnostics), and the rule
+    * implementations are literally shared with the standalone ops
+    * (spec-asserted equal), so a pipeline migrating from four passes to
+    * one cannot change a single decision.
+    *
+    * Scale shape: ONE zero-shuffle codegen projection — the fused pass
+    * reads a 100 TB corpus once where chaining the standalone ops scans
+    * it four times; no UDFs, no exchange, no join. */
+  def filterPipeline(df: DataFrame, idCol: String, textCol: String,
+                     wantedLangs: Seq[String] = Seq("en"),
+                     minTokens: Int = 5, maxAvgTokenLen: Double = 20.0,
+                     minUniqRatio: Double = 0.2, maxPunctRatio: Double = 0.3): DataFrame = {
+    require(wantedLangs.nonEmpty, "wantedLangs must not be empty")
+    val t = col(textCol)
+    df.select(col(idCol).as("id"), langId(t).as("lang_guess"),
+        qualityFeatures(t).as("__q"),
+        gopherStruct(t, 50, 100000, 3.0, 10.0, 0.8, 2).as("__g"),
+        c4Struct(t, 3, 5).as("__c"))
+      .withColumn("n_tokens", col("__q.n_tokens").cast("long"))
+      .withColumn("r_lang", col("lang_guess").isin(wantedLangs: _*))
+      .withColumn("r_quality",
+        col("__q.n_tokens") >= minTokens &&
+          col("__q.avg_token_len") <= maxAvgTokenLen &&
+          col("__q.uniq_ratio") >= minUniqRatio &&
+          col("__q.punct_ratio") <= maxPunctRatio)
+      .withColumn("r_gopher", col("__g.accept"))
+      .withColumn("r_c4", col("__c.accept"))
       .withColumn("accept",
-        col("r_sentences") && col("r_line_words") && col("r_lorem") && col("r_brace"))
+        col("r_lang") && col("r_quality") && col("r_gopher") && col("r_c4"))
+      .select("id", "lang_guess", "n_tokens", "r_lang", "r_quality",
+        "r_gopher", "r_c4", "accept")
   }
 
   /** DSIR-style hashed n-gram importance scores (Xie et al. 2023,

@@ -426,6 +426,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(id"), p)
   }
 
+  test("q150: fused filter pipeline is map-side only (no exchange before the protocol sort)") {
+    val df = SparkEntry.queries("q150_filter_pipeline")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // one corpus scan, zero data-sized exchanges: only the ORDER BY's
+    // rangepartitioning — chaining the four standalone ops would scan 4x
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q146: UniMax selection is the bounded reservoir — no Window anywhere in the plan") {
     val df = SparkEntry.queries("q146_unimax_mixture")(spark, sfDir)
     val p = physical(df).toString

@@ -1331,6 +1331,45 @@ class TextOpsSpec extends SparkSpec {
     assert(!out(5L)._7 && !out(5L)._8)
   }
 
+  test("filterPipeline: fused verdicts == standalone langId/quality/gopher/c4 ops") {
+    val texts = Seq(
+      1L -> ("the cat sat of the mat and was the best cat in town today. " * 5 +
+        "it was a very good day for the cat to be out. the end of the story is here."),
+      2L -> "only one sentence here.",                     // fails c4 + gopher
+      3L -> "lorem Ipsum dolor sit amet. more of the filler text here. third one now.",
+      4L -> ("der die das und ist " * 15 + "hier. mehr text der die das und ist hier auch. und noch ein satz der passt."),
+      5L -> ("x " * 60).trim,                              // degenerate: fails uniq_ratio
+      6L -> "code { leaked } of the doc. second sentence of the words. third sentence of the words.")
+    val df = texts.toDF("doc_id", "text")
+    val fused = TextOps.filterPipeline(df, "doc_id", "text", wantedLangs = Seq("en"))
+      .select("id", "lang_guess", "r_lang", "r_quality", "r_gopher", "r_c4", "accept")
+      .as[(Long, String, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // each family verdict must equal its standalone op on the same rows
+    val lang = TextOps.langIdDf(df, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val qualityKept = TextOps.qualityFilter(df, "text")
+      .select("doc_id").as[Long].collect().toSet
+    val gopher = TextOps.gopherRules(df, "doc_id", "text")
+      .select("id", "accept").as[(Long, Boolean)].collect().toMap
+    val c4 = TextOps.c4Rules(df, "doc_id", "text")
+      .select("id", "accept").as[(Long, Boolean)].collect().toMap
+    texts.map(_._1).foreach { id =>
+      val f = fused(id)
+      assert(f._2 == lang(id), s"doc $id lang: ${f._2} vs ${lang(id)}")
+      assert(f._3 == (lang(id) == "en"), s"doc $id r_lang")
+      assert(f._4 == qualityKept.contains(id), s"doc $id r_quality")
+      assert(f._5 == gopher(id), s"doc $id r_gopher")
+      assert(f._6 == c4(id), s"doc $id r_c4")
+      assert(f._7 == (f._3 && f._4 && f._5 && f._6), s"doc $id accept")
+    }
+    // the fixture exercises both outcomes of every family
+    assert(fused.values.exists(_._5) && fused.values.exists(!_._5), "gopher spread")
+    assert(fused.values.exists(_._6) && fused.values.exists(!_._6), "c4 spread")
+    assert(fused.values.exists(_._3) && fused.values.exists(!_._3), "lang spread")
+    assert(fused.values.exists(_._4) && fused.values.exists(!_._4), "quality spread")
+  }
+
   test("dsirScores: target-like docs outscore off-target; gram counts exact") {
     // target distribution = docs about "cats"; raw corpus has one on-target
     // and one off-target doc of the same length
