@@ -2654,6 +2654,52 @@ object SparkEntry {
         ORDER BY id"""
       }),
 
+    // -- q151: UniMax with FULL epoch semantics (arXiv:2304.09151): caps
+    //    at maxEpochs passes per source — small sources REPEAT (complete
+    //    epochs map-side via explode(sequence), only the one partial epoch
+    //    per source hash-rank-selects); budget 1100 > |documents| so the
+    //    repeat path is actually exercised --------------------------------
+    Q("q151_unimax_epochs",
+      (s, dir) => ops.TextOps.unimaxEpochsMixture(
+        T(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", budget = 1100, maxEpochs = 3)
+        .orderBy("doc_id", "epoch"),
+      Some(s"""
+        WITH n AS (SELECT CAST(lang AS VARCHAR) AS src, count(*) AS n
+                   FROM documents WHERE doc_id IS NOT NULL GROUP BY 1),
+        caps AS (SELECT src, n, n * 3 AS cap FROM n),
+        o AS (SELECT src, n, cap,
+                row_number() OVER (ORDER BY cap, src) AS rk,
+                sum(cap) OVER (ORDER BY cap, src ROWS UNBOUNDED PRECEDING) AS cum,
+                count(*) OVER () AS s
+              FROM caps),
+        w AS (SELECT *,
+                min(CASE WHEN cap * (s - rk + 1) <= 1100 - (cum - cap) THEN 1 ELSE 0 END)
+                  OVER (ORDER BY cap, src ROWS UNBOUNDED PRECEDING) AS whole
+              FROM o),
+        agg AS (SELECT coalesce(sum(CASE WHEN whole = 1 THEN cap END), 0) AS wsum,
+                       coalesce(sum(whole), 0) AS j, max(s) AS s FROM w),
+        a AS (SELECT w.src, w.n,
+                CASE WHEN w.whole = 1 THEN w.cap
+                     ELSE (1100 - agg.wsum) // (agg.s - agg.j)
+                          + CASE WHEN w.rk - agg.j <= (1100 - agg.wsum) % (agg.s - agg.j)
+                                 THEN 1 ELSE 0 END END AS alloc
+              FROM w, agg),
+        fp AS (SELECT src, n, CAST(alloc // n AS BIGINT) AS fe,
+                 CAST(alloc % n AS BIGINT) AS pe FROM a),
+        d AS (SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY ${sqlH60("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rnk
+              FROM documents WHERE doc_id IS NOT NULL),
+        f AS (SELECT d.doc_id, d.lang, unnest(range(fp.fe)) AS epoch
+              FROM d JOIN fp ON CAST(d.lang AS VARCHAR) = fp.src),
+        p AS (SELECT d.doc_id, d.lang, fp.fe AS epoch
+              FROM d JOIN fp ON CAST(d.lang AS VARCHAR) = fp.src
+              WHERE d.rnk <= fp.pe)
+        SELECT doc_id, lang, epoch FROM f
+        UNION ALL SELECT doc_id, lang, epoch FROM p
+        ORDER BY doc_id, epoch""")),
+
     // -- q148: DSIR hashed n-gram importance scores (arXiv:2302.03169):
     //    target = src0/src1 docs; unigram+bigram buckets, Laplace-smoothed
     //    fixed-point likelihood-ratio per bucket, occurrence-weighted sum

@@ -546,62 +546,128 @@ object TextOps {
     require(budget > 0, s"budget must be positive, got $budget")
     val spark = df.sparkSession
     val live = df.where(col(idCol).isNotNull && col(sourceCol).isNotNull)
-    val sorted = live
-      .groupBy(col(sourceCol).cast("string").as("__src"))
+    val sizes = sourceSizes(live, sourceCol)
+    val (wholeSeq, restAlloc) = waterfill(sizes, budget)
+    val srcStr = col(sourceCol).cast("string")
+    val outCols = df.columns.map(col).toSeq
+    // whole sources: every row survives — no rank, no data-sized exchange
+    val wholeDf = spark.createDataFrame(wholeSeq).toDF("__src", "__n")
+    val keptWhole = live.join(broadcast(wholeDf), srcStr === col("__src"), "left_semi")
+      .select(outCols: _*)
+    val alive = restAlloc.filter(_._2 > 0)
+    if (alive.isEmpty) keptWhole
+    else keptWhole.unionAll(
+      selectPerSource(live, outCols, idCol, sourceCol, alive))
+  }
+
+  /** UniMax with the paper's FULL epoch semantics (arXiv:2304.09151): each
+    * source is capped at `maxEpochs` passes over its data rather than one —
+    * small sources REPEAT (up to the cap) so the mixture stays near-uniform
+    * even when the budget exceeds the corpus. The waterfill runs on the
+    * capped sizes `maxEpochs·n_s`; a source allocated `a` rows emits
+    * `⌊a/n⌋` complete epochs of every row plus a partial epoch of the
+    * `a mod n` hash-ranked-first rows. Output = the input columns plus
+    * `epoch` (0-based copy index), so downstream sharding can interleave
+    * epochs deterministically; `unimaxMixture` is exactly `maxEpochs = 1`
+    * with the epoch column dropped. All integer arithmetic — any engine
+    * derives the identical multiset.
+    *
+    * Scale shape: the complete epochs are a broadcast join + map-side
+    * `explode(sequence)` — no data-sized exchange, no rank; only the ONE
+    * partial epoch per capped source needs selection, and that rides the
+    * same bounded-reservoir route as [[unimaxMixture]] (k = largest
+    * partial allocation, which is < the source size by construction). */
+  def unimaxEpochsMixture(df: DataFrame, idCol: String, sourceCol: String,
+                          budget: Long, maxEpochs: Int = 4): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val spark = df.sparkSession
+    val live = df.where(col(idCol).isNotNull && col(sourceCol).isNotNull)
+    val sizes = sourceSizes(live, sourceCol)
+    val nBySrc = sizes.toMap
+    val (whole, restAlloc) = waterfill(
+      sizes.map { case (s, n) => (s, n * maxEpochs) }, budget)
+    // (source, complete epochs, partial-epoch row count)
+    val fullPartial = (whole ++ restAlloc).map { case (s, a) =>
+      val n = nBySrc(s); (s, a / n, a % n)
+    }
+    val srcStr = col(sourceCol).cast("string")
+    val outCols = df.columns.map(col).toSeq
+    val fpDf = spark.createDataFrame(fullPartial).toDF("__src", "__full", "__partial")
+    val fullRows = live.join(broadcast(fpDf), srcStr === col("__src"))
+      .where(col("__full") > 0)
+      .select(outCols :+ explode(sequence(lit(0L), col("__full") - 1)).as("epoch"): _*)
+    val partialAlloc = fullPartial.collect { case (s, _, p) if p > 0 => (s, p) }
+    if (partialAlloc.isEmpty) fullRows
+    else fullRows.unionAll(
+      selectPerSource(live, outCols, idCol, sourceCol, partialAlloc)
+        .join(broadcast(fpDf), srcStr === col("__src"))
+        .select(outCols :+ col("__full").as("epoch"): _*))
+  }
+
+  /** Per-source row counts, collected (|sources| rows — bounded). */
+  private def sourceSizes(live: DataFrame, sourceCol: String): Seq[(String, Long)] =
+    live.groupBy(col(sourceCol).cast("string").as("__src"))
       .agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-      .sortBy { case (s, n) => (n, s) }.toSeq
-    // ascending waterfill: prefix of sources small enough to keep whole
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** Ascending integer waterfill shared by the UniMax forms: sources whose
+    * cap fits the running equal share take the whole cap; the remaining
+    * budget splits evenly over the rest, the first `remainder` of them (in
+    * ascending (cap, source) order) taking one extra. Returns
+    * (sources kept at cap, per-source allocations for the rest). */
+  private def waterfill(caps: Seq[(String, Long)], budget: Long)
+      : (Seq[(String, Long)], Seq[(String, Long)]) = {
+    val sorted = caps.sortBy { case (s, c) => (c, s) }
     var remaining = budget
     var k = sorted.size
     var filling = true
     val whole = Seq.newBuilder[(String, Long)]
     val rest = Seq.newBuilder[(String, Long)]
-    for ((s, n) <- sorted) {
-      if (filling && n * k <= remaining) { whole += ((s, n)); remaining -= n; k -= 1 }
-      else { filling = false; rest += ((s, n)) }
+    for ((s, c) <- sorted) {
+      if (filling && c * k <= remaining) { whole += ((s, c)); remaining -= c; k -= 1 }
+      else { filling = false; rest += ((s, c)) }
     }
-    val wholeSeq = whole.result()
     val restSeq = rest.result()
     val base = if (restSeq.nonEmpty) remaining / restSeq.size else 0L
     val rem = if (restSeq.nonEmpty) (remaining % restSeq.size).toInt else 0
-    val restAlloc = restSeq.zipWithIndex
-      .map { case ((s, _), i) => (s, base + (if (i < rem) 1L else 0L)) }
+    (whole.result(),
+      restSeq.zipWithIndex.map { case ((s, _), i) => (s, base + (if (i < rem) 1L else 0L)) })
+  }
+
+  /** Deterministic hash-ranked per-source selection shared by the mixture
+    * ops: keep each listed source's `alloc` smallest (md5-draw, id) rows.
+    * Bounded [[graft.expressions.ReservoirAgg]] route (≤ k pairs per map
+    * task — no |sources|-reducer funnel) when the id is integral and the
+    * largest allocation fits an Int; per-source window rank otherwise. */
+  private def selectPerSource(live: DataFrame, outCols: Seq[Column],
+      idCol: String, sourceCol: String, alloc: Seq[(String, Long)]): DataFrame = {
+    val spark = live.sparkSession
     val srcStr = col(sourceCol).cast("string")
-    val outCols = df.columns.map(col)
-    // whole sources: every row survives — no rank, no data-sized exchange
-    val wholeDf = spark.createDataFrame(wholeSeq).toDF("__src", "__n")
-    val keptWhole = live.join(broadcast(wholeDf), srcStr === col("__src"), "left_semi")
-      .select(outCols: _*)
-    val maxAlloc = if (restSeq.isEmpty) 0L else base + (if (rem > 0) 1L else 0L)
-    if (maxAlloc <= 0L) return keptWhole
-    val restAllocDf = spark.createDataFrame(restAlloc).toDF("__src", "__alloc")
-    val restRows = live.join(broadcast(restAllocDf), srcStr === col("__src"), "left_semi")
+    val maxAlloc = alloc.map(_._2).max
+    val allocDf = spark.createDataFrame(alloc).toDF("__src", "__alloc")
+    val rows = live.join(broadcast(allocDf), srcStr === col("__src"), "left_semi")
     val idIntegral = {
       import org.apache.spark.sql.types._
-      df.schema(idCol).dataType match {
+      live.schema(idCol).dataType match {
         case LongType | IntegerType | ShortType | ByteType => true
         case _ => false
       }
     }
-    val keptRest =
-      if (idIntegral && maxAlloc <= Int.MaxValue.toLong) {
-        // bounded route: rank per source at k = max capped allocation, then
-        // trim each source to its own allocation
-        val selIds = Stats.stratifiedSampleBounded(restRows, sourceCol, idCol, maxAlloc.toInt)
-          .join(broadcast(restAllocDf), col(sourceCol).cast("string") === col("__src"))
-          .where(col("sample_rank") <= col("__alloc"))
-          .select(col(sourceCol), col(idCol))
-        restRows.join(selIds, Seq(sourceCol, idCol), "left_semi").select(outCols: _*)
-      } else {
-        val h = pmod(Dedup.md5Hash60(col(idCol).cast("string")), lit(Dedup.P))
-        val w = Window.partitionBy(sourceCol).orderBy(h.asc, col(idCol).asc)
-        restRows.withColumn("__rank", row_number().over(w))
-          .join(broadcast(restAllocDf), srcStr === col("__src"))
-          .where(col("__rank") <= col("__alloc"))
-          .select(outCols: _*)
-      }
-    keptWhole.unionAll(keptRest)
+    if (idIntegral && maxAlloc <= Int.MaxValue.toLong) {
+      val selIds = Stats.stratifiedSampleBounded(rows, sourceCol, idCol, maxAlloc.toInt)
+        .join(broadcast(allocDf), col(sourceCol).cast("string") === col("__src"))
+        .where(col("sample_rank") <= col("__alloc"))
+        .select(col(sourceCol), col(idCol))
+      rows.join(selIds, Seq(sourceCol, idCol), "left_semi").select(outCols: _*)
+    } else {
+      val h = pmod(Dedup.md5Hash60(col(idCol).cast("string")), lit(Dedup.P))
+      val w = Window.partitionBy(sourceCol).orderBy(h.asc, col(idCol).asc)
+      rows.withColumn("__rank", row_number().over(w))
+        .join(broadcast(allocDf), srcStr === col("__src"))
+        .where(col("__rank") <= col("__alloc"))
+        .select(outCols: _*)
+    }
   }
 
   /** C4-style document heuristics (Raffel et al. 2020, arXiv:1910.10683

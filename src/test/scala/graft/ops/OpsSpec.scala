@@ -1331,6 +1331,45 @@ class TextOpsSpec extends SparkSpec {
     assert(!out(5L)._7 && !out(5L)._8)
   }
 
+  test("unimaxEpochsMixture: epoch caps, complete + partial epochs, E=1 == unimaxMixture") {
+    val df = (Seq((1L, "tiny"), (2L, "tiny")) ++
+      (11L to 15L).map((_, "mid")) ++
+      (101L to 120L).map((_, "big"))).toDF("doc_id", "source")
+    // sizes 2/5/20 (total 27); caps at E=3: 6/15/60 (total 81)
+    // budget >= total cap keeps every row exactly E times
+    val all = TextOps.unimaxEpochsMixture(df, "doc_id", "source", 100, maxEpochs = 3)
+    assert(all.count() == 81)
+    assert(all.groupBy("doc_id").count().select("count").as[Long].collect().forall(_ == 3))
+    assert(all.select("epoch").distinct().as[Long].collect().toSet == Set(0L, 1L, 2L))
+    // budget 30: tiny whole at cap (6 = 3 epochs); mid/big split 24 -> 12
+    // each, so mid (n=5) = 2 complete epochs + 2-row partial, big (n=20) =
+    // a 12-row partial of epoch 0
+    val b30 = TextOps.unimaxEpochsMixture(df, "doc_id", "source", 30, maxEpochs = 3)
+    assert(b30.count() == 30)
+    val bySrcEpoch = b30.groupBy("source", "epoch").count()
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(bySrcEpoch == Map(
+      ("tiny", 0L) -> 2L, ("tiny", 1L) -> 2L, ("tiny", 2L) -> 2L,
+      ("mid", 0L) -> 5L, ("mid", 1L) -> 5L, ("mid", 2L) -> 2L,
+      ("big", 0L) -> 12L), bySrcEpoch.toString)
+    // the partial epoch picks the SAME hash-rank-first ids as the one-epoch
+    // form at that allocation, and is reproducible
+    val midPartial = b30.where(col("source") === "mid" && col("epoch") === 2)
+      .select("doc_id").as[Long].collect().toSet
+    val midDirect = TextOps.unimaxMixture(
+      df.where(col("source") === "mid"), "doc_id", "source", 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(midPartial == midDirect, s"$midPartial vs $midDirect")
+    // maxEpochs = 1 degenerates to unimaxMixture exactly
+    for (budget <- Seq(9L, 12L, 27L)) {
+      val e1 = TextOps.unimaxEpochsMixture(df, "doc_id", "source", budget, maxEpochs = 1)
+      assert(e1.select("epoch").distinct().as[Long].collect().toSeq == Seq(0L))
+      assert(e1.select("doc_id").as[Long].collect().toSet ==
+        TextOps.unimaxMixture(df, "doc_id", "source", budget)
+          .select("doc_id").as[Long].collect().toSet, s"budget=$budget")
+    }
+  }
+
   test("filterPipeline: fused verdicts == standalone langId/quality/gopher/c4 ops") {
     val texts = Seq(
       1L -> ("the cat sat of the mat and was the best cat in town today. " * 5 +
