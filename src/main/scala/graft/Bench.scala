@@ -21,6 +21,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // scan-split floor: FileSourcePartitions sizes splits at
+      // min(maxPartitionBytes, max(openCostInBytes, bytes/defaultParallelism));
+      // the 4 MB default floor leaves a single-file compressed-text table
+      // (snappy parquet amplifies 5-10x on decode, then explode amplifies
+      // 10-100x more) on 1-2 cores. 512 KB keeps every core fed on
+      // single-file fixtures without fragmenting many-file scans, whose
+      // split packing still respects total bytes.
+      .config("spark.sql.files.openCostInBytes", (512 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -33,15 +41,23 @@ object Bench {
     // entries inflated 3-5x vs their clean history — and the cross-round 3x
     // defense can't see UNIFORM contention (the prior record it compares
     // against absorbed the same load). Two countermeasures: (a) wait
-    // (bounded) for the machine to go idle before the first measurement;
+    // (bounded) for the machine to go idle before the first measurement —
+    // threshold 4.0, because before the run starts ANY load is foreign;
     // (b) record the loadavg at each query's measurement and re-measure the
-    // queries that ran under load after the main loop (below).
-    val loadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "4.0").toDouble
+    // queries that ran under load after the main loop (below) — that
+    // threshold must sit ABOVE the bench's own steady-state load (a
+    // well-parallelized query legitimately drives loadavg toward the core
+    // count; r10's splittable-layout sf1 run averaged 8-12 with nothing
+    // else running), so it defaults to half the worker count and catches
+    // only gross foreign load stacked on top.
+    val loadIdle = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_IDLE", "4.0").toDouble
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX",
+      math.max(4.0, cpus.toInt * 0.5).toString).toDouble
     val loadWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT", "120").toInt
     val waitStart = System.nanoTime()
-    while (loadavg1() > loadMax &&
+    while (loadavg1() > loadIdle &&
         (System.nanoTime() - waitStart) / 1e9 < loadWaitSec) {
-      System.err.println(f"[bench] loadavg ${loadavg1()}%.2f > $loadMax%.1f — waiting for idle")
+      System.err.println(f"[bench] loadavg ${loadavg1()}%.2f > $loadIdle%.1f — waiting for idle")
       Thread.sleep(5000)
     }
 

@@ -68,8 +68,17 @@ object Sf1Gen {
       // repartition(1), NOT coalesce(1): coalesce would propagate the
       // single-partition constraint upstream and run the whole 10x
       // replicate/transform in one task; repartition keeps it parallel and
-      // serializes only the write
-      df.repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      // serializes only the write.
+      // SMALL row groups (1 MB vs the 128 MB default): a single-file table
+      // with ONE row group cannot be split, so every explode-heavy scan
+      // serializes onto one core however the split configs are set (r10:
+      // q140 span dedup read 13.8 s on the one-row-group layout vs 2.3 s
+      // on an 11-file copy of the same rows). Production tables have many
+      // files/row groups; the fixture must too, while keeping the
+      // single-FILE `<name>.parquet` contract DuckDB shares.
+      df.repartition(1).write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", (1024 * 1024).toString)
+        .parquet(tmp.toString)
       val part = fs.listStatus(tmp).map(_.getPath)
         .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"no part file for $name"))

@@ -435,11 +435,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
-  test("q146: UniMax selection is the bounded reservoir — no Window anywhere in the plan") {
-    val df = SparkEntry.queries("q146_unimax_mixture")(spark, sfDir)
-    val p = physical(df).toString
-    assert(!p.contains("windowspecdefinition"),
-      s"unimaxMixture must not funnel the corpus through |sources| window partitions:\n$p")
-    assert(p.toLowerCase.contains("reservoir"), s"bounded reservoir route not taken:\n$p")
+  test("q146/q151: UniMax selection is the bounded reservoir — no Window anywhere in the plan") {
+    Seq("q146_unimax_mixture", "q151_unimax_epochs").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val p = physical(df).toString
+      assert(!p.contains("windowspecdefinition"),
+        s"$q must not funnel the corpus through |sources| window partitions:\n$p")
+      assert(p.toLowerCase.contains("reservoir"), s"$q bounded reservoir route not taken:\n$p")
+    }
   }
 }
