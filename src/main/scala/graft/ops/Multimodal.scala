@@ -320,6 +320,57 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder for every format the JDK's built-in `javax.imageio`
+    * registry reads — JPEG (baseline + progressive), PNG (all color
+    * types/depths, incl. palette and 16-bit, which [[PngDecoder]]'s
+    * hand-rolled truecolor path declines), GIF, and BMP — with no external
+    * library: the readers live in the `java.desktop` module. Emits the
+    * same 8 features as [[BmpDecoder]]/[[PngDecoder]] (width and height
+    * per 4096, bits-per-pixel per 32, mean R/G/B and mean luma per 255,
+    * luma stddev); `getRGB` yields non-premultiplied sRGB, so alpha never
+    * leaks into the channel means. Kept ALONGSIDE the wire-format decoders
+    * (which prove the byte-level parse and serve as an independent
+    * cross-check — spec-asserted equal on shared PNG inputs); lossy
+    * formats with no JDK codec (MP3/H.264) still need [[StubDecoder]]. */
+  final class ImageIODecoder extends MediaDecoder {
+    val dim = 8
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      if (bytes == null || bytes.length == 0)
+        throw new IllegalArgumentException("empty payload")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null)
+        throw new IllegalArgumentException("no ImageIO reader recognizes the payload")
+      val width = img.getWidth; val height = img.getHeight
+      if (width <= 0 || height <= 0)
+        throw new IllegalArgumentException(s"bad dimensions ${width}x$height")
+      val bpp = img.getColorModel.getPixelSize
+      var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
+      val row = new Array[Int](width)
+      var y = 0
+      while (y < height) {
+        img.getRGB(0, y, width, 1, row, 0, width)
+        var x = 0
+        while (x < width) {
+          val argb = row(x)
+          val r = (argb >> 16) & 0xff
+          val g = (argb >> 8) & 0xff
+          val b = argb & 0xff
+          val l = 0.299 * r + 0.587 * g + 0.114 * b
+          sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+          x += 1
+        }
+        y += 1
+      }
+      val n = width.toDouble * height
+      val meanL = sl / n
+      Array(
+        width / 4096f, height / 4096f, bpp / 32f,
+        (sr / n / 255).toFloat, (sg / n / 255).toFloat, (sb / n / 255).toFloat,
+        (meanL / 255).toFloat,
+        (math.sqrt(math.max(0, sl2 / n - meanL * meanL)) / 255).toFloat)
+    }
+  }
+
   /** Row-level decode outcome: errors travel as data (SafeMap contract, A2). */
   private val decodeResultType = StructType(Seq(
     StructField("ok", BooleanType, nullable = true),

@@ -914,6 +914,49 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(3)._2 && out(3)._4.exists(_.contains("PNG")), out(3)._4.toString)
   }
 
+  test("ImageIODecoder: real JPEG decode; PNG parity with the wire-format PngDecoder; corrupt rejected") {
+    import java.awt.image.BufferedImage
+    def enc(im: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, fmt, bos), s"JDK $fmt encoder unavailable")
+      bos.toByteArray
+    }
+    def solid(w: Int, h: Int, argb: Int, typ: Int): BufferedImage = {
+      val im = new BufferedImage(w, h, typ)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, argb)
+      im
+    }
+    val gray = solid(16, 16, 0xff808080, BufferedImage.TYPE_INT_RGB)
+    val red = solid(8, 8, 0xffff0000, BufferedImage.TYPE_INT_RGB)
+    val rgba = solid(4, 4, 0x400a14c8, BufferedImage.TYPE_INT_ARGB)
+    val df = Seq(
+      (1L, enc(gray, "jpg")),   // lossy: JPEG of mid-gray decodes near-exact
+      (2L, enc(red, "jpg")),    // lossy: chroma subsampling wiggles a solid red a little
+      (3L, enc(red, "png")),
+      (4L, enc(rgba, "png")),
+      (5L, "definitely not an image".getBytes("UTF-8"))).toDF("id", "payload")
+    val out = Multimodal.decodeFeatures(df, "payload", new Multimodal.ImageIODecoder)
+      .select(col("id"), col("decoded.ok"), col("decoded.features"), col("decoded.error"))
+      .as[(Long, Boolean, Option[Seq[Float]], Option[String])].collect().sortBy(_._1)
+    val Some(j1) = out(0)._3
+    assert(out(0)._2 && j1(0) == 16f / 4096 && j1(2) == 24f / 32, j1.toString)
+    assert(math.abs(j1(3) - 128.0 / 255) < 0.01 && math.abs(j1(6) - 128.0 / 255) < 0.01,
+      s"JPEG mid-gray means: $j1")
+    assert(j1(7) < 0.02, "solid JPEG has ~zero luma stddev")
+    val Some(j2) = out(1)._3
+    assert(j2(3) > 0.9 && j2(4) < 0.1 && j2(5) < 0.1, s"JPEG solid red means: $j2")
+    // PNG path: ImageIO and the hand-rolled wire-format decoder must agree
+    // exactly (both read non-premultiplied 8-bit channels)
+    val png = new Multimodal.PngDecoder
+    for ((bytes, name) <- Seq(enc(red, "png") -> "rgb", enc(rgba, "png") -> "rgba")) {
+      val a = new Multimodal.ImageIODecoder().decode(bytes).toSeq
+      val b = png.decode(bytes).toSeq
+      assert(a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-6 },
+        s"$name: imageio $a vs wire $b")
+    }
+    assert(!out(4)._2 && out(4)._4.exists(_.contains("ImageIO")), out(4)._4.toString)
+  }
+
   test("metadata extraction and frame sampling") {
     val df = spark.range(1, 5).select(col("id"),
       Multimodal.fakePayload(col("id")).as("p"))
