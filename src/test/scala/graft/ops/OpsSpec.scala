@@ -837,6 +837,54 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(2)._2 && out(2)._4.nonEmpty, out(2)._4.toString)
   }
 
+  test("WavDecoder: sample stream parity with the JDK's javax.sound reader") {
+    // independent-implementation cross-check (same pattern as the
+    // PngDecoder/ImageIODecoder pair): recompute the amplitude features
+    // from the PCM stream javax.sound.sampled decodes, and require the
+    // wire-format parser's features to match to float precision
+    def wav(channels: Int, rate: Int, frames: Int): Array[Byte] = {
+      val n = frames * channels
+      val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + n * 2); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(channels.toShort); bb.putInt(rate)
+      bb.putInt(rate * channels * 2); bb.putShort((channels * 2).toShort); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(n * 2)
+      (0 until frames).foreach { i =>
+        val s = (0.7 * math.sin(2 * math.Pi * 317 * i / rate) * 32767).toShort
+        (0 until channels).foreach(c => bb.putShort((s + c * 100).toShort))
+      }
+      bb.array()
+    }
+    for (bytes <- Seq(wav(1, 8000, 4000), wav(2, 16000, 1600))) {
+      val ours = new Multimodal.WavDecoder().decode(bytes)
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      val raw = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = raw.length / 2
+      var sumSq = 0.0; var sumAbs = 0.0; var sum = 0.0
+      var peak = 0.0; var crossings = 0; var prevNeg = false
+      (0 until n).foreach { i =>
+        val s = bb.getShort(i * 2) / 32768.0
+        sumSq += s * s; sumAbs += math.abs(s); sum += s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        val neg = s < 0
+        if (i > 0 && neg != prevNeg) crossings += 1
+        prevNeg = neg
+      }
+      val frames = n / fmt.getChannels
+      val ref = Seq(fmt.getChannels.toFloat, fmt.getSampleRate / 48000f,
+        (frames.toDouble / fmt.getSampleRate).toFloat,
+        math.sqrt(sumSq / n).toFloat, peak.toFloat,
+        (crossings.toDouble / n).toFloat, (sumAbs / n).toFloat, (sum / n).toFloat)
+      assert(ours.toSeq.zip(ref).forall { case (a, b) => math.abs(a - b) < 1e-6 },
+        s"wire ${ours.toSeq} vs javax.sound $ref")
+    }
+  }
+
   test("BmpDecoder: real 24bpp BMP parse — solid color means, padded rows; corrupt rejected") {
     // synthesize a REAL bmp: 24bpp bottom-up, rows padded to 4 bytes
     def bmp(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
