@@ -319,6 +319,17 @@ object ScaleRehearsal {
           docs, docs.where(col("doc_id") < nDocs &&
             col("source").isin("src0", "src1")),
           "doc_id", "text", buckets = 512))),
+        // full-epoch UniMax: budget = 2x the corpus forces genuine epoch
+        // repetition at every scale — complete epochs are a broadcast join
+        // + map-side explode, the one partial epoch per source rides the
+        // bounded reservoir; expect ~linear wall in corpus size
+        "q151_unimax_epochs" -> (() => force(ops.TextOps.unimaxEpochsMixture(
+          docs.select(col("doc_id"), col("source")), "doc_id", "source",
+          budget = math.max(1L, nDocsDir * 2), maxEpochs = 3))),
+        // fused filter pipeline: four rule families, one zero-shuffle
+        // projection — wall tracks corpus bytes like q147
+        "q150_filter_pipeline" -> (() => force(ops.TextOps.filterPipeline(
+          docs, "doc_id", "text", wantedLangs = Seq("en", "de")))),
         // incremental contract: a FIXED batch (1/5 of ONE replica family)
         // matched against the PRE-STORED profile of everything else — the
         // per-batch cost should stay ~flat while the corpus scales
