@@ -1422,6 +1422,33 @@ class TextOpsSpec extends SparkSpec {
     assert(!out(5L)._7 && !out(5L)._8)
   }
 
+  test("unimax waterfill edges: single source, equal sizes, budget below |sources|") {
+    // single source: plain truncation to the budget
+    val one = (1L to 10L).map((_, "only")).toDF("doc_id", "source")
+    assert(TextOps.unimaxMixture(one, "doc_id", "source", 4).count() == 4)
+    // three equal 5-row sources, budget 7: none fits whole (5*3 > 7), so
+    // base 2 + remainder 1 to the first in ascending (size, name) order
+    val eq = (1L to 5L).map((_, "a")) ++ (11L to 15L).map((_, "b")) ++
+      (21L to 25L).map((_, "c"))
+    val eqDf = eq.toDF("doc_id", "source")
+    val a7 = TextOps.unimaxMixture(eqDf, "doc_id", "source", 7)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(a7 == Map("a" -> 3L, "b" -> 2L, "c" -> 2L), a7.toString)
+    // budget below the source count: only the first `budget` sources
+    // (ascending) get one row each — exact budget, no over-allocation
+    val a2 = TextOps.unimaxMixture(eqDf, "doc_id", "source", 2)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(a2 == Map("a" -> 1L, "b" -> 1L), a2.toString)
+    // epochs with a remainder split: caps 6/6 at E=2, budget 9 -> 5 + 4
+    val two = ((1L to 3L).map((_, "x")) ++ (11L to 13L).map((_, "y")))
+      .toDF("doc_id", "source")
+    val e9 = TextOps.unimaxEpochsMixture(two, "doc_id", "source", 9, maxEpochs = 2)
+    assert(e9.count() == 9)
+    val bySrc = e9.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc == Map("x" -> 5L, "y" -> 4L), bySrc.toString)
+    assert(e9.select(max("epoch")).as[Long].head() == 1L, "cap respected")
+  }
+
   test("unimaxEpochsMixture: epoch caps, complete + partial epochs, E=1 == unimaxMixture") {
     val df = (Seq((1L, "tiny"), (2L, "tiny")) ++
       (11L to 15L).map((_, "mid")) ++
