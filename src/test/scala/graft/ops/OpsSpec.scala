@@ -993,6 +993,14 @@ class MultimodalSpec extends SparkSpec {
     assert(j1(7) < 0.02, "solid JPEG has ~zero luma stddev")
     val Some(j2) = out(1)._3
     assert(j2(3) > 0.9 && j2(4) < 0.1 && j2(5) < 0.1, s"JPEG solid red means: $j2")
+    // formats the wire-format decoders DON'T handle: GIF and palette PNG
+    // (TYPE_BYTE_INDEXED encodes as PNG color type 3) decode through the
+    // registry with exact solid-color stats
+    for (fmt <- Seq("gif" -> BufferedImage.TYPE_BYTE_INDEXED, "png" -> BufferedImage.TYPE_BYTE_INDEXED)) {
+      val f = new Multimodal.ImageIODecoder().decode(enc(solid(6, 5, 0xffff0000, fmt._2), fmt._1))
+      assert(f(0) == 6f / 4096 && f(1) == 5f / 4096, s"${fmt._1} dims: ${f.toSeq}")
+      assert(f(3) == 1f && f(4) == 0f && f(5) == 0f, s"${fmt._1} solid red: ${f.toSeq}")
+    }
     // PNG path: ImageIO and the hand-rolled wire-format decoder must agree
     // exactly (both read non-premultiplied 8-bit channels)
     val png = new Multimodal.PngDecoder
