@@ -2700,6 +2700,47 @@ object SparkEntry {
         UNION ALL SELECT doc_id, lang, epoch FROM p
         ORDER BY doc_id, epoch""")),
 
+    // -- q152: fastText-style linear classifier inference over hashed
+    //    unigram+bigram features (CCNet/FineWeb-Edu quality-filter shape):
+    //    lexicon hashes to a 512-bucket weight table, broadcast back;
+    //    per-doc occurrence-weighted integer sum + mean ------------------
+    Q("q152_linear_classifier",
+      (s, dir) => {
+        val wt = ops.TextOps.lexiconGramWeights(s, Seq(
+          ("join", 1000000L), ("scan", 500000L), ("slow", -800000L),
+          ("small", -200000L), ("hash join", 2000000L)), buckets = 512)
+        ops.TextOps.linearGramScores(
+          T(s, dir, "documents"), "doc_id", "text", wt, buckets = 512)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (
+          SELECT doc_id, g FROM (
+            SELECT doc_id, unnest(t) AS g FROM tok
+            UNION ALL
+            SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS g
+            FROM (SELECT doc_id, t, unnest(range(1, greatest(2, len(t)))) AS i FROM tok))),
+        b AS (SELECT doc_id,
+                (CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 512) AS b FROM g),
+        lex(g, w) AS (VALUES
+          ('join', 1000000), ('scan', 500000), ('slow', -800000),
+          ('small', -200000), ('hash join', 2000000)),
+        wt AS (SELECT (CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 512) AS b,
+                 CAST(sum(w) AS BIGINT) AS w
+               FROM lex GROUP BY 1),
+        sc AS (SELECT b.doc_id, count(*) AS n_grams,
+                 CAST(coalesce(sum(wt.w), 0) AS BIGINT) AS score_micro_sum
+               FROM b LEFT JOIN wt USING (b) GROUP BY b.doc_id)
+        SELECT d.doc_id,
+          coalesce(sc.n_grams, 0) AS n_grams,
+          coalesce(sc.score_micro_sum, 0) AS score_micro_sum,
+          CASE WHEN coalesce(sc.n_grams, 0) > 0
+               THEN CAST(sc.score_micro_sum AS DOUBLE) / sc.n_grams
+               ELSE 0.0 END AS score_mean
+        FROM documents d LEFT JOIN sc USING (doc_id)
+        ORDER BY doc_id""")),
+
     // -- q148: DSIR hashed n-gram importance scores (arXiv:2302.03169):
     //    target = src0/src1 docs; unigram+bigram buckets, Laplace-smoothed
     //    fixed-point likelihood-ratio per bucket, occurrence-weighted sum

@@ -785,21 +785,13 @@ object TextOps {
                  textCol: String, buckets: Int = 1024): DataFrame = {
     require(buckets > 0 && buckets <= 65536, s"buckets must be in [1, 65536], got $buckets")
     val spark = corpus.sparkSession
-    def gramBuckets(df: DataFrame): DataFrame = {
-      val toks = df.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("__toks"))
-      val uni = toks.select(col("id"), explode(col("__toks")).as("__g"))
-      val bi = toks.select(col("id"),
-        explode(Dedup.shingleStringsFromTokens(col("__toks"), 2)).as("__g"))
-      uni.unionAll(bi)
-        .select(col("id"), pmod(Dedup.md5Hash60(col("__g")), lit(buckets.toLong)).as("__b"))
-    }
     def histogram(bucketed: DataFrame): Map[Long, Long] =
       bucketed.groupBy("__b").agg(count(lit(1)).as("__c"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // the corpus explode runs ONCE: persisted, it feeds both the
     // q-histogram action and the scoring join below
-    val corpusBuckets = gramBuckets(corpus).persistTracked()
-    val p = histogram(gramBuckets(target))
+    val corpusBuckets = gramBuckets(corpus, idCol, textCol, buckets).persistTracked()
+    val p = histogram(gramBuckets(target, idCol, textCol, buckets))
     val q = histogram(corpusBuckets)
     val pTot = BigInt(p.values.sum) + buckets
     val qTot = BigInt(q.values.sum) + buckets
@@ -819,6 +811,69 @@ object TextOps {
       .select(col(idCol), col("n_grams"), col("dsir_micro_sum"),
         (col("dsir_micro_sum").cast("double") / col("n_grams").cast("double"))
           .as("dsir_score"))
+  }
+
+  /** (id, bucket) pairs for every unigram+bigram of each document — the
+    * hashed-feature explode shared by [[dsirScores]] and
+    * [[linearGramScores]]. */
+  private def gramBuckets(df: DataFrame, idCol: String, textCol: String,
+                          buckets: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("__toks"))
+    val uni = toks.select(col("id"), explode(col("__toks")).as("__g"))
+    val bi = toks.select(col("id"),
+      explode(Dedup.shingleStringsFromTokens(col("__toks"), 2)).as("__g"))
+    uni.unionAll(bi)
+      .select(col("id"), pmod(Dedup.md5Hash60(col("__g")), lit(buckets.toLong)).as("__b"))
+  }
+
+  /** Linear classifier scoring over hashed n-gram features — the
+    * fastText-style quality/domain filter INFERENCE pass (the CCNet /
+    * FineWeb-Edu shape: a trained linear model scores every document and
+    * callers threshold or rank). The caller supplies the weight table
+    * (`(bucket, micro_weight)` — train anywhere, hash the vocabulary with
+    * [[lexiconGramWeights]] or any same-scheme md5 bucketing); a
+    * document's score is the occurrence-weighted integer SUM of its
+    * grams' bucket weights plus `biasMicro`, with the per-gram mean
+    * exposed as a double. Integer fixed-point micro-weights keep the
+    * hashed output engine-exact (same discipline as [[dsirScores]] — the
+    * sigmoid, being monotone, never changes a threshold decision and is
+    * left to callers who want probabilities).
+    *
+    * Scale shape: ONE corpus tokenize+explode; the weight table
+    * (≤ `buckets` rows) joins BROADCAST; one doc-keyed aggregation; the
+    * doc spine re-joins so gram-less documents still emit. Raw text never
+    * shuffles. */
+  def linearGramScores(corpus: DataFrame, idCol: String, textCol: String,
+                       weights: DataFrame, buckets: Int = 1024,
+                       biasMicro: Long = 0L): DataFrame = {
+    require(buckets > 0 && buckets <= 65536, s"buckets must be in [1, 65536], got $buckets")
+    val w = weights.select(col("bucket").cast("long").as("__b"),
+      col("micro_weight").cast("long").as("__w"))
+    val scored = gramBuckets(corpus, idCol, textCol, buckets)
+      .join(broadcast(w), Seq("__b"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        (coalesce(sum("__w"), lit(0L)) + lit(biasMicro)).as("score_micro_sum"))
+    corpus.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("score_micro_sum"), lit(biasMicro)).as("score_micro_sum"))
+      .withColumn("score_mean", when(col("n_grams") > 0,
+        col("score_micro_sum").cast("double") / col("n_grams").cast("double"))
+        .otherwise(lit(0.0)))
+  }
+
+  /** Hash a `(gram, integer micro-weight)` lexicon into the bucket space
+    * of [[linearGramScores]]; colliding grams SUM (the standard
+    * hashing-trick fold). */
+  def lexiconGramWeights(spark: org.apache.spark.sql.SparkSession,
+                         lexicon: Seq[(String, Long)], buckets: Int): DataFrame = {
+    require(lexicon.nonEmpty, "lexicon must not be empty")
+    spark.createDataFrame(lexicon).toDF("__g", "micro_weight")
+      .select(pmod(Dedup.md5Hash60(col("__g")), lit(buckets.toLong)).as("bucket"),
+        col("micro_weight"))
+      .groupBy("bucket").agg(sum("micro_weight").as("micro_weight"))
   }
 
   /** Corpus vocabulary: the `topK` most frequent whitespace tokens with

@@ -1535,6 +1535,32 @@ class TextOpsSpec extends SparkSpec {
     assert(fused.values.exists(_._4) && fused.values.exists(!_._4), "quality spread")
   }
 
+  test("linearGramScores: lexicon weights drive sign and ordering; gram counts exact; spine keeps unscored docs") {
+    val lex = Seq(("good", 1000000L), ("bad", -1000000L), ("very good", 3000000L))
+    val df = Seq(
+      (1L, "good good stuff"),      // 2x good = +2e6 over 5 grams
+      (2L, "bad bad bad"),          // 3x bad = -3e6 over 5 grams
+      (3L, "very good stuff here"), // very good bigram + good unigram
+      (4L, "neutral words only"))   // nothing weighted
+      .toDF("doc_id", "text")
+    val wt = TextOps.lexiconGramWeights(spark, lex, buckets = 65536)
+    val out = TextOps.linearGramScores(df, "doc_id", "text", wt, buckets = 65536)
+      .select("doc_id", "n_grams", "score_micro_sum", "score_mean")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // unigrams + bigrams: n tokens + (n-1) bigrams
+    assert(out(1L)._2 == 5L && out(2L)._2 == 5L && out(3L)._2 == 7L && out(4L)._2 == 5L)
+    assert(out(1L)._3 == 2000000L, out(1L).toString)
+    assert(out(2L)._3 == -3000000L, out(2L).toString)
+    assert(out(3L)._3 == 1000000L + 3000000L, out(3L).toString)
+    assert(out(4L)._3 == 0L && out(4L)._4 == 0.0)
+    assert(out(1L)._4 == 2000000.0 / 5 && out(2L)._4 < 0)
+    // bias shifts every document uniformly
+    val biased = TextOps.linearGramScores(df, "doc_id", "text", wt,
+      buckets = 65536, biasMicro = 500000L)
+      .select("doc_id", "score_micro_sum").as[(Long, Long)].collect().toMap
+    assert(biased.forall { case (id, s) => s == out(id)._3 + 500000L })
+  }
+
   test("dsirScores: target-like docs outscore off-target; gram counts exact") {
     // target distribution = docs about "cats"; raw corpus has one on-target
     // and one off-target doc of the same length
