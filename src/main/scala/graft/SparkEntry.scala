@@ -1732,6 +1732,22 @@ object SparkEntry {
   /** DuckDB: 60-bit md5-prefix hash of expr `e`, mod P. */
   private def sqlH60(e: String): String =
     s"(CAST('0x' || substr(md5($e),1,15) AS BIGINT) % $P)"
+  /** DuckDB: per-token hashes (mod P) of a token-list expr — the oracle twin
+    * of [[graft.expressions.TokenHashes]] (one md5 per token). */
+  private def sqlTokHashes(toksExpr: String): String =
+    s"list_transform($toksExpr, tk -> ${sqlH60("tk")})"
+  /** DuckDB: the polynomial gram hash of the L-window of hash-list `hs`
+    * starting at 1-based index expr `i` — value-identical to
+    * [[graft.expressions.PolyRollHash]] (constants C(j) = B^j mod P are
+    * interpolated; every product < 2^62, every sum < 2^35 — exact BIGINT). */
+  private def sqlPolyAt(hs: String, i: String, L: Int, outMod: Long = P): String = {
+    val terms = (0 until L).map { k =>
+      val c = graft.expressions.PolyRollHash.bPow(L - 1 - k)
+      if (c == 1L) s"$hs[$i+$k]" else s"($hs[$i+$k]*$c)%$P"
+    }
+    val core = s"(${terms.mkString(" + ")}) % $P"
+    if (outMod == P) core else s"(($core) % $outMod)"
+  }
   /** DuckDB: word-3-gram shingle hash set of text expr `t` (list of BIGINT). */
   private def sqlShingles(t: String): String =
     s"""list_distinct(list_transform(
@@ -2713,22 +2729,24 @@ object SparkEntry {
           T(s, dir, "documents"), "doc_id", "text", wt, buckets = 512)
           .orderBy("doc_id")
       },
-      Some("""
+      Some(s"""
         WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        g AS (
-          SELECT doc_id, g FROM (
-            SELECT doc_id, unnest(t) AS g FROM tok
+        th AS (SELECT doc_id, ${sqlTokHashes("t")} AS hs FROM tok),
+        b AS (
+          SELECT doc_id, b FROM (
+            SELECT doc_id, unnest(list_transform(hs, h -> h % 512)) AS b FROM th
             UNION ALL
-            SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS g
-            FROM (SELECT doc_id, t, unnest(range(1, greatest(2, len(t)))) AS i FROM tok))),
-        b AS (SELECT doc_id,
-                (CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 512) AS b FROM g),
+            SELECT doc_id, CASE WHEN len(hs) < 2 THEN hs[1] % 512
+                   ELSE ${sqlPolyAt("hs", "i", 2, 512)} END AS b
+            FROM (SELECT doc_id, hs, unnest(range(1, greatest(2, len(hs)))) AS i FROM th))),
         lex(g, w) AS (VALUES
           ('join', 1000000), ('scan', 500000), ('slow', -800000),
           ('small', -200000), ('hash join', 2000000)),
-        wt AS (SELECT (CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 512) AS b,
-                 CAST(sum(w) AS BIGINT) AS w
-               FROM lex GROUP BY 1),
+        wt AS (SELECT b, CAST(sum(w) AS BIGINT) AS w FROM (
+                 SELECT CASE WHEN len(hs) < 2 THEN hs[1]
+                        ELSE ${sqlPolyAt("hs", "1", 2)} END % 512 AS b, w
+                 FROM (SELECT ${sqlTokHashes("string_split(g, ' ')")} AS hs, w FROM lex))
+               GROUP BY b),
         sc AS (SELECT b.doc_id, count(*) AS n_grams,
                  CAST(coalesce(sum(wt.w), 0) AS BIGINT) AS score_micro_sum
                FROM b LEFT JOIN wt USING (b) GROUP BY b.doc_id)
@@ -2755,14 +2773,14 @@ object SparkEntry {
       },
       Some(s"""
         WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        g AS (
-          SELECT doc_id, g FROM (
-            SELECT doc_id, unnest(t) AS g FROM tok
+        th AS (SELECT doc_id, ${sqlTokHashes("t")} AS hs FROM tok),
+        b AS (
+          SELECT doc_id, b FROM (
+            SELECT doc_id, unnest(list_transform(hs, h -> h % 512)) AS b FROM th
             UNION ALL
-            SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS g
-            FROM (SELECT doc_id, t, unnest(range(1, greatest(2, len(t)))) AS i FROM tok))),
-        b AS (SELECT doc_id,
-                (CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 512) AS b FROM g),
+            SELECT doc_id, CASE WHEN len(hs) < 2 THEN hs[1] % 512
+                   ELSE ${sqlPolyAt("hs", "i", 2, 512)} END AS b
+            FROM (SELECT doc_id, hs, unnest(range(1, greatest(2, len(hs)))) AS i FROM th))),
         q AS (SELECT b, count(*) AS q FROM b GROUP BY b),
         p AS (SELECT b.b, count(*) AS p
               FROM b JOIN documents d USING (doc_id)
@@ -3131,10 +3149,11 @@ object SparkEntry {
         .orderBy("doc_id"),
       Some(s"""
         WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        g AS (
-          SELECT doc_id, t[i] AS p, concat_ws(' ', t[i], t[i+1]) AS gstr
-          FROM (SELECT doc_id, t, unnest(range(1, greatest(2, len(t)))) AS i FROM tt)),
-        occ AS (SELECT doc_id, ${sqlH60("p")} AS hp, ${sqlH60("gstr")} AS hg FROM g),
+        th AS (SELECT doc_id, ${sqlTokHashes("t")} AS hs FROM tt),
+        occ AS (
+          SELECT doc_id, hs[i] AS hp,
+            CASE WHEN len(hs) < 2 THEN hs[i] ELSE ${sqlPolyAt("hs", "i", 2)} END AS hg
+          FROM (SELECT doc_id, hs, unnest(range(1, greatest(2, len(hs)))) AS i FROM th)),
         cb AS (SELECT hp, hg, count(*) AS c_bigram FROM occ GROUP BY 1, 2),
         cp AS (SELECT hp, CAST(sum(c_bigram) AS BIGINT) AS c_prefix FROM cb GROUP BY 1),
         pr AS (
@@ -3358,9 +3377,10 @@ object SparkEntry {
         .orderBy("doc_id"),
       Some(s"""
         WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
-                i -> {'pos': i - 1, 'h': ${sqlH60("array_to_string(toks[i:i+7], ' ')")}})) AS u
-              FROM t),
+        th AS (SELECT doc_id, ${sqlTokHashes("toks")} AS hs FROM t),
+        g AS (SELECT doc_id, unnest(list_transform(range(1, len(hs) - 6),
+                i -> {'pos': i - 1, 'h': ${sqlPolyAt("hs", "i", 8)}})) AS u
+              FROM th),
         d AS (SELECT doc_id, pos FROM (
                 SELECT doc_id, u.pos AS pos, count(*) OVER (PARTITION BY u.h) AS c FROM g)
               WHERE c >= 2),
@@ -3390,9 +3410,10 @@ object SparkEntry {
         .orderBy("doc_id"),
       Some(s"""
         WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
-                i -> {'pos': i - 1, 'h': ${sqlH60("array_to_string(toks[i:i+7], ' ')")}})) AS u
-              FROM t),
+        th AS (SELECT doc_id, ${sqlTokHashes("toks")} AS hs FROM t),
+        g AS (SELECT doc_id, unnest(list_transform(range(1, len(hs) - 6),
+                i -> {'pos': i - 1, 'h': ${sqlPolyAt("hs", "i", 8)}})) AS u
+              FROM th),
         d AS (SELECT doc_id, pos FROM (
                 SELECT doc_id, u.pos AS pos, count(*) OVER (PARTITION BY u.h) AS c FROM g)
               WHERE c >= 2),

@@ -51,6 +51,25 @@ object Dedup {
     org.apache.spark.sql.GraftColumn.of(
       graft.expressions.Md5Hash60(org.apache.spark.sql.GraftColumn.expr(c)))
 
+  /** Polynomial rolling-hash base (Rabin–Karp gram fingerprints) —
+    * interpolated into the DuckDB oracles as a literal. */
+  val B: Long = graft.expressions.PolyRollHash.B
+
+  /** Per-token 60-bit md5 hashes mod P — one md5 per token, native codegen
+    * ([[graft.expressions.TokenHashes]]). Front half of the rolling-gram
+    * scheme; bind to a column once and feed [[polyRollHash]]. */
+  def tokenHashes(toks: Column): Column =
+    org.apache.spark.sql.GraftColumn.of(
+      graft.expressions.TokenHashes(org.apache.spark.sql.GraftColumn.expr(toks)))
+
+  /** O(1)-per-window Rabin–Karp polynomial hashes of every `span`-length
+    * window of a token-hash array, values mod `outMod`
+    * ([[graft.expressions.PolyRollHash]]; shingle short-array edge rule). */
+  def polyRollHash(tokenHashes: Column, span: Int, outMod: Long = P): Column =
+    org.apache.spark.sql.GraftColumn.of(
+      graft.expressions.PolyRollHash(
+        org.apache.spark.sql.GraftColumn.expr(tokenHashes), span, outMod))
+
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
@@ -603,17 +622,19 @@ object Dedup {
     require(spanTokens > 1, s"spanTokens must be > 1, got $spanTokens")
     val L = spanTokens
     import org.apache.spark.sql.expressions.Window
-    // gram STRINGS explode first; the crypto hash runs in the flat codegen'd
-    // projection after (HOF lambdas evaluate interpreted — same discipline
-    // as shingleProfiles)
+    // Rabin–Karp rolling gram fingerprints (the Lee et al. construction):
+    // ONE md5 per token, then every L-token window hash is an O(1) integer
+    // rolling update — the r10 path md5-hashed the concatenated L-token
+    // string at every position (O(L) hash work per position, the dominant
+    // cost of the whole operator). Both halves run native inside
+    // whole-stage codegen; the oracle recomputes the identical polynomial
+    // per position in plain integer SQL.
     val pos = df
       .select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
       .where(size(col("__toks")) >= L)
-      .select(col("id"), posexplode(transform(
-        sequence(lit(0), size(col("__toks")) - L),
-        p => concat_ws(" ", (0 until L).map(k => get(col("__toks"), p + k)): _*)))
-        .as(Seq("pos", "__s")))
-      .select(col("id"), col("pos"), pmod(md5Hash60(col("__s")), lit(P)).as("__h"))
+      .select(col("id"),
+        posexplode(polyRollHash(tokenHashes(col("__toks")), L, P))
+          .as(Seq("pos", "__h")))
     val dupHashes = pos.groupBy(col("__h")).agg(count(lit(1)).as("__cnt"))
       .where(col("__cnt") >= 2)
       .select(col("__h"))

@@ -22,6 +22,21 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Decode-side decompression-bomb guard: max pixels a single image may
+    * declare before any pixel buffer is allocated (default 2^26 ≈ 67 MP —
+    * a 256 MB ARGB raster, comfortably above any legitimate training
+    * image; configurable via `-Dgraft.media.maxPixels=`). Checked from the
+    * parsed HEADER dims in both [[PngDecoder]] and [[ImageIODecoder]], so
+    * a kilobyte payload claiming a terapixel canvas is a clean
+    * errors-as-data reject, not an executor OOM. */
+  val maxPixels: Long =
+    sys.props.get("graft.media.maxPixels").map(_.toLong).getOrElse(1L << 26)
+
+  private[ops] def checkPixelCount(width: Int, height: Int): Unit =
+    if (width.toLong * height > maxPixels)
+      throw new IllegalArgumentException(
+        s"image ${width}x$height exceeds the $maxPixels-pixel decode cap")
+
   /** Typed metadata carried alongside every media payload. */
   val mediaMetaType: StructType = StructType(Seq(
     StructField("format", StringType),
@@ -237,6 +252,9 @@ object Multimodal {
             val interlace = bytes(off + 20) & 0xff
             if (width <= 0 || height <= 0)
               throw new IllegalArgumentException(s"bad dimensions ${width}x$height")
+            // cap at the HEADER, before any IDAT bytes are even buffered —
+            // a zlib bomb must not get to stage its compressed payload
+            Multimodal.checkPixelCount(width, height)
             if (bitDepth != 8 || (colorType != 2 && colorType != 6))
               throw new IllegalArgumentException(
                 s"only 8-bit RGB/RGBA supported (depth=$bitDepth, color=$colorType)")
@@ -251,9 +269,14 @@ object Multimodal {
       if (colorType < 0 || idat.size() == 0)
         throw new IllegalArgumentException("missing IHDR or IDAT chunk")
       val bpp = if (colorType == 2) 3 else 4 // bytes per pixel
-      val stride = width * bpp
-      if ((stride + 1).toLong * height > Int.MaxValue - 8)
+      // stride in LONG before any narrowing: a crafted IHDR width ≥ ~2^29
+      // overflows `width * bpp` in Int, which would make the size guard
+      // check a wrong (possibly small-positive) value and surface the
+      // failure as an array-bounds error instead of a clean reject
+      val strideL = width.toLong * bpp
+      if ((strideL + 1L) * height > Int.MaxValue - 8)
         throw new IllegalArgumentException("pixel array too large for one buffer")
+      val stride = strideL.toInt
       val raw = new Array[Byte]((stride + 1) * height)
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
@@ -337,9 +360,24 @@ object Multimodal {
     def decode(bytes: Array[Byte]): Array[Float] = {
       if (bytes == null || bytes.length == 0)
         throw new IllegalArgumentException("empty payload")
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null)
+      // HEADER dims first, pixel buffers after: a tiny crafted payload can
+      // declare huge dimensions, and ImageIO.read would allocate the full
+      // raster before we ever saw them — an executor OOM that escapes the
+      // errors-as-data contract. getWidth/getHeight parse only the header.
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext)
         throw new IllegalArgumentException("no ImageIO reader recognizes the payload")
+      val reader = readers.next()
+      val img = try {
+        reader.setInput(iis)
+        val (w0, h0) = (reader.getWidth(0), reader.getHeight(0))
+        if (w0 <= 0 || h0 <= 0)
+          throw new IllegalArgumentException(s"bad dimensions ${w0}x$h0")
+        Multimodal.checkPixelCount(w0, h0)
+        reader.read(0)
+      } finally { reader.dispose(); iis.close() }
       val width = img.getWidth; val height = img.getHeight
       if (width <= 0 || height <= 0)
         throw new IllegalArgumentException(s"bad dimensions ${width}x$height")

@@ -150,6 +150,14 @@ object Similarity {
     * float quantizer over longs would be wrong). Caller persists `c`. */
   private def kmeansCentroidsQ(c: DataFrame, nlist: Int, iters: Int,
                                dim: Int): Seq[(Long, Array[Long])] = {
+    // every Lloyd round collects nlist×dim per-(centroid,dim) sum rows to
+    // the driver — ~16 MB at the √N-for-10⁹-vectors operating point, but
+    // unbounded nlist would silently turn that into a driver OOM. Loud
+    // guard, same discipline as the histogram cardinality guard in Stats.
+    require(nlist.toLong * dim <= 16L * 1000 * 1000,
+      s"nlist*dim = ${nlist.toLong * dim} exceeds the 16M-row Lloyd driver-reduction cap " +
+        s"(nlist=$nlist, dim=$dim): use a smaller centroid count — nlist ≈ sqrt(N) " +
+        "is the intended operating point")
     val spark = c.sparkSession
     var cents: Seq[(Long, Array[Long])] = seedCentroids(c, nlist)
       .select(col("cent_id"), col("__centv")).collect()

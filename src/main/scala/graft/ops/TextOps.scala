@@ -525,7 +525,10 @@ object TextOps {
     * rank ≤ allocation — reproducible row-for-row across runs and engines.
     * NULL ids are excluded (not sampleable identities), and NULL sources
     * are excluded BEFORE the size aggregation — an unidentifiable source
-    * can neither receive nor silently consume budget.
+    * can neither receive nor silently consume budget. `(source, id)` must
+    * uniquely identify a row (the [[selectPerSource]] precondition — with
+    * duplicates the kept count and the two selection routes diverge);
+    * [[unimaxEpochsMixture]] inherits the same requirement.
     *
     * Scale shape: source sizes are ONE tiny keyed aggregation (collected —
     * |sources| rows, bounded); the waterfill is driver-side integer math on
@@ -639,7 +642,14 @@ object TextOps {
     * ops: keep each listed source's `alloc` smallest (md5-draw, id) rows.
     * Bounded [[graft.expressions.ReservoirAgg]] route (≤ k pairs per map
     * task — no |sources|-reducer funnel) when the id is integral and the
-    * largest allocation fits an Int; per-source window rank otherwise. */
+    * largest allocation fits an Int; per-source window rank otherwise.
+    *
+    * PRECONDITION: `(source, id)` uniquely identifies a row. The two routes
+    * are equivalent only then — the window route ranks duplicate rows
+    * individually and keeps exactly `alloc`, while the reservoir route
+    * selects ids and semi-joins back, returning EVERY row of a selected id.
+    * Callers (the mixture ops) state the same precondition; violating it
+    * makes the output depend on the id's type. */
   private def selectPerSource(live: DataFrame, outCols: Seq[Column],
       idCol: String, sourceCol: String, alloc: Seq[(String, Long)]): DataFrame = {
     val spark = live.sparkSession
@@ -818,12 +828,19 @@ object TextOps {
     * [[linearGramScores]]. */
   private def gramBuckets(df: DataFrame, idCol: String, textCol: String,
                           buckets: Int): DataFrame = {
-    val toks = df.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("__toks"))
-    val uni = toks.select(col("id"), explode(col("__toks")).as("__g"))
-    val bi = toks.select(col("id"),
-      explode(Dedup.shingleStringsFromTokens(col("__toks"), 2)).as("__g"))
-    uni.unionAll(bi)
-      .select(col("id"), pmod(Dedup.md5Hash60(col("__g")), lit(buckets.toLong)).as("__b"))
+    // Rolling-hash feature buckets: ONE md5 per token (TokenHashes), then
+    // unigram buckets are the token hashes mod `buckets` and bigram buckets
+    // the O(1) polynomial combine — the r10 path md5-hashed every gram
+    // STRING (each token digested 3×) and scanned the corpus twice through
+    // a unionAll. One scan, one explode, integer-only after tokenization;
+    // PolyRollHash's shingle edge rule keeps 1-token docs emitting the
+    // degenerate whole-text bigram exactly like the string-shingle family.
+    val m = buckets.toLong
+    df.select(col(idCol).as("id"),
+        Dedup.tokenHashes(Dedup.tokens(col(textCol))).as("__th"))
+      .select(col("id"), explode(concat(
+        Dedup.polyRollHash(col("__th"), 1, m),
+        Dedup.polyRollHash(col("__th"), 2, m))).as("__b"))
   }
 
   /** Linear classifier scoring over hashed n-gram features — the
@@ -870,8 +887,15 @@ object TextOps {
   def lexiconGramWeights(spark: org.apache.spark.sql.SparkSession,
                          lexicon: Seq[(String, Long)], buckets: Int): DataFrame = {
     require(lexicon.nonEmpty, "lexicon must not be empty")
+    // same scheme as [[gramBuckets]]: an n-token gram hashes to the
+    // polynomial over its per-token hashes (the fold IS the rolling-window
+    // hash when the window is the whole gram). Interpreted HOF is fine on a
+    // lexicon-sized frame.
     spark.createDataFrame(lexicon).toDF("__g", "micro_weight")
-      .select(pmod(Dedup.md5Hash60(col("__g")), lit(buckets.toLong)).as("bucket"),
+      .select(pmod(aggregate(
+          Dedup.tokenHashes(split(col("__g"), " ")), lit(0L),
+          (acc, h) => (acc * lit(Dedup.B) + h) % lit(Dedup.P)),
+        lit(buckets.toLong)).as("bucket"),
         col("micro_weight"))
       .groupBy("bucket").agg(sum("micro_weight").as("micro_weight"))
   }
@@ -966,8 +990,9 @@ object TextOps {
     * collapse to the vocab²-bounded (prefix, gram) table map-side; prefix
     * totals aggregate THAT table, not the corpus. The probability table joins
     * back to occurrences keyed on the gram hashes (AQE broadcasts it when the
-    * vocabulary is small). Gram identity is the shared md5-based 60-bit hash,
-    * so the rare collision produces identical results in engine and oracle.
+    * vocabulary is small). Gram identity is the md5-per-token polynomial
+    * rolling hash (TokenHashes/PolyRollHash scheme), reproduced exactly by
+    * the oracle, so the rare collision produces identical results in both.
     *
     * Output: (doc_id, lm_micro_sum, n_bigrams, lm_score), one row per doc
     * (docs shorter than 2 tokens contribute their single token as its own
@@ -982,16 +1007,25 @@ object TextOps {
     * consumer re-shuffles — the r7 shape paid two extra doc-gram-sized
     * exchanges for exactly that). */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // tokens BOUND to a column before the HOF: interpreted lambda bodies get
-    // no CSE, so `get(split(text), i)` would re-split the text per element
-    // (the shingleStringsFromTokens pitfall — measured 3x on this operator)
-    val toks = col("__toks")
-    // (prefix, bigram-string) pairs, 1-based index idiom shared with the SQL
-    // oracle twin (concat_ws drops the null tail token on the last position)
+    // token HASHES bound to a column before the HOF: interpreted lambda
+    // bodies get no CSE, so indexing off an unbound expression would
+    // re-evaluate it per element (the shingleStringsFromTokens pitfall —
+    // measured 3x on this operator in its string-gram form)
+    val th = col("__th")
+    // (prefix-hash, bigram-hash) pairs off the ONE-md5-per-token hash array
+    // (TokenHashes): the prefix hash IS the token hash, the bigram hash the
+    // O(1) polynomial combine — the r10 path md5-hashed both the prefix
+    // token and the concatenated bigram string at every position. The
+    // lambda body is interpreted but integer-only (element_at on a bound
+    // long array — no crypto, no re-split). 1-based index idiom shared with
+    // the SQL oracle twin; 1-token docs emit the degenerate whole-text
+    // bigram (hg = hp), matching the string-shingle family's edge rule.
     val pairs = transform(
-      sequence(lit(1), greatest(lit(1), size(toks) - 1)),
-      i => struct(get(toks, i - 1).as("p"),
-        concat_ws(" ", get(toks, i - 1), get(toks, i)).as("g")))
+      sequence(lit(1), greatest(lit(1), size(th) - 1)),
+      i => struct(element_at(th, i).as("p"),
+        when(size(th) < 2, element_at(th, i))
+          .otherwise((element_at(th, i) * lit(Dedup.B) % lit(Dedup.P) +
+            element_at(th, i + 1)) % lit(Dedup.P)).as("g")))
     // ONE gram-hash-keyed exchange of the exploded stream, then EVERYTHING
     // up to the final per-doc rollup rides it: hashpartitioning(hp, hg)
     // satisfies the per-doc collapse (subset rule: {hp,hg} ⊆ {doc,hp,hg}),
@@ -999,11 +1033,10 @@ object TextOps {
     // the r7 shape re-shuffled the doc-gram frame twice more (once into the
     // corpus counts, once into the prob join), tripling the big exchanges.
     val occ = df
-      .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol).as("doc_id"),
+        Dedup.tokenHashes(Dedup.tokens(col(textCol))).as("__th"))
       .select(col("doc_id"), explode(pairs).as("__pg"))
-      .select(col("doc_id"),
-        pmod(Dedup.md5Hash60(col("__pg.p")), lit(Dedup.P)).as("__hp"),
-        pmod(Dedup.md5Hash60(col("__pg.g")), lit(Dedup.P)).as("__hg"))
+      .select(col("doc_id"), col("__pg.p").as("__hp"), col("__pg.g").as("__hg"))
       // explicit null filter (null hash ⇔ null text edge): output-equivalent
       // (a null key can never survive the inner probability join), and it
       // keeps BOTH consumers' subtrees byte-identical — the prob join would

@@ -25,7 +25,9 @@ object TimeCols {
     * `cast("timestamp")` would do, producing values off by 10⁶. For the two
     * supported input types the extra hop is value-exact: NTZ→NTZ is a
     * no-op, and TIMESTAMP→NTZ→TIMESTAMP round-trips identically under any
-    * single session timezone (all entry points pin UTC). */
+    * FIXED-OFFSET session timezone — UTC, as every entry point pins. (In a
+    * DST zone the ambiguous fall-back hour would collapse to one offset;
+    * correctness here rests on that UTC pin.) */
   def epochMicros(c: Column): Column =
     unix_micros(c.cast("timestamp_ntz").cast("timestamp"))
 }

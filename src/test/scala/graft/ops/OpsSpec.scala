@@ -487,6 +487,16 @@ class SimilaritySpec extends SparkSpec {
     assert(c0.zip(c2).exists { case ((_, a), (_, b)) => !a.sameElements(b) })
   }
 
+  test("kmeansCentroids: extreme nlist hits the Lloyd driver-reduction cap loudly") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // each Lloyd round collects nlist*dim rows to the driver; the guard
+    // must fire BEFORE any job runs (no partial work, no silent OOM path)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroids(emb, "vec_id", "embedding", nlist = 1000000, iters = 1)
+    }
+    assert(e.getMessage.contains("Lloyd driver-reduction cap"), e.getMessage)
+  }
+
   test("persistent IVF index: searchIndexed == in-memory ivfTopK, probe IO is bucket-pruned") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
@@ -1011,6 +1021,46 @@ class MultimodalSpec extends SparkSpec {
         s"$name: imageio $a vs wire $b")
     }
     assert(!out(4)._2 && out(4)._4.exists(_.contains("ImageIO")), out(4)._4.toString)
+  }
+
+  test("decompression-bomb guard: kilobyte payloads declaring huge dims are clean rejects") {
+    // a crafted PNG whose IHDR declares width 2^29: stride*bpp overflows
+    // Int, so the pre-allocation guards must run in Long AND the pixel cap
+    // must reject from the parsed header — never an array-bounds error or
+    // a multi-GB allocation
+    def craftedPng(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + 25 + 13 + 12)
+      bb.putLong(0x89504e470d0a1a0aL)              // PNG signature
+      bb.putInt(13); bb.put("IHDR".getBytes("US-ASCII"))
+      bb.putInt(w); bb.putInt(h)
+      bb.put(8.toByte); bb.put(2.toByte)           // 8-bit RGB
+      bb.put(0.toByte); bb.put(0.toByte); bb.put(0.toByte)
+      bb.putInt(0)                                 // CRC (unchecked)
+      bb.putInt(1); bb.put("IDAT".getBytes("US-ASCII")); bb.put(0.toByte); bb.putInt(0)
+      bb.putInt(0); bb.put("IEND".getBytes("US-ASCII")); bb.putInt(0)
+      bb.array()
+    }
+    val png = new Multimodal.PngDecoder
+    val e1 = intercept[IllegalArgumentException] { png.decode(craftedPng(1 << 29, 3)) }
+    assert(e1.getMessage.contains("decode cap"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] { png.decode(craftedPng(100000, 100000)) }
+    assert(e2.getMessage.contains("decode cap"), e2.getMessage)
+    // ImageIO route: the same kilobyte PNG declaring a 10-gigapixel canvas —
+    // header dims are read FIRST (ImageReader.getWidth/getHeight), so the
+    // reject happens before any raster allocation (ImageIO.read would have
+    // allocated it blind)
+    val e3 = intercept[IllegalArgumentException] {
+      new Multimodal.ImageIODecoder().decode(craftedPng(100000, 100000))
+    }
+    assert(e3.getMessage.contains("decode cap"), e3.getMessage)
+    // and the errors-as-data contract holds end-to-end: the same payloads
+    // through decodeFeatures travel as row errors, not executor failures
+    val df = Seq((1L, craftedPng(1 << 29, 3)), (2L, craftedPng(100000, 100000)))
+      .toDF("id", "payload")
+    val rows = Multimodal.decodeFeatures(df, "payload", new Multimodal.ImageIODecoder)
+      .select(col("id"), col("decoded.ok"), col("decoded.error"))
+      .as[(Long, Boolean, Option[String])].collect().sortBy(_._1)
+    assert(rows.forall(r => !r._2 && r._3.exists(_.contains("decode cap"))), rows.mkString(";"))
   }
 
   test("metadata extraction and frame sampling") {
