@@ -91,6 +91,11 @@ object GraftExtensions {
     case d: org.apache.spark.sql.types.Decimal => d.toDouble
     case other => throw new IllegalArgumentException(s"$what must be numeric, got $other")
   }
+  private def lng(e: Expression, what: String): Long = litOf(e, what) match {
+    case n: java.lang.Number => n.longValue()
+    case d: org.apache.spark.sql.types.Decimal => d.toLong
+    case other => throw new IllegalArgumentException(s"$what must be an integer, got $other")
+  }
   /** Resolve a table/view name through the ACTIVE session's catalog — the
     * builder runs inside analysis, where an active session always exists. */
   private def table(name: String): DataFrame = SparkSession.active.table(name)
@@ -229,6 +234,81 @@ object GraftExtensions {
         store.read(str(args(1), "feature"),
             str(args(2), "entityKeysCsv").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
             if (v < 0) None else Some(v))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_temperature_mixture"),
+      info("graft_temperature_mixture",
+        "graft_temperature_mixture(table, idCol, sourceCol, temperature) - temperature-tempered source resampling: keep each source at rate (n_s^T / max rate), deterministic per-row draw"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "usage: graft_temperature_mixture(table, idCol, sourceCol, temperature)")
+        ops.TextOps.temperatureMixture(table(str(args(0), "table")),
+          str(args(1), "idCol"), str(args(2), "sourceCol"), dbl(args(3), "temperature"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_unimax"),
+      info("graft_unimax",
+        "graft_unimax(table, idCol, sourceCol, budget) - UniMax budget-capped mixture: waterfilled per-source document allocation, deterministic hash-ranked selection; (source,id) must be unique"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "usage: graft_unimax(table, idCol, sourceCol, budget)")
+        ops.TextOps.unimaxMixture(table(str(args(0), "table")),
+          str(args(1), "idCol"), str(args(2), "sourceCol"), lng(args(3), "budget"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_unimax_epochs"),
+      info("graft_unimax_epochs",
+        "graft_unimax_epochs(table, idCol, sourceCol, budget, maxEpochs) - UniMax with epoch repeats: small sources repeat up to maxEpochs times toward the budget; adds epoch column"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "usage: graft_unimax_epochs(table, idCol, sourceCol, budget, maxEpochs)")
+        ops.TextOps.unimaxEpochsMixture(table(str(args(0), "table")),
+          str(args(1), "idCol"), str(args(2), "sourceCol"),
+          lng(args(3), "budget"), int(args(4), "maxEpochs"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_c4_rules"),
+      info("graft_c4_rules",
+        "graft_c4_rules(table, idCol, textCol, minSentences, minWordsPerLine) - C4 document heuristics as per-rule boolean reasons + accept"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "usage: graft_c4_rules(table, idCol, textCol, minSentences, minWordsPerLine)")
+        ops.TextOps.c4Rules(table(str(args(0), "table")),
+          str(args(1), "idCol"), str(args(2), "textCol"),
+          int(args(3), "minSentences"), int(args(4), "minWordsPerLine"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_dsir_scores"),
+      info("graft_dsir_scores",
+        "graft_dsir_scores(corpusTable, targetTable, idCol, textCol, buckets) - DSIR hashed-n-gram importance scores of the corpus against the target distribution. NOTE: the two feature histograms are computed at ANALYSIS time (they parameterize the plan); materialize the result rather than re-issuing per statement"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "usage: graft_dsir_scores(corpusTable, targetTable, idCol, textCol, buckets)")
+        ops.TextOps.dsirScores(table(str(args(0), "corpusTable")),
+          table(str(args(1), "targetTable")), str(args(2), "idCol"),
+          str(args(3), "textCol"), int(args(4), "buckets"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_filter_pipeline"),
+      info("graft_filter_pipeline",
+        "graft_filter_pipeline(table, idCol, textCol, wantedLangsCsv) - fused lang-id + quality + Gopher + C4 filter pass: every rule column and the combined accept, ONE corpus scan"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "usage: graft_filter_pipeline(table, idCol, textCol, wantedLangsCsv)")
+        ops.TextOps.filterPipeline(table(str(args(0), "table")),
+          str(args(1), "idCol"), str(args(2), "textCol"),
+          str(args(3), "wantedLangsCsv").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_linear_scores"),
+      info("graft_linear_scores",
+        "graft_linear_scores(corpusTable, weightsTable, idCol, textCol, buckets, biasMicro) - linear classifier inference over hashed unigram+bigram features; weightsTable has (bucket, micro_weight) rows"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "usage: graft_linear_scores(corpusTable, weightsTable, idCol, textCol, buckets, biasMicro)")
+        ops.TextOps.linearGramScores(table(str(args(0), "corpusTable")),
+          str(args(2), "idCol"), str(args(3), "textCol"),
+          table(str(args(1), "weightsTable")), int(args(4), "buckets"),
+          lng(args(5), "biasMicro"))
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_topk_group"),

@@ -2605,70 +2605,8 @@ object SparkEntry {
       (s, dir) => ops.TextOps.filterPipeline(
         T(s, dir, "documents"), "doc_id", "text", wantedLangs = Seq("en", "de"))
         .orderBy("id"),
-      Some {
-        // the same langId fold as q78's oracle
-        val profiles = ops.TextOps.langProfiles.sortBy(_._1)
-        val scoreExprs = profiles.map { case (lang, words) =>
-          val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
-          s"len(list_filter(string_split(lower(text),' '), t -> list_contains($arr, t))) AS s_$lang"
-        }.mkString(", ")
-        val (bestLang, bestScore) = profiles.foldLeft(("'unknown'", "0")) {
-          case ((bl, bs), (lang, _)) =>
-            (s"CASE WHEN s_$lang > $bs THEN '$lang' ELSE $bl END",
-             s"greatest(s_$lang, $bs)")
-        }
-        s"""
-        WITH lang AS (
-          SELECT id, CASE WHEN $bestScore > 0 THEN $bestLang ELSE 'unknown' END AS lang_guess
-          FROM (SELECT doc_id AS id, $scoreExprs FROM documents)),
-        q AS (
-          SELECT doc_id AS id,
-            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-            CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
-            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-              / len(string_split(text, ' ')) AS uniq_ratio,
-            CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-              / length(text) AS punct_ratio
-          FROM documents),
-        g AS (
-          SELECT id,
-            ((n_words >= 50 AND n_words <= 100000)
-              AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-              AND (alpha_ratio >= 0.8) AND (stop_hits >= 2)) AS r_gopher
-          FROM (
-            SELECT doc_id AS id, CAST(len(toks) AS BIGINT) AS n_words,
-              CASE WHEN len(toks) > 0
-                THEN CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks)
-                ELSE 0.0 END AS mean_word_len,
-              CASE WHEN len(toks) > 0
-                THEN CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(toks)
-                ELSE 0.0 END AS alpha_ratio,
-              len(list_intersect(list_distinct(toks),
-                ['the','be','to','of','and','that','have','with'])) AS stop_hits
-            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
-        c AS (
-          SELECT doc_id AS id,
-            (CAST(len(list_filter(regexp_split_to_array(text, '[.!?]'),
-               x -> len(trim(x)) > 0)) AS BIGINT) >= 3
-             AND CAST(len(list_filter(
-               list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0),
-               l -> len(list_filter(string_split(trim(l), ' '),
-                        w -> len(w) > 0)) < 5)) AS BIGINT) = 0
-             AND NOT (instr(lower(text), 'lorem ipsum') > 0)
-             AND NOT (instr(text, '{') > 0)) AS r_c4
-          FROM documents)
-        SELECT lang.id, lang.lang_guess, q.n_tokens,
-          (lang.lang_guess IN ('en', 'de')) AS r_lang,
-          (q.n_tokens >= 5 AND q.avg_token_len <= 20.0
-            AND q.uniq_ratio >= 0.2 AND q.punct_ratio <= 0.3) AS r_quality,
-          g.r_gopher, c.r_c4,
-          ((lang.lang_guess IN ('en', 'de'))
-            AND (q.n_tokens >= 5 AND q.avg_token_len <= 20.0
-                 AND q.uniq_ratio >= 0.2 AND q.punct_ratio <= 0.3)
-            AND g.r_gopher AND c.r_c4) AS accept
-        FROM lang JOIN q USING (id) JOIN g USING (id) JOIN c USING (id)
-        ORDER BY id"""
-      }),
+      Some(sqlFilterPipeline)),
+
 
     // -- q151: UniMax with FULL epoch semantics (arXiv:2304.09151): caps
     //    at maxEpochs passes per source — small sources REPEAT (complete
@@ -3503,8 +3441,91 @@ object SparkEntry {
           FROM graft_neardup_pairs('$view', 'doc_id', 'text', 3, 12, 4, 0.2)
           ORDER BY id_l, id_r""")
       },
-      Some(sqlMinhashPairs))
+      Some(sqlMinhashPairs)),
+
+    // -- q153: the SQL-surface route for the r9/r10 text-pipeline ops —
+    //    graft_filter_pipeline is the newest TVF (the fused C4/Gopher/
+    //    FineWeb pass); its expansion IS q150's logical plan and the
+    //    oracle is shared verbatim with q150, so the Scala and SQL
+    //    surfaces of the filter family can never drift -------------------
+    Q("q153_sql_tvf_filter_pipeline",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val view = s"documents_tvf_${dir.replaceAll("[^0-9]", "")}"
+        T(s, dir, "documents").createOrReplaceTempView(view)
+        s.sql(s"""
+          SELECT * FROM graft_filter_pipeline('$view', 'doc_id', 'text', 'en,de')
+          ORDER BY id""")
+      },
+      Some(sqlFilterPipeline))
   )
+
+  /** The q150 oracle, shared verbatim by q153's SQL-TVF route — the two
+    * surfaces can never drift (the q125 pattern). */
+  private lazy val sqlFilterPipeline: String = {
+        // the same langId fold as q78's oracle
+        val profiles = ops.TextOps.langProfiles.sortBy(_._1)
+        val scoreExprs = profiles.map { case (lang, words) =>
+          val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
+          s"len(list_filter(string_split(lower(text),' '), t -> list_contains($arr, t))) AS s_$lang"
+        }.mkString(", ")
+        val (bestLang, bestScore) = profiles.foldLeft(("'unknown'", "0")) {
+          case ((bl, bs), (lang, _)) =>
+            (s"CASE WHEN s_$lang > $bs THEN '$lang' ELSE $bl END",
+             s"greatest(s_$lang, $bs)")
+        }
+        s"""
+        WITH lang AS (
+          SELECT id, CASE WHEN $bestScore > 0 THEN $bestLang ELSE 'unknown' END AS lang_guess
+          FROM (SELECT doc_id AS id, $scoreExprs FROM documents)),
+        q AS (
+          SELECT doc_id AS id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) AS uniq_ratio,
+            CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+              / length(text) AS punct_ratio
+          FROM documents),
+        g AS (
+          SELECT id,
+            ((n_words >= 50 AND n_words <= 100000)
+              AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+              AND (alpha_ratio >= 0.8) AND (stop_hits >= 2)) AS r_gopher
+          FROM (
+            SELECT doc_id AS id, CAST(len(toks) AS BIGINT) AS n_words,
+              CASE WHEN len(toks) > 0
+                THEN CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS mean_word_len,
+              CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS alpha_ratio,
+              len(list_intersect(list_distinct(toks),
+                ['the','be','to','of','and','that','have','with'])) AS stop_hits
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+        c AS (
+          SELECT doc_id AS id,
+            (CAST(len(list_filter(regexp_split_to_array(text, '[.!?]'),
+               x -> len(trim(x)) > 0)) AS BIGINT) >= 3
+             AND CAST(len(list_filter(
+               list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0),
+               l -> len(list_filter(string_split(trim(l), ' '),
+                        w -> len(w) > 0)) < 5)) AS BIGINT) = 0
+             AND NOT (instr(lower(text), 'lorem ipsum') > 0)
+             AND NOT (instr(text, '{') > 0)) AS r_c4
+          FROM documents)
+        SELECT lang.id, lang.lang_guess, q.n_tokens,
+          (lang.lang_guess IN ('en', 'de')) AS r_lang,
+          (q.n_tokens >= 5 AND q.avg_token_len <= 20.0
+            AND q.uniq_ratio >= 0.2 AND q.punct_ratio <= 0.3) AS r_quality,
+          g.r_gopher, c.r_c4,
+          ((lang.lang_guess IN ('en', 'de'))
+            AND (q.n_tokens >= 5 AND q.avg_token_len <= 20.0
+                 AND q.uniq_ratio >= 0.2 AND q.punct_ratio <= 0.3)
+            AND g.r_gopher AND c.r_c4) AS accept
+        FROM lang JOIN q USING (id) JOIN g USING (id) JOIN c USING (id)
+        ORDER BY id"""
+  }
 
   /** Framework semantics (SURVEY §2.A): record versioning, memoization,
     * failure-tolerant map — expressed as oracle-checkable queries. */

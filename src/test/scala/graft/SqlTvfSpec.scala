@@ -97,6 +97,49 @@ class SqlTvfSpec extends SparkSpec {
         spark.table("tvf_docs_len"), "source", "doc_id", "len", 3, desc = true))
   }
 
+  test("graft_temperature_mixture / graft_unimax / graft_unimax_epochs == their Scala APIs") {
+    docs.createOrReplaceTempView("tvf_docs")
+    same(
+      spark.sql("SELECT * FROM graft_temperature_mixture('tvf_docs','doc_id','source',0.5)"),
+      ops.TextOps.temperatureMixture(docs, "doc_id", "source", 0.5))
+    same(
+      spark.sql("SELECT * FROM graft_unimax('tvf_docs','doc_id','source',300)"),
+      ops.TextOps.unimaxMixture(docs, "doc_id", "source", 300L))
+    same(
+      spark.sql("SELECT * FROM graft_unimax_epochs('tvf_docs','doc_id','source',1200,3)"),
+      ops.TextOps.unimaxEpochsMixture(docs, "doc_id", "source", 1200L, 3))
+  }
+
+  test("graft_c4_rules / graft_filter_pipeline == their Scala APIs; SQL composes around them") {
+    docs.createOrReplaceTempView("tvf_docs")
+    same(
+      spark.sql("SELECT * FROM graft_c4_rules('tvf_docs','doc_id','text',3,5)"),
+      ops.TextOps.c4Rules(docs, "doc_id", "text", 3, 5))
+    same(
+      spark.sql("SELECT * FROM graft_filter_pipeline('tvf_docs','doc_id','text','en,de')"),
+      ops.TextOps.filterPipeline(docs, "doc_id", "text", Seq("en", "de")))
+    import spark.implicits._
+    val n = spark.sql("""
+      SELECT count(*) FROM graft_filter_pipeline('tvf_docs','doc_id','text','en')
+      WHERE accept""").as[Long].head()
+    assert(n >= 0)
+  }
+
+  test("graft_dsir_scores / graft_linear_scores == their Scala APIs") {
+    docs.createOrReplaceTempView("tvf_docs")
+    docs.filter(col("source").isin("src0", "src1")).createOrReplaceTempView("tvf_target")
+    same(
+      spark.sql("SELECT * FROM graft_dsir_scores('tvf_docs','tvf_target','doc_id','text',256)"),
+      ops.TextOps.dsirScores(docs,
+        docs.filter(col("source").isin("src0", "src1")), "doc_id", "text", 256))
+    val wt = ops.TextOps.lexiconGramWeights(spark,
+      Seq(("join", 1000000L), ("hash join", 2000000L), ("slow", -500000L)), 256)
+    wt.createOrReplaceTempView("tvf_weights")
+    same(
+      spark.sql("SELECT * FROM graft_linear_scores('tvf_docs','tvf_weights','doc_id','text',256,10)"),
+      ops.TextOps.linearGramScores(docs, "doc_id", "text", wt, 256, 10L))
+  }
+
   test("graft_changes == BucketedStore.changes; composes with SQL filters") {
     val root = tmpDir("tvfcdf")
     val store = new graft.core.BucketedStore(root, numBuckets = 8)
