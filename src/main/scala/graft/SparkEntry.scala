@@ -3457,8 +3457,58 @@ object SparkEntry {
           SELECT * FROM graft_filter_pipeline('$view', 'doc_id', 'text', 'en,de')
           ORDER BY id""")
       },
-      Some(sqlFilterPipeline))
+      Some(sqlFilterPipeline)),
+
+    // -- q154: BPE merge learning (Sennrich 2016, arXiv:1508.07909) — the
+    //    tokenizer-training step a pipeline runs after dedup/filtering:
+    //    12 deterministic greedy merge rounds learned from the word
+    //    dictionary. The oracle unrolls the identical loop; both engines
+    //    use the sentinel-wrapped symbol encoding, under which applying a
+    //    merge is exactly one non-overlapping left-to-right `replace` ----
+    Q("q154_bpe_merges",
+      (s, dir) => ops.TextOps.learnBpeMerges(T(s, dir, "documents"), "text", 12)
+        .orderBy("step"),
+      Some(sqlBpeMerges(12)))
   )
+
+  /** q154 oracle: the unrolled greedy BPE training loop in DuckDB SQL.
+    * Symbols are sentinel-wrapped (chr(2) sym chr(3); chr(4) = end-of-word)
+    * — the engine's own working encoding — so pair counting (list_zip of
+    * the split symbol list against itself shifted by one) and merge
+    * application (one `replace`) are bit-identical to the Spark loop,
+    * including the (count desc, left asc, right asc) tie-break. */
+  private def sqlBpeMerges(n: Int): String = {
+    def stage(k: Int): String = s"""
+      pairs_$k AS (
+        SELECT p[1] AS a, p[2] AS b, CAST(sum(freq) AS BIGINT) AS c
+        FROM (
+          SELECT freq, unnest(list_zip(toks, toks[2:])) AS p
+          FROM (SELECT freq, list_transform(string_split(seq, chr(3)||chr(2)),
+                  x -> trim(x, chr(2)||chr(3))) AS toks FROM words_$k))
+        WHERE p[2] IS NOT NULL GROUP BY 1, 2),
+      best_$k AS (
+        SELECT $k AS step, a, b, a||b AS m, c FROM pairs_$k
+        ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+      words_${k + 1} AS (
+        SELECT freq, replace(seq,
+            chr(2)||best_$k.a||chr(3)||chr(2)||best_$k.b||chr(3),
+            chr(2)||best_$k.m||chr(3)) AS seq
+        FROM words_$k, best_$k)"""
+    val stages = (0 until n).map(stage).mkString(",")
+    val union = (0 until n).map(k => s"SELECT * FROM best_$k").mkString(" UNION ALL ")
+    s"""
+      WITH words_0 AS (
+        SELECT regexp_replace(word, '(.)', chr(2)||'\\1'||chr(3), 'g') ||
+                 chr(2)||chr(4)||chr(3) AS seq,
+               CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> '' AND strpos(word, chr(2)) = 0
+          AND strpos(word, chr(3)) = 0 AND strpos(word, chr(4)) = 0
+        GROUP BY 1),$stages,
+      merges AS ($union)
+      SELECT step, a AS left_tok, b AS right_tok, m AS merged, c AS pair_count
+      FROM merges ORDER BY step"""
+  }
 
   /** The q150 oracle, shared verbatim by q153's SQL-TVF route — the two
     * surfaces can never drift (the q125 pattern). */

@@ -566,35 +566,49 @@ object Dedup {
     * list. No driver materialization, no all-pairs anywhere. */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
                      tokensPerPassage: Int = 20): DataFrame = {
-    require(tokensPerPassage > 0, s"tokensPerPassage must be positive, got $tokensPerPassage")
-    val w = tokensPerPassage
-    val toks = df.select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
-      .withColumn("__n_total",
-        ceil(size(col("__toks")).cast("double") / lit(w.toDouble)).cast("long"))
-    // passage_idx → window text, exploded map-side (no exchange yet)
-    val passages = toks.select(col("id"), col("__n_total"),
-        posexplode(transform(
-          sequence(lit(0L), col("__n_total") - 1),
-          i => concat_ws(" ", slice(col("__toks"), (i * w + 1).cast("int"), lit(w)))
-        )).as(Seq("passage_idx", "passage")))
+    val passages = passageExplode(df, idCol, textCol, tokensPerPassage)
     // first (id, passage_idx) wins per distinct passage, keyed on the digest
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(md5(col("passage")))
       .orderBy(col("id"), col("passage_idx"))
-    // reconstruct: every passage flows to its document with a kept flag
-    // (collect_list SKIPS the nulls of dropped passages), so each document
-    // reappears — empty when everything was a duplicate
-    passages
-      .withColumn("__rn", row_number().over(win))
+    passageReassemble(
+      passages.withColumn("__keep", row_number().over(win) === 1))
+  }
+
+  /** Map-side passage explode shared by [[paragraphDedup]] and the
+    * streaming gate [[graft.streaming.Fastlane.ingestPassageDeduped]]:
+    * one row per fixed-width token window —
+    * `(id, __n_total, passage_idx, passage)` — no exchange. */
+  private[graft] def passageExplode(df: DataFrame, idCol: String,
+      textCol: String, tokensPerPassage: Int): DataFrame = {
+    require(tokensPerPassage > 0, s"tokensPerPassage must be positive, got $tokensPerPassage")
+    val w = tokensPerPassage
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
+      .withColumn("__n_total",
+        ceil(size(col("__toks")).cast("double") / lit(w.toDouble)).cast("long"))
+      .select(col("id"), col("__n_total"),
+        posexplode(transform(
+          sequence(lit(0L), col("__n_total") - 1),
+          i => concat_ws(" ", slice(col("__toks"), (i * w + 1).cast("int"), lit(w)))
+        )).as(Seq("passage_idx", "passage")))
+  }
+
+  /** Reassemble [[passageExplode]] rows carrying a boolean `__keep` flag
+    * into one row per document `(id, clean_text, n_kept, n_total)`: every
+    * passage flows to its document with the flag (collect_list SKIPS the
+    * nulls of dropped passages), so each document reappears — empty when
+    * everything was a duplicate — without a corpus-sized outer join back
+    * to the doc list. */
+  private[graft] def passageReassemble(flagged: DataFrame): DataFrame =
+    flagged
       .groupBy("id").agg(
         concat_ws(" ", transform(
           array_sort(collect_list(
-            when(col("__rn") === 1, struct(col("passage_idx"), col("passage"))))),
+            when(col("__keep"), struct(col("passage_idx"), col("passage"))))),
           p => p.getField("passage"))).as("clean_text"),
-        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
         first(col("__n_total")).as("n_total"))
       .select(col("id"), col("clean_text"), col("n_kept"), col("n_total"))
-  }
 
   /** Merged maximal duplicated spans per document — the shared core of
     * [[duplicateSpanStats]] and [[stripDuplicateSpans]]. A token position is

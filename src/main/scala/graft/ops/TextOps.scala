@@ -917,6 +917,95 @@ object TextOps {
     TopK.global(counted, topK, Seq(col("n_occurrences").desc, col("token").asc))
   }
 
+  // Sentinel characters for the BPE working representation: every symbol in
+  // a word's current segmentation is stored as U+0002 <symbol> U+0003 inside
+  // one string, with U+0004 as the end-of-word symbol. Wrapping every
+  // symbol makes greedy left-to-right pair merging EXACTLY a substring
+  // replace — `<s>a<e><s>b<e>` → `<s>ab<e>` — with no shared
+  // boundary characters between adjacent matches, so `replace`'s standard
+  // non-overlapping left-to-right scan IS the BPE merge discipline (a plain
+  // space-separated form fails: consecutive matches share the separator).
+  private val BpeL = "\u0002"
+  private val BpeR = "\u0003"
+  private val BpeEow = "\u0004"
+
+  /** Learn a byte-pair-encoding merge table from the corpus — the
+    * tokenizer-training step (Sennrich et al. 2016, arXiv:1508.07909) that
+    * a training-data pipeline runs right after dedup/filtering, feeding
+    * [[subwordCount]]/[[packSequences]]-style consumers. Classic word-dict
+    * BPE: whitespace words are counted once, each word starts as its
+    * character sequence plus an end-of-word symbol, and `numMerges` rounds
+    * each (1) count adjacent symbol pairs weighted by word frequency,
+    * (2) pick the argmax pair — ties broken (count desc, left asc, right
+    * asc) so the merge sequence is deterministic and engine-independent —
+    * and (3) merge every greedy left-to-right occurrence corpus-wide.
+    *
+    * Returns the learned merge table, one row per round:
+    * `(step, left_tok, right_tok, merged, pair_count)`; fewer than
+    * `numMerges` rows iff the dictionary ran out of pairs (every word fully
+    * merged). Words containing the three sentinel characters (U+0002..04)
+    * are excluded up front — they would corrupt the working encoding.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-count shuffle, the
+    * same exchange [[topTokens]] runs); every merge round then runs on the
+    * persisted word DICTIONARY — vocabulary-sized, orders of magnitude
+    * smaller than a 100 TB corpus — as one keyed pair-count aggregation
+    * whose argmax is TakeOrderedAndProject (a 1-row driver collect), and
+    * the merge itself is a broadcast-literal `replace` projection chained
+    * onto the cached dict (round k re-evaluates k codegen'd replaces per
+    * dict row — O(numMerges²·|vocab|) total, trivial beside the corpus
+    * scan). No corpus re-read, no driver materialization beyond one row
+    * per round. */
+  def learnBpeMerges(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges > 0 && numMerges <= 256,
+      s"numMerges must be in [1, 256], got $numMerges")
+    val spark = df.sparkSession
+    val dict = df
+      .select(explode(split(col(textCol), " ")).as("__w"))
+      .where(col("__w") =!= "" &&
+        instr(col("__w"), BpeL) === 0 && instr(col("__w"), BpeR) === 0 &&
+        instr(col("__w"), BpeEow) === 0)
+      .groupBy("__w").agg(count(lit(1)).as("freq"))
+      .select(
+        concat(regexp_replace(col("__w"), "(.)", BpeL + "$1" + BpeR),
+          lit(BpeL + BpeEow + BpeR)).as("seq"),
+        col("freq"))
+      .persistTracked()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var seqNow: Column = col("seq")
+    var step = 0
+    var exhausted = false
+    while (step < numMerges && !exhausted) {
+      // adjacent pairs of the CURRENT segmentation: split the working
+      // string on the <e><s> seam (the inter-symbol seam), strip the outer
+      // sentinels, zip against itself shifted by one (arrays_zip pads the
+      // short side with null — the null-right rows are the sequence tails)
+      val toks = transform(split(seqNow, BpeR + BpeL), t => trim(t, BpeL + BpeR))
+      val best = dict
+        .select(col("freq"), toks.as("__t1"))
+        .select(col("freq"), col("__t1"),
+          slice(col("__t1"), lit(2), size(col("__t1"))).as("__t2"))
+        .select(col("freq"), explode(arrays_zip(col("__t1"), col("__t2"))).as("__p"))
+        .select(col("freq"), col("__p.__t1").as("a"), col("__p.__t2").as("b"))
+        .where(col("b").isNotNull)
+        .groupBy("a", "b").agg(sum("freq").as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val a = best(0).getString(0)
+        val b = best(0).getString(1)
+        val cnt = best(0).getLong(2)
+        out += ((step, a, b, a + b, cnt))
+        seqNow = replace(seqNow,
+          lit(BpeL + a + BpeR + BpeL + b + BpeR), lit(BpeL + a + b + BpeR))
+        step += 1
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("step", "left_tok", "right_tok", "merged", "pair_count")
+  }
+
   /** Per-document top-`topK` keyword extraction. The RANKING is the
     * integer-exact lexicographic order (tf desc, df asc, token asc) — NOT
     * the tf·idf product order (lexicographic equals the product order only

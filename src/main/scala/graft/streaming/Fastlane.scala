@@ -304,6 +304,79 @@ object Fastlane {
     }
   }
 
+  /** Streaming EXACT-SUBSTRING (passage) dedup gate — the online form of
+    * [[graft.ops.Dedup.paragraphDedup]] against a PERSISTENT passage-digest
+    * index, completing the gate family (minhash: [[ingestDedupedIndexed]],
+    * semantic: [[ingestVectorsIndexed]]). Per micro-batch: (1) the batch's
+    * fixed-width token passages explode map-side and dedup against
+    * THEMSELVES (first `(id, passage_idx)` occurrence per digest wins —
+    * the batch restriction of the batch op's winner window); (2) survivors
+    * probe the digest index with a SET-PRUNED bucket read
+    * ([[graft.core.BucketedStore.readTouched]] — IO = only the buckets the
+    * batch's digests hash into, independent of corpus size), stripping
+    * every passage already admitted corpus-wide; (3) each document
+    * reassembles from its kept passages (`clean_text = ""` when everything
+    * was seen — caller decides the drop policy, as in the batch op) and
+    * appends to `corpusDir`; (4) the kept passages' digests append to the
+    * index (O(batch) dir-adds). Every per-batch step is O(batch) — the
+    * shape that holds over an unbounded stream into a 100 TB corpus.
+    * `compactEvery = N` folds the index append dirs back every N batches
+    * so read fan-in stays bounded (0 = leave maintenance to the batch
+    * lane).
+    *
+    * Equivalence (spec-asserted): when batches arrive in id order, the
+    * accumulated `corpusDir` equals one [[graft.ops.Dedup.paragraphDedup]]
+    * over the batches' union — the store restriction of the global winner
+    * window. Exactly-once: a REPLAYED batch sees its own digests already
+    * admitted and re-emits its documents with empty `clean_text` — pair
+    * downstream readers with exact id dedup keeping the first row per id,
+    * or fence by batchId, as in [[serve]]. */
+  def ingestPassageDeduped(
+      stream: DataFrame,
+      idCol: String, textCol: String,
+      store: graft.core.BucketedStore, feature: String,
+      corpusDir: String, checkpointDir: String,
+      tokensPerPassage: Int = 20,
+      compactEvery: Int = 0,
+      trigger: Trigger = Trigger.AvailableNow())
+      (implicit spark: SparkSession): StreamingQuery = {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions.{lit, md5, row_number}
+    val feat = s"${feature}_passages"
+    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("__digest").orderBy(col("id"), col("passage_idx"))
+      // persisted: the pruned index read's bucket collect, the reassembly
+      // write, and the digest append all act on the flagged passages
+      val flagged0 = Dedup.passageExplode(
+          batch.select(col(idCol), col(textCol)), idCol, textCol, tokensPerPassage)
+        .withColumn("__digest", md5(col("passage")))
+        .withColumn("__first", row_number().over(win) === 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bootstrap = store.latestVersion(feat).isEmpty
+      val flagged = (
+        if (bootstrap) flagged0.withColumn("__keep", col("__first"))
+        else {
+          val seen = store.readTouched(feat, Seq("digest"),
+              flagged0.select(col("__digest").as("digest")))
+            .select(col("digest").as("__digest")).distinct()
+            .withColumn("__seen", lit(true))
+          flagged0.join(seen, Seq("__digest"), "left_outer")
+            .withColumn("__keep", col("__first") && col("__seen").isNull)
+        }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.passageReassemble(flagged)
+        .write.mode("append").parquet(corpusDir)
+      val newDigests = flagged.where(col("__keep"))
+        .select(col("__digest").as("digest")).distinct()
+      if (bootstrap) store.write(newDigests, feat, Seq("digest"))
+      else store.appendBucketed(feat, newDigests, Seq("digest"))
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        store.compactBuckets(feat, Seq("digest"))
+      flagged.unpersist(false)
+      flagged0.unpersist(false)
+    }
+  }
+
   /** High-frequency serving: O(batch) delta append per micro-batch instead of
     * the O(table) copy-on-write MERGE — the write cost no longer grows with
     * table size. Read the serving state with

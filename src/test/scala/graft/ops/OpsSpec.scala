@@ -1251,6 +1251,38 @@ class TextOpsSpec extends SparkSpec {
     assert(out == List(("a", 3L, 2L), ("b", 3L, 2L)))
   }
 
+  test("learnBpeMerges: greedy left-to-right merges, deterministic tie-break, pair exhaustion") {
+    import spark.implicits._
+    val eow = "\u0004"
+    // "aaaa" x2: step 0 counts (a,a)=6 overlapping-adjacent vs (a,eow)=2;
+    // greedy application gives aa|aa|eow (never a|aa|a). Step 1 is the
+    // tie-break: (aa,aa)=2 ties (aa,eow)=2 and eow (U+0004) sorts before
+    // "aa", so (aa,eow) wins. Step 2 merges the rest; step 3 has no pairs
+    // left -> 3 rows despite numMerges=5.
+    val df = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val out = TextOps.learnBpeMerges(df, "text", numMerges = 5)
+      .as[(Int, String, String, String, Long)].collect().toList
+    assert(out == List(
+      (0, "a", "a", "aa", 6L),
+      (1, "aa", eow, "aa" + eow, 2L),
+      (2, "aa", "aa" + eow, "aaaa" + eow, 2L)))
+    // "aaa": after merging (a,a) greedily the word is aa|a|eow — the
+    // left-to-right discipline, not a|aa|eow — so step 1's candidates are
+    // (aa,a)=1 and (a,eow)=1, and the lexicographic tie-break picks (a,eow)
+    val df2 = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val out2 = TextOps.learnBpeMerges(df2, "text", numMerges = 2)
+      .as[(Int, String, String, String, Long)].collect().toList
+    assert(out2 == List(
+      (0, "a", "a", "aa", 2L),
+      (1, "a", eow, "a" + eow, 1L)))
+    // frequency weighting: the dictionary counts words once each but pair
+    // counts are word-frequency-weighted ("lo" appears in both words)
+    val df3 = Seq((1L, "low low low lot")).toDF("doc_id", "text")
+    val first = TextOps.learnBpeMerges(df3, "text", numMerges = 1)
+      .as[(Int, String, String, String, Long)].collect().head
+    assert(first == ((0, "l", "o", "lo", 4L)))
+  }
+
   test("repetitionStats: counts and fractions on a degenerate vs normal doc") {
     import spark.implicits._
     val df = Seq(

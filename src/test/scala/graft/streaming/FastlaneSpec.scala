@@ -108,6 +108,47 @@ class FastlaneSpec extends SparkSpec {
     assert(indexed == Set(1L, 2L, 5L))
   }
 
+  test("ingestPassageDeduped: streaming passage gate == batch paragraphDedup over the union") {
+    val corpusDir = tmpDir("ingp_corpus") + "/c"
+    val srcDir = tmpDir("ingp_src")
+    val store = new graft.core.BucketedStore(tmpDir("ingp_idx"), numBuckets = 16)
+    val w = 3 // tokens per passage
+    val p1 = "alpha beta gamma"; val p2 = "delta epsilon zeta"
+    val p3 = "eta theta iota";   val p4 = "kappa lambda mu"
+    // batch 1: doc 2 repeats doc 1's first passage (intra-batch strip)
+    val b1 = Seq((1L, s"$p1 $p2"), (2L, s"$p1 $p3"))
+    // batch 2: doc 3 is entirely passages admitted in batch 1 (empty
+    // clean_text); doc 4 mixes one seen passage with a novel one
+    val b2 = Seq((3L, s"$p2 $p3"), (4L, s"$p4 $p1"))
+    b1.toDF("doc_id", "text").write.mode("overwrite").json(s"$srcDir/b1")
+    val ckpt = tmpDir("ingp_ckpt")
+    Fastlane.ingestPassageDeduped(
+      spark.readStream.schema("doc_id LONG, text STRING").json(s"$srcDir/*"),
+      "doc_id", "text", store, "corpus", corpusDir, ckpt, tokensPerPassage = w)
+      .awaitTermination(60000)
+    b2.toDF("doc_id", "text").write.mode("overwrite").json(s"$srcDir/b2")
+    Fastlane.ingestPassageDeduped(
+      spark.readStream.schema("doc_id LONG, text STRING").json(s"$srcDir/*"),
+      "doc_id", "text", store, "corpus", corpusDir, ckpt, tokensPerPassage = w,
+      compactEvery = 1) // mid-stream maintenance must not change answers
+      .awaitTermination(60000)
+    val streamed = spark.read.parquet(corpusDir)
+      .select("id", "clean_text", "n_kept", "n_total")
+      .as[(Long, String, Long, Long)].collect().toSet
+    // ids arrive in batch order, so the accumulated stream output must
+    // equal ONE batch paragraphDedup over the union
+    val batchOp = graft.ops.Dedup.paragraphDedup(
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", w)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(streamed == batchOp, s"stream $streamed != batch $batchOp")
+    // the fully-duplicated doc survived as an empty row, not a dropped one
+    assert(streamed.exists(r => r._1 == 3L && r._2 == "" && r._3 == 0L))
+    // the index holds exactly the admitted distinct passages
+    val nDigests = store.read("corpus_passages", Seq("digest"))
+      .select("digest").distinct().count()
+    assert(nDigests == 4L, s"expected 4 admitted passage digests, got $nDigests")
+  }
+
   test("ingestVectorsIndexed: streaming semantic-dedup gate over the persistent ANN index") {
     // unit vectors in a 64-dim space: v(deg) rotates in the (0,1) plane;
     // axis(k) is orthogonal to everything else. threshold 0.9 ~ 25.8 deg.
