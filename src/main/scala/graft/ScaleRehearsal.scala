@@ -173,6 +173,11 @@ object ScaleRehearsal {
       // likewise the UniMax budget: production budgets come from the run
       // config, not a count inside the op
       val nDocsDir = docs.count()
+      // hoisted: q155 rehearses ENCODING with a pre-trained tokenizer (the
+      // production shape); training cost is q154's own rehearsal entry
+      lazy val bpeMerges8 = ops.TextOps.learnBpeMerges(docs, "text", numMerges = 8)
+        .orderBy("step").select("left_tok", "right_tok")
+        .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
       def force(df: DataFrame): Unit =
         df.write.format("noop").mode("overwrite").save()
       Seq(
@@ -330,6 +335,19 @@ object ScaleRehearsal {
         // projection — wall tracks corpus bytes like q147
         "q150_filter_pipeline" -> (() => force(ops.TextOps.filterPipeline(
           docs, "doc_id", "text", wantedLangs = Seq("en", "de")))),
+        // BPE training: ONE corpus scan (the word-count shuffle); the 8
+        // merge rounds then run on the persisted dict. Replica prefixes
+        // grow the vocab ~linearly with k, so the per-round pair aggs grow
+        // too — expect ~linear wall dominated by the corpus scan
+        "q154_bpe_learn" -> (() => {
+          ops.TextOps.learnBpeMerges(docs, "text", numMerges = 8).collect()
+          ()
+        }),
+        // BPE encoding with a PRE-TRAINED merge table (the production
+        // shape: train once, encode everywhere): a zero-shuffle chain of
+        // literal replaces — wall tracks corpus bytes exactly
+        "q155_bpe_encode" -> (() => force(ops.TextOps.applyBpeMerges(
+          docs, "doc_id", "text", bpeMerges8))),
         // incremental contract: a FIXED batch (1/5 of ONE replica family)
         // matched against the PRE-STORED profile of everything else — the
         // per-batch cost should stay ~flat while the corpus scales

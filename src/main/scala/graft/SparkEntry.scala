@@ -3468,7 +3468,20 @@ object SparkEntry {
     Q("q154_bpe_merges",
       (s, dir) => ops.TextOps.learnBpeMerges(T(s, dir, "documents"), "text", 12)
         .orderBy("step"),
-      Some(sqlBpeMerges(12)))
+      Some(sqlBpeMerges(12))),
+
+    // -- q155: BPE encoding — the inference half of q154: learn the same
+    //    12 merges, then tokenize every document with them in ONE
+    //    zero-shuffle codegen projection (chained literal replaces). The
+    //    oracle extends q154's CTE chain with the same encode fold -------
+    Q("q155_bpe_encode",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        ops.TextOps.applyBpeMerges(docs, "doc_id", "text",
+          ops.TextOps.learnBpeMerges(docs, "text", 12))
+          .orderBy("doc_id")
+      },
+      Some(sqlBpeEncode(12)))
   )
 
   /** q154 oracle: the unrolled greedy BPE training loop in DuckDB SQL.
@@ -3477,7 +3490,9 @@ object SparkEntry {
     * the split symbol list against itself shifted by one) and merge
     * application (one `replace`) are bit-identical to the Spark loop,
     * including the (count desc, left asc, right asc) tie-break. */
-  private def sqlBpeMerges(n: Int): String = {
+  /** The shared q154/q155 training chain: words_0 (wrapped char sequences
+    * + frequencies) and n unrolled rounds of pairs_k / best_k / words_k+1. */
+  private def sqlBpeStages(n: Int): String = {
     def stage(k: Int): String = s"""
       pairs_$k AS (
         SELECT p[1] AS a, p[2] AS b, CAST(sum(freq) AS BIGINT) AS c
@@ -3494,20 +3509,48 @@ object SparkEntry {
             chr(2)||best_$k.a||chr(3)||chr(2)||best_$k.b||chr(3),
             chr(2)||best_$k.m||chr(3)) AS seq
         FROM words_$k, best_$k)"""
-    val stages = (0 until n).map(stage).mkString(",")
-    val union = (0 until n).map(k => s"SELECT * FROM best_$k").mkString(" UNION ALL ")
-    s"""
-      WITH words_0 AS (
+    s"""words_0 AS (
         SELECT regexp_replace(word, '(.)', chr(2)||'\\1'||chr(3), 'g') ||
                  chr(2)||chr(4)||chr(3) AS seq,
                CAST(count(*) AS BIGINT) AS freq
         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         WHERE word <> '' AND strpos(word, chr(2)) = 0
           AND strpos(word, chr(3)) = 0 AND strpos(word, chr(4)) = 0
-        GROUP BY 1),$stages,
+        GROUP BY 1),${(0 until n).map(stage).mkString(",")}"""
+  }
+
+  private def sqlBpeMerges(n: Int): String = {
+    val union = (0 until n).map(k => s"SELECT * FROM best_$k").mkString(" UNION ALL ")
+    s"""
+      WITH ${sqlBpeStages(n)},
       merges AS ($union)
       SELECT step, a AS left_tok, b AS right_tok, m AS merged, c AS pair_count
       FROM merges ORDER BY step"""
+  }
+
+  /** q155 oracle: q154's training chain, then the encode fold — every
+    * document rewritten into the sentinel encoding (word-boundary spaces
+    * stay bare, so merges cannot cross words) and the n learned merges
+    * applied in order as chained replaces, exactly the engine's
+    * zero-shuffle projection. */
+  private def sqlBpeEncode(n: Int): String = {
+    val folds = (0 until n).map { k =>
+      val src = if (k == 0) "docs" else s"e_${k - 1}"
+      s"""e_$k AS (SELECT doc_id, replace(seq,
+            chr(2)||best_$k.a||chr(3)||chr(2)||best_$k.b||chr(3),
+            chr(2)||best_$k.m||chr(3)) AS seq FROM $src, best_$k)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH ${sqlBpeStages(n)},
+      docs AS (SELECT doc_id,
+        regexp_replace(regexp_replace(text, '([^ ]+)', '\\1'||chr(4), 'g'),
+          '([^ ])', chr(2)||'\\1'||chr(3), 'g') AS seq FROM documents),
+      $folds
+      SELECT doc_id,
+        replace(translate(replace(seq, chr(3)||chr(2), ' '), chr(2)||chr(3), ''),
+          chr(4), '</w>') AS bpe_text,
+        CAST(length(seq) - length(translate(seq, chr(2), '')) AS BIGINT) AS n_subwords
+      FROM e_${n - 1} ORDER BY doc_id"""
   }
 
   /** The q150 oracle, shared verbatim by q153's SQL-TVF route — the two

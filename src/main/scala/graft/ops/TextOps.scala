@@ -1006,6 +1006,50 @@ object TextOps {
     out.toSeq.toDF("step", "left_tok", "right_tok", "merged", "pair_count")
   }
 
+  /** Encode a corpus with a learned BPE merge table — the inference half of
+    * [[learnBpeMerges]] (tokenize-with-trained-vocab, the step between
+    * tokenizer training and [[packSequences]]-style batching). Each
+    * document is rewritten into the sentinel encoding in one regexp pass
+    * (every non-space char wrapped, an end-of-word symbol appended per
+    * word — the inter-word SPACE stays bare, so no merge can cross a word
+    * boundary: the needle's seam never matches across it), then the merges
+    * apply IN LEARNED ORDER as chained literal `replace`s — each one
+    * greedy left-to-right, exactly the training discipline. Output per
+    * document: `bpe_text` (subwords space-joined, end-of-word rendered
+    * `</w>`) and `n_subwords`.
+    *
+    * Scale shape: a ZERO-SHUFFLE codegen projection — the merge table is a
+    * driver-side literal list (bounded by [[learnBpeMerges]]'s 256-round
+    * cap), so a 100 TB corpus encodes in one map-side pass with no
+    * exchange, no join, no UDF. Precondition (as in learning): text must
+    * not contain the U+0002..04 sentinels. */
+  def applyBpeMerges(df: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    require(merges.length <= 256, s"merge table too large: ${merges.length}")
+    val enc0 = regexp_replace(
+      regexp_replace(col(textCol), "([^ ]+)", "$1" + BpeEow),
+      "([^ ])", BpeL + "$1" + BpeR)
+    val encoded = merges.foldLeft(enc0) { case (acc, (a, b)) =>
+      replace(acc, lit(BpeL + a + BpeR + BpeL + b + BpeR), lit(BpeL + a + b + BpeR))
+    }
+    df.select(col(idCol), encoded.as("__seq"))
+      .select(col(idCol),
+        replace(
+          translate(replace(col("__seq"), lit(BpeR + BpeL), lit(" ")), BpeL + BpeR, ""),
+          lit(BpeEow), lit("</w>")).as("bpe_text"),
+        (length(col("__seq")) - length(translate(col("__seq"), BpeL, "")))
+          .cast("long").as("n_subwords"))
+  }
+
+  /** [[applyBpeMerges]] over the merge table as a DataFrame (the
+    * [[learnBpeMerges]] output shape): collects the ≤256-row table in
+    * learned order and encodes map-side. */
+  def applyBpeMerges(df: DataFrame, idCol: String, textCol: String,
+                     mergesDf: DataFrame): DataFrame =
+    applyBpeMerges(df, idCol, textCol,
+      mergesDf.orderBy("step").select("left_tok", "right_tok")
+        .collect().toSeq.map(r => (r.getString(0), r.getString(1))))
+
   /** Per-document top-`topK` keyword extraction. The RANKING is the
     * integer-exact lexicographic order (tf desc, df asc, token asc) — NOT
     * the tf·idf product order (lexicographic equals the product order only

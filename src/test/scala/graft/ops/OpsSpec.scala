@@ -1283,6 +1283,32 @@ class TextOpsSpec extends SparkSpec {
     assert(first == ((0, "l", "o", "lo", 4L)))
   }
 
+  test("applyBpeMerges: in-order greedy encode, word-boundary isolation, subword counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa aaa"), (2L, ""), (3L, "b")).toDF("doc_id", "text")
+    val merges = Seq(("a", "a"), ("aa", "\u0004"))
+    val out = TextOps.applyBpeMerges(docs, "doc_id", "text", merges)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // "aaaa": a|a|a|a|eow -> greedy (a,a) -> aa|aa|eow -> (aa,eow) -> aa|aa</w>
+    // "aaa":  a|a|a|eow -> aa|a|eow (left-to-right) -> no (aa,eow) adjacency,
+    //         so the unmerged end-of-word marker stays its own subword
+    assert(out(1L) == (("aa aa</w> aa a </w>", 5L)))
+    assert(out(2L) == (("", 0L)))
+    assert(out(3L) == (("b </w>", 2L)))
+    // the merge CANNOT cross the bare word-boundary space: without the
+    // boundary, (a,a) would merge the last 'a' of word 1 with the first of
+    // word 2 — assert the seam stayed intact on "a a"
+    val cross = TextOps.applyBpeMerges(
+        Seq((1L, "a a")).toDF("doc_id", "text"), "doc_id", "text", Seq(("a", "a")))
+      .as[(Long, String, Long)].collect().head
+    assert(cross == ((1L, "a </w> a </w>", 4L)))
+    // DataFrame overload applies the learned table in step order
+    val viaDf = TextOps.applyBpeMerges(docs, "doc_id", "text",
+      TextOps.learnBpeMerges(Seq((1L, "aaaa aaaa")).toDF("doc_id", "text"), "text", 2))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(viaDf(1L) == (("aa aa</w> aa a </w>", 5L)))
+  }
+
   test("repetitionStats: counts and fractions on a degenerate vs normal doc") {
     import spark.implicits._
     val df = Seq(
