@@ -3491,25 +3491,29 @@ object SparkEntry {
     * application (one `replace`) are bit-identical to the Spark loop,
     * including the (count desc, left asc, right asc) tie-break. */
   /** The shared q154/q155 training chain: words_0 (wrapped char sequences
-    * + frequencies) and n unrolled rounds of pairs_k / best_k / words_k+1. */
+    * + frequencies) and n unrolled rounds of pairs_k / best_k / words_k+1.
+    * Every CTE is AS MATERIALIZED: words_k is referenced twice per round
+    * (pairs_k and words_k+1), so inlining would expand words_0 2^n times —
+    * the plain form ran >10 min at sf0.1 where the materialized chain runs
+    * in ~0.5 s with identical results. */
   private def sqlBpeStages(n: Int): String = {
     def stage(k: Int): String = s"""
-      pairs_$k AS (
+      pairs_$k AS MATERIALIZED (
         SELECT p[1] AS a, p[2] AS b, CAST(sum(freq) AS BIGINT) AS c
         FROM (
           SELECT freq, unnest(list_zip(toks, toks[2:])) AS p
           FROM (SELECT freq, list_transform(string_split(seq, chr(3)||chr(2)),
                   x -> trim(x, chr(2)||chr(3))) AS toks FROM words_$k))
         WHERE p[2] IS NOT NULL GROUP BY 1, 2),
-      best_$k AS (
+      best_$k AS MATERIALIZED (
         SELECT $k AS step, a, b, a||b AS m, c FROM pairs_$k
         ORDER BY c DESC, a ASC, b ASC LIMIT 1),
-      words_${k + 1} AS (
+      words_${k + 1} AS MATERIALIZED (
         SELECT freq, replace(seq,
             chr(2)||best_$k.a||chr(3)||chr(2)||best_$k.b||chr(3),
             chr(2)||best_$k.m||chr(3)) AS seq
         FROM words_$k, best_$k)"""
-    s"""words_0 AS (
+    s"""words_0 AS MATERIALIZED (
         SELECT regexp_replace(word, '(.)', chr(2)||'\\1'||chr(3), 'g') ||
                  chr(2)||chr(4)||chr(3) AS seq,
                CAST(count(*) AS BIGINT) AS freq
@@ -3523,7 +3527,7 @@ object SparkEntry {
     val union = (0 until n).map(k => s"SELECT * FROM best_$k").mkString(" UNION ALL ")
     s"""
       WITH ${sqlBpeStages(n)},
-      merges AS ($union)
+      merges AS MATERIALIZED ($union)
       SELECT step, a AS left_tok, b AS right_tok, m AS merged, c AS pair_count
       FROM merges ORDER BY step"""
   }
@@ -3536,13 +3540,13 @@ object SparkEntry {
   private def sqlBpeEncode(n: Int): String = {
     val folds = (0 until n).map { k =>
       val src = if (k == 0) "docs" else s"e_${k - 1}"
-      s"""e_$k AS (SELECT doc_id, replace(seq,
+      s"""e_$k AS MATERIALIZED (SELECT doc_id, replace(seq,
             chr(2)||best_$k.a||chr(3)||chr(2)||best_$k.b||chr(3),
             chr(2)||best_$k.m||chr(3)) AS seq FROM $src, best_$k)"""
     }.mkString(",\n      ")
     s"""
       WITH ${sqlBpeStages(n)},
-      docs AS (SELECT doc_id,
+      docs AS MATERIALIZED (SELECT doc_id,
         regexp_replace(regexp_replace(text, '([^ ]+)', '\\1'||chr(4), 'g'),
           '([^ ])', chr(2)||'\\1'||chr(3), 'g') AS seq FROM documents),
       $folds
