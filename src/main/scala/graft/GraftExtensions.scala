@@ -320,5 +320,25 @@ object GraftExtensions {
           str(args(1), "groupCol"), str(args(2), "idCol"), str(args(3), "orderCol"),
           int(args(4), "k"), desc = int(args(5), "desc") != 0)
           .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_bpe_learn"),
+      info("graft_bpe_learn",
+        "graft_bpe_learn(table, textCol, numMerges) - BPE merge learning: the deterministic merge table (step, left_tok, right_tok, merged, pair_count). NOTE: the training loop RUNS at analysis time (the merge table parameterizes the plan); materialize the result rather than re-issuing per statement"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "usage: graft_bpe_learn(table, textCol, numMerges)")
+        ops.TextOps.learnBpeMerges(table(str(args(0), "table")),
+          str(args(1), "textCol"), int(args(2), "numMerges"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_bpe_encode"),
+      info("graft_bpe_encode",
+        "graft_bpe_encode(table, idCol, textCol, mergesTable) - encode with a learned BPE merge table ((step, left_tok, right_tok) rows, e.g. a materialized graft_bpe_learn result): (id, bpe_text, n_subwords) in one zero-shuffle projection"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "usage: graft_bpe_encode(table, idCol, textCol, mergesTable)")
+        ops.TextOps.applyBpeMerges(table(str(args(0), "table")),
+          str(args(1), "idCol"), str(args(2), "textCol"),
+          table(str(args(3), "mergesTable")))
+          .queryExecution.logical
       }))
 }

@@ -3481,6 +3481,23 @@ object SparkEntry {
           ops.TextOps.learnBpeMerges(docs, "text", 12))
           .orderBy("doc_id")
       },
+      Some(sqlBpeEncode(12))),
+
+    // -- q156: the SQL-surface route for the BPE family — graft_bpe_learn
+    //    materialized into a view feeding graft_bpe_encode; the oracle is
+    //    q155's SHARED VERBATIM (the q125/q153 pattern), so the Scala and
+    //    SQL surfaces of the tokenizer family cannot drift ---------------
+    Q("q156_sql_tvf_bpe",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val view = s"documents_bpe_${dir.replaceAll("[^0-9]", "")}"
+        T(s, dir, "documents").createOrReplaceTempView(view)
+        s.sql(s"SELECT * FROM graft_bpe_learn('$view', 'text', 12)")
+          .createOrReplaceTempView(s"${view}_merges")
+        s.sql(s"""
+          SELECT * FROM graft_bpe_encode('$view', 'doc_id', 'text', '${view}_merges')
+          ORDER BY doc_id""")
+      },
       Some(sqlBpeEncode(12)))
   )
 

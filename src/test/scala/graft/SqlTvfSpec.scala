@@ -140,6 +140,20 @@ class SqlTvfSpec extends SparkSpec {
       ops.TextOps.linearGramScores(docs, "doc_id", "text", wt, 256, 10L))
   }
 
+  test("graft_bpe_learn / graft_bpe_encode == their Scala APIs; learn feeds encode in SQL") {
+    docs.createOrReplaceTempView("tvf_docs")
+    same(
+      spark.sql("SELECT * FROM graft_bpe_learn('tvf_docs','text',6)"),
+      ops.TextOps.learnBpeMerges(docs, "text", 6))
+    // the SQL pipeline: materialize the learned table, encode with it
+    spark.sql("SELECT * FROM graft_bpe_learn('tvf_docs','text',6)")
+      .createOrReplaceTempView("tvf_merges")
+    same(
+      spark.sql("SELECT * FROM graft_bpe_encode('tvf_docs','doc_id','text','tvf_merges')"),
+      ops.TextOps.applyBpeMerges(docs, "doc_id", "text",
+        ops.TextOps.learnBpeMerges(docs, "text", 6)))
+  }
+
   test("graft_changes == BucketedStore.changes; composes with SQL filters") {
     val root = tmpDir("tvfcdf")
     val store = new graft.core.BucketedStore(root, numBuckets = 8)
