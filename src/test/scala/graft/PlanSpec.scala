@@ -435,6 +435,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q155: BPE encoding is map-side only (no exchange, join or UDF before the protocol sort)") {
+    // a pre-learned merge table (the production shape) — the q155 QUERY
+    // also retrains, which is q154's own cost; this locks the encode half
+    val docs = Tables.load(spark, sfDir, "documents")
+    val df = ops.TextOps.applyBpeMerges(docs, "doc_id", "text",
+      Seq(("e", "r"), ("a", "n"), ("an", "\u0004")))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
   test("q146/q151: UniMax selection is the bounded reservoir — no Window anywhere in the plan") {
     Seq("q146_unimax_mixture", "q151_unimax_epochs").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sfDir)
