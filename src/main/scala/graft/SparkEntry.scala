@@ -3498,7 +3498,41 @@ object SparkEntry {
           SELECT * FROM graft_bpe_encode('$view', 'doc_id', 'text', '${view}_merges')
           ORDER BY doc_id""")
       },
-      Some(sqlBpeEncode(12)))
+      Some(sqlBpeEncode(12))),
+
+    // -- q157: subword fertility report — the tokenizer-quality metric a
+    //    pipeline reads right after training (subwords per word, by
+    //    language): q155's encode joined back to the doc spine, one
+    //    vocabulary-of-langs-sized aggregate; integer micro-units keep the
+    //    ratio hash-exact ---------------------------------------------------
+    Q("q157_subword_fertility",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val enc = ops.TextOps.applyBpeMerges(docs, "doc_id", "text",
+          ops.TextOps.learnBpeMerges(docs, "text", 12))
+        enc.join(docs.select(col("doc_id"), col("lang"),
+            ops.TextOps.tokenCount(col("text")).cast("long").as("__w")), "doc_id")
+          .groupBy("lang").agg(
+            sum("n_subwords").as("total_subwords"),
+            sum("__w").as("total_words"),
+            count(lit(1)).as("n_docs"))
+          .withColumn("fertility_micro",
+            expr("(1000000 * total_subwords) DIV total_words"))
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH ${sqlBpeEncodeChain(12)},
+        enc AS (SELECT doc_id,
+          CAST(length(seq) - length(translate(seq, chr(2), '')) AS BIGINT) AS n_subwords
+          FROM e_11)
+        SELECT d.lang,
+          CAST(sum(enc.n_subwords) AS BIGINT) AS total_subwords,
+          CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS total_words,
+          count(*) AS n_docs,
+          (1000000 * CAST(sum(enc.n_subwords) AS BIGINT))
+            // CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS fertility_micro
+        FROM documents d JOIN enc USING (doc_id)
+        GROUP BY d.lang ORDER BY d.lang"""))
   )
 
   /** q154 oracle: the unrolled greedy BPE training loop in DuckDB SQL.
@@ -3554,19 +3588,25 @@ object SparkEntry {
     * stay bare, so merges cannot cross words) and the n learned merges
     * applied in order as chained replaces, exactly the engine's
     * zero-shuffle projection. */
-  private def sqlBpeEncode(n: Int): String = {
+  /** The q155/q157 shared chain: training ([[sqlBpeStages]]) + the per-doc
+    * sentinel encoding + the n merge folds, ending at `e_{n-1}`. */
+  private def sqlBpeEncodeChain(n: Int): String = {
     val folds = (0 until n).map { k =>
       val src = if (k == 0) "docs" else s"e_${k - 1}"
       s"""e_$k AS MATERIALIZED (SELECT doc_id, replace(seq,
             chr(2)||best_$k.a||chr(3)||chr(2)||best_$k.b||chr(3),
             chr(2)||best_$k.m||chr(3)) AS seq FROM $src, best_$k)"""
     }.mkString(",\n      ")
-    s"""
-      WITH ${sqlBpeStages(n)},
+    s"""${sqlBpeStages(n)},
       docs AS MATERIALIZED (SELECT doc_id,
         regexp_replace(regexp_replace(text, '([^ ]+)', '\\1'||chr(4), 'g'),
           '([^ ])', chr(2)||'\\1'||chr(3), 'g') AS seq FROM documents),
-      $folds
+      $folds"""
+  }
+
+  private def sqlBpeEncode(n: Int): String = {
+    s"""
+      WITH ${sqlBpeEncodeChain(n)}
       SELECT doc_id,
         replace(translate(replace(seq, chr(3)||chr(2), ' '), chr(2)||chr(3), ''),
           chr(4), '</w>') AS bpe_text,

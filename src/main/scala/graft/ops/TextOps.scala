@@ -1050,6 +1050,17 @@ object TextOps {
       mergesDf.orderBy("step").select("left_tok", "right_tok")
         .collect().toSeq.map(r => (r.getString(0), r.getString(1))))
 
+  /** Inverse of [[applyBpeMerges]]'s `bpe_text` rendering: drop the
+    * inter-subword spaces, turn each `</w>` back into a word separator.
+    * Exact round-trip (`bpeDecode(encode(x)) == x`, spec-asserted on the
+    * fixture corpus) for CANONICALLY-spaced text — single spaces, no
+    * leading/trailing space — since the rendering collapses the original
+    * separator multiplicity; text containing a literal `</w>` is outside
+    * the encoding's domain (as are the U+0002..04 sentinels). Zero-shuffle
+    * column form. */
+  def bpeDecode(bpeText: Column): Column =
+    rtrim(replace(replace(bpeText, lit(" "), lit("")), lit("</w>"), lit(" ")))
+
   /** Per-document top-`topK` keyword extraction. The RANKING is the
     * integer-exact lexicographic order (tf desc, df asc, token asc) — NOT
     * the tf·idf product order (lexicographic equals the product order only

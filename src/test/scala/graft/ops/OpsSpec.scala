@@ -1309,6 +1309,20 @@ class TextOpsSpec extends SparkSpec {
     assert(viaDf(1L) == (("aa aa</w> aa a </w>", 5L)))
   }
 
+  test("bpeDecode(applyBpeMerges(x)) == x on the fixture corpus (canonical spacing)") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+      // canonicalize: the rendering collapses separator multiplicity, so
+      // the exact round-trip claim is scoped to single-spaced text
+      .select(col("doc_id"), regexp_replace(trim(col("text")), " +", " ").as("text"))
+    val merges = TextOps.learnBpeMerges(docs, "text", 12)
+    val bad = TextOps.applyBpeMerges(docs, "doc_id", "text", merges)
+      .join(docs, "doc_id")
+      .where(TextOps.bpeDecode(col("bpe_text")) =!= col("text"))
+      .count()
+    assert(bad == 0L, s"$bad documents fail the encode/decode round-trip")
+  }
+
   test("repetitionStats: counts and fractions on a degenerate vs normal doc") {
     import spark.implicits._
     val df = Seq(
