@@ -323,11 +323,13 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_bpe_learn"),
       info("graft_bpe_learn",
-        "graft_bpe_learn(table, textCol, numMerges) - BPE merge learning: the deterministic merge table (step, left_tok, right_tok, merged, pair_count). NOTE: the training loop RUNS at analysis time (the merge table parameterizes the plan); materialize the result rather than re-issuing per statement"),
+        "graft_bpe_learn(table, textCol, numMerges[, mergesPerRound]) - BPE merge learning: the deterministic merge table (step, left_tok, right_tok, merged, pair_count); mergesPerRound > 1 batches that many merges per pair recount (the industrial-vocab scale dial). NOTE: the training loop RUNS at analysis time (the merge table parameterizes the plan); materialize the result rather than re-issuing per statement"),
       (args: Seq[Expression]) => {
-        require(args.length == 3, "usage: graft_bpe_learn(table, textCol, numMerges)")
+        require(args.length == 3 || args.length == 4,
+          "usage: graft_bpe_learn(table, textCol, numMerges[, mergesPerRound])")
         ops.TextOps.learnBpeMerges(table(str(args(0), "table")),
-          str(args(1), "textCol"), int(args(2), "numMerges"))
+          str(args(1), "textCol"), int(args(2), "numMerges"),
+          if (args.length == 4) int(args(3), "mergesPerRound") else 1)
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_bpe_encode"),

@@ -3524,7 +3524,7 @@ object SparkEntry {
         WITH ${sqlBpeEncodeChain(12)},
         enc AS (SELECT doc_id,
           CAST(length(seq) - length(translate(seq, chr(2), '')) AS BIGINT) AS n_subwords
-          FROM e_11)
+          FROM enc_final)
         SELECT d.lang,
           CAST(sum(enc.n_subwords) AS BIGINT) AS total_subwords,
           CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS total_words,
@@ -3532,7 +3532,17 @@ object SparkEntry {
           (1000000 * CAST(sum(enc.n_subwords) AS BIGINT))
             // CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS fertility_micro
         FROM documents d JOIN enc USING (doc_id)
-        GROUP BY d.lang ORDER BY d.lang"""))
+        GROUP BY d.lang ORDER BY d.lang""")),
+
+    // -- q158: batched BPE recount rounds — the industrial-vocab scale
+    //    dial: ONE pair recount per 4 merges (a 32k-merge vocabulary needs
+    //    vocab/m rounds instead of vocab); within-round ranks are
+    //    round-start-stale by construction, and the oracle unrolls the
+    //    identical rank-ordered fold, LIMIT 1 OFFSET j per rank ----------
+    Q("q158_bpe_batched",
+      (s, dir) => ops.TextOps.learnBpeMerges(T(s, dir, "documents"), "text", 12,
+        mergesPerRound = 4).orderBy("step"),
+      Some(sqlBpeMerges(12, 4)))
   )
 
   /** q154 oracle: the unrolled greedy BPE training loop in DuckDB SQL.
@@ -3541,67 +3551,88 @@ object SparkEntry {
     * the split symbol list against itself shifted by one) and merge
     * application (one `replace`) are bit-identical to the Spark loop,
     * including the (count desc, left asc, right asc) tie-break. */
-  /** The shared q154/q155 training chain: words_0 (wrapped char sequences
-    * + frequencies) and n unrolled rounds of pairs_k / best_k / words_k+1.
-    * Every CTE is AS MATERIALIZED: words_k is referenced twice per round
-    * (pairs_k and words_k+1), so inlining would expand words_0 2^n times —
-    * the plain form ran >10 min at sf0.1 where the materialized chain runs
-    * in ~0.5 s with identical results. */
-  private def sqlBpeStages(n: Int): String = {
-    def stage(k: Int): String = s"""
+  /** (round k, merges in round k) for n total merges at m per round. */
+  private def bpeRounds(n: Int, m: Int): Seq[(Int, Int)] =
+    (0 until (n + m - 1) / m).map(k => (k, math.min(m, n - k * m)))
+
+  /** The shared q154/q155/q157/q158 training chain: words_0 (wrapped char
+    * sequences + frequencies) and the unrolled recount rounds -- per round
+    * ONE pairs_k count, then the round's top-m rank list applied in order
+    * (bl_k_j = the j-th ranked pair via LIMIT 1 OFFSET j; the LEFT JOIN ON
+    * TRUE guard carries seq unchanged when the list runs short, exactly
+    * the engine loop's no-op; m=1 is classic BPE). Every CTE is AS
+    * MATERIALIZED: words_k is referenced twice per round, so inlining
+    * would expand words_0 exponentially -- the plain form ran >10 min at
+    * sf0.1 where the materialized chain runs in ~0.5 s, identical results. */
+  private def sqlBpeStages(n: Int, m: Int = 1): String = {
+    val sb = new StringBuilder
+    sb.append("""words_0 AS MATERIALIZED (
+        SELECT regexp_replace(word, '(.)', chr(2)||'\1'||chr(3), 'g') ||
+                 chr(2)||chr(4)||chr(3) AS seq,
+               CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> '' AND strpos(word, chr(2)) = 0
+          AND strpos(word, chr(3)) = 0 AND strpos(word, chr(4)) = 0
+        GROUP BY 1)""")
+    for ((k, mj) <- bpeRounds(n, m)) {
+      sb.append(s""",
       pairs_$k AS MATERIALIZED (
         SELECT p[1] AS a, p[2] AS b, CAST(sum(freq) AS BIGINT) AS c
         FROM (
           SELECT freq, unnest(list_zip(toks, toks[2:])) AS p
           FROM (SELECT freq, list_transform(string_split(seq, chr(3)||chr(2)),
                   x -> trim(x, chr(2)||chr(3))) AS toks FROM words_$k))
-        WHERE p[2] IS NOT NULL GROUP BY 1, 2),
-      best_$k AS MATERIALIZED (
-        SELECT $k AS step, a, b, a||b AS m, c FROM pairs_$k
-        ORDER BY c DESC, a ASC, b ASC LIMIT 1),
-      words_${k + 1} AS MATERIALIZED (
-        SELECT freq, replace(seq,
-            chr(2)||best_$k.a||chr(3)||chr(2)||best_$k.b||chr(3),
-            chr(2)||best_$k.m||chr(3)) AS seq
-        FROM words_$k, best_$k)"""
-    s"""words_0 AS MATERIALIZED (
-        SELECT regexp_replace(word, '(.)', chr(2)||'\\1'||chr(3), 'g') ||
-                 chr(2)||chr(4)||chr(3) AS seq,
-               CAST(count(*) AS BIGINT) AS freq
-        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        WHERE word <> '' AND strpos(word, chr(2)) = 0
-          AND strpos(word, chr(3)) = 0 AND strpos(word, chr(4)) = 0
-        GROUP BY 1),${(0 until n).map(stage).mkString(",")}"""
+        WHERE p[2] IS NOT NULL GROUP BY 1, 2)""")
+      var prev = s"words_$k"
+      for (j <- 0 until mj) {
+        sb.append(s""",
+      bl_${k}_$j AS MATERIALIZED (
+        SELECT ${k * m + j} AS step, a, b, a||b AS mg, c FROM pairs_$k
+        ORDER BY c DESC, a ASC, b ASC LIMIT 1 OFFSET $j)""")
+        val next = if (j == mj - 1) s"words_${k + 1}" else s"w_${k}_${j + 1}"
+        sb.append(s""",
+      $next AS MATERIALIZED (
+        SELECT freq, CASE WHEN a IS NULL THEN seq ELSE replace(seq,
+            chr(2)||a||chr(3)||chr(2)||b||chr(3), chr(2)||mg||chr(3)) END AS seq
+        FROM $prev LEFT JOIN bl_${k}_$j ON TRUE)""")
+        prev = next
+      }
+    }
+    sb.toString
   }
 
-  private def sqlBpeMerges(n: Int): String = {
-    val union = (0 until n).map(k => s"SELECT * FROM best_$k").mkString(" UNION ALL ")
+  private def sqlBpeMerges(n: Int, m: Int = 1): String = {
+    val union = bpeRounds(n, m)
+      .flatMap { case (k, mj) => (0 until mj).map(j => s"SELECT * FROM bl_${k}_$j") }
+      .mkString(" UNION ALL ")
     s"""
-      WITH ${sqlBpeStages(n)},
+      WITH ${sqlBpeStages(n, m)},
       merges AS MATERIALIZED ($union)
-      SELECT step, a AS left_tok, b AS right_tok, m AS merged, c AS pair_count
+      SELECT step, a AS left_tok, b AS right_tok, mg AS merged, c AS pair_count
       FROM merges ORDER BY step"""
   }
 
-  /** q155 oracle: q154's training chain, then the encode fold — every
-    * document rewritten into the sentinel encoding (word-boundary spaces
-    * stay bare, so merges cannot cross words) and the n learned merges
-    * applied in order as chained replaces, exactly the engine's
-    * zero-shuffle projection. */
   /** The q155/q157 shared chain: training ([[sqlBpeStages]]) + the per-doc
-    * sentinel encoding + the n merge folds, ending at `e_{n-1}`. */
-  private def sqlBpeEncodeChain(n: Int): String = {
-    val folds = (0 until n).map { k =>
-      val src = if (k == 0) "docs" else s"e_${k - 1}"
-      s"""e_$k AS MATERIALIZED (SELECT doc_id, replace(seq,
-            chr(2)||best_$k.a||chr(3)||chr(2)||best_$k.b||chr(3),
-            chr(2)||best_$k.m||chr(3)) AS seq FROM $src, best_$k)"""
-    }.mkString(",\n      ")
-    s"""${sqlBpeStages(n)},
+    * sentinel encoding (word-boundary spaces stay bare, so merges cannot
+    * cross words) + the merge folds in rank order, ending at `enc_final`. */
+  private def sqlBpeEncodeChain(n: Int, m: Int = 1): String = {
+    val sb = new StringBuilder
+    sb.append(s"""${sqlBpeStages(n, m)},
       docs AS MATERIALIZED (SELECT doc_id,
         regexp_replace(regexp_replace(text, '([^ ]+)', '\\1'||chr(4), 'g'),
-          '([^ ])', chr(2)||'\\1'||chr(3), 'g') AS seq FROM documents),
-      $folds"""
+          '([^ ])', chr(2)||'\\1'||chr(3), 'g') AS seq FROM documents)""")
+    val steps = bpeRounds(n, m).flatMap { case (k, mj) => (0 until mj).map(j => (k, j)) }
+    var prev = "docs"
+    for (((k, j), i) <- steps.zipWithIndex) {
+      val next = if (i == steps.length - 1) "enc_final" else s"e_${k}_${j + 1}"
+      sb.append(s""",
+      $next AS MATERIALIZED (
+        SELECT doc_id, CASE WHEN a IS NULL THEN seq ELSE replace(seq,
+            chr(2)||a||chr(3)||chr(2)||b||chr(3), chr(2)||mg||chr(3)) END AS seq
+        FROM $prev LEFT JOIN bl_${k}_$j ON TRUE)""")
+      prev = next
+    }
+    sb.toString
   }
 
   private def sqlBpeEncode(n: Int): String = {
@@ -3611,7 +3642,7 @@ object SparkEntry {
         replace(translate(replace(seq, chr(3)||chr(2), ' '), chr(2)||chr(3), ''),
           chr(4), '</w>') AS bpe_text,
         CAST(length(seq) - length(translate(seq, chr(2), '')) AS BIGINT) AS n_subwords
-      FROM e_${n - 1} ORDER BY doc_id"""
+      FROM enc_final ORDER BY doc_id"""
   }
 
   /** The q150 oracle, shared verbatim by q153's SQL-TVF route — the two

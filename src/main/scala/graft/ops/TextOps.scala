@@ -940,11 +940,23 @@ object TextOps {
     * asc) so the merge sequence is deterministic and engine-independent —
     * and (3) merge every greedy left-to-right occurrence corpus-wide.
     *
-    * Returns the learned merge table, one row per round:
+    * Returns the learned merge table, one row per merge:
     * `(step, left_tok, right_tok, merged, pair_count)`; fewer than
     * `numMerges` rows iff the dictionary ran out of pairs (every word fully
     * merged). Words containing the three sentinel characters (U+0002..04)
     * are excluded up front — they would corrupt the working encoding.
+    *
+    * `mergesPerRound` is the SCALE DIAL for industrial vocabularies: at
+    * m > 1 each round counts pairs ONCE and applies the top-m pairs in
+    * rank order (count desc, left asc, right asc) before recounting — a
+    * 32k-merge vocabulary needs 32000/m recount rounds instead of 32000
+    * (m=256 → 125 rounds). The trade is documented staleness: ranks within
+    * a round come from the round-start counts, so a pair whose occurrences
+    * an earlier same-round merge consumed still applies (often as a
+    * no-op), and `pair_count` records the round-start count. m=1 is
+    * classic exact BPE. Step ids advance k·m + j, so a partial final list
+    * leaves a hole rather than renumbering — the identical scheme the
+    * unrolled oracle uses.
     *
     * Scale shape: the corpus is touched ONCE (the word-count shuffle, the
     * same exchange [[topTokens]] runs); every merge round then runs on the
@@ -956,9 +968,15 @@ object TextOps {
     * dict row — O(numMerges²·|vocab|) total, trivial beside the corpus
     * scan). No corpus re-read, no driver materialization beyond one row
     * per round. */
-  def learnBpeMerges(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
-    require(numMerges > 0 && numMerges <= 256,
-      s"numMerges must be in [1, 256], got $numMerges")
+  def learnBpeMerges(df: DataFrame, textCol: String, numMerges: Int,
+                     mergesPerRound: Int = 1): DataFrame = {
+    require(numMerges > 0 && numMerges <= 65536,
+      s"numMerges must be in [1, 65536], got $numMerges")
+    require(mergesPerRound > 0 && mergesPerRound <= 1024,
+      s"mergesPerRound must be in [1, 1024], got $mergesPerRound")
+    require(numMerges <= 256 * mergesPerRound,
+      s"$numMerges merges need ${(numMerges + mergesPerRound - 1) / mergesPerRound} " +
+        s"recount rounds at $mergesPerRound/round; cap is 256 rounds — raise mergesPerRound")
     val spark = df.sparkSession
     val dict = df
       .select(explode(split(col(textCol), " ")).as("__w"))
@@ -973,15 +991,16 @@ object TextOps {
       .persistTracked()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var seqNow: Column = col("seq")
-    var step = 0
+    var stepBase = 0
     var exhausted = false
-    while (step < numMerges && !exhausted) {
+    while (stepBase < numMerges && !exhausted) {
+      val mj = math.min(mergesPerRound, numMerges - stepBase)
       // adjacent pairs of the CURRENT segmentation: split the working
       // string on the <e><s> seam (the inter-symbol seam), strip the outer
       // sentinels, zip against itself shifted by one (arrays_zip pads the
       // short side with null — the null-right rows are the sequence tails)
       val toks = transform(split(seqNow, BpeR + BpeL), t => trim(t, BpeL + BpeR))
-      val best = dict
+      val top = dict
         .select(col("freq"), toks.as("__t1"))
         .select(col("freq"), col("__t1"),
           slice(col("__t1"), lit(2), size(col("__t1"))).as("__t2"))
@@ -990,16 +1009,20 @@ object TextOps {
         .where(col("b").isNotNull)
         .groupBy("a", "b").agg(sum("freq").as("c"))
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .limit(mj).collect()
+      if (top.isEmpty) exhausted = true
       else {
-        val a = best(0).getString(0)
-        val b = best(0).getString(1)
-        val cnt = best(0).getLong(2)
-        out += ((step, a, b, a + b, cnt))
-        seqNow = replace(seqNow,
-          lit(BpeL + a + BpeR + BpeL + b + BpeR), lit(BpeL + a + b + BpeR))
-        step += 1
+        top.zipWithIndex.foreach { case (r, j) =>
+          val a = r.getString(0)
+          val b = r.getString(1)
+          out += ((stepBase + j, a, b, a + b, r.getLong(2)))
+          seqNow = replace(seqNow,
+            lit(BpeL + a + BpeR + BpeL + b + BpeR), lit(BpeL + a + b + BpeR))
+        }
+        // step ids advance by the ROUND width (k*m + j), so a partial last
+        // list leaves a hole rather than renumbering — keeps the id scheme
+        // engine-independent (the oracle's unrolled rounds use the same)
+        stepBase += mergesPerRound
       }
     }
     import spark.implicits._

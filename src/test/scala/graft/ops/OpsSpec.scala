@@ -1283,6 +1283,26 @@ class TextOpsSpec extends SparkSpec {
     assert(first == ((0, "l", "o", "lo", 4L)))
   }
 
+  test("learnBpeMerges batched rounds: rank-ordered stale application, step ids k*m+j") {
+    import spark.implicits._
+    val eow = ""
+    val df = Seq((1L, "ab ab cd cd")).toDF("doc_id", "text")
+    // one round of m=2: round-start ranks are (a,b) then (b,eow) — the
+    // second is STALE after the first consumes every b, so it applies as a
+    // no-op but is still recorded with its round-start count
+    val batched = TextOps.learnBpeMerges(df, "text", numMerges = 2, mergesPerRound = 2)
+      .as[(Int, String, String, String, Long)].collect().toList
+    assert(batched == List(
+      (0, "a", "b", "ab", 2L),
+      (1, "b", eow, "b" + eow, 2L)))
+    // classic m=1 recounts between the two merges and picks (ab,eow) instead
+    val classic = TextOps.learnBpeMerges(df, "text", numMerges = 2)
+      .as[(Int, String, String, String, Long)].collect().toList
+    assert(classic == List(
+      (0, "a", "b", "ab", 2L),
+      (1, "ab", eow, "ab" + eow, 2L)))
+  }
+
   test("applyBpeMerges: in-order greedy encode, word-boundary isolation, subword counts") {
     import spark.implicits._
     val docs = Seq((1L, "aaaa aaa"), (2L, ""), (3L, "b")).toDF("doc_id", "text")
