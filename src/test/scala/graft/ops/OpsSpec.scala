@@ -1329,6 +1329,45 @@ class TextOpsSpec extends SparkSpec {
     assert(viaDf(1L) == (("aa aa</w> aa a </w>", 5L)))
   }
 
+  test("learnBpeMerges: local-dict route == distributed rounds (classic and batched)") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    def run(n: Int, m: Int) = TextOps.learnBpeMerges(docs, "text", n, m)
+      .as[(Int, String, String, String, Long)].collect().toList
+    val localClassic = run(10, 1)
+    val localBatched = run(10, 4)
+    val prop = "graft.bpe.localDictLimit"
+    val old = sys.props.get(prop)
+    sys.props(prop) = "0" // force the distributed fallback
+    try {
+      assert(run(10, 1) == localClassic)
+      assert(run(10, 4) == localBatched)
+    } finally old match {
+      case Some(v) => sys.props(prop) = v
+      case None => sys.props -= prop
+    }
+  }
+
+  test("applyBpeMergesPartitioned == applyBpeMerges (chain route) on fixture + edge docs") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (90001L, "a  double  space"),   // multiplicity must survive identically
+        (90002L, " leading and trailing "),
+        (90003L, ""),
+        (90004L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val merges = TextOps.learnBpeMerges(docs, "text", 12)
+      .orderBy("step").select("left_tok", "right_tok")
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    val chain = TextOps.applyBpeMerges(docs, "doc_id", "text", merges)
+    val part = TextOps.applyBpeMergesPartitioned(docs, "doc_id", "text", merges)
+    val mism = chain.as("c").join(part.as("p"), "doc_id")
+      .where(not(col("c.bpe_text") <=> col("p.bpe_text")) ||
+        not(col("c.n_subwords") <=> col("p.n_subwords")))
+      .count()
+    assert(mism == 0L, s"$mism documents differ between the chain and partitioned routes")
+  }
+
   test("bpeDecode(applyBpeMerges(x)) == x on the fixture corpus (canonical spacing)") {
     import spark.implicits._
     val docs = Tables.load(spark, sfDir, "documents")
