@@ -3542,7 +3542,22 @@ object SparkEntry {
     Q("q158_bpe_batched",
       (s, dir) => ops.TextOps.learnBpeMerges(T(s, dir, "documents"), "text", 12,
         mergesPerRound = 4).orderBy("step"),
-      Some(sqlBpeMerges(12, 4)))
+      Some(sqlBpeMerges(12, 4))),
+
+    // -- q159: the BIG-VOCAB encode route (per-partition token loop, no
+    //    expression-depth limit) against q155's oracle VERBATIM — the two
+    //    encode routes are pinned to the same hash, not just to each
+    //    other's spec assertion -----------------------------------------
+    Q("q159_bpe_encode_partitioned",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val merges = ops.TextOps.learnBpeMerges(docs, "text", 12)
+          .orderBy("step").select("left_tok", "right_tok")
+          .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+        ops.TextOps.applyBpeMergesPartitioned(docs, "doc_id", "text", merges)
+          .orderBy("doc_id")
+      },
+      Some(sqlBpeEncode(12)))
   )
 
   /** q154 oracle: the unrolled greedy BPE training loop in DuckDB SQL.
