@@ -3557,7 +3557,34 @@ object SparkEntry {
         ops.TextOps.applyBpeMergesPartitioned(docs, "doc_id", "text", merges)
           .orderBy("doc_id")
       },
-      Some(sqlBpeEncode(12)))
+      Some(sqlBpeEncode(12))),
+
+    // -- q160: EXACT percentiles of an unbounded-cardinality double column
+    //    by iterative value-domain rank-selection — the percentile family's
+    //    third leg (percentile() buffers the column on one reducer;
+    //    histogramPercentile's guard rejects continuous columns;
+    //    percentile_approx is inexact). Bins-only exchanges, batched rounds:
+    //    all requested ranks share each histogram pass and ONE union-ed
+    //    residual action. Oracle reproduces the identical k = p·(n−1)
+    //    interpolation over the sorted column ---------------------------
+    Q("q160_exact_percentile_unbounded",
+      (s, dir) => ops.Stats.exactPercentilesUnbounded(
+        T(s, dir, "lineitem"), "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.99)),
+      Some("""
+        WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+                   FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        s AS (SELECT x, row_number() OVER (ORDER BY x) - 1 AS idx FROM v),
+        k AS (SELECT CAST(t.p AS DOUBLE) AS p,
+                     CAST(t.p AS DOUBLE) * (SELECT count(*) - 1 FROM v) AS k
+              FROM (VALUES (0.25),(0.50),(0.75),(0.99)) t(p)),
+        iv AS (SELECT k.p, lo.x + (k.k - floor(k.k)) * (hi.x - lo.x) AS val
+               FROM k JOIN s lo ON lo.idx = CAST(floor(k.k) AS BIGINT)
+                      JOIN s hi ON hi.idx = CAST(ceil(k.k) AS BIGINT))
+        SELECT max(CASE WHEN p = 0.25 THEN val END) AS p25,
+               max(CASE WHEN p = 0.50 THEN val END) AS p50,
+               max(CASE WHEN p = 0.75 THEN val END) AS p75,
+               max(CASE WHEN p = 0.99 THEN val END) AS p99
+        FROM iv"""))
   )
 
   /** q154 oracle: the unrolled greedy BPE training loop in DuckDB SQL.

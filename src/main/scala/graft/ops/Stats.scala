@@ -195,6 +195,142 @@ object Stats {
       .drop("__wlo", "__whi")
   }
 
+  /** Exact percentile of an UNBOUNDED-cardinality double column — the
+    * missing third leg of the percentile family: `percentile()` buffers the
+    * whole column on one reducer, [[histogramPercentile]] requires bounded
+    * distinct values (its guard rejects continuous columns), and
+    * `percentile_approx` is approximate. This is the classic distributed
+    * exact selection by iterative value-domain narrowing: each round is ONE
+    * map-side bin projection + keyed aggregation whose exchange carries
+    * O(tasks · nBins) rows (never the column), the driver walks the ≤ nBins
+    * cumulative counts to find the bin holding the target rank, and the
+    * search range shrinks to that bin's observed [min, max]. A range that
+    * collapses (min == max) IS the answer; a residual bin of ≤ `maxResidual`
+    * rows resolves by a TakeOrdered top-(r+1) — bounded driver work by
+    * construction. For 100 TB this is a handful of full scans with bins-only
+    * exchanges — the shape that survives where a global sort or one-reducer
+    * buffer dies.
+    *
+    * Reproduces `percentile(col, p)` exactly: k = p·(n−1), linear
+    * interpolation between the 0-based sorted values at floor(k)/ceil(k)
+    * (both found by exact rank-selection). Every float op downstream of the
+    * exact ranks — the k product and the interpolation — is a correctly-
+    * rounded IEEE double op, so any conforming engine reproduces the hash.
+    * NULLs are excluded; an empty column yields an empty frame.
+    *
+    * Returns a 1-row frame (percentile: double). `ps` variant below shares
+    * the initial count/min/max pass across requested percentiles. */
+  def exactPercentileUnbounded(df: DataFrame, valueCol: String, p: Double,
+      nBins: Int = 8192, maxResidual: Long = 1L << 17): DataFrame =
+    exactPercentilesUnbounded(df, valueCol, Seq(p), nBins, maxResidual)
+      .withColumnRenamed(s"p${math.round(p * 100)}", "percentile")
+
+  /** Multi-percentile form of [[exactPercentileUnbounded]]: one shared
+    * count/min/max pass, then one rank-selection per DISTINCT bracketing
+    * rank (p25/p50/p75/p99 over the same column reuse nothing else — each
+    * rank's narrowing walks its own range). Output is one row with a
+    * `p<round(p*100)>` double column per requested p. */
+  def exactPercentilesUnbounded(df: DataFrame, valueCol: String, ps: Seq[Double],
+      nBins: Int = 8192, maxResidual: Long = 1L << 17): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"ps must be in [0,1]: $ps")
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    require(maxResidual >= 1 && maxResidual < Int.MaxValue, s"maxResidual out of range: $maxResidual")
+    val names = ps.map(p => s"p${math.round(p * 100)}")
+    require(names.distinct.size == names.size, s"p labels collide: $names")
+    val spark = df.sparkSession
+    val v = col(valueCol).cast("double")
+    val base = df.where(v.isNotNull).select(v.as("__v"))
+    // base is scanned once per narrowing round; at fixture scale re-reading
+    // parquet is cheap, at cluster scale callers can .persist() upstream
+    val head = base.agg(count(lit(1)), min("__v"), max("__v")).collect()(0)
+    val n = head.getLong(0)
+    val schema = org.apache.spark.sql.types.StructType(
+      names.map(org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    if (n == 0L)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val (globalLo, globalHi) = (head.getDouble(1), head.getDouble(2))
+    // one narrowing state per DISTINCT bracketing rank across all requested
+    // percentiles (p25/p50/p75 share ranks whenever n is small); rounds are
+    // BATCHED — every state at the same depth shares ONE Spark action, so
+    // the job count is O(rounds), never O(percentiles · rounds)
+    final class St(val rank: Long) {
+      var lo = globalLo; var hi = globalHi; var r = rank; var cnt = n
+      var ans = Option.empty[Double]
+    }
+    val states = ps.flatMap { p =>
+      val k = p * (n - 1)
+      Seq(math.floor(k).toLong, math.ceil(k).toLong)
+    }.distinct.map(new St(_))
+    var rounds = 0
+    while (states.exists(st => st.ans.isEmpty && st.cnt > maxResidual)) {
+      rounds += 1
+      require(rounds <= 200, "exactPercentileUnbounded: no convergence after " +
+        "200 rounds — pathological input")
+      states.foreach(st => if (st.ans.isEmpty && st.lo == st.hi) st.ans = Some(st.lo))
+      // states needing a histogram round, grouped by identical range so each
+      // distinct range is scanned once; all groups ride ONE union + collect
+      val active = states.filter(st => st.ans.isEmpty && st.cnt > maxResidual)
+        .groupBy(st => (st.lo, st.hi)).toSeq
+      if (active.nonEmpty) {
+        val frames = active.zipWithIndex.map { case (((lo, hi), _), tag) =>
+          val width = (hi - lo) / nBins
+          val bin =
+            if (width <= 0 || lo + width == lo)
+              // range narrower than double resolution at this magnitude:
+              // only a handful of representable doubles remain — bin by value
+              col("__v")
+            else
+              least(greatest(floor((col("__v") - lit(lo)) / lit(width)), lit(0.0)),
+                lit((nBins - 1).toDouble))
+          base.where(col("__v") >= lo && col("__v") <= hi)
+            .groupBy(bin.as("__b")).agg(count(lit(1)).as("__c"),
+              min("__v").as("__mn"), max("__v").as("__mx"))
+            .select(lit(tag).as("__t"), col("__b"), col("__c"), col("__mn"), col("__mx"))
+        }
+        val hist = frames.reduce(_.union(_)).collect()
+          .groupBy(_.getInt(0))
+          .view.mapValues(_.sortBy(_.getDouble(1))).toMap
+        active.zipWithIndex.foreach { case ((_, sts), tag) =>
+          val bins = hist(tag)
+          sts.foreach { st =>
+            var cum = 0L
+            var i = 0
+            while (cum + bins(i).getLong(2) <= st.r) { cum += bins(i).getLong(2); i += 1 }
+            st.r -= cum
+            st.cnt = bins(i).getLong(2)
+            st.lo = bins(i).getDouble(3)
+            st.hi = bins(i).getDouble(4)
+            if (st.lo == st.hi) st.ans = Some(st.lo)
+          }
+        }
+      }
+    }
+    // bounded residuals, all in ONE union + collect: the r-th (0-based)
+    // smallest of <= maxResidual in-range rows = max of the ascending
+    // top-(r+1) (TakeOrderedAndProject per branch)
+    val residual = states.filter(_.ans.isEmpty)
+    if (residual.nonEmpty) {
+      val frames = residual.zipWithIndex.map { case (st, tag) =>
+        base.where(col("__v") >= st.lo && col("__v") <= st.hi)
+          .orderBy(col("__v").asc).limit((st.r + 1).toInt)
+          .agg(max("__v").as("__v")).select(lit(tag).as("__t"), col("__v"))
+      }
+      val got = frames.reduce(_.union(_)).collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      residual.zipWithIndex.foreach { case (st, tag) => st.ans = Some(got(tag)) }
+    }
+    val byRank = states.map(st => st.rank -> st.ans.get).toMap
+    val out = ps.map { p =>
+      val k = p * (n - 1)
+      val vLo = byRank(math.floor(k).toLong)
+      val vHi = byRank(math.ceil(k).toLong)
+      java.lang.Double.valueOf(vLo + (k - math.floor(k)) * (vHi - vLo))
+    }
+    spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(out: _*)), schema)
+  }
+
   /** Deterministic stratified sample: at most `n` rows per group, chosen by
     * the 60-bit md5 hash of the id — stable across runs, task retries, AND
     * engines (never `rand()`), so a resumed pipeline re-selects the exact

@@ -62,6 +62,48 @@ class ApproxSpec extends SparkSpec {
       .as[Double].head() == 500.0)
   }
 
+  test("exactPercentileUnbounded matches percentile() bit-for-bit on a continuous column") {
+    // every value distinct — the case the histogram family's guard REJECTS;
+    // force tiny narrowing parameters so the test exercises multiple
+    // histogram rounds AND the residual TakeOrdered path, across partitions
+    val cont = spark.range(997).repartition(7)
+      .select((pmod(col("id") * 7919, lit(997)).cast("double") / 3.0 + 0.125).as("v"))
+    Seq(0.0, 0.25, 0.5, 0.739, 0.75, 1.0).foreach { p =>
+      val got = graft.ops.Stats.exactPercentileUnbounded(cont, "v", p,
+        nBins = 4, maxResidual = 8).as[Double].head()
+      val ref = cont.agg(expr(s"percentile(v, $p)")).as[Double].head()
+      assert(got == ref, s"p=$p: rank-select $got vs percentile() $ref")
+    }
+    // the real fixture column, default parameters
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val multi = graft.ops.Stats.exactPercentilesUnbounded(li, "l_extendedprice",
+      Seq(0.25, 0.5, 0.75)).head()
+    val refs = li.agg(expr("percentile(l_extendedprice, 0.25)"),
+      expr("percentile(l_extendedprice, 0.5)"),
+      expr("percentile(l_extendedprice, 0.75)")).head()
+    (0 until 3).foreach(i => assert(multi.getDouble(i) == refs.getDouble(i),
+      s"col $i: ${multi.getDouble(i)} vs ${refs.getDouble(i)}"))
+  }
+
+  test("exactPercentileUnbounded edge cases: constants, duplicates, n=1, NULLs, empty") {
+    val S = graft.ops.Stats
+    // constant column: range collapses on the first round
+    val const = Seq.fill(50)(7.25).toDF("v").repartition(5)
+    assert(S.exactPercentileUnbounded(const, "v", 0.5, nBins = 4, maxResidual = 2)
+      .as[Double].head() == 7.25)
+    // heavy duplicates around the pick + NULL exclusion
+    val dup = (Seq.fill(40)(Some(2.0)) ++ Seq(Some(1.0), Some(9.0), None)).toDF("v")
+    assert(S.exactPercentileUnbounded(dup, "v", 0.5, nBins = 4, maxResidual = 4)
+      .as[Double].head() == 2.0)
+    assert(S.exactPercentileUnbounded(Seq(42.0).toDF("v"), "v", 0.73)
+      .as[Double].head() == 42.0)
+    // empty input -> empty frame (not a NaN row)
+    assert(S.exactPercentileUnbounded(Seq.empty[Double].toDF("v"), "v", 0.5).count() == 0L)
+    // interpolated even-count pick, residual path
+    val even = Seq(1.0, 2.0, 3.0, 10.0).toDF("v")
+    assert(S.exactPercentileUnbounded(even, "v", 0.5).as[Double].head() == 2.5)
+  }
+
   test("q21 bounds-booleans hold and the plan avoids the value-buffering shapes") {
     val row = SparkEntry.queries("q21_approx_agg")(spark, sfDir).head()
     assert(row.getLong(0) > 0)
