@@ -50,6 +50,14 @@ object GraftExtensions {
       (children: Seq[Expression]) => Md5Hash60(children.head)),
     (FunctionIdentifier("graft_dotq"), ArrayDotProduct.info,
       (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))),
+    (FunctionIdentifier("graft_nfc"), graft.expressions.UnicodeText.nfcInfo,
+      (children: Seq[Expression]) =>
+        graft.expressions.UnicodeNormalize(children.head, "NFC")),
+    (FunctionIdentifier("graft_nfkc"), graft.expressions.UnicodeText.nfkcInfo,
+      (children: Seq[Expression]) =>
+        graft.expressions.UnicodeNormalize(children.head, "NFKC")),
+    (FunctionIdentifier("graft_strip_accents"), graft.expressions.UnicodeText.stripInfo,
+      (children: Seq[Expression]) => graft.expressions.StripAccents(children.head)),
     // typed aggregates: builders return the AggregateFunction, the analyzer
     // wraps it — usable directly in SQL GROUP BY queries
     (FunctionIdentifier("graft_simhash60"), graft.expressions.SimhashAgg.info,

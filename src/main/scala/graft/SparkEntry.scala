@@ -3584,7 +3584,43 @@ object SparkEntry {
                max(CASE WHEN p = 0.50 THEN val END) AS p50,
                max(CASE WHEN p = 0.75 THEN val END) AS p75,
                max(CASE WHEN p = 0.99 THEN val END) AS p99
-        FROM iv"""))
+        FROM iv""")),
+
+    // -- q161: Unicode canonicalization before exact dedup — native codegen
+    //    NFC / strip-accents expressions (graft_nfc family). Each doc is
+    //    planted in three byte-level variants of the same visible text
+    //    (precomposed, NFD-decomposed, uppercase); raw hashing sees 3 keys
+    //    per doc, NFC collapses the composition split, the full canonical
+    //    chain (NFC→lower→accent-fold→ws-collapse) collapses all three.
+    //    DuckDB's nfc_normalize/strip_accents pin the cross-engine contract
+    Q("q161_unicode_canonical_dedup",
+      (s, dir) => {
+        val variants = T(s, dir, "documents").select(col("doc_id"), explode(array(
+          concat(lit("caf\u00e9 "), col("text")),
+          concat(lit("cafe\u0301 "), col("text")),
+          concat(lit("CAF\u00c9 "), col("text")))).as("t"))
+        variants.agg(
+          countDistinct(md5(col("t"))).as("n_raw"),
+          countDistinct(md5(ops.TextOps.nfc(col("t")))).as("n_nfc"),
+          countDistinct(md5(ops.TextOps.canonicalText(col("t")))).as("n_canonical"),
+          count(lit(1)).as("n_rows"))
+      },
+      Some("""
+        WITH variants AS (
+          SELECT doc_id, unnest([
+            'caf' || chr(233) || ' ' || text,
+            'cafe' || chr(769) || ' ' || text,
+            'CAF' || chr(201) || ' ' || text]) AS t
+          FROM documents),
+        canon AS (SELECT t, nfc_normalize(t) AS t_nfc,
+            trim(regexp_replace(strip_accents(lower(nfc_normalize(t))),
+              '\s+', ' ', 'g')) AS t_can
+          FROM variants)
+        SELECT count(DISTINCT md5(t)) AS n_raw,
+               count(DISTINCT md5(t_nfc)) AS n_nfc,
+               count(DISTINCT md5(t_can)) AS n_canonical,
+               count(*) AS n_rows
+        FROM canon"""))
   )
 
   /** q154 oracle: the unrolled greedy BPE training loop in DuckDB SQL.

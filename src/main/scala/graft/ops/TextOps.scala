@@ -14,6 +14,41 @@ object TextOps {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(split(text, " "))
 
+  /** Unicode NFC canonicalization (UAX #15) — native codegen expression;
+    * the byte-level precondition of every hash-keyed operator in this
+    * engine (the same visible text arrives precomposed OR decomposed, and
+    * md5/fingerprint/gram hashes see different documents until the corpus
+    * is normalized). SQL surface: `graft_nfc`. */
+  def nfc(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumn
+    GraftColumn.of(graft.expressions.UnicodeNormalize(GraftColumn.expr(c), "NFC"))
+  }
+
+  /** NFKC compatibility normalization: like [[nfc]] but also folds
+    * compatibility equivalents (ligatures ﬁ→fi, fullwidth Ａ→A, ℕ→N) —
+    * the aggressive form a tokenizer-training corpus wants. SQL:
+    * `graft_nfkc`. */
+  def nfkc(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumn
+    GraftColumn.of(graft.expressions.UnicodeNormalize(GraftColumn.expr(c), "NFKC"))
+  }
+
+  /** Accent folding: NFD-decompose then drop combining marks (é→e, ü→u,
+    * ñ→n); characters with no canonical decomposition (ø, æ) pass through.
+    * SQL: `graft_strip_accents`; agrees with DuckDB's `strip_accents` on
+    * Latin diacritics (pinned by q161). */
+  def stripAccents(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumn
+    GraftColumn.of(graft.expressions.StripAccents(GraftColumn.expr(c)))
+  }
+
+  /** Canonical dedup key: NFC → lowercase → accent-fold → whitespace
+    * collapse + trim. The standard "same text, different bytes" equivalence
+    * for exact dedup and cross-source joins — one zero-shuffle codegen
+    * projection; feed the result to `Dedup.exactByContent` or `md5`. */
+  def canonicalText(c: Column): Column =
+    trim(regexp_replace(stripAccents(lower(nfc(c))), "\\s+", " "))
+
   /** BPE-ish subword estimate: whitespace tokens plus one split before every
     * vowel/digit — a deterministic, regex-portable proxy for tokenizer
     * token counts. */
