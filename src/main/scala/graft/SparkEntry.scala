@@ -3621,6 +3621,52 @@ object SparkEntry {
                count(DISTINCT md5(t_can)) AS n_canonical,
                count(*) AS n_rows
         FROM canon"""))
+  ,
+
+    // -- q162: HTML → text extraction (the first transform of a web-crawl
+    //    corpus): each doc is wrapped in deterministic markup — title/style
+    //    head, script with code, comment, attributed divs, the 6 named
+    //    entities — then stripHtml recovers the text. Zero-shuffle codegen
+    //    regexp chain; the oracle runs the IDENTICAL RE2-safe chain -------
+    Q("q162_html_strip",
+      (s, dir) => {
+        val html = concat(
+          lit("<html><head><title>t</title><style>p { color: red }</style>" +
+            "</head><body><h1>Doc &amp; Co</h1><p>"),
+          col("text"),
+          lit("</p><script>var x = 1 && 2;</script><!-- c --><div class=\"d\">" +
+            "tail &lt;ok&gt;&nbsp;end &#39;q&#39;</div></body></html>"))
+        T(s, dir, "documents")
+          .select(col("doc_id"), ops.TextOps.stripHtml(html).as("clean"))
+          .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+            length(col("clean")).cast("long").as("n_chars"),
+            substring(col("clean"), 1, 40).as("head40"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH h AS (SELECT doc_id,
+          '<html><head><title>t</title><style>p { color: red }</style>' ||
+          '</head><body><h1>Doc &amp; Co</h1><p>' || text ||
+          '</p><script>var x = 1 && 2;</script><!-- c --><div class="d">' ||
+          'tail &lt;ok&gt;&nbsp;end &#39;q&#39;</div></body></html>' AS html
+          FROM documents),
+        c AS (SELECT doc_id,
+          trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                    '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                  '(?s)<!--.*?-->', ' ', 'g'),
+                '(?s)<[^>]+>', ' ', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+              '&nbsp;', ' '), '&amp;', '&'),
+            '\s+', ' ', 'g')) AS clean
+          FROM h)
+        SELECT doc_id, md5(clean) AS clean_md5, length(clean) AS n_chars,
+               substr(clean, 1, 40) AS head40
+        FROM c ORDER BY doc_id"""))
   )
 
   /** q154 oracle: the unrolled greedy BPE training loop in DuckDB SQL.

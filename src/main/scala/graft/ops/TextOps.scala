@@ -49,6 +49,34 @@ object TextOps {
   def canonicalText(c: Column): Column =
     trim(regexp_replace(stripAccents(lower(nfc(c))), "\\s+", " "))
 
+  /** HTML → text extraction — the first transform of any web-crawl corpus
+    * (WET-style plain text out of raw markup). Deterministic regex pipeline,
+    * one zero-shuffle codegen projection:
+    *   1. `<script>`/`<style>` elements drop WITH their contents (code and
+    *      CSS are not corpus text), then HTML comments;
+    *   2. every remaining tag becomes a space (block boundaries must not
+    *      glue words: `<p>a</p><p>b</p>` → "a b", never "ab");
+    *   3. the 6 universally-encoded named entities decode, `&amp;` LAST —
+    *      decoding it first would double-decode `&amp;lt;` into `<`.
+    *      Numeric character references stay verbatim (a regex replace
+    *      cannot compute a codepoint; real corpus text rarely carries
+    *      them — the full general decode belongs to a decoder UDF);
+    *   4. whitespace collapses and trims.
+    * Every pattern uses RE2-safe syntax with inline `(?is)` flags, so the
+    * identical chain runs in the DuckDB oracle (q162 pins it). Boilerplate
+    * REMOVAL beyond markup (nav/footer link-density pruning) is a separate
+    * policy op — this is the mechanical markup strip. */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]+>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** BPE-ish subword estimate: whitespace tokens plus one split before every
     * vowel/digit — a deterministic, regex-portable proxy for tokenizer
     * token counts. */

@@ -1759,6 +1759,28 @@ class TextOpsSpec extends SparkSpec {
       .select("doc_id", "dsir_micro_sum").as[(Long, Long)].collect().toMap
     assert(again == out.map { case (k, v) => k -> v._3 })
   }
+
+  test("stripHtml: tags, script/style contents, comments, entities, whitespace") {
+    def run(s: String): String =
+      Seq(s).toDF("h").select(TextOps.stripHtml(col("h"))).as[String].head()
+    // block tags become separators, never gluing words
+    assert(run("<p>alpha</p><p>beta</p>") == "alpha beta")
+    // script and style drop WITH contents, case-insensitive, across newlines
+    assert(run("a<SCRIPT type=x>var q = '<p>';\nmore()</script>b") == "a b")
+    assert(run("x<style>p { color: red }</style>y<!-- note\nnote -->z") == "x y z")
+    // entity decode: &amp; last, so &amp;lt; stays literal &lt;
+    assert(run("<div>a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;</div>")
+      == "a & b <tag> \"q\" 's'")
+    assert(run("one&amp;lt;two") == "one&lt;two")
+    assert(run("a&nbsp;&nbsp;b") == "a b")
+    // attributes with > inside quotes are out of the regex contract, but
+    // plain attributed tags strip
+    assert(run("""<a href="u" class='c'>link</a> tail""") == "link tail")
+    // whitespace collapse + trim; NULL passthrough
+    assert(run("  <br/>  a\n\n b\t") == "a b")
+    assert(Seq((null: String)).toDF("h")
+      .select(TextOps.stripHtml(col("h"))).head().isNullAt(0))
+  }
 }
 
 class QuantizeSpec extends SparkSpec {
@@ -2207,4 +2229,5 @@ class StratifiedZscoreSpec extends SparkSpec {
     assert(math.abs(out(3L) - math.sqrt(1.5)) < 1e-9) // (30-20)/sqrt(200/3)
     assert(out(4L) == 0.0 && out(5L) == 0.0)          // zero variance
   }
+
 }
