@@ -3666,7 +3666,28 @@ object SparkEntry {
           FROM h)
         SELECT doc_id, md5(clean) AS clean_md5, length(clean) AS n_chars,
                substr(clean, 1, 40) AS head40
-        FROM c ORDER BY doc_id"""))
+        FROM c ORDER BY doc_id""")),
+
+    // -- q163: token-window document chunking with overlap (RAG / embedding
+    //    context prep): 32-token windows, 8-token overlap (stride 24),
+    //    exact integer chunk count max(1, ceil((n-8)/24)) — all map-side
+    //    (split → explode(sequence) → slice), zero shuffle, zero UDF ------
+    Q("q163_chunk_documents",
+      (s, dir) => ops.TextOps.chunkDocuments(
+          T(s, dir, "documents"), "doc_id", "text", 32, 8)
+        .orderBy("doc_id", "chunk_id"),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        c AS (SELECT doc_id, toks,
+                unnest(range(0, GREATEST(1, (n - 8 + 23) // 24))) AS chunk_id
+              FROM n),
+        p AS (SELECT doc_id, chunk_id,
+                toks[chunk_id*24+1 : chunk_id*24+32] AS piece FROM c)
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               array_to_string(piece, ' ') AS chunk_text,
+               CAST(len(piece) AS BIGINT) AS n_tokens
+        FROM p ORDER BY doc_id, chunk_id"""))
   )
 
   /** q154 oracle: the unrolled greedy BPE training loop in DuckDB SQL.

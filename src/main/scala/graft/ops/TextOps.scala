@@ -49,6 +49,42 @@ object TextOps {
   def canonicalText(c: Column): Column =
     trim(regexp_replace(stripAccents(lower(nfc(c))), "\\s+", " "))
 
+  /** Token-window document chunking — the context-window prep of a RAG /
+    * embedding pipeline: doc text splits into overlapping windows of
+    * `chunkTokens` whitespace tokens with `overlapTokens` shared between
+    * consecutive chunks (stride = chunk − overlap). Chunk i starts at token
+    * i·stride; the chunk count is the exact integer
+    * `max(1, ceil((n − overlap) / stride))`, so the final window reaches the
+    * last token and no fully-redundant tail window is emitted. Output:
+    * (id, chunk_id, chunk_text, n_tokens), one row per chunk.
+    *
+    * Scale shape: split → `explode(sequence)` → slice/join, ALL map-side —
+    * zero shuffles, zero UDFs; the only data growth is the overlap
+    * duplication itself (n/stride · overlap tokens). Chunk ordering within a
+    * doc is positional, so downstream per-chunk embedding jobs partition by
+    * (id, chunk_id) deterministically. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"need 0 <= overlapTokens < chunkTokens, got $overlapTokens/$chunkTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = split(col(textCol), " ")
+    val n = size(toks).cast("long")
+    // integer ceil: (n - overlap + stride - 1) div stride, floored at 1
+    // (double division + floor is exact here: token counts are far below
+    // 2^52, where every integer is representable)
+    val nChunks = greatest(lit(1L),
+      floor((n - overlapTokens + (stride - 1)) / stride).cast("long"))
+    val piece = slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkTokens))
+    df.select(col(idCol), toks.as("__toks"), nChunks.cast("int").as("__nc"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(piece, " ").as("chunk_text"),
+        size(piece).cast("long").as("n_tokens"))
+  }
+
   /** HTML → text extraction — the first transform of any web-crawl corpus
     * (WET-style plain text out of raw markup). Deterministic regex pipeline,
     * one zero-shuffle codegen projection:

@@ -1760,6 +1760,36 @@ class TextOpsSpec extends SparkSpec {
     assert(again == out.map { case (k, v) => k -> v._3 })
   }
 
+  test("chunkDocuments: window math, overlap, tail handling, degenerate docs") {
+    import spark.implicits._
+    def toks(k: Int) = (1 to k).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, toks(10)), (2L, toks(3)), (3L, toks(4)), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkDocuments(df, "doc_id", "text", 4, 2)
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // 10 tokens, chunk 4, stride 2 -> ceil((10-2)/2) = 4 chunks at 0,2,4,6
+    assert(out(1L).map(_._3).toSeq == Seq(
+      "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10"))
+    assert(out(1L).map(_._4).toSeq == Seq(4L, 4L, 4L, 4L))
+    // shorter than one chunk -> exactly one (possibly short) chunk
+    assert(out(2L).map(_._3).toSeq == Seq("t1 t2 t3"))
+    assert(out(4L).map(_._3).toSeq == Seq("solo"))
+    // exactly one chunk's worth -> one chunk, no redundant tail window
+    assert(out(3L).map(_._3).toSeq == Seq("t1 t2 t3 t4"))
+    // reconstruction: chunk 0 + each later chunk minus its overlap == doc
+    val rebuilt = out(1L).map(_._3.split(" ").toSeq).zipWithIndex
+      .flatMap { case (c, i) => if (i == 0) c else c.drop(2) }
+    assert(rebuilt.toSeq == (1 to 10).map(i => s"t$i"))
+    // zero overlap: disjoint cover
+    val z = TextOps.chunkDocuments(df.where(col("doc_id") === 1L),
+      "doc_id", "text", 3, 0).as[(Long, Long, String, Long)].collect().sortBy(_._2)
+    assert(z.map(_._3).toSeq == Seq("t1 t2 t3", "t4 t5 t6", "t7 t8 t9", "t10"))
+    // guards
+    intercept[IllegalArgumentException](
+      TextOps.chunkDocuments(df, "doc_id", "text", 4, 4))
+  }
+
   test("stripHtml: tags, script/style contents, comments, entities, whitespace") {
     def run(s: String): String =
       Seq(s).toDF("h").select(TextOps.stripHtml(col("h"))).as[String].head()
