@@ -3687,7 +3687,65 @@ object SparkEntry {
         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
                array_to_string(piece, ' ') AS chunk_text,
                CAST(len(piece) AS BIGINT) AS n_tokens
-        FROM p ORDER BY doc_id, chunk_id"""))
+        FROM p ORDER BY doc_id, chunk_id""")),
+
+    // -- q164: URL decomposition + registered-domain policy (the URL-level
+    //    corpus filters of CCNet/RefinedWeb): deterministic synthetic URLs
+    //    over documents (www-prefixes, ccSLD hosts, optional query strings),
+    //    native parse_url for host/path/query, the public-suffix-aware
+    //    registered-domain heuristic, and a blocklist verdict — one
+    //    zero-shuffle codegen projection; the oracle recomputes the same
+    //    decomposition with RE2 regexes ------------------------------------
+    Q("q164_url_domain_policy",
+      (s, dir) => {
+        val url = concat(lit("https://"),
+          when(col("doc_id") % 5 === 0, lit("www.")).otherwise(lit("")),
+          col("source"),
+          when(col("doc_id") % 3 === 0, lit(".example.com"))
+            .when(col("doc_id") % 3 === 1, lit(".example.co.uk"))
+            .otherwise(lit(".blog.example.org")),
+          lit("/p/"), col("doc_id"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("?q="), col("lang"), lit("&x=1"))).otherwise(lit("")))
+        val host = parse_url(url, lit("HOST"))
+        T(s, dir, "documents").select(
+            col("doc_id"), host.as("host"),
+            parse_url(url, lit("PATH")).as("path"),
+            parse_url(url, lit("QUERY")).as("qstring"),
+            ops.TextOps.registeredDomain(host).as("reg_domain"))
+          .withColumn("blocked", col("reg_domain").isin("example.co.uk"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH u AS (SELECT doc_id,
+          'https://' || CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END ||
+          source || CASE WHEN doc_id % 3 = 0 THEN '.example.com'
+                         WHEN doc_id % 3 = 1 THEN '.example.co.uk'
+                         ELSE '.blog.example.org' END ||
+          '/p/' || doc_id ||
+          CASE WHEN doc_id % 2 = 0 THEN '?q=' || lang || '&x=1' ELSE '' END AS url
+          FROM documents),
+        f AS (SELECT doc_id,
+          regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+          regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+          NULLIF(regexp_extract(url, '\?([^#]*)', 1), '') AS qstring
+          FROM u),
+        r AS (SELECT *, string_split(regexp_replace(host, '^www\.', ''), '.') AS p
+          FROM f)
+        SELECT doc_id, host, path, qstring,
+          CASE WHEN len(p) >= 3 AND array_to_string(p[-2:], '.') IN
+                 ('co.uk','org.uk','ac.uk','gov.uk','co.jp','co.kr','co.in',
+                  'com.au','com.br','com.cn','com.mx','co.za')
+               THEN array_to_string(p[-3:], '.')
+               WHEN len(p) >= 2 THEN array_to_string(p[-2:], '.')
+               ELSE array_to_string(p, '.') END AS reg_domain,
+          (CASE WHEN len(p) >= 3 AND array_to_string(p[-2:], '.') IN
+                 ('co.uk','org.uk','ac.uk','gov.uk','co.jp','co.kr','co.in',
+                  'com.au','com.br','com.cn','com.mx','co.za')
+               THEN array_to_string(p[-3:], '.')
+               WHEN len(p) >= 2 THEN array_to_string(p[-2:], '.')
+               ELSE array_to_string(p, '.') END) = 'example.co.uk' AS blocked
+        FROM r ORDER BY doc_id"""))
   )
 
   /** q154 oracle: the unrolled greedy BPE training loop in DuckDB SQL.

@@ -49,6 +49,40 @@ object TextOps {
   def canonicalText(c: Column): Column =
     trim(regexp_replace(stripAccents(lower(nfc(c))), "\\s+", " "))
 
+  /** Two-level public suffixes the [[registeredDomain]] heuristic keeps a
+    * third label for — the high-traffic subset of the public-suffix list
+    * (country-code second-level domains); callers with exotic zones pass
+    * their own. */
+  val DefaultTwoLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "co.kr", "co.in",
+    "com.au", "com.br", "com.cn", "com.mx", "co.za")
+
+  /** Registered (apex) domain of a hostname: strip a leading `www.`, keep
+    * the last two labels — or three when the two-label tail is a known
+    * two-level public suffix (`a.b.co.uk` → `b.co.uk`, not `co.uk`). The
+    * key for domain-level corpus policy: blocklists, per-site caps, and
+    * domain mixture stats all group by THIS, never raw hostnames (every
+    * subdomain would be its own group). Zero-shuffle codegen projection. */
+  def registeredDomain(host: Column,
+      twoLevelSuffixes: Seq[String] = DefaultTwoLevelSuffixes): Column = {
+    val h = regexp_replace(host, "^www\\.", "")
+    val parts = split(h, "\\.")
+    val last2 = concat_ws(".", slice(parts, -2, 2))
+    val last3 = concat_ws(".", slice(parts, -3, 3))
+    when(size(parts) >= 3 && last2.isin(twoLevelSuffixes: _*), last3)
+      .when(size(parts) >= 2, last2)
+      .otherwise(h)
+  }
+
+  /** Domain blocklist gate (UT1/RefinedWeb-style URL filtering): keep only
+    * rows whose [[registeredDomain]] is NOT in `blocked`. The blocklist
+    * rides the filter as a literal IN set for the ≤hundreds case; for a
+    * real million-domain blocklist join a broadcast table instead — both
+    * shapes are map-side on the corpus. */
+  def domainBlocklistFilter(df: DataFrame, hostCol: String,
+      blocked: Seq[String]): DataFrame =
+    df.where(!registeredDomain(col(hostCol)).isin(blocked: _*))
+
   /** Token-window document chunking — the context-window prep of a RAG /
     * embedding pipeline: doc text splits into overlapping windows of
     * `chunkTokens` whitespace tokens with `overlapTokens` shared between

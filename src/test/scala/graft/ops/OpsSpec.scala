@@ -1760,6 +1760,25 @@ class TextOpsSpec extends SparkSpec {
     assert(again == out.map { case (k, v) => k -> v._3 })
   }
 
+  test("registeredDomain: www strip, ccSLD suffixes, subdomains, blocklist gate") {
+    import spark.implicits._
+    def rd(h: String): String =
+      Seq(h).toDF("h").select(TextOps.registeredDomain(col("h"))).as[String].head()
+    assert(rd("www.example.com") == "example.com")
+    assert(rd("a.b.example.com") == "example.com")
+    assert(rd("news.bbc.co.uk") == "bbc.co.uk")
+    assert(rd("bbc.co.uk") == "bbc.co.uk")
+    // bare two-level suffix has no registrable label: heuristic keeps it
+    assert(rd("co.uk") == "co.uk")
+    assert(rd("localhost") == "localhost")
+    assert(rd("example.org") == "example.org")
+    val df = Seq((1L, "www.spam.co.uk"), (2L, "ok.example.com"), (3L, "spam.co.uk"))
+      .toDF("id", "host")
+    val kept = TextOps.domainBlocklistFilter(df, "host", Seq("spam.co.uk"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
   test("chunkDocuments: window math, overlap, tail handling, degenerate docs") {
     import spark.implicits._
     def toks(k: Int) = (1 to k).map(i => s"t$i").mkString(" ")
