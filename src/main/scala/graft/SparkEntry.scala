@@ -3745,7 +3745,46 @@ object SparkEntry {
                THEN array_to_string(p[-3:], '.')
                WHEN len(p) >= 2 THEN array_to_string(p[-2:], '.')
                ELSE array_to_string(p, '.') END) = 'example.co.uk' AS blocked
-        FROM r ORDER BY doc_id"""))
+        FROM r ORDER BY doc_id""")),
+
+    // -- q165: corpus-frequency boilerplate line removal (RefinedWeb/CCNet):
+    //    docs are rebuilt as newline-delimited 8-token lines wrapped in two
+    //    planted banner lines; any line occurring >= 5 times corpus-wide
+    //    drops from EVERY document (first occurrence included — the policy
+    //    difference vs paragraph dedup). groupBy(hash)+count feeds a
+    //    broadcast-sized hot set; join-free keep-flag reassembly ----------
+    Q("q165_boilerplate_lines",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val nl = ceil(size(toks).cast("double") / 8.0).cast("long")
+        val body = transform(sequence(lit(0L), col("__nl") - 1),
+          i => array_join(slice(col("__toks"), (i * 8 + 1).cast("int"), lit(8)), " "))
+        val docs2 = T(s, dir, "documents")
+          .select(col("doc_id"), toks.as("__toks"), nl.as("__nl"))
+          .select(col("doc_id"), concat_ws("\n",
+            concat(array(lit("subscribe to our newsletter")), body,
+              array(lit("cookie policy applies")))).as("text"))
+        ops.Dedup.stripFrequentLines(docs2, "doc_id", "text", 5)
+          .orderBy("id")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        l AS (SELECT doc_id,
+                ['subscribe to our newsletter'] ||
+                list_transform(range(0, CAST(ceil(len(toks)/8.0) AS BIGINT)),
+                  i -> array_to_string(toks[i*8+1:i*8+8], ' ')) ||
+                ['cookie policy applies'] AS lines
+              FROM t),
+        e AS (SELECT doc_id, unnest(lines) AS line,
+                     generate_subscripts(lines, 1) - 1 AS line_idx FROM l),
+        f AS (SELECT md5(trim(line)) AS k, count(*) AS c FROM e GROUP BY 1)
+        SELECT e.doc_id AS id,
+          coalesce(string_agg(CASE WHEN f.c < 5 THEN e.line END,
+            chr(10) ORDER BY e.line_idx), '') AS clean_text,
+          CAST(sum(CASE WHEN f.c < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          count(*) AS n_total
+        FROM e JOIN f ON md5(trim(e.line)) = f.k
+        GROUP BY e.doc_id ORDER BY id"""))
   )
 
   /** q154 oracle: the unrolled greedy BPE training loop in DuckDB SQL.

@@ -575,6 +575,49 @@ object Dedup {
       passages.withColumn("__keep", row_number().over(win) === 1))
   }
 
+  /** Corpus-frequency line filtering — the RefinedWeb/CCNet boilerplate
+    * strip (RefinedWeb arXiv:2306.01116 line-wise corrections; CCNet
+    * arXiv:1911.00359 drops lines duplicated across shards): any LINE
+    * (author-delimited by `sep`, trim-normalized for counting) occurring at
+    * least `minCount` times corpus-wide is boilerplate (nav menus, cookie
+    * banners, legal footers) and EVERY occurrence is removed. Contrast
+    * [[paragraphDedup]] (fixed token windows, first occurrence SURVIVES):
+    * boilerplate policy wants the banner gone from every page, not kept
+    * once.
+    *
+    * Output: one row per input document `(id, clean_text, n_kept,
+    * n_total)`; a fully-boilerplate document survives with empty text, so
+    * callers decide the drop policy.
+    *
+    * Scale shape: the exploded frame carries (id, idx, line) once; the
+    * corpus-wide frequency is `groupBy(hash)+count` — partial aggregation
+    * collapses a 10⁸-occurrence banner to one row per map task, no hot
+    * window partition — and only the (tiny) hot set flows into the LEFT
+    * join that flags lines, so Catalyst broadcasts it and the corpus never
+    * shuffles for the verdict; the flagged lines then regroup join-free
+    * onto the doc id with the keep flag ([[paragraphDedup]]'s reassembly
+    * discipline). Linear, skew-proof, no all-pairs. */
+  def stripFrequentLines(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long, sep: String = "\n"): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("line_idx", "line")))
+      .withColumn("__k", md5Hash60(trim(col("line"))))
+    val hot = lines.groupBy("__k").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minCount)
+      .select(col("__k"), lit(true).as("__hot"))
+    lines.join(hot, Seq("__k"), "left")
+      .withColumn("__keep", col("__hot").isNull)
+      .groupBy("id").agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(
+            when(col("__keep"), struct(col("line_idx"), col("line"))))),
+          p => p.getField("line"))).as("clean_text"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        count(lit(1)).as("n_total"))
+  }
+
   /** Map-side passage explode shared by [[paragraphDedup]] and the
     * streaming gate [[graft.streaming.Fastlane.ingestPassageDeduped]]:
     * one row per fixed-width token window —

@@ -109,6 +109,32 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("stripFrequentLines: every occurrence of a frequent line drops, threshold exact") {
+    val docs = Seq(
+      (1L, "banner line\nunique alpha\nbanner line"),
+      (2L, "banner line\nunique beta"),
+      (3L, "banner line\nnear hot"),
+      (4L, "near hot\nunique gamma"),
+      (5L, "banner line\n banner line ")) // trim-normalized: still the banner
+      .toDF("doc_id", "text")
+    // banner: 6 occurrences (>= 3 drops, including the first); "near hot":
+    // 2 occurrences (< 3, kept everywhere)
+    val out = Dedup.stripFrequentLines(docs, "doc_id", "text", minCount = 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "unique alpha", 1L, 3L)))
+    assert(out(1) == ((2L, "unique beta", 1L, 2L)))
+    assert(out(2) == ((3L, "near hot", 1L, 2L)))
+    assert(out(3) == ((4L, "near hot\nunique gamma", 2L, 2L)))
+    // doc 5 is ALL boilerplate -> survives as an empty row, not a dropped row
+    assert(out(4) == ((5L, "", 0L, 2L)))
+    // minCount boundary: with minCount = 7 the banner (6x) is kept
+    val lax = Dedup.stripFrequentLines(docs, "doc_id", "text", minCount = 7)
+      .as[(Long, String, Long, Long)].collect()
+    assert(lax.forall(r => r._3 == r._4), lax.mkString(","))
+    intercept[IllegalArgumentException](
+      Dedup.stripFrequentLines(docs, "doc_id", "text", minCount = 1))
+  }
+
   test("paragraphDedup removes duplicated passages corpus-wide, first occurrence wins") {
     val p1 = (1 to 20).map(i => s"a$i").mkString(" ")   // shared passage
     val p2 = (1 to 20).map(i => s"b$i").mkString(" ")
