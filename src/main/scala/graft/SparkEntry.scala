@@ -3784,7 +3784,35 @@ object SparkEntry {
           CAST(sum(CASE WHEN f.c < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
           count(*) AS n_total
         FROM e JOIN f ON md5(trim(e.line)) = f.k
-        GROUP BY e.doc_id ORDER BY id"""))
+        GROUP BY e.doc_id ORDER BY id""")),
+
+    // -- q166: unigram-LM tokenizer training (SentencePiece's default
+    //    algorithm, Kudo arXiv:1804.10959) as deterministic hard-EM — the
+    //    other half of the tokenizer family next to BPE (q154). Corpus
+    //    touched ONCE (word-dict shuffle); substring seed vocab; 2 EM
+    //    rounds of integer micro-probs → Viterbi re-segmentation → usage
+    //    recount → prune. The oracle unrolls the identical trainer: exact
+    //    HUGEINT micro-probs, double DP products (one correctly-rounded
+    //    multiply per edge), binary-collation tie-breaks ------------------
+    Q("q166_unigram_learn",
+      (s, dir) => ops.TextOps.learnUnigramVocab(T(s, dir, "documents"), "text",
+        vocabSize = 40, maxPieceLen = 4, rounds = 2, seedMultiplier = 4,
+        maxWordLen = 16).orderBy("rank"),
+      Some(sqlUnigramLearn(40, 4, 2, 4, 16))),
+
+    // -- q167: unigram corpus encoding with the trained vocab — one more
+    //    Viterbi pass (the final E-step) per word, broadcast vocab, ONE
+    //    map-side corpus pass; pieces join on chr(2) within words ---------
+    Q("q167_unigram_encode",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val vocab = ops.TextOps.learnUnigramVocab(docs, "text",
+          vocabSize = 40, maxPieceLen = 4, rounds = 2, seedMultiplier = 4,
+          maxWordLen = 16)
+        ops.TextOps.encodeUnigram(docs, "doc_id", "text", vocab,
+          maxPieceLen = 4, maxWordLen = 16).orderBy("doc_id")
+      },
+      Some(sqlUnigramEncode(40, 4, 2, 4, 16)))
   )
 
   /** q154 oracle: the unrolled greedy BPE training loop in DuckDB SQL.
@@ -3886,6 +3914,133 @@ object SparkEntry {
         CAST(length(seq) - length(translate(seq, chr(2), '')) AS BIGINT) AS n_subwords
       FROM enc_final ORDER BY doc_id"""
   }
+
+  /** q166/q167 oracle machinery: the deterministic hard-EM unigram trainer
+    * (TextOps.learnUnigramVocab) unrolled into DuckDB SQL. One Viterbi DP +
+    * backtrace block per EM round (and one more for the final encode),
+    * generated by [[sqlUnigramDp]]; every CTE referenced more than once is
+    * MATERIALIZED (the q154 lesson — DuckDB inlines plain CTEs). The DP's
+    * doubles are products of exact integer micro-probs, one
+    * correctly-rounded multiply per edge — bit-identical to the engine's
+    * loop; all ranks break ties on DuckDB's binary collation, the same
+    * unsigned-byte order the driver uses. */
+  private def sqlUnigramDp(tag: String, qTable: String, L: Int, W: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+      dp_${tag}_0 AS (SELECT w, f, n, CAST(1.0 AS DOUBLE) AS s, 0 AS l FROM words),"""
+    for (j <- 1 to W) {
+      val cands = (1 to math.min(L, j)).map { l =>
+        s"""SELECT d.w, d.f, d.n, d.s * (CAST(q.q AS DOUBLE) / 1048576.0) AS s, $l AS l
+            FROM dp_${tag}_${j - l} d JOIN $qTable q
+              ON q.p = substr(d.w, ${j - l + 1}, $l)
+            WHERE d.n >= $j"""
+      }.mkString(" UNION ALL ")
+      sb ++= s"""
+      dp_${tag}_$j AS MATERIALIZED (
+        SELECT w, f, n, s, l FROM (
+          SELECT *, row_number() OVER (PARTITION BY w ORDER BY s DESC, l DESC) AS rk
+          FROM ($cands))
+        WHERE rk = 1),"""
+    }
+    sb ++= s"""
+      dpall_$tag AS MATERIALIZED (${(1 to W).map(j =>
+        s"SELECT w, $j AS j, l FROM dp_${tag}_$j").mkString(" UNION ALL ")}),
+      bt_${tag}_0 AS (SELECT w, f, n AS pos, CAST(NULL AS VARCHAR) AS piece FROM words),"""
+    for (t <- 1 to W) {
+      sb ++= s"""
+      bt_${tag}_$t AS MATERIALIZED (
+        SELECT b.w, b.f, b.pos - d.l AS pos,
+               substr(b.w, CAST(b.pos - d.l + 1 AS INT), CAST(d.l AS INT)) AS piece
+        FROM bt_${tag}_${t - 1} b JOIN dpall_$tag d ON d.w = b.w AND d.j = b.pos
+        WHERE b.pos > 0),"""
+    }
+    sb.toString
+  }
+
+  /** The training chain: words → seed → vocab_0 → R hard-EM rounds, each
+    * `q_k` (micro-probs) → DP/backtrace → `usage_k` → `vocab_k`. */
+  private def sqlUnigramChain(vocabSize: Int, L: Int, rounds: Int,
+      seedMult: Int, W: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+      words AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS f, len(w) AS n FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' AND len(w) <= $W GROUP BY w),
+      seed AS MATERIALIZED (
+        SELECT p, CAST(sum(f) AS BIGINT) AS c FROM (
+          SELECT substr(w.w, CAST(i.i AS INT), CAST(l.l AS INT)) AS p, w.f
+          FROM words w, LATERAL (SELECT unnest(range(1, w.n + 1)) AS i) i,
+               LATERAL (SELECT unnest(range(1, $L + 1)) AS l) l
+          WHERE i.i + l.l - 1 <= w.n)
+        GROUP BY p),
+      chars0 AS MATERIALIZED (SELECT p, c FROM seed WHERE length(p) = 1),
+      vocab_0 AS MATERIALIZED (
+        SELECT p, c FROM chars0
+        UNION ALL
+        SELECT p, c FROM (
+          SELECT p, c, row_number() OVER (ORDER BY c DESC, p) AS rk
+          FROM seed WHERE length(p) > 1)
+        WHERE rk <= ${seedMult * vocabSize} - (SELECT count(*) FROM chars0)),"""
+    for (k <- 1 to rounds) {
+      sb ++= s"""
+      q_$k AS MATERIALIZED (
+        SELECT p, GREATEST(1, CAST((CAST(c AS HUGEINT) * 1048576)
+          // (SELECT CAST(sum(c) AS HUGEINT) FROM vocab_${k - 1}) AS BIGINT)) AS q
+        FROM vocab_${k - 1}),"""
+      sb ++= sqlUnigramDp(s"r$k", s"q_$k", L, W)
+      sb ++= s"""
+      usage_$k AS MATERIALIZED (
+        SELECT piece AS p, CAST(sum(f) AS BIGINT) AS c
+        FROM (${(1 to W).map(t => s"SELECT f, piece FROM bt_r${k}_$t").mkString(" UNION ALL ")})
+        WHERE piece IS NOT NULL GROUP BY piece),
+      vocab_$k AS MATERIALIZED (
+        SELECT c0.p, coalesce(u.c, 0) AS c
+        FROM chars0 c0 LEFT JOIN usage_$k u ON u.p = c0.p
+        UNION ALL
+        SELECT p, c FROM (
+          SELECT p, c, row_number() OVER (ORDER BY c DESC, p) AS rk
+          FROM usage_$k WHERE length(p) > 1 AND c > 0)
+        WHERE rk <= $vocabSize - (SELECT count(*) FROM chars0)),"""
+    }
+    sb.toString
+  }
+
+  /** q166 oracle: the final vocab ranked (count desc, piece asc-binary)
+    * with its integer micro-probs. */
+  private def sqlUnigramLearn(vocabSize: Int, L: Int, rounds: Int,
+      seedMult: Int, W: Int): String = s"""
+    WITH ${sqlUnigramChain(vocabSize, L, rounds, seedMult, W)}
+    nfin AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM vocab_$rounds)
+    SELECT CAST(row_number() OVER (ORDER BY c DESC, p) AS BIGINT) AS rank,
+           p AS piece, c AS count,
+           GREATEST(1, CAST((CAST(c AS HUGEINT) * 1048576) // nfin.n AS BIGINT)) AS micro_prob
+    FROM vocab_$rounds, nfin ORDER BY rank"""
+
+  /** q167 oracle: one more Viterbi pass with the FINAL micro-probs
+    * segments every dict word; docs reassemble word-by-word (chr(2) between
+    * pieces — the engine's intra-word separator). */
+  private def sqlUnigramEncode(vocabSize: Int, L: Int, rounds: Int,
+      seedMult: Int, W: Int): String = s"""
+    WITH ${sqlUnigramChain(vocabSize, L, rounds, seedMult, W)}
+    q_fin AS MATERIALIZED (
+      SELECT p, GREATEST(1, CAST((CAST(c AS HUGEINT) * 1048576)
+        // (SELECT CAST(sum(c) AS HUGEINT) FROM vocab_$rounds) AS BIGINT)) AS q
+      FROM vocab_$rounds),
+    ${sqlUnigramDp("enc", "q_fin", L, W)}
+    wseg AS MATERIALIZED (
+      SELECT w, string_agg(piece, chr(2) ORDER BY pos) AS s,
+             CAST(count(*) AS BIGINT) AS np
+      FROM (${(1 to W).map(t => s"SELECT w, pos, piece FROM bt_enc_$t").mkString(" UNION ALL ")})
+      WHERE piece IS NOT NULL GROUP BY w),
+    toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                    generate_subscripts(string_split(text, ' '), 1) AS pos
+             FROM documents)
+    SELECT t.doc_id,
+           string_agg(coalesce(g.s, t.w), ' ' ORDER BY t.pos) AS unigram_text,
+           CAST(sum(coalesce(g.np, 1)) AS BIGINT) AS n_pieces
+    FROM toks t LEFT JOIN wseg g ON g.w = t.w
+    GROUP BY t.doc_id ORDER BY t.doc_id"""
 
   /** The q150 oracle, shared verbatim by q153's SQL-TVF route — the two
     * surfaces can never drift (the q125 pattern). */

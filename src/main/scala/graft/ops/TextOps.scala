@@ -1350,6 +1350,265 @@ object TextOps {
   def bpeDecode(bpeText: Column): Column =
     rtrim(replace(replace(bpeText, lit(" "), lit("")), lit("</w>"), lit(" ")))
 
+  // ---- unigram-LM tokenizer (SentencePiece; Kudo arXiv:1804.10959) -------
+
+  /** Unsigned-UTF-8-byte string order — the ONE string comparator every
+    * driver-side ranking in this engine uses (Spark's UTF8String and
+    * DuckDB's binary collation both compare raw bytes; Java's
+    * String.compareTo compares UTF-16 units and diverges on supplementary
+    * characters). */
+  private[graft] def u8cmp(x: String, y: String): Int =
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Deterministic Viterbi word segmentation under a piece→weight map:
+    * maximizes the PRODUCT of piece weights over the word (hard-EM unigram
+    * scoring; weights are the integer micro-probs of
+    * [[learnUnigramVocab]], so every DP value is a product of exact small
+    * integers accumulated in IEEE doubles — one correctly-rounded multiply
+    * per DP edge, bit-identical in any conforming engine). Ties prefer the
+    * LONGER final piece at each position. Returns Nil when the word cannot
+    * be covered by the map (callers choose the fallback). */
+  private[graft] def viterbiPieces(w: String, q: scala.collection.Map[String, Long],
+      maxPieceLen: Int): List[String] = {
+    val n = w.length
+    val dp = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1)
+    dp(0) = 1.0
+    var j = 1
+    while (j <= n) {
+      var best = 0.0
+      var bl = 0
+      var l = 1
+      while (l <= maxPieceLen && l <= j) {
+        if (dp(j - l) > 0) {
+          val qi = q.getOrElse(w.substring(j - l, j), 0L)
+          if (qi > 0) {
+            // micro-prob -> probability: division by 2^20 is an exact
+            // exponent shift, so the product scoring keeps the unigram
+            // LENGTH PENALTY (k pieces multiply k factors <= 1) without
+            // losing bit-exactness
+            val s = dp(j - l) * (qi.toDouble / 1048576.0)
+            if (s > best || (s == best && l > bl)) { best = s; bl = l }
+          }
+        }
+        l += 1
+      }
+      dp(j) = best
+      back(j) = bl
+      j += 1
+    }
+    if (n > 0 && dp(n) <= 0) Nil
+    else {
+      var pieces = List.empty[String]
+      var pos = n
+      while (pos > 0) {
+        val l = back(pos)
+        pieces = w.substring(pos - l, pos) :: pieces
+        pos -= l
+      }
+      pieces
+    }
+  }
+
+  /** Integer micro-probability of a piece: `max(1, (c · 2^20) div N)` —
+    * exact BigInt floor division (c can exceed 2^43 on a 100 TB corpus,
+    * where a long product would wrap), floored at 1 so every vocab piece
+    * stays usable. The DuckDB oracle computes the identical quotient in
+    * HUGEINT. */
+  private def microProb(c: Long, n: BigInt): Long =
+    1L.max(((BigInt(c) * 1048576L) / n).toLong)
+
+  /** Unigram-LM tokenizer training — the OTHER half of the tokenizer
+    * family next to [[learnBpeMerges]] (SentencePiece's default algorithm;
+    * Kudo arXiv:1804.10959), as a deterministic hard-EM variant every
+    * engine reproduces bit-for-bit:
+    *
+    *  1. word dict (w, f) — the ONE corpus-sized shuffle; words longer
+    *     than `maxWordLen` chars don't inform training (SentencePiece's
+    *     own max-piece-length discipline);
+    *  2. seed vocabulary: every ≤`maxPieceLen`-char substring counted with
+    *     multiplicity · word frequency; ALL single characters plus the top
+    *     `seedMultiplier·vocabSize − |chars|` multi-char pieces, ranked
+    *     (count desc, piece asc by unsigned UTF-8 bytes);
+    *  3. `rounds` hard-EM iterations: integer micro-probs
+    *     `max(1, c·2^20 div N)` → Viterbi re-segmentation of every dict
+    *     word ([[viterbiPieces]] — max product of micro-probs, longer
+    *     final piece on ties) → usage recount (frequency-weighted) →
+    *     prune to ALL single chars + top `vocabSize − |chars|` used
+    *     multi-char pieces (count desc, bytes asc);
+    *  4. output (rank, piece, count, micro_prob) over the final vocab.
+    *
+    * Determinism rests on three legs: exact integer micro-probs (BigInt
+    * floor division), IEEE-double Viterbi products (each DP edge is ONE
+    * correctly-rounded multiply of exact values, identical in Spark, the
+    * JVM driver and DuckDB), and unsigned-byte tie-breaks everywhere.
+    * Soft-EM's expected counts (forward–backward posteriors) would put
+    * engine-specific float SUMS in the hashed output; the hard-EM
+    * (Viterbi-count) variant is the standard deterministic simplification
+    * and keeps every hashed value integer.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-dict shuffle).
+    * Training then runs over the VOCABULARY-SIZED dict: in-driver when it
+    * fits `graft.unigram.localDictLimit` (default 2^17 rows — the
+    * [[learnBpeMerges]] discipline; measured there: per-round Spark-job
+    * floor dominates a few-MB dict), else distributed rounds — seed
+    * counting is one substring explode + keyed agg, each EM round is one
+    * broadcast-map flatMap + keyed agg over the dict, never the corpus.
+    * Both routes are spec-asserted identical. */
+  def learnUnigramVocab(df: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int = 4, rounds: Int = 2, seedMultiplier: Int = 4,
+      maxWordLen: Int = 16): DataFrame = {
+    require(vocabSize >= 2, s"vocabSize must be >= 2, got $vocabSize")
+    require(maxPieceLen >= 2 && maxPieceLen <= 16, s"maxPieceLen out of range: $maxPieceLen")
+    require(rounds >= 1 && rounds <= 16, s"rounds out of range: $rounds")
+    require(seedMultiplier >= 1, s"seedMultiplier must be >= 1, got $seedMultiplier")
+    require(maxWordLen >= maxPieceLen && maxWordLen <= 64,
+      s"maxWordLen out of range: $maxWordLen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dict = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "" && length(col("w")) <= maxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val localLimit = sys.props.get("graft.unigram.localDictLimit")
+      .map(_.toInt).getOrElse(1 << 17)
+    val probe = dict.limit(localLimit + 1).as[(String, Long)].collect()
+
+    val byCountThenBytes = new Ordering[(String, Long)] {
+      def compare(a: (String, Long), b: (String, Long)): Int = {
+        val c = java.lang.Long.compare(b._2, a._2)
+        if (c != 0) c else u8cmp(a._1, b._1)
+      }
+    }
+
+    // vocab states are ALWAYS vocabulary-sized — the driver holds them in
+    // both routes; only the dict-side work differs
+    var chars: Seq[(String, Long)] = Nil
+    var multis: Seq[(String, Long)] = Nil
+
+    if (probe.length <= localLimit) {
+      val words = probe
+      val seed = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, f) <- words; i <- 0 until w.length;
+           l <- 1 to math.min(maxPieceLen, w.length - i))
+        seed.updateWith(w.substring(i, i + l))(c => Some(c.getOrElse(0L) + f))
+      chars = seed.iterator.filter(_._1.length == 1).toSeq.sorted(byCountThenBytes)
+      multis = seed.iterator.filter(_._1.length > 1).toSeq.sorted(byCountThenBytes)
+        .take(0.max(seedMultiplier * vocabSize - chars.size))
+      for (_ <- 1 to rounds) {
+        val n = BigInt((chars ++ multis).map(_._2).sum)
+        val q = (chars ++ multis).map { case (p, c) => p -> microProb(c, n) }.toMap
+        val usage = scala.collection.mutable.HashMap.empty[String, Long]
+        for ((w, f) <- words; p <- viterbiPieces(w, q, maxPieceLen))
+          usage.updateWith(p)(c => Some(c.getOrElse(0L) + f))
+        chars = chars.map { case (p, _) => (p, usage.getOrElse(p, 0L)) }
+          .sorted(byCountThenBytes)
+        multis = usage.iterator.filter(kv => kv._1.length > 1 && kv._2 > 0)
+          .toSeq.sorted(byCountThenBytes)
+          .take(0.max(vocabSize - chars.size))
+      }
+    } else {
+      val dictDs = dict.as[(String, Long)].persist()
+      val L = maxPieceLen
+      val seedDf = dictDs.toDF("w", "f")
+        .select(col("w"), col("f"),
+          explode(sequence(lit(0), length(col("w")) - 1)).as("i"))
+        .select(col("w"), col("f"), col("i"),
+          explode(sequence(lit(1),
+            least(lit(L), length(col("w")) - col("i")))).as("l"))
+        .select(expr("substring(w, i + 1, l)").as("p"), col("f"))
+        .groupBy("p").agg(sum("f").as("c"))
+        .persist()
+      chars = seedDf.where(length(col("p")) === 1)
+        .as[(String, Long)].collect().toSeq.sorted(byCountThenBytes)
+      multis = seedDf.where(length(col("p")) > 1)
+        .orderBy(col("c").desc, col("p").asc)
+        .limit(0.max(seedMultiplier * vocabSize - chars.size))
+        .as[(String, Long)].collect().toSeq
+      seedDf.unpersist()
+      for (_ <- 1 to rounds) {
+        val n = BigInt((chars ++ multis).map(_._2).sum)
+        val q = (chars ++ multis).map { case (p, c) => p -> microProb(c, n) }.toMap
+        val bq = spark.sparkContext.broadcast(q)
+        val usageDf = dictDs
+          .flatMap { case (w, f) => viterbiPieces(w, bq.value, L).map(p => (p, f)) }
+          .toDF("p", "f").groupBy("p").agg(sum("f").as("c")).persist()
+        val charUsage = usageDf.where(length(col("p")) === 1)
+          .as[(String, Long)].collect().toMap
+        chars = chars.map { case (p, _) => (p, charUsage.getOrElse(p, 0L)) }
+          .sorted(byCountThenBytes)
+        multis = usageDf.where(length(col("p")) > 1 && col("c") > 0)
+          .orderBy(col("c").desc, col("p").asc)
+          .limit(0.max(vocabSize - chars.size))
+          .as[(String, Long)].collect().toSeq
+        usageDf.unpersist()
+      }
+      dictDs.unpersist()
+    }
+    val finalVocab = (chars ++ multis).sorted(byCountThenBytes)
+    val nFinal = BigInt(finalVocab.map(_._2).sum)
+    val rows = finalVocab.zipWithIndex.map { case ((p, c), i) =>
+      (i + 1L, p, c, microProb(c, nFinal))
+    }
+    spark.createDataFrame(rows).toDF("rank", "piece", "count", "micro_prob")
+  }
+
+  /** Encode a corpus with a trained unigram vocabulary: each whitespace
+    * word Viterbi-segments under the vocab's micro-probs
+    * ([[viterbiPieces]] — the same DP training used, so encode ≡ the final
+    * E-step); pieces join on U+0002 within a word, words on the space.
+    * Words the vocab cannot cover — unseen characters, or longer than
+    * `maxWordLen` (which never informed training) — pass through WHOLE as
+    * a single piece, the UNK discipline. Output (id, unigram_text,
+    * n_pieces).
+    *
+    * Scale shape: vocab broadcasts (vocabulary-sized), the corpus encodes
+    * in ONE map-side pass — no shuffle, no expression-depth limit (the
+    * per-partition loop route, like `applyBpeMergesPartitioned`). */
+  def encodeUnigram(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, maxPieceLen: Int = 4, maxWordLen: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = vocab.select(col("piece"), col("micro_prob"))
+      .as[(String, Long)].collect().toMap
+    val bq = spark.sparkContext.broadcast(q)
+    val L = maxPieceLen
+    val W = maxWordLen
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        if (t == null) (id, null: String, 0L)
+        else {
+          val words = t.split(" ", -1)
+          var nPieces = 0L
+          val sb = new java.lang.StringBuilder(t.length * 2)
+          var wi = 0
+          while (wi < words.length) {
+            if (wi > 0) sb.append(' ')
+            val w = words(wi)
+            val pieces =
+              if (w.isEmpty || w.length > W) Nil
+              else viterbiPieces(w, bq.value, L)
+            if (pieces.isEmpty) { sb.append(w); nPieces += (if (w.isEmpty) 0 else 1) }
+            else {
+              var first = true
+              for (p <- pieces) {
+                if (!first) sb.append('\u0002')
+                sb.append(p)
+                first = false
+              }
+              nPieces += pieces.length
+            }
+            wi += 1
+          }
+          (id, sb.toString, nPieces)
+        }
+      }
+      .toDF(idCol, "unigram_text", "n_pieces")
+  }
+
   /** Per-document top-`topK` keyword extraction. The RANKING is the
     * integer-exact lexicographic order (tf desc, df asc, token asc) — NOT
     * the tf·idf product order (lexicographic equals the product order only

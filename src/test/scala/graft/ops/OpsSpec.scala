@@ -1355,6 +1355,85 @@ class TextOpsSpec extends SparkSpec {
     assert(viaDf(1L) == (("aa aa</w> aa a </w>", 5L)))
   }
 
+  test("viterbiPieces: max-probability segmentation, longer-piece tie-break, coverage") {
+    // micro-probs scale by 2^20; p = q/2^20
+    val q = Map("a" -> 1048L, "b" -> 1048L, "ab" -> 16384L, "aa" -> 64L)
+    // [ab] p=16384/2^20 beats [a][b] p=(1048/2^20)^2
+    assert(TextOps.viterbiPieces("ab", q, 4) == List("ab"))
+    // "aab": a+ab (p_a * p_ab) beats aa+b and a+a+b
+    assert(TextOps.viterbiPieces("aab", q, 4) == List("a", "ab"))
+    // exact-tie case: all probs exactly 1.0 (q = 2^20) -> every path scores
+    // 1.0; the longer final piece wins at each DP position
+    val tie = Map("c" -> 1048576L, "d" -> 1048576L, "cd" -> 1048576L)
+    assert(TextOps.viterbiPieces("cd", tie, 4) == List("cd"))
+    assert(TextOps.viterbiPieces("ccd", tie, 4) == List("c", "cd"))
+    // uncovered word -> Nil
+    assert(TextOps.viterbiPieces("cx", tie, 4) == Nil)
+    assert(TextOps.viterbiPieces("", q, 4) == Nil)
+  }
+
+  test("learnUnigramVocab: structure, determinism, local == distributed routes") {
+    val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    def run() = TextOps.learnUnigramVocab(docs, "text", vocabSize = 40,
+      maxPieceLen = 4, rounds = 2, seedMultiplier = 4, maxWordLen = 16)
+      .as[(Long, String, Long, Long)].collect().toList
+    val local = run()
+    // every single character of the corpus is in the vocab
+    val chars = local.map(_._2).filter(_.length == 1).toSet
+    val corpusChars = docs.select(explode(split(col("text"), "")).as("ch"))
+      .where(col("ch") =!= " " && col("ch") =!= "").distinct()
+      .as[String].collect().toSet
+    assert(corpusChars.subsetOf(chars), s"missing chars: ${corpusChars -- chars}")
+    assert(local.size <= 40 && local.map(_._2).distinct.size == local.size)
+    // ranks are 1..n in (count desc, piece asc) order
+    assert(local.map(_._1) == (1L to local.size).toList)
+    assert(local.sliding(2).forall {
+      case List(x, y) => x._3 > y._3 || (x._3 == y._3 && x._2 < y._2)
+      case _ => true })
+    // partitioning-invariant
+    assert(TextOps.learnUnigramVocab(docs.repartition(13), "text", 40, 4, 2, 4, 16)
+      .as[(Long, String, Long, Long)].collect().toList == local)
+    // distributed route identical
+    val prop = "graft.unigram.localDictLimit"
+    val old = sys.props.get(prop)
+    sys.props(prop) = "0"
+    try assert(run() == local)
+    finally old match {
+      case Some(v) => sys.props(prop) = v
+      case None => sys.props -= prop
+    }
+  }
+
+  test("encodeUnigram: decode round-trip, UNK passthrough, piece counts") {
+    val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val vocab = TextOps.learnUnigramVocab(docs, "text", 40, 4, 2, 4, 16)
+    val extra = Seq(
+      (90001L, "join xyz0"),            // unseen chars -> whole-word piece
+      (90002L, "a" * 17),               // > maxWordLen -> whole-word piece
+      (90003L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val enc = TextOps.encodeUnigram(docs.unionByName(extra), "doc_id", "text",
+      vocab, 4, 16)
+    // decode: dropping the separators must restore the original text
+    val bad = enc.join(docs.unionByName(extra), "doc_id")
+      .where(col("text").isNotNull &&
+        replace(col("unigram_text"), lit("\u0002"), lit("")) =!= col("text"))
+      .count()
+    assert(bad == 0L, s"$bad docs fail the strip-separators round-trip")
+    val m = enc.as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    // unseen chars: word passes whole (no separator inside xyz0)
+    assert(m(90001L)._2.split(" ", -1).last == "xyz0", m(90001L)._2)
+    // oversized word: single piece
+    assert(m(90002L)._2 == "a" * 17 && m(90002L)._3 == 1L)
+    assert(m(90003L)._2 == null && m(90003L)._3 == 0L)
+    // n_pieces == words + intra-word separators
+    val nOk = enc.where(col("unigram_text").isNotNull)
+      .where(TextOps.tokenCount(col("unigram_text"))
+        + (length(col("unigram_text"))
+           - length(replace(col("unigram_text"), lit("\u0002"), lit("")))) =!= col("n_pieces"))
+      .count()
+    assert(nOk == 0L, s"$nOk docs have inconsistent n_pieces")
+  }
+
   test("learnBpeMerges: local-dict route == distributed rounds (classic and batched)") {
     import spark.implicits._
     val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
