@@ -58,6 +58,33 @@ object GraftExtensions {
         graft.expressions.UnicodeNormalize(children.head, "NFKC")),
     (FunctionIdentifier("graft_strip_accents"), graft.expressions.UnicodeText.stripInfo,
       (children: Seq[Expression]) => graft.expressions.StripAccents(children.head)),
+    // composed scalar columns exposed as SQL functions: the builder wraps
+    // the child expression into a Column, reuses the EXACT Scala-API
+    // composition, and unwraps — the two surfaces cannot drift
+    (FunctionIdentifier("graft_strip_html"),
+      info("graft_strip_html",
+        "graft_strip_html(html) - HTML to text: script/style/comment removal, tag strip, named-entity decode, whitespace collapse (the TextOps.stripHtml chain)"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "usage: graft_strip_html(html)")
+        org.apache.spark.sql.GraftColumn.resolvedExpr(
+          ops.TextOps.stripHtml(org.apache.spark.sql.GraftColumn.of(children.head)))
+      }),
+    (FunctionIdentifier("graft_canonical_text"),
+      info("graft_canonical_text",
+        "graft_canonical_text(text) - canonical dedup key: NFC, lowercase, accent-fold, whitespace collapse"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "usage: graft_canonical_text(text)")
+        org.apache.spark.sql.GraftColumn.resolvedExpr(
+          ops.TextOps.canonicalText(org.apache.spark.sql.GraftColumn.of(children.head)))
+      }),
+    (FunctionIdentifier("graft_registered_domain"),
+      info("graft_registered_domain",
+        "graft_registered_domain(host) - apex domain of a hostname: strips www., keeps two labels (three over known ccSLD public suffixes)"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "usage: graft_registered_domain(host)")
+        org.apache.spark.sql.GraftColumn.resolvedExpr(
+          ops.TextOps.registeredDomain(org.apache.spark.sql.GraftColumn.of(children.head)))
+      }),
     // typed aggregates: builders return the AggregateFunction, the analyzer
     // wraps it — usable directly in SQL GROUP BY queries
     (FunctionIdentifier("graft_simhash60"), graft.expressions.SimhashAgg.info,
@@ -349,6 +376,66 @@ object GraftExtensions {
         ops.TextOps.applyBpeMerges(table(str(args(0), "table")),
           str(args(1), "idCol"), str(args(2), "textCol"),
           table(str(args(3), "mergesTable")))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_chunk_documents"),
+      info("graft_chunk_documents",
+        "graft_chunk_documents(table, idCol, textCol, chunkTokens, overlapTokens) - overlapping token-window chunks (id, chunk_id, chunk_text, n_tokens), all map-side"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "usage: graft_chunk_documents(table, idCol, textCol, chunkTokens, overlapTokens)")
+        ops.TextOps.chunkDocuments(table(str(args(0), "table")),
+          str(args(1), "idCol"), str(args(2), "textCol"),
+          int(args(3), "chunkTokens"), int(args(4), "overlapTokens"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_strip_frequent_lines"),
+      info("graft_strip_frequent_lines",
+        "graft_strip_frequent_lines(table, idCol, textCol, minCount) - corpus-frequency boilerplate line removal (RefinedWeb/CCNet): every occurrence of a line seen >= minCount times drops; (id, clean_text, n_kept, n_total)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "usage: graft_strip_frequent_lines(table, idCol, textCol, minCount)")
+        ops.Dedup.stripFrequentLines(table(str(args(0), "table")),
+          str(args(1), "idCol"), str(args(2), "textCol"), lng(args(3), "minCount"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_unigram_learn"),
+      info("graft_unigram_learn",
+        "graft_unigram_learn(table, textCol, vocabSize[, maxPieceLen, rounds, seedMultiplier, maxWordLen]) - deterministic hard-EM unigram tokenizer training (rank, piece, count, micro_prob). NOTE: training RUNS at analysis time; materialize the result rather than re-issuing per statement"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3 || args.length == 7,
+          "usage: graft_unigram_learn(table, textCol, vocabSize[, maxPieceLen, rounds, seedMultiplier, maxWordLen])")
+        val d = args.length == 7
+        ops.TextOps.learnUnigramVocab(table(str(args(0), "table")),
+          str(args(1), "textCol"), int(args(2), "vocabSize"),
+          if (d) int(args(3), "maxPieceLen") else 4,
+          if (d) int(args(4), "rounds") else 2,
+          if (d) int(args(5), "seedMultiplier") else 4,
+          if (d) int(args(6), "maxWordLen") else 16)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_unigram_encode"),
+      info("graft_unigram_encode",
+        "graft_unigram_encode(table, idCol, textCol, vocabTable[, maxPieceLen, maxWordLen]) - Viterbi corpus encoding with a trained unigram vocab ((piece, micro_prob) rows): (id, unigram_text, n_pieces), one map-side pass"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4 || args.length == 6,
+          "usage: graft_unigram_encode(table, idCol, textCol, vocabTable[, maxPieceLen, maxWordLen])")
+        ops.TextOps.encodeUnigram(table(str(args(0), "table")),
+          str(args(1), "idCol"), str(args(2), "textCol"),
+          table(str(args(3), "vocabTable")),
+          if (args.length == 6) int(args(4), "maxPieceLen") else 4,
+          if (args.length == 6) int(args(5), "maxWordLen") else 16)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_exact_percentiles"),
+      info("graft_exact_percentiles",
+        "graft_exact_percentiles(table, valueCol, psCsv) - EXACT percentiles of an unbounded-cardinality double column by iterative rank-selection (one p<NN> column per requested percentile). NOTE: the narrowing rounds RUN at analysis time"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "usage: graft_exact_percentiles(table, valueCol, psCsv)")
+        val ps = str(args(2), "psCsv").split(",").map(_.trim.toDouble).toSeq
+        ops.Stats.exactPercentilesUnbounded(table(str(args(0), "table")),
+          str(args(1), "valueCol"), ps)
           .queryExecution.logical
       }))
 }

@@ -3676,18 +3676,7 @@ object SparkEntry {
       (s, dir) => ops.TextOps.chunkDocuments(
           T(s, dir, "documents"), "doc_id", "text", 32, 8)
         .orderBy("doc_id", "chunk_id"),
-      Some("""
-        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
-        c AS (SELECT doc_id, toks,
-                unnest(range(0, GREATEST(1, (n - 8 + 23) // 24))) AS chunk_id
-              FROM n),
-        p AS (SELECT doc_id, chunk_id,
-                toks[chunk_id*24+1 : chunk_id*24+32] AS piece FROM c)
-        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-               array_to_string(piece, ' ') AS chunk_text,
-               CAST(len(piece) AS BIGINT) AS n_tokens
-        FROM p ORDER BY doc_id, chunk_id""")),
+      Some(sqlChunkDocs)),
 
     // -- q164: URL decomposition + registered-domain policy (the URL-level
     //    corpus filters of CCNet/RefinedWeb): deterministic synthetic URLs
@@ -3812,8 +3801,37 @@ object SparkEntry {
         ops.TextOps.encodeUnigram(docs, "doc_id", "text", vocab,
           maxPieceLen = 4, maxWordLen = 16).orderBy("doc_id")
       },
-      Some(sqlUnigramEncode(40, 4, 2, 4, 16)))
+      Some(sqlUnigramEncode(40, 4, 2, 4, 16))),
+
+    // -- q168: the SQL-TVF route of document chunking, pinned to q163's
+    //    oracle VERBATIM (the q125 pattern: the TVF expands at analysis
+    //    time to the identical logical plan, so both surfaces hash-match
+    //    the same oracle) ------------------------------------------------
+    Q("q168_sql_tvf_chunk",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val view = s"documents_chunk_${dir.replaceAll("[^0-9]", "")}"
+        T(s, dir, "documents").createOrReplaceTempView(view)
+        s.sql(s"""
+          SELECT * FROM graft_chunk_documents('$view', 'doc_id', 'text', 32, 8)
+          ORDER BY doc_id, chunk_id""")
+      },
+      Some(sqlChunkDocs))
   )
+
+  /** q163's oracle, shared verbatim by q168's SQL-TVF route. */
+  private val sqlChunkDocs: String = """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        c AS (SELECT doc_id, toks,
+                unnest(range(0, GREATEST(1, (n - 8 + 23) // 24))) AS chunk_id
+              FROM n),
+        p AS (SELECT doc_id, chunk_id,
+                toks[chunk_id*24+1 : chunk_id*24+32] AS piece FROM c)
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               array_to_string(piece, ' ') AS chunk_text,
+               CAST(len(piece) AS BIGINT) AS n_tokens
+        FROM p ORDER BY doc_id, chunk_id"""
 
   /** q154 oracle: the unrolled greedy BPE training loop in DuckDB SQL.
     * Symbols are sentinel-wrapped (chr(2) sym chr(3); chr(4) = end-of-word)

@@ -222,6 +222,41 @@ class SqlTvfSpec extends SparkSpec {
     assert(items.contains("heavy"))
   }
 
+  test("round-11 TVFs == their Scala APIs (chunk, lines, unigram, percentiles, scalars)") {
+    docs.createOrReplaceTempView("tvf_docs")
+    same(
+      spark.sql("SELECT * FROM graft_chunk_documents('tvf_docs','doc_id','text',32,8)"),
+      ops.TextOps.chunkDocuments(docs, "doc_id", "text", 32, 8))
+    // newline-structured fixture for the line strip
+    docs.select(col("doc_id"),
+        concat_ws("\n", lit("banner"), col("text"), lit("banner")).as("text"))
+      .createOrReplaceTempView("tvf_ldocs")
+    same(
+      spark.sql("SELECT * FROM graft_strip_frequent_lines('tvf_ldocs','doc_id','text',5)"),
+      ops.Dedup.stripFrequentLines(
+        spark.table("tvf_ldocs"), "doc_id", "text", 5))
+    same(
+      spark.sql("SELECT * FROM graft_unigram_learn('tvf_docs','text',40)"),
+      ops.TextOps.learnUnigramVocab(docs, "text", 40))
+    spark.sql("SELECT * FROM graft_unigram_learn('tvf_docs','text',40)")
+      .createOrReplaceTempView("tvf_uvocab")
+    same(
+      spark.sql("SELECT * FROM graft_unigram_encode('tvf_docs','doc_id','text','tvf_uvocab')"),
+      ops.TextOps.encodeUnigram(docs, "doc_id", "text",
+        ops.TextOps.learnUnigramVocab(docs, "text", 40)))
+    same(
+      spark.sql("SELECT * FROM graft_exact_percentiles('tvf_docs','n_chars','0.25,0.5,0.75')"),
+      ops.Stats.exactPercentilesUnbounded(docs, "n_chars", Seq(0.25, 0.5, 0.75)))
+    // scalar compositions
+    val r = spark.sql(
+      "SELECT graft_strip_html('<p>a</p><script>x</script>b &amp; c') AS h, " +
+      "graft_canonical_text('  Caf\u00e9   du  PARC ') AS c, " +
+      "graft_registered_domain('news.bbc.co.uk') AS d").head()
+    assert(r.getString(0) == "a b & c")
+    assert(r.getString(1) == "cafe du parc")
+    assert(r.getString(2) == "bbc.co.uk")
+  }
+
   test("non-literal and malformed TVF arguments fail loudly") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception](
