@@ -178,6 +178,10 @@ object ScaleRehearsal {
       lazy val bpeMerges8 = ops.TextOps.learnBpeMerges(docs, "text", numMerges = 8)
         .orderBy("step").select("left_tok", "right_tok")
         .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+      // hoisted for the same reason: q167 rehearses ENCODING with a
+      // pre-trained vocab; training cost is q166's own entry
+      lazy val unigramVocab40 = ops.TextOps.learnUnigramVocab(docs, "text", 40,
+        maxPieceLen = 4, rounds = 2, seedMultiplier = 4, maxWordLen = 16)
       def force(df: DataFrame): Unit =
         df.write.format("noop").mode("overwrite").save()
       Seq(
@@ -348,6 +352,41 @@ object ScaleRehearsal {
         // literal replaces — wall tracks corpus bytes exactly
         "q155_bpe_encode" -> (() => force(ops.TextOps.applyBpeMerges(
           docs, "doc_id", "text", bpeMerges8))),
+        // exact unbounded percentile: a constant number of bins-only
+        // aggregation passes regardless of rows — expect ~scan-linear wall,
+        // never rank-sort behavior
+        "q160_exact_percentile" -> (() => {
+          val out = ops.Stats.exactPercentilesUnbounded(li, "l_extendedprice",
+            Seq(0.25, 0.5, 0.75, 0.99))
+          assert(out.count() == 1L)
+        }),
+        // map-side chunk explode: data growth is the overlap duplication
+        // only — expect linear
+        "q163_chunk_documents" -> (() => force(ops.TextOps.chunkDocuments(
+          docs, "doc_id", "text", 32, 8))),
+        // boilerplate line strip: line-hash agg + broadcast hot set + doc
+        // regroup — the replica families each plant the same banner text
+        // (prefixed tokens differ, the banner literal doesn't), so the hot
+        // set stays tiny while the corpus scales
+        "q165_boilerplate_lines" -> (() => {
+          val lined = docs.select(col("doc_id"),
+            concat_ws("\n", lit("subscribe banner"), col("text"),
+              lit("cookie banner")).as("text"))
+          force(ops.Dedup.stripFrequentLines(lined, "doc_id", "text", 5))
+        }),
+        // unigram training: corpus touched once for the word dict; EM
+        // rounds run over the vocabulary-sized dict (replica prefixes grow
+        // the dict ~linearly with N here — the worst case; a natural
+        // corpus' dict grows sublinearly)
+        "q166_unigram_learn" -> (() => {
+          val v = ops.TextOps.learnUnigramVocab(docs, "text", 40,
+            maxPieceLen = 4, rounds = 2, seedMultiplier = 4, maxWordLen = 16)
+          assert(v.count() >= 24)
+        }),
+        // unigram encoding with a PRE-TRAINED vocab (production shape,
+        // like q155): one map-side Viterbi pass — expect linear
+        "q167_unigram_encode" -> (() => force(ops.TextOps.encodeUnigram(
+          docs, "doc_id", "text", unigramVocab40, 4, 16))),
         // incremental contract: a FIXED batch (1/5 of ONE replica family)
         // matched against the PRE-STORED profile of everything else — the
         // per-batch cost should stay ~flat while the corpus scales
