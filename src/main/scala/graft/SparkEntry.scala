@@ -3803,6 +3803,50 @@ object SparkEntry {
       },
       Some(sqlUnigramEncode(40, 4, 2, 4, 16))),
 
+    // -- q170: product quantization encode (Jégou et al., IEEE TPAMI 2011)
+    //    — each vector compresses to m=8 one-byte codes (nearest of
+    //    ksub=16 seed codewords per 8-dim subspace, exact int64 L2 over
+    //    micro-units, ties → smaller code). ONE zero-shuffle codegen
+    //    projection: codeword distances are unrolled literal arithmetic,
+    //    argmin is a least() fold over (dist, code) structs -------------
+    Q("q170_pq_encode",
+      (s, dir) => ops.Similarity.pqEncode(T(s, dir, "embeddings"),
+        "vec_id", "embedding", m = 8, ksub = 16, dim = 64).orderBy("vec_id"),
+      Some(s"""
+        WITH $sqlPqCodes
+        SELECT vec_id, list(code ORDER BY s) AS codes
+        FROM c GROUP BY vec_id ORDER BY vec_id""")),
+
+    // -- q171: asymmetric-distance (ADC) top-k through the PQ codes — the
+    //    billion-vector ranking path: per-query distance TABLES against
+    //    the codebook compute driver-side (queries ≪ corpus, the
+    //    bruteForceTopK broadcast discipline) and the corpus side reads
+    //    ONLY the codes (m bytes/vector) in one map-side projection ------
+    Q("q171_pq_adc_topk",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        ops.Similarity.pqAdcTopK(emb.where(col("vec_id") < 5), emb,
+          "vec_id", "vec_id", "embedding", k = 10, m = 8, ksub = 16, dim = 64)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH $sqlPqCodes,
+        qs AS (SELECT vec_id AS query_id, qv FROM v WHERE vec_id < 5),
+        t AS MATERIALIZED (SELECT q.query_id, s.s, sd.code,
+                CAST(list_sum(list_transform(range(1, 9),
+                  i -> (q.qv[CAST(s.s*8+i AS INT)] - sd.qv[CAST(s.s*8+i AS INT)])
+                     * (q.qv[CAST(s.s*8+i AS INT)] - sd.qv[CAST(s.s*8+i AS INT)])))
+                  AS BIGINT) AS d
+              FROM qs q, range(0, 8) s(s), seeds sd),
+        adc AS (SELECT t.query_id, c.vec_id AS corpus_id,
+                  CAST(sum(t.d) AS BIGINT) AS adc_dist
+                FROM c JOIN t ON t.s = c.s AND t.code = c.code
+                GROUP BY t.query_id, c.vec_id)
+        SELECT query_id, corpus_id, adc_dist, CAST(rank AS INT) AS rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_dist, corpus_id) AS rank FROM adc)
+        WHERE rank <= 10 ORDER BY query_id, rank""")),
+
     // -- q168: the SQL-TVF route of document chunking, pinned to q163's
     //    oracle VERBATIM (the q125 pattern: the TVF expands at analysis
     //    time to the identical logical plan, so both surfaces hash-match
@@ -3818,6 +3862,29 @@ object SparkEntry {
       },
       Some(sqlChunkDocs))
   )
+
+  /** The q170/q171 shared PQ chain: micro-unit vectors, the 16 smallest-id
+    * seed codewords, per-(vector, subspace, codeword) exact int64 squared
+    * distances, and the argmin codes (ties → smaller code) — the SQL image
+    * of `Similarity.pqCodebook`/`pqEncode`. */
+  private val sqlPqCodes: String = """
+        v AS MATERIALIZED (SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+          FROM embeddings),
+        seeds AS MATERIALIZED (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, qv
+          FROM (SELECT vec_id, qv FROM v ORDER BY vec_id LIMIT 16)),
+        d AS (SELECT v.vec_id, s.s, sd.code,
+                CAST(list_sum(list_transform(range(1, 9),
+                  i -> (v.qv[CAST(s.s*8+i AS INT)] - sd.qv[CAST(s.s*8+i AS INT)])
+                     * (v.qv[CAST(s.s*8+i AS INT)] - sd.qv[CAST(s.s*8+i AS INT)])))
+                  AS BIGINT) AS dist
+              FROM v, range(0, 8) s(s), seeds sd),
+        c AS MATERIALIZED (SELECT vec_id, s, code FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                  ORDER BY dist, code) AS rk FROM d)
+              WHERE rk = 1)"""
 
   /** q163's oracle, shared verbatim by q168's SQL-TVF route. */
   private val sqlChunkDocs: String = """

@@ -488,4 +488,142 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum("__q").as("__sum_q"))
       .select(col("label"), col("dim"), col("n"),
         (col("__sum_q").cast("double") / col("n")).as("centroid_q"))
+
+  // ---- product quantization (Jégou, Douze, Schmid, IEEE TPAMI 2011,
+  // "Product Quantization for Nearest Neighbor Search") -------------------
+
+  /** PQ codebook as driver-side exact integers: for each of the `m`
+    * subspaces, `ksub` codewords taken from the sub-vectors of the `ksub`
+    * SMALLEST-id corpus vectors (the [[seedCentroids]] discipline — fully
+    * deterministic and oracle-reproducible; Lloyd refinement composes on
+    * top exactly as in the IVF family). Layout: codebook(s)(c) is the
+    * subDim-long micro-unit sub-vector of codeword c in subspace s. The
+    * collect is ksub rows — bounded by construction. */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, dim: Int = 64): Array[Array[Array[Long]]] = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1,256] (one-byte codes), got $ksub")
+    val subDim = dim / m
+    val seeds = corpus.select(col(idCol).as("__id"), quantize(col(vecCol), dim).as("__qv"))
+      .orderBy(col("__id").asc_nulls_last).limit(ksub)
+      .select("__qv").collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(seeds.length == ksub, s"corpus has ${seeds.length} < ksub=$ksub vectors")
+    Array.tabulate(m)(s => seeds.map(v => v.slice(s * subDim, (s + 1) * subDim)))
+  }
+
+  /** PQ-encode a corpus: each vector compresses to `m` one-byte codes —
+    * the nearest codeword per subspace by exact int64 squared L2 distance
+    * over micro-unit components (ties → smaller code). At 10⁹ vectors the
+    * codes table is m bytes/vector where the raw floats are 4·dim — the
+    * memory wall between "index fits" and "index doesn't" (IVF-PQ is the
+    * standard billion-vector recipe; the IVF half is [[indexVectors]]).
+    *
+    * Scale shape: ONE zero-shuffle map-side pass — the codebook broadcasts
+    * (m·ksub·subDim longs) and the m·ksub·subDim multiply-adds per row run
+    * as a tight per-partition register loop. (The declarative form — an
+    * unrolled `least` fold over m·ksub distance structs — was measured to
+    * blow Janino's method limits at 128 codewords and fall back to
+    * interpreted Catalyst; this is the documented mapPartitions last
+    * resort earning its keep.) Ids ride int64 (densify string ids first).
+    * Output: (id, codes: array<int>). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, dim: Int = 64,
+      codebook: Array[Array[Array[Long]]] = null): DataFrame = {
+    val cb = if (codebook != null) codebook
+      else pqCodebook(corpus, idCol, vecCol, m, ksub, dim)
+    val subDim = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcb = spark.sparkContext.broadcast(cb)
+    corpus.select(col(idCol).cast("long").as("id"), quantize(col(vecCol), dim).as("__qv"))
+      .as[(Long, Seq[Long])]
+      .mapPartitions { it =>
+        val book = bcb.value
+        it.map { case (id, qvSeq) =>
+          val qv = qvSeq.toArray
+          val codes = new Array[Int](m)
+          var s = 0
+          while (s < m) {
+            val cws = book(s)
+            var best = Long.MaxValue
+            var bc = 0
+            var c = 0
+            while (c < cws.length) {
+              var acc = 0L
+              var i = 0
+              while (i < subDim) {
+                val d = qv(s * subDim + i) - cws(c)(i)
+                acc += d * d
+                i += 1
+              }
+              // strict <: the FIRST (smallest) code wins exact ties
+              if (acc < best) { best = acc; bc = c }
+              c += 1
+            }
+            codes(s) = bc
+            s += 1
+          }
+          (id, codes)
+        }
+      }.toDF(idCol, "codes")
+  }
+
+  /** Asymmetric-distance (ADC) top-k through PQ codes: each query keeps
+    * its EXACT micro-unit sub-vectors and looks distances up against the
+    * codebook — dist(q, x) ≈ Σ_s table_q[s][code_s(x)] with
+    * table_q[s][c] = ‖q_s − codeword_c‖² (the paper's ADC estimator; exact
+    * int64 arithmetic end-to-end, so any engine ranks identically).
+    *
+    * Scale shape: the per-query tables (|queries|·m·ksub longs) compute
+    * driver-side from the collected query rows — queries ≪ corpus is the
+    * [[bruteForceTopK]] broadcast discipline — and embed as literal
+    * arrays; the corpus side reads ONLY the codes table (m bytes/vector,
+    * not 4·dim floats) in ONE map-side projection emitting every query's
+    * distance per row (posexplode), then the per-query top-k window. For
+    * billion-vector corpora compose with the IVF store: probe lists first,
+    * ADC-rank the survivors. Output: (query_id, corpus_id, adc_dist,
+    * rank). */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame,
+      queryIdCol: String, corpusIdCol: String, vecCol: String, k: Int,
+      m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    val cb = pqCodebook(corpus, corpusIdCol, vecCol, m, ksub, dim)
+    val subDim = dim / m
+    val codes = pqEncode(corpus, corpusIdCol, vecCol, m, ksub, dim, cb)
+      .withColumnRenamed(corpusIdCol, "corpus_id")
+    // query ids ride int64 through the literal qi→id decode (the bounded
+    // forms' requireIntegral discipline); densify string ids first
+    val qRows = queries
+      .select(col(queryIdCol).cast("long").as("__id"), quantize(col(vecCol), dim).as("__qv"))
+      .orderBy(col("__id").asc_nulls_last)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    // exact integer ADC tables, driver-side: queries are bounded by the
+    // same contract that lets bruteForceTopK broadcast them
+    val tables: Array[Array[Array[Long]]] = qRows.map { case (_, qv) =>
+      Array.tabulate(m) { s =>
+        cb(s).map { cw =>
+          var acc = 0L
+          var i = 0
+          while (i < subDim) {
+            val d = qv(s * subDim + i) - cw(i)
+            acc += d * d
+            i += 1
+          }
+          acc
+        }
+      }
+    }
+    def adcFor(qi: Int): Column =
+      (0 until m).map(s =>
+        element_at(typedLit(tables(qi)(s).toSeq), col("codes")(s) + 1))
+        .reduce(_ + _)
+    val queryIds = qRows.map(_._1)
+    val scored = codes
+      .select(col("corpus_id"),
+        posexplode(array(qRows.indices.map(adcFor): _*)).as(Seq("__qi", "adc_dist")))
+      .select(element_at(typedLit(queryIds.toSeq), col("__qi") + 1).as("query_id"),
+        col("corpus_id"), col("adc_dist"))
+    TopK.perGroup(scored, Seq("query_id"),
+      Seq(col("adc_dist").asc, col("corpus_id").asc), k, rankCol = "rank")
+  }
 }

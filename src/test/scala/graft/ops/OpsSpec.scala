@@ -412,6 +412,39 @@ class SimilaritySpec extends SparkSpec {
     assert((0L until 20L).forall(q => lsh.contains((q, q))))
   }
 
+  test("PQ: self-reconstruction ranks, ADC recall vs brute force, code determinism") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // codes are deterministic and partitioning-invariant
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", m = 8, ksub = 16)
+      .as[(Long, Seq[Int])].collect().sortBy(_._1)
+    val codes2 = Similarity.pqEncode(emb.repartition(7), "vec_id", "embedding",
+      m = 8, ksub = 16).as[(Long, Seq[Int])].collect().sortBy(_._1)
+    assert(codes.sameElements(codes2))
+    assert(codes.forall(_._2.length == 8))
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 16)))
+    // a codebook SEED vector reconstructs exactly: its own codeword at
+    // distance 0 in every subspace -> seed i gets code i everywhere
+    val seedCodes = codes.take(16)
+    seedCodes.zipWithIndex.foreach { case ((_, cs), i) =>
+      assert(cs.forall(_ == i), s"seed $i codes: $cs") }
+    // ADC: each seed query's rank-1 hit is itself at adc_dist 0
+    val queries = emb.where(col("vec_id") < 5)
+    val adc = Similarity.pqAdcTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", k = 10, m = 8, ksub = 16)
+    val top1 = adc.where(col("rank") === 1)
+      .select("query_id", "corpus_id", "adc_dist")
+      .as[(Long, Long, Long)].collect()
+    assert(top1.forall { case (q, c, d) => q == c && d == 0L }, top1.mkString(","))
+    // recall against exact L2 top-10 (PQ is lossy; seed-codebook recall on
+    // random data is modest but must beat chance by a wide margin)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", k = 10).select("query_id", "corpus_id")
+      .as[(Long, Long)].collect().toSet
+    val got = adc.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall > 0.1, s"ADC recall vs brute force too low: $recall")
+  }
+
   test("semanticDedup collapses a transitive near-dup chain to one survivor") {
     // A(0°) ≈ B(18°) ≈ C(36°) at threshold 0.9: cos18° ≈ .951 ≥ .9 but
     // cos36° ≈ .809 < .9 — A and C are NOT a direct pair, only reachable
