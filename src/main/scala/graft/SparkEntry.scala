@@ -3847,6 +3847,34 @@ object SparkEntry {
             ORDER BY adc_dist, corpus_id) AS rank FROM adc)
         WHERE rank <= 10 ORDER BY query_id, rank""")),
 
+    // -- q172: count-min point-frequency sketch (Cormode & Muthukrishnan
+    //    2005) — the point-query companion to q119's Misra-Gries. One
+    //    mergeable-sketch aggregation pass; every corpus word probed;
+    //    guarantees pinned as hash-compared booleans against the EXACT
+    //    counts (the q21/q119 sketch discipline): est >= true always, and
+    //    est <= true + eps*N for the fixed seed -------------------------
+    Q("q172_count_min",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val toks = docs.select(explode(split(col("text"), " ")).as("item"))
+          .where(col("item") =!= "")
+        val words = toks.select("item").distinct()
+          .as[String](org.apache.spark.sql.Encoders.STRING).collect().sorted.toSeq
+        val est = ops.Stats.countMinFrequencies(toks, "item", words,
+          eps = 0.01, confidence = 0.999, seed = 42)
+        val truth = toks.groupBy("item").agg(count(lit(1)).as("true_n"))
+        truth.join(est, "item")
+          .select(col("item"), col("true_n"),
+            (col("est") >= col("true_n")).as("ge_true"),
+            (col("est") <= col("true_n")
+              + ceil(col("n_total") * 0.01).cast("long")).as("within_eps"))
+          .orderBy("item")
+      },
+      Some("""
+        WITH tok AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents)
+        SELECT item, count(*) AS true_n, TRUE AS ge_true, TRUE AS within_eps
+        FROM tok WHERE item <> '' GROUP BY item ORDER BY item""")),
+
     // -- q168: the SQL-TVF route of document chunking, pinned to q163's
     //    oracle VERBATIM (the q125 pattern: the TVF expands at analysis
     //    time to the identical logical plan, so both surfaces hash-match

@@ -551,4 +551,37 @@ object Stats {
     df.groupBy().agg(freqItemsAgg(itemCol, k).as("__s"))
       .select(col("__s.n").as("n_total"), explode(col("__s.items")).as("__e"))
       .select(col("__e.item").as("item"), col("__e.est").as("est"), col("n_total"))
+
+  /** Count–min point-frequency estimates (Cormode & Muthukrishnan 2005,
+    * "An improved data stream summary: the count-min sketch") — the
+    * POINT-QUERY companion to [[heavyHitters]]'s Misra–Gries (which finds
+    * frequent items but can't answer "how often did X occur" for an
+    * arbitrary X): d = ⌈ln(1/(1−confidence))⌉ rows × w = ⌈2/eps⌉ cells,
+    * independent of stream length or cardinality, mergeable under Spark's
+    * partial aggregation (Spark's own DataSketches-style
+    * `count_min_sketch` aggregate builds it; seeded, so the realized
+    * estimates are deterministic). Guarantee: `est ≥ true` always;
+    * `est ≤ true + eps·N` with probability ≥ confidence per probe (a
+    * FIXED seed makes the realized bound a deterministic fact — q172 pins
+    * both as hash-compared booleans, the q21/q119 discipline for sketch
+    * outputs).
+    *
+    * Scale shape: one aggregation pass (the sketch merges map-side), one
+    * bounded driver read of the sketch bytes; probes evaluate driver-side
+    * against the deserialized sketch. Output: (item, true guarantees as
+    * booleans are the CALLER's job — this returns (item, est, n_total)). */
+  def countMinFrequencies(df: DataFrame, itemCol: String, probes: Seq[String],
+      eps: Double = 0.01, confidence: Double = 0.999, seed: Int = 42): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe item")
+    val row = df.where(col(itemCol).isNotNull).agg(
+      count_min_sketch(col(itemCol).cast("string"), lit(eps), lit(confidence),
+        lit(seed)).as("__s"),
+      count(lit(1)).as("__n")).head()
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+    val n = row.getLong(1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    probes.map(p => (p, sketch.estimateCount(p), n)).toDF("item", "est", "n_total")
+  }
 }
