@@ -456,4 +456,42 @@ class PlanSpec extends SparkSpec {
       assert(p.toLowerCase.contains("reservoir"), s"$q bounded reservoir route not taken:\n$p")
     }
   }
+
+  test("q162/q163: HTML strip and chunking are map-side only (no exchange before the protocol sort)") {
+    Seq("q162_html_strip", "q163_chunk_documents").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("hashpartitioning"),
+        s"$q must not shuffle before the ORDER BY:\n$p")
+    }
+  }
+
+  test("q161: unicode canonicalization expressions stay inside whole-stage codegen") {
+    val df = SparkEntry.queries("q161_unicode_canonical_dedup")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CodegenFallback"), p)
+    assert(p.contains("graft_nfc") || p.contains("UnicodeNormalize") ||
+      p.contains("staticinvoke"), p)
+  }
+
+  test("q165: boilerplate line strip broadcasts the hot set; the line frame shuffles only for count and regroup") {
+    val df = SparkEntry.queries("q165_boilerplate_lines")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // hot-set verdict join must be broadcast — a shuffled join would move
+    // every line for a tiny frequent set
+    assert(p.contains("BroadcastHashJoin"), s"hot-set join not broadcast:\n$p")
+  }
+
+  test("q170: PQ encode has no exchange before the protocol sort; q171 reads only the codes map-side") {
+    val p170 = planOf("q170_pq_encode")
+    assert(!p170.contains("hashpartitioning"), p170)
+    val p171 = planOf("q171_pq_adc_topk")
+    // one window for the per-query top-k is the only keyed shuffle
+    assert("hashpartitioning\\(query_id".r.findAllIn(p171).size >= 1, p171)
+  }
+
+  test("q167: unigram encode is ONE map-side pass (no exchange before the protocol sort)") {
+    val p = planOf("q167_unigram_encode")
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
