@@ -182,6 +182,7 @@ object ScaleRehearsal {
       // pre-trained vocab; training cost is q166's own entry
       lazy val unigramVocab40 = ops.TextOps.learnUnigramVocab(docs, "text", 40,
         maxPieceLen = 4, rounds = 2, seedMultiplier = 4, maxWordLen = 16)
+      lazy val pqBook = ops.Similarity.pqCodebook(emb, "vec_id", "embedding", 8, 16, 64)
       def force(df: DataFrame): Unit =
         df.write.format("noop").mode("overwrite").save()
       Seq(
@@ -387,6 +388,16 @@ object ScaleRehearsal {
         // like q155): one map-side Viterbi pass — expect linear
         "q167_unigram_encode" -> (() => force(ops.TextOps.encodeUnigram(
           docs, "doc_id", "text", unigramVocab40, 4, 16))),
+        // PQ encode: broadcast codebook + per-partition loop — expect
+        // linear in vectors (the codebook collect is hoisted: production
+        // trains once and encodes many batches)
+        "q170_pq_encode" -> (() => force(ops.Similarity.pqEncode(
+          emb, "vec_id", "embedding", 8, 16, 64, pqBook))),
+        // ADC top-k: fixed 5-query set, corpus side reads codes only —
+        // expect linear in corpus with a tiny constant
+        "q171_pq_adc" -> (() => force(ops.Similarity.pqAdcTopK(
+          emb.where(col("vec_id") < 5), emb, "vec_id", "vec_id",
+          "embedding", 10, 8, 16, 64))),
         // incremental contract: a FIXED batch (1/5 of ONE replica family)
         // matched against the PRE-STORED profile of everything else — the
         // per-batch cost should stay ~flat while the corpus scales
