@@ -3875,6 +3875,32 @@ object SparkEntry {
         SELECT item, count(*) AS true_n, TRUE AS ge_true, TRUE AS within_eps
         FROM tok WHERE item <> '' GROUP BY item ORDER BY item""")),
 
+    // -- q173: per-GROUP exact percentiles of an unbounded-cardinality
+    //    column — the grouped counterpart of q160 (the grouped histogram
+    //    form rejects continuous columns). All (group, rank) narrowing
+    //    states batch through shared bins-only passes; the fact table
+    //    never shuffles by value ----------------------------------------
+    Q("q173_grouped_exact_percentile",
+      (s, dir) => ops.Stats.groupedExactPercentilesUnbounded(
+          T(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+          Seq(0.5, 0.95)).orderBy("l_returnflag"),
+      Some("""
+        WITH v AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS x
+                   FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        s AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) - 1 AS idx
+              FROM v),
+        n AS (SELECT g, count(*) AS n FROM v GROUP BY g),
+        k AS (SELECT n.g, CAST(t.p AS DOUBLE) AS p,
+                     CAST(t.p AS DOUBLE) * (n.n - 1) AS k
+              FROM n, (VALUES (0.50), (0.95)) t(p)),
+        iv AS (SELECT k.g, k.p, lo.x + (k.k - floor(k.k)) * (hi.x - lo.x) AS val
+               FROM k JOIN s lo ON lo.g = k.g AND lo.idx = CAST(floor(k.k) AS BIGINT)
+                      JOIN s hi ON hi.g = k.g AND hi.idx = CAST(ceil(k.k) AS BIGINT))
+        SELECT g AS l_returnflag,
+               max(CASE WHEN p = 0.50 THEN val END) AS p50,
+               max(CASE WHEN p = 0.95 THEN val END) AS p95
+        FROM iv GROUP BY g ORDER BY l_returnflag""")),
+
     // -- q168: the SQL-TVF route of document chunking, pinned to q163's
     //    oracle VERBATIM (the q125 pattern: the TVF expands at analysis
     //    time to the identical logical plan, so both surfaces hash-match

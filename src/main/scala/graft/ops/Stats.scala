@@ -331,6 +331,143 @@ object Stats {
       java.util.Collections.singletonList(org.apache.spark.sql.Row(out: _*)), schema)
   }
 
+  /** Per-GROUP exact percentiles of an UNBOUNDED-cardinality double column
+    * — the grouped form of [[exactPercentilesUnbounded]], and the missing
+    * counterpart of [[groupedHistogramPercentiles]] (whose guard rejects
+    * continuous columns). Same iterative value-domain rank-selection, with
+    * every (group, bracketing-rank) narrowing state batched through SHARED
+    * passes: each round broadcasts the ≤ |states| (group, range) rows onto
+    * the fact side, bins in one keyed aggregation whose exchange carries
+    * O(tasks · states · nBins) histogram rows (never the column), and the
+    * driver advances every state from one collect; the final residual pass
+    * ranks ≤ `maxResidual` in-range rows per state under ONE state-keyed
+    * window. The fact table is scanned O(rounds + 2) times and never
+    * shuffles by value.
+    *
+    * Driver state is |groups| · 2|ps| narrowing records — the `maxGroups`
+    * guard makes that contract loud, mirroring the histogram family's
+    * cardinality guard (per-group percentiles over millions of groups want
+    * the bounded-histogram or approx forms, not rank-selection).
+    *
+    * Reproduces `percentile(col, p) OVER group` exactly (k = p·(n_g−1),
+    * linear interpolation, correctly-rounded double ops). NULL values are
+    * excluded; a NULL GROUP is a group like any other (SQL GROUP BY
+    * semantics). Output: (group, p<round(p·100)>…), one row per group. */
+  def groupedExactPercentilesUnbounded(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[Double], nBins: Int = 1024,
+      maxResidual: Long = 1L << 16, maxGroups: Int = 65536): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"ps must be in [0,1]: $ps")
+    require(nBins >= 2 && maxResidual >= 1 && maxResidual < Int.MaxValue,
+      s"bad nBins=$nBins / maxResidual=$maxResidual")
+    val names = ps.map(p => s"p${math.round(p * 100)}")
+    require(names.distinct.size == names.size, s"p labels collide: $names")
+    val spark = df.sparkSession
+    val gType = df.schema(groupCol).dataType
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+    val heads = base.groupBy("__g")
+      .agg(count(lit(1)).as("n"), min("__v").as("mn"), max("__v").as("mx"))
+      .limit(maxGroups + 1).collect()
+    require(heads.length <= maxGroups,
+      s"groupedExactPercentilesUnbounded: more than $maxGroups groups — the " +
+        "narrowing state would no longer be driver-bounded; use " +
+        "groupedHistogramPercentiles (bounded values) or percentile_approx")
+    final class St(val g: Any, val n: Long, val rank: Long) {
+      var lo = 0.0; var hi = 0.0; var r = rank; var cnt = 0L
+      var ans = Option.empty[Double]
+    }
+    val states = heads.flatMap { row =>
+      val (g, n, mn, mx) = (row.get(0), row.getLong(1), row.getDouble(2), row.getDouble(3))
+      ps.flatMap { p =>
+        val k = p * (n - 1)
+        Seq(math.floor(k).toLong, math.ceil(k).toLong)
+      }.distinct.map { rk =>
+        val st = new St(g, n, rk)
+        st.lo = mn; st.hi = mx; st.cnt = n
+        if (mn == mx) st.ans = Some(mn)
+        st
+      }
+    }.toSeq
+    val sid = states.zipWithIndex.toMap
+    import org.apache.spark.sql.types._
+    def stDf(sts: Seq[St], extra: StructField*): (StructType => Seq[org.apache.spark.sql.Row]) => DataFrame = {
+      build =>
+        val schema = StructType(Seq(
+          StructField("__sid", IntegerType), StructField("__sg", gType),
+          StructField("__lo", DoubleType), StructField("__hi", DoubleType)) ++ extra)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(build(schema)).asJava), schema)
+    }
+    var rounds = 0
+    while (states.exists(st => st.ans.isEmpty && st.cnt > maxResidual)) {
+      rounds += 1
+      require(rounds <= 200, "groupedExactPercentilesUnbounded: no convergence " +
+        "after 200 rounds — pathological input")
+      val active = states.filter(st => st.ans.isEmpty && st.cnt > maxResidual)
+      val sdf = stDf(active, StructField("__w", DoubleType)) { _ =>
+        active.map(st => org.apache.spark.sql.Row(
+          Int.box(sid(st)), st.g, Double.box(st.lo), Double.box(st.hi),
+          Double.box((st.hi - st.lo) / nBins)))
+      }
+      val binKey = when(col("__w") <= 0 || col("__lo") + col("__w") === col("__lo"),
+          col("__v"))
+        .otherwise(least(greatest(floor((col("__v") - col("__lo")) / col("__w")),
+          lit(0.0)), lit((nBins - 1).toDouble)))
+      val hist = base.join(broadcast(sdf), col("__g") <=> col("__sg"))
+        .where(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+        .groupBy(col("__sid"), binKey.as("__b"))
+        .agg(count(lit(1)).as("__c"), min("__v").as("__mn"), max("__v").as("__mx"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .view.mapValues(_.sortBy(_.getDouble(3))).toMap // value order == __mn order
+      active.foreach { st =>
+        val bins = hist(sid(st))
+        var cum = 0L
+        var i = 0
+        while (cum + bins(i).getLong(2) <= st.r) { cum += bins(i).getLong(2); i += 1 }
+        st.r -= cum
+        st.cnt = bins(i).getLong(2)
+        st.lo = bins(i).getDouble(3)
+        st.hi = bins(i).getDouble(4)
+        if (st.lo == st.hi) st.ans = Some(st.lo)
+      }
+    }
+    val residual = states.filter(_.ans.isEmpty)
+    if (residual.nonEmpty) {
+      val sdf = stDf(residual, StructField("__r", LongType)) { _ =>
+        residual.map(st => org.apache.spark.sql.Row(
+          Int.box(sid(st)), st.g, Double.box(st.lo), Double.box(st.hi),
+          Long.box(st.r)))
+      }
+      val w = Window.partitionBy("__sid").orderBy("__v")
+      val got = base.join(broadcast(sdf), col("__g") <=> col("__sg"))
+        .where(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") === col("__r") + 1)
+        .select(col("__sid"), col("__v")).collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      residual.foreach(st => st.ans = Some(got(sid(st))))
+    }
+    val byKey = states.map(st => (st.g, st.rank) -> st.ans.get).toMap
+    val outSchema = StructType(
+      StructField(groupCol, gType) +:
+        names.map(StructField(_, DoubleType)))
+    val rows = heads.map { row =>
+      val (g, n) = (row.get(0), row.getLong(1))
+      val vals = ps.map { p =>
+        val k = p * (n - 1)
+        val vLo = byKey((g, math.floor(k).toLong))
+        val vHi = byKey((g, math.ceil(k).toLong))
+        Double.box(vLo + (k - math.floor(k)) * (vHi - vLo))
+      }
+      org.apache.spark.sql.Row.fromSeq(g +: vals)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava), outSchema)
+  }
+
   /** Deterministic stratified sample: at most `n` rows per group, chosen by
     * the 60-bit md5 hash of the id — stable across runs, task retries, AND
     * engines (never `rand()`), so a resumed pipeline re-selects the exact

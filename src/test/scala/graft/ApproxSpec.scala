@@ -104,6 +104,39 @@ class ApproxSpec extends SparkSpec {
     assert(S.exactPercentileUnbounded(even, "v", 0.5).as[Double].head() == 2.5)
   }
 
+  test("groupedExactPercentilesUnbounded matches per-group percentile() bit-for-bit") {
+    val S = graft.ops.Stats
+    // continuous values, several groups, a NULL group, NULL values, forced
+    // multi-round narrowing AND residual ranking via tiny parameters
+    val df = spark.range(900).repartition(5).select(
+      when(col("id") % 4 === 3, lit(null).cast("string"))
+        .otherwise(concat(lit("g"), col("id") % 4)).as("g"),
+      when(col("id") % 97 === 0, lit(null).cast("double"))
+        .otherwise(pmod(col("id") * 7919, lit(997)).cast("double") / 7.0).as("v"))
+    val got = S.groupedExactPercentilesUnbounded(df, "g", "v",
+      Seq(0.25, 0.5, 0.9), nBins = 4, maxResidual = 8)
+      .collect().map(r => Option(r.getString(0)) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val ref = df.where(col("v").isNotNull).groupBy("g").agg(
+      expr("percentile(v, 0.25)"), expr("percentile(v, 0.5)"), expr("percentile(v, 0.9)"))
+      .collect().map(r => Option(r.getString(0)) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (g, v) => assert(v == ref(g), s"group $g: $v vs ${ref(g)}") }
+    // real fixture column, default parameters
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val m = graft.ops.Stats.groupedExactPercentilesUnbounded(
+      li, "l_returnflag", "l_extendedprice", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rm = li.groupBy("l_returnflag").agg(expr("percentile(l_extendedprice, 0.5)"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m == rm, s"$m vs $rm")
+    // group-cardinality guard fires loudly
+    val wide = spark.range(100).select(col("id").cast("string").as("g"),
+      col("id").cast("double").as("v"))
+    val e = intercept[IllegalArgumentException](
+      S.groupedExactPercentilesUnbounded(wide, "g", "v", Seq(0.5), maxGroups = 10))
+    assert(e.getMessage.contains("groups"), e.getMessage)
+  }
+
   test("q21 bounds-booleans hold and the plan avoids the value-buffering shapes") {
     val row = SparkEntry.queries("q21_approx_agg")(spark, sfDir).head()
     assert(row.getLong(0) > 0)
