@@ -3901,6 +3901,45 @@ object SparkEntry {
                max(CASE WHEN p = 0.95 THEN val END) AS p95
         FROM iv GROUP BY g ORDER BY l_returnflag""")),
 
+    // -- q174: mergeable HLL distinct sketches (Apache DataSketches, the
+    //    engine Spark ships) — per-source sketches UNION into a corpus
+    //    total without rescanning (the persisted-sketch pattern for
+    //    incremental distinct counting at 100 TB: store per-shard
+    //    sketches, union on read). Accuracy pinned as booleans against
+    //    exact distinct counts (the q21/q119/q172 sketch discipline) -----
+    Q("q174_hll_sketch_union",
+      (s, dir) => {
+        val toks = T(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("item"))
+          .where(col("item") =!= "")
+        val per = toks.groupBy("source").agg(
+          hll_sketch_agg(col("item"), lit(12)).as("__sk"),
+          countDistinct(col("item")).as("exact_distinct"))
+        val perOut = per.select(col("source"), col("exact_distinct"),
+          (abs(hll_sketch_estimate(col("__sk")).cast("double")
+            - col("exact_distinct").cast("double"))
+            <= col("exact_distinct").cast("double") * 0.05).as("within_5pct"))
+        val allExact = toks.agg(countDistinct(col("item")).as("e")).head().getLong(0)
+        val allOut = per.agg(
+            hll_sketch_estimate(hll_union_agg(col("__sk"), lit(false))).as("__est"))
+          .select(lit("__ALL__").as("source"),
+            lit(allExact).as("exact_distinct"),
+            (abs(col("__est").cast("double") - lit(allExact.toDouble))
+              <= lit(allExact * 0.05)).as("within_5pct"))
+        perOut.unionByName(allOut).orderBy("source")
+      },
+      Some("""
+        WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS item
+                   FROM documents),
+        tok AS (SELECT source, item FROM t WHERE item <> ''),
+        per AS (SELECT source, count(DISTINCT item) AS exact_distinct
+                FROM tok GROUP BY source),
+        allr AS (SELECT '__ALL__' AS source, count(DISTINCT item) AS exact_distinct
+                 FROM tok)
+        SELECT source, exact_distinct, TRUE AS within_5pct
+        FROM (SELECT * FROM per UNION ALL SELECT * FROM allr)
+        ORDER BY source""")),
+
     // -- q168: the SQL-TVF route of document chunking, pinned to q163's
     //    oracle VERBATIM (the q125 pattern: the TVF expands at analysis
     //    time to the identical logical plan, so both surfaces hash-match
