@@ -437,5 +437,16 @@ object GraftExtensions {
         ops.Stats.exactPercentilesUnbounded(table(str(args(0), "table")),
           str(args(1), "valueCol"), ps)
           .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_grouped_exact_percentiles"),
+      info("graft_grouped_exact_percentiles",
+        "graft_grouped_exact_percentiles(table, groupCol, valueCol, psCsv) - per-GROUP exact percentiles of an unbounded-cardinality double column (batched rank-selection; driver-bounded group count). NOTE: the narrowing rounds RUN at analysis time"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "usage: graft_grouped_exact_percentiles(table, groupCol, valueCol, psCsv)")
+        val ps = str(args(3), "psCsv").split(",").map(_.trim.toDouble).toSeq
+        ops.Stats.groupedExactPercentilesUnbounded(table(str(args(0), "table")),
+          str(args(1), "groupCol"), str(args(2), "valueCol"), ps)
+          .queryExecution.logical
       }))
 }

@@ -247,6 +247,9 @@ class SqlTvfSpec extends SparkSpec {
     same(
       spark.sql("SELECT * FROM graft_exact_percentiles('tvf_docs','n_chars','0.25,0.5,0.75')"),
       ops.Stats.exactPercentilesUnbounded(docs, "n_chars", Seq(0.25, 0.5, 0.75)))
+    same(
+      spark.sql("SELECT * FROM graft_grouped_exact_percentiles('tvf_docs','lang','n_chars','0.5,0.9')"),
+      ops.Stats.groupedExactPercentilesUnbounded(docs, "lang", "n_chars", Seq(0.5, 0.9)))
     // scalar compositions
     val r = spark.sql(
       "SELECT graft_strip_html('<p>a</p><script>x</script>b &amp; c') AS h, " +
