@@ -3940,6 +3940,27 @@ object SparkEntry {
         FROM (SELECT * FROM per UNION ALL SELECT * FROM allr)
         ORDER BY source""")),
 
+    // -- q175: per-user exponentially-weighted moving average (the classic
+    //    time-decayed feature): y0 = x0, yi = 0.75*y(i-1) + 0.25*xi over
+    //    each user's events in (ts, event_id) order. One keyed shuffle +
+    //    an ordered fold of correctly-rounded double ops — Spark's
+    //    aggregate HOF and DuckDB's list_reduce walk the identical
+    //    element order with the identical per-step tree (dyadic alpha
+    //    keeps every constant exact) --------------------------------------
+    Q("q175_ewma_per_user",
+      (s, dir) => ops.Events.ewmaPerKey(T(s, dir, "events"),
+          "user_id", "ts", "event_id", "value", alpha = 0.25)
+        .orderBy("user_id"),
+      Some("""
+        WITH e AS (SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v
+                   FROM events WHERE value IS NOT NULL),
+        g AS (SELECT user_id, count(*) AS n_events,
+                list(v ORDER BY ts, event_id) AS vs
+              FROM e GROUP BY user_id)
+        SELECT user_id, n_events,
+               list_reduce(vs, (a, b) -> a * 0.75 + b * 0.25) AS ewma
+        FROM g ORDER BY user_id""")),
+
     // -- q168: the SQL-TVF route of document chunking, pinned to q163's
     //    oracle VERBATIM (the q125 pattern: the TVF expands at analysis
     //    time to the identical logical plan, so both surfaces hash-match

@@ -126,4 +126,36 @@ object Events {
       .groupBy("cohort_week", "week_offset")
       .agg(count_distinct(col("__u")).as("n_users"))
   }
+
+  /** Per-key exponentially-weighted moving average over the event stream —
+    * the classic time-decayed feature (recent behavior weighs more):
+    * y₀ = x₀, yᵢ = (1−α)·yᵢ₋₁ + α·xᵢ over the key's events in
+    * (ts, id) order. Events with NULL values are excluded.
+    *
+    * The fold is ONE ordered left-reduce of correctly-rounded double ops:
+    * Spark's `aggregate` HOF here and DuckDB's `list_reduce` in the q175
+    * oracle walk the identical element order with the identical per-step
+    * expression tree, so the result is bit-exact cross-engine whenever α
+    * (and 1−α) are exactly representable doubles — use dyadic alphas
+    * (0.25, 0.5, 0.125…) when hash-exactness matters; any α is fine for
+    * same-engine use. A recursive definition can't ride a builtin window
+    * frame (each value depends on the previous RESULT), which is why this
+    * is a grouped fold and not a Window.
+    *
+    * Scale shape: one key-keyed shuffle; each group folds its own sorted
+    * event array (per-key event counts are bounded in the same way the
+    * sessionize/funnel family assumes). Output: (key, n_events, ewma). */
+  def ewmaPerKey(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val entry = struct(col(tsCol), col(idCol), col(valueCol).cast("double").as("v"))
+    df.where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        transform(array_sort(collect_list(entry)), e => e.getField("v")).as("__vs"))
+      .select(col(keyCol), col("n_events"),
+        aggregate(col("__vs"), lit(null).cast("double"),
+          (acc, x) => when(acc.isNull, x)
+            .otherwise(acc * lit(1 - alpha) + x * lit(alpha))).as("ewma"))
+  }
 }

@@ -2257,6 +2257,38 @@ class PiiSpec extends SparkSpec {
   }
 }
 
+class EwmaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ewmaPerKey: hand-computed fold, ordering, NULL exclusion, single event") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val df = Seq(
+      // user 1, deliberately out of arrival order: sorted by ts the values
+      // are 4.0, 8.0, 2.0 -> y = 4; 0.75*4+0.25*8 = 5; 0.75*5+0.25*2 = 4.25
+      (1L, ts(3), 30L, Some(2.0)),
+      (1L, ts(1), 10L, Some(4.0)),
+      (1L, ts(2), 20L, Some(8.0)),
+      // NULL value excluded entirely
+      (1L, ts(4), 40L, None),
+      // ts tie broken by event_id: 1.0 then 3.0 -> 0.75*1+0.25*3 = 1.5
+      (2L, ts(1), 2L, Some(3.0)),
+      (2L, ts(1), 1L, Some(1.0)),
+      (3L, ts(1), 1L, Some(7.5))).toDF("user_id", "ts", "event_id", "value")
+    val out = graft.ops.Events.ewmaPerKey(df, "user_id", "ts", "event_id", "value", 0.25)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((3L, 4.25)))
+    assert(out(2L) == ((2L, 1.5)))
+    assert(out(3L) == ((1L, 7.5)))
+    // partitioning-invariant
+    val out2 = graft.ops.Events.ewmaPerKey(df.repartition(7), "user_id", "ts",
+      "event_id", "value", 0.25).as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out2 == out)
+    intercept[IllegalArgumentException](
+      graft.ops.Events.ewmaPerKey(df, "user_id", "ts", "event_id", "value", 1.0))
+  }
+}
+
 class FunnelSpec extends SparkSpec {
   import spark.implicits._
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
