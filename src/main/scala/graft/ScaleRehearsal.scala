@@ -388,6 +388,17 @@ object ScaleRehearsal {
         // like q155): one map-side Viterbi pass — expect linear
         "q167_unigram_encode" -> (() => force(ops.TextOps.encodeUnigram(
           docs, "doc_id", "text", unigramVocab40, 4, 16))),
+        // grouped exact percentiles: |groups| is FIXED (3 return flags)
+        // while rows scale — passes stay bins-only, expect ~scan-linear
+        "q173_grouped_percentile" -> (() => {
+          val out = ops.Stats.groupedExactPercentilesUnbounded(
+            li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.95))
+          assert(out.count() >= 1L)
+        }),
+        // EWMA fold: replicas add USERS (groups), not events per user —
+        // expect linear
+        "q175_ewma" -> (() => force(ops.Events.ewmaPerKey(
+          ev, "user_id", "ts", "event_id", "value", 0.25))),
         // PQ encode: broadcast codebook + per-partition loop — expect
         // linear in vectors (the codebook collect is hoisted: production
         // trains once and encodes many batches)
