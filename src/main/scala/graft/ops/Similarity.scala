@@ -569,6 +569,102 @@ object Similarity {
       }.toDF(idCol, "codes")
   }
 
+  /** Lloyd-refine a PQ codebook — the quality dial on top of
+    * [[pqCodebook]]'s deterministic seeds, mirroring the IVF family's
+    * `refineIters`: each iteration re-assigns every sub-vector to its
+    * nearest codeword (one [[pqEncode]]-style map pass) and recenters each
+    * codeword at the integer mean of its members (floor division —
+    * deterministic; empty codewords keep their previous position).
+    * Refinement strictly lowers (never raises) total quantization
+    * distortion per iteration, spec-asserted.
+    *
+    * Scale shape per iteration: one map-side assignment pass whose
+    * exchange carries O(tasks · m·ksub·subDim) component sums (the
+    * corpus never shuffles), one m·ksub·subDim-row driver collect
+    * (1024 rows at the default geometry — the IVF Lloyd discipline). */
+  def pqCodebookRefined(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, dim: Int = 64, iters: Int = 3): Array[Array[Array[Long]]] = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    var cb = pqCodebook(corpus, idCol, vecCol, m, ksub, dim)
+    val subDim = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    for (_ <- 1 to iters) {
+      val bcb = spark.sparkContext.broadcast(cb)
+      val sums = corpus.select(quantize(col(vecCol), dim).as("__qv"))
+        .as[Seq[Long]]
+        .flatMap { qvSeq =>
+          val qv = qvSeq.toArray
+          val book = bcb.value
+          (0 until m).iterator.flatMap { s =>
+            var best = Long.MaxValue
+            var bc = 0
+            var c = 0
+            while (c < book(s).length) {
+              var acc = 0L
+              var i = 0
+              while (i < subDim) {
+                val d = qv(s * subDim + i) - book(s)(c)(i)
+                acc += d * d
+                i += 1
+              }
+              if (acc < best) { best = acc; bc = c }
+              c += 1
+            }
+            (0 until subDim).map(i => ((s, bc, i), (qv(s * subDim + i), 1L)))
+          }
+        }
+        .toDF("key", "val")
+        .groupBy("key").agg(sum("val._1").as("s"), sum("val._2").as("n"))
+        .collect()
+      val next = cb.map(_.map(_.clone()))
+      sums.foreach { r =>
+        val k = r.getStruct(0)
+        val (s, c, i) = (k.getInt(0), k.getInt(1), k.getInt(2))
+        next(s)(c)(i) = Math.floorDiv(r.getLong(1), r.getLong(2))
+      }
+      cb = next
+    }
+    cb
+  }
+
+  /** Total PQ quantization distortion (Σ per-vector nearest-codeword
+    * squared distance) — the objective [[pqCodebookRefined]] descends;
+    * exposed for monitoring codebook quality as the corpus drifts. */
+  def pqDistortion(corpus: DataFrame, vecCol: String,
+      codebook: Array[Array[Array[Long]]], dim: Int = 64): Long = {
+    val m = codebook.length
+    val subDim = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcb = spark.sparkContext.broadcast(codebook)
+    corpus.select(quantize(col(vecCol), dim).as("__qv")).as[Seq[Long]]
+      .map { qvSeq =>
+        val qv = qvSeq.toArray
+        val book = bcb.value
+        var tot = 0L
+        var s = 0
+        while (s < m) {
+          var best = Long.MaxValue
+          var c = 0
+          while (c < book(s).length) {
+            var acc = 0L
+            var i = 0
+            while (i < subDim) {
+              val d = qv(s * subDim + i) - book(s)(c)(i)
+              acc += d * d
+              i += 1
+            }
+            if (acc < best) best = acc
+            c += 1
+          }
+          tot += best
+          s += 1
+        }
+        tot
+      }.toDF("d").agg(sum("d")).head().getLong(0)
+  }
+
   /** Asymmetric-distance (ADC) top-k through PQ codes: each query keeps
     * its EXACT micro-unit sub-vectors and looks distances up against the
     * codebook — dist(q, x) ≈ Σ_s table_q[s][code_s(x)] with

@@ -445,6 +445,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.1, s"ADC recall vs brute force too low: $recall")
   }
 
+  test("PQ Lloyd refinement: distortion non-increasing, deterministic, iters=0 == seed") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val seed = Similarity.pqCodebook(emb, "vec_id", "embedding", 8, 16)
+    val zero = Similarity.pqCodebookRefined(emb, "vec_id", "embedding", 8, 16, iters = 0)
+    assert(seed.flatten.flatten.toSeq == zero.flatten.flatten.toSeq)
+    var prev = Similarity.pqDistortion(emb, "embedding", seed)
+    (1 to 3).foreach { it =>
+      val cb = Similarity.pqCodebookRefined(emb, "vec_id", "embedding", 8, 16, iters = it)
+      val d = Similarity.pqDistortion(emb, "embedding", cb)
+      assert(d <= prev, s"iter $it distortion rose: $d > $prev")
+      prev = d
+    }
+    // refinement must actually move the needle on this corpus
+    assert(prev < Similarity.pqDistortion(emb, "embedding", seed))
+    // deterministic across partitionings
+    val a = Similarity.pqCodebookRefined(emb, "vec_id", "embedding", 8, 16, iters = 2)
+    val b = Similarity.pqCodebookRefined(emb.repartition(7), "vec_id", "embedding", 8, 16, iters = 2)
+    assert(a.flatten.flatten.toSeq == b.flatten.flatten.toSeq)
+    // refined codebooks feed encode/ADC unchanged
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", 8, 16, 64, a)
+    assert(codes.count() == emb.count())
+  }
+
   test("semanticDedup collapses a transitive near-dup chain to one survivor") {
     // A(0°) ≈ B(18°) ≈ C(36°) at threshold 0.9: cos18° ≈ .951 ≥ .9 but
     // cos36° ≈ .809 < .9 — A and C are NOT a direct pair, only reachable
