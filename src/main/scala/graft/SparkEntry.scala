@@ -3961,6 +3961,21 @@ object SparkEntry {
                list_reduce(vs, (a, b) -> a * 0.75 + b * 0.25) AS ewma
         FROM g ORDER BY user_id""")),
 
+    // -- q176: IVF-PQ top-k — the billion-vector recipe composed
+    //    end-to-end: q85's inverted-list probes restrict candidates
+    //    (nprobe/nlist of the corpus), q170's m-byte codes + q171's ADC
+    //    tables rank them. Same deterministic seed geometry as every
+    //    component, so the full composition stays oracle-reproducible ----
+    Q("q176_ivf_pq_topk",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        ops.Similarity.ivfPqTopK(emb.where(col("vec_id") < 10), emb,
+          "vec_id", "vec_id", "embedding", k = 5,
+          nlist = 16, nprobe = 4, m = 8, ksub = 16, dim = 64)
+          .orderBy("query_id", "rank")
+      },
+      Some(sqlIvfPqTopk)),
+
     // -- q168: the SQL-TVF route of document chunking, pinned to q163's
     //    oracle VERBATIM (the q125 pattern: the TVF expands at analysis
     //    time to the identical logical plan, so both surfaces hash-match
@@ -3999,6 +4014,73 @@ object SparkEntry {
                 SELECT *, row_number() OVER (PARTITION BY vec_id, s
                   ORDER BY dist, code) AS rk FROM d)
               WHERE rk = 1)"""
+
+  /** DuckDB: exact int64 squared L2 between 8-dim subspace slices of two
+    * quantized vectors — subspace index comes from the enclosing range
+    * alias `s(s)`. Shared by the q170/q171/q176 PQ oracles. */
+  private def sqlSubDist(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 9),
+        i -> (($a)[CAST(s.s*8+i AS INT)] - ($b)[CAST(s.s*8+i AS INT)])
+           * (($a)[CAST(s.s*8+i AS INT)] - ($b)[CAST(s.s*8+i AS INT)]))) AS BIGINT)"""
+
+  /** q176 oracle: the IVF-PQ composition — q85's inverted-list geometry
+    * (seed centroids, cosine probes) restricting candidates, q170's PQ
+    * codes + q171's ADC tables ranking them. */
+  private lazy val sqlIvfPqTopk: String = s"""
+        WITH cv AS MATERIALIZED (
+          SELECT vec_id AS corpus_id, $sqlQVec AS v FROM embeddings),
+        cent AS MATERIALIZED (
+          SELECT corpus_id AS cent_id, v AS centv FROM cv WHERE corpus_id < 16),
+        assigned AS (
+          SELECT cv.corpus_id, cent.cent_id,
+            row_number() OVER (PARTITION BY cv.corpus_id ORDER BY
+              CAST(${sqlDotQ("cv.v", "cent.centv")} AS DOUBLE)
+                / sqrt(CAST(${sqlDotQ("cv.v", "cv.v")} AS DOUBLE)
+                     * CAST(${sqlDotQ("cent.centv", "cent.centv")} AS DOUBLE)) DESC,
+              cent.cent_id ASC) AS cr
+          FROM cv CROSS JOIN cent),
+        lists AS MATERIALIZED (
+          SELECT cent_id, corpus_id FROM assigned WHERE cr = 1),
+        pseeds AS MATERIALIZED (
+          SELECT CAST(row_number() OVER (ORDER BY corpus_id) - 1 AS INT) AS code,
+                 v AS qv
+          FROM (SELECT corpus_id, v FROM cv ORDER BY corpus_id LIMIT 16)),
+        pdist AS (
+          SELECT cv.corpus_id, s.s, sd.code,
+                 ${sqlSubDist("cv.v", "sd.qv")} AS dist
+          FROM cv, range(0, 8) s(s), pseeds sd),
+        pcodes AS MATERIALIZED (
+          SELECT corpus_id, s, code FROM (
+            SELECT *, row_number() OVER (PARTITION BY corpus_id, s
+              ORDER BY dist, code) AS rk FROM pdist)
+          WHERE rk = 1),
+        q AS MATERIALIZED (
+          SELECT vec_id AS query_id, $sqlQVec AS qv FROM embeddings
+          WHERE vec_id < 10),
+        probes AS (
+          SELECT query_id, cent_id FROM (
+            SELECT q.query_id, cent.cent_id,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                CAST(${sqlDotQ("q.qv", "cent.centv")} AS DOUBLE)
+                  / sqrt(CAST(${sqlDotQ("q.qv", "q.qv")} AS DOUBLE)
+                       * CAST(${sqlDotQ("cent.centv", "cent.centv")} AS DOUBLE)) DESC,
+                cent.cent_id ASC) AS pr
+            FROM q CROSS JOIN cent) WHERE pr <= 4),
+        tabs AS MATERIALIZED (
+          SELECT q.query_id, s.s, sd.code,
+                 ${sqlSubDist("q.qv", "sd.qv")} AS d
+          FROM q, range(0, 8) s(s), pseeds sd),
+        adc AS (
+          SELECT p.query_id, l.corpus_id, CAST(sum(t.d) AS BIGINT) AS adc_dist
+          FROM probes p
+          JOIN lists l ON l.cent_id = p.cent_id
+          JOIN pcodes pc ON pc.corpus_id = l.corpus_id
+          JOIN tabs t ON t.query_id = p.query_id AND t.s = pc.s AND t.code = pc.code
+          GROUP BY p.query_id, l.corpus_id)
+        SELECT query_id, corpus_id, adc_dist, CAST(rank AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_dist, corpus_id) AS rank FROM adc)
+        WHERE rank <= 5 ORDER BY query_id, rank"""
 
   /** q163's oracle, shared verbatim by q168's SQL-TVF route. */
   private val sqlChunkDocs: String = """

@@ -695,8 +695,27 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     // exact integer ADC tables, driver-side: queries are bounded by the
     // same contract that lets bruteForceTopK broadcast them
-    val tables: Array[Array[Array[Long]]] = qRows.map { case (_, qv) =>
-      Array.tabulate(m) { s =>
+    val tables = adcTables(qRows.map(_._2), cb, subDim)
+    def adcFor(qi: Int): Column =
+      (0 until m).map(s =>
+        element_at(typedLit(tables(qi)(s).toSeq), col("codes")(s) + 1))
+        .reduce(_ + _)
+    val queryIds = qRows.map(_._1)
+    val scored = codes
+      .select(col("corpus_id"),
+        posexplode(array(qRows.indices.map(adcFor): _*)).as(Seq("__qi", "adc_dist")))
+      .select(element_at(typedLit(queryIds.toSeq), col("__qi") + 1).as("query_id"),
+        col("corpus_id"), col("adc_dist"))
+    TopK.perGroup(scored, Seq("query_id"),
+      Seq(col("adc_dist").asc, col("corpus_id").asc), k, rankCol = "rank")
+  }
+
+  /** ‖q_s − codeword_c‖² for every (query, subspace, codeword) — the exact
+    * int64 ADC tables both PQ rankers share. */
+  private def adcTables(qvs: Array[Array[Long]], cb: Array[Array[Array[Long]]],
+      subDim: Int): Array[Array[Array[Long]]] =
+    qvs.map { qv =>
+      Array.tabulate(cb.length) { s =>
         cb(s).map { cw =>
           var acc = 0L
           var i = 0
@@ -709,16 +728,65 @@ object Similarity {
         }
       }
     }
-    def adcFor(qi: Int): Column =
-      (0 until m).map(s =>
-        element_at(typedLit(tables(qi)(s).toSeq), col("codes")(s) + 1))
-        .reduce(_ + _)
-    val queryIds = qRows.map(_._1)
-    val scored = codes
-      .select(col("corpus_id"),
-        posexplode(array(qRows.indices.map(adcFor): _*)).as(Seq("__qi", "adc_dist")))
-      .select(element_at(typedLit(queryIds.toSeq), col("__qi") + 1).as("query_id"),
-        col("corpus_id"), col("adc_dist"))
+
+  /** IVF-PQ top-k — the standard billion-vector recipe composed end-to-end
+    * (Jégou et al. 2011 §V: coarse quantizer + product-quantized
+    * residual-free variant): the IVF half restricts candidates to each
+    * query's `nprobe` nearest inverted lists, the PQ half ranks the
+    * survivors by exact-integer ADC distance over the m-byte codes. At
+    * 10⁹ vectors the candidate scan reads nprobe/nlist of a CODES table
+    * (m bytes/vector) instead of nprobe/nlist of raw floats — both axes
+    * of the memory wall at once.
+    *
+    * Same deterministic geometry as the component ops (smallest-id seed
+    * centroids and codewords, ties → smaller id/code), so the whole
+    * composition stays oracle-reproducible (q176). The per-query ADC
+    * tables ride a literal map (query_id → m×ksub table); candidates flow
+    * through the cent_id-keyed probe join exactly as [[ivfTopK]].
+    *
+    * For a PERSISTED form, store `(cent_id, corpus_id, codes)` bucketed by
+    * list id ([[indexVectors]]'s layout plus the codes column) — the probe
+    * IO story is [[searchIndexed]]'s with 4·dim-byte rows shrunk to m. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+      queryIdCol: String, corpusIdCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val subDim = dim / m
+    val c = corpus.select(col(corpusIdCol).as("corpus_id"), quantize(col(vecCol), dim).as("__cv"))
+      .withColumn("__cn", dotQ(col("__cv"), col("__cv"), dim))
+    val cent = seedCentroids(c, nlist)
+    val lists = assignToLists(c, cent, dim)
+      .select(col("cent_id"), col("corpus_id").cast("long").as("corpus_id"))
+    val cb = pqCodebook(corpus, corpusIdCol, vecCol, m, ksub, dim)
+    val codes = pqEncode(corpus, corpusIdCol, vecCol, m, ksub, dim, cb)
+      .withColumnRenamed(corpusIdCol, "corpus_id")
+    // one id-keyed join attaches codes to list rows; a PERSISTED index
+    // writes them together and skips this entirely
+    val listed = lists.join(codes, "corpus_id")
+    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+        quantize(col(vecCol), dim).as("__qv"))
+      .withColumn("__qn", dotQ(col("__qv"), col("__qv"), dim))
+    val probes = TopK.perGroup(
+      q.join(broadcast(cent))
+        .select(col("query_id"), col("__qv"), col("__qn"), col("cent_id"),
+          cosineFromParts(dotQ(col("__qv"), col("__centv"), dim),
+            col("__qn"), col("__centn")).as("__psim")),
+      Seq("query_id"), Seq(col("__psim").desc, col("cent_id").asc), nprobe,
+      rankCol = "__pr")
+      .select(col("query_id"), col("cent_id"))
+    val qRows = queries
+      .select(col(queryIdCol).cast("long").as("__id"), quantize(col(vecCol), dim).as("__qv"))
+      .orderBy(col("__id").asc_nulls_last)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val tables = adcTables(qRows.map(_._2), cb, subDim)
+    val tableMap: Map[Long, Seq[Seq[Long]]] = qRows.map(_._1)
+      .zip(tables.map(_.map(_.toSeq).toSeq)).toMap
+    val litTables = typedLit(tableMap)
+    val dist = (0 until m).map(s =>
+      element_at(element_at(element_at(litTables, col("query_id")), s + 1),
+        col("codes")(s) + 1)).reduce(_ + _)
+    val scored = probes.join(listed, Seq("cent_id"))
+      .select(col("query_id"), col("corpus_id"), dist.as("adc_dist"))
     TopK.perGroup(scored, Seq("query_id"),
       Seq(col("adc_dist").asc, col("corpus_id").asc), k, rankCol = "rank")
   }
