@@ -729,6 +729,85 @@ object Similarity {
       }
     }
 
+  /** Persist an IVF-PQ index: the [[indexVectors]] layout with the raw
+    * quantized vectors replaced by m-byte PQ codes — per-row storage drops
+    * from 8·dim bytes to m (+ id), so the same probe IO covers a 64×
+    * larger corpus. Writes `<feature>_pqlists` (bucketed BY LIST ID — a
+    * query reads only its probed buckets), `<feature>_centroids`, and
+    * `<feature>_pqbook` (m·ksub codeword rows, one bucket — read in full
+    * by every search, the centroid-table discipline). */
+  def indexVectorsPq(corpus: DataFrame, corpusIdCol: String, vecCol: String,
+      store: graft.core.BucketedStore, feature: String,
+      nlist: Int = 16, m: Int = 8, ksub: Int = 16, dim: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(corpusIdCol).as("corpus_id"), quantize(col(vecCol), dim).as("__cv"))
+      .withColumn("__cn", dotQ(col("__cv"), col("__cv"), dim))
+    val cent = seedCentroids(c, nlist)
+    val lists = assignToLists(c, cent, dim)
+      .select(col("cent_id"), col("corpus_id").cast("long").as("corpus_id"))
+    val cb = pqCodebook(corpus, corpusIdCol, vecCol, m, ksub, dim)
+    val codes = pqEncode(corpus, corpusIdCol, vecCol, m, ksub, dim, cb)
+      .withColumnRenamed(corpusIdCol, "corpus_id")
+    store.write(lists.join(codes, "corpus_id"), s"${feature}_pqlists", Seq("cent_id"))
+    writeCentroids(store, feature, cent)
+    val bookRows = for (s <- 0 until m; cw <- 0 until cb(s).length)
+      yield (s, cw, cb(s)(cw).toSeq)
+    store.write(bookRows.toDF("pq_s", "pq_code", "pq_centv").withColumn("__ck", lit(0)),
+      s"${feature}_pqbook", Seq("__ck"))
+  }
+
+  /** Serve ADC top-k through a persisted IVF-PQ index: probe the
+    * `nprobe` nearest centroid buckets (`readTouched` — IO = probed
+    * buckets of the m-byte codes table, independent of corpus size), rank
+    * with the exact-integer ADC tables. Result ≡ [[ivfPqTopK]] on the
+    * same geometry (spec-asserted). */
+  def searchIndexedPq(queries: DataFrame, queryIdCol: String, vecCol: String,
+      store: graft.core.BucketedStore, feature: String, k: Int,
+      nprobe: Int = 4, dim: Int = 64): DataFrame = {
+    import graft.core.TrackedCache.TrackedDataset
+    val cent = store.read(s"${feature}_centroids", Seq("cent_id"))
+      .select(col("cent_id"), col("__centv"))
+      .withColumn("__centn", dotQ(col("__centv"), col("__centv"), dim))
+    val bookRows = store.read(s"${feature}_pqbook", Seq("__ck"))
+      .select(col("pq_s"), col("pq_code"), col("pq_centv")).collect()
+    val m = bookRows.map(_.getInt(0)).max + 1
+    val ksub = bookRows.map(_.getInt(1)).max + 1
+    val cb = Array.ofDim[Array[Long]](m, ksub)
+    bookRows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray)
+    val subDim = dim / m
+    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+        quantize(col(vecCol), dim).as("__qv"))
+      .withColumn("__qn", dotQ(col("__qv"), col("__qv"), dim))
+    val probes = TopK.perGroup(
+      q.join(broadcast(cent))
+        .select(col("query_id"), col("__qv"), col("__qn"), col("cent_id"),
+          cosineFromParts(dotQ(col("__qv"), col("__centv"), dim),
+            col("__qn"), col("__centn")).as("__psim")),
+      Seq("query_id"), Seq(col("__psim").desc, col("cent_id").asc), nprobe,
+      rankCol = "__pr")
+      .select(col("query_id"), col("cent_id"))
+      .persistTracked()
+    val qRows = queries
+      .select(col(queryIdCol).cast("long").as("__id"), quantize(col(vecCol), dim).as("__qv"))
+      .orderBy(col("__id").asc_nulls_last)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val tables = adcTables(qRows.map(_._2), cb, subDim)
+    val litTables = typedLit(qRows.map(_._1)
+      .zip(tables.map(_.map(_.toSeq).toSeq)).toMap)
+    val dist = (0 until m).map(s =>
+      element_at(element_at(element_at(litTables, col("query_id")), s + 1),
+        col("codes")(s) + 1)).reduce(_ + _)
+    val listsSubset = store.readTouched(s"${feature}_pqlists", Seq("cent_id"),
+      probes.select("cent_id"))
+    val scored = probes
+      .join(listsSubset.select(col("cent_id"), col("corpus_id"), col("codes")),
+        Seq("cent_id"))
+      .select(col("query_id"), col("corpus_id"), dist.as("adc_dist"))
+    TopK.perGroup(scored, Seq("query_id"),
+      Seq(col("adc_dist").asc, col("corpus_id").asc), k, rankCol = "rank")
+  }
+
   /** IVF-PQ top-k — the standard billion-vector recipe composed end-to-end
     * (Jégou et al. 2011 §V: coarse quantizer + product-quantized
     * residual-free variant): the IVF half restricts candidates to each

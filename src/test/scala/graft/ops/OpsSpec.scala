@@ -445,6 +445,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.1, s"ADC recall vs brute force too low: $recall")
   }
 
+  test("persisted IVF-PQ index: search ≡ the in-memory composition") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val store = new graft.core.BucketedStore(tmpDir("ivfpq"), numBuckets = 16)
+    Similarity.indexVectorsPq(emb, "vec_id", "embedding", store, "ann",
+      nlist = 16, m = 8, ksub = 16)
+    val queries = emb.where(col("vec_id") < 10)
+    val served = Similarity.searchIndexedPq(queries, "vec_id", "embedding",
+      store, "ann", k = 5, nprobe = 4)
+      .select("query_id", "corpus_id", "adc_dist", "rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._4))
+    val direct = Similarity.ivfPqTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", k = 5, nlist = 16, nprobe = 4)
+      .select("query_id", "corpus_id", "adc_dist", "rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(served.sameElements(direct))
+  }
+
   test("IVF-PQ: codeword queries self-hit at rank 1 with ADC 0; candidates respect probes") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val queries = emb.where(col("vec_id") < 10) // all 10 are PQ seed codewords
