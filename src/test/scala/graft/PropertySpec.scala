@@ -18,6 +18,51 @@ class PropertySpec extends AnyFunSuite {
       gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
     }
 
+  test("viterbiPieces: reconstruction, vocab membership, length bound, coverage law") {
+    val genWord = Gen.listOfN(8, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    forAllSamples(genWord, 100) { w =>
+      // vocab: all single chars (coverage) + every 2..4-substring of w with
+      // a deterministic pseudo-probability
+      val subs = (for (i <- 0 until w.length; l <- 2 to math.min(4, w.length - i))
+        yield w.substring(i, i + l)).distinct
+      val q: Map[String, Long] =
+        (Seq("a", "b", "c").map(c => c -> (1000L + c.hashCode % 97)) ++
+          subs.map(p => p -> (1L + math.abs((w + p).hashCode) % 1048575L))).toMap
+      val pieces = graft.ops.TextOps.viterbiPieces(w, q, 4)
+      assert(pieces.mkString == w, s"'$w' -> $pieces does not reconstruct")
+      assert(pieces.forall(q.contains), s"'$w' -> $pieces uses unknown pieces")
+      assert(pieces.forall(p => p.nonEmpty && p.length <= 4))
+      // with single-char coverage the segmentation always exists
+      assert(pieces.nonEmpty || w.isEmpty)
+      // removing coverage for a char present in w makes the word unreachable
+      if (w.contains('a')) {
+        val q2 = q.view.filterKeys(p => !p.contains('a')).toMap
+        assert(graft.ops.TextOps.viterbiPieces(w, q2, 4) == Nil)
+      }
+    }
+  }
+
+  test("u8cmp preserves codepoint order (the UTF-8 order law, incl. supplementary planes)") {
+    val genCp = Gen.frequency(
+      (4, Gen.choose(0x20, 0x7e)),          // ASCII
+      (2, Gen.choose(0xa0, 0xffff)),        // BMP
+      (1, Gen.choose(0x10000, 0x10ffff)))   // supplementary
+      .suchThat(cp => cp < 0xd800 || cp > 0xdfff)
+    val genStr = Gen.listOfN(4, genCp)
+      .map(cps => cps.flatMap(Character.toChars(_)).mkString)
+    forAllSamples(Gen.zip(genStr, genStr), 200) { case (a, b) =>
+      val byByte = Integer.signum(graft.ops.TextOps.u8cmp(a, b))
+      val cpsA = a.codePoints().toArray.toSeq
+      val cpsB = b.codePoints().toArray.toSeq
+      val byCp = Integer.signum(
+        Ordering.Implicits.seqOrdering[Seq, Int].compare(cpsA, cpsB))
+      assert(byByte == byCp, s"'$a' vs '$b': byte $byByte, codepoint $byCp")
+      // and it disagrees with UTF-16-unit order exactly where Java would
+      // missort supplementary characters — the reason the engine never uses
+      // String.compareTo for ranking
+    }
+  }
+
   test("planBands: divisor contract, error-optimality, monotone strictness in threshold") {
     def scurve(b: Int, r: Int, s: Double) =
       1 - math.pow(1 - math.pow(s, r.toDouble), b.toDouble)
