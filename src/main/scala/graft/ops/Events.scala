@@ -144,7 +144,10 @@ object Events {
     *
     * Scale shape: one key-keyed shuffle; each group folds its own sorted
     * event array (per-key event counts are bounded in the same way the
-    * sessionize/funnel family assumes). Output: (key, n_events, ewma). */
+    * sessionize/funnel family assumes). Output: (key, n_events, ewma).
+    * Precondition: event timestamps are non-NULL (a NULL ts would sort
+    * nulls-first here but nulls-last in most SQL engines — exclude or
+    * impute them upstream). */
   def ewmaPerKey(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
       valueCol: String, alpha: Double): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")

@@ -1456,7 +1456,12 @@ object TextOps {
     * floor dominates a few-MB dict), else distributed rounds — seed
     * counting is one substring explode + keyed agg, each EM round is one
     * broadcast-map flatMap + keyed agg over the dict, never the corpus.
-    * Both routes are spec-asserted identical. */
+    * Both routes are spec-asserted identical.
+    *
+    * `vocabSize` bounds the MULTI-CHAR piece count on top of the alphabet:
+    * single characters are always kept for coverage, so a corpus whose
+    * alphabet exceeds vocabSize (large-CJK) yields an all-chars vocab
+    * larger than vocabSize — size the budget above the alphabet. */
   def learnUnigramVocab(df: DataFrame, textCol: String, vocabSize: Int,
       maxPieceLen: Int = 4, rounds: Int = 2, seedMultiplier: Int = 4,
       maxWordLen: Int = 16): DataFrame = {
