@@ -3976,6 +3976,41 @@ object SparkEntry {
       },
       Some(sqlIvfPqTopk)),
 
+    // -- q177: top-k PMI collocations (Church & Hanks 1990) — bigrams
+    //    ranked by the log-free monotone PMI image c_xy·N/(c_x·c_y):
+    //    three correctly-rounded double ops over exact counts, so the
+    //    ranking hashes cross-engine; vocab-sized joins, TakeOrdered ------
+    Q("q177_pmi_collocations",
+      (s, dir) => ops.TextOps.collocations(T(s, dir, "documents"),
+        "doc_id", "text", topK = 20, minCount = 5),
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        uc AS MATERIALIZED (SELECT w, count(*) AS c FROM (
+                SELECT unnest(ts) AS w FROM tok) WHERE w <> '' GROUP BY w),
+        n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+        bc AS (SELECT w1, w2, count(*) AS cxy FROM (
+                 SELECT ts[CAST(i.i AS INT)] AS w1, ts[CAST(i.i AS INT) + 1] AS w2
+                 FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS i) i)
+               WHERE w1 <> '' AND w2 <> '' AND w2 IS NOT NULL
+               GROUP BY w1, w2 HAVING count(*) >= 5)
+        SELECT b.w1, b.w2, b.cxy, u1.c AS c1, u2.c AS c2,
+               (CAST(b.cxy AS DOUBLE) * CAST(n.n AS DOUBLE))
+                 / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS pmi_ratio
+        FROM bc b JOIN uc u1 ON u1.w = b.w1 JOIN uc u2 ON u2.w = b.w2, n
+        ORDER BY pmi_ratio DESC, b.w1, b.w2 LIMIT 20""")),
+
+    // -- q178: token frequency spectrum (counts of counts) — the Zipf
+    //    diagnostic; two keyed aggs collapsing to bounded frames ----------
+    Q("q178_frequency_spectrum",
+      (s, dir) => ops.TextOps.frequencySpectrum(T(s, dir, "documents"), "text")
+        .orderBy("occurrences"),
+      Some("""
+        WITH uc AS (SELECT w, count(*) AS c FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> '' GROUP BY w)
+        SELECT c AS occurrences, count(*) AS n_types
+        FROM uc GROUP BY c ORDER BY occurrences""")),
+
     // -- q168: the SQL-TVF route of document chunking, pinned to q163's
     //    oracle VERBATIM (the q125 pattern: the TVF expands at analysis
     //    time to the identical logical plan, so both surfaces hash-match

@@ -49,6 +49,56 @@ object TextOps {
   def canonicalText(c: Column): Column =
     trim(regexp_replace(stripAccents(lower(nfc(c))), "\\s+", " "))
 
+  /** Top-k PMI collocations (pointwise mutual information over adjacent
+    * word pairs — Church & Hanks 1990, the standard collocation statistic):
+    * rank bigrams by `p(x,y)/(p(x)p(y)) = c_xy·N / (c_x·c_y)`, the
+    * monotone image of PMI that needs NO logarithm — the ratio is three
+    * correctly-rounded double ops over exact integer counts, so the
+    * ranking hashes identically cross-engine where `log` would not. The
+    * `minCount` floor is the classic guard against rare-pair PMI blow-up.
+    * Output: (w1, w2, cxy, c1, c2, pmi_ratio), top-k by (ratio desc,
+    * pair asc).
+    *
+    * Scale shape: one token explode + one adjacent-pair explode, each
+    * collapsing through partial aggregation to vocabulary-sized counts;
+    * the pair⋈unigram joins run post-aggregation (vocab-sized, Catalyst
+    * broadcasts the unigram side); the top-k is TakeOrdered, never a full
+    * sort. */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+      topK: Int, minCount: Long = 5): DataFrame = {
+    require(topK >= 1 && minCount >= 1, s"bad topK=$topK / minCount=$minCount")
+    val toks = split(col(textCol), " ")
+    val uni = df.select(explode(toks).as("w")).where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum("c").as("n"))
+    val pairs = df.select(toks.as("__t1"))
+      .select(col("__t1"), slice(col("__t1"), lit(2), size(col("__t1"))).as("__t2"))
+      .select(explode(arrays_zip(col("__t1"), col("__t2"))).as("__p"))
+      .select(col("__p.__t1").as("w1"), col("__p.__t2").as("w2"))
+      .where(col("w1") =!= "" && col("w2") =!= "" && col("w2").isNotNull)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      .where(col("cxy") >= minCount)
+    val scored = pairs
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("cxy"), col("c1"), col("c2"),
+        ((col("cxy").cast("double") * col("n").cast("double"))
+          / (col("c1").cast("double") * col("c2").cast("double"))).as("pmi_ratio"))
+    graft.ops.TopK.global(scored, topK,
+      Seq(col("pmi_ratio").desc, col("w1").asc, col("w2").asc))
+  }
+
+  /** Token frequency spectrum (counts of counts): for each occurrence
+    * count, how many distinct word TYPES occur exactly that often — the
+    * Zipf/heaps-law diagnostic a corpus profile reads before sizing
+    * vocabularies and dedup thresholds. Two keyed aggregations, both
+    * collapsing to bounded frames (vocab, then |distinct counts|). */
+  def frequencySpectrum(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("w")).where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("__c"))
+      .groupBy(col("__c").as("occurrences")).agg(count(lit(1)).as("n_types"))
+
   /** Two-level public suffixes the [[registeredDomain]] heuristic keeps a
     * third label for — the high-traffic subset of the public-suffix list
     * (country-code second-level domains); callers with exotic zones pass

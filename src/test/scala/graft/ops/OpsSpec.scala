@@ -1959,6 +1959,33 @@ class TextOpsSpec extends SparkSpec {
     assert(again == out.map { case (k, v) => k -> v._3 })
   }
 
+  test("collocations: hand-computed PMI ratio and ranking; frequencySpectrum invariants") {
+    // corpus: "a b" x4, "a c" x1, "c c" x1 -> N = 12 tokens
+    // c(a)=5, c(b)=4, c(c)=3; cxy(a,b)=4, cxy(a,c)=1, cxy(c,c)=1
+    val docs = (Seq.fill(4)("a b") ++ Seq("a c", "c c")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextOps.collocations(docs, "doc_id", "text", topK = 5, minCount = 1)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    val m = out.map(r => (r._1, r._2) -> r).toMap
+    // ratio(a,b) = 4*12/(5*4) = 2.4; ratio(c,c) = 1*12/(3*3) = 4/3; (a,c)=12/15
+    assert(m(("a", "b"))._6 == (4.0 * 12.0) / (5.0 * 4.0))
+    assert(m(("c", "c"))._6 == 12.0 / 9.0)
+    assert(out.head._1 == "a" && out.head._2 == "b") // highest ratio first
+    // minCount floors out the rare pairs
+    assert(TextOps.collocations(docs, "doc_id", "text", 5, minCount = 2).count() == 1L)
+    // spectrum: types by occurrence count — a:5, b:4, c:3 -> one type each
+    val sp = TextOps.frequencySpectrum(docs, "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sp == Map(5L -> 1L, 4L -> 1L, 3L -> 1L))
+    // mass check on the fixture: sum(occurrences * n_types) == token count
+    val fix = Tables.load(spark, sfDir, "documents")
+    val mass = TextOps.frequencySpectrum(fix, "text")
+      .agg(sum(col("occurrences") * col("n_types"))).head().getLong(0)
+    val toks = fix.select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "").count()
+    assert(mass == toks, s"$mass vs $toks")
+  }
+
   test("registeredDomain: www strip, ccSLD suffixes, subdomains, blocklist gate") {
     import spark.implicits._
     def rd(h: String): String =
