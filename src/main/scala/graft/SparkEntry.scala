@@ -1732,6 +1732,17 @@ object SparkEntry {
   /** DuckDB: 60-bit md5-prefix hash of expr `e`, mod P. */
   private def sqlH60(e: String): String =
     s"(CAST('0x' || substr(md5($e),1,15) AS BIGINT) % $P)"
+  /** DuckDB: RAW 60-bit md5-prefix hash (no mod-P reduction) — the
+    * membership-grade gram hash of the decontamination family (q99/q142);
+    * a 31-bit space already collides at sf1 gram counts. */
+  private def sqlH60Raw(e: String): String =
+    s"CAST('0x' || substr(md5($e),1,15) AS BIGINT)"
+  /** DuckDB: word-3-gram shingle hash set at FULL 60-bit width — the
+    * oracle twin of the decontamination family's raw-md5 gram sets. */
+  private def sqlShingles60(t: String): String =
+    s"""list_distinct(list_transform(
+          range(1, greatest(2, len(string_split($t,' ')) - 1)),
+          i -> ${sqlH60Raw(s"concat_ws(' ', string_split($t,' ')[i], string_split($t,' ')[i+1], string_split($t,' ')[i+2])")}))"""
   /** DuckDB: per-token hashes (mod P) of a token-list expr — the oracle twin
     * of [[graft.expressions.TokenHashes]] (one md5 per token). */
   private def sqlTokHashes(toksExpr: String): String =
@@ -1740,14 +1751,26 @@ object SparkEntry {
     * starting at 1-based index expr `i` — value-identical to
     * [[graft.expressions.PolyRollHash]] (constants C(j) = B^j mod P are
     * interpolated; every product < 2^62, every sum < 2^35 — exact BIGINT). */
-  private def sqlPolyAt(hs: String, i: String, L: Int, outMod: Long = P): String = {
+  private def sqlPolyAt(hs: String, i: String, L: Int, outMod: Long = P,
+      base: Long = graft.expressions.PolyRollHash.B): String = {
     val terms = (0 until L).map { k =>
-      val c = graft.expressions.PolyRollHash.bPow(L - 1 - k)
+      val c = graft.expressions.PolyRollHash.bPow(L - 1 - k, base)
       if (c == 1L) s"$hs[$i+$k]" else s"($hs[$i+$k]*$c)%$P"
     }
     val core = s"(${terms.mkString(" + ")}) % $P"
     if (outMod == P) core else s"(($core) % $outMod)"
   }
+  /** DuckDB: the TAIL per-token hash stream (md5 hex nibbles 17–31, mod P)
+    * — oracle twin of [[graft.expressions.TokenHashes]] `tail = true`. */
+  private def sqlTokHashesTail(toksExpr: String): String =
+    s"list_transform($toksExpr, tk -> (CAST('0x' || substr(md5(tk),17,15) AS BIGINT) % $P))"
+  /** DuckDB: the ≈62-bit dual-polynomial composite gram fingerprint —
+    * oracle twin of [[graft.expressions.DualPolyRollHash]]: head stream
+    * `hs1` under base B, tail stream `hs2` under base B2, packed
+    * `h1·P + h2` (< 2^62, exact BIGINT). */
+  private def sqlDualPolyAt(hs1: String, hs2: String, i: String, L: Int): String =
+    s"((${sqlPolyAt(hs1, i, L)}) * $P + (${
+      sqlPolyAt(hs2, i, L, base = graft.expressions.PolyRollHash.B2)}))"
   /** DuckDB: word-3-gram shingle hash set of text expr `t` (list of BIGINT). */
   private def sqlShingles(t: String): String =
     s"""list_distinct(list_transform(
@@ -2375,10 +2398,10 @@ object SparkEntry {
       },
       Some(s"""
         WITH c AS (
-          SELECT doc_id, unnest(${sqlShingles("text")}) AS h
+          SELECT doc_id, unnest(${sqlShingles60("text")}) AS h
           FROM documents WHERE doc_id % 10 < 9),
         e AS (
-          SELECT doc_id AS eval_id, unnest(${sqlShingles("text")}) AS h
+          SELECT doc_id AS eval_id, unnest(${sqlShingles60("text")}) AS h
           FROM documents WHERE doc_id % 10 = 9)
         SELECT c.doc_id, e.eval_id, count(*) AS shared_ngrams
         FROM c JOIN e ON c.h = e.h
@@ -3315,9 +3338,10 @@ object SparkEntry {
         .orderBy("doc_id"),
       Some(s"""
         WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        th AS (SELECT doc_id, ${sqlTokHashes("toks")} AS hs FROM t),
-        g AS (SELECT doc_id, unnest(list_transform(range(1, len(hs) - 6),
-                i -> {'pos': i - 1, 'h': ${sqlPolyAt("hs", "i", 8)}})) AS u
+        th AS (SELECT doc_id, ${sqlTokHashes("toks")} AS hs1,
+                 ${sqlTokHashesTail("toks")} AS hs2 FROM t),
+        g AS (SELECT doc_id, unnest(list_transform(range(1, len(hs1) - 6),
+                i -> {'pos': i - 1, 'h': ${sqlDualPolyAt("hs1", "hs2", "i", 8)}})) AS u
               FROM th),
         d AS (SELECT doc_id, pos FROM (
                 SELECT doc_id, u.pos AS pos, count(*) OVER (PARTITION BY u.h) AS c FROM g)
@@ -3348,9 +3372,10 @@ object SparkEntry {
         .orderBy("doc_id"),
       Some(s"""
         WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        th AS (SELECT doc_id, ${sqlTokHashes("toks")} AS hs FROM t),
-        g AS (SELECT doc_id, unnest(list_transform(range(1, len(hs) - 6),
-                i -> {'pos': i - 1, 'h': ${sqlPolyAt("hs", "i", 8)}})) AS u
+        th AS (SELECT doc_id, ${sqlTokHashes("toks")} AS hs1,
+                 ${sqlTokHashesTail("toks")} AS hs2 FROM t),
+        g AS (SELECT doc_id, unnest(list_transform(range(1, len(hs1) - 6),
+                i -> {'pos': i - 1, 'h': ${sqlDualPolyAt("hs1", "hs2", "i", 8)}})) AS u
               FROM th),
         d AS (SELECT doc_id, pos FROM (
                 SELECT doc_id, u.pos AS pos, count(*) OVER (PARTITION BY u.h) AS c FROM g)
@@ -3390,7 +3415,7 @@ object SparkEntry {
           .orderBy("doc_id")
       },
       Some {
-        val h3 = sqlH60("concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1], string_split(text,' ')[i+2])")
+        val h3 = sqlH60Raw("concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1], string_split(text,' ')[i+2])")
         s"""
         WITH e AS (SELECT DISTINCT unnest(list_transform(
             range(1, greatest(2, len(string_split(text,' ')) - 1)),
@@ -3806,16 +3831,19 @@ object SparkEntry {
     // -- q170: product quantization encode (Jégou et al., IEEE TPAMI 2011)
     //    — each vector compresses to m=8 one-byte codes (nearest of
     //    ksub=16 seed codewords per 8-dim subspace, exact int64 L2 over
-    //    micro-units, ties → smaller code). ONE zero-shuffle codegen
-    //    projection: codeword distances are unrolled literal arithmetic,
-    //    argmin is a least() fold over (dist, code) structs -------------
+    //    micro-units, ties → smaller code). ONE zero-shuffle map pass.
+    //    Output is SCALAR rows — one per (vec_id, subspace, code) — so
+    //    every comparator (the driver's pandas row sort included) can
+    //    order and hash it; the code ARRAY stays an internal layout ------
     Q("q170_pq_encode",
       (s, dir) => ops.Similarity.pqEncode(T(s, dir, "embeddings"),
-        "vec_id", "embedding", m = 8, ksub = 16, dim = 64).orderBy("vec_id"),
+        "vec_id", "embedding", m = 8, ksub = 16, dim = 64)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
+        .orderBy("vec_id", "s"),
       Some(s"""
         WITH $sqlPqCodes
-        SELECT vec_id, list(code ORDER BY s) AS codes
-        FROM c GROUP BY vec_id ORDER BY vec_id""")),
+        SELECT vec_id, CAST(s AS INT) AS s, code
+        FROM c ORDER BY vec_id, s""")),
 
     // -- q171: asymmetric-distance (ADC) top-k through the PQ codes — the
     //    billion-vector ranking path: per-query distance TABLES against

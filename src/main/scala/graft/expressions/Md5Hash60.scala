@@ -53,6 +53,20 @@ object Md5Hash60 {
     v >>> 4
   }
 
+  /** Hex nibbles 17–31 of the digest (== big-endian bytes 8..15 >>> 4) —
+    * a second 60-bit value INDEPENDENT of [[hash]] from the same digest;
+    * oracle twin `CAST('0x'||substr(md5(x),17,15) AS BIGINT)`. Feeds the
+    * dual-polynomial composite gram fingerprint ([[DualPolyRollHash]]). */
+  def hashTail(s: UTF8String): Long = {
+    val md = localMd5.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 8
+    while (i < 16) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[Md5Hash60].getName, "graft_md5hash60")
 }

@@ -15,10 +15,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * gram costs O(1) instead of the O(L) md5-of-the-concatenated-string the
   * r10 path paid at every position.
   *
-  * Oracle twin (DuckDB):
-  * `list_transform(string_split(t,' '), tk -> CAST('0x'||substr(md5(tk),1,15) AS BIGINT) % P)`.
+  * `tail = false` takes the digest's FIRST 60 bits, `tail = true` its
+  * SECOND 60 bits (hex nibbles 17–31) — two independent per-token hash
+  * streams from the same single md5, feeding [[DualPolyRollHash]]'s
+  * dual-polynomial composite fingerprint.
+  *
+  * Oracle twins (DuckDB):
+  * `list_transform(string_split(t,' '), tk -> CAST('0x'||substr(md5(tk),1,15) AS BIGINT) % P)`
+  * and `substr(md5(tk),17,15)` for the tail stream.
   */
-case class TokenHashes(child: Expression) extends UnaryExpression {
+case class TokenHashes(child: Expression, tail: Boolean = false)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -29,10 +36,10 @@ case class TokenHashes(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_token_hashes"
 
   override protected def nullSafeEval(input: Any): Any =
-    TokenHashes.hash(input.asInstanceOf[ArrayData])
+    TokenHashes.hash(input.asInstanceOf[ArrayData], tail)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.TokenHashes.hash($c)")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TokenHashes.hash($c, $tail)")
 
   override protected def withNewChildInternal(newChild: Expression): TokenHashes =
     copy(child = newChild)
@@ -43,7 +50,7 @@ object TokenHashes {
     * every product in the polynomial combine stays under 2^62. */
   val P: Long = 2147483647L
 
-  def hash(arr: ArrayData): ArrayData = {
+  def hash(arr: ArrayData, tail: Boolean): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Long](n)
     var i = 0
@@ -52,7 +59,7 @@ object TokenHashes {
       // only via hand-built arrays) hashes like the empty token
       val s = if (arr.isNullAt(i)) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
               else arr.getUTF8String(i)
-      out(i) = Md5Hash60.hash(s) % P
+      out(i) = (if (tail) Md5Hash60.hashTail(s) else Md5Hash60.hash(s)) % P
       i += 1
     }
     new GenericArrayData(out)
@@ -107,38 +114,112 @@ object PolyRollHash {
   /** Polynomial base (prime, < 2^20 so acc·B never overflows). Interpolated
     * into the DuckDB oracles as a literal. */
   val B: Long = 1000003L
+  /** Second, independent polynomial base for [[DualPolyRollHash]]'s
+    * composite fingerprint (also prime, < 2^20). */
+  val B2: Long = 1000033L
   private val P: Long = TokenHashes.P
 
   /** B^j mod P — for oracle-SQL constant generation. */
-  def bPow(j: Int): Long = {
+  def bPow(j: Int): Long = bPow(j, B)
+
+  /** base^j mod P — the parameterized form ([[DualPolyRollHash]] oracles
+    * interpolate constants for BOTH bases). */
+  def bPow(j: Int, base: Long): Long = {
     var v = 1L; var i = 0
-    while (i < j) { v = v * B % P; i += 1 }
+    while (i < j) { v = v * base % P; i += 1 }
     v
   }
 
-  def roll(arr: ArrayData, span: Int, outMod: Long): ArrayData = {
+  def roll(arr: ArrayData, span: Int, outMod: Long): ArrayData =
+    new GenericArrayData(rollRaw(arr, span, outMod, B))
+
+  /** The shared rolling kernel — raw long array out, parameterized base. */
+  private[expressions] def rollRaw(arr: ArrayData, span: Int, outMod: Long,
+      base: Long): Array[Long] = {
     val n = arr.numElements()
-    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    if (n == 0) return Array.emptyLongArray
     def at(i: Int): Long = if (arr.isNullAt(i)) 0L else arr.getLong(i) % P
     if (n < span) {
       // shingle edge rule: one hash over the whole (short) array
       var h = 0L; var i = 0
-      while (i < n) { h = (h * B + at(i)) % P; i += 1 }
-      return new GenericArrayData(Array(h % outMod))
+      while (i < n) { h = (h * base + at(i)) % P; i += 1 }
+      return Array(h % outMod)
     }
     val out = new Array[Long](n - span + 1)
-    val top = bPow(span - 1)
+    val top = bPow(span - 1, base)
     var h = 0L
     var i = 0
-    while (i < span) { h = (h * B + at(i)) % P; i += 1 }
+    while (i < span) { h = (h * base + at(i)) % P; i += 1 }
     out(0) = h % outMod
     var p = 1
     while (p <= n - span) {
       h = (h - at(p - 1) * top % P + P) % P
-      h = (h * B + at(p + span - 1)) % P
+      h = (h * base + at(p + span - 1)) % P
       out(p) = h % outMod
       p += 1
     }
+    out
+  }
+}
+
+/** Composite ≈62-bit rolling gram fingerprint: two INDEPENDENT Rabin–Karp
+  * polynomials — the head-60-bit token-hash stream under base B and the
+  * tail-60-bit stream under base B2 ([[TokenHashes]] `tail` flag) — rolled
+  * in lockstep and packed as `h1 · P + h2` (< 2^62, exact in Long, a
+  * bijection of the pair). A single mod-P polynomial lives in a 31-bit
+  * space where corpus-wide gram-membership comparison is already expected
+  * to collide at sf1 gram counts (birthday bound ~2^15.5 grams) and is
+  * catastrophic at 100 TB; a false positive here requires BOTH independent
+  * 31-bit fingerprints to collide (~2^31 birthday bound — out of reach at
+  * any realistic gram count). Used by the span-dedup family
+  * ([[graft.ops.Dedup.duplicateSpanStats]]); the feature-hashing users
+  * (bigram LM buckets, hashed n-gram features) stay on the single
+  * polynomial — collisions are part of that contract.
+  *
+  * The DuckDB oracle reproduces each polynomial positionally with
+  * interpolated `base^j mod P` constants and packs identically:
+  * `(poly1 % P) * P + (poly2 % P)` — every product < 2^62, plain BIGINT.
+  */
+case class DualPolyRollHash(left: Expression, right: Expression, span: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(span >= 1, s"span must be >= 1, got $span")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dual_poly_roll_hash requires two array<bigint>, got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_dual_poly_roll_hash"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DualPolyRollHash.roll(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], span)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.DualPolyRollHash.roll($a, $b, $span)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DualPolyRollHash =
+    copy(left = newLeft, right = newRight)
+}
+
+object DualPolyRollHash {
+  private val P: Long = TokenHashes.P
+
+  def roll(a: ArrayData, b: ArrayData, span: Int): ArrayData = {
+    val h1 = PolyRollHash.rollRaw(a, span, P, PolyRollHash.B)
+    val h2 = PolyRollHash.rollRaw(b, span, P, PolyRollHash.B2)
+    // both streams come from the same token array, so lengths always agree;
+    // a mismatch means the caller zipped different documents — fail loudly
+    require(h1.length == h2.length,
+      s"dual rolling-hash stream length mismatch: ${h1.length} vs ${h2.length}")
+    val out = new Array[Long](h1.length)
+    var i = 0
+    while (i < out.length) { out(i) = h1(i) * P + h2(i); i += 1 }
     new GenericArrayData(out)
   }
 }

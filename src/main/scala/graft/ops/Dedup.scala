@@ -62,6 +62,27 @@ object Dedup {
     org.apache.spark.sql.GraftColumn.of(
       graft.expressions.TokenHashes(org.apache.spark.sql.GraftColumn.expr(toks)))
 
+  /** The INDEPENDENT second per-token hash stream (md5 hex nibbles 17–31,
+    * mod P) — pairs with [[tokenHashes]] in [[dualRollHash]]'s composite
+    * fingerprint. */
+  def tokenHashesTail(toks: Column): Column =
+    org.apache.spark.sql.GraftColumn.of(
+      graft.expressions.TokenHashes(org.apache.spark.sql.GraftColumn.expr(toks),
+        tail = true))
+
+  /** Composite ≈62-bit rolling gram fingerprint of every `span`-length
+    * window: two independent polynomials (head/tail token-hash streams,
+    * bases B/B2) packed as `h1·P + h2`
+    * ([[graft.expressions.DualPolyRollHash]]). This is the MEMBERSHIP-grade
+    * fingerprint — span dedup and decontamination compare it corpus-wide,
+    * where a single 31-bit mod-P polynomial already collides at sf1 gram
+    * counts. Feature-hashing users (bucket counts) keep [[polyRollHash]]. */
+  def dualRollHash(toks: Column, span: Int): Column =
+    org.apache.spark.sql.GraftColumn.of(
+      graft.expressions.DualPolyRollHash(
+        org.apache.spark.sql.GraftColumn.expr(tokenHashes(toks)),
+        org.apache.spark.sql.GraftColumn.expr(tokenHashesTail(toks)), span))
+
   /** O(1)-per-window Rabin–Karp polynomial hashes of every `span`-length
     * window of a token-hash array, values mod `outMod`
     * ([[graft.expressions.PolyRollHash]]; shingle short-array edge rule). */
@@ -683,14 +704,19 @@ object Dedup {
     // ONE md5 per token, then every L-token window hash is an O(1) integer
     // rolling update — the r10 path md5-hashed the concatenated L-token
     // string at every position (O(L) hash work per position, the dominant
-    // cost of the whole operator). Both halves run native inside
-    // whole-stage codegen; the oracle recomputes the identical polynomial
-    // per position in plain integer SQL.
+    // cost of the whole operator). The fingerprint is the DUAL-polynomial
+    // ≈62-bit composite ([[dualRollHash]]): corpus-wide membership in a
+    // single 31-bit mod-P space was already expected to collide at sf1
+    // gram counts (birthday ~2^15.5) — a silent false-duplicate source the
+    // oracle could never catch because it replays the identical hash. Both
+    // halves run native inside whole-stage codegen; the oracle recomputes
+    // both polynomials per position in plain integer SQL and packs them
+    // with the same h1·P + h2 rule.
     val pos = df
       .select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
       .where(size(col("__toks")) >= L)
       .select(col("id"),
-        posexplode(polyRollHash(tokenHashes(col("__toks")), L, P))
+        posexplode(dualRollHash(col("__toks"), L))
           .as(Seq("pos", "__h")))
     val dupHashes = pos.groupBy(col("__h")).agg(count(lit(1)).as("__cnt"))
       .where(col("__cnt") >= 2)

@@ -479,7 +479,7 @@ object TextOps {
     def grams(df: DataFrame, id: String, text: String, outId: String) =
       df.select(col(id).as(outId), Dedup.tokens(col(text)).as("__toks"))
         .select(col(outId), explode(Dedup.shingleStringsFromTokens(col("__toks"), n)).as("__s"))
-        .select(col(outId), pmod(Dedup.md5Hash60(col("__s")), lit(Dedup.P)).as("__h"))
+        .select(col(outId), Dedup.md5Hash60(col("__s")).as("__h"))
         .distinct()
     grams(corpus, idCol, textCol, "doc_id")
       .join(broadcast(grams(evalSet, evalIdCol, evalTextCol, "eval_id")), Seq("__h"))
@@ -524,7 +524,7 @@ object TextOps {
     def grams(df: DataFrame, id: String, text: String, outId: String) =
       df.select(col(id).as(outId), Dedup.tokens(col(text)).as("__toks"))
         .select(col(outId), explode(Dedup.shingleStringsFromTokens(col("__toks"), n)).as("__s"))
-        .select(col(outId), pmod(Dedup.md5Hash60(col("__s")), lit(Dedup.P)).as("__h"))
+        .select(col(outId), Dedup.md5Hash60(col("__s")).as("__h"))
     // standard Bloom sizing: m = -n ln(p) / (ln 2)^2. The aggregate and
     // probe are the engine's own runtime-filter expressions (not in the
     // public function registry — bridged via GraftColumn like Md5Hash60)
@@ -578,12 +578,12 @@ object TextOps {
     val evalGrams = evalSet
       .select(Dedup.tokens(col(evalTextCol)).as("__toks"))
       .select(explode(Dedup.shingleStringsFromTokens(col("__toks"), n)).as("__s"))
-      .select(pmod(Dedup.md5Hash60(col("__s")), lit(Dedup.P)).as("__h"))
+      .select(Dedup.md5Hash60(col("__s")).as("__h"))
       .distinct()
     corpus
       .select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("__toks"))
       .select(col("id"), explode(Dedup.shingleStringsFromTokens(col("__toks"), n)).as("__s"))
-      .select(col("id"), pmod(Dedup.md5Hash60(col("__s")), lit(Dedup.P)).as("__h"))
+      .select(col("id"), Dedup.md5Hash60(col("__s")).as("__h"))
       .join(broadcast(evalGrams.withColumn("__hit", lit(1L))), Seq("__h"), "left")
       .groupBy("id").agg(
         count(lit(1)).as("n_grams"),
@@ -1733,7 +1733,7 @@ object TextOps {
     * correctly rounded.)
     *
     * Scale shape: the text is tokenized once; every shuffle after the explode
-    * carries (doc_id, two 60-bit gram hashes) — never words. Bigram counts
+    * carries (doc_id, two mod-P gram hashes) — never words. Bigram counts
     * collapse to the vocab²-bounded (prefix, gram) table map-side; prefix
     * totals aggregate THAT table, not the corpus. The probability table joins
     * back to occurrences keyed on the gram hashes (AQE broadcasts it when the

@@ -222,6 +222,58 @@ class DedupSpec extends SparkSpec {
       .where(col("dup_tokens") =!= col("n_removed")).count() == 0)
   }
 
+  test("span dedup is immune to single-polynomial 31-bit gram collisions") {
+    // Brute-force a REAL collision in the old 31-bit space: two distinct
+    // 2-grams whose base-B polynomials over the md5 token hashes agree
+    // mod P (birthday bound ~2^15.5 pairs — a few hundred tokens suffice).
+    // The dual-polynomial composite must separate them, and the span-dedup
+    // pipeline must report no duplicate for docs containing one each.
+    import graft.expressions.{Md5Hash60, PolyRollHash, TokenHashes}
+    import org.apache.spark.unsafe.types.UTF8String
+    val P = Dedup.P
+    val toks = (0 until 800).map(i => s"ctok$i")
+    val h = toks.map(t => Md5Hash60.hash(UTF8String.fromString(t)) % P)
+    val seen = new scala.collection.mutable.HashMap[Long, (Int, Int)]()
+    var hit: Option[((Int, Int), (Int, Int))] = None
+    var a = 0
+    while (hit.isEmpty && a < toks.length) {
+      var b = 0
+      while (hit.isEmpty && b < toks.length) {
+        val poly = (h(a) * PolyRollHash.B % P + h(b)) % P
+        seen.get(poly) match {
+          case Some(prev) if prev != ((a, b)) => hit = Some((prev, (a, b)))
+          case None => seen.put(poly, (a, b))
+          case _ => ()
+        }
+        b += 1
+      }
+      a += 1
+    }
+    val ((a1, b1), (a2, b2)) = hit.getOrElse(fail("no 31-bit collision found"))
+    val g1 = s"${toks(a1)} ${toks(b1)}"
+    val g2 = s"${toks(a2)} ${toks(b2)}"
+    // sanity: the single 31-bit polynomial really collides on these grams
+    def poly1(x: Int, y: Int) = (h(x) * PolyRollHash.B % P + h(y)) % P
+    assert(g1 != g2 && poly1(a1, b1) == poly1(a2, b2))
+    // the dual composite separates them (second independent stream + base)
+    def h2of(t: String) = Md5Hash60.hashTail(UTF8String.fromString(t)) % P
+    def dual(x: Int, y: Int, tx: String, ty: String) =
+      poly1(x, y) * P + (h2of(tx) * PolyRollHash.B2 % P + h2of(ty)) % P
+    assert(dual(a1, b1, toks(a1), toks(b1)) != dual(a2, b2, toks(a2), toks(b2)))
+    // end-to-end: under the old 31-bit fingerprint these two docs would be
+    // flagged 100% duplicated; the dual path must report zero
+    val docs = Seq((1L, g1), (2L, g2)).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanStats(docs, "doc_id", "text", spanTokens = 2)
+      .select("doc_id", "dup_spans").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L))
+    // and a GENUINE shared gram still dedups under the dual fingerprint
+    val dup = Seq((1L, s"$g1 zz"), (2L, s"pre $g1"))
+      .toDF("doc_id", "text")
+    val dupOut = Dedup.duplicateSpanStats(dup, "doc_id", "text", spanTokens = 2)
+      .select("doc_id", "dup_spans").as[(Long, Long)].collect().toMap
+    assert(dupOut == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("minhash-LSH finds planted near-duplicates and skips unrelated docs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
     val nearDup = base + " omicron"  // one appended token: Jaccard = 12/13
