@@ -241,7 +241,24 @@ object Bench {
     val slow20 = loadDefended.sortBy(-_._2).take(20)
       .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_sec","value":${fmt(total)},"unit":"sec","n_queries":${loadDefended.size},"slowest":$slow20,"sf":"$sfDir"}""")
+    // REGRESSION TRIPWIRE: per-query moves beyond 1.5x vs the prior record
+    // (either direction), worst first, capped at 12 — box drift moves many
+    // queries uniformly, a real regression moves few queries a lot; putting
+    // [prior, now] pairs in the driver file makes the two adjudicable
+    // without a clean re-run. Empty when no prior record at this SF exists.
+    val drift = loadDefended
+      .flatMap { case (name, median, _, failed, _, _) =>
+        prior.get(name) match {
+          case Some(p) if !failed && p > 0 &&
+              (median > 1.5 * p || median < p / 1.5) =>
+            Some((name, p, median, math.abs(math.log(median / p))))
+          case _ => None
+        }
+      }
+      .sortBy(-_._4).take(12)
+      .map { case (k, p, v, _) => "\"" + k + "\":[" + fmt(p) + "," + fmt(v) + "]" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total_sec","value":${fmt(total)},"unit":"sec","n_queries":${loadDefended.size},"drift_1p5x":$drift,"slowest":$slow20,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

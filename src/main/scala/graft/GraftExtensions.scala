@@ -378,6 +378,33 @@ object GraftExtensions {
           table(str(args(3), "mergesTable")))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_unigram_learn"),
+      info("graft_unigram_learn",
+        "graft_unigram_learn(table, textCol, vocabSize[, maxPieceLen, rounds, seedMultiplier, maxWordLen]) - unigram-LM (SentencePiece-style) vocabulary training: (rank, piece, usage, micro_prob). Same analysis-time caveat as graft_bpe_learn: the EM rounds RUN at analysis time — materialize the result rather than re-issuing per statement"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3 || args.length == 7,
+          "usage: graft_unigram_learn(table, textCol, vocabSize[, maxPieceLen, rounds, seedMultiplier, maxWordLen])")
+        val base = ops.TextOps.learnUnigramVocab(table(str(args(0), "table")),
+          str(args(1), "textCol"), int(args(2), "vocabSize"),
+          maxPieceLen = if (args.length == 7) int(args(3), "maxPieceLen") else 4,
+          rounds = if (args.length == 7) int(args(4), "rounds") else 2,
+          seedMultiplier = if (args.length == 7) int(args(5), "seedMultiplier") else 4,
+          maxWordLen = if (args.length == 7) int(args(6), "maxWordLen") else 16)
+        base.queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_unigram_encode"),
+      info("graft_unigram_encode",
+        "graft_unigram_encode(table, idCol, textCol, vocabTable[, maxPieceLen, maxWordLen]) - Viterbi-encode with a learned unigram vocab ((piece, micro_prob) rows, e.g. a materialized graft_unigram_learn result): (id, unigram_text, n_pieces) in one map-side pass, vocab broadcast"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4 || args.length == 6,
+          "usage: graft_unigram_encode(table, idCol, textCol, vocabTable[, maxPieceLen, maxWordLen])")
+        ops.TextOps.encodeUnigram(table(str(args(0), "table")),
+          str(args(1), "idCol"), str(args(2), "textCol"),
+          table(str(args(3), "vocabTable")),
+          maxPieceLen = if (args.length == 6) int(args(4), "maxPieceLen") else 4,
+          maxWordLen = if (args.length == 6) int(args(5), "maxWordLen") else 16)
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_chunk_documents"),
       info("graft_chunk_documents",
         "graft_chunk_documents(table, idCol, textCol, chunkTokens, overlapTokens) - overlapping token-window chunks (id, chunk_id, chunk_text, n_tokens), all map-side"),

@@ -4010,7 +4010,7 @@ object SparkEntry {
     //    ranking hashes cross-engine; vocab-sized joins, TakeOrdered ------
     Q("q177_pmi_collocations",
       (s, dir) => ops.TextOps.collocations(T(s, dir, "documents"),
-        "doc_id", "text", topK = 20, minCount = 5),
+        "text", topK = 20, minCount = 5),
       Some("""
         WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         uc AS MATERIALIZED (SELECT w, count(*) AS c FROM (
@@ -4038,6 +4038,23 @@ object SparkEntry {
           WHERE w <> '' GROUP BY w)
         SELECT c AS occurrences, count(*) AS n_types
         FROM uc GROUP BY c ORDER BY occurrences""")),
+
+    // -- q179: the SQL-TVF route of the unigram tokenizer family, pinned
+    //    to q167's oracle VERBATIM (the q156 pattern: learn materializes
+    //    through a temp view, encode Viterbi-decodes against it; both
+    //    surfaces expand to the identical logical plan) -------------------
+    Q("q179_sql_tvf_unigram",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val view = s"documents_uni_${dir.replaceAll("[^0-9]", "")}"
+        T(s, dir, "documents").createOrReplaceTempView(view)
+        s.sql(s"SELECT * FROM graft_unigram_learn('$view', 'text', 40, 4, 2, 4, 16)")
+          .createOrReplaceTempView(s"${view}_vocab")
+        s.sql(s"""
+          SELECT * FROM graft_unigram_encode('$view', 'doc_id', 'text', '${view}_vocab', 4, 16)
+          ORDER BY doc_id""")
+      },
+      Some(sqlUnigramEncode(40, 4, 2, 4, 16))),
 
     // -- q168: the SQL-TVF route of document chunking, pinned to q163's
     //    oracle VERBATIM (the q125 pattern: the TVF expands at analysis

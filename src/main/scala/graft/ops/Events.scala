@@ -133,32 +133,62 @@ object Events {
     * (ts, id) order. Events with NULL values are excluded.
     *
     * The fold is ONE ordered left-reduce of correctly-rounded double ops:
-    * Spark's `aggregate` HOF here and DuckDB's `list_reduce` in the q175
-    * oracle walk the identical element order with the identical per-step
-    * expression tree, so the result is bit-exact cross-engine whenever α
+    * the streaming per-key walk here and DuckDB's `list_reduce` in the q175
+    * oracle visit the identical element order with the identical per-step
+    * arithmetic, so the result is bit-exact cross-engine whenever α
     * (and 1−α) are exactly representable doubles — use dyadic alphas
     * (0.25, 0.5, 0.125…) when hash-exactness matters; any α is fine for
     * same-engine use. A recursive definition can't ride a builtin window
     * frame (each value depends on the previous RESULT), which is why this
     * is a grouped fold and not a Window.
     *
-    * Scale shape: one key-keyed shuffle; each group folds its own sorted
-    * event array (per-key event counts are bounded in the same way the
-    * sessionize/funnel family assumes). Output: (key, n_events, ewma).
-    * Precondition: event timestamps are non-NULL (a NULL ts would sort
+    * Scale shape: one key-keyed exchange with SECONDARY SORT — repartition
+    * by key, sort within partitions by (key, ts, id, value), then a
+    * streaming per-partition fold that holds ONE accumulator per in-flight
+    * key. No per-key array ever materializes (the r11 shape collected each
+    * key's whole event series into one `collect_list` buffer — a hot key's
+    * history was its reducer's task memory), so a key with 10⁹ events folds
+    * at constant memory. Output: (key, n_events, ewma).
+    * Preconditions: event timestamps are non-NULL (a NULL ts would sort
     * nulls-first here but nulls-last in most SQL engines — exclude or
-    * impute them upstream). */
+    * impute them upstream), and the key is an atomic comparable type
+    * (group-boundary detection uses value equality). */
   def ewmaPerKey(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
       valueCol: String, alpha: Double): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
-    val entry = struct(col(tsCol), col(idCol), col(valueCol).cast("double").as("v"))
-    df.where(col(valueCol).isNotNull)
-      .groupBy(col(keyCol))
-      .agg(count(lit(1)).as("n_events"),
-        transform(array_sort(collect_list(entry)), e => e.getField("v")).as("__vs"))
-      .select(col(keyCol), col("n_events"),
-        aggregate(col("__vs"), lit(null).cast("double"),
-          (acc, x) => when(acc.isNull, x)
-            .otherwise(acc * lit(1 - alpha) + x * lit(alpha))).as("ewma"))
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val kField = df.schema(keyCol)
+    val prepared = df.where(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+        col(idCol).as("__id"), col(valueCol).cast("double").as("__v"))
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k"), col("__ts"), col("__id"), col("__v"))
+    val outSchema = StructType(Seq(
+      StructField(keyCol, kField.dataType, kField.nullable),
+      StructField("n_events", LongType, nullable = false),
+      StructField("ewma", DoubleType, nullable = true)))
+    val oneMinus = 1 - alpha
+    prepared.mapPartitions { it =>
+      new Iterator[Row] {
+        private var cur: Row = if (it.hasNext) it.next() else null
+        override def hasNext: Boolean = cur != null
+        override def next(): Row = {
+          val k = cur.get(0)
+          var n = 0L
+          var acc = 0.0
+          var sameKey = true
+          while (sameKey) {
+            val v = cur.getDouble(3)
+            acc = if (n == 0L) v else acc * oneMinus + v * alpha
+            n += 1
+            cur = if (it.hasNext) it.next() else null
+            sameKey = cur != null &&
+              (if (k == null) cur.isNullAt(0) else k == cur.get(0))
+          }
+          Row(k, n, acc)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }

@@ -532,12 +532,33 @@ object Similarity {
       codebook: Array[Array[Array[Long]]] = null): DataFrame = {
     val cb = if (codebook != null) codebook
       else pqCodebook(corpus, idCol, vecCol, m, ksub, dim)
+    pqEncodeQ(
+      corpus.select(col(idCol).cast("long").as("id"), quantize(col(vecCol), dim).as("__qv")),
+      cb, m, dim / m)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** [[pqCodebook]] over an ALREADY-QUANTIZED `(corpus_id, __cv, …)` frame —
+    * lets the composed rankers quantize the corpus ONCE and share the frame
+    * across seeding, list assignment, codebook and encode. */
+  private def pqCodebookQ(c: DataFrame, m: Int, ksub: Int, dim: Int): Array[Array[Array[Long]]] = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1,256] (one-byte codes), got $ksub")
     val subDim = dim / m
-    val spark = corpus.sparkSession
+    val seeds = c.orderBy(col("corpus_id").asc_nulls_last).limit(ksub)
+      .select("__cv").collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(seeds.length == ksub, s"corpus has ${seeds.length} < ksub=$ksub vectors")
+    Array.tabulate(m)(s => seeds.map(v => v.slice(s * subDim, (s + 1) * subDim)))
+  }
+
+  /** The encode kernel over an already-quantized `(id: long, __qv)` frame. */
+  private def pqEncodeQ(q: DataFrame, cb: Array[Array[Array[Long]]],
+      m: Int, subDim: Int): DataFrame = {
+    val spark = q.sparkSession
     import spark.implicits._
     val bcb = spark.sparkContext.broadcast(cb)
-    corpus.select(col(idCol).cast("long").as("id"), quantize(col(vecCol), dim).as("__qv"))
-      .as[(Long, Seq[Long])]
+    q.select(col("id"), col("__qv")).as[(Long, Seq[Long])]
       .mapPartitions { it =>
         val book = bcb.value
         it.map { case (id, qvSeq) =>
@@ -566,17 +587,20 @@ object Similarity {
           }
           (id, codes)
         }
-      }.toDF(idCol, "codes")
+      }.toDF("id", "codes")
   }
 
   /** Lloyd-refine a PQ codebook — the quality dial on top of
     * [[pqCodebook]]'s deterministic seeds, mirroring the IVF family's
     * `refineIters`: each iteration re-assigns every sub-vector to its
     * nearest codeword (one [[pqEncode]]-style map pass) and recenters each
-    * codeword at the integer mean of its members (floor division —
-    * deterministic; empty codewords keep their previous position).
-    * Refinement strictly lowers (never raises) total quantization
-    * distortion per iteration, spec-asserted.
+    * codeword at the NEAREST-integer mean of its members — the true integer
+    * minimizer of the squared-distance parabola (a floored mean can move a
+    * center AWAY from the real mean and raise distortion); deterministic;
+    * empty codewords keep their previous position. With nearest-integer
+    * recentering each iteration's recenter step never raises distortion
+    * beyond the half-unit quantization floor, and in practice descends
+    * monotonically (spec-asserted on the fixture).
     *
     * Scale shape per iteration: one map-side assignment pass whose
     * exchange carries O(tasks · m·ksub·subDim) component sums (the
@@ -621,7 +645,9 @@ object Similarity {
       sums.foreach { r =>
         val k = r.getStruct(0)
         val (s, c, i) = (k.getInt(0), k.getInt(1), k.getInt(2))
-        next(s)(c)(i) = Math.floorDiv(r.getLong(1), r.getLong(2))
+        // round-half-up integer mean: the integer minimizing Σ(x−v)² is the
+        // nearest integer to the real mean, not its floor
+        next(s)(c)(i) = Math.floorDiv(2 * r.getLong(1) + r.getLong(2), 2 * r.getLong(2))
       }
       cb = next
     }
@@ -683,16 +709,19 @@ object Similarity {
   def pqAdcTopK(queries: DataFrame, corpus: DataFrame,
       queryIdCol: String, corpusIdCol: String, vecCol: String, k: Int,
       m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
-    val cb = pqCodebook(corpus, corpusIdCol, vecCol, m, ksub, dim)
     val subDim = dim / m
-    val codes = pqEncode(corpus, corpusIdCol, vecCol, m, ksub, dim, cb)
-      .withColumnRenamed(corpusIdCol, "corpus_id")
+    // quantize the corpus once; the codebook collect and the encode pass
+    // share the persisted frame instead of re-decoding parquet
+    val c = corpus.select(col(corpusIdCol).as("corpus_id"), quantize(col(vecCol), dim).as("__cv"))
+      .persistTracked()
+    val cb = pqCodebookQ(c, m, ksub, dim)
+    val codes = pqEncodeQ(
+      c.select(col("corpus_id").cast("long").as("id"), col("__cv").as("__qv")),
+      cb, m, subDim)
+      .withColumnRenamed("id", "corpus_id")
     // query ids ride int64 through the literal qi→id decode (the bounded
     // forms' requireIntegral discipline); densify string ids first
-    val qRows = queries
-      .select(col(queryIdCol).cast("long").as("__id"), quantize(col(vecCol), dim).as("__qv"))
-      .orderBy(col("__id").asc_nulls_last)
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val qRows = collectAdcQueries(queries, queryIdCol, vecCol, dim, m, ksub)
     // exact integer ADC tables, driver-side: queries are bounded by the
     // same contract that lets bruteForceTopK broadcast them
     val tables = adcTables(qRows.map(_._2), cb, subDim)
@@ -708,6 +737,32 @@ object Similarity {
         col("corpus_id"), col("adc_dist"))
     TopK.perGroup(scored, Seq("query_id"),
       Seq(col("adc_dist").asc, col("corpus_id").asc), k, rankCol = "rank")
+  }
+
+  /** Hard cap on |queries|·m·ksub literal ADC-table entries embedded in the
+    * plan (2^20 longs ≈ 8 MB — the Lloyd 16M-row driver guard's
+    * discipline): the ADC rankers ship per-query distance tables AS PLAN
+    * LITERALS, so an unbounded query side would explode the plan and the
+    * driver long before any executor saw work. */
+  val MaxAdcTableEntries: Long = 1L << 20
+
+  /** Collect the (bounded) ADC query side — id-sorted quantized rows — with
+    * the [[MaxAdcTableEntries]] guard enforced BEFORE the driver holds more
+    * than one row past the cap (collect is limit-pushed). */
+  private def collectAdcQueries(queries: DataFrame, queryIdCol: String,
+      vecCol: String, dim: Int, m: Int, ksub: Int): Array[(Long, Array[Long])] = {
+    val maxQ = (MaxAdcTableEntries / (m.toLong * ksub)).toInt
+    val rows = queries
+      .select(col(queryIdCol).cast("long").as("__id"), quantize(col(vecCol), dim).as("__qv"))
+      .orderBy(col("__id").asc_nulls_last)
+      .limit(maxQ + 1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    require(rows.length <= maxQ,
+      s"ADC ranker: more than $maxQ queries at m=$m, ksub=$ksub — per-query " +
+        s"distance tables are plan literals capped at $MaxAdcTableEntries " +
+        "entries; rank the query set in batches (the persisted IVF-PQ index " +
+        "serves each batch without rebuilding anything)")
+    rows
   }
 
   /** ‖q_s − codeword_c‖² for every (query, subspace, codeword) — the exact
@@ -743,12 +798,15 @@ object Similarity {
     import spark.implicits._
     val c = corpus.select(col(corpusIdCol).as("corpus_id"), quantize(col(vecCol), dim).as("__cv"))
       .withColumn("__cn", dotQ(col("__cv"), col("__cv"), dim))
+      .persistTracked()
     val cent = seedCentroids(c, nlist)
     val lists = assignToLists(c, cent, dim)
       .select(col("cent_id"), col("corpus_id").cast("long").as("corpus_id"))
-    val cb = pqCodebook(corpus, corpusIdCol, vecCol, m, ksub, dim)
-    val codes = pqEncode(corpus, corpusIdCol, vecCol, m, ksub, dim, cb)
-      .withColumnRenamed(corpusIdCol, "corpus_id")
+    val cb = pqCodebookQ(c, m, ksub, dim)
+    val codes = pqEncodeQ(
+      c.select(col("corpus_id").cast("long").as("id"), col("__cv").as("__qv")),
+      cb, m, dim / m)
+      .withColumnRenamed("id", "corpus_id")
     store.write(lists.join(codes, "corpus_id"), s"${feature}_pqlists", Seq("cent_id"))
     writeCentroids(store, feature, cent)
     val bookRows = for (s <- 0 until m; cw <- 0 until cb(s).length)
@@ -788,10 +846,7 @@ object Similarity {
       rankCol = "__pr")
       .select(col("query_id"), col("cent_id"))
       .persistTracked()
-    val qRows = queries
-      .select(col(queryIdCol).cast("long").as("__id"), quantize(col(vecCol), dim).as("__qv"))
-      .orderBy(col("__id").asc_nulls_last)
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val qRows = collectAdcQueries(queries, queryIdCol, vecCol, dim, m, ksub)
     val tables = adcTables(qRows.map(_._2), cb, subDim)
     val litTables = typedLit(qRows.map(_._1)
       .zip(tables.map(_.map(_.toSeq).toSeq)).toMap)
@@ -831,14 +886,23 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
       dim: Int = 64): DataFrame = {
     val subDim = dim / m
+    // the corpus quantizes ONCE into a persisted frame shared by all four
+    // derivations (centroid seeding, list assignment, codebook seeds, PQ
+    // encode) — the r11 shape re-read and re-quantized the corpus for each
+    // of its driver-synchronous actions, which dominated wall time; the
+    // persisted index route (indexVectorsPq/searchIndexedPq) still skips
+    // every derivation entirely and is the serving path
     val c = corpus.select(col(corpusIdCol).as("corpus_id"), quantize(col(vecCol), dim).as("__cv"))
       .withColumn("__cn", dotQ(col("__cv"), col("__cv"), dim))
+      .persistTracked()
     val cent = seedCentroids(c, nlist)
     val lists = assignToLists(c, cent, dim)
       .select(col("cent_id"), col("corpus_id").cast("long").as("corpus_id"))
-    val cb = pqCodebook(corpus, corpusIdCol, vecCol, m, ksub, dim)
-    val codes = pqEncode(corpus, corpusIdCol, vecCol, m, ksub, dim, cb)
-      .withColumnRenamed(corpusIdCol, "corpus_id")
+    val cb = pqCodebookQ(c, m, ksub, dim)
+    val codes = pqEncodeQ(
+      c.select(col("corpus_id").cast("long").as("id"), col("__cv").as("__qv")),
+      cb, m, subDim)
+      .withColumnRenamed("id", "corpus_id")
     // one id-keyed join attaches codes to list rows; a PERSISTED index
     // writes them together and skips this entirely
     val listed = lists.join(codes, "corpus_id")
@@ -853,10 +917,7 @@ object Similarity {
       Seq("query_id"), Seq(col("__psim").desc, col("cent_id").asc), nprobe,
       rankCol = "__pr")
       .select(col("query_id"), col("cent_id"))
-    val qRows = queries
-      .select(col(queryIdCol).cast("long").as("__id"), quantize(col(vecCol), dim).as("__qv"))
-      .orderBy(col("__id").asc_nulls_last)
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val qRows = collectAdcQueries(queries, queryIdCol, vecCol, dim, m, ksub)
     val tables = adcTables(qRows.map(_._2), cb, subDim)
     val tableMap: Map[Long, Seq[Seq[Long]]] = qRows.map(_._1)
       .zip(tables.map(_.map(_.toSeq).toSeq)).toMap

@@ -123,8 +123,7 @@ object Stats {
       valueCol: String, ps: Seq[Double],
       maxDistinct: Int = DefaultMaxDistinct): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"ps must be in [0,1]: $ps")
-    val names = ps.map(p => s"p${math.round(p * 100)}")
-    require(names.distinct.size == names.size, s"p labels collide: $names")
+    val names = percentileLabels(ps)
     val cw = Window.partitionBy(groupCol).orderBy("__q")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fw = Window.partitionBy(groupCol).orderBy("__q")
@@ -229,39 +228,60 @@ object Stats {
     * count/min/max pass, then one rank-selection per DISTINCT bracketing
     * rank (p25/p50/p75/p99 over the same column reuse nothing else — each
     * rank's narrowing walks its own range). Output is one row with a
-    * `p<round(p*100)>` double column per requested p. */
+    * `p<round(p*100)>` double column per requested p (a p that does not
+    * round-trip through that whole-percent label — 0.999, 0.005 — fails
+    * loudly rather than silently mislabeling the column).
+    *
+    * NaN follows `percentile()` semantics: NaN sorts AFTER every finite
+    * double, so the top nNaN ranks are NaN and any percentile whose
+    * bracketing rank lands there returns NaN. The narrowing itself runs
+    * over the finite values only (NaN would poison min/max and every bin
+    * boundary — the histogram ranges could never converge). */
   def exactPercentilesUnbounded(df: DataFrame, valueCol: String, ps: Seq[Double],
       nBins: Int = 8192, maxResidual: Long = 1L << 17): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"ps must be in [0,1]: $ps")
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     require(maxResidual >= 1 && maxResidual < Int.MaxValue, s"maxResidual out of range: $maxResidual")
-    val names = ps.map(p => s"p${math.round(p * 100)}")
-    require(names.distinct.size == names.size, s"p labels collide: $names")
+    val names = percentileLabels(ps)
     val spark = df.sparkSession
     val v = col(valueCol).cast("double")
-    val base = df.where(v.isNotNull).select(v.as("__v"))
-    // base is scanned once per narrowing round; at fixture scale re-reading
-    // parquet is cheap, at cluster scale callers can .persist() upstream
-    val head = base.agg(count(lit(1)), min("__v"), max("__v")).collect()(0)
+    val base0 = df.where(v.isNotNull).select(v.as("__v"))
+    val head = base0.agg(count(lit(1)),
+      sum(when(isnan(col("__v")), 1L).otherwise(0L)),
+      min(when(!isnan(col("__v")), col("__v"))),
+      max(when(!isnan(col("__v")), col("__v")))).collect()(0)
     val n = head.getLong(0)
+    val nNaN = head.getLong(1)
+    val nFinite = n - nNaN
     val schema = org.apache.spark.sql.types.StructType(
       names.map(org.apache.spark.sql.types.StructField(_,
         org.apache.spark.sql.types.DoubleType, nullable = true)))
     if (n == 0L)
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    val (globalLo, globalHi) = (head.getDouble(1), head.getDouble(2))
+    val (globalLo, globalHi) =
+      if (nFinite == 0L) (0.0, 0.0) else (head.getDouble(2), head.getDouble(3))
+    // every narrowing round and the residual pass rescan this 1-column
+    // frame — persist it (disk-backed) so rounds after the first read
+    // columnar cache instead of re-decoding parquet; released before return
+    val base = base0.where(!isnan(col("__v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one narrowing state per DISTINCT bracketing rank across all requested
     // percentiles (p25/p50/p75 share ranks whenever n is small); rounds are
     // BATCHED — every state at the same depth shares ONE Spark action, so
     // the job count is O(rounds), never O(percentiles · rounds)
     final class St(val rank: Long) {
-      var lo = globalLo; var hi = globalHi; var r = rank; var cnt = n
+      var lo = globalLo; var hi = globalHi; var r = rank; var cnt = nFinite
       var ans = Option.empty[Double]
     }
     val states = ps.flatMap { p =>
       val k = p * (n - 1)
       Seq(math.floor(k).toLong, math.ceil(k).toLong)
-    }.distinct.map(new St(_))
+    }.distinct.map { rk =>
+      val st = new St(rk)
+      // ranks in the NaN suffix (the top nNaN positions) resolve immediately
+      if (rk >= nFinite) st.ans = Some(Double.NaN)
+      st
+    }
     var rounds = 0
     while (states.exists(st => st.ans.isEmpty && st.cnt > maxResidual)) {
       rounds += 1
@@ -320,15 +340,32 @@ object Stats {
         .map(r => r.getInt(0) -> r.getDouble(1)).toMap
       residual.zipWithIndex.foreach { case (st, tag) => st.ans = Some(got(tag)) }
     }
+    base.unpersist(false)
     val byRank = states.map(st => st.rank -> st.ans.get).toMap
     val out = ps.map { p =>
       val k = p * (n - 1)
       val vLo = byRank(math.floor(k).toLong)
       val vHi = byRank(math.ceil(k).toLong)
+      // a NaN bracket propagates through the correctly-rounded interpolation
       java.lang.Double.valueOf(vLo + (k - math.floor(k)) * (vHi - vLo))
     }
     spark.createDataFrame(
       java.util.Collections.singletonList(org.apache.spark.sql.Row(out: _*)), schema)
+  }
+
+  /** `p<round(p·100)>` output labels with a loud round-trip guard: a p the
+    * whole-percent label cannot represent (0.999, 0.005) fails instead of
+    * silently mislabeling the column (0.999 would read "p100"). */
+  private def percentileLabels(ps: Seq[Double]): Seq[String] = {
+    val names = ps.map { p =>
+      require(math.round(p * 100) / 100.0 == p,
+        s"percentile $p has no whole-percent label (p${math.round(p * 100)} " +
+          "would mislabel it) — use a whole-percent p, or percentile_approx " +
+          "for finer quantiles")
+      s"p${math.round(p * 100)}"
+    }
+    require(names.distinct.size == names.size, s"p labels collide: $names")
+    names
   }
 
   /** Per-GROUP exact percentiles of an UNBOUNDED-cardinality double column
@@ -359,32 +396,45 @@ object Stats {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"ps must be in [0,1]: $ps")
     require(nBins >= 2 && maxResidual >= 1 && maxResidual < Int.MaxValue,
       s"bad nBins=$nBins / maxResidual=$maxResidual")
-    val names = ps.map(p => s"p${math.round(p * 100)}")
-    require(names.distinct.size == names.size, s"p labels collide: $names")
+    val names = percentileLabels(ps)
     val spark = df.sparkSession
     val gType = df.schema(groupCol).dataType
-    val base = df.where(col(valueCol).isNotNull)
+    val base0 = df.where(col(valueCol).isNotNull)
       .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
-    val heads = base.groupBy("__g")
-      .agg(count(lit(1)).as("n"), min("__v").as("mn"), max("__v").as("mx"))
+    val heads = base0.groupBy("__g")
+      .agg(count(lit(1)).as("n"),
+        sum(when(isnan(col("__v")), 1L).otherwise(0L)).as("n_nan"),
+        min(when(!isnan(col("__v")), col("__v"))).as("mn"),
+        max(when(!isnan(col("__v")), col("__v"))).as("mx"))
       .limit(maxGroups + 1).collect()
     require(heads.length <= maxGroups,
       s"groupedExactPercentilesUnbounded: more than $maxGroups groups — the " +
         "narrowing state would no longer be driver-bounded; use " +
         "groupedHistogramPercentiles (bounded values) or percentile_approx")
+    // every histogram round and the residual pass re-join against this
+    // 2-column frame — persist it (disk-backed) so only the first action
+    // decodes parquet; released before return. NaN rows are excluded from
+    // narrowing (percentile() sorts NaN last — those ranks resolve to NaN
+    // immediately) because a NaN would poison min/max and bin boundaries.
+    val base = base0.where(!isnan(col("__v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     final class St(val g: Any, val n: Long, val rank: Long) {
       var lo = 0.0; var hi = 0.0; var r = rank; var cnt = 0L
       var ans = Option.empty[Double]
     }
     val states = heads.flatMap { row =>
-      val (g, n, mn, mx) = (row.get(0), row.getLong(1), row.getDouble(2), row.getDouble(3))
+      val (g, n, nNaN) = (row.get(0), row.getLong(1), row.getLong(2))
+      val nFinite = n - nNaN
+      val (mn, mx) =
+        if (nFinite == 0L) (0.0, 0.0) else (row.getDouble(3), row.getDouble(4))
       ps.flatMap { p =>
         val k = p * (n - 1)
         Seq(math.floor(k).toLong, math.ceil(k).toLong)
       }.distinct.map { rk =>
         val st = new St(g, n, rk)
-        st.lo = mn; st.hi = mx; st.cnt = n
-        if (mn == mx) st.ans = Some(mn)
+        st.lo = mn; st.hi = mx; st.cnt = nFinite
+        if (rk >= nFinite) st.ans = Some(Double.NaN)
+        else if (mn == mx) st.ans = Some(mn)
         st
       }
     }.toSeq
@@ -449,6 +499,7 @@ object Stats {
         .map(r => r.getInt(0) -> r.getDouble(1)).toMap
       residual.foreach(st => st.ans = Some(got(sid(st))))
     }
+    base.unpersist(false)
     val byKey = states.map(st => (st.g, st.rank) -> st.ans.get).toMap
     val outSchema = StructType(
       StructField(groupCol, gType) +:

@@ -64,7 +64,7 @@ object TextOps {
     * the pair⋈unigram joins run post-aggregation (vocab-sized, Catalyst
     * broadcasts the unigram side); the top-k is TakeOrdered, never a full
     * sort. */
-  def collocations(df: DataFrame, idCol: String, textCol: String,
+  def collocations(df: DataFrame, textCol: String,
       topK: Int, minCount: Long = 5): DataFrame = {
     require(topK >= 1 && minCount >= 1, s"bad topK=$topK / minCount=$minCount")
     val toks = split(col(textCol), " ")
@@ -1732,12 +1732,18 @@ object TextOps {
     * formulation would hang the oracle on ln(), which no engine guarantees
     * correctly rounded.)
     *
-    * Scale shape: the text is tokenized once; every shuffle after the explode
-    * carries (doc_id, two mod-P gram hashes) — never words. Bigram counts
-    * collapse to the vocab²-bounded (prefix, gram) table map-side; prefix
-    * totals aggregate THAT table, not the corpus. The probability table joins
-    * back to occurrences keyed on the gram hashes (AQE broadcasts it when the
-    * vocabulary is small). Gram identity is the md5-per-token polynomial
+    * Scale shape: the corpus tokenizes and hashes ONCE into a persisted
+    * `(doc_id, hp, hg)` occurrence frame (20 B/occurrence, disk-backed —
+    * the cache replaces the r11 shape's full occurrence SHUFFLE, which was
+    * the dominant cost). Both consumers read the cache: pass 1 collapses
+    * occurrences map-side into the vocab²-bounded transition table (its
+    * exchange carries per-task DISTINCT grams, never occurrences) which,
+    * when under `maxBroadcastTransitions` rows, BROADCASTS back over
+    * pass 2's occurrence scan — the only occurrence-sized exchange left is
+    * the final per-doc rollup, partially aggregated to one row per
+    * (task, doc). A corpus whose transition table outgrows the broadcast
+    * bound falls back to a keyed join (the table side shuffles into the
+    * occurrence side). Gram identity is the md5-per-token polynomial
     * rolling hash (TokenHashes/PolyRollHash scheme), reproduced exactly by
     * the oracle, so the rare collision produces identical results in both.
     *
@@ -1745,15 +1751,13 @@ object TextOps {
     * (docs shorter than 2 tokens contribute their single token as its own
     * gram, same edge rule as [[Dedup.shingleStringsFromTokens]]).
     *
-    * Nothing is persisted: the per-doc gram-count frame's two consumers
-    * (corpus counts, final sum) share the ONE repartition exchange below via
-    * Spark's ReuseExchange — the tokenize+explode+md5 pass physically runs
-    * once and both branches read the same shuffle files, with the exchange's
-    * hash partitioning visible to every downstream aggregation (a persisted
-    * frame under AQE reports Unknown partitioning from the cache and every
-    * consumer re-shuffles — the r7 shape paid two extra doc-gram-sized
-    * exchanges for exactly that). */
-  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * The occurrence frame and transition table persist via TrackedCache
+    * (they outlive the returned frame); long-lived sessions release them
+    * with `TrackedCache.release()` after materializing. */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+      maxBroadcastTransitions: Long = 1L << 22): DataFrame = {
+    require(maxBroadcastTransitions >= 1,
+      s"maxBroadcastTransitions must be >= 1, got $maxBroadcastTransitions")
     // token HASHES bound to a column before the HOF: interpreted lambda
     // bodies get no CSE, so indexing off an unbound expression would
     // re-evaluate it per element (the shingleStringsFromTokens pitfall —
@@ -1761,57 +1765,44 @@ object TextOps {
     val th = col("__th")
     // (prefix-hash, bigram-hash) pairs off the ONE-md5-per-token hash array
     // (TokenHashes): the prefix hash IS the token hash, the bigram hash the
-    // O(1) polynomial combine — the r10 path md5-hashed both the prefix
-    // token and the concatenated bigram string at every position. The
-    // lambda body is interpreted but integer-only (element_at on a bound
-    // long array — no crypto, no re-split). 1-based index idiom shared with
-    // the SQL oracle twin; 1-token docs emit the degenerate whole-text
-    // bigram (hg = hp), matching the string-shingle family's edge rule.
+    // O(1) polynomial combine. The lambda body is interpreted but
+    // integer-only (element_at on a bound long array — no crypto, no
+    // re-split). 1-based index idiom shared with the SQL oracle twin;
+    // 1-token docs emit the degenerate whole-text bigram (hg = hp),
+    // matching the string-shingle family's edge rule.
     val pairs = transform(
       sequence(lit(1), greatest(lit(1), size(th) - 1)),
       i => struct(element_at(th, i).as("p"),
         when(size(th) < 2, element_at(th, i))
           .otherwise((element_at(th, i) * lit(Dedup.B) % lit(Dedup.P) +
             element_at(th, i + 1)) % lit(Dedup.P)).as("g")))
-    // ONE gram-hash-keyed exchange of the exploded stream, then EVERYTHING
-    // up to the final per-doc rollup rides it: hashpartitioning(hp, hg)
-    // satisfies the per-doc collapse (subset rule: {hp,hg} ⊆ {doc,hp,hg}),
-    // the corpus counts (exact), and the probability join's left side —
-    // the r7 shape re-shuffled the doc-gram frame twice more (once into the
-    // corpus counts, once into the prob join), tripling the big exchanges.
     val occ = df
       .select(col(idCol).as("doc_id"),
         Dedup.tokenHashes(Dedup.tokens(col(textCol))).as("__th"))
       .select(col("doc_id"), explode(pairs).as("__pg"))
       .select(col("doc_id"), col("__pg.p").as("__hp"), col("__pg.g").as("__hg"))
-      // explicit null filter (null hash ⇔ null text edge): output-equivalent
-      // (a null key can never survive the inner probability join), and it
-      // keeps BOTH consumers' subtrees byte-identical — the prob join would
-      // otherwise push an inferred isnotnull into only ITS branch, defeating
-      // the exchange reuse this plan is built around
+      // null hash ⇔ null text edge; a null key could never survive the
+      // inner probability join anyway
       .where(col("__hp").isNotNull && col("__hg").isNotNull)
-      .repartition(col("__hp"), col("__hg"))
-    // collapse occurrences to per-doc gram counts (no exchange — see above):
-    // the explode + md5 pass runs exactly once (ReuseExchange dedupes the
-    // identical repartition subtree under both consumers), every later frame
-    // is distinct-(doc,gram)-sized
-    val docCb = occ.groupBy(col("doc_id"), col("__hp"), col("__hg"))
-      .agg(count(lit(1)).as("__dc"))
-    val cb = docCb.groupBy("__hp", "__hg").agg(sum("__dc").as("__cb"))
-    // the prefix totals and the (vocab-sized) probability table DO
-    // re-exchange — on bins-/vocab-sized frames only. No explicit re-key of
-    // probs: AQE broadcasts it when the vocabulary is small, and at scale
-    // EnsureRequirements shuffles ONLY this vocab-sized side into the
-    // doc-gram side's (hp, hg) partitioning — the doc-gram frame stays put
-    // either way.
+      .persistTracked()
+    // pass 1: the transition-count table — partial aggregation collapses
+    // each task's occurrences to its distinct grams BEFORE the exchange,
+    // so the shuffle is vocab²-bounded no matter the corpus size
+    val cb = occ.groupBy("__hp", "__hg").agg(count(lit(1)).as("__cb"))
+      .persistTracked()
+    val nTransitions = cb.count()
     val cp = cb.groupBy("__hp").agg(sum("__cb").as("__cp"))
     val probs = cb.join(cp, "__hp").select(col("__hp"), col("__hg"),
       round(lit(1000000.0) * (col("__cb").cast("double") / col("__cp").cast("double")))
         .cast("long").as("__micro"))
-    docCb.join(probs, Seq("__hp", "__hg"))
+    val probsSide =
+      if (nTransitions <= maxBroadcastTransitions) broadcast(probs) else probs
+    // pass 2: score every occurrence against the (usually broadcast)
+    // probability table; ONE doc-keyed exchange, partially aggregated
+    occ.join(probsSide, Seq("__hp", "__hg"))
       .groupBy("doc_id")
-      .agg(sum(col("__micro") * col("__dc")).as("lm_micro_sum"),
-        sum("__dc").as("n_bigrams"))
+      .agg(sum(col("__micro")).as("lm_micro_sum"),
+        count(lit(1)).as("n_bigrams"))
       .withColumn("lm_score",
         col("lm_micro_sum").cast("double") / col("n_bigrams").cast("double"))
   }

@@ -154,6 +154,23 @@ class SqlTvfSpec extends SparkSpec {
         ops.TextOps.learnBpeMerges(docs, "text", 6)))
   }
 
+  test("graft_unigram_learn / graft_unigram_encode == their Scala APIs; learn feeds encode in SQL") {
+    docs.createOrReplaceTempView("tvf_docs_uni")
+    same(
+      spark.sql("SELECT * FROM graft_unigram_learn('tvf_docs_uni','text',20)"),
+      ops.TextOps.learnUnigramVocab(docs, "text", vocabSize = 20))
+    // the SQL pipeline: materialize the learned vocab, Viterbi-encode with it
+    spark.sql("SELECT * FROM graft_unigram_learn('tvf_docs_uni','text',20,4,2,4,16)")
+      .createOrReplaceTempView("tvf_uni_vocab")
+    same(
+      spark.sql("SELECT * FROM graft_unigram_encode('tvf_docs_uni','doc_id','text','tvf_uni_vocab',4,16)"),
+      ops.TextOps.encodeUnigram(docs, "doc_id", "text",
+        ops.TextOps.learnUnigramVocab(docs, "text", vocabSize = 20)))
+    // arity misuse fails loudly
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft_unigram_learn('tvf_docs_uni','text')").collect())
+  }
+
   test("graft_changes == BucketedStore.changes; composes with SQL filters") {
     val root = tmpDir("tvfcdf")
     val store = new graft.core.BucketedStore(root, numBuckets = 8)

@@ -497,6 +497,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.1, s"ADC recall vs brute force too low: $recall")
   }
 
+  test("ADC rankers refuse an unbounded query side (plan-literal cap)") {
+    // |queries|·m·ksub literal entries cap at 2^20: at m=8, ksub=16 the
+    // guard trips past 8192 queries — build 8193 synthetic unit vectors
+    // and assert the loud failure BEFORE any table computes
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val maxQ = (Similarity.MaxAdcTableEntries / (8L * 16)).toInt
+    val vec = array((0 until 64).map(i => lit(if (i == 0) 1.0f else 0.0f)): _*)
+    val tooMany = spark.range(maxQ + 1)
+      .select(col("id").as("vec_id"), vec.as("embedding"))
+    val e = intercept[IllegalArgumentException](
+      Similarity.pqAdcTopK(tooMany, emb.limit(32), "vec_id", "vec_id",
+        "embedding", k = 3, m = 8, ksub = 16))
+    assert(e.getMessage.contains("plan literals"))
+  }
+
   test("persisted IVF-PQ index: search ≡ the in-memory composition") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val store = new graft.core.BucketedStore(tmpDir("ivfpq"), numBuckets = 16)
@@ -2016,7 +2031,7 @@ class TextOpsSpec extends SparkSpec {
     // c(a)=5, c(b)=4, c(c)=3; cxy(a,b)=4, cxy(a,c)=1, cxy(c,c)=1
     val docs = (Seq.fill(4)("a b") ++ Seq("a c", "c c")).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
-    val out = TextOps.collocations(docs, "doc_id", "text", topK = 5, minCount = 1)
+    val out = TextOps.collocations(docs, "text", topK = 5, minCount = 1)
       .as[(String, String, Long, Long, Long, Double)].collect()
     val m = out.map(r => (r._1, r._2) -> r).toMap
     // ratio(a,b) = 4*12/(5*4) = 2.4; ratio(c,c) = 1*12/(3*3) = 4/3; (a,c)=12/15
@@ -2024,7 +2039,7 @@ class TextOpsSpec extends SparkSpec {
     assert(m(("c", "c"))._6 == 12.0 / 9.0)
     assert(out.head._1 == "a" && out.head._2 == "b") // highest ratio first
     // minCount floors out the rare pairs
-    assert(TextOps.collocations(docs, "doc_id", "text", 5, minCount = 2).count() == 1L)
+    assert(TextOps.collocations(docs, "text", 5, minCount = 2).count() == 1L)
     // spectrum: types by occurrence count — a:5, b:4, c:3 -> one type each
     val sp = TextOps.frequencySpectrum(docs, "text")
       .as[(Long, Long)].collect().toMap
@@ -2426,6 +2441,26 @@ class EwmaSpec extends SparkSpec {
     assert(out2 == out)
     intercept[IllegalArgumentException](
       graft.ops.Events.ewmaPerKey(df, "user_id", "ts", "event_id", "value", 1.0))
+  }
+
+  test("ewmaPerKey: a pathologically hot key streams through the fold") {
+    // 200k events on ONE key: the r11 collect_list shape buffered the whole
+    // series in a single task buffer; the streaming secondary-sort fold
+    // holds one accumulator. Values are exact dyadic steps so the expected
+    // fold is reproducible in plain Scala.
+    val n = 200000
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (0 until n).map(i =>
+      (7L, new java.sql.Timestamp(base + i * 1000L), i.toLong, (i % 8).toDouble))
+    val df = rows.toDF("user_id", "ts", "event_id", "value").repartition(13)
+    val out = graft.ops.Events.ewmaPerKey(df, "user_id", "ts", "event_id", "value", 0.5)
+      .as[(Long, Long, Double)].head()
+    var exp = 0.0
+    (0 until n).foreach { i =>
+      val v = (i % 8).toDouble
+      exp = if (i == 0) v else exp * 0.5 + v * 0.5
+    }
+    assert(out == ((7L, n.toLong, exp)))
   }
 }
 
