@@ -3905,11 +3905,13 @@ object SparkEntry {
 
     // -- q173: per-GROUP exact percentiles of an unbounded-cardinality
     //    column — the grouped counterpart of q160 (the grouped histogram
-    //    form rejects continuous columns). All (group, rank) narrowing
-    //    states batch through shared bins-only passes; the fact table
-    //    never shuffles by value ----------------------------------------
+    //    form rejects continuous columns). Task-sortable groups ride the
+    //    LAZY single-exchange sort tier (one window job, loud in-plan cap
+    //    guard); beyond-task hot keys belong to the iterative narrowing
+    //    tier (groupedExactPercentilesUnbounded — spec-locked bit-equal
+    //    to percentile(), same oracle semantics) -------------------------
     Q("q173_grouped_exact_percentile",
-      (s, dir) => ops.Stats.groupedExactPercentilesUnbounded(
+      (s, dir) => ops.Stats.groupedSortPercentiles(
           T(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
           Seq(0.5, 0.95)).orderBy("l_returnflag"),
       Some("""

@@ -221,8 +221,10 @@ object Stats {
     * the initial count/min/max pass across requested percentiles. */
   def exactPercentileUnbounded(df: DataFrame, valueCol: String, p: Double,
       nBins: Int = 8192, maxResidual: Long = 1L << 17): DataFrame =
-    exactPercentilesUnbounded(df, valueCol, Seq(p), nBins, maxResidual)
-      .withColumnRenamed(s"p${math.round(p * 100)}", "percentile")
+    // single-output column is always named "percentile", so ANY p in [0,1]
+    // is fine here — the whole-percent label guard applies only to the
+    // multi form, whose labels ARE the output columns
+    exactPercentilesImpl(df, valueCol, Seq(p), Seq("percentile"), nBins, maxResidual)
 
   /** Multi-percentile form of [[exactPercentileUnbounded]]: one shared
     * count/min/max pass, then one rank-selection per DISTINCT bracketing
@@ -238,16 +240,20 @@ object Stats {
     * over the finite values only (NaN would poison min/max and every bin
     * boundary — the histogram ranges could never converge). */
   def exactPercentilesUnbounded(df: DataFrame, valueCol: String, ps: Seq[Double],
-      nBins: Int = 8192, maxResidual: Long = 1L << 17): DataFrame = {
+      nBins: Int = 8192, maxResidual: Long = 1L << 17): DataFrame =
+    exactPercentilesImpl(df, valueCol, ps, percentileLabels(ps), nBins, maxResidual)
+
+  private def exactPercentilesImpl(df: DataFrame, valueCol: String,
+      ps: Seq[Double], names: Seq[String],
+      nBins: Int, maxResidual: Long): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"ps must be in [0,1]: $ps")
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     require(maxResidual >= 1 && maxResidual < Int.MaxValue, s"maxResidual out of range: $maxResidual")
-    val names = percentileLabels(ps)
     val spark = df.sparkSession
     val v = col(valueCol).cast("double")
     val base0 = df.where(v.isNotNull).select(v.as("__v"))
     val head = base0.agg(count(lit(1)),
-      sum(when(isnan(col("__v")), 1L).otherwise(0L)),
+      coalesce(sum(when(isnan(col("__v")), 1L).otherwise(0L)), lit(0L)),
       min(when(!isnan(col("__v")), col("__v"))),
       max(when(!isnan(col("__v")), col("__v")))).collect()(0)
     val n = head.getLong(0)
@@ -368,18 +374,86 @@ object Stats {
     names
   }
 
+  /** Exact per-GROUP percentiles of an unbounded-cardinality double column
+    * for groups that FIT ONE TASK'S SORT — the fully-lazy fast tier of the
+    * grouped-exact family: ONE keyed exchange, each group rank-sorted in
+    * its own task (`row_number`), bracketing ranks picked by conditional
+    * aggregation under the SAME partitioning (no further exchange), and
+    * the `percentile()` interpolation computed in the projection. No
+    * driver-side actions at all — callers compose it lazily like any
+    * other operator.
+    *
+    * The `maxSortGroup` contract is enforced AT RUNTIME in-plan (the
+    * [[histogramPercentile]] guard pattern): a group larger than the cap
+    * raises loudly instead of silently sorting an unbounded hot key in one
+    * task — beyond-task groups belong to
+    * [[groupedExactPercentilesUnbounded]]'s iterative narrowing tier.
+    *
+    * Matches `percentile(col, p)` per group exactly, including NaN (window
+    * double-order sorts NaN last, same as the aggregate). NULL values
+    * excluded; NULL group = a group. Output: (group, p<label>…). */
+  def groupedSortPercentiles(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[Double],
+      maxSortGroup: Long = 1L << 22): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"ps must be in [0,1]: $ps")
+    require(maxSortGroup >= 1, s"maxSortGroup must be >= 1, got $maxSortGroup")
+    val names = percentileLabels(ps)
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+    // per-group counts via a PARTIAL-AGGREGATED tiny frame + broadcast join
+    // — NOT an unbounded-frame window: count().over(whole group) makes
+    // WindowExec buffer every group row in its frame array (measured ~3x
+    // the whole op). The in-plan guard (the histogramPercentile pattern)
+    // rides the count.
+    val guard = when(col("__cnt") > maxSortGroup, raise_error(lit(
+      s"groupedSortPercentiles: a group exceeds $maxSortGroup rows — one task " +
+        "would sort an unbounded hot key; use groupedExactPercentilesUnbounded " +
+        "(iterative narrowing) for beyond-task groups"))).otherwise(lit(0L))
+    val counts = base.groupBy("__g").agg(count(lit(1)).as("__cnt"))
+      .select(col("__g").as("__cg"), (col("__cnt") + guard).as("__n"))
+    // rank via row_number alone (its running frame streams; only the
+    // unbounded count frame would buffer — that one rides the join above)
+    val w = Window.partitionBy("__g").orderBy("__v")
+    val ranked = base
+      .withColumn("__idx", row_number().over(w).cast("long") - 1)
+      .join(broadcast(counts), col("__g") <=> col("__cg"))
+    def k(p: Double) = lit(p) * (col("__n") - 1).cast("double")
+    val aggs = ps.zip(names).flatMap { case (p, nm) =>
+      Seq(
+        max(when(col("__idx") === floor(k(p)), col("__v"))).as(s"__vlo_$nm"),
+        max(when(col("__idx") === ceil(k(p)), col("__v"))).as(s"__vhi_$nm"))
+    }
+    val agged = ranked.groupBy(col("__g"))
+      .agg(first(col("__n")).as("__n"), aggs: _*)
+    val outCols = col("__g").as(groupCol) +: ps.zip(names).map { case (p, nm) =>
+      val kk = k(p)
+      (col(s"__vlo_$nm") + (kk - floor(kk).cast("double"))
+        * (col(s"__vhi_$nm") - col(s"__vlo_$nm"))).as(nm)
+    }
+    agged.select(outCols: _*)
+  }
+
   /** Per-GROUP exact percentiles of an UNBOUNDED-cardinality double column
     * — the grouped form of [[exactPercentilesUnbounded]], and the missing
     * counterpart of [[groupedHistogramPercentiles]] (whose guard rejects
-    * continuous columns). Same iterative value-domain rank-selection, with
-    * every (group, bracketing-rank) narrowing state batched through SHARED
-    * passes: each round broadcasts the ≤ |states| (group, range) rows onto
-    * the fact side, bins in one keyed aggregation whose exchange carries
-    * O(tasks · states · nBins) histogram rows (never the column), and the
-    * driver advances every state from one collect; the final residual pass
-    * ranks ≤ `maxResidual` in-range rows per state under ONE state-keyed
-    * window. The fact table is scanned O(rounds + 2) times and never
-    * shuffles by value.
+    * continuous columns). TWO-TIER:
+    *
+    *  - Groups whose finite count fits one task's sort (≤ `maxSortGroup`
+    *    rows) resolve in a single shared per-group window pass — exact
+    *    rank picks by `row_number`, no narrowing rounds. For typical
+    *    workloads that is every group, so the whole op is TWO actions
+    *    (head stats + window); the window sorts each group in its own
+    *    task and the semi-join keeps only wanted groups in the pass.
+    *  - Beyond-task groups (100 TB hot keys) use iterative value-domain
+    *    rank-selection: each round broadcasts the distinct (group, range)
+    *    rows — ranges DEDUPLICATED, so round 1 scans each group once, not
+    *    once per rank — onto the fact side, bins in one keyed aggregation
+    *    whose exchange carries O(tasks · ranges · nBins) histogram rows
+    *    (never the column), and the driver advances every state from one
+    *    collect; the final residual pass ranks ≤ `maxResidual` in-range
+    *    rows per state under ONE state-keyed window. The fact table is
+    *    persisted for this path (it re-scans O(rounds) times) and never
+    *    shuffles by value.
     *
     * Driver state is |groups| · 2|ps| narrowing records — the `maxGroups`
     * guard makes that contract loud, mirroring the histogram family's
@@ -387,15 +461,19 @@ object Stats {
     * the bounded-histogram or approx forms, not rank-selection).
     *
     * Reproduces `percentile(col, p) OVER group` exactly (k = p·(n_g−1),
-    * linear interpolation, correctly-rounded double ops). NULL values are
-    * excluded; a NULL GROUP is a group like any other (SQL GROUP BY
-    * semantics). Output: (group, p<round(p·100)>…), one row per group. */
+    * linear interpolation, correctly-rounded double ops; NaN sorts last,
+    * as in `percentile()`). NULL values are excluded; a NULL GROUP is a
+    * group like any other (SQL GROUP BY semantics).
+    * Output: (group, p<round(p·100)>…), one row per group. */
   def groupedExactPercentilesUnbounded(df: DataFrame, groupCol: String,
       valueCol: String, ps: Seq[Double], nBins: Int = 1024,
-      maxResidual: Long = 1L << 16, maxGroups: Int = 65536): DataFrame = {
+      maxResidual: Long = 1L << 16, maxGroups: Int = 65536,
+      maxSortGroup: Long = 1L << 22): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"ps must be in [0,1]: $ps")
     require(nBins >= 2 && maxResidual >= 1 && maxResidual < Int.MaxValue,
       s"bad nBins=$nBins / maxResidual=$maxResidual")
+    require(maxSortGroup >= maxResidual,
+      s"maxSortGroup ($maxSortGroup) must be >= maxResidual ($maxResidual)")
     val names = percentileLabels(ps)
     val spark = df.sparkSession
     val gType = df.schema(groupCol).dataType
@@ -411,13 +489,10 @@ object Stats {
       s"groupedExactPercentilesUnbounded: more than $maxGroups groups — the " +
         "narrowing state would no longer be driver-bounded; use " +
         "groupedHistogramPercentiles (bounded values) or percentile_approx")
-    // every histogram round and the residual pass re-join against this
-    // 2-column frame — persist it (disk-backed) so only the first action
-    // decodes parquet; released before return. NaN rows are excluded from
-    // narrowing (percentile() sorts NaN last — those ranks resolve to NaN
-    // immediately) because a NaN would poison min/max and bin boundaries.
+    // NaN rows are excluded from rank selection (percentile() sorts NaN
+    // last — those ranks resolve to NaN immediately from the head counts)
+    // because a NaN would poison min/max and bin boundaries.
     val base = base0.where(!isnan(col("__v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     final class St(val g: Any, val n: Long, val rank: Long) {
       var lo = 0.0; var hi = 0.0; var r = rank; var cnt = 0L
       var ans = Option.empty[Double]
@@ -440,56 +515,81 @@ object Stats {
     }.toSeq
     val sid = states.zipWithIndex.toMap
     import org.apache.spark.sql.types._
-    def stDf(sts: Seq[St], extra: StructField*): (StructType => Seq[org.apache.spark.sql.Row]) => DataFrame = {
-      build =>
-        val schema = StructType(Seq(
-          StructField("__sid", IntegerType), StructField("__sg", gType),
-          StructField("__lo", DoubleType), StructField("__hi", DoubleType)) ++ extra)
-        spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](
-            scala.jdk.CollectionConverters.SeqHasAsJava(build(schema)).asJava), schema)
-    }
+    // SORT-PATH / NARROWING-PATH SPLIT: a group whose finite count fits one
+    // task's sort (≤ maxSortGroup) resolves ALL its ranks in the single
+    // shared window pass below — for typical workloads that is every group,
+    // making the whole op TWO actions (heads + window). Only beyond-task
+    // groups (the 100 TB hot keys this operator exists for) pay the
+    // iterative bins-only narrowing.
+    val (sortStates, narrowStates) =
+      states.filter(_.ans.isEmpty).partition(_.cnt <= maxSortGroup)
+    // only the narrowing path re-scans base (once per round + residual) —
+    // persist it for that path alone; the sort path reads it exactly once
+    val persisted = narrowStates.nonEmpty
+    if (persisted)
+      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var rounds = 0
-    while (states.exists(st => st.ans.isEmpty && st.cnt > maxResidual)) {
+    while (narrowStates.exists(st => st.ans.isEmpty && st.cnt > maxResidual)) {
       rounds += 1
       require(rounds <= 200, "groupedExactPercentilesUnbounded: no convergence " +
         "after 200 rounds — pathological input")
-      val active = states.filter(st => st.ans.isEmpty && st.cnt > maxResidual)
-      val sdf = stDf(active, StructField("__w", DoubleType)) { _ =>
-        active.map(st => org.apache.spark.sql.Row(
-          Int.box(sid(st)), st.g, Double.box(st.lo), Double.box(st.hi),
-          Double.box((st.hi - st.lo) / nBins)))
+      val active = narrowStates.filter(st => st.ans.isEmpty && st.cnt > maxResidual)
+      // histogram ranges DEDUPLICATE by (group, lo, hi): in round 1 every
+      // rank of a group shares the group's full range, so the scan feeds
+      // one histogram per GROUP, not one per rank — the r11 shape joined
+      // per state and multiplied the scanned rows by ranks-per-group
+      val ranges = active.groupBy(st => (st.g, st.lo, st.hi)).toSeq
+      val rSchema = StructType(Seq(
+        StructField("__rid", IntegerType), StructField("__sg", gType),
+        StructField("__lo", DoubleType), StructField("__hi", DoubleType),
+        StructField("__w", DoubleType)))
+      val rRows = ranges.zipWithIndex.map { case (((g, lo, hi), _), rid) =>
+        org.apache.spark.sql.Row(Int.box(rid), g, Double.box(lo),
+          Double.box(hi), Double.box((hi - lo) / nBins))
       }
+      val sdf = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rRows).asJava), rSchema)
       val binKey = when(col("__w") <= 0 || col("__lo") + col("__w") === col("__lo"),
           col("__v"))
         .otherwise(least(greatest(floor((col("__v") - col("__lo")) / col("__w")),
           lit(0.0)), lit((nBins - 1).toDouble)))
       val hist = base.join(broadcast(sdf), col("__g") <=> col("__sg"))
         .where(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
-        .groupBy(col("__sid"), binKey.as("__b"))
+        .groupBy(col("__rid"), binKey.as("__b"))
         .agg(count(lit(1)).as("__c"), min("__v").as("__mn"), max("__v").as("__mx"))
         .collect()
         .groupBy(_.getInt(0))
         .view.mapValues(_.sortBy(_.getDouble(3))).toMap // value order == __mn order
-      active.foreach { st =>
-        val bins = hist(sid(st))
-        var cum = 0L
-        var i = 0
-        while (cum + bins(i).getLong(2) <= st.r) { cum += bins(i).getLong(2); i += 1 }
-        st.r -= cum
-        st.cnt = bins(i).getLong(2)
-        st.lo = bins(i).getDouble(3)
-        st.hi = bins(i).getDouble(4)
-        if (st.lo == st.hi) st.ans = Some(st.lo)
+      ranges.zipWithIndex.foreach { case ((_, sts), rid) =>
+        val bins = hist(rid)
+        sts.foreach { st =>
+          var cum = 0L
+          var i = 0
+          while (cum + bins(i).getLong(2) <= st.r) { cum += bins(i).getLong(2); i += 1 }
+          st.r -= cum
+          st.cnt = bins(i).getLong(2)
+          st.lo = bins(i).getDouble(3)
+          st.hi = bins(i).getDouble(4)
+          if (st.lo == st.hi) st.ans = Some(st.lo)
+        }
       }
     }
-    val residual = states.filter(_.ans.isEmpty)
+    // narrowed residuals: per-state rank selection over ≤ maxResidual
+    // in-range rows each (ranges are disjoint bins by now, so the join
+    // duplication is bounded by bins, not groups)
+    val residual = narrowStates.filter(_.ans.isEmpty)
     if (residual.nonEmpty) {
-      val sdf = stDf(residual, StructField("__r", LongType)) { _ =>
-        residual.map(st => org.apache.spark.sql.Row(
-          Int.box(sid(st)), st.g, Double.box(st.lo), Double.box(st.hi),
-          Long.box(st.r)))
-      }
+      val rSchema = StructType(Seq(
+        StructField("__sid", IntegerType), StructField("__sg", gType),
+        StructField("__lo", DoubleType), StructField("__hi", DoubleType),
+        StructField("__r", LongType)))
+      val rRows = residual.map(st => org.apache.spark.sql.Row(
+        Int.box(sid(st)), st.g, Double.box(st.lo), Double.box(st.hi),
+        Long.box(st.r)))
+      val sdf = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rRows).asJava), rSchema)
       val w = Window.partitionBy("__sid").orderBy("__v")
       val got = base.join(broadcast(sdf), col("__g") <=> col("__sg"))
         .where(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
@@ -499,7 +599,27 @@ object Stats {
         .map(r => r.getInt(0) -> r.getDouble(1)).toMap
       residual.foreach(st => st.ans = Some(got(sid(st))))
     }
-    base.unpersist(false)
+    // sort-path groups: ONE shared window pass ranks every wanted
+    // (group, rank) — no per-state row duplication, no narrowing rounds
+    if (sortStates.nonEmpty) {
+      val wSchema = StructType(Seq(
+        StructField("__wg", gType), StructField("__wr", LongType)))
+      val wRows = sortStates.map(st =>
+        org.apache.spark.sql.Row(st.g, Long.box(st.rank)))
+      val wdf = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(wRows).asJava), wSchema)
+      val keep = wdf.select(col("__wg")).distinct()
+      val w = Window.partitionBy("__g").orderBy("__v")
+      val got = base
+        .join(broadcast(keep), col("__g") <=> col("__wg"), "left_semi")
+        .withColumn("__idx", row_number().over(w).cast("long") - 1)
+        .join(broadcast(wdf), col("__g") <=> col("__wg") && col("__idx") === col("__wr"))
+        .select(col("__g"), col("__wr"), col("__v")).collect()
+        .map(r => (r.get(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      sortStates.foreach(st => st.ans = Some(got((st.g, st.rank))))
+    }
+    if (persisted) base.unpersist(false)
     val byKey = states.map(st => (st.g, st.rank) -> st.ans.get).toMap
     val outSchema = StructType(
       StructField(groupCol, gType) +:

@@ -102,6 +102,49 @@ class ApproxSpec extends SparkSpec {
     // interpolated even-count pick, residual path
     val even = Seq(1.0, 2.0, 3.0, 10.0).toDF("v")
     assert(S.exactPercentileUnbounded(even, "v", 0.5).as[Double].head() == 2.5)
+    // the MULTI form's labeled columns reject mislabel-able percentiles
+    // (the single form's output is always "percentile", so any p is fine —
+    // asserted by the 0.739 case above)
+    val e = intercept[IllegalArgumentException](
+      S.exactPercentilesUnbounded(even, "v", Seq(0.999)))
+    assert(e.getMessage.contains("whole-percent"), e.getMessage)
+    assert(S.exactPercentileUnbounded(even, "v", 0.999).as[Double].head() ==
+      even.agg(expr("percentile(v, 0.999)")).as[Double].head())
+  }
+
+  test("exact percentile families follow percentile()'s NaN-sorts-last rule") {
+    val S = graft.ops.Stats
+    // 3 finite + 2 NaN: ranks 3,4 are NaN; p0.5 (k=2) hits finite 3.0,
+    // p1.0 hits NaN, p0.75 (k=3) interpolates finite->NaN = NaN — exactly
+    // percentile()'s double-ordering behavior, which the narrowing loop
+    // would otherwise never converge on (NaN poisons min/max and bins)
+    val vs = Seq(1.0, 3.0, 2.0, Double.NaN, Double.NaN).toDF("v")
+    val row = S.exactPercentilesUnbounded(vs, "v", Seq(0.5, 0.75, 1.0),
+      nBins = 4, maxResidual = 2).head()
+    val ref = vs.agg(expr("percentile(v, 0.5)"), expr("percentile(v, 0.75)"),
+      expr("percentile(v, 1.0)")).head()
+    assert(row.getDouble(0) == ref.getDouble(0))
+    assert(row.getDouble(1).isNaN == ref.getDouble(1).isNaN && row.getDouble(1).isNaN)
+    assert(row.getDouble(2).isNaN && ref.getDouble(2).isNaN)
+    // all-NaN column: every percentile is NaN, no convergence failure
+    val allNaN = Seq(Double.NaN, Double.NaN).toDF("v")
+    assert(S.exactPercentilesUnbounded(allNaN, "v", Seq(0.5)).head().getDouble(0).isNaN)
+    // grouped form, both tiers, checked against percentile() itself
+    val g = Seq(("a", 1.0), ("a", Double.NaN), ("a", 5.0), ("b", Double.NaN))
+      .toDF("g", "v")
+    val gref = g.groupBy("g")
+      .agg(expr("percentile(v, 0.5)"), expr("percentile(v, 1.0)"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    Seq(1L << 22, 1L).foreach { sortCap =>
+      val out = S.groupedExactPercentilesUnbounded(g, "g", "v", Seq(0.5, 1.0),
+        nBins = 4, maxResidual = 1, maxGroups = 10, maxSortGroup = sortCap)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      def eqOrBothNaN(a: Double, b: Double) = a == b || (a.isNaN && b.isNaN)
+      Seq("a", "b").foreach { k =>
+        assert(eqOrBothNaN(out(k)._1, gref(k)._1) && eqOrBothNaN(out(k)._2, gref(k)._2),
+          s"cap $sortCap group $k: ${out(k)} vs ${gref(k)}")
+      }
+    }
   }
 
   test("groupedExactPercentilesUnbounded matches per-group percentile() bit-for-bit") {
@@ -113,14 +156,41 @@ class ApproxSpec extends SparkSpec {
         .otherwise(concat(lit("g"), col("id") % 4)).as("g"),
       when(col("id") % 97 === 0, lit(null).cast("double"))
         .otherwise(pmod(col("id") * 7919, lit(997)).cast("double") / 7.0).as("v"))
+    // maxSortGroup = maxResidual forces the NARROWING tier (every group is
+    // beyond-task for the test) — rounds + residual ranking both exercised
     val got = S.groupedExactPercentilesUnbounded(df, "g", "v",
-      Seq(0.25, 0.5, 0.9), nBins = 4, maxResidual = 8)
+      Seq(0.25, 0.5, 0.9), nBins = 4, maxResidual = 8, maxSortGroup = 8)
       .collect().map(r => Option(r.getString(0)) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     val ref = df.where(col("v").isNotNull).groupBy("g").agg(
       expr("percentile(v, 0.25)"), expr("percentile(v, 0.5)"), expr("percentile(v, 0.9)"))
       .collect().map(r => Option(r.getString(0)) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     assert(got.keySet == ref.keySet)
     got.foreach { case (g, v) => assert(v == ref(g), s"group $g: $v vs ${ref(g)}") }
+    // the default SORT tier answers identically (two actions, one window)
+    val gotSort = S.groupedExactPercentilesUnbounded(df, "g", "v",
+      Seq(0.25, 0.5, 0.9))
+      .collect().map(r => Option(r.getString(0)) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(gotSort == got, s"sort tier diverged: $gotSort vs $got")
+    // ... and so does the fully-lazy single-exchange form (incl. NaN sorts
+    // last: add NaN rows and re-check against percentile() directly)
+    val lazySort = S.groupedSortPercentiles(df, "g", "v", Seq(0.25, 0.5, 0.9))
+      .collect().map(r => Option(r.getString(0)) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(lazySort == got, s"lazy sort form diverged: $lazySort vs $got")
+    val withNaN = df.withColumn("v",
+      when(col("v") > 100, lit(Double.NaN)).otherwise(col("v")))
+    val lzN = S.groupedSortPercentiles(withNaN, "g", "v", Seq(0.5, 0.9))
+      .collect().map(r => Option(r.getString(0)) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val refN = withNaN.where(col("v").isNotNull).groupBy("g")
+      .agg(expr("percentile(v, 0.5)"), expr("percentile(v, 0.9)"))
+      .collect().map(r => Option(r.getString(0)) -> (r.getDouble(1), r.getDouble(2))).toMap
+    def eqn(a: Double, b: Double) = a == b || (a.isNaN && b.isNaN)
+    refN.foreach { case (g, (a, b)) =>
+      assert(eqn(lzN(g)._1, a) && eqn(lzN(g)._2, b), s"$g: ${lzN(g)} vs ($a,$b)") }
+    // the in-plan cap guard fires loudly on a beyond-task group
+    val eg = intercept[Exception](
+      S.groupedSortPercentiles(df, "g", "v", Seq(0.5), maxSortGroup = 10).collect())
+    assert(eg.getMessage.contains("beyond-task") ||
+      Option(eg.getCause).exists(_.getMessage.contains("beyond-task")), eg.getMessage)
     // real fixture column, default parameters
     val li = Tables.load(spark, sfDir, "lineitem")
     val m = graft.ops.Stats.groupedExactPercentilesUnbounded(
