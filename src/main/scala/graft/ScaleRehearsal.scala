@@ -391,8 +391,17 @@ object ScaleRehearsal {
         // grouped exact percentiles: |groups| is FIXED (3 return flags)
         // while rows scale — passes stay bins-only, expect ~scan-linear
         "q173_grouped_percentile" -> (() => {
-          val out = ops.Stats.groupedExactPercentilesUnbounded(
+          val out = ops.Stats.groupedSortPercentiles(
             li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.95))
+          assert(out.count() >= 1L)
+        }),
+        // the narrowing tier under FORCED engagement (sort cap below the
+        // group sizes): rounds are bins-only passes — expect ~linear in
+        // scanned rows, not in rounds
+        "q173_narrowing_tier" -> (() => {
+          val out = ops.Stats.groupedExactPercentilesUnbounded(
+            li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.95),
+            maxSortGroup = 1L << 16)
           assert(out.count() >= 1L)
         }),
         // EWMA fold: replicas add USERS (groups), not events per user —
@@ -409,6 +418,14 @@ object ScaleRehearsal {
         "q171_pq_adc" -> (() => force(ops.Similarity.pqAdcTopK(
           emb.where(col("vec_id") < 5), emb, "vec_id", "vec_id",
           "embedding", 10, 8, 16, 64))),
+        // the FULL IVF-PQ composition (build + probe + ADC rank): the
+        // per-call derivations are corpus-linear one-pass jobs over the
+        // shared persisted quantized frame, the probe join reads
+        // nprobe/nlist of the codes — expect ~linear; the PERSISTED index
+        // route amortizes everything but the probe (q180)
+        "q176_ivf_pq" -> (() => force(ops.Similarity.ivfPqTopK(
+          emb.where(col("vec_id") < 10), emb, "vec_id", "vec_id",
+          "embedding", 5, 16, 4, 8, 16, 64))),
         // incremental contract: a FIXED batch (1/5 of ONE replica family)
         // matched against the PRE-STORED profile of everything else — the
         // per-batch cost should stay ~flat while the corpus scales

@@ -105,6 +105,21 @@ object SparkEntry {
     root
   }
 
+  /** Build-once persistent IVF-PQ index for q180 (the q134 pattern, PQ
+    * variant): embeddings indexed into 16 inverted lists of m-byte PQ
+    * codes plus the centroid and codebook tables. Seed geometry matches
+    * the in-memory composition exactly, so q180 shares q176's oracle
+    * verbatim — the serving path must be output-identical to the
+    * build-every-call composition. */
+  private def ivfPqIndexFixture(s: SparkSession, dir: String): String = {
+    val root = storeFixtureRoot(s, dir, "ivfpqidx", "embeddings")
+    val store = new core.BucketedStore(root, numBuckets = 16)(s)
+    if (store.latestVersion("annpq_pqlists").isEmpty)
+      ops.Similarity.indexVectorsPq(T(s, dir, "embeddings"), "vec_id",
+        "embedding", store, "annpq", nlist = 16, m = 8, ksub = 16)
+    root
+  }
+
   /** Build-once store fixture for q139 (CDF): customer v0, then one merge
     * that updates every `c_custkey % 97 == 0` row (+100.0 acctbal — exact
     * in IEEE doubles, so both engines agree bit-for-bit) and inserts one
@@ -4002,6 +4017,22 @@ object SparkEntry {
         ops.Similarity.ivfPqTopK(emb.where(col("vec_id") < 10), emb,
           "vec_id", "vec_id", "embedding", k = 5,
           nlist = 16, nprobe = 4, m = 8, ksub = 16, dim = 64)
+          .orderBy("query_id", "rank")
+      },
+      Some(sqlIvfPqTopk)),
+
+    // -- q180: the SAME IVF-PQ search through the PERSISTENT index (the
+    //    q134 pattern): probed-bucket IO over m-byte codes, codebook and
+    //    centroids read from the store — none of q176's per-call
+    //    derivations. Shares q176's oracle verbatim: the serving path
+    //    must be output-identical to the composition -----------------------
+    Q("q180_indexed_ivf_pq_topk",
+      (s, dir) => {
+        val root = ivfPqIndexFixture(s, dir)
+        val store = new graft.core.BucketedStore(root, 16)(s)
+        ops.Similarity.searchIndexedPq(
+          T(s, dir, "embeddings").filter(col("vec_id") < 10), "vec_id",
+          "embedding", store, "annpq", k = 5, nprobe = 4)
           .orderBy("query_id", "rank")
       },
       Some(sqlIvfPqTopk)),
