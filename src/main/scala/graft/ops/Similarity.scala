@@ -823,10 +823,16 @@ object Similarity {
   def searchIndexedPq(queries: DataFrame, queryIdCol: String, vecCol: String,
       store: graft.core.BucketedStore, feature: String, k: Int,
       nprobe: Int = 4, dim: Int = 64): DataFrame = {
-    import graft.core.TrackedCache.TrackedDataset
-    val cent = store.read(s"${feature}_centroids", Seq("cent_id"))
-      .select(col("cent_id"), col("__centv"))
-      .withColumn("__centn", dotQ(col("__centv"), col("__centv"), dim))
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // everything the probe decision needs is ALREADY driver-bounded: the
+    // codebook (m·ksub rows), the centroid table (nlist rows) and the query
+    // side (the ADC broadcast contract). Selecting probes driver-side —
+    // with arithmetic bit-identical to the TopK.perGroup window form
+    // (exact int64 dots, cosine = dot / sqrt(double·double), ties → smaller
+    // cent_id; spec-asserted ≡ ivfPqTopK) — removes the probe job and its
+    // cached frame entirely: the only cluster work left is the query scan
+    // and ONE probed-buckets job.
     val bookRows = store.read(s"${feature}_pqbook", Seq("__ck"))
       .select(col("pq_s"), col("pq_code"), col("pq_centv")).collect()
     val m = bookRows.map(_.getInt(0)).max + 1
@@ -834,19 +840,26 @@ object Similarity {
     val cb = Array.ofDim[Array[Long]](m, ksub)
     bookRows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray)
     val subDim = dim / m
-    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
-        quantize(col(vecCol), dim).as("__qv"))
-      .withColumn("__qn", dotQ(col("__qv"), col("__qv"), dim))
-    val probes = TopK.perGroup(
-      q.join(broadcast(cent))
-        .select(col("query_id"), col("__qv"), col("__qn"), col("cent_id"),
-          cosineFromParts(dotQ(col("__qv"), col("__centv"), dim),
-            col("__qn"), col("__centn")).as("__psim")),
-      Seq("query_id"), Seq(col("__psim").desc, col("cent_id").asc), nprobe,
-      rankCol = "__pr")
-      .select(col("query_id"), col("cent_id"))
-      .persistTracked()
+    val centRows = store.read(s"${feature}_centroids", Seq("cent_id"))
+      .select(col("cent_id"), col("__centv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
     val qRows = collectAdcQueries(queries, queryIdCol, vecCol, dim, m, ksub)
+    def ddot(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val centNorms = centRows.map { case (_, cv) => ddot(cv, cv) }
+    val probePairs: Seq[(Long, Long)] = qRows.toSeq.flatMap { case (qid, qv) =>
+      val qn = ddot(qv, qv)
+      centRows.zip(centNorms).map { case ((cid, cv), cn) =>
+        val cos = if (qn == 0L || cn == 0L) 0.0
+          else ddot(qv, cv).toDouble / math.sqrt(qn.toDouble * cn.toDouble)
+        (cid, cos)
+      }.sortBy { case (cid, cos) => (-cos, cid) }
+        .take(nprobe).map { case (cid, _) => (qid, cid) }
+    }
+    val probes = probePairs.toDF("query_id", "cent_id")
     val tables = adcTables(qRows.map(_._2), cb, subDim)
     val litTables = typedLit(qRows.map(_._1)
       .zip(tables.map(_.map(_.toSeq).toSeq)).toMap)
@@ -855,7 +868,7 @@ object Similarity {
         col("codes")(s) + 1)).reduce(_ + _)
     val listsSubset = store.readTouched(s"${feature}_pqlists", Seq("cent_id"),
       probes.select("cent_id"))
-    val scored = probes
+    val scored = broadcast(probes)
       .join(listsSubset.select(col("cent_id"), col("corpus_id"), col("codes")),
         Seq("cent_id"))
       .select(col("query_id"), col("corpus_id"), dist.as("adc_dist"))
