@@ -739,6 +739,17 @@ object Similarity {
       Seq(col("adc_dist").asc, col("corpus_id").asc), k, rankCol = "rank")
   }
 
+  /** Driver-side memo of persisted-index metadata (PQ codebook + centroid
+    * rows), keyed on (store root, feature, version) — store versions are
+    * immutable, so entries never go stale; a rebuilt index bumps the
+    * version and naturally misses. Bounded by distinct indexes a driver
+    * serves (and a 64-entry hard cap evicting arbitrarily — metadata is a
+    * few KB, the cap is a leak backstop for index-churning tests). */
+  private val pqIndexMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long),
+      (Array[Array[Array[Long]]], Array[(Long, Array[Long])])]() {
+    }
+
   /** Hard cap on |queries|·m·ksub literal ADC-table entries embedded in the
     * plan (2^20 longs ≈ 8 MB — the Lloyd 16M-row driver guard's
     * discipline): the ADC rankers ship per-query distance tables AS PLAN
@@ -833,16 +844,30 @@ object Similarity {
     // cent_id; spec-asserted ≡ ivfPqTopK) — removes the probe job and its
     // cached frame entirely: the only cluster work left is the query scan
     // and ONE probed-buckets job.
-    val bookRows = store.read(s"${feature}_pqbook", Seq("__ck"))
-      .select(col("pq_s"), col("pq_code"), col("pq_centv")).collect()
-    val m = bookRows.map(_.getInt(0)).max + 1
-    val ksub = bookRows.map(_.getInt(1)).max + 1
-    val cb = Array.ofDim[Array[Long]](m, ksub)
-    bookRows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray)
+    // index metadata (codebook + centroids) is IMMUTABLE per store version
+    // — memoized driver-side keyed on (root, feature, version), so a
+    // serving loop pays the two metadata reads once per index build, not
+    // per query batch (cache invalidates itself: a new build bumps the
+    // version and misses)
+    val metaKey = (store.root, feature,
+      store.latestVersion(s"${feature}_pqbook").getOrElse(
+        sys.error(s"no ${feature}_pqbook in store ${store.root}")))
+    if (pqIndexMetaCache.size > 64) pqIndexMetaCache.clear() // leak backstop
+    val (cb, centRows) = pqIndexMetaCache.computeIfAbsent(metaKey, _ => {
+      val bookRows = store.read(s"${feature}_pqbook", Seq("__ck"))
+        .select(col("pq_s"), col("pq_code"), col("pq_centv")).collect()
+      val mm = bookRows.map(_.getInt(0)).max + 1
+      val kk = bookRows.map(_.getInt(1)).max + 1
+      val book = Array.ofDim[Array[Long]](mm, kk)
+      bookRows.foreach(r => book(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray)
+      val cents = store.read(s"${feature}_centroids", Seq("cent_id"))
+        .select(col("cent_id"), col("__centv")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+      (book, cents)
+    })
+    val m = cb.length
+    val ksub = cb(0).length
     val subDim = dim / m
-    val centRows = store.read(s"${feature}_centroids", Seq("cent_id"))
-      .select(col("cent_id"), col("__centv")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
     val qRows = collectAdcQueries(queries, queryIdCol, vecCol, dim, m, ksub)
     def ddot(a: Array[Long], b: Array[Long]): Long = {
       var acc = 0L; var i = 0
