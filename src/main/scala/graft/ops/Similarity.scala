@@ -776,6 +776,34 @@ object Similarity {
     rows
   }
 
+  /** Exact int64 dot product on driver-side arrays — the Scala twin of the
+    * [[dotQ]] expression (identical arithmetic, so driver-side probe
+    * decisions reproduce the window form bit-for-bit). */
+  private def ddot(a: Array[Long], b: Array[Long]): Long = {
+    var acc = 0L; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Driver-side nprobe selection over collected query/centroid rows —
+    * arithmetic bit-identical to the `TopK.perGroup(__psim desc, cent_id
+    * asc)` window form (exact int64 dots; cosine = dot /
+    * sqrt(double·double); ties → smaller cent_id). Shared by the indexed
+    * and composed IVF-PQ rankers; spec-asserted ≡ the window route. */
+  private def selectProbes(qRows: Array[(Long, Array[Long])],
+      centRows: Array[(Long, Array[Long])], nprobe: Int): Seq[(Long, Long)] = {
+    val centNorms = centRows.map { case (_, cv) => ddot(cv, cv) }
+    qRows.toSeq.flatMap { case (qid, qv) =>
+      val qn = ddot(qv, qv)
+      centRows.zip(centNorms).map { case ((cid, cv), cn) =>
+        val cos = if (qn == 0L || cn == 0L) 0.0
+          else ddot(qv, cv).toDouble / math.sqrt(qn.toDouble * cn.toDouble)
+        (cid, cos)
+      }.sortBy { case (cid, cos) => (-cos, cid) }
+        .take(nprobe).map { case (cid, _) => (qid, cid) }
+    }
+  }
+
   /** ‖q_s − codeword_c‖² for every (query, subspace, codeword) — the exact
     * int64 ADC tables both PQ rankers share. */
   private def adcTables(qvs: Array[Array[Long]], cb: Array[Array[Array[Long]]],
@@ -869,22 +897,7 @@ object Similarity {
     val ksub = cb(0).length
     val subDim = dim / m
     val qRows = collectAdcQueries(queries, queryIdCol, vecCol, dim, m, ksub)
-    def ddot(a: Array[Long], b: Array[Long]): Long = {
-      var acc = 0L; var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
-    val centNorms = centRows.map { case (_, cv) => ddot(cv, cv) }
-    val probePairs: Seq[(Long, Long)] = qRows.toSeq.flatMap { case (qid, qv) =>
-      val qn = ddot(qv, qv)
-      centRows.zip(centNorms).map { case ((cid, cv), cn) =>
-        val cos = if (qn == 0L || cn == 0L) 0.0
-          else ddot(qv, cv).toDouble / math.sqrt(qn.toDouble * cn.toDouble)
-        (cid, cos)
-      }.sortBy { case (cid, cos) => (-cos, cid) }
-        .take(nprobe).map { case (cid, _) => (qid, cid) }
-    }
-    val probes = probePairs.toDF("query_id", "cent_id")
+    val probes = selectProbes(qRows, centRows, nprobe).toDF("query_id", "cent_id")
     val tables = adcTables(qRows.map(_._2), cb, subDim)
     val litTables = typedLit(qRows.map(_._1)
       .zip(tables.map(_.map(_.toSeq).toSeq)).toMap)
@@ -930,13 +943,29 @@ object Similarity {
     // of its driver-synchronous actions, which dominated wall time; the
     // persisted index route (indexVectorsPq/searchIndexedPq) still skips
     // every derivation entirely and is the serving path
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val c = corpus.select(col(corpusIdCol).as("corpus_id"), quantize(col(vecCol), dim).as("__cv"))
       .withColumn("__cn", dotQ(col("__cv"), col("__cv"), dim))
       .persistTracked()
-    val cent = seedCentroids(c, nlist)
+    // ONE bounded collect serves BOTH deterministic seed sets: the first
+    // nlist smallest-id vectors are the centroids, the first ksub the PQ
+    // codewords (the [[seedCentroids]]/[[pqCodebook]] discipline). The
+    // centroid frame and the probe decision then live driver-side — no
+    // probe window job, no separate codebook collect.
+    val seedRows = c.orderBy(col("corpus_id").asc_nulls_last)
+      .limit(math.max(nlist, ksub))
+      .select(col("__cv")).collect().map(_.getSeq[Long](0).toArray)
+    require(seedRows.length >= math.max(nlist, ksub),
+      s"corpus has ${seedRows.length} < max(nlist=$nlist, ksub=$ksub) vectors")
+    val cb = Array.tabulate(m)(s =>
+      seedRows.take(ksub).map(v => v.slice(s * subDim, (s + 1) * subDim)))
+    val centRows = seedRows.take(nlist).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val cent = centRows.toSeq.map { case (cid, v) => (cid, v.toSeq, ddot(v, v)) }
+      .toDF("cent_id", "__centv", "__centn")
     val lists = assignToLists(c, cent, dim)
       .select(col("cent_id"), col("corpus_id").cast("long").as("corpus_id"))
-    val cb = pqCodebookQ(c, m, ksub, dim)
     val codes = pqEncodeQ(
       c.select(col("corpus_id").cast("long").as("id"), col("__cv").as("__qv")),
       cb, m, subDim)
@@ -944,18 +973,8 @@ object Similarity {
     // one id-keyed join attaches codes to list rows; a PERSISTED index
     // writes them together and skips this entirely
     val listed = lists.join(codes, "corpus_id")
-    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
-        quantize(col(vecCol), dim).as("__qv"))
-      .withColumn("__qn", dotQ(col("__qv"), col("__qv"), dim))
-    val probes = TopK.perGroup(
-      q.join(broadcast(cent))
-        .select(col("query_id"), col("__qv"), col("__qn"), col("cent_id"),
-          cosineFromParts(dotQ(col("__qv"), col("__centv"), dim),
-            col("__qn"), col("__centn")).as("__psim")),
-      Seq("query_id"), Seq(col("__psim").desc, col("cent_id").asc), nprobe,
-      rankCol = "__pr")
-      .select(col("query_id"), col("cent_id"))
     val qRows = collectAdcQueries(queries, queryIdCol, vecCol, dim, m, ksub)
+    val probes = selectProbes(qRows, centRows, nprobe).toDF("query_id", "cent_id")
     val tables = adcTables(qRows.map(_._2), cb, subDim)
     val tableMap: Map[Long, Seq[Seq[Long]]] = qRows.map(_._1)
       .zip(tables.map(_.map(_.toSeq).toSeq)).toMap
@@ -963,7 +982,7 @@ object Similarity {
     val dist = (0 until m).map(s =>
       element_at(element_at(element_at(litTables, col("query_id")), s + 1),
         col("codes")(s) + 1)).reduce(_ + _)
-    val scored = probes.join(listed, Seq("cent_id"))
+    val scored = broadcast(probes).join(listed, Seq("cent_id"))
       .select(col("query_id"), col("corpus_id"), dist.as("adc_dist"))
     TopK.perGroup(scored, Seq("query_id"),
       Seq(col("adc_dist").asc, col("corpus_id").asc), k, rankCol = "rank")
