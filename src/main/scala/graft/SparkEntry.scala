@@ -1825,6 +1825,50 @@ object SparkEntry {
     SELECT DISTINCT id_l, id_r, cosine FROM pairs WHERE cosine >= 0.5
     ORDER BY id_l, id_r"""
 
+  /** Shared near-dup CLUSTER CTE chain (q71's candidate pairs → exact
+    * Jaccard verify → transitive closure): ends at `reach(id, r)` — q86
+    * reduces it to (id, cluster_rep), q181 layers the canonical keep-policy
+    * on top. Callers prepend `WITH RECURSIVE `. */
+  private lazy val sqlNearDupClusterCte: String = {
+    val coeffs = ops.Dedup.hashCoeffs(12)
+    val sig = coeffs.map { case (a, b) =>
+      s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))"
+    }.mkString("[", ", ", "]")
+    val bandKeys = (0 until 4).map(bi =>
+      s"md5(concat_ws(',', sig[${bi * 3 + 1}], sig[${bi * 3 + 2}], sig[${bi * 3 + 3}]))")
+      .mkString("[", ", ", "]")
+    s"""sh AS (
+          SELECT doc_id, ${sqlShingles("text")} AS sh FROM documents WHERE doc_id < 2000),
+        sig AS (
+          SELECT doc_id, sh, $sig AS sig FROM sh),
+        banded AS (
+          SELECT doc_id, sh, unnest($bandKeys) AS band_key,
+                 unnest(range(0, 4)) AS band_id
+          FROM sig),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+          FROM banded l JOIN banded r
+            ON l.band_id = r.band_id AND l.band_key = r.band_key
+           AND l.doc_id < r.doc_id),
+        verified AS (
+          SELECT c.id_l, c.id_r
+          FROM cand c
+          JOIN sh l ON c.id_l = l.doc_id
+          JOIN sh r ON c.id_r = r.doc_id
+          WHERE CASE WHEN len(list_distinct(l.sh || r.sh)) = 0 THEN 1.0
+                     ELSE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                          / len(list_distinct(l.sh || r.sh)) END >= 0.2),
+        edges AS (
+          SELECT id_l AS src, id_r AS dst FROM verified
+          UNION SELECT id_r, id_l FROM verified),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach AS (
+          SELECT id, id AS r FROM nodes
+          UNION
+          SELECT e.dst AS id, reach.r
+          FROM reach JOIN edges e ON e.src = reach.id)"""
+  }
+
   /** Shared oracle for the MinHash-LSH near-dup pairs: q71 (Scala API) and
     * q125 (the SQL TVF route) must both produce exactly this. */
   private lazy val sqlMinhashPairs: String = {
@@ -1979,49 +2023,38 @@ object SparkEntry {
           n = 3, numHashes = 12, bands = 4, threshold = 0.2)
         ops.Dedup.nearDupClusters(pairs).orderBy("id")
       },
-      Some {
-        // same candidate pairs as q71's oracle, then transitive closure via a
-        // recursive CTE: cluster rep = min id reachable in the pair graph
-        val coeffs = ops.Dedup.hashCoeffs(12)
-        val sig = coeffs.map { case (a, b) =>
-          s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))"
-        }.mkString("[", ", ", "]")
-        val bandKeys = (0 until 4).map(bi =>
-          s"md5(concat_ws(',', sig[${bi * 3 + 1}], sig[${bi * 3 + 2}], sig[${bi * 3 + 3}]))")
-          .mkString("[", ", ", "]")
-        s"""
-        WITH RECURSIVE sh AS (
-          SELECT doc_id, ${sqlShingles("text")} AS sh FROM documents WHERE doc_id < 2000),
-        sig AS (
-          SELECT doc_id, sh, $sig AS sig FROM sh),
-        banded AS (
-          SELECT doc_id, sh, unnest($bandKeys) AS band_key,
-                 unnest(range(0, 4)) AS band_id
-          FROM sig),
-        cand AS (
-          SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
-          FROM banded l JOIN banded r
-            ON l.band_id = r.band_id AND l.band_key = r.band_key
-           AND l.doc_id < r.doc_id),
-        verified AS (
-          SELECT c.id_l, c.id_r
-          FROM cand c
-          JOIN sh l ON c.id_l = l.doc_id
-          JOIN sh r ON c.id_r = r.doc_id
-          WHERE CASE WHEN len(list_distinct(l.sh || r.sh)) = 0 THEN 1.0
-                     ELSE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
-                          / len(list_distinct(l.sh || r.sh)) END >= 0.2),
-        edges AS (
-          SELECT id_l AS src, id_r AS dst FROM verified
-          UNION SELECT id_r, id_l FROM verified),
-        nodes AS (SELECT DISTINCT src AS id FROM edges),
-        reach AS (
-          SELECT id, id AS r FROM nodes
-          UNION
-          SELECT e.dst AS id, reach.r
-          FROM reach JOIN edges e ON e.src = reach.id)
-        SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id ORDER BY id"""
-      }),
+      Some(s"""
+        WITH RECURSIVE $sqlNearDupClusterCte
+        SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id ORDER BY id""")),
+
+    // -- q181: per-cluster CANONICAL selection — q86's clusters with the
+    //    quality keep-policy on top: keep the highest-n_chars member of
+    //    each near-dup cluster (ties → smallest id); singletons keep
+    //    themselves. The "keep the best copy" refinement over min-id ----
+    Q("q181_cluster_canonical",
+      (s, dir) => {
+        val docs = T(s, dir, "documents").filter(col("doc_id") < 2000)
+        val pairs = ops.Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+          n = 3, numHashes = 12, bands = 4, threshold = 0.2)
+        ops.Dedup.canonicalPerCluster(docs, "doc_id", "n_chars",
+            ops.Dedup.nearDupClusters(pairs))
+          .orderBy("cluster_rep")
+      },
+      Some(s"""
+        WITH RECURSIVE $sqlNearDupClusterCte,
+        clu AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id),
+        m AS (SELECT d.doc_id AS id, coalesce(c.cluster_rep, d.doc_id) AS cluster_rep,
+                     d.n_chars
+              FROM documents d LEFT JOIN clu c ON c.id = d.doc_id
+              WHERE d.doc_id < 2000),
+        rk AS (SELECT *,
+                 row_number() OVER (PARTITION BY cluster_rep
+                   ORDER BY n_chars DESC, id) AS rk,
+                 count(*) OVER (PARTITION BY cluster_rep) AS n_members
+               FROM m)
+        SELECT cluster_rep, id AS keep_id, n_chars AS best_score,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM rk WHERE rk = 1 ORDER BY cluster_rep""")),
 
     // -- q72: SimHash near-dup (exact pigeonhole banding, hamming <= 3) -------
     Q("q72_simhash_neardup",
@@ -2063,6 +2096,26 @@ object SparkEntry {
           FROM sh l JOIN sh r ON l.source = r.source AND l.doc_id < r.doc_id)
         SELECT id_l, id_r, jaccard FROM pairs WHERE jaccard >= 0.2
         ORDER BY id_l, id_r""")),
+
+    // -- q182: n-gram CONTAINMENT pairs — the asymmetric dedup signal the
+    //    Jaccard family misses (a short doc fully quoted inside a long one
+    //    has low Jaccard but containment 1.0). Contained side prefix-
+    //    truncates (exact PPJoin bound adapted to containment), container
+    //    side offers its full set; every candidate verified exactly -------
+    Q("q182_containment_pairs",
+      (s, dir) => ops.Dedup.ngramContainmentPairs(
+        T(s, dir, "documents"), "doc_id", "text", blockCol = "source",
+        n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id, source, ${sqlShingles("text")} AS sh FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS containment
+          FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id <> b.doc_id)
+        SELECT id_a, id_b, containment FROM pairs WHERE containment >= 0.5
+        ORDER BY id_a, id_b""")),
 
     // -- q74: embedding-cosine near-dup pairs (LSH-blocked, exact verify) -----
     // -- q126: the PRODUCTION cosine-near-dup path — planes scale with the

@@ -483,6 +483,59 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram CONTAINMENT pairs within a blocking column — the
+    * asymmetric cousin of [[ngramJaccardPairs]]: emit (id_a, id_b,
+    * containment) for every ordered pair with
+    * `|Sa ∩ Sb| / |Sa| >= threshold` — "document a's n-grams are mostly
+    * inside b" (quote inclusion, boilerplate supersets, partial scrapes —
+    * the near-dup families MISS these: a short doc fully quoted inside a
+    * long one has low Jaccard but containment 1.0).
+    *
+    * Candidate generation is the exact PPJoin-style prefix bound adapted to
+    * containment: |Sa ∩ Sb| >= ceil(t·|Sa|) forces a shared element within
+    * the first |Sa| − ceil(t·|Sa|) + 1 elements of SORTED Sa — but only
+    * the CONTAINED side can prefix-truncate (the container must offer its
+    * whole set), so the join is a-prefix × b-full keyed on
+    * (block, shingle-hash). The size bound |Sb| >= ceil(t·|Sa|) prunes
+    * before the distinct; every candidate verifies with the exact
+    * linear-merge intersect. Zero recall loss within a block.
+    *
+    * Scale shape: the profile pass is ONE keyed exchange
+    * ([[shingleProfiles]]); candidates are keyed joins (never all pairs
+    * per block); verification is linear in candidates. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            blockCol: String, n: Int = 3,
+                            threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containment threshold must be in (0,1], got $threshold")
+    val sh = shingleProfiles(df, idCol, textCol, n, coeffs = Nil, keep = Seq(blockCol))
+      .select(col(idCol), col(blockCol), col("__shingles").as("__sh"),
+        size(col("__shingles")).as("__sz"))
+      .persistTracked()
+    val prefixLen = (col("__sz") - ceil(col("__sz") * threshold) + 1).cast("int")
+    val a = sh.select(col(idCol).as("id_a"), col(blockCol).as("__blk_a"),
+      col("__sz").as("__sz_a"), explode(slice(col("__sh"), lit(1), prefixLen)).as("__p"))
+    val b = sh.select(col(idCol).as("id_b"), col(blockCol).as("__blk_b"),
+      col("__sz").as("__sz_b"), explode(col("__sh")).as("__p"))
+    val cand = a.join(b,
+        col("__blk_a") <=> col("__blk_b") && a("__p") === b("__p"))
+      .where(col("id_a") =!= col("id_b"))
+      .where(col("__sz_b") >= ceil(col("__sz_a") * threshold))
+      .select("id_a", "id_b").distinct()
+    val sets = sh.select(col(idCol), col("__sh"), col("__sz"))
+    val inter = org.apache.spark.sql.GraftColumn.of(
+      graft.expressions.SortedIntersectCount(
+        org.apache.spark.sql.GraftColumn.expr(col("__sh_a")),
+        org.apache.spark.sql.GraftColumn.expr(col("__sh_b"))))
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"),
+        col("__sz").as("__sz_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (inter.cast("double") / col("__sz_a").cast("double")).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** Connected components over near-dup pairs: every document gets the
     * MINIMUM id reachable through the pair graph as its cluster
     * representative. Iterative min-label propagation — each round is one
@@ -543,6 +596,38 @@ object Dedup {
     // edges/labels checkpoint blocks are reclaimed by the ContextCleaner once
     // the frames go out of scope; nothing data-sized is pinned past the loop
     labels.select(col("id"), col("rep").as("cluster_rep"))
+  }
+
+  /** Per-cluster CANONICAL selection — the quality-aware keep policy on top
+    * of [[nearDupClusters]]: within each near-dup cluster keep the member
+    * with the HIGHEST score (ties → smallest id), instead of the blind
+    * min-id rule. This is the standard "keep the best copy" refinement
+    * (e.g. longest/highest-quality variant of a scraped page); documents
+    * absent from the pair graph are their own singleton cluster and
+    * survive as their own canonical.
+    *
+    * Output: one row per cluster —
+    * `(cluster_rep, keep_id, best_score, n_members)`.
+    *
+    * Scale shape: one cluster-keyed exchange; the rank window and the
+    * member count share its partitioning (no further exchange), and window
+    * partitions are near-dup clusters — small by construction. */
+  def canonicalPerCluster(df: DataFrame, idCol: String, scoreCol: String,
+                          clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spine = df.select(col(idCol).as("id"), col(scoreCol).as("__score"))
+    val withRep = spine
+      .join(clusters.select(col("id"), col("cluster_rep")), Seq("id"), "left")
+      .withColumn("cluster_rep", coalesce(col("cluster_rep"), col("id")))
+    val w = Window.partitionBy("cluster_rep")
+      .orderBy(col("__score").desc_nulls_last, col("id").asc)
+    val cw = Window.partitionBy("cluster_rep")
+    withRep
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(cw))
+      .where(col("__rk") === 1)
+      .select(col("cluster_rep"), col("id").as("keep_id"),
+        col("__score").as("best_score"), col("n_members"))
   }
 
   /** End-to-end near-dup corpus dedup: MinHash-LSH pairs → connected

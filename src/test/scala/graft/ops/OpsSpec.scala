@@ -222,6 +222,51 @@ class DedupSpec extends SparkSpec {
       .where(col("dup_tokens") =!= col("n_removed")).count() == 0)
   }
 
+  test("containment pairs: quote inclusion found in both roles; prefix filter loses nothing vs brute force") {
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote, "s"),                                     // fully inside 2
+      (2L, s"a1 a2 a3 $quote a4 a5 a6 a7 a8 a9 a10 a11 a12 a13 a14", "s"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10", "s"),          // unrelated
+      (4L, quote, "other"))                                 // other block
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.ngramContainmentPairs(docs, "doc_id", "text", "source",
+      n = 3, threshold = 0.8)
+      .select("id_a", "id_b", "containment").as[(Long, Long, Double)].collect()
+    // doc 1's 10 shingles all occur in doc 2 -> containment 1.0 for (1,2);
+    // the reverse direction is far below 0.8; doc 3 and the other-block
+    // copy never pair
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+    // exactness law on real data: the prefix-filtered result equals the
+    // brute-force all-ordered-pairs computation
+    val real = Tables.load(spark, sfDir, "documents").limit(300)
+    val got = Dedup.ngramContainmentPairs(real, "doc_id", "text", "source",
+      n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val prof = Dedup.shingleProfiles(real, "doc_id", "text", 3, Nil, Seq("source"))
+      .select(col("doc_id"), col("source"), col("__shingles"))
+    val brute = prof.as("a").join(prof.as("b"),
+        col("a.source") <=> col("b.source") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (size(array_intersect(col("a.__shingles"), col("b.__shingles"))).cast("double")
+          / size(col("a.__shingles")).cast("double")).as("c"))
+      .where(col("c") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == brute, s"prefix filter diverged: missing=${brute -- got} extra=${got -- brute}")
+  }
+
+  test("canonicalPerCluster keeps the best-scoring member; singletons keep themselves") {
+    val docs = Seq(
+      (1L, 50L), (2L, 90L), (3L, 90L),   // cluster rep 1: best score 90, tie -> id 2
+      (7L, 10L))                          // singleton
+      .toDF("doc_id", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "cluster_rep")
+    val out = Dedup.canonicalPerCluster(docs, "doc_id", "n_chars", clusters)
+      .select("cluster_rep", "keep_id", "best_score", "n_members")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L, 90L, 3L), (7L, 7L, 10L, 1L)))
+  }
+
   test("span dedup is immune to single-polynomial 31-bit gram collisions") {
     // Brute-force a REAL collision in the old 31-bit space: two distinct
     // 2-grams whose base-B polynomials over the md5 token hashes agree
