@@ -32,9 +32,14 @@ import graft.core.TrackedCache.TrackedDataset
   */
 object Similarity {
 
-  /** Quantize float[dim] to exact integer micro-units — unrolled array. */
+  /** Quantize float[dim] to exact integer micro-units — ONE fused native
+    * expression ([[graft.expressions.QuantizeVec]]; bit-identical to the
+    * historical 64-node unrolled `array(round(get(v,i)·1e6)…)` tree, whose
+    * SIZE — not runtime — dominated short similarity jobs through
+    * analysis/canonicalization/Janino). */
   def quantize(vec: Column, dim: Int): Column =
-    array((0 until dim).map(i => round(get(vec, lit(i)).cast("double") * 1000000d).cast("long")): _*)
+    org.apache.spark.sql.GraftColumn.of(graft.expressions.QuantizeVec(
+      org.apache.spark.sql.GraftColumn.expr(vec), dim))
 
   /** Exact int64 dot product — fused native expression (tight primitive
     * loop; tiny codegen footprint vs a 64-term unrolled tree whose Janino

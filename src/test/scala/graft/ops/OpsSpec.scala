@@ -2195,6 +2195,30 @@ class QuantizeSpec extends SparkSpec {
       (math.sqrt(c.map(x => x * x).sum) * math.sqrt(v.map(x => x * x).sum))
     assert(cos > 0.9999)
   }
+
+  test("fused QuantizeVec ≡ the unrolled round(get(v,i)·1e6) tree, incl. half-up and short/null edges") {
+    def unrolled(vec: org.apache.spark.sql.Column, dim: Int) =
+      array((0 until dim).map(i =>
+        round(get(vec, lit(i)).cast("double") * 1000000d).cast("long")): _*)
+    // real embeddings: element-wise equality across the whole fixture
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val diff = emb.select(
+        Similarity.quantize(col("embedding"), 64).as("a"),
+        unrolled(col("embedding"), 64).as("b"))
+      .where(not(col("a") <=> col("b"))).count()
+    assert(diff == 0L, s"$diff rows diverge from the unrolled form")
+    // adversarial values: exact .5 boundaries both signs (HALF_UP away from
+    // zero — Math.round would disagree at -0.0000005), short array → null
+    // tail, null element passthrough
+    val edge = Seq(
+      (1L, Array[java.lang.Float](0.0000005f, -0.0000005f, 1.5e-6f, null)),
+      (2L, Array[java.lang.Float](1.0f)))
+      .toDF("id", "v")
+    val got = edge.select(col("id"), Similarity.quantize(col("v"), 6).as("a"),
+        unrolled(col("v"), 6).as("b"))
+      .where(not(col("a") <=> col("b"))).count()
+    assert(got == 0L)
+  }
 }
 
 class TimeColsSpec extends SparkSpec {
