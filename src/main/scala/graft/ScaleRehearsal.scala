@@ -249,6 +249,11 @@ object ScaleRehearsal {
           docs, "doc_id", "text", n = 3, numHashes = 12, bands = 4, threshold = 0.2))),
         "q73_ngram_jaccard" -> (() => force(ops.Dedup.ngramJaccardPairs(
           docs, "doc_id", "text", blockCol = "source", n = 3, threshold = 0.2))),
+        // the asymmetric variant: contained-side prefix × container's full
+        // set — a bigger candidate join than Jaccard's prefix×prefix, but
+        // still keyed (block, shingle), never all pairs — expect ~linear
+        "q182_containment" -> (() => force(ops.Dedup.ngramContainmentPairs(
+          docs, "doc_id", "text", blockCol = "source", n = 3, threshold = 0.5))),
         // planes scale with the corpus (autoPlanes) — the documented LSH
         // dial; a FIXED plane count grows buckets linearly and the
         // within-bucket join quadratically (13x wall at 30x rows)
