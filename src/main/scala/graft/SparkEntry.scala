@@ -1825,6 +1825,38 @@ object SparkEntry {
     SELECT DISTINCT id_l, id_r, cosine FROM pairs WHERE cosine >= 0.5
     ORDER BY id_l, id_r"""
 
+  /** q183 oracle: the greedy k-center sequence unrolled round by round —
+    * each round a MATERIALIZED argmax of the running min-distance (exact
+    * BIGINT Σdiff², ties → smaller id), exactly the engine's selection
+    * rule. */
+  private def sqlKCenter(k: Int): String = {
+    def l2(a: String, b: String) =
+      s"""CAST(list_sum(list_transform(range(1, 65),
+          i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i]))) AS BIGINT)"""
+    val rounds = (2 to k).map { r =>
+      val (prevD, prevS) = (s"d${r - 1}", s"s${r - 1}")
+      val dSrc = if (r == 2)
+        s"""d1 AS MATERIALIZED (SELECT v.vec_id, v.qv, ${l2("v.qv", "s1.qv")} AS d
+              FROM v, s1 WHERE v.vec_id <> s1.vec_id)"""
+      else
+        s"""d${r - 1} AS MATERIALIZED (SELECT p.vec_id, p.qv,
+                LEAST(p.d, ${l2("p.qv", s"$prevS.qv")}) AS d
+              FROM d${r - 2} p, $prevS WHERE p.vec_id <> $prevS.vec_id)"""
+      s"""$dSrc,
+        s$r AS MATERIALIZED (SELECT vec_id, qv, d FROM $prevD
+          ORDER BY d DESC, vec_id LIMIT 1)"""
+    }.mkString(",\n        ")
+    val unions = (2 to k).map(r =>
+      s"UNION ALL SELECT CAST($r AS INT), vec_id, d FROM s$r").mkString("\n        ")
+    s"""
+        WITH v AS MATERIALIZED (SELECT vec_id, $sqlQVec AS qv FROM embeddings),
+        s1 AS MATERIALIZED (SELECT vec_id, qv FROM v ORDER BY vec_id LIMIT 1),
+        $rounds
+        SELECT CAST(1 AS INT) AS rank, vec_id, CAST(0 AS BIGINT) AS sel_dist FROM s1
+        $unions
+        ORDER BY rank"""
+  }
+
   /** Shared near-dup CLUSTER CTE chain (q71's candidate pairs → exact
     * Jaccard verify → transitive closure): ends at `reach(id, r)` — q86
     * reduces it to (id, cluster_rep), q181 layers the canonical keep-policy
@@ -2116,6 +2148,16 @@ object SparkEntry {
           FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id <> b.doc_id)
         SELECT id_a, id_b, containment FROM pairs WHERE containment >= 0.5
         ORDER BY id_a, id_b""")),
+
+    // -- q183: greedy k-center (farthest-point) coreset selection — the
+    //    diverse-subset curation primitive: k bounded corpus passes, the
+    //    selected set rides the plan as literals, exact int64 L2, ties →
+    //    smaller id — the whole greedy sequence is oracle-reproducible ----
+    Q("q183_kcenter_coreset",
+      (s, dir) => ops.Similarity.kCenterGreedy(
+        T(s, dir, "embeddings"), "vec_id", "embedding", k = 4)
+        .orderBy("rank"),
+      Some(sqlKCenter(4))),
 
     // -- q74: embedding-cosine near-dup pairs (LSH-blocked, exact verify) -----
     // -- q126: the PRODUCTION cosine-near-dup path — planes scale with the

@@ -828,6 +828,70 @@ object Similarity {
       }
     }
 
+  /** Greedy k-center (farthest-point) coreset selection — the classic
+    * diverse-subset primitive for training-data curation (coresets /
+    * active-learning seed sets): start from the smallest-id vector, then
+    * k−1 times add the point FARTHEST from everything selected so far
+    * (exact int64 squared L2 over micro-units; ties → smaller id). The
+    * greedy sequence is a 2-approximation of the optimal k-center cover —
+    * the standard guarantee — and fully deterministic, so the whole
+    * selection is oracle-reproducible.
+    *
+    * Output: (rank, vec_id, sel_dist) — selection order 1..k and each
+    * pick's squared distance to the nearest PREVIOUSLY selected point
+    * (the seed reports 0). A corpus smaller than k yields one row per
+    * vector.
+    *
+    * Scale shape: k bounded corpus passes (one TakeOrdered argmax per
+    * round) over a persisted quantized frame — never corpus×corpus; the
+    * selected set (≤ k vectors) rides the plan as literals, and each
+    * round's distance is `min(prev_min, L2-to-newest)` so the per-round
+    * expression stays O(1) in k via an accumulated distance column…
+    * recomputed per round from the ≤ k literal centers (k is small by
+    * contract — this is a coreset picker, not a clusterer; use
+    * [[kmeansCentroids]] for large k). */
+  def kCenterGreedy(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int = 64): DataFrame = {
+    require(k >= 1 && k <= 256, s"k must be in [1,256] (greedy coreset picker), got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus
+      .select(col(idCol).cast("long").as("vec_id"), quantize(col(vecCol), dim).as("__qv"))
+      .withColumn("__n", dotQ(col("__qv"), col("__qv"), dim))
+      .persistTracked()
+    // L2(v, center) = v·v − 2·v·c + c·c — one fused dot against the
+    // literal center plus the precomputed row norm
+    def l2To(center: Array[Long]): Column = {
+      val cn = ddot(center, center)
+      col("__n") - lit(2L) * dotQ(col("__qv"), typedLit(center.toSeq), dim) + lit(cn)
+    }
+    val first = c.orderBy(col("vec_id").asc_nulls_last).limit(1)
+      .select(col("vec_id"), col("__qv")).collect()
+    if (first.isEmpty)
+      return Seq.empty[(Int, Long, Long)].toDF("rank", "vec_id", "sel_dist")
+    var selected = List((first(0).getLong(0), first(0).getSeq[Long](1).toArray))
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)](
+      (1, selected.head._1, 0L))
+    var r = 2
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val minDist = selected.map { case (_, v) => l2To(v) }.reduce(least(_, _))
+      val pick = c
+        .where(!col("vec_id").isin(selected.map(_._1): _*))
+        .select(col("vec_id"), col("__qv"), minDist.as("__d"))
+        .orderBy(col("__d").desc, col("vec_id").asc).limit(1)
+        .collect()
+      if (pick.isEmpty) exhausted = true
+      else {
+        val row = pick(0)
+        selected = (row.getLong(0), row.getSeq[Long](1).toArray) :: selected
+        out += ((r, row.getLong(0), row.getLong(2)))
+        r += 1
+      }
+    }
+    out.toSeq.toDF("rank", "vec_id", "sel_dist")
+  }
+
   /** Persist an IVF-PQ index: the [[indexVectors]] layout with the raw
     * quantized vectors replaced by m-byte PQ codes — per-row storage drops
     * from 8·dim bytes to m (+ id), so the same probe IO covers a 64×

@@ -542,6 +542,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.1, s"ADC recall vs brute force too low: $recall")
   }
 
+  test("kCenterGreedy: farthest-point order, tie → smaller id, k > n, partition-invariant") {
+    def vec(x: Float) = (x +: Seq.fill(63)(0.0f)).toArray
+    val pts = Seq((0L, vec(0f)), (1L, vec(1f)), (2L, vec(10f)), (3L, vec(11f)))
+      .toDF("vec_id", "embedding")
+    // seed = smallest id (pos 0); farthest = pos 11; then pos 1 vs pos 10
+    // tie at min-dist 1e12 → smaller id wins; last picks the other
+    val out = Similarity.kCenterGreedy(pts, "vec_id", "embedding", k = 4)
+      .select("rank", "vec_id", "sel_dist").as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1, 0L, 0L), (2, 3L, 121L * 1000000000000L),
+      (3, 1L, 1000000000000L), (4, 2L, 1000000000000L)))
+    // k beyond the corpus: one row per vector, no failure
+    assert(Similarity.kCenterGreedy(pts, "vec_id", "embedding", k = 9).count() == 4L)
+    // physical partitioning must not change the greedy sequence
+    val out7 = Similarity.kCenterGreedy(pts.repartition(7), "vec_id", "embedding", k = 4)
+      .select("rank", "vec_id", "sel_dist").as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(out7.toSeq == out.toSeq)
+  }
+
   test("ADC rankers refuse an unbounded query side (plan-literal cap)") {
     // |queries|·m·ksub literal entries cap at 2^20: at m=8, ksub=16 the
     // guard trips past 8192 queries — build 8193 synthetic unit vectors
