@@ -288,4 +288,39 @@ class SparkPropertySpec extends SparkSpec {
       .select("id", "clean_text").collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(out == Map(1L -> "u1 u2 u3 u4 u5 u6 u7", 2L -> "v1 v2 v3"))
   }
+
+  test("DualPolyRollHash: packing law h1*P+h2, window count, and per-window polynomial identity") {
+    import graft.expressions.{DualPolyRollHash, PolyRollHash, TokenHashes}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val P = TokenHashes.P
+    val genArr = for {
+      n <- Gen.choose(0, 24)
+      a <- Gen.listOfN(n, Gen.choose(0L, P - 1))
+      b <- Gen.listOfN(n, Gen.choose(0L, P - 1))
+      span <- Gen.choose(1, 9)
+    } yield (a.toArray, b.toArray, span)
+    (0 until 200).foreach { seed =>
+      val (a, b, span) = genArr.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val dual = DualPolyRollHash.roll(
+        new GenericArrayData(a), new GenericArrayData(b), span).toLongArray()
+      val r1 = PolyRollHash.roll(new GenericArrayData(a), span, P).toLongArray()
+      // the tail stream under base B2: recompute positionally from scratch
+      def polyAt(h: Array[Long], i: Int, L: Int, base: Long): Long = {
+        var acc = 0L; var k = 0
+        while (k < L) { acc = (acc * base + h(i + k) % P) % P; k += 1 }
+        acc
+      }
+      val expectedLen =
+        if (a.length == 0) 0 else math.max(1, a.length - span + 1)
+      assert(dual.length == expectedLen && r1.length == expectedLen)
+      dual.indices.foreach { i =>
+        val l = math.min(span, a.length)
+        val off = if (a.length < span) 0 else i
+        val h2 = polyAt(b, off, l, PolyRollHash.B2)
+        assert(dual(i) == r1(i) * P + h2,
+          s"window $i: ${dual(i)} != ${r1(i)} * P + $h2 (span $span, n ${a.length})")
+        assert(dual(i) >= 0, "packed fingerprint overflowed")
+      }
+    }
+  }
 }
