@@ -403,8 +403,10 @@ object Stats {
     // per-group counts via a PARTIAL-AGGREGATED tiny frame + broadcast join
     // — NOT an unbounded-frame window: count().over(whole group) makes
     // WindowExec buffer every group row in its frame array (measured ~3x
-    // the whole op). The in-plan guard (the histogramPercentile pattern)
-    // rides the count.
+    // the whole op). (An explicit shared repartition was tried and rejected:
+    // without guaranteed exchange reuse it turns the count branch's tiny
+    // partial-agged exchange into a raw-row shuffle.) The in-plan guard
+    // (the histogramPercentile pattern) rides the count.
     val guard = when(col("__cnt") > maxSortGroup, raise_error(lit(
       s"groupedSortPercentiles: a group exceeds $maxSortGroup rows — one task " +
         "would sort an unbounded hot key; use groupedExactPercentilesUnbounded " +
