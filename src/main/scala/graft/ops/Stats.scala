@@ -18,6 +18,11 @@ object Stats {
     * column) and the correct tool is percentile_approx. */
   val DefaultMaxDistinct = 65536
 
+  /** Row cap for the GLOBAL exact-percentile sort tier (one task sorts the
+    * whole finite column in a single window partition); columns beyond it
+    * take the iterative bins-only narrowing. */
+  val ExactPercentileSortCap: Long = 1L << 22
+
   /** Runtime guard for the bounded-cardinality contract: adds 0 when the
     * histogram is within bounds, raises a loud error the moment any window
     * partition's bin count exceeds `maxDistinct`. Embedded into an already-
@@ -220,17 +225,23 @@ object Stats {
     * Returns a 1-row frame (percentile: double). `ps` variant below shares
     * the initial count/min/max pass across requested percentiles. */
   def exactPercentileUnbounded(df: DataFrame, valueCol: String, p: Double,
-      nBins: Int = 8192, maxResidual: Long = 1L << 17): DataFrame =
+      nBins: Int = 8192, maxResidual: Long = 1L << 17,
+      maxSortRows: Long = ExactPercentileSortCap): DataFrame =
     // single-output column is always named "percentile", so ANY p in [0,1]
     // is fine here — the whole-percent label guard applies only to the
     // multi form, whose labels ARE the output columns
-    exactPercentilesImpl(df, valueCol, Seq(p), Seq("percentile"), nBins, maxResidual)
+    exactPercentilesImpl(df, valueCol, Seq(p), Seq("percentile"), nBins,
+      maxResidual, maxSortRows)
 
   /** Multi-percentile form of [[exactPercentileUnbounded]]: one shared
-    * count/min/max pass, then one rank-selection per DISTINCT bracketing
-    * rank (p25/p50/p75/p99 over the same column reuse nothing else — each
-    * rank's narrowing walks its own range). Output is one row with a
-    * `p<round(p*100)>` double column per requested p (a p that does not
+    * count/min/max pass, then — for a column that fits one task's sort
+    * (≤ `maxSortRows` finite values) — ONE global rank-pick pass (the
+    * [[groupedSortPercentiles]] discipline: row_number + broadcast rank
+    * filter; the single-partition sort is bounded by the cap). Beyond the
+    * cap, one rank-selection per DISTINCT bracketing rank (p25/p50/p75/p99
+    * over the same column reuse nothing else — each rank's narrowing walks
+    * its own range) over the persisted value frame. Output is one row with
+    * a `p<round(p*100)>` double column per requested p (a p that does not
     * round-trip through that whole-percent label — 0.999, 0.005 — fails
     * loudly rather than silently mislabeling the column).
     *
@@ -240,12 +251,14 @@ object Stats {
     * over the finite values only (NaN would poison min/max and every bin
     * boundary — the histogram ranges could never converge). */
   def exactPercentilesUnbounded(df: DataFrame, valueCol: String, ps: Seq[Double],
-      nBins: Int = 8192, maxResidual: Long = 1L << 17): DataFrame =
-    exactPercentilesImpl(df, valueCol, ps, percentileLabels(ps), nBins, maxResidual)
+      nBins: Int = 8192, maxResidual: Long = 1L << 17,
+      maxSortRows: Long = ExactPercentileSortCap): DataFrame =
+    exactPercentilesImpl(df, valueCol, ps, percentileLabels(ps), nBins,
+      maxResidual, maxSortRows)
 
   private def exactPercentilesImpl(df: DataFrame, valueCol: String,
       ps: Seq[Double], names: Seq[String],
-      nBins: Int, maxResidual: Long): DataFrame = {
+      nBins: Int, maxResidual: Long, maxSortRows: Long): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"ps must be in [0,1]: $ps")
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     require(maxResidual >= 1 && maxResidual < Int.MaxValue, s"maxResidual out of range: $maxResidual")
@@ -266,11 +279,7 @@ object Stats {
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     val (globalLo, globalHi) =
       if (nFinite == 0L) (0.0, 0.0) else (head.getDouble(2), head.getDouble(3))
-    // every narrowing round and the residual pass rescan this 1-column
-    // frame — persist it (disk-backed) so rounds after the first read
-    // columnar cache instead of re-decoding parquet; released before return
     val base = base0.where(!isnan(col("__v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one narrowing state per DISTINCT bracketing rank across all requested
     // percentiles (p25/p50/p75 share ranks whenever n is small); rounds are
     // BATCHED — every state at the same depth shares ONE Spark action, so
@@ -288,6 +297,35 @@ object Stats {
       if (rk >= nFinite) st.ans = Some(Double.NaN)
       st
     }
+    // SORT TIER (the groupedSortPercentiles discipline, global form): a
+    // column that fits one task's sort resolves every rank in ONE pass —
+    // global row_number + a broadcast rank filter. The single-partition
+    // sort is bounded by the same contract that bounds a grouped hot key;
+    // beyond it the iterative bins-only narrowing below takes over.
+    val sortable = nFinite > 0 && nFinite <= maxSortRows &&
+      states.exists(_.ans.isEmpty)
+    if (sortable) {
+      import org.apache.spark.sql.types._
+      val wanted = states.filter(_.ans.isEmpty)
+      val rSchema = StructType(Seq(StructField("__wr", LongType)))
+      val rdf = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            wanted.map(st => org.apache.spark.sql.Row(Long.box(st.rank)))).asJava), rSchema)
+      val w = Window.orderBy("__v")
+      val got = base
+        .withColumn("__idx", row_number().over(w).cast("long") - 1)
+        .join(broadcast(rdf), col("__idx") === col("__wr"))
+        .select(col("__wr"), col("__v")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      wanted.foreach(st => st.ans = Some(got(st.rank)))
+    }
+    // every narrowing round and the residual pass rescan the 1-column
+    // frame — persist it (disk-backed) for that path alone; released
+    // before return
+    val narrowing = states.exists(_.ans.isEmpty)
+    if (narrowing)
+      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var rounds = 0
     while (states.exists(st => st.ans.isEmpty && st.cnt > maxResidual)) {
       rounds += 1
@@ -346,7 +384,7 @@ object Stats {
         .map(r => r.getInt(0) -> r.getDouble(1)).toMap
       residual.zipWithIndex.foreach { case (st, tag) => st.ans = Some(got(tag)) }
     }
-    base.unpersist(false)
+    if (narrowing) base.unpersist(false)
     val byRank = states.map(st => st.rank -> st.ans.get).toMap
     val out = ps.map { p =>
       val k = p * (n - 1)

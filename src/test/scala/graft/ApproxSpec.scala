@@ -70,7 +70,7 @@ class ApproxSpec extends SparkSpec {
       .select((pmod(col("id") * 7919, lit(997)).cast("double") / 3.0 + 0.125).as("v"))
     Seq(0.0, 0.25, 0.5, 0.739, 0.75, 1.0).foreach { p =>
       val got = graft.ops.Stats.exactPercentileUnbounded(cont, "v", p,
-        nBins = 4, maxResidual = 8).as[Double].head()
+        nBins = 4, maxResidual = 8, maxSortRows = 8).as[Double].head()
       val ref = cont.agg(expr(s"percentile(v, $p)")).as[Double].head()
       assert(got == ref, s"p=$p: rank-select $got vs percentile() $ref")
     }
@@ -120,7 +120,7 @@ class ApproxSpec extends SparkSpec {
     // would otherwise never converge on (NaN poisons min/max and bins)
     val vs = Seq(1.0, 3.0, 2.0, Double.NaN, Double.NaN).toDF("v")
     val row = S.exactPercentilesUnbounded(vs, "v", Seq(0.5, 0.75, 1.0),
-      nBins = 4, maxResidual = 2).head()
+      nBins = 4, maxResidual = 2, maxSortRows = 2).head()
     val ref = vs.agg(expr("percentile(v, 0.5)"), expr("percentile(v, 0.75)"),
       expr("percentile(v, 1.0)")).head()
     assert(row.getDouble(0) == ref.getDouble(0))
