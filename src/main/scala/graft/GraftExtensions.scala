@@ -176,6 +176,17 @@ object GraftExtensions {
           int(args(4), "n"), dbl(args(5), "threshold"))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_containment_pairs"),
+      info("graft_containment_pairs",
+        "graft_containment_pairs(table, idCol, textCol, blockCol, n, threshold) - asymmetric n-gram containment pairs (|Sa∩Sb|/|Sa| >= t — quote/subset detection Jaccard misses); exact contained-side prefix filtering"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "usage: graft_containment_pairs(table, idCol, textCol, blockCol, n, threshold)")
+        ops.Dedup.ngramContainmentPairs(table(str(args(0), "table")),
+          str(args(1), "idCol"), str(args(2), "textCol"), str(args(3), "blockCol"),
+          int(args(4), "n"), dbl(args(5), "threshold"))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_cosine_topk"),
       info("graft_cosine_topk",
         "graft_cosine_topk(queryTable, corpusTable, queryIdCol, corpusIdCol, vecCol, k) - brute-force cosine top-k (query side broadcast)"),

@@ -154,6 +154,15 @@ class SqlTvfSpec extends SparkSpec {
         ops.TextOps.learnBpeMerges(docs, "text", 6)))
   }
 
+  test("graft_containment_pairs == the Scala API") {
+    docs.createOrReplaceTempView("tvf_docs_cont")
+    same(
+      spark.sql("SELECT * FROM graft_containment_pairs('tvf_docs_cont','doc_id','text','source',3,0.5)"),
+      ops.Dedup.ngramContainmentPairs(docs, "doc_id", "text", "source", 3, 0.5))
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft_containment_pairs('tvf_docs_cont','doc_id','text')").collect())
+  }
+
   test("graft_unigram_learn / graft_unigram_encode == their Scala APIs; learn feeds encode in SQL") {
     docs.createOrReplaceTempView("tvf_docs_uni")
     same(
