@@ -561,6 +561,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out7.toSeq == out.toSeq)
   }
 
+  test("kCenterGreedy: greedy cover radius within the 2-approximation bound of the brute-force optimum") {
+    // classic guarantee: greedy max-min radius <= 2x optimal k-center
+    // radius — on SQUARED distances that is a factor 4. Deterministic tiny
+    // instances, optimum by exhaustive subset search.
+    val rnd = new scala.util.Random(7)
+    (0 until 5).foreach { trial =>
+      val n = 6 + rnd.nextInt(3)
+      val k = 2 + rnd.nextInt(2)
+      val vecs = (0 until n).map(i =>
+        (i.toLong, Array.fill(64)(rnd.nextInt(21).toFloat - 10f)))
+      val df = vecs.toDF("vec_id", "embedding")
+      val picked = Similarity.kCenterGreedy(df, "vec_id", "embedding", k)
+        .select("vec_id").as[Long].collect().toSet
+      assert(picked.size == k && picked.contains(vecs.map(_._1).min))
+      def q(v: Array[Float]) = v.map(x => math.round(x.toDouble * 1e6))
+      def d2(a: Array[Long], b: Array[Long]) =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val qs = vecs.map { case (id, v) => id -> q(v) }.toMap
+      def radius(centers: Set[Long]): Long =
+        vecs.map { case (id, _) => centers.map(c => d2(qs(id), qs(c))).min }.max
+      val greedyR = radius(picked)
+      val optR = vecs.map(_._1).combinations(k).map(s => radius(s.toSet)).min
+      assert(greedyR <= 4 * optR,
+        s"trial $trial (n=$n,k=$k): greedy r2 $greedyR > 4x optimal $optR")
+    }
+  }
+
   test("ADC rankers refuse an unbounded query side (plan-literal cap)") {
     // |queries|·m·ksub literal entries cap at 2^20: at m=8, ksub=16 the
     // guard trips past 8192 queries — build 8193 synthetic unit vectors
