@@ -20,7 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   *    Spark's Round double semantics — BigDecimal HALF_UP (away from
   *    zero), NOT Math.round (which rounds -0.5 toward +infinity);
   *  - `dim` output elements always: a missing index (input shorter than
-  *    `dim`) or a NULL element yields NULL, exactly like `get(v, i)`.
+  *    `dim`) or a NULL element yields NULL, exactly like `get(v, i)`;
+  *  - non-finite elements follow the LEGACY (non-ANSI) cast chain —
+  *    NaN → 0, +Inf → Long.MaxValue, -Inf → Long.MinValue — a deliberate
+  *    total-function choice: ANSI cast (the session default) would abort
+  *    the whole job on one NaN embedding element, which is the wrong
+  *    failure mode for a quantizer feeding 100 TB similarity scans.
   */
 case class QuantizeVec(child: Expression, dim: Int) extends UnaryExpression {
   require(dim >= 1, s"dim must be >= 1, got $dim")
@@ -50,10 +55,21 @@ case class QuantizeVec(child: Expression, dim: Int) extends UnaryExpression {
 
 object QuantizeVec {
   /** `round(x·1e6)` with Spark's Round-on-double rule (BigDecimal HALF_UP —
-    * away from zero on .5, unlike Math.round). */
-  private def roundMicro(d: Double): Long =
-    java.math.BigDecimal.valueOf(d * 1000000d)
+    * away from zero on .5, unlike Math.round). Non-finite inputs reproduce
+    * Spark's `cast(round(double) as long)` chain instead of reaching
+    * `BigDecimal.valueOf` (which throws on NaN/Inf): Round passes NaN/Inf
+    * through untouched and the long cast then yields 0 / Long.MaxValue /
+    * Long.MinValue — so one NaN embedding element degrades that element,
+    * not the whole job. The scaled value is what's guarded: a finite x
+    * near ±1.8e302 overflows to ±Inf only after the ·1e6. */
+  private def roundMicro(d: Double): Long = {
+    val scaled = d * 1000000d
+    if (java.lang.Double.isNaN(scaled)) 0L
+    else if (scaled == Double.PositiveInfinity) Long.MaxValue
+    else if (scaled == Double.NegativeInfinity) Long.MinValue
+    else java.math.BigDecimal.valueOf(scaled)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+  }
 
   def quantize(arr: ArrayData, dim: Int, isFloat: Boolean): ArrayData = {
     val n = arr.numElements()

@@ -175,6 +175,25 @@ object Dedup {
     when(uni === 0, lit(1.0)).otherwise(inter.cast("double") / uni.cast("double"))
   }
 
+  /** Integer-robust PPJoin overlap bound: the smallest integer k admitted
+    * by the VERIFY step's own double arithmetic (`k / sz >= t`), never the
+    * raw `ceil(sz·t)` — whose double product can round up past an exact
+    * integer boundary (e.g. t=0.07, sz=100: fl(100·0.07)=7.000…01 → ceil 8,
+    * yet inter=7 verifies since fl(7/100) >= 0.07) and silently drop
+    * exact-boundary pairs, contradicting "zero recall loss". One
+    * conditional decrement restores the boundary (the product's FP error is
+    * « 1 for any 32-bit set size); the second is belt-and-braces. Any
+    * undershoot is recall-safe — a looser bound only admits more
+    * candidates, and the exact verify decides. Floored at 1 (a qualifying
+    * pair shares at least one element). */
+  private[ops] def overlapBound(sz: Column, threshold: Double): Column = {
+    val t = lit(threshold)
+    val a0 = ceil(sz * t)
+    val a1 = when((a0 - 1).cast("double") / sz.cast("double") >= t, a0 - 1).otherwise(a0)
+    val a2 = when((a1 - 1).cast("double") / sz.cast("double") >= t, a1 - 1).otherwise(a1)
+    greatest(a2, lit(1L))
+  }
+
   /** LSH band planner (Leskovec/Rajaraman/Ullman, MMDS §3.4.3): choose
     * (bands, rowsPerBand) with bands·rows = numHashes whose candidate
     * S-curve p(s) = 1 − (1 − s^rows)^bands best matches a step at
@@ -459,7 +478,7 @@ object Dedup {
       .select(col(idCol), col(blockCol), col("__shingles").as("__sh"),
         size(col("__shingles")).as("__sz"))
       .persistTracked()
-    val prefixLen = (col("__sz") - ceil(col("__sz") * threshold) + 1).cast("int")
+    val prefixLen = (col("__sz") - overlapBound(col("__sz"), threshold) + 1).cast("int")
     val pre = sh.select(col(idCol), col(blockCol), col("__sz"),
       explode(slice(col("__sh"), lit(1), prefixLen)).as("__p"))
     val l = pre.select(col(idCol).as("id_l"), col(blockCol).as("__blk_l"), col("__sz").as("__sz_l"), col("__p"))
@@ -492,8 +511,10 @@ object Dedup {
     * long one has low Jaccard but containment 1.0).
     *
     * Candidate generation is the exact PPJoin-style prefix bound adapted to
-    * containment: |Sa ∩ Sb| >= ceil(t·|Sa|) forces a shared element within
-    * the first |Sa| − ceil(t·|Sa|) + 1 elements of SORTED Sa — but only
+    * containment: |Sa ∩ Sb| >= α(|Sa|) (the integer-robust
+    * [[overlapBound]], matching the verify arithmetic at exact boundaries)
+    * forces a shared element within the first |Sa| − α + 1 elements of
+    * SORTED Sa — but only
     * the CONTAINED side can prefix-truncate (the container must offer its
     * whole set), so the join is a-prefix × b-full keyed on
     * (block, shingle-hash). The size bound |Sb| >= ceil(t·|Sa|) prunes
@@ -512,7 +533,7 @@ object Dedup {
       .select(col(idCol), col(blockCol), col("__shingles").as("__sh"),
         size(col("__shingles")).as("__sz"))
       .persistTracked()
-    val prefixLen = (col("__sz") - ceil(col("__sz") * threshold) + 1).cast("int")
+    val prefixLen = (col("__sz") - overlapBound(col("__sz"), threshold) + 1).cast("int")
     val a = sh.select(col(idCol).as("id_a"), col(blockCol).as("__blk_a"),
       col("__sz").as("__sz_a"), explode(slice(col("__sh"), lit(1), prefixLen)).as("__p"))
     val b = sh.select(col(idCol).as("id_b"), col(blockCol).as("__blk_b"),
@@ -520,7 +541,7 @@ object Dedup {
     val cand = a.join(b,
         col("__blk_a") <=> col("__blk_b") && a("__p") === b("__p"))
       .where(col("id_a") =!= col("id_b"))
-      .where(col("__sz_b") >= ceil(col("__sz_a") * threshold))
+      .where(col("__sz_b") >= overlapBound(col("__sz_a"), threshold))
       .select("id_a", "id_b").distinct()
     val sets = sh.select(col(idCol), col("__sh"), col("__sz"))
     val inter = org.apache.spark.sql.GraftColumn.of(

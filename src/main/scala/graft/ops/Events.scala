@@ -159,6 +159,16 @@ object Events {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
     val kField = df.schema(keyCol)
+    // group-boundary detection below uses external-value equality (`==` on
+    // Row.get). That is value equality for every orderable external type
+    // Spark will let through the repartition/sort (numerics, strings,
+    // date/time, decimals, arrays→ArraySeq, structs→Row) EXCEPT BinaryType,
+    // whose Array[Byte] compares by reference — every event would silently
+    // become its own group. Fail loudly instead of documenting a footgun.
+    require(!kField.dataType.isInstanceOf[BinaryType],
+      s"ewmaPerKey: key column '$keyCol' is BINARY — Array[Byte] equality is " +
+        "reference-based, so group boundaries cannot be detected; cast the " +
+        "key to STRING (e.g. hex(key)) first")
     val prepared = df.where(col(valueCol).isNotNull)
       .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
         col(idCol).as("__id"), col(valueCol).cast("double").as("__v"))

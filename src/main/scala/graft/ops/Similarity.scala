@@ -745,13 +745,16 @@ object Similarity {
   }
 
   /** Driver-side memo of persisted-index metadata (PQ codebook + centroid
-    * rows), keyed on (store root, feature, version) — store versions are
-    * immutable, so entries never go stale; a rebuilt index bumps the
-    * version and naturally misses. Bounded by distinct indexes a driver
-    * serves (and a 64-entry hard cap evicting arbitrarily — metadata is a
-    * few KB, the cap is a leak backstop for index-churning tests). */
+    * rows), keyed on (store root, feature, pqbook version, centroids
+    * version) — store versions are immutable and the loader PINS both
+    * reads to the versions captured in the key (`asOfVersion`), so a
+    * cached entry can never be torn by an index rebuild racing a query: a
+    * rebuilt index bumps the versions and naturally misses. Bounded by
+    * distinct indexes a driver serves (and a 64-entry hard cap evicting
+    * under the map's own lock — metadata is a few KB, the cap is a leak
+    * backstop for index-churning tests). */
   private val pqIndexMetaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Long),
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long, Long),
       (Array[Array[Array[Long]]], Array[(Long, Array[Long])])]() {
     }
 
@@ -946,18 +949,25 @@ object Similarity {
     // serving loop pays the two metadata reads once per index build, not
     // per query batch (cache invalidates itself: a new build bumps the
     // version and misses)
-    val metaKey = (store.root, feature,
-      store.latestVersion(s"${feature}_pqbook").getOrElse(
-        sys.error(s"no ${feature}_pqbook in store ${store.root}")))
-    if (pqIndexMetaCache.size > 64) pqIndexMetaCache.clear() // leak backstop
+    val bookV = store.latestVersion(s"${feature}_pqbook").getOrElse(
+      sys.error(s"no ${feature}_pqbook in store ${store.root}"))
+    val centV = store.latestVersion(s"${feature}_centroids").getOrElse(
+      sys.error(s"no ${feature}_centroids in store ${store.root}"))
+    val metaKey = (store.root, feature, bookV, centV)
+    // leak backstop: clear under the map's lock (atomic check-then-act)
+    pqIndexMetaCache.synchronized {
+      if (pqIndexMetaCache.size > 64) pqIndexMetaCache.clear()
+    }
     val (cb, centRows) = pqIndexMetaCache.computeIfAbsent(metaKey, _ => {
-      val bookRows = store.read(s"${feature}_pqbook", Seq("__ck"))
+      // reads PINNED to the key's versions: a rebuild racing this load can
+      // never produce a cached codebook/centroid pair from two builds
+      val bookRows = store.read(s"${feature}_pqbook", Seq("__ck"), Some(bookV))
         .select(col("pq_s"), col("pq_code"), col("pq_centv")).collect()
       val mm = bookRows.map(_.getInt(0)).max + 1
       val kk = bookRows.map(_.getInt(1)).max + 1
       val book = Array.ofDim[Array[Long]](mm, kk)
       bookRows.foreach(r => book(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray)
-      val cents = store.read(s"${feature}_centroids", Seq("cent_id"))
+      val cents = store.read(s"${feature}_centroids", Seq("cent_id"), Some(centV))
         .select(col("cent_id"), col("__centv")).collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
       (book, cents)

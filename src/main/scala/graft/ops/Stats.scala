@@ -438,7 +438,8 @@ object Stats {
     val names = percentileLabels(ps)
     val base = df.where(col(valueCol).isNotNull)
       .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
-    // per-group counts via a PARTIAL-AGGREGATED tiny frame + broadcast join
+    // per-group counts via a PARTIAL-AGGREGATED tiny frame + join (AQE
+    // picks broadcast when it fits)
     // — NOT an unbounded-frame window: count().over(whole group) makes
     // WindowExec buffer every group row in its frame array (measured ~3x
     // the whole op). (An explicit shared repartition was tried and rejected:
@@ -452,11 +453,17 @@ object Stats {
     val counts = base.groupBy("__g").agg(count(lit(1)).as("__cnt"))
       .select(col("__g").as("__cg"), (col("__cnt") + guard).as("__n"))
     // rank via row_number alone (its running frame streams; only the
-    // unbounded count frame would buffer — that one rides the join above)
+    // unbounded count frame would buffer — that one rides the join above).
+    // NO broadcast hint on the counts join: |groups| is unbounded here
+    // (unlike groupedExactPercentilesUnbounded's maxGroups contract), and a
+    // forced broadcast of a high-cardinality group column would exhaust the
+    // driver with an opaque error. AQE broadcasts it at runtime whenever
+    // the partial-agged frame is actually small — the common case — and
+    // falls back to a keyed join on the same __g exchange otherwise.
     val w = Window.partitionBy("__g").orderBy("__v")
     val ranked = base
       .withColumn("__idx", row_number().over(w).cast("long") - 1)
-      .join(broadcast(counts), col("__g") <=> col("__cg"))
+      .join(counts, col("__g") <=> col("__cg"))
     def k(p: Double) = lit(p) * (col("__n") - 1).cast("double")
     val aggs = ps.zip(names).flatMap { case (p, nm) =>
       Seq(

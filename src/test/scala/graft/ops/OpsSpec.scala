@@ -255,6 +255,26 @@ class DedupSpec extends SparkSpec {
     assert(got == brute, s"prefix filter diverged: missing=${brute -- got} extra=${got -- brute}")
   }
 
+  test("overlapBound is the exact verify-arithmetic minimum k (ceil in doubles overshoots boundaries)") {
+    // the law: overlapBound(sz, t) == min{ k >= 1 : k.toDouble/sz.toDouble >= t },
+    // i.e. the loosest bound that never excludes a pair the verify step accepts
+    val thresholds = Seq(0.07, 0.1, 0.3, 0.5, 0.7, 0.8, 1.0 / 3.0, 1.0)
+    val szs = (1 to 500).map(_.toLong)
+    for (t <- thresholds) {
+      val got = szs.toDF("sz")
+        .select(col("sz"), Dedup.overlapBound(col("sz"), t).as("b"))
+        .as[(Long, Long)].collect().toMap
+      for (sz <- szs) {
+        val want = (1L to sz).find(k => k.toDouble / sz.toDouble >= t).getOrElse(sz)
+        assert(got(sz) == want, s"sz=$sz t=$t: got ${got(sz)}, want $want")
+      }
+    }
+    // the motivating boundary: t=0.07, sz=100 — fl(100·0.07)=7.000…01 so raw
+    // ceil says 8, but inter=7 verifies (fl(7/100) == the 0.07 literal)
+    assert(math.ceil(100 * 0.07) == 8.0)
+    assert(7.0 / 100.0 >= 0.07)
+  }
+
   test("canonicalPerCluster keeps the best-scoring member; singletons keep themselves") {
     val docs = Seq(
       (1L, 50L), (2L, 90L), (3L, 90L),   // cluster rep 1: best score 90, tie -> id 2
@@ -2264,6 +2284,26 @@ class QuantizeSpec extends SparkSpec {
         unrolled(col("v"), 6).as("b"))
       .where(not(col("a") <=> col("b"))).count()
     assert(got == 0L)
+    // non-finite elements: round() passes NaN/Inf through and the LEGACY
+    // long cast yields 0 / Long.MaxValue / Long.MinValue — the fused form
+    // reproduces that total-function chain instead of throwing (one NaN
+    // embedding element must not kill a 100 TB job; ANSI cast would)
+    val nonFinite = Seq(
+      (1L, Array(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity, 2.5f)))
+      .toDF("id", "v")
+    val vals = nonFinite.select(Similarity.quantize(col("v"), 4))
+      .as[Array[Long]].head()
+    assert(vals.sameElements(Array(0L, Long.MaxValue, Long.MinValue, 2500000L)),
+      vals.mkString(","))
+    // pin "legacy chain" literally: with ANSI off the unrolled tree agrees
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val nf = nonFinite.select(col("id"),
+          Similarity.quantize(col("v"), 4).as("a"), unrolled(col("v"), 4).as("b"))
+        .where(not(col("a") <=> col("b"))).count()
+      assert(nf == 0L)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
   }
 }
 
@@ -2556,6 +2596,14 @@ class EwmaSpec extends SparkSpec {
     assert(out2 == out)
     intercept[IllegalArgumentException](
       graft.ops.Events.ewmaPerKey(df, "user_id", "ts", "event_id", "value", 1.0))
+    // a BINARY key must be rejected loudly at plan time — Array[Byte]'s
+    // reference equality would silently make every event its own group
+    val binKeyed = df.withColumn("bkey",
+      org.apache.spark.sql.functions.unhex(
+        org.apache.spark.sql.functions.conv(col("user_id"), 10, 16)))
+    val err = intercept[IllegalArgumentException](
+      graft.ops.Events.ewmaPerKey(binKeyed, "bkey", "ts", "event_id", "value", 0.25))
+    assert(err.getMessage.contains("BINARY"))
   }
 
   test("ewmaPerKey: a pathologically hot key streams through the fold") {
