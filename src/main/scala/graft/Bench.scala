@@ -50,16 +50,24 @@ object Bench {
     // count; r10's splittable-layout sf1 run averaged 8-12 with nothing
     // else running), so it defaults to half the worker count and catches
     // only gross foreign load stacked on top.
-    val loadIdle = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_IDLE", "4.0").toDouble
+    // idle threshold 1.5 (was 4.0 through r12): the r12 record started at
+    // loadavg 3.49 and its 0.61x-vs-0.71x spread against the judge's
+    // re-run was pure box noise that cost an adjudication hour — the gate
+    // now waits for a genuinely quiet box (up to loadWaitSec) and the
+    // record carries loadavg_at_start so a reader can tell at a glance
+    // whether the gate was met or timed out.
+    val loadIdle = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_IDLE", "1.5").toDouble
     val loadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX",
       math.max(4.0, cpus.toInt * 0.5).toString).toDouble
-    val loadWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT", "120").toInt
+    val loadWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT", "300").toInt
     val waitStart = System.nanoTime()
     while (loadavg1() > loadIdle &&
         (System.nanoTime() - waitStart) / 1e9 < loadWaitSec) {
       System.err.println(f"[bench] loadavg ${loadavg1()}%.2f > $loadIdle%.1f — waiting for idle")
       Thread.sleep(5000)
     }
+    val loadavgAtStart = loadavg1()
+    val idleGateMet = loadavgAtStart <= loadIdle
 
     // warmup: initialize parquet reader, codegen, shuffle machinery
     val w = Tables.load(spark, sfDir, "region")
@@ -227,7 +235,7 @@ object Bench {
     // adjudication payload (per-query times, total) LAST: the driver's
     // record keeps only a ~2000-char stdout TAIL, and the r10 ordering —
     // "queries" before "query_loads" — let the loads displace every time.
-    val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","loadavg":"$loadavg","n_processes":$nProcs,"runs_per_query":$runs,"spread_retries":$nRetries,"prior_median_retries":$nPriorRetries,"load_retries":$nLoadRetries,"query_loads":$loads,"queries":$qs,"value":${fmt(total)}}"""
+    val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","loadavg":"$loadavg","loadavg_at_start":${fmt(loadavgAtStart)},"idle_gate_met":$idleGateMet,"n_processes":$nProcs,"runs_per_query":$runs,"spread_retries":$nRetries,"prior_median_retries":$nPriorRetries,"load_retries":$nLoadRetries,"query_loads":$loads,"queries":$qs,"value":${fmt(total)}}"""
     println(full)
     // the full JSON also goes to a FILE — immune to any log-capture truncation
     try {

@@ -145,7 +145,8 @@ object GraftExtensions {
     *
     * ANALYSIS-TIME EXECUTION caveat: builders whose underlying op is
     * ITERATIVE (`graft_semantic_dedup` — nearDupClusters' connected-
-    * components fixpoint drives Spark actions to converge) run those jobs
+    * components fixpoint drives Spark actions to converge;
+    * `graft_kcenter_coreset` — k greedy argmax rounds) run those jobs
     * while the SQL statement is being ANALYZED, not executed — so EXPLAIN
     * pays the full clustering cost, and every re-analysis of the same
     * statement re-runs it. This mirrors the Scala API (semanticDedup also
@@ -185,6 +186,27 @@ object GraftExtensions {
         ops.Dedup.ngramContainmentPairs(table(str(args(0), "table")),
           str(args(1), "idCol"), str(args(2), "textCol"), str(args(3), "blockCol"),
           int(args(4), "n"), dbl(args(5), "threshold"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_canonical_per_cluster"),
+      info("graft_canonical_per_cluster",
+        "graft_canonical_per_cluster(docsTable, idCol, scoreCol, clustersTable) - keep the best-scoring member of each near-dup cluster (clustersTable: (id, cluster_rep) e.g. from graft_semantic_dedup); singletons keep themselves"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "usage: graft_canonical_per_cluster(docsTable, idCol, scoreCol, clustersTable)")
+        ops.Dedup.canonicalPerCluster(table(str(args(0), "docsTable")),
+          str(args(1), "idCol"), str(args(2), "scoreCol"),
+          table(str(args(3), "clustersTable")))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_kcenter_coreset"),
+      info("graft_kcenter_coreset",
+        "graft_kcenter_coreset(table, idCol, vecCol, k) - greedy k-center (farthest-point) coreset selection: (rank, vec_id, sel_dist); ITERATIVE - the k argmax rounds run at analysis time (see graft_semantic_dedup caveat)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "usage: graft_kcenter_coreset(table, idCol, vecCol, k)")
+        ops.Similarity.kCenterGreedy(table(str(args(0), "table")),
+          str(args(1), "idCol"), str(args(2), "vecCol"), int(args(3), "k"))
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_cosine_topk"),

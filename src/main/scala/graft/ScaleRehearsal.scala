@@ -508,7 +508,29 @@ object ScaleRehearsal {
           force(ops.Similarity.searchIndexed(
             emb.where(col("vec_id") < 1000), "vec_id", "embedding",
             store, "anng", k = 5, nprobe = 4))
-        })
+        }),
+        // per-cluster canonical selection over the full near-dup pipeline
+        // (pairs -> connected components -> keep-policy): the canonical
+        // layer itself is ONE cluster-keyed exchange shared by the rank
+        // window and the member count — expect the pipeline's ~linear wall
+        "q181_cluster_canonical" -> (() => force(ops.Dedup.canonicalPerCluster(
+          docs.withColumn("__score", length(col("text"))), "doc_id", "__score",
+          ops.Dedup.nearDupClusters(ops.Dedup.minhashNearDupPairs(
+            docs, "doc_id", "text", n = 3, numHashes = 12, bands = 4,
+            threshold = 0.2))))),
+        // k-center greedy at FIXED k while the corpus scales: each round
+        // folds one fused dot into the accumulated-min frame + one
+        // TakeOrdered argmax — expect ~linear in rows
+        "q183_kcenter_k16" -> (() =>
+          assert(ops.Similarity.kCenterGreedy(
+            emb, "vec_id", "embedding", 16).count() == 16L)),
+        // k-RATIO probe (read k64.t1 / k16.t1, not the corpus ratio): 4x
+        // the rounds must cost ~4x — the accumulated-min column makes a
+        // round's work independent of r, where the r12 shape recomputed
+        // all r centers per round (O(k²·N) total)
+        "q183_kcenter_k64" -> (() =>
+          assert(ops.Similarity.kCenterGreedy(
+            emb, "vec_id", "embedding", 64).count() == 64L))
       ).filter { case (name, _) => opFilter.forall(_.contains(name)) }
         .map { case (name, thunk) =>
         thunk() // warmup (codegen + plan); measured run follows

@@ -1857,6 +1857,25 @@ object SparkEntry {
         ORDER BY rank"""
   }
 
+  /** q181 / q184 shared oracle: near-dup clusters + the canonical
+    * keep-the-best-member policy (ties → smallest id; singletons keep
+    * themselves). q184 is the SQL-TVF route over the identical answer. */
+  private lazy val sqlClusterCanonical: String = s"""
+        WITH RECURSIVE $sqlNearDupClusterCte,
+        clu AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id),
+        m AS (SELECT d.doc_id AS id, coalesce(c.cluster_rep, d.doc_id) AS cluster_rep,
+                     d.n_chars
+              FROM documents d LEFT JOIN clu c ON c.id = d.doc_id
+              WHERE d.doc_id < 2000),
+        rk AS (SELECT *,
+                 row_number() OVER (PARTITION BY cluster_rep
+                   ORDER BY n_chars DESC, id) AS rk,
+                 count(*) OVER (PARTITION BY cluster_rep) AS n_members
+               FROM m)
+        SELECT cluster_rep, id AS keep_id, n_chars AS best_score,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM rk WHERE rk = 1 ORDER BY cluster_rep"""
+
   /** Shared near-dup CLUSTER CTE chain (q71's candidate pairs → exact
     * Jaccard verify → transitive closure): ends at `reach(id, r)` — q86
     * reduces it to (id, cluster_rep), q181 layers the canonical keep-policy
@@ -2072,21 +2091,7 @@ object SparkEntry {
             ops.Dedup.nearDupClusters(pairs))
           .orderBy("cluster_rep")
       },
-      Some(s"""
-        WITH RECURSIVE $sqlNearDupClusterCte,
-        clu AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id),
-        m AS (SELECT d.doc_id AS id, coalesce(c.cluster_rep, d.doc_id) AS cluster_rep,
-                     d.n_chars
-              FROM documents d LEFT JOIN clu c ON c.id = d.doc_id
-              WHERE d.doc_id < 2000),
-        rk AS (SELECT *,
-                 row_number() OVER (PARTITION BY cluster_rep
-                   ORDER BY n_chars DESC, id) AS rk,
-                 count(*) OVER (PARTITION BY cluster_rep) AS n_members
-               FROM m)
-        SELECT cluster_rep, id AS keep_id, n_chars AS best_score,
-               CAST(n_members AS BIGINT) AS n_members
-        FROM rk WHERE rk = 1 ORDER BY cluster_rep""")),
+      Some(sqlClusterCanonical)),
 
     // -- q72: SimHash near-dup (exact pigeonhole banding, hamming <= 3) -------
     Q("q72_simhash_neardup",
@@ -2157,6 +2162,43 @@ object SparkEntry {
       (s, dir) => ops.Similarity.kCenterGreedy(
         T(s, dir, "embeddings"), "vec_id", "embedding", k = 4)
         .orderBy("rank"),
+      Some(sqlKCenter(4))),
+
+    // -- q184: the SQL-TVF route for per-cluster canonical selection —
+    //    graft_canonical_per_cluster over a clusters temp view; expands to
+    //    q181's exact plan, same oracle verbatim -------------------------
+    Q("q184_sql_tvf_canonical",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val docsView = s"docs_canon_tvf_$sfx"
+        val cluView = s"clu_canon_tvf_$sfx"
+        val docs = T(s, dir, "documents").filter(col("doc_id") < 2000)
+        docs.createOrReplaceTempView(docsView)
+        val pairs = ops.Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+          n = 3, numHashes = 12, bands = 4, threshold = 0.2)
+        ops.Dedup.nearDupClusters(pairs).createOrReplaceTempView(cluView)
+        s.sql(s"""
+          SELECT cluster_rep, keep_id, best_score, n_members
+          FROM graft_canonical_per_cluster('$docsView', 'doc_id', 'n_chars', '$cluView')
+          ORDER BY cluster_rep""")
+      },
+      Some(sqlClusterCanonical)),
+
+    // -- q185: the SQL-TVF route for k-center coreset selection —
+    //    graft_kcenter_coreset expands (at analysis time — the greedy
+    //    rounds are driver-iterative like graft_semantic_dedup) to q183's
+    //    exact answer, same oracle verbatim ------------------------------
+    Q("q185_sql_tvf_kcenter",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val view = s"emb_kcenter_tvf_${dir.replaceAll("[^0-9]", "")}"
+        T(s, dir, "embeddings").createOrReplaceTempView(view)
+        s.sql(s"""
+          SELECT rank, vec_id, sel_dist
+          FROM graft_kcenter_coreset('$view', 'vec_id', 'embedding', 4)
+          ORDER BY rank""")
+      },
       Some(sqlKCenter(4))),
 
     // -- q74: embedding-cosine near-dup pairs (LSH-blocked, exact verify) -----

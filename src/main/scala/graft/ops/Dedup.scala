@@ -716,25 +716,37 @@ object Dedup {
     * n_total)`; a fully-boilerplate document survives with empty text, so
     * callers decide the drop policy.
     *
-    * Scale shape: the exploded frame carries (id, idx, line) once; the
+    * Scale shape: the exploded frame carries (id, idx, line) once
+    * (persisted — both the count pass and the flag probe scan it); the
     * corpus-wide frequency is `groupBy(hash)+count` — partial aggregation
     * collapses a 10⁸-occurrence banner to one row per map task, no hot
-    * window partition — and only the (tiny) hot set flows into the LEFT
-    * join that flags lines, so Catalyst broadcasts it and the corpus never
-    * shuffles for the verdict; the flagged lines then regroup join-free
-    * onto the doc id with the keep flag ([[paragraphDedup]]'s reassembly
-    * discipline). Linear, skew-proof, no all-pairs. */
+    * window partition — and the (usually tiny) hot set is measured and
+    * EXPLICITLY broadcast when under `maxBroadcastHotLines` distinct lines
+    * (the [[graft.ops.TextOps.bigramLmScore]] transition-table pattern), so
+    * the corpus never shuffles for the verdict — relying on AQE's estimate
+    * here left an unhinted shuffle join whose build side is one skewed
+    * banner key at scale. A hot set beyond the cap falls back to the keyed
+    * join (AQE skew-split applies). The flagged lines then regroup
+    * join-free onto the doc id with the keep flag ([[paragraphDedup]]'s
+    * reassembly discipline). Linear, skew-proof, no all-pairs. */
   def stripFrequentLines(df: DataFrame, idCol: String, textCol: String,
-      minCount: Long, sep: String = "\n"): DataFrame = {
+      minCount: Long, sep: String = "\n",
+      maxBroadcastHotLines: Long = 1L << 22): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    require(maxBroadcastHotLines >= 1,
+      s"maxBroadcastHotLines must be >= 1, got $maxBroadcastHotLines")
     val lines = df.select(col(idCol).as("id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("line_idx", "line")))
       .withColumn("__k", md5Hash60(trim(col("line"))))
+      .persistTracked()
     val hot = lines.groupBy("__k").agg(count(lit(1)).as("__c"))
       .where(col("__c") >= minCount)
       .select(col("__k"), lit(true).as("__hot"))
-    lines.join(hot, Seq("__k"), "left")
+      .persistTracked()
+    val nHot = hot.count()
+    val hotSide = if (nHot <= maxBroadcastHotLines) broadcast(hot) else hot
+    lines.join(hotSide, Seq("__k"), "left")
       .withColumn("__keep", col("__hot").isNull)
       .groupBy("id").agg(
         concat_ws(sep, transform(

@@ -846,13 +846,17 @@ object Similarity {
     * vector.
     *
     * Scale shape: k bounded corpus passes (one TakeOrdered argmax per
-    * round) over a persisted quantized frame — never corpus×corpus; the
-    * selected set (≤ k vectors) rides the plan as literals, and each
-    * round's distance is `min(prev_min, L2-to-newest)` so the per-round
-    * expression stays O(1) in k via an accumulated distance column…
-    * recomputed per round from the ≤ k literal centers (k is small by
+    * round) over a persisted quantized frame — never corpus×corpus. The
+    * running min-distance-to-selected is an ACCUMULATED persisted column:
+    * round r folds ONE fused dot (the newest center, a plan literal) into
+    * the previous round's `__d` via `least`, so total work is O(k·N) dots —
+    * not O(k²·N) recomputed from all r centers each round. Every 8th round
+    * localCheckpoints to truncate the `least`-chain lineage (the
+    * [[graft.ops.Dedup.nearDupClusters]] discipline): the driver re-plans a
+    * bounded tree per round and an evicted cached partition can only
+    * cascade back to the last checkpoint, not to round 0. (k is small by
     * contract — this is a coreset picker, not a clusterer; use
-    * [[kmeansCentroids]] for large k). */
+    * [[kmeansCentroids]] for large k.) */
   def kCenterGreedy(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int = 64): DataFrame = {
     require(k >= 1 && k <= 256, s"k must be in [1,256] (greedy coreset picker), got $k")
@@ -872,26 +876,48 @@ object Similarity {
       .select(col("vec_id"), col("__qv")).collect()
     if (first.isEmpty)
       return Seq.empty[(Int, Long, Long)].toDF("rank", "vec_id", "sel_dist")
-    var selected = List((first(0).getLong(0), first(0).getSeq[Long](1).toArray))
+    val firstId = first(0).getLong(0)
+    val firstVec = first(0).getSeq[Long](1).toArray
     val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)](
-      (1, selected.head._1, 0L))
+      (1, firstId, 0L))
+    // candidates with the accumulated min distance to everything selected
+    var cur = c.where(col("vec_id") =!= lit(firstId))
+      .select(col("vec_id"), col("__qv"), col("__n"), l2To(firstVec).as("__d"))
+      .persistTracked()
+    // the frame the CURRENT round's action still reads through (its own
+    // cache may one-step-recompute from it) — unpersisted only after the
+    // next action has materialized the successor
+    var prev: DataFrame = null
     var r = 2
     var exhausted = false
     while (r <= k && !exhausted) {
-      val minDist = selected.map { case (_, v) => l2To(v) }.reduce(least(_, _))
-      val pick = c
-        .where(!col("vec_id").isin(selected.map(_._1): _*))
-        .select(col("vec_id"), col("__qv"), minDist.as("__d"))
-        .orderBy(col("__d").desc, col("vec_id").asc).limit(1)
+      val pick = cur.orderBy(col("__d").desc, col("vec_id").asc).limit(1)
         .collect()
+      // this action materialized `cur`; the round-before frame can go now
+      if (prev != null) { prev.unpersist(); prev = null }
       if (pick.isEmpty) exhausted = true
       else {
         val row = pick(0)
-        selected = (row.getLong(0), row.getSeq[Long](1).toArray) :: selected
-        out += ((r, row.getLong(0), row.getLong(2)))
+        val pid = row.getLong(0)
+        out += ((r, pid, row.getLong(3)))
         r += 1
+        if (r <= k) {
+          val pvec = row.getSeq[Long](1).toArray
+          val grown = cur.where(col("vec_id") =!= lit(pid))
+            .withColumn("__d", least(col("__d"), l2To(pvec)))
+          if (r % 8 == 0) {
+            // eager: materializes from the still-cached cur, then truncates
+            val next = grown.localCheckpoint()
+            cur.unpersist()
+            cur = next
+          } else {
+            prev = cur
+            cur = grown.persistTracked()
+          }
+        }
       }
     }
+    cur.unpersist()
     out.toSeq.toDF("rank", "vec_id", "sel_dist")
   }
 

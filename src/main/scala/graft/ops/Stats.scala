@@ -256,6 +256,57 @@ object Stats {
     exactPercentilesImpl(df, valueCol, ps, percentileLabels(ps), nBins,
       maxResidual, maxSortRows)
 
+  /** Marker in the one-job sort tier's in-plan guard error: the driver
+    * catches it and falls back to the head-first tiers. */
+  private val BeyondSortCapMarker = "graft-exact-percentile-beyond-sort-cap"
+
+  /** OPTIMISTIC one-job global sort tier: when Catalyst's size estimate
+    * says the column plausibly fits the sort cap, answer every percentile
+    * in a SINGLE action — no head pass. The row count is derived in-plan
+    * from fwd-rank + rev-rank − 1 (the [[groupedSortPercentiles]] two-rank
+    * identity, global form, unique tiebreaker for duplicate values), the
+    * bracketing ranks are conditional aggregates over it, and the
+    * `maxSortRows` contract rides the aggregation input as a loud
+    * raise_error guard whose marker the caller catches to fall back. NaN
+    * needs no special path here: the ascending double sort puts NaN last,
+    * so a bracketing rank in the NaN suffix picks NaN — `percentile()`
+    * semantics by construction.
+    *
+    * Returns None when the input is empty-of-rows is fine (n = 0 → caller
+    * emits the empty frame). Throws the marker error beyond the cap. */
+  private def sortTierOneJob(base0: DataFrame, ps: Seq[Double],
+      names: Seq[String], schema: org.apache.spark.sql.types.StructType,
+      maxSortRows: Long): DataFrame = {
+    val spark = base0.sparkSession
+    val wAsc = Window.orderBy(col("__v").asc, col("__tb").asc)
+    val wDesc = Window.orderBy(col("__v").desc, col("__tb").desc)
+    val ranked = base0.withColumn("__tb", monotonically_increasing_id())
+      .withColumn("__idx", row_number().over(wAsc).cast("long") - 1)
+      .withColumn("__n", col("__idx") + row_number().over(wDesc).cast("long"))
+    val guard = when(col("__n") > maxSortRows, raise_error(lit(
+      s"$BeyondSortCapMarker: column exceeds maxSortRows=$maxSortRows")))
+      .otherwise(lit(0L))
+    def kk(p: Double) = lit(p) * (col("__n") - 1).cast("double")
+    val pickAggs = ps.indices.flatMap { i =>
+      Seq(max(when(col("__idx") === floor(kk(ps(i))), col("__v"))).as(s"__lo_$i"),
+        max(when(col("__idx") === ceil(kk(ps(i))), col("__v"))).as(s"__hi_$i"))
+    }
+    val row = ranked.agg(max(col("__n") + guard).as("__n"), pickAggs: _*)
+      .collect()(0)
+    if (row.isNullAt(0))
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val n = row.getLong(0)
+    val out = ps.indices.map { i =>
+      val k = ps(i) * (n - 1)
+      val vLo = row.getDouble(1 + 2 * i)
+      val vHi = row.getDouble(2 + 2 * i)
+      java.lang.Double.valueOf(vLo + (k - math.floor(k)) * (vHi - vLo))
+    }
+    spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(out: _*)), schema)
+  }
+
   private def exactPercentilesImpl(df: DataFrame, valueCol: String,
       ps: Seq[Double], names: Seq[String],
       nBins: Int, maxResidual: Long, maxSortRows: Long): DataFrame = {
@@ -265,6 +316,31 @@ object Stats {
     val spark = df.sparkSession
     val v = col(valueCol).cast("double")
     val base0 = df.where(v.isNotNull).select(v.as("__v"))
+    // optimistic single-action path: trust Catalyst's byte estimate only
+    // when it is FAR inside the cap (8 B/row × maxSortRows — conservative:
+    // a 100 TB column estimates far beyond this and never tries). The
+    // in-plan guard backstops an estimate that was wrong the other way:
+    // its marker error aborts the optimistic job and the head-first tiers
+    // below — including iterative narrowing — take over gracefully.
+    val schemaOut = org.apache.spark.sql.types.StructType(
+      names.map(org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val estBytes =
+      try base0.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
+    if (estBytes <= BigInt(8L) * BigInt(maxSortRows)) {
+      try return sortTierOneJob(base0, ps, names, schemaOut, maxSortRows)
+      catch {
+        case e: Throwable if {
+          var t: Throwable = e; var hit = false
+          while (t != null && !hit) {
+            hit = Option(t.getMessage).exists(_.contains(BeyondSortCapMarker))
+            t = t.getCause
+          }
+          hit
+        } => () // estimate lied low — fall through to the head-first tiers
+      }
+    }
     val head = base0.agg(count(lit(1)),
       coalesce(sum(when(isnan(col("__v")), 1L).otherwise(0L)), lit(0L)),
       min(when(!isnan(col("__v")), col("__v"))),
@@ -305,20 +381,17 @@ object Stats {
     val sortable = nFinite > 0 && nFinite <= maxSortRows &&
       states.exists(_.ans.isEmpty)
     if (sortable) {
-      import org.apache.spark.sql.types._
+      // ranks are known driver-side (the head pass), so the picks are pure
+      // conditional aggregation over the ranked rows — no rank-frame
+      // broadcast join (its build was a whole extra stage on this path)
       val wanted = states.filter(_.ans.isEmpty)
-      val rSchema = StructType(Seq(StructField("__wr", LongType)))
-      val rdf = spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(
-            wanted.map(st => org.apache.spark.sql.Row(Long.box(st.rank)))).asJava), rSchema)
       val w = Window.orderBy("__v")
-      val got = base
+      val aggs = wanted.map(st =>
+        max(when(col("__idx") === st.rank, col("__v"))).as(s"__r${st.rank}"))
+      val row = base
         .withColumn("__idx", row_number().over(w).cast("long") - 1)
-        .join(broadcast(rdf), col("__idx") === col("__wr"))
-        .select(col("__wr"), col("__v")).collect()
-        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      wanted.foreach(st => st.ans = Some(got(st.rank)))
+        .agg(aggs.head, aggs.tail: _*).collect()(0)
+      wanted.zipWithIndex.foreach { case (st, i) => st.ans = Some(row.getDouble(i)) }
     }
     // every narrowing round and the residual pass rescan the 1-column
     // frame — persist it (disk-backed) for that path alone; released
@@ -438,32 +511,31 @@ object Stats {
     val names = percentileLabels(ps)
     val base = df.where(col(valueCol).isNotNull)
       .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
-    // per-group counts via a PARTIAL-AGGREGATED tiny frame + join (AQE
-    // picks broadcast when it fits)
-    // — NOT an unbounded-frame window: count().over(whole group) makes
+      // unique per-row tiebreaker: makes BOTH window orders below total, so
+      // the descending rank is the exact reverse permutation of the
+      // ascending one even on duplicate values (fwd + rev − 1 = |group|
+      // would NOT hold under row_number's arbitrary tie order otherwise)
+      .withColumn("__tb", monotonically_increasing_id())
+    // the group size comes from TWO row_numbers over the SAME exchange —
+    // fwd (asc) + rev (desc) − 1 = n on every row — replacing the r12
+    // shape's separate counts branch + join: one exchange and one scan of
+    // the input where there were two of each. Both window sorts stream
+    // (row_number's running frame); the second Window reuses the first's
+    // hash(__g) partitioning, adding only a partition-local re-sort.
+    // NOT count().over(whole group): an unbounded count frame makes
     // WindowExec buffer every group row in its frame array (measured ~3x
-    // the whole op). (An explicit shared repartition was tried and rejected:
-    // without guaranteed exchange reuse it turns the count branch's tiny
-    // partial-agged exchange into a raw-row shuffle.) The in-plan guard
-    // (the histogramPercentile pattern) rides the count.
-    val guard = when(col("__cnt") > maxSortGroup, raise_error(lit(
+    // the whole op).
+    val wAsc = Window.partitionBy("__g").orderBy(col("__v").asc, col("__tb").asc)
+    val wDesc = Window.partitionBy("__g").orderBy(col("__v").desc, col("__tb").desc)
+    val ranked = base
+      .withColumn("__idx", row_number().over(wAsc).cast("long") - 1)
+      .withColumn("__n", col("__idx") + row_number().over(wDesc).cast("long"))
+    // the maxSortGroup contract guard rides the aggregation input in-plan
+    // (the histogramPercentile pattern) — n is on every row now
+    val guard = when(col("__n") > maxSortGroup, raise_error(lit(
       s"groupedSortPercentiles: a group exceeds $maxSortGroup rows — one task " +
         "would sort an unbounded hot key; use groupedExactPercentilesUnbounded " +
         "(iterative narrowing) for beyond-task groups"))).otherwise(lit(0L))
-    val counts = base.groupBy("__g").agg(count(lit(1)).as("__cnt"))
-      .select(col("__g").as("__cg"), (col("__cnt") + guard).as("__n"))
-    // rank via row_number alone (its running frame streams; only the
-    // unbounded count frame would buffer — that one rides the join above).
-    // NO broadcast hint on the counts join: |groups| is unbounded here
-    // (unlike groupedExactPercentilesUnbounded's maxGroups contract), and a
-    // forced broadcast of a high-cardinality group column would exhaust the
-    // driver with an opaque error. AQE broadcasts it at runtime whenever
-    // the partial-agged frame is actually small — the common case — and
-    // falls back to a keyed join on the same __g exchange otherwise.
-    val w = Window.partitionBy("__g").orderBy("__v")
-    val ranked = base
-      .withColumn("__idx", row_number().over(w).cast("long") - 1)
-      .join(counts, col("__g") <=> col("__cg"))
     def k(p: Double) = lit(p) * (col("__n") - 1).cast("double")
     val aggs = ps.zip(names).flatMap { case (p, nm) =>
       Seq(
@@ -471,7 +543,7 @@ object Stats {
         max(when(col("__idx") === ceil(k(p)), col("__v"))).as(s"__vhi_$nm"))
     }
     val agged = ranked.groupBy(col("__g"))
-      .agg(first(col("__n")).as("__n"), aggs: _*)
+      .agg(max(col("__n") + guard).as("__n"), aggs: _*)
     val outCols = col("__g").as(groupCol) +: ps.zip(names).map { case (p, nm) =>
       val kk = k(p)
       (col(s"__vlo_$nm") + (kk - floor(kk).cast("double"))

@@ -1737,13 +1737,18 @@ object TextOps {
     * the cache replaces the r11 shape's full occurrence SHUFFLE, which was
     * the dominant cost). Both consumers read the cache: pass 1 collapses
     * occurrences map-side into the vocab²-bounded transition table (its
-    * exchange carries per-task DISTINCT grams, never occurrences) which,
-    * when under `maxBroadcastTransitions` rows, BROADCASTS back over
-    * pass 2's occurrence scan — the only occurrence-sized exchange left is
-    * the final per-doc rollup, partially aggregated to one row per
-    * (task, doc). A corpus whose transition table outgrows the broadcast
-    * bound falls back to a keyed join (the table side shuffles into the
-    * occurrence side). Gram identity is the md5-per-token polynomial
+    * exchange carries per-task DISTINCT grams, never occurrences) which
+    * BROADCASTS back over pass 2's occurrence scan — the only
+    * occurrence-sized exchange left is the final per-doc rollup, partially
+    * aggregated to one row per (task, doc). `maxBroadcastTransitions` is a
+    * LOUD CONTRACT (the localDictLimit discipline), enforced IN-PLAN by a
+    * scalar-count guard riding the broadcast build — not by a separate
+    * driver-side count job, so the whole score is ONE action (the r12
+    * shape paid a count job before every answer pass just to pick the join
+    * side). A corpus whose vocab² outgrows any sane broadcast opts out
+    * explicitly with `maxBroadcastTransitions = 0`: the table side then
+    * shuffles into the occurrence side (keyed join), still one action.
+    * Gram identity is the md5-per-token polynomial
     * rolling hash (TokenHashes/PolyRollHash scheme), reproduced exactly by
     * the oracle, so the rare collision produces identical results in both.
     *
@@ -1756,8 +1761,9 @@ object TextOps {
     * with `TrackedCache.release()` after materializing. */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
       maxBroadcastTransitions: Long = 1L << 22): DataFrame = {
-    require(maxBroadcastTransitions >= 1,
-      s"maxBroadcastTransitions must be >= 1, got $maxBroadcastTransitions")
+    require(maxBroadcastTransitions >= 0,
+      s"maxBroadcastTransitions must be >= 0 (0 = keyed-join opt-out), " +
+        s"got $maxBroadcastTransitions")
     // token HASHES bound to a column before the HOF: interpreted lambda
     // bodies get no CSE, so indexing off an unbound expression would
     // re-evaluate it per element (the shingleStringsFromTokens pitfall —
@@ -1790,13 +1796,27 @@ object TextOps {
     // so the shuffle is vocab²-bounded no matter the corpus size
     val cb = occ.groupBy("__hp", "__hg").agg(count(lit(1)).as("__cb"))
       .persistTracked()
-    val nTransitions = cb.count()
     val cp = cb.groupBy("__hp").agg(sum("__cb").as("__cp"))
     val probs = cb.join(cp, "__hp").select(col("__hp"), col("__hg"),
       round(lit(1000000.0) * (col("__cb").cast("double") / col("__cp").cast("double")))
         .cast("long").as("__micro"))
     val probsSide =
-      if (nTransitions <= maxBroadcastTransitions) broadcast(probs) else probs
+      if (maxBroadcastTransitions == 0L) probs
+      else {
+        // in-plan contract guard: the transition count rides the broadcast
+        // build as a scalar branch off the cached cb frame — no separate
+        // driver-side count job, loud failure instead of a silent
+        // driver-OOM broadcast
+        val nT = cb.agg(count(lit(1)).as("__ntrans"))
+        broadcast(probs.crossJoin(nT)
+          .select(col("__hp"), col("__hg"),
+            (col("__micro") + when(col("__ntrans") > maxBroadcastTransitions,
+              raise_error(concat(lit("bigramLmScore: transition table has "),
+                col("__ntrans"),
+                lit(s" rows > maxBroadcastTransitions=$maxBroadcastTransitions" +
+                  " — raise the cap (bigger broadcast) or pass 0 to opt out" +
+                  " into the keyed join")))).otherwise(lit(0L))).as("__micro")))
+      }
     // pass 2: score every occurrence against the (usually broadcast)
     // probability table; ONE doc-keyed exchange, partially aggregated
     occ.join(probsSide, Seq("__hp", "__hg"))

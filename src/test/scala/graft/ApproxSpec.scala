@@ -112,6 +112,23 @@ class ApproxSpec extends SparkSpec {
       even.agg(expr("percentile(v, 0.999)")).as[Double].head())
   }
 
+  test("optimistic one-job sort tier: a lying-low size estimate trips the in-plan guard and falls back") {
+    val S = graft.ops.Stats
+    // explode multiplies rows 40x but Catalyst's size-only stats don't see
+    // it (estimate 200 B for 2000 rows): the optimistic single-action tier
+    // opens, its in-plan cap guard fires mid-job, and the head-first tiers
+    // (here: narrowing) take over and still answer bit-for-bit
+    val blown = spark.range(50)
+      .select(explode(array((0 until 40).map(i => lit(i * 0.75)): _*)).as("v"))
+    val est = blown.where(col("v").isNotNull).select(col("v").as("__v"))
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(est <= 8L * 64, s"precondition: estimate $est must open the 64-row gate")
+    val got = S.exactPercentileUnbounded(blown, "v", 0.5,
+      nBins = 4, maxResidual = 8, maxSortRows = 64).as[Double].head()
+    val ref = blown.agg(expr("percentile(v, 0.5)")).as[Double].head()
+    assert(got == ref, s"fallback diverged: $got vs $ref")
+  }
+
   test("exact percentile families follow percentile()'s NaN-sorts-last rule") {
     val S = graft.ops.Stats
     // 3 finite + 2 NaN: ranks 3,4 are NaN; p0.5 (k=2) hits finite 3.0,
@@ -186,6 +203,19 @@ class ApproxSpec extends SparkSpec {
     def eqn(a: Double, b: Double) = a == b || (a.isNaN && b.isNaN)
     refN.foreach { case (g, (a, b)) =>
       assert(eqn(lzN(g)._1, a) && eqn(lzN(g)._2, b), s"$g: ${lzN(g)} vs ($a,$b)") }
+    // heavy duplicate values: the lazy form derives each group's size from
+    // fwd-rank + rev-rank − 1, which only holds when the two window orders
+    // are exact reverse permutations — ties would break a bare row_number
+    // pair, so this pins the unique-tiebreaker discipline
+    val tied = spark.range(1200).repartition(7).select(
+      (col("id") % 3).cast("string").as("g"),
+      (col("id") % 5).cast("double").as("v"))
+    val gotTied = S.groupedSortPercentiles(tied, "g", "v", Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val refTied = tied.groupBy("g").agg(
+      expr("percentile(v, 0.25)"), expr("percentile(v, 0.5)"), expr("percentile(v, 0.75)"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(gotTied == refTied, s"ties broke the two-rank identity: $gotTied vs $refTied")
     // the in-plan cap guard fires loudly on a beyond-task group
     val eg = intercept[Exception](
       S.groupedSortPercentiles(df, "g", "v", Seq(0.5), maxSortGroup = 10).collect())

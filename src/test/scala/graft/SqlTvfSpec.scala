@@ -163,6 +163,28 @@ class SqlTvfSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft_containment_pairs('tvf_docs_cont','doc_id','text')").collect())
   }
 
+  test("graft_canonical_per_cluster == the Scala API (clusters from a temp view)") {
+    val d = docs.filter(col("doc_id") < 500)
+    d.createOrReplaceTempView("tvf_docs_canon")
+    val pairs = ops.Dedup.minhashNearDupPairs(d, "doc_id", "text", 3, 12, 4, 0.2)
+    val clusters = ops.Dedup.nearDupClusters(pairs)
+    clusters.createOrReplaceTempView("tvf_clusters_canon")
+    same(
+      spark.sql("SELECT * FROM graft_canonical_per_cluster('tvf_docs_canon','doc_id','n_chars','tvf_clusters_canon')"),
+      ops.Dedup.canonicalPerCluster(d, "doc_id", "n_chars", clusters))
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft_canonical_per_cluster('tvf_docs_canon','doc_id')").collect())
+  }
+
+  test("graft_kcenter_coreset == the Scala API") {
+    emb.createOrReplaceTempView("tvf_emb_kcenter")
+    same(
+      spark.sql("SELECT * FROM graft_kcenter_coreset('tvf_emb_kcenter','vec_id','embedding',4)"),
+      ops.Similarity.kCenterGreedy(emb, "vec_id", "embedding", 4))
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft_kcenter_coreset('tvf_emb_kcenter','vec_id')").collect())
+  }
+
   test("graft_unigram_learn / graft_unigram_encode == their Scala APIs; learn feeds encode in SQL") {
     docs.createOrReplaceTempView("tvf_docs_uni")
     same(

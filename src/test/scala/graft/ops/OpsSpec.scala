@@ -1876,6 +1876,19 @@ class TextOpsSpec extends SparkSpec {
     val s = TextOps.bigramLmScore(mix, "doc_id", "text")
       .select("doc_id", "lm_score").as[(Long, Double)].collect().toMap
     assert(s(1L) > s(2L), s.toString)
+    // the keyed-join opt-out (maxBroadcastTransitions = 0) is answer-identical
+    val s0 = TextOps.bigramLmScore(mix, "doc_id", "text",
+      maxBroadcastTransitions = 0L)
+      .select("doc_id", "lm_score").as[(Long, Double)].collect().toMap
+    assert(s0 == s, s"opt-out diverged: $s0 vs $s")
+    // the in-plan contract guard fires loudly when the transition table
+    // exceeds the cap (no silent driver-OOM broadcast)
+    val eg = intercept[Exception](
+      TextOps.bigramLmScore(mix, "doc_id", "text",
+        maxBroadcastTransitions = 2L).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(eg).exists(_.contains("maxBroadcastTransitions")), msgs(eg).toString)
   }
 
   test("corpusProfile == fingerprintDf + shingleProfiles sig/set + repetitionStats, one pass") {
