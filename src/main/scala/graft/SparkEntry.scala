@@ -2201,6 +2201,91 @@ object SparkEntry {
       },
       Some(sqlKCenter(4))),
 
+    // -- q186: exact-integer BM25 retrieval top-k — rational Lucene-smoothed
+    //    idf ((2N+2)/(2df+1), the DSIR linear-ratio exactness trade), k1/b
+    //    defaults cleared of fractions into one integral division per
+    //    (query term, doc). Queries broadcast; the corpus never shuffles
+    //    for candidate generation ------------------------------------------
+    Q("q186_bm25_topk",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val queries = docs.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext"))
+        ops.TextOps.bm25TopK(docs, "doc_id", "text",
+            queries, "query_id", "qtext", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""
+        WITH q AS (SELECT doc_id AS query_id,
+                     array_to_string(string_split(text, ' ')[1:6], ' ') AS qtext
+                   FROM documents WHERE doc_id % 97 = 0),
+        ct AS (SELECT doc_id, term, count(*) AS tf
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents)
+               WHERE term <> '' GROUP BY 1, 2),
+        dl AS (SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS dl
+               FROM documents),
+        st AS (SELECT CAST(count(*) AS HUGEINT) AS n_docs,
+                      CAST(sum(dl) AS HUGEINT) AS l_tokens FROM dl),
+        qt AS (SELECT DISTINCT query_id, term
+               FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS term
+                     FROM q)
+               WHERE term <> ''),
+        dfv AS (SELECT ct.term, CAST(count(*) AS HUGEINT) AS df
+                FROM ct JOIN (SELECT DISTINCT term FROM qt) qd USING (term)
+                GROUP BY 1),
+        sc AS (SELECT qt.query_id, ct.doc_id,
+                 CAST(sum( (CAST(1000000 AS HUGEINT) * (2*st.n_docs + 2) * 22 * ct.tf * st.l_tokens)
+                      // ((2*dfv.df + 1) * (10*ct.tf*st.l_tokens + 3*st.l_tokens + 9*dl.dl*st.n_docs)) ) AS BIGINT) AS bm25_micro
+               FROM qt JOIN ct USING (term) JOIN dfv ON dfv.term = ct.term
+                    JOIN dl ON dl.doc_id = ct.doc_id CROSS JOIN st
+               GROUP BY 1, 2),
+        r AS (SELECT query_id, doc_id, bm25_micro,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY bm25_micro DESC, doc_id) AS rank
+              FROM sc)
+        SELECT query_id, doc_id, bm25_micro, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // -- q187: token-distribution drift between two corpus snapshots —
+    //    per-token two-sample chi-square contributions in exact scaled
+    //    integers (vocab-keyed aggs + one full-outer join; the corpora
+    //    never shuffle), top-M drifted tokens -----------------------------
+    Q("q187_token_drift",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        ops.TextOps.tokenDrift(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1), "text", topM = 40)
+          .orderBy("rank")
+      },
+      Some("""
+        WITH ca AS (SELECT token, count(*) AS n_a FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE doc_id % 2 = 0)
+              WHERE token <> '' GROUP BY 1),
+        cb AS (SELECT token, count(*) AS n_b FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE doc_id % 2 = 1)
+              WHERE token <> '' GROUP BY 1),
+        j AS (SELECT token,
+                CAST(coalesce(n_a, 0) AS HUGEINT) AS n_a,
+                CAST(coalesce(n_b, 0) AS HUGEINT) AS n_b
+              FROM ca FULL OUTER JOIN cb USING (token)),
+        t AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM j),
+        s AS (SELECT token, n_a, n_b,
+                CAST((CAST(1000000 AS HUGEINT) * (n_a*t.t_b - n_b*t.t_a) * (n_a*t.t_b - n_b*t.t_a))
+                 // ((n_a + n_b) * t.t_a * t.t_b) AS BIGINT) AS chi2_micro
+              FROM j CROSS JOIN t),
+        r AS (SELECT token, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                chi2_micro,
+                row_number() OVER (ORDER BY chi2_micro DESC, token) AS rank
+              FROM s)
+        SELECT token, n_a, n_b, chi2_micro, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 40 ORDER BY rank""")),
+
     // -- q74: embedding-cosine near-dup pairs (LSH-blocked, exact verify) -----
     // -- q126: the PRODUCTION cosine-near-dup path — planes scale with the
     //    corpus (autoPlanes). The plane count is a corpus-size-dependent

@@ -1695,6 +1695,132 @@ object TextOps {
       .select("doc_id", "rank", "token", "tf", "df", "tfidf")
   }
 
+  /** Exact-integer BM25 retrieval: rank corpus documents for each query by
+    * the BM25 relevance sum over the query's DISTINCT terms, with the log
+    * in Lucene's smoothed idf replaced by its rational argument —
+    * idf_rat = 1 + (N − df + ½)/(df + ½) = (2N + 2)/(2df + 1), always
+    * positive — the same exactness trade [[dsirScores]] makes (linear
+    * ratio instead of log-ratio): every term contribution is a ratio of
+    * exact integers, so the whole ranking is bit-reproducible across
+    * engines (no libm `ln` in the hashed output). k1 = 1.2 and b = 0.75
+    * (the standard defaults) are cleared of fractions:
+    *
+    *   term_micro = ⌊10⁶·(2N+2)·22·tf·L / ((2df+1)·(10·tf·L + 3L + 9·dl·N))⌋
+    *
+    * with tf = term count in the doc, dl = doc token count, df = docs
+    * containing the term, N = corpus docs, L = total corpus tokens
+    * (avgdl = L/N cleared of its division). DECIMAL(38,0) products +
+    * integral division on both engine and oracle (HUGEINT + `//`); both
+    * truncate and every operand is positive, so ⌊⌋ agrees. The 38-digit
+    * headroom bounds the contract at ~10¹² docs × 10¹⁵ tokens — beyond a
+    * 100 TB corpus.
+    *
+    * Scale shape: the doc-term frame aggregates ONCE keyed on (doc, term)
+    * — partial aggregation collapses repeats map-side; the query set (a
+    * serving workload, small by contract) BROADCASTS onto it, so the
+    * corpus never shuffles for candidate generation; df is computed only
+    * for QUERY terms (query-vocab-bounded frame, broadcast back); the
+    * scalar (N, L) stats ride a broadcast cross join — fully lazy, one
+    * action; ranking is the [[TopK.perGroup]] streaming window keyed by
+    * query.
+    *
+    * Output: (query_id, doc_id, bm25_micro, rank), rank 1..k per query,
+    * ties → smaller doc_id. Docs sharing no term with a query are absent,
+    * as are queries with no terms (standard retrieval semantics). */
+  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // single-space split, empty tokens dropped (the corpus-vocab rule)
+    def termRows(df: DataFrame, id: Column, text: Column, idName: String) = df
+      .select(id.as(idName), explode(split(text, " ")).as("term"))
+      .where(col("term") =!= "")
+    val docTerms = termRows(corpus, col(idCol), col(textCol), "doc_id")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // persisted (16 B/doc): read by the candidate join AND the scalar
+    // stats branch — the cache replaces a second corpus scan, and the
+    // stats broadcast build materializes it first
+    val docLen = corpus.select(col(idCol).as("doc_id"),
+      size(filter(split(col(textCol), " "), t => t =!= lit("")))
+        .cast("long").as("dl"))
+      .persistTracked()
+    val stats = docLen.agg(count(lit(1)).as("n_docs"), sum("dl").as("l_tokens"))
+    val qTerms = termRows(queries, col(queryIdCol), col(queryTextCol), "query_id")
+      .distinct()
+    val dfTbl = docTerms
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val cand = docTerms
+      .join(broadcast(qTerms), Seq("term"))
+      .join(broadcast(dfTbl), Seq("term"))
+      .join(docLen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+    val num = dec(lit(1000000L)) * (dec(col("n_docs")) * 2 + 2) *
+      dec(col("tf")) * 22 * dec(col("l_tokens"))
+    val den = (dec(col("df")) * 2 + 1) *
+      (dec(col("tf")) * dec(col("l_tokens")) * 10 + dec(col("l_tokens")) * 3 +
+        dec(col("dl")) * dec(col("n_docs")) * 9)
+    val scored = cand
+      .select(col("query_id"), col("doc_id"),
+        call_function("div", num, den).as("__term_micro"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("__term_micro").as("bm25_micro"))
+    TopK.perGroup(scored, Seq("query_id"),
+      Seq(col("bm25_micro").desc, col("doc_id").asc), k, rankCol = "rank")
+  }
+
+  /** Token-distribution DRIFT between two corpus snapshots — the training-
+    * data monitoring primitive ("what changed between last week's crawl
+    * and this one"): each token's two-sample chi-square contribution,
+    *
+    *   chi2_micro = ⌊10⁶ · (o_a·T_b − o_b·T_a)² / ((o_a+o_b)·T_a·T_b)⌋
+    *
+    * (the algebraically-reduced (O−E)²/E summed over both cells — exact
+    * integers end to end, so the ranking is engine-independent; the
+    * 38-digit product bounds the contract at ~10¹²-token snapshots —
+    * pre-scale counts beyond that). Tokens absent from one side count 0
+    * there — a token newly appearing or vanishing ranks by its full mass.
+    * Output: the top-M drifted tokens (token, n_a, n_b, chi2_micro, rank),
+    * rank by contribution desc, ties → token asc.
+    *
+    * Scale shape: one keyed count aggregation per snapshot (partial,
+    * vocab-bounded exchanges), a vocab-keyed full-outer join, scalar
+    * totals on a broadcast cross join, and a [[TopK.global]]
+    * TakeOrderedAndProject — the corpora themselves never shuffle. */
+  def tokenDrift(dfA: DataFrame, dfB: DataFrame, textCol: String,
+      topM: Int): DataFrame = {
+    require(topM >= 1, s"topM must be >= 1, got $topM")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def counts(df: DataFrame, out: String) = df
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as(out))
+    val ca = counts(dfA, "n_a")
+    val cb = counts(dfB, "n_b")
+    // persisted (vocab-bounded): the totals branch and the scoring branch
+    // both read it — without the cache each branch re-scans BOTH corpora
+    // (measured 4 parquet scans where 2 suffice); the broadcast build of
+    // `totals` materializes it before the scoring stages read it
+    val joined = ca.join(cb, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .persistTracked()
+    val totals = joined.agg(sum("n_a").as("t_a"), sum("n_b").as("t_b"))
+    val diff = dec(col("n_a")) * dec(col("t_b")) - dec(col("n_b")) * dec(col("t_a"))
+    val contrib = call_function("div",
+      dec(lit(1000000L)) * diff * diff,
+      (dec(col("n_a")) + dec(col("n_b"))) * dec(col("t_a")) * dec(col("t_b")))
+    val scoredAll = joined.crossJoin(broadcast(totals))
+      .select(col("token"), col("n_a"), col("n_b"), contrib.as("chi2_micro"))
+    TopK.global(scoredAll, topM,
+      Seq(col("chi2_micro").desc, col("token").asc))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("chi2_micro").desc, col("token").asc)))
+  }
+
   /** PII patterns, RE2-safe (no lookahead/backreferences) so the identical
     * literal pattern runs under Java regex AND RE2-based engines. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

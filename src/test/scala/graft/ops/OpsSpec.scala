@@ -1377,6 +1377,46 @@ class MultimodalSpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bm25TopK: hand-computed rational-idf scores, ranking, absence semantics") {
+    // corpus: d1="a b a" (dl 3), d2="b c" (2), d3="c c c c" (4); N=3, L=9
+    // query q1="a c": term a (df 1, tf(d1)=2), term c (df 2, tf(d2)=1, tf(d3)=4)
+    //   d1: floor(1e6*8*22*2*9 / (3*(180+27+81))) = 3666666
+    //   d3: floor(1e6*8*22*4*9 / (5*(360+27+108))) = 2560000 (exact)
+    //   d2: floor(1e6*8*22*1*9 / (5*(90+27+54)))  = 1852631
+    val corpus = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c c c")).toDF("doc_id", "text")
+    val queries = Seq((10L, "a c"), (11L, "zzz")).toDF("query_id", "qtext")
+    val out = TextOps.bm25TopK(corpus, "doc_id", "text",
+        queries, "query_id", "qtext", k = 2)
+      .select("query_id", "doc_id", "bm25_micro", "rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._4))
+    // k=2 keeps d1 and d3; q11 shares no term with any doc -> absent
+    assert(out.toSeq == Seq((10L, 1L, 3666666L, 1), (10L, 3L, 2560000L, 2)), out.toSeq)
+    // duplicate query terms count once (distinct-term BM25)
+    val dupQ = Seq((20L, "a a c")).toDF("query_id", "qtext")
+    val dup = TextOps.bm25TopK(corpus, "doc_id", "text", dupQ, "query_id", "qtext", 3)
+      .where(col("doc_id") === 1L).select("bm25_micro").as[Long].head()
+    assert(dup == 3666666L)
+  }
+
+  test("tokenDrift: hand-computed chi-square contributions; one-sided tokens rank by full mass") {
+    // A: x2 y1 (T_a=3); B: y2 z1 (T_b=3)
+    //   x: floor(1e6*36/(2*9)) = 2000000; z: floor(1e6*9/(1*9)) = 1000000
+    //   y: floor(1e6*9/(3*9))  = 333333
+    val a = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val b = Seq((2L, "y y z")).toDF("doc_id", "text")
+    val out = TextOps.tokenDrift(a, b, "text", topM = 10)
+      .select("token", "n_a", "n_b", "chi2_micro", "rank")
+      .as[(String, Long, Long, Long, Int)].collect().sortBy(_._5)
+    assert(out.toSeq == Seq(
+      ("x", 2L, 0L, 2000000L, 1),
+      ("z", 0L, 1L, 1000000L, 2),
+      ("y", 1L, 2L, 333333L, 3)), out.toSeq)
+    // topM truncates deterministically
+    val top1 = TextOps.tokenDrift(a, b, "text", topM = 1)
+      .select("token").as[String].collect().toSeq
+    assert(top1 == Seq("x"))
+  }
+
   test("gopherRules: each rule rejects independently; a conforming doc passes all") {
     // 60 words, mean length in [3,10], all alphabetic, ≥2 Gopher stopwords
     val good = (1 to 56).map(i => s"word$i").mkString(" ") + " the and of with"
