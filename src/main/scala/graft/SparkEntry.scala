@@ -105,6 +105,63 @@ object SparkEntry {
     root
   }
 
+  /** q186/q188 shared query workload: every 97th document's first 6
+    * tokens. */
+  private def bm25QueryFixture(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext"))
+
+  /** q186/q188 shared oracle: exact-integer rational-idf BM25 (HUGEINT
+    * products, `//` integral division — both engines truncate positive
+    * values identically). q188 is the persisted-postings serving route
+    * over the identical answer. */
+  private lazy val sqlBm25TopK: String = """
+        WITH q AS (SELECT doc_id AS query_id,
+                     array_to_string(string_split(text, ' ')[1:6], ' ') AS qtext
+                   FROM documents WHERE doc_id % 97 = 0),
+        ct AS (SELECT doc_id, term, count(*) AS tf
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents)
+               WHERE term <> '' GROUP BY 1, 2),
+        dl AS (SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS dl
+               FROM documents),
+        st AS (SELECT CAST(count(*) AS HUGEINT) AS n_docs,
+                      CAST(sum(dl) AS HUGEINT) AS l_tokens FROM dl),
+        qt AS (SELECT DISTINCT query_id, term
+               FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS term
+                     FROM q)
+               WHERE term <> ''),
+        dfv AS (SELECT ct.term, CAST(count(*) AS HUGEINT) AS df
+                FROM ct JOIN (SELECT DISTINCT term FROM qt) qd USING (term)
+                GROUP BY 1),
+        sc AS (SELECT qt.query_id, ct.doc_id,
+                 CAST(sum( (CAST(1000000 AS HUGEINT) * (2*st.n_docs + 2) * 22 * ct.tf * st.l_tokens)
+                      // ((2*dfv.df + 1) * (10*ct.tf*st.l_tokens + 3*st.l_tokens + 9*dl.dl*st.n_docs)) ) AS BIGINT) AS bm25_micro
+               FROM qt JOIN ct USING (term) JOIN dfv ON dfv.term = ct.term
+                    JOIN dl ON dl.doc_id = ct.doc_id CROSS JOIN st
+               GROUP BY 1, 2),
+        r AS (SELECT query_id, doc_id, bm25_micro,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY bm25_micro DESC, doc_id) AS rank
+              FROM sc)
+        SELECT query_id, doc_id, bm25_micro, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** Build-once persistent BM25 postings index for q188 (the q134 pattern
+    * applied to text retrieval): documents term-bucketed into 16 postings
+    * buckets + the term-df and scalar-stats tables. */
+  private def bm25IndexFixture(s: SparkSession, dir: String): String = {
+    val root = storeFixtureRoot(s, dir, "bm25idx", "documents")
+    val store = new core.BucketedStore(root, numBuckets = 16)(s)
+    if (store.latestVersion("bm25_postings").isEmpty)
+      ops.TextOps.indexBm25(T(s, dir, "documents"), "doc_id", "text",
+        store, "bm25")
+    root
+  }
+
   /** Build-once persistent IVF-PQ index for q180 (the q134 pattern, PQ
     * variant): embeddings indexed into 16 inverted lists of m-byte PQ
     * codes plus the centroid and codebook tables. Seed geometry matches
@@ -2209,45 +2266,26 @@ object SparkEntry {
     Q("q186_bm25_topk",
       (s, dir) => {
         val docs = T(s, dir, "documents")
-        val queries = docs.filter(col("doc_id") % 97 === 0)
-          .select(col("doc_id").as("query_id"),
-            concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext"))
         ops.TextOps.bm25TopK(docs, "doc_id", "text",
-            queries, "query_id", "qtext", k = 5)
+            bm25QueryFixture(docs), "query_id", "qtext", k = 5)
           .orderBy("query_id", "rank")
       },
-      Some("""
-        WITH q AS (SELECT doc_id AS query_id,
-                     array_to_string(string_split(text, ' ')[1:6], ' ') AS qtext
-                   FROM documents WHERE doc_id % 97 = 0),
-        ct AS (SELECT doc_id, term, count(*) AS tf
-               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-                     FROM documents)
-               WHERE term <> '' GROUP BY 1, 2),
-        dl AS (SELECT doc_id,
-                 CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS dl
-               FROM documents),
-        st AS (SELECT CAST(count(*) AS HUGEINT) AS n_docs,
-                      CAST(sum(dl) AS HUGEINT) AS l_tokens FROM dl),
-        qt AS (SELECT DISTINCT query_id, term
-               FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS term
-                     FROM q)
-               WHERE term <> ''),
-        dfv AS (SELECT ct.term, CAST(count(*) AS HUGEINT) AS df
-                FROM ct JOIN (SELECT DISTINCT term FROM qt) qd USING (term)
-                GROUP BY 1),
-        sc AS (SELECT qt.query_id, ct.doc_id,
-                 CAST(sum( (CAST(1000000 AS HUGEINT) * (2*st.n_docs + 2) * 22 * ct.tf * st.l_tokens)
-                      // ((2*dfv.df + 1) * (10*ct.tf*st.l_tokens + 3*st.l_tokens + 9*dl.dl*st.n_docs)) ) AS BIGINT) AS bm25_micro
-               FROM qt JOIN ct USING (term) JOIN dfv ON dfv.term = ct.term
-                    JOIN dl ON dl.doc_id = ct.doc_id CROSS JOIN st
-               GROUP BY 1, 2),
-        r AS (SELECT query_id, doc_id, bm25_micro,
-                row_number() OVER (PARTITION BY query_id
-                  ORDER BY bm25_micro DESC, doc_id) AS rank
-              FROM sc)
-        SELECT query_id, doc_id, bm25_micro, CAST(rank AS INT) AS rank
-        FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+      Some(sqlBm25TopK)),
+
+    // -- q188: BM25 served through the PERSISTED postings index — read only
+    //    the query terms' buckets (readTouched), IO independent of corpus
+    //    size; shares q186's oracle verbatim (the serving route must be
+    //    output-identical to the in-memory route) -------------------------
+    Q("q188_indexed_bm25",
+      (s, dir) => {
+        val root = bm25IndexFixture(s, dir)
+        val store = new core.BucketedStore(root, numBuckets = 16)(s)
+        ops.TextOps.searchIndexedBm25(
+            bm25QueryFixture(T(s, dir, "documents")), "query_id", "qtext",
+            store, "bm25", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(sqlBm25TopK)),
 
     // -- q187: token-distribution drift between two corpus snapshots —
     //    per-token two-sample chi-square contributions in exact scaled

@@ -1731,12 +1731,7 @@ object TextOps {
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
-    // single-space split, empty tokens dropped (the corpus-vocab rule)
-    def termRows(df: DataFrame, id: Column, text: Column, idName: String) = df
-      .select(id.as(idName), explode(split(text, " ")).as("term"))
-      .where(col("term") =!= "")
-    val docTerms = termRows(corpus, col(idCol), col(textCol), "doc_id")
+    val docTerms = bm25TermRows(corpus, col(idCol), col(textCol), "doc_id")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     // persisted (16 B/doc): read by the candidate join AND the scalar
     // stats branch — the cache replaces a second corpus scan, and the
@@ -1746,7 +1741,7 @@ object TextOps {
         .cast("long").as("dl"))
       .persistTracked()
     val stats = docLen.agg(count(lit(1)).as("n_docs"), sum("dl").as("l_tokens"))
-    val qTerms = termRows(queries, col(queryIdCol), col(queryTextCol), "query_id")
+    val qTerms = bm25TermRows(queries, col(queryIdCol), col(queryTextCol), "query_id")
       .distinct()
     val dfTbl = docTerms
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
@@ -1756,6 +1751,22 @@ object TextOps {
       .join(broadcast(dfTbl), Seq("term"))
       .join(docLen, Seq("doc_id"))
       .crossJoin(broadcast(stats))
+    bm25Rank(cand, k)
+  }
+
+  /** Single-space split, empty tokens dropped (the corpus-vocab rule) —
+    * shared by the in-memory and indexed BM25 routes. */
+  private def bm25TermRows(df: DataFrame, id: Column, text: Column,
+      idName: String): DataFrame = df
+    .select(id.as(idName), explode(split(text, " ")).as("term"))
+    .where(col("term") =!= "")
+
+  /** The exact-integer BM25 term contribution + per-(query, doc) rollup +
+    * rank — over a candidate frame carrying (query_id, doc_id, tf, dl, df,
+    * n_docs, l_tokens). ONE definition, so the indexed route is
+    * arithmetic-identical to the in-memory route by construction. */
+  private def bm25Rank(cand: DataFrame, k: Int): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val num = dec(lit(1000000L)) * (dec(col("n_docs")) * 2 + 2) *
       dec(col("tf")) * 22 * dec(col("l_tokens"))
     val den = (dec(col("df")) * 2 + 1) *
@@ -1768,6 +1779,69 @@ object TextOps {
       .agg(sum("__term_micro").as("bm25_micro"))
     TopK.perGroup(scored, Seq("query_id"),
       Seq(col("bm25_micro").desc, col("doc_id").asc), k, rankCol = "rank")
+  }
+
+  /** Persist a BM25 postings index into a [[graft.core.BucketedStore]] —
+    * the serving path: a query batch then touches ONLY its terms' buckets
+    * ([[searchIndexedBm25]]), IO independent of corpus size — the q134
+    * discipline applied to text retrieval. Three tables:
+    *
+    *  - `<feature>_postings` (term, doc_id, tf, dl), bucketed BY TERM —
+    *    dl DENORMALIZED into the posting so scoring never joins a
+    *    doc-keyed length table (which would need a corpus-sized read);
+    *  - `<feature>_termdf` (term, df), bucketed by term — SEPARATE from
+    *    the postings so a future refresh can rewrite the vocab-sized df
+    *    table without touching the corpus-sized postings;
+    *  - `<feature>_stats` (n_docs, l_tokens), one row.
+    *
+    * The postings write is the doc-term aggregation (one keyed exchange)
+    * routed to term buckets — one corpus pass. */
+  def indexBm25(corpus: DataFrame, idCol: String, textCol: String,
+      store: graft.core.BucketedStore, feature: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val docLen = corpus.select(col(idCol).as("doc_id"),
+      size(filter(split(col(textCol), " "), t => t =!= lit("")))
+        .cast("long").as("dl"))
+      .persistTracked()
+    val docTerms = bm25TermRows(corpus, col(idCol), col(textCol), "doc_id")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .join(docLen, Seq("doc_id"))
+      .persistTracked()
+    store.write(docTerms.select("term", "doc_id", "tf", "dl"),
+      s"${feature}_postings", Seq("term"))
+    store.write(docTerms.groupBy("term").agg(count(lit(1)).as("df")),
+      s"${feature}_termdf", Seq("term"))
+    val st = docLen.agg(count(lit(1)).as("n_docs"), sum("dl").as("l_tokens"))
+      .withColumn("__sk", lit(0))
+    store.write(st, s"${feature}_stats", Seq("__sk"))
+    docTerms.unpersist()
+    docLen.unpersist()
+  }
+
+  /** Serve BM25 top-k through a persisted postings index: read ONLY the
+    * query terms' postings and df buckets (`readTouched` — IO =
+    * |touched buckets| / numBuckets of the index, independent of corpus
+    * size), score with the identical integer arithmetic ([[bm25Rank]] —
+    * result ≡ [[bm25TopK]] on the same corpus, spec- and oracle-asserted),
+    * rank per query. */
+  def searchIndexedBm25(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, store: graft.core.BucketedStore, feature: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qTerms = bm25TermRows(queries, col(queryIdCol), col(queryTextCol),
+      "query_id").distinct()
+    val postings = store.readTouched(s"${feature}_postings", Seq("term"),
+      qTerms.select("term"))
+    val termdf = store.readTouched(s"${feature}_termdf", Seq("term"),
+      qTerms.select("term"))
+    val stats = store.read(s"${feature}_stats", Seq("__sk"))
+      .select("n_docs", "l_tokens")
+    val cand = postings
+      .join(broadcast(qTerms), Seq("term"))
+      .join(broadcast(termdf), Seq("term"))
+      .crossJoin(broadcast(stats))
+    bm25Rank(cand, k)
   }
 
   /** Token-distribution DRIFT between two corpus snapshots — the training-

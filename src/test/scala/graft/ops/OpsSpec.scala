@@ -1398,6 +1398,25 @@ class TextOpsSpec extends SparkSpec {
     assert(dup == 3666666L)
   }
 
+  test("searchIndexedBm25 == bm25TopK on the same corpus (serving route identical)") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(300)
+    val queries = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("qtext"))
+    val store = new graft.core.BucketedStore(tmpDir("bm25idx"), numBuckets = 8)
+    TextOps.indexBm25(docs, "doc_id", "text", store, "bm")
+    val direct = TextOps.bm25TopK(docs, "doc_id", "text",
+        queries, "query_id", "qtext", k = 3)
+      .select("query_id", "doc_id", "bm25_micro", "rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._4))
+    val served = TextOps.searchIndexedBm25(queries, "query_id", "qtext",
+        store, "bm", k = 3)
+      .select("query_id", "doc_id", "bm25_micro", "rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(direct.nonEmpty && served.toSeq == direct.toSeq,
+      s"served ${served.length} vs direct ${direct.length}")
+  }
+
   test("tokenDrift: hand-computed chi-square contributions; one-sided tokens rank by full mass") {
     // A: x2 y1 (T_a=3); B: y2 z1 (T_b=3)
     //   x: floor(1e6*36/(2*9)) = 2000000; z: floor(1e6*9/(1*9)) = 1000000
