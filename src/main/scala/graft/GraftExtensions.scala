@@ -188,6 +188,29 @@ object GraftExtensions {
           int(args(4), "n"), dbl(args(5), "threshold"))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_bm25_topk"),
+      info("graft_bm25_topk",
+        "graft_bm25_topk(corpusTable, idCol, textCol, queriesTable, queryIdCol, queryTextCol, k) - exact-integer rational-idf BM25 top-k per query: (query_id, doc_id, bm25_micro, rank)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 7,
+          "usage: graft_bm25_topk(corpusTable, idCol, textCol, queriesTable, queryIdCol, queryTextCol, k)")
+        ops.TextOps.bm25TopK(table(str(args(0), "corpusTable")),
+          str(args(1), "idCol"), str(args(2), "textCol"),
+          table(str(args(3), "queriesTable")), str(args(4), "queryIdCol"),
+          str(args(5), "queryTextCol"), int(args(6), "k"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_token_drift"),
+      info("graft_token_drift",
+        "graft_token_drift(tableA, tableB, textCol, topM) - top-M drifted tokens between two snapshots by exact-integer two-sample chi-square: (token, n_a, n_b, chi2_micro, rank)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "usage: graft_token_drift(tableA, tableB, textCol, topM)")
+        ops.TextOps.tokenDrift(table(str(args(0), "tableA")),
+          table(str(args(1), "tableB")), str(args(2), "textCol"),
+          int(args(3), "topM"))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_canonical_per_cluster"),
       info("graft_canonical_per_cluster",
         "graft_canonical_per_cluster(docsTable, idCol, scoreCol, clustersTable) - keep the best-scoring member of each near-dup cluster (clustersTable: (id, cluster_rep) e.g. from graft_semantic_dedup); singletons keep themselves"),

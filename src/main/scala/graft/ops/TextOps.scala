@@ -1731,16 +1731,16 @@ object TextOps {
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val docTerms = bm25TermRows(corpus, col(idCol), col(textCol), "doc_id")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // persisted (16 B/doc): read by the candidate join AND the scalar
-    // stats branch — the cache replaces a second corpus scan, and the
-    // stats broadcast build materializes it first
-    val docLen = corpus.select(col(idCol).as("doc_id"),
-      size(filter(split(col(textCol), " "), t => t =!= lit("")))
-        .cast("long").as("dl"))
-      .persistTracked()
-    val stats = docLen.agg(count(lit(1)).as("n_docs"), sum("dl").as("l_tokens"))
+    // dl rides the explode MAP-SIDE (computed in the same projection), so
+    // the doc-term frame comes out of its one keyed aggregation already
+    // carrying the length — no corpus-sized doc-keyed join anywhere
+    val docTerms = bm25DocTerms(corpus, idCol, textCol)
+    // scalar stats: one agg-only corpus pass, no shuffle beyond the
+    // 1-row partial agg (n_docs counts EVERY corpus row, including
+    // empty/null-text docs, matching the oracle's count(*))
+    val stats = corpus.agg(count(lit(1)).as("n_docs"),
+      sum(size(filter(split(col(textCol), " "), t => t =!= lit("")))
+        .cast("long")).as("l_tokens"))
     val qTerms = bm25TermRows(queries, col(queryIdCol), col(queryTextCol), "query_id")
       .distinct()
     val dfTbl = docTerms
@@ -1749,7 +1749,6 @@ object TextOps {
     val cand = docTerms
       .join(broadcast(qTerms), Seq("term"))
       .join(broadcast(dfTbl), Seq("term"))
-      .join(docLen, Seq("doc_id"))
       .crossJoin(broadcast(stats))
     bm25Rank(cand, k)
   }
@@ -1760,6 +1759,19 @@ object TextOps {
       idName: String): DataFrame = df
     .select(id.as(idName), explode(split(text, " ")).as("term"))
     .where(col("term") =!= "")
+
+  /** (doc_id, term, tf, dl) in ONE keyed aggregation — dl computed in the
+    * explode projection and carried through the agg (`max` of a per-doc
+    * constant), never joined in. */
+  private def bm25DocTerms(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = corpus
+    .select(col(idCol).as("doc_id"),
+      size(filter(split(col(textCol), " "), t => t =!= lit("")))
+        .cast("long").as("dl"),
+      explode(split(col(textCol), " ")).as("term"))
+    .where(col("term") =!= "")
+    .groupBy("doc_id", "term")
+    .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
 
   /** The exact-integer BM25 term contribution + per-(query, doc) rollup +
     * rank — over a candidate frame carrying (query_id, doc_id, tf, dl, df,
@@ -1798,25 +1810,19 @@ object TextOps {
     * routed to term buckets — one corpus pass. */
   def indexBm25(corpus: DataFrame, idCol: String, textCol: String,
       store: graft.core.BucketedStore, feature: String): Unit = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val docLen = corpus.select(col(idCol).as("doc_id"),
-      size(filter(split(col(textCol), " "), t => t =!= lit("")))
-        .cast("long").as("dl"))
-      .persistTracked()
-    val docTerms = bm25TermRows(corpus, col(idCol), col(textCol), "doc_id")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .join(docLen, Seq("doc_id"))
-      .persistTracked()
+    // dl rides the explode map-side (bm25DocTerms) — the build is one
+    // keyed aggregation + one agg-only stats pass, no doc-keyed join
+    val docTerms = bm25DocTerms(corpus, idCol, textCol).persistTracked()
     store.write(docTerms.select("term", "doc_id", "tf", "dl"),
       s"${feature}_postings", Seq("term"))
     store.write(docTerms.groupBy("term").agg(count(lit(1)).as("df")),
       s"${feature}_termdf", Seq("term"))
-    val st = docLen.agg(count(lit(1)).as("n_docs"), sum("dl").as("l_tokens"))
+    val st = corpus.agg(count(lit(1)).as("n_docs"),
+      sum(size(filter(split(col(textCol), " "), t => t =!= lit("")))
+        .cast("long")).as("l_tokens"))
       .withColumn("__sk", lit(0))
     store.write(st, s"${feature}_stats", Seq("__sk"))
     docTerms.unpersist()
-    docLen.unpersist()
   }
 
   /** Serve BM25 top-k through a persisted postings index: read ONLY the

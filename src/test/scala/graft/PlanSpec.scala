@@ -483,6 +483,14 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning\\(query_id".r.findAllIn(p171).size >= 1, p171)
   }
 
+  test("q186: BM25 candidates are all-broadcast — the corpus never shuffles for a join") {
+    val p = planOf("q186_bm25_topk")
+    // dl rides the explode map-side; queries/df/stats broadcast — any
+    // SortMergeJoin here means a corpus-sized shuffle snuck back in
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q167: unigram encode is ONE map-side pass (no exchange before the protocol sort)") {
     val p = planOf("q167_unigram_encode")
     assert(!p.contains("hashpartitioning"), p)

@@ -163,6 +163,30 @@ class SqlTvfSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft_containment_pairs('tvf_docs_cont','doc_id','text')").collect())
   }
 
+  test("graft_bm25_topk / graft_token_drift == their Scala APIs") {
+    val d = docs.limit(300)
+    d.createOrReplaceTempView("tvf_docs_bm25")
+    d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("qtext"))
+      .createOrReplaceTempView("tvf_queries_bm25")
+    same(
+      spark.sql("SELECT * FROM graft_bm25_topk('tvf_docs_bm25','doc_id','text','tvf_queries_bm25','query_id','qtext',3)"),
+      ops.TextOps.bm25TopK(d, "doc_id", "text",
+        d.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("qtext")),
+        "query_id", "qtext", 3))
+    d.filter(col("doc_id") % 2 === 0).createOrReplaceTempView("tvf_drift_a")
+    d.filter(col("doc_id") % 2 === 1).createOrReplaceTempView("tvf_drift_b")
+    same(
+      spark.sql("SELECT * FROM graft_token_drift('tvf_drift_a','tvf_drift_b','text',20)"),
+      ops.TextOps.tokenDrift(d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), "text", 20))
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft_token_drift('tvf_drift_a','tvf_drift_b')").collect())
+  }
+
   test("graft_canonical_per_cluster == the Scala API (clusters from a temp view)") {
     val d = docs.filter(col("doc_id") < 500)
     d.createOrReplaceTempView("tvf_docs_canon")
