@@ -152,6 +152,10 @@ object ScaleRehearsal {
           ops.Similarity.appendToVectorIndex(rest, "vec_id", "embedding", store, f)
       }
       ops.Similarity.relistVectorIndex(store, "anng")
+      // BM25 postings index for the q188 serving rehearsal: built here
+      // (production amortizes the build across the index lifetime)
+      val bmStore = new core.BucketedStore(s"$dir/bm25idx", numBuckets = 16)(spark)
+      ops.TextOps.indexBm25(all, "doc_id", "text", bmStore, "bm25")
       dir
     }
 
@@ -289,6 +293,31 @@ object ScaleRehearsal {
           force(ops.TextOps.overlapContamination(docs, evalSet,
             "doc_id", "text", "doc_id", "text", n = 3))
         }),
+        // BM25 retrieval: FIXED query batch (family 0's every-97th doc),
+        // corpus scales — the doc-term agg tracks corpus tokens (~linear);
+        // the candidate side stays query-term-keyed and broadcast
+        "q186_bm25_topk" -> (() => force(ops.TextOps.bm25TopK(
+          docs, "doc_id", "text",
+          docs.where(col("doc_id") % 97 === 0 && col("doc_id") < nDocs)
+            .select(col("doc_id").as("query_id"),
+              concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext")),
+          "query_id", "qtext", k = 5))),
+        // the SERVING route: same fixed query batch through the prebuilt
+        // postings index — IO = the query terms' buckets only; per-batch
+        // wall should stay far below the in-memory route's corpus scan
+        "q188_indexed_bm25" -> (() => {
+          val st = new core.BucketedStore(s"$dir/bm25idx", numBuckets = 16)(spark)
+          force(ops.TextOps.searchIndexedBm25(
+            docs.where(col("doc_id") % 97 === 0 && col("doc_id") < nDocs)
+              .select(col("doc_id").as("query_id"),
+                concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext")),
+            "query_id", "qtext", st, "bm25", k = 5))
+        }),
+        // token drift: both snapshots scale with the corpus; vocab-keyed
+        // aggs + one vocab-sized full-outer join — expect ~linear
+        "q187_token_drift" -> (() => force(ops.TextOps.tokenDrift(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "text", topM = 40))),
         // temperature mixture: the rate table stays one-row-per-source
         // (broadcast) however big the corpus gets; the keep filter is
         // map-side — expect ~linear wall tracking corpus bytes

@@ -153,6 +153,35 @@ object SparkEntry {
   /** Build-once persistent BM25 postings index for q188 (the q134 pattern
     * applied to text retrieval): documents term-bucketed into 16 postings
     * buckets + the term-df and scalar-stats tables. */
+  /** q187/q190 shared oracle: per-token two-sample chi-square drift in
+    * exact scaled integers (HUGEINT products, `//` integral division —
+    * the numerator is a square so both engines truncate identically).
+    * q190 is the SQL-TVF route over the identical answer. */
+  private lazy val sqlTokenDrift: String = """
+        WITH ca AS (SELECT token, count(*) AS n_a FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE doc_id % 2 = 0)
+              WHERE token <> '' GROUP BY 1),
+        cb AS (SELECT token, count(*) AS n_b FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE doc_id % 2 = 1)
+              WHERE token <> '' GROUP BY 1),
+        j AS (SELECT token,
+                CAST(coalesce(n_a, 0) AS HUGEINT) AS n_a,
+                CAST(coalesce(n_b, 0) AS HUGEINT) AS n_b
+              FROM ca FULL OUTER JOIN cb USING (token)),
+        t AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM j),
+        s AS (SELECT token, n_a, n_b,
+                CAST((CAST(1000000 AS HUGEINT) * (n_a*t.t_b - n_b*t.t_a) * (n_a*t.t_b - n_b*t.t_a))
+                 // ((n_a + n_b) * t.t_a * t.t_b) AS BIGINT) AS chi2_micro
+              FROM j CROSS JOIN t),
+        r AS (SELECT token, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                chi2_micro,
+                row_number() OVER (ORDER BY chi2_micro DESC, token) AS rank
+              FROM s)
+        SELECT token, n_a, n_b, chi2_micro, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 40 ORDER BY rank"""
+
   private def bm25IndexFixture(s: SparkSession, dir: String): String = {
     val root = storeFixtureRoot(s, dir, "bm25idx", "documents")
     val store = new core.BucketedStore(root, numBuckets = 16)(s)
@@ -2299,30 +2328,46 @@ object SparkEntry {
             docs.filter(col("doc_id") % 2 === 1), "text", topM = 40)
           .orderBy("rank")
       },
-      Some("""
-        WITH ca AS (SELECT token, count(*) AS n_a FROM (
-                SELECT unnest(string_split(text, ' ')) AS token
-                FROM documents WHERE doc_id % 2 = 0)
-              WHERE token <> '' GROUP BY 1),
-        cb AS (SELECT token, count(*) AS n_b FROM (
-                SELECT unnest(string_split(text, ' ')) AS token
-                FROM documents WHERE doc_id % 2 = 1)
-              WHERE token <> '' GROUP BY 1),
-        j AS (SELECT token,
-                CAST(coalesce(n_a, 0) AS HUGEINT) AS n_a,
-                CAST(coalesce(n_b, 0) AS HUGEINT) AS n_b
-              FROM ca FULL OUTER JOIN cb USING (token)),
-        t AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM j),
-        s AS (SELECT token, n_a, n_b,
-                CAST((CAST(1000000 AS HUGEINT) * (n_a*t.t_b - n_b*t.t_a) * (n_a*t.t_b - n_b*t.t_a))
-                 // ((n_a + n_b) * t.t_a * t.t_b) AS BIGINT) AS chi2_micro
-              FROM j CROSS JOIN t),
-        r AS (SELECT token, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-                chi2_micro,
-                row_number() OVER (ORDER BY chi2_micro DESC, token) AS rank
-              FROM s)
-        SELECT token, n_a, n_b, chi2_micro, CAST(rank AS INT) AS rank
-        FROM r WHERE rank <= 40 ORDER BY rank""")),
+      Some(sqlTokenDrift)),
+
+    // -- q189: the SQL-TVF route for BM25 top-k — graft_bm25_topk over the
+    //    documents + query-fixture temp views; expands at analysis time to
+    //    q186's exact plan, same oracle verbatim -------------------------
+    Q("q189_sql_tvf_bm25",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val docsView = s"docs_bm25_tvf_$sfx"
+        val qView = s"queries_bm25_tvf_$sfx"
+        val docs = T(s, dir, "documents")
+        docs.createOrReplaceTempView(docsView)
+        bm25QueryFixture(docs).createOrReplaceTempView(qView)
+        s.sql(s"""
+          SELECT query_id, doc_id, bm25_micro, rank
+          FROM graft_bm25_topk('$docsView', 'doc_id', 'text',
+                               '$qView', 'query_id', 'qtext', 5)
+          ORDER BY query_id, rank""")
+      },
+      Some(sqlBm25TopK)),
+
+    // -- q190: the SQL-TVF route for token-distribution drift —
+    //    graft_token_drift over the two snapshot temp views; expands to
+    //    q187's exact plan, same oracle verbatim -------------------------
+    Q("q190_sql_tvf_token_drift",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val aView = s"drift_a_tvf_$sfx"
+        val bView = s"drift_b_tvf_$sfx"
+        val docs = T(s, dir, "documents")
+        docs.filter(col("doc_id") % 2 === 0).createOrReplaceTempView(aView)
+        docs.filter(col("doc_id") % 2 === 1).createOrReplaceTempView(bView)
+        s.sql(s"""
+          SELECT token, n_a, n_b, chi2_micro, rank
+          FROM graft_token_drift('$aView', '$bView', 'text', 40)
+          ORDER BY rank""")
+      },
+      Some(sqlTokenDrift)),
 
     // -- q74: embedding-cosine near-dup pairs (LSH-blocked, exact verify) -----
     // -- q126: the PRODUCTION cosine-near-dup path — planes scale with the

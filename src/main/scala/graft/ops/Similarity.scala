@@ -952,6 +952,80 @@ object Similarity {
       s"${feature}_pqbook", Seq("__ck"))
   }
 
+  /** Reconstruct the m×ksub codebook from a stored `<feature>_pqbook`
+    * table (optionally at a pinned version) — shared by the serving-path
+    * metadata cache and the append path, so both decode the exact layout
+    * [[indexVectorsPq]] wrote. */
+  private def readPqBook(store: graft.core.BucketedStore, feature: String,
+      version: Option[Long] = None): Array[Array[Array[Long]]] = {
+    val bookRows = store.read(s"${feature}_pqbook", Seq("__ck"), version)
+      .select(col("pq_s"), col("pq_code"), col("pq_centv")).collect()
+    require(bookRows.nonEmpty, s"no ${feature}_pqbook rows in store ${store.root}")
+    val mm = bookRows.map(_.getInt(0)).max + 1
+    val kk = bookRows.map(_.getInt(1)).max + 1
+    val book = Array.ofDim[Array[Long]](mm, kk)
+    bookRows.foreach(r => book(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray)
+    book
+  }
+
+  /** O(batch) growth for the PERSISTED IVF-PQ index — the
+    * [[appendToVectorIndex]] cycle for the m-byte-code form. New vectors are
+    * routed by the STORED centroids and encoded with the STORED codebook
+    * (geometry pinned — append never retrains), then appended to the touched
+    * list buckets only: no existing index file is read or rewritten, so
+    * ingest cost is independent of index size. Run [[relistPqIndex]] on a
+    * cadence once appends have outgrown the build-time geometry. */
+  def appendToPqIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+      store: graft.core.BucketedStore, feature: String,
+      dim: Int = 64): Unit = {
+    val cent = store.read(s"${feature}_centroids", Seq("cent_id"))
+      .select(col("cent_id"), col("__centv"))
+      .withColumn("__centn", dotQ(col("__centv"), col("__centv"), dim))
+    val cb = readPqBook(store, feature)
+    require(dim % cb.length == 0,
+      s"stored codebook has m=${cb.length} subspaces — dim $dim must divide into them")
+    // batch-sized frame shared by the assignment and encode passes
+    val c = newVecs.select(col(idCol).as("corpus_id"), quantize(col(vecCol), dim).as("__cv"))
+      .withColumn("__cn", dotQ(col("__cv"), col("__cv"), dim))
+      .persistTracked()
+    try {
+      val lists = assignToLists(c, cent, dim)
+        .select(col("cent_id"), col("corpus_id").cast("long").as("corpus_id"))
+      val codes = pqEncodeQ(
+        c.select(col("corpus_id").cast("long").as("id"), col("__cv").as("__qv")),
+        cb, cb.length, dim / cb.length)
+        .withColumnRenamed("id", "corpus_id")
+      store.appendBucketed(s"${feature}_pqlists", lists.join(codes, "corpus_id"),
+        Seq("cent_id"))
+      ()
+    } finally c.unpersist(false)
+  }
+
+  /** Index MAINTENANCE for the PQ form — [[relistVectorIndex]]'s cadence
+    * contract for [[indexVectorsPq]] stores. Unlike the plain-IVF relist,
+    * which retrains from its OWN stored lists (they carry the exact
+    * quantized vectors), PQ codes are lossy — a retrain that re-seeded
+    * centroids or codewords from decoded approximations would drift from
+    * the ≡-rebuilt guarantee. So the PQ relist reads the source-of-truth
+    * corpus (the table the index serves — at 100 TB the raw vectors live
+    * there regardless) and retrains at the geometry the CURRENT corpus
+    * size calls for: `nlist = autoNlist(N)` unless pinned. All three index
+    * tables are rewritten as new store versions — time travel to the old
+    * geometry stays free, the full `_pqlists` write folds any
+    * [[appendToPqIndex]] dirs (subsuming that cycle's compaction), and old
+    * versions fall to `store.vacuum` on the operator's retention horizon.
+    * A relisted index answers IDENTICALLY to one built fresh from the same
+    * corpus (deterministic seeding; spec-asserted), and the serving-path
+    * metadata cache misses naturally on the bumped versions. Returns the
+    * new list count. */
+  def relistPqIndex(corpus: DataFrame, corpusIdCol: String, vecCol: String,
+      store: graft.core.BucketedStore, feature: String,
+      nlist: Int = 0, m: Int = 8, ksub: Int = 16, dim: Int = 64): Int = {
+    val nl = if (nlist > 0) nlist else autoNlist(corpus.count())
+    indexVectorsPq(corpus, corpusIdCol, vecCol, store, feature, nl, m, ksub, dim)
+    nl
+  }
+
   /** Serve ADC top-k through a persisted IVF-PQ index: probe the
     * `nprobe` nearest centroid buckets (`readTouched` — IO = probed
     * buckets of the m-byte codes table, independent of corpus size), rank
@@ -987,12 +1061,7 @@ object Similarity {
     val (cb, centRows) = pqIndexMetaCache.computeIfAbsent(metaKey, _ => {
       // reads PINNED to the key's versions: a rebuild racing this load can
       // never produce a cached codebook/centroid pair from two builds
-      val bookRows = store.read(s"${feature}_pqbook", Seq("__ck"), Some(bookV))
-        .select(col("pq_s"), col("pq_code"), col("pq_centv")).collect()
-      val mm = bookRows.map(_.getInt(0)).max + 1
-      val kk = bookRows.map(_.getInt(1)).max + 1
-      val book = Array.ofDim[Array[Long]](mm, kk)
-      bookRows.foreach(r => book(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray)
+      val book = readPqBook(store, feature, Some(bookV))
       val cents = store.read(s"${feature}_centroids", Seq("cent_id"), Some(centV))
         .select(col("cent_id"), col("__centv")).collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)

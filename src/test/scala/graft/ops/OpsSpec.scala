@@ -873,6 +873,53 @@ class SimilaritySpec extends SparkSpec {
     assert(grown.read("ann_lists", Seq("cent_id"), Some(vs.head)).count() == part1.count())
   }
 
+  test("PQ index append + relist: grown-then-relisted == rebuilt; old versions vacuumable") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val part1 = emb.filter(col("vec_id") < 100)
+    val part2 = emb.filter(col("vec_id") >= 100)
+    val grown = new graft.core.BucketedStore(tmpDir("pqgrow"), numBuckets = 16)
+    Similarity.indexVectorsPq(part1, "vec_id", "embedding", grown, "ann",
+      nlist = 4, m = 8, ksub = 16)
+    Similarity.appendToPqIndex(part2, "vec_id", "embedding", grown, "ann")
+    // O(batch) append covered the full corpus
+    assert(grown.read("ann_pqlists", Seq("cent_id")).count() == emb.count())
+    val queries = emb.filter(col("vec_id") < 10)
+    def rows(st: graft.core.BucketedStore) =
+      Similarity.searchIndexedPq(queries, "vec_id", "embedding", st, "ann",
+          k = 5, nprobe = 4)
+        .select("query_id", "corpus_id", "adc_dist", "rank")
+        .as[(Long, Long, Long, Int)].collect().toSet
+    // geometry pinned by the append: part1's codeword queries still
+    // self-hit at rank 1 with ADC 0 (nprobe=4 of nlist=4 probes every list)
+    assert(rows(grown).count { case (q, c, d, r) => r == 1 && q == c && d == 0L } == 10)
+    // appended vectors ARE served through the grown index
+    val probe2 = emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+    val hits = Similarity.searchIndexedPq(probe2, "vec_id", "embedding", grown, "ann",
+        k = 5, nprobe = 4)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+    assert(hits.exists(_._2 >= 100), hits.mkString(","))
+    // relist at the full-corpus geometry == an index rebuilt fresh from it
+    val newN = Similarity.relistPqIndex(emb, "vec_id", "embedding", grown, "ann",
+      nlist = 16)
+    assert(newN == 16)
+    val rebuilt = new graft.core.BucketedStore(tmpDir("pqrebuild"), numBuckets = 16)
+    Similarity.indexVectorsPq(emb, "vec_id", "embedding", rebuilt, "ann",
+      nlist = 16, m = 8, ksub = 16)
+    assert(rows(grown) == rows(rebuilt),
+      "relisted PQ index must answer identically to one rebuilt at the same geometry")
+    // time travel: the pre-relist list table is still readable
+    val vs = grown.versions("ann_pqlists")
+    assert(vs.size >= 2)
+    assert(grown.read("ann_pqlists", Seq("cent_id"), Some(vs.head)).count() == part1.count())
+    // vacuum drops the pre-relist versions; the served answer is unchanged
+    val removed = grown.vacuum("ann_pqlists", keepVersions = 1)
+    assert(removed.nonEmpty)
+    assert(rows(grown) == rows(rebuilt))
+    // auto mode picks autoNlist(N) of the given corpus
+    val autoN = Similarity.relistPqIndex(emb, "vec_id", "embedding", grown, "ann")
+    assert(autoN == Similarity.autoNlist(emb.count()))
+  }
+
   test("relistVectorIndex with refineIters: deterministic and answers stay index-consistent") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val store = new graft.core.BucketedStore(tmpDir("ivfrelistkm"), numBuckets = 16)
