@@ -243,6 +243,18 @@ object GraftExtensions {
           str(args(3), "corpusIdCol"), str(args(4), "vecCol"), int(args(5), "k"))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_ivf_recall_curve"),
+      info("graft_ivf_recall_curve",
+        "graft_ivf_recall_curve(queryTable, corpusTable, queryIdCol, corpusIdCol, vecCol, k, nlist) - recall@k vs nprobe curve for the IVF geometry from one run: (nprobe, n_found, n_true, recall_micro)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 7,
+          "usage: graft_ivf_recall_curve(queryTable, corpusTable, queryIdCol, corpusIdCol, vecCol, k, nlist)")
+        ops.Similarity.ivfRecallCurve(table(str(args(0), "queryTable")),
+          table(str(args(1), "corpusTable")), str(args(2), "queryIdCol"),
+          str(args(3), "corpusIdCol"), str(args(4), "vecCol"),
+          int(args(5), "k"), int(args(6), "nlist"))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_exact_dedup"),
       info("graft_exact_dedup",
         "graft_exact_dedup(table, idCol, textCol) - exact duplicate groups by content digest (digest, keep_id, n_copies)"),

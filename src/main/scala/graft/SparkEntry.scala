@@ -2608,6 +2608,64 @@ object SparkEntry {
       },
       Some(sqlIvfTopk)),
 
+    // -- q191: IVF recall@k CURVE — the nprobe tuning measurement: ground
+    //    truth (brute-force top-k) resolved to each true neighbor's list
+    //    probe-rank, the whole recall/nprobe trade-off from ONE run.
+    //    found@p ≡ |ivfTopK(nprobe=p) ∩ truth| (spec-asserted), exact
+    //    integer recall_micro ----------------------------------------------
+    Q("q191_ivf_recall_curve",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        ops.Similarity.ivfRecallCurve(
+          emb.filter(col("vec_id") < 10), emb, "vec_id", "vec_id", "embedding",
+          k = 10, nlist = 16)
+          .orderBy("nprobe")
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT vec_id AS corpus_id, $sqlQVec AS v FROM embeddings),
+        cent AS (
+          SELECT corpus_id AS cent_id, v AS centv FROM c WHERE corpus_id < 16),
+        assigned AS (
+          SELECT c.corpus_id, cent.cent_id,
+            row_number() OVER (PARTITION BY c.corpus_id ORDER BY
+              CAST(${sqlDotQ("c.v", "cent.centv")} AS DOUBLE)
+                / sqrt(CAST(${sqlDotQ("c.v", "c.v")} AS DOUBLE) * CAST(${sqlDotQ("cent.centv", "cent.centv")} AS DOUBLE)) DESC,
+              cent.cent_id ASC) AS cr
+          FROM c CROSS JOIN cent),
+        lists AS (
+          SELECT cent_id, corpus_id FROM assigned WHERE cr = 1),
+        q AS (
+          SELECT vec_id AS query_id, $sqlQVec AS qv FROM embeddings WHERE vec_id < 10),
+        truth AS (
+          SELECT query_id, corpus_id FROM (
+            SELECT q.query_id, c.corpus_id,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                CAST(${sqlDotQ("q.qv", "c.v")} AS DOUBLE)
+                  / sqrt(CAST(${sqlDotQ("q.qv", "q.qv")} AS DOUBLE) * CAST(${sqlDotQ("c.v", "c.v")} AS DOUBLE)) DESC,
+                c.corpus_id ASC) AS tr
+            FROM q CROSS JOIN c) WHERE tr <= 10),
+        pranks AS (
+          SELECT q.query_id, cent.cent_id,
+            row_number() OVER (PARTITION BY q.query_id ORDER BY
+              CAST(${sqlDotQ("q.qv", "cent.centv")} AS DOUBLE)
+                / sqrt(CAST(${sqlDotQ("q.qv", "q.qv")} AS DOUBLE) * CAST(${sqlDotQ("cent.centv", "cent.centv")} AS DOUBLE)) DESC,
+              cent.cent_id ASC) AS pr
+          FROM q CROSS JOIN cent),
+        hits AS (
+          SELECT t.query_id, p.pr
+          FROM truth t JOIN lists l ON l.corpus_id = t.corpus_id
+               JOIN pranks p ON p.query_id = t.query_id AND p.cent_id = l.cent_id),
+        tot AS (SELECT CAST(count(*) AS HUGEINT) AS n_true FROM hits),
+        curve AS (
+          SELECT r.range AS nprobe,
+            CAST(count(*) FILTER (WHERE h.pr <= r.range) AS BIGINT) AS n_found
+          FROM range(1, 17) r CROSS JOIN hits h GROUP BY 1)
+        SELECT CAST(nprobe AS INT) AS nprobe, n_found,
+          CAST(t.n_true AS BIGINT) AS n_true,
+          CAST((1000000 * CAST(n_found AS HUGEINT)) // t.n_true AS BIGINT) AS recall_micro
+        FROM curve CROSS JOIN tot t ORDER BY nprobe""")),
+
     // -- q77: text quality features + token counting ---------------------------
     Q("q77_text_quality",
       (s, dir) => T(s, dir, "documents")

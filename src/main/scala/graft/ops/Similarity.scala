@@ -952,6 +952,70 @@ object Similarity {
       s"${feature}_pqbook", Seq("__ck"))
   }
 
+  /** Recall@k CURVE for the IVF geometry — the nprobe tuning measurement,
+    * whole trade-off in ONE run instead of nlist re-runs. Ground truth is
+    * brute-force cosine top-k; each true (query, neighbor) pair resolves to
+    * the probe RANK of the neighbor's assigned list in the query's centroid
+    * ordering, and recall@p for every p in 1..nlist is then one conditional
+    * count over the |Q|·k pair frame: a true neighbor is found at nprobe=p
+    * iff its list's probe rank ≤ p (exactly the candidate rule [[ivfTopK]]
+    * applies, so found@p ≡ |ivfTopK(nprobe=p) ∩ truth| — spec-asserted).
+    * Arithmetic matches [[ivfTopK]] bit-for-bit (same seed centroids, same
+    * rank-1 assignment, same tie-breaks), so the curve is
+    * oracle-reproducible. `recall_micro` = 10⁶·found // true (exact
+    * integer). Scale shape: the corpus streams TWICE against broadcast
+    * sides (list assignment; ground-truth scoring), never corpus×corpus —
+    * but ground truth is inherently O(|Q|·N), so run it over a SAMPLED
+    * query batch (standard index-calibration practice). */
+  def ivfRecallCurve(queries: DataFrame, corpus: DataFrame,
+      queryIdCol: String, corpusIdCol: String, vecCol: String,
+      k: Int, nlist: Int = 16, dim: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nlist >= 1 && nlist <= 65536, s"nlist must be in [1, 65536], got $nlist")
+    val spark = queries.sparkSession
+    // persistTracked (no explicit unpersist): the returned plan is LAZY —
+    // both frames are multiply-referenced by it, and the tracked cache is
+    // dropped by the harness's clearCache between queries
+    val c = corpus.select(col(corpusIdCol).as("corpus_id"), quantize(col(vecCol), dim).as("__cv"))
+      .withColumn("__cn", dotQ(col("__cv"), col("__cv"), dim))
+      .persistTracked()
+    val cent = seedCentroids(c, nlist)
+      val assigned = assignToLists(c, cent, dim).select("corpus_id", "cent_id")
+      val q = queries.select(col(queryIdCol).as("query_id"), quantize(col(vecCol), dim).as("__qv"))
+        .withColumn("__qn", dotQ(col("__qv"), col("__qv"), dim))
+      // ground truth: query side broadcast, corpus streams once
+      val truth = TopK.perGroup(
+        c.join(broadcast(q))
+          .select(col("query_id"), col("corpus_id"),
+            cosineFromParts(dotQ(col("__qv"), col("__cv"), dim), col("__qn"), col("__cn")).as("__cos")),
+        Seq("query_id"), Seq(col("__cos").desc, col("corpus_id").asc), k, rankCol = "__tr")
+        .select("query_id", "corpus_id")
+      // FULL probe ranking: every centroid's rank per query (|Q|·nlist rows)
+      val pranks = TopK.perGroup(
+        q.join(broadcast(cent))
+          .select(col("query_id"), col("cent_id"),
+            cosineFromParts(dotQ(col("__qv"), col("__centv"), dim), col("__qn"), col("__centn")).as("__psim")),
+        Seq("query_id"), Seq(col("__psim").desc, col("cent_id").asc), nlist,
+        rankCol = "probe_rank")
+        .select(col("query_id"), col("cent_id"), col("probe_rank"))
+      // per true pair: the probe rank of its list (truth is |Q|·k — broadcast
+      // against the corpus-sized assignment; pranks is |Q|·nlist)
+      val hits = assigned.join(broadcast(truth), Seq("corpus_id"))
+        .join(broadcast(pranks), Seq("query_id", "cent_id"))
+        .select(col("query_id"), col("probe_rank"))
+      // ≤nlist histogram rows carry the whole curve; totals stay in-plan
+      val hist = hits.groupBy("probe_rank").agg(count(lit(1)).as("__n"))
+        .persistTracked()
+      val tot = hist.agg(coalesce(sum("__n"), lit(0L)).as("n_true"))
+      spark.range(1, nlist + 1).toDF("__p")
+        .join(hist, col("probe_rank") <= col("__p"), "left")
+        .groupBy("__p").agg(coalesce(sum("__n"), lit(0L)).as("n_found"))
+        .crossJoin(broadcast(tot))
+        .select(col("__p").cast("int").as("nprobe"), col("n_found"), col("n_true"),
+          when(col("n_true") === 0, lit(0L))
+            .otherwise(expr("(1000000 * n_found) div n_true")).as("recall_micro"))
+  }
+
   /** Reconstruct the m×ksub codebook from a stored `<feature>_pqbook`
     * table (optionally at a pinned version) — shared by the serving-path
     * metadata cache and the append path, so both decode the exact layout

@@ -163,6 +163,17 @@ class SqlTvfSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft_containment_pairs('tvf_docs_cont','doc_id','text')").collect())
   }
 
+  test("graft_ivf_recall_curve == Similarity.ivfRecallCurve") {
+    emb.createOrReplaceTempView("tvf_emb_rc")
+    emb.filter(col("vec_id") < 5).createOrReplaceTempView("tvf_q_rc")
+    same(
+      spark.sql("SELECT * FROM graft_ivf_recall_curve('tvf_q_rc','tvf_emb_rc','vec_id','vec_id','embedding',10,16)"),
+      ops.Similarity.ivfRecallCurve(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "vec_id", "embedding", k = 10, nlist = 16))
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft_ivf_recall_curve('tvf_q_rc','tvf_emb_rc','vec_id','vec_id','embedding',10)").collect())
+  }
+
   test("graft_bm25_topk / graft_token_drift == their Scala APIs") {
     val d = docs.limit(300)
     d.createOrReplaceTempView("tvf_docs_bm25")

@@ -873,6 +873,34 @@ class SimilaritySpec extends SparkSpec {
     assert(grown.read("ann_lists", Seq("cent_id"), Some(vs.head)).count() == part1.count())
   }
 
+  test("ivfRecallCurve: monotone, full-probe recall is 1.0, found@p == |ivfTopK(p) ∩ truth|") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val curve = Similarity.ivfRecallCurve(queries, emb, "vec_id", "vec_id",
+        "embedding", k = 10, nlist = 16).orderBy("nprobe")
+      .select("nprobe", "n_found", "n_true", "recall_micro")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(curve.length == 16)
+    assert(curve.map(_._1).sameElements(1 to 16))
+    assert(curve.sliding(2).forall(p => p(0)._2 <= p(1)._2),
+      "found counts must be monotone non-decreasing in nprobe")
+    assert(curve.last._4 == 1000000L, "probing every list must find the full truth")
+    // the curve's found@p is EXACTLY what the search op would return: the
+    // true neighbors whose assigned lists sit in the first p probes (the
+    // (cosine desc, id asc) total order makes the equivalence rigorous —
+    // a probed true neighbor is outranked only by other truth members)
+    val truth = Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id",
+        "embedding", k = 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(curve.head._3 == truth.size)
+    for (p <- Seq(1, 2, 4)) {
+      val served = Similarity.ivfTopK(queries, emb, "vec_id", "vec_id",
+          "embedding", k = 10, nlist = 16, nprobe = p)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      assert(curve(p - 1)._2 == served.intersect(truth).size, s"nprobe=$p")
+    }
+  }
+
   test("PQ index append + relist: grown-then-relisted == rebuilt; old versions vacuumable") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val part1 = emb.filter(col("vec_id") < 100)
