@@ -243,6 +243,18 @@ object GraftExtensions {
           str(args(3), "corpusIdCol"), str(args(4), "vecCol"), int(args(5), "k"))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_mmr_select"),
+      info("graft_mmr_select",
+        "graft_mmr_select(corpusTable, idCol, vecCol, queryTable, queryVecCol, k, lambdaMicro) - greedy maximal-marginal-relevance selection: (rank, vec_id, mmr_score x1e6-scaled)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 7,
+          "usage: graft_mmr_select(corpusTable, idCol, vecCol, queryTable, queryVecCol, k, lambdaMicro)")
+        ops.Similarity.mmrSelect(table(str(args(0), "corpusTable")),
+          str(args(1), "idCol"), str(args(2), "vecCol"),
+          table(str(args(3), "queryTable")), str(args(4), "queryVecCol"),
+          int(args(5), "k"), int(args(6), "lambdaMicro").toLong)
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_ivf_recall_curve"),
       info("graft_ivf_recall_curve",
         "graft_ivf_recall_curve(queryTable, corpusTable, queryIdCol, corpusIdCol, vecCol, k, nlist) - recall@k vs nprobe curve for the IVF geometry from one run: (nprobe, n_found, n_true, recall_micro)"),

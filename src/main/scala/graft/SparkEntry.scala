@@ -1943,6 +1943,48 @@ object SparkEntry {
         ORDER BY rank"""
   }
 
+  /** q192 oracle: the greedy MMR sequence unrolled round by round — each
+    * round a MATERIALIZED argmax of λ·rel − (1−λ)·maxsim over the running
+    * accumulated max-similarity (exact int64 dots → correctly-rounded
+    * doubles; ties → smaller id), exactly the engine's selection rule.
+    * Query = the corpus vector with id 0. */
+  private def sqlMmr(k: Int, lambdaMicro: Long): String = {
+    val lm = lambdaMicro
+    val om = 1000000L - lambdaMicro
+    def cos(a: String, b: String) =
+      s"""(CAST(${sqlDotQ(a, b)} AS DOUBLE)
+          / sqrt(CAST(${sqlDotQ(a, a)} AS DOUBLE) * CAST(${sqlDotQ(b, b)} AS DOUBLE)))"""
+    val rounds = (2 to k).map { r =>
+      val prevS = s"p${r - 1}"
+      val mSrc = if (r == 2)
+        s"""m1 AS MATERIALIZED (SELECT b.corpus_id, b.v, b.rel,
+              greatest(0.0, ${cos("b.v", "p1.v")}) AS ms
+            FROM base b, p1 WHERE b.corpus_id <> p1.corpus_id)"""
+      else
+        s"""m${r - 1} AS MATERIALIZED (SELECT s.corpus_id, s.v, s.rel,
+              greatest(s.ms, ${cos("s.v", s"$prevS.v")}) AS ms
+            FROM m${r - 2} s, $prevS WHERE s.corpus_id <> $prevS.corpus_id)"""
+      s"""$mSrc,
+        p$r AS MATERIALIZED (SELECT corpus_id, v, $lm*rel - $om*ms AS score
+          FROM m${r - 1} ORDER BY score DESC, corpus_id LIMIT 1)"""
+    }.mkString(",\n        ")
+    val unions = (2 to k).map(r =>
+      s"UNION ALL SELECT $r AS rank, corpus_id AS vec_id, score AS mmr_score FROM p$r")
+      .mkString("\n        ")
+    s"""
+        WITH c AS (SELECT vec_id AS corpus_id, $sqlQVec AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM c WHERE corpus_id = 0),
+        base AS MATERIALIZED (
+          SELECT c.corpus_id, c.v, ${cos("c.v", "q.qv")} AS rel FROM c CROSS JOIN q),
+        p1 AS MATERIALIZED (
+          SELECT corpus_id, v, $lm*rel - $om*0.0 AS score
+          FROM base ORDER BY score DESC, corpus_id LIMIT 1),
+        $rounds
+        SELECT * FROM (
+          SELECT 1 AS rank, corpus_id AS vec_id, score AS mmr_score FROM p1
+          $unions) ORDER BY rank"""
+  }
+
   /** q181 / q184 shared oracle: near-dup clusters + the canonical
     * keep-the-best-member policy (ties → smallest id; singletons keep
     * themselves). q184 is the SQL-TVF route over the identical answer. */
@@ -2665,6 +2707,20 @@ object SparkEntry {
           CAST(t.n_true AS BIGINT) AS n_true,
           CAST((1000000 * CAST(n_found AS HUGEINT)) // t.n_true AS BIGINT) AS recall_micro
         FROM curve CROSS JOIN tot t ORDER BY nprobe""")),
+
+    // -- q192: maximal-marginal-relevance selection — the retrieve-then-
+    //    diversify step (RAG context assembly): greedy k picks maximizing
+    //    λ·cos(q,d) − (1−λ)·max cos(d, selected), accumulated-max column,
+    //    O(k·N); oracle unrolls the identical greedy sequence -------------
+    Q("q192_mmr_select",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        ops.Similarity.mmrSelect(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "embedding",
+          k = 4, lambdaMicro = 700000L)
+          .orderBy("rank")
+      },
+      Some(sqlMmr(4, 700000L))),
 
     // -- q77: text quality features + token counting ---------------------------
     Q("q77_text_quality",

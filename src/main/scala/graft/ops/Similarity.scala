@@ -921,6 +921,79 @@ object Similarity {
     out.toSeq.toDF("rank", "vec_id", "sel_dist")
   }
 
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998,
+    * SIGIR): greedily pick k corpus vectors maximizing
+    * `λ·cos(q, d) − (1−λ)·max_{s∈selected} cos(d, s)` — the standard
+    * retrieve-then-diversify step (RAG context assembly, diverse few-shot
+    * pools). λ rides as an exact micro-integer (`lambdaMicro`/10⁶;
+    * 10⁶ = pure relevance, 0 = pure diversity) and the emitted
+    * `mmr_score` stays ×10⁶-scaled — each score is two correctly-rounded
+    * double ops over the exact-integer cosine parts, so the greedy choice
+    * sequence is engine-reproducible (same tie-break: score desc, id asc;
+    * the first pick maximizes relevance — `__maxsim` starts at 0).
+    *
+    * Same shape and cost discipline as [[kCenterGreedy]]: k bounded
+    * argmax passes over a persisted quantized frame carrying an
+    * ACCUMULATED `greatest(prev, cos(d, newest))` column — O(k·N) total,
+    * one fused dot per row per round, selected vectors as plan literals,
+    * lineage truncated every 8 rounds. Ground-truth relevance is one
+    * broadcast-free map pass (the query is a literal). */
+  def mmrSelect(corpus: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int,
+      lambdaMicro: Long = 700000L, dim: Int = 64): DataFrame = {
+    require(k >= 1 && k <= 256, s"k must be in [1,256] (greedy MMR picker), got $k")
+    require(lambdaMicro >= 0L && lambdaMicro <= 1000000L,
+      s"lambdaMicro must be in [0, 1000000], got $lambdaMicro")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRow = query.select(quantize(col(queryVecCol), dim).as("__q")).limit(1).collect()
+    require(qRow.nonEmpty, "query frame is empty")
+    val qv = qRow(0).getSeq[Long](0).toArray
+    val qn = ddot(qv, qv)
+    def cosTo(v: Array[Long]): Column =
+      cosineFromParts(dotQ(col("__qv"), typedLit(v.toSeq), dim), col("__n"), lit(ddot(v, v)))
+    val score =
+      lit(lambdaMicro) * col("__rel") - lit(1000000L - lambdaMicro) * col("__maxsim")
+    val c = corpus
+      .select(col(idCol).cast("long").as("vec_id"), quantize(col(vecCol), dim).as("__qv"))
+      .withColumn("__n", dotQ(col("__qv"), col("__qv"), dim))
+      .withColumn("__rel",
+        cosineFromParts(dotQ(col("__qv"), typedLit(qv.toSeq), dim), col("__n"), lit(qn)))
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]()
+    var cur = c.withColumn("__maxsim", lit(0.0)).persistTracked()
+    var prev: DataFrame = null
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val pick = cur.withColumn("__s", score)
+        .orderBy(col("__s").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("__qv"), col("__s")).collect()
+      if (prev != null) { prev.unpersist(); prev = null }
+      if (pick.isEmpty) exhausted = true
+      else {
+        val row = pick(0)
+        val pid = row.getLong(0)
+        out += ((r, pid, row.getDouble(2)))
+        r += 1
+        if (r <= k) {
+          val pvec = row.getSeq[Long](1).toArray
+          val grown = cur.where(col("vec_id") =!= lit(pid))
+            .withColumn("__maxsim", greatest(col("__maxsim"), cosTo(pvec)))
+          if (r % 8 == 0) {
+            val next = grown.localCheckpoint()
+            cur.unpersist()
+            cur = next
+          } else {
+            prev = cur
+            cur = grown.persistTracked()
+          }
+        }
+      }
+    }
+    cur.unpersist()
+    out.toSeq.toDF("rank", "vec_id", "mmr_score")
+  }
+
   /** Persist an IVF-PQ index: the [[indexVectors]] layout with the raw
     * quantized vectors replaced by m-byte PQ codes — per-row storage drops
     * from 8·dim bytes to m (+ id), so the same probe IO covers a 64×

@@ -1825,6 +1825,42 @@ object TextOps {
     docTerms.unpersist()
   }
 
+  /** O(batch) growth for the persisted BM25 postings index — the
+    * append-cycle contract the vector indexes already carry: the batch's
+    * postings append to their term buckets only (no existing postings file
+    * is read or rewritten), while the VOCAB-sized term-df table and the
+    * one-row stats table rewrite as new versions from (stored + batch) —
+    * so per-batch IO is independent of corpus size everywhere the corpus
+    * is big. EXACT, not approximate: a grown index answers identically to
+    * one rebuilt from the full corpus (postings union is row-identical,
+    * df and stats are additive) — spec-asserted. Fold appended dirs on a
+    * cadence with `store.compactBuckets(s"${feature}_postings",
+    * Seq("term"))`; old df/stats versions fall to `store.vacuum`. */
+  def appendToBm25Index(newDocs: DataFrame, idCol: String, textCol: String,
+      store: graft.core.BucketedStore, feature: String): Unit = {
+    val docTerms = bm25DocTerms(newDocs, idCol, textCol).persistTracked()
+    store.appendBucketed(s"${feature}_postings",
+      docTerms.select("term", "doc_id", "tf", "dl"), Seq("term"))
+    val batchDf = docTerms.groupBy("term").agg(count(lit(1)).as("__bdf"))
+    val merged = store.read(s"${feature}_termdf", Seq("term"))
+      .join(batchDf, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("__bdf"), lit(0L))).as("df"))
+    store.write(merged, s"${feature}_termdf", Seq("term"))
+    val batchSt = newDocs.agg(count(lit(1)).as("__bn"),
+      sum(size(filter(split(col(textCol), " "), t => t =!= lit("")))
+        .cast("long")).as("__bl"))
+    val st = store.read(s"${feature}_stats", Seq("__sk"))
+      .select("n_docs", "l_tokens")
+      .crossJoin(batchSt)
+      .select(
+        (col("n_docs") + col("__bn")).as("n_docs"),
+        (coalesce(col("l_tokens"), lit(0L)) + coalesce(col("__bl"), lit(0L))).as("l_tokens"))
+      .withColumn("__sk", lit(0))
+    store.write(st, s"${feature}_stats", Seq("__sk"))
+    docTerms.unpersist()
+  }
+
   /** Serve BM25 top-k through a persisted postings index: read ONLY the
     * query terms' postings and df buckets (`readTouched` — IO =
     * |touched buckets| / numBuckets of the index, independent of corpus

@@ -163,6 +163,15 @@ class SqlTvfSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft_containment_pairs('tvf_docs_cont','doc_id','text')").collect())
   }
 
+  test("graft_mmr_select == Similarity.mmrSelect") {
+    emb.createOrReplaceTempView("tvf_emb_mmr")
+    emb.filter(col("vec_id") === 0).createOrReplaceTempView("tvf_q_mmr")
+    same(
+      spark.sql("SELECT * FROM graft_mmr_select('tvf_emb_mmr','vec_id','embedding','tvf_q_mmr','embedding',4,700000)"),
+      ops.Similarity.mmrSelect(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0), "embedding", k = 4, lambdaMicro = 700000L))
+  }
+
   test("graft_ivf_recall_curve == Similarity.ivfRecallCurve") {
     emb.createOrReplaceTempView("tvf_emb_rc")
     emb.filter(col("vec_id") < 5).createOrReplaceTempView("tvf_q_rc")

@@ -873,6 +873,46 @@ class SimilaritySpec extends SparkSpec {
     assert(grown.read("ann_lists", Seq("cent_id"), Some(vs.head)).count() == part1.count())
   }
 
+  test("mmrSelect: hand case, λ=1 == relevance ranking, λ=0 == most-diverse, k>n exhausts") {
+    // q = e1; id0 = q itself, id2 ≈ q, id1 ⟂ q. λ=0.7: pick1 = id0 (rel 1);
+    // pick2 = id2 (0.7·rel − 0.3·sim ≈ 0.4·0.998 > id1's 0); pick3 = id1
+    def vec(xs: (Int, Float)*) =
+      (0 until 64).map(i => xs.toMap.getOrElse(i, 0.0f))
+    val tiny = Seq(
+      (0L, vec(0 -> 1.0f)),
+      (1L, vec(1 -> 1.0f)),
+      (2L, vec(0 -> 1.0f, 1 -> 0.05f))).toDF("vec_id", "embedding")
+    val q0 = tiny.filter(col("vec_id") === 0)
+    val hand = Similarity.mmrSelect(tiny, "vec_id", "embedding", q0, "embedding",
+        k = 5, lambdaMicro = 700000L)
+      .orderBy("rank").select("rank", "vec_id").as[(Int, Long)].collect().toSeq
+    assert(hand == Seq((1, 0L), (2, 2L), (3, 1L)), s"got $hand (k>n exhausts at 3)")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+    // λ=1: the penalty vanishes — the greedy sequence IS the brute-force
+    // relevance ranking (same (cosine desc, id asc) total order)
+    val rel = Similarity.mmrSelect(emb, "vec_id", "embedding", query, "embedding",
+        k = 5, lambdaMicro = 1000000L)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(query, emb, "vec_id", "vec_id",
+        "embedding", k = 5)
+      .orderBy("rank").select("corpus_id").as[Long].collect().toSeq
+    assert(rel == brute, "pure-relevance MMR must equal the brute-force ranking")
+    // λ=0: pure diversity — round 1 is all-ties (smallest id), round 2 is
+    // the minimal CLAMPED cosine to it (ties → smaller id)
+    val pool = emb.filter(col("vec_id") < 50)
+    val div = Similarity.mmrSelect(pool, "vec_id", "embedding", query, "embedding",
+        k = 2, lambdaMicro = 0L)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(div.head == 0L)
+    val cosTo0 = Similarity.bruteForceTopK(query, pool, "vec_id", "vec_id",
+        "embedding", k = 50)
+      .select("corpus_id", "cosine").as[(Long, Double)].collect()
+    val expected = cosTo0.filter(_._1 != 0L)
+      .minBy { case (id, c) => (math.max(0.0, c), id) }._1
+    assert(div(1) == expected, s"λ=0 round 2 must take the least-similar (got ${div(1)}, want $expected)")
+  }
+
   test("ivfRecallCurve: monotone, full-probe recall is 1.0, found@p == |ivfTopK(p) ∩ truth|") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
@@ -1490,6 +1530,33 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._4))
     assert(direct.nonEmpty && served.toSeq == direct.toSeq,
       s"served ${served.length} vs direct ${direct.length}")
+  }
+
+  test("appendToBm25Index: grown index == rebuilt from the full corpus; compaction answer-stable") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(300)
+    val part1 = docs.filter(col("doc_id") % 3 =!= 0)
+    val part2 = docs.filter(col("doc_id") % 3 === 0)
+    val queries = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("qtext"))
+    val grown = new graft.core.BucketedStore(tmpDir("bm25grow"), numBuckets = 8)
+    TextOps.indexBm25(part1, "doc_id", "text", grown, "bm")
+    TextOps.appendToBm25Index(part2, "doc_id", "text", grown, "bm")
+    val rebuilt = new graft.core.BucketedStore(tmpDir("bm25rebuild"), numBuckets = 8)
+    TextOps.indexBm25(docs, "doc_id", "text", rebuilt, "bm")
+    def rows(st: graft.core.BucketedStore) =
+      TextOps.searchIndexedBm25(queries, "query_id", "qtext", st, "bm", k = 3)
+        .select("query_id", "doc_id", "bm25_micro", "rank")
+        .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val grownRows = rows(grown)
+    assert(grownRows.nonEmpty && grownRows == rows(rebuilt),
+      "append must be EXACT: grown index answers identically to a rebuild")
+    // df and stats merged additively, not clobbered
+    assert(grown.read("bm_stats", Seq("__sk")).select("n_docs").as[Long].head()
+      == docs.count())
+    // the maintenance cadence folds the appended dirs without changing answers
+    grown.compactBuckets("bm_postings", Seq("term"))
+    assert(rows(grown) == grownRows)
   }
 
   test("tokenDrift: hand-computed chi-square contributions; one-sided tokens rank by full mass") {
