@@ -113,6 +113,39 @@ object Fastlane {
       }
       .start()
 
+  /** Streaming retrieval-index maintenance — keep a persisted BM25
+    * postings index current as documents arrive: each micro-batch appends
+    * its docs to `corpusDir` and grows the index O(batch) via
+    * [[graft.ops.TextOps.appendToBm25Index]] (the first batch bootstraps
+    * with a full [[graft.ops.TextOps.indexBm25]] build). Because the
+    * append contract is EXACT (grown == rebuilt: postings row-identical,
+    * df/stats additive), the stream-grown index answers
+    * [[graft.ops.TextOps.searchIndexedBm25]] queries identically to an
+    * index built in ONE batch over the accumulated corpus — spec-asserted.
+    * `compactEvery` folds appended posting dirs on a cadence; per-batch
+    * cost is independent of corpus size everywhere the corpus is big. */
+  def ingestBm25Indexed(
+      stream: DataFrame, idCol: String, textCol: String,
+      store: graft.core.BucketedStore, feature: String,
+      corpusDir: String, checkpointDir: String,
+      compactEvery: Int = 0,
+      trigger: Trigger = Trigger.AvailableNow())
+      (implicit spark: SparkSession): StreamingQuery =
+    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
+      // persisted: read by the corpus append AND the index build passes
+      val docs = batch.select(col(idCol), col(textCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.write.mode("append").parquet(corpusDir)
+      if (store.latestVersion(s"${feature}_postings").isEmpty)
+        graft.ops.TextOps.indexBm25(docs, idCol, textCol, store, feature)
+      else
+        graft.ops.TextOps.appendToBm25Index(docs, idCol, textCol, store, feature)
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        store.compactBuckets(s"${feature}_postings", Seq("term"))
+      docs.unpersist()
+      ()
+    }
+
   /** Streaming near-dup-gated corpus ingest — the online form of
     * [[graft.ops.Dedup.minhashNewVsCorpus]]. Each micro-batch is (1) deduped
     * against ITSELF (near-dup pairs within the batch keep the min-id rep),

@@ -108,6 +108,43 @@ class FastlaneSpec extends SparkSpec {
     assert(indexed == Set(1L, 2L, 5L))
   }
 
+  test("ingestBm25Indexed: stream-grown postings index == one-batch build over the union") {
+    import graft.ops.TextOps
+    val srcDir = tmpDir("bm25s_src")
+    val corpusDir = tmpDir("bm25s_corpus") + "/c"
+    val store = new graft.core.BucketedStore(tmpDir("bm25s_idx"), numBuckets = 8)
+    val ckpt = tmpDir("bm25s_ckpt")
+    def stream() = spark.readStream
+      .schema("doc_id LONG, text STRING").json(s"$srcDir/*")
+    val b1 = Seq((1L, "the quick brown fox"), (2L, "lazy dogs sleep all day"))
+    val b2 = Seq((3L, "quick dogs chase the fox"), (4L, "brown bears eat honey"))
+    b1.toDF("doc_id", "text").write.mode("overwrite").json(s"$srcDir/b1")
+    Fastlane.ingestBm25Indexed(stream(), "doc_id", "text", store, "bm",
+      corpusDir, ckpt).awaitTermination(60000)
+    b2.toDF("doc_id", "text").write.mode("overwrite").json(s"$srcDir/b2")
+    // compactEvery=1: the second batch also exercises the maintenance fold
+    Fastlane.ingestBm25Indexed(stream(), "doc_id", "text", store, "bm",
+      corpusDir, ckpt, compactEvery = 1).awaitTermination(60000)
+    val queries = Seq((10L, "quick fox"), (11L, "brown honey"))
+      .toDF("query_id", "qtext")
+    def rows(st: graft.core.BucketedStore) =
+      TextOps.searchIndexedBm25(queries, "query_id", "qtext", st, "bm", k = 3)
+        .select("query_id", "doc_id", "bm25_micro", "rank")
+        .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val streamed = rows(store)
+    val rebuilt = new graft.core.BucketedStore(tmpDir("bm25s_rebuild"), numBuckets = 8)
+    TextOps.indexBm25((b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text",
+      rebuilt, "bm")
+    assert(streamed.nonEmpty && streamed == rows(rebuilt),
+      "stream-grown index must answer identically to a one-batch build")
+    // and identically to the in-memory route over the accumulated corpus
+    val direct = TextOps.bm25TopK(spark.read.parquet(corpusDir), "doc_id", "text",
+        queries, "query_id", "qtext", 3)
+      .select("query_id", "doc_id", "bm25_micro", "rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(streamed == direct)
+  }
+
   test("ingestPassageDeduped: streaming passage gate == batch paragraphDedup over the union") {
     val corpusDir = tmpDir("ingp_corpus") + "/c"
     val srcDir = tmpDir("ingp_src")
