@@ -1731,10 +1731,6 @@ object TextOps {
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // dl rides the explode MAP-SIDE (computed in the same projection), so
-    // the doc-term frame comes out of its one keyed aggregation already
-    // carrying the length — no corpus-sized doc-keyed join anywhere
-    val docTerms = bm25DocTerms(corpus, idCol, textCol)
     // scalar stats: one agg-only corpus pass, no shuffle beyond the
     // 1-row partial agg (n_docs counts EVERY corpus row, including
     // empty/null-text docs, matching the oracle's count(*))
@@ -1743,10 +1739,17 @@ object TextOps {
         .cast("long")).as("l_tokens"))
     val qTerms = bm25TermRows(queries, col(queryIdCol), col(queryTextCol), "query_id")
       .distinct()
-    val dfTbl = docTerms
-      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
-      .groupBy("term").agg(count(lit(1)).as("df"))
-    val cand = docTerms
+    // the query vocabulary prunes the exploded token stream BEFORE the
+    // keyed aggregation (map-side broadcast join), so the shuffle carries
+    // only query-term postings; persisted because BOTH the df branch and
+    // the candidate branch read it — unpruned, each would re-aggregate
+    // the whole corpus (measured: the duplicate explode+shuffle was the
+    // bulk of the in-memory route's wall time)
+    val queryDocTerms = bm25DocTerms(corpus, idCol, textCol,
+        termFilter = Some(qTerms.select("term").distinct()))
+      .persistTracked()
+    val dfTbl = queryDocTerms.groupBy("term").agg(count(lit(1)).as("df"))
+    val cand = queryDocTerms
       .join(broadcast(qTerms), Seq("term"))
       .join(broadcast(dfTbl), Seq("term"))
       .crossJoin(broadcast(stats))
@@ -1762,16 +1765,22 @@ object TextOps {
 
   /** (doc_id, term, tf, dl) in ONE keyed aggregation — dl computed in the
     * explode projection and carried through the agg (`max` of a per-doc
-    * constant), never joined in. */
+    * constant), never joined in. `termFilter` (a 1-column `term` frame,
+    * broadcast) prunes the exploded token stream BEFORE the aggregation —
+    * per-(doc, term) counts are unaffected by dropping other terms, and
+    * the shuffle then carries only the filter's postings. */
   private def bm25DocTerms(corpus: DataFrame, idCol: String,
-      textCol: String): DataFrame = corpus
-    .select(col(idCol).as("doc_id"),
-      size(filter(split(col(textCol), " "), t => t =!= lit("")))
-        .cast("long").as("dl"),
-      explode(split(col(textCol), " ")).as("term"))
-    .where(col("term") =!= "")
-    .groupBy("doc_id", "term")
-    .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      textCol: String, termFilter: Option[DataFrame] = None): DataFrame = {
+    val exploded = corpus
+      .select(col(idCol).as("doc_id"),
+        size(filter(split(col(textCol), " "), t => t =!= lit("")))
+          .cast("long").as("dl"),
+        explode(split(col(textCol), " ")).as("term"))
+      .where(col("term") =!= "")
+    termFilter.fold(exploded)(f => exploded.join(broadcast(f), Seq("term")))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+  }
 
   /** The exact-integer BM25 term contribution + per-(query, doc) rollup +
     * rank — over a candidate frame carrying (query_id, doc_id, tf, dl, df,
