@@ -491,6 +491,30 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q186: the query vocabulary prunes the token stream BEFORE the keyed aggregation") {
+    val p = planOf("q186_bm25_topk")
+    // the term-filter broadcast join must sit BELOW the (doc_id, term)
+    // hash aggregate: the shuffle then carries only query-term postings.
+    // Structural check: in the printed tree (parents before children) the
+    // DEEPEST BroadcastHashJoin must sit below the (doc_id, term) exchange
+    // — i.e. print after it. Candidate-side joins print above; only the
+    // pre-agg term-filter join prints below. Dropping the prune would put
+    // every BHJ above the exchange and fail this.
+    val lastBhj = p.lastIndexOf("BroadcastHashJoin")
+    val agg = p.indexOf("hashpartitioning(doc_id")
+    assert(lastBhj >= 0 && agg >= 0 && lastBhj > agg,
+      s"term-filter join not below the doc-term aggregation: bhj@$lastBhj agg@$agg\n$p")
+  }
+
+  test("q191: the recall curve never joins corpus-sized sides — broadcast everywhere") {
+    val p = planOf("q191_ivf_recall_curve")
+    // truth/probe-rank/histogram joins all carry |Q|-bounded sides; a
+    // SortMergeJoin would mean a corpus-sized exchange snuck into the
+    // pair-resolution path
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q167: unigram encode is ONE map-side pass (no exchange before the protocol sort)") {
     val p = planOf("q167_unigram_encode")
     assert(!p.contains("hashpartitioning"), p)
