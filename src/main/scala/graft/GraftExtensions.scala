@@ -243,6 +243,17 @@ object GraftExtensions {
           str(args(3), "corpusIdCol"), str(args(4), "vecCol"), int(args(5), "k"))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_lsh_band_calibration"),
+      info("graft_lsh_band_calibration",
+        "graft_lsh_band_calibration(table, idCol, textCol, n, numHashes, threshold) - recall vs band-count curve for MinHash dedup from one signature set: (bands, rows_per_band, n_caught, n_true, recall_micro)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "usage: graft_lsh_band_calibration(table, idCol, textCol, n, numHashes, threshold)")
+        ops.Dedup.lshBandCalibration(table(str(args(0), "table")),
+          str(args(1), "idCol"), str(args(2), "textCol"),
+          int(args(3), "n"), int(args(4), "numHashes"), dbl(args(5), "threshold"))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_mmr_select"),
       info("graft_mmr_select",
         "graft_mmr_select(corpusTable, idCol, vecCol, queryTable, queryVecCol, k, lambdaMicro) - greedy maximal-marginal-relevance selection: (rank, vec_id, mmr_score x1e6-scaled)"),

@@ -1943,6 +1943,47 @@ object SparkEntry {
         ORDER BY rank"""
   }
 
+  /** q193 oracle: the LSH band-calibration curve — exact all-pairs Jaccard
+    * truth over the sampled slice, the same affine MinHash signatures as
+    * the q71 oracle, and one UNION ALL branch per divisor band count with
+    * the catch rule (some band's rows all agree) unrolled. */
+  private def sqlLshCalibration(threshold: Double): String = {
+    val coeffs = ops.Dedup.hashCoeffs(12)
+    val sig = coeffs.map { case (a, b) =>
+      s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))"
+    }.mkString("[", ", ", "]")
+    val divisors = Seq(1, 2, 3, 4, 6, 12)
+    def caught(b: Int): String = {
+      val r = 12 / b
+      (0 until b).map { j =>
+        (0 until r).map(i => s"l.sig[${j * r + i + 1}] = r.sig[${j * r + i + 1}]")
+          .mkString("(", " AND ", ")")
+      }.mkString("(", " OR ", ")")
+    }
+    val curve = divisors.map(b =>
+      s"""SELECT $b AS bands, ${12 / b} AS rows_per_band,
+            CAST(coalesce(sum(CASE WHEN ${caught(b)} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_caught,
+            CAST(count(*) AS BIGINT) AS n_true
+          FROM truth t JOIN sigs l ON l.doc_id = t.id_l
+               JOIN sigs r ON r.doc_id = t.id_r""").mkString("\n        UNION ALL\n        ")
+    s"""
+        WITH sh AS MATERIALIZED (
+          SELECT doc_id, ${sqlShingles("text")} AS sh FROM documents WHERE doc_id < 1000),
+        sigs AS MATERIALIZED (SELECT doc_id, $sig AS sig FROM sh),
+        truth AS MATERIALIZED (
+          SELECT l.doc_id AS id_l, r.doc_id AS id_r
+          FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+          WHERE CASE WHEN len(list_distinct(l.sh || r.sh)) = 0 THEN 1.0
+                ELSE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                     / len(list_distinct(l.sh || r.sh)) END >= $threshold),
+        curve AS (
+        $curve)
+        SELECT bands, rows_per_band, n_caught, n_true,
+          CASE WHEN n_true = 0 THEN 0
+               ELSE CAST((1000000 * CAST(n_caught AS HUGEINT)) // n_true AS BIGINT) END AS recall_micro
+        FROM curve ORDER BY bands"""
+  }
+
   /** q192 oracle: the greedy MMR sequence unrolled round by round — each
     * round a MATERIALIZED argmax of λ·rel − (1−λ)·maxsim over the running
     * accumulated max-similarity (exact int64 dots → correctly-rounded
@@ -2220,6 +2261,17 @@ object SparkEntry {
           .orderBy("cluster_rep")
       },
       Some(sqlClusterCanonical)),
+
+    // -- q193: LSH band-calibration curve — the recall/bands trade-off for
+    //    MinHash dedup from ONE signature computation: exact-Jaccard truth
+    //    (prefix-filtered, zero recall loss), per-divisor catch counts in
+    //    one conditional aggregation -----------------------------------------
+    Q("q193_lsh_band_calibration",
+      (s, dir) => ops.Dedup.lshBandCalibration(
+        T(s, dir, "documents").filter(col("doc_id") < 1000), "doc_id", "text",
+        n = 3, numHashes = 12, threshold = 0.2)
+        .orderBy("bands"),
+      Some(sqlLshCalibration(0.2))),
 
     // -- q72: SimHash near-dup (exact pigeonhole banding, hamming <= 3) -------
     Q("q72_simhash_neardup",

@@ -274,6 +274,61 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** LSH band-calibration curve — the "measure, don't guess" discipline
+    * ([[graft.ops.Similarity.ivfRecallCurve]]) for the near-dup family:
+    * from ONE MinHash signature computation, measure for EVERY divisor
+    * band count b of `numHashes` the fraction of TRUE near-dup pairs
+    * (exact Jaccard ≥ `threshold` — the zero-recall-loss prefix-filtered
+    * ground truth of [[ngramJaccardPairs]]) that the banded candidate
+    * join at b bands would catch. A pair is caught iff some band of
+    * numHashes/b consecutive signature rows agrees on both sides —
+    * exactly [[minhashNearDupPairs]]'s candidate rule, so
+    * n_caught(b) ≡ |minhashNearDupPairs(bands = b)| (spec-asserted), and
+    * recall is monotone non-decreasing in b (smaller bands agree more
+    * easily). Output: one row per divisor,
+    * (bands, rows_per_band, n_caught, n_true, recall_micro) with
+    * recall_micro = 10⁶·caught // true (exact integer).
+    *
+    * Scale shape: the truth pass is prefix-keyed (never all-pairs), the
+    * signature pass is one keyed aggregation, the flag join carries
+    * |truth| rows, and ALL divisor curves ride a single conditional
+    * aggregation — but ground truth is inherently corpus-wide exact
+    * dedup, so calibrate over a SAMPLED slice (the recall-curve
+    * practice) and apply the chosen (bands, rows) at full scale. */
+  def lshBandCalibration(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 12, threshold: Double = 0.5): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 64,
+      s"numHashes must be in [1, 64], got $numHashes")
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    val truth = ngramJaccardPairs(
+        df.withColumn("__cal_blk", lit(0)), idCol, textCol, "__cal_blk", n, threshold)
+      .select("id_l", "id_r")
+    val sig = shingleProfiles(df, idCol, textCol, n, hashCoeffs(numHashes))
+      .select(col(idCol), col("__sig"))
+    def caught(b: Int): Column = {
+      val r = numHashes / b
+      (0 until b).map { j =>
+        (0 until r).map(i =>
+          col("__sig_l")(j * r + i) === col("__sig_r")(j * r + i)).reduce(_ && _)
+      }.reduce(_ || _)
+    }
+    val flagged = truth
+      .join(sig.select(col(idCol).as("id_l"), col("__sig").as("__sig_l")), Seq("id_l"))
+      .join(sig.select(col(idCol).as("id_r"), col("__sig").as("__sig_r")), Seq("id_r"))
+    val agg1 = flagged.agg(count(lit(1)).as("n_true"),
+      divisors.map(b =>
+        coalesce(sum(when(caught(b), 1L).otherwise(0L)), lit(0L)).as(s"__n_$b")): _*)
+    val stackExpr = s"stack(${divisors.length}, " + divisors.map(b =>
+      s"$b, ${numHashes / b}, __n_$b").mkString(", ") +
+      ") AS (bands, rows_per_band, n_caught)"
+    agg1.selectExpr(stackExpr, "n_true")
+      .select(col("bands").cast("int").as("bands"),
+        col("rows_per_band").cast("int").as("rows_per_band"),
+        col("n_caught"), col("n_true"),
+        when(col("n_true") === 0, lit(0L))
+          .otherwise(expr("(1000000 * n_caught) div n_true")).as("recall_micro"))
+  }
+
   /** INCREMENTAL MinHash-LSH: near-dup matches of a NEW document batch
     * against an ALREADY-PROFILED corpus — the streaming-ingest shape. A
     * 100 TB corpus is shingled once (its stored [[shingleProfiles]] /

@@ -163,6 +163,14 @@ class SqlTvfSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft_containment_pairs('tvf_docs_cont','doc_id','text')").collect())
   }
 
+  test("graft_lsh_band_calibration == Dedup.lshBandCalibration") {
+    val d = docs.filter(col("doc_id") < 500)
+    d.createOrReplaceTempView("tvf_docs_cal")
+    same(
+      spark.sql("SELECT * FROM graft_lsh_band_calibration('tvf_docs_cal','doc_id','text',3,12,0.2)"),
+      ops.Dedup.lshBandCalibration(d, "doc_id", "text", 3, 12, 0.2))
+  }
+
   test("graft_mmr_select == Similarity.mmrSelect") {
     emb.createOrReplaceTempView("tvf_emb_mmr")
     emb.filter(col("vec_id") === 0).createOrReplaceTempView("tvf_q_mmr")

@@ -503,6 +503,31 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class LshCalibrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lshBandCalibration: monotone in bands; n_caught(b) == |minhashNearDupPairs(bands=b)|") {
+    val docs = Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 1000)
+    val curve = Dedup.lshBandCalibration(docs, "doc_id", "text", n = 3,
+        numHashes = 12, threshold = 0.2).orderBy("bands")
+      .select("bands", "n_caught", "n_true", "recall_micro")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(curve.map(_._1).sameElements(Seq(1, 2, 3, 4, 6, 12)))
+    assert(curve.sliding(2).forall(p => p(0)._2 <= p(1)._2),
+      "catch counts must be monotone non-decreasing in bands")
+    assert(curve.forall(r => r._2 <= r._3), "caught is a subset of truth")
+    assert(curve.forall(r => r._4 == (if (r._3 == 0) 0L else 1000000L * r._2 / r._3)))
+    // the catch rule IS the candidate rule: at any divisor b, the caught
+    // truth pairs are exactly the pairs minhashNearDupPairs(bands=b) emits
+    // (banded candidates intersected with the exact-Jaccard verify)
+    for (b <- Seq(2, 4)) {
+      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", n = 3,
+        numHashes = 12, bands = b, threshold = 0.2).count()
+      assert(curve.find(_._1 == b).get._2 == pairs, s"bands=$b")
+    }
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
