@@ -2273,6 +2273,31 @@ object SparkEntry {
         .orderBy("bands"),
       Some(sqlLshCalibration(0.2))),
 
+    // -- q194: deterministic negative sampling (contrastive-pair prep) —
+    //    ring-offset scheme over a dense id slice: provably non-self,
+    //    pairwise-distinct, reproducible; map-side expansion + ONE keyed
+    //    payload join. Fixed 400-doc slice so nCorpus (and the coprime
+    //    stride 2 for m=399) is a cross-SF constant the static oracle can
+    //    inline --------------------------------------------------------------
+    Q("q194_negative_sampling",
+      (s, dir) => {
+        val corpus = T(s, dir, "documents").filter(col("doc_id") < 400)
+        ops.Shards.sampleNegatives(
+          corpus.filter(col("doc_id") < 20), "doc_id", corpus, "doc_id",
+          k = 5, nCorpus = 400L, payloadCols = Seq("n_chars"), seed = 7L)
+          .orderBy("anchor_id", "neg_rank")
+      },
+      Some("""
+        WITH c AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 400),
+        a AS (SELECT doc_id AS anchor_id FROM documents WHERE doc_id < 20),
+        e AS (SELECT anchor_id, j AS neg_rank,
+                (anchor_id + 1 + (2*(j-1) + 7) % 399) % 400 AS neg_id
+              FROM a CROSS JOIN (SELECT unnest(range(1, 6)) AS j))
+        SELECT e.anchor_id, CAST(e.neg_rank AS BIGINT) AS neg_rank,
+               e.neg_id, c.n_chars
+        FROM e JOIN c ON c.doc_id = e.neg_id
+        ORDER BY anchor_id, neg_rank""")),
+
     // -- q72: SimHash near-dup (exact pigeonhole banding, hamming <= 3) -------
     Q("q72_simhash_neardup",
       (s, dir) => ops.Dedup.simhashNearDupPairs(

@@ -81,4 +81,42 @@ object Shards {
       .withColumn("pos", pmod(slot, lit(batchSize)).cast("long"))
       .withColumn("batch_max_len", max(col(lengthCol)).over(wBatch))
   }
+
+  /** Deterministic NEGATIVE sampling for contrastive-training pair
+    * construction: for each anchor, k corpus rows that are provably (a)
+    * never the anchor itself and (b) pairwise DISTINCT — the ring-offset
+    * scheme `neg_j = (anchor + 1 + (j·B + seed) mod (N−1)) mod N` over a
+    * DENSE id space [0, N), with the stride B chosen as the smallest
+    * integer ≥ 2 coprime to N−1 (driver-computed, deterministic), so the
+    * k offsets are distinct mod N−1 for any k ≤ N−1. Fully reproducible
+    * across engines/retries/cluster sizes (pure integer arithmetic — no
+    * RNG state), re-seedable, and the anchor table never shuffles: the k
+    * expansion is a map-side `explode(sequence)`, the only exchange is
+    * the keyed join that fetches each negative's payload columns.
+    *
+    * `nCorpus` is the dense-id row count, hoisted (a production caller
+    * knows its corpus size; the op must not pay a count action).
+    * Output: (anchor_id, neg_rank 1..k, neg_id, payloadCols...). */
+  def sampleNegatives(anchors: DataFrame, anchorIdCol: String,
+      corpus: DataFrame, corpusIdCol: String, k: Int, nCorpus: Long,
+      payloadCols: Seq[String] = Nil, seed: Long = 0L): DataFrame = {
+    require(nCorpus >= 2, s"need at least 2 corpus rows, got $nCorpus")
+    require(k >= 1 && k <= nCorpus - 1,
+      s"k must be in [1, nCorpus-1] for distinct non-self negatives, got $k")
+    val m = nCorpus - 1
+    val stride = (2L to m + 2).find(b => BigInt(b).gcd(BigInt(m)) == 1).get
+    val negId = pmod(
+      col("__a") + lit(1L) + pmod(lit(stride) * (col("neg_rank") - 1) + lit(seed), lit(m)),
+      lit(nCorpus))
+    val expanded = anchors
+      .select(col(anchorIdCol).cast("long").as("anchor_id"))
+      .withColumn("__a", col("anchor_id"))
+      .withColumn("neg_rank", explode(sequence(lit(1L), lit(k.toLong))))
+      .select(col("anchor_id"), col("neg_rank"), negId.as("neg_id"))
+    val payload = corpus.select(
+      (col(corpusIdCol).cast("long").as("neg_id") +: payloadCols.map(col)): _*)
+    expanded.join(payload, Seq("neg_id"))
+      .select((col("anchor_id") +: col("neg_rank") +: col("neg_id") +:
+        payloadCols.map(col)): _*)
+  }
 }

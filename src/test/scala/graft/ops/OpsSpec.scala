@@ -1034,6 +1034,31 @@ class SimilaritySpec extends SparkSpec {
 class ShardsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("sampleNegatives: k distinct non-self negatives, full ring at k=N-1, reproducible") {
+    val docs = Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 100)
+    val anchors = docs.filter(col("doc_id") < 10)
+    def run(seed: Long) = Shards.sampleNegatives(anchors, "doc_id",
+        docs, "doc_id", k = 99, nCorpus = 100L, payloadCols = Seq("n_chars"),
+        seed = seed)
+      .select("anchor_id", "neg_rank", "neg_id")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val out = run(3L)
+    assert(out.length == 10 * 99)
+    out.groupBy(_._1).foreach { case (a, rows) =>
+      val negs = rows.map(_._3)
+      assert(!negs.contains(a), s"anchor $a sampled itself")
+      // at k = N-1 the ring provably covers every non-self id exactly once
+      assert(negs.toSet == (0L until 100L).toSet - a, s"anchor $a ring incomplete")
+    }
+    assert(run(3L) == out, "same seed must reproduce bit-identically")
+    assert(run(4L) != out, "a different seed must permute")
+    // guards: k beyond the distinctness bound, degenerate corpus
+    intercept[IllegalArgumentException](Shards.sampleNegatives(
+      anchors, "doc_id", docs, "doc_id", k = 100, nCorpus = 100L))
+    intercept[IllegalArgumentException](Shards.sampleNegatives(
+      anchors, "doc_id", docs, "doc_id", k = 1, nCorpus = 1L))
+  }
+
   test("batchByLength: bounded batches of near-equal lengths; per-batch max is the pad target") {
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "n_chars")
     val out = Shards.batchByLength(docs, "doc_id", "n_chars",
