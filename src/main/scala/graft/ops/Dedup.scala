@@ -788,8 +788,7 @@ object Dedup {
       minCount: Long, sep: String = "\n",
       maxBroadcastHotLines: Long = 1L << 22): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
-    require(maxBroadcastHotLines >= 1,
-      s"maxBroadcastHotLines must be >= 1, got $maxBroadcastHotLines")
+    // 0 = opt out of the broadcast into the keyed join
     val lines = df.select(col(idCol).as("id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("line_idx", "line")))
@@ -798,9 +797,24 @@ object Dedup {
     val hot = lines.groupBy("__k").agg(count(lit(1)).as("__c"))
       .where(col("__c") >= minCount)
       .select(col("__k"), lit(true).as("__hot"))
-      .persistTracked()
-    val nHot = hot.count()
-    val hotSide = if (nHot <= maxBroadcastHotLines) broadcast(hot) else hot
+    // broadcast with an IN-PLAN scalar-count guard (the bigramLmScore
+    // transition-table pattern) — no driver-side count job at frame-
+    // CONSTRUCTION time (the r13 first cut ran one, which also executed at
+    // SQL-TVF analysis time). maxBroadcastHotLines = 0 opts out into the
+    // keyed join for corpora whose hot set is known to be huge.
+    val hotSide =
+      if (maxBroadcastHotLines <= 0) hot
+      else {
+        val nHot = hot.agg(count(lit(1)).as("__nhot"))
+        broadcast(hot.crossJoin(nHot)
+          .select(col("__k"),
+            (col("__hot") && when(col("__nhot") > maxBroadcastHotLines,
+              raise_error(concat(lit("stripFrequentLines: hot-line set has "),
+                col("__nhot"),
+                lit(s" keys > maxBroadcastHotLines=$maxBroadcastHotLines — " +
+                  "raise the cap (bigger broadcast) or pass 0 to opt out " +
+                  "into the keyed join")))).otherwise(lit(true))).as("__hot")))
+      }
     lines.join(hotSide, Seq("__k"), "left")
       .withColumn("__keep", col("__hot").isNull)
       .groupBy("id").agg(

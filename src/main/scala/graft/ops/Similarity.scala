@@ -880,45 +880,60 @@ object Similarity {
     val firstVec = first(0).getSeq[Long](1).toArray
     val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)](
       (1, firstId, 0L))
-    // candidates with the accumulated min distance to everything selected
-    var cur = c.where(col("vec_id") =!= lit(firstId))
-      .select(col("vec_id"), col("__qv"), col("__n"), l2To(firstVec).as("__d"))
-      .persistTracked()
-    // the frame the CURRENT round's action still reads through (its own
-    // cache may one-step-recompute from it) — unpersisted only after the
-    // next action has materialized the successor
+    // candidates with the accumulated min distance to everything selected;
+    // the shared greedyRounds loop owns the persist/checkpoint lifecycle
+    greedyRounds(
+      c.where(col("vec_id") =!= lit(firstId))
+        .select(col("vec_id"), col("__qv"), col("__n"), l2To(firstVec).as("__d")),
+      k - 1,
+      pick = cur => cur.orderBy(col("__d").desc, col("vec_id").asc).limit(1)
+        .collect().headOption,
+      grow = (cur, row) => cur.where(col("vec_id") =!= lit(row.getLong(0)))
+        .withColumn("__d", least(col("__d"), l2To(row.getSeq[Long](1).toArray)))
+    ) { (r, row) => out += ((r + 1, row.getLong(0), row.getLong(3))) }
+    out.toSeq.toDF("rank", "vec_id", "sel_dist")
+  }
+
+  /** Shared driver loop for the greedy argmax family ([[kCenterGreedy]],
+    * [[mmrSelect]]): up to `rounds` iterations of (argmax ACTION over the
+    * persisted candidate frame) → (filter the pick out + fold it into the
+    * accumulated column via `grow`), with the cache lifecycle handled ONCE:
+    * the round-before frame unpersists only AFTER the next action has
+    * materialized its successor (its cache may one-step-recompute from
+    * it), and every 8th round localCheckpoints to truncate lineage.
+    * `pick` returns None when the candidates are exhausted. */
+  private def greedyRounds(init: DataFrame, rounds: Int,
+      pick: DataFrame => Option[org.apache.spark.sql.Row],
+      grow: (DataFrame, org.apache.spark.sql.Row) => DataFrame)
+      (emit: (Int, org.apache.spark.sql.Row) => Unit): Unit = {
+    var cur = init.persistTracked()
     var prev: DataFrame = null
-    var r = 2
+    var r = 1
     var exhausted = false
-    while (r <= k && !exhausted) {
-      val pick = cur.orderBy(col("__d").desc, col("vec_id").asc).limit(1)
-        .collect()
+    while (r <= rounds && !exhausted) {
+      val p = pick(cur)
       // this action materialized `cur`; the round-before frame can go now
       if (prev != null) { prev.unpersist(); prev = null }
-      if (pick.isEmpty) exhausted = true
-      else {
-        val row = pick(0)
-        val pid = row.getLong(0)
-        out += ((r, pid, row.getLong(3)))
-        r += 1
-        if (r <= k) {
-          val pvec = row.getSeq[Long](1).toArray
-          val grown = cur.where(col("vec_id") =!= lit(pid))
-            .withColumn("__d", least(col("__d"), l2To(pvec)))
-          if (r % 8 == 0) {
-            // eager: materializes from the still-cached cur, then truncates
-            val next = grown.localCheckpoint()
-            cur.unpersist()
-            cur = next
-          } else {
-            prev = cur
-            cur = grown.persistTracked()
+      p match {
+        case None => exhausted = true
+        case Some(row) =>
+          emit(r, row)
+          r += 1
+          if (r <= rounds) {
+            val grown = grow(cur, row)
+            if (r % 8 == 0) {
+              // eager: materializes from the still-cached cur, then truncates
+              val next = grown.localCheckpoint()
+              cur.unpersist()
+              cur = next
+            } else {
+              prev = cur
+              cur = grown.persistTracked()
+            }
           }
-        }
       }
     }
     cur.unpersist()
-    out.toSeq.toDF("rank", "vec_id", "sel_dist")
   }
 
   /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998,
@@ -946,8 +961,13 @@ object Similarity {
       s"lambdaMicro must be in [0, 1000000], got $lambdaMicro")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qRow = query.select(quantize(col(queryVecCol), dim).as("__q")).limit(1).collect()
-    require(qRow.nonEmpty, "query frame is empty")
+    // exactly-one-row contract: limit(1) without an ordering would pick a
+    // partition-order-dependent row and silently break the op's
+    // engine-reproducibility guarantee on a multi-row query frame
+    val qRow = query.select(quantize(col(queryVecCol), dim).as("__q")).limit(2).collect()
+    require(qRow.length == 1,
+      s"mmrSelect: query frame must have exactly ONE row, got ${
+        if (qRow.isEmpty) "0" else "2+"} — pass a single query vector")
     val qv = qRow(0).getSeq[Long](0).toArray
     val qn = ddot(qv, qv)
     def cosTo(v: Array[Long]): Column =
@@ -960,37 +980,15 @@ object Similarity {
       .withColumn("__rel",
         cosineFromParts(dotQ(col("__qv"), typedLit(qv.toSeq), dim), col("__n"), lit(qn)))
     val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]()
-    var cur = c.withColumn("__maxsim", lit(0.0)).persistTracked()
-    var prev: DataFrame = null
-    var r = 1
-    var exhausted = false
-    while (r <= k && !exhausted) {
-      val pick = cur.withColumn("__s", score)
+    greedyRounds(
+      c.withColumn("__maxsim", lit(0.0)), k,
+      pick = cur => cur.withColumn("__s", score)
         .orderBy(col("__s").desc, col("vec_id").asc).limit(1)
-        .select(col("vec_id"), col("__qv"), col("__s")).collect()
-      if (prev != null) { prev.unpersist(); prev = null }
-      if (pick.isEmpty) exhausted = true
-      else {
-        val row = pick(0)
-        val pid = row.getLong(0)
-        out += ((r, pid, row.getDouble(2)))
-        r += 1
-        if (r <= k) {
-          val pvec = row.getSeq[Long](1).toArray
-          val grown = cur.where(col("vec_id") =!= lit(pid))
-            .withColumn("__maxsim", greatest(col("__maxsim"), cosTo(pvec)))
-          if (r % 8 == 0) {
-            val next = grown.localCheckpoint()
-            cur.unpersist()
-            cur = next
-          } else {
-            prev = cur
-            cur = grown.persistTracked()
-          }
-        }
-      }
-    }
-    cur.unpersist()
+        .select(col("vec_id"), col("__qv"), col("__s")).collect().headOption,
+      grow = (cur, row) => cur.where(col("vec_id") =!= lit(row.getLong(0)))
+        .withColumn("__maxsim",
+          greatest(col("__maxsim"), cosTo(row.getSeq[Long](1).toArray)))
+    ) { (r, row) => out += ((r, row.getLong(0), row.getDouble(2))) }
     out.toSeq.toDF("rank", "vec_id", "mmr_score")
   }
 
@@ -1191,7 +1189,11 @@ object Similarity {
     val centV = store.latestVersion(s"${feature}_centroids").getOrElse(
       sys.error(s"no ${feature}_centroids in store ${store.root}"))
     val metaKey = (store.root, feature, bookV, centV)
-    // leak backstop: clear under the map's lock (atomic check-then-act)
+    // leak backstop: the cap is APPROXIMATE — synchronizing here only
+    // serializes concurrent clears; computeIfAbsent uses the map's
+    // internal bin locks, not this monitor, so an in-flight load can
+    // land after a clear (harmless: the entry is re-read from its pinned
+    // versions on the next miss) and the size can transiently exceed 64
     pqIndexMetaCache.synchronized {
       if (pqIndexMetaCache.size > 64) pqIndexMetaCache.clear()
     }

@@ -267,7 +267,11 @@ object Stats {
     * identity, global form, unique tiebreaker for duplicate values), the
     * bracketing ranks are conditional aggregates over it, and the
     * `maxSortRows` contract rides the aggregation input as a loud
-    * raise_error guard whose marker the caller catches to fall back. NaN
+    * raise_error guard whose marker the caller catches to fall back. The
+    * guard evaluates AFTER the single-task sort ran — it bounds the
+    * optimistic tier's damage to one wasted job when Catalyst's estimate
+    * lied low, not the sort itself (which is why the tier is only entered
+    * when the estimate sits FAR inside the cap). NaN
     * needs no special path here: the ascending double sort puts NaN last,
     * so a bracketing rank in the NaN suffix picks NaN — `percentile()`
     * semantics by construction.
@@ -301,7 +305,11 @@ object Stats {
       val k = ps(i) * (n - 1)
       val vLo = row.getDouble(1 + 2 * i)
       val vHi = row.getDouble(2 + 2 * i)
-      java.lang.Double.valueOf(vLo + (k - math.floor(k)) * (vHi - vLo))
+      // equal brackets return the value directly (percentile()'s
+      // lowerIndex == higherIndex shortcut): the interpolation form would
+      // turn an equal +-Infinity bracket into 0 * (Inf - Inf) = NaN
+      java.lang.Double.valueOf(
+        if (vLo == vHi) vLo else vLo + (k - math.floor(k)) * (vHi - vLo))
     }
     spark.createDataFrame(
       java.util.Collections.singletonList(org.apache.spark.sql.Row(out: _*)), schema)
@@ -341,27 +349,43 @@ object Stats {
         } => () // estimate lied low — fall through to the head-first tiers
       }
     }
+    // ±Infinity is segmented like NaN: infinities sort deterministically
+    // (-Inf prefix, +Inf between the finite values and the NaN suffix) but
+    // POISON the narrowing loop — a bin width of (hi − lo)/nBins over an
+    // infinite range is Inf and the round can never shrink it. Count each
+    // side in the head pass, resolve ranks landing in an infinite segment
+    // directly, and narrow only the FINITE interior.
+    val isFin = !isnan(col("__v")) &&
+      col("__v") =!= Double.PositiveInfinity && col("__v") =!= Double.NegativeInfinity
     val head = base0.agg(count(lit(1)),
       coalesce(sum(when(isnan(col("__v")), 1L).otherwise(0L)), lit(0L)),
-      min(when(!isnan(col("__v")), col("__v"))),
-      max(when(!isnan(col("__v")), col("__v")))).collect()(0)
+      min(when(isFin, col("__v"))),
+      max(when(isFin, col("__v"))),
+      coalesce(sum(when(col("__v") === Double.NegativeInfinity, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("__v") === Double.PositiveInfinity, 1L).otherwise(0L)), lit(0L)))
+      .collect()(0)
     val n = head.getLong(0)
     val nNaN = head.getLong(1)
-    val nFinite = n - nNaN
+    val nNegInf = head.getLong(4)
+    val nPosInf = head.getLong(5)
+    val nFinite = n - nNaN // non-NaN count (includes ±Inf — the sort-tier domain)
+    val nInterior = nFinite - nNegInf - nPosInf
     val schema = org.apache.spark.sql.types.StructType(
       names.map(org.apache.spark.sql.types.StructField(_,
         org.apache.spark.sql.types.DoubleType, nullable = true)))
     if (n == 0L)
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     val (globalLo, globalHi) =
-      if (nFinite == 0L) (0.0, 0.0) else (head.getDouble(2), head.getDouble(3))
+      if (nInterior == 0L) (0.0, 0.0) else (head.getDouble(2), head.getDouble(3))
     val base = base0.where(!isnan(col("__v")))
     // one narrowing state per DISTINCT bracketing rank across all requested
     // percentiles (p25/p50/p75 share ranks whenever n is small); rounds are
     // BATCHED — every state at the same depth shares ONE Spark action, so
     // the job count is O(rounds), never O(percentiles · rounds)
     final class St(val rank: Long) {
-      var lo = globalLo; var hi = globalHi; var r = rank; var cnt = nFinite
+      // narrowing rank is RELATIVE to the finite interior (the -Inf prefix
+      // resolves directly above)
+      var lo = globalLo; var hi = globalHi; var r = rank - nNegInf; var cnt = nInterior
       var ans = Option.empty[Double]
     }
     val states = ps.flatMap { p =>
@@ -369,8 +393,10 @@ object Stats {
       Seq(math.floor(k).toLong, math.ceil(k).toLong)
     }.distinct.map { rk =>
       val st = new St(rk)
-      // ranks in the NaN suffix (the top nNaN positions) resolve immediately
+      // ranks in the NaN suffix / infinite segments resolve immediately
       if (rk >= nFinite) st.ans = Some(Double.NaN)
+      else if (rk < nNegInf) st.ans = Some(Double.NegativeInfinity)
+      else if (rk >= nNegInf + nInterior) st.ans = Some(Double.PositiveInfinity)
       st
     }
     // SORT TIER (the groupedSortPercentiles discipline, global form): a
@@ -464,7 +490,11 @@ object Stats {
       val vLo = byRank(math.floor(k).toLong)
       val vHi = byRank(math.ceil(k).toLong)
       // a NaN bracket propagates through the correctly-rounded interpolation
-      java.lang.Double.valueOf(vLo + (k - math.floor(k)) * (vHi - vLo))
+      // equal brackets return the value directly (percentile()'s
+      // lowerIndex == higherIndex shortcut): the interpolation form would
+      // turn an equal +-Infinity bracket into 0 * (Inf - Inf) = NaN
+      java.lang.Double.valueOf(
+        if (vLo == vHi) vLo else vLo + (k - math.floor(k)) * (vHi - vLo))
     }
     spark.createDataFrame(
       java.util.Collections.singletonList(org.apache.spark.sql.Row(out: _*)), schema)
@@ -531,7 +561,14 @@ object Stats {
       .withColumn("__idx", row_number().over(wAsc).cast("long") - 1)
       .withColumn("__n", col("__idx") + row_number().over(wDesc).cast("long"))
     // the maxSortGroup contract guard rides the aggregation input in-plan
-    // (the histogramPercentile pattern) — n is on every row now
+    // (the histogramPercentile pattern) — n is on every row now. NOTE:
+    // this is a LOUD-CONTRACT error, not a work guard — it evaluates after
+    // the window stage has already sorted the oversized group (the price
+    // of the zero-extra-action design; the r12 counts-branch guard fired
+    // pre-sort but cost a whole extra exchange+join on every call). A
+    // workload KNOWN to carry beyond-task hot keys should call
+    // groupedExactPercentilesUnbounded directly rather than rely on this
+    // error as a router.
     val guard = when(col("__n") > maxSortGroup, raise_error(lit(
       s"groupedSortPercentiles: a group exceeds $maxSortGroup rows — one task " +
         "would sort an unbounded hot key; use groupedExactPercentilesUnbounded " +
@@ -546,8 +583,12 @@ object Stats {
       .agg(max(col("__n") + guard).as("__n"), aggs: _*)
     val outCols = col("__g").as(groupCol) +: ps.zip(names).map { case (p, nm) =>
       val kk = k(p)
-      (col(s"__vlo_$nm") + (kk - floor(kk).cast("double"))
-        * (col(s"__vhi_$nm") - col(s"__vlo_$nm"))).as(nm)
+      // equal-bracket shortcut (percentile() semantics): an equal
+      // +-Infinity bracket must return that infinity, not 0*(Inf-Inf)=NaN;
+      // NaN brackets fall to the otherwise branch and propagate as before
+      when(col(s"__vlo_$nm") === col(s"__vhi_$nm"), col(s"__vlo_$nm"))
+        .otherwise(col(s"__vlo_$nm") + (kk - floor(kk).cast("double"))
+          * (col(s"__vhi_$nm") - col(s"__vlo_$nm"))).as(nm)
     }
     agged.select(outCols: _*)
   }
@@ -598,11 +639,18 @@ object Stats {
     val gType = df.schema(groupCol).dataType
     val base0 = df.where(col(valueCol).isNotNull)
       .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+    // ±Infinity segments like NaN (see exactPercentilesImpl): the -Inf
+    // prefix and +Inf suffix resolve from head counts, only the FINITE
+    // interior narrows — an infinite bin width can never shrink.
+    val isFinG = !isnan(col("__v")) &&
+      col("__v") =!= Double.PositiveInfinity && col("__v") =!= Double.NegativeInfinity
     val heads = base0.groupBy("__g")
       .agg(count(lit(1)).as("n"),
         sum(when(isnan(col("__v")), 1L).otherwise(0L)).as("n_nan"),
-        min(when(!isnan(col("__v")), col("__v"))).as("mn"),
-        max(when(!isnan(col("__v")), col("__v"))).as("mx"))
+        min(when(isFinG, col("__v"))).as("mn"),
+        max(when(isFinG, col("__v"))).as("mx"),
+        sum(when(col("__v") === Double.NegativeInfinity, 1L).otherwise(0L)).as("n_ninf"),
+        sum(when(col("__v") === Double.PositiveInfinity, 1L).otherwise(0L)).as("n_pinf"))
       .limit(maxGroups + 1).collect()
     require(heads.length <= maxGroups,
       s"groupedExactPercentilesUnbounded: more than $maxGroups groups — the " +
@@ -612,36 +660,43 @@ object Stats {
     // last — those ranks resolve to NaN immediately from the head counts)
     // because a NaN would poison min/max and bin boundaries.
     val base = base0.where(!isnan(col("__v")))
-    final class St(val g: Any, val n: Long, val rank: Long) {
+    final class St(val g: Any, val n: Long, val rank: Long, val winCnt: Long) {
       var lo = 0.0; var hi = 0.0; var r = rank; var cnt = 0L
       var ans = Option.empty[Double]
     }
     val states = heads.flatMap { row =>
       val (g, n, nNaN) = (row.get(0), row.getLong(1), row.getLong(2))
-      val nFinite = n - nNaN
+      val (nNegInf, nPosInf) = (row.getLong(5), row.getLong(6))
+      val nFinite = n - nNaN // non-NaN: the sort path's window size
+      val nInterior = nFinite - nNegInf - nPosInf
       val (mn, mx) =
-        if (nFinite == 0L) (0.0, 0.0) else (row.getDouble(3), row.getDouble(4))
+        if (nInterior == 0L) (0.0, 0.0) else (row.getDouble(3), row.getDouble(4))
       ps.flatMap { p =>
         val k = p * (n - 1)
         Seq(math.floor(k).toLong, math.ceil(k).toLong)
       }.distinct.map { rk =>
-        val st = new St(g, n, rk)
-        st.lo = mn; st.hi = mx; st.cnt = nFinite
+        val st = new St(g, n, rk, nFinite)
+        st.lo = mn; st.hi = mx; st.cnt = nInterior
+        // narrowing rank is RELATIVE to the finite interior
+        st.r = rk - nNegInf
         if (rk >= nFinite) st.ans = Some(Double.NaN)
+        else if (rk < nNegInf) st.ans = Some(Double.NegativeInfinity)
+        else if (rk >= nNegInf + nInterior) st.ans = Some(Double.PositiveInfinity)
         else if (mn == mx) st.ans = Some(mn)
         st
       }
     }.toSeq
     val sid = states.zipWithIndex.toMap
     import org.apache.spark.sql.types._
-    // SORT-PATH / NARROWING-PATH SPLIT: a group whose finite count fits one
-    // task's sort (≤ maxSortGroup) resolves ALL its ranks in the single
-    // shared window pass below — for typical workloads that is every group,
-    // making the whole op TWO actions (heads + window). Only beyond-task
-    // groups (the 100 TB hot keys this operator exists for) pay the
-    // iterative bins-only narrowing.
+    // SORT-PATH / NARROWING-PATH SPLIT: a group whose non-NaN count fits
+    // one task's sort (≤ maxSortGroup — the window ranks EVERY non-NaN row
+    // of the group, infinities included) resolves ALL its ranks in the
+    // single shared window pass below — for typical workloads that is
+    // every group, making the whole op TWO actions (heads + window). Only
+    // beyond-task groups (the 100 TB hot keys this operator exists for)
+    // pay the iterative bins-only narrowing.
     val (sortStates, narrowStates) =
-      states.filter(_.ans.isEmpty).partition(_.cnt <= maxSortGroup)
+      states.filter(_.ans.isEmpty).partition(_.winCnt <= maxSortGroup)
     // only the narrowing path re-scans base (once per round + residual) —
     // persist it for that path alone; the sort path reads it exactly once
     val persisted = narrowStates.nonEmpty
@@ -749,7 +804,8 @@ object Stats {
         val k = p * (n - 1)
         val vLo = byKey((g, math.floor(k).toLong))
         val vHi = byKey((g, math.ceil(k).toLong))
-        Double.box(vLo + (k - math.floor(k)) * (vHi - vLo))
+        Double.box(
+          if (vLo == vHi) vLo else vLo + (k - math.floor(k)) * (vHi - vLo))
       }
       org.apache.spark.sql.Row.fromSeq(g +: vals)
     }

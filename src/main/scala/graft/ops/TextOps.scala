@@ -1882,11 +1882,34 @@ object TextOps {
     require(k >= 1, s"k must be >= 1, got $k")
     val qTerms = bm25TermRows(queries, col(queryIdCol), col(queryTextCol),
       "query_id").distinct()
+    // CONSISTENT SNAPSHOT across the three index tables: a concurrent
+    // append ([[appendToBm25Index]] writes postings → termdf → stats)
+    // would otherwise mix a new postings version with old df/stats and
+    // score against a corpus that never existed (the torn-read class the
+    // PQ metadata cache pins against). Capture the version trio repeatedly
+    // until two consecutive captures agree — an IN-FLIGHT append shows up
+    // as instability and retries past it; every read below then pins to
+    // the stable trio. Best-effort, not transactional: a writer that
+    // crashed between table writes leaves a mixed trio no reader can
+    // detect — the ingest loop's single-writer cadence is the pairing
+    // contract (the store has no cross-table commit).
+    def trio() = (
+      store.latestVersion(s"${feature}_postings").getOrElse(
+        sys.error(s"no ${feature}_postings in store ${store.root}")),
+      store.latestVersion(s"${feature}_termdf").getOrElse(
+        sys.error(s"no ${feature}_termdf in store ${store.root}")),
+      store.latestVersion(s"${feature}_stats").getOrElse(
+        sys.error(s"no ${feature}_stats in store ${store.root}")))
+    var snap = trio()
+    var tries = 0
+    var next = trio()
+    while (snap != next && tries < 16) { snap = next; next = trio(); tries += 1 }
+    val (pv, tv, sv) = snap
     val postings = store.readTouched(s"${feature}_postings", Seq("term"),
-      qTerms.select("term"))
+      qTerms.select("term"), Some(pv))
     val termdf = store.readTouched(s"${feature}_termdf", Seq("term"),
-      qTerms.select("term"))
-    val stats = store.read(s"${feature}_stats", Seq("__sk"))
+      qTerms.select("term"), Some(tv))
+    val stats = store.read(s"${feature}_stats", Seq("__sk"), Some(sv))
       .select("n_docs", "l_tokens")
     val cand = postings
       .join(broadcast(qTerms), Seq("term"))
@@ -1934,9 +1957,14 @@ object TextOps {
       .persistTracked()
     val totals = joined.agg(sum("n_a").as("t_a"), sum("n_b").as("t_b"))
     val diff = dec(col("n_a")) * dec(col("t_b")) - dec(col("n_b")) * dec(col("t_a"))
-    val contrib = call_function("div",
-      dec(lit(1000000L)) * diff * diff,
-      (dec(col("n_a")) + dec(col("n_b"))) * dec(col("t_a")) * dec(col("t_b")))
+    // an EMPTY snapshot (t_a or t_b = 0 — e.g. the first crawl of a
+    // monitoring pair) zeroes the denominator for every token; the
+    // chi-square contribution is 0 by convention there (no distribution to
+    // drift from), not a DIVIDE_BY_ZERO abort
+    val contrib = when(col("t_a") === 0 || col("t_b") === 0, lit(0L))
+      .otherwise(call_function("div",
+        dec(lit(1000000L)) * diff * diff,
+        (dec(col("n_a")) + dec(col("n_b"))) * dec(col("t_a")) * dec(col("t_b"))))
     val scoredAll = joined.crossJoin(broadcast(totals))
       .select(col("token"), col("n_a"), col("n_b"), contrib.as("chi2_micro"))
     TopK.global(scoredAll, topM,

@@ -123,7 +123,18 @@ object Fastlane {
     * [[graft.ops.TextOps.searchIndexedBm25]] queries identically to an
     * index built in ONE batch over the accumulated corpus — spec-asserted.
     * `compactEvery` folds appended posting dirs on a cadence; per-batch
-    * cost is independent of corpus size everywhere the corpus is big. */
+    * cost is independent of corpus size everywhere the corpus is big.
+    *
+    * Replay contract: foreachBatch is at-least-once, and a blind re-apply
+    * would double-count postings/df/stats (appends are not idempotent).
+    * A one-row `<feature>_ingest_cursor` table fences each applied
+    * batchId — a replayed batch is skipped — narrowing double-apply to a
+    * crash inside the apply→fence window (the corpus parquet append has
+    * the same at-least-once residual as the sibling ingest ops: pair
+    * downstream readers with exact id dedup). Bootstrap keys off the
+    * STATS table (written last by both build and append), so a build that
+    * crashed mid-way re-runs the full build rather than wedging the
+    * append path on a half-written index. */
   def ingestBm25Indexed(
       stream: DataFrame, idCol: String, textCol: String,
       store: graft.core.BucketedStore, feature: String,
@@ -132,17 +143,31 @@ object Fastlane {
       trigger: Trigger = Trigger.AvailableNow())
       (implicit spark: SparkSession): StreamingQuery =
     ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
-      // persisted: read by the corpus append AND the index build passes
-      val docs = batch.select(col(idCol), col(textCol))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      docs.write.mode("append").parquet(corpusDir)
-      if (store.latestVersion(s"${feature}_postings").isEmpty)
-        graft.ops.TextOps.indexBm25(docs, idCol, textCol, store, feature)
-      else
-        graft.ops.TextOps.appendToBm25Index(docs, idCol, textCol, store, feature)
-      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-        store.compactBuckets(s"${feature}_postings", Seq("term"))
-      docs.unpersist()
+      import spark.implicits._
+      val cursorFeat = s"${feature}_ingest_cursor"
+      val lastApplied =
+        if (store.latestVersion(cursorFeat).isEmpty) -1L
+        else store.read(cursorFeat, Seq("__ck"))
+          .agg(org.apache.spark.sql.functions.max(col("batch_id"))).head().getLong(0)
+      if (batchId > lastApplied) {
+        // persisted: read by the corpus append AND the index build passes
+        val docs = batch.select(col(idCol), col(textCol))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.write.mode("append").parquet(corpusDir)
+        // stats is the LAST table both routes write — its absence means no
+        // COMPLETE build exists, so rebuild rather than append onto a
+        // half-written index
+        if (store.latestVersion(s"${feature}_stats").isEmpty)
+          graft.ops.TextOps.indexBm25(docs, idCol, textCol, store, feature)
+        else
+          graft.ops.TextOps.appendToBm25Index(docs, idCol, textCol, store, feature)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          store.compactBuckets(s"${feature}_postings", Seq("term"))
+        // fence LAST: a crash before this line replays the whole batch
+        store.write(Seq((batchId, 0)).toDF("batch_id", "__ck"),
+          cursorFeat, Seq("__ck"))
+        docs.unpersist()
+      }
       ()
     }
 

@@ -129,6 +129,34 @@ class ApproxSpec extends SparkSpec {
     assert(got == ref, s"fallback diverged: $got vs $ref")
   }
 
+  test("exact percentile families return an equal ±Infinity bracket, not 0·(Inf−Inf)=NaN") {
+    val S = graft.ops.Stats
+    // [1.0, +Inf], p=1.0: both brackets are +Inf — percentile() returns
+    // +Inf via its equal-index shortcut; the naive interpolation form
+    // yields Inf + 0*(Inf-Inf) = NaN. Exercise the sort tier, the
+    // head-first tier, and the grouped forms.
+    val vs = Seq(1.0, Double.PositiveInfinity).toDF("v")
+    val ref = vs.agg(expr("percentile(v, 1.0)"), expr("percentile(v, 0.0)")).head()
+    Seq(1L << 22, 1L).foreach { sortCap => // force both tiers
+      val row = S.exactPercentilesUnbounded(vs, "v", Seq(1.0, 0.0),
+        nBins = 4, maxResidual = 4, maxSortRows = sortCap).head()
+      assert(row.getDouble(0) == ref.getDouble(0) && row.getDouble(0).isPosInfinity,
+        s"sortCap=$sortCap: ${row.getDouble(0)}")
+      assert(row.getDouble(1) == 1.0)
+    }
+    val neg = Seq(Double.NegativeInfinity, Double.NegativeInfinity, 2.0).toDF("v")
+    assert(S.exactPercentilesUnbounded(neg, "v", Seq(0.25), nBins = 4,
+      maxResidual = 4).head().getDouble(0).isNegInfinity)
+    val g = Seq(("a", 1.0), ("a", Double.PositiveInfinity), ("b", 2.0)).toDF("g", "v")
+    val gOut = S.groupedSortPercentiles(g, "g", "v", Seq(1.0))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gOut("a").isPosInfinity && gOut("b") == 2.0)
+    val gOut2 = S.groupedExactPercentilesUnbounded(g, "g", "v", Seq(1.0),
+        nBins = 4, maxResidual = 1, maxGroups = 10, maxSortGroup = 1L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gOut2("a").isPosInfinity && gOut2("b") == 2.0)
+  }
+
   test("exact percentile families follow percentile()'s NaN-sorts-last rule") {
     val S = graft.ops.Stats
     // 3 finite + 2 NaN: ranks 3,4 are NaN; p0.5 (k=2) hits finite 3.0,
