@@ -293,6 +293,28 @@ object ScaleRehearsal {
           force(ops.TextOps.overlapContamination(docs, evalSet,
             "doc_id", "text", "doc_id", "text", n = 3))
         }),
+        // recall curve: FIXED 10-query batch, corpus scales — ground truth
+        // is inherently O(|Q|·N) (two broadcast-joined corpus streams), so
+        // expect ~linear wall tracking corpus bytes, never quadratic
+        "q191_recall_curve" -> (() => force(ops.Similarity.ivfRecallCurve(
+          emb.where(col("vec_id") < 10), emb, "vec_id", "vec_id", "embedding",
+          k = 10, nlist = 16))),
+        // MMR: k bounded driver rounds over the accumulated-max column —
+        // the q183 shape; expect flat-ish (per-round scan tracks corpus)
+        "q192_mmr_select" -> (() => force(ops.Similarity.mmrSelect(
+          emb, "vec_id", "embedding", emb.where(col("vec_id") === 0),
+          "embedding", k = 8, lambdaMicro = 700000L))),
+        // LSH calibration: the SAMPLE the contract prescribes also scales
+        // here — the exact-truth pass is prefix-keyed (never all-pairs),
+        // so the curve op should track the q73 family, not go quadratic
+        "q193_lsh_calibration" -> (() => force(ops.Dedup.lshBandCalibration(
+          docs, "doc_id", "text", n = 3, numHashes = 12, threshold = 0.5))),
+        // negative sampling: map-side explode + one keyed payload join —
+        // expect ~linear in anchors (fixed here) + corpus join cost
+        // (the scaled corpus keeps ids dense 0..k·nDocs−1 — replica shifts)
+        "q194_negative_sampling" -> (() => force(ops.Shards.sampleNegatives(
+          docs.where(col("doc_id") < 100), "doc_id", docs, "doc_id",
+          k = 50, nCorpus = nDocsDir, payloadCols = Seq("source")))),
         // BM25 retrieval: FIXED query batch (family 0's every-97th doc),
         // corpus scales — the doc-term agg tracks corpus tokens (~linear);
         // the candidate side stays query-term-keyed and broadcast
