@@ -2785,6 +2785,36 @@ object SparkEntry {
           CAST((1000000 * CAST(n_found AS HUGEINT)) // t.n_true AS BIGINT) AS recall_micro
         FROM curve CROSS JOIN tot t ORDER BY nprobe""")),
 
+    // -- q195: HARD-negative mining — per anchor, the k most-similar
+    //    non-self corpus vectors under a near-dup exclusion cap (a
+    //    duplicate is a false negative); anchors broadcast, corpus
+    //    streams once, keyed top-k window ------------------------------
+    Q("q195_hard_negatives",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        ops.Similarity.hardNegatives(
+          emb.filter(col("vec_id") < 10), emb, "vec_id", "vec_id",
+          "embedding", k = 5, maxCosine = 0.98)
+          .orderBy("anchor_id", "neg_rank")
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS anchor_id, $sqlQVec AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS neg_id, $sqlQVec AS v FROM embeddings),
+        scored AS (
+          SELECT q.anchor_id, c.neg_id,
+            CAST(${sqlDotQ("q.qv", "c.v")} AS DOUBLE)
+              / sqrt(CAST(${sqlDotQ("q.qv", "q.qv")} AS DOUBLE) * CAST(${sqlDotQ("c.v", "c.v")} AS DOUBLE)) AS cosine
+          FROM q CROSS JOIN c
+          WHERE c.neg_id <> q.anchor_id),
+        ranked AS (
+          SELECT anchor_id, neg_id, cosine,
+            row_number() OVER (PARTITION BY anchor_id
+              ORDER BY cosine DESC, neg_id ASC) AS neg_rank
+          FROM scored WHERE cosine <= 0.98)
+        SELECT anchor_id, neg_id, cosine, CAST(neg_rank AS INT) AS neg_rank
+        FROM ranked WHERE neg_rank <= 5 ORDER BY anchor_id, neg_rank""")),
+
     // -- q192: maximal-marginal-relevance selection — the retrieve-then-
     //    diversify step (RAG context assembly): greedy k picks maximizing
     //    λ·cos(q,d) − (1−λ)·max cos(d, selected), accumulated-max column,

@@ -894,6 +894,38 @@ object Similarity {
     out.toSeq.toDF("rank", "vec_id", "sel_dist")
   }
 
+  /** HARD-negative mining for contrastive-pair prep — the other half of
+    * [[graft.ops.Shards.sampleNegatives]]'s random draw: for each anchor,
+    * the k corpus vectors MOST similar to it that are not the anchor
+    * itself (the standard in-batch-hard-negatives recipe mined offline:
+    * near-misses teach the margin, random negatives are too easy).
+    * Optionally cap similarity at `maxCosine` to exclude exact/near
+    * duplicates from the negative pool (a duplicate is a false negative —
+    * the positive in disguise). Same exact-integer cosine and
+    * (cosine desc, id asc) total order as the whole ANN family, so the
+    * mined set is oracle-reproducible.
+    *
+    * Scale shape: the anchor side broadcasts ([[bruteForceTopK]]'s
+    * contract — anchors ≪ corpus), the corpus streams once, per-anchor
+    * top-k is a keyed window. For corpus-scale anchor sets, run the IVF
+    * route per anchor shard instead ([[searchIndexed]]) — this op is the
+    * exact-mining form. */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame,
+      anchorIdCol: String, corpusIdCol: String, vecCol: String, k: Int,
+      maxCosine: Double = 1.0, dim: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = anchors.select(col(anchorIdCol).as("anchor_id"), quantize(col(vecCol), dim).as("__qv"))
+      .withColumn("__qn", dotQ(col("__qv"), col("__qv"), dim))
+    val c = corpus.select(col(corpusIdCol).as("neg_id"), quantize(col(vecCol), dim).as("__cv"))
+      .withColumn("__cn", dotQ(col("__cv"), col("__cv"), dim))
+    val scored = c.join(broadcast(q))
+      .select(col("anchor_id"), col("neg_id"),
+        cosineFromParts(dotQ(col("__qv"), col("__cv"), dim), col("__qn"), col("__cn")).as("cosine"))
+      .where(col("neg_id") =!= col("anchor_id") && col("cosine") <= maxCosine)
+    TopK.perGroup(scored, Seq("anchor_id"),
+      Seq(col("cosine").desc, col("neg_id").asc), k, rankCol = "neg_rank")
+  }
+
   /** Shared driver loop for the greedy argmax family ([[kCenterGreedy]],
     * [[mmrSelect]]): up to `rounds` iterations of (argmax ACTION over the
     * persisted candidate frame) → (filter the pick out + fold it into the

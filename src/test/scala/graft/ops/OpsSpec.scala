@@ -898,6 +898,32 @@ class SimilaritySpec extends SparkSpec {
     assert(grown.read("ann_lists", Seq("cent_id"), Some(vs.head)).count() == part1.count())
   }
 
+  test("hardNegatives: never self, respects the near-dup cap, == brute-force tail at cap 1.0") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val anchors = emb.filter(col("vec_id") < 5)
+    val out = Similarity.hardNegatives(anchors, emb, "vec_id", "vec_id",
+        "embedding", k = 5)
+      .select("anchor_id", "neg_id", "cosine", "neg_rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.length == 25)
+    assert(out.forall(r => r._1 != r._2), "an anchor mined itself as a negative")
+    // cap 1.0 == the brute-force ranking with self dropped and re-ranked
+    val bruteByAnchor = Similarity.bruteForceTopK(anchors, emb, "vec_id", "vec_id",
+        "embedding", k = 6)
+      .orderBy("query_id", "rank")
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (a, rows) =>
+        a -> rows.map(_._2).filter(_ != a).take(5).toSeq }
+    out.groupBy(_._1).foreach { case (a, rows) =>
+      assert(rows.sortBy(_._4).map(_._2).toSeq == bruteByAnchor(a), s"anchor $a")
+    }
+    // the near-dup exclusion cap holds
+    val capped = Similarity.hardNegatives(anchors, emb, "vec_id", "vec_id",
+        "embedding", k = 5, maxCosine = 0.5)
+      .select("cosine").as[Double].collect()
+    assert(capped.forall(_ <= 0.5))
+  }
+
   test("mmrSelect: hand case, λ=1 == relevance ranking, λ=0 == most-diverse, k>n exhausts") {
     // q = e1; id0 = q itself, id2 ≈ q, id1 ⟂ q. λ=0.7: pick1 = id0 (rel 1);
     // pick2 = id2 (0.7·rel − 0.3·sim ≈ 0.4·0.998 > id1's 0); pick3 = id1
