@@ -145,10 +145,18 @@ object Fastlane {
     ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
       import spark.implicits._
       val cursorFeat = s"${feature}_ingest_cursor"
+      // the fence is scoped to the CHECKPOINT LINEAGE: batchIds restart at
+      // 0 under a fresh checkpointDir, and an unscoped cursor would then
+      // silently DROP legitimate new batches (worse than a replay). A
+      // lineage change resets the fence — replay protection applies within
+      // one checkpoint's id sequence, which is where replays happen.
       val lastApplied =
         if (store.latestVersion(cursorFeat).isEmpty) -1L
-        else store.read(cursorFeat, Seq("__ck"))
-          .agg(org.apache.spark.sql.functions.max(col("batch_id"))).head().getLong(0)
+        else {
+          val row = store.read(cursorFeat, Seq("__ck"))
+            .select(col("batch_id"), col("lineage")).head()
+          if (row.getString(1) == checkpointDir) row.getLong(0) else -1L
+        }
       if (batchId > lastApplied) {
         // persisted: read by the corpus append AND the index build passes
         val docs = batch.select(col(idCol), col(textCol))
@@ -164,7 +172,7 @@ object Fastlane {
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           store.compactBuckets(s"${feature}_postings", Seq("term"))
         // fence LAST: a crash before this line replays the whole batch
-        store.write(Seq((batchId, 0)).toDF("batch_id", "__ck"),
+        store.write(Seq((batchId, checkpointDir, 0)).toDF("batch_id", "lineage", "__ck"),
           cursorFeat, Seq("__ck"))
         docs.unpersist()
       }

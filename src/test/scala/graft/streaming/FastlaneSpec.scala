@@ -143,6 +143,17 @@ class FastlaneSpec extends SparkSpec {
       .select("query_id", "doc_id", "bm25_micro", "rank")
       .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
     assert(streamed == direct)
+    // a FRESH checkpoint resets the lineage-scoped replay fence: new
+    // batches must be INGESTED, not silently dropped by the old cursor
+    // (batchIds restart at 0 under a new checkpoint; re-reading earlier
+    // files under the new lineage is the documented at-least-once residual)
+    Seq((5L, "honey badgers dig dens"))
+      .toDF("doc_id", "text").write.mode("overwrite").json(s"$srcDir/b3")
+    Fastlane.ingestBm25Indexed(stream(), "doc_id", "text", store, "bm",
+      corpusDir, tmpDir("bm25s_ckpt2")).awaitTermination(60000)
+    assert(store.read("bm_postings", Seq("term"))
+      .where(col("doc_id") === 5L).count() > 0,
+      "fresh-lineage batch was silently dropped by the replay fence")
   }
 
   test("ingestPassageDeduped: streaming passage gate == batch paragraphDedup over the union") {
