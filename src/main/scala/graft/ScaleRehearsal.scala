@@ -315,6 +315,12 @@ object ScaleRehearsal {
         "q194_negative_sampling" -> (() => force(ops.Shards.sampleNegatives(
           docs.where(col("doc_id") < 100), "doc_id", docs, "doc_id",
           k = 50, nCorpus = nDocsDir, payloadCols = Seq("source")))),
+        // hard-negative mining: FIXED 10-anchor batch, corpus scales — the
+        // anchors broadcast and the corpus streams once (q75's shape);
+        // expect ~linear tracking corpus bytes
+        "q195_hard_negatives" -> (() => force(ops.Similarity.hardNegatives(
+          emb.where(col("vec_id") < 10), emb, "vec_id", "vec_id",
+          "embedding", k = 5, maxCosine = 0.98))),
         // BM25 retrieval: FIXED query batch (family 0's every-97th doc),
         // corpus scales — the doc-term agg tracks corpus tokens (~linear);
         // the candidate side stays query-term-keyed and broadcast
