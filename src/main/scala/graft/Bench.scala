@@ -33,6 +33,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // PER-QUERY JOB COUNTER (adjudication aid, r13 verdict item 5): most
+    // sub-second >2x-vs-DuckDB entries are floor-bound — their time is
+    // ~njobs x floor_job_* — so the record carries each query's observed
+    // Spark job count next to its time and a reader can check the floor
+    // arithmetic without re-running anything. Counted on the discarded
+    // warm-up run (identical plan, and the listener bus has the whole
+    // measured set's wall time to drain before the count is read).
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCounter.incrementAndGet(); ()
+      }
+    })
+    // listener delivery is async; waitUntilEmpty is private[spark] (public
+    // in bytecode) — reflection with a sleep fallback
+    def drainListenerBus(): Unit =
+      try {
+        val lb = spark.sparkContext.getClass.getMethod("listenerBus")
+          .invoke(spark.sparkContext)
+        lb.getClass.getMethod("waitUntilEmpty").invoke(lb)
+        ()
+      } catch { case scala.util.control.NonFatal(_) => Thread.sleep(200) }
+
     def loadavg1(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ")(0).toDouble
@@ -164,7 +187,10 @@ object Bench {
           failed = true; System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
       }
-      once() // warm-up, discarded
+      jobCounter.set(0)
+      once() // warm-up, discarded (also the job-count probe run)
+      drainListenerBus()
+      val jobs = jobCounter.get()
       val load0 = loadavg1()
       val first = (1 to runs).map(_ => once()).sorted
       // SPREAD GUARD: identical bytecode spreading >3x across its own runs is
@@ -185,8 +211,8 @@ object Bench {
       // recoverable from these; the machine-readable total comes LAST
       val retryField = if (retried)
         s""","spread_retry":true,"first_runs":[${first.map(fmt).mkString(",")}]""" else ""
-      println(s"""{"query":"$name","sec":${fmt(median)},"load":${fmt(load0)},"runs":[${times.map(fmt).mkString(",")}]$retryField${if (failed) ",\"failed\":true" else ""}}""")
-      (name, median, retried, failed, load0)
+      println(s"""{"query":"$name","sec":${fmt(median)},"jobs":$jobs,"load":${fmt(load0)},"runs":[${times.map(fmt).mkString(",")}]$retryField${if (failed) ",\"failed\":true" else ""}}""")
+      (name, median, retried, failed, load0, jobs)
     }
     val fnByName = queryFns.toMap
     // shared re-measure: one fresh warm-up + a median set; returns
@@ -207,14 +233,14 @@ object Bench {
     // CROSS-ROUND DEFENSE, after the main loop: re-measure every non-failed
     // query that landed >3x its prior-record median, keep the better median,
     // record both.
-    val defended = results.map { case r @ (name, median, retried, failed, load0) =>
+    val defended = results.map { case r @ (name, median, retried, failed, load0, jobs) =>
       prior.get(name) match {
         case Some(p) if !failed && p > 0 && median > 3 * p =>
           val (reMedian, reFailed) = remeasure(name)
           val best = if (!reFailed && reMedian < median) reMedian else median
           println(s"""{"query":"$name","prior_retry":true,"prior_sec":${fmt(p)},"main_sec":${fmt(median)},"rerun_sec":${fmt(reMedian)},"sec":${fmt(best)}}""")
-          (name, best, retried, failed, load0, true)
-        case _ => (r._1, r._2, r._3, r._4, r._5, false)
+          (name, best, retried, failed, load0, jobs, true)
+        case _ => (r._1, r._2, r._3, r._4, r._5, r._6, false)
       }
     }
     // LOAD DEFENSE: the prior-median test is blind when the prior record was
@@ -224,25 +250,26 @@ object Bench {
     // fully-contended run can't double its own wall time.
     val loadRetryCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_RETRIES", "16").toInt
     val loadSuspects = defended
-      .filter { case (_, _, _, failed, load0, priorRetried) =>
+      .filter { case (_, _, _, failed, load0, _, priorRetried) =>
         !failed && !priorRetried && load0 > loadMax }
-      .sortBy { case (_, _, _, _, load0, _) => -load0 }
+      .sortBy { case (_, _, _, _, load0, _, _) => -load0 }
       .take(loadRetryCap)
       .map(_._1).toSet
-    val loadDefended = defended.map { case r @ (name, median, retried, failed, load0, pr) =>
+    val loadDefended = defended.map { case r @ (name, median, retried, failed, load0, jobs, pr) =>
       if (!loadSuspects.contains(name)) r
       else {
         val (reMedian, reFailed) = remeasure(name)
         val best = if (!reFailed && reMedian < median) reMedian else median
         println(s"""{"query":"$name","load_retry":true,"load_at_run":${fmt(load0)},"load_now":${fmt(loadavg1())},"main_sec":${fmt(median)},"rerun_sec":${fmt(reMedian)},"sec":${fmt(best)}}""")
-        (name, best, retried, failed, load0, pr)
+        (name, best, retried, failed, load0, jobs, pr)
       }
     }
-    val qs = loadDefended.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val loads = loadDefended.map { case (k, _, _, _, l, _) => "\"" + k + "\":" + fmt(l) }.mkString("{", ",", "}")
+    val qs = loadDefended.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val loads = loadDefended.map { case (k, _, _, _, l, _, _) => "\"" + k + "\":" + fmt(l) }.mkString("{", ",", "}")
+    val jobsJson = loadDefended.map { case (k, _, _, _, _, j, _) => "\"" + k + "\":" + j }.mkString("{", ",", "}")
     val total = loadDefended.map(_._2).sum
     val nRetries = loadDefended.count(_._3)
-    val nPriorRetries = loadDefended.count(_._6)
+    val nPriorRetries = loadDefended.count(_._7)
     val nLoadRetries = loadSuspects.size
     // bench environment snapshot — lets a reader separate sandbox contention
     // from a real regression without needing a clean re-run
@@ -256,7 +283,7 @@ object Bench {
     // adjudication payload (per-query times, total) LAST: the driver's
     // record keeps only a ~2000-char stdout TAIL, and the r10 ordering —
     // "queries" before "query_loads" — let the loads displace every time.
-    val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","loadavg":"$loadavg","loadavg_at_start":${fmt(loadavgAtStart)},"idle_gate_met":$idleGateMet,"n_processes":$nProcs,"runs_per_query":$runs,"floor_job_noop":${fmt(floorNoop)},"floor_job_scan":${fmt(floorScan)},"floor_job_shuffle":${fmt(floorShuffle)},"spread_retries":$nRetries,"prior_median_retries":$nPriorRetries,"load_retries":$nLoadRetries,"query_loads":$loads,"queries":$qs,"value":${fmt(total)}}"""
+    val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","loadavg":"$loadavg","loadavg_at_start":${fmt(loadavgAtStart)},"idle_gate_met":$idleGateMet,"n_processes":$nProcs,"runs_per_query":$runs,"floor_job_noop":${fmt(floorNoop)},"floor_job_scan":${fmt(floorScan)},"floor_job_shuffle":${fmt(floorShuffle)},"spread_retries":$nRetries,"prior_median_retries":$nPriorRetries,"load_retries":$nLoadRetries,"query_loads":$loads,"query_jobs":$jobsJson,"queries":$qs,"value":${fmt(total)}}"""
     println(full)
     // the full JSON also goes to a FILE — immune to any log-capture truncation
     try {
@@ -268,7 +295,13 @@ object Bench {
     // to the slowest 20 (the only ones any perf adjudication reads; the
     // complete set is in BENCH_LOCAL.json and the full line above).
     val slow20 = loadDefended.sortBy(-_._2).take(20)
-      .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
+      .map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    // per-query Spark job counts for the same slowest-20 set: [sec, jobs]
+    // pairs let the floor arithmetic (sec ~= jobs x floor_job_*) adjudicate
+    // sub-second >2x-vs-oracle entries straight from the driver record
+    val slow20Jobs = loadDefended.sortBy(-_._2).take(20)
+      .map { case (k, _, _, _, _, j, _) => "\"" + k + "\":" + j }
       .mkString("{", ",", "}")
     // REGRESSION TRIPWIRE: per-query moves beyond 1.5x vs the prior record
     // (either direction), worst first, capped at 12 — box drift moves many
@@ -276,7 +309,7 @@ object Bench {
     // [prior, now] pairs in the driver file makes the two adjudicable
     // without a clean re-run. Empty when no prior record at this SF exists.
     val drift = loadDefended
-      .flatMap { case (name, median, _, failed, _, _) =>
+      .flatMap { case (name, median, _, failed, _, _, _) =>
         prior.get(name) match {
           case Some(p) if !failed && p > 0 &&
               (median > 1.5 * p || median < p / 1.5) =>
@@ -287,7 +320,7 @@ object Bench {
       .sortBy(-_._4).take(12)
       .map { case (k, p, v, _) => "\"" + k + "\":[" + fmt(p) + "," + fmt(v) + "]" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_sec","value":${fmt(total)},"unit":"sec","n_queries":${loadDefended.size},"drift_1p5x":$drift,"slowest":$slow20,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_sec","value":${fmt(total)},"unit":"sec","n_queries":${loadDefended.size},"drift_1p5x":$drift,"slowest":$slow20,"slowest_jobs":$slow20Jobs,"floor_job_shuffle":${fmt(floorShuffle)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

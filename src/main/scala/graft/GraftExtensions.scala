@@ -146,7 +146,8 @@ object GraftExtensions {
     * ANALYSIS-TIME EXECUTION caveat: builders whose underlying op is
     * ITERATIVE (`graft_semantic_dedup` — nearDupClusters' connected-
     * components fixpoint drives Spark actions to converge;
-    * `graft_kcenter_coreset` — k greedy argmax rounds) run those jobs
+    * `graft_kcenter_coreset` and `graft_mmr_select` — k greedy argmax
+    * rounds, inherently driver-looped) run those jobs
     * while the SQL statement is being ANALYZED, not executed — so EXPLAIN
     * pays the full clustering cost, and every re-analysis of the same
     * statement re-runs it. This mirrors the Scala API (semanticDedup also
@@ -256,7 +257,7 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_mmr_select"),
       info("graft_mmr_select",
-        "graft_mmr_select(corpusTable, idCol, vecCol, queryTable, queryVecCol, k, lambdaMicro) - greedy maximal-marginal-relevance selection: (rank, vec_id, mmr_score x1e6-scaled)"),
+        "graft_mmr_select(corpusTable, idCol, vecCol, queryTable, queryVecCol, k, lambdaMicro) - greedy maximal-marginal-relevance selection: (rank, vec_id, mmr_score x1e6-scaled); ITERATIVE - the k greedy rounds (and the one-row query check) RUN at analysis time, EXPLAIN included (see graft_semantic_dedup caveat); materialize the result rather than re-issuing per statement"),
       (args: Seq[Expression]) => {
         require(args.length == 7,
           "usage: graft_mmr_select(corpusTable, idCol, vecCol, queryTable, queryVecCol, k, lambdaMicro)")
@@ -517,32 +518,29 @@ object GraftExtensions {
           str(args(1), "idCol"), str(args(2), "textCol"), lng(args(3), "minCount"))
           .queryExecution.logical
       }),
-    (FunctionIdentifier("graft_unigram_learn"),
-      info("graft_unigram_learn",
-        "graft_unigram_learn(table, textCol, vocabSize[, maxPieceLen, rounds, seedMultiplier, maxWordLen]) - deterministic hard-EM unigram tokenizer training (rank, piece, count, micro_prob). NOTE: training RUNS at analysis time; materialize the result rather than re-issuing per statement"),
+    (FunctionIdentifier("graft_hard_negatives"),
+      info("graft_hard_negatives",
+        "graft_hard_negatives(anchorTable, corpusTable, anchorIdCol, corpusIdCol, vecCol, k, maxCosine) - HARD-negative mining for contrastive pairs: per anchor the k most-similar non-self corpus vectors with cosine <= maxCosine (near-dup exclusion); anchors broadcast under the maxBroadcastAnchors contract guard"),
       (args: Seq[Expression]) => {
-        require(args.length == 3 || args.length == 7,
-          "usage: graft_unigram_learn(table, textCol, vocabSize[, maxPieceLen, rounds, seedMultiplier, maxWordLen])")
-        val d = args.length == 7
-        ops.TextOps.learnUnigramVocab(table(str(args(0), "table")),
-          str(args(1), "textCol"), int(args(2), "vocabSize"),
-          if (d) int(args(3), "maxPieceLen") else 4,
-          if (d) int(args(4), "rounds") else 2,
-          if (d) int(args(5), "seedMultiplier") else 4,
-          if (d) int(args(6), "maxWordLen") else 16)
+        require(args.length == 7,
+          "usage: graft_hard_negatives(anchorTable, corpusTable, anchorIdCol, corpusIdCol, vecCol, k, maxCosine)")
+        ops.Similarity.hardNegatives(table(str(args(0), "anchorTable")),
+          table(str(args(1), "corpusTable")), str(args(2), "anchorIdCol"),
+          str(args(3), "corpusIdCol"), str(args(4), "vecCol"),
+          int(args(5), "k"), dbl(args(6), "maxCosine"))
           .queryExecution.logical
       }),
-    (FunctionIdentifier("graft_unigram_encode"),
-      info("graft_unigram_encode",
-        "graft_unigram_encode(table, idCol, textCol, vocabTable[, maxPieceLen, maxWordLen]) - Viterbi corpus encoding with a trained unigram vocab ((piece, micro_prob) rows): (id, unigram_text, n_pieces), one map-side pass"),
+    (FunctionIdentifier("graft_sample_negatives"),
+      info("graft_sample_negatives",
+        "graft_sample_negatives(anchorTable, anchorIdCol, corpusTable, corpusIdCol, k, nCorpus, payloadColsCsv, seed) - deterministic ring-offset negative sampling over a DENSE id space [0, nCorpus): k provably non-self pairwise-distinct negatives per anchor, zero RNG state; holes in the id space fail loudly (the dense-id contract)"),
       (args: Seq[Expression]) => {
-        require(args.length == 4 || args.length == 6,
-          "usage: graft_unigram_encode(table, idCol, textCol, vocabTable[, maxPieceLen, maxWordLen])")
-        ops.TextOps.encodeUnigram(table(str(args(0), "table")),
-          str(args(1), "idCol"), str(args(2), "textCol"),
-          table(str(args(3), "vocabTable")),
-          if (args.length == 6) int(args(4), "maxPieceLen") else 4,
-          if (args.length == 6) int(args(5), "maxWordLen") else 16)
+        require(args.length == 8,
+          "usage: graft_sample_negatives(anchorTable, anchorIdCol, corpusTable, corpusIdCol, k, nCorpus, payloadColsCsv, seed)")
+        ops.Shards.sampleNegatives(table(str(args(0), "anchorTable")),
+          str(args(1), "anchorIdCol"), table(str(args(2), "corpusTable")),
+          str(args(3), "corpusIdCol"), int(args(4), "k"), lng(args(5), "nCorpus"),
+          str(args(6), "payloadColsCsv").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          lng(args(7), "seed"))
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_exact_percentiles"),

@@ -1971,11 +1971,16 @@ object SparkEntry {
           SELECT doc_id, ${sqlShingles("text")} AS sh FROM documents WHERE doc_id < 1000),
         sigs AS MATERIALIZED (SELECT doc_id, $sig AS sig FROM sh),
         truth AS MATERIALIZED (
+          -- len(sh) > 0 on BOTH sides: the engine's explode-based truth
+          -- (shingleProfiles/ngramJaccardPairs) drops docs shorter than the
+          -- shingle width entirely, so a pair of empty-shingle docs must not
+          -- count as a near-dup here either (it would via the divide-by-zero
+          -- convention) — alignment, not a semantics choice
           SELECT l.doc_id AS id_l, r.doc_id AS id_r
           FROM sh l JOIN sh r ON l.doc_id < r.doc_id
-          WHERE CASE WHEN len(list_distinct(l.sh || r.sh)) = 0 THEN 1.0
-                ELSE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
-                     / len(list_distinct(l.sh || r.sh)) END >= $threshold),
+          WHERE len(l.sh) > 0 AND len(r.sh) > 0
+            AND CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                     / len(list_distinct(l.sh || r.sh)) >= $threshold),
         curve AS (
         $curve)
         SELECT bands, rows_per_band, n_caught, n_true,
@@ -2025,6 +2030,43 @@ object SparkEntry {
           SELECT 1 AS rank, corpus_id AS vec_id, score AS mmr_score FROM p1
           $unions) ORDER BY rank"""
   }
+
+  /** q195 / q196 shared oracle: hard-negative mining — exact cosine over
+    * the quantized vectors, self excluded, near-dup cap 0.98, top-5 per
+    * anchor with the family's (cosine desc, id asc) total order. q196 is
+    * the SQL-TVF route over the identical answer. */
+  private lazy val sqlHardNegatives: String = s"""
+        WITH q AS (SELECT vec_id AS anchor_id, $sqlQVec AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS neg_id, $sqlQVec AS v FROM embeddings),
+        scored AS (
+          SELECT q.anchor_id, c.neg_id,
+            CAST(${sqlDotQ("q.qv", "c.v")} AS DOUBLE)
+              / sqrt(CAST(${sqlDotQ("q.qv", "q.qv")} AS DOUBLE) * CAST(${sqlDotQ("c.v", "c.v")} AS DOUBLE)) AS cosine
+          FROM q CROSS JOIN c
+          WHERE c.neg_id <> q.anchor_id),
+        ranked AS (
+          SELECT anchor_id, neg_id, cosine,
+            row_number() OVER (PARTITION BY anchor_id
+              ORDER BY cosine DESC, neg_id ASC) AS neg_rank
+          FROM scored WHERE cosine <= 0.98)
+        SELECT anchor_id, neg_id, cosine, CAST(neg_rank AS INT) AS neg_rank
+        FROM ranked WHERE neg_rank <= 5 ORDER BY anchor_id, neg_rank"""
+
+  /** q194 / q197 shared oracle: the ring-offset negative-sampling scheme
+    * inlined as arithmetic (stride 2 is the smallest integer coprime to
+    * m = 399 for the fixed 400-doc slice; seed 7). q197 is the SQL-TVF
+    * route over the identical answer. */
+  private lazy val sqlSampleNegatives: String = """
+        WITH c AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 400),
+        a AS (SELECT doc_id AS anchor_id FROM documents WHERE doc_id < 20),
+        e AS (SELECT anchor_id, j AS neg_rank,
+                (anchor_id + 1 + (2*(j-1) + 7) % 399) % 400 AS neg_id
+              FROM a CROSS JOIN (SELECT unnest(range(1, 6)) AS j))
+        SELECT e.anchor_id, CAST(e.neg_rank AS BIGINT) AS neg_rank,
+               e.neg_id, c.n_chars
+        FROM e JOIN c ON c.doc_id = e.neg_id
+        ORDER BY anchor_id, neg_rank"""
 
   /** q181 / q184 shared oracle: near-dup clusters + the canonical
     * keep-the-best-member policy (ties → smallest id; singletons keep
@@ -2287,16 +2329,7 @@ object SparkEntry {
           k = 5, nCorpus = 400L, payloadCols = Seq("n_chars"), seed = 7L)
           .orderBy("anchor_id", "neg_rank")
       },
-      Some("""
-        WITH c AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 400),
-        a AS (SELECT doc_id AS anchor_id FROM documents WHERE doc_id < 20),
-        e AS (SELECT anchor_id, j AS neg_rank,
-                (anchor_id + 1 + (2*(j-1) + 7) % 399) % 400 AS neg_id
-              FROM a CROSS JOIN (SELECT unnest(range(1, 6)) AS j))
-        SELECT e.anchor_id, CAST(e.neg_rank AS BIGINT) AS neg_rank,
-               e.neg_id, c.n_chars
-        FROM e JOIN c ON c.doc_id = e.neg_id
-        ORDER BY anchor_id, neg_rank""")),
+      Some(sqlSampleNegatives)),
 
     // -- q72: SimHash near-dup (exact pigeonhole banding, hamming <= 3) -------
     Q("q72_simhash_neardup",
@@ -2797,23 +2830,49 @@ object SparkEntry {
           "embedding", k = 5, maxCosine = 0.98)
           .orderBy("anchor_id", "neg_rank")
       },
-      Some(s"""
-        WITH q AS (SELECT vec_id AS anchor_id, $sqlQVec AS qv
-                   FROM embeddings WHERE vec_id < 10),
-        c AS (SELECT vec_id AS neg_id, $sqlQVec AS v FROM embeddings),
-        scored AS (
-          SELECT q.anchor_id, c.neg_id,
-            CAST(${sqlDotQ("q.qv", "c.v")} AS DOUBLE)
-              / sqrt(CAST(${sqlDotQ("q.qv", "q.qv")} AS DOUBLE) * CAST(${sqlDotQ("c.v", "c.v")} AS DOUBLE)) AS cosine
-          FROM q CROSS JOIN c
-          WHERE c.neg_id <> q.anchor_id),
-        ranked AS (
-          SELECT anchor_id, neg_id, cosine,
-            row_number() OVER (PARTITION BY anchor_id
-              ORDER BY cosine DESC, neg_id ASC) AS neg_rank
-          FROM scored WHERE cosine <= 0.98)
-        SELECT anchor_id, neg_id, cosine, CAST(neg_rank AS INT) AS neg_rank
-        FROM ranked WHERE neg_rank <= 5 ORDER BY anchor_id, neg_rank""")),
+      Some(sqlHardNegatives)),
+
+    // -- q196: the SQL-TVF route for hard-negative mining —
+    //    graft_hard_negatives over anchor/corpus temp views; expands at
+    //    analysis time to q195's exact plan (broadcast-guarded anchors),
+    //    same oracle verbatim --------------------------------------------
+    Q("q196_sql_tvf_hard_negatives",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val aView = s"hardneg_anchors_tvf_$sfx"
+        val cView = s"hardneg_corpus_tvf_$sfx"
+        val emb = T(s, dir, "embeddings")
+        emb.filter(col("vec_id") < 10).createOrReplaceTempView(aView)
+        emb.createOrReplaceTempView(cView)
+        s.sql(s"""
+          SELECT anchor_id, neg_id, cosine, neg_rank
+          FROM graft_hard_negatives('$aView', '$cView', 'vec_id', 'vec_id',
+                                    'embedding', 5, 0.98D)
+          ORDER BY anchor_id, neg_rank""")
+      },
+      Some(sqlHardNegatives)),
+
+    // -- q197: the SQL-TVF route for deterministic negative sampling —
+    //    graft_sample_negatives over the q194 fixture views; expands to
+    //    q194's exact plan (ring-offset scheme, dense-id contract
+    //    enforced), same oracle verbatim ---------------------------------
+    Q("q197_sql_tvf_negative_sampling",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val aView = s"negsample_anchors_tvf_$sfx"
+        val cView = s"negsample_corpus_tvf_$sfx"
+        val corpus = T(s, dir, "documents").filter(col("doc_id") < 400)
+        corpus.filter(col("doc_id") < 20).createOrReplaceTempView(aView)
+        corpus.createOrReplaceTempView(cView)
+        s.sql(s"""
+          SELECT anchor_id, neg_rank, neg_id, n_chars
+          FROM graft_sample_negatives('$aView', 'doc_id', '$cView', 'doc_id',
+                                      5, 400, 'n_chars', 7)
+          ORDER BY anchor_id, neg_rank""")
+      },
+      Some(sqlSampleNegatives)),
 
     // -- q192: maximal-marginal-relevance selection — the retrieve-then-
     //    diversify step (RAG context assembly): greedy k picks maximizing

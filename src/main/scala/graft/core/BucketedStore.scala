@@ -64,6 +64,41 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64,
 
   def latestVersion(feature: String): Option[Long] = versions(feature).lastOption
 
+  // ---- atomic cross-table cursors -----------------------------------------
+  // A multi-table writer (e.g. the BM25 postings/termdf/stats trio) has no
+  // cross-table transaction in this store; these publish a tiny driver-side
+  // record of "the versions that belong together" ATOMICALLY, so readers pin
+  // a consistent snapshot instead of inferring one from latest-version
+  // stability. Append-only: each publish renames a fully-written temp file
+  // to the next numbered slot (single-file rename to a fresh name is atomic
+  // on HDFS and local FS), and readers take the highest slot — there is
+  // never a window where the cursor is missing or half-written.
+
+  /** Atomically publish a small text cursor under `root/_cursor/<name>/`. */
+  def writeCursor(name: String, txt: String): Unit = {
+    val dir = new Path(s"$root/_cursor/$name")
+    fs.mkdirs(dir)
+    val v = cursorVersions(dir).lastOption.map(_ + 1).getOrElse(0L)
+    val tmp = new Path(dir, s"$v.tmp")
+    writeSmall(tmp, txt)
+    if (!fs.rename(tmp, new Path(dir, v.toString)))
+      // a concurrent writer took the slot — retry on the next one (bounded:
+      // the single-writer ingest cadence makes contention a crash-recovery
+      // edge, not a steady state)
+      { fs.delete(tmp, false); writeCursor(name, txt) }
+  }
+
+  /** Latest published cursor value, None when never published. */
+  def readCursor(name: String): Option[String] = {
+    val dir = new Path(s"$root/_cursor/$name")
+    cursorVersions(dir).lastOption.flatMap(v => readSmall(new Path(dir, v.toString)))
+  }
+
+  private def cursorVersions(dir: Path): Seq[Long] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName).filter(_.forall(_.isDigit))
+      .map(_.toLong).sorted.toSeq
+
   /** manifest = bucket id -> relative file dirs. One dir per bucket after a
     * full write/merge; [[appendBucketed]] adds dirs (";"-joined in the JSON
     * — the separator can't occur in the `files_vN/__b=K` paths the store

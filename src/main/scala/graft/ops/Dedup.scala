@@ -776,14 +776,23 @@ object Dedup {
     * corpus-wide frequency is `groupBy(hash)+count` — partial aggregation
     * collapses a 10⁸-occurrence banner to one row per map task, no hot
     * window partition — and the (usually tiny) hot set is measured and
-    * EXPLICITLY broadcast when under `maxBroadcastHotLines` distinct lines
+    * EXPLICITLY broadcast under a `maxBroadcastHotLines` contract guard
     * (the [[graft.ops.TextOps.bigramLmScore]] transition-table pattern), so
     * the corpus never shuffles for the verdict — relying on AQE's estimate
     * here left an unhinted shuffle join whose build side is one skewed
-    * banner key at scale. A hot set beyond the cap falls back to the keyed
-    * join (AQE skew-split applies). The flagged lines then regroup
-    * join-free onto the doc id with the keep flag ([[paragraphDedup]]'s
-    * reassembly discipline). Linear, skew-proof, no all-pairs. */
+    * banner key at scale.
+    *
+    * FAILURE SEMANTICS (changed in r13 — callers migrating from earlier
+    * rounds take note): a hot set beyond the cap RAISES mid-query with a
+    * loud in-plan error naming the cap, instead of the old silent count-
+    * then-fall-back-to-the-keyed-join behavior. The old fallback cost a
+    * driver-side count action on every call (including SQL-TVF analysis)
+    * and hid the moment a corpus outgrew its broadcast budget; callers who
+    * WANT the keyed join (corpora with huge hot sets — AQE skew-split
+    * applies there) opt in explicitly with `maxBroadcastHotLines = 0`.
+    * The flagged lines then regroup join-free onto the doc id with the
+    * keep flag ([[paragraphDedup]]'s reassembly discipline). Linear,
+    * skew-proof, no all-pairs. */
   def stripFrequentLines(df: DataFrame, idCol: String, textCol: String,
       minCount: Long, sep: String = "\n",
       maxBroadcastHotLines: Long = 1L << 22): DataFrame = {

@@ -96,6 +96,18 @@ object Shards {
     *
     * `nCorpus` is the dense-id row count, hoisted (a production caller
     * knows its corpus size; the op must not pay a count action).
+    *
+    * DENSE-ID CONTRACT, ENFORCED: the ring-offset guarantee assumes
+    * corpus ids are exactly [0, nCorpus). A corpus with HOLES — the
+    * normal shape of a post-dedup corpus, this engine's own primary
+    * output — would make the payload join silently drop the missing
+    * `neg_id`s and an anchor quietly gets fewer than k negatives. The
+    * payload fetch is therefore a LEFT join with an in-plan raise_error
+    * on any unmatched negative (zero extra jobs — the check rides the
+    * join output): a holed id space fails by name, pointing at
+    * re-densification (row_number over a stable order) instead of
+    * under-delivering. Duplicate corpus ids are the join's other failure
+    * mode and surface as extra output rows, not silence.
     * Output: (anchor_id, neg_rank 1..k, neg_id, payloadCols...). */
   def sampleNegatives(anchors: DataFrame, anchorIdCol: String,
       corpus: DataFrame, corpusIdCol: String, k: Int, nCorpus: Long,
@@ -113,10 +125,19 @@ object Shards {
       .withColumn("__a", col("anchor_id"))
       .withColumn("neg_rank", explode(sequence(lit(1L), lit(k.toLong))))
       .select(col("anchor_id"), col("neg_rank"), negId.as("neg_id"))
-    val payload = corpus.select(
-      (col(corpusIdCol).cast("long").as("neg_id") +: payloadCols.map(col)): _*)
-    expanded.join(payload, Seq("neg_id"))
-      .select((col("anchor_id") +: col("neg_rank") +: col("neg_id") +:
+    val payload = corpus
+      .select((col(corpusIdCol).cast("long").as("neg_id") +: payloadCols.map(col)): _*)
+      .withColumn("__present", lit(true))
+    val guardedNegId = col("neg_id") + when(col("__present").isNull,
+      raise_error(concat(
+        lit("sampleNegatives: corpus has no row for neg_id "), col("neg_id"),
+        lit(s" — the dense-id contract requires corpus ids to be exactly " +
+          s"[0, $nCorpus); a corpus with holes (e.g. post-dedup output) " +
+          "under-delivers negatives silently — re-densify ids first " +
+          "(row_number() - 1 over a stable order) or fix nCorpus")))
+      ).otherwise(lit(0L))
+    expanded.join(payload, Seq("neg_id"), "left")
+      .select((col("anchor_id") +: col("neg_rank") +: guardedNegId.as("neg_id") +:
         payloadCols.map(col)): _*)
   }
 }

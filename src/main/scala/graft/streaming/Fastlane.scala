@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, count_distinct, lit}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.hadoop.fs.Path
 import graft.core.{FeatureDef, FeatureStore, Versioning}
@@ -127,14 +127,18 @@ object Fastlane {
     *
     * Replay contract: foreachBatch is at-least-once, and a blind re-apply
     * would double-count postings/df/stats (appends are not idempotent).
-    * A one-row `<feature>_ingest_cursor` table fences each applied
-    * batchId — a replayed batch is skipped — narrowing double-apply to a
-    * crash inside the apply→fence window (the corpus parquet append has
-    * the same at-least-once residual as the sibling ingest ops: pair
-    * downstream readers with exact id dedup). Bootstrap keys off the
-    * STATS table (written last by both build and append), so a build that
-    * crashed mid-way re-runs the full build rather than wedging the
-    * append path on a half-written index. */
+    * A `<feature>_ingest_cursor` table — ONE ROW PER CHECKPOINT LINEAGE,
+    * merge-upserted — fences each applied batchId: a replayed batch is
+    * skipped, and a second lineage writing the same feature cannot reset
+    * this lineage's fence. Residual double-apply windows: a crash inside
+    * the apply→fence gap, and the operator error of re-running one source
+    * through a FRESH checkpointDir (a new lineage legitimately starts at
+    * batch 0 and re-applies everything — run [[bm25IndexConsistency]] on
+    * an audit cadence to catch a double-grown index, and pair downstream
+    * corpus readers with exact id dedup as with the sibling ingest ops).
+    * Bootstrap keys off the STATS table (written last by both build and
+    * append), so a build that crashed mid-way re-runs the full build
+    * rather than wedging the append path on a half-written index. */
   def ingestBm25Indexed(
       stream: DataFrame, idCol: String, textCol: String,
       store: graft.core.BucketedStore, feature: String,
@@ -147,16 +151,21 @@ object Fastlane {
       val cursorFeat = s"${feature}_ingest_cursor"
       // the fence is scoped to the CHECKPOINT LINEAGE: batchIds restart at
       // 0 under a fresh checkpointDir, and an unscoped cursor would then
-      // silently DROP legitimate new batches (worse than a replay). A
-      // lineage change resets the fence — replay protection applies within
-      // one checkpoint's id sequence, which is where replays happen.
+      // silently DROP legitimate new batches (worse than a replay). ONE
+      // CURSOR ROW PER LINEAGE (keyed merge, not a single overwritten
+      // row): with a single row, two alternating lineages against the same
+      // feature each reset the other's fence to -1 and replay protection
+      // evaporates exactly when two writers make replays likeliest. Note a
+      // RESTARTED lineage (same source, fresh checkpointDir) is a NEW
+      // lineage by construction — it re-applies every batch, so growing
+      // one index from two lineages double-counts; [[bm25IndexConsistency]]
+      // is the cheap detector for that operator-error class.
       val lastApplied =
         if (store.latestVersion(cursorFeat).isEmpty) -1L
-        else {
-          val row = store.read(cursorFeat, Seq("__ck"))
-            .select(col("batch_id"), col("lineage")).head()
-          if (row.getString(1) == checkpointDir) row.getLong(0) else -1L
-        }
+        else store.read(cursorFeat, Seq("lineage"))
+          .where(col("lineage") === checkpointDir)
+          .select(col("batch_id")).as[Long].collect()
+          .headOption.getOrElse(-1L)
       if (batchId > lastApplied) {
         // persisted: read by the corpus append AND the index build passes
         val docs = batch.select(col(idCol), col(textCol))
@@ -170,14 +179,45 @@ object Fastlane {
         else
           graft.ops.TextOps.appendToBm25Index(docs, idCol, textCol, store, feature)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          store.compactBuckets(s"${feature}_postings", Seq("term"))
-        // fence LAST: a crash before this line replays the whole batch
-        store.write(Seq((batchId, checkpointDir, 0)).toDF("batch_id", "lineage", "__ck"),
-          cursorFeat, Seq("__ck"))
+          // compaction re-publishes the trio commit record so pinned
+          // readers move to the compacted postings version
+          graft.ops.TextOps.compactBm25Postings(store, feature)
+        // fence LAST: a crash before this line replays the whole batch.
+        // merge upserts THIS lineage's row only; other lineages' fences
+        // are untouched.
+        val fenceRow = Seq((batchId, checkpointDir)).toDF("batch_id", "lineage")
+        if (store.latestVersion(cursorFeat).isEmpty)
+          store.write(fenceRow, cursorFeat, Seq("lineage"))
+        else
+          store.merge(cursorFeat, fenceRow, Seq("lineage"))
         docs.unpersist()
       }
       ()
     }
+
+  /** Cheap double-apply detector for a streaming-grown BM25 index (the
+    * residual [[ingestBm25Indexed]]'s at-least-once fence cannot close:
+    * a crash inside the apply→fence window, or an operator replaying one
+    * source through a SECOND checkpoint lineage): compares the index's
+    * stats row against the corpus directory it claims to index. Returns
+    * (n_docs_stats, n_docs_corpus, n_distinct_corpus, consistent) —
+    * `consistent` iff stats.n_docs == distinct corpus ids == corpus rows
+    * (a replayed batch shows up as corpus rows > distinct ids AND
+    * stats.n_docs > distinct ids). Run on an audit cadence, not per batch
+    * (it scans the corpus ids). */
+  def bm25IndexConsistency(store: graft.core.BucketedStore, feature: String,
+      corpusDir: String, idCol: String)
+      (implicit spark: SparkSession): DataFrame = {
+    val stats = store.read(s"${feature}_stats", Seq("__sk"))
+      .select(col("n_docs").as("n_docs_stats"))
+    spark.read.parquet(corpusDir)
+      .agg(count(lit(1)).as("n_docs_corpus"),
+        count_distinct(col(idCol)).as("n_distinct_corpus"))
+      .crossJoin(stats)
+      .select(col("n_docs_stats"), col("n_docs_corpus"), col("n_distinct_corpus"),
+        (col("n_docs_stats") === col("n_distinct_corpus") &&
+          col("n_docs_corpus") === col("n_distinct_corpus")).as("consistent"))
+  }
 
   /** Streaming near-dup-gated corpus ingest — the online form of
     * [[graft.ops.Dedup.minhashNewVsCorpus]]. Each micro-batch is (1) deduped
