@@ -360,6 +360,23 @@ class SqlTvfSpec extends SparkSpec {
     assert(r.getString(2) == "bbc.co.uk")
   }
 
+  test("graft_hard_negatives / graft_sample_negatives == their Scala APIs") {
+    emb.createOrReplaceTempView("tvf_emb_hn")
+    emb.filter(col("vec_id") < 4).createOrReplaceTempView("tvf_anchors_hn")
+    same(
+      spark.sql("SELECT * FROM graft_hard_negatives('tvf_anchors_hn','tvf_emb_hn','vec_id','vec_id','embedding',5,0.98D)"),
+      ops.Similarity.hardNegatives(emb.filter(col("vec_id") < 4), emb,
+        "vec_id", "vec_id", "embedding", k = 5, maxCosine = 0.98))
+    val corpus = docs.filter(col("doc_id") < 100)
+    corpus.createOrReplaceTempView("tvf_corpus_ns")
+    corpus.filter(col("doc_id") < 8).createOrReplaceTempView("tvf_anchors_ns")
+    same(
+      spark.sql("SELECT * FROM graft_sample_negatives('tvf_anchors_ns','doc_id','tvf_corpus_ns','doc_id',5,100,'n_chars',3)"),
+      ops.Shards.sampleNegatives(corpus.filter(col("doc_id") < 8), "doc_id",
+        corpus, "doc_id", k = 5, nCorpus = 100L,
+        payloadCols = Seq("n_chars"), seed = 3L))
+  }
+
   test("non-literal and malformed TVF arguments fail loudly") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception](

@@ -554,6 +554,22 @@ class BucketedStoreSpec extends SparkSpec {
     intercept[IllegalStateException](store.read("f", Seq("id"), asOfVersion = Some(3)))
   }
 
+  test("atomic cursors: publish/read roundtrip, latest-wins, append-only slots") {
+    val store = new BucketedStore(tmpDir("bcur"), numBuckets = 4)
+    assert(store.readCursor("trio").isEmpty)
+    store.writeCursor("trio", "0\t0\t0")
+    assert(store.readCursor("trio").contains("0\t0\t0"))
+    // re-publication takes a NEW numbered slot; readers always see the
+    // latest complete record (no delete window, no half-written file)
+    store.writeCursor("trio", "1\t1\t1")
+    store.writeCursor("trio", "2\t1\t2")
+    assert(store.readCursor("trio").contains("2\t1\t2"))
+    // independent cursor names don't interfere
+    store.writeCursor("other", "x")
+    assert(store.readCursor("trio").contains("2\t1\t2"))
+    assert(store.readCursor("other").contains("x"))
+  }
+
   test("runBucketed: memoizing runner over file-level merge") {
     import org.apache.spark.sql.functions._
     val root = tmpDir("brun")

@@ -924,6 +924,33 @@ class SimilaritySpec extends SparkSpec {
     assert(capped.forall(_ <= 0.5))
   }
 
+  test("hardNegatives: anchor-broadcast contract guard fires loudly, by name") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val anchors = emb.filter(col("vec_id") < 5) // 5 anchors > cap of 2
+    val e = intercept[Exception] {
+      Similarity.hardNegatives(anchors, emb, "vec_id", "vec_id",
+        "embedding", k = 3, maxBroadcastAnchors = 2L).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("maxBroadcastAnchors"),
+      s"guard must fail by name, got: $msg")
+    assert(msg.contains("searchIndexed"),
+      "guard must point at the sharded-index route for corpus-scale anchors")
+    // the cap itself must be >= 1 — there is no non-broadcast route inside
+    intercept[IllegalArgumentException](Similarity.hardNegatives(
+      anchors, emb, "vec_id", "vec_id", "embedding", k = 3,
+      maxBroadcastAnchors = 0L))
+    // results under a generous cap are unchanged vs the default
+    val a2 = emb.filter(col("vec_id") < 3)
+    val base = Similarity.hardNegatives(a2, emb, "vec_id", "vec_id",
+      "embedding", k = 4).orderBy("anchor_id", "neg_rank").collect().toSeq
+    val guarded = Similarity.hardNegatives(a2, emb, "vec_id", "vec_id",
+      "embedding", k = 4, maxBroadcastAnchors = 3L)
+      .orderBy("anchor_id", "neg_rank").collect().toSeq
+    assert(base == guarded)
+  }
+
   test("mmrSelect: hand case, λ=1 == relevance ranking, λ=0 == most-diverse, k>n exhausts") {
     // q = e1; id0 = q itself, id2 ≈ q, id1 ⟂ q. λ=0.7: pick1 = id0 (rel 1);
     // pick2 = id2 (0.7·rel − 0.3·sim ≈ 0.4·0.998 > id1's 0); pick3 = id1
@@ -1083,6 +1110,27 @@ class ShardsSpec extends SparkSpec {
       anchors, "doc_id", docs, "doc_id", k = 100, nCorpus = 100L))
     intercept[IllegalArgumentException](Shards.sampleNegatives(
       anchors, "doc_id", docs, "doc_id", k = 1, nCorpus = 1L))
+  }
+
+  test("sampleNegatives: a holed id space violates the dense-id contract LOUDLY") {
+    // post-dedup shape: ids [0, 100) with 37 removed — the ring can land on
+    // 37, and silently under-delivering negatives for that anchor is the
+    // failure the in-plan guard closes
+    val holed = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") < 100 && col("doc_id") =!= 37)
+    val anchors = holed.filter(col("doc_id") < 10)
+    val e = intercept[Exception] {
+      Shards.sampleNegatives(anchors, "doc_id", holed, "doc_id",
+        k = 99, nCorpus = 100L, payloadCols = Seq("n_chars")).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("dense-id"), s"must fail naming the contract, got: $msg")
+    // and a dense corpus still sails through the guarded join unchanged
+    val dense = Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 100)
+    val ok = Shards.sampleNegatives(anchors, "doc_id", dense, "doc_id",
+      k = 5, nCorpus = 100L, payloadCols = Seq("n_chars"))
+    assert(ok.count() == anchors.count() * 5)
   }
 
   test("batchByLength: bounded batches of near-equal lengths; per-batch max is the pad target") {

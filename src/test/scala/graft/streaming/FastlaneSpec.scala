@@ -156,6 +156,55 @@ class FastlaneSpec extends SparkSpec {
       "fresh-lineage batch was silently dropped by the replay fence")
   }
 
+  test("BM25 ingest: per-lineage fences are independent; bm25IndexConsistency flags a double-grown index") {
+    import graft.ops.TextOps
+    val srcDir = tmpDir("bmL_src")
+    val corpusDir = tmpDir("bmL_corpus") + "/c"
+    val store = new graft.core.BucketedStore(tmpDir("bmL_idx"), numBuckets = 8)
+    def stream() = spark.readStream
+      .schema("doc_id LONG, text STRING").json(s"$srcDir/*")
+    Seq((1L, "aa bb cc"), (2L, "bb cc dd"))
+      .toDF("doc_id", "text").write.mode("overwrite").json(s"$srcDir/b1")
+    val ckA = tmpDir("bmL_ckA"); val ckB = tmpDir("bmL_ckB")
+    Fastlane.ingestBm25Indexed(stream(), "doc_id", "text", store, "bm",
+      corpusDir, ckA).awaitTermination(60000)
+    // one lineage, one apply: the audit detector reads consistent
+    val ok = Fastlane.bm25IndexConsistency(store, "bm", corpusDir, "doc_id").head()
+    assert(ok.getBoolean(3), s"freshly built index must audit consistent: $ok")
+    // a SECOND lineage over the same source re-applies batch 0 — the
+    // documented double-apply operator error (new lineage, fence = -1)
+    Fastlane.ingestBm25Indexed(stream(), "doc_id", "text", store, "bm",
+      corpusDir, ckB).awaitTermination(60000)
+    val bad = Fastlane.bm25IndexConsistency(store, "bm", corpusDir, "doc_id").head()
+    assert(!bad.getBoolean(3), "double-grown index must audit INCONSISTENT")
+    assert(bad.getLong(0) == 4L && bad.getLong(2) == 2L,
+      s"stats.n_docs doubled vs distinct corpus ids: $bad")
+    // lineage A continues with a new batch; its fence survives B's writes —
+    // the cursor table now carries ONE ROW PER LINEAGE (the r13 single-row
+    // cursor let each lineage reset the other to -1)
+    Seq((3L, "dd ee ff")).toDF("doc_id", "text")
+      .write.mode("overwrite").json(s"$srcDir/b2")
+    Fastlane.ingestBm25Indexed(stream(), "doc_id", "text", store, "bm",
+      corpusDir, ckA).awaitTermination(60000)
+    val cursor = store.read("bm_ingest_cursor", Seq("lineage"))
+      .select("lineage", "batch_id").as[(String, Long)].collect().toMap
+    assert(cursor.keySet == Set(ckA, ckB), s"one fence row per lineage: $cursor")
+    assert(cursor(ckA) == 1L && cursor(ckB) == 0L, s"fences independent: $cursor")
+    // the trio commit record pins the reader to the last COMPLETE append
+    val trio = store.readCursor("bm_bm25_trio")
+    assert(trio.isDefined, "writers must publish the trio commit record")
+    val Array(pv, tv, sv) = trio.get.trim.split('\t').map(_.toLong)
+    assert(pv == store.latestVersion("bm_postings").get)
+    assert(tv == store.latestVersion("bm_termdf").get)
+    assert(sv == store.latestVersion("bm_stats").get)
+    // a search through the pinned trio still answers (doubled stats are the
+    // detector's job — the snapshot itself is coherent)
+    val hits = TextOps.searchIndexedBm25(
+      Seq((9L, "dd")).toDF("query_id", "qtext"), "query_id", "qtext",
+      store, "bm", k = 5)
+    assert(hits.count() > 0)
+  }
+
   test("ingestPassageDeduped: streaming passage gate == batch paragraphDedup over the union") {
     val corpusDir = tmpDir("ingp_corpus") + "/c"
     val srcDir = tmpDir("ingp_src")
