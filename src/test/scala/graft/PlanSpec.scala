@@ -520,4 +520,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q186: per-doc dl is an attribute BELOW the explode — never re-evaluated per token") {
+    // the r14 defect class: a select(id, perDocExpr, explode(arr)) analyzes
+    // to Project[id, perDocExpr, out] ABOVE the Generate, re-running the
+    // per-doc expression once per exploded token (O(doclen²)/doc — measured
+    // 4-6x on the whole BM25 pass). Lock the fixed shape: no Project that
+    // sits above a Generate computes an array-sized expression, and the
+    // Generate carries dl through as a plain attribute.
+    import org.apache.spark.sql.execution.{GenerateExec, ProjectExec, SparkPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.catalyst.expressions.{ArrayFilter, Size}
+    val outer = physical(SparkEntry.queries("q186_bm25_topk")(spark, sfDir))
+    // the doc-term frame is persisted — its Generate lives in the CACHED
+    // plan, behind InMemoryTableScan leaves; chase every cached relation
+    def expand(p: SparkPlan): Seq[SparkPlan] = {
+      val unwrapped = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+        case other => other
+      }
+      unwrapped +: unwrapped.collect { case s: InMemoryTableScanExec => s }
+        .flatMap(s => expand(s.relation.cachedPlan))
+    }
+    val plans = expand(outer)
+    val gens = plans.flatMap(_.collect { case g: GenerateExec => g })
+    assert(gens.nonEmpty, "expected Generate (explode) nodes in the BM25 plan")
+    assert(gens.exists(_.requiredChildOutput.exists(_.name == "dl")),
+      s"the doc-term Generate must pass dl through as an attribute:\n$outer")
+    val offenders = plans.flatMap(_.collect {
+      case p: ProjectExec
+        if p.exists(_.isInstanceOf[GenerateExec]) &&
+           p.projectList.exists(_.exists {
+             case _: Size | _: ArrayFilter => true
+             case _ => false
+           }) => p
+    })
+    assert(offenders.isEmpty,
+      s"array-sized expression in a Project ABOVE a Generate (per-token re-evaluation):\n${offenders.mkString("\n")}")
+  }
 }
