@@ -543,6 +543,16 @@ object GraftExtensions {
           lng(args(7), "seed"))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_embedding_drift"),
+      info("graft_embedding_drift",
+        "graft_embedding_drift(tableA, tableB, vecCol) - per-dimension embedding-distribution drift between two snapshots: exact-integer mean shift over the 1e-6-quantized components; (pos, n_a, n_b, s_a, s_b, shift_micro, direction, rank)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "usage: graft_embedding_drift(tableA, tableB, vecCol)")
+        ops.Similarity.embeddingDrift(table(str(args(0), "tableA")),
+          table(str(args(1), "tableB")), str(args(2), "vecCol"))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_exact_percentiles"),
       info("graft_exact_percentiles",
         "graft_exact_percentiles(table, valueCol, psCsv) - EXACT percentiles of an unbounded-cardinality double column by iterative rank-selection (one p<NN> column per requested percentile). NOTE: the narrowing rounds RUN at analysis time"),

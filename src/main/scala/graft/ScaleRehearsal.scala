@@ -346,6 +346,12 @@ object ScaleRehearsal {
         "q187_token_drift" -> (() => force(ops.TextOps.tokenDrift(
           docs.where(col("doc_id") % 2 === 0),
           docs.where(col("doc_id") % 2 === 1), "text", topM = 40))),
+        // embedding drift: both snapshots scale; dim-keyed aggs collapse
+        // map-side to 64 rows/task — expect ~scan-linear, the corpora
+        // never shuffle
+        "q198_embedding_drift" -> (() => force(ops.Similarity.embeddingDrift(
+          emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 === 1), "embedding"))),
         // temperature mixture: the rate table stays one-row-per-source
         // (broadcast) however big the corpus gets; the keep filter is
         // map-side — expect ~linear wall tracking corpus bytes

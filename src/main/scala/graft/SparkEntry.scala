@@ -2068,6 +2068,36 @@ object SparkEntry {
         FROM e JOIN c ON c.doc_id = e.neg_id
         ORDER BY anchor_id, neg_rank"""
 
+  /** q198 / q199 shared oracle: per-dimension embedding drift — exact
+    * HUGEINT per-dim sums over the quantized components, the cleared
+    * mean-shift |s_a·n_b − s_b·n_a| // (n_a·n_b) (nonneg integral
+    * division truncates identically in both engines), sign as direction.
+    * q199 is the SQL-TVF route over the identical answer. */
+  private lazy val sqlEmbeddingDrift: String = s"""
+        WITH ea AS (SELECT $sqlQVec AS v FROM embeddings WHERE vec_id % 2 = 0),
+        eb AS (SELECT $sqlQVec AS v FROM embeddings WHERE vec_id % 2 = 1),
+        a AS (SELECT i.range - 1 AS pos, CAST(count(*) AS HUGEINT) AS n_a,
+                     CAST(sum(v[i.range]) AS HUGEINT) AS s_a
+              FROM ea CROSS JOIN range(1, 65) i GROUP BY 1),
+        b AS (SELECT i.range - 1 AS pos, CAST(count(*) AS HUGEINT) AS n_b,
+                     CAST(sum(v[i.range]) AS HUGEINT) AS s_b
+              FROM eb CROSS JOIN range(1, 65) i GROUP BY 1),
+        j AS (SELECT a.pos, n_a, n_b, s_a, s_b,
+                     s_a * n_b - s_b * n_a AS diff
+              FROM a JOIN b USING (pos)),
+        r AS (SELECT pos, n_a, n_b, s_a, s_b,
+                CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+                     ELSE abs(diff) // (n_a * n_b) END AS shift_micro,
+                CASE WHEN diff > 0 THEN 1 WHEN diff < 0 THEN -1 ELSE 0 END AS direction
+              FROM j)
+        SELECT CAST(pos AS INT) AS pos,
+          CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          CAST(s_a AS BIGINT) AS s_a, CAST(s_b AS BIGINT) AS s_b,
+          CAST(shift_micro AS BIGINT) AS shift_micro,
+          CAST(direction AS INT) AS direction,
+          CAST(row_number() OVER (ORDER BY shift_micro DESC, pos ASC) AS INT) AS rank
+        FROM r ORDER BY rank"""
+
   /** q181 / q184 shared oracle: near-dup clusters + the canonical
     * keep-the-best-member policy (ties → smallest id; singletons keep
     * themselves). q184 is the SQL-TVF route over the identical answer. */
@@ -2887,6 +2917,38 @@ object SparkEntry {
           .orderBy("rank")
       },
       Some(sqlMmr(4, 700000L))),
+
+    // -- q198: embedding-distribution drift between two snapshot halves —
+    //    per-dimension exact-integer mean shift over the quantized
+    //    components (tokenDrift's vector-modality twin): dim-keyed aggs,
+    //    64-row join + rank, the corpora never shuffle ---------------------
+    Q("q198_embedding_drift",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        ops.Similarity.embeddingDrift(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1), "embedding")
+          .orderBy("rank")
+      },
+      Some(sqlEmbeddingDrift)),
+
+    // -- q199: the SQL-TVF route for embedding drift — expands at analysis
+    //    time to q198's exact plan, same oracle verbatim ------------------
+    Q("q199_sql_tvf_embedding_drift",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val aView = s"edrift_a_tvf_$sfx"
+        val bView = s"edrift_b_tvf_$sfx"
+        val emb = T(s, dir, "embeddings")
+        emb.filter(col("vec_id") % 2 === 0).createOrReplaceTempView(aView)
+        emb.filter(col("vec_id") % 2 === 1).createOrReplaceTempView(bView)
+        s.sql(s"""
+          SELECT pos, n_a, n_b, s_a, s_b, shift_micro, direction, rank
+          FROM graft_embedding_drift('$aView', '$bView', 'embedding')
+          ORDER BY rank""")
+      },
+      Some(sqlEmbeddingDrift)),
 
     // -- q77: text quality features + token counting ---------------------------
     Q("q77_text_quality",

@@ -494,6 +494,63 @@ object Similarity {
       .select(col("label"), col("dim"), col("n"),
         (col("__sum_q").cast("double") / col("n")).as("centroid_q"))
 
+  /** Embedding-distribution DRIFT between two corpus snapshots — the
+    * vector-modality twin of [[graft.ops.TextOps.tokenDrift]] (the
+    * training-data monitoring pair: "did this week's crawl shift the
+    * token distribution" AND "did the new embedding batch shift the
+    * representation distribution" — an encoder upgrade, a domain shift,
+    * or a broken preprocessing step all show up here first). Per
+    * dimension, the absolute mean shift between the snapshots in exact
+    * micro units:
+    *
+    *   shift_micro = ⌊ |s_a·n_b − s_b·n_a| / (n_a·n_b) ⌋
+    *
+    * over the 1e-6-quantized components (s = per-dim component sum, n =
+    * vector count) — the division clears s_a/n_a − s_b/n_b of fractions,
+    * every operand is an exact integer (DECIMAL(38,0) products; both
+    * engines truncate the one nonneg integral division identically), so
+    * the ranking is engine-reproducible. `direction` = sign of the raw
+    * difference (+1: snapshot A's mean is higher). A dimension absent
+    * from one side (shorter vectors) or an EMPTY snapshot scores 0 by
+    * convention (no distribution to drift from), mirroring tokenDrift's
+    * empty-snapshot rule. The 38-digit headroom bounds the contract at
+    * ~10¹⁵ vectors per snapshot. Output: one row per dimension,
+    * (pos, n_a, n_b, s_a, s_b, shift_micro, direction, rank), rank by
+    * shift desc, ties → pos asc. s_a/s_b emit as long — exact below
+    * ~10¹² vectors (micro components ≤ ~10⁶ each).
+    *
+    * Scale shape: one dimension-keyed count/sum aggregation per snapshot
+    * (posexplode is map-side; partial aggregation collapses each task to
+    * `dim` rows before the exchange), a dim-keyed full-outer join over
+    * `dim` rows, and a `dim`-row window for the rank — the corpora
+    * themselves never shuffle. */
+  def embeddingDrift(dfA: DataFrame, dfB: DataFrame, vecCol: String,
+      dim: Int = 64): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def sums(df: DataFrame, n: String, s: String) = df
+      .select(posexplode(quantize(col(vecCol), dim)).as(Seq("pos", "__q")))
+      .groupBy("pos")
+      .agg(count(lit(1)).as(n), sum(dec(col("__q"))).as(s))
+    val joined = sums(dfA, "n_a", "s_a")
+      .join(sums(dfB, "n_b", "s_b"), Seq("pos"), "full_outer")
+      .select(col("pos"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("s_a"), lit(0L).cast("decimal(38,0)")).as("s_a"),
+        coalesce(col("s_b"), lit(0L).cast("decimal(38,0)")).as("s_b"))
+    val rawDiff = col("s_a") * dec(col("n_b")) - col("s_b") * dec(col("n_a"))
+    val shift = when(col("n_a") === 0 || col("n_b") === 0, lit(0L))
+      .otherwise(call_function("div", abs(rawDiff), dec(col("n_a")) * dec(col("n_b"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("shift_micro").desc, col("pos").asc)
+    joined
+      .select(col("pos"), col("n_a"), col("n_b"),
+        col("s_a").cast("long").as("s_a"), col("s_b").cast("long").as("s_b"),
+        shift.cast("long").as("shift_micro"),
+        when(rawDiff > 0, 1).when(rawDiff < 0, -1).otherwise(0).as("direction"))
+      .withColumn("rank", row_number().over(w))
+  }
+
   // ---- product quantization (Jégou, Douze, Schmid, IEEE TPAMI 2011,
   // "Product Quantization for Nearest Neighbor Search") -------------------
 

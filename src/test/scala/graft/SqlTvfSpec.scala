@@ -377,6 +377,15 @@ class SqlTvfSpec extends SparkSpec {
         payloadCols = Seq("n_chars"), seed = 3L))
   }
 
+  test("graft_embedding_drift == Similarity.embeddingDrift") {
+    emb.filter(col("vec_id") % 2 === 0).createOrReplaceTempView("tvf_edrift_a")
+    emb.filter(col("vec_id") % 2 === 1).createOrReplaceTempView("tvf_edrift_b")
+    same(
+      spark.sql("SELECT * FROM graft_embedding_drift('tvf_edrift_a','tvf_edrift_b','embedding')"),
+      ops.Similarity.embeddingDrift(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "embedding"))
+  }
+
   test("non-literal and malformed TVF arguments fail loudly") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception](

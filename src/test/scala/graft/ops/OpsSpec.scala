@@ -924,6 +924,36 @@ class SimilaritySpec extends SparkSpec {
     assert(capped.forall(_ <= 0.5))
   }
 
+  test("embeddingDrift: identical snapshots score 0; a planted per-dim offset ranks first with the exact cleared mean shift; empty side is 0 by convention") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // identical snapshots: every dimension's shift is exactly 0
+    val same = Similarity.embeddingDrift(emb, emb, "embedding")
+      .select("shift_micro", "direction").as[(Long, Int)].collect()
+    assert(same.nonEmpty && same.forall(r => r._1 == 0L && r._2 == 0))
+    // hand case with float-exact components (0.25/0.5/0.75): dim 0 means
+    // are equal (0.5 both sides -> shift 0, direction 0); dim 1 exists only
+    // in B with mean 0.25 -> cleared shift |0 - 250000*2| // (2*1) = 250000,
+    // direction -1 (B higher), rank 1; all other dims 0, ties break pos asc
+    def vec(xs: (Int, Float)*) = (0 until 64).map(i => xs.toMap.getOrElse(i, 0.0f))
+    val a = Seq((0L, vec(0 -> 0.25f)), (1L, vec(0 -> 0.75f))).toDF("vec_id", "embedding")
+    val b = Seq((2L, vec(0 -> 0.5f, 1 -> 0.25f))).toDF("vec_id", "embedding")
+    val drift = Similarity.embeddingDrift(a, b, "embedding")
+      .select("pos", "shift_micro", "direction", "rank")
+      .as[(Int, Long, Int, Int)].collect().sortBy(_._4)
+    assert(drift.length == 64)
+    val top = drift.head
+    assert(top == ((1, 250000L, -1, 1)), s"planted dim must rank 1 exactly: $top")
+    assert(drift.tail.head._1 == 0 && drift.tail.head._2 == 0L && drift.tail.head._3 == 0,
+      s"equal-mean dim scores 0: ${drift.tail.head}")
+    assert(drift.tail.forall(r => r._2 == 0L && r._3 == 0))
+    assert(drift.tail.map(_._1).toSeq == (0 +: (2 to 63)), "zero ties break pos asc")
+    // empty snapshot: no distribution to drift from -> 0 everywhere (the
+    // tokenDrift convention), and the join side vanishes without error
+    val empty = Similarity.embeddingDrift(emb, emb.limit(0), "embedding")
+      .select("shift_micro").as[Long].collect()
+    assert(empty.forall(_ == 0L))
+  }
+
   test("hardNegatives: anchor-broadcast contract guard fires loudly, by name") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val anchors = emb.filter(col("vec_id") < 5) // 5 anchors > cap of 2
