@@ -187,6 +187,10 @@ object Bench {
           failed = true; System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
       }
+      // drain BEFORE the reset too: the PREVIOUS query's last job-start
+      // events may still be queued on the async bus and would otherwise be
+      // counted into this query's probe
+      drainListenerBus()
       jobCounter.set(0)
       once() // warm-up, discarded (also the job-count probe run)
       drainListenerBus()

@@ -2082,9 +2082,17 @@ object SparkEntry {
         b AS (SELECT i.range - 1 AS pos, CAST(count(*) AS HUGEINT) AS n_b,
                      CAST(sum(v[i.range]) AS HUGEINT) AS s_b
               FROM eb CROSS JOIN range(1, 65) i GROUP BY 1),
-        j AS (SELECT a.pos, n_a, n_b, s_a, s_b,
-                     s_a * n_b - s_b * n_a AS diff
-              FROM a JOIN b USING (pos)),
+        -- FULL OUTER + coalesce, matching the engine's convention exactly:
+        -- a dimension (or whole snapshot) absent from one side counts 0
+        -- there and scores shift 0 — an inner join would instead DROP the
+        -- row and the two routes would diverge on any fixture slice where
+        -- one side is empty or shorter-dimensioned
+        j AS (SELECT COALESCE(a.pos, b.pos) AS pos,
+                     COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+                     COALESCE(s_a, 0) AS s_a, COALESCE(s_b, 0) AS s_b,
+                     COALESCE(s_a, 0) * COALESCE(n_b, 0)
+                       - COALESCE(s_b, 0) * COALESCE(n_a, 0) AS diff
+              FROM a FULL OUTER JOIN b ON a.pos = b.pos),
         r AS (SELECT pos, n_a, n_b, s_a, s_b,
                 CASE WHEN n_a = 0 OR n_b = 0 THEN 0
                      ELSE abs(diff) // (n_a * n_b) END AS shift_micro,

@@ -69,23 +69,48 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64,
   // cross-table transaction in this store; these publish a tiny driver-side
   // record of "the versions that belong together" ATOMICALLY, so readers pin
   // a consistent snapshot instead of inferring one from latest-version
-  // stability. Append-only: each publish renames a fully-written temp file
-  // to the next numbered slot (single-file rename to a fresh name is atomic
-  // on HDFS and local FS), and readers take the highest slot — there is
-  // never a window where the cursor is missing or half-written.
+  // stability. Append-only numbered slots; a slot is CLAIMED first with an
+  // exclusive-create lock file (create(overwrite = false) is atomic on HDFS
+  // and POSIX — rename alone is NOT a safe claim: local-FS rename silently
+  // OVERWRITES an existing destination, so two racing writers would both
+  // "succeed" and one committed record would vanish), then the fully-written
+  // temp file renames into the claimed slot (fresh destination — atomic
+  // everywhere). Readers take the highest numbered slot and never see a
+  // missing or half-written record.
 
-  /** Atomically publish a small text cursor under `root/_cursor/<name>/`. */
+  /** Atomically publish a small text cursor under `root/_cursor/<name>/`.
+    * Bounded retry under contention (the single-writer cadence makes a
+    * race a crash-recovery edge, not a steady state); fails loudly after
+    * 16 contended slots rather than recursing unboundedly. */
   def writeCursor(name: String, txt: String): Unit = {
     val dir = new Path(s"$root/_cursor/$name")
     fs.mkdirs(dir)
-    val v = cursorVersions(dir).lastOption.map(_ + 1).getOrElse(0L)
-    val tmp = new Path(dir, s"$v.tmp")
-    writeSmall(tmp, txt)
-    if (!fs.rename(tmp, new Path(dir, v.toString)))
-      // a concurrent writer took the slot — retry on the next one (bounded:
-      // the single-writer ingest cadence makes contention a crash-recovery
-      // edge, not a steady state)
-      { fs.delete(tmp, false); writeCursor(name, txt) }
+    val base = cursorVersions(dir).lastOption.map(_ + 1).getOrElse(0L)
+    var tries = 0
+    while (tries < 16) {
+      // skip PAST a contended slot rather than re-trying it: a writer that
+      // crashed between claim and rename leaves an orphaned lock on v, and
+      // re-trying v forever would wedge the cursor — readers tolerate
+      // numbering gaps (they take the highest COMPLETED slot)
+      val v = base + tries
+      val lock = new Path(dir, s"$v.lock")
+      val claimed =
+        try { fs.create(lock, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (claimed) {
+        val tmp = new Path(dir, s"$v.tmp")
+        writeSmall(tmp, txt)
+        if (!fs.rename(tmp, new Path(dir, v.toString)))
+          throw new IllegalStateException(
+            s"writeCursor: rename into claimed slot $v failed under $dir")
+        fs.delete(lock, false)
+        return
+      }
+      tries += 1
+    }
+    throw new IllegalStateException(
+      s"writeCursor: could not claim a slot under $dir after 16 attempts — " +
+        "too many concurrent writers for the single-writer cursor contract")
   }
 
   /** Latest published cursor value, None when never published. */

@@ -106,8 +106,14 @@ object Shards {
     * on any unmatched negative (zero extra jobs — the check rides the
     * join output): a holed id space fails by name, pointing at
     * re-densification (row_number over a stable order) instead of
-    * under-delivering. Duplicate corpus ids are the join's other failure
-    * mode and surface as extra output rows, not silence.
+    * under-delivering. The guard rides ALL THREE key columns (anchor_id,
+    * neg_rank, neg_id) — Catalyst prunes unreferenced projections,
+    * raise_error included, so a single-column guard vanishes for any
+    * consumer that drops that column; a consumer would have to discard
+    * every key column (an output with no anchor linkage — meaningless for
+    * pair construction) to prune the contract check away. Duplicate
+    * corpus ids are the join's other failure mode and surface as extra
+    * output rows, not silence.
     * Output: (anchor_id, neg_rank 1..k, neg_id, payloadCols...). */
   def sampleNegatives(anchors: DataFrame, anchorIdCol: String,
       corpus: DataFrame, corpusIdCol: String, k: Int, nCorpus: Long,
@@ -128,7 +134,7 @@ object Shards {
     val payload = corpus
       .select((col(corpusIdCol).cast("long").as("neg_id") +: payloadCols.map(col)): _*)
       .withColumn("__present", lit(true))
-    val guardedNegId = col("neg_id") + when(col("__present").isNull,
+    def guarded(c: Column): Column = c + when(col("__present").isNull,
       raise_error(concat(
         lit("sampleNegatives: corpus has no row for neg_id "), col("neg_id"),
         lit(s" — the dense-id contract requires corpus ids to be exactly " +
@@ -137,7 +143,9 @@ object Shards {
           "(row_number() - 1 over a stable order) or fix nCorpus")))
       ).otherwise(lit(0L))
     expanded.join(payload, Seq("neg_id"), "left")
-      .select((col("anchor_id") +: col("neg_rank") +: guardedNegId.as("neg_id") +:
+      .select((guarded(col("anchor_id")).as("anchor_id") +:
+        guarded(col("neg_rank")).as("neg_rank") +:
+        guarded(col("neg_id")).as("neg_id") +:
         payloadCols.map(col)): _*)
   }
 }

@@ -984,8 +984,13 @@ object Similarity {
       s"maxBroadcastAnchors must be >= 1, got $maxBroadcastAnchors — there " +
         "is no non-broadcast route inside this op; corpus-scale anchor sets " +
         "go through searchIndexed/searchIndexedPq per anchor shard")
+    // persisted (lazy): the guard's count agg AND the broadcast rows both
+    // read the anchor frame inside the one build — uncached, an anchor set
+    // derived by projecting a big table (the q195 shape: a filter over the
+    // full embeddings table) would scan that table twice per build
     val q0 = anchors.select(col(anchorIdCol).as("anchor_id"), quantize(col(vecCol), dim).as("__qv"))
       .withColumn("__qn", dotQ(col("__qv"), col("__qv"), dim))
+      .persistTracked()
     // in-plan anchor-count guard: rides the broadcast build as a scalar
     // branch — a too-big anchor frame aborts with the contract error
     // before the executors try to materialize it row-by-row

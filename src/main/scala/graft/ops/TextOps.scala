@@ -1715,18 +1715,24 @@ object TextOps {
     * headroom bounds the contract at ~10¹² docs × 10¹⁵ tokens — beyond a
     * 100 TB corpus.
     *
-    * Scale shape — THREE Spark jobs total (was 5 through r13; the job
-    * count is the route's floor at serving scale, r13 verdict item 1):
+    * Scale shape — FOUR actions total (was 6 through r13; the broadcast
+    * builds are the route's floor at serving scale, r13 verdict item 1):
     * the doc-term frame aggregates ONCE keyed on (doc, term) — partial
-    * aggregation collapses repeats map-side — with the query vocabulary
-    * pruning the exploded token stream BEFORE that aggregation (map-side
-    * broadcast semi-filter), so the shuffle carries only query-term
-    * postings; df then rides a count-over-term WINDOW on the pruned
-    * postings (query-vocab-bounded exchange) instead of a separately
-    * broadcast agg frame; and the scalar (N, L) stats ride the QUERY-side
-    * broadcast (a cross join folded into the qTerms build — the
-    * [[bigramLmScore]] one-action discipline), so the only actions are
-    * the two query-sized broadcast builds + the single answer pass. The
+    * aggregation collapses repeats map-side, dl bound BELOW the explode
+    * (see [[bm25DocTerms]] — the r14 4-6x fix) — with the query
+    * vocabulary pruning the exploded token stream BEFORE that aggregation
+    * (map-side broadcast filter join), so the shuffle carries only
+    * query-term postings; the pruned frame persists (df branch +
+    * candidate branch both read it — AQE exchange reuse does NOT cross
+    * the broadcast-build boundary, measured); df stays a term-keyed AGG
+    * broadcast back over the postings (a count-over-term window looks
+    * cheaper but reshuffles the whole postings frame where the agg's
+    * exchange is vocab-sized — measured 1.7x worse); and the scalar
+    * (N, L) stats FOLD INTO the df broadcast build (the [[bigramLmScore]]
+    * one-action discipline) instead of broadcasting separately. Actions:
+    * the prune-filter build (query-sized), the qTerms build (query-sized),
+    * the dfStats build (materializes the doc-term cache — the one
+    * corpus-scan job — plus the stats pass), and the answer pass. The
     * corpus never shuffles for candidate generation; ranking is the
     * [[TopK.perGroup]] streaming window keyed by query.
     *
@@ -1945,21 +1951,37 @@ object TextOps {
         val parts = rec.trim.split('\t')
         (parts(0).toLong, parts(1).toLong, parts(2).toLong)
       case None =>
-        // legacy index written before the trio commit existed: the only
-        // honest option is the latest versions, captured stats-FIRST and
-        // postings-LAST (the reverse of the writer's order, so a capture
-        // straddling an in-flight append pairs old postings with old-or-
-        // newer aggregates rather than new postings with stale stats)
+        // legacy index written before the trio commit existed: fall back
+        // to the r13 best-effort inference — capture the latest version
+        // trio repeatedly until two consecutive captures agree (an
+        // IN-FLIGHT append shows up as version movement and retries past
+        // it), and fail LOUDLY in the log when 16 retries never stabilize
+        // rather than silently proceeding. Still best-effort (a capture
+        // can land inside one multi-second inter-table write gap and
+        // agree on a mixed trio — the reason the commit record replaced
+        // this); one append/rebuild publishes the record and retires the
+        // path for good.
         System.err.println(s"[graft] $feature: no bm25 trio commit record " +
-          s"in store ${store.root} — pinning to latest versions (pre-r14 " +
-          "index; rebuild or append once to publish the commit record)")
-        val sv0 = store.latestVersion(s"${feature}_stats").getOrElse(
-          sys.error(s"no ${feature}_stats in store ${store.root}"))
-        val tv0 = store.latestVersion(s"${feature}_termdf").getOrElse(
-          sys.error(s"no ${feature}_termdf in store ${store.root}"))
-        val pv0 = store.latestVersion(s"${feature}_postings").getOrElse(
-          sys.error(s"no ${feature}_postings in store ${store.root}"))
-        (pv0, tv0, sv0)
+          s"in store ${store.root} — inferring a snapshot from latest " +
+          "versions (pre-r14 index; rebuild or append once to publish the " +
+          "commit record)")
+        def trio() = (
+          store.latestVersion(s"${feature}_postings").getOrElse(
+            sys.error(s"no ${feature}_postings in store ${store.root}")),
+          store.latestVersion(s"${feature}_termdf").getOrElse(
+            sys.error(s"no ${feature}_termdf in store ${store.root}")),
+          store.latestVersion(s"${feature}_stats").getOrElse(
+            sys.error(s"no ${feature}_stats in store ${store.root}")))
+        var snap = trio()
+        var next = trio()
+        var tries = 0
+        while (snap != next && tries < 16) { snap = next; next = trio(); tries += 1 }
+        if (snap != next)
+          System.err.println(s"[graft] $feature: version trio never " +
+            s"stabilized after $tries retries (a writer is appending " +
+            "continuously) — proceeding with a possibly-mixed snapshot; " +
+            "publish the trio commit record to close this")
+        snap
     }
     val postings = store.readTouched(s"${feature}_postings", Seq("term"),
       qTerms.select("term"), Some(pv))
@@ -1979,7 +2001,16 @@ object TextOps {
     * ([[graft.core.BucketedStore.compactBuckets]]) and RE-PUBLISH the trio
     * commit record pointing at the compacted postings version — without
     * this, readers pinned to the trio keep reading the pre-compaction
-    * version until the next append (correct but un-compacted IO). */
+    * version until the next append (correct but un-compacted IO).
+    *
+    * SINGLE-WRITER ONLY: the trio re-publication is a read-modify-write
+    * of the commit record — run it from the index's one writer (the
+    * ingest loop's `compactEvery` does exactly this), never concurrently
+    * with an append, or the re-publication can clobber a newer trio with
+    * stale termdf/stats versions (the torn pairing the record exists to
+    * prevent). This is the store's standing single-writer-per-feature
+    * cadence, stated here because this method is the one place the
+    * cursor is rewritten outside the append path. */
   def compactBm25Postings(store: graft.core.BucketedStore,
       feature: String): Unit = {
     val pv = store.compactBuckets(s"${feature}_postings", Seq("term"))

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, count_distinct, lit}
+import org.apache.spark.sql.functions.{col, count, count_distinct, lit, max}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.hadoop.fs.Path
 import graft.core.{FeatureDef, FeatureStore, Versioning}
@@ -160,12 +160,18 @@ object Fastlane {
       // lineage by construction — it re-applies every batch, so growing
       // one index from two lineages double-counts; [[bm25IndexConsistency]]
       // is the cheap detector for that operator-error class.
+      // MAX over the lineage's rows, not headOption: a cursor table written
+      // by the pre-r14 single-row schema (bucketed on __ck) leaves a legacy
+      // row in a bucket the lineage-keyed merge never rewrites — two rows
+      // for one lineage would then resolve non-deterministically, and the
+      // stale one re-opens the double-apply window. max() is safe in the
+      // only direction that matters (never re-apply an already-applied id).
       val lastApplied =
         if (store.latestVersion(cursorFeat).isEmpty) -1L
         else store.read(cursorFeat, Seq("lineage"))
           .where(col("lineage") === checkpointDir)
-          .select(col("batch_id")).as[Long].collect()
-          .headOption.getOrElse(-1L)
+          .agg(max(col("batch_id"))).as[Option[Long]].collect()
+          .headOption.flatten.getOrElse(-1L)
       if (batchId > lastApplied) {
         // persisted: read by the corpus append AND the index build passes
         val docs = batch.select(col(idCol), col(textCol))

@@ -1156,6 +1156,18 @@ class ShardsSpec extends SparkSpec {
     val msg = Option(e.getMessage).getOrElse("") +
       Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
     assert(msg.contains("dense-id"), s"must fail naming the contract, got: $msg")
+    // the guard survives column pruning: a consumer keeping only ONE key
+    // column (anchor_id + payload) must still raise — the check rides all
+    // three key columns, so pruning neg_id/neg_rank can't erase it
+    val e2 = intercept[Exception] {
+      Shards.sampleNegatives(anchors, "doc_id", holed, "doc_id",
+          k = 99, nCorpus = 100L, payloadCols = Seq("n_chars"))
+        .select("anchor_id", "n_chars").collect()
+    }
+    val msg2 = Option(e2.getMessage).getOrElse("") +
+      Option(e2.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg2.contains("dense-id"),
+      s"guard pruned away with the neg_id column, got: $msg2")
     // and a dense corpus still sails through the guarded join unchanged
     val dense = Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 100)
     val ok = Shards.sampleNegatives(anchors, "doc_id", dense, "doc_id",
