@@ -568,6 +568,16 @@ class BucketedStoreSpec extends SparkSpec {
     store.writeCursor("other", "x")
     assert(store.readCursor("trio").contains("2\t1\t2"))
     assert(store.readCursor("other").contains("x"))
+    // crash recovery: a writer that died between claiming a slot and
+    // renaming into it leaves an orphaned .lock; the next publish must
+    // skip PAST it (readers tolerate the numbering gap) instead of
+    // retrying the wedged slot forever
+    val dir = new org.apache.hadoop.fs.Path(s"${store.root}/_cursor/trio")
+    val hfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.create(new org.apache.hadoop.fs.Path(dir, "3.lock"), false).close()
+    store.writeCursor("trio", "4\t4\t4")
+    assert(store.readCursor("trio").contains("4\t4\t4"),
+      "an orphaned claim must not wedge the cursor")
   }
 
   test("runBucketed: memoizing runner over file-level merge") {
