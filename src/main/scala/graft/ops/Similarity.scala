@@ -510,11 +510,15 @@ object Similarity {
     * every operand is an exact integer (DECIMAL(38,0) products; both
     * engines truncate the one nonneg integral division identically), so
     * the ranking is engine-reproducible. `direction` = sign of the raw
-    * difference (+1: snapshot A's mean is higher). A dimension absent
-    * from one side (shorter vectors) or an EMPTY snapshot scores 0 by
-    * convention (no distribution to drift from), mirroring tokenDrift's
-    * empty-snapshot rule. The 38-digit headroom bounds the contract at
-    * ~10¹⁵ vectors per snapshot. Output: one row per dimension,
+    * difference (+1: snapshot A's mean is higher). Short vectors are
+    * PADDED to `dim` by [[quantize]] (null components): every padded
+    * position still counts into that dimension's n while its component
+    * contributes 0 to the sum (the count is count(*), the sum skips
+    * nulls) — a dimension only goes truly missing when a whole snapshot
+    * is EMPTY, and then it scores 0 by convention (no distribution to
+    * drift from), mirroring tokenDrift's empty-snapshot rule. The
+    * 38-digit headroom bounds the contract at ~10¹⁵ vectors per
+    * snapshot. Output: one row per dimension,
     * (pos, n_a, n_b, s_a, s_b, shift_micro, direction, rank), rank by
     * shift desc, ties → pos asc. s_a/s_b emit as long — exact below
     * ~10¹² vectors (micro components ≤ ~10⁶ each).
@@ -523,9 +527,16 @@ object Similarity {
     * (posexplode is map-side; partial aggregation collapses each task to
     * `dim` rows before the exchange), a dim-keyed full-outer join over
     * `dim` rows, and a `dim`-row window for the rank — the corpora
-    * themselves never shuffle. */
+    * themselves never shuffle. The rank window is PARTITION-LESS (one
+    * task), safe ONLY because its frame is dim-sized — so `dim` is a
+    * loud contract, capped at 4096 like the family's other
+    * driver/single-task bounds (`maxBroadcastAnchors` et al.). */
   def embeddingDrift(dfA: DataFrame, dfB: DataFrame, vecCol: String,
       dim: Int = 64): DataFrame = {
+    require(dim >= 1 && dim <= 4096,
+      s"dim must be in [1, 4096], got $dim — the final rank is a " +
+        "partition-less window over one dim-sized frame (one task); a " +
+        "corpus-scale dim would funnel it through a single task")
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     def sums(df: DataFrame, n: String, s: String) = df
       .select(posexplode(quantize(col(vecCol), dim)).as(Seq("pos", "__q")))

@@ -1951,16 +1951,6 @@ object TextOps {
         val parts = rec.trim.split('\t')
         (parts(0).toLong, parts(1).toLong, parts(2).toLong)
       case None =>
-        // legacy index written before the trio commit existed: fall back
-        // to the r13 best-effort inference — capture the latest version
-        // trio repeatedly until two consecutive captures agree (an
-        // IN-FLIGHT append shows up as version movement and retries past
-        // it), and fail LOUDLY in the log when 16 retries never stabilize
-        // rather than silently proceeding. Still best-effort (a capture
-        // can land inside one multi-second inter-table write gap and
-        // agree on a mixed trio — the reason the commit record replaced
-        // this); one append/rebuild publishes the record and retires the
-        // path for good.
         System.err.println(s"[graft] $feature: no bm25 trio commit record " +
           s"in store ${store.root} — inferring a snapshot from latest " +
           "versions (pre-r14 index; rebuild or append once to publish the " +
@@ -1972,16 +1962,7 @@ object TextOps {
             sys.error(s"no ${feature}_termdf in store ${store.root}")),
           store.latestVersion(s"${feature}_stats").getOrElse(
             sys.error(s"no ${feature}_stats in store ${store.root}")))
-        var snap = trio()
-        var next = trio()
-        var tries = 0
-        while (snap != next && tries < 16) { snap = next; next = trio(); tries += 1 }
-        if (snap != next)
-          System.err.println(s"[graft] $feature: version trio never " +
-            s"stabilized after $tries retries (a writer is appending " +
-            "continuously) — proceeding with a possibly-mixed snapshot; " +
-            "publish the trio commit record to close this")
-        snap
+        stabilizeLegacyTrio(feature, () => trio())
     }
     val postings = store.readTouched(s"${feature}_postings", Seq("term"),
       qTerms.select("term"), Some(pv))
@@ -1995,6 +1976,36 @@ object TextOps {
       .join(broadcast(qTerms), Seq("term"))
       .join(broadcast(termdf.crossJoin(stats)), Seq("term"))
     bm25Rank(cand, k)
+  }
+
+  /** Best-effort consistent-snapshot inference for a PRE-trio-commit BM25
+    * index (no `<feature>_bm25_trio` record, r13 and earlier): capture the
+    * latest version trio repeatedly until two consecutive captures agree —
+    * an IN-FLIGHT append shows up as version movement and the loop retries
+    * past it. RAISES after `maxTries` captures without stabilization (a
+    * writer is appending continuously): through r14 this proceeded with
+    * only a stderr warning, but silently serving a possibly-torn trio (new
+    * postings scored against old df/stats — a corpus that never existed)
+    * contradicts the family's loud-contract discipline. The caller either
+    * pauses the writer or publishes the trio commit record (one
+    * append/rebuild does it), which retires this path for good. Still
+    * best-effort when it DOES stabilize: a capture can land inside one
+    * multi-second inter-table write gap and agree on a mixed trio — the
+    * reason the commit record replaced the inference. */
+  private[graft] def stabilizeLegacyTrio(feature: String,
+      trio: () => (Long, Long, Long), maxTries: Int = 16): (Long, Long, Long) = {
+    var snap = trio()
+    var next = trio()
+    var tries = 0
+    while (snap != next && tries < maxTries) { snap = next; next = trio(); tries += 1 }
+    if (snap != next)
+      throw new IllegalStateException(
+        s"searchIndexedBm25: $feature's legacy version trio never " +
+          s"stabilized after $maxTries captures — a writer is appending " +
+          "continuously and this pre-trio-commit index cannot be read " +
+          "consistently; pause the writer, or rebuild/append once to " +
+          "publish the trio commit record")
+    snap
   }
 
   /** Fold appended BM25 posting dirs back to one file per bucket

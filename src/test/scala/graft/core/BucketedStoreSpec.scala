@@ -578,6 +578,31 @@ class BucketedStoreSpec extends SparkSpec {
     store.writeCursor("trio", "4\t4\t4")
     assert(store.readCursor("trio").contains("4\t4\t4"),
       "an orphaned claim must not wedge the cursor")
+    // orphan reaping: crash debris (.lock + writer-unique .tmp.<nonce>)
+    // OLDER than the horizon is deleted; a LIVE (fresh) claim is untouched
+    val orphanTmp = new org.apache.hadoop.fs.Path(dir, "3.tmp.deadbeef")
+    hfs.create(orphanTmp, false).close()
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    hfs.setTimes(new org.apache.hadoop.fs.Path(dir, "3.lock"), old, old)
+    hfs.setTimes(orphanTmp, old, old)
+    val live = new org.apache.hadoop.fs.Path(dir, "9.lock") // a claim in flight
+    hfs.create(live, false).close()
+    val reaped = store.reapCursorLocks()
+    assert(reaped.toSet == Set("_cursor/trio/3.lock", "_cursor/trio/3.tmp.deadbeef"),
+      s"exactly the aged debris goes: $reaped")
+    assert(hfs.exists(live), "a live claim must never be reaped")
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(dir, "3.lock")))
+    assert(store.readCursor("trio").contains("4\t4\t4"),
+      "published records are untouched by the reaper")
+    hfs.delete(live, false)
+    // vacuum runs the reaper as part of the standing maintenance cadence
+    hfs.create(new org.apache.hadoop.fs.Path(dir, "5.lock"), false).close()
+    hfs.setTimes(new org.apache.hadoop.fs.Path(dir, "5.lock"), old, old)
+    import spark.implicits._
+    store.write(Seq((1L, "a")).toDF("id", "v"), "bcur_f", Seq("id"))
+    store.vacuum("bcur_f", keepVersions = 1)
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(dir, "5.lock")),
+      "vacuum must reap aged cursor debris")
   }
 
   test("runBucketed: memoizing runner over file-level merge") {

@@ -526,6 +526,34 @@ class LshCalibrationSpec extends SparkSpec {
       assert(curve.find(_._1 == b).get._2 == pairs, s"bands=$b")
     }
   }
+
+  test("lshBandCalibration: maxTruthDocs sampling contract fires loudly, by name; a compliant slice is unchanged") {
+    val docs = Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 200)
+    // over the cap: the exact-Jaccard ground truth is the one inherently
+    // corpus-wide pass in the suite — an unsampled calibration input must
+    // fail by NAME at the first truth-side scan, not run quadratic work
+    val e = intercept[Exception] {
+      Dedup.lshBandCalibration(docs, "doc_id", "text", n = 3,
+        numHashes = 12, threshold = 0.2, maxTruthDocs = 50L).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("maxTruthDocs"), s"guard must fail by name, got: $msg")
+    assert(msg.contains("sampled slice"),
+      "guard must point at the calibrate-on-a-slice discipline")
+    intercept[IllegalArgumentException](Dedup.lshBandCalibration(
+      docs, "doc_id", "text", maxTruthDocs = 0L))
+    // at/under the cap the curve is IDENTICAL to the unguarded default
+    val base = Dedup.lshBandCalibration(docs, "doc_id", "text", n = 3,
+        numHashes = 12, threshold = 0.2).orderBy("bands")
+      .select("bands", "n_caught", "n_true", "recall_micro")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val capped = Dedup.lshBandCalibration(docs, "doc_id", "text", n = 3,
+        numHashes = 12, threshold = 0.2, maxTruthDocs = 200L).orderBy("bands")
+      .select("bands", "n_caught", "n_true", "recall_micro")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(base.nonEmpty && base == capped)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -952,6 +980,14 @@ class SimilaritySpec extends SparkSpec {
     val empty = Similarity.embeddingDrift(emb, emb.limit(0), "embedding")
       .select("shift_micro").as[Long].collect()
     assert(empty.forall(_ == 0L))
+    // dim contract: the final rank is a partition-less window, safe only
+    // on a dim-sized frame — an absurd dim must fail loudly at build time,
+    // not funnel a corpus through one task
+    val eDim = intercept[IllegalArgumentException](
+      Similarity.embeddingDrift(emb, emb, "embedding", dim = 1000000))
+    assert(eDim.getMessage.contains("4096"), s"dim guard by name: ${eDim.getMessage}")
+    intercept[IllegalArgumentException](
+      Similarity.embeddingDrift(emb, emb, "embedding", dim = 0))
   }
 
   test("hardNegatives: anchor-broadcast contract guard fires loudly, by name") {
@@ -1696,6 +1732,41 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._4))
     assert(direct.nonEmpty && served.toSeq == direct.toSeq,
       s"served ${served.length} vs direct ${direct.length}")
+  }
+
+  test("searchIndexedBm25 legacy path (pre-trio-commit index): quiet store serves identically; a never-stabilizing trio RAISES by name") {
+    // end-to-end: delete the trio commit record — the legacy inference
+    // must stabilize immediately (nothing in flight) and serve the same
+    // answers as the pinned route
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+    val queries = docs.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("qtext"))
+    val store = new graft.core.BucketedStore(tmpDir("bm25legacy"), numBuckets = 8)
+    TextOps.indexBm25(docs, "doc_id", "text", store, "bm")
+    def rows() = TextOps.searchIndexedBm25(queries, "query_id", "qtext",
+        store, "bm", k = 3)
+      .select("query_id", "doc_id", "bm25_micro", "rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val pinned = rows()
+    val trioDir = new org.apache.hadoop.fs.Path(s"${store.root}/_cursor/bm_bm25_trio")
+    val hfs = trioDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(hfs.delete(trioDir, true), "trio record must exist to delete")
+    assert(rows() == pinned, "legacy inference on a quiet store serves identically")
+    // the stabilize helper: a trio that MOVES on every capture (a writer
+    // appending continuously) must raise by name after maxTries — through
+    // r14 it proceeded with only a stderr warning, silently risking a
+    // torn snapshot (new postings scored against old df/stats)
+    var v = 0L
+    val e = intercept[IllegalStateException](TextOps.stabilizeLegacyTrio("bm",
+      () => { v += 1; (v, v, v) }, maxTries = 5))
+    assert(e.getMessage.contains("never stabilized"), e.getMessage)
+    assert(e.getMessage.contains("trio commit record"), e.getMessage)
+    // one in-flight append then quiet: the loop retries PAST the movement
+    var calls = 0L
+    val snap = TextOps.stabilizeLegacyTrio("bm",
+      () => { calls += 1; if (calls < 3) (calls, 0L, 0L) else (9L, 9L, 9L) })
+    assert(snap == ((9L, 9L, 9L)))
   }
 
   test("appendToBm25Index: grown index == rebuilt from the full corpus; compaction answer-stable") {
