@@ -553,6 +553,16 @@ object GraftExtensions {
           table(str(args(1), "tableB")), str(args(2), "vecCol"))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_embedding_shape_drift"),
+      info("graft_embedding_shape_drift",
+        "graft_embedding_shape_drift(tableA, tableB, vecCol) - per-dimension embedding SHAPE drift: exact binned two-sample chi-square over the 1e-6-quantized components (catches variance-only shifts the mean-drift monitor misses); (pos, t_a, t_b, chi2_micro, rank)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "usage: graft_embedding_shape_drift(tableA, tableB, vecCol)")
+        ops.Similarity.embeddingShapeDrift(table(str(args(0), "tableA")),
+          table(str(args(1), "tableB")), str(args(2), "vecCol"))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_exact_percentiles"),
       info("graft_exact_percentiles",
         "graft_exact_percentiles(table, valueCol, psCsv) - EXACT percentiles of an unbounded-cardinality double column by iterative rank-selection (one p<NN> column per requested percentile). NOTE: the narrowing rounds RUN at analysis time"),

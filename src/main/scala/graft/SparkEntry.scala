@@ -2106,6 +2106,43 @@ object SparkEntry {
           CAST(row_number() OVER (ORDER BY shift_micro DESC, pos ASC) AS INT) AS rank
         FROM r ORDER BY rank"""
 
+  /** q200 / q201 shared oracle: per-dimension embedding SHAPE drift —
+    * each quantized component floors into one of 16 bins of 31250 micros
+    * (clamped to [-8, 7]; one correctly-rounded double division, exact at
+    * these magnitudes), then tokenDrift's per-token chi-square summand
+    * runs per (dim, bin) in HUGEINT and sums per dimension. Catches
+    * variance-only drift the q198 mean monitor scores 0 on. q201 is the
+    * SQL-TVF route over the identical answer. */
+  private lazy val sqlEmbeddingShapeDrift: String = s"""
+        WITH ea AS (SELECT $sqlQVec AS v FROM embeddings WHERE vec_id % 2 = 0),
+        eb AS (SELECT $sqlQVec AS v FROM embeddings WHERE vec_id % 2 = 1),
+        a AS (SELECT i.range - 1 AS pos,
+                least(greatest(CAST(floor(CAST(v[i.range] AS DOUBLE) / 31250) AS BIGINT), -8), 7) AS bin,
+                CAST(count(*) AS HUGEINT) AS n_a
+              FROM ea CROSS JOIN range(1, 65) i GROUP BY 1, 2),
+        b AS (SELECT i.range - 1 AS pos,
+                least(greatest(CAST(floor(CAST(v[i.range] AS DOUBLE) / 31250) AS BIGINT), -8), 7) AS bin,
+                CAST(count(*) AS HUGEINT) AS n_b
+              FROM eb CROSS JOIN range(1, 65) i GROUP BY 1, 2),
+        -- FULL OUTER + coalesce: a (dim, bin) bucket observed on one side
+        -- only still contributes (its other-side count is 0) — an inner
+        -- join would drop exactly the buckets that carry the drift signal
+        j AS (SELECT COALESCE(a.pos, b.pos) AS pos, COALESCE(a.bin, b.bin) AS bin,
+                     COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+              FROM a FULL OUTER JOIN b ON a.pos = b.pos AND a.bin = b.bin),
+        t AS (SELECT pos, sum(n_a) AS t_a, sum(n_b) AS t_b FROM j GROUP BY 1),
+        c AS (SELECT j.pos, t.t_a, t.t_b,
+                CASE WHEN t.t_a = 0 OR t.t_b = 0 THEN CAST(0 AS HUGEINT)
+                     ELSE (1000000 * (j.n_a*t.t_b - j.n_b*t.t_a) * (j.n_a*t.t_b - j.n_b*t.t_a))
+                          // ((j.n_a + j.n_b) * t.t_a * t.t_b) END AS contrib
+              FROM j JOIN t ON t.pos = j.pos),
+        d AS (SELECT pos, t_a, t_b, sum(contrib) AS chi2 FROM c GROUP BY 1, 2, 3)
+        SELECT CAST(pos AS INT) AS pos,
+          CAST(t_a AS BIGINT) AS t_a, CAST(t_b AS BIGINT) AS t_b,
+          CAST(chi2 AS BIGINT) AS chi2_micro,
+          CAST(row_number() OVER (ORDER BY chi2 DESC, pos ASC) AS INT) AS rank
+        FROM d ORDER BY rank"""
+
   /** q181 / q184 shared oracle: near-dup clusters + the canonical
     * keep-the-best-member policy (ties → smallest id; singletons keep
     * themselves). q184 is the SQL-TVF route over the identical answer. */
@@ -2957,6 +2994,38 @@ object SparkEntry {
           ORDER BY rank""")
       },
       Some(sqlEmbeddingDrift)),
+
+    // -- q200: embedding SHAPE drift — the monitoring family's third leg:
+    //    exact binned two-sample chi-square over quantized components,
+    //    catching variance-only shifts the q198 mean monitor provably
+    //    misses (same mean, doubled spread scores 0 there) ----------------
+    Q("q200_embedding_shape_drift",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        ops.Similarity.embeddingShapeDrift(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1), "embedding")
+          .orderBy("rank")
+      },
+      Some(sqlEmbeddingShapeDrift)),
+
+    // -- q201: the SQL-TVF route for embedding shape drift — expands at
+    //    analysis time to q200's exact plan, same oracle verbatim ---------
+    Q("q201_sql_tvf_embedding_shape_drift",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val aView = s"esdrift_a_tvf_$sfx"
+        val bView = s"esdrift_b_tvf_$sfx"
+        val emb = T(s, dir, "embeddings")
+        emb.filter(col("vec_id") % 2 === 0).createOrReplaceTempView(aView)
+        emb.filter(col("vec_id") % 2 === 1).createOrReplaceTempView(bView)
+        s.sql(s"""
+          SELECT pos, t_a, t_b, chi2_micro, rank
+          FROM graft_embedding_shape_drift('$aView', '$bView', 'embedding')
+          ORDER BY rank""")
+      },
+      Some(sqlEmbeddingShapeDrift)),
 
     // -- q77: text quality features + token counting ---------------------------
     Q("q77_text_quality",

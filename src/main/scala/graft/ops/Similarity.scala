@@ -562,6 +562,89 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
   }
 
+  /** Per-dimension embedding SHAPE drift — the monitoring family's third
+    * leg. [[graft.ops.TextOps.tokenDrift]] watches the token distribution
+    * and [[embeddingDrift]] watches each dimension's MEAN; both provably
+    * miss a variance-only shift (an encoder that doubles its spread on one
+    * dimension while keeping the mean moves embeddingDrift's score by
+    * exactly 0). This is tokenDrift's exact binned two-sample chi-square
+    * pointed at vectors: each 1e-6-quantized component falls into one of
+    * `bins` equal-width buckets of `binWidthMicro` micros (clamped to
+    * [-bins/2, bins/2-1] — the tails fold into the edge buckets), and per
+    * dimension the per-bin contributions
+    *
+    *   ⌊ 10⁶·(n_a·t_b − n_b·t_a)² / ((n_a+n_b)·t_a·t_b) ⌋
+    *
+    * (n = the side's count in that (dim, bin); t = the side's total count
+    * for that dim — tokenDrift's per-token summand verbatim) sum to
+    * `chi2_micro`. Every operand is an exact integer (DECIMAL(38,0)
+    * products; both engines truncate the nonneg integral division
+    * identically, and the sum of exact integers is order-free), so the
+    * ranking is engine-reproducible. Binning is floor(q / binWidthMicro)
+    * via one correctly-rounded double division — exact for |q| ≤ 2³¹ at
+    * any width ≥ 1 (the quotient's distance to an integer boundary,
+    * ≥ 1/width, dwarfs the division's half-ulp). PADDED positions of
+    * short vectors (null components) land in bin 0 — present with a zero
+    * component, the [[embeddingDrift]] convention. An EMPTY snapshot
+    * scores 0 everywhere (no distribution to drift from).
+    *
+    * Output: one row per dimension with data on either side,
+    * (pos, t_a, t_b, chi2_micro, rank), rank by chi2 desc, ties → pos asc.
+    *
+    * Scale shape: one (dim, bin)-keyed count aggregation per snapshot
+    * (posexplode is map-side; partial aggregation collapses each task to
+    * ≤ dim·bins rows before the exchange), a (dim, bin)-keyed full-outer
+    * join over ≤ dim·bins rows, a broadcast of the dim-sized totals, and
+    * a dim-row window for the rank — the corpora themselves never
+    * shuffle. The rank window is partition-less (one task), safe ONLY
+    * because its frame is dim-sized — hence the same loud `dim` cap as
+    * [[embeddingDrift]]. */
+  def embeddingShapeDrift(dfA: DataFrame, dfB: DataFrame, vecCol: String,
+      dim: Int = 64, bins: Int = 16, binWidthMicro: Long = 31250L): DataFrame = {
+    require(dim >= 1 && dim <= 4096,
+      s"dim must be in [1, 4096], got $dim — the final rank is a " +
+        "partition-less window over one dim-sized frame (one task); a " +
+        "corpus-scale dim would funnel it through a single task")
+    require(bins >= 2 && bins <= 256 && bins % 2 == 0,
+      s"bins must be even and in [2, 256], got $bins")
+    require(binWidthMicro >= 1,
+      s"binWidthMicro must be >= 1, got $binWidthMicro")
+    val hb = bins / 2
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def binCounts(df: DataFrame, out: String) = df
+      .select(posexplode(quantize(col(vecCol), dim)).as(Seq("pos", "__q")))
+      .select(col("pos"),
+        least(greatest(floor(coalesce(col("__q"), lit(0L)) / lit(binWidthMicro)),
+          lit(-hb.toLong)), lit(hb - 1L)).as("bin"))
+      .groupBy("pos", "bin").agg(count(lit(1)).as(out))
+    // persisted (bounded: ≤ dim·bins rows): the totals agg and the scoring
+    // join both read it — uncached each branch re-scans BOTH corpora
+    val binned = binCounts(dfA, "n_a")
+      .join(binCounts(dfB, "n_b"), Seq("pos", "bin"), "full_outer")
+      .select(col("pos"), col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .persistTracked()
+    val totals = binned.groupBy("pos")
+      .agg(sum("n_a").as("t_a"), sum("n_b").as("t_b"))
+    val diff = dec(col("n_a")) * dec(col("t_b")) - dec(col("n_b")) * dec(col("t_a"))
+    // empty snapshot: t_a or t_b = 0 zeroes the denominator for every bin
+    // of every dimension — 0 by convention, not a DIVIDE_BY_ZERO abort
+    val contrib = when(col("t_a") === 0 || col("t_b") === 0, lit(0L))
+      .otherwise(call_function("div",
+        dec(lit(1000000L)) * diff * diff,
+        (dec(col("n_a")) + dec(col("n_b"))) * dec(col("t_a")) * dec(col("t_b"))))
+    val perDim = binned.join(broadcast(totals), Seq("pos"))
+      .groupBy("pos", "t_a", "t_b")
+      .agg(sum(contrib).as("__chi2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("chi2_micro").desc, col("pos").asc)
+    perDim
+      .select(col("pos"), col("t_a"), col("t_b"),
+        col("__chi2").cast("long").as("chi2_micro"))
+      .withColumn("rank", row_number().over(w))
+  }
+
   // ---- product quantization (Jégou, Douze, Schmid, IEEE TPAMI 2011,
   // "Product Quantization for Nearest Neighbor Search") -------------------
 

@@ -386,6 +386,15 @@ class SqlTvfSpec extends SparkSpec {
         emb.filter(col("vec_id") % 2 === 1), "embedding"))
   }
 
+  test("graft_embedding_shape_drift == Similarity.embeddingShapeDrift") {
+    emb.filter(col("vec_id") % 2 === 0).createOrReplaceTempView("tvf_esdrift_a")
+    emb.filter(col("vec_id") % 2 === 1).createOrReplaceTempView("tvf_esdrift_b")
+    same(
+      spark.sql("SELECT * FROM graft_embedding_shape_drift('tvf_esdrift_a','tvf_esdrift_b','embedding')"),
+      ops.Similarity.embeddingShapeDrift(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "embedding"))
+  }
+
   test("non-literal and malformed TVF arguments fail loudly") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception](

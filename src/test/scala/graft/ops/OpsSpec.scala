@@ -990,6 +990,48 @@ class SimilaritySpec extends SparkSpec {
       Similarity.embeddingDrift(emb, emb, "embedding", dim = 0))
   }
 
+  test("embeddingShapeDrift: planted VARIANCE-ONLY shift ranks first with the hand-computed chi-square while the mean monitor scores it 0") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // identical snapshots: every dimension's chi-square is exactly 0
+    val same = Similarity.embeddingShapeDrift(emb, emb, "embedding")
+      .select("chi2_micro").as[Long].collect()
+    assert(same.nonEmpty && same.forall(_ == 0L))
+    // planted case: dim 5 keeps its MEAN (0 both sides) but B triples the
+    // spread — ±0.1 vs ±0.3. Width 31250 micro: ±100000 -> bins 3/-4,
+    // ±300000 -> floor(±9.6) clamped to 7/-8. Four one-sided buckets, each
+    // contributing 1e6*(1*2-0*2)^2 // ((1+0)*2*2) = 1000000 -> chi2 4000000.
+    def vec(xs: (Int, Float)*) = (0 until 64).map(i => xs.toMap.getOrElse(i, 0.0f))
+    val a = Seq((0L, vec(5 -> 0.1f)), (1L, vec(5 -> -0.1f))).toDF("vec_id", "embedding")
+    val b = Seq((2L, vec(5 -> 0.3f)), (3L, vec(5 -> -0.3f))).toDF("vec_id", "embedding")
+    val shape = Similarity.embeddingShapeDrift(a, b, "embedding")
+      .select("pos", "t_a", "t_b", "chi2_micro", "rank")
+      .as[(Int, Long, Long, Long, Int)].collect().sortBy(_._5)
+    assert(shape.length == 64)
+    assert(shape.head == ((5, 2L, 2L, 4000000L, 1)),
+      s"planted variance dim must rank 1 with the exact chi2: ${shape.head}")
+    assert(shape.tail.forall(_._4 == 0L), "all equal-shape dims score 0")
+    assert(shape.tail.map(_._1).toSeq == ((0 to 4) ++ (6 to 63)),
+      "zero ties break pos asc")
+    // the SAME input through the mean monitor: dim 5's means are equal, so
+    // embeddingDrift provably scores the shift 0 — the complementarity
+    // this op exists for
+    val mean = Similarity.embeddingDrift(a, b, "embedding")
+      .select("shift_micro").as[Long].collect()
+    assert(mean.forall(_ == 0L),
+      "variance-only shift must be invisible to the mean monitor")
+    // empty snapshot: 0 by convention everywhere, no divide-by-zero abort
+    val empty = Similarity.embeddingShapeDrift(emb, emb.limit(0), "embedding")
+      .select("chi2_micro").as[Long].collect()
+    assert(empty.forall(_ == 0L))
+    // contracts: dim / bins / width guards fire by name
+    intercept[IllegalArgumentException](
+      Similarity.embeddingShapeDrift(emb, emb, "embedding", dim = 5000))
+    intercept[IllegalArgumentException](
+      Similarity.embeddingShapeDrift(emb, emb, "embedding", bins = 3))
+    intercept[IllegalArgumentException](
+      Similarity.embeddingShapeDrift(emb, emb, "embedding", binWidthMicro = 0))
+  }
+
   test("hardNegatives: anchor-broadcast contract guard fires loudly, by name") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val anchors = emb.filter(col("vec_id") < 5) // 5 anchors > cap of 2
