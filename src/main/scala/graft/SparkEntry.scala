@@ -3027,6 +3027,37 @@ object SparkEntry {
       },
       Some(sqlEmbeddingShapeDrift)),
 
+    // -- q202: embedding MEAN drift served from additive per-(dim, bin)
+    //    profiles (the streaming monitor's read path): folding the profile
+    //    bins recovers the exact per-dim (n, s), so this shares q198's
+    //    oracle verbatim — route equivalence, corpora untouched at serve
+    Q("q202_embedding_drift_profiles",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        ops.Similarity.embeddingDriftFromProfiles(
+          ops.Similarity.embeddingProfile(
+            emb.filter(col("vec_id") % 2 === 0), "embedding"),
+          ops.Similarity.embeddingProfile(
+            emb.filter(col("vec_id") % 2 === 1), "embedding"))
+          .orderBy("rank")
+      },
+      Some(sqlEmbeddingDrift)),
+
+    // -- q203: embedding SHAPE drift served from the same stored profiles —
+    //    the profile's per-(dim, bin) n IS the binned count; q200's oracle
+    //    verbatim ---------------------------------------------------------
+    Q("q203_embedding_shape_drift_profiles",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        ops.Similarity.embeddingShapeDriftFromProfiles(
+          ops.Similarity.embeddingProfile(
+            emb.filter(col("vec_id") % 2 === 0), "embedding"),
+          ops.Similarity.embeddingProfile(
+            emb.filter(col("vec_id") % 2 === 1), "embedding"))
+          .orderBy("rank")
+      },
+      Some(sqlEmbeddingShapeDrift)),
+
     // -- q77: text quality features + token counting ---------------------------
     Q("q77_text_quality",
       (s, dir) => T(s, dir, "documents")

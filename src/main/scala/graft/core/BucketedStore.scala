@@ -139,7 +139,8 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64,
       fs.listStatus(d.getPath).toSeq
         .filter { s =>
           val nm = s.getPath.getName
-          (nm.endsWith(".lock") || nm.contains(".tmp.")) &&
+          // ".tmp" (no nonce) catches debris from pre-r15 writers
+          (nm.endsWith(".lock") || nm.contains(".tmp.") || nm.endsWith(".tmp")) &&
             s.getModificationTime < horizon
         }
         .map { s =>

@@ -542,8 +542,35 @@ object Similarity {
       .select(posexplode(quantize(col(vecCol), dim)).as(Seq("pos", "__q")))
       .groupBy("pos")
       .agg(count(lit(1)).as(n), sum(dec(col("__q"))).as(s))
-    val joined = sums(dfA, "n_a", "s_a")
-      .join(sums(dfB, "n_b", "s_b"), Seq("pos"), "full_outer")
+    meanDriftFromSums(sums(dfA, "n_a", "s_a"), sums(dfB, "n_b", "s_b"))
+  }
+
+  /** [[embeddingDrift]] computed from two STORED [[embeddingProfile]]
+    * frames instead of the corpora — the serving read of the streaming
+    * monitor ([[graft.streaming.Fastlane.ingestEmbeddingProfile]]): per
+    * dimension the profile's per-bin (n, s) fold back to the exact
+    * per-dim count and component sum (padding convention included — a
+    * padded position sits in bin 0 with n counted and s += 0), so the
+    * answer is IDENTICAL to running embeddingDrift over the corpora the
+    * profiles summarize (spec- and oracle-asserted; q202 shares q198's
+    * oracle verbatim). Cost: two ≤ dim·bins-row scans — the corpora are
+    * never touched. */
+  def embeddingDriftFromProfiles(profA: DataFrame, profB: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def sums(p: DataFrame, n: String, s: String) = p
+      .groupBy("pos").agg(sum(col("n")).as(n), sum(dec(col("s"))).as(s))
+    meanDriftFromSums(sums(profA, "n_a", "s_a"), sums(profB, "n_b", "s_b"))
+  }
+
+  /** Shared mean-shift tail of [[embeddingDrift]] /
+    * [[embeddingDriftFromProfiles]]: the dim-keyed full-outer join, the
+    * cleared integer shift, and the dim-row rank window — one code path
+    * so the direct and profile-served routes cannot drift. Inputs:
+    * (pos, n_a, s_a) / (pos, n_b, s_b) with s already DECIMAL(38,0). */
+  private def meanDriftFromSums(sumsA: DataFrame, sumsB: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val joined = sumsA
+      .join(sumsB, Seq("pos"), "full_outer")
       .select(col("pos"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"),
@@ -610,17 +637,40 @@ object Similarity {
     require(binWidthMicro >= 1,
       s"binWidthMicro must be >= 1, got $binWidthMicro")
     val hb = bins / 2
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
     def binCounts(df: DataFrame, out: String) = df
       .select(posexplode(quantize(col(vecCol), dim)).as(Seq("pos", "__q")))
       .select(col("pos"),
         least(greatest(floor(coalesce(col("__q"), lit(0L)) / lit(binWidthMicro)),
           lit(-hb.toLong)), lit(hb - 1L)).as("bin"))
       .groupBy("pos", "bin").agg(count(lit(1)).as(out))
+    shapeDriftFromBinned(
+      binCounts(dfA, "n_a").join(binCounts(dfB, "n_b"), Seq("pos", "bin"), "full_outer"))
+  }
+
+  /** [[embeddingShapeDrift]] computed from two STORED [[embeddingProfile]]
+    * frames instead of the corpora — the serving read of the streaming
+    * monitor: the profile's per-(dim, bin) n IS the binned count the
+    * direct route aggregates, so the answer is IDENTICAL to running
+    * embeddingShapeDrift over the corpora the profiles summarize (spec-
+    * and oracle-asserted; q203 shares q200's oracle verbatim). Inputs are
+    * re-aggregated by (pos, bin) first, so a profile assembled from
+    * concatenated partial profiles is also accepted. Cost: two
+    * ≤ dim·bins-row scans — the corpora are never touched. */
+  def embeddingShapeDriftFromProfiles(profA: DataFrame, profB: DataFrame): DataFrame =
+    shapeDriftFromBinned(
+      profA.groupBy("pos", "bin").agg(sum(col("n")).as("n_a"))
+        .join(profB.groupBy("pos", "bin").agg(sum(col("n")).as("n_b")),
+          Seq("pos", "bin"), "full_outer"))
+
+  /** Shared chi-square tail of [[embeddingShapeDrift]] /
+    * [[embeddingShapeDriftFromProfiles]] — one code path so the direct
+    * and profile-served routes cannot drift. Input: the full-outer-joined
+    * per-(pos, bin) counts with nullable n_a / n_b. */
+  private def shapeDriftFromBinned(joinedBins: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     // persisted (bounded: ≤ dim·bins rows): the totals agg and the scoring
     // join both read it — uncached each branch re-scans BOTH corpora
-    val binned = binCounts(dfA, "n_a")
-      .join(binCounts(dfB, "n_b"), Seq("pos", "bin"), "full_outer")
+    val binned = joinedBins
       .select(col("pos"), col("bin"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
@@ -643,6 +693,41 @@ object Similarity {
       .select(col("pos"), col("t_a"), col("t_b"),
         col("__chi2").cast("long").as("chi2_micro"))
       .withColumn("rank", row_number().over(w))
+  }
+
+  /** Per-(dimension, bin) embedding PROFILE — the additive sufficient
+    * statistic for BOTH drift monitors: `n` = component count in the
+    * (pos, bin) bucket, `s` = exact micro-unit component sum there.
+    * Folding bins per dimension recovers [[embeddingDrift]]'s (n, s)
+    * exactly (padded positions: bin 0, n counted, s += 0 — the same
+    * convention), and the per-bin n IS [[embeddingShapeDrift]]'s count —
+    * so two stored profiles answer both monitors without touching the
+    * corpora ([[embeddingDriftFromProfiles]] /
+    * [[embeddingShapeDriftFromProfiles]]). Profiles are ADDITIVE under
+    * (pos, bin)-keyed sum, which is what makes the streaming maintenance
+    * loop ([[graft.streaming.Fastlane.ingestEmbeddingProfile]]) O(batch):
+    * profile(A ∪ B) == profile(A) +(pos,bin) profile(B), exact integers,
+    * no order sensitivity. `s` emits as long — exact below ~4·10¹²
+    * components per (pos, bin) bucket.
+    *
+    * Scale shape: one (dim, bin)-keyed count/sum aggregation — posexplode
+    * map-side, partial aggregation collapses each task to ≤ dim·bins rows
+    * before the one exchange; the corpus never shuffles. */
+  def embeddingProfile(df: DataFrame, vecCol: String, dim: Int = 64,
+      bins: Int = 16, binWidthMicro: Long = 31250L): DataFrame = {
+    require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
+    require(bins >= 2 && bins <= 256 && bins % 2 == 0,
+      s"bins must be even and in [2, 256], got $bins")
+    require(binWidthMicro >= 1,
+      s"binWidthMicro must be >= 1, got $binWidthMicro")
+    val hb = bins / 2
+    df.select(posexplode(quantize(col(vecCol), dim)).as(Seq("pos", "__q")))
+      .select(col("pos"),
+        least(greatest(floor(coalesce(col("__q"), lit(0L)) / lit(binWidthMicro)),
+          lit(-hb.toLong)), lit(hb - 1L)).as("bin"),
+        coalesce(col("__q"), lit(0L)).as("__q0"))
+      .groupBy("pos", "bin")
+      .agg(count(lit(1)).as("n"), sum(col("__q0")).as("s"))
   }
 
   // ---- product quantization (Jégou, Douze, Schmid, IEEE TPAMI 2011,

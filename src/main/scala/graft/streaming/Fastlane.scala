@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, count_distinct, lit, max}
+import org.apache.spark.sql.functions.{coalesce, col, count, count_distinct, lit, max}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.hadoop.fs.Path
 import graft.core.{FeatureDef, FeatureStore, Versioning}
@@ -147,32 +147,7 @@ object Fastlane {
       trigger: Trigger = Trigger.AvailableNow())
       (implicit spark: SparkSession): StreamingQuery =
     ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
-      import spark.implicits._
-      val cursorFeat = s"${feature}_ingest_cursor"
-      // the fence is scoped to the CHECKPOINT LINEAGE: batchIds restart at
-      // 0 under a fresh checkpointDir, and an unscoped cursor would then
-      // silently DROP legitimate new batches (worse than a replay). ONE
-      // CURSOR ROW PER LINEAGE (keyed merge, not a single overwritten
-      // row): with a single row, two alternating lineages against the same
-      // feature each reset the other's fence to -1 and replay protection
-      // evaporates exactly when two writers make replays likeliest. Note a
-      // RESTARTED lineage (same source, fresh checkpointDir) is a NEW
-      // lineage by construction — it re-applies every batch, so growing
-      // one index from two lineages double-counts; [[bm25IndexConsistency]]
-      // is the cheap detector for that operator-error class.
-      // MAX over the lineage's rows, not headOption: a cursor table written
-      // by the pre-r14 single-row schema (bucketed on __ck) leaves a legacy
-      // row in a bucket the lineage-keyed merge never rewrites — two rows
-      // for one lineage would then resolve non-deterministically, and the
-      // stale one re-opens the double-apply window. max() is safe in the
-      // only direction that matters (never re-apply an already-applied id).
-      val lastApplied =
-        if (store.latestVersion(cursorFeat).isEmpty) -1L
-        else store.read(cursorFeat, Seq("lineage"))
-          .where(col("lineage") === checkpointDir)
-          .agg(max(col("batch_id"))).as[Option[Long]].collect()
-          .headOption.flatten.getOrElse(-1L)
-      if (batchId > lastApplied) {
+      fencedApply(store, feature, checkpointDir, batchId) {
         // persisted: read by the corpus append AND the index build passes
         val docs = batch.select(col(idCol), col(textCol))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -188,15 +163,100 @@ object Fastlane {
           // compaction re-publishes the trio commit record so pinned
           // readers move to the compacted postings version
           graft.ops.TextOps.compactBm25Postings(store, feature)
-        // fence LAST: a crash before this line replays the whole batch.
-        // merge upserts THIS lineage's row only; other lineages' fences
-        // are untouched.
-        val fenceRow = Seq((batchId, checkpointDir)).toDF("batch_id", "lineage")
-        if (store.latestVersion(cursorFeat).isEmpty)
-          store.write(fenceRow, cursorFeat, Seq("lineage"))
-        else
-          store.merge(cursorFeat, fenceRow, Seq("lineage"))
         docs.unpersist()
+      }
+      ()
+    }
+
+  /** Lineage-scoped at-least-once fence shared by the NON-IDEMPOTENT
+    * ingest loops ([[ingestBm25Indexed]], [[ingestEmbeddingProfile]] —
+    * their applies add counts, so a blind foreachBatch re-apply
+    * double-counts). Runs `body` iff `batchId` is above this lineage's
+    * fence, then advances the fence; a replayed batch is skipped.
+    *
+    * The fence is scoped to the CHECKPOINT LINEAGE: batchIds restart at 0
+    * under a fresh checkpointDir, and an unscoped cursor would then
+    * silently DROP legitimate new batches (worse than a replay). ONE
+    * CURSOR ROW PER LINEAGE (keyed merge, not a single overwritten row):
+    * with a single row, two alternating lineages against the same feature
+    * each reset the other's fence to -1 and replay protection evaporates
+    * exactly when two writers make replays likeliest. Note a RESTARTED
+    * lineage (same source, fresh checkpointDir) is a NEW lineage by
+    * construction — it re-applies every batch, so growing one target from
+    * two lineages double-counts; [[bm25IndexConsistency]] (and the
+    * profile monitors' own n-vs-corpus audit) is the cheap detector for
+    * that operator-error class. MAX over the lineage's rows, not
+    * headOption: a cursor table written by the pre-r14 single-row schema
+    * (bucketed on __ck) leaves a legacy row in a bucket the lineage-keyed
+    * merge never rewrites — two rows for one lineage would then resolve
+    * non-deterministically, and the stale one re-opens the double-apply
+    * window. max() is safe in the only direction that matters (never
+    * re-apply an already-applied id). The fence write runs LAST: a crash
+    * inside the apply→fence gap replays the whole batch (the residual
+    * at-least-once window every consumer of these loops must pair with an
+    * audit cadence). */
+  private def fencedApply(store: graft.core.BucketedStore, feature: String,
+      lineage: String, batchId: Long)(body: => Unit)
+      (implicit spark: SparkSession): Unit = {
+    import spark.implicits._
+    val cursorFeat = s"${feature}_ingest_cursor"
+    val lastApplied =
+      if (store.latestVersion(cursorFeat).isEmpty) -1L
+      else store.read(cursorFeat, Seq("lineage"))
+        .where(col("lineage") === lineage)
+        .agg(max(col("batch_id"))).as[Option[Long]].collect()
+        .headOption.flatten.getOrElse(-1L)
+    if (batchId > lastApplied) {
+      body
+      // merge upserts THIS lineage's row only; other lineages' fences
+      // are untouched
+      val fenceRow = Seq((batchId, lineage)).toDF("batch_id", "lineage")
+      if (store.latestVersion(cursorFeat).isEmpty)
+        store.write(fenceRow, cursorFeat, Seq("lineage"))
+      else
+        store.merge(cursorFeat, fenceRow, Seq("lineage"))
+    }
+  }
+
+  /** Streaming DRIFT-MONITOR maintenance — keep a persisted
+    * [[graft.ops.Similarity.embeddingProfile]] current as embedding
+    * batches arrive: each micro-batch profiles ONLY its own vectors
+    * ((dim·bins)-row output, one corpus-free exchange) and adds the
+    * counts into the stored profile keyed on (pos, bin) — profiles are
+    * additive exact integers, so the stream-grown profile is
+    * BIT-IDENTICAL to one computed over the accumulated corpus in a
+    * single batch (spec-asserted), and
+    * [[graft.ops.Similarity.embeddingDriftFromProfiles]] /
+    * [[graft.ops.Similarity.embeddingShapeDriftFromProfiles]] answer both
+    * monitors against a reference profile without ever re-touching the
+    * corpora. Per-batch cost: O(batch) + a ≤ dim·bins-row merge,
+    * independent of corpus size.
+    *
+    * Replay contract: adds are not idempotent, so batches run under the
+    * shared lineage fence ([[fencedApply]]) — same residual windows and
+    * audit discipline as [[ingestBm25Indexed]]; the profile's own
+    * Σn == dim · (vectors ingested) invariant is the cheap audit. */
+  def ingestEmbeddingProfile(
+      stream: DataFrame, vecCol: String,
+      store: graft.core.BucketedStore, feature: String,
+      checkpointDir: String,
+      dim: Int = 64, bins: Int = 16, binWidthMicro: Long = 31250L,
+      trigger: Trigger = Trigger.AvailableNow())
+      (implicit spark: SparkSession): StreamingQuery =
+    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
+      fencedApply(store, feature, checkpointDir, batchId) {
+        val bp = graft.ops.Similarity.embeddingProfile(
+          batch, vecCol, dim, bins, binWidthMicro)
+        val merged =
+          if (store.latestVersion(feature).isEmpty) bp
+          else store.read(feature, Seq("pos", "bin"))
+            .select(col("pos"), col("bin"),
+              col("n").as("__n0"), col("s").as("__s0"))
+            .join(bp, Seq("pos", "bin"), "full_outer")
+            .select(col("pos"), col("bin"),
+              (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"),
+              (coalesce(col("__s0"), lit(0L)) + coalesce(col("s"), lit(0L))).as("s"))
+        store.write(merged, feature, Seq("pos", "bin"))
       }
       ()
     }

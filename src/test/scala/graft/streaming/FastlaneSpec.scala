@@ -205,6 +205,59 @@ class FastlaneSpec extends SparkSpec {
     assert(hits.count() > 0)
   }
 
+  test("ingestEmbeddingProfile: stream-grown profile bit-identical to one-shot; profile-served drift == direct; replay fenced") {
+    import graft.ops.Similarity
+    val srcDir = tmpDir("eprof_src")
+    val store = new graft.core.BucketedStore(tmpDir("eprof_store"), numBuckets = 8)
+    val ckpt = tmpDir("eprof_ckpt")
+    def stream() = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>").json(s"$srcDir/*")
+    def vec(xs: (Int, Float)*) = (0 until 64).map(i => xs.toMap.getOrElse(i, 0.0f))
+    val b1 = Seq((0L, vec(5 -> 0.1f)), (1L, vec(5 -> -0.1f, 7 -> 0.2f)))
+    val b2 = Seq((2L, vec(5 -> 0.3f)), (3L, vec(5 -> -0.3f, 3 -> -0.05f)))
+    b1.toDF("vec_id", "embedding").write.mode("overwrite").json(s"$srcDir/b1")
+    Fastlane.ingestEmbeddingProfile(stream(), "embedding", store, "eprof", ckpt)
+      .awaitTermination(60000)
+    b2.toDF("vec_id", "embedding").write.mode("overwrite").json(s"$srcDir/b2")
+    Fastlane.ingestEmbeddingProfile(stream(), "embedding", store, "eprof", ckpt)
+      .awaitTermination(60000)
+    def storedRows() = store.read("eprof", Seq("pos", "bin"))
+      .select("pos", "bin", "n", "s")
+      .as[(Int, Long, Long, Long)].collect().toSet
+    val grown = storedRows()
+    val union = (b1 ++ b2).toDF("vec_id", "embedding")
+    val oneShot = Similarity.embeddingProfile(union, "embedding")
+      .select("pos", "bin", "n", "s")
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(grown.nonEmpty && grown == oneShot,
+      "additive growth must be BIT-identical to a one-shot profile")
+    // the Σn == dim·vectors audit invariant
+    assert(grown.toSeq.map(_._3).sum == 64L * 4)
+    // profile-served monitors answer identically to the direct ops over
+    // the corpora the profiles summarize
+    val ref = Seq((9L, vec()), (10L, vec(5 -> 0.05f))).toDF("vec_id", "embedding")
+    val refProf = Similarity.embeddingProfile(ref, "embedding")
+    val stored = store.read("eprof", Seq("pos", "bin"))
+    val meanServed = Similarity.embeddingDriftFromProfiles(stored, refProf)
+      .orderBy("rank").collect().toSeq
+    val meanDirect = Similarity.embeddingDrift(union, ref, "embedding")
+      .orderBy("rank").collect().toSeq
+    assert(meanServed.nonEmpty && meanServed == meanDirect,
+      "profile-served mean drift must equal the direct route")
+    val shapeServed = Similarity.embeddingShapeDriftFromProfiles(stored, refProf)
+      .orderBy("rank").collect().toSeq
+    val shapeDirect = Similarity.embeddingShapeDrift(union, ref, "embedding")
+      .orderBy("rank").collect().toSeq
+    assert(shapeServed.nonEmpty && shapeServed == shapeDirect,
+      "profile-served shape drift must equal the direct route")
+    // a REPLAYED run under the same checkpoint lineage is fenced out —
+    // adds are not idempotent, so this is the double-count hole the
+    // lineage cursor closes
+    Fastlane.ingestEmbeddingProfile(stream(), "embedding", store, "eprof", ckpt)
+      .awaitTermination(60000)
+    assert(storedRows() == grown, "replayed batches must not double-count")
+  }
+
   test("ingestPassageDeduped: streaming passage gate == batch paragraphDedup over the union") {
     val corpusDir = tmpDir("ingp_corpus") + "/c"
     val srcDir = tmpDir("ingp_src")
