@@ -553,6 +553,18 @@ object GraftExtensions {
           table(str(args(1), "tableB")), str(args(2), "vecCol"))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_semantic_decontaminate"),
+      info("graft_semantic_decontaminate",
+        "graft_semantic_decontaminate(corpusTable, corpusIdCol, evalTable, evalIdCol, vecCol, threshold) - semantic benchmark decontamination: per corpus document the max cosine against the broadcast eval set (ties -> smaller eval id) and a contaminated flag at the threshold; (corpus_id, max_eval_cosine, nearest_eval_id, contaminated)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "usage: graft_semantic_decontaminate(corpusTable, corpusIdCol, evalTable, evalIdCol, vecCol, threshold)")
+        ops.Similarity.semanticDecontaminate(table(str(args(0), "corpusTable")),
+          table(str(args(2), "evalTable")), str(args(1), "corpusIdCol"),
+          str(args(3), "evalIdCol"), str(args(4), "vecCol"),
+          dbl(args(5), "threshold"))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_embedding_shape_drift"),
       info("graft_embedding_shape_drift",
         "graft_embedding_shape_drift(tableA, tableB, vecCol) - per-dimension embedding SHAPE drift: exact binned two-sample chi-square over the 1e-6-quantized components (catches variance-only shifts the mean-drift monitor misses); (pos, t_a, t_b, chi2_micro, rank)"),

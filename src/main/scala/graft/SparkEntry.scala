@@ -2143,6 +2143,32 @@ object SparkEntry {
           CAST(row_number() OVER (ORDER BY chi2 DESC, pos ASC) AS INT) AS rank
         FROM d ORDER BY rank"""
 
+  /** q204 / q205 shared oracle: semantic decontamination — every corpus
+    * vector scored against the broadcast-small eval set (vec_id % 97 = 0)
+    * by the family's exact-int-dot cosine; per corpus row the max cosine
+    * with ties toward the smaller eval id (row_number QUALIFY), flagged
+    * at the threshold. q205 is the SQL-TVF route over the identical
+    * answer. */
+  private def sqlSemanticDecon(threshold: Double): String = {
+    def cos(a: String, b: String) =
+      s"""CASE WHEN ${sqlDotQ(a, a)} = 0 OR ${sqlDotQ(b, b)} = 0 THEN 0.0
+          ELSE CAST(${sqlDotQ(a, b)} AS DOUBLE)
+               / sqrt(CAST(${sqlDotQ(a, a)} AS DOUBLE) * CAST(${sqlDotQ(b, b)} AS DOUBLE)) END"""
+    s"""
+        WITH c AS MATERIALIZED (SELECT vec_id, $sqlQVec AS v FROM embeddings),
+        e AS MATERIALIZED (SELECT vec_id AS eval_id, $sqlQVec AS ev
+             FROM embeddings WHERE vec_id % 97 = 0),
+        s AS (SELECT c.vec_id AS corpus_id, e.eval_id,
+                ${cos("c.v", "e.ev")} AS cosine
+              FROM c CROSS JOIN e)
+        SELECT corpus_id, cosine AS max_eval_cosine, eval_id AS nearest_eval_id,
+               cosine >= $threshold AS contaminated
+        FROM s
+        QUALIFY row_number() OVER (PARTITION BY corpus_id
+                                   ORDER BY cosine DESC, eval_id ASC) = 1
+        ORDER BY corpus_id"""
+  }
+
   /** q181 / q184 shared oracle: near-dup clusters + the canonical
     * keep-the-best-member policy (ties → smallest id; singletons keep
     * themselves). q184 is the SQL-TVF route over the identical answer. */
@@ -3057,6 +3083,38 @@ object SparkEntry {
           .orderBy("rank")
       },
       Some(sqlEmbeddingShapeDrift)),
+
+    // -- q204: SEMANTIC benchmark decontamination — the embedding-space
+    //    leg of the decontamination family (q99 exact / q133 Bloom / q142
+    //    overlap are text-only and miss paraphrases): corpus streams once
+    //    against the broadcast eval set, running argmax per document -----
+    Q("q204_semantic_decontaminate",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        ops.Similarity.semanticDecontaminate(
+          emb, emb.filter(col("vec_id") % 97 === 0),
+          "vec_id", "vec_id", "embedding", threshold = 0.95)
+          .orderBy("corpus_id")
+      },
+      Some(sqlSemanticDecon(0.95))),
+
+    // -- q205: the SQL-TVF route for semantic decontamination — expands at
+    //    analysis time to q204's exact plan, same oracle verbatim ---------
+    Q("q205_sql_tvf_semantic_decontaminate",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val cView = s"sdecon_c_tvf_$sfx"
+        val eView = s"sdecon_e_tvf_$sfx"
+        val emb = T(s, dir, "embeddings")
+        emb.createOrReplaceTempView(cView)
+        emb.filter(col("vec_id") % 97 === 0).createOrReplaceTempView(eView)
+        s.sql(s"""
+          SELECT corpus_id, max_eval_cosine, nearest_eval_id, contaminated
+          FROM graft_semantic_decontaminate('$cView', 'vec_id', '$eView', 'vec_id', 'embedding', 0.95)
+          ORDER BY corpus_id""")
+      },
+      Some(sqlSemanticDecon(0.95))),
 
     // -- q77: text quality features + token counting ---------------------------
     Q("q77_text_quality",

@@ -1195,6 +1195,71 @@ object Similarity {
       Seq(col("cosine").desc, col("neg_id").asc), k, rankCol = "neg_rank")
   }
 
+  /** SEMANTIC benchmark decontamination — the embedding-space leg of the
+    * decontamination family: exact (q99), Bloom (q133) and n-gram-overlap
+    * (q142) checks all miss a PARAPHRASED eval item; the standard closing
+    * recipe flags every training document whose embedding lands within
+    * `threshold` cosine of ANY benchmark item. Output: one row per corpus
+    * document (eval set non-empty), (corpus_id, max_eval_cosine,
+    * nearest_eval_id, contaminated) — the max cosine is there so the
+    * threshold can be tuned from one run; ties on cosine break toward the
+    * smaller eval id, so the nearest-item attribution is deterministic
+    * and oracle-reproducible (exact int64 dots → one correctly-rounded
+    * double division each, the family's standard argument). A benchmark
+    * item that IS in the corpus scores 1.0 against itself — correctly
+    * flagged: that's literal contamination. An EMPTY eval set yields an
+    * empty frame (vacuously nothing to flag).
+    *
+    * Scale shape: benchmarks are small by nature — the eval side
+    * broadcasts UNDER the loud in-plan `maxBroadcastEval` guard (the
+    * `maxBroadcastAnchors` discipline), the corpus streams ONCE with a
+    * map-side partial max per document (no corpus-width shuffle: the
+    * exchange carries (corpus_id, best-so-far) pairs), and there is no
+    * candidate blow-up because the per-document state is one running
+    * struct. For an eval set too big to broadcast, index it once
+    * ([[indexVectors]]) and run corpus shards through [[searchIndexed]]
+    * instead. */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      corpusIdCol: String, evalIdCol: String, vecCol: String,
+      threshold: Double, dim: Int = 64,
+      maxBroadcastEval: Long = 1L << 20): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"threshold is a cosine, must be in [-1, 1], got $threshold")
+    require(maxBroadcastEval >= 1,
+      s"maxBroadcastEval must be >= 1, got $maxBroadcastEval")
+    // persisted (lazy): the guard's count agg and the broadcast rows both
+    // read the eval frame inside the one build (the hardNegatives shape)
+    val e0 = evalSet.select(col(evalIdCol).as("eval_id"), quantize(col(vecCol), dim).as("__ev"))
+      .withColumn("__en", dotQ(col("__ev"), col("__ev"), dim))
+      .persistTracked()
+    val nE = e0.agg(count(lit(1)).as("__ne"))
+    val e = e0.crossJoin(nE)
+      .select(col("eval_id"), col("__ev"),
+        (col("__en") + when(col("__ne") > maxBroadcastEval,
+          raise_error(concat(lit("semanticDecontaminate: eval set has "),
+            col("__ne"),
+            lit(s" rows > maxBroadcastEval=$maxBroadcastEval — this op " +
+              "broadcasts the benchmark side (benchmarks are small); for " +
+              "an eval set this large, index it once (indexVectors) and " +
+              "run corpus shards through searchIndexed, or raise the cap " +
+              "if the executors have the memory")))).otherwise(lit(0L))).as("__en"))
+    val c = corpus.select(col(corpusIdCol).as("corpus_id"), quantize(col(vecCol), dim).as("__cv"))
+      .withColumn("__cn", dotQ(col("__cv"), col("__cv"), dim))
+    val scored = c.join(broadcast(e))
+      .select(col("corpus_id"), col("eval_id"),
+        cosineFromParts(dotQ(col("__ev"), col("__cv"), dim), col("__en"), col("__cn")).as("cosine"))
+    // running (cosine, -eval_id) struct max == (cosine desc, eval_id asc)
+    // argmax — a partial-aggregable scalar, not a per-group window, so the
+    // corpus never shuffles at full width
+    scored
+      .groupBy("corpus_id")
+      .agg(max(struct(col("cosine"), (-col("eval_id")).as("__nid"))).as("__m"))
+      .select(col("corpus_id"),
+        col("__m.cosine").as("max_eval_cosine"),
+        (-col("__m.__nid")).as("nearest_eval_id"),
+        (col("__m.cosine") >= threshold).as("contaminated"))
+  }
+
   /** Shared driver loop for the greedy argmax family ([[kCenterGreedy]],
     * [[mmrSelect]]): up to `rounds` iterations of (argmax ACTION over the
     * persisted candidate frame) → (filter the pick out + fold it into the

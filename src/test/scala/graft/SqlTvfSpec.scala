@@ -395,6 +395,16 @@ class SqlTvfSpec extends SparkSpec {
         emb.filter(col("vec_id") % 2 === 1), "embedding"))
   }
 
+  test("graft_semantic_decontaminate == Similarity.semanticDecontaminate") {
+    emb.createOrReplaceTempView("tvf_sdecon_c")
+    emb.filter(col("vec_id") % 97 === 0).createOrReplaceTempView("tvf_sdecon_e")
+    same(
+      spark.sql("SELECT * FROM graft_semantic_decontaminate('tvf_sdecon_c','vec_id','tvf_sdecon_e','vec_id','embedding',0.95)"),
+      ops.Similarity.semanticDecontaminate(emb,
+        emb.filter(col("vec_id") % 97 === 0),
+        "vec_id", "vec_id", "embedding", threshold = 0.95))
+  }
+
   test("non-literal and malformed TVF arguments fail loudly") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception](

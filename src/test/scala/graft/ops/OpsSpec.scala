@@ -1032,6 +1032,52 @@ class SimilaritySpec extends SparkSpec {
       Similarity.embeddingShapeDrift(emb, emb, "embedding", binWidthMicro = 0))
   }
 
+  test("semanticDecontaminate: self is contamination at 1.0; near-paraphrase flagged, far vectors clean; ties attribute to smaller eval id; guard by name") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    def vec(xs: (Int, Float)*) = (0 until 64).map(i => xs.toMap.getOrElse(i, 0.0f))
+    // corpus: 10 = exact copy of eval 0; 11 = near-paraphrase (same
+    // direction + small orthogonal noise); 12 = orthogonal (clean)
+    val evalSet = Seq((0L, vec(0 -> 1.0f)), (1L, vec(1 -> 1.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, vec(0 -> 1.0f)),
+      (11L, vec(0 -> 1.0f, 2 -> 0.1f)),
+      (12L, vec(3 -> 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(corpus, evalSet,
+        "vec_id", "vec_id", "embedding", threshold = 0.9)
+      .select("corpus_id", "max_eval_cosine", "nearest_eval_id", "contaminated")
+      .as[(Long, Double, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(10L, 11L, 12L))
+    assert(out(0)._2 == 1.0 && out(0)._3 == 0L && out(0)._4,
+      s"exact copy must flag at 1.0 against eval 0: ${out(0)}")
+    assert(out(1)._4 && out(1)._3 == 0L && out(1)._2 > 0.99 && out(1)._2 < 1.0,
+      s"paraphrase must flag below 1.0: ${out(1)}")
+    assert(!out(2)._4 && out(2)._2 == 0.0, s"orthogonal doc is clean: ${out(2)}")
+    // tie attribution: a corpus vector equidistant from BOTH eval items
+    // must attribute to the smaller eval id
+    val tied = Seq((20L, vec(0 -> 1.0f, 1 -> 1.0f))).toDF("vec_id", "embedding")
+    val t = Similarity.semanticDecontaminate(tied, evalSet,
+        "vec_id", "vec_id", "embedding", threshold = 0.5)
+      .select("nearest_eval_id").as[Long].head()
+    assert(t == 0L, s"cosine tie must break toward the smaller eval id, got $t")
+    // empty eval set: vacuously nothing to flag
+    assert(Similarity.semanticDecontaminate(corpus, evalSet.limit(0),
+      "vec_id", "vec_id", "embedding", threshold = 0.9).count() == 0L)
+    // the broadcast contract fires loudly, by name, pointing at the
+    // indexed route
+    val e = intercept[Exception] {
+      Similarity.semanticDecontaminate(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "vec_id", "embedding", threshold = 0.9,
+        maxBroadcastEval = 2L).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("maxBroadcastEval"), s"guard must fail by name: $msg")
+    assert(msg.contains("searchIndexed"), "guard must point at the indexed route")
+    intercept[IllegalArgumentException](Similarity.semanticDecontaminate(
+      corpus, evalSet, "vec_id", "vec_id", "embedding", threshold = 1.5))
+  }
+
   test("hardNegatives: anchor-broadcast contract guard fires loudly, by name") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val anchors = emb.filter(col("vec_id") < 5) // 5 anchors > cap of 2
