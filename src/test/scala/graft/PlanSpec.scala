@@ -515,6 +515,49 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q204: semantic decon's per-doc argmax is a partial-aggregable scalar — no Window, no SortMergeJoin, eval broadcast") {
+    val p = planOf("q204_semantic_decontaminate")
+    // the per-document nearest-eval attribution is a running struct max
+    // (partial agg map-side), NOT a per-group rank window — a Window here
+    // would sort-shuffle the full corpus x eval cross product
+    assert(!p.contains("Window"), p)
+    // the eval side broadcasts; a SortMergeJoin means a corpus-sized
+    // exchange snuck into the scoring path
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the one hash exchange carries (corpus_id, best-so-far) pairs — it is
+    // keyed on corpus_id, and partial_max must sit BELOW it (parents print
+    // first, so the partial agg prints AFTER the exchange in the tree)
+    val ex = p.indexOf("hashpartitioning(corpus_id")
+    val partial = p.lastIndexOf("partial_max")
+    assert(ex >= 0 && partial > ex,
+      s"partial max not below the corpus_id exchange: ex@$ex partial@$partial\n$p")
+  }
+
+  test("profile-served drift over STORED profiles plans zero corpus work — no Generate anywhere") {
+    // the monitors' serve-time contract: against persisted profiles the
+    // plan contains no posexplode/Generate (the only way a corpus enters
+    // these ops) — every frame is ≤ dim·bins rows. (q202/q203 compute the
+    // profiles inline for the oracle gate, so they are not the lock site;
+    // the full-outer dim-keyed join legitimately plans as a 64-row SMJ in
+    // both the direct and served routes.)
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val dir = tmpDir("plan_prof")
+    graft.ops.Similarity.embeddingProfile(
+      emb.filter(col("vec_id") % 2 === 0), "embedding").write.parquet(s"$dir/a")
+    graft.ops.Similarity.embeddingProfile(
+      emb.filter(col("vec_id") % 2 === 1), "embedding").write.parquet(s"$dir/b")
+    val pa = spark.read.parquet(s"$dir/a")
+    val pb = spark.read.parquet(s"$dir/b")
+    for ((nm, df) <- Seq(
+        "mean" -> graft.ops.Similarity.embeddingDriftFromProfiles(pa, pb),
+        "shape" -> graft.ops.Similarity.embeddingShapeDriftFromProfiles(pa, pb))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Generate"), s"$nm serve plan touches a corpus:\n$p")
+    }
+  }
+
   test("q167: unigram encode is ONE map-side pass (no exchange before the protocol sort)") {
     val p = planOf("q167_unigram_encode")
     assert(!p.contains("hashpartitioning"), p)
