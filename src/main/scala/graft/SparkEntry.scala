@@ -2583,6 +2583,21 @@ object SparkEntry {
       },
       Some(sqlTokenDrift)),
 
+    // -- q206: token drift served from additive token profiles (the
+    //    text-side streaming monitor's read path): the profile's per-token
+    //    n IS the count the direct route aggregates — q187's oracle
+    //    verbatim, route equivalence ---------------------------------------
+    Q("q206_token_drift_profiles",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        ops.TextOps.tokenDriftFromProfiles(
+            ops.TextOps.tokenProfile(docs.filter(col("doc_id") % 2 === 0), "text"),
+            ops.TextOps.tokenProfile(docs.filter(col("doc_id") % 2 === 1), "text"),
+            topM = 40)
+          .orderBy("rank")
+      },
+      Some(sqlTokenDrift)),
+
     // -- q189: the SQL-TVF route for BM25 top-k — graft_bm25_topk over the
     //    documents + query-fixture temp views; expands at analysis time to
     //    q186's exact plan, same oracle verbatim -------------------------

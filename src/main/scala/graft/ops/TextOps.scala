@@ -2052,13 +2052,50 @@ object TextOps {
   def tokenDrift(dfA: DataFrame, dfB: DataFrame, textCol: String,
       topM: Int): DataFrame = {
     require(topM >= 1, s"topM must be >= 1, got $topM")
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
     def counts(df: DataFrame, out: String) = df
       .select(explode(split(col(textCol), " ")).as("token"))
       .where(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as(out))
-    val ca = counts(dfA, "n_a")
-    val cb = counts(dfB, "n_b")
+    tokenDriftFromCounts(counts(dfA, "n_a"), counts(dfB, "n_b"), topM)
+  }
+
+  /** The monitoring family's token-side ADDITIVE sufficient statistic:
+    * per-token counts, (token, n). profile(A ∪ B) == profile(A) +(token)
+    * profile(B) — exact integers, order-free — which is what makes the
+    * streaming maintenance loop
+    * ([[graft.streaming.Fastlane.ingestTokenProfile]]) O(batch + touched
+    * buckets): each arriving batch's counts merge-add into the stored
+    * profile without re-touching the corpus. One keyed aggregation;
+    * whitespace tokenization, empty tokens dropped — exactly
+    * [[tokenDrift]]'s count pass, so a profile-served drift is identical
+    * to the direct route. */
+  def tokenProfile(df: DataFrame, textCol: String): DataFrame = df
+    .select(explode(split(col(textCol), " ")).as("token"))
+    .where(col("token") =!= "")
+    .groupBy("token").agg(count(lit(1)).as("n"))
+
+  /** [[tokenDrift]] computed from two STORED [[tokenProfile]] frames
+    * instead of the corpora — the serving read of the streaming monitor:
+    * the profile's per-token n IS the count the direct route aggregates,
+    * so the answer is IDENTICAL to running tokenDrift over the corpora
+    * the profiles summarize (spec- and oracle-asserted; q206 shares
+    * q187's oracle verbatim). Inputs are re-aggregated by token first, so
+    * concatenated partial profiles are also accepted. Cost: two
+    * vocab-bounded scans — the corpora are never touched. */
+  def tokenDriftFromProfiles(profA: DataFrame, profB: DataFrame,
+      topM: Int): DataFrame = {
+    require(topM >= 1, s"topM must be >= 1, got $topM")
+    tokenDriftFromCounts(
+      profA.groupBy("token").agg(sum(col("n")).as("n_a")),
+      profB.groupBy("token").agg(sum(col("n")).as("n_b")), topM)
+  }
+
+  /** Shared chi-square tail of [[tokenDrift]] / [[tokenDriftFromProfiles]]
+    * — one code path so the direct and profile-served routes cannot
+    * drift. Inputs: per-token counts (token, n_a) / (token, n_b). */
+  private def tokenDriftFromCounts(ca: DataFrame, cb: DataFrame,
+      topM: Int): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     // persisted (vocab-bounded): the totals branch and the scoring branch
     // both read it — without the cache each branch re-scans BOTH corpora
     // (measured 4 parquet scans where 2 suffice); the broadcast build of

@@ -218,6 +218,52 @@ object Fastlane {
     }
   }
 
+  /** Streaming TOKEN-profile maintenance — the text-side twin of
+    * [[ingestEmbeddingProfile]]: each micro-batch counts ONLY its own
+    * tokens ([[graft.ops.TextOps.tokenProfile]] — one batch-sized keyed
+    * aggregation) and merge-ADDS them into the stored vocab profile.
+    * Per-batch IO is O(batch + touched buckets): the stored profile is
+    * read through `readTouched` (only the hash buckets containing the
+    * batch's tokens), counts add as exact integers, and the file-level
+    * merge rewrites those buckets only — a 10⁸-token vocabulary costs a
+    * batch only its own token set. The stream-grown profile is
+    * BIT-IDENTICAL to one counted over the accumulated corpus
+    * (spec-asserted), and [[graft.ops.TextOps.tokenDriftFromProfiles]]
+    * serves the drift monitor against a reference profile without
+    * re-touching the corpora. Adds are not idempotent → the shared
+    * lineage fence ([[fencedApply]]), same residual windows and audit
+    * discipline as the sibling loops (Σn == total tokens ingested is the
+    * cheap audit). */
+  def ingestTokenProfile(
+      stream: DataFrame, textCol: String,
+      store: graft.core.BucketedStore, feature: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow())
+      (implicit spark: SparkSession): StreamingQuery =
+    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
+      fencedApply(store, feature, checkpointDir, batchId) {
+        // persisted: read by the touched-bucket probe AND the merge add
+        val bp = graft.ops.TextOps.tokenProfile(batch, textCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (store.latestVersion(feature).isEmpty)
+          store.write(bp, feature, Seq("token"))
+        else {
+          // touched buckets carry OTHER tokens sharing them — their rows
+          // ride the full-outer join with a +0 add and merge back
+          // unchanged (the merge rewrites whole touched buckets anyway)
+          val touched = store.readTouched(feature, Seq("token"),
+            bp.select("token"), None)
+          val merged = touched.select(col("token"), col("n").as("__n0"))
+            .join(bp, Seq("token"), "full_outer")
+            .select(col("token"),
+              (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"))
+          store.merge(feature, merged, Seq("token"))
+        }
+        bp.unpersist()
+      }
+      ()
+    }
+
   /** Streaming DRIFT-MONITOR maintenance — keep a persisted
     * [[graft.ops.Similarity.embeddingProfile]] current as embedding
     * batches arrive: each micro-batch profiles ONLY its own vectors

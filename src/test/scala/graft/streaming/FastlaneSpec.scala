@@ -258,6 +258,47 @@ class FastlaneSpec extends SparkSpec {
     assert(storedRows() == grown, "replayed batches must not double-count")
   }
 
+  test("ingestTokenProfile: stream-grown vocab profile bit-identical to one-shot; profile-served tokenDrift == direct; replay fenced") {
+    import graft.ops.TextOps
+    val srcDir = tmpDir("tprof_src")
+    val store = new graft.core.BucketedStore(tmpDir("tprof_store"), numBuckets = 8)
+    val ckpt = tmpDir("tprof_ckpt")
+    def stream() = spark.readStream
+      .schema("doc_id LONG, text STRING").json(s"$srcDir/*")
+    val b1 = Seq((1L, "x x y"), (2L, "y z top"))
+    val b2 = Seq((3L, "z z w x"), (4L, "top w"))
+    b1.toDF("doc_id", "text").write.mode("overwrite").json(s"$srcDir/b1")
+    Fastlane.ingestTokenProfile(stream(), "text", store, "tprof", ckpt)
+      .awaitTermination(60000)
+    b2.toDF("doc_id", "text").write.mode("overwrite").json(s"$srcDir/b2")
+    Fastlane.ingestTokenProfile(stream(), "text", store, "tprof", ckpt)
+      .awaitTermination(60000)
+    def storedRows() = store.read("tprof", Seq("token"))
+      .select("token", "n").as[(String, Long)].collect().toSet
+    val grown = storedRows()
+    val union = (b1 ++ b2).toDF("doc_id", "text")
+    val oneShot = TextOps.tokenProfile(union, "text")
+      .as[(String, Long)].collect().toSet
+    assert(grown.nonEmpty && grown == oneShot,
+      "additive growth must be BIT-identical to a one-shot count")
+    // Σn == total tokens ingested — the cheap audit invariant
+    assert(grown.toSeq.map(_._2).sum == 12L)
+    // profile-served drift answers identically to the direct route over
+    // the corpora the profiles summarize
+    val ref = Seq((9L, "y y z")).toDF("doc_id", "text")
+    val served = TextOps.tokenDriftFromProfiles(
+        store.read("tprof", Seq("token")), TextOps.tokenProfile(ref, "text"), topM = 10)
+      .orderBy("rank").collect().toSeq
+    val direct = TextOps.tokenDrift(union, ref, "text", topM = 10)
+      .orderBy("rank").collect().toSeq
+    assert(served.nonEmpty && served == direct,
+      "profile-served token drift must equal the direct route")
+    // a replayed run under the same checkpoint lineage is fenced out
+    Fastlane.ingestTokenProfile(stream(), "text", store, "tprof", ckpt)
+      .awaitTermination(60000)
+    assert(storedRows() == grown, "replayed batches must not double-count")
+  }
+
   test("ingestPassageDeduped: streaming passage gate == batch paragraphDedup over the union") {
     val corpusDir = tmpDir("ingp_corpus") + "/c"
     val srcDir = tmpDir("ingp_src")
