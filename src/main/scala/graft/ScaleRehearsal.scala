@@ -362,6 +362,18 @@ object ScaleRehearsal {
         "q200_embedding_shape_drift" -> (() => force(ops.Similarity.embeddingShapeDrift(
           emb.where(col("vec_id") % 2 === 0),
           emb.where(col("vec_id") % 2 === 1), "embedding"))),
+        // semantic decontamination: FIXED eval set (benchmarks don't grow
+        // with the training corpus), corpus streams once with a map-side
+        // running argmax — expect ~linear tracking corpus bytes
+        "q204_semantic_decon" -> (() => force(ops.Similarity.semanticDecontaminate(
+          emb, emb.where(col("vec_id") < 50), "vec_id", "vec_id",
+          "embedding", threshold = 0.95))),
+        // token-profile maintenance serve path: drift from two stored-shape
+        // profiles — vocab-keyed aggs only; expect ~scan-linear in corpus
+        "q206_token_drift_profiles" -> (() => force(ops.TextOps.tokenDriftFromProfiles(
+          ops.TextOps.tokenProfile(docs.where(col("doc_id") % 2 === 0), "text"),
+          ops.TextOps.tokenProfile(docs.where(col("doc_id") % 2 === 1), "text"),
+          topM = 40))),
         // temperature mixture: the rate table stays one-row-per-source
         // (broadcast) however big the corpus gets; the keep filter is
         // map-side — expect ~linear wall tracking corpus bytes
