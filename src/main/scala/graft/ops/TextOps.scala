@@ -1991,7 +1991,12 @@ object TextOps {
     * append/rebuild does it), which retires this path for good. Still
     * best-effort when it DOES stabilize: a capture can land inside one
     * multi-second inter-table write gap and agree on a mixed trio — the
-    * reason the commit record replaced the inference. */
+    * reason the commit record replaced the inference. The READER
+    * deliberately does NOT publish the record itself as a migration
+    * shortcut: a reader that stabilized trio T while a writer was
+    * publishing a newer trio T' could land its T record in a HIGHER slot
+    * than T' and pin every future reader to the stale snapshot — writers
+    * are the only principals with the context to order commits. */
   private[graft] def stabilizeLegacyTrio(feature: String,
       trio: () => (Long, Long, Long), maxTries: Int = 16): (Long, Long, Long) = {
     var snap = trio()
