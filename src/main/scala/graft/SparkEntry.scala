@@ -182,6 +182,38 @@ object SparkEntry {
         SELECT token, n_a, n_b, chi2_micro, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= 40 ORDER BY rank"""
 
+  /** q207 oracle: [[sqlTokenDrift]] segmented per source — each group's
+    * totals are its own two-sample test, top-M per group, rank partitioned
+    * by source. */
+  private lazy val sqlTokenDriftByGroup: String = """
+        WITH ca AS (SELECT source, token, count(*) AS n_a FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE doc_id % 2 = 0)
+              WHERE token <> '' GROUP BY 1, 2),
+        cb AS (SELECT source, token, count(*) AS n_b FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE doc_id % 2 = 1)
+              WHERE token <> '' GROUP BY 1, 2),
+        j AS (SELECT source, token,
+                CAST(coalesce(n_a, 0) AS HUGEINT) AS n_a,
+                CAST(coalesce(n_b, 0) AS HUGEINT) AS n_b
+              FROM ca FULL OUTER JOIN cb USING (source, token)),
+        t AS (SELECT source, token, n_a, n_b,
+                sum(n_a) OVER (PARTITION BY source) AS t_a,
+                sum(n_b) OVER (PARTITION BY source) AS t_b
+              FROM j),
+        s AS (SELECT source, token, n_a, n_b,
+                CASE WHEN t_a = 0 OR t_b = 0 THEN 0
+                     ELSE CAST((CAST(1000000 AS HUGEINT) * (n_a*t_b - n_b*t_a) * (n_a*t_b - n_b*t_a))
+                          // ((n_a + n_b) * t_a * t_b) AS BIGINT) END AS chi2_micro
+              FROM t),
+        r AS (SELECT source, token, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                chi2_micro,
+                row_number() OVER (PARTITION BY source ORDER BY chi2_micro DESC, token) AS rank
+              FROM s)
+        SELECT source, token, n_a, n_b, chi2_micro, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 10 ORDER BY source, rank"""
+
   private def bm25IndexFixture(s: SparkSession, dir: String): String = {
     val root = storeFixtureRoot(s, dir, "bm25idx", "documents")
     val store = new core.BucketedStore(root, numBuckets = 16)(s)
@@ -2597,6 +2629,19 @@ object SparkEntry {
           .orderBy("rank")
       },
       Some(sqlTokenDrift)),
+
+    // -- q207: SEGMENTED token drift — per-source two-sample tests in one
+    //    pass, top-10 drifted tokens per source; both windows (group
+    //    totals + group rank) ride ONE hashpartitioning(source) ----------
+    Q("q207_token_drift_by_source",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        ops.TextOps.tokenDriftByGroup(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1), "text", "source", topM = 10)
+          .orderBy("source", "rank")
+      },
+      Some(sqlTokenDriftByGroup)),
 
     // -- q189: the SQL-TVF route for BM25 top-k — graft_bm25_topk over the
     //    documents + query-fixture temp views; expands at analysis time to

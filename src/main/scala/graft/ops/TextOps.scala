@@ -2129,6 +2129,54 @@ object TextOps {
           .orderBy(col("chi2_micro").desc, col("token").asc)))
   }
 
+  /** SEGMENTED token drift — [[tokenDrift]] per group (source, language,
+    * shard…): the monitoring question at 100 TB is rarely "did the corpus
+    * drift" but "WHICH source drifted". Per group, the identical exact
+    * chi-square over that group's own token distribution (each group's
+    * totals are its own t_a/t_b — a group is its own two-sample test),
+    * top-M drifted tokens per group. A group with either side empty
+    * scores 0 everywhere (tokenDrift's empty-snapshot convention, applied
+    * per group).
+    *
+    * Scale shape: the (group, token) count aggregations key their own
+    * exchanges, the full-outer join reuses that partitioning, and then
+    * BOTH the per-group totals (an unordered window sum) and the
+    * per-group rank ride ONE shared hashpartitioning(group) — no totals
+    * join, no second group-keyed shuffle (plan-locked). The `rank ≤ topM`
+    * filter folds into a WindowGroupLimit (per-partition top-M heaps
+    * before the final rank), and the rank window is partitioned by group,
+    * so no single-task funnel at any group count. */
+  def tokenDriftByGroup(dfA: DataFrame, dfB: DataFrame, textCol: String,
+      groupCol: String, topM: Int): DataFrame = {
+    require(topM >= 1, s"topM must be >= 1, got $topM")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def counts(df: DataFrame, out: String) = df
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(groupCol, "token").agg(count(lit(1)).as(out))
+    val joined = counts(dfA, "n_a")
+      .join(counts(dfB, "n_b"), Seq(groupCol, "token"), "full_outer")
+      .select(col(groupCol), col("token"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val withTotals = joined
+      .withColumn("t_a", sum("n_a").over(wg))
+      .withColumn("t_b", sum("n_b").over(wg))
+    val diff = dec(col("n_a")) * dec(col("t_b")) - dec(col("n_b")) * dec(col("t_a"))
+    val contrib = when(col("t_a") === 0 || col("t_b") === 0, lit(0L))
+      .otherwise(call_function("div",
+        dec(lit(1000000L)) * diff * diff,
+        (dec(col("n_a")) + dec(col("n_b"))) * dec(col("t_a")) * dec(col("t_b"))))
+    val wr = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(col("chi2_micro").desc, col("token").asc)
+    withTotals
+      .select(col(groupCol), col("token"), col("n_a"), col("n_b"),
+        contrib.cast("long").as("chi2_micro"))
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= topM)
+  }
+
   /** PII patterns, RE2-safe (no lookahead/backreferences) so the identical
     * literal pattern runs under Java regex AND RE2-based engines. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -558,6 +558,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q207: segmented drift's totals and rank windows share ONE group-keyed exchange; topM folds into WindowGroupLimit") {
+    val p = planOf("q207_token_drift_by_source")
+    // group-keyed exchanges = hashpartitioning(source...) WITHOUT token:
+    // the totals window-sum and the rank window must ride the same one —
+    // a second would mean a totals join crept back in
+    val groupExchanges = "hashpartitioning\\(source#\\d+, \\d+\\)".r.findAllIn(p).size
+    assert(groupExchanges == 1, s"expected exactly 1 group-keyed exchange, got $groupExchanges:\n$p")
+    assert("Window \\[".r.findAllIn(p).size == 2, p)
+    // rank <= topM pushes into the window as a per-partition top-M heap
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q167: unigram encode is ONE map-side pass (no exchange before the protocol sort)") {
     val p = planOf("q167_unigram_encode")
     assert(!p.contains("hashpartitioning"), p)

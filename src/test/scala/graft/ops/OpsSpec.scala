@@ -1884,6 +1884,27 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(grown) == grownRows)
   }
 
+  test("tokenDriftByGroup: each group is its own two-sample test; stable group scores 0; one-side-empty group 0 by convention") {
+    // g1 is the tokenDrift hand case verbatim (x 2000000, z 1000000,
+    // y 333333 at t_a=t_b=3); g2 is distribution-stable; g3 exists only in
+    // snapshot A, so its totals zero the denominator -> all 0
+    val a = Seq(("g1", "x x y"), ("g2", "p p"), ("g3", "q q")).toDF("source", "text")
+    val b = Seq(("g1", "y y z"), ("g2", "p p")).toDF("source", "text")
+    val out = TextOps.tokenDriftByGroup(a, b, "text", "source", topM = 10)
+      .select("source", "token", "chi2_micro", "rank")
+      .as[(String, String, Long, Int)].collect().sortBy(r => (r._1, r._4))
+    val g1 = out.filter(_._1 == "g1").map(r => (r._2, r._3, r._4)).toSeq
+    assert(g1 == Seq(("x", 2000000L, 1), ("z", 1000000L, 2), ("y", 333333L, 3)),
+      s"g1 must reproduce the global hand case within its own totals: $g1")
+    assert(out.filter(_._1 == "g2").forall(_._3 == 0L), "stable group scores 0")
+    assert(out.filter(_._1 == "g3").forall(_._3 == 0L),
+      "one-side-empty group is 0 by convention, per group")
+    // topM truncates per group, not globally
+    val top1 = TextOps.tokenDriftByGroup(a, b, "text", "source", topM = 1)
+      .select("source", "token").as[(String, String)].collect().toSet
+    assert(top1 == Set(("g1", "x"), ("g2", "p"), ("g3", "q")))
+  }
+
   test("tokenDrift: hand-computed chi-square contributions; one-sided tokens rank by full mass") {
     // A: x2 y1 (T_a=3); B: y2 z1 (T_b=3)
     //   x: floor(1e6*36/(2*9)) = 2000000; z: floor(1e6*9/(1*9)) = 1000000
