@@ -374,6 +374,12 @@ object ScaleRehearsal {
           ops.TextOps.tokenProfile(docs.where(col("doc_id") % 2 === 0), "text"),
           ops.TextOps.tokenProfile(docs.where(col("doc_id") % 2 === 1), "text"),
           topM = 40))),
+        // segmented drift: per-group vocab grows with the corpus (replica
+        // families mint new tokens) while both windows ride one shared
+        // group-keyed exchange — expect ~linear, no single-task funnel
+        "q207_token_drift_by_source" -> (() => force(ops.TextOps.tokenDriftByGroup(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "text", "source", topM = 10))),
         // temperature mixture: the rate table stays one-row-per-source
         // (broadcast) however big the corpus gets; the keep filter is
         // map-side — expect ~linear wall tracking corpus bytes
