@@ -2201,6 +2201,38 @@ object SparkEntry {
         ORDER BY corpus_id"""
   }
 
+  /** q208 oracle: [[sqlEmbeddingDrift]] segmented per label — each label's
+    * per-dimension sums are its own pair of snapshots; rank partitioned by
+    * label. */
+  private lazy val sqlEmbeddingDriftByLabel: String = s"""
+        WITH ea AS (SELECT label, $sqlQVec AS v FROM embeddings WHERE vec_id % 2 = 0),
+        eb AS (SELECT label, $sqlQVec AS v FROM embeddings WHERE vec_id % 2 = 1),
+        a AS (SELECT label, i.range - 1 AS pos, CAST(count(*) AS HUGEINT) AS n_a,
+                     CAST(sum(v[i.range]) AS HUGEINT) AS s_a
+              FROM ea CROSS JOIN range(1, 65) i GROUP BY 1, 2),
+        b AS (SELECT label, i.range - 1 AS pos, CAST(count(*) AS HUGEINT) AS n_b,
+                     CAST(sum(v[i.range]) AS HUGEINT) AS s_b
+              FROM eb CROSS JOIN range(1, 65) i GROUP BY 1, 2),
+        j AS (SELECT COALESCE(a.label, b.label) AS label, COALESCE(a.pos, b.pos) AS pos,
+                     COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+                     COALESCE(s_a, 0) AS s_a, COALESCE(s_b, 0) AS s_b,
+                     COALESCE(s_a, 0) * COALESCE(n_b, 0)
+                       - COALESCE(s_b, 0) * COALESCE(n_a, 0) AS diff
+              FROM a FULL OUTER JOIN b ON a.label = b.label AND a.pos = b.pos),
+        r AS (SELECT label, pos, n_a, n_b, s_a, s_b,
+                CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+                     ELSE abs(diff) // (n_a * n_b) END AS shift_micro,
+                CASE WHEN diff > 0 THEN 1 WHEN diff < 0 THEN -1 ELSE 0 END AS direction
+              FROM j)
+        SELECT label, CAST(pos AS INT) AS pos,
+          CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          CAST(s_a AS BIGINT) AS s_a, CAST(s_b AS BIGINT) AS s_b,
+          CAST(shift_micro AS BIGINT) AS shift_micro,
+          CAST(direction AS INT) AS direction,
+          CAST(row_number() OVER (PARTITION BY label
+               ORDER BY shift_micro DESC, pos ASC) AS INT) AS rank
+        FROM r ORDER BY label, rank"""
+
   /** q181 / q184 shared oracle: near-dup clusters + the canonical
     * keep-the-best-member policy (ties → smallest id; singletons keep
     * themselves). q184 is the SQL-TVF route over the identical answer. */
@@ -3175,6 +3207,19 @@ object SparkEntry {
           ORDER BY corpus_id""")
       },
       Some(sqlSemanticDecon(0.95))),
+
+    // -- q208: SEGMENTED embedding drift — per-label mean-shift tests in
+    //    one pass (which segment's representation moved?); rank window
+    //    partitioned by label, so no single-task funnel --------------------
+    Q("q208_embedding_drift_by_label",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        ops.Similarity.embeddingDriftByGroup(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1), "embedding", "label")
+          .orderBy("label", "rank")
+      },
+      Some(sqlEmbeddingDriftByLabel)),
 
     // -- q77: text quality features + token counting ---------------------------
     Q("q77_text_quality",

@@ -545,6 +545,48 @@ object Similarity {
     meanDriftFromSums(sums(dfA, "n_a", "s_a"), sums(dfB, "n_b", "s_b"))
   }
 
+  /** SEGMENTED [[embeddingDrift]] — per group (label, source, encoder
+    * version…): the deployed question is "WHICH segment's representation
+    * moved", not "did the corpus move" ([[graft.ops.TextOps.tokenDriftByGroup]]
+    * is the text-side twin). Per group, the identical exact cleared mean
+    * shift over that group's own per-dimension sums; rank is per group
+    * (shift desc, pos asc). A group with either side empty scores 0 on
+    * every dimension — the empty-snapshot convention applied per group.
+    *
+    * Scale shape: one (group, dim)-keyed count/sum aggregation per
+    * snapshot (map-side partial collapse), a (group, dim)-keyed
+    * full-outer join, and a rank window PARTITIONED by group — unlike the
+    * global op's dim-sized partition-less window, this one scales with
+    * group count, so there is no single-task funnel and no extra cap
+    * beyond quantize's own dim bound. */
+  def embeddingDriftByGroup(dfA: DataFrame, dfB: DataFrame, vecCol: String,
+      groupCol: String, dim: Int = 64): DataFrame = {
+    require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def sums(df: DataFrame, n: String, s: String) = df
+      .select(col(groupCol), posexplode(quantize(col(vecCol), dim)).as(Seq("pos", "__q")))
+      .groupBy(groupCol, "pos")
+      .agg(count(lit(1)).as(n), sum(dec(col("__q"))).as(s))
+    val joined = sums(dfA, "n_a", "s_a")
+      .join(sums(dfB, "n_b", "s_b"), Seq(groupCol, "pos"), "full_outer")
+      .select(col(groupCol), col("pos"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("s_a"), lit(0L).cast("decimal(38,0)")).as("s_a"),
+        coalesce(col("s_b"), lit(0L).cast("decimal(38,0)")).as("s_b"))
+    val rawDiff = col("s_a") * dec(col("n_b")) - col("s_b") * dec(col("n_a"))
+    val shift = when(col("n_a") === 0 || col("n_b") === 0, lit(0L))
+      .otherwise(call_function("div", abs(rawDiff), dec(col("n_a")) * dec(col("n_b"))))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(col("shift_micro").desc, col("pos").asc)
+    joined
+      .select(col(groupCol), col("pos"), col("n_a"), col("n_b"),
+        col("s_a").cast("long").as("s_a"), col("s_b").cast("long").as("s_b"),
+        shift.cast("long").as("shift_micro"),
+        when(rawDiff > 0, 1).when(rawDiff < 0, -1).otherwise(0).as("direction"))
+      .withColumn("rank", row_number().over(w))
+  }
+
   /** [[embeddingDrift]] computed from two STORED [[embeddingProfile]]
     * frames instead of the corpora — the serving read of the streaming
     * monitor ([[graft.streaming.Fastlane.ingestEmbeddingProfile]]): per

@@ -990,6 +990,32 @@ class SimilaritySpec extends SparkSpec {
       Similarity.embeddingDrift(emb, emb, "embedding", dim = 0))
   }
 
+  test("embeddingDriftByGroup: each group is its own snapshot pair; drifted group flags its dim while stable group scores 0; one-side-empty group 0") {
+    def vec(xs: (Int, Float)*) = (0 until 64).map(i => xs.toMap.getOrElse(i, 0.0f))
+    // g1 drifts on dim 1 (the global hand case: B-only mass, shift 250000,
+    // direction -1); g2 is identical across snapshots; g3 exists only in A
+    val a = Seq((1, vec(0 -> 0.25f)), (1, vec(0 -> 0.75f)),
+                (2, vec(4 -> 0.5f)), (3, vec(9 -> 1.0f)))
+      .toDF("label", "embedding")
+    val b = Seq((1, vec(0 -> 0.5f, 1 -> 0.25f)), (2, vec(4 -> 0.5f)))
+      .toDF("label", "embedding")
+    val out = Similarity.embeddingDriftByGroup(a, b, "embedding", "label")
+      .select("label", "pos", "shift_micro", "direction", "rank")
+      .as[(Int, Int, Long, Int, Int)].collect()
+    assert(out.length == 3 * 64)
+    val g1top = out.filter(r => r._1 == 1 && r._5 == 1).head
+    assert(g1top == ((1, 1, 250000L, -1, 1)),
+      s"g1 must reproduce the global hand case within its own totals: $g1top")
+    assert(out.filter(r => r._1 == 1 && r._2 == 0).head._3 == 0L,
+      "g1's equal-mean dim scores 0")
+    assert(out.filter(_._1 == 2).forall(r => r._3 == 0L && r._4 == 0),
+      "stable group scores 0 on every dimension")
+    assert(out.filter(_._1 == 3).forall(r => r._3 == 0L && r._4 == 0),
+      "one-side-empty group is 0 by convention, per group")
+    // per-group rank is dense 1..64 within every group
+    assert(out.groupBy(_._1).forall(_._2.map(_._5).sorted.sameElements(1 to 64)))
+  }
+
   test("embeddingShapeDrift: planted VARIANCE-ONLY shift ranks first with the hand-computed chi-square while the mean monitor scores it 0") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     // identical snapshots: every dimension's chi-square is exactly 0
