@@ -553,6 +553,28 @@ object GraftExtensions {
           table(str(args(1), "tableB")), str(args(2), "vecCol"))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_token_drift_by_group"),
+      info("graft_token_drift_by_group",
+        "graft_token_drift_by_group(tableA, tableB, textCol, groupCol, topM) - SEGMENTED token drift: per group its own exact two-sample chi-square over the group's token distribution, top-M drifted tokens per group; (group, token, n_a, n_b, chi2_micro, rank)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "usage: graft_token_drift_by_group(tableA, tableB, textCol, groupCol, topM)")
+        ops.TextOps.tokenDriftByGroup(table(str(args(0), "tableA")),
+          table(str(args(1), "tableB")), str(args(2), "textCol"),
+          str(args(3), "groupCol"), int(args(4), "topM"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_embedding_drift_by_group"),
+      info("graft_embedding_drift_by_group",
+        "graft_embedding_drift_by_group(tableA, tableB, vecCol, groupCol) - SEGMENTED embedding drift: per group the exact cleared mean shift over the group's own per-dimension sums, rank per group; (group, pos, n_a, n_b, s_a, s_b, shift_micro, direction, rank)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "usage: graft_embedding_drift_by_group(tableA, tableB, vecCol, groupCol)")
+        ops.Similarity.embeddingDriftByGroup(table(str(args(0), "tableA")),
+          table(str(args(1), "tableB")), str(args(2), "vecCol"),
+          str(args(3), "groupCol"))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_semantic_decontaminate"),
       info("graft_semantic_decontaminate",
         "graft_semantic_decontaminate(corpusTable, corpusIdCol, evalTable, evalIdCol, vecCol, threshold) - semantic benchmark decontamination: per corpus document the max cosine against the broadcast eval set (ties -> smaller eval id) and a contaminated flag at the threshold; (corpus_id, max_eval_cosine, nearest_eval_id, contaminated)"),

@@ -2675,6 +2675,42 @@ object SparkEntry {
       },
       Some(sqlTokenDriftByGroup)),
 
+    // -- q209: the SQL-TVF route for segmented token drift — expands at
+    //    analysis time to q207's exact plan, same oracle verbatim ---------
+    Q("q209_sql_tvf_token_drift_by_group",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val aView = s"gdrift_a_tvf_$sfx"
+        val bView = s"gdrift_b_tvf_$sfx"
+        val docs = T(s, dir, "documents")
+        docs.filter(col("doc_id") % 2 === 0).createOrReplaceTempView(aView)
+        docs.filter(col("doc_id") % 2 === 1).createOrReplaceTempView(bView)
+        s.sql(s"""
+          SELECT source, token, n_a, n_b, chi2_micro, rank
+          FROM graft_token_drift_by_group('$aView', '$bView', 'text', 'source', 10)
+          ORDER BY source, rank""")
+      },
+      Some(sqlTokenDriftByGroup)),
+
+    // -- q210: the SQL-TVF route for segmented embedding drift — expands
+    //    at analysis time to q208's exact plan, same oracle verbatim ------
+    Q("q210_sql_tvf_embedding_drift_by_group",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val aView = s"gedrift_a_tvf_$sfx"
+        val bView = s"gedrift_b_tvf_$sfx"
+        val emb = T(s, dir, "embeddings")
+        emb.filter(col("vec_id") % 2 === 0).createOrReplaceTempView(aView)
+        emb.filter(col("vec_id") % 2 === 1).createOrReplaceTempView(bView)
+        s.sql(s"""
+          SELECT label, pos, n_a, n_b, s_a, s_b, shift_micro, direction, rank
+          FROM graft_embedding_drift_by_group('$aView', '$bView', 'embedding', 'label')
+          ORDER BY label, rank""")
+      },
+      Some(sqlEmbeddingDriftByLabel)),
+
     // -- q189: the SQL-TVF route for BM25 top-k — graft_bm25_topk over the
     //    documents + query-fixture temp views; expands at analysis time to
     //    q186's exact plan, same oracle verbatim -------------------------

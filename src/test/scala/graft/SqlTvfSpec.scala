@@ -405,6 +405,24 @@ class SqlTvfSpec extends SparkSpec {
         "vec_id", "vec_id", "embedding", threshold = 0.95))
   }
 
+  test("graft_token_drift_by_group == TextOps.tokenDriftByGroup") {
+    docs.filter(col("doc_id") % 2 === 0).createOrReplaceTempView("tvf_gdrift_a")
+    docs.filter(col("doc_id") % 2 === 1).createOrReplaceTempView("tvf_gdrift_b")
+    same(
+      spark.sql("SELECT * FROM graft_token_drift_by_group('tvf_gdrift_a','tvf_gdrift_b','text','source',5)"),
+      ops.TextOps.tokenDriftByGroup(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text", "source", topM = 5))
+  }
+
+  test("graft_embedding_drift_by_group == Similarity.embeddingDriftByGroup") {
+    emb.filter(col("vec_id") % 2 === 0).createOrReplaceTempView("tvf_gedrift_a")
+    emb.filter(col("vec_id") % 2 === 1).createOrReplaceTempView("tvf_gedrift_b")
+    same(
+      spark.sql("SELECT * FROM graft_embedding_drift_by_group('tvf_gedrift_a','tvf_gedrift_b','embedding','label')"),
+      ops.Similarity.embeddingDriftByGroup(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "embedding", "label"))
+  }
+
   test("non-literal and malformed TVF arguments fail loudly") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception](
