@@ -380,6 +380,17 @@ object ScaleRehearsal {
         "q207_token_drift_by_source" -> (() => force(ops.TextOps.tokenDriftByGroup(
           docs.where(col("doc_id") % 2 === 0),
           docs.where(col("doc_id") % 2 === 1), "text", "source", topM = 10))),
+        // segmented embedding drift: (group, dim)-keyed sums, group-
+        // partitioned rank — expect ~scan-linear, corpora never shuffle.
+        // The scaled frame drops the fixture's label column, so derive a
+        // stable 8-group key: group count fixed while per-group rows
+        // scale — the monitoring shape
+        "q208_embedding_drift_by_label" -> (() => {
+          def lab(df: DataFrame) = df.withColumn("label", (col("vec_id") % 8).cast("int"))
+          force(ops.Similarity.embeddingDriftByGroup(
+            lab(emb.where(col("vec_id") % 2 === 0)),
+            lab(emb.where(col("vec_id") % 2 === 1)), "embedding", "label"))
+        }),
         // temperature mixture: the rate table stays one-row-per-source
         // (broadcast) however big the corpus gets; the keep filter is
         // map-side — expect ~linear wall tracking corpus bytes
