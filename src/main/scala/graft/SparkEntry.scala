@@ -2233,6 +2233,43 @@ object SparkEntry {
                ORDER BY shift_micro DESC, pos ASC) AS INT) AS rank
         FROM r ORDER BY label, rank"""
 
+  /** q211 oracle: [[sqlEmbeddingShapeDrift]] segmented per label — the
+    * chi-square per (label, dim, bin) over each label's own totals, rank
+    * partitioned by label. */
+  private lazy val sqlEmbeddingShapeDriftByLabel: String = s"""
+        WITH ea AS (SELECT label, $sqlQVec AS v FROM embeddings WHERE vec_id % 2 = 0),
+        eb AS (SELECT label, $sqlQVec AS v FROM embeddings WHERE vec_id % 2 = 1),
+        a AS (SELECT label, i.range - 1 AS pos,
+                least(greatest(CAST(floor(CAST(v[i.range] AS DOUBLE) / 31250) AS BIGINT), -8), 7) AS bin,
+                CAST(count(*) AS HUGEINT) AS n_a
+              FROM ea CROSS JOIN range(1, 65) i GROUP BY 1, 2, 3),
+        b AS (SELECT label, i.range - 1 AS pos,
+                least(greatest(CAST(floor(CAST(v[i.range] AS DOUBLE) / 31250) AS BIGINT), -8), 7) AS bin,
+                CAST(count(*) AS HUGEINT) AS n_b
+              FROM eb CROSS JOIN range(1, 65) i GROUP BY 1, 2, 3),
+        j AS (SELECT COALESCE(a.label, b.label) AS label,
+                     COALESCE(a.pos, b.pos) AS pos, COALESCE(a.bin, b.bin) AS bin,
+                     COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+              FROM a FULL OUTER JOIN b
+                ON a.label = b.label AND a.pos = b.pos AND a.bin = b.bin),
+        t AS (SELECT label, pos, bin, n_a, n_b,
+                sum(n_a) OVER (PARTITION BY label, pos) AS t_a,
+                sum(n_b) OVER (PARTITION BY label, pos) AS t_b
+              FROM j),
+        c AS (SELECT label, pos, t_a, t_b,
+                CASE WHEN t_a = 0 OR t_b = 0 THEN CAST(0 AS HUGEINT)
+                     ELSE (1000000 * (n_a*t_b - n_b*t_a) * (n_a*t_b - n_b*t_a))
+                          // ((n_a + n_b) * t_a * t_b) END AS contrib
+              FROM t),
+        d AS (SELECT label, pos, t_a, t_b, sum(contrib) AS chi2
+              FROM c GROUP BY 1, 2, 3, 4)
+        SELECT label, CAST(pos AS INT) AS pos,
+          CAST(t_a AS BIGINT) AS t_a, CAST(t_b AS BIGINT) AS t_b,
+          CAST(chi2 AS BIGINT) AS chi2_micro,
+          CAST(row_number() OVER (PARTITION BY label
+               ORDER BY chi2 DESC, pos ASC) AS INT) AS rank
+        FROM d ORDER BY label, rank"""
+
   /** q181 / q184 shared oracle: near-dup clusters + the canonical
     * keep-the-best-member policy (ties → smallest id; singletons keep
     * themselves). q184 is the SQL-TVF route over the identical answer. */
@@ -3256,6 +3293,19 @@ object SparkEntry {
           .orderBy("label", "rank")
       },
       Some(sqlEmbeddingDriftByLabel)),
+
+    // -- q211: SEGMENTED embedding SHAPE drift — per-label binned
+    //    chi-square, completing the 3x2 monitoring matrix (token/mean/
+    //    shape x global/segmented); rank partitioned by label ------------
+    Q("q211_embedding_shape_drift_by_label",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        ops.Similarity.embeddingShapeDriftByGroup(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1), "embedding", "label")
+          .orderBy("label", "rank")
+      },
+      Some(sqlEmbeddingShapeDriftByLabel)),
 
     // -- q77: text quality features + token counting ---------------------------
     Q("q77_text_quality",

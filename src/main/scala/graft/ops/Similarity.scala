@@ -737,6 +737,58 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
   }
 
+  /** SEGMENTED [[embeddingShapeDrift]] — per group (label, source,
+    * encoder version…), completing the 3×2 monitoring matrix
+    * (token/mean/shape × global/segmented): per group the identical
+    * exact binned two-sample chi-square over that group's own
+    * per-(dim, bin) distribution. A group with either side empty scores
+    * 0 everywhere — the convention, per group.
+    *
+    * Scale shape: (group, dim, bin)-keyed count aggregations (map-side
+    * partial collapse), per-(group, dim) totals as an unordered window
+    * sum riding the (group, dim) exchange, and a rank window PARTITIONED
+    * by group — scales with group count, no single-task funnel. */
+  def embeddingShapeDriftByGroup(dfA: DataFrame, dfB: DataFrame,
+      vecCol: String, groupCol: String, dim: Int = 64, bins: Int = 16,
+      binWidthMicro: Long = 31250L): DataFrame = {
+    require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
+    require(bins >= 2 && bins <= 256 && bins % 2 == 0,
+      s"bins must be even and in [2, 256], got $bins")
+    require(binWidthMicro >= 1,
+      s"binWidthMicro must be >= 1, got $binWidthMicro")
+    val hb = bins / 2
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def binCounts(df: DataFrame, out: String) = df
+      .select(col(groupCol), posexplode(quantize(col(vecCol), dim)).as(Seq("pos", "__q")))
+      .select(col(groupCol), col("pos"),
+        least(greatest(floor(coalesce(col("__q"), lit(0L)) / lit(binWidthMicro)),
+          lit(-hb.toLong)), lit(hb - 1L)).as("bin"))
+      .groupBy(groupCol, "pos", "bin").agg(count(lit(1)).as(out))
+    val binned = binCounts(dfA, "n_a")
+      .join(binCounts(dfB, "n_b"), Seq(groupCol, "pos", "bin"), "full_outer")
+      .select(col(groupCol), col("pos"), col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy(groupCol, "pos")
+    val withTotals = binned
+      .withColumn("t_a", sum("n_a").over(wt))
+      .withColumn("t_b", sum("n_b").over(wt))
+    val diff = dec(col("n_a")) * dec(col("t_b")) - dec(col("n_b")) * dec(col("t_a"))
+    val contrib = when(col("t_a") === 0 || col("t_b") === 0, lit(0L))
+      .otherwise(call_function("div",
+        dec(lit(1000000L)) * diff * diff,
+        (dec(col("n_a")) + dec(col("n_b"))) * dec(col("t_a")) * dec(col("t_b"))))
+    val perDim = withTotals
+      .groupBy(groupCol, "pos", "t_a", "t_b")
+      .agg(sum(contrib).as("__chi2"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(col("chi2_micro").desc, col("pos").asc)
+    perDim
+      .select(col(groupCol), col("pos"), col("t_a"), col("t_b"),
+        col("__chi2").cast("long").as("chi2_micro"))
+      .withColumn("rank", row_number().over(w))
+  }
+
   /** Per-(dimension, bin) embedding PROFILE — the additive sufficient
     * statistic for BOTH drift monitors: `n` = component count in the
     * (pos, bin) bucket, `s` = exact micro-unit component sum there.

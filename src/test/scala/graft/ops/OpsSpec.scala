@@ -1104,6 +1104,30 @@ class SimilaritySpec extends SparkSpec {
       corpus, evalSet, "vec_id", "vec_id", "embedding", threshold = 1.5))
   }
 
+  test("embeddingShapeDriftByGroup: planted variance shift isolates to its group; stable and one-side-empty groups score 0") {
+    def vec(xs: (Int, Float)*) = (0 until 64).map(i => xs.toMap.getOrElse(i, 0.0f))
+    // g1 is the global shape-drift hand case (same mean, tripled spread on
+    // dim 5 -> chi2 4000000); g2 identical distributions; g3 only in A
+    val a = Seq((1, vec(5 -> 0.1f)), (1, vec(5 -> -0.1f)),
+                (2, vec(3 -> 0.2f)), (3, vec(7 -> 1.0f)))
+      .toDF("label", "embedding")
+    val b = Seq((1, vec(5 -> 0.3f)), (1, vec(5 -> -0.3f)),
+                (2, vec(3 -> 0.2f))).toDF("label", "embedding")
+    val out = Similarity.embeddingShapeDriftByGroup(a, b, "embedding", "label")
+      .select("label", "pos", "chi2_micro", "rank")
+      .as[(Int, Int, Long, Int)].collect()
+    assert(out.length == 3 * 64)
+    val g1top = out.filter(r => r._1 == 1 && r._4 == 1).head
+    assert(g1top == ((1, 5, 4000000L, 1)),
+      s"g1 must reproduce the global hand case within its own totals: $g1top")
+    assert(out.filter(r => r._1 == 1 && r._2 != 5).forall(_._3 == 0L))
+    assert(out.filter(_._1 == 2).forall(_._3 == 0L), "stable group scores 0")
+    assert(out.filter(_._1 == 3).forall(_._3 == 0L),
+      "one-side-empty group is 0 by convention, per group")
+    assert(out.groupBy(_._1).forall(_._2.map(_._4).sorted.sameElements(1 to 64)),
+      "per-group rank is dense 1..64")
+  }
+
   test("hardNegatives: anchor-broadcast contract guard fires loudly, by name") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val anchors = emb.filter(col("vec_id") < 5) // 5 anchors > cap of 2
