@@ -391,6 +391,14 @@ object ScaleRehearsal {
             lab(emb.where(col("vec_id") % 2 === 0)),
             lab(emb.where(col("vec_id") % 2 === 1)), "embedding", "label"))
         }),
+        // segmented SHAPE drift: (group, dim, bin)-keyed counts + the two
+        // group-partitioned windows — expect ~scan-linear like its mean twin
+        "q211_embedding_shape_drift_by_label" -> (() => {
+          def lab(df: DataFrame) = df.withColumn("label", (col("vec_id") % 8).cast("int"))
+          force(ops.Similarity.embeddingShapeDriftByGroup(
+            lab(emb.where(col("vec_id") % 2 === 0)),
+            lab(emb.where(col("vec_id") % 2 === 1)), "embedding", "label"))
+        }),
         // temperature mixture: the rate table stays one-row-per-source
         // (broadcast) however big the corpus gets; the keep filter is
         // map-side — expect ~linear wall tracking corpus bytes
