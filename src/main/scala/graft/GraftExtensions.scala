@@ -553,6 +553,22 @@ object GraftExtensions {
           table(str(args(1), "tableB")), str(args(2), "vecCol"))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_token_profile"),
+      info("graft_token_profile",
+        "graft_token_profile(table, textCol) - the token-side ADDITIVE monitor profile: per-token counts (token, n); profile(A UNION B) == profile(A) + profile(B) keyed on token, so stored profiles grow O(batch) and serve graft_token_drift-style monitors without re-touching the corpus"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "usage: graft_token_profile(table, textCol)")
+        ops.TextOps.tokenProfile(table(str(args(0), "table")), str(args(1), "textCol"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_embedding_profile"),
+      info("graft_embedding_profile",
+        "graft_embedding_profile(table, vecCol) - the vector-side ADDITIVE monitor profile: per-(dim, bin) counts and exact micro sums (pos, bin, n, s) serving BOTH the mean and shape drift monitors from storage"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "usage: graft_embedding_profile(table, vecCol)")
+        ops.Similarity.embeddingProfile(table(str(args(0), "table")), str(args(1), "vecCol"))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_token_drift_by_group"),
       info("graft_token_drift_by_group",
         "graft_token_drift_by_group(tableA, tableB, textCol, groupCol, topM) - SEGMENTED token drift: per group its own exact two-sample chi-square over the group's token distribution, top-M drifted tokens per group; (group, token, n_a, n_b, chi2_micro, rank)"),

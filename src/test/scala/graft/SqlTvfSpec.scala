@@ -423,6 +423,17 @@ class SqlTvfSpec extends SparkSpec {
         emb.filter(col("vec_id") % 2 === 1), "embedding", "label"))
   }
 
+  test("graft_token_profile / graft_embedding_profile == the Scala profile builders") {
+    docs.createOrReplaceTempView("tvf_prof_docs")
+    emb.createOrReplaceTempView("tvf_prof_emb")
+    same(
+      spark.sql("SELECT * FROM graft_token_profile('tvf_prof_docs','text')"),
+      ops.TextOps.tokenProfile(docs, "text"))
+    same(
+      spark.sql("SELECT * FROM graft_embedding_profile('tvf_prof_emb','embedding')"),
+      ops.Similarity.embeddingProfile(emb, "embedding"))
+  }
+
   test("non-literal and malformed TVF arguments fail loudly") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception](
