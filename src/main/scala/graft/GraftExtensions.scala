@@ -613,6 +613,95 @@ object GraftExtensions {
           table(str(args(1), "tableB")), str(args(2), "vecCol"))
           .queryExecution.logical
       }),
+    // ---- profile-SERVED monitor reads: a SQL-surface monitor can now
+    // CONSUME the profiles graft_token_profile / graft_embedding_profile
+    // build — each expands to the Scala serving read's exact plan, so the
+    // drift answer is identical to the direct route without ever touching
+    // the corpora at serve time
+    (FunctionIdentifier("graft_token_drift_from_profiles"),
+      info("graft_token_drift_from_profiles",
+        "graft_token_drift_from_profiles(profTableA, profTableB, topM) - tokenDrift SERVED from two stored graft_token_profile frames (token, n): identical answer to the direct route, corpora never touched; (token, n_a, n_b, chi2_micro, rank)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "usage: graft_token_drift_from_profiles(profTableA, profTableB, topM)")
+        ops.TextOps.tokenDriftFromProfiles(table(str(args(0), "profTableA")),
+          table(str(args(1), "profTableB")), int(args(2), "topM"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_embedding_drift_from_profiles"),
+      info("graft_embedding_drift_from_profiles",
+        "graft_embedding_drift_from_profiles(profTableA, profTableB) - embedding MEAN drift SERVED from two stored graft_embedding_profile frames (pos, bin, n, s): folding bins recovers the exact per-dim sums; (pos, n_a, n_b, s_a, s_b, shift_micro, direction, rank)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "usage: graft_embedding_drift_from_profiles(profTableA, profTableB)")
+        ops.Similarity.embeddingDriftFromProfiles(
+          table(str(args(0), "profTableA")), table(str(args(1), "profTableB")))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_embedding_shape_drift_from_profiles"),
+      info("graft_embedding_shape_drift_from_profiles",
+        "graft_embedding_shape_drift_from_profiles(profTableA, profTableB) - embedding SHAPE drift SERVED from the same stored graft_embedding_profile frames: the per-(dim, bin) n IS the binned count; (pos, t_a, t_b, chi2_micro, rank)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "usage: graft_embedding_shape_drift_from_profiles(profTableA, profTableB)")
+        ops.Similarity.embeddingShapeDriftFromProfiles(
+          table(str(args(0), "profTableA")), table(str(args(1), "profTableB")))
+          .queryExecution.logical
+      }),
+    // ---- SEGMENTED profile builders + their profile-served reads --------
+    (FunctionIdentifier("graft_token_profile_by_group"),
+      info("graft_token_profile_by_group",
+        "graft_token_profile_by_group(table, textCol, groupCol) - the SEGMENTED token monitor profile: per-(group, token) counts, additive under (group, token)-keyed sum; serves graft_token_drift_by_group_from_profiles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "usage: graft_token_profile_by_group(table, textCol, groupCol)")
+        ops.TextOps.tokenProfileByGroup(table(str(args(0), "table")),
+          str(args(1), "textCol"), str(args(2), "groupCol"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_embedding_profile_by_group"),
+      info("graft_embedding_profile_by_group",
+        "graft_embedding_profile_by_group(table, vecCol, groupCol) - the SEGMENTED embedding monitor profile: per-(group, dim, bin) counts and exact micro sums, serving BOTH per-group drift monitors from storage"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "usage: graft_embedding_profile_by_group(table, vecCol, groupCol)")
+        ops.Similarity.embeddingProfileByGroup(table(str(args(0), "table")),
+          str(args(1), "vecCol"), str(args(2), "groupCol"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_token_drift_by_group_from_profiles"),
+      info("graft_token_drift_by_group_from_profiles",
+        "graft_token_drift_by_group_from_profiles(profTableA, profTableB, groupCol, topM) - SEGMENTED token drift SERVED from two stored graft_token_profile_by_group frames: identical answer to the direct route, corpora never touched; (group, token, n_a, n_b, chi2_micro, rank)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "usage: graft_token_drift_by_group_from_profiles(profTableA, profTableB, groupCol, topM)")
+        ops.TextOps.tokenDriftByGroupFromProfiles(table(str(args(0), "profTableA")),
+          table(str(args(1), "profTableB")), str(args(2), "groupCol"),
+          int(args(3), "topM"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_embedding_drift_by_group_from_profiles"),
+      info("graft_embedding_drift_by_group_from_profiles",
+        "graft_embedding_drift_by_group_from_profiles(profTableA, profTableB, groupCol) - SEGMENTED embedding MEAN drift SERVED from two stored graft_embedding_profile_by_group frames; (group, pos, n_a, n_b, s_a, s_b, shift_micro, direction, rank)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "usage: graft_embedding_drift_by_group_from_profiles(profTableA, profTableB, groupCol)")
+        ops.Similarity.embeddingDriftByGroupFromProfiles(
+          table(str(args(0), "profTableA")), table(str(args(1), "profTableB")),
+          str(args(2), "groupCol"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_embedding_shape_drift_by_group_from_profiles"),
+      info("graft_embedding_shape_drift_by_group_from_profiles",
+        "graft_embedding_shape_drift_by_group_from_profiles(profTableA, profTableB, groupCol) - SEGMENTED embedding SHAPE drift SERVED from the same stored graft_embedding_profile_by_group frames; (group, pos, t_a, t_b, chi2_micro, rank)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "usage: graft_embedding_shape_drift_by_group_from_profiles(profTableA, profTableB, groupCol)")
+        ops.Similarity.embeddingShapeDriftByGroupFromProfiles(
+          table(str(args(0), "profTableA")), table(str(args(1), "profTableB")),
+          str(args(2), "groupCol"))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_exact_percentiles"),
       info("graft_exact_percentiles",
         "graft_exact_percentiles(table, valueCol, psCsv) - EXACT percentiles of an unbounded-cardinality double column by iterative rank-selection (one p<NN> column per requested percentile). NOTE: the narrowing rounds RUN at analysis time"),

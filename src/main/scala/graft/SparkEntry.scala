@@ -2148,12 +2148,17 @@ object SparkEntry {
   private lazy val sqlEmbeddingShapeDrift: String = s"""
         WITH ea AS (SELECT $sqlQVec AS v FROM embeddings WHERE vec_id % 2 = 0),
         eb AS (SELECT $sqlQVec AS v FROM embeddings WHERE vec_id % 2 = 1),
+        -- COALESCE(component, 0): a position past a short vector's length is
+        -- NULL here, and the engine's convention puts padded positions in
+        -- bin 0 (present, zero component) — without it least/greatest(NULL)
+        -- stays NULL and the routes would silently diverge on any
+        -- short-vector fixture row
         a AS (SELECT i.range - 1 AS pos,
-                least(greatest(CAST(floor(CAST(v[i.range] AS DOUBLE) / 31250) AS BIGINT), -8), 7) AS bin,
+                least(greatest(CAST(floor(CAST(COALESCE(v[i.range], 0) AS DOUBLE) / 31250) AS BIGINT), -8), 7) AS bin,
                 CAST(count(*) AS HUGEINT) AS n_a
               FROM ea CROSS JOIN range(1, 65) i GROUP BY 1, 2),
         b AS (SELECT i.range - 1 AS pos,
-                least(greatest(CAST(floor(CAST(v[i.range] AS DOUBLE) / 31250) AS BIGINT), -8), 7) AS bin,
+                least(greatest(CAST(floor(CAST(COALESCE(v[i.range], 0) AS DOUBLE) / 31250) AS BIGINT), -8), 7) AS bin,
                 CAST(count(*) AS HUGEINT) AS n_b
               FROM eb CROSS JOIN range(1, 65) i GROUP BY 1, 2),
         -- FULL OUTER + coalesce: a (dim, bin) bucket observed on one side
@@ -2239,12 +2244,14 @@ object SparkEntry {
   private lazy val sqlEmbeddingShapeDriftByLabel: String = s"""
         WITH ea AS (SELECT label, $sqlQVec AS v FROM embeddings WHERE vec_id % 2 = 0),
         eb AS (SELECT label, $sqlQVec AS v FROM embeddings WHERE vec_id % 2 = 1),
+        -- COALESCE: padded positions bin to 0, the engine's convention (see
+        -- the q200 oracle's note)
         a AS (SELECT label, i.range - 1 AS pos,
-                least(greatest(CAST(floor(CAST(v[i.range] AS DOUBLE) / 31250) AS BIGINT), -8), 7) AS bin,
+                least(greatest(CAST(floor(CAST(COALESCE(v[i.range], 0) AS DOUBLE) / 31250) AS BIGINT), -8), 7) AS bin,
                 CAST(count(*) AS HUGEINT) AS n_a
               FROM ea CROSS JOIN range(1, 65) i GROUP BY 1, 2, 3),
         b AS (SELECT label, i.range - 1 AS pos,
-                least(greatest(CAST(floor(CAST(v[i.range] AS DOUBLE) / 31250) AS BIGINT), -8), 7) AS bin,
+                least(greatest(CAST(floor(CAST(COALESCE(v[i.range], 0) AS DOUBLE) / 31250) AS BIGINT), -8), 7) AS bin,
                 CAST(count(*) AS HUGEINT) AS n_b
               FROM eb CROSS JOIN range(1, 65) i GROUP BY 1, 2, 3),
         j AS (SELECT COALESCE(a.label, b.label) AS label,
@@ -2747,6 +2754,141 @@ object SparkEntry {
           ORDER BY label, rank""")
       },
       Some(sqlEmbeddingDriftByLabel)),
+
+    // -- q212: SEGMENTED token drift served from stored (group, token)
+    //    profiles — the per-source drift dashboard's read path now matches
+    //    the global monitors (profiles, not corpus re-scans); q207's
+    //    oracle verbatim, route equivalence -------------------------------
+    Q("q212_token_drift_by_group_profiles",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        ops.TextOps.tokenDriftByGroupFromProfiles(
+            ops.TextOps.tokenProfileByGroup(
+              docs.filter(col("doc_id") % 2 === 0), "text", "source"),
+            ops.TextOps.tokenProfileByGroup(
+              docs.filter(col("doc_id") % 2 === 1), "text", "source"),
+            "source", topM = 10)
+          .orderBy("source", "rank")
+      },
+      Some(sqlTokenDriftByGroup)),
+
+    // -- q213: SEGMENTED embedding MEAN drift served from stored
+    //    (group, pos, bin) profiles — folding each label's bins recovers
+    //    its exact per-dim sums; q208's oracle verbatim -------------------
+    Q("q213_embedding_drift_by_group_profiles",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        ops.Similarity.embeddingDriftByGroupFromProfiles(
+            ops.Similarity.embeddingProfileByGroup(
+              emb.filter(col("vec_id") % 2 === 0), "embedding", "label"),
+            ops.Similarity.embeddingProfileByGroup(
+              emb.filter(col("vec_id") % 2 === 1), "embedding", "label"),
+            "label")
+          .orderBy("label", "rank")
+      },
+      Some(sqlEmbeddingDriftByLabel)),
+
+    // -- q214: SEGMENTED embedding SHAPE drift served from the SAME stored
+    //    profiles — the per-(group, dim, bin) n IS the binned count;
+    //    q211's oracle verbatim — the full 3x2 monitoring matrix is now
+    //    profile-servable -------------------------------------------------
+    Q("q214_embedding_shape_drift_by_group_profiles",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        ops.Similarity.embeddingShapeDriftByGroupFromProfiles(
+            ops.Similarity.embeddingProfileByGroup(
+              emb.filter(col("vec_id") % 2 === 0), "embedding", "label"),
+            ops.Similarity.embeddingProfileByGroup(
+              emb.filter(col("vec_id") % 2 === 1), "embedding", "label"),
+            "label")
+          .orderBy("label", "rank")
+      },
+      Some(sqlEmbeddingShapeDriftByLabel)),
+
+    // -- q215: the SQL-TVF route for the PROFILE-SERVED token monitor,
+    //    end-to-end in SQL: the builder TVF materializes the profiles as
+    //    temp views, the serving TVF reads them — a SQL-surface monitor
+    //    can now consume the profiles it builds; q187's oracle verbatim --
+    Q("q215_sql_tvf_token_drift_profiles",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val docs = T(s, dir, "documents")
+        docs.filter(col("doc_id") % 2 === 0).createOrReplaceTempView(s"tprof_src_a_$sfx")
+        docs.filter(col("doc_id") % 2 === 1).createOrReplaceTempView(s"tprof_src_b_$sfx")
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW tprof_a_$sfx AS
+          SELECT * FROM graft_token_profile('tprof_src_a_$sfx', 'text')""")
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW tprof_b_$sfx AS
+          SELECT * FROM graft_token_profile('tprof_src_b_$sfx', 'text')""")
+        s.sql(s"""
+          SELECT token, n_a, n_b, chi2_micro, rank
+          FROM graft_token_drift_from_profiles('tprof_a_$sfx', 'tprof_b_$sfx', 40)
+          ORDER BY rank""")
+      },
+      Some(sqlTokenDrift)),
+
+    // -- q216: the SQL-TVF route for the profile-served embedding MEAN
+    //    monitor — build profiles with graft_embedding_profile, serve with
+    //    graft_embedding_drift_from_profiles; q198's oracle verbatim ------
+    Q("q216_sql_tvf_embedding_drift_profiles",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val emb = T(s, dir, "embeddings")
+        emb.filter(col("vec_id") % 2 === 0).createOrReplaceTempView(s"eprof_src_a_$sfx")
+        emb.filter(col("vec_id") % 2 === 1).createOrReplaceTempView(s"eprof_src_b_$sfx")
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW eprof_a_$sfx AS
+          SELECT * FROM graft_embedding_profile('eprof_src_a_$sfx', 'embedding')""")
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW eprof_b_$sfx AS
+          SELECT * FROM graft_embedding_profile('eprof_src_b_$sfx', 'embedding')""")
+        s.sql(s"""
+          SELECT pos, n_a, n_b, s_a, s_b, shift_micro, direction, rank
+          FROM graft_embedding_drift_from_profiles('eprof_a_$sfx', 'eprof_b_$sfx')
+          ORDER BY rank""")
+      },
+      Some(sqlEmbeddingDrift)),
+
+    // -- q217: the SQL-TVF route for the profile-served embedding SHAPE
+    //    monitor over the SAME profile views as q216 (one profile pair
+    //    serves both monitors); q200's oracle verbatim --------------------
+    Q("q217_sql_tvf_embedding_shape_drift_profiles",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val emb = T(s, dir, "embeddings")
+        emb.filter(col("vec_id") % 2 === 0).createOrReplaceTempView(s"eprof_src_a_$sfx")
+        emb.filter(col("vec_id") % 2 === 1).createOrReplaceTempView(s"eprof_src_b_$sfx")
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW eprof_a_$sfx AS
+          SELECT * FROM graft_embedding_profile('eprof_src_a_$sfx', 'embedding')""")
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW eprof_b_$sfx AS
+          SELECT * FROM graft_embedding_profile('eprof_src_b_$sfx', 'embedding')""")
+        s.sql(s"""
+          SELECT pos, t_a, t_b, chi2_micro, rank
+          FROM graft_embedding_shape_drift_from_profiles('eprof_a_$sfx', 'eprof_b_$sfx')
+          ORDER BY rank""")
+      },
+      Some(sqlEmbeddingShapeDrift)),
+
+    // -- q218: the SQL-TVF route for the SEGMENTED profile-served monitor,
+    //    end-to-end in SQL (build per-source profiles, serve the per-source
+    //    drift from them); q207's oracle verbatim -------------------------
+    Q("q218_sql_tvf_token_drift_by_group_profiles",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val docs = T(s, dir, "documents")
+        docs.filter(col("doc_id") % 2 === 0).createOrReplaceTempView(s"gtprof_src_a_$sfx")
+        docs.filter(col("doc_id") % 2 === 1).createOrReplaceTempView(s"gtprof_src_b_$sfx")
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gtprof_a_$sfx AS
+          SELECT * FROM graft_token_profile_by_group('gtprof_src_a_$sfx', 'text', 'source')""")
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gtprof_b_$sfx AS
+          SELECT * FROM graft_token_profile_by_group('gtprof_src_b_$sfx', 'text', 'source')""")
+        s.sql(s"""
+          SELECT source, token, n_a, n_b, chi2_micro, rank
+          FROM graft_token_drift_by_group_from_profiles('gtprof_a_$sfx', 'gtprof_b_$sfx', 'source', 10)
+          ORDER BY source, rank""")
+      },
+      Some(sqlTokenDriftByGroup)),
 
     // -- q189: the SQL-TVF route for BM25 top-k — graft_bm25_topk over the
     //    documents + query-fixture temp views; expands at analysis time to

@@ -143,9 +143,12 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64,
           (nm.endsWith(".lock") || nm.contains(".tmp.") || nm.endsWith(".tmp")) &&
             s.getModificationTime < horizon
         }
-        .map { s =>
-          fs.delete(s.getPath, false)
-          s"_cursor/${d.getPath.getName}/${s.getPath.getName}"
+        .flatMap { s =>
+          // only report what was ACTUALLY removed — a failed delete (e.g. a
+          // permission issue on a shared store) must not read as reaped
+          if (fs.delete(s.getPath, false))
+            Some(s"_cursor/${d.getPath.getName}/${s.getPath.getName}")
+          else None
         }
     }
   }

@@ -567,8 +567,36 @@ object Similarity {
       .select(col(groupCol), posexplode(quantize(col(vecCol), dim)).as(Seq("pos", "__q")))
       .groupBy(groupCol, "pos")
       .agg(count(lit(1)).as(n), sum(dec(col("__q"))).as(s))
-    val joined = sums(dfA, "n_a", "s_a")
-      .join(sums(dfB, "n_b", "s_b"), Seq(groupCol, "pos"), "full_outer")
+    meanDriftByGroupFromSums(sums(dfA, "n_a", "s_a"), sums(dfB, "n_b", "s_b"),
+      groupCol)
+  }
+
+  /** [[embeddingDriftByGroup]] computed from two STORED
+    * [[embeddingProfileByGroup]] frames instead of the corpora — the
+    * serving read of the segmented streaming monitor: folding each
+    * group's bins recovers its exact per-dim (n, s) (padding convention
+    * included), so the answer is IDENTICAL to running
+    * embeddingDriftByGroup over the corpora the profiles summarize (spec-
+    * and oracle-asserted; q213 shares q208's oracle verbatim). Cost: two
+    * ≤ groups·dim·bins-row scans — the corpora are never touched. */
+  def embeddingDriftByGroupFromProfiles(profA: DataFrame, profB: DataFrame,
+      groupCol: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def sums(p: DataFrame, n: String, s: String) = p
+      .groupBy(groupCol, "pos").agg(sum(col("n")).as(n), sum(dec(col("s"))).as(s))
+    meanDriftByGroupFromSums(sums(profA, "n_a", "s_a"),
+      sums(profB, "n_b", "s_b"), groupCol)
+  }
+
+  /** Shared per-group mean-shift tail of [[embeddingDriftByGroup]] /
+    * [[embeddingDriftByGroupFromProfiles]] — one code path so the direct
+    * and profile-served routes cannot drift. Inputs: (group, pos, n, s)
+    * sums with s already DECIMAL(38,0). */
+  private def meanDriftByGroupFromSums(sumsA: DataFrame, sumsB: DataFrame,
+      groupCol: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val joined = sumsA
+      .join(sumsB, Seq(groupCol, "pos"), "full_outer")
       .select(col(groupCol), col("pos"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"),
@@ -757,15 +785,47 @@ object Similarity {
     require(binWidthMicro >= 1,
       s"binWidthMicro must be >= 1, got $binWidthMicro")
     val hb = bins / 2
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
     def binCounts(df: DataFrame, out: String) = df
       .select(col(groupCol), posexplode(quantize(col(vecCol), dim)).as(Seq("pos", "__q")))
       .select(col(groupCol), col("pos"),
         least(greatest(floor(coalesce(col("__q"), lit(0L)) / lit(binWidthMicro)),
           lit(-hb.toLong)), lit(hb - 1L)).as("bin"))
       .groupBy(groupCol, "pos", "bin").agg(count(lit(1)).as(out))
-    val binned = binCounts(dfA, "n_a")
-      .join(binCounts(dfB, "n_b"), Seq(groupCol, "pos", "bin"), "full_outer")
+    shapeDriftByGroupFromBinned(
+      binCounts(dfA, "n_a")
+        .join(binCounts(dfB, "n_b"), Seq(groupCol, "pos", "bin"), "full_outer"),
+      groupCol)
+  }
+
+  /** [[embeddingShapeDriftByGroup]] computed from two STORED
+    * [[embeddingProfileByGroup]] frames instead of the corpora — the
+    * serving read of the segmented streaming monitor: the profile's
+    * per-(group, dim, bin) n IS the binned count the direct route
+    * aggregates, so the answer is IDENTICAL to running
+    * embeddingShapeDriftByGroup over the corpora the profiles summarize
+    * (spec- and oracle-asserted; q214 shares q211's oracle verbatim).
+    * Inputs are re-aggregated by (group, pos, bin) first, so concatenated
+    * partial profiles are also accepted. Cost: two ≤ groups·dim·bins-row
+    * scans — the corpora are never touched. */
+  def embeddingShapeDriftByGroupFromProfiles(profA: DataFrame,
+      profB: DataFrame, groupCol: String): DataFrame =
+    shapeDriftByGroupFromBinned(
+      profA.groupBy(groupCol, "pos", "bin").agg(sum(col("n")).as("n_a"))
+        .join(profB.groupBy(groupCol, "pos", "bin").agg(sum(col("n")).as("n_b")),
+          Seq(groupCol, "pos", "bin"), "full_outer"),
+      groupCol)
+
+  /** Shared per-group chi-square tail of [[embeddingShapeDriftByGroup]] /
+    * [[embeddingShapeDriftByGroupFromProfiles]] — one code path so the
+    * direct and profile-served routes cannot drift. Input: the
+    * full-outer-joined per-(group, pos, bin) counts with nullable
+    * n_a / n_b. The per-(group, dim) totals window is bounded by `bins`
+    * rows per frame — no vocab-sized buffering (unlike the token family,
+    * which broadcasts its totals for exactly that reason). */
+  private def shapeDriftByGroupFromBinned(joinedBins: DataFrame,
+      groupCol: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val binned = joinedBins
       .select(col(groupCol), col("pos"), col("bin"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
@@ -821,6 +881,41 @@ object Similarity {
           lit(-hb.toLong)), lit(hb - 1L)).as("bin"),
         coalesce(col("__q"), lit(0L)).as("__q0"))
       .groupBy("pos", "bin")
+      .agg(count(lit(1)).as("n"), sum(col("__q0")).as("s"))
+  }
+
+  /** SEGMENTED [[embeddingProfile]] — the additive sufficient statistic
+    * per group, keyed (group, pos, bin): folding a group's bins recovers
+    * its exact per-dim (n, s) for [[embeddingDriftByGroupFromProfiles]]
+    * and the per-(group, pos, bin) n IS
+    * [[embeddingShapeDriftByGroupFromProfiles]]'s binned count — so two
+    * stored segmented profiles answer BOTH per-group monitors without
+    * touching the corpora, closing the r15 asymmetry where only the
+    * global monitors were profile-servable. Additive under
+    * (group, pos, bin)-keyed sum, exact integers — the streaming
+    * maintenance loop
+    * ([[graft.streaming.Fastlane.ingestEmbeddingProfileByGroup]]) grows it
+    * at O(batch + touched buckets) per micro-batch.
+    *
+    * Scale shape: one (group, dim, bin)-keyed count/sum aggregation —
+    * posexplode map-side, partial aggregation collapses each task to
+    * ≤ its-groups·dim·bins rows before the one exchange; the corpus never
+    * shuffles. */
+  def embeddingProfileByGroup(df: DataFrame, vecCol: String,
+      groupCol: String, dim: Int = 64, bins: Int = 16,
+      binWidthMicro: Long = 31250L): DataFrame = {
+    require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
+    require(bins >= 2 && bins <= 256 && bins % 2 == 0,
+      s"bins must be even and in [2, 256], got $bins")
+    require(binWidthMicro >= 1,
+      s"binWidthMicro must be >= 1, got $binWidthMicro")
+    val hb = bins / 2
+    df.select(col(groupCol), posexplode(quantize(col(vecCol), dim)).as(Seq("pos", "__q")))
+      .select(col(groupCol), col("pos"),
+        least(greatest(floor(coalesce(col("__q"), lit(0L)) / lit(binWidthMicro)),
+          lit(-hb.toLong)), lit(hb - 1L)).as("bin"),
+        coalesce(col("__q"), lit(0L)).as("__q0"))
+      .groupBy(groupCol, "pos", "bin")
       .agg(count(lit(1)).as("n"), sum(col("__q0")).as("s"))
   }
 
@@ -1321,6 +1416,17 @@ object Similarity {
       s"threshold is a cosine, must be in [-1, 1], got $threshold")
     require(maxBroadcastEval >= 1,
       s"maxBroadcastEval must be >= 1, got $maxBroadcastEval")
+    // the argmax rides max(struct(cosine, -eval_id)) — negation needs an
+    // integral id; a string id would implicitly cast to double under
+    // non-ANSI mode and yield a NULL nearest_eval_id instead of failing
+    evalSet.schema(evalIdCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"semanticDecontaminate: evalIdCol '$evalIdCol' must be an integral " +
+          s"type (the tie-breaking argmax negates it), got $other — densify " +
+          "string benchmark-item ids to int64 first")
+    }
     // persisted (lazy): the guard's count agg and the broadcast rows both
     // read the eval frame inside the one build (the hardNegatives shape)
     val e0 = evalSet.select(col(evalIdCol).as("eval_id"), quantize(col(vecCol), dim).as("__ev"))

@@ -2139,30 +2139,99 @@ object TextOps {
     * per group).
     *
     * Scale shape: the (group, token) count aggregations key their own
-    * exchanges, the full-outer join reuses that partitioning, and then
-    * BOTH the per-group totals (an unordered window sum) and the
-    * per-group rank ride ONE shared hashpartitioning(group) — no totals
-    * join, no second group-keyed shuffle (plan-locked). The `rank ≤ topM`
-    * filter folds into a WindowGroupLimit (per-partition top-M heaps
-    * before the final rank), and the rank window is partitioned by group,
-    * so no single-task funnel at any group count. */
+    * exchanges and the full-outer join reuses that partitioning. The
+    * per-group totals are a `groupBy(group)` aggregation (map-side partial
+    * collapse to one row per (task, group)) BROADCAST back over the scored
+    * frame — NOT a `Window.partitionBy(group)` sum, which would buffer a
+    * group's ENTIRE vocab-sized (group, token) slice in one window task
+    * (the r15 structural watch item: a 10⁸-token vocab × few groups
+    * funnels 10⁸ rows/task). With the broadcast, the scoring stays on the
+    * (group, token) partitioning — fully parallel at ANY vocab/group
+    * ratio — and the only group-keyed exchanges carry (a) the totals
+    * partial aggregate (≤ groups·tasks rows) and (b) the rank window's
+    * WindowGroupLimit-prefiltered rows (≤ topM·tasks per group;
+    * plan-locked). `maxBroadcastGroups` bounds the broadcast build by a
+    * LOUD in-plan guard (the `maxBroadcastAnchors` discipline) — one row
+    * per group, so the default 2²² covers any realistic segmentation. */
   def tokenDriftByGroup(dfA: DataFrame, dfB: DataFrame, textCol: String,
-      groupCol: String, topM: Int): DataFrame = {
+      groupCol: String, topM: Int,
+      maxBroadcastGroups: Long = 1L << 22): DataFrame = {
     require(topM >= 1, s"topM must be >= 1, got $topM")
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
     def counts(df: DataFrame, out: String) = df
       .select(col(groupCol), explode(split(col(textCol), " ")).as("token"))
       .where(col("token") =!= "")
       .groupBy(groupCol, "token").agg(count(lit(1)).as(out))
-    val joined = counts(dfA, "n_a")
-      .join(counts(dfB, "n_b"), Seq(groupCol, "token"), "full_outer")
+    tokenDriftByGroupFromCounts(counts(dfA, "n_a"), counts(dfB, "n_b"),
+      groupCol, topM, maxBroadcastGroups)
+  }
+
+  /** SEGMENTED [[tokenProfile]] — the additive sufficient statistic per
+    * group: (group, token, n) counts, additive under (group, token)-keyed
+    * sum exactly like the global profile, which is what lets the streaming
+    * maintenance loop
+    * ([[graft.streaming.Fastlane.ingestTokenProfileByGroup]]) keep a
+    * per-source vocabulary profile current at O(batch + touched buckets)
+    * per micro-batch. A stored pair then serves
+    * [[tokenDriftByGroupFromProfiles]] without re-touching the corpora —
+    * the per-source drift dashboard reads profiles, same as the global
+    * monitors. One keyed aggregation; tokenization is [[tokenDrift]]'s
+    * count pass verbatim (whitespace split, empty tokens dropped). */
+  def tokenProfileByGroup(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = df
+    .select(col(groupCol), explode(split(col(textCol), " ")).as("token"))
+    .where(col("token") =!= "")
+    .groupBy(groupCol, "token").agg(count(lit(1)).as("n"))
+
+  /** [[tokenDriftByGroup]] computed from two STORED
+    * [[tokenProfileByGroup]] frames instead of the corpora — the serving
+    * read of the segmented streaming monitor: the profile's per-(group,
+    * token) n IS the count the direct route aggregates, so the answer is
+    * IDENTICAL to running tokenDriftByGroup over the corpora the profiles
+    * summarize (spec- and oracle-asserted; q212 shares q207's oracle
+    * verbatim). Inputs are re-aggregated by (group, token) first, so
+    * concatenated partial profiles are also accepted. Cost: two
+    * vocab-bounded scans — the corpora are never touched at serve time. */
+  def tokenDriftByGroupFromProfiles(profA: DataFrame, profB: DataFrame,
+      groupCol: String, topM: Int,
+      maxBroadcastGroups: Long = 1L << 22): DataFrame = {
+    require(topM >= 1, s"topM must be >= 1, got $topM")
+    tokenDriftByGroupFromCounts(
+      profA.groupBy(groupCol, "token").agg(sum(col("n")).as("n_a")),
+      profB.groupBy(groupCol, "token").agg(sum(col("n")).as("n_b")),
+      groupCol, topM, maxBroadcastGroups)
+  }
+
+  /** Shared per-group chi-square tail of [[tokenDriftByGroup]] /
+    * [[tokenDriftByGroupFromProfiles]] — one code path so the direct and
+    * profile-served routes cannot drift. Inputs: per-(group, token) counts.
+    * See [[tokenDriftByGroup]] for the broadcast-totals scale argument. */
+  private def tokenDriftByGroupFromCounts(ca: DataFrame, cb: DataFrame,
+      groupCol: String, topM: Int, maxBroadcastGroups: Long): DataFrame = {
+    require(maxBroadcastGroups >= 1,
+      s"maxBroadcastGroups must be >= 1, got $maxBroadcastGroups")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // persisted (vocab-bounded): the totals aggregation and the scoring
+    // join both read it — uncached each branch re-counts BOTH corpora
+    val joined = ca.join(cb, Seq(groupCol, "token"), "full_outer")
       .select(col(groupCol), col("token"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
-    val wg = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
-    val withTotals = joined
-      .withColumn("t_a", sum("n_a").over(wg))
-      .withColumn("t_b", sum("n_b").over(wg))
+      .persistTracked()
+    // persisted (one row per group): the guard's count and the broadcast
+    // rows both read it inside the one build
+    val totals0 = joined.groupBy(groupCol)
+      .agg(sum("n_a").as("t_a"), sum("n_b").as("t_b"))
+      .persistTracked()
+    val ngr = totals0.agg(count(lit(1)).as("__ng"))
+    val totals = totals0.crossJoin(ngr)
+      .select(col(groupCol),
+        (col("t_a") + when(col("__ng") > maxBroadcastGroups,
+          raise_error(concat(lit("tokenDriftByGroup: "), col("__ng"),
+            lit(s" groups > maxBroadcastGroups=$maxBroadcastGroups — the " +
+              "per-group totals broadcast one row per group; a group " +
+              "column this wide is an id, not a segmentation — raise the " +
+              "cap if the executors have the memory")))).otherwise(lit(0L))).as("t_a"),
+        col("t_b"))
     val diff = dec(col("n_a")) * dec(col("t_b")) - dec(col("n_b")) * dec(col("t_a"))
     val contrib = when(col("t_a") === 0 || col("t_b") === 0, lit(0L))
       .otherwise(call_function("div",
@@ -2170,7 +2239,7 @@ object TextOps {
         (dec(col("n_a")) + dec(col("n_b"))) * dec(col("t_a")) * dec(col("t_b"))))
     val wr = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
       .orderBy(col("chi2_micro").desc, col("token").asc)
-    withTotals
+    joined.join(broadcast(totals), Seq(groupCol))
       .select(col(groupCol), col("token"), col("n_a"), col("n_b"),
         contrib.cast("long").as("chi2_micro"))
       .withColumn("rank", row_number().over(wr))

@@ -307,6 +307,91 @@ object Fastlane {
       ()
     }
 
+  /** SEGMENTED streaming token-profile maintenance —
+    * [[ingestTokenProfile]] keyed (group, token): each micro-batch counts
+    * its own (group, token) pairs
+    * ([[graft.ops.TextOps.tokenProfileByGroup]]) and merge-ADDS them into
+    * the stored segmented profile, so a per-source drift dashboard
+    * ([[graft.ops.TextOps.tokenDriftByGroupFromProfiles]]) reads stored
+    * profiles instead of re-scanning both corpora per refresh — the r15
+    * asymmetry where only the GLOBAL monitors were profile-servable is
+    * closed. Per-batch IO stays O(batch + touched buckets): `readTouched`
+    * pulls only the hash buckets containing the batch's (group, token)
+    * keys. Stream-grown ≡ batch-built over the accumulated corpus
+    * (spec-asserted); adds are not idempotent → the shared lineage fence
+    * ([[fencedApply]]); Σn == total tokens ingested is the cheap audit. */
+  def ingestTokenProfileByGroup(
+      stream: DataFrame, textCol: String, groupCol: String,
+      store: graft.core.BucketedStore, feature: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow())
+      (implicit spark: SparkSession): StreamingQuery =
+    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
+      fencedApply(store, feature, checkpointDir, batchId) {
+        // persisted: read by the touched-bucket probe AND the merge add
+        val bp = graft.ops.TextOps.tokenProfileByGroup(batch, textCol, groupCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (store.latestVersion(feature).isEmpty)
+          store.write(bp, feature, Seq(groupCol, "token"))
+        else {
+          val touched = store.readTouched(feature, Seq(groupCol, "token"),
+            bp.select(groupCol, "token"), None)
+          val merged = touched.select(col(groupCol), col("token"), col("n").as("__n0"))
+            .join(bp, Seq(groupCol, "token"), "full_outer")
+            .select(col(groupCol), col("token"),
+              (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"))
+          store.merge(feature, merged, Seq(groupCol, "token"))
+        }
+        bp.unpersist()
+      }
+      ()
+    }
+
+  /** SEGMENTED streaming embedding-profile maintenance —
+    * [[ingestEmbeddingProfile]] keyed (group, pos, bin): each micro-batch
+    * profiles its own vectors per group
+    * ([[graft.ops.Similarity.embeddingProfileByGroup]]) and merge-ADDS the
+    * (n, s) statistics into the stored segmented profile, which then
+    * serves BOTH per-group monitors
+    * ([[graft.ops.Similarity.embeddingDriftByGroupFromProfiles]] /
+    * [[graft.ops.Similarity.embeddingShapeDriftByGroupFromProfiles]])
+    * without re-touching the corpora. Unlike the global loop (≤ dim·bins
+    * rows — a full rewrite per batch is cheap), the segmented profile is
+    * groups·dim·bins-sized, so the merge goes through `readTouched` and
+    * rewrites only the buckets carrying the batch's own groups' keys —
+    * O(batch + touched buckets), the token-loop shape. Stream-grown ≡
+    * batch-built (spec-asserted); adds are not idempotent → the shared
+    * lineage fence; Σn == dim · (vectors ingested) is the cheap audit. */
+  def ingestEmbeddingProfileByGroup(
+      stream: DataFrame, vecCol: String, groupCol: String,
+      store: graft.core.BucketedStore, feature: String,
+      checkpointDir: String,
+      dim: Int = 64, bins: Int = 16, binWidthMicro: Long = 31250L,
+      trigger: Trigger = Trigger.AvailableNow())
+      (implicit spark: SparkSession): StreamingQuery =
+    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
+      fencedApply(store, feature, checkpointDir, batchId) {
+        val bp = graft.ops.Similarity.embeddingProfileByGroup(
+            batch, vecCol, groupCol, dim, bins, binWidthMicro)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (store.latestVersion(feature).isEmpty)
+          store.write(bp, feature, Seq(groupCol, "pos", "bin"))
+        else {
+          val touched = store.readTouched(feature, Seq(groupCol, "pos", "bin"),
+            bp.select(groupCol, "pos", "bin"), None)
+          val merged = touched.select(col(groupCol), col("pos"), col("bin"),
+              col("n").as("__n0"), col("s").as("__s0"))
+            .join(bp, Seq(groupCol, "pos", "bin"), "full_outer")
+            .select(col(groupCol), col("pos"), col("bin"),
+              (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"),
+              (coalesce(col("__s0"), lit(0L)) + coalesce(col("s"), lit(0L))).as("s"))
+          store.merge(feature, merged, Seq(groupCol, "pos", "bin"))
+        }
+        bp.unpersist()
+      }
+      ()
+    }
+
   /** Cheap double-apply detector for a streaming-grown BM25 index (the
     * residual [[ingestBm25Indexed]]'s at-least-once fence cannot close:
     * a crash inside the apply→fence window, or an operator replaying one

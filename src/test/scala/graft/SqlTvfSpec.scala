@@ -434,6 +434,53 @@ class SqlTvfSpec extends SparkSpec {
       ops.Similarity.embeddingProfile(emb, "embedding"))
   }
 
+  test("profile-served monitor TVFs: build with the builder TVFs, serve with the from_profiles TVFs == the direct Scala routes") {
+    docs.filter(col("doc_id") % 2 === 0).createOrReplaceTempView("tvf_psrv_da")
+    docs.filter(col("doc_id") % 2 === 1).createOrReplaceTempView("tvf_psrv_db")
+    emb.filter(col("vec_id") % 2 === 0).createOrReplaceTempView("tvf_psrv_ea")
+    emb.filter(col("vec_id") % 2 === 1).createOrReplaceTempView("tvf_psrv_eb")
+    // build the profiles entirely in SQL — the serving read consumes them
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW tvf_psrv_tpa AS SELECT * FROM graft_token_profile('tvf_psrv_da','text')")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW tvf_psrv_tpb AS SELECT * FROM graft_token_profile('tvf_psrv_db','text')")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW tvf_psrv_epa AS SELECT * FROM graft_embedding_profile('tvf_psrv_ea','embedding')")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW tvf_psrv_epb AS SELECT * FROM graft_embedding_profile('tvf_psrv_eb','embedding')")
+    same(
+      spark.sql("SELECT * FROM graft_token_drift_from_profiles('tvf_psrv_tpa','tvf_psrv_tpb',20)"),
+      ops.TextOps.tokenDrift(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text", topM = 20))
+    same(
+      spark.sql("SELECT * FROM graft_embedding_drift_from_profiles('tvf_psrv_epa','tvf_psrv_epb')"),
+      ops.Similarity.embeddingDrift(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "embedding"))
+    same(
+      spark.sql("SELECT * FROM graft_embedding_shape_drift_from_profiles('tvf_psrv_epa','tvf_psrv_epb')"),
+      ops.Similarity.embeddingShapeDrift(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "embedding"))
+  }
+
+  test("SEGMENTED profile TVFs: grouped builders + grouped from_profiles reads == the direct Scala routes") {
+    docs.filter(col("doc_id") % 2 === 0).createOrReplaceTempView("tvf_gp_da")
+    docs.filter(col("doc_id") % 2 === 1).createOrReplaceTempView("tvf_gp_db")
+    emb.filter(col("vec_id") % 2 === 0).createOrReplaceTempView("tvf_gp_ea")
+    emb.filter(col("vec_id") % 2 === 1).createOrReplaceTempView("tvf_gp_eb")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW tvf_gp_tpa AS SELECT * FROM graft_token_profile_by_group('tvf_gp_da','text','source')")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW tvf_gp_tpb AS SELECT * FROM graft_token_profile_by_group('tvf_gp_db','text','source')")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW tvf_gp_epa AS SELECT * FROM graft_embedding_profile_by_group('tvf_gp_ea','embedding','label')")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW tvf_gp_epb AS SELECT * FROM graft_embedding_profile_by_group('tvf_gp_eb','embedding','label')")
+    same(
+      spark.sql("SELECT * FROM graft_token_drift_by_group_from_profiles('tvf_gp_tpa','tvf_gp_tpb','source',5)"),
+      ops.TextOps.tokenDriftByGroup(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text", "source", topM = 5))
+    same(
+      spark.sql("SELECT * FROM graft_embedding_drift_by_group_from_profiles('tvf_gp_epa','tvf_gp_epb','label')"),
+      ops.Similarity.embeddingDriftByGroup(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "embedding", "label"))
+    same(
+      spark.sql("SELECT * FROM graft_embedding_shape_drift_by_group_from_profiles('tvf_gp_epa','tvf_gp_epb','label')"),
+      ops.Similarity.embeddingShapeDriftByGroup(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "embedding", "label"))
+  }
+
   test("non-literal and malformed TVF arguments fail loudly") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception](

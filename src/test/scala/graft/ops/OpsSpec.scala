@@ -1953,6 +1953,84 @@ class TextOpsSpec extends SparkSpec {
     val top1 = TextOps.tokenDriftByGroup(a, b, "text", "source", topM = 1)
       .select("source", "token").as[(String, String)].collect().toSet
     assert(top1 == Set(("g1", "x"), ("g2", "p"), ("g3", "q")))
+    // the totals-broadcast contract fires loudly, by name
+    val e = intercept[Exception] {
+      TextOps.tokenDriftByGroup(a, b, "text", "source", topM = 10,
+        maxBroadcastGroups = 2L).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("maxBroadcastGroups"), s"guard must fail by name: $msg")
+  }
+
+  test("tokenDriftByGroupFromProfiles: profile-served == direct, bit-identical; concatenated partial profiles accepted") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("source", "token", "n_a", "n_b", "chi2_micro", "rank")
+      .as[(String, String, Long, Long, Long, Int)]
+      .collect().sortBy(r => (r._1, r._6)).toSeq
+    val direct = rows(TextOps.tokenDriftByGroup(a, b, "text", "source", topM = 10))
+    val served = rows(TextOps.tokenDriftByGroupFromProfiles(
+      TextOps.tokenProfileByGroup(a, "text", "source"),
+      TextOps.tokenProfileByGroup(b, "text", "source"), "source", topM = 10))
+    assert(direct.nonEmpty && served == direct,
+      "the segmented profile-served route must be identical to the direct route")
+    // additivity: a profile assembled from concatenated PARTIAL profiles
+    // (the streaming-grown layout before any merge) serves the same answer
+    val aPartial = TextOps.tokenProfileByGroup(
+        a.filter(col("doc_id") % 4 === 0), "text", "source")
+      .union(TextOps.tokenProfileByGroup(
+        a.filter(col("doc_id") % 4 === 2), "text", "source"))
+    val servedPartial = rows(TextOps.tokenDriftByGroupFromProfiles(
+      aPartial, TextOps.tokenProfileByGroup(b, "text", "source"),
+      "source", topM = 10))
+    assert(servedPartial == direct, "concatenated partials must re-aggregate")
+  }
+
+  test("embedding drift by group from profiles: BOTH per-group monitors served from one stored profile pair == direct routes") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val profA = Similarity.embeddingProfileByGroup(a, "embedding", "label")
+    val profB = Similarity.embeddingProfileByGroup(b, "embedding", "label")
+    // mean monitor
+    def meanRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("label", "pos", "n_a", "n_b", "s_a", "s_b", "shift_micro",
+        "direction", "rank")
+      .as[(Int, Int, Long, Long, Long, Long, Long, Int, Int)]
+      .collect().sortBy(r => (r._1, r._9)).toSeq
+    val meanDirect = meanRows(
+      Similarity.embeddingDriftByGroup(a, b, "embedding", "label"))
+    assert(meanDirect.nonEmpty &&
+      meanRows(Similarity.embeddingDriftByGroupFromProfiles(profA, profB, "label"))
+        == meanDirect,
+      "per-group mean drift served from profiles must equal the direct route")
+    // shape monitor, from the SAME profiles
+    def shapeRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("label", "pos", "t_a", "t_b", "chi2_micro", "rank")
+      .as[(Int, Int, Long, Long, Long, Int)]
+      .collect().sortBy(r => (r._1, r._6)).toSeq
+    val shapeDirect = shapeRows(
+      Similarity.embeddingShapeDriftByGroup(a, b, "embedding", "label"))
+    assert(shapeDirect.nonEmpty &&
+      shapeRows(Similarity.embeddingShapeDriftByGroupFromProfiles(profA, profB, "label"))
+        == shapeDirect,
+      "per-group shape drift served from the same profiles must equal the direct route")
+    // padding convention survives the profile round-trip: short vectors'
+    // padded positions count into bin 0 with s += 0 on both routes
+    def vec(n: Int, xs: (Int, Float)*) = (0 until n).map(i => xs.toMap.getOrElse(i, 0.0f))
+    val shortA = Seq((1, vec(3, 0 -> 0.5f)), (2, vec(64, 1 -> 0.25f)))
+      .toDF("label", "embedding")
+    val shortB = Seq((1, vec(64, 0 -> 0.5f)), (2, vec(5, 1 -> 0.75f)))
+      .toDF("label", "embedding")
+    val sDirect = meanRows(
+      Similarity.embeddingDriftByGroup(shortA, shortB, "embedding", "label"))
+    val sServed = meanRows(Similarity.embeddingDriftByGroupFromProfiles(
+      Similarity.embeddingProfileByGroup(shortA, "embedding", "label"),
+      Similarity.embeddingProfileByGroup(shortB, "embedding", "label"), "label"))
+    assert(sServed == sDirect, "padded positions must fold back identically")
   }
 
   test("tokenDrift: hand-computed chi-square contributions; one-sided tokens rank by full mass") {

@@ -299,6 +299,98 @@ class FastlaneSpec extends SparkSpec {
     assert(storedRows() == grown, "replayed batches must not double-count")
   }
 
+  test("ingestTokenProfileByGroup: stream-grown segmented profile bit-identical to one-shot; per-group drift served from storage == direct; replay fenced") {
+    import graft.ops.TextOps
+    val srcDir = tmpDir("gtprof_src")
+    val store = new graft.core.BucketedStore(tmpDir("gtprof_store"), numBuckets = 8)
+    val ckpt = tmpDir("gtprof_ckpt")
+    def stream() = spark.readStream
+      .schema("source STRING, text STRING").json(s"$srcDir/*")
+    val b1 = Seq(("s1", "x x y"), ("s2", "p p"))
+    val b2 = Seq(("s1", "y z"), ("s2", "p q"), ("s3", "m m"))
+    b1.toDF("source", "text").write.mode("overwrite").json(s"$srcDir/b1")
+    Fastlane.ingestTokenProfileByGroup(stream(), "text", "source", store,
+      "gtprof", ckpt).awaitTermination(60000)
+    b2.toDF("source", "text").write.mode("overwrite").json(s"$srcDir/b2")
+    Fastlane.ingestTokenProfileByGroup(stream(), "text", "source", store,
+      "gtprof", ckpt).awaitTermination(60000)
+    def storedRows() = store.read("gtprof", Seq("source", "token"))
+      .select("source", "token", "n").as[(String, String, Long)].collect().toSet
+    val grown = storedRows()
+    val union = (b1 ++ b2).toDF("source", "text")
+    val oneShot = TextOps.tokenProfileByGroup(union, "text", "source")
+      .as[(String, String, Long)].collect().toSet
+    assert(grown.nonEmpty && grown == oneShot,
+      "additive growth must be BIT-identical to a one-shot segmented count")
+    assert(grown.toSeq.map(_._3).sum == 11L, "Σn == total tokens ingested")
+    // the per-source dashboard read: drift served from the STORED profile
+    // equals the direct two-corpus scan
+    val ref = Seq(("s1", "y y z"), ("s2", "p"), ("s4", "r")).toDF("source", "text")
+    val served = TextOps.tokenDriftByGroupFromProfiles(
+        store.read("gtprof", Seq("source", "token")),
+        TextOps.tokenProfileByGroup(ref, "text", "source"), "source", topM = 10)
+      .orderBy("source", "rank").collect().toSeq
+    val direct = TextOps.tokenDriftByGroup(union, ref, "text", "source", topM = 10)
+      .orderBy("source", "rank").collect().toSeq
+    assert(served.nonEmpty && served == direct,
+      "profile-served per-group drift must equal the direct route")
+    // a replayed run under the same checkpoint lineage is fenced out
+    Fastlane.ingestTokenProfileByGroup(stream(), "text", "source", store,
+      "gtprof", ckpt).awaitTermination(60000)
+    assert(storedRows() == grown, "replayed batches must not double-count")
+  }
+
+  test("ingestEmbeddingProfileByGroup: stream-grown segmented profile bit-identical to one-shot; BOTH per-group monitors served from storage == direct") {
+    import graft.ops.Similarity
+    val srcDir = tmpDir("geprof_src")
+    val store = new graft.core.BucketedStore(tmpDir("geprof_store"), numBuckets = 8)
+    val ckpt = tmpDir("geprof_ckpt")
+    def stream() = spark.readStream
+      .schema("label INT, embedding ARRAY<FLOAT>").json(s"$srcDir/*")
+    def vec(xs: (Int, Float)*) = (0 until 64).map(i => xs.toMap.getOrElse(i, 0.0f))
+    val b1 = Seq((1, vec(5 -> 0.1f)), (2, vec(7 -> 0.2f)))
+    val b2 = Seq((1, vec(5 -> -0.1f)), (2, vec(7 -> 0.2f)), (3, vec(0 -> 1.0f)))
+    b1.toDF("label", "embedding").write.mode("overwrite").json(s"$srcDir/b1")
+    Fastlane.ingestEmbeddingProfileByGroup(stream(), "embedding", "label",
+      store, "geprof", ckpt).awaitTermination(60000)
+    b2.toDF("label", "embedding").write.mode("overwrite").json(s"$srcDir/b2")
+    Fastlane.ingestEmbeddingProfileByGroup(stream(), "embedding", "label",
+      store, "geprof", ckpt).awaitTermination(60000)
+    def storedRows() = store.read("geprof", Seq("label", "pos", "bin"))
+      .select("label", "pos", "bin", "n", "s")
+      .as[(Int, Int, Long, Long, Long)].collect().toSet
+    val grown = storedRows()
+    val union = (b1 ++ b2).toDF("label", "embedding")
+    val oneShot = Similarity.embeddingProfileByGroup(union, "embedding", "label")
+      .select("label", "pos", "bin", "n", "s")
+      .as[(Int, Int, Long, Long, Long)].collect().toSet
+    assert(grown.nonEmpty && grown == oneShot,
+      "additive growth must be BIT-identical to a one-shot segmented profile")
+    assert(grown.toSeq.map(_._4).sum == 64L * 5, "Σn == dim · vectors ingested")
+    // one stored profile pair answers BOTH per-group monitors identically
+    // to the direct routes
+    val ref = Seq((1, vec(5 -> 0.05f)), (2, vec(7 -> 0.6f)), (4, vec(2 -> 0.5f)))
+      .toDF("label", "embedding")
+    val refProf = Similarity.embeddingProfileByGroup(ref, "embedding", "label")
+    val stored = store.read("geprof", Seq("label", "pos", "bin"))
+    val meanServed = Similarity.embeddingDriftByGroupFromProfiles(stored, refProf, "label")
+      .orderBy("label", "rank").collect().toSeq
+    val meanDirect = Similarity.embeddingDriftByGroup(union, ref, "embedding", "label")
+      .orderBy("label", "rank").collect().toSeq
+    assert(meanServed.nonEmpty && meanServed == meanDirect,
+      "profile-served per-group mean drift must equal the direct route")
+    val shapeServed = Similarity.embeddingShapeDriftByGroupFromProfiles(stored, refProf, "label")
+      .orderBy("label", "rank").collect().toSeq
+    val shapeDirect = Similarity.embeddingShapeDriftByGroup(union, ref, "embedding", "label")
+      .orderBy("label", "rank").collect().toSeq
+    assert(shapeServed.nonEmpty && shapeServed == shapeDirect,
+      "profile-served per-group shape drift must equal the direct route")
+    // replay fence
+    Fastlane.ingestEmbeddingProfileByGroup(stream(), "embedding", "label",
+      store, "geprof", ckpt).awaitTermination(60000)
+    assert(storedRows() == grown, "replayed batches must not double-count")
+  }
+
   test("ingestPassageDeduped: streaming passage gate == batch paragraphDedup over the union") {
     val corpusDir = tmpDir("ingp_corpus") + "/c"
     val srcDir = tmpDir("ingp_src")
