@@ -691,6 +691,18 @@ object GraftExtensions {
           str(args(2), "groupCol"))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_embedding_drift_attribution"),
+      info("graft_embedding_drift_attribution",
+        "graft_embedding_drift_attribution(tableA, tableB, idCol, vecCol, topD, topK) - drift ATTRIBUTION: for each of A->B's top-D drifted dimensions, the top-K snapshot-B vectors pulling B's mean away from A's, by exact scaled pull; (pos, shift_micro, direction, vec_id, comp_micro, contrib_scaled, contrib_rank)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "usage: graft_embedding_drift_attribution(tableA, tableB, idCol, vecCol, topD, topK)")
+        ops.Similarity.embeddingDriftAttribution(table(str(args(0), "tableA")),
+          table(str(args(1), "tableB")), str(args(2), "idCol"),
+          str(args(3), "vecCol"), topD = int(args(4), "topD"),
+          topK = int(args(5), "topK"))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_embedding_shape_drift_by_group_from_profiles"),
       info("graft_embedding_shape_drift_by_group_from_profiles",
         "graft_embedding_shape_drift_by_group_from_profiles(profTableA, profTableB, groupCol) - SEGMENTED embedding SHAPE drift SERVED from the same stored graft_embedding_profile_by_group frames; (group, pos, t_a, t_b, chi2_micro, rank)"),

@@ -2180,6 +2180,59 @@ object SparkEntry {
           CAST(row_number() OVER (ORDER BY chi2 DESC, pos ASC) AS INT) AS rank
         FROM d ORDER BY rank"""
 
+  /** q219 / q220 shared oracle: embedding-drift ATTRIBUTION — the
+    * [[sqlEmbeddingDrift]] chain ranks the drifted dimensions, the top-5
+    * broadcast over snapshot B's exploded components, and per dimension
+    * the top-10 vectors by the exact scaled pull
+    * −direction·(q·n_a − s_a) in HUGEINT (ties → smaller vec_id). q220 is
+    * the SQL-TVF route over the identical answer. */
+  private lazy val sqlEmbeddingDriftAttribution: String = s"""
+        WITH ea AS (SELECT $sqlQVec AS v FROM embeddings WHERE vec_id % 2 = 0),
+        eb AS MATERIALIZED (SELECT vec_id, $sqlQVec AS v
+             FROM embeddings WHERE vec_id % 2 = 1),
+        a AS (SELECT i.range - 1 AS pos, CAST(count(*) AS HUGEINT) AS n_a,
+                     CAST(sum(v[i.range]) AS HUGEINT) AS s_a
+              FROM ea CROSS JOIN range(1, 65) i GROUP BY 1),
+        b AS (SELECT i.range - 1 AS pos, CAST(count(*) AS HUGEINT) AS n_b,
+                     CAST(sum(v[i.range]) AS HUGEINT) AS s_b
+              FROM eb CROSS JOIN range(1, 65) i GROUP BY 1),
+        j AS (SELECT COALESCE(a.pos, b.pos) AS pos,
+                     COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+                     COALESCE(s_a, 0) AS s_a,
+                     COALESCE(s_a, 0) * COALESCE(n_b, 0)
+                       - COALESCE(s_b, 0) * COALESCE(n_a, 0) AS diff
+              FROM a FULL OUTER JOIN b ON a.pos = b.pos),
+        r0 AS (SELECT pos, n_a, s_a,
+                CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+                     ELSE abs(diff) // (n_a * n_b) END AS shift_micro,
+                CASE WHEN diff > 0 THEN 1 WHEN diff < 0 THEN -1 ELSE 0 END AS direction
+              FROM j),
+        d AS (SELECT * FROM (SELECT *,
+                row_number() OVER (ORDER BY shift_micro DESC, pos ASC) AS rank
+              FROM r0) WHERE rank <= 5),
+        -- COALESCE: padded positions carry component 0, the family
+        -- convention (see the q200 oracle's note)
+        x AS (SELECT eb.vec_id, i.range - 1 AS pos,
+                     CAST(COALESCE(v[i.range], 0) AS BIGINT) AS comp_micro
+              FROM eb CROSS JOIN range(1, 65) i),
+        c AS (SELECT d.pos, d.shift_micro, d.direction, x.vec_id, x.comp_micro,
+                CASE WHEN d.direction = 1
+                       THEN d.s_a - CAST(x.comp_micro AS HUGEINT) * d.n_a
+                     WHEN d.direction = -1
+                       THEN CAST(x.comp_micro AS HUGEINT) * d.n_a - d.s_a
+                     ELSE CAST(0 AS HUGEINT) END AS contrib
+              FROM x JOIN d ON d.pos = x.pos)
+        SELECT CAST(pos AS INT) AS pos,
+               CAST(shift_micro AS BIGINT) AS shift_micro,
+               CAST(direction AS INT) AS direction,
+               vec_id, comp_micro,
+               CAST(contrib AS BIGINT) AS contrib_scaled,
+               CAST(row_number() OVER (PARTITION BY pos
+                    ORDER BY contrib DESC, vec_id ASC) AS INT) AS contrib_rank
+        FROM c
+        QUALIFY contrib_rank <= 10
+        ORDER BY pos, contrib_rank"""
+
   /** q204 / q205 shared oracle: semantic decontamination — every corpus
     * vector scored against the broadcast-small eval set (vec_id % 97 = 0)
     * by the family's exact-int-dot cosine; per corpus row the max cosine
@@ -2889,6 +2942,36 @@ object SparkEntry {
           ORDER BY source, rank""")
       },
       Some(sqlTokenDriftByGroup)),
+
+    // -- q219: embedding-drift ATTRIBUTION — after the monitor says which
+    //    dimension moved, this says WHICH documents moved it: top-10
+    //    snapshot-B vectors per top-5 drifted dim by exact scaled pull ----
+    Q("q219_embedding_drift_attribution",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        ops.Similarity.embeddingDriftAttribution(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", topD = 5, topK = 10)
+          .orderBy("pos", "contrib_rank")
+      },
+      Some(sqlEmbeddingDriftAttribution)),
+
+    // -- q220: the SQL-TVF route for drift attribution — expands at
+    //    analysis time to q219's exact plan, same oracle verbatim ---------
+    Q("q220_sql_tvf_embedding_drift_attribution",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val emb = T(s, dir, "embeddings")
+        emb.filter(col("vec_id") % 2 === 0).createOrReplaceTempView(s"attr_a_$sfx")
+        emb.filter(col("vec_id") % 2 === 1).createOrReplaceTempView(s"attr_b_$sfx")
+        s.sql(s"""
+          SELECT pos, shift_micro, direction, vec_id, comp_micro, contrib_scaled, contrib_rank
+          FROM graft_embedding_drift_attribution('attr_a_$sfx', 'attr_b_$sfx', 'vec_id', 'embedding', 5, 10)
+          ORDER BY pos, contrib_rank""")
+      },
+      Some(sqlEmbeddingDriftAttribution)),
 
     // -- q189: the SQL-TVF route for BM25 top-k — graft_bm25_topk over the
     //    documents + query-fixture temp views; expands at analysis time to

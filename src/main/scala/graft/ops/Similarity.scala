@@ -659,6 +659,70 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
   }
 
+  /** Embedding-drift ATTRIBUTION — the step AFTER a monitor fires: the
+    * drift monitors say WHICH dimension moved ([[embeddingDrift]]); this
+    * answers WHICH documents moved it (the "inspect the exemplars driving
+    * the shift" step of drift debugging — Rabanser, Günnemann & Lipton,
+    * NeurIPS 2019, "Failing Loudly", arXiv:1810.11953 — made exact and
+    * engine-reproducible). For each of snapshot A→B's top-`topD` drifted
+    * dimensions, the top-`topK` snapshot-B vectors pulling B's mean away
+    * from A's, ranked by the exact scaled pull
+    *
+    *   contrib_scaled = −direction · (q·n_a − s_a)
+    *
+    * over the 1e-6-quantized component q (= (q − mean_A)·n_a, sign-flipped
+    * so "pulling in the drift direction" is positive; direction is
+    * [[embeddingDrift]]'s sign — +1 when A's mean is higher, so B drifted
+    * DOWN and the biggest contributors sit furthest BELOW A's mean). All
+    * integer products in DECIMAL(38,0); ties → smaller id. A dimension
+    * whose shift is 0 (direction 0 — possible inside the top-D when fewer
+    * than topD dims moved) scores every vector 0 and ranks by id — present
+    * but uninformative, by convention. `contrib_scaled` and the padded
+    * `comp_micro` emit as long — exact below ~10¹² vectors per snapshot at
+    * |component| ≤ 4 (the s_a bound). Padded positions of short vectors
+    * carry component 0, the family convention.
+    *
+    * Output: one row per (drifted dim, contributor),
+    * (pos, shift_micro, direction, vec_id, comp_micro, contrib_scaled,
+    * contrib_rank), contrib_rank 1..topK per pos.
+    *
+    * Scale shape: the drift stats are [[embeddingDrift]]'s corpus-free
+    * aggregation (the corpora collapse map-side to dim rows); the ≤ topD
+    * drifted rows BROADCAST over one posexplode pass of snapshot B (join
+    * on pos prunes the exploded stream to the drifted dims immediately),
+    * and the per-dim rank window is fed by a WindowGroupLimit per-partition
+    * top-K heap — the exchange carries ≤ topK·tasks rows per dim, never
+    * the corpus. topD rides the same loud dim ≤ 4096 cap as the monitors. */
+  def embeddingDriftAttribution(dfA: DataFrame, dfB: DataFrame,
+      idCol: String, vecCol: String, dim: Int = 64, topD: Int = 5,
+      topK: Int = 10): DataFrame = {
+    require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
+    require(topD >= 1 && topD <= dim, s"topD must be in [1, dim=$dim], got $topD")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def sums(df: DataFrame, n: String, s: String) = df
+      .select(posexplode(quantize(col(vecCol), dim)).as(Seq("pos", "__q")))
+      .groupBy("pos")
+      .agg(count(lit(1)).as(n), sum(dec(col("__q"))).as(s))
+    val drifted = meanDriftFromSums(sums(dfA, "n_a", "s_a"), sums(dfB, "n_b", "s_b"))
+      .where(col("rank") <= topD)
+      .select(col("pos"), col("n_a"), col("s_a"), col("shift_micro"), col("direction"))
+    val exploded = dfB
+      .select(col(idCol).as("vec_id"), posexplode(quantize(col(vecCol), dim)).as(Seq("pos", "__q")))
+      .select(col("vec_id"), col("pos"), coalesce(col("__q"), lit(0L)).as("comp_micro"))
+    val delta = dec(col("comp_micro")) * dec(col("n_a")) - dec(col("s_a"))
+    val contrib = when(col("direction") === 1, -delta)
+      .when(col("direction") === -1, delta)
+      .otherwise(lit(0L).cast("decimal(38,0)"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("pos")
+      .orderBy(col("contrib_scaled").desc, col("vec_id").asc)
+    exploded.join(broadcast(drifted), Seq("pos"))
+      .select(col("pos"), col("shift_micro"), col("direction"), col("vec_id"),
+        col("comp_micro"), contrib.cast("long").as("contrib_scaled"))
+      .withColumn("contrib_rank", row_number().over(w))
+      .where(col("contrib_rank") <= topK)
+  }
+
   /** Per-dimension embedding SHAPE drift — the monitoring family's third
     * leg. [[graft.ops.TextOps.tokenDrift]] watches the token distribution
     * and [[embeddingDrift]] watches each dimension's MEAN; both provably

@@ -1286,6 +1286,79 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
     assert(idx == mem)
   }
+
+  test("embedding drift by group from profiles: BOTH per-group monitors served from one stored profile pair == direct routes") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val profA = Similarity.embeddingProfileByGroup(a, "embedding", "label")
+    val profB = Similarity.embeddingProfileByGroup(b, "embedding", "label")
+    // mean monitor
+    def meanRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("label", "pos", "n_a", "n_b", "s_a", "s_b", "shift_micro",
+        "direction", "rank")
+      .as[(Int, Int, Long, Long, Long, Long, Long, Int, Int)]
+      .collect().sortBy(r => (r._1, r._9)).toSeq
+    val meanDirect = meanRows(
+      Similarity.embeddingDriftByGroup(a, b, "embedding", "label"))
+    assert(meanDirect.nonEmpty &&
+      meanRows(Similarity.embeddingDriftByGroupFromProfiles(profA, profB, "label"))
+        == meanDirect,
+      "per-group mean drift served from profiles must equal the direct route")
+    // shape monitor, from the SAME profiles
+    def shapeRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("label", "pos", "t_a", "t_b", "chi2_micro", "rank")
+      .as[(Int, Int, Long, Long, Long, Int)]
+      .collect().sortBy(r => (r._1, r._6)).toSeq
+    val shapeDirect = shapeRows(
+      Similarity.embeddingShapeDriftByGroup(a, b, "embedding", "label"))
+    assert(shapeDirect.nonEmpty &&
+      shapeRows(Similarity.embeddingShapeDriftByGroupFromProfiles(profA, profB, "label"))
+        == shapeDirect,
+      "per-group shape drift served from the same profiles must equal the direct route")
+    // padding convention survives the profile round-trip: short vectors'
+    // padded positions count into bin 0 with s += 0 on both routes
+    def vec(n: Int, xs: (Int, Float)*) = (0 until n).map(i => xs.toMap.getOrElse(i, 0.0f))
+    val shortA = Seq((1, vec(3, 0 -> 0.5f)), (2, vec(64, 1 -> 0.25f)))
+      .toDF("label", "embedding")
+    val shortB = Seq((1, vec(64, 0 -> 0.5f)), (2, vec(5, 1 -> 0.75f)))
+      .toDF("label", "embedding")
+    val sDirect = meanRows(
+      Similarity.embeddingDriftByGroup(shortA, shortB, "embedding", "label"))
+    val sServed = meanRows(Similarity.embeddingDriftByGroupFromProfiles(
+      Similarity.embeddingProfileByGroup(shortA, "embedding", "label"),
+      Similarity.embeddingProfileByGroup(shortB, "embedding", "label"), "label"))
+    assert(sServed == sDirect, "padded positions must fold back identically")
+  }
+
+  test("embeddingDriftAttribution: hand-computed pulls in BOTH drift directions; ties break to smaller id; guards by name") {
+    def vec(xs: (Int, Float)*) = (0 until 64).map(i => xs.toMap.getOrElse(i, 0.0f))
+    // dim 0 drifts DOWN (A mean 0.5 -> B mean 0.2): direction +1,
+    //   shift = (1e6*3 - 6e5*2) // 6 = 300000; contrib = s_a - 2q
+    // dim 1 drifts UP (A mean 0 -> B mean 0.4/3): direction -1,
+    //   shift = |0 - 4e5*2| // 6 = 133333; contrib = 2q
+    val a = Seq((0L, vec(0 -> 0.25f)), (1L, vec(0 -> 0.75f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((10L, vec(0 -> 0.1f)), (11L, vec(0 -> 0.2f, 1 -> 0.4f)),
+                (12L, vec(0 -> 0.3f))).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingDriftAttribution(a, b, "vec_id", "embedding",
+        topD = 2, topK = 2)
+      .select("pos", "shift_micro", "direction", "vec_id", "comp_micro",
+        "contrib_scaled", "contrib_rank")
+      .as[(Int, Long, Int, Long, Long, Long, Int)]
+      .collect().sortBy(r => (r._1, r._7)).toSeq
+    assert(out == Seq(
+      (0, 300000L, 1, 10L, 100000L, 800000L, 1),
+      (0, 300000L, 1, 11L, 200000L, 600000L, 2),
+      (1, 133333L, -1, 11L, 400000L, 800000L, 1),
+      (1, 133333L, -1, 10L, 0L, 0L, 2)), // zero tie -> smaller id
+      s"hand case mismatch: $out")
+    // contracts fire by name
+    intercept[IllegalArgumentException](Similarity.embeddingDriftAttribution(
+      a, b, "vec_id", "embedding", topD = 100))
+    intercept[IllegalArgumentException](Similarity.embeddingDriftAttribution(
+      a, b, "vec_id", "embedding", topK = 0))
+  }
 }
 
 class ShardsSpec extends SparkSpec {
@@ -1989,49 +2062,6 @@ class TextOpsSpec extends SparkSpec {
     assert(servedPartial == direct, "concatenated partials must re-aggregate")
   }
 
-  test("embedding drift by group from profiles: BOTH per-group monitors served from one stored profile pair == direct routes") {
-    val emb = Tables.load(spark, sfDir, "embeddings")
-    val a = emb.filter(col("vec_id") % 2 === 0)
-    val b = emb.filter(col("vec_id") % 2 === 1)
-    val profA = Similarity.embeddingProfileByGroup(a, "embedding", "label")
-    val profB = Similarity.embeddingProfileByGroup(b, "embedding", "label")
-    // mean monitor
-    def meanRows(df: org.apache.spark.sql.DataFrame) = df
-      .select("label", "pos", "n_a", "n_b", "s_a", "s_b", "shift_micro",
-        "direction", "rank")
-      .as[(Int, Int, Long, Long, Long, Long, Long, Int, Int)]
-      .collect().sortBy(r => (r._1, r._9)).toSeq
-    val meanDirect = meanRows(
-      Similarity.embeddingDriftByGroup(a, b, "embedding", "label"))
-    assert(meanDirect.nonEmpty &&
-      meanRows(Similarity.embeddingDriftByGroupFromProfiles(profA, profB, "label"))
-        == meanDirect,
-      "per-group mean drift served from profiles must equal the direct route")
-    // shape monitor, from the SAME profiles
-    def shapeRows(df: org.apache.spark.sql.DataFrame) = df
-      .select("label", "pos", "t_a", "t_b", "chi2_micro", "rank")
-      .as[(Int, Int, Long, Long, Long, Int)]
-      .collect().sortBy(r => (r._1, r._6)).toSeq
-    val shapeDirect = shapeRows(
-      Similarity.embeddingShapeDriftByGroup(a, b, "embedding", "label"))
-    assert(shapeDirect.nonEmpty &&
-      shapeRows(Similarity.embeddingShapeDriftByGroupFromProfiles(profA, profB, "label"))
-        == shapeDirect,
-      "per-group shape drift served from the same profiles must equal the direct route")
-    // padding convention survives the profile round-trip: short vectors'
-    // padded positions count into bin 0 with s += 0 on both routes
-    def vec(n: Int, xs: (Int, Float)*) = (0 until n).map(i => xs.toMap.getOrElse(i, 0.0f))
-    val shortA = Seq((1, vec(3, 0 -> 0.5f)), (2, vec(64, 1 -> 0.25f)))
-      .toDF("label", "embedding")
-    val shortB = Seq((1, vec(64, 0 -> 0.5f)), (2, vec(5, 1 -> 0.75f)))
-      .toDF("label", "embedding")
-    val sDirect = meanRows(
-      Similarity.embeddingDriftByGroup(shortA, shortB, "embedding", "label"))
-    val sServed = meanRows(Similarity.embeddingDriftByGroupFromProfiles(
-      Similarity.embeddingProfileByGroup(shortA, "embedding", "label"),
-      Similarity.embeddingProfileByGroup(shortB, "embedding", "label"), "label"))
-    assert(sServed == sDirect, "padded positions must fold back identically")
-  }
 
   test("tokenDrift: hand-computed chi-square contributions; one-sided tokens rank by full mass") {
     // A: x2 y1 (T_a=3); B: y2 z1 (T_b=3)
