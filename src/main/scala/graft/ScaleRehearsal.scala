@@ -375,8 +375,11 @@ object ScaleRehearsal {
           ops.TextOps.tokenProfile(docs.where(col("doc_id") % 2 === 1), "text"),
           topM = 40))),
         // segmented drift: per-group vocab grows with the corpus (replica
-        // families mint new tokens) while both windows ride one shared
-        // group-keyed exchange — expect ~linear, no single-task funnel
+        // families mint new tokens); per-group totals broadcast back over
+        // the (group, token)-partitioned scoring (no group-wide window
+        // buffering — the r16 shape) and the rank exchange is
+        // WindowGroupLimit-prefiltered — expect ~linear, no funnel at any
+        // vocab/group ratio
         "q207_token_drift_by_source" -> (() => force(ops.TextOps.tokenDriftByGroup(
           docs.where(col("doc_id") % 2 === 0),
           docs.where(col("doc_id") % 2 === 1), "text", "source", topM = 10))),
@@ -399,6 +402,46 @@ object ScaleRehearsal {
             lab(emb.where(col("vec_id") % 2 === 0)),
             lab(emb.where(col("vec_id") % 2 === 1)), "embedding", "label"))
         }),
+        // segmented PROFILE-SERVED token drift: the profile builds are the
+        // corpus-scan cost (vocab-keyed aggs), the serve tail is
+        // vocab-bounded — expect ~linear tracking the builds, same as q207
+        "q212_token_drift_by_group_profiles" -> (() => force(
+          ops.TextOps.tokenDriftByGroupFromProfiles(
+            ops.TextOps.tokenProfileByGroup(
+              docs.where(col("doc_id") % 2 === 0), "text", "source"),
+            ops.TextOps.tokenProfileByGroup(
+              docs.where(col("doc_id") % 2 === 1), "text", "source"),
+            "source", topM = 10))),
+        // segmented profile-served embedding monitors: builds collapse
+        // map-side to (group, dim, bins) rows; the serve tails never touch
+        // the corpora — expect ~scan-linear, same as the direct routes
+        "q213_embedding_drift_by_group_profiles" -> (() => {
+          def lab(df: DataFrame) = df.withColumn("label", (col("vec_id") % 8).cast("int"))
+          force(ops.Similarity.embeddingDriftByGroupFromProfiles(
+            ops.Similarity.embeddingProfileByGroup(
+              lab(emb.where(col("vec_id") % 2 === 0)), "embedding", "label"),
+            ops.Similarity.embeddingProfileByGroup(
+              lab(emb.where(col("vec_id") % 2 === 1)), "embedding", "label"),
+            "label"))
+        }),
+        "q214_embedding_shape_drift_by_group_profiles" -> (() => {
+          def lab(df: DataFrame) = df.withColumn("label", (col("vec_id") % 8).cast("int"))
+          force(ops.Similarity.embeddingShapeDriftByGroupFromProfiles(
+            ops.Similarity.embeddingProfileByGroup(
+              lab(emb.where(col("vec_id") % 2 === 0)), "embedding", "label"),
+            ops.Similarity.embeddingProfileByGroup(
+              lab(emb.where(col("vec_id") % 2 === 1)), "embedding", "label"),
+            "label"))
+        }),
+        // drift attribution: drift stats collapse map-side to dim rows and
+        // broadcast over ONE more posexplode pass of snapshot B whose rank
+        // exchange is WindowGroupLimit-prefiltered — expect ~scan-linear
+        // (three corpus passes, none shuffling at corpus width)
+        "q219_embedding_drift_attribution" -> (() => force(
+          ops.Similarity.embeddingDriftAttribution(
+            emb.where(col("vec_id") % 2 === 0),
+            emb.where(col("vec_id") % 2 === 1),
+            "vec_id", "embedding", topD = 5, topK = 10))),
         // temperature mixture: the rate table stays one-row-per-source
         // (broadcast) however big the corpus gets; the keep filter is
         // map-side — expect ~linear wall tracking corpus bytes

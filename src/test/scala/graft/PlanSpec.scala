@@ -558,6 +558,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("SEGMENTED profile-served drift over STORED profiles also plans zero corpus work — no Generate anywhere") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = tmpDir("plan_gprof")
+    graft.ops.Similarity.embeddingProfileByGroup(
+      emb.filter(col("vec_id") % 2 === 0), "embedding", "label").write.parquet(s"$dir/ea")
+    graft.ops.Similarity.embeddingProfileByGroup(
+      emb.filter(col("vec_id") % 2 === 1), "embedding", "label").write.parquet(s"$dir/eb")
+    graft.ops.TextOps.tokenProfileByGroup(
+      docs.filter(col("doc_id") % 2 === 0), "text", "source").write.parquet(s"$dir/ta")
+    graft.ops.TextOps.tokenProfileByGroup(
+      docs.filter(col("doc_id") % 2 === 1), "text", "source").write.parquet(s"$dir/tb")
+    val (ea, eb) = (spark.read.parquet(s"$dir/ea"), spark.read.parquet(s"$dir/eb"))
+    val (ta, tb) = (spark.read.parquet(s"$dir/ta"), spark.read.parquet(s"$dir/tb"))
+    for ((nm, df) <- Seq(
+        "mean" -> graft.ops.Similarity.embeddingDriftByGroupFromProfiles(ea, eb, "label"),
+        "shape" -> graft.ops.Similarity.embeddingShapeDriftByGroupFromProfiles(ea, eb, "label"),
+        "token" -> graft.ops.TextOps.tokenDriftByGroupFromProfiles(ta, tb, "source", 10))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Generate"), s"$nm segmented serve plan touches a corpus:\n$p")
+    }
+  }
+
   test("q207: segmented drift's totals BROADCAST back over the scored frame; only the rank window is group-keyed, behind a WindowGroupLimit") {
     val p = planOf("q207_token_drift_by_source")
     // the r15 shape computed per-group totals as Window.partitionBy(source)
