@@ -703,6 +703,17 @@ object GraftExtensions {
           topK = int(args(5), "topK"))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_token_drift_attribution"),
+      info("graft_token_drift_attribution",
+        "graft_token_drift_attribution(tableA, tableB, idCol, textCol, topM, topK) - token-drift ATTRIBUTION: for each of A->B's top-M drifted tokens, the top-K documents carrying the movement (snapshot A's docs for shrinking tokens, B's for growing ones), by occurrence count; (token, chi2_micro, direction, rank, doc_id, n_occ, contrib_rank)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "usage: graft_token_drift_attribution(tableA, tableB, idCol, textCol, topM, topK)")
+        ops.TextOps.tokenDriftAttribution(table(str(args(0), "tableA")),
+          table(str(args(1), "tableB")), str(args(2), "idCol"),
+          str(args(3), "textCol"), int(args(4), "topM"), int(args(5), "topK"))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_embedding_shape_drift_by_group_from_profiles"),
       info("graft_embedding_shape_drift_by_group_from_profiles",
         "graft_embedding_shape_drift_by_group_from_profiles(profTableA, profTableB, groupCol) - SEGMENTED embedding SHAPE drift SERVED from the same stored graft_embedding_profile_by_group frames; (group, pos, t_a, t_b, chi2_micro, rank)"),

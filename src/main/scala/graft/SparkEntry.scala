@@ -2233,6 +2233,57 @@ object SparkEntry {
         QUALIFY contrib_rank <= 10
         ORDER BY pos, contrib_rank"""
 
+  /** q221 / q222 shared oracle: token-drift ATTRIBUTION — the
+    * [[sqlTokenDrift]] chi-square + a relative-frequency direction rank
+    * the drifted tokens; contributors join from snapshot A for shrinking
+    * tokens (direction +1) and snapshot B for growing ones (−1), top-5
+    * docs per token by occurrence count, ties → smaller doc id. q222 is
+    * the SQL-TVF route over the identical answer. */
+  private lazy val sqlTokenDriftAttribution: String = """
+        WITH ca AS (SELECT token, CAST(count(*) AS HUGEINT) AS n_a FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE doc_id % 2 = 0)
+              WHERE token <> '' GROUP BY 1),
+        cb AS (SELECT token, CAST(count(*) AS HUGEINT) AS n_b FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE doc_id % 2 = 1)
+              WHERE token <> '' GROUP BY 1),
+        j AS (SELECT COALESCE(ca.token, cb.token) AS token,
+                     COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+              FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        t AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM j),
+        s AS (SELECT token, n_a, n_b,
+                CASE WHEN t_a = 0 OR t_b = 0 THEN CAST(0 AS HUGEINT)
+                     ELSE (CAST(1000000 AS HUGEINT) * (n_a*t_b - n_b*t_a) * (n_a*t_b - n_b*t_a))
+                          // ((n_a + n_b) * t_a * t_b) END AS chi2,
+                CASE WHEN n_a*t_b - n_b*t_a > 0 THEN 1
+                     WHEN n_a*t_b - n_b*t_a < 0 THEN -1 ELSE 0 END AS direction
+              FROM j, t),
+        top AS (SELECT * FROM (SELECT *,
+                  row_number() OVER (ORDER BY chi2 DESC, token) AS rank FROM s)
+                WHERE rank <= 10 AND direction <> 0),
+        occa AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n_occ FROM (
+                  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents WHERE doc_id % 2 = 0)
+                 WHERE token <> '' GROUP BY 1, 2),
+        occb AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n_occ FROM (
+                  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents WHERE doc_id % 2 = 1)
+                 WHERE token <> '' GROUP BY 1, 2),
+        u AS (SELECT token, doc_id, n_occ, 1 AS side FROM occa
+              UNION ALL SELECT token, doc_id, n_occ, -1 AS side FROM occb),
+        x AS (SELECT top.token, top.chi2, top.direction, top.rank,
+                     u.doc_id, u.n_occ
+              FROM top JOIN u ON u.token = top.token AND u.side = top.direction)
+        SELECT token, CAST(chi2 AS BIGINT) AS chi2_micro,
+               CAST(direction AS INT) AS direction, CAST(rank AS INT) AS rank,
+               doc_id, n_occ,
+               CAST(row_number() OVER (PARTITION BY token
+                    ORDER BY n_occ DESC, doc_id) AS INT) AS contrib_rank
+        FROM x
+        QUALIFY contrib_rank <= 5
+        ORDER BY rank, contrib_rank"""
+
   /** q204 / q205 shared oracle: semantic decontamination — every corpus
     * vector scored against the broadcast-small eval set (vec_id % 97 = 0)
     * by the family's exact-int-dot cosine; per corpus row the max cosine
@@ -2972,6 +3023,36 @@ object SparkEntry {
           ORDER BY pos, contrib_rank""")
       },
       Some(sqlEmbeddingDriftAttribution)),
+
+    // -- q221: token-drift ATTRIBUTION — which documents carry a drifted
+    //    token's movement: shrinking tokens attribute to snapshot A's
+    //    carrier docs, growing ones to snapshot B's introducers -----------
+    Q("q221_token_drift_attribution",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        ops.TextOps.tokenDriftAttribution(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", topM = 10, topK = 5)
+          .orderBy("rank", "contrib_rank")
+      },
+      Some(sqlTokenDriftAttribution)),
+
+    // -- q222: the SQL-TVF route for token-drift attribution — expands at
+    //    analysis time to q221's exact plan, same oracle verbatim ---------
+    Q("q222_sql_tvf_token_drift_attribution",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val docs = T(s, dir, "documents")
+        docs.filter(col("doc_id") % 2 === 0).createOrReplaceTempView(s"tattr_a_$sfx")
+        docs.filter(col("doc_id") % 2 === 1).createOrReplaceTempView(s"tattr_b_$sfx")
+        s.sql(s"""
+          SELECT token, chi2_micro, direction, rank, doc_id, n_occ, contrib_rank
+          FROM graft_token_drift_attribution('tattr_a_$sfx', 'tattr_b_$sfx', 'doc_id', 'text', 10, 5)
+          ORDER BY rank, contrib_rank""")
+      },
+      Some(sqlTokenDriftAttribution)),
 
     // -- q189: the SQL-TVF route for BM25 top-k — graft_bm25_topk over the
     //    documents + query-fixture temp views; expands at analysis time to

@@ -2129,6 +2129,84 @@ object TextOps {
           .orderBy(col("chi2_micro").desc, col("token").asc)))
   }
 
+  /** Token-drift ATTRIBUTION — the text-side twin of
+    * [[graft.ops.Similarity.embeddingDriftAttribution]] (the "inspect the
+    * exemplars driving the shift" step of drift debugging — Rabanser,
+    * Günnemann & Lipton, NeurIPS 2019, arXiv:1810.11953): after
+    * [[tokenDrift]] says WHICH tokens moved, this says WHICH documents
+    * carry the movement. For each of the top-`topM` drifted tokens,
+    * `direction` = sign(n_a·t_b − n_b·t_a) (+1: the token's RELATIVE
+    * frequency was higher in snapshot A — it shrank/vanished; −1: it
+    * grew), and the contributors are the top-`topK` documents BY
+    * OCCURRENCE COUNT of that token from the side the mass sits on —
+    * snapshot A's docs for a shrinking token (the pages that carried it),
+    * snapshot B's for a growing one (the pages that introduced it). Ties →
+    * smaller doc id. A zero-direction token (chi-square 0 inside the
+    * top-M, or an empty snapshot) has no drift to attribute and emits no
+    * rows. Exact integers end to end — the chi-square and direction are
+    * [[tokenDrift]]'s formulas verbatim, so the attributed token set is
+    * the monitor's own ranking (spec-asserted).
+    *
+    * Output: (token, chi2_micro, direction, rank, doc_id, n_occ,
+    * contrib_rank), rank = the token's drift rank, contrib_rank 1..topK
+    * per token.
+    *
+    * Scale shape: the vocab-keyed count pass per snapshot (map-side
+    * partial collapse, [[tokenDrift]]'s shape), the ≤ topM drifted tokens
+    * BROADCAST into each snapshot's occurrence pass — the explode prunes
+    * against the broadcast BEFORE the (token, doc) aggregation, so the
+    * exchange carries only the drifted tokens' occurrences — and the
+    * per-token rank rides a WindowGroupLimit-prefiltered exchange. Four
+    * corpus scans total (two count, two occurrence), none shuffling at
+    * corpus width; fusing the pairs would swap the vocab-bounded count
+    * exchanges for (doc, token)-keyed ones, a strictly worse trade. */
+  def tokenDriftAttribution(dfA: DataFrame, dfB: DataFrame, idCol: String,
+      textCol: String, topM: Int, topK: Int): DataFrame = {
+    require(topM >= 1, s"topM must be >= 1, got $topM")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def counts(df: DataFrame, out: String) = df
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as(out))
+    // persisted (vocab-bounded): totals and scoring both read it
+    val joined = counts(dfA, "n_a").join(counts(dfB, "n_b"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .persistTracked()
+    val totals = joined.agg(sum("n_a").as("t_a"), sum("n_b").as("t_b"))
+    val diff = dec(col("n_a")) * dec(col("t_b")) - dec(col("n_b")) * dec(col("t_a"))
+    val contrib = when(col("t_a") === 0 || col("t_b") === 0, lit(0L))
+      .otherwise(call_function("div",
+        dec(lit(1000000L)) * diff * diff,
+        (dec(col("n_a")) + dec(col("n_b"))) * dec(col("t_a")) * dec(col("t_b"))))
+    val scored = joined.crossJoin(broadcast(totals))
+      .select(col("token"), contrib.cast("long").as("chi2_micro"),
+        when(diff > 0, 1).when(diff < 0, -1).otherwise(0).as("direction"))
+    // persisted (<= topM rows): BOTH occurrence passes broadcast from it
+    val top = TopK.global(scored, topM,
+        Seq(col("chi2_micro").desc, col("token").asc))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("chi2_micro").desc, col("token").asc)))
+      .where(col("direction") =!= 0)
+      .persistTracked()
+    def side(df: DataFrame, d: Int) = df
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("token"))
+      .where(col("token") =!= "")
+      .join(broadcast(top.where(col("direction") === d)), Seq("token"))
+      .groupBy("token", "chi2_micro", "direction", "rank", "doc_id")
+      .agg(count(lit(1)).as("n_occ"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("token")
+      .orderBy(col("n_occ").desc, col("doc_id").asc)
+    side(dfA, 1).unionByName(side(dfB, -1))
+      .select(col("token"), col("chi2_micro"), col("direction"), col("rank"),
+        col("doc_id"), col("n_occ"))
+      .withColumn("contrib_rank", row_number().over(w))
+      .where(col("contrib_rank") <= topK)
+  }
+
   /** SEGMENTED token drift — [[tokenDrift]] per group (source, language,
     * shard…): the monitoring question at 100 TB is rarely "did the corpus
     * drift" but "WHICH source drifted". Per group, the identical exact

@@ -2063,6 +2063,45 @@ class TextOpsSpec extends SparkSpec {
   }
 
 
+  test("tokenDriftAttribution: shrinking tokens attribute to A's carriers, growing to B's introducers; ranks match the monitor; identical snapshots attribute nothing") {
+    // A: doc1 "x x y", doc3 "x z" (x3 y1 z1, T_a=5)
+    // B: doc2 "y y z", doc4 "z z" (y2 z3, T_b=5)
+    //   x: diff +15, chi2 1e6*225//(3*25) = 3000000, direction +1 (shrank)
+    //   z: diff -10, chi2 1e6*100//(4*25) = 1000000, direction -1 (grew)
+    //   y: diff  -5, chi2 1e6*25//(3*25)  =  333333, direction -1
+    val a = Seq((1L, "x x y"), (3L, "x z")).toDF("doc_id", "text")
+    val b = Seq((2L, "y y z"), (4L, "z z")).toDF("doc_id", "text")
+    val out = TextOps.tokenDriftAttribution(a, b, "doc_id", "text", topM = 10, topK = 2)
+      .select("token", "chi2_micro", "direction", "rank", "doc_id", "n_occ", "contrib_rank")
+      .as[(String, Long, Int, Int, Long, Long, Int)]
+      .collect().sortBy(r => (r._4, r._7)).toSeq
+    assert(out == Seq(
+      ("x", 3000000L, 1, 1, 1L, 2L, 1),   // vanished token -> A's carriers
+      ("x", 3000000L, 1, 1, 3L, 1L, 2),
+      ("z", 1000000L, -1, 2, 4L, 2L, 1),  // grown token -> B's introducers
+      ("z", 1000000L, -1, 2, 2L, 1L, 2),
+      ("y", 333333L, -1, 3, 2L, 2L, 1)),  // only one B doc carries y
+      s"hand case mismatch: $out")
+    // the attributed (token, rank) set IS the monitor's own ranking
+    val docs = Tables.load(spark, sfDir, "documents")
+    val da = docs.filter(col("doc_id") % 2 === 0)
+    val db = docs.filter(col("doc_id") % 2 === 1)
+    val monitor = TextOps.tokenDrift(da, db, "text", topM = 10)
+      .select("token", "rank").as[(String, Int)].collect().toSet
+    val attributed = TextOps.tokenDriftAttribution(da, db, "doc_id", "text",
+        topM = 10, topK = 3)
+      .select("token", "rank").distinct().as[(String, Int)].collect().toSet
+    assert(attributed.nonEmpty && attributed.subsetOf(monitor),
+      s"attribution must rank by the monitor's own chi-square: ${attributed -- monitor}")
+    // identical snapshots: every direction is 0 — nothing to attribute
+    assert(TextOps.tokenDriftAttribution(a, a, "doc_id", "text",
+      topM = 10, topK = 2).count() == 0L)
+    intercept[IllegalArgumentException](
+      TextOps.tokenDriftAttribution(a, b, "doc_id", "text", topM = 0, topK = 2))
+    intercept[IllegalArgumentException](
+      TextOps.tokenDriftAttribution(a, b, "doc_id", "text", topM = 10, topK = 0))
+  }
+
   test("tokenDrift: hand-computed chi-square contributions; one-sided tokens rank by full mass") {
     // A: x2 y1 (T_a=3); B: y2 z1 (T_b=3)
     //   x: floor(1e6*36/(2*9)) = 2000000; z: floor(1e6*9/(1*9)) = 1000000
