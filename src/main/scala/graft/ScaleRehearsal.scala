@@ -442,6 +442,14 @@ object ScaleRehearsal {
             emb.where(col("vec_id") % 2 === 0),
             emb.where(col("vec_id") % 2 === 1),
             "vec_id", "embedding", topD = 5, topK = 10))),
+        // token-drift attribution: two vocab-keyed count passes + two
+        // occurrence passes pruned by the broadcast drifted set BEFORE
+        // their exchanges — expect ~scan-linear, no corpus-width shuffle
+        "q221_token_drift_attribution" -> (() => force(
+          ops.TextOps.tokenDriftAttribution(
+            docs.where(col("doc_id") % 2 === 0),
+            docs.where(col("doc_id") % 2 === 1),
+            "doc_id", "text", topM = 10, topK = 5))),
         // temperature mixture: the rate table stays one-row-per-source
         // (broadcast) however big the corpus gets; the keep filter is
         // map-side — expect ~linear wall tracking corpus bytes

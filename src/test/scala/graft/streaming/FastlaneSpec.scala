@@ -338,6 +338,10 @@ class FastlaneSpec extends SparkSpec {
     Fastlane.ingestTokenProfileByGroup(stream(), "text", "source", store,
       "gtprof", ckpt).awaitTermination(60000)
     assert(storedRows() == grown, "replayed batches must not double-count")
+    // the maintenance cadence: as per-batch merges accumulate bucket dirs,
+    // compaction folds them back without changing the profile
+    store.compactBuckets("gtprof", Seq("source", "token"))
+    assert(storedRows() == grown, "compaction must be answer-stable")
   }
 
   test("ingestEmbeddingProfileByGroup: stream-grown segmented profile bit-identical to one-shot; BOTH per-group monitors served from storage == direct") {
