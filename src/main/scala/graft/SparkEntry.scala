@@ -182,6 +182,36 @@ object SparkEntry {
         SELECT token, n_a, n_b, chi2_micro, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= 40 ORDER BY rank"""
 
+  /** q223 oracle: token drift between two STORE VERSIONS of a maintained
+    * profile — version 1 summarizes snapshot A (doc_id even), version 2
+    * the accumulated A ∪ B (a merge-ADD append, the ingestTokenProfile
+    * shape) — so the reference answer is [[sqlTokenDrift]] with side B
+    * replaced by the WHOLE corpus. */
+  private lazy val sqlTokenDriftStoreVersions: String = """
+        WITH ca AS (SELECT token, count(*) AS n_a FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE doc_id % 2 = 0)
+              WHERE token <> '' GROUP BY 1),
+        cb AS (SELECT token, count(*) AS n_b FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents)
+              WHERE token <> '' GROUP BY 1),
+        j AS (SELECT token,
+                CAST(coalesce(n_a, 0) AS HUGEINT) AS n_a,
+                CAST(coalesce(n_b, 0) AS HUGEINT) AS n_b
+              FROM ca FULL OUTER JOIN cb USING (token)),
+        t AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM j),
+        s AS (SELECT token, n_a, n_b,
+                CAST((CAST(1000000 AS HUGEINT) * (n_a*t.t_b - n_b*t.t_a) * (n_a*t.t_b - n_b*t.t_a))
+                 // ((n_a + n_b) * t.t_a * t.t_b) AS BIGINT) AS chi2_micro
+              FROM j CROSS JOIN t),
+        r AS (SELECT token, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                chi2_micro,
+                row_number() OVER (ORDER BY chi2_micro DESC, token) AS rank
+              FROM s)
+        SELECT token, n_a, n_b, chi2_micro, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 40 ORDER BY rank"""
+
   /** q207 oracle: [[sqlTokenDrift]] segmented per source — each group's
     * totals are its own two-sample test, top-M per group, rank partitioned
     * by source. */
@@ -213,6 +243,31 @@ object SparkEntry {
               FROM s)
         SELECT source, token, n_a, n_b, chi2_micro, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= 10 ORDER BY source, rank"""
+
+  /** Build-once token-profile STORE for q223: version 1 = snapshot A's
+    * profile, version 2 = the accumulated A ∪ B via a merge-ADD append
+    * (the `ingestTokenProfile` maintenance shape in batch form). The
+    * query then answers "what drifted between any two historical corpus
+    * states" by time-traveling the profile store — zero corpus scans,
+    * the monitoring dashboard's retrospective read. */
+  private def tokenProfileStoreFixture(s: SparkSession, dir: String): String = {
+    val root = storeFixtureRoot(s, dir, "tprofstore", "documents")
+    val store = new core.BucketedStore(root, numBuckets = 16)(s)
+    if (store.latestVersion("tprof").isEmpty) {
+      val docs = T(s, dir, "documents")
+      store.write(ops.TextOps.tokenProfile(
+        docs.filter(col("doc_id") % 2 === 0), "text"), "tprof", Seq("token"))
+      val b = ops.TextOps.tokenProfile(
+        docs.filter(col("doc_id") % 2 === 1), "text")
+      val merged = store.read("tprof", Seq("token"))
+        .select(col("token"), col("n").as("__n0"))
+        .join(b, Seq("token"), "full_outer")
+        .select(col("token"),
+          (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"))
+      store.merge("tprof", merged, Seq("token"))
+    }
+    root
+  }
 
   private def bm25IndexFixture(s: SparkSession, dir: String): String = {
     val root = storeFixtureRoot(s, dir, "bm25idx", "documents")
@@ -3053,6 +3108,21 @@ object SparkEntry {
           ORDER BY rank, contrib_rank""")
       },
       Some(sqlTokenDriftAttribution)),
+
+    // -- q223: drift between two STORE VERSIONS of a maintained profile —
+    //    the retrospective monitoring read: "what drifted since version N"
+    //    time-travels the profile store, zero corpus scans ----------------
+    Q("q223_drift_between_store_versions",
+      (s, dir) => {
+        val root = tokenProfileStoreFixture(s, dir)
+        val store = new core.BucketedStore(root, numBuckets = 16)(s)
+        val vs = store.versions("tprof")
+        ops.TextOps.tokenDriftFromProfiles(
+          store.read("tprof", Seq("token"), Some(vs.head)),
+          store.read("tprof", Seq("token"), Some(vs.last)),
+          topM = 40).orderBy("rank")
+      },
+      Some(sqlTokenDriftStoreVersions)),
 
     // -- q189: the SQL-TVF route for BM25 top-k — graft_bm25_topk over the
     //    documents + query-fixture temp views; expands at analysis time to
