@@ -714,6 +714,60 @@ object GraftExtensions {
           str(args(3), "textCol"), int(args(4), "topM"), int(args(5), "topK"))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_ks_drift"),
+      info("graft_ks_drift",
+        "graft_ks_drift(tableA, tableB, valueCol) - exact two-sample Kolmogorov-Smirnov drift for a numeric column, the scalar leg of the monitoring family: one row (n_a, n_b, ks_micro, at_value) with ks_micro = floor(1e6 * max_v |cumA*n_b - cumB*n_a| / (n_a*n_b)) evaluated in exact integers; NULL/NaN excluded, an empty side scores 0"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "usage: graft_ks_drift(tableA, tableB, valueCol)")
+        ops.Stats.ksDrift(table(str(args(0), "tableA")),
+          table(str(args(1), "tableB")), str(args(2), "valueCol"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_ks_drift_by_group"),
+      info("graft_ks_drift_by_group",
+        "graft_ks_drift_by_group(tableA, tableB, valueCol, groupCol) - SEGMENTED exact two-sample Kolmogorov-Smirnov drift: one exact KS test per group in a single pass; (group, n_a, n_b, ks_micro, at_value); NULL groups and NULL/NaN values excluded, a group absent from one side scores 0"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "usage: graft_ks_drift_by_group(tableA, tableB, valueCol, groupCol)")
+        ops.Stats.ksDriftByGroup(table(str(args(0), "tableA")),
+          table(str(args(1), "tableB")), str(args(2), "valueCol"),
+          str(args(3), "groupCol"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_category_drift_timeline"),
+      info("graft_category_drift_timeline",
+        "graft_category_drift_timeline(table, catCol, tsCol, refTable, bucketSec) - per-time-bucket exact chi-square drift of the category mix against a fixed reference profile refTable(catCol, n): one row per non-empty bucket (bucket_start, n_events, chi2_micro, top_cat, top_chi2_micro) - the monitoring family as a dashboard time series"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "usage: graft_category_drift_timeline(table, catCol, tsCol, refTable, bucketSec)")
+        ops.Events.categoryDriftTimeline(table(str(args(0), "table")),
+          str(args(1), "catCol"), str(args(2), "tsCol"),
+          table(str(args(3), "refTable")), int(args(4), "bucketSec").toLong)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_bucket_category_profile"),
+      info("graft_bucket_category_profile",
+        "graft_bucket_category_profile(table, catCol, tsCol, bucketSec) - the timeline's ADDITIVE sufficient statistic: per (bucket_start, category) event counts; profile(A UNION B) == profile(A) + profile(B) keyed on (bucket_start, cat), so stored timelines grow O(batch) and serve graft_category_drift_timeline_from_profiles without re-touching the events"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "usage: graft_bucket_category_profile(table, catCol, tsCol, bucketSec)")
+        ops.Events.bucketCategoryProfile(table(str(args(0), "table")),
+          str(args(1), "catCol"), str(args(2), "tsCol"),
+          int(args(3), "bucketSec").toLong)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_category_drift_timeline_from_profiles"),
+      info("graft_category_drift_timeline_from_profiles",
+        "graft_category_drift_timeline_from_profiles(profTable, catCol, refTable) - the drift timeline SERVED from a stored graft_bucket_category_profile frame: identical answer to the direct route over the events the profile summarizes, events never touched at serve time; (bucket_start, n_events, chi2_micro, top_cat, top_chi2_micro)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "usage: graft_category_drift_timeline_from_profiles(profTable, catCol, refTable)")
+        ops.Events.categoryDriftTimelineFromProfiles(
+          table(str(args(0), "profTable")), table(str(args(2), "refTable")),
+          str(args(1), "catCol"))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_embedding_shape_drift_by_group_from_profiles"),
       info("graft_embedding_shape_drift_by_group_from_profiles",
         "graft_embedding_shape_drift_by_group_from_profiles(profTableA, profTableB, groupCol) - SEGMENTED embedding SHAPE drift SERVED from the same stored graft_embedding_profile_by_group frames; (group, pos, t_a, t_b, chi2_micro, rank)"),

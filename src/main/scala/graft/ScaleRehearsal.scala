@@ -574,6 +574,25 @@ object ScaleRehearsal {
         // expect linear
         "q175_ewma" -> (() => force(ops.Events.ewmaPerKey(
           ev, "user_id", "ts", "event_id", "value", 0.25))),
+        // exact KS drift: one pooled distinct-value exchange + the
+        // two-level distributed prefix sum (≤ rangeParts offsets) —
+        // expect ~scan-linear, no single-task cumulative however wide
+        // the value column gets
+        "q225_ks_drift" -> (() => force(ops.Stats.ksDrift(
+          ev.where(col("user_id") % 2 === 0),
+          ev.where(col("user_id") % 2 === 1), "value"))),
+        // segmented KS: same shape range-keyed on (group, value); the
+        // grouped offsets/totals stay (groups × parts)-bounded
+        "q227_ks_drift_by_group" -> (() => force(ops.Stats.ksDriftByGroup(
+          ev.where(col("user_id") % 2 === 0),
+          ev.where(col("user_id") % 2 === 1), "value", "event_type"))),
+        // drift timeline: ONE event-sized (bucket, cat) count; the spine
+        // and scoring run on (buckets × categories)-bounded frames —
+        // expect ~scan-linear
+        "q229_category_drift_timeline" -> (() => force(
+          ops.Events.categoryDriftTimeline(ev, "event_type", "ts",
+            ev.groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+            bucketSec = 604800L))),
         // PQ encode: broadcast codebook + per-partition loop — expect
         // linear in vectors (the codebook collect is hoisted: production
         // trains once and encodes many batches)

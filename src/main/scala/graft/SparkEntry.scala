@@ -244,6 +244,108 @@ object SparkEntry {
         SELECT source, token, n_a, n_b, chi2_micro, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= 10 ORDER BY source, rank"""
 
+  /** q225 / q226 shared oracle: exact two-sample Kolmogorov–Smirnov drift
+    * over events.value (user parity split) — cleared-denominator HUGEINT
+    * arithmetic end to end: d_num = max_v |cumA·n_b − cumB·n_a| over the
+    * pooled distinct values, ks_micro = (10⁶·d_num) // (n_a·n_b), and
+    * at_value the smallest value attaining the max. The default RANGE
+    * cumulative frame equals the engine's ROWS frame because the values
+    * are distinct after GROUP BY. q226 is the SQL-TVF route. */
+  private lazy val sqlKsDrift: String = """
+        WITH c AS (SELECT v, sum(ca) AS a, sum(cb) AS b FROM (
+                SELECT value AS v, 1 AS ca, 0 AS cb FROM events
+                  WHERE user_id % 2 = 0 AND value IS NOT NULL AND NOT isnan(value)
+                UNION ALL
+                SELECT value AS v, 0 AS ca, 1 AS cb FROM events
+                  WHERE user_id % 2 = 1 AND value IS NOT NULL AND NOT isnan(value))
+              GROUP BY v),
+        t AS (SELECT CAST(sum(a) AS HUGEINT) AS n_a,
+                     CAST(sum(b) AS HUGEINT) AS n_b FROM c),
+        cum AS (SELECT v,
+                CAST(sum(a) OVER (ORDER BY v) AS HUGEINT) AS ca,
+                CAST(sum(b) OVER (ORDER BY v) AS HUGEINT) AS cb FROM c),
+        d AS (SELECT v, abs(ca*t.n_b - cb*t.n_a) AS dev FROM cum CROSS JOIN t),
+        m AS (SELECT max(dev) AS d_num FROM d),
+        a2 AS (SELECT min(v) AS at_value FROM d, m WHERE d.dev = m.d_num)
+        SELECT CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
+          CAST((1000000 * m.d_num) // (t.n_a * t.n_b) AS BIGINT) AS ks_micro,
+          a2.at_value AS at_value
+        FROM t, m, a2"""
+
+  /** q227 oracle: [[sqlKsDrift]] segmented per event_type — one exact KS
+    * test per group, group-partitioned cumulative windows. */
+  private lazy val sqlKsDriftByGroup: String = """
+        WITH c AS (SELECT g, v, sum(ca) AS a, sum(cb) AS b FROM (
+                SELECT event_type AS g, value AS v, 1 AS ca, 0 AS cb FROM events
+                  WHERE user_id % 2 = 0 AND event_type IS NOT NULL
+                    AND value IS NOT NULL AND NOT isnan(value)
+                UNION ALL
+                SELECT event_type AS g, value AS v, 0 AS ca, 1 AS cb FROM events
+                  WHERE user_id % 2 = 1 AND event_type IS NOT NULL
+                    AND value IS NOT NULL AND NOT isnan(value))
+              GROUP BY g, v),
+        t AS (SELECT g, CAST(sum(a) AS HUGEINT) AS n_a,
+                     CAST(sum(b) AS HUGEINT) AS n_b FROM c GROUP BY g),
+        cum AS (SELECT g, v,
+                CAST(sum(a) OVER (PARTITION BY g ORDER BY v) AS HUGEINT) AS ca,
+                CAST(sum(b) OVER (PARTITION BY g ORDER BY v) AS HUGEINT) AS cb
+              FROM c),
+        d AS (SELECT cum.g, v, abs(ca*t.n_b - cb*t.n_a) AS dev,
+                     t.n_a, t.n_b FROM cum JOIN t ON cum.g = t.g),
+        m AS (SELECT g, max(dev) AS d_num, max(n_a) AS n_a,
+                     max(n_b) AS n_b FROM d GROUP BY g),
+        a2 AS (SELECT d.g, min(v) AS at_value FROM d
+               JOIN m ON d.g = m.g AND d.dev = m.d_num GROUP BY d.g)
+        SELECT m.g AS event_type,
+          CAST(m.n_a AS BIGINT) AS n_a, CAST(m.n_b AS BIGINT) AS n_b,
+          CASE WHEN m.n_a = 0 OR m.n_b = 0 THEN 0
+               ELSE CAST((1000000 * m.d_num) // (m.n_a * m.n_b) AS BIGINT)
+          END AS ks_micro,
+          a2.at_value AS at_value
+        FROM m JOIN a2 ON m.g = a2.g ORDER BY event_type"""
+
+  /** q229 / q230 shared oracle: categorical drift TIMELINE — per weekly
+    * bucket the exact chi-square of the bucket's event_type mix against
+    * the whole table's mix as reference, HUGEINT end-to-end, plus the
+    * bucket's top-contribution category (ties → smallest). q230 is the
+    * SQL-TVF route over the identical answer. */
+  private lazy val sqlCategoryDriftTimeline: String = """
+        WITH ev AS (SELECT (CAST(epoch_us(ts) AS BIGINT) // 604800000000) * 604800
+                      AS bucket_start, event_type AS cat
+                    FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        c AS (SELECT bucket_start, cat, CAST(count(*) AS HUGEINT) AS n_b
+              FROM ev GROUP BY 1, 2),
+        ref AS (SELECT event_type AS cat, CAST(count(*) AS HUGEINT) AS n_a
+                FROM events GROUP BY 1),
+        bk AS (SELECT bucket_start, sum(n_b) AS t_b,
+                      CAST(sum(n_b) AS BIGINT) AS n_events FROM c GROUP BY 1),
+        cats AS (SELECT DISTINCT cat FROM
+                 (SELECT cat FROM c UNION SELECT cat FROM ref)),
+        t AS (SELECT sum(n_a) AS t_a FROM ref),
+        sp AS (SELECT bk.bucket_start, bk.n_events, cats.cat,
+                  COALESCE(ref.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b,
+                  t.t_a, bk.t_b
+               FROM bk CROSS JOIN cats
+               LEFT JOIN ref ON ref.cat = cats.cat
+               LEFT JOIN c ON c.bucket_start = bk.bucket_start
+                          AND c.cat = cats.cat
+               CROSS JOIN t),
+        sc AS (SELECT bucket_start, n_events, cat,
+                  CASE WHEN t_a = 0 OR t_b = 0 OR n_a + n_b = 0
+                       THEN CAST(0 AS HUGEINT)
+                       ELSE (1000000 * (n_a*t_b - n_b*t_a) * (n_a*t_b - n_b*t_a))
+                            // ((n_a + n_b) * t_a * t_b) END AS contrib
+               FROM sp),
+        rk AS (SELECT *, row_number() OVER
+                 (PARTITION BY bucket_start ORDER BY contrib DESC, cat) AS rk
+               FROM sc)
+        SELECT bucket_start,
+          CAST(max(n_events) AS BIGINT) AS n_events,
+          CAST(sum(contrib) AS BIGINT) AS chi2_micro,
+          max(CASE WHEN rk = 1 THEN cat END) AS top_cat,
+          CAST(max(CASE WHEN rk = 1 THEN contrib END) AS BIGINT) AS top_chi2_micro
+        FROM rk GROUP BY bucket_start ORDER BY bucket_start"""
+
   /** Build-once token-profile STORE for q223: version 1 = snapshot A's
     * profile, version 2 = the accumulated A ∪ B via a merge-ADD append
     * (the `ingestTokenProfile` maintenance shape in batch form). The
@@ -265,6 +367,34 @@ object SparkEntry {
         .select(col("token"),
           (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"))
       store.merge("tprof", merged, Seq("token"))
+    }
+    root
+  }
+
+  /** Build-once embedding-profile STORE for q224 — the embedding twin of
+    * [[tokenProfileStoreFixture]]: version 1 = snapshot A's additive
+    * (pos, bin) profile, version 2 = the accumulated A ∪ B via a
+    * merge-ADD append (the `ingestEmbeddingProfile` maintenance shape in
+    * batch form; n and s both sum, the profile's additivity contract).
+    * Time-traveling the store then answers "which dimensions drifted
+    * since version N" with two profile reads and zero corpus scans. */
+  private def embeddingProfileStoreFixture(s: SparkSession, dir: String): String = {
+    val root = storeFixtureRoot(s, dir, "eprofstore", "embeddings")
+    val store = new core.BucketedStore(root, numBuckets = 16)(s)
+    if (store.latestVersion("eprof").isEmpty) {
+      val emb = T(s, dir, "embeddings")
+      store.write(ops.Similarity.embeddingProfile(
+        emb.filter(col("vec_id") % 2 === 0), "embedding"), "eprof",
+        Seq("pos", "bin"))
+      val b = ops.Similarity.embeddingProfile(
+        emb.filter(col("vec_id") % 2 === 1), "embedding")
+      val merged = store.read("eprof", Seq("pos", "bin"))
+        .select(col("pos"), col("bin"), col("n").as("__n0"), col("s").as("__s0"))
+        .join(b, Seq("pos", "bin"), "full_outer")
+        .select(col("pos"), col("bin"),
+          (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"),
+          (coalesce(col("__s0"), lit(0L)) + coalesce(col("s"), lit(0L))).as("s"))
+      store.merge("eprof", merged, Seq("pos", "bin"))
     }
     root
   }
@@ -2193,6 +2323,39 @@ object SparkEntry {
           CAST(row_number() OVER (ORDER BY shift_micro DESC, pos ASC) AS INT) AS rank
         FROM r ORDER BY rank"""
 
+  /** q224 oracle: embedding drift between two STORE VERSIONS of a
+    * maintained profile — version 1 summarizes snapshot A (vec_id even),
+    * version 2 the accumulated A ∪ B (merge-ADD append, the
+    * ingestEmbeddingProfile shape) — so the reference answer is
+    * [[sqlEmbeddingDrift]] with side B replaced by the WHOLE table. */
+  private lazy val sqlEmbeddingDriftStoreVersions: String = s"""
+        WITH ea AS (SELECT $sqlQVec AS v FROM embeddings WHERE vec_id % 2 = 0),
+        eb AS (SELECT $sqlQVec AS v FROM embeddings),
+        a AS (SELECT i.range - 1 AS pos, CAST(count(*) AS HUGEINT) AS n_a,
+                     CAST(sum(v[i.range]) AS HUGEINT) AS s_a
+              FROM ea CROSS JOIN range(1, 65) i GROUP BY 1),
+        b AS (SELECT i.range - 1 AS pos, CAST(count(*) AS HUGEINT) AS n_b,
+                     CAST(sum(v[i.range]) AS HUGEINT) AS s_b
+              FROM eb CROSS JOIN range(1, 65) i GROUP BY 1),
+        j AS (SELECT COALESCE(a.pos, b.pos) AS pos,
+                     COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+                     COALESCE(s_a, 0) AS s_a, COALESCE(s_b, 0) AS s_b,
+                     COALESCE(s_a, 0) * COALESCE(n_b, 0)
+                       - COALESCE(s_b, 0) * COALESCE(n_a, 0) AS diff
+              FROM a FULL OUTER JOIN b ON a.pos = b.pos),
+        r AS (SELECT pos, n_a, n_b, s_a, s_b,
+                CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+                     ELSE abs(diff) // (n_a * n_b) END AS shift_micro,
+                CASE WHEN diff > 0 THEN 1 WHEN diff < 0 THEN -1 ELSE 0 END AS direction
+              FROM j)
+        SELECT CAST(pos AS INT) AS pos,
+          CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          CAST(s_a AS BIGINT) AS s_a, CAST(s_b AS BIGINT) AS s_b,
+          CAST(shift_micro AS BIGINT) AS shift_micro,
+          CAST(direction AS INT) AS direction,
+          CAST(row_number() OVER (ORDER BY shift_micro DESC, pos ASC) AS INT) AS rank
+        FROM r ORDER BY rank"""
+
   /** q200 / q201 shared oracle: per-dimension embedding SHAPE drift —
     * each quantized component floors into one of 16 bins of 31250 micros
     * (clamped to [-8, 7]; one correctly-rounded double division, exact at
@@ -3123,6 +3286,150 @@ object SparkEntry {
           topM = 40).orderBy("rank")
       },
       Some(sqlTokenDriftStoreVersions)),
+
+    // -- q224: the embedding twin of q223 — drift between two STORE
+    //    VERSIONS of a maintained (pos, bin) profile: asOfVersion reads
+    //    feed embeddingDriftFromProfiles, zero corpus scans --------------
+    Q("q224_embedding_drift_between_store_versions",
+      (s, dir) => {
+        val root = embeddingProfileStoreFixture(s, dir)
+        val store = new core.BucketedStore(root, numBuckets = 16)(s)
+        val vs = store.versions("eprof")
+        ops.Similarity.embeddingDriftFromProfiles(
+          store.read("eprof", Seq("pos", "bin"), Some(vs.head)),
+          store.read("eprof", Seq("pos", "bin"), Some(vs.last)))
+          .orderBy("rank")
+      },
+      Some(sqlEmbeddingDriftStoreVersions)),
+
+    // -- q225: exact two-sample Kolmogorov–Smirnov drift on a numeric
+    //    column — the scalar-feature leg of the monitoring family; the
+    //    global cumulative runs as a two-level distributed prefix sum,
+    //    never one ORDER-BY-everything window task --------------------
+    Q("q225_ks_drift",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        ops.Stats.ksDrift(
+          ev.filter(col("user_id") % 2 === 0),
+          ev.filter(col("user_id") % 2 === 1), "value")
+      },
+      Some(sqlKsDrift)),
+
+    // -- q226: the SQL-TVF route for KS drift — graft_ks_drift over the
+    //    two snapshot temp views; q225's oracle verbatim ----------------
+    Q("q226_sql_tvf_ks_drift",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val ev = T(s, dir, "events")
+        ev.filter(col("user_id") % 2 === 0)
+          .createOrReplaceTempView(s"ks_a_$sfx")
+        ev.filter(col("user_id") % 2 === 1)
+          .createOrReplaceTempView(s"ks_b_$sfx")
+        s.sql(s"""
+          SELECT n_a, n_b, ks_micro, at_value
+          FROM graft_ks_drift('ks_a_$sfx', 'ks_b_$sfx', 'value')""")
+      },
+      Some(sqlKsDrift)),
+
+    // -- q227: SEGMENTED KS drift — one exact test per event_type in a
+    //    single pass, the scalar twin of the segmented chi-square
+    //    monitors -------------------------------------------------------
+    Q("q227_ks_drift_by_group",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        ops.Stats.ksDriftByGroup(
+          ev.filter(col("user_id") % 2 === 0),
+          ev.filter(col("user_id") % 2 === 1), "value", "event_type")
+          .orderBy("event_type")
+      },
+      Some(sqlKsDriftByGroup)),
+
+    // -- q228: the SQL-TVF route for segmented KS drift — expands at
+    //    analysis time to q227's exact plan, same oracle verbatim -------
+    Q("q228_sql_tvf_ks_drift_by_group",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val ev = T(s, dir, "events")
+        ev.filter(col("user_id") % 2 === 0)
+          .createOrReplaceTempView(s"ksg_a_$sfx")
+        ev.filter(col("user_id") % 2 === 1)
+          .createOrReplaceTempView(s"ksg_b_$sfx")
+        s.sql(s"""
+          SELECT event_type, n_a, n_b, ks_micro, at_value
+          FROM graft_ks_drift_by_group('ksg_a_$sfx', 'ksg_b_$sfx',
+                                       'value', 'event_type')
+          ORDER BY event_type""")
+      },
+      Some(sqlKsDriftByGroup)),
+
+    // -- q229: categorical drift TIMELINE — per weekly bucket the exact
+    //    chi-square of the bucket's event_type mix vs the whole table's
+    //    mix, plus the leading category; the corpus is touched once, all
+    //    downstream frames are (buckets × categories)-bounded -----------
+    Q("q229_category_drift_timeline",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        val ref = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        ops.Events.categoryDriftTimeline(ev, "event_type", "ts", ref,
+          bucketSec = 604800L).orderBy("bucket_start")
+      },
+      Some(sqlCategoryDriftTimeline)),
+
+    // -- q230: the SQL-TVF route for the drift timeline — expands at
+    //    analysis time to q229's exact plan, same oracle verbatim -------
+    Q("q230_sql_tvf_category_drift_timeline",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val ev = T(s, dir, "events")
+        ev.createOrReplaceTempView(s"cdt_ev_$sfx")
+        ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          .createOrReplaceTempView(s"cdt_ref_$sfx")
+        s.sql(s"""
+          SELECT bucket_start, n_events, chi2_micro, top_cat, top_chi2_micro
+          FROM graft_category_drift_timeline('cdt_ev_$sfx', 'event_type',
+                                             'ts', 'cdt_ref_$sfx', 604800)
+          ORDER BY bucket_start""")
+      },
+      Some(sqlCategoryDriftTimeline)),
+
+    // -- q231: the timeline SERVED from a stored additive (bucket, cat)
+    //    profile — the streaming dashboard's read path; q229's oracle
+    //    verbatim (route equivalence, events untouched at serve time) ---
+    Q("q231_category_drift_timeline_profiles",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        val ref = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        ops.Events.categoryDriftTimelineFromProfiles(
+          ops.Events.bucketCategoryProfile(ev, "event_type", "ts", 604800L),
+          ref, "event_type").orderBy("bucket_start")
+      },
+      Some(sqlCategoryDriftTimeline)),
+
+    // -- q232: end-to-end SQL for the profile-served timeline — build the
+    //    profile with the builder TVF, serve with the from_profiles TVF;
+    //    q229's oracle verbatim -----------------------------------------
+    Q("q232_sql_tvf_timeline_from_profiles",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val ev = T(s, dir, "events")
+        ev.createOrReplaceTempView(s"cdtp_ev_$sfx")
+        ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          .createOrReplaceTempView(s"cdtp_ref_$sfx")
+        s.sql(s"""
+          SELECT * FROM graft_bucket_category_profile('cdtp_ev_$sfx',
+            'event_type', 'ts', 604800)""")
+          .createOrReplaceTempView(s"cdtp_prof_$sfx")
+        s.sql(s"""
+          SELECT bucket_start, n_events, chi2_micro, top_cat, top_chi2_micro
+          FROM graft_category_drift_timeline_from_profiles('cdtp_prof_$sfx',
+            'event_type', 'cdtp_ref_$sfx')
+          ORDER BY bucket_start""")
+      },
+      Some(sqlCategoryDriftTimeline)),
 
     // -- q189: the SQL-TVF route for BM25 top-k — graft_bm25_topk over the
     //    documents + query-fixture temp views; expands at analysis time to

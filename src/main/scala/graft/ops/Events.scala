@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.TrackedCache.TrackedDataset
@@ -200,5 +200,145 @@ object Events {
         }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Categorical drift TIMELINE: per time bucket, the exact two-sample
+    * chi-square of the bucket's category distribution against a fixed
+    * REFERENCE profile — the monitoring family turned into the dashboard
+    * time series ("when did the mix shift, and which category led it").
+    * `refProfile` is a (catCol, n) frame — `TextOps.tokenProfile`'s shape
+    * with the caller's category column; concatenated partial profiles are
+    * accepted (re-aggregated by category first). Buckets are
+    * `bucketSec`-wide UTC-epoch tumbling windows; the statistic per
+    * bucket is the tokenDrift chi-square summand verbatim with
+    * (n_a, t_a) = reference and (n_b, t_b) = the bucket, summed over the
+    * union of reference and observed categories (a category absent from
+    * one side counts 0 there — absence IS the drift signal). Output, one
+    * row per non-empty bucket: (bucket_start epoch-seconds, n_events,
+    * chi2_micro, top_cat, top_chi2_micro) with top_cat the bucket's
+    * highest-contribution category (ties → smallest category).
+    *
+    * Scale shape: the corpus is touched ONCE — the (bucket, category)
+    * keyed count is the only event-sized pass. Everything downstream
+    * (bucket spine × category union, reference join, totals, the
+    * per-bucket rank window) runs on bounded frames: categories are
+    * category-bounded and buckets time-bounded, both under LOUD in-plan
+    * guards (`maxBuckets`, `maxCats`) consistent with the family
+    * discipline. The bucket counts are ADDITIVE under (bucket, cat)-keyed
+    * sum, so a stored timeline profile grows O(batch) exactly like the
+    * monitor profiles. */
+  def categoryDriftTimeline(df: DataFrame, catCol: String, tsCol: String,
+      refProfile: DataFrame, bucketSec: Long,
+      maxBuckets: Long = 1L << 20, maxCats: Long = 1L << 22): DataFrame = {
+    // the one event-sized pass; persisted — the spine, totals, and scoring
+    // all read it
+    val counts = bucketCategoryProfile(df, catCol, tsCol, bucketSec)
+      .select(col("bucket_start"), col(catCol).as("__cat"),
+        col("n").as("n_b"))
+      .persistTracked()
+    timelineFromCounts(counts, refProfile, catCol, maxBuckets, maxCats)
+  }
+
+  /** The timeline's ADDITIVE sufficient statistic: per (bucket, category)
+    * event counts — `TextOps.tokenProfile`'s shape with a time-bucket key
+    * prepended. Additive under (bucket_start, cat)-keyed sum, exact
+    * integers, so the streaming maintenance loop
+    * ([[graft.streaming.Fastlane.ingestBucketCategoryProfile]]) grows a
+    * stored timeline at O(batch + touched buckets) per micro-batch, and
+    * [[categoryDriftTimelineFromProfiles]] serves the dashboard without
+    * re-touching the events. One keyed aggregation; bucketing and
+    * NULL handling are [[categoryDriftTimeline]]'s verbatim. */
+  def bucketCategoryProfile(df: DataFrame, catCol: String, tsCol: String,
+      bucketSec: Long): DataFrame = {
+    require(bucketSec >= 1, s"bucketSec must be >= 1, got $bucketSec")
+    val bucket = (call_function("div", TimeCols.epochMicros(col(tsCol)),
+      lit(bucketSec * 1000000L)) * lit(bucketSec)).as("bucket_start")
+    df.where(col(catCol).isNotNull && col(tsCol).isNotNull)
+      .select(bucket, col(catCol))
+      .groupBy("bucket_start", catCol).agg(count(lit(1)).as("n"))
+  }
+
+  /** [[categoryDriftTimeline]] computed from a STORED
+    * [[bucketCategoryProfile]] frame instead of the events — the serving
+    * read of the streaming dashboard: the profile's per-(bucket, cat) n
+    * IS the count the direct route aggregates, so the answer is IDENTICAL
+    * to running the timeline over the events the profile summarizes
+    * (spec- and oracle-asserted). Inputs are re-aggregated by
+    * (bucket_start, cat) first, so concatenated partial profiles are also
+    * accepted. Cost: one (buckets × categories)-bounded scan — the events
+    * are never touched at serve time. */
+  def categoryDriftTimelineFromProfiles(bucketProf: DataFrame,
+      refProfile: DataFrame, catCol: String,
+      maxBuckets: Long = 1L << 20, maxCats: Long = 1L << 22): DataFrame = {
+    val counts = bucketProf.groupBy(col("bucket_start"), col(catCol))
+      .agg(sum("n").as("n_b"))
+      .select(col("bucket_start"), col(catCol).as("__cat"), col("n_b"))
+      .persistTracked()
+    timelineFromCounts(counts, refProfile, catCol, maxBuckets, maxCats)
+  }
+
+  /** Shared scoring tail of [[categoryDriftTimeline]] /
+    * [[categoryDriftTimelineFromProfiles]] — one code path so the direct
+    * and profile-served routes cannot drift. Input: per-(bucket, __cat)
+    * counts, already persisted by the caller. */
+  private def timelineFromCounts(counts: DataFrame, refProfile: DataFrame,
+      catCol: String, maxBuckets: Long, maxCats: Long): DataFrame = {
+    require(maxBuckets >= 1 && maxCats >= 1,
+      s"guards must be >= 1, got maxBuckets=$maxBuckets maxCats=$maxCats")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val ref = refProfile.groupBy(col(catCol).as("__cat"))
+      .agg(sum("n").as("n_a"))
+    // bounded frames + loud guards: a bucket column this fine-grained is a
+    // timestamp, a category column this wide is an id
+    val nbk = counts.select("bucket_start").distinct()
+      .agg(count(lit(1)).as("__nbk"))
+    val buckets = counts.groupBy("bucket_start")
+      .agg(sum("n_b").as("t_b"), sum("n_b").as("n_events"))
+      .crossJoin(nbk)
+      .select(col("bucket_start"), col("n_events"),
+        (col("t_b") + when(col("__nbk") > maxBuckets,
+          raise_error(concat(lit("categoryDriftTimeline: "), col("__nbk"),
+            lit(s" buckets > maxBuckets=$maxBuckets — widen bucketSec or " +
+              "raise the cap if the executors have the memory"))))
+          .otherwise(lit(0L))).as("t_b"))
+    val ncat = counts.select("__cat").distinct()
+      .unionByName(ref.select("__cat")).distinct()
+      .agg(count(lit(1)).as("__ncat"))
+    val cats = counts.select("__cat").distinct()
+      .unionByName(ref.select("__cat")).distinct()
+      .crossJoin(ncat)
+      .select(col("__cat"),
+        when(col("__ncat") > maxCats,
+          raise_error(concat(lit("categoryDriftTimeline: "), col("__ncat"),
+            lit(s" categories > maxCats=$maxCats — a category column this " +
+              "wide is an id, not a categorical")))).otherwise(lit(0L))
+          .as("__zero"))
+    val tTot = ref.agg(coalesce(sum("n_a"), lit(0L)).as("t_a"))
+    // spine = buckets × (ref ∪ observed) categories: bounded × bounded
+    val spine = broadcast(buckets).crossJoin(broadcast(cats))
+      .join(broadcast(ref), Seq("__cat"), "left")
+      .join(counts, Seq("bucket_start", "__cat"), "left")
+      .crossJoin(broadcast(tTot))
+      .select(col("bucket_start"), col("__cat"), col("n_events"),
+        (coalesce(col("n_a"), lit(0L)) + col("__zero")).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        col("t_a"), col("t_b"))
+    val diff = dec(col("n_a")) * dec(col("t_b")) - dec(col("n_b")) * dec(col("t_a"))
+    val contrib = when(col("t_a") === 0 || col("t_b") === 0 ||
+        col("n_a") + col("n_b") === 0, lit(0L))
+      .otherwise(call_function("div",
+        dec(lit(1000000L)) * diff * diff,
+        (dec(col("n_a")) + dec(col("n_b"))) * dec(col("t_a")) * dec(col("t_b")))
+        .cast("long"))
+    val scored = spine.withColumn("__contrib", contrib)
+    val wTop = Window.partitionBy("bucket_start")
+      .orderBy(col("__contrib").desc, col("__cat").asc)
+    scored
+      .withColumn("__rk", row_number().over(wTop))
+      .groupBy("bucket_start")
+      .agg(max("n_events").as("n_events"),
+        sum("__contrib").as("chi2_micro"),
+        max(when(col("__rk") === 1, col("__cat"))).as("top_cat"),
+        max(when(col("__rk") === 1, col("__contrib"))).as("top_chi2_micro"))
   }
 }

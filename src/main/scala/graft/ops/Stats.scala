@@ -1067,4 +1067,158 @@ object Stats {
     import spark.implicits._
     probes.map(p => (p, sketch.estimateCount(p), n)).toDF("item", "est", "n_total")
   }
+
+  // ---- exact two-sample Kolmogorov–Smirnov drift (Kolmogorov 1933;
+  // Massey 1951, JASA 46 "The Kolmogorov-Smirnov Test for Goodness of
+  // Fit") — the scalar-feature leg of the monitoring family ---------------
+
+  /** Exact two-sample Kolmogorov–Smirnov drift for a numeric column — the
+    * plain-scalar leg of the monitoring family (token chi-square covers
+    * categorical, embedding mean/shape cover vectors; this covers a
+    * numeric feature column directly). D = max_v |F_A(v) − F_B(v)|
+    * evaluated EXACTLY in cleared-denominator integers: d_num =
+    * max_v |cumA(v)·n_b − cumB(v)·n_a| over the pooled distinct values and
+    * ks_micro = ⌊10⁶·d_num / (n_a·n_b)⌋ — no doubles in the statistic, so
+    * every engine agrees bit-for-bit. `at_value` is the smallest value
+    * attaining the max (the drift location; deterministic under ties).
+    * NULL/NaN are excluded on both sides; an empty side scores 0 (the
+    * family's absent-side convention). Output: ONE row
+    * (n_a, n_b, ks_micro, at_value).
+    *
+    * Scale shape: the naive form — one `ORDER BY value` window — is the
+    * classic global-cumulative trap (a single task holds the whole
+    * column). Avoided with a two-level distributed prefix sum: per-side
+    * counts collapse to pooled DISTINCT values on ONE exchange, a range
+    * repartition orders them across `rangeParts` tasks, the ≤ rangeParts
+    * partition totals prefix-sum on the intentionally-tiny side, and each
+    * partition's local cumulative window adds its broadcast offset — every
+    * task touches only its own value range at ANY column cardinality. */
+  def ksDrift(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+      rangeParts: Int = 64): DataFrame = {
+    import graft.core.TrackedCache.TrackedDataset
+    require(rangeParts >= 1, s"rangeParts must be >= 1, got $rangeParts")
+    def side(df: DataFrame, ca: Long, cb: Long) = df
+      .select(col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull && !isnan(col("__v")))
+      .select(col("__v"), lit(ca).as("__ca"), lit(cb).as("__cb"))
+    val counts = side(dfA, 1L, 0L).unionByName(side(dfB, 0L, 1L))
+      .groupBy("__v").agg(sum("__ca").as("a"), sum("__cb").as("b"))
+    // persisted: the partition-totals pass and the scoring pass both read
+    // it — uncached, each branch would re-scan BOTH corpora
+    val ranged = counts.repartitionByRange(rangeParts, col("__v"))
+      .sortWithinPartitions("__v")
+      .withColumn("__pid", spark_partition_id())
+      .persistTracked()
+    val ptot = ranged.groupBy("__pid")
+      .agg(sum("a").as("pa"), sum("b").as("pb"))
+    // ≤ rangeParts rows: the one intentionally-single-task window
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val poff = ptot.select(col("__pid"),
+      coalesce(sum("pa").over(wOff), lit(0L)).as("__offa"),
+      coalesce(sum("pb").over(wOff), lit(0L)).as("__offb"))
+    val tot = ptot.agg(
+      coalesce(sum("pa"), lit(0L)).as("n_a"),
+      coalesce(sum("pb"), lit(0L)).as("n_b"))
+    val wLoc = Window.partitionBy("__pid").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val cum = ranged.select(col("__v"), col("__pid"),
+      sum("a").over(wLoc).as("__la"), sum("b").over(wLoc).as("__lb"))
+    val dev = cum.join(broadcast(poff), Seq("__pid"))
+      .crossJoin(broadcast(tot))
+      .select(col("__v"), col("n_a"), col("n_b"),
+        abs(dec(col("__la") + col("__offa")) * dec(col("n_b")) -
+            dec(col("__lb") + col("__offb")) * dec(col("n_a"))).as("__dev"))
+    dev.agg(
+        max(struct(col("__dev").as("d"), (-col("__v")).as("nv"))).as("m"),
+        max("n_a").as("__na"), max("n_b").as("__nb"))
+      .select(
+        coalesce(col("__na"), lit(0L)).as("n_a"),
+        coalesce(col("__nb"), lit(0L)).as("n_b"),
+        when(coalesce(col("__na"), lit(0L)) === 0 ||
+             coalesce(col("__nb"), lit(0L)) === 0, lit(0L))
+          .otherwise(call_function("div",
+            dec(lit(1000000L)) * col("m.d"),
+            dec(col("__na")) * dec(col("__nb"))).cast("long")).as("ks_micro"),
+        (-col("m.nv")).as("at_value"))
+  }
+
+  /** SEGMENTED [[ksDrift]] — one exact KS test per group in a single
+    * pass, the scalar twin of `tokenDriftByGroup`/`embeddingDriftByGroup`:
+    * per-source feature-drift dashboards read one frame instead of
+    * looping groups. Output: (group, n_a, n_b, ks_micro, at_value), one
+    * row per group seen on either side; a group absent from one side
+    * scores 0. NULL groups are excluded (a null segment is not a
+    * segment); NULL/NaN values are excluded as in the global form.
+    *
+    * Scale shape: the same two-level distributed prefix sum, range-keyed
+    * on (group, value) — a group's cumulative never funnels into one task
+    * however large its value set. The per-group totals and per-partition
+    * offsets broadcast under a LOUD `maxBroadcastGroups` in-plan guard
+    * (the family discipline: a group column that wide is an id, not a
+    * segmentation). */
+  def ksDriftByGroup(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+      groupCol: String, rangeParts: Int = 64,
+      maxBroadcastGroups: Long = 1L << 22): DataFrame = {
+    import graft.core.TrackedCache.TrackedDataset
+    require(rangeParts >= 1, s"rangeParts must be >= 1, got $rangeParts")
+    require(maxBroadcastGroups >= 1,
+      s"maxBroadcastGroups must be >= 1, got $maxBroadcastGroups")
+    require(groupCol != "__v" && groupCol != "__pid",
+      s"groupCol collides with an internal column name: $groupCol")
+    def side(df: DataFrame, ca: Long, cb: Long) = df
+      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .where(col(groupCol).isNotNull &&
+        col("__v").isNotNull && !isnan(col("__v")))
+      .select(col(groupCol), col("__v"),
+        lit(ca).as("__ca"), lit(cb).as("__cb"))
+    val counts = side(dfA, 1L, 0L).unionByName(side(dfB, 0L, 1L))
+      .groupBy(groupCol, "__v").agg(sum("__ca").as("a"), sum("__cb").as("b"))
+    // persisted: partition-totals pass + scoring pass, as in ksDrift
+    val ranged = counts
+      .repartitionByRange(rangeParts, col(groupCol), col("__v"))
+      .sortWithinPartitions(groupCol, "__v")
+      .withColumn("__pid", spark_partition_id())
+      .persistTracked()
+    val ptot = ranged.groupBy(groupCol, "__pid")
+      .agg(sum("a").as("pa"), sum("b").as("pb"))
+    // per-group prefix over pids: ≤ rangeParts rows per group, group-keyed
+    val wOff = Window.partitionBy(groupCol).orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val poff = ptot.select(col(groupCol), col("__pid"),
+      coalesce(sum("pa").over(wOff), lit(0L)).as("__offa"),
+      coalesce(sum("pb").over(wOff), lit(0L)).as("__offb"))
+    val tot0 = ptot.groupBy(groupCol)
+      .agg(sum("pa").as("n_a"), sum("pb").as("n_b"))
+    val ngr = tot0.agg(count(lit(1)).as("__ng"))
+    val tot = tot0.crossJoin(ngr).select(col(groupCol),
+      (col("n_a") + when(col("__ng") > maxBroadcastGroups,
+        raise_error(concat(lit("ksDriftByGroup: "), col("__ng"),
+          lit(s" groups > maxBroadcastGroups=$maxBroadcastGroups — the " +
+            "per-group totals broadcast one row per group; a group column " +
+            "this wide is an id, not a segmentation — raise the cap if " +
+            "the executors have the memory")))).otherwise(lit(0L))).as("n_a"),
+      col("n_b"))
+    val wLoc = Window.partitionBy(col("__pid"), col(groupCol)).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val cum = ranged.select(col(groupCol), col("__v"), col("__pid"),
+      sum("a").over(wLoc).as("__la"), sum("b").over(wLoc).as("__lb"))
+    val dev = cum.join(broadcast(poff), Seq(groupCol, "__pid"))
+      .join(broadcast(tot), Seq(groupCol))
+      .select(col(groupCol), col("__v"), col("n_a"), col("n_b"),
+        abs(dec(col("__la") + col("__offa")) * dec(col("n_b")) -
+            dec(col("__lb") + col("__offb")) * dec(col("n_a"))).as("__dev"))
+    dev.groupBy(groupCol).agg(
+        max(struct(col("__dev").as("d"), (-col("__v")).as("nv"))).as("m"),
+        max("n_a").as("__na"), max("n_b").as("__nb"))
+      .select(col(groupCol),
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        when(col("__na") === 0 || col("__nb") === 0, lit(0L))
+          .otherwise(call_function("div",
+            dec(lit(1000000L)) * col("m.d"),
+            dec(col("__na")) * dec(col("__nb"))).cast("long")).as("ks_micro"),
+        (-col("m.nv")).as("at_value"))
+  }
 }

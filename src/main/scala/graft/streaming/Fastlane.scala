@@ -347,6 +347,52 @@ object Fastlane {
       ()
     }
 
+  /** Streaming TIMELINE maintenance — keep a persisted
+    * [[graft.ops.Events.bucketCategoryProfile]] current as event batches
+    * arrive: each micro-batch buckets and counts ONLY its own events
+    * ((its-buckets × its-cats)-row output, one corpus-free exchange) and
+    * merge-ADDS the counts into the stored profile keyed
+    * (bucket_start, cat) — late events fold into their TRUE bucket (the
+    * adds are order-free integers, so lateness costs nothing beyond
+    * touching the bucket again), and the stream-grown profile is
+    * BIT-IDENTICAL to one computed over the accumulated events in a
+    * single batch (spec-asserted).
+    * [[graft.ops.Events.categoryDriftTimelineFromProfiles]] then serves
+    * the drift dashboard without re-touching the events. Per-batch cost:
+    * O(batch + touched buckets) via `readTouched` — a year-long stored
+    * timeline costs a batch only the time buckets the batch itself spans.
+    *
+    * Replay contract: adds are not idempotent → the shared lineage fence
+    * ([[fencedApply]]); Σn == events ingested is the cheap audit. */
+  def ingestBucketCategoryProfile(
+      stream: DataFrame, catCol: String, tsCol: String, bucketSec: Long,
+      store: graft.core.BucketedStore, feature: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow())
+      (implicit spark: SparkSession): StreamingQuery =
+    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
+      fencedApply(store, feature, checkpointDir, batchId) {
+        // persisted: read by the touched-bucket probe AND the merge add
+        val bp = graft.ops.Events.bucketCategoryProfile(
+          batch, catCol, tsCol, bucketSec)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (store.latestVersion(feature).isEmpty)
+          store.write(bp, feature, Seq("bucket_start", catCol))
+        else {
+          val touched = store.readTouched(feature, Seq("bucket_start", catCol),
+            bp.select("bucket_start", catCol), None)
+          val merged = touched
+            .select(col("bucket_start"), col(catCol), col("n").as("__n0"))
+            .join(bp, Seq("bucket_start", catCol), "full_outer")
+            .select(col("bucket_start"), col(catCol),
+              (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"))
+          store.merge(feature, merged, Seq("bucket_start", catCol))
+        }
+        bp.unpersist()
+      }
+      ()
+    }
+
   /** SEGMENTED streaming embedding-profile maintenance —
     * [[ingestEmbeddingProfile]] keyed (group, pos, bin): each micro-batch
     * profiles its own vectors per group

@@ -642,4 +642,34 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"array-sized expression in a Project ABOVE a Generate (per-token re-evaluation):\n${offenders.mkString("\n")}")
   }
+
+  test("q225: KS drift's cumulative is the two-level prefix sum — a range exchange, and every data-sized Window is __pid-partitioned") {
+    val p = planOf("q225_ks_drift")
+    // the naive shape is one Window [ORDER BY v] with no PARTITION BY over
+    // the whole pooled column — one task holds everything. The two-level
+    // shape: the distinct-value frame range-repartitions, the ≤ rangeParts
+    // partition totals ride the only unpartitioned window, and the local
+    // cumulative windows are keyed by the partition id
+    assert(p.contains("rangepartitioning"),
+      s"expected the range repartition exchange:\n$p")
+    val winSpecs = "Window \\[[^\\]]*\\], \\[[^\\]]*\\]".r.findAllIn(p).toList
+    // exactly two windows: the offset prefix (≤ rangeParts rows, pid-
+    // ordered) and the local cumulative (pid-partitioned)
+    assert("Window \\[".r.findAllIn(p).size == 2, s"expected 2 windows:\n$p")
+    assert(p.contains("partitionBy") || p.contains("__pid"),
+      s"expected the local cumulative to be __pid-partitioned:\n$p")
+    // the scoring side sees only broadcasts — no shuffle join of two
+    // corpus-sized sides
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"),
+      s"expected offsets/totals to broadcast:\n$p")
+    assert(winSpecs.nonEmpty)
+  }
+
+  test("q229: the drift timeline has exactly one Window (the per-bucket rank) and the spine sides broadcast") {
+    val p = planOf("q229_category_drift_timeline")
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"expected exactly 1 Window (the rank):\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"),
+      s"expected the bounded spine sides to broadcast:\n$p")
+  }
 }

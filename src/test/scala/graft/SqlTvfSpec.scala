@@ -481,6 +481,30 @@ class SqlTvfSpec extends SparkSpec {
         emb.filter(col("vec_id") % 2 === 1), "embedding", "label"))
   }
 
+  test("graft_ks_drift / graft_ks_drift_by_group == Stats.ksDrift routes") {
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.filter(col("user_id") % 2 === 0).createOrReplaceTempView("tvf_ks_a")
+    ev.filter(col("user_id") % 2 === 1).createOrReplaceTempView("tvf_ks_b")
+    same(
+      spark.sql("SELECT * FROM graft_ks_drift('tvf_ks_a','tvf_ks_b','value')"),
+      ops.Stats.ksDrift(ev.filter(col("user_id") % 2 === 0),
+        ev.filter(col("user_id") % 2 === 1), "value"))
+    same(
+      spark.sql("SELECT * FROM graft_ks_drift_by_group('tvf_ks_a','tvf_ks_b','value','event_type')"),
+      ops.Stats.ksDriftByGroup(ev.filter(col("user_id") % 2 === 0),
+        ev.filter(col("user_id") % 2 === 1), "value", "event_type"))
+  }
+
+  test("graft_category_drift_timeline == Events.categoryDriftTimeline") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val ref = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    ev.createOrReplaceTempView("tvf_cdt_ev")
+    ref.createOrReplaceTempView("tvf_cdt_ref")
+    same(
+      spark.sql("SELECT * FROM graft_category_drift_timeline('tvf_cdt_ev','event_type','ts','tvf_cdt_ref',604800)"),
+      ops.Events.categoryDriftTimeline(ev, "event_type", "ts", ref, 604800L))
+  }
+
   test("non-literal and malformed TVF arguments fail loudly") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception](

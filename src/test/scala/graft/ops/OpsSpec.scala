@@ -3382,6 +3382,54 @@ class EwmaSpec extends SparkSpec {
     }
     assert(out == ((7L, n.toLong, exp)))
   }
+
+  test("categoryDriftTimeline: hand-computed chi-square per bucket, top category, ref-only categories contribute") {
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      // hour bucket 0: a,a,b   hour bucket 1: b,b
+      (ts("2024-01-01 10:00:00"), "a"), (ts("2024-01-01 10:20:00"), "a"),
+      (ts("2024-01-01 10:59:00"), "b"),
+      (ts("2024-01-01 11:05:00"), "b"), (ts("2024-01-01 11:30:00"), "b"))
+      .toDF("ts", "cat")
+    val ref = Seq(("a", 1L), ("b", 1L)).toDF("cat", "n")
+    val out = Events.categoryDriftTimeline(df, "cat", "ts", ref, 3600L)
+      .orderBy("bucket_start")
+      .as[(Long, Long, Long, String, Long)].collect().toList
+    assert(out.map(_._1).distinct.size == 2 &&
+      out(1)._1 - out(0)._1 == 3600L, s"buckets: ${out.map(_._1)}")
+    // bucket 0 (a=2,b=1, t_b=3; ref a=1,b=1, t_a=2):
+    //   a: (1*3-2*2)^2 -> 1e6*1/((1+2)*2*3)=55555; b: 1e6*1/((1+1)*2*3)=83333
+    assert(out(0)._2 == 3L && out(0)._3 == 55555L + 83333L &&
+      out(0)._4 == "b" && out(0)._5 == 83333L, s"bucket0: ${out(0)}")
+    // bucket 1 (b=2, t_b=2): a: 1e6*4/((1+0)*2*2)=1000000 (ABSENCE is the
+    // signal); b: 1e6*4/((1+2)*2*2)=333333
+    assert(out(1)._2 == 2L && out(1)._3 == 1000000L + 333333L &&
+      out(1)._4 == "a" && out(1)._5 == 1000000L, s"bucket1: ${out(1)}")
+    // a bucket matching the reference mix exactly scores 0
+    val same = Seq((ts("2024-01-01 10:00:00"), "a"),
+      (ts("2024-01-01 10:01:00"), "a"), (ts("2024-01-01 10:02:00"), "b"),
+      (ts("2024-01-01 10:03:00"), "b")).toDF("ts", "cat")
+    val z = Events.categoryDriftTimeline(same, "cat", "ts", ref, 3600L)
+      .as[(Long, Long, Long, String, Long)].head()
+    assert(z._3 == 0L && z._5 == 0L, s"matched mix scored: $z")
+    // a reference-only category charges every bucket for its absence
+    val ref3 = Seq(("a", 1L), ("b", 1L), ("c", 2L)).toDF("cat", "n")
+    val z3 = Events.categoryDriftTimeline(same, "cat", "ts", ref3, 3600L)
+      .as[(Long, Long, Long, String, Long)].head()
+    assert(z3._3 > 0L && z3._4 == "c", s"ref-only cat not charged: $z3")
+    // guards fire by name
+    val eBk = intercept[Exception] {
+      Events.categoryDriftTimeline(df, "cat", "ts", ref, 3600L,
+        maxBuckets = 1L).collect()
+    }
+    assert(eBk.getMessage.contains("categoryDriftTimeline"), eBk.getMessage)
+    val eCat = intercept[Exception] {
+      Events.categoryDriftTimeline(df, "cat", "ts", ref, 3600L,
+        maxCats = 1L).collect()
+    }
+    assert(eCat.getMessage.contains("categoryDriftTimeline"), eCat.getMessage)
+  }
 }
 
 class FunnelSpec extends SparkSpec {

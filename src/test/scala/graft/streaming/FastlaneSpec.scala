@@ -299,6 +299,51 @@ class FastlaneSpec extends SparkSpec {
     assert(storedRows() == grown, "replayed batches must not double-count")
   }
 
+  test("ingestBucketCategoryProfile: stream-grown timeline bit-identical to one-shot; profile-served timeline == direct; late events fold into their true bucket; replay fenced") {
+    import graft.ops.Events
+    val srcDir = tmpDir("cdt_src")
+    val store = new graft.core.BucketedStore(tmpDir("cdt_store"), numBuckets = 8)
+    val ckpt = tmpDir("cdt_ckpt")
+    def stream() = spark.readStream
+      .schema("ts TIMESTAMP, cat STRING").json(s"$srcDir/*")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = Seq((t("2024-01-01 10:00:00"), "a"), (t("2024-01-01 10:20:00"), "a"),
+      (t("2024-01-01 11:05:00"), "b"))
+    // b2 carries a LATE event for the 10:00 bucket — it must fold into
+    // its true bucket, not a new one
+    val b2 = Seq((t("2024-01-01 11:30:00"), "b"), (t("2024-01-01 10:59:00"), "b"))
+    b1.toDF("ts", "cat").write.mode("overwrite").json(s"$srcDir/b1")
+    Fastlane.ingestBucketCategoryProfile(stream(), "cat", "ts", 3600L,
+      store, "cdt", ckpt).awaitTermination(60000)
+    b2.toDF("ts", "cat").write.mode("overwrite").json(s"$srcDir/b2")
+    Fastlane.ingestBucketCategoryProfile(stream(), "cat", "ts", 3600L,
+      store, "cdt", ckpt).awaitTermination(60000)
+    def storedRows() = store.read("cdt", Seq("bucket_start", "cat"))
+      .select("bucket_start", "cat", "n").as[(Long, String, Long)].collect().toSet
+    val grown = storedRows()
+    val union = (b1 ++ b2).toDF("ts", "cat")
+    val oneShot = Events.bucketCategoryProfile(union, "cat", "ts", 3600L)
+      .as[(Long, String, Long)].collect().toSet
+    assert(grown.nonEmpty && grown == oneShot,
+      "additive growth must be BIT-identical to a one-shot count")
+    // exactly two buckets — the late event folded back into 10:00's
+    assert(grown.size == 3 && grown.map(_._1).size == 2, s"got $grown")
+    assert(grown.toSeq.map(_._3).sum == 5L) // Σn == events ingested
+    // profile-served timeline answers identically to the direct route
+    val ref = Seq(("a", 1L), ("b", 1L)).toDF("cat", "n")
+    val served = Events.categoryDriftTimelineFromProfiles(
+        store.read("cdt", Seq("bucket_start", "cat")), ref, "cat")
+      .orderBy("bucket_start").collect().toSeq
+    val direct = Events.categoryDriftTimeline(union, "cat", "ts", ref, 3600L)
+      .orderBy("bucket_start").collect().toSeq
+    assert(served.nonEmpty && served == direct,
+      "profile-served timeline must equal the direct route")
+    // a replayed run under the same checkpoint lineage is fenced out
+    Fastlane.ingestBucketCategoryProfile(stream(), "cat", "ts", 3600L,
+      store, "cdt", ckpt).awaitTermination(60000)
+    assert(storedRows() == grown, "replayed batches must not double-count")
+  }
+
   test("ingestTokenProfileByGroup: stream-grown segmented profile bit-identical to one-shot; per-group drift served from storage == direct; replay fenced") {
     import graft.ops.TextOps
     val srcDir = tmpDir("gtprof_src")
