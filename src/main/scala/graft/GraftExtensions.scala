@@ -746,6 +746,38 @@ object GraftExtensions {
           table(str(args(3), "refTable")), int(args(4), "bucketSec").toLong)
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_numeric_profile"),
+      info("graft_numeric_profile",
+        "graft_numeric_profile(table, valueCol, bins, binWidthMicro) - the scalar monitor's ADDITIVE sufficient statistic: values quantize to exact micros and floor into clamped bins; (bin, n) counts, profile(A UNION B) == profile(A) + profile(B) keyed on bin, so stored profiles grow O(batch) and serve graft_numeric_shape_drift_from_profiles without re-touching the corpus"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "usage: graft_numeric_profile(table, valueCol, bins, binWidthMicro)")
+        ops.Stats.numericProfile(table(str(args(0), "table")),
+          str(args(1), "valueCol"), int(args(2), "bins"),
+          int(args(3), "binWidthMicro").toLong)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_numeric_shape_drift"),
+      info("graft_numeric_shape_drift",
+        "graft_numeric_shape_drift(tableA, tableB, valueCol, bins, binWidthMicro) - binned two-sample chi-square drift for a numeric column (the profile-SERVABLE scalar monitor; graft_ks_drift is the exact direct test): (bin, n_a, n_b, chi2_micro, rank)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "usage: graft_numeric_shape_drift(tableA, tableB, valueCol, bins, binWidthMicro)")
+        ops.Stats.numericShapeDrift(table(str(args(0), "tableA")),
+          table(str(args(1), "tableB")), str(args(2), "valueCol"),
+          int(args(3), "bins"), int(args(4), "binWidthMicro").toLong)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_numeric_shape_drift_from_profiles"),
+      info("graft_numeric_shape_drift_from_profiles",
+        "graft_numeric_shape_drift_from_profiles(profTableA, profTableB) - the scalar drift monitor SERVED from two stored graft_numeric_profile frames: identical answer to the direct route over the corpora the profiles summarize, corpora never touched at serve time"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "usage: graft_numeric_shape_drift_from_profiles(profTableA, profTableB)")
+        ops.Stats.numericShapeDriftFromProfiles(
+          table(str(args(0), "profTableA")), table(str(args(1), "profTableB")))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_bucket_category_profile"),
       info("graft_bucket_category_profile",
         "graft_bucket_category_profile(table, catCol, tsCol, bucketSec) - the timeline's ADDITIVE sufficient statistic: per (bucket_start, category) event counts; profile(A UNION B) == profile(A) + profile(B) keyed on (bucket_start, cat), so stored timelines grow O(batch) and serve graft_category_drift_timeline_from_profiles without re-touching the events"),

@@ -346,6 +346,39 @@ object SparkEntry {
           CAST(max(CASE WHEN rk = 1 THEN contrib END) AS BIGINT) AS top_chi2_micro
         FROM rk GROUP BY bucket_start ORDER BY bucket_start"""
 
+  /** q233 / q234 / q235 / q236 shared oracle: binned two-sample
+    * chi-square drift over events.value (user parity split) — each value
+    * quantizes to exact micros (round, the engine convention), floors
+    * into one of 16 bins of 31_250_000 micros clamped to [−8, 7], and
+    * the tokenDrift summand runs per bin in HUGEINT. q234 serves the
+    * identical answer from additive profiles, q235/q236 are the SQL-TVF
+    * routes. */
+  private lazy val sqlNumericShapeDrift: String = """
+        WITH va AS (SELECT CAST(round(CAST(value AS DOUBLE)*1000000) AS BIGINT) AS q
+                FROM events WHERE user_id % 2 = 0
+                  AND value IS NOT NULL AND NOT isnan(value)),
+        vb AS (SELECT CAST(round(CAST(value AS DOUBLE)*1000000) AS BIGINT) AS q
+                FROM events WHERE user_id % 2 = 1
+                  AND value IS NOT NULL AND NOT isnan(value)),
+        a AS (SELECT least(greatest(CAST(floor(CAST(q AS DOUBLE)/31250000) AS BIGINT), -8), 7) AS bin,
+                     CAST(count(*) AS HUGEINT) AS n_a FROM va GROUP BY 1),
+        b AS (SELECT least(greatest(CAST(floor(CAST(q AS DOUBLE)/31250000) AS BIGINT), -8), 7) AS bin,
+                     CAST(count(*) AS HUGEINT) AS n_b FROM vb GROUP BY 1),
+        j AS (SELECT COALESCE(a.bin, b.bin) AS bin,
+                     COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+              FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+        t AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM j),
+        s AS (SELECT bin, n_a, n_b,
+                CASE WHEN t.t_a = 0 OR t.t_b = 0 THEN CAST(0 AS HUGEINT)
+                     ELSE (1000000 * (n_a*t.t_b - n_b*t.t_a) * (n_a*t.t_b - n_b*t.t_a))
+                          // ((n_a + n_b) * t.t_a * t.t_b) END AS chi2_micro
+              FROM j CROSS JOIN t)
+        SELECT CAST(bin AS BIGINT) AS bin,
+          CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          CAST(chi2_micro AS BIGINT) AS chi2_micro,
+          CAST(row_number() OVER (ORDER BY chi2_micro DESC, bin ASC) AS INT) AS rank
+        FROM s ORDER BY rank"""
+
   /** Build-once token-profile STORE for q223: version 1 = snapshot A's
     * profile, version 2 = the accumulated A ∪ B via a merge-ADD append
     * (the `ingestTokenProfile` maintenance shape in batch form). The
@@ -3430,6 +3463,71 @@ object SparkEntry {
           ORDER BY bucket_start""")
       },
       Some(sqlCategoryDriftTimeline)),
+
+    // -- q233: binned two-sample chi-square drift for a numeric column —
+    //    the profile-SERVABLE scalar monitor (q225's KS is the exact
+    //    direct test; this is the form a bounded stored profile serves) --
+    Q("q233_numeric_shape_drift",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        ops.Stats.numericShapeDrift(
+          ev.filter(col("user_id") % 2 === 0),
+          ev.filter(col("user_id") % 2 === 1), "value").orderBy("rank")
+      },
+      Some(sqlNumericShapeDrift)),
+
+    // -- q234: the scalar monitor SERVED from additive bin profiles —
+    //    q233's oracle verbatim (route equivalence) ----------------------
+    Q("q234_numeric_shape_drift_profiles",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        ops.Stats.numericShapeDriftFromProfiles(
+          ops.Stats.numericProfile(ev.filter(col("user_id") % 2 === 0), "value"),
+          ops.Stats.numericProfile(ev.filter(col("user_id") % 2 === 1), "value"))
+          .orderBy("rank")
+      },
+      Some(sqlNumericShapeDrift)),
+
+    // -- q235: the SQL-TVF route for the scalar monitor ------------------
+    Q("q235_sql_tvf_numeric_shape_drift",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val ev = T(s, dir, "events")
+        ev.filter(col("user_id") % 2 === 0)
+          .createOrReplaceTempView(s"nsd_a_$sfx")
+        ev.filter(col("user_id") % 2 === 1)
+          .createOrReplaceTempView(s"nsd_b_$sfx")
+        s.sql(s"""
+          SELECT bin, n_a, n_b, chi2_micro, rank
+          FROM graft_numeric_shape_drift('nsd_a_$sfx', 'nsd_b_$sfx',
+                                         'value', 16, 31250000)
+          ORDER BY rank""")
+      },
+      Some(sqlNumericShapeDrift)),
+
+    // -- q236: end-to-end SQL for the profile-served scalar monitor —
+    //    build both profiles with the builder TVF, serve with the
+    //    from_profiles TVF; q233's oracle verbatim -----------------------
+    Q("q236_sql_tvf_numeric_drift_from_profiles",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val ev = T(s, dir, "events")
+        ev.filter(col("user_id") % 2 === 0)
+          .createOrReplaceTempView(s"nsdp_a_$sfx")
+        ev.filter(col("user_id") % 2 === 1)
+          .createOrReplaceTempView(s"nsdp_b_$sfx")
+        s.sql(s"SELECT * FROM graft_numeric_profile('nsdp_a_$sfx', 'value', 16, 31250000)")
+          .createOrReplaceTempView(s"nsdp_pa_$sfx")
+        s.sql(s"SELECT * FROM graft_numeric_profile('nsdp_b_$sfx', 'value', 16, 31250000)")
+          .createOrReplaceTempView(s"nsdp_pb_$sfx")
+        s.sql(s"""
+          SELECT bin, n_a, n_b, chi2_micro, rank
+          FROM graft_numeric_shape_drift_from_profiles('nsdp_pa_$sfx', 'nsdp_pb_$sfx')
+          ORDER BY rank""")
+      },
+      Some(sqlNumericShapeDrift)),
 
     // -- q189: the SQL-TVF route for BM25 top-k — graft_bm25_topk over the
     //    documents + query-fixture temp views; expands at analysis time to

@@ -1144,6 +1144,98 @@ object Stats {
         (-col("m.nv")).as("at_value"))
   }
 
+  /** The scalar monitor's ADDITIVE sufficient statistic — the numeric
+    * twin of `Similarity.embeddingProfile` for a plain feature column:
+    * each value quantizes to exact micros (`round(x·10⁶)`, the engine-wide
+    * convention) and floors into one of `bins` buckets of `binWidthMicro`
+    * micros (clamped to [−bins/2, bins/2−1]); output is (bin, n) counts.
+    * Additive under bin-keyed sum — profile(A ∪ B) == profile(A) +
+    * profile(B), exact integers — so the streaming maintenance loop
+    * ([[graft.streaming.Fastlane.ingestNumericProfile]]) keeps a stored
+    * profile current at O(batch) per micro-batch and
+    * [[numericShapeDriftFromProfiles]] serves the scalar drift monitor
+    * without re-touching the corpora. [[ksDrift]] is the EXACT direct
+    * test; this binned form is what a bounded stored profile can serve —
+    * the same direct-vs-servable split as embeddingDrift vs its profiles.
+    * NULL/NaN excluded (scalar semantics — no padding convention).
+    *
+    * Scale shape: one bin-keyed count — partial aggregation collapses
+    * each task to ≤ bins rows before the one exchange; the corpus never
+    * shuffles. */
+  def numericProfile(df: DataFrame, valueCol: String, bins: Int = 16,
+      binWidthMicro: Long = 31250000L): DataFrame = {
+    require(bins >= 2 && bins <= 256 && bins % 2 == 0,
+      s"bins must be even and in [2, 256], got $bins")
+    require(binWidthMicro >= 1,
+      s"binWidthMicro must be >= 1, got $binWidthMicro")
+    val hb = bins / 2
+    df.select(col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull && !isnan(col("__v")))
+      .select(least(greatest(
+        floor(round(col("__v") * lit(1000000d)).cast("long") / lit(binWidthMicro)),
+        lit(-hb.toLong)), lit(hb - 1L)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+  }
+
+  /** Binned two-sample chi-square drift for a numeric column — the
+    * PROFILE-SERVABLE scalar monitor ([[ksDrift]] is exact but needs the
+    * full value sets; this needs only two ≤ bins-row profiles, so it is
+    * the form a streaming monitor stores and serves). Per bin the
+    * tokenDrift chi-square summand runs verbatim in exact integers;
+    * output one row per occupied bin: (bin, n_a, n_b, chi2_micro, rank),
+    * rank by contribution (ties → smaller bin). An empty side scores 0. */
+  def numericShapeDrift(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+      bins: Int = 16, binWidthMicro: Long = 31250000L): DataFrame =
+    numericShapeDriftFromCounts(
+      numericProfile(dfA, valueCol, bins, binWidthMicro)
+        .withColumnRenamed("n", "n_a"),
+      numericProfile(dfB, valueCol, bins, binWidthMicro)
+        .withColumnRenamed("n", "n_b"))
+
+  /** [[numericShapeDrift]] computed from two STORED [[numericProfile]]
+    * frames instead of the corpora — the serving read of the streaming
+    * scalar monitor: the profile's per-bin n IS the count the direct
+    * route aggregates, so the answer is IDENTICAL to running the drift
+    * over the corpora the profiles summarize (spec- and oracle-asserted).
+    * Inputs are re-aggregated by bin first, so concatenated partial
+    * profiles are accepted. Cost: two ≤ bins-row scans — the corpora are
+    * never touched at serve time. */
+  def numericShapeDriftFromProfiles(profA: DataFrame,
+      profB: DataFrame): DataFrame =
+    numericShapeDriftFromCounts(
+      profA.groupBy("bin").agg(sum(col("n")).as("n_a")),
+      profB.groupBy("bin").agg(sum(col("n")).as("n_b")))
+
+  /** Shared chi-square tail of [[numericShapeDrift]] /
+    * [[numericShapeDriftFromProfiles]] — one code path so the direct and
+    * profile-served routes cannot drift. The frame is ≤ bins rows
+    * throughout; the unpartitioned rank window is bins-bounded by
+    * construction. */
+  private def numericShapeDriftFromCounts(ca: DataFrame,
+      cb: DataFrame): DataFrame = {
+    import graft.core.TrackedCache.TrackedDataset
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val joined = ca.join(cb, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .persistTracked()
+    val totals = joined.agg(
+      coalesce(sum("n_a"), lit(0L)).as("t_a"),
+      coalesce(sum("n_b"), lit(0L)).as("t_b"))
+    val diff = dec(col("n_a")) * dec(col("t_b")) - dec(col("n_b")) * dec(col("t_a"))
+    val contrib = when(col("t_a") === 0 || col("t_b") === 0, lit(0L))
+      .otherwise(call_function("div",
+        dec(lit(1000000L)) * diff * diff,
+        (dec(col("n_a")) + dec(col("n_b"))) * dec(col("t_a")) * dec(col("t_b")))
+        .cast("long"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        contrib.as("chi2_micro"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("chi2_micro").desc, col("bin").asc)))
+  }
+
   /** SEGMENTED [[ksDrift]] — one exact KS test per group in a single
     * pass, the scalar twin of `tokenDriftByGroup`/`embeddingDriftByGroup`:
     * per-source feature-drift dashboards read one frame instead of

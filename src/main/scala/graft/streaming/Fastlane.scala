@@ -347,6 +347,47 @@ object Fastlane {
       ()
     }
 
+  /** Streaming SCALAR-monitor maintenance — keep a persisted
+    * [[graft.ops.Stats.numericProfile]] current as batches arrive: each
+    * micro-batch bins ONLY its own values (≤ bins rows, one corpus-free
+    * exchange) and merge-ADDS the counts into the stored profile keyed on
+    * bin. Profiles are additive exact integers, so the stream-grown
+    * profile is BIT-IDENTICAL to one computed over the accumulated corpus
+    * in a single batch (spec-asserted), and
+    * [[graft.ops.Stats.numericShapeDriftFromProfiles]] serves the scalar
+    * drift monitor against a reference profile without re-touching the
+    * corpora. The profile is ≤ bins rows — a full rewrite per batch is
+    * cheap, the global-embedding-profile shape.
+    *
+    * Replay contract: adds are not idempotent → the shared lineage fence
+    * ([[fencedApply]]); Σn == values ingested is the cheap audit. */
+  def ingestNumericProfile(
+      stream: DataFrame, valueCol: String,
+      store: graft.core.BucketedStore, feature: String,
+      checkpointDir: String,
+      bins: Int = 16, binWidthMicro: Long = 31250000L,
+      trigger: Trigger = Trigger.AvailableNow())
+      (implicit spark: SparkSession): StreamingQuery =
+    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
+      fencedApply(store, feature, checkpointDir, batchId) {
+        val bp = graft.ops.Stats.numericProfile(
+          batch, valueCol, bins, binWidthMicro)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (store.latestVersion(feature).isEmpty)
+          store.write(bp, feature, Seq("bin"))
+        else {
+          val merged = store.read(feature, Seq("bin"))
+            .select(col("bin"), col("n").as("__n0"))
+            .join(bp, Seq("bin"), "full_outer")
+            .select(col("bin"),
+              (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"))
+          store.merge(feature, merged, Seq("bin"))
+        }
+        bp.unpersist()
+      }
+      ()
+    }
+
   /** Streaming TIMELINE maintenance — keep a persisted
     * [[graft.ops.Events.bucketCategoryProfile]] current as event batches
     * arrive: each micro-batch buckets and counts ONLY its own events

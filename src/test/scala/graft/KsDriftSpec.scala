@@ -92,6 +92,55 @@ class KsDriftSpec extends SparkSpec {
     assert(rs.distinct.size == 1, "parts-dependent grouped answers")
   }
 
+  test("numericProfile: additive, NULL/NaN excluded, clamped tails") {
+    val a = Seq(Some(0.0), Some(10.0), Some(10.0), Some(1e9), Some(-1e9),
+      None, Some(Double.NaN)).toDF("x")
+    // width 31.25 units: 0 and 10 land in bin 0, 1e9 clamps to 7, -1e9 to -8
+    val p = ops.Stats.numericProfile(a, "x")
+      .as[(Long, Long)].collect().toMap
+    assert(p == Map(0L -> 3L, 7L -> 1L, -8L -> 1L), s"got $p")
+    // additivity: profile(A ∪ B) == profile(A) + profile(B)
+    val b = Seq(5.0, 40.0, -40.0).toDF("x")
+    val pa = ops.Stats.numericProfile(a, "x").as[(Long, Long)].collect().toMap
+    val pb = ops.Stats.numericProfile(b, "x").as[(Long, Long)].collect().toMap
+    val pu = ops.Stats.numericProfile(
+      a.select(col("x")).unionByName(b.select(col("x"))), "x")
+      .as[(Long, Long)].collect().toMap
+    val added = (pa.keySet ++ pb.keySet).map(k =>
+      k -> (pa.getOrElse(k, 0L) + pb.getOrElse(k, 0L))).toMap
+    assert(pu == added, s"union $pu vs added $added")
+  }
+
+  test("numericShapeDrift: hand-computed bins; profile-served == direct; concatenated partials accepted") {
+    val a = Seq(0.0, 10.0, 10.0, 40.0).toDF("x")   // bins: 0,0,0,1
+    val b = Seq(0.0, 40.0, 40.0, 40.0).toDF("x")   // bins: 0,1,1,1
+    val direct = ops.Stats.numericShapeDrift(a, b, "x")
+      .orderBy("rank").as[(Long, Long, Long, Long, Int)].collect().toList
+    // j: bin0 (3,1), bin1 (1,3); t_a=t_b=4
+    // contrib(bin0) = 1e6*(3*4-1*4)^2/((3+1)*4*4) = 1e6*64/64 = 1000000
+    // contrib(bin1) symmetric = 1000000; tie -> bin0 first
+    assert(direct == List((0L, 3L, 1L, 1000000L, 1), (1L, 1L, 3L, 1000000L, 2)),
+      s"got $direct")
+    val served = ops.Stats.numericShapeDriftFromProfiles(
+      ops.Stats.numericProfile(a, "x"), ops.Stats.numericProfile(b, "x"))
+      .orderBy("rank").as[(Long, Long, Long, Long, Int)].collect().toList
+    assert(served == direct, s"served $served vs direct $direct")
+    // concatenated partial profiles re-aggregate before scoring
+    val aHalf1 = Seq(0.0, 10.0).toDF("x")
+    val aHalf2 = Seq(10.0, 40.0).toDF("x")
+    val concat = ops.Stats.numericShapeDriftFromProfiles(
+      ops.Stats.numericProfile(aHalf1, "x")
+        .unionByName(ops.Stats.numericProfile(aHalf2, "x")),
+      ops.Stats.numericProfile(b, "x"))
+      .orderBy("rank").as[(Long, Long, Long, Long, Int)].collect().toList
+    assert(concat == direct, s"concat $concat vs direct $direct")
+    // an empty side scores 0 everywhere
+    val empty = Seq.empty[Double].toDF("x")
+    val z = ops.Stats.numericShapeDrift(a, empty, "x")
+      .as[(Long, Long, Long, Long, Int)].collect()
+    assert(z.nonEmpty && z.forall(_._4 == 0L), s"got ${z.toList}")
+  }
+
   test("maxBroadcastGroups guard fires by name") {
     val a = Seq(("g1", 1.0), ("g2", 2.0)).toDF("g", "x")
     val e = intercept[Exception] {

@@ -505,6 +505,27 @@ class SqlTvfSpec extends SparkSpec {
       ops.Events.categoryDriftTimeline(ev, "event_type", "ts", ref, 604800L))
   }
 
+  test("graft_numeric_profile / graft_numeric_shape_drift(_from_profiles) == the Stats scalar-monitor routes") {
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.filter(col("user_id") % 2 === 0).createOrReplaceTempView("tvf_nsd_a")
+    ev.filter(col("user_id") % 2 === 1).createOrReplaceTempView("tvf_nsd_b")
+    same(
+      spark.sql("SELECT * FROM graft_numeric_profile('tvf_nsd_a','value',16,31250000)"),
+      ops.Stats.numericProfile(ev.filter(col("user_id") % 2 === 0), "value"))
+    same(
+      spark.sql("SELECT * FROM graft_numeric_shape_drift('tvf_nsd_a','tvf_nsd_b','value',16,31250000)"),
+      ops.Stats.numericShapeDrift(ev.filter(col("user_id") % 2 === 0),
+        ev.filter(col("user_id") % 2 === 1), "value"))
+    spark.sql("SELECT * FROM graft_numeric_profile('tvf_nsd_a','value',16,31250000)")
+      .createOrReplaceTempView("tvf_nsd_pa")
+    spark.sql("SELECT * FROM graft_numeric_profile('tvf_nsd_b','value',16,31250000)")
+      .createOrReplaceTempView("tvf_nsd_pb")
+    same(
+      spark.sql("SELECT * FROM graft_numeric_shape_drift_from_profiles('tvf_nsd_pa','tvf_nsd_pb')"),
+      ops.Stats.numericShapeDrift(ev.filter(col("user_id") % 2 === 0),
+        ev.filter(col("user_id") % 2 === 1), "value"))
+  }
+
   test("non-literal and malformed TVF arguments fail loudly") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception](

@@ -299,6 +299,44 @@ class FastlaneSpec extends SparkSpec {
     assert(storedRows() == grown, "replayed batches must not double-count")
   }
 
+  test("ingestNumericProfile: stream-grown scalar profile bit-identical to one-shot; profile-served drift == direct; replay fenced") {
+    import graft.ops.Stats
+    val srcDir = tmpDir("nprof_src")
+    val store = new graft.core.BucketedStore(tmpDir("nprof_store"), numBuckets = 8)
+    val ckpt = tmpDir("nprof_ckpt")
+    def stream() = spark.readStream.schema("v DOUBLE").json(s"$srcDir/*")
+    val b1 = Seq(0.0, 10.0, 40.0)
+    val b2 = Seq(10.0, 40.0, 40.0, 90.0)
+    b1.toDF("v").write.mode("overwrite").json(s"$srcDir/b1")
+    Fastlane.ingestNumericProfile(stream(), "v", store, "nprof", ckpt)
+      .awaitTermination(60000)
+    b2.toDF("v").write.mode("overwrite").json(s"$srcDir/b2")
+    Fastlane.ingestNumericProfile(stream(), "v", store, "nprof", ckpt)
+      .awaitTermination(60000)
+    def storedRows() = store.read("nprof", Seq("bin"))
+      .select("bin", "n").as[(Long, Long)].collect().toSet
+    val grown = storedRows()
+    val union = (b1 ++ b2).toDF("v")
+    val oneShot = Stats.numericProfile(union, "v")
+      .as[(Long, Long)].collect().toSet
+    assert(grown.nonEmpty && grown == oneShot,
+      "additive growth must be BIT-identical to a one-shot count")
+    assert(grown.toSeq.map(_._2).sum == 7L) // Σn == values ingested
+    // profile-served drift answers identically to the direct route
+    val ref = Seq(5.0, 5.0, 70.0).toDF("v")
+    val served = Stats.numericShapeDriftFromProfiles(
+        store.read("nprof", Seq("bin")), Stats.numericProfile(ref, "v"))
+      .orderBy("rank").collect().toSeq
+    val direct = Stats.numericShapeDrift(union, ref, "v")
+      .orderBy("rank").collect().toSeq
+    assert(served.nonEmpty && served == direct,
+      "profile-served scalar drift must equal the direct route")
+    // a replayed run under the same checkpoint lineage is fenced out
+    Fastlane.ingestNumericProfile(stream(), "v", store, "nprof", ckpt)
+      .awaitTermination(60000)
+    assert(storedRows() == grown, "replayed batches must not double-count")
+  }
+
   test("ingestBucketCategoryProfile: stream-grown timeline bit-identical to one-shot; profile-served timeline == direct; late events fold into their true bucket; replay fenced") {
     import graft.ops.Events
     val srcDir = tmpDir("cdt_src")
