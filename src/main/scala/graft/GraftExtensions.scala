@@ -746,6 +746,16 @@ object GraftExtensions {
           table(str(args(3), "refTable")), int(args(4), "bucketSec").toLong)
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_timeline_anomalies"),
+      info("graft_timeline_anomalies",
+        "graft_timeline_anomalies(timelineTable, k) - Hampel median + k*MAD anomaly flags over a drift timeline (any (bucket_start, chi2_micro, ...) frame, e.g. graft_category_drift_timeline's output): (bucket_start, chi2_micro, med_micro, mad_micro, is_anomaly); lower medians keep it exact-integer"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "usage: graft_timeline_anomalies(timelineTable, k)")
+        ops.Events.timelineAnomalies(table(str(args(0), "timelineTable")),
+          int(args(1), "k").toLong)
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_numeric_profile"),
       info("graft_numeric_profile",
         "graft_numeric_profile(table, valueCol, bins, binWidthMicro) - the scalar monitor's ADDITIVE sufficient statistic: values quantize to exact micros and floor into clamped bins; (bin, n) counts, profile(A UNION B) == profile(A) + profile(B) keyed on bin, so stored profiles grow O(batch) and serve graft_numeric_shape_drift_from_profiles without re-touching the corpus"),

@@ -379,6 +379,51 @@ object SparkEntry {
           CAST(row_number() OVER (ORDER BY chi2_micro DESC, bin ASC) AS INT) AS rank
         FROM s ORDER BY rank"""
 
+  /** q237 / q238 shared oracle: anomaly flags over the q229 timeline —
+    * Hampel's median + k·MAD rule in exact integers (LOWER medians: the
+    * sorted element at rank (n+1)//2 — no interpolation, engine-exact).
+    * The timeline CTE is MATERIALIZED (referenced by the median, MAD,
+    * and flag passes — DuckDB would otherwise inline it 4×). */
+  private lazy val sqlTimelineAnomalies: String = """
+        WITH ev AS (SELECT (CAST(epoch_us(ts) AS BIGINT) // 604800000000) * 604800
+                      AS bucket_start, event_type AS cat
+                    FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        c AS (SELECT bucket_start, cat, CAST(count(*) AS HUGEINT) AS n_b
+              FROM ev GROUP BY 1, 2),
+        ref AS (SELECT event_type AS cat, CAST(count(*) AS HUGEINT) AS n_a
+                FROM events GROUP BY 1),
+        bk AS (SELECT bucket_start, sum(n_b) AS t_b FROM c GROUP BY 1),
+        cats AS (SELECT DISTINCT cat FROM
+                 (SELECT cat FROM c UNION SELECT cat FROM ref)),
+        t AS (SELECT sum(n_a) AS t_a FROM ref),
+        sp AS (SELECT bk.bucket_start, cats.cat,
+                  COALESCE(ref.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b,
+                  t.t_a, bk.t_b
+               FROM bk CROSS JOIN cats
+               LEFT JOIN ref ON ref.cat = cats.cat
+               LEFT JOIN c ON c.bucket_start = bk.bucket_start
+                          AND c.cat = cats.cat
+               CROSS JOIN t),
+        sc AS (SELECT bucket_start,
+                  CASE WHEN t_a = 0 OR t_b = 0 OR n_a + n_b = 0
+                       THEN CAST(0 AS HUGEINT)
+                       ELSE (1000000 * (n_a*t_b - n_b*t_a) * (n_a*t_b - n_b*t_a))
+                            // ((n_a + n_b) * t_a * t_b) END AS contrib
+               FROM sp),
+        tl AS MATERIALIZED (SELECT bucket_start,
+                  CAST(sum(contrib) AS BIGINT) AS chi2
+               FROM sc GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM tl),
+        medr AS (SELECT chi2, row_number() OVER (ORDER BY chi2, bucket_start) AS r FROM tl),
+        med AS (SELECT max(chi2) AS med FROM medr, nn WHERE r = (nn.n + 1) // 2),
+        devr AS (SELECT bucket_start, abs(chi2 - med.med) AS dev FROM tl, med),
+        madr AS (SELECT dev, row_number() OVER (ORDER BY dev, bucket_start) AS r FROM devr),
+        mad AS (SELECT max(dev) AS mad FROM madr, nn WHERE r = (nn.n + 1) // 2)
+        SELECT tl.bucket_start, tl.chi2 AS chi2_micro,
+          med.med AS med_micro, mad.mad AS mad_micro,
+          tl.chi2 > med.med + 1 * mad.mad AS is_anomaly
+        FROM tl, med, mad ORDER BY bucket_start"""
+
   /** Build-once token-profile STORE for q223: version 1 = snapshot A's
     * profile, version 2 = the accumulated A ∪ B via a merge-ADD append
     * (the `ingestTokenProfile` maintenance shape in batch form). The
@@ -3528,6 +3573,40 @@ object SparkEntry {
           ORDER BY rank""")
       },
       Some(sqlNumericShapeDrift)),
+
+    // -- q237: anomaly flags over the drift timeline — Hampel median +
+    //    k·MAD in exact integers (lower medians, no interpolation); the
+    //    alerting layer over q229's dashboard -----------------------------
+    Q("q237_timeline_anomalies",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        val ref = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        ops.Events.timelineAnomalies(
+          ops.Events.categoryDriftTimeline(ev, "event_type", "ts", ref,
+            bucketSec = 604800L), k = 1L).orderBy("bucket_start")
+      },
+      Some(sqlTimelineAnomalies)),
+
+    // -- q238: end-to-end SQL for the alerting layer — timeline TVF into
+    //    the anomalies TVF; q237's oracle verbatim -----------------------
+    Q("q238_sql_tvf_timeline_anomalies",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val ev = T(s, dir, "events")
+        ev.createOrReplaceTempView(s"tla_ev_$sfx")
+        ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          .createOrReplaceTempView(s"tla_ref_$sfx")
+        s.sql(s"""
+          SELECT * FROM graft_category_drift_timeline('tla_ev_$sfx',
+            'event_type', 'ts', 'tla_ref_$sfx', 604800)""")
+          .createOrReplaceTempView(s"tla_tl_$sfx")
+        s.sql(s"""
+          SELECT bucket_start, chi2_micro, med_micro, mad_micro, is_anomaly
+          FROM graft_timeline_anomalies('tla_tl_$sfx', 1)
+          ORDER BY bucket_start""")
+      },
+      Some(sqlTimelineAnomalies)),
 
     // -- q189: the SQL-TVF route for BM25 top-k — graft_bm25_topk over the
     //    documents + query-fixture temp views; expands at analysis time to

@@ -277,6 +277,45 @@ object Events {
     timelineFromCounts(counts, refProfile, catCol, maxBuckets, maxCats)
   }
 
+  /** Anomaly flags over a drift TIMELINE — the alerting layer: a bucket
+    * is anomalous when its chi2 exceeds the timeline's LOWER MEDIAN plus
+    * `k` times the median absolute deviation (Hampel's robust outlier
+    * rule — median/MAD instead of mean/stddev so one huge spike cannot
+    * mask the others by inflating the threshold). Lower medians (the
+    * sorted element at rank ⌊(n+1)/2⌋) keep everything in exact integers
+    * — no interpolation, so every engine agrees bit-for-bit. Output: the
+    * timeline's (bucket_start, chi2_micro) plus (med_micro, mad_micro,
+    * is_anomaly); an empty timeline yields no rows.
+    *
+    * Scale shape: the timeline is buckets-bounded by construction
+    * (produced under [[categoryDriftTimeline]]'s `maxBuckets` guard), so
+    * the two unpartitioned rank windows here are bounded the same way —
+    * this op never sees event-sized data. Input is persisted: the
+    * median, MAD, and flag passes all read it. */
+  def timelineAnomalies(timeline: DataFrame, k: Long = 3L): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    val t = timeline.select(col("bucket_start"), col("chi2_micro"))
+      .persistTracked()
+    def lowerMedian(df: DataFrame, c: String, out: String): DataFrame = {
+      val n = df.agg(count(lit(1)).as("__n"))
+      df.withColumn("__rk", row_number().over(
+          Window.orderBy(col(c).asc, col("bucket_start").asc)))
+        .crossJoin(broadcast(n))
+        .where(col("__rk") === call_function("div", col("__n") + lit(1L), lit(2L)))
+        .agg(max(col(c)).as(out))
+    }
+    val med = lowerMedian(t, "chi2_micro", "med_micro")
+    val dev = t.crossJoin(broadcast(med))
+      .select(col("bucket_start"),
+        abs(col("chi2_micro") - col("med_micro")).as("__dev"))
+    val mad = lowerMedian(dev, "__dev", "mad_micro")
+    t.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .select(col("bucket_start"), col("chi2_micro"),
+        col("med_micro"), col("mad_micro"),
+        (col("chi2_micro") > col("med_micro") + lit(k) * col("mad_micro"))
+          .as("is_anomaly"))
+  }
+
   /** Shared scoring tail of [[categoryDriftTimeline]] /
     * [[categoryDriftTimelineFromProfiles]] — one code path so the direct
     * and profile-served routes cannot drift. Input: per-(bucket, __cat)

@@ -3430,6 +3430,31 @@ class EwmaSpec extends SparkSpec {
     }
     assert(eCat.getMessage.contains("categoryDriftTimeline"), eCat.getMessage)
   }
+
+  test("timelineAnomalies: Hampel median + k*MAD with lower medians, odd and even counts, empty input") {
+    def tl(vals: Seq[(Long, Long)]) =
+      vals.toDF("bucket_start", "chi2_micro")
+    // odd count: sorted [1,2,3,4,100] -> med rank 3 = 3; dev sorted
+    // [0,1,1,2,97] -> mad = 1; k=3 threshold 6 -> only 100 flags
+    val odd = Events.timelineAnomalies(
+        tl(Seq((10L, 3L), (20L, 1L), (30L, 4L), (40L, 2L), (50L, 100L))), k = 3L)
+      .orderBy("bucket_start")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toList
+    assert(odd.forall(r => r._3 == 3L && r._4 == 1L), s"med/mad wrong: $odd")
+    assert(odd.map(r => r._1 -> r._5).toMap ==
+      Map(10L -> false, 20L -> false, 30L -> false, 40L -> false, 50L -> true),
+      s"flags wrong: $odd")
+    // even count: LOWER median — sorted [1,2,3,100] -> rank (4+1)/2=2 ->
+    // med 2; dev sorted [0,1,1,98] -> mad 1; k=0 -> strictly above med
+    val even = Events.timelineAnomalies(
+        tl(Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 100L))), k = 0L)
+      .orderBy("bucket_start")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toList
+    assert(even.forall(r => r._3 == 2L && r._4 == 1L), s"med/mad wrong: $even")
+    assert(even.map(_._5) == List(false, false, true, true), s"flags: $even")
+    // empty timeline yields no rows (not a null-stats row)
+    assert(Events.timelineAnomalies(tl(Seq.empty), k = 3L).count() == 0L)
+  }
 }
 
 class FunnelSpec extends SparkSpec {
