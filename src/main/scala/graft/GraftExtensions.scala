@@ -746,6 +746,18 @@ object GraftExtensions {
           table(str(args(3), "refTable")), int(args(4), "bucketSec").toLong)
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_token_drift_attribution_by_group"),
+      info("graft_token_drift_attribution_by_group",
+        "graft_token_drift_attribution_by_group(tableA, tableB, idCol, textCol, groupCol, topM, topK) - SEGMENTED token-drift attribution: per group, for each of its top-M drifted tokens the top-K carrier documents from the side the mass sits on; (group, token, chi2_micro, direction, rank, doc_id, n_occ, contrib_rank)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 7,
+          "usage: graft_token_drift_attribution_by_group(tableA, tableB, idCol, textCol, groupCol, topM, topK)")
+        ops.TextOps.tokenDriftAttributionByGroup(table(str(args(0), "tableA")),
+          table(str(args(1), "tableB")), str(args(2), "idCol"),
+          str(args(3), "textCol"), str(args(4), "groupCol"),
+          int(args(5), "topM"), int(args(6), "topK"))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_timeline_anomalies"),
       info("graft_timeline_anomalies",
         "graft_timeline_anomalies(timelineTable, k) - Hampel median + k*MAD anomaly flags over a drift timeline (any (bucket_start, chi2_micro, ...) frame, e.g. graft_category_drift_timeline's output): (bucket_start, chi2_micro, med_micro, mad_micro, is_anomaly); lower medians keep it exact-integer"),

@@ -218,11 +218,11 @@ object SparkEntry {
   private lazy val sqlTokenDriftByGroup: String = """
         WITH ca AS (SELECT source, token, count(*) AS n_a FROM (
                 SELECT source, unnest(string_split(text, ' ')) AS token
-                FROM documents WHERE doc_id % 2 = 0)
+                FROM documents WHERE doc_id % 40 < 20)
               WHERE token <> '' GROUP BY 1, 2),
         cb AS (SELECT source, token, count(*) AS n_b FROM (
                 SELECT source, unnest(string_split(text, ' ')) AS token
-                FROM documents WHERE doc_id % 2 = 1)
+                FROM documents WHERE doc_id % 40 >= 20)
               WHERE token <> '' GROUP BY 1, 2),
         j AS (SELECT source, token,
                 CAST(coalesce(n_a, 0) AS HUGEINT) AS n_a,
@@ -2580,6 +2580,63 @@ object SparkEntry {
         QUALIFY contrib_rank <= 5
         ORDER BY rank, contrib_rank"""
 
+  /** q239 / q240 shared oracle: SEGMENTED token-drift attribution — the
+    * [[sqlTokenDriftAttribution]] chain per source: each source's own
+    * totals score its drifted tokens (rank partitioned by source), and
+    * the carrier docs join on (source, token) from the side the mass
+    * sits on. */
+  private lazy val sqlTokenDriftAttributionByGroup: String = """
+        WITH ca AS (SELECT source, token, CAST(count(*) AS HUGEINT) AS n_a FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE doc_id % 40 < 20)
+              WHERE token <> '' GROUP BY 1, 2),
+        cb AS (SELECT source, token, CAST(count(*) AS HUGEINT) AS n_b FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE doc_id % 40 >= 20)
+              WHERE token <> '' GROUP BY 1, 2),
+        j AS (SELECT COALESCE(ca.source, cb.source) AS source,
+                     COALESCE(ca.token, cb.token) AS token,
+                     COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+              FROM ca FULL OUTER JOIN cb
+                ON ca.source = cb.source AND ca.token = cb.token),
+        t AS (SELECT source, token, n_a, n_b,
+                sum(n_a) OVER (PARTITION BY source) AS t_a,
+                sum(n_b) OVER (PARTITION BY source) AS t_b
+              FROM j),
+        s AS (SELECT source, token, n_a, n_b,
+                CASE WHEN t_a = 0 OR t_b = 0 THEN CAST(0 AS HUGEINT)
+                     ELSE (CAST(1000000 AS HUGEINT) * (n_a*t_b - n_b*t_a) * (n_a*t_b - n_b*t_a))
+                          // ((n_a + n_b) * t_a * t_b) END AS chi2,
+                CASE WHEN n_a*t_b - n_b*t_a > 0 THEN 1
+                     WHEN n_a*t_b - n_b*t_a < 0 THEN -1 ELSE 0 END AS direction
+              FROM t),
+        top AS (SELECT * FROM (SELECT *,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY chi2 DESC, token) AS rank FROM s)
+                WHERE rank <= 5 AND direction <> 0),
+        occa AS (SELECT source, doc_id, token, CAST(count(*) AS BIGINT) AS n_occ FROM (
+                  SELECT source, doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents WHERE doc_id % 40 < 20)
+                 WHERE token <> '' GROUP BY 1, 2, 3),
+        occb AS (SELECT source, doc_id, token, CAST(count(*) AS BIGINT) AS n_occ FROM (
+                  SELECT source, doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents WHERE doc_id % 40 >= 20)
+                 WHERE token <> '' GROUP BY 1, 2, 3),
+        u AS (SELECT source, token, doc_id, n_occ, 1 AS side FROM occa
+              UNION ALL SELECT source, token, doc_id, n_occ, -1 AS side FROM occb),
+        x AS (SELECT top.source, top.token, top.chi2, top.direction, top.rank,
+                     u.doc_id, u.n_occ
+              FROM top JOIN u ON u.source = top.source
+                             AND u.token = top.token AND u.side = top.direction)
+        SELECT source, token, CAST(chi2 AS BIGINT) AS chi2_micro,
+               CAST(direction AS INT) AS direction, CAST(rank AS INT) AS rank,
+               doc_id, n_occ,
+               CAST(row_number() OVER (PARTITION BY source, token
+                    ORDER BY n_occ DESC, doc_id) AS INT) AS contrib_rank
+        FROM x
+        QUALIFY contrib_rank <= 3
+        ORDER BY source, rank, contrib_rank"""
+
   /** q204 / q205 shared oracle: semantic decontamination — every corpus
     * vector scored against the broadcast-small eval set (vec_id % 97 = 0)
     * by the family's exact-int-dot cosine; per corpus row the max cosine
@@ -3113,8 +3170,8 @@ object SparkEntry {
       (s, dir) => {
         val docs = T(s, dir, "documents")
         ops.TextOps.tokenDriftByGroup(
-            docs.filter(col("doc_id") % 2 === 0),
-            docs.filter(col("doc_id") % 2 === 1), "text", "source", topM = 10)
+            docs.filter(col("doc_id") % 40 < 20),
+            docs.filter(col("doc_id") % 40 >= 20), "text", "source", topM = 10)
           .orderBy("source", "rank")
       },
       Some(sqlTokenDriftByGroup)),
@@ -3128,8 +3185,8 @@ object SparkEntry {
         val aView = s"gdrift_a_tvf_$sfx"
         val bView = s"gdrift_b_tvf_$sfx"
         val docs = T(s, dir, "documents")
-        docs.filter(col("doc_id") % 2 === 0).createOrReplaceTempView(aView)
-        docs.filter(col("doc_id") % 2 === 1).createOrReplaceTempView(bView)
+        docs.filter(col("doc_id") % 40 < 20).createOrReplaceTempView(aView)
+        docs.filter(col("doc_id") % 40 >= 20).createOrReplaceTempView(bView)
         s.sql(s"""
           SELECT source, token, n_a, n_b, chi2_micro, rank
           FROM graft_token_drift_by_group('$aView', '$bView', 'text', 'source', 10)
@@ -3164,9 +3221,9 @@ object SparkEntry {
         val docs = T(s, dir, "documents")
         ops.TextOps.tokenDriftByGroupFromProfiles(
             ops.TextOps.tokenProfileByGroup(
-              docs.filter(col("doc_id") % 2 === 0), "text", "source"),
+              docs.filter(col("doc_id") % 40 < 20), "text", "source"),
             ops.TextOps.tokenProfileByGroup(
-              docs.filter(col("doc_id") % 2 === 1), "text", "source"),
+              docs.filter(col("doc_id") % 40 >= 20), "text", "source"),
             "source", topM = 10)
           .orderBy("source", "rank")
       },
@@ -3277,8 +3334,8 @@ object SparkEntry {
         GraftExtensions.install(s)
         val sfx = dir.replaceAll("[^0-9]", "")
         val docs = T(s, dir, "documents")
-        docs.filter(col("doc_id") % 2 === 0).createOrReplaceTempView(s"gtprof_src_a_$sfx")
-        docs.filter(col("doc_id") % 2 === 1).createOrReplaceTempView(s"gtprof_src_b_$sfx")
+        docs.filter(col("doc_id") % 40 < 20).createOrReplaceTempView(s"gtprof_src_a_$sfx")
+        docs.filter(col("doc_id") % 40 >= 20).createOrReplaceTempView(s"gtprof_src_b_$sfx")
         s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gtprof_a_$sfx AS
           SELECT * FROM graft_token_profile_by_group('gtprof_src_a_$sfx', 'text', 'source')""")
         s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gtprof_b_$sfx AS
@@ -3607,6 +3664,40 @@ object SparkEntry {
           ORDER BY bucket_start""")
       },
       Some(sqlTimelineAnomalies)),
+
+    // -- q239: SEGMENTED token-drift attribution — per source, WHICH
+    //    documents carry each of its drifted tokens' movement; the global
+    //    q221 answer per segment (the attribution family's by-group leg) -
+    Q("q239_token_drift_attribution_by_group",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        ops.TextOps.tokenDriftAttributionByGroup(
+          docs.filter(col("doc_id") % 40 < 20),
+          docs.filter(col("doc_id") % 40 >= 20),
+          "doc_id", "text", "source", topM = 5, topK = 3)
+          .orderBy("source", "rank", "contrib_rank")
+      },
+      Some(sqlTokenDriftAttributionByGroup)),
+
+    // -- q240: the SQL-TVF route for segmented attribution — q239's
+    //    oracle verbatim -------------------------------------------------
+    Q("q240_sql_tvf_token_drift_attribution_by_group",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val docs = T(s, dir, "documents")
+        docs.filter(col("doc_id") % 40 < 20)
+          .createOrReplaceTempView(s"gattr_a_$sfx")
+        docs.filter(col("doc_id") % 40 >= 20)
+          .createOrReplaceTempView(s"gattr_b_$sfx")
+        s.sql(s"""
+          SELECT source, token, chi2_micro, direction, rank, doc_id, n_occ,
+                 contrib_rank
+          FROM graft_token_drift_attribution_by_group('gattr_a_$sfx',
+            'gattr_b_$sfx', 'doc_id', 'text', 'source', 5, 3)
+          ORDER BY source, rank, contrib_rank""")
+      },
+      Some(sqlTokenDriftAttributionByGroup)),
 
     // -- q189: the SQL-TVF route for BM25 top-k — graft_bm25_topk over the
     //    documents + query-fixture temp views; expands at analysis time to

@@ -2284,6 +2284,16 @@ object TextOps {
     * profile-served routes cannot drift. Inputs: per-(group, token) counts.
     * See [[tokenDriftByGroup]] for the broadcast-totals scale argument. */
   private def tokenDriftByGroupFromCounts(ca: DataFrame, cb: DataFrame,
+      groupCol: String, topM: Int, maxBroadcastGroups: Long): DataFrame =
+    tokenDriftByGroupScored(ca, cb, groupCol, topM, maxBroadcastGroups)
+      .drop("direction")
+
+  /** [[tokenDriftByGroupFromCounts]] plus the per-(group, token) drift
+    * DIRECTION (sign of n_a·t_b − n_b·t_a under the group's own totals) —
+    * the internal frame [[tokenDriftAttributionByGroup]] consumes; the
+    * public readers drop the column so their oracle-checked schemas stay
+    * fixed. */
+  private def tokenDriftByGroupScored(ca: DataFrame, cb: DataFrame,
       groupCol: String, topM: Int, maxBroadcastGroups: Long): DataFrame = {
     require(maxBroadcastGroups >= 1,
       s"maxBroadcastGroups must be >= 1, got $maxBroadcastGroups")
@@ -2319,9 +2329,60 @@ object TextOps {
       .orderBy(col("chi2_micro").desc, col("token").asc)
     joined.join(broadcast(totals), Seq(groupCol))
       .select(col(groupCol), col("token"), col("n_a"), col("n_b"),
-        contrib.cast("long").as("chi2_micro"))
+        contrib.cast("long").as("chi2_micro"),
+        when(diff > 0, 1).when(diff < 0, -1).otherwise(0).as("direction"))
       .withColumn("rank", row_number().over(wr))
       .where(col("rank") <= topM)
+  }
+
+  /** SEGMENTED [[tokenDriftAttribution]] — per group the same question:
+    * for each of the group's top-M drifted tokens, WHICH documents carry
+    * the movement (the group's own snapshot-A docs for a shrinking token,
+    * its snapshot-B docs for a growing one), ranked by occurrence count,
+    * ties → smaller id. The chi-square, totals, and ranks are
+    * [[tokenDriftByGroup]]'s verbatim (shared scored frame), so the
+    * attributed set IS the segmented monitor's. Zero-direction tokens
+    * attribute nothing. Output: (group, token, chi2_micro, direction,
+    * rank, doc_id, n_occ, contrib_rank).
+    *
+    * Scale shape: the ≤ groups·topM drifted rows BROADCAST into each
+    * snapshot's occurrence pass — the (group, token) join prunes the
+    * exploded stream BEFORE its (group, token, doc) exchange, so the
+    * occurrence aggregation carries only drifted-token rows; the
+    * contributor rank window is (group, token)-partitioned. Four corpus
+    * scans, none shuffling at corpus width — the global op's shape with
+    * group keys throughout. */
+  def tokenDriftAttributionByGroup(dfA: DataFrame, dfB: DataFrame,
+      idCol: String, textCol: String, groupCol: String, topM: Int,
+      topK: Int, maxBroadcastGroups: Long = 1L << 22): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    def counts(df: DataFrame, out: String) = df
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(groupCol, "token").agg(count(lit(1)).as(out))
+    // persisted (≤ groups·topM rows): BOTH occurrence passes broadcast it
+    val top = tokenDriftByGroupScored(counts(dfA, "n_a"), counts(dfB, "n_b"),
+        groupCol, topM, maxBroadcastGroups)
+      .where(col("direction") =!= 0)
+      .select(col(groupCol), col("token"), col("chi2_micro"),
+        col("direction"), col("rank"))
+      .persistTracked()
+    def side(df: DataFrame, d: Int) = df
+      .select(col(groupCol), col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .where(col("token") =!= "")
+      .join(broadcast(top.where(col("direction") === d)),
+        Seq(groupCol, "token"))
+      .groupBy(groupCol, "token", "chi2_micro", "direction", "rank", "doc_id")
+      .agg(count(lit(1)).as("n_occ"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("token"))
+      .orderBy(col("n_occ").desc, col("doc_id").asc)
+    side(dfA, 1).unionByName(side(dfB, -1))
+      .select(col(groupCol), col("token"), col("chi2_micro"),
+        col("direction"), col("rank"), col("doc_id"), col("n_occ"))
+      .withColumn("contrib_rank", row_number().over(w))
+      .where(col("contrib_rank") <= topK)
   }
 
   /** PII patterns, RE2-safe (no lookahead/backreferences) so the identical

@@ -526,6 +526,17 @@ class SqlTvfSpec extends SparkSpec {
         ev.filter(col("user_id") % 2 === 1), "value"))
   }
 
+  test("graft_token_drift_attribution_by_group == TextOps.tokenDriftAttributionByGroup") {
+    docs.filter(col("doc_id") % 40 < 20).createOrReplaceTempView("tvf_gattr_a")
+    docs.filter(col("doc_id") % 40 >= 20).createOrReplaceTempView("tvf_gattr_b")
+    same(
+      spark.sql("SELECT * FROM graft_token_drift_attribution_by_group('tvf_gattr_a','tvf_gattr_b','doc_id','text','source',5,3)"),
+      ops.TextOps.tokenDriftAttributionByGroup(
+        docs.filter(col("doc_id") % 40 < 20),
+        docs.filter(col("doc_id") % 40 >= 20),
+        "doc_id", "text", "source", topM = 5, topK = 3))
+  }
+
   test("non-literal and malformed TVF arguments fail loudly") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception](

@@ -2102,6 +2102,35 @@ class TextOpsSpec extends SparkSpec {
       TextOps.tokenDriftAttribution(a, b, "doc_id", "text", topM = 10, topK = 0))
   }
 
+  test("tokenDriftAttributionByGroup: per-group hand case == the global op run on each group's slice; cross-group tokens don't leak; identical snapshots attribute nothing") {
+    // group g1 reuses the global spec's hand case verbatim; g2 is a
+    // different drift so any cross-group leak would change both answers
+    val a = Seq(("g1", 1L, "x x y"), ("g1", 3L, "x z"),
+      ("g2", 5L, "p p q"), ("g2", 7L, "p")).toDF("source", "doc_id", "text")
+    val b = Seq(("g1", 2L, "y y z"), ("g1", 4L, "z z"),
+      ("g2", 6L, "q q"), ("g2", 8L, "q p")).toDF("source", "doc_id", "text")
+    val grouped = TextOps.tokenDriftAttributionByGroup(a, b, "doc_id", "text",
+        "source", topM = 10, topK = 2)
+      .select("source", "token", "chi2_micro", "direction", "rank",
+        "doc_id", "n_occ", "contrib_rank")
+      .as[(String, String, Long, Int, Int, Long, Long, Int)]
+      .collect().toSeq
+    Seq("g1", "g2").foreach { g =>
+      val global = TextOps.tokenDriftAttribution(
+          a.filter(col("source") === g), b.filter(col("source") === g),
+          "doc_id", "text", topM = 10, topK = 2)
+        .select("token", "chi2_micro", "direction", "rank", "doc_id",
+          "n_occ", "contrib_rank")
+        .as[(String, Long, Int, Int, Long, Long, Int)].collect().toSet
+      val slice = grouped.filter(_._1 == g)
+        .map(r => (r._2, r._3, r._4, r._5, r._6, r._7, r._8)).toSet
+      assert(slice == global, s"group $g: grouped $slice vs global $global")
+    }
+    // identical snapshots: nothing to attribute in any group
+    assert(TextOps.tokenDriftAttributionByGroup(a, a, "doc_id", "text",
+      "source", topM = 10, topK = 2).count() == 0L)
+  }
+
   test("tokenDrift: hand-computed chi-square contributions; one-sided tokens rank by full mass") {
     // A: x2 y1 (T_a=3); B: y2 z1 (T_b=3)
     //   x: floor(1e6*36/(2*9)) = 2000000; z: floor(1e6*9/(1*9)) = 1000000
