@@ -746,6 +746,19 @@ object GraftExtensions {
           table(str(args(3), "refTable")), int(args(4), "bucketSec").toLong)
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_embedding_drift_attribution_by_group"),
+      info("graft_embedding_drift_attribution_by_group",
+        "graft_embedding_drift_attribution_by_group(tableA, tableB, idCol, vecCol, groupCol, topD, topK) - SEGMENTED embedding-drift attribution: per group, for each of its top-D drifted dimensions the top-K snapshot-B vectors pulling B's mean away from A's under the group's own sums; (group, pos, shift_micro, direction, vec_id, comp_micro, contrib_scaled, contrib_rank)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 7,
+          "usage: graft_embedding_drift_attribution_by_group(tableA, tableB, idCol, vecCol, groupCol, topD, topK)")
+        ops.Similarity.embeddingDriftAttributionByGroup(
+          table(str(args(0), "tableA")), table(str(args(1), "tableB")),
+          str(args(2), "idCol"), str(args(3), "vecCol"),
+          str(args(4), "groupCol"), topD = int(args(5), "topD"),
+          topK = int(args(6), "topK"))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_token_drift_attribution_by_group"),
       info("graft_token_drift_attribution_by_group",
         "graft_token_drift_attribution_by_group(tableA, tableB, idCol, textCol, groupCol, topM, topK) - SEGMENTED token-drift attribution: per group, for each of its top-M drifted tokens the top-K carrier documents from the side the mass sits on; (group, token, chi2_micro, direction, rank, doc_id, n_occ, contrib_rank)"),

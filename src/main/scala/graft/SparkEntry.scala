@@ -2529,6 +2529,60 @@ object SparkEntry {
         QUALIFY contrib_rank <= 10
         ORDER BY pos, contrib_rank"""
 
+  /** q241 / q242 shared oracle: SEGMENTED embedding-drift attribution —
+    * the [[sqlEmbeddingDriftAttribution]] chain per label: each label's
+    * own (n, s) sums rank its drifted dims (rank partitioned by label,
+    * zero-direction dims attribute nothing — the token-attribution
+    * convention), and its snapshot-B vectors score the exact scaled pull
+    * under the label's own (n_a, s_a). */
+  private lazy val sqlEmbeddingDriftAttributionByGroup: String = s"""
+        WITH ea AS (SELECT label, $sqlQVec AS v FROM embeddings WHERE vec_id % 2 = 0),
+        eb AS MATERIALIZED (SELECT label, vec_id, $sqlQVec AS v
+             FROM embeddings WHERE vec_id % 2 = 1),
+        a AS (SELECT label, i.range - 1 AS pos, CAST(count(*) AS HUGEINT) AS n_a,
+                     CAST(sum(v[i.range]) AS HUGEINT) AS s_a
+              FROM ea CROSS JOIN range(1, 65) i GROUP BY 1, 2),
+        b AS (SELECT label, i.range - 1 AS pos, CAST(count(*) AS HUGEINT) AS n_b,
+                     CAST(sum(v[i.range]) AS HUGEINT) AS s_b
+              FROM eb CROSS JOIN range(1, 65) i GROUP BY 1, 2),
+        j AS (SELECT COALESCE(a.label, b.label) AS label,
+                     COALESCE(a.pos, b.pos) AS pos,
+                     COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+                     COALESCE(s_a, 0) AS s_a,
+                     COALESCE(s_a, 0) * COALESCE(n_b, 0)
+                       - COALESCE(s_b, 0) * COALESCE(n_a, 0) AS diff
+              FROM a FULL OUTER JOIN b ON a.label = b.label AND a.pos = b.pos),
+        r0 AS (SELECT label, pos, n_a, s_a,
+                CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+                     ELSE abs(diff) // (n_a * n_b) END AS shift_micro,
+                CASE WHEN diff > 0 THEN 1 WHEN diff < 0 THEN -1 ELSE 0 END AS direction
+              FROM j),
+        d AS (SELECT * FROM (SELECT *,
+                row_number() OVER (PARTITION BY label
+                  ORDER BY shift_micro DESC, pos ASC) AS rank
+              FROM r0) WHERE rank <= 3 AND direction <> 0),
+        x AS (SELECT label, vec_id, i.range - 1 AS pos,
+                     CAST(COALESCE(v[i.range], 0) AS BIGINT) AS comp_micro
+              FROM eb CROSS JOIN range(1, 65) i),
+        c AS (SELECT d.label, d.pos, d.shift_micro, d.direction, x.vec_id,
+                     x.comp_micro,
+                CASE WHEN d.direction = 1
+                       THEN d.s_a - CAST(x.comp_micro AS HUGEINT) * d.n_a
+                     WHEN d.direction = -1
+                       THEN CAST(x.comp_micro AS HUGEINT) * d.n_a - d.s_a
+                     ELSE CAST(0 AS HUGEINT) END AS contrib
+              FROM x JOIN d ON d.label = x.label AND d.pos = x.pos)
+        SELECT label, CAST(pos AS INT) AS pos,
+               CAST(shift_micro AS BIGINT) AS shift_micro,
+               CAST(direction AS INT) AS direction,
+               vec_id, comp_micro,
+               CAST(contrib AS BIGINT) AS contrib_scaled,
+               CAST(row_number() OVER (PARTITION BY label, pos
+                    ORDER BY contrib DESC, vec_id ASC) AS INT) AS contrib_rank
+        FROM c
+        QUALIFY contrib_rank <= 5
+        ORDER BY label, pos, contrib_rank"""
+
   /** q221 / q222 shared oracle: token-drift ATTRIBUTION — the
     * [[sqlTokenDrift]] chi-square + a relative-frequency direction rank
     * the drifted tokens; contributors join from snapshot A for shrinking
@@ -3698,6 +3752,40 @@ object SparkEntry {
           ORDER BY source, rank, contrib_rank""")
       },
       Some(sqlTokenDriftAttributionByGroup)),
+
+    // -- q241: SEGMENTED embedding-drift attribution — per label, WHICH
+    //    vectors pull each of its drifted dimensions; the global q219
+    //    answer per segment ----------------------------------------------
+    Q("q241_embedding_drift_attribution_by_group",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        ops.Similarity.embeddingDriftAttributionByGroup(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", "label", topD = 3, topK = 5)
+          .orderBy("label", "pos", "contrib_rank")
+      },
+      Some(sqlEmbeddingDriftAttributionByGroup)),
+
+    // -- q242: the SQL-TVF route for segmented embedding attribution —
+    //    q241's oracle verbatim ------------------------------------------
+    Q("q242_sql_tvf_embedding_drift_attribution_by_group",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val emb = T(s, dir, "embeddings")
+        emb.filter(col("vec_id") % 2 === 0)
+          .createOrReplaceTempView(s"geattr_a_$sfx")
+        emb.filter(col("vec_id") % 2 === 1)
+          .createOrReplaceTempView(s"geattr_b_$sfx")
+        s.sql(s"""
+          SELECT label, pos, shift_micro, direction, vec_id, comp_micro,
+                 contrib_scaled, contrib_rank
+          FROM graft_embedding_drift_attribution_by_group('geattr_a_$sfx',
+            'geattr_b_$sfx', 'vec_id', 'embedding', 'label', 3, 5)
+          ORDER BY label, pos, contrib_rank""")
+      },
+      Some(sqlEmbeddingDriftAttributionByGroup)),
 
     // -- q189: the SQL-TVF route for BM25 top-k — graft_bm25_topk over the
     //    documents + query-fixture temp views; expands at analysis time to

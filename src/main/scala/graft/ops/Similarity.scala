@@ -571,6 +571,50 @@ object Similarity {
       groupCol)
   }
 
+  /** SEGMENTED [[embeddingDriftAttribution]] — per group the same
+    * question: for each of the group's top-D drifted dimensions, WHICH of
+    * its snapshot-B vectors pull B's mean away from A's, by the exact
+    * scaled pull −direction·(q·n_a − s_a) under the GROUP's own (n_a,
+    * s_a). The shift, direction, and ranks are [[embeddingDriftByGroup]]'s
+    * verbatim (shared tail), so the attributed set IS the segmented
+    * monitor's. Zero-direction dims attribute nothing. Output: (group,
+    * pos, shift_micro, direction, vec_id, comp_micro, contrib_scaled,
+    * contrib_rank).
+    *
+    * Scale shape: the drifted stats collapse map-side to ≤ groups·dim
+    * rows and BROADCAST over ONE posexplode pass of snapshot B; the
+    * (group, pos) join prunes to drifted dims before the rank exchange,
+    * which is WindowGroupLimit-prefiltered — the corpus never shuffles. */
+  def embeddingDriftAttributionByGroup(dfA: DataFrame, dfB: DataFrame,
+      idCol: String, vecCol: String, groupCol: String, dim: Int = 64,
+      topD: Int = 5, topK: Int = 10): DataFrame = {
+    require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
+    require(topD >= 1 && topD <= dim, s"topD must be in [1, dim=$dim], got $topD")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val drifted = embeddingDriftByGroup(dfA, dfB, vecCol, groupCol, dim)
+      .where(col("rank") <= topD && col("direction") =!= 0)
+      .select(col(groupCol), col("pos"), col("n_a"), col("s_a"),
+        col("shift_micro"), col("direction"))
+    val exploded = dfB
+      .select(col(groupCol), col(idCol).as("vec_id"),
+        posexplode(quantize(col(vecCol), dim)).as(Seq("pos", "__q")))
+      .select(col(groupCol), col("vec_id"), col("pos"),
+        coalesce(col("__q"), lit(0L)).as("comp_micro"))
+    val delta = dec(col("comp_micro")) * dec(col("n_a")) - dec(col("s_a"))
+    val contrib = when(col("direction") === 1, -delta)
+      .when(col("direction") === -1, delta)
+      .otherwise(lit(0L).cast("decimal(38,0)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("pos"))
+      .orderBy(col("contrib_scaled").desc, col("vec_id").asc)
+    exploded.join(broadcast(drifted), Seq(groupCol, "pos"))
+      .select(col(groupCol), col("pos"), col("shift_micro"), col("direction"),
+        col("vec_id"), col("comp_micro"), contrib.cast("long").as("contrib_scaled"))
+      .withColumn("contrib_rank", row_number().over(w))
+      .where(col("contrib_rank") <= topK)
+  }
+
   /** [[embeddingDriftByGroup]] computed from two STORED
     * [[embeddingProfileByGroup]] frames instead of the corpora — the
     * serving read of the segmented streaming monitor: folding each

@@ -537,6 +537,17 @@ class SqlTvfSpec extends SparkSpec {
         "doc_id", "text", "source", topM = 5, topK = 3))
   }
 
+  test("graft_embedding_drift_attribution_by_group == Similarity.embeddingDriftAttributionByGroup") {
+    emb.filter(col("vec_id") % 2 === 0).createOrReplaceTempView("tvf_geattr_a")
+    emb.filter(col("vec_id") % 2 === 1).createOrReplaceTempView("tvf_geattr_b")
+    same(
+      spark.sql("SELECT * FROM graft_embedding_drift_attribution_by_group('tvf_geattr_a','tvf_geattr_b','vec_id','embedding','label',3,5)"),
+      ops.Similarity.embeddingDriftAttributionByGroup(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", "label", topD = 3, topK = 5))
+  }
+
   test("non-literal and malformed TVF arguments fail loudly") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception](

@@ -1359,6 +1359,32 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](Similarity.embeddingDriftAttribution(
       a, b, "vec_id", "embedding", topK = 0))
   }
+
+  test("embeddingDriftAttributionByGroup == the global op per label slice (zero-direction dims dropped); identical snapshots attribute nothing") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val grouped = Similarity.embeddingDriftAttributionByGroup(a, b,
+        "vec_id", "embedding", "label", topD = 3, topK = 5)
+      .select("label", "pos", "shift_micro", "direction", "vec_id",
+        "comp_micro", "contrib_scaled", "contrib_rank")
+      .as[(Int, Int, Long, Int, Long, Long, Long, Int)].collect().toSeq
+    assert(grouped.nonEmpty)
+    grouped.map(_._1).distinct.foreach { lbl =>
+      val global = Similarity.embeddingDriftAttribution(
+          a.filter(col("label") === lbl), b.filter(col("label") === lbl),
+          "vec_id", "embedding", topD = 3, topK = 5)
+        .where(col("direction") =!= 0)
+        .select("pos", "shift_micro", "direction", "vec_id", "comp_micro",
+          "contrib_scaled", "contrib_rank")
+        .as[(Int, Long, Int, Long, Long, Long, Int)].collect().toSet
+      val slice = grouped.filter(_._1 == lbl)
+        .map(r => (r._2, r._3, r._4, r._5, r._6, r._7, r._8)).toSet
+      assert(slice == global, s"label $lbl: grouped slice != global")
+    }
+    assert(Similarity.embeddingDriftAttributionByGroup(a, a, "vec_id",
+      "embedding", "label", topD = 3, topK = 5).count() == 0L)
+  }
 }
 
 class ShardsSpec extends SparkSpec {
