@@ -450,6 +450,23 @@ object ScaleRehearsal {
             docs.where(col("doc_id") % 2 === 0),
             docs.where(col("doc_id") % 2 === 1),
             "doc_id", "text", topM = 10, topK = 5))),
+        // segmented token attribution: the grouped scored frame + two
+        // occurrence passes pruned by the <= groups*topM broadcast —
+        // expect ~scan-linear like the global op
+        "q239_token_drift_attribution_by_group" -> (() => force(
+          ops.TextOps.tokenDriftAttributionByGroup(
+            docs.where(col("doc_id") % 40 < 20),
+            docs.where(col("doc_id") % 40 >= 20),
+            "doc_id", "text", "source", topM = 5, topK = 3))),
+        // segmented embedding attribution: <= groups*dim drifted stats
+        // broadcast over ONE posexplode pass of B — expect ~scan-linear
+        "q241_embedding_drift_attribution_by_group" -> (() => {
+          def lab(df: DataFrame) = df.withColumn("label", (col("vec_id") % 8).cast("int"))
+          force(ops.Similarity.embeddingDriftAttributionByGroup(
+            lab(emb.where(col("vec_id") % 2 === 0)),
+            lab(emb.where(col("vec_id") % 2 === 1)),
+            "vec_id", "embedding", "label", topD = 3, topK = 5))
+        }),
         // temperature mixture: the rate table stays one-row-per-source
         // (broadcast) however big the corpus gets; the keep filter is
         // map-side — expect ~linear wall tracking corpus bytes
