@@ -289,27 +289,31 @@ object Events {
     *
     * Scale shape: the timeline is buckets-bounded by construction
     * (produced under [[categoryDriftTimeline]]'s `maxBuckets` guard), so
-    * the two unpartitioned rank windows here are bounded the same way —
-    * this op never sees event-sized data. Input is persisted: the
-    * median, MAD, and flag passes all read it. */
+    * the single-partition windows here are bounded the same way — this op
+    * never sees event-sized data. The whole rule is ONE linear plan of
+    * four stacked windows over that bounded frame (no joins, no
+    * broadcasts, no second read of the input — the first formulation's
+    * median/MAD crossJoin branches cost ~30 extra scheduler jobs and
+    * tripled the wall on a frame of a few hundred rows). */
   def timelineAnomalies(timeline: DataFrame, k: Long = 3L): DataFrame = {
     require(k >= 0, s"k must be >= 0, got $k")
-    val t = timeline.select(col("bucket_start"), col("chi2_micro"))
-      .persistTracked()
-    def lowerMedian(df: DataFrame, c: String, out: String): DataFrame = {
-      val n = df.agg(count(lit(1)).as("__n"))
-      df.withColumn("__rk", row_number().over(
-          Window.orderBy(col(c).asc, col("bucket_start").asc)))
-        .crossJoin(broadcast(n))
-        .where(col("__rk") === call_function("div", col("__n") + lit(1L), lit(2L)))
-        .agg(max(col(c)).as(out))
-    }
-    val med = lowerMedian(t, "chi2_micro", "med_micro")
-    val dev = t.crossJoin(broadcast(med))
-      .select(col("bucket_start"),
-        abs(col("chi2_micro") - col("med_micro")).as("__dev"))
-    val mad = lowerMedian(dev, "__dev", "mad_micro")
-    t.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+    // partitionBy(lit(1)): one task — bounded by the timeline's own
+    // maxBuckets guard, never event-sized
+    val whole = Window.partitionBy(lit(1))
+    val wChi = Window.partitionBy(lit(1))
+      .orderBy(col("chi2_micro").asc, col("bucket_start").asc)
+    val wDev = Window.partitionBy(lit(1))
+      .orderBy(col("__dev").asc, col("bucket_start").asc)
+    def lowerRank = call_function("div", col("__n") + lit(1L), lit(2L))
+    timeline.select(col("bucket_start"), col("chi2_micro"))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .withColumn("__rk", row_number().over(wChi))
+      .withColumn("med_micro",
+        max(when(col("__rk") === lowerRank, col("chi2_micro"))).over(whole))
+      .withColumn("__dev", abs(col("chi2_micro") - col("med_micro")))
+      .withColumn("__rk2", row_number().over(wDev))
+      .withColumn("mad_micro",
+        max(when(col("__rk2") === lowerRank, col("__dev"))).over(whole))
       .select(col("bucket_start"), col("chi2_micro"),
         col("med_micro"), col("mad_micro"),
         (col("chi2_micro") > col("med_micro") + lit(k) * col("mad_micro"))
