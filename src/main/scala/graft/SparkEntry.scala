@@ -477,6 +477,57 @@ object SparkEntry {
     root
   }
 
+  /** Build-once SEGMENTED token-profile STORE for q243 — the grouped twin
+    * of [[tokenProfileStoreFixture]]: version 1 = snapshot A's per-(source,
+    * token) profile, version 2 = the accumulated A ∪ B via a merge-ADD
+    * append (the `ingestTokenProfileByGroup` maintenance shape in batch
+    * form). Time-traveling the store answers "which SOURCE drifted since
+    * version N" with two profile reads and zero corpus scans. */
+  private def groupedTokenProfileStoreFixture(s: SparkSession, dir: String): String = {
+    val root = storeFixtureRoot(s, dir, "gtprofstore", "documents")
+    val store = new core.BucketedStore(root, numBuckets = 16)(s)
+    if (store.latestVersion("gtprof").isEmpty) {
+      val docs = T(s, dir, "documents")
+      store.write(ops.TextOps.tokenProfileByGroup(
+        docs.filter(col("doc_id") % 40 < 20), "text", "source"), "gtprof",
+        Seq("source", "token"))
+      val b = ops.TextOps.tokenProfileByGroup(
+        docs.filter(col("doc_id") % 40 >= 20), "text", "source")
+      val merged = store.read("gtprof", Seq("source", "token"))
+        .select(col("source"), col("token"), col("n").as("__n0"))
+        .join(b, Seq("source", "token"), "full_outer")
+        .select(col("source"), col("token"),
+          (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"))
+      store.merge("gtprof", merged, Seq("source", "token"))
+    }
+    root
+  }
+
+  /** Build-once SEGMENTED embedding-profile STORE for q244 — version 1 =
+    * snapshot A's (label, pos, bin) profile, version 2 = the merge-ADDed
+    * accumulation (n and s both sum). */
+  private def groupedEmbeddingProfileStoreFixture(s: SparkSession, dir: String): String = {
+    val root = storeFixtureRoot(s, dir, "geprofstore", "embeddings")
+    val store = new core.BucketedStore(root, numBuckets = 16)(s)
+    if (store.latestVersion("geprof").isEmpty) {
+      val emb = T(s, dir, "embeddings")
+      store.write(ops.Similarity.embeddingProfileByGroup(
+        emb.filter(col("vec_id") % 2 === 0), "embedding", "label"), "geprof",
+        Seq("label", "pos", "bin"))
+      val b = ops.Similarity.embeddingProfileByGroup(
+        emb.filter(col("vec_id") % 2 === 1), "embedding", "label")
+      val merged = store.read("geprof", Seq("label", "pos", "bin"))
+        .select(col("label"), col("pos"), col("bin"),
+          col("n").as("__n0"), col("s").as("__s0"))
+        .join(b, Seq("label", "pos", "bin"), "full_outer")
+        .select(col("label"), col("pos"), col("bin"),
+          (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"),
+          (coalesce(col("__s0"), lit(0L)) + coalesce(col("s"), lit(0L))).as("s"))
+      store.merge("geprof", merged, Seq("label", "pos", "bin"))
+    }
+    root
+  }
+
   private def bm25IndexFixture(s: SparkSession, dir: String): String = {
     val root = storeFixtureRoot(s, dir, "bm25idx", "documents")
     val store = new core.BucketedStore(root, numBuckets = 16)(s)
@@ -2749,6 +2800,70 @@ object SparkEntry {
                ORDER BY shift_micro DESC, pos ASC) AS INT) AS rank
         FROM r ORDER BY label, rank"""
 
+  /** q243 oracle: SEGMENTED token drift between two STORE VERSIONS — v1
+    * summarizes snapshot A per source, v2 the merge-ADDed A ∪ B, so the
+    * reference is [[sqlTokenDriftByGroup]] with side B = the WHOLE
+    * corpus. */
+  private lazy val sqlTokenDriftByGroupStoreVersions: String = """
+        WITH ca AS (SELECT source, token, count(*) AS n_a FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE doc_id % 40 < 20)
+              WHERE token <> '' GROUP BY 1, 2),
+        cb AS (SELECT source, token, count(*) AS n_b FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM documents)
+              WHERE token <> '' GROUP BY 1, 2),
+        j AS (SELECT source, token,
+                CAST(coalesce(n_a, 0) AS HUGEINT) AS n_a,
+                CAST(coalesce(n_b, 0) AS HUGEINT) AS n_b
+              FROM ca FULL OUTER JOIN cb USING (source, token)),
+        t AS (SELECT source, token, n_a, n_b,
+                sum(n_a) OVER (PARTITION BY source) AS t_a,
+                sum(n_b) OVER (PARTITION BY source) AS t_b
+              FROM j),
+        s AS (SELECT source, token, n_a, n_b,
+                CASE WHEN t_a = 0 OR t_b = 0 THEN 0
+                     ELSE CAST((CAST(1000000 AS HUGEINT) * (n_a*t_b - n_b*t_a) * (n_a*t_b - n_b*t_a))
+                          // ((n_a + n_b) * t_a * t_b) AS BIGINT) END AS chi2_micro
+              FROM t),
+        r AS (SELECT source, token, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                chi2_micro,
+                row_number() OVER (PARTITION BY source ORDER BY chi2_micro DESC, token) AS rank
+              FROM s)
+        SELECT source, token, n_a, n_b, chi2_micro, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 10 ORDER BY source, rank"""
+
+  /** q244 oracle: SEGMENTED embedding drift between two STORE VERSIONS —
+    * [[sqlEmbeddingDriftByLabel]] with side B = the WHOLE table. */
+  private lazy val sqlEmbeddingDriftByLabelStoreVersions: String = s"""
+        WITH ea AS (SELECT label, $sqlQVec AS v FROM embeddings WHERE vec_id % 2 = 0),
+        eb AS (SELECT label, $sqlQVec AS v FROM embeddings),
+        a AS (SELECT label, i.range - 1 AS pos, CAST(count(*) AS HUGEINT) AS n_a,
+                     CAST(sum(v[i.range]) AS HUGEINT) AS s_a
+              FROM ea CROSS JOIN range(1, 65) i GROUP BY 1, 2),
+        b AS (SELECT label, i.range - 1 AS pos, CAST(count(*) AS HUGEINT) AS n_b,
+                     CAST(sum(v[i.range]) AS HUGEINT) AS s_b
+              FROM eb CROSS JOIN range(1, 65) i GROUP BY 1, 2),
+        j AS (SELECT COALESCE(a.label, b.label) AS label, COALESCE(a.pos, b.pos) AS pos,
+                     COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+                     COALESCE(s_a, 0) AS s_a, COALESCE(s_b, 0) AS s_b,
+                     COALESCE(s_a, 0) * COALESCE(n_b, 0)
+                       - COALESCE(s_b, 0) * COALESCE(n_a, 0) AS diff
+              FROM a FULL OUTER JOIN b ON a.label = b.label AND a.pos = b.pos),
+        r AS (SELECT label, pos, n_a, n_b, s_a, s_b,
+                CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+                     ELSE abs(diff) // (n_a * n_b) END AS shift_micro,
+                CASE WHEN diff > 0 THEN 1 WHEN diff < 0 THEN -1 ELSE 0 END AS direction
+              FROM j)
+        SELECT label, CAST(pos AS INT) AS pos,
+          CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          CAST(s_a AS BIGINT) AS s_a, CAST(s_b AS BIGINT) AS s_b,
+          CAST(shift_micro AS BIGINT) AS shift_micro,
+          CAST(direction AS INT) AS direction,
+          CAST(row_number() OVER (PARTITION BY label
+               ORDER BY shift_micro DESC, pos ASC) AS INT) AS rank
+        FROM r ORDER BY label, rank"""
+
   /** q211 oracle: [[sqlEmbeddingShapeDrift]] segmented per label — the
     * chi-square per (label, dim, bin) over each label's own totals, rank
     * partitioned by label. */
@@ -3490,6 +3605,35 @@ object SparkEntry {
           .orderBy("rank")
       },
       Some(sqlEmbeddingDriftStoreVersions)),
+
+    // -- q243: SEGMENTED drift between STORE VERSIONS — "which SOURCE
+    //    drifted since version N" time-travels the grouped profile store;
+    //    zero corpus scans, the per-source retrospective dashboard ------
+    Q("q243_grouped_drift_between_store_versions",
+      (s, dir) => {
+        val root = groupedTokenProfileStoreFixture(s, dir)
+        val store = new core.BucketedStore(root, numBuckets = 16)(s)
+        val vs = store.versions("gtprof")
+        ops.TextOps.tokenDriftByGroupFromProfiles(
+          store.read("gtprof", Seq("source", "token"), Some(vs.head)),
+          store.read("gtprof", Seq("source", "token"), Some(vs.last)),
+          "source", topM = 10).orderBy("source", "rank")
+      },
+      Some(sqlTokenDriftByGroupStoreVersions)),
+
+    // -- q244: the embedding twin of q243 — per-label drift between two
+    //    store versions of the (label, pos, bin) profile ----------------
+    Q("q244_grouped_embedding_drift_between_store_versions",
+      (s, dir) => {
+        val root = groupedEmbeddingProfileStoreFixture(s, dir)
+        val store = new core.BucketedStore(root, numBuckets = 16)(s)
+        val vs = store.versions("geprof")
+        ops.Similarity.embeddingDriftByGroupFromProfiles(
+          store.read("geprof", Seq("label", "pos", "bin"), Some(vs.head)),
+          store.read("geprof", Seq("label", "pos", "bin"), Some(vs.last)),
+          "label").orderBy("label", "rank")
+      },
+      Some(sqlEmbeddingDriftByLabelStoreVersions)),
 
     // -- q225: exact two-sample Kolmogorov–Smirnov drift on a numeric
     //    column — the scalar-feature leg of the monitoring family; the
