@@ -643,6 +643,41 @@ class PlanSpec extends SparkSpec {
       s"array-sized expression in a Project ABOVE a Generate (per-token re-evaluation):\n${offenders.mkString("\n")}")
   }
 
+  test("r16 profile-served routes (timeline, numeric) plan zero event/corpus work from stored profiles") {
+    // the serve-time contract extended to the round's new legs: against
+    // persisted profiles the timeline read and the scalar drift read scan
+    // ONLY the bounded profile parquet — no events/corpus relation in the
+    // plan (checked by file path: the only FileScans are the profile dirs)
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, sfDir, "events")
+    val dir = tmpDir("plan_prof16")
+    graft.ops.Events.bucketCategoryProfile(ev, "event_type", "ts", 604800L)
+      .write.parquet(s"$dir/tl")
+    graft.ops.Stats.numericProfile(ev.filter(col("user_id") % 2 === 0), "value")
+      .write.parquet(s"$dir/na")
+    graft.ops.Stats.numericProfile(ev.filter(col("user_id") % 2 === 1), "value")
+      .write.parquet(s"$dir/nb")
+    val ref = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect()  // materialize the reference OUTSIDE the measured plan
+    val refDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(ref.toSeq),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))))
+    val tlServe = graft.ops.Events.categoryDriftTimelineFromProfiles(
+      spark.read.parquet(s"$dir/tl"), refDf, "event_type")
+    val numServe = graft.ops.Stats.numericShapeDriftFromProfiles(
+      spark.read.parquet(s"$dir/na"), spark.read.parquet(s"$dir/nb"))
+    for ((nm, df) <- Seq("timeline" -> tlServe, "numeric" -> numServe)) {
+      val p = df.queryExecution.executedPlan.toString
+      val scans = "file:[^ ,\\]]*".r.findAllIn(p).toList
+      assert(scans.forall(_.contains("plan_prof16")),
+        s"$nm serve plan scans a non-profile relation:\n${scans.filterNot(_.contains("plan_prof16"))}")
+    }
+  }
+
   test("q225: KS drift's cumulative is the two-level prefix sum — a range exchange, and every data-sized Window is __pid-partitioned") {
     val p = planOf("q225_ks_drift")
     // the naive shape is one Window [ORDER BY v] with no PARTITION BY over
