@@ -759,6 +759,16 @@ object GraftExtensions {
           topK = int(args(6), "topK"))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_vocabulary_novelty_by_group"),
+      info("graft_vocabulary_novelty_by_group",
+        "graft_vocabulary_novelty_by_group(profTableA, profTableB, groupCol) - per-group vocabulary novelty from two stored graft_token_profile_by_group frames: the fraction of B's token mass in tokens the group never produced in A; (group, new_types, new_mass, types_b, mass_b, novelty_micro) - profile-served, corpora never touched"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "usage: graft_vocabulary_novelty_by_group(profTableA, profTableB, groupCol)")
+        ops.TextOps.vocabularyNoveltyByGroup(table(str(args(0), "profTableA")),
+          table(str(args(1), "profTableB")), str(args(2), "groupCol"))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_token_drift_attribution_by_group"),
       info("graft_token_drift_attribution_by_group",
         "graft_token_drift_attribution_by_group(tableA, tableB, idCol, textCol, groupCol, topM, topK) - SEGMENTED token-drift attribution: per group, for each of its top-M drifted tokens the top-K carrier documents from the side the mass sits on; (group, token, chi2_micro, direction, rank, doc_id, n_occ, contrib_rank)"),

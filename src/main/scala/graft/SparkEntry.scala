@@ -2864,6 +2864,36 @@ object SparkEntry {
                ORDER BY shift_micro DESC, pos ASC) AS INT) AS rank
         FROM r ORDER BY label, rank"""
 
+  /** q245 / q246 shared oracle: per-source vocabulary novelty — the
+    * fraction of snapshot B's token mass in tokens the source never
+    * produced in snapshot A, exact integers (left join keeps B-only
+    * tokens' n_a NULL, the novelty test). q246 is the end-to-end SQL
+    * route (builder TVF → novelty TVF). */
+  private lazy val sqlVocabularyNoveltyByGroup: String = """
+        WITH ca AS (SELECT source, token, count(*) AS n_a FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE doc_id % 40 < 20)
+              WHERE token <> '' GROUP BY 1, 2),
+        cb AS (SELECT source, token, count(*) AS n_b FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE doc_id % 40 >= 20)
+              WHERE token <> '' GROUP BY 1, 2),
+        j AS (SELECT cb.source, cb.token, cb.n_b, ca.n_a
+              FROM cb LEFT JOIN ca USING (source, token)),
+        g AS (SELECT source,
+                sum(CASE WHEN n_a IS NULL THEN 1 ELSE 0 END) AS new_types,
+                sum(CASE WHEN n_a IS NULL THEN n_b ELSE 0 END) AS new_mass,
+                count(*) AS types_b, sum(n_b) AS mass_b
+              FROM j GROUP BY 1)
+        SELECT source, CAST(new_types AS BIGINT) AS new_types,
+          CAST(coalesce(new_mass, 0) AS BIGINT) AS new_mass,
+          CAST(types_b AS BIGINT) AS types_b,
+          CAST(mass_b AS BIGINT) AS mass_b,
+          CASE WHEN mass_b = 0 THEN 0
+               ELSE CAST((1000000 * CAST(coalesce(new_mass, 0) AS HUGEINT))
+                    // mass_b AS BIGINT) END AS novelty_micro
+        FROM g ORDER BY source"""
+
   /** q211 oracle: [[sqlEmbeddingShapeDrift]] segmented per label — the
     * chi-square per (label, dim, bin) over each label's own totals, rank
     * partitioned by label. */
@@ -3634,6 +3664,43 @@ object SparkEntry {
           "label").orderBy("label", "rank")
       },
       Some(sqlEmbeddingDriftByLabelStoreVersions)),
+
+    // -- q245: per-source vocabulary NOVELTY — the corpus-freshness
+    //    monitor, computed FROM profiles (profile-served by
+    //    construction); exact-integer new-mass fraction ----------------
+    Q("q245_vocabulary_novelty_by_group",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        ops.TextOps.vocabularyNoveltyByGroup(
+          ops.TextOps.tokenProfileByGroup(
+            docs.filter(col("doc_id") % 40 < 20), "text", "source"),
+          ops.TextOps.tokenProfileByGroup(
+            docs.filter(col("doc_id") % 40 >= 20), "text", "source"),
+          "source").orderBy("source")
+      },
+      Some(sqlVocabularyNoveltyByGroup)),
+
+    // -- q246: the end-to-end SQL route — builder TVF feeds the novelty
+    //    TVF; q245's oracle verbatim ------------------------------------
+    Q("q246_sql_tvf_vocabulary_novelty",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val docs = T(s, dir, "documents")
+        docs.filter(col("doc_id") % 40 < 20)
+          .createOrReplaceTempView(s"vn_src_a_$sfx")
+        docs.filter(col("doc_id") % 40 >= 20)
+          .createOrReplaceTempView(s"vn_src_b_$sfx")
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW vn_pa_$sfx AS
+          SELECT * FROM graft_token_profile_by_group('vn_src_a_$sfx', 'text', 'source')""")
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW vn_pb_$sfx AS
+          SELECT * FROM graft_token_profile_by_group('vn_src_b_$sfx', 'text', 'source')""")
+        s.sql(s"""
+          SELECT source, new_types, new_mass, types_b, mass_b, novelty_micro
+          FROM graft_vocabulary_novelty_by_group('vn_pa_$sfx', 'vn_pb_$sfx', 'source')
+          ORDER BY source""")
+      },
+      Some(sqlVocabularyNoveltyByGroup)),
 
     // -- q225: exact two-sample Kolmogorov–Smirnov drift on a numeric
     //    column — the scalar-feature leg of the monitoring family; the

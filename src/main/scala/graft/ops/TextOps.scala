@@ -2335,6 +2335,40 @@ object TextOps {
       .where(col("rank") <= topM)
   }
 
+  /** Vocabulary NOVELTY per group — the corpus-freshness monitor: what
+    * fraction of snapshot B's token mass sits in tokens the group never
+    * produced in snapshot A (new vocabulary = new entities, new topics,
+    * or an upstream format change; a standard freshness/contamination
+    * tripwire). Inputs are [[tokenProfileByGroup]] frames (so the monitor
+    * is PROFILE-SERVED by construction — two stored profiles answer it
+    * with zero corpus scans; concatenated partials re-aggregate). Output,
+    * one row per group seen in B: (group, new_types, new_mass, types_b,
+    * mass_b, novelty_micro) with novelty_micro = ⌊10⁶·new_mass/mass_b⌋ —
+    * exact integers end to end.
+    *
+    * Scale shape: one (group, token)-keyed left join of the two
+    * vocab-bounded profiles + one group-keyed aggregation — the corpora
+    * are never touched. */
+  def vocabularyNoveltyByGroup(profA: DataFrame, profB: DataFrame,
+      groupCol: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val a = profA.groupBy(groupCol, "token").agg(sum("n").as("n_a"))
+    val b = profB.groupBy(groupCol, "token").agg(sum("n").as("n_b"))
+    b.join(a, Seq(groupCol, "token"), "left")
+      .groupBy(groupCol)
+      .agg(
+        sum(when(col("n_a").isNull, 1L).otherwise(0L)).as("new_types"),
+        sum(when(col("n_a").isNull, col("n_b")).otherwise(0L)).as("new_mass"),
+        count(lit(1)).as("types_b"),
+        sum("n_b").as("mass_b"))
+      .select(col(groupCol), col("new_types"), col("new_mass"),
+        col("types_b"), col("mass_b"),
+        when(col("mass_b") === 0, lit(0L))
+          .otherwise(call_function("div",
+            dec(lit(1000000L)) * dec(col("new_mass")), dec(col("mass_b")))
+            .cast("long")).as("novelty_micro"))
+  }
+
   /** SEGMENTED [[tokenDriftAttribution]] — per group the same question:
     * for each of the group's top-M drifted tokens, WHICH documents carry
     * the movement (the group's own snapshot-A docs for a shrinking token,

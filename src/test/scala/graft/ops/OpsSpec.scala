@@ -2157,6 +2157,36 @@ class TextOpsSpec extends SparkSpec {
       "source", topM = 10, topK = 2).count() == 0L)
   }
 
+  test("vocabularyNoveltyByGroup: hand-computed novelty; concatenated partials re-aggregate; all-new and no-new edges") {
+    import graft.ops.TextOps
+    val a = Seq(("g1", "x x y"), ("g2", "p p")).toDF("source", "text")
+    val b = Seq(("g1", "x z z"), ("g2", "p p p"), ("g3", "m")).toDF("source", "text")
+    val out = TextOps.vocabularyNoveltyByGroup(
+        TextOps.tokenProfileByGroup(a, "text", "source"),
+        TextOps.tokenProfileByGroup(b, "text", "source"), "source")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    assert(out == List(
+      // g1: B has x(1) z(2); z new -> 1 type, mass 2 of 3 -> 666666
+      ("g1", 1L, 2L, 2L, 3L, 666666L),
+      // g2: B has p(3), nothing new
+      ("g2", 0L, 0L, 1L, 3L, 0L),
+      // g3: absent from A entirely -> everything new
+      ("g3", 1L, 1L, 1L, 1L, 1000000L)), s"got $out")
+    // concatenated partial profiles re-aggregate before the join
+    val bp1 = TextOps.tokenProfileByGroup(
+      Seq(("g1", "x z")).toDF("source", "text"), "text", "source")
+    val bp2 = TextOps.tokenProfileByGroup(
+      Seq(("g1", "z"), ("g2", "p p p"), ("g3", "m")).toDF("source", "text"),
+      "text", "source")
+    val concat = TextOps.vocabularyNoveltyByGroup(
+        TextOps.tokenProfileByGroup(a, "text", "source"),
+        bp1.unionByName(bp2), "source")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    assert(concat == out, s"concat $concat vs $out")
+  }
+
   test("tokenDrift: hand-computed chi-square contributions; one-sided tokens rank by full mass") {
     // A: x2 y1 (T_a=3); B: y2 z1 (T_b=3)
     //   x: floor(1e6*36/(2*9)) = 2000000; z: floor(1e6*9/(1*9)) = 1000000
