@@ -268,7 +268,9 @@ object SparkEntry {
         m AS (SELECT max(dev) AS d_num FROM d),
         a2 AS (SELECT min(v) AS at_value FROM d, m WHERE d.dev = m.d_num)
         SELECT CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
-          CAST((1000000 * m.d_num) // (t.n_a * t.n_b) AS BIGINT) AS ks_micro,
+          CASE WHEN t.n_a = 0 OR t.n_b = 0 THEN 0
+               ELSE CAST((1000000 * m.d_num) // (t.n_a * t.n_b) AS BIGINT)
+          END AS ks_micro,
           a2.at_value AS at_value
         FROM t, m, a2"""
 

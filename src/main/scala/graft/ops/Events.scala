@@ -229,14 +229,15 @@ object Events {
     * monitor profiles. */
   def categoryDriftTimeline(df: DataFrame, catCol: String, tsCol: String,
       refProfile: DataFrame, bucketSec: Long,
-      maxBuckets: Long = 1L << 20, maxCats: Long = 1L << 22): DataFrame = {
+      maxBuckets: Long = 1L << 20, maxCats: Long = 1L << 22,
+      maxSpine: Long = 1L << 26): DataFrame = {
     // the one event-sized pass; persisted — the spine, totals, and scoring
     // all read it
     val counts = bucketCategoryProfile(df, catCol, tsCol, bucketSec)
       .select(col("bucket_start"), col(catCol).as("__cat"),
         col("n").as("n_b"))
       .persistTracked()
-    timelineFromCounts(counts, refProfile, catCol, maxBuckets, maxCats)
+    timelineFromCounts(counts, refProfile, catCol, maxBuckets, maxCats, maxSpine)
   }
 
   /** The timeline's ADDITIVE sufficient statistic: per (bucket, category)
@@ -251,11 +252,22 @@ object Events {
   def bucketCategoryProfile(df: DataFrame, catCol: String, tsCol: String,
       bucketSec: Long): DataFrame = {
     require(bucketSec >= 1, s"bucketSec must be >= 1, got $bucketSec")
-    val bucket = (call_function("div", TimeCols.epochMicros(col(tsCol)),
-      lit(bucketSec * 1000000L)) * lit(bucketSec)).as("bucket_start")
     df.where(col(catCol).isNotNull && col(tsCol).isNotNull)
-      .select(bucket, col(catCol))
+      .select(floorBucket(col(tsCol), bucketSec).as("bucket_start"), col(catCol))
       .groupBy("bucket_start", catCol).agg(count(lit(1)).as("n"))
+  }
+
+  /** FLOOR time bucketing: epoch-seconds of the `bucketSec`-wide bucket
+    * containing `ts`. Spark's `div` truncates toward zero, which for
+    * pre-1970 timestamps (negative epoch micros) would assign an event to
+    * a bucket STARTING AFTER it; subtracting the non-negative `pmod`
+    * remainder first makes the division exact, so truncation == floor on
+    * the whole timeline — matching SQL `//` floor semantics and the
+    * library's own RangeJoin bucketing. */
+  private[graft] def floorBucket(ts: Column, bucketSec: Long): Column = {
+    val us = TimeCols.epochMicros(ts)
+    val w = bucketSec * 1000000L
+    call_function("div", us - pmod(us, lit(w)), lit(w)) * lit(bucketSec)
   }
 
   /** [[categoryDriftTimeline]] computed from a STORED
@@ -269,12 +281,13 @@ object Events {
     * are never touched at serve time. */
   def categoryDriftTimelineFromProfiles(bucketProf: DataFrame,
       refProfile: DataFrame, catCol: String,
-      maxBuckets: Long = 1L << 20, maxCats: Long = 1L << 22): DataFrame = {
+      maxBuckets: Long = 1L << 20, maxCats: Long = 1L << 22,
+      maxSpine: Long = 1L << 26): DataFrame = {
     val counts = bucketProf.groupBy(col("bucket_start"), col(catCol))
       .agg(sum("n").as("n_b"))
       .select(col("bucket_start"), col(catCol).as("__cat"), col("n_b"))
       .persistTracked()
-    timelineFromCounts(counts, refProfile, catCol, maxBuckets, maxCats)
+    timelineFromCounts(counts, refProfile, catCol, maxBuckets, maxCats, maxSpine)
   }
 
   /** Anomaly flags over a drift TIMELINE — the alerting layer: a bucket
@@ -288,9 +301,11 @@ object Events {
     * is_anomaly); an empty timeline yields no rows.
     *
     * Scale shape: the timeline is buckets-bounded by construction
-    * (produced under [[categoryDriftTimeline]]'s `maxBuckets` guard), so
-    * the single-partition windows here are bounded the same way — this op
-    * never sees event-sized data. The whole rule is ONE linear plan of
+    * (produced under [[categoryDriftTimeline]]'s `maxBuckets` guard and
+    * the `maxSpine` PRODUCT guard — a dashboard-sized timeline is
+    * hundreds-to-thousands of rows; the default caps are a ceiling, not a
+    * sizing), so the single-partition windows here are bounded the same
+    * way — this op never sees event-sized data. The whole rule is ONE linear plan of
     * four stacked windows over that bounded frame (no joins, no
     * broadcasts, no second read of the input — the first formulation's
     * median/MAD crossJoin branches cost ~30 extra scheduler jobs and
@@ -325,9 +340,11 @@ object Events {
     * and profile-served routes cannot drift. Input: per-(bucket, __cat)
     * counts, already persisted by the caller. */
   private def timelineFromCounts(counts: DataFrame, refProfile: DataFrame,
-      catCol: String, maxBuckets: Long, maxCats: Long): DataFrame = {
-    require(maxBuckets >= 1 && maxCats >= 1,
-      s"guards must be >= 1, got maxBuckets=$maxBuckets maxCats=$maxCats")
+      catCol: String, maxBuckets: Long, maxCats: Long,
+      maxSpine: Long): DataFrame = {
+    require(maxBuckets >= 1 && maxCats >= 1 && maxSpine >= 1,
+      s"guards must be >= 1, got maxBuckets=$maxBuckets maxCats=$maxCats " +
+        s"maxSpine=$maxSpine")
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val ref = refProfile.groupBy(col(catCol).as("__cat"))
       .agg(sum("n").as("n_a"))
@@ -347,14 +364,24 @@ object Events {
     val ncat = counts.select("__cat").distinct()
       .unionByName(ref.select("__cat")).distinct()
       .agg(count(lit(1)).as("__ncat"))
+    // the PRODUCT guard: each factor can sit under its own cap while
+    // buckets × cats is still a spine no cluster wants — bound the spine
+    // itself, not just its factors
     val cats = counts.select("__cat").distinct()
       .unionByName(ref.select("__cat")).distinct()
-      .crossJoin(ncat)
+      .crossJoin(ncat).crossJoin(nbk)
       .select(col("__cat"),
         when(col("__ncat") > maxCats,
           raise_error(concat(lit("categoryDriftTimeline: "), col("__ncat"),
             lit(s" categories > maxCats=$maxCats — a category column this " +
-              "wide is an id, not a categorical")))).otherwise(lit(0L))
+              "wide is an id, not a categorical"))))
+          .when(col("__ncat") * col("__nbk") > maxSpine,
+            raise_error(concat(lit("categoryDriftTimeline: spine "),
+              col("__nbk"), lit(" buckets × "), col("__ncat"),
+              lit(s" categories > maxSpine=$maxSpine — widen bucketSec or " +
+                "coarsen the category column; raise the cap only if the " +
+                "cluster can hold the full scoring spine"))))
+          .otherwise(lit(0L))
           .as("__zero"))
     val tTot = ref.agg(coalesce(sum("n_a"), lit(0L)).as("t_a"))
     // spine = buckets × (ref ∪ observed) categories: bounded × bounded
@@ -365,7 +392,16 @@ object Events {
       .select(col("bucket_start"), col("__cat"), col("n_events"),
         (coalesce(col("n_a"), lit(0L)) + col("__zero")).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"),
-        col("t_a"), col("t_b"))
+        // exact-integer headroom guard: the chi-square summand peaks at
+        // 10⁶·(t_a·t_b)², which exceeds decimal(38,0) — a silent NULL —
+        // once t_a·t_b > 10¹⁶; fail loudly instead
+        (col("t_a") + when(
+          dec(col("t_a")) * dec(col("t_b")) > dec(lit(10000000000000000L)),
+          raise_error(lit("categoryDriftTimeline: t_a·t_b > 1e16 exceeds " +
+            "the decimal(38,0) headroom of the exact chi-square — " +
+            "pre-aggregate or subsample the sides")))
+          .otherwise(lit(0L))).as("t_a"),
+        col("t_b"))
     val diff = dec(col("n_a")) * dec(col("t_b")) - dec(col("n_b")) * dec(col("t_a"))
     val contrib = when(col("t_a") === 0 || col("t_b") === 0 ||
         col("n_a") + col("n_b") === 0, lit(0L))

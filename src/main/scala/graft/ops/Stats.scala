@@ -1220,9 +1220,20 @@ object Stats {
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
       .persistTracked()
+    // exact-integer headroom guard: the chi-square summand peaks at
+    // 10⁶·(t_a·t_b)², which exceeds decimal(38,0) — a silent NULL —
+    // once t_a·t_b > 10¹⁶; fail loudly instead
     val totals = joined.agg(
-      coalesce(sum("n_a"), lit(0L)).as("t_a"),
-      coalesce(sum("n_b"), lit(0L)).as("t_b"))
+        coalesce(sum("n_a"), lit(0L)).as("t_a"),
+        coalesce(sum("n_b"), lit(0L)).as("t_b"))
+      .select(
+        (col("t_a") + when(
+          dec(col("t_a")) * dec(col("t_b")) > dec(lit(10000000000000000L)),
+          raise_error(lit("numericShapeDrift: t_a·t_b > 1e16 exceeds the " +
+            "decimal(38,0) headroom of the exact chi-square — " +
+            "pre-aggregate or subsample the sides")))
+          .otherwise(lit(0L))).as("t_a"),
+        col("t_b"))
     val diff = dec(col("n_a")) * dec(col("t_b")) - dec(col("n_b")) * dec(col("t_a"))
     val contrib = when(col("t_a") === 0 || col("t_b") === 0, lit(0L))
       .otherwise(call_function("div",

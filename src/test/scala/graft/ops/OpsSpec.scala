@@ -3514,6 +3514,29 @@ class EwmaSpec extends SparkSpec {
         maxCats = 1L).collect()
     }
     assert(eCat.getMessage.contains("categoryDriftTimeline"), eCat.getMessage)
+    // the PRODUCT guard fires even when both factors sit under their caps
+    val eSp = intercept[Exception] {
+      Events.categoryDriftTimeline(df, "cat", "ts", ref, 3600L,
+        maxSpine = 3L).collect()
+    }
+    assert(eSp.getMessage.contains("maxSpine"), eSp.getMessage)
+  }
+
+  test("bucketCategoryProfile: FLOOR bucketing — a pre-1970 event lands in the bucket starting BEFORE it") {
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 1969-12-31 23:30:00 UTC = epoch −1800 s: truncate-toward-zero would
+    // put it in bucket 0 (which STARTS AFTER the event); floor puts it in
+    // bucket −3600 — SQL `//` semantics, as the DuckDB oracle computes
+    val df = Seq(
+      (ts("1969-12-31 23:30:00"), "a"),
+      (ts("1970-01-01 00:30:00"), "a"))
+      .toDF("ts", "cat")
+    val out = Events.bucketCategoryProfile(df, "cat", "ts", 3600L)
+      .orderBy("bucket_start")
+      .as[(Long, String, Long)].collect().toList
+    assert(out.map(_._1) == List(-3600L, 0L),
+      s"pre-1970 bucket must floor, not truncate: $out")
   }
 
   test("timelineAnomalies: Hampel median + k*MAD with lower medians, odd and even counts, empty input") {
