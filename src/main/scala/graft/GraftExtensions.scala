@@ -823,6 +823,40 @@ object GraftExtensions {
           table(str(args(0), "profTableA")), table(str(args(1), "profTableB")))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_numeric_profile_by_group"),
+      info("graft_numeric_profile_by_group",
+        "graft_numeric_profile_by_group(table, valueCol, groupCol, bins, binWidthMicro) - the SEGMENTED scalar monitor profile: per-(group, bin) counts, additive under (group, bin)-keyed sum; serves graft_numeric_shape_drift_by_group_from_profiles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "usage: graft_numeric_profile_by_group(table, valueCol, groupCol, bins, binWidthMicro)")
+        ops.Stats.numericProfileByGroup(table(str(args(0), "table")),
+          str(args(1), "valueCol"), str(args(2), "groupCol"),
+          int(args(3), "bins"), int(args(4), "binWidthMicro").toLong)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_numeric_shape_drift_by_group"),
+      info("graft_numeric_shape_drift_by_group",
+        "graft_numeric_shape_drift_by_group(tableA, tableB, valueCol, groupCol, bins, binWidthMicro) - SEGMENTED binned chi-square drift for a numeric column: per group the exact test over the group's own bin distribution; (group, bin, n_a, n_b, chi2_micro, rank); a group with either side empty scores 0"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "usage: graft_numeric_shape_drift_by_group(tableA, tableB, valueCol, groupCol, bins, binWidthMicro)")
+        ops.Stats.numericShapeDriftByGroup(table(str(args(0), "tableA")),
+          table(str(args(1), "tableB")), str(args(2), "valueCol"),
+          str(args(3), "groupCol"), int(args(4), "bins"),
+          int(args(5), "binWidthMicro").toLong)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_numeric_shape_drift_by_group_from_profiles"),
+      info("graft_numeric_shape_drift_by_group_from_profiles",
+        "graft_numeric_shape_drift_by_group_from_profiles(profTableA, profTableB, groupCol) - SEGMENTED scalar drift SERVED from two stored graft_numeric_profile_by_group frames: identical answer to the direct route, corpora never touched at serve time"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "usage: graft_numeric_shape_drift_by_group_from_profiles(profTableA, profTableB, groupCol)")
+        ops.Stats.numericShapeDriftByGroupFromProfiles(
+          table(str(args(0), "profTableA")), table(str(args(1), "profTableB")),
+          str(args(2), "groupCol"))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_bucket_category_profile"),
       info("graft_bucket_category_profile",
         "graft_bucket_category_profile(table, catCol, tsCol, bucketSec) - the timeline's ADDITIVE sufficient statistic: per (bucket_start, category) event counts; profile(A UNION B) == profile(A) + profile(B) keyed on (bucket_start, cat), so stored timelines grow O(batch) and serve graft_category_drift_timeline_from_profiles without re-touching the events"),

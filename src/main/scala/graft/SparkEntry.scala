@@ -381,6 +381,40 @@ object SparkEntry {
           CAST(row_number() OVER (ORDER BY chi2_micro DESC, bin ASC) AS INT) AS rank
         FROM s ORDER BY rank"""
 
+  /** q247 / q248 / q249 / q250 shared oracle: SEGMENTED binned chi-square
+    * drift over events.value per event_type (user parity split) — each
+    * group's totals are its own two-sample test; binning, clamping, and
+    * the HUGEINT summand are [[sqlNumericShapeDrift]]'s verbatim, rank
+    * partitioned by group. q248 serves the identical answer from additive
+    * (group, bin) profiles, q249/q250 are the SQL-TVF routes. */
+  private lazy val sqlNumericShapeDriftByGroup: String = """
+        WITH va AS (SELECT event_type AS g,
+                CAST(round(CAST(value AS DOUBLE)*1000000) AS BIGINT) AS q
+                FROM events WHERE user_id % 2 = 0 AND event_type IS NOT NULL
+                  AND value IS NOT NULL AND NOT isnan(value)),
+        vb AS (SELECT event_type AS g,
+                CAST(round(CAST(value AS DOUBLE)*1000000) AS BIGINT) AS q
+                FROM events WHERE user_id % 2 = 1 AND event_type IS NOT NULL
+                  AND value IS NOT NULL AND NOT isnan(value)),
+        a AS (SELECT g, least(greatest(CAST(floor(CAST(q AS DOUBLE)/31250000) AS BIGINT), -8), 7) AS bin,
+                     CAST(count(*) AS HUGEINT) AS n_a FROM va GROUP BY 1, 2),
+        b AS (SELECT g, least(greatest(CAST(floor(CAST(q AS DOUBLE)/31250000) AS BIGINT), -8), 7) AS bin,
+                     CAST(count(*) AS HUGEINT) AS n_b FROM vb GROUP BY 1, 2),
+        j AS (SELECT COALESCE(a.g, b.g) AS g, COALESCE(a.bin, b.bin) AS bin,
+                     COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+              FROM a FULL OUTER JOIN b ON a.g = b.g AND a.bin = b.bin),
+        t AS (SELECT g, sum(n_a) AS t_a, sum(n_b) AS t_b FROM j GROUP BY g),
+        s AS (SELECT j.g, bin, n_a, n_b,
+                CASE WHEN t.t_a = 0 OR t.t_b = 0 THEN CAST(0 AS HUGEINT)
+                     ELSE (1000000 * (n_a*t.t_b - n_b*t.t_a) * (n_a*t.t_b - n_b*t.t_a))
+                          // ((n_a + n_b) * t.t_a * t.t_b) END AS chi2_micro
+              FROM j JOIN t ON j.g = t.g)
+        SELECT g AS event_type, CAST(bin AS BIGINT) AS bin,
+          CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          CAST(chi2_micro AS BIGINT) AS chi2_micro,
+          CAST(row_number() OVER (PARTITION BY g ORDER BY chi2_micro DESC, bin ASC) AS INT) AS rank
+        FROM s ORDER BY event_type, rank"""
+
   /** q237 / q238 shared oracle: anomaly flags over the q229 timeline —
     * Hampel's median + k·MAD rule in exact integers (LOWER medians: the
     * sorted element at rank (n+1)//2 — no interpolation, engine-exact).
@@ -3897,6 +3931,78 @@ object SparkEntry {
           ORDER BY rank""")
       },
       Some(sqlNumericShapeDrift)),
+
+    // -- q247: SEGMENTED binned scalar drift — per event_type the exact
+    //    chi-square over the group's own bin distribution; closes the
+    //    last asymmetry in the monitoring matrix (scalar monitors now
+    //    global AND segmented, direct AND profile-served) ---------------
+    Q("q247_numeric_shape_drift_by_group",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        ops.Stats.numericShapeDriftByGroup(
+          ev.filter(col("user_id") % 2 === 0),
+          ev.filter(col("user_id") % 2 === 1), "value", "event_type")
+          .orderBy("event_type", "rank")
+      },
+      Some(sqlNumericShapeDriftByGroup)),
+
+    // -- q248: the segmented scalar monitor SERVED from additive
+    //    (group, bin) profiles — q247's oracle verbatim (route
+    //    equivalence; the per-source dashboard's storage read) ----------
+    Q("q248_numeric_shape_drift_by_group_profiles",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        ops.Stats.numericShapeDriftByGroupFromProfiles(
+          ops.Stats.numericProfileByGroup(
+            ev.filter(col("user_id") % 2 === 0), "value", "event_type"),
+          ops.Stats.numericProfileByGroup(
+            ev.filter(col("user_id") % 2 === 1), "value", "event_type"),
+          "event_type")
+          .orderBy("event_type", "rank")
+      },
+      Some(sqlNumericShapeDriftByGroup)),
+
+    // -- q249: the SQL-TVF route for the segmented scalar monitor -------
+    Q("q249_sql_tvf_numeric_shape_drift_by_group",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val ev = T(s, dir, "events")
+        ev.filter(col("user_id") % 2 === 0)
+          .createOrReplaceTempView(s"nsdg_a_$sfx")
+        ev.filter(col("user_id") % 2 === 1)
+          .createOrReplaceTempView(s"nsdg_b_$sfx")
+        s.sql(s"""
+          SELECT event_type, bin, n_a, n_b, chi2_micro, rank
+          FROM graft_numeric_shape_drift_by_group('nsdg_a_$sfx', 'nsdg_b_$sfx',
+                                                  'value', 'event_type', 16, 31250000)
+          ORDER BY event_type, rank""")
+      },
+      Some(sqlNumericShapeDriftByGroup)),
+
+    // -- q250: end-to-end SQL for the profile-served segmented scalar
+    //    monitor — build both (group, bin) profiles with the builder TVF,
+    //    serve with the from_profiles TVF; q247's oracle verbatim --------
+    Q("q250_sql_tvf_numeric_drift_by_group_from_profiles",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val ev = T(s, dir, "events")
+        ev.filter(col("user_id") % 2 === 0)
+          .createOrReplaceTempView(s"nsdgp_a_$sfx")
+        ev.filter(col("user_id") % 2 === 1)
+          .createOrReplaceTempView(s"nsdgp_b_$sfx")
+        s.sql(s"SELECT * FROM graft_numeric_profile_by_group('nsdgp_a_$sfx', 'value', 'event_type', 16, 31250000)")
+          .createOrReplaceTempView(s"nsdgp_pa_$sfx")
+        s.sql(s"SELECT * FROM graft_numeric_profile_by_group('nsdgp_b_$sfx', 'value', 'event_type', 16, 31250000)")
+          .createOrReplaceTempView(s"nsdgp_pb_$sfx")
+        s.sql(s"""
+          SELECT event_type, bin, n_a, n_b, chi2_micro, rank
+          FROM graft_numeric_shape_drift_by_group_from_profiles(
+            'nsdgp_pa_$sfx', 'nsdgp_pb_$sfx', 'event_type')
+          ORDER BY event_type, rank""")
+      },
+      Some(sqlNumericShapeDriftByGroup)),
 
     // -- q237: anomaly flags over the drift timeline — Hampel median +
     //    k·MAD in exact integers (lower medians, no interpolation); the

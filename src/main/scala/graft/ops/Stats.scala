@@ -1247,6 +1247,142 @@ object Stats {
         Window.orderBy(col("chi2_micro").desc, col("bin").asc)))
   }
 
+  /** SEGMENTED [[numericProfile]] — the scalar monitor's additive
+    * sufficient statistic PER GROUP: (group, bin, n) counts, additive
+    * under (group, bin)-keyed sum exactly like the global profile, which
+    * is what lets the streaming maintenance loop
+    * ([[graft.streaming.Fastlane.ingestNumericProfileByGroup]]) keep a
+    * per-source scalar profile current at O(batch + touched buckets) per
+    * micro-batch. A stored pair then serves
+    * [[numericShapeDriftByGroupFromProfiles]] without re-touching the
+    * corpora — the per-source scalar-drift dashboard reads profiles, same
+    * as the token/embedding monitors. Binning (exact-micro quantize,
+    * floor, clamp) is [[numericProfile]]'s verbatim; NULL groups are
+    * excluded (a null segment is not a segment), NULL/NaN values excluded
+    * as in the global form.
+    *
+    * Scale shape: one (group, bin)-keyed count — partial aggregation
+    * collapses each task to ≤ groups·bins rows before the one exchange;
+    * the corpus never shuffles. */
+  def numericProfileByGroup(df: DataFrame, valueCol: String,
+      groupCol: String, bins: Int = 16,
+      binWidthMicro: Long = 31250000L): DataFrame = {
+    require(bins >= 2 && bins <= 256 && bins % 2 == 0,
+      s"bins must be even and in [2, 256], got $bins")
+    require(binWidthMicro >= 1,
+      s"binWidthMicro must be >= 1, got $binWidthMicro")
+    require(groupCol != "bin" && groupCol != "n" && groupCol != "__v",
+      s"groupCol collides with an internal column name: $groupCol")
+    val hb = bins / 2
+    df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .where(col(groupCol).isNotNull &&
+        col("__v").isNotNull && !isnan(col("__v")))
+      .select(col(groupCol), least(greatest(
+        floor(round(col("__v") * lit(1000000d)).cast("long") / lit(binWidthMicro)),
+        lit(-hb.toLong)), lit(hb - 1L)).as("bin"))
+      .groupBy(groupCol, "bin").agg(count(lit(1)).as("n"))
+  }
+
+  /** SEGMENTED [[numericShapeDrift]] — the binned scalar monitor per
+    * group (source, shard, model-version…): per group the identical exact
+    * chi-square over that group's own bin distribution (each group's
+    * totals are its own t_a/t_b — a group is its own two-sample test).
+    * Output: (group, bin, n_a, n_b, chi2_micro, rank), rank by
+    * contribution within the group (ties → smaller bin); a group with
+    * either side empty scores 0 everywhere (the per-group empty-side
+    * convention). This closes the last asymmetry in the monitoring
+    * matrix: token, embedding, and scalar monitors are all global AND
+    * segmented, direct AND profile-served.
+    *
+    * Scale shape: the (group, bin) count aggregations key their own
+    * exchanges and the full-outer join reuses that partitioning; the
+    * per-group totals are a `groupBy(group)` aggregate BROADCAST back
+    * under the LOUD `maxBroadcastGroups` in-plan guard (the
+    * tokenDriftByGroup shape — scoring stays on the (group, bin)
+    * partitioning), and the only group-keyed exchange is the rank window
+    * over ≤ bins rows per group. */
+  def numericShapeDriftByGroup(dfA: DataFrame, dfB: DataFrame,
+      valueCol: String, groupCol: String, bins: Int = 16,
+      binWidthMicro: Long = 31250000L,
+      maxBroadcastGroups: Long = 1L << 22): DataFrame =
+    numericShapeDriftByGroupFromCounts(
+      numericProfileByGroup(dfA, valueCol, groupCol, bins, binWidthMicro)
+        .withColumnRenamed("n", "n_a"),
+      numericProfileByGroup(dfB, valueCol, groupCol, bins, binWidthMicro)
+        .withColumnRenamed("n", "n_b"),
+      groupCol, maxBroadcastGroups)
+
+  /** [[numericShapeDriftByGroup]] computed from two STORED
+    * [[numericProfileByGroup]] frames instead of the corpora — the
+    * serving read of the segmented streaming scalar monitor: the
+    * profile's per-(group, bin) n IS the count the direct route
+    * aggregates, so the answer is IDENTICAL to running the drift over the
+    * corpora the profiles summarize (spec- and oracle-asserted). Inputs
+    * are re-aggregated by (group, bin) first, so concatenated partial
+    * profiles are accepted. Cost: two (groups·bins)-bounded scans — the
+    * corpora are never touched at serve time. */
+  def numericShapeDriftByGroupFromProfiles(profA: DataFrame,
+      profB: DataFrame, groupCol: String,
+      maxBroadcastGroups: Long = 1L << 22): DataFrame =
+    numericShapeDriftByGroupFromCounts(
+      profA.groupBy(groupCol, "bin").agg(sum(col("n")).as("n_a")),
+      profB.groupBy(groupCol, "bin").agg(sum(col("n")).as("n_b")),
+      groupCol, maxBroadcastGroups)
+
+  /** Shared per-group chi-square tail of [[numericShapeDriftByGroup]] /
+    * [[numericShapeDriftByGroupFromProfiles]] — one code path so the
+    * direct and profile-served routes cannot drift; the grouped twin of
+    * [[numericShapeDriftFromCounts]], carrying the same decimal(38,0)
+    * headroom guard per group. */
+  private def numericShapeDriftByGroupFromCounts(ca: DataFrame,
+      cb: DataFrame, groupCol: String,
+      maxBroadcastGroups: Long): DataFrame = {
+    import graft.core.TrackedCache.TrackedDataset
+    require(maxBroadcastGroups >= 1,
+      s"maxBroadcastGroups must be >= 1, got $maxBroadcastGroups")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // persisted ((groups·bins)-bounded): the totals aggregation and the
+    // scoring join both read it
+    val joined = ca.join(cb, Seq(groupCol, "bin"), "full_outer")
+      .select(col(groupCol), col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .persistTracked()
+    // persisted (one row per group): the guard's count and the broadcast
+    // rows both read it inside the one build
+    val totals0 = joined.groupBy(groupCol)
+      .agg(sum("n_a").as("t_a"), sum("n_b").as("t_b"))
+      .persistTracked()
+    val ngr = totals0.agg(count(lit(1)).as("__ng"))
+    val totals = totals0.crossJoin(ngr)
+      .select(col(groupCol),
+        (col("t_a")
+          + when(col("__ng") > maxBroadcastGroups,
+            raise_error(concat(lit("numericShapeDriftByGroup: "), col("__ng"),
+              lit(s" groups > maxBroadcastGroups=$maxBroadcastGroups — the " +
+                "per-group totals broadcast one row per group; a group " +
+                "column this wide is an id, not a segmentation — raise the " +
+                "cap if the executors have the memory")))).otherwise(lit(0L))
+          + when(dec(col("t_a")) * dec(col("t_b")) > dec(lit(10000000000000000L)),
+            raise_error(lit("numericShapeDriftByGroup: t_a·t_b > 1e16 " +
+              "exceeds the decimal(38,0) headroom of the exact chi-square " +
+              "— pre-aggregate or subsample the sides"))).otherwise(lit(0L))
+        ).as("t_a"),
+        col("t_b"))
+    val diff = dec(col("n_a")) * dec(col("t_b")) - dec(col("n_b")) * dec(col("t_a"))
+    val contrib = when(col("t_a") === 0 || col("t_b") === 0, lit(0L))
+      .otherwise(call_function("div",
+        dec(lit(1000000L)) * diff * diff,
+        (dec(col("n_a")) + dec(col("n_b"))) * dec(col("t_a")) * dec(col("t_b")))
+        .cast("long"))
+    val wr = Window.partitionBy(groupCol)
+      .orderBy(col("chi2_micro").desc, col("bin").asc)
+    joined.join(broadcast(totals), Seq(groupCol))
+      .select(col(groupCol), col("bin"), col("n_a"), col("n_b"),
+        contrib.as("chi2_micro"))
+      .withColumn("rank", row_number().over(wr))
+  }
+
   /** SEGMENTED [[ksDrift]] — one exact KS test per group in a single
     * pass, the scalar twin of `tokenDriftByGroup`/`embeddingDriftByGroup`:
     * per-source feature-drift dashboards read one frame instead of

@@ -388,6 +388,51 @@ object Fastlane {
       ()
     }
 
+  /** SEGMENTED streaming scalar-monitor maintenance —
+    * [[ingestNumericProfile]] keyed (group, bin): each micro-batch bins
+    * ONLY its own values per group
+    * ([[graft.ops.Stats.numericProfileByGroup]]) and merge-ADDS the
+    * counts into the stored segmented profile, so a per-source scalar
+    * dashboard ([[graft.ops.Stats.numericShapeDriftByGroupFromProfiles]])
+    * reads stored profiles instead of re-scanning both corpora per
+    * refresh — the r16 verdict's last monitoring-matrix asymmetry closed.
+    * Unlike the global loop (≤ bins rows — a full rewrite per batch is
+    * cheap), the segmented profile is groups·bins-sized, so the merge
+    * goes through `readTouched` and rewrites only the buckets carrying
+    * the batch's own groups' keys — O(batch + touched buckets), the
+    * token-loop shape. Stream-grown ≡ batch-built (spec-asserted); adds
+    * are not idempotent → the shared lineage fence ([[fencedApply]]);
+    * Σn == values ingested is the cheap audit. */
+  def ingestNumericProfileByGroup(
+      stream: DataFrame, valueCol: String, groupCol: String,
+      store: graft.core.BucketedStore, feature: String,
+      checkpointDir: String,
+      bins: Int = 16, binWidthMicro: Long = 31250000L,
+      trigger: Trigger = Trigger.AvailableNow())
+      (implicit spark: SparkSession): StreamingQuery =
+    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
+      fencedApply(store, feature, checkpointDir, batchId) {
+        // persisted: read by the touched-bucket probe AND the merge add
+        val bp = graft.ops.Stats.numericProfileByGroup(
+          batch, valueCol, groupCol, bins, binWidthMicro)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (store.latestVersion(feature).isEmpty)
+          store.write(bp, feature, Seq(groupCol, "bin"))
+        else {
+          val touched = store.readTouched(feature, Seq(groupCol, "bin"),
+            bp.select(groupCol, "bin"), None)
+          val merged = touched
+            .select(col(groupCol), col("bin"), col("n").as("__n0"))
+            .join(bp, Seq(groupCol, "bin"), "full_outer")
+            .select(col(groupCol), col("bin"),
+              (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"))
+          store.merge(feature, merged, Seq(groupCol, "bin"))
+        }
+        bp.unpersist()
+      }
+      ()
+    }
+
   /** Streaming TIMELINE maintenance — keep a persisted
     * [[graft.ops.Events.bucketCategoryProfile]] current as event batches
     * arrive: each micro-batch buckets and counts ONLY its own events

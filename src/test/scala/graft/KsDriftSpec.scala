@@ -149,4 +149,65 @@ class KsDriftSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("ksDriftByGroup"), e.getMessage)
   }
+
+  test("numericShapeDriftByGroup: each group is its own two-sample test; stable group 0; one-side-empty group 0; guard by name") {
+    // g1 is the global hand case verbatim within its own totals; g2 is
+    // distribution-stable; g3 exists only on side A -> all 0 by the
+    // per-group empty-side convention
+    val a = Seq(("g1", 0.0), ("g1", 10.0), ("g1", 10.0), ("g1", 40.0),
+      ("g2", 5.0), ("g2", 5.0), ("g3", 7.0)).toDF("g", "x")
+    val b = Seq(("g1", 0.0), ("g1", 40.0), ("g1", 40.0), ("g1", 40.0),
+      ("g2", 5.0), ("g2", 5.0)).toDF("g", "x")
+    val out = ops.Stats.numericShapeDriftByGroup(a, b, "x", "g")
+      .orderBy("g", "rank")
+      .as[(String, Long, Long, Long, Long, Int)].collect().toList
+    val g1 = out.filter(_._1 == "g1").map(r => (r._2, r._3, r._4, r._5, r._6))
+    assert(g1 == List((0L, 3L, 1L, 1000000L, 1), (1L, 1L, 3L, 1000000L, 2)),
+      s"g1 must reproduce the global hand case within its own totals: $g1")
+    assert(out.filter(_._1 == "g2").forall(_._5 == 0L), "stable group scores 0")
+    assert(out.filter(_._1 == "g3").forall(_._5 == 0L),
+      "one-side-empty group is 0 by convention, per group")
+    // the totals-broadcast contract fires loudly, by name
+    val e = intercept[Exception] {
+      ops.Stats.numericShapeDriftByGroup(a, b, "x", "g",
+        maxBroadcastGroups = 1L).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("maxBroadcastGroups"), s"guard must fail by name: $msg")
+  }
+
+  test("numericShapeDriftByGroupFromProfiles: profile-served == direct, bit-identical; concatenated partials accepted") {
+    val a = Seq(("g1", 0.0), ("g1", 10.0), ("g1", 10.0), ("g1", 40.0),
+      ("g2", 5.0), ("g2", 90.0)).toDF("g", "x")
+    val b = Seq(("g1", 0.0), ("g1", 40.0), ("g1", 40.0), ("g1", 40.0),
+      ("g2", 5.0), ("g2", 5.0)).toDF("g", "x")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("g", "rank")
+      .as[(String, Long, Long, Long, Long, Int)].collect().toList
+    val direct = rows(ops.Stats.numericShapeDriftByGroup(a, b, "x", "g"))
+    val served = rows(ops.Stats.numericShapeDriftByGroupFromProfiles(
+      ops.Stats.numericProfileByGroup(a, "x", "g"),
+      ops.Stats.numericProfileByGroup(b, "x", "g"), "g"))
+    assert(served.nonEmpty && served == direct,
+      s"served $served vs direct $direct")
+    // concatenated partial profiles re-aggregate before scoring
+    val aHalf1 = Seq(("g1", 0.0), ("g1", 10.0), ("g2", 5.0)).toDF("g", "x")
+    val aHalf2 = Seq(("g1", 10.0), ("g1", 40.0), ("g2", 90.0)).toDF("g", "x")
+    val concat = rows(ops.Stats.numericShapeDriftByGroupFromProfiles(
+      ops.Stats.numericProfileByGroup(aHalf1, "x", "g")
+        .unionByName(ops.Stats.numericProfileByGroup(aHalf2, "x", "g")),
+      ops.Stats.numericProfileByGroup(b, "x", "g"), "g"))
+    assert(concat == direct, s"concat $concat vs direct $direct")
+    // per-group profile additivity: profile(A ∪ B) == profile(A) + profile(B)
+    val pa = ops.Stats.numericProfileByGroup(a, "x", "g")
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val pb = ops.Stats.numericProfileByGroup(b, "x", "g")
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val pu = ops.Stats.numericProfileByGroup(a.unionByName(b), "x", "g")
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val added = (pa.keySet ++ pb.keySet).map(k =>
+      k -> (pa.getOrElse(k, 0L) + pb.getOrElse(k, 0L))).toMap
+    assert(pu == added, s"union $pu vs added $added")
+  }
 }

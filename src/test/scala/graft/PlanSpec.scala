@@ -657,6 +657,12 @@ class PlanSpec extends SparkSpec {
       .write.parquet(s"$dir/na")
     graft.ops.Stats.numericProfile(ev.filter(col("user_id") % 2 === 1), "value")
       .write.parquet(s"$dir/nb")
+    graft.ops.Stats.numericProfileByGroup(
+        ev.filter(col("user_id") % 2 === 0), "value", "event_type")
+      .write.parquet(s"$dir/ga")
+    graft.ops.Stats.numericProfileByGroup(
+        ev.filter(col("user_id") % 2 === 1), "value", "event_type")
+      .write.parquet(s"$dir/gb")
     val ref = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       .collect()  // materialize the reference OUTSIDE the measured plan
     val refDf = spark.createDataFrame(
@@ -670,7 +676,11 @@ class PlanSpec extends SparkSpec {
       spark.read.parquet(s"$dir/tl"), refDf, "event_type")
     val numServe = graft.ops.Stats.numericShapeDriftFromProfiles(
       spark.read.parquet(s"$dir/na"), spark.read.parquet(s"$dir/nb"))
-    for ((nm, df) <- Seq("timeline" -> tlServe, "numeric" -> numServe)) {
+    val gnumServe = graft.ops.Stats.numericShapeDriftByGroupFromProfiles(
+      spark.read.parquet(s"$dir/ga"), spark.read.parquet(s"$dir/gb"),
+      "event_type")
+    for ((nm, df) <- Seq("timeline" -> tlServe, "numeric" -> numServe,
+        "numericByGroup" -> gnumServe)) {
       val p = df.queryExecution.executedPlan.toString
       val scans = "file:[^ ,\\]]*".r.findAllIn(p).toList
       assert(scans.forall(_.contains("plan_prof16")),

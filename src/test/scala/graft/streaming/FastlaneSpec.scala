@@ -337,6 +337,52 @@ class FastlaneSpec extends SparkSpec {
     assert(storedRows() == grown, "replayed batches must not double-count")
   }
 
+  test("ingestNumericProfileByGroup: stream-grown segmented scalar profile bit-identical to one-shot; per-group drift served from storage == direct; replay fenced") {
+    import graft.ops.Stats
+    val srcDir = tmpDir("gnprof_src")
+    val store = new graft.core.BucketedStore(tmpDir("gnprof_store"), numBuckets = 8)
+    val ckpt = tmpDir("gnprof_ckpt")
+    def stream() = spark.readStream
+      .schema("g STRING, v DOUBLE").json(s"$srcDir/*")
+    val b1 = Seq(("s1", 0.0), ("s1", 10.0), ("s2", 40.0))
+    val b2 = Seq(("s1", 40.0), ("s2", 40.0), ("s2", 90.0), ("s3", 5.0))
+    b1.toDF("g", "v").write.mode("overwrite").json(s"$srcDir/b1")
+    Fastlane.ingestNumericProfileByGroup(stream(), "v", "g", store,
+      "gnprof", ckpt).awaitTermination(60000)
+    b2.toDF("g", "v").write.mode("overwrite").json(s"$srcDir/b2")
+    Fastlane.ingestNumericProfileByGroup(stream(), "v", "g", store,
+      "gnprof", ckpt).awaitTermination(60000)
+    def storedRows() = store.read("gnprof", Seq("g", "bin"))
+      .select("g", "bin", "n").as[(String, Long, Long)].collect().toSet
+    val grown = storedRows()
+    val union = (b1 ++ b2).toDF("g", "v")
+    val oneShot = Stats.numericProfileByGroup(union, "v", "g")
+      .as[(String, Long, Long)].collect().toSet
+    assert(grown.nonEmpty && grown == oneShot,
+      "additive growth must be BIT-identical to a one-shot segmented count")
+    assert(grown.toSeq.map(_._3).sum == 7L, "Σn == values ingested")
+    // the per-source dashboard read: drift served from the STORED profile
+    // equals the direct two-corpus scan
+    val ref = Seq(("s1", 5.0), ("s1", 70.0), ("s2", 40.0), ("s4", 1.0))
+      .toDF("g", "v")
+    val served = Stats.numericShapeDriftByGroupFromProfiles(
+        store.read("gnprof", Seq("g", "bin")),
+        Stats.numericProfileByGroup(ref, "v", "g"), "g")
+      .orderBy("g", "rank").collect().toSeq
+    val direct = Stats.numericShapeDriftByGroup(union, ref, "v", "g")
+      .orderBy("g", "rank").collect().toSeq
+    assert(served.nonEmpty && served == direct,
+      "profile-served per-group scalar drift must equal the direct route")
+    // a replayed run under the same checkpoint lineage is fenced out
+    Fastlane.ingestNumericProfileByGroup(stream(), "v", "g", store,
+      "gnprof", ckpt).awaitTermination(60000)
+    assert(storedRows() == grown, "replayed batches must not double-count")
+    // the maintenance cadence: compaction folds per-batch merge dirs back
+    // without changing the profile
+    store.compactBuckets("gnprof", Seq("g", "bin"))
+    assert(storedRows() == grown, "compaction must be answer-stable")
+  }
+
   test("ingestBucketCategoryProfile: stream-grown timeline bit-identical to one-shot; profile-served timeline == direct; late events fold into their true bucket; replay fenced") {
     import graft.ops.Events
     val srcDir = tmpDir("cdt_src")
