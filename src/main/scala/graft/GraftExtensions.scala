@@ -879,6 +879,40 @@ object GraftExtensions {
           str(args(1), "catCol"))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_numeric_drift_timeline"),
+      info("graft_numeric_drift_timeline",
+        "graft_numeric_drift_timeline(table, valueCol, tsCol, refTable, bucketSec, bins, binWidthMicro) - per-time-bucket exact binned chi-square drift of a numeric column against a fixed reference graft_numeric_profile refTable(bin, n): one row per non-empty bucket (bucket_start, n_events, chi2_micro, top_bin, top_chi2_micro) - the scalar monitor as a dashboard time series"),
+      (args: Seq[Expression]) => {
+        require(args.length == 7,
+          "usage: graft_numeric_drift_timeline(table, valueCol, tsCol, refTable, bucketSec, bins, binWidthMicro)")
+        ops.Events.numericDriftTimeline(table(str(args(0), "table")),
+          str(args(1), "valueCol"), str(args(2), "tsCol"),
+          table(str(args(3), "refTable")), int(args(4), "bucketSec").toLong,
+          int(args(5), "bins"), int(args(6), "binWidthMicro").toLong)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_bucket_numeric_profile"),
+      info("graft_bucket_numeric_profile",
+        "graft_bucket_numeric_profile(table, valueCol, tsCol, bucketSec, bins, binWidthMicro) - the numeric timeline's ADDITIVE sufficient statistic: per (bucket_start, bin) value counts, additive under (bucket_start, bin)-keyed sum; serves graft_numeric_drift_timeline_from_profiles without re-touching the events"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "usage: graft_bucket_numeric_profile(table, valueCol, tsCol, bucketSec, bins, binWidthMicro)")
+        ops.Events.bucketNumericProfile(table(str(args(0), "table")),
+          str(args(1), "valueCol"), str(args(2), "tsCol"),
+          int(args(3), "bucketSec").toLong, int(args(4), "bins"),
+          int(args(5), "binWidthMicro").toLong)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_numeric_drift_timeline_from_profiles"),
+      info("graft_numeric_drift_timeline_from_profiles",
+        "graft_numeric_drift_timeline_from_profiles(profTable, refTable) - the numeric drift timeline SERVED from a stored graft_bucket_numeric_profile frame: identical answer to the direct route over the events the profile summarizes, events never touched at serve time; (bucket_start, n_events, chi2_micro, top_bin, top_chi2_micro)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "usage: graft_numeric_drift_timeline_from_profiles(profTable, refTable)")
+        ops.Events.numericDriftTimelineFromProfiles(
+          table(str(args(0), "profTable")), table(str(args(1), "refTable")))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_embedding_shape_drift_by_group_from_profiles"),
       info("graft_embedding_shape_drift_by_group_from_profiles",
         "graft_embedding_shape_drift_by_group_from_profiles(profTableA, profTableB, groupCol) - SEGMENTED embedding SHAPE drift SERVED from the same stored graft_embedding_profile_by_group frames; (group, pos, t_a, t_b, chi2_micro, rank)"),

@@ -460,6 +460,103 @@ object SparkEntry {
           tl.chi2 > med.med + 1 * mad.mad AS is_anomaly
         FROM tl, med, mad ORDER BY bucket_start"""
 
+  /** q251 / q252 / q253 / q254 shared oracle: NUMERIC drift timeline —
+    * per weekly bucket the exact binned chi-square of events.value
+    * against the whole table's numericProfile as reference
+    * ([[sqlCategoryDriftTimeline]]'s structure with
+    * [[sqlNumericShapeDrift]]'s binning as the categories), plus the
+    * bucket's top-contribution bin (ties → smallest). q252 serves the
+    * identical answer from additive (bucket, bin) profiles, q253/q254
+    * are the SQL-TVF routes. */
+  private lazy val sqlNumericDriftTimeline: String = """
+        WITH vv AS (SELECT (CAST(epoch_us(ts) AS BIGINT) // 604800000000) * 604800
+                      AS bucket_start,
+                    least(greatest(CAST(floor(CAST(CAST(round(CAST(value AS DOUBLE)*1000000) AS BIGINT) AS DOUBLE)/31250000) AS BIGINT), -8), 7) AS bin
+                    FROM events WHERE ts IS NOT NULL
+                      AND value IS NOT NULL AND NOT isnan(value)),
+        c AS (SELECT bucket_start, bin, CAST(count(*) AS HUGEINT) AS n_b
+              FROM vv GROUP BY 1, 2),
+        ref AS (SELECT least(greatest(CAST(floor(CAST(CAST(round(CAST(value AS DOUBLE)*1000000) AS BIGINT) AS DOUBLE)/31250000) AS BIGINT), -8), 7) AS bin,
+                       CAST(count(*) AS HUGEINT) AS n_a
+                FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+                GROUP BY 1),
+        bk AS (SELECT bucket_start, sum(n_b) AS t_b,
+                      CAST(sum(n_b) AS BIGINT) AS n_events FROM c GROUP BY 1),
+        bins AS (SELECT DISTINCT bin FROM
+                 (SELECT bin FROM c UNION SELECT bin FROM ref)),
+        t AS (SELECT sum(n_a) AS t_a FROM ref),
+        sp AS (SELECT bk.bucket_start, bk.n_events, bins.bin,
+                  COALESCE(ref.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b,
+                  t.t_a, bk.t_b
+               FROM bk CROSS JOIN bins
+               LEFT JOIN ref ON ref.bin = bins.bin
+               LEFT JOIN c ON c.bucket_start = bk.bucket_start
+                          AND c.bin = bins.bin
+               CROSS JOIN t),
+        sc AS (SELECT bucket_start, n_events, bin,
+                  CASE WHEN t_a = 0 OR t_b = 0 OR n_a + n_b = 0
+                       THEN CAST(0 AS HUGEINT)
+                       ELSE (1000000 * (n_a*t_b - n_b*t_a) * (n_a*t_b - n_b*t_a))
+                            // ((n_a + n_b) * t_a * t_b) END AS contrib
+               FROM sp),
+        rk AS (SELECT *, row_number() OVER
+                 (PARTITION BY bucket_start ORDER BY contrib DESC, bin) AS rk
+               FROM sc)
+        SELECT bucket_start,
+          CAST(max(n_events) AS BIGINT) AS n_events,
+          CAST(sum(contrib) AS BIGINT) AS chi2_micro,
+          max(CASE WHEN rk = 1 THEN bin END) AS top_bin,
+          CAST(max(CASE WHEN rk = 1 THEN contrib END) AS BIGINT) AS top_chi2_micro
+        FROM rk GROUP BY bucket_start ORDER BY bucket_start"""
+
+  /** q255 oracle: [[timelineAnomalies]] applied VERBATIM to the numeric
+    * timeline — the alerting layer is data-kind-agnostic by construction
+    * (it consumes only (bucket_start, chi2_micro)); the Hampel chain is
+    * [[sqlTimelineAnomalies]]'s with the numeric timeline as `tl`. */
+  private lazy val sqlNumericTimelineAnomalies: String = """
+        WITH vv AS (SELECT (CAST(epoch_us(ts) AS BIGINT) // 604800000000) * 604800
+                      AS bucket_start,
+                    least(greatest(CAST(floor(CAST(CAST(round(CAST(value AS DOUBLE)*1000000) AS BIGINT) AS DOUBLE)/31250000) AS BIGINT), -8), 7) AS bin
+                    FROM events WHERE ts IS NOT NULL
+                      AND value IS NOT NULL AND NOT isnan(value)),
+        c AS (SELECT bucket_start, bin, CAST(count(*) AS HUGEINT) AS n_b
+              FROM vv GROUP BY 1, 2),
+        ref AS (SELECT least(greatest(CAST(floor(CAST(CAST(round(CAST(value AS DOUBLE)*1000000) AS BIGINT) AS DOUBLE)/31250000) AS BIGINT), -8), 7) AS bin,
+                       CAST(count(*) AS HUGEINT) AS n_a
+                FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+                GROUP BY 1),
+        bk AS (SELECT bucket_start, sum(n_b) AS t_b FROM c GROUP BY 1),
+        bins AS (SELECT DISTINCT bin FROM
+                 (SELECT bin FROM c UNION SELECT bin FROM ref)),
+        t AS (SELECT sum(n_a) AS t_a FROM ref),
+        sp AS (SELECT bk.bucket_start, bins.bin,
+                  COALESCE(ref.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b,
+                  t.t_a, bk.t_b
+               FROM bk CROSS JOIN bins
+               LEFT JOIN ref ON ref.bin = bins.bin
+               LEFT JOIN c ON c.bucket_start = bk.bucket_start
+                          AND c.bin = bins.bin
+               CROSS JOIN t),
+        sc AS (SELECT bucket_start,
+                  CASE WHEN t_a = 0 OR t_b = 0 OR n_a + n_b = 0
+                       THEN CAST(0 AS HUGEINT)
+                       ELSE (1000000 * (n_a*t_b - n_b*t_a) * (n_a*t_b - n_b*t_a))
+                            // ((n_a + n_b) * t_a * t_b) END AS contrib
+               FROM sp),
+        tl AS MATERIALIZED (SELECT bucket_start,
+                  CAST(sum(contrib) AS BIGINT) AS chi2
+               FROM sc GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM tl),
+        medr AS (SELECT chi2, row_number() OVER (ORDER BY chi2, bucket_start) AS r FROM tl),
+        med AS (SELECT max(chi2) AS med FROM medr, nn WHERE r = (nn.n + 1) // 2),
+        devr AS (SELECT bucket_start, abs(chi2 - med.med) AS dev FROM tl, med),
+        madr AS (SELECT dev, row_number() OVER (ORDER BY dev, bucket_start) AS r FROM devr),
+        mad AS (SELECT max(dev) AS mad FROM madr, nn WHERE r = (nn.n + 1) // 2)
+        SELECT tl.bucket_start, tl.chi2 AS chi2_micro,
+          med.med AS med_micro, mad.mad AS mad_micro,
+          tl.chi2 > med.med + 1 * mad.mad AS is_anomaly
+        FROM tl, med, mad ORDER BY bucket_start"""
+
   /** Build-once token-profile STORE for q223: version 1 = snapshot A's
     * profile, version 2 = the accumulated A ∪ B via a merge-ADD append
     * (the `ingestTokenProfile` maintenance shape in batch form). The
@@ -4003,6 +4100,84 @@ object SparkEntry {
           ORDER BY event_type, rank""")
       },
       Some(sqlNumericShapeDriftByGroup)),
+
+    // -- q251: NUMERIC drift timeline — per weekly bucket the exact
+    //    binned chi-square of events.value vs the whole table's profile;
+    //    the scalar monitor gains the time axis the categorical timeline
+    //    opened; events touched once, all downstream frames
+    //    (buckets × bins)-bounded ---------------------------------------
+    Q("q251_numeric_drift_timeline",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        ops.Events.numericDriftTimeline(ev, "value", "ts",
+          ops.Stats.numericProfile(ev, "value"), bucketSec = 604800L)
+          .orderBy("bucket_start")
+      },
+      Some(sqlNumericDriftTimeline)),
+
+    // -- q252: the numeric timeline SERVED from a stored additive
+    //    (bucket, bin) profile — q251's oracle verbatim (route
+    //    equivalence, events untouched at serve time) --------------------
+    Q("q252_numeric_drift_timeline_profiles",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        ops.Events.numericDriftTimelineFromProfiles(
+          ops.Events.bucketNumericProfile(ev, "value", "ts", 604800L),
+          ops.Stats.numericProfile(ev, "value"))
+          .orderBy("bucket_start")
+      },
+      Some(sqlNumericDriftTimeline)),
+
+    // -- q253: the SQL-TVF route for the numeric timeline ----------------
+    Q("q253_sql_tvf_numeric_drift_timeline",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val ev = T(s, dir, "events")
+        ev.createOrReplaceTempView(s"ndt_ev_$sfx")
+        s.sql(s"SELECT * FROM graft_numeric_profile('ndt_ev_$sfx', 'value', 16, 31250000)")
+          .createOrReplaceTempView(s"ndt_ref_$sfx")
+        s.sql(s"""
+          SELECT bucket_start, n_events, chi2_micro, top_bin, top_chi2_micro
+          FROM graft_numeric_drift_timeline('ndt_ev_$sfx', 'value', 'ts',
+            'ndt_ref_$sfx', 604800, 16, 31250000)
+          ORDER BY bucket_start""")
+      },
+      Some(sqlNumericDriftTimeline)),
+
+    // -- q254: end-to-end SQL for the profile-served numeric timeline —
+    //    build the (bucket, bin) profile with the builder TVF, serve with
+    //    the from_profiles TVF; q251's oracle verbatim -------------------
+    Q("q254_sql_tvf_numeric_timeline_from_profiles",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val ev = T(s, dir, "events")
+        ev.createOrReplaceTempView(s"ndtp_ev_$sfx")
+        s.sql(s"SELECT * FROM graft_bucket_numeric_profile('ndtp_ev_$sfx', 'value', 'ts', 604800, 16, 31250000)")
+          .createOrReplaceTempView(s"ndtp_prof_$sfx")
+        s.sql(s"SELECT * FROM graft_numeric_profile('ndtp_ev_$sfx', 'value', 16, 31250000)")
+          .createOrReplaceTempView(s"ndtp_ref_$sfx")
+        s.sql(s"""
+          SELECT bucket_start, n_events, chi2_micro, top_bin, top_chi2_micro
+          FROM graft_numeric_drift_timeline_from_profiles('ndtp_prof_$sfx',
+            'ndtp_ref_$sfx')
+          ORDER BY bucket_start""")
+      },
+      Some(sqlNumericDriftTimeline)),
+
+    // -- q255: the alerting layer applied VERBATIM to the numeric
+    //    timeline — timelineAnomalies consumes only (bucket_start,
+    //    chi2_micro), so the numeric leg reuses it unchanged -------------
+    Q("q255_numeric_timeline_anomalies",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        ops.Events.timelineAnomalies(
+          ops.Events.numericDriftTimeline(ev, "value", "ts",
+            ops.Stats.numericProfile(ev, "value"), bucketSec = 604800L),
+          k = 1L).orderBy("bucket_start")
+      },
+      Some(sqlNumericTimelineAnomalies)),
 
     // -- q237: anomaly flags over the drift timeline — Hampel median +
     //    k·MAD in exact integers (lower medians, no interpolation); the

@@ -290,6 +290,85 @@ object Events {
     timelineFromCounts(counts, refProfile, catCol, maxBuckets, maxCats, maxSpine)
   }
 
+  /** NUMERIC drift TIMELINE — the scalar twin of
+    * [[categoryDriftTimeline]], completing the time axis for the scalar
+    * monitor family: per time bucket, the exact binned chi-square of the
+    * bucket's value distribution against a fixed REFERENCE
+    * [[graft.ops.Stats.numericProfile]] ("when did the length/latency/
+    * price distribution shift"). Values bin exactly as the scalar
+    * profiles do (one shared binning expression — the routes cannot
+    * drift on bin edges); the per-bucket statistic is the timeline
+    * chi-square verbatim with bins as the categories. Output, one row
+    * per non-empty bucket: (bucket_start, n_events, chi2_micro, top_bin,
+    * top_chi2_micro) with top_bin the bucket's highest-contribution bin
+    * (ties → smallest bin). [[timelineAnomalies]] applies to the output
+    * unchanged — same (bucket_start, chi2_micro) contract.
+    *
+    * Scale shape: the corpus is touched ONCE — the (bucket, bin) keyed
+    * count is the only event-sized pass; everything downstream is
+    * (buckets × bins)-bounded under the categorical timeline's guards
+    * (bins ≤ 256 by construction on the direct route). Counts are
+    * ADDITIVE under (bucket, bin)-keyed sum —
+    * [[graft.streaming.Fastlane.ingestBucketNumericProfile]] grows a
+    * stored timeline O(batch + touched buckets) per micro-batch and
+    * [[numericDriftTimelineFromProfiles]] serves it with zero event
+    * scans. */
+  def numericDriftTimeline(df: DataFrame, valueCol: String, tsCol: String,
+      refProfile: DataFrame, bucketSec: Long, bins: Int = 16,
+      binWidthMicro: Long = 31250000L,
+      maxBuckets: Long = 1L << 20, maxBins: Long = 1L << 22,
+      maxSpine: Long = 1L << 26): DataFrame = {
+    val counts = bucketNumericProfile(df, valueCol, tsCol, bucketSec,
+        bins, binWidthMicro)
+      .select(col("bucket_start"), col("bin").as("__cat"),
+        col("n").as("n_b"))
+      .persistTracked()
+    timelineFromCounts(counts, refProfile, "bin", maxBuckets, maxBins,
+        maxSpine, "numericDriftTimeline")
+      .withColumnRenamed("top_cat", "top_bin")
+  }
+
+  /** The numeric timeline's ADDITIVE sufficient statistic: per
+    * (bucket, bin) value counts — [[graft.ops.Stats.numericProfile]]'s
+    * shape with a time-bucket key prepended, binned by the SAME shared
+    * expression. Additive under (bucket_start, bin)-keyed sum, exact
+    * integers; bucketing (floor) and NULL/NaN handling are
+    * [[numericDriftTimeline]]'s verbatim. */
+  def bucketNumericProfile(df: DataFrame, valueCol: String, tsCol: String,
+      bucketSec: Long, bins: Int = 16,
+      binWidthMicro: Long = 31250000L): DataFrame = {
+    require(bucketSec >= 1, s"bucketSec must be >= 1, got $bucketSec")
+    Stats.requireBinSpec(bins, binWidthMicro)
+    df.select(floorBucket(col(tsCol), bucketSec).as("bucket_start"),
+        col(valueCol).cast("double").as("__v"), col(tsCol).as("__ts"))
+      .where(col("__ts").isNotNull &&
+        col("__v").isNotNull && !isnan(col("__v")))
+      .select(col("bucket_start"),
+        Stats.microBin(col("__v"), bins, binWidthMicro).as("bin"))
+      .groupBy("bucket_start", "bin").agg(count(lit(1)).as("n"))
+  }
+
+  /** [[numericDriftTimeline]] computed from a STORED
+    * [[bucketNumericProfile]] frame instead of the events — the serving
+    * read of the streaming scalar dashboard: identical answer to the
+    * direct route over the events the profile summarizes (spec- and
+    * oracle-asserted). Inputs re-aggregate by (bucket_start, bin) first,
+    * so concatenated partial profiles are accepted. Cost: one
+    * (buckets × bins)-bounded scan — the events are never touched at
+    * serve time. */
+  def numericDriftTimelineFromProfiles(bucketProf: DataFrame,
+      refProfile: DataFrame,
+      maxBuckets: Long = 1L << 20, maxBins: Long = 1L << 22,
+      maxSpine: Long = 1L << 26): DataFrame = {
+    val counts = bucketProf.groupBy(col("bucket_start"), col("bin"))
+      .agg(sum("n").as("n_b"))
+      .select(col("bucket_start"), col("bin").as("__cat"), col("n_b"))
+      .persistTracked()
+    timelineFromCounts(counts, refProfile, "bin", maxBuckets, maxBins,
+        maxSpine, "numericDriftTimeline")
+      .withColumnRenamed("top_cat", "top_bin")
+  }
+
   /** Anomaly flags over a drift TIMELINE — the alerting layer: a bucket
     * is anomalous when its chi2 exceeds the timeline's LOWER MEDIAN plus
     * `k` times the median absolute deviation (Hampel's robust outlier
@@ -341,7 +420,7 @@ object Events {
     * counts, already persisted by the caller. */
   private def timelineFromCounts(counts: DataFrame, refProfile: DataFrame,
       catCol: String, maxBuckets: Long, maxCats: Long,
-      maxSpine: Long): DataFrame = {
+      maxSpine: Long, opName: String = "categoryDriftTimeline"): DataFrame = {
     require(maxBuckets >= 1 && maxCats >= 1 && maxSpine >= 1,
       s"guards must be >= 1, got maxBuckets=$maxBuckets maxCats=$maxCats " +
         s"maxSpine=$maxSpine")
@@ -357,7 +436,7 @@ object Events {
       .crossJoin(nbk)
       .select(col("bucket_start"), col("n_events"),
         (col("t_b") + when(col("__nbk") > maxBuckets,
-          raise_error(concat(lit("categoryDriftTimeline: "), col("__nbk"),
+          raise_error(concat(lit(s"$opName: "), col("__nbk"),
             lit(s" buckets > maxBuckets=$maxBuckets — widen bucketSec or " +
               "raise the cap if the executors have the memory"))))
           .otherwise(lit(0L))).as("t_b"))
@@ -372,11 +451,11 @@ object Events {
       .crossJoin(ncat).crossJoin(nbk)
       .select(col("__cat"),
         when(col("__ncat") > maxCats,
-          raise_error(concat(lit("categoryDriftTimeline: "), col("__ncat"),
+          raise_error(concat(lit(s"$opName: "), col("__ncat"),
             lit(s" categories > maxCats=$maxCats — a category column this " +
               "wide is an id, not a categorical"))))
           .when(col("__ncat") * col("__nbk") > maxSpine,
-            raise_error(concat(lit("categoryDriftTimeline: spine "),
+            raise_error(concat(lit(s"$opName: spine "),
               col("__nbk"), lit(" buckets × "), col("__ncat"),
               lit(s" categories > maxSpine=$maxSpine — widen bucketSec or " +
                 "coarsen the category column; raise the cap only if the " +
@@ -397,7 +476,7 @@ object Events {
         // once t_a·t_b > 10¹⁶; fail loudly instead
         (col("t_a") + when(
           dec(col("t_a")) * dec(col("t_b")) > dec(lit(10000000000000000L)),
-          raise_error(lit("categoryDriftTimeline: t_a·t_b > 1e16 exceeds " +
+          raise_error(lit(s"$opName: t_a·t_b > 1e16 exceeds " +
             "the decimal(38,0) headroom of the exact chi-square — " +
             "pre-aggregate or subsample the sides")))
           .otherwise(lit(0L))).as("t_a"),

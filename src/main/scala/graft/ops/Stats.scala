@@ -1164,17 +1164,31 @@ object Stats {
     * shuffles. */
   def numericProfile(df: DataFrame, valueCol: String, bins: Int = 16,
       binWidthMicro: Long = 31250000L): DataFrame = {
+    requireBinSpec(bins, binWidthMicro)
+    df.select(col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull && !isnan(col("__v")))
+      .select(microBin(col("__v"), bins, binWidthMicro).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+  }
+
+  /** The scalar-monitor family's ONE binning expression (quantize to exact
+    * micros, floor into `binWidthMicro`-wide bins, clamp to
+    * [−bins/2, bins/2−1]) — shared by the global/segmented profiles and
+    * the numeric timeline so the routes cannot drift on bin edges. Input
+    * must already be cast to double and NULL/NaN-filtered. */
+  private[ops] def microBin(v: Column, bins: Int,
+      binWidthMicro: Long): Column = {
+    val hb = bins / 2
+    least(greatest(
+      floor(round(v * lit(1000000d)).cast("long") / lit(binWidthMicro)),
+      lit(-hb.toLong)), lit(hb - 1L))
+  }
+
+  private[ops] def requireBinSpec(bins: Int, binWidthMicro: Long): Unit = {
     require(bins >= 2 && bins <= 256 && bins % 2 == 0,
       s"bins must be even and in [2, 256], got $bins")
     require(binWidthMicro >= 1,
       s"binWidthMicro must be >= 1, got $binWidthMicro")
-    val hb = bins / 2
-    df.select(col(valueCol).cast("double").as("__v"))
-      .where(col("__v").isNotNull && !isnan(col("__v")))
-      .select(least(greatest(
-        floor(round(col("__v") * lit(1000000d)).cast("long") / lit(binWidthMicro)),
-        lit(-hb.toLong)), lit(hb - 1L)).as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("n"))
   }
 
   /** Binned two-sample chi-square drift for a numeric column — the
@@ -1267,19 +1281,13 @@ object Stats {
   def numericProfileByGroup(df: DataFrame, valueCol: String,
       groupCol: String, bins: Int = 16,
       binWidthMicro: Long = 31250000L): DataFrame = {
-    require(bins >= 2 && bins <= 256 && bins % 2 == 0,
-      s"bins must be even and in [2, 256], got $bins")
-    require(binWidthMicro >= 1,
-      s"binWidthMicro must be >= 1, got $binWidthMicro")
+    requireBinSpec(bins, binWidthMicro)
     require(groupCol != "bin" && groupCol != "n" && groupCol != "__v",
       s"groupCol collides with an internal column name: $groupCol")
-    val hb = bins / 2
     df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
       .where(col(groupCol).isNotNull &&
         col("__v").isNotNull && !isnan(col("__v")))
-      .select(col(groupCol), least(greatest(
-        floor(round(col("__v") * lit(1000000d)).cast("long") / lit(binWidthMicro)),
-        lit(-hb.toLong)), lit(hb - 1L)).as("bin"))
+      .select(col(groupCol), microBin(col("__v"), bins, binWidthMicro).as("bin"))
       .groupBy(groupCol, "bin").agg(count(lit(1)).as("n"))
   }
 

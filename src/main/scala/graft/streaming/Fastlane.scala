@@ -479,6 +479,51 @@ object Fastlane {
       ()
     }
 
+  /** Streaming NUMERIC-TIMELINE maintenance — keep a persisted
+    * [[graft.ops.Events.bucketNumericProfile]] current as event batches
+    * arrive: each micro-batch buckets and bins ONLY its own values
+    * ((its-buckets × bins)-row output, one corpus-free exchange) and
+    * merge-ADDS the counts into the stored profile keyed
+    * (bucket_start, bin) — late events fold into their TRUE bucket, and
+    * the stream-grown profile is BIT-IDENTICAL to one computed over the
+    * accumulated events in a single batch (spec-asserted).
+    * [[graft.ops.Events.numericDriftTimelineFromProfiles]] then serves
+    * the scalar drift dashboard without re-touching the events. Per-batch
+    * cost: O(batch + touched buckets) via `readTouched` — the
+    * bucket-category loop's shape with bins as the categories.
+    *
+    * Replay contract: adds are not idempotent → the shared lineage fence
+    * ([[fencedApply]]); Σn == values ingested is the cheap audit. */
+  def ingestBucketNumericProfile(
+      stream: DataFrame, valueCol: String, tsCol: String, bucketSec: Long,
+      store: graft.core.BucketedStore, feature: String,
+      checkpointDir: String,
+      bins: Int = 16, binWidthMicro: Long = 31250000L,
+      trigger: Trigger = Trigger.AvailableNow())
+      (implicit spark: SparkSession): StreamingQuery =
+    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
+      fencedApply(store, feature, checkpointDir, batchId) {
+        // persisted: read by the touched-bucket probe AND the merge add
+        val bp = graft.ops.Events.bucketNumericProfile(
+          batch, valueCol, tsCol, bucketSec, bins, binWidthMicro)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (store.latestVersion(feature).isEmpty)
+          store.write(bp, feature, Seq("bucket_start", "bin"))
+        else {
+          val touched = store.readTouched(feature, Seq("bucket_start", "bin"),
+            bp.select("bucket_start", "bin"), None)
+          val merged = touched
+            .select(col("bucket_start"), col("bin"), col("n").as("__n0"))
+            .join(bp, Seq("bucket_start", "bin"), "full_outer")
+            .select(col("bucket_start"), col("bin"),
+              (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"))
+          store.merge(feature, merged, Seq("bucket_start", "bin"))
+        }
+        bp.unpersist()
+      }
+      ()
+    }
+
   /** SEGMENTED streaming embedding-profile maintenance —
     * [[ingestEmbeddingProfile]] keyed (group, pos, bin): each micro-batch
     * profiles its own vectors per group

@@ -663,6 +663,9 @@ class PlanSpec extends SparkSpec {
     graft.ops.Stats.numericProfileByGroup(
         ev.filter(col("user_id") % 2 === 1), "value", "event_type")
       .write.parquet(s"$dir/gb")
+    graft.ops.Events.bucketNumericProfile(ev, "value", "ts", 604800L)
+      .write.parquet(s"$dir/ntl")
+    graft.ops.Stats.numericProfile(ev, "value").write.parquet(s"$dir/nref")
     val ref = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       .collect()  // materialize the reference OUTSIDE the measured plan
     val refDf = spark.createDataFrame(
@@ -679,8 +682,10 @@ class PlanSpec extends SparkSpec {
     val gnumServe = graft.ops.Stats.numericShapeDriftByGroupFromProfiles(
       spark.read.parquet(s"$dir/ga"), spark.read.parquet(s"$dir/gb"),
       "event_type")
+    val ntlServe = graft.ops.Events.numericDriftTimelineFromProfiles(
+      spark.read.parquet(s"$dir/ntl"), spark.read.parquet(s"$dir/nref"))
     for ((nm, df) <- Seq("timeline" -> tlServe, "numeric" -> numServe,
-        "numericByGroup" -> gnumServe)) {
+        "numericByGroup" -> gnumServe, "numericTimeline" -> ntlServe)) {
       val p = df.queryExecution.executedPlan.toString
       val scans = "file:[^ ,\\]]*".r.findAllIn(p).toList
       assert(scans.forall(_.contains("plan_prof16")),

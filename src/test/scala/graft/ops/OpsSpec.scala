@@ -3522,6 +3522,63 @@ class EwmaSpec extends SparkSpec {
     assert(eSp.getMessage.contains("maxSpine"), eSp.getMessage)
   }
 
+  test("numericDriftTimeline: hand-computed per-bucket binned chi-square (the categorical hand case with bins as categories); profile-served == direct; anomalies apply unchanged") {
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // value 10.0 -> bin 0, value 40.0 -> bin 1: the categoryDriftTimeline
+    // hand case with a->bin0, b->bin1 — same exact chi-squares expected
+    val df = Seq(
+      (ts("2024-01-01 10:00:00"), 10.0), (ts("2024-01-01 10:20:00"), 10.0),
+      (ts("2024-01-01 10:59:00"), 40.0),
+      (ts("2024-01-01 11:05:00"), 40.0), (ts("2024-01-01 11:30:00"), 40.0))
+      .toDF("ts", "v")
+    val ref = Seq((0L, 1L), (1L, 1L)).toDF("bin", "n")
+    val out = Events.numericDriftTimeline(df, "v", "ts", ref, 3600L)
+      .orderBy("bucket_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(out.map(_._1).distinct.size == 2 &&
+      out(1)._1 - out(0)._1 == 3600L, s"buckets: ${out.map(_._1)}")
+    assert(out(0)._2 == 3L && out(0)._3 == 55555L + 83333L &&
+      out(0)._4 == 1L && out(0)._5 == 83333L, s"bucket0: ${out(0)}")
+    assert(out(1)._2 == 2L && out(1)._3 == 1000000L + 333333L &&
+      out(1)._4 == 0L && out(1)._5 == 1000000L, s"bucket1: ${out(1)}")
+    // NULL/NaN values are excluded, the scalar convention
+    val noisy = df.unionByName(Seq(
+      (ts("2024-01-01 10:10:00"), Double.NaN)).toDF("ts", "v"))
+    val clean = Events.numericDriftTimeline(noisy, "v", "ts", ref, 3600L)
+      .orderBy("bucket_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(clean == out, s"NaN must not count: $clean")
+    // profile-served == direct, bit-identical; concatenated partials OK
+    val served = Events.numericDriftTimelineFromProfiles(
+        Events.bucketNumericProfile(df, "v", "ts", 3600L), ref)
+      .orderBy("bucket_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(served == out, s"served $served vs direct $out")
+    val half1 = df.limit(2)
+    val half2 = df.except(half1)
+    val concat = Events.numericDriftTimelineFromProfiles(
+        Events.bucketNumericProfile(half1, "v", "ts", 3600L)
+          .unionByName(Events.bucketNumericProfile(half2, "v", "ts", 3600L)),
+        ref)
+      .orderBy("bucket_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(concat == out, s"concat $concat vs direct $out")
+    // the alerting layer consumes the numeric timeline unchanged
+    val an = Events.timelineAnomalies(
+        Events.numericDriftTimeline(df, "v", "ts", ref, 3600L), k = 0L)
+      .orderBy("bucket_start")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toList
+    assert(an.map(_._2) == out.map(_._3),
+      "anomaly layer must carry the timeline's chi2 through")
+    // guards fire by the NUMERIC op's name
+    val eBk = intercept[Exception] {
+      Events.numericDriftTimeline(df, "v", "ts", ref, 3600L,
+        maxBuckets = 1L).collect()
+    }
+    assert(eBk.getMessage.contains("numericDriftTimeline"), eBk.getMessage)
+  }
+
   test("bucketCategoryProfile: FLOOR bucketing — a pre-1970 event lands in the bucket starting BEFORE it") {
     import org.apache.spark.sql.functions._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

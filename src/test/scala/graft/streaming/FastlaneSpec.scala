@@ -428,6 +428,51 @@ class FastlaneSpec extends SparkSpec {
     assert(storedRows() == grown, "replayed batches must not double-count")
   }
 
+  test("ingestBucketNumericProfile: stream-grown numeric timeline bit-identical to one-shot; profile-served timeline == direct; late values fold into their true bucket; replay fenced") {
+    import graft.ops.{Events, Stats}
+    val srcDir = tmpDir("bnp_src")
+    val store = new graft.core.BucketedStore(tmpDir("bnp_store"), numBuckets = 8)
+    val ckpt = tmpDir("bnp_ckpt")
+    def stream() = spark.readStream
+      .schema("ts TIMESTAMP, v DOUBLE").json(s"$srcDir/*")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = Seq((t("2024-01-01 10:00:00"), 10.0), (t("2024-01-01 10:20:00"), 10.0),
+      (t("2024-01-01 11:05:00"), 40.0))
+    // b2 carries a LATE value for the 10:00 bucket — it must fold into
+    // its true bucket, not a new one
+    val b2 = Seq((t("2024-01-01 11:30:00"), 40.0), (t("2024-01-01 10:59:00"), 40.0))
+    b1.toDF("ts", "v").write.mode("overwrite").json(s"$srcDir/b1")
+    Fastlane.ingestBucketNumericProfile(stream(), "v", "ts", 3600L,
+      store, "bnp", ckpt).awaitTermination(60000)
+    b2.toDF("ts", "v").write.mode("overwrite").json(s"$srcDir/b2")
+    Fastlane.ingestBucketNumericProfile(stream(), "v", "ts", 3600L,
+      store, "bnp", ckpt).awaitTermination(60000)
+    def storedRows() = store.read("bnp", Seq("bucket_start", "bin"))
+      .select("bucket_start", "bin", "n").as[(Long, Long, Long)].collect().toSet
+    val grown = storedRows()
+    val union = (b1 ++ b2).toDF("ts", "v")
+    val oneShot = Events.bucketNumericProfile(union, "v", "ts", 3600L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(grown.nonEmpty && grown == oneShot,
+      "additive growth must be BIT-identical to a one-shot count")
+    // two buckets — the late value folded back into 10:00's
+    assert(grown.map(_._1).size == 2, s"got $grown")
+    assert(grown.toSeq.map(_._3).sum == 5L) // Σn == values ingested
+    // profile-served timeline answers identically to the direct route
+    val ref = Stats.numericProfile(Seq(10.0, 40.0).toDF("v"), "v")
+    val served = Events.numericDriftTimelineFromProfiles(
+        store.read("bnp", Seq("bucket_start", "bin")), ref)
+      .orderBy("bucket_start").collect().toSeq
+    val direct = Events.numericDriftTimeline(union, "v", "ts", ref, 3600L)
+      .orderBy("bucket_start").collect().toSeq
+    assert(served.nonEmpty && served == direct,
+      "profile-served numeric timeline must equal the direct route")
+    // a replayed run under the same checkpoint lineage is fenced out
+    Fastlane.ingestBucketNumericProfile(stream(), "v", "ts", 3600L,
+      store, "bnp", ckpt).awaitTermination(60000)
+    assert(storedRows() == grown, "replayed batches must not double-count")
+  }
+
   test("ingestTokenProfileByGroup: stream-grown segmented profile bit-identical to one-shot; per-group drift served from storage == direct; replay fenced") {
     import graft.ops.TextOps
     val srcDir = tmpDir("gtprof_src")
