@@ -879,6 +879,50 @@ object GraftExtensions {
           str(args(1), "catCol"))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_category_drift_timeline_by_group"),
+      info("graft_category_drift_timeline_by_group",
+        "graft_category_drift_timeline_by_group(table, catCol, tsCol, groupCol, refTable, bucketSec) - SEGMENTED drift timeline: per (group, time bucket) the exact chi-square of the bucket's category mix against the GROUP'S OWN reference profile refTable(groupCol, catCol, n); (group, bucket_start, n_events, chi2_micro, top_cat, top_chi2_micro)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "usage: graft_category_drift_timeline_by_group(table, catCol, tsCol, groupCol, refTable, bucketSec)")
+        ops.Events.categoryDriftTimelineByGroup(table(str(args(0), "table")),
+          str(args(1), "catCol"), str(args(2), "tsCol"),
+          str(args(3), "groupCol"), table(str(args(4), "refTable")),
+          int(args(5), "bucketSec").toLong)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_bucket_category_profile_by_group"),
+      info("graft_bucket_category_profile_by_group",
+        "graft_bucket_category_profile_by_group(table, catCol, tsCol, groupCol, bucketSec) - the SEGMENTED timeline's ADDITIVE sufficient statistic: per (group, bucket_start, category) event counts; serves graft_category_drift_timeline_by_group_from_profiles without re-touching the events"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "usage: graft_bucket_category_profile_by_group(table, catCol, tsCol, groupCol, bucketSec)")
+        ops.Events.bucketCategoryProfileByGroup(table(str(args(0), "table")),
+          str(args(1), "catCol"), str(args(2), "tsCol"),
+          str(args(3), "groupCol"), int(args(4), "bucketSec").toLong)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_category_drift_timeline_by_group_from_profiles"),
+      info("graft_category_drift_timeline_by_group_from_profiles",
+        "graft_category_drift_timeline_by_group_from_profiles(profTable, catCol, groupCol, refTable) - the SEGMENTED drift timeline SERVED from a stored graft_bucket_category_profile_by_group frame: identical answer to the direct route, events never touched at serve time"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "usage: graft_category_drift_timeline_by_group_from_profiles(profTable, catCol, groupCol, refTable)")
+        ops.Events.categoryDriftTimelineByGroupFromProfiles(
+          table(str(args(0), "profTable")), table(str(args(3), "refTable")),
+          str(args(1), "catCol"), str(args(2), "groupCol"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_vocabulary_novelty"),
+      info("graft_vocabulary_novelty",
+        "graft_vocabulary_novelty(profTableA, profTableB) - GLOBAL vocabulary novelty from two stored graft_token_profile frames (or two store versions of a maintained profile): the fraction of B's token mass in tokens absent from A; ONE row (new_types, new_mass, types_b, mass_b, novelty_micro) - profile-served, corpora never touched"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "usage: graft_vocabulary_novelty(profTableA, profTableB)")
+        ops.TextOps.vocabularyNovelty(table(str(args(0), "profTableA")),
+          table(str(args(1), "profTableB")))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_numeric_drift_timeline"),
       info("graft_numeric_drift_timeline",
         "graft_numeric_drift_timeline(table, valueCol, tsCol, refTable, bucketSec, bins, binWidthMicro) - per-time-bucket exact binned chi-square drift of a numeric column against a fixed reference graft_numeric_profile refTable(bin, n): one row per non-empty bucket (bucket_start, n_events, chi2_micro, top_bin, top_chi2_micro) - the scalar monitor as a dashboard time series"),

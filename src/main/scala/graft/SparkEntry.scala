@@ -3027,6 +3027,102 @@ object SparkEntry {
                     // mass_b AS BIGINT) END AS novelty_micro
         FROM g ORDER BY source"""
 
+  /** q259 / q260 shared oracle: GLOBAL vocabulary novelty — the q245
+    * statistic without the segmentation (doc parity split), ONE row.
+    * q260 is the end-to-end SQL route (builder TVF → novelty TVF). */
+  private lazy val sqlVocabularyNovelty: String = """
+        WITH ca AS (SELECT token, count(*) AS n_a FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE doc_id % 2 = 0)
+              WHERE token <> '' GROUP BY 1),
+        cb AS (SELECT token, count(*) AS n_b FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE doc_id % 2 = 1)
+              WHERE token <> '' GROUP BY 1),
+        j AS (SELECT cb.token, cb.n_b, ca.n_a
+              FROM cb LEFT JOIN ca USING (token))
+        SELECT
+          CAST(coalesce(sum(CASE WHEN n_a IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS new_types,
+          CAST(coalesce(sum(CASE WHEN n_a IS NULL THEN n_b ELSE 0 END), 0) AS BIGINT) AS new_mass,
+          CAST(count(*) AS BIGINT) AS types_b,
+          CAST(coalesce(sum(n_b), 0) AS BIGINT) AS mass_b,
+          CASE WHEN coalesce(sum(n_b), 0) = 0 THEN 0
+               ELSE CAST((1000000 * CAST(coalesce(sum(CASE WHEN n_a IS NULL THEN n_b ELSE 0 END), 0) AS HUGEINT))
+                    // sum(n_b) AS BIGINT) END AS novelty_micro
+        FROM j"""
+
+  /** q261 oracle: RETROSPECTIVE novelty between two STORE VERSIONS of a
+    * maintained token profile (the q223 time-travel pattern applied to
+    * the novelty statistic) — version 1 = snapshot A (doc_id even),
+    * version 2 = the accumulated A ∪ B, so "which vocabulary arrived
+    * since version 1" is novelty(v1 → v2): B side = the WHOLE corpus. */
+  private lazy val sqlVocabularyNoveltyStoreVersions: String = """
+        WITH ca AS (SELECT token, count(*) AS n_a FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE doc_id % 2 = 0)
+              WHERE token <> '' GROUP BY 1),
+        cb AS (SELECT token, count(*) AS n_b FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents)
+              WHERE token <> '' GROUP BY 1),
+        j AS (SELECT cb.token, cb.n_b, ca.n_a
+              FROM cb LEFT JOIN ca USING (token))
+        SELECT
+          CAST(coalesce(sum(CASE WHEN n_a IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS new_types,
+          CAST(coalesce(sum(CASE WHEN n_a IS NULL THEN n_b ELSE 0 END), 0) AS BIGINT) AS new_mass,
+          CAST(count(*) AS BIGINT) AS types_b,
+          CAST(coalesce(sum(n_b), 0) AS BIGINT) AS mass_b,
+          CASE WHEN coalesce(sum(n_b), 0) = 0 THEN 0
+               ELSE CAST((1000000 * CAST(coalesce(sum(CASE WHEN n_a IS NULL THEN n_b ELSE 0 END), 0) AS HUGEINT))
+                    // sum(n_b) AS BIGINT) END AS novelty_micro
+        FROM j"""
+
+  /** q256 / q257 / q258 shared oracle: SEGMENTED drift timeline — per
+    * (user cohort, weekly bucket) the exact chi-square of the bucket's
+    * event_type mix against the COHORT'S OWN whole-table mix, plus the
+    * leading category. q257 serves the identical answer from additive
+    * (cohort, bucket, cat) profiles, q258 is the SQL-TVF route. */
+  private lazy val sqlCategoryDriftTimelineByGroup: String = """
+        WITH ev AS (SELECT user_id % 4 AS cohort,
+                      (CAST(epoch_us(ts) AS BIGINT) // 604800000000) * 604800
+                        AS bucket_start,
+                      event_type AS cat
+                    FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        c AS (SELECT cohort, bucket_start, cat, CAST(count(*) AS HUGEINT) AS n_b
+              FROM ev GROUP BY 1, 2, 3),
+        ref AS (SELECT user_id % 4 AS cohort, event_type AS cat,
+                       CAST(count(*) AS HUGEINT) AS n_a
+                FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        bk AS (SELECT cohort, bucket_start, sum(n_b) AS t_b,
+                      CAST(sum(n_b) AS BIGINT) AS n_events FROM c GROUP BY 1, 2),
+        cats AS (SELECT DISTINCT cohort, cat FROM
+                 (SELECT cohort, cat FROM c UNION SELECT cohort, cat FROM ref)),
+        t AS (SELECT cohort, sum(n_a) AS t_a FROM ref GROUP BY 1),
+        sp AS (SELECT bk.cohort, bk.bucket_start, bk.n_events, cats.cat,
+                  COALESCE(ref.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b,
+                  COALESCE(t.t_a, 0) AS t_a, bk.t_b
+               FROM bk JOIN cats ON cats.cohort = bk.cohort
+               LEFT JOIN ref ON ref.cohort = bk.cohort AND ref.cat = cats.cat
+               LEFT JOIN c ON c.cohort = bk.cohort
+                          AND c.bucket_start = bk.bucket_start
+                          AND c.cat = cats.cat
+               LEFT JOIN t ON t.cohort = bk.cohort),
+        sc AS (SELECT cohort, bucket_start, n_events, cat,
+                  CASE WHEN t_a = 0 OR t_b = 0 OR n_a + n_b = 0
+                       THEN CAST(0 AS HUGEINT)
+                       ELSE (1000000 * (n_a*t_b - n_b*t_a) * (n_a*t_b - n_b*t_a))
+                            // ((n_a + n_b) * t_a * t_b) END AS contrib
+               FROM sp),
+        rk AS (SELECT *, row_number() OVER
+                 (PARTITION BY cohort, bucket_start ORDER BY contrib DESC, cat) AS rk
+               FROM sc)
+        SELECT cohort, bucket_start,
+          CAST(max(n_events) AS BIGINT) AS n_events,
+          CAST(sum(contrib) AS BIGINT) AS chi2_micro,
+          max(CASE WHEN rk = 1 THEN cat END) AS top_cat,
+          CAST(max(CASE WHEN rk = 1 THEN contrib END) AS BIGINT) AS top_chi2_micro
+        FROM rk GROUP BY 1, 2 ORDER BY cohort, bucket_start"""
+
   /** q211 oracle: [[sqlEmbeddingShapeDrift]] segmented per label — the
     * chi-square per (label, dim, bin) over each label's own totals, rank
     * partitioned by label. */
@@ -4178,6 +4274,107 @@ object SparkEntry {
           k = 1L).orderBy("bucket_start")
       },
       Some(sqlNumericTimelineAnomalies)),
+
+    // -- q256: SEGMENTED drift timeline — "when did COHORT X's category
+    //    mix shift" as one frame; per (group, bucket) chi-square against
+    //    the group's own reference, all joins group-prefixed-keyed -------
+    Q("q256_category_drift_timeline_by_group",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+          .withColumn("cohort", col("user_id") % 4)
+        val ref = ev.where(col("event_type").isNotNull)
+          .groupBy(col("cohort"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        ops.Events.categoryDriftTimelineByGroup(ev, "event_type", "ts",
+          "cohort", ref, bucketSec = 604800L)
+          .orderBy("cohort", "bucket_start")
+      },
+      Some(sqlCategoryDriftTimelineByGroup)),
+
+    // -- q257: the segmented timeline SERVED from a stored additive
+    //    (group, bucket, cat) profile — q256's oracle verbatim (route
+    //    equivalence, events untouched at serve time) --------------------
+    Q("q257_category_drift_timeline_by_group_profiles",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+          .withColumn("cohort", col("user_id") % 4)
+        val ref = ev.where(col("event_type").isNotNull)
+          .groupBy(col("cohort"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        ops.Events.categoryDriftTimelineByGroupFromProfiles(
+          ops.Events.bucketCategoryProfileByGroup(ev, "event_type", "ts",
+            "cohort", 604800L),
+          ref, "event_type", "cohort")
+          .orderBy("cohort", "bucket_start")
+      },
+      Some(sqlCategoryDriftTimelineByGroup)),
+
+    // -- q258: the SQL-TVF route for the segmented timeline --------------
+    Q("q258_sql_tvf_category_drift_timeline_by_group",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val ev = T(s, dir, "events")
+          .withColumn("cohort", col("user_id") % 4)
+        ev.createOrReplaceTempView(s"gcdt_ev_$sfx")
+        ev.where(col("event_type").isNotNull)
+          .groupBy(col("cohort"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .createOrReplaceTempView(s"gcdt_ref_$sfx")
+        s.sql(s"""
+          SELECT cohort, bucket_start, n_events, chi2_micro, top_cat, top_chi2_micro
+          FROM graft_category_drift_timeline_by_group('gcdt_ev_$sfx',
+            'event_type', 'ts', 'cohort', 'gcdt_ref_$sfx', 604800)
+          ORDER BY cohort, bucket_start""")
+      },
+      Some(sqlCategoryDriftTimelineByGroup)),
+
+    // -- q259: GLOBAL vocabulary novelty — the corpus-freshness tripwire
+    //    without the segmentation; profile-served by construction --------
+    Q("q259_vocabulary_novelty",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        ops.TextOps.vocabularyNovelty(
+          ops.TextOps.tokenProfile(docs.filter(col("doc_id") % 2 === 0), "text"),
+          ops.TextOps.tokenProfile(docs.filter(col("doc_id") % 2 === 1), "text"))
+      },
+      Some(sqlVocabularyNovelty)),
+
+    // -- q260: the end-to-end SQL route — builder TVF feeds the novelty
+    //    TVF; q259's oracle verbatim ------------------------------------
+    Q("q260_sql_tvf_vocabulary_novelty",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val docs = T(s, dir, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .createOrReplaceTempView(s"vng_a_$sfx")
+        docs.filter(col("doc_id") % 2 === 1)
+          .createOrReplaceTempView(s"vng_b_$sfx")
+        s.sql(s"SELECT * FROM graft_token_profile('vng_a_$sfx', 'text')")
+          .createOrReplaceTempView(s"vng_pa_$sfx")
+        s.sql(s"SELECT * FROM graft_token_profile('vng_b_$sfx', 'text')")
+          .createOrReplaceTempView(s"vng_pb_$sfx")
+        s.sql(s"""
+          SELECT new_types, new_mass, types_b, mass_b, novelty_micro
+          FROM graft_vocabulary_novelty('vng_pa_$sfx', 'vng_pb_$sfx')""")
+      },
+      Some(sqlVocabularyNovelty)),
+
+    // -- q261: RETROSPECTIVE novelty between STORE VERSIONS — "which
+    //    vocabulary arrived since version N" time-travels the maintained
+    //    profile store (the q223 pattern on the novelty statistic); zero
+    //    corpus scans --------------------------------------------------
+    Q("q261_novelty_between_store_versions",
+      (s, dir) => {
+        val root = tokenProfileStoreFixture(s, dir)
+        val store = new core.BucketedStore(root, numBuckets = 16)(s)
+        val vs = store.versions("tprof")
+        ops.TextOps.vocabularyNovelty(
+          store.read("tprof", Seq("token"), Some(vs.head)),
+          store.read("tprof", Seq("token"), Some(vs.last)))
+      },
+      Some(sqlVocabularyNoveltyStoreVersions)),
 
     // -- q237: anomaly flags over the drift timeline — Hampel median +
     //    k·MAD in exact integers (lower medians, no interpolation); the

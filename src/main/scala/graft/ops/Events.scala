@@ -290,6 +290,174 @@ object Events {
     timelineFromCounts(counts, refProfile, catCol, maxBuckets, maxCats, maxSpine)
   }
 
+  /** SEGMENTED categorical drift TIMELINE — [[categoryDriftTimeline]]
+    * per group (source, region, user cohort…): "when did SOURCE X's
+    * category mix shift" as one frame instead of a per-group loop. Per
+    * (group, bucket) the exact chi-square of the bucket's category
+    * distribution against the GROUP'S OWN reference profile —
+    * `refProfile` is a (groupCol, catCol, n) frame (the
+    * `tokenProfileByGroup` shape with the caller's category column);
+    * concatenated partials re-aggregate. A group absent from the
+    * reference scores 0 on all its buckets (the per-group empty-side
+    * convention); NULL groups are excluded. Output, one row per
+    * non-empty (group, bucket): (group, bucket_start, n_events,
+    * chi2_micro, top_cat, top_chi2_micro). [[timelineAnomalies]] applies
+    * per group by filtering first (its whole-timeline median is the
+    * global contract).
+    *
+    * Scale shape: the events are touched ONCE — the (group, bucket, cat)
+    * keyed count is the only event-sized pass. Every downstream join is
+    * keyed on a group-prefixed key (per-group spine = the group's own
+    * buckets × its own category union, built by a group-keyed join, NOT
+    * a global cross product — a category alien to a group never charges
+    * it), so no single-task funnels and no data-sized broadcasts at ANY
+    * group count; the only broadcast is the 1-row guard-stats frame. The
+    * loud guards bound the factors AND the true spine size
+    * Σ_g buckets_g · cats_g. */
+  def categoryDriftTimelineByGroup(df: DataFrame, catCol: String,
+      tsCol: String, groupCol: String, refProfile: DataFrame,
+      bucketSec: Long,
+      maxBuckets: Long = 1L << 20, maxCats: Long = 1L << 22,
+      maxSpine: Long = 1L << 26): DataFrame = {
+    val counts = bucketCategoryProfileByGroup(df, catCol, tsCol, groupCol,
+        bucketSec)
+      .select(col(groupCol), col("bucket_start"), col(catCol).as("__cat"),
+        col("n").as("n_b"))
+      .persistTracked()
+    timelineByGroupFromCounts(counts, refProfile, catCol, groupCol,
+      maxBuckets, maxCats, maxSpine, "categoryDriftTimelineByGroup")
+  }
+
+  /** The segmented timeline's ADDITIVE sufficient statistic: per
+    * (group, bucket, category) event counts — [[bucketCategoryProfile]]
+    * with the group key prepended, additive under
+    * (group, bucket_start, cat)-keyed sum, so the streaming maintenance
+    * loop ([[graft.streaming.Fastlane.ingestBucketCategoryProfileByGroup]])
+    * grows a stored per-source timeline at O(batch + touched buckets)
+    * and [[categoryDriftTimelineByGroupFromProfiles]] serves the
+    * dashboard without re-touching the events. Bucketing (floor) and
+    * NULL handling are the global profile's verbatim; NULL groups are
+    * excluded. */
+  def bucketCategoryProfileByGroup(df: DataFrame, catCol: String,
+      tsCol: String, groupCol: String, bucketSec: Long): DataFrame = {
+    require(bucketSec >= 1, s"bucketSec must be >= 1, got $bucketSec")
+    require(groupCol != "bucket_start" && groupCol != "n" &&
+      groupCol != catCol && groupCol != "__cat",
+      s"groupCol collides with an output column name: $groupCol")
+    df.where(col(groupCol).isNotNull && col(catCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .select(col(groupCol), floorBucket(col(tsCol), bucketSec).as("bucket_start"),
+        col(catCol))
+      .groupBy(groupCol, "bucket_start", catCol).agg(count(lit(1)).as("n"))
+  }
+
+  /** [[categoryDriftTimelineByGroup]] computed from a STORED
+    * [[bucketCategoryProfileByGroup]] frame instead of the events — the
+    * serving read of the segmented streaming dashboard: identical answer
+    * to the direct route over the events the profile summarizes (spec-
+    * and oracle-asserted); concatenated partial profiles re-aggregate.
+    * Cost: one spine-bounded scan — the events are never touched at
+    * serve time. */
+  def categoryDriftTimelineByGroupFromProfiles(bucketProf: DataFrame,
+      refProfile: DataFrame, catCol: String, groupCol: String,
+      maxBuckets: Long = 1L << 20, maxCats: Long = 1L << 22,
+      maxSpine: Long = 1L << 26): DataFrame = {
+    val counts = bucketProf
+      .groupBy(col(groupCol), col("bucket_start"), col(catCol))
+      .agg(sum("n").as("n_b"))
+      .select(col(groupCol), col("bucket_start"), col(catCol).as("__cat"),
+        col("n_b"))
+      .persistTracked()
+    timelineByGroupFromCounts(counts, refProfile, catCol, groupCol,
+      maxBuckets, maxCats, maxSpine, "categoryDriftTimelineByGroup")
+  }
+
+  /** Shared scoring tail of [[categoryDriftTimelineByGroup]] /
+    * [[categoryDriftTimelineByGroupFromProfiles]] — one code path so the
+    * direct and profile-served routes cannot drift. Input: per-(group,
+    * bucket, __cat) counts, already persisted by the caller. See
+    * [[categoryDriftTimelineByGroup]] for the group-keyed scale
+    * argument. */
+  private def timelineByGroupFromCounts(counts: DataFrame,
+      refProfile: DataFrame, catCol: String, groupCol: String,
+      maxBuckets: Long, maxCats: Long, maxSpine: Long,
+      opName: String): DataFrame = {
+    require(maxBuckets >= 1 && maxCats >= 1 && maxSpine >= 1,
+      s"guards must be >= 1, got maxBuckets=$maxBuckets maxCats=$maxCats " +
+        s"maxSpine=$maxSpine")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val ref = refProfile.groupBy(col(groupCol), col(catCol).as("__cat"))
+      .agg(sum("n").as("n_a"))
+    // per-group category universe + per-(group, bucket) totals: persisted —
+    // each feeds the spine AND its guard statistic
+    val gcats = counts.select(col(groupCol), col("__cat"))
+      .unionByName(ref.select(col(groupCol), col("__cat"))).distinct()
+      .persistTracked()
+    val gbkts = counts.groupBy(col(groupCol), col("bucket_start"))
+      .agg(sum("n_b").as("t_b"), sum("n_b").as("n_events"))
+      .persistTracked()
+    // the 1-row guard frame: factor caps AND the true per-group spine sum
+    val stats = gbkts.select("bucket_start").distinct()
+      .agg(count(lit(1)).as("__nbk"))
+      .crossJoin(gcats.select("__cat").distinct()
+        .agg(count(lit(1)).as("__ncat")))
+      .crossJoin(gbkts.groupBy(groupCol).agg(count(lit(1)).as("__nb"))
+        .join(gcats.groupBy(groupCol).agg(count(lit(1)).as("__nc")),
+          Seq(groupCol))
+        .agg(coalesce(sum(col("__nb") * col("__nc")), lit(0L)).as("__spine")))
+    val buckets = gbkts.crossJoin(broadcast(stats))
+      .select(col(groupCol), col("bucket_start"), col("n_events"),
+        (col("t_b") + when(col("__nbk") > maxBuckets,
+            raise_error(concat(lit(s"$opName: "), col("__nbk"),
+              lit(s" buckets > maxBuckets=$maxBuckets — widen bucketSec " +
+                "or raise the cap if the executors have the memory"))))
+          .when(col("__ncat") > maxCats,
+            raise_error(concat(lit(s"$opName: "), col("__ncat"),
+              lit(s" categories > maxCats=$maxCats — a category column " +
+                "this wide is an id, not a categorical"))))
+          .when(col("__spine") > maxSpine,
+            raise_error(concat(lit(s"$opName: spine "), col("__spine"),
+              lit(s" (Σ_g buckets·cats) > maxSpine=$maxSpine — widen " +
+                "bucketSec or coarsen the category column; raise the cap " +
+                "only if the cluster can hold the full scoring spine"))))
+          .otherwise(lit(0L))).as("t_b"))
+    val tTot = ref.groupBy(col(groupCol)).agg(sum("n_a").as("t_a"))
+    val spine = buckets.join(gcats, Seq(groupCol))
+      .join(ref, Seq(groupCol, "__cat"), "left")
+      .join(counts, Seq(groupCol, "bucket_start", "__cat"), "left")
+      .join(tTot, Seq(groupCol), "left")
+      .select(col(groupCol), col("bucket_start"), col("__cat"),
+        col("n_events"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        // the family's decimal(38,0) headroom guard, per (group, bucket)
+        (coalesce(col("t_a"), lit(0L)) + when(
+          dec(coalesce(col("t_a"), lit(0L))) * dec(col("t_b")) >
+            dec(lit(10000000000000000L)),
+          raise_error(lit(s"$opName: t_a·t_b > 1e16 exceeds the " +
+            "decimal(38,0) headroom of the exact chi-square — " +
+            "pre-aggregate or subsample the sides")))
+          .otherwise(lit(0L))).as("t_a"),
+        col("t_b"))
+    val diff = dec(col("n_a")) * dec(col("t_b")) - dec(col("n_b")) * dec(col("t_a"))
+    val contrib = when(col("t_a") === 0 || col("t_b") === 0 ||
+        col("n_a") + col("n_b") === 0, lit(0L))
+      .otherwise(call_function("div",
+        dec(lit(1000000L)) * diff * diff,
+        (dec(col("n_a")) + dec(col("n_b"))) * dec(col("t_a")) * dec(col("t_b")))
+        .cast("long"))
+    val scored = spine.withColumn("__contrib", contrib)
+    val wTop = Window.partitionBy(col(groupCol), col("bucket_start"))
+      .orderBy(col("__contrib").desc, col("__cat").asc)
+    scored
+      .withColumn("__rk", row_number().over(wTop))
+      .groupBy(col(groupCol), col("bucket_start"))
+      .agg(max("n_events").as("n_events"),
+        sum("__contrib").as("chi2_micro"),
+        max(when(col("__rk") === 1, col("__cat"))).as("top_cat"),
+        max(when(col("__rk") === 1, col("__contrib"))).as("top_chi2_micro"))
+  }
+
   /** NUMERIC drift TIMELINE — the scalar twin of
     * [[categoryDriftTimeline]], completing the time axis for the scalar
     * monitor family: per time bucket, the exact binned chi-square of the

@@ -2369,6 +2369,40 @@ object TextOps {
             .cast("long")).as("novelty_micro"))
   }
 
+  /** GLOBAL vocabulary novelty — [[vocabularyNoveltyByGroup]] without
+    * the segmentation: what fraction of snapshot B's token mass sits in
+    * tokens the corpus never produced in snapshot A. Inputs are
+    * [[tokenProfile]] frames (token, n) — profile-served by
+    * construction, so two stored profiles (or two store VERSIONS of a
+    * maintained profile — the q223 time-travel pattern) answer it with
+    * zero corpus scans; concatenated partials re-aggregate. Output: ONE
+    * row (new_types, new_mass, types_b, mass_b, novelty_micro) with
+    * novelty_micro = ⌊10⁶·new_mass/mass_b⌋ exact; an empty B side scores
+    * 0 (the family convention).
+    *
+    * Scale shape: one token-keyed left join of two vocab-bounded
+    * profiles collapsing to a 1-row aggregate — the corpora are never
+    * touched. */
+  def vocabularyNovelty(profA: DataFrame, profB: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val a = profA.groupBy("token").agg(sum("n").as("n_a"))
+    val b = profB.groupBy("token").agg(sum("n").as("n_b"))
+    b.join(a, Seq("token"), "left")
+      .agg(
+        coalesce(sum(when(col("n_a").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("new_types"),
+        coalesce(sum(when(col("n_a").isNull, col("n_b")).otherwise(0L)),
+          lit(0L)).as("new_mass"),
+        count(lit(1)).as("types_b"),
+        coalesce(sum("n_b"), lit(0L)).as("mass_b"))
+      .select(col("new_types"), col("new_mass"), col("types_b"),
+        col("mass_b"),
+        when(col("mass_b") === 0, lit(0L))
+          .otherwise(call_function("div",
+            dec(lit(1000000L)) * dec(col("new_mass")), dec(col("mass_b")))
+            .cast("long")).as("novelty_micro"))
+  }
+
   /** SEGMENTED [[tokenDriftAttribution]] — per group the same question:
     * for each of the group's top-M drifted tokens, WHICH documents carry
     * the movement (the group's own snapshot-A docs for a shrinking token,

@@ -479,6 +479,51 @@ object Fastlane {
       ()
     }
 
+  /** SEGMENTED streaming timeline maintenance —
+    * [[ingestBucketCategoryProfile]] keyed (group, bucket_start, cat):
+    * each micro-batch counts its own (group, bucket, category) triples
+    * ([[graft.ops.Events.bucketCategoryProfileByGroup]]) and merge-ADDS
+    * them into the stored segmented timeline profile, so the per-source
+    * drift dashboard
+    * ([[graft.ops.Events.categoryDriftTimelineByGroupFromProfiles]])
+    * reads storage instead of re-scanning the events per refresh. Late
+    * events fold into their TRUE (group, bucket); per-batch cost is
+    * O(batch + touched buckets) via `readTouched`. Stream-grown ≡
+    * batch-built (spec-asserted); adds are not idempotent → the shared
+    * lineage fence ([[fencedApply]]); Σn == events ingested is the cheap
+    * audit. */
+  def ingestBucketCategoryProfileByGroup(
+      stream: DataFrame, catCol: String, tsCol: String, groupCol: String,
+      bucketSec: Long,
+      store: graft.core.BucketedStore, feature: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow())
+      (implicit spark: SparkSession): StreamingQuery =
+    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
+      fencedApply(store, feature, checkpointDir, batchId) {
+        // persisted: read by the touched-bucket probe AND the merge add
+        val bp = graft.ops.Events.bucketCategoryProfileByGroup(
+          batch, catCol, tsCol, groupCol, bucketSec)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val keys = Seq(groupCol, "bucket_start", catCol)
+        if (store.latestVersion(feature).isEmpty)
+          store.write(bp, feature, keys)
+        else {
+          val touched = store.readTouched(feature, keys,
+            bp.select(keys.head, keys.tail: _*), None)
+          val merged = touched
+            .select(col(groupCol), col("bucket_start"), col(catCol),
+              col("n").as("__n0"))
+            .join(bp, keys, "full_outer")
+            .select(col(groupCol), col("bucket_start"), col(catCol),
+              (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"))
+          store.merge(feature, merged, keys)
+        }
+        bp.unpersist()
+      }
+      ()
+    }
+
   /** Streaming NUMERIC-TIMELINE maintenance — keep a persisted
     * [[graft.ops.Events.bucketNumericProfile]] current as event batches
     * arrive: each micro-batch buckets and bins ONLY its own values

@@ -2187,6 +2187,39 @@ class TextOpsSpec extends SparkSpec {
     assert(concat == out, s"concat $concat vs $out")
   }
 
+  test("vocabularyNovelty (global): hand case; == the lit-group segmented answer; empty-B and store-shape edges") {
+    import graft.ops.TextOps
+    // A: x x y p p; B: x z z p p p m  ->  new: z(2) m(1) = 3 of 7 types {x,z,p,m}
+    val a = Seq("x x y p p").toDF("text")
+    val b = Seq("x z z p p p m").toDF("text")
+    val out = TextOps.vocabularyNovelty(
+        TextOps.tokenProfile(a, "text"), TextOps.tokenProfile(b, "text"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(out == ((2L, 3L, 4L, 7L, 428571L)), s"got $out")
+    // the global statistic equals the segmented one under a constant group
+    val seg = TextOps.vocabularyNoveltyByGroup(
+        TextOps.tokenProfileByGroup(a.withColumn("g", lit("all")), "text", "g"),
+        TextOps.tokenProfileByGroup(b.withColumn("g", lit("all")), "text", "g"),
+        "g")
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    assert((seg._2, seg._3, seg._4, seg._5, seg._6) == out,
+      s"global must equal constant-group segmented: $seg vs $out")
+    // an empty B side scores 0 (one row, all zeros — a monitor never
+    // returns an empty frame for "nothing arrived")
+    val empty = Seq.empty[String].toDF("text")
+    val z = TextOps.vocabularyNovelty(
+        TextOps.tokenProfile(a, "text"), TextOps.tokenProfile(empty, "text"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(z == ((0L, 0L, 0L, 0L, 0L)), s"got $z")
+    // concatenated partial profiles re-aggregate before the join
+    val concat = TextOps.vocabularyNovelty(
+        TextOps.tokenProfile(a, "text"),
+        TextOps.tokenProfile(Seq("x z p p").toDF("text"), "text")
+          .unionByName(TextOps.tokenProfile(Seq("z p m").toDF("text"), "text")))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(concat == out, s"concat $concat vs $out")
+  }
+
   test("tokenDrift: hand-computed chi-square contributions; one-sided tokens rank by full mass") {
     // A: x2 y1 (T_a=3); B: y2 z1 (T_b=3)
     //   x: floor(1e6*36/(2*9)) = 2000000; z: floor(1e6*9/(1*9)) = 1000000
@@ -3520,6 +3553,58 @@ class EwmaSpec extends SparkSpec {
         maxSpine = 3L).collect()
     }
     assert(eSp.getMessage.contains("maxSpine"), eSp.getMessage)
+  }
+
+  test("categoryDriftTimelineByGroup: each group scores against ITS OWN reference; alien categories don't charge a group; profile-served == direct; guards by name") {
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // g1 is the global hand case verbatim (two hour buckets); g2 is a
+    // single stable bucket; g2's category q must never appear in g1's
+    // spine (an alien category would charge g1 for q's absence)
+    val df = Seq(
+      ("g1", ts("2024-01-01 10:00:00"), "a"), ("g1", ts("2024-01-01 10:20:00"), "a"),
+      ("g1", ts("2024-01-01 10:59:00"), "b"),
+      ("g1", ts("2024-01-01 11:05:00"), "b"), ("g1", ts("2024-01-01 11:30:00"), "b"),
+      ("g2", ts("2024-01-01 10:10:00"), "q"), ("g2", ts("2024-01-01 10:40:00"), "r"))
+      .toDF("g", "ts", "cat")
+    val ref = Seq(("g1", "a", 1L), ("g1", "b", 1L),
+      ("g2", "q", 1L), ("g2", "r", 1L)).toDF("g", "cat", "n")
+    val out = Events.categoryDriftTimelineByGroup(df, "cat", "ts", "g", ref, 3600L)
+      .orderBy("g", "bucket_start")
+      .as[(String, Long, Long, Long, String, Long)].collect().toList
+    val g1 = out.filter(_._1 == "g1")
+    // identical numbers to the global categoryDriftTimeline hand case
+    assert(g1.size == 2 && g1(1)._2 - g1(0)._2 == 3600L, s"g1 buckets: $g1")
+    assert(g1(0)._3 == 3L && g1(0)._4 == 55555L + 83333L &&
+      g1(0)._5 == "b" && g1(0)._6 == 83333L, s"g1 bucket0: ${g1(0)}")
+    assert(g1(1)._3 == 2L && g1(1)._4 == 1000000L + 333333L &&
+      g1(1)._5 == "a" && g1(1)._6 == 1000000L, s"g1 bucket1: ${g1(1)}")
+    // g2 matches its own reference mix exactly -> 0 (and is untouched by
+    // g1's categories)
+    val g2 = out.filter(_._1 == "g2")
+    assert(g2.size == 1 && g2.head._4 == 0L && g2.head._6 == 0L,
+      s"g2 must score 0 against its own ref: $g2")
+    // a group with no reference at all scores 0 on all its buckets
+    val refG1 = Seq(("g1", "a", 1L), ("g1", "b", 1L)).toDF("g", "cat", "n")
+    val noRef = Events.categoryDriftTimelineByGroup(df, "cat", "ts", "g", refG1, 3600L)
+      .where(col("g") === "g2")
+      .as[(String, Long, Long, Long, String, Long)].collect().toList
+    assert(noRef.nonEmpty && noRef.forall(_._4 == 0L),
+      s"ref-less group must score 0: $noRef")
+    // profile-served == direct, bit-identical
+    val served = Events.categoryDriftTimelineByGroupFromProfiles(
+        Events.bucketCategoryProfileByGroup(df, "cat", "ts", "g", 3600L),
+        ref, "cat", "g")
+      .orderBy("g", "bucket_start")
+      .as[(String, Long, Long, Long, String, Long)].collect().toList
+    assert(served == out, s"served $served vs direct $out")
+    // guards fire by the segmented op's name, including the spine product
+    val eSp = intercept[Exception] {
+      Events.categoryDriftTimelineByGroup(df, "cat", "ts", "g", ref, 3600L,
+        maxSpine = 3L).collect()
+    }
+    assert(eSp.getMessage.contains("categoryDriftTimelineByGroup") &&
+      eSp.getMessage.contains("maxSpine"), eSp.getMessage)
   }
 
   test("numericDriftTimeline: hand-computed per-bucket binned chi-square (the categorical hand case with bins as categories); profile-served == direct; anomalies apply unchanged") {

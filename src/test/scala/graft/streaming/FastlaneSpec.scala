@@ -428,6 +428,52 @@ class FastlaneSpec extends SparkSpec {
     assert(storedRows() == grown, "replayed batches must not double-count")
   }
 
+  test("ingestBucketCategoryProfileByGroup: stream-grown segmented timeline bit-identical to one-shot; per-group served timeline == direct; replay fenced") {
+    import graft.ops.Events
+    val srcDir = tmpDir("gcdt_src")
+    val store = new graft.core.BucketedStore(tmpDir("gcdt_store"), numBuckets = 8)
+    val ckpt = tmpDir("gcdt_ckpt")
+    def stream() = spark.readStream
+      .schema("g STRING, ts TIMESTAMP, cat STRING").json(s"$srcDir/*")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = Seq(("s1", t("2024-01-01 10:00:00"), "a"),
+      ("s1", t("2024-01-01 10:20:00"), "a"), ("s2", t("2024-01-01 10:30:00"), "q"))
+    // b2 carries a LATE event for s1's 10:00 bucket
+    val b2 = Seq(("s1", t("2024-01-01 11:05:00"), "b"),
+      ("s1", t("2024-01-01 10:59:00"), "b"), ("s2", t("2024-01-01 11:10:00"), "r"))
+    b1.toDF("g", "ts", "cat").write.mode("overwrite").json(s"$srcDir/b1")
+    Fastlane.ingestBucketCategoryProfileByGroup(stream(), "cat", "ts", "g",
+      3600L, store, "gcdt", ckpt).awaitTermination(60000)
+    b2.toDF("g", "ts", "cat").write.mode("overwrite").json(s"$srcDir/b2")
+    Fastlane.ingestBucketCategoryProfileByGroup(stream(), "cat", "ts", "g",
+      3600L, store, "gcdt", ckpt).awaitTermination(60000)
+    def storedRows() = store.read("gcdt", Seq("g", "bucket_start", "cat"))
+      .select("g", "bucket_start", "cat", "n")
+      .as[(String, Long, String, Long)].collect().toSet
+    val grown = storedRows()
+    val union = (b1 ++ b2).toDF("g", "ts", "cat")
+    val oneShot = Events.bucketCategoryProfileByGroup(union, "cat", "ts", "g", 3600L)
+      .as[(String, Long, String, Long)].collect().toSet
+    assert(grown.nonEmpty && grown == oneShot,
+      "additive growth must be BIT-identical to a one-shot segmented count")
+    assert(grown.toSeq.map(_._4).sum == 6L) // Σn == events ingested
+    // per-group served timeline answers identically to the direct route
+    val ref = Seq(("s1", "a", 1L), ("s1", "b", 1L),
+      ("s2", "q", 1L), ("s2", "r", 1L)).toDF("g", "cat", "n")
+    val served = Events.categoryDriftTimelineByGroupFromProfiles(
+        store.read("gcdt", Seq("g", "bucket_start", "cat")), ref, "cat", "g")
+      .orderBy("g", "bucket_start").collect().toSeq
+    val direct = Events.categoryDriftTimelineByGroup(union, "cat", "ts", "g",
+        ref, 3600L)
+      .orderBy("g", "bucket_start").collect().toSeq
+    assert(served.nonEmpty && served == direct,
+      "profile-served segmented timeline must equal the direct route")
+    // a replayed run under the same checkpoint lineage is fenced out
+    Fastlane.ingestBucketCategoryProfileByGroup(stream(), "cat", "ts", "g",
+      3600L, store, "gcdt", ckpt).awaitTermination(60000)
+    assert(storedRows() == grown, "replayed batches must not double-count")
+  }
+
   test("ingestBucketNumericProfile: stream-grown numeric timeline bit-identical to one-shot; profile-served timeline == direct; late values fold into their true bucket; replay fenced") {
     import graft.ops.{Events, Stats}
     val srcDir = tmpDir("bnp_src")
