@@ -43,6 +43,41 @@ class FastlaneSpec extends SparkSpec {
     assert(store.versions(feature.name).size >= 2)
   }
 
+  test("ServingSession: fused one-action merge == serveOnce route, call by call; versions committed per call") {
+    // two stores, same seed; one served through serveOnce, one through a
+    // warm session — tables must match after every call (update rows
+    // replace, unmatched carry over, duplicate-key update frames keep
+    // both rows, exactly the merge contract)
+    val rootA = tmpDir("sess_a"); val rootB = tmpDir("sess_b")
+    val storeA = new FeatureStore(rootA); val storeB = new FeatureStore(rootB)
+    val seed = Seq((1L, 10.0), (2L, 5.0)).toDF("user_id", "value")
+    Fastlane.serveOnce(feature, seed, storeA)
+    Fastlane.serveOnce(feature, seed, storeB)
+    val session = new Fastlane.ServingSession(feature, storeB)
+    def table(st: FeatureStore) = st.read(feature.name)
+      .select("user_id", "sum_value", "n")
+      .as[(Long, Double, Long)].collect().sorted.toList
+    val calls = Seq(
+      Seq((2L, 100.0)),                    // update an existing key
+      Seq((3L, 7.0)),                      // insert a new key
+      Seq((1L, 1.0), (1L, 2.0), (4L, 4.0)) // multi-row frame, dup key inside
+    )
+    for (c <- calls) {
+      val df = c.toDF("user_id", "value")
+      Fastlane.serveOnce(feature, df, storeA)
+      session.serve(df)
+      assert(table(storeB) == table(storeA),
+        s"session diverged from serveOnce after $c")
+    }
+    // every call committed a durable, time-travelable version
+    assert(storeB.versions(feature.name).size == 1 + calls.size)
+    // a session starting on an EMPTY feature bootstraps like serveOnce
+    val rootC = tmpDir("sess_c"); val storeC = new FeatureStore(rootC)
+    new Fastlane.ServingSession(feature, storeC)
+      .serve(Seq((9L, 3.0)).toDF("user_id", "value"))
+    assert(storeC.read(feature.name).count() == 1L)
+  }
+
   test("ingestDeduped: streaming near-dup gate admits only novel docs across batches") {
     val corpusDir = tmpDir("ing_corpus") + "/c"
     val profileDir = tmpDir("ing_prof") + "/p"
