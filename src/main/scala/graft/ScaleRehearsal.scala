@@ -610,6 +610,31 @@ object ScaleRehearsal {
           ops.Events.categoryDriftTimeline(ev, "event_type", "ts",
             ev.groupBy(col("event_type")).agg(count(lit(1)).as("n")),
             bucketSec = 604800L))),
+        // segmented binned scalar drift: two (group, bin) counts (the
+        // corpus never shuffles), totals broadcast back, the rank window
+        // over ≤ bins rows/group — expect ~scan-linear
+        "q247_numeric_shape_drift_by_group" -> (() => force(
+          ops.Stats.numericShapeDriftByGroup(
+            ev.where(col("user_id") % 2 === 0),
+            ev.where(col("user_id") % 2 === 1), "value", "event_type"))),
+        // numeric timeline: ONE event-sized (bucket, bin) count; spine and
+        // scoring (buckets × bins)-bounded — expect ~scan-linear, q229's
+        // shape with bins as the categories
+        "q251_numeric_drift_timeline" -> (() => force(
+          ops.Events.numericDriftTimeline(ev, "value", "ts",
+            ops.Stats.numericProfile(ev, "value"), bucketSec = 604800L))),
+        // segmented timeline: ONE event-sized (group, bucket, cat) count;
+        // every downstream join keyed group-first — expect ~scan-linear
+        // (replicas add USERS, so cohorts keep their shape)
+        "q256_category_drift_timeline_by_group" -> (() => {
+          val evc = ev.withColumn("cohort", col("user_id") % 4)
+          force(ops.Events.categoryDriftTimelineByGroup(
+            evc, "event_type", "ts", "cohort",
+            evc.where(col("event_type").isNotNull)
+              .groupBy(col("cohort"), col("event_type"))
+              .agg(count(lit(1)).as("n")),
+            bucketSec = 604800L))
+        }),
         // PQ encode: broadcast codebook + per-partition loop — expect
         // linear in vectors (the codebook collect is hoisted: production
         // trains once and encodes many batches)
