@@ -913,6 +913,52 @@ object GraftExtensions {
           str(args(1), "catCol"), str(args(2), "groupCol"))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_numeric_drift_timeline_by_group"),
+      info("graft_numeric_drift_timeline_by_group",
+        "graft_numeric_drift_timeline_by_group(table, valueCol, tsCol, groupCol, refTable, bucketSec, bins, binWidthMicro) - SEGMENTED numeric drift timeline: per (group, time bucket) the exact binned chi-square of a numeric column against the GROUP'S OWN reference graft_numeric_profile_by_group refTable(groupCol, bin, n); (group, bucket_start, n_events, chi2_micro, top_bin, top_chi2_micro)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 8,
+          "usage: graft_numeric_drift_timeline_by_group(table, valueCol, tsCol, groupCol, refTable, bucketSec, bins, binWidthMicro)")
+        ops.Events.numericDriftTimelineByGroup(table(str(args(0), "table")),
+          str(args(1), "valueCol"), str(args(2), "tsCol"),
+          str(args(3), "groupCol"), table(str(args(4), "refTable")),
+          int(args(5), "bucketSec").toLong, int(args(6), "bins"),
+          int(args(7), "binWidthMicro").toLong)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_bucket_numeric_profile_by_group"),
+      info("graft_bucket_numeric_profile_by_group",
+        "graft_bucket_numeric_profile_by_group(table, valueCol, tsCol, groupCol, bucketSec, bins, binWidthMicro) - the SEGMENTED numeric timeline's ADDITIVE sufficient statistic: per (group, bucket_start, bin) value counts; serves graft_numeric_drift_timeline_by_group_from_profiles without re-touching the events"),
+      (args: Seq[Expression]) => {
+        require(args.length == 7,
+          "usage: graft_bucket_numeric_profile_by_group(table, valueCol, tsCol, groupCol, bucketSec, bins, binWidthMicro)")
+        ops.Events.bucketNumericProfileByGroup(table(str(args(0), "table")),
+          str(args(1), "valueCol"), str(args(2), "tsCol"),
+          str(args(3), "groupCol"), int(args(4), "bucketSec").toLong,
+          int(args(5), "bins"), int(args(6), "binWidthMicro").toLong)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_numeric_drift_timeline_by_group_from_profiles"),
+      info("graft_numeric_drift_timeline_by_group_from_profiles",
+        "graft_numeric_drift_timeline_by_group_from_profiles(profTable, groupCol, refTable) - the SEGMENTED numeric drift timeline SERVED from a stored graft_bucket_numeric_profile_by_group frame: identical answer to the direct route, events never touched at serve time"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "usage: graft_numeric_drift_timeline_by_group_from_profiles(profTable, groupCol, refTable)")
+        ops.Events.numericDriftTimelineByGroupFromProfiles(
+          table(str(args(0), "profTable")), table(str(args(2), "refTable")),
+          str(args(1), "groupCol"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_timeline_anomalies_by_group"),
+      info("graft_timeline_anomalies_by_group",
+        "graft_timeline_anomalies_by_group(timelineTable, groupCol, k) - Hampel median + k*MAD anomaly flags PER GROUP over a segmented drift timeline (each group is its own alerting baseline); (group, bucket_start, chi2_micro, med_micro, mad_micro, is_anomaly)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "usage: graft_timeline_anomalies_by_group(timelineTable, groupCol, k)")
+        ops.Events.timelineAnomaliesByGroup(table(str(args(0), "timelineTable")),
+          str(args(1), "groupCol"), int(args(2), "k").toLong)
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_vocabulary_novelty"),
       info("graft_vocabulary_novelty",
         "graft_vocabulary_novelty(profTableA, profTableB) - GLOBAL vocabulary novelty from two stored graft_token_profile frames (or two store versions of a maintained profile): the fraction of B's token mass in tokens absent from A; ONE row (new_types, new_mass, types_b, mass_b, novelty_micro) - profile-served, corpora never touched"),

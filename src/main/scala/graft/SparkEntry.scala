@@ -557,6 +557,143 @@ object SparkEntry {
           tl.chi2 > med.med + 1 * mad.mad AS is_anomaly
         FROM tl, med, mad ORDER BY bucket_start"""
 
+  /** q262 / q263 / q264 shared oracle: SEGMENTED numeric drift timeline
+    * — per (event_type, weekly bucket) the exact binned chi-square of
+    * events.value against the TYPE'S OWN whole-table profile
+    * ([[sqlCategoryDriftTimelineByGroup]]'s structure with
+    * [[sqlNumericShapeDrift]]'s binning). q263 serves the identical
+    * answer from additive (group, bucket, bin) profiles, q264 is the
+    * SQL-TVF route. */
+  private lazy val sqlNumericDriftTimelineByGroup: String = """
+        WITH vv AS (SELECT event_type AS g,
+                      (CAST(epoch_us(ts) AS BIGINT) // 604800000000) * 604800
+                        AS bucket_start,
+                      least(greatest(CAST(floor(CAST(CAST(round(CAST(value AS DOUBLE)*1000000) AS BIGINT) AS DOUBLE)/31250000) AS BIGINT), -8), 7) AS bin
+                    FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                      AND value IS NOT NULL AND NOT isnan(value)),
+        c AS (SELECT g, bucket_start, bin, CAST(count(*) AS HUGEINT) AS n_b
+              FROM vv GROUP BY 1, 2, 3),
+        ref AS (SELECT event_type AS g,
+                  least(greatest(CAST(floor(CAST(CAST(round(CAST(value AS DOUBLE)*1000000) AS BIGINT) AS DOUBLE)/31250000) AS BIGINT), -8), 7) AS bin,
+                  CAST(count(*) AS HUGEINT) AS n_a
+                FROM events WHERE event_type IS NOT NULL
+                  AND value IS NOT NULL AND NOT isnan(value)
+                GROUP BY 1, 2),
+        bk AS (SELECT g, bucket_start, sum(n_b) AS t_b,
+                      CAST(sum(n_b) AS BIGINT) AS n_events FROM c GROUP BY 1, 2),
+        bins AS (SELECT DISTINCT g, bin FROM
+                 (SELECT g, bin FROM c UNION SELECT g, bin FROM ref)),
+        t AS (SELECT g, sum(n_a) AS t_a FROM ref GROUP BY 1),
+        sp AS (SELECT bk.g, bk.bucket_start, bk.n_events, bins.bin,
+                  COALESCE(ref.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b,
+                  COALESCE(t.t_a, 0) AS t_a, bk.t_b
+               FROM bk JOIN bins ON bins.g = bk.g
+               LEFT JOIN ref ON ref.g = bk.g AND ref.bin = bins.bin
+               LEFT JOIN c ON c.g = bk.g
+                          AND c.bucket_start = bk.bucket_start
+                          AND c.bin = bins.bin
+               LEFT JOIN t ON t.g = bk.g),
+        sc AS (SELECT g, bucket_start, n_events, bin,
+                  CASE WHEN t_a = 0 OR t_b = 0 OR n_a + n_b = 0
+                       THEN CAST(0 AS HUGEINT)
+                       ELSE (1000000 * (n_a*t_b - n_b*t_a) * (n_a*t_b - n_b*t_a))
+                            // ((n_a + n_b) * t_a * t_b) END AS contrib
+               FROM sp),
+        rk AS (SELECT *, row_number() OVER
+                 (PARTITION BY g, bucket_start ORDER BY contrib DESC, bin) AS rk
+               FROM sc)
+        SELECT g AS event_type, bucket_start,
+          CAST(max(n_events) AS BIGINT) AS n_events,
+          CAST(sum(contrib) AS BIGINT) AS chi2_micro,
+          max(CASE WHEN rk = 1 THEN bin END) AS top_bin,
+          CAST(max(CASE WHEN rk = 1 THEN contrib END) AS BIGINT) AS top_chi2_micro
+        FROM rk GROUP BY 1, 2 ORDER BY event_type, bucket_start"""
+
+  /** q265 oracle: Hampel anomaly flags PER COHORT over the q256
+    * segmented timeline — each group its own median/MAD baseline
+    * (PARTITION-BY-group rank windows, lower medians, k=1). */
+  private lazy val sqlTimelineAnomaliesByGroup: String = """
+        WITH ev AS (SELECT user_id % 4 AS cohort,
+                      (CAST(epoch_us(ts) AS BIGINT) // 604800000000) * 604800
+                        AS bucket_start,
+                      event_type AS cat
+                    FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        c AS (SELECT cohort, bucket_start, cat, CAST(count(*) AS HUGEINT) AS n_b
+              FROM ev GROUP BY 1, 2, 3),
+        ref AS (SELECT user_id % 4 AS cohort, event_type AS cat,
+                       CAST(count(*) AS HUGEINT) AS n_a
+                FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        bk AS (SELECT cohort, bucket_start, sum(n_b) AS t_b FROM c GROUP BY 1, 2),
+        cats AS (SELECT DISTINCT cohort, cat FROM
+                 (SELECT cohort, cat FROM c UNION SELECT cohort, cat FROM ref)),
+        t AS (SELECT cohort, sum(n_a) AS t_a FROM ref GROUP BY 1),
+        sp AS (SELECT bk.cohort, bk.bucket_start, cats.cat,
+                  COALESCE(ref.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b,
+                  COALESCE(t.t_a, 0) AS t_a, bk.t_b
+               FROM bk JOIN cats ON cats.cohort = bk.cohort
+               LEFT JOIN ref ON ref.cohort = bk.cohort AND ref.cat = cats.cat
+               LEFT JOIN c ON c.cohort = bk.cohort
+                          AND c.bucket_start = bk.bucket_start
+                          AND c.cat = cats.cat
+               LEFT JOIN t ON t.cohort = bk.cohort),
+        sc AS (SELECT cohort, bucket_start,
+                  CASE WHEN t_a = 0 OR t_b = 0 OR n_a + n_b = 0
+                       THEN CAST(0 AS HUGEINT)
+                       ELSE (1000000 * (n_a*t_b - n_b*t_a) * (n_a*t_b - n_b*t_a))
+                            // ((n_a + n_b) * t_a * t_b) END AS contrib
+               FROM sp),
+        tl AS MATERIALIZED (SELECT cohort, bucket_start,
+                  CAST(sum(contrib) AS BIGINT) AS chi2
+               FROM sc GROUP BY 1, 2),
+        nn AS (SELECT cohort, count(*) AS n FROM tl GROUP BY 1),
+        medr AS (SELECT cohort, chi2, row_number() OVER
+                   (PARTITION BY cohort ORDER BY chi2, bucket_start) AS r FROM tl),
+        med AS (SELECT medr.cohort, max(chi2) AS med FROM medr
+                JOIN nn ON nn.cohort = medr.cohort
+                WHERE r = (nn.n + 1) // 2 GROUP BY 1),
+        devr AS (SELECT tl.cohort, bucket_start, abs(chi2 - med.med) AS dev
+                 FROM tl JOIN med ON med.cohort = tl.cohort),
+        madr AS (SELECT cohort, dev, row_number() OVER
+                   (PARTITION BY cohort ORDER BY dev, bucket_start) AS r FROM devr),
+        mad AS (SELECT madr.cohort, max(dev) AS mad FROM madr
+                JOIN nn ON nn.cohort = madr.cohort
+                WHERE r = (nn.n + 1) // 2 GROUP BY 1)
+        SELECT tl.cohort AS cohort, tl.bucket_start, tl.chi2 AS chi2_micro,
+          med.med AS med_micro, mad.mad AS mad_micro,
+          tl.chi2 > med.med + 1 * mad.mad AS is_anomaly
+        FROM tl JOIN med ON med.cohort = tl.cohort
+        JOIN mad ON mad.cohort = tl.cohort
+        ORDER BY tl.cohort, tl.bucket_start"""
+
+  /** q266 oracle: SEGMENTED retrospective novelty between STORE VERSIONS
+    * — the q261 pattern per source: v1 = snapshot A's grouped profile,
+    * v2 = the accumulated A ∪ B, so side B = the WHOLE corpus per
+    * source. */
+  private lazy val sqlVocabularyNoveltyByGroupStoreVersions: String = """
+        WITH ca AS (SELECT source, token, count(*) AS n_a FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE doc_id % 40 < 20)
+              WHERE token <> '' GROUP BY 1, 2),
+        cb AS (SELECT source, token, count(*) AS n_b FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM documents)
+              WHERE token <> '' GROUP BY 1, 2),
+        j AS (SELECT cb.source, cb.token, cb.n_b, ca.n_a
+              FROM cb LEFT JOIN ca USING (source, token)),
+        g AS (SELECT source,
+                sum(CASE WHEN n_a IS NULL THEN 1 ELSE 0 END) AS new_types,
+                sum(CASE WHEN n_a IS NULL THEN n_b ELSE 0 END) AS new_mass,
+                count(*) AS types_b, sum(n_b) AS mass_b
+              FROM j GROUP BY 1)
+        SELECT source, CAST(new_types AS BIGINT) AS new_types,
+          CAST(coalesce(new_mass, 0) AS BIGINT) AS new_mass,
+          CAST(types_b AS BIGINT) AS types_b,
+          CAST(mass_b AS BIGINT) AS mass_b,
+          CASE WHEN mass_b = 0 THEN 0
+               ELSE CAST((1000000 * CAST(coalesce(new_mass, 0) AS HUGEINT))
+                    // mass_b AS BIGINT) END AS novelty_micro
+        FROM g ORDER BY source"""
+
   /** Build-once token-profile STORE for q223: version 1 = snapshot A's
     * profile, version 2 = the accumulated A ∪ B via a merge-ADD append
     * (the `ingestTokenProfile` maintenance shape in batch form). The
@@ -4375,6 +4512,82 @@ object SparkEntry {
           store.read("tprof", Seq("token"), Some(vs.last)))
       },
       Some(sqlVocabularyNoveltyStoreVersions)),
+
+    // -- q262: SEGMENTED numeric drift timeline — "when did TYPE X's
+    //    value distribution shift"; per (group, bucket) binned chi-square
+    //    vs the group's own profile, all joins group-prefixed-keyed -----
+    Q("q262_numeric_drift_timeline_by_group",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        ops.Events.numericDriftTimelineByGroup(ev, "value", "ts",
+          "event_type", ops.Stats.numericProfileByGroup(ev, "value", "event_type"),
+          bucketSec = 604800L)
+          .orderBy("event_type", "bucket_start")
+      },
+      Some(sqlNumericDriftTimelineByGroup)),
+
+    // -- q263: the segmented numeric timeline SERVED from a stored
+    //    additive (group, bucket, bin) profile — q262's oracle verbatim --
+    Q("q263_numeric_timeline_by_group_profiles",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        ops.Events.numericDriftTimelineByGroupFromProfiles(
+          ops.Events.bucketNumericProfileByGroup(ev, "value", "ts",
+            "event_type", 604800L),
+          ops.Stats.numericProfileByGroup(ev, "value", "event_type"),
+          "event_type")
+          .orderBy("event_type", "bucket_start")
+      },
+      Some(sqlNumericDriftTimelineByGroup)),
+
+    // -- q264: the SQL-TVF route for the segmented numeric timeline -----
+    Q("q264_sql_tvf_numeric_timeline_by_group",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val ev = T(s, dir, "events")
+        ev.createOrReplaceTempView(s"gndt_ev_$sfx")
+        s.sql(s"SELECT * FROM graft_numeric_profile_by_group('gndt_ev_$sfx', 'value', 'event_type', 16, 31250000)")
+          .createOrReplaceTempView(s"gndt_ref_$sfx")
+        s.sql(s"""
+          SELECT event_type, bucket_start, n_events, chi2_micro, top_bin, top_chi2_micro
+          FROM graft_numeric_drift_timeline_by_group('gndt_ev_$sfx', 'value',
+            'ts', 'event_type', 'gndt_ref_$sfx', 604800, 16, 31250000)
+          ORDER BY event_type, bucket_start""")
+      },
+      Some(sqlNumericDriftTimelineByGroup)),
+
+    // -- q265: PER-GROUP anomaly flags over the segmented timeline —
+    //    each cohort its own Hampel baseline, so a noisy cohort cannot
+    //    mask a quiet one ----------------------------------------------
+    Q("q265_timeline_anomalies_by_group",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+          .withColumn("cohort", col("user_id") % 4)
+        val ref = ev.where(col("event_type").isNotNull)
+          .groupBy(col("cohort"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        ops.Events.timelineAnomaliesByGroup(
+          ops.Events.categoryDriftTimelineByGroup(ev, "event_type", "ts",
+            "cohort", ref, bucketSec = 604800L),
+          "cohort", k = 1L).orderBy("cohort", "bucket_start")
+      },
+      Some(sqlTimelineAnomaliesByGroup)),
+
+    // -- q266: SEGMENTED retrospective novelty between STORE VERSIONS —
+    //    "which vocabulary arrived per SOURCE since version N"
+    //    time-travels the grouped profile store; zero corpus scans ------
+    Q("q266_grouped_novelty_between_store_versions",
+      (s, dir) => {
+        val root = groupedTokenProfileStoreFixture(s, dir)
+        val store = new core.BucketedStore(root, numBuckets = 16)(s)
+        val vs = store.versions("gtprof")
+        ops.TextOps.vocabularyNoveltyByGroup(
+          store.read("gtprof", Seq("source", "token"), Some(vs.head)),
+          store.read("gtprof", Seq("source", "token"), Some(vs.last)),
+          "source").orderBy("source")
+      },
+      Some(sqlVocabularyNoveltyByGroupStoreVersions)),
 
     // -- q237: anomaly flags over the drift timeline — Hampel median +
     //    k·MAD in exact integers (lower medians, no interpolation); the

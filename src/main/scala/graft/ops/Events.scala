@@ -537,6 +537,113 @@ object Events {
       .withColumnRenamed("top_cat", "top_bin")
   }
 
+  /** SEGMENTED numeric drift TIMELINE — "when did SOURCE X's value
+    * distribution shift" as one frame: [[numericDriftTimeline]] per
+    * group, each (group, bucket) scored against the GROUP'S OWN
+    * reference [[graft.ops.Stats.numericProfileByGroup]] frame
+    * (groupCol, bin, n). Binning is the scalar family's ONE shared
+    * expression; the scoring tail is the segmented categorical
+    * timeline's verbatim with bins as the categories — per-group spine
+    * by group-keyed joins, loud factor + Σ_g spine + headroom guards, a
+    * ref-less group scores 0. Output: (group, bucket_start, n_events,
+    * chi2_micro, top_bin, top_chi2_micro). [[timelineAnomaliesByGroup]]
+    * applies to the output unchanged. */
+  def numericDriftTimelineByGroup(df: DataFrame, valueCol: String,
+      tsCol: String, groupCol: String, refProfile: DataFrame,
+      bucketSec: Long, bins: Int = 16, binWidthMicro: Long = 31250000L,
+      maxBuckets: Long = 1L << 20, maxBins: Long = 1L << 22,
+      maxSpine: Long = 1L << 26): DataFrame = {
+    val counts = bucketNumericProfileByGroup(df, valueCol, tsCol, groupCol,
+        bucketSec, bins, binWidthMicro)
+      .select(col(groupCol), col("bucket_start"), col("bin").as("__cat"),
+        col("n").as("n_b"))
+      .persistTracked()
+    timelineByGroupFromCounts(counts, refProfile, "bin", groupCol,
+        maxBuckets, maxBins, maxSpine, "numericDriftTimelineByGroup")
+      .withColumnRenamed("top_cat", "top_bin")
+  }
+
+  /** The segmented numeric timeline's ADDITIVE sufficient statistic:
+    * per (group, bucket, bin) value counts, additive under
+    * (group, bucket_start, bin)-keyed sum; bucketing (floor), binning
+    * (shared expression), and NULL/NaN/null-group handling are
+    * [[numericDriftTimelineByGroup]]'s verbatim. Maintained O(batch +
+    * touched buckets) by
+    * [[graft.streaming.Fastlane.ingestBucketNumericProfileByGroup]]. */
+  def bucketNumericProfileByGroup(df: DataFrame, valueCol: String,
+      tsCol: String, groupCol: String, bucketSec: Long, bins: Int = 16,
+      binWidthMicro: Long = 31250000L): DataFrame = {
+    require(bucketSec >= 1, s"bucketSec must be >= 1, got $bucketSec")
+    Stats.requireBinSpec(bins, binWidthMicro)
+    require(groupCol != "bucket_start" && groupCol != "n" &&
+      groupCol != "bin" && groupCol != "__v" && groupCol != "__ts",
+      s"groupCol collides with an internal column name: $groupCol")
+    df.select(col(groupCol), floorBucket(col(tsCol), bucketSec).as("bucket_start"),
+        col(valueCol).cast("double").as("__v"), col(tsCol).as("__ts"))
+      .where(col(groupCol).isNotNull && col("__ts").isNotNull &&
+        col("__v").isNotNull && !isnan(col("__v")))
+      .select(col(groupCol), col("bucket_start"),
+        Stats.microBin(col("__v"), bins, binWidthMicro).as("bin"))
+      .groupBy(groupCol, "bucket_start", "bin").agg(count(lit(1)).as("n"))
+  }
+
+  /** [[numericDriftTimelineByGroup]] computed from a STORED
+    * [[bucketNumericProfileByGroup]] frame instead of the events — the
+    * serving read of the segmented streaming scalar dashboard: identical
+    * answer to the direct route (spec- and oracle-asserted);
+    * concatenated partial profiles re-aggregate; events never touched at
+    * serve time. */
+  def numericDriftTimelineByGroupFromProfiles(bucketProf: DataFrame,
+      refProfile: DataFrame, groupCol: String,
+      maxBuckets: Long = 1L << 20, maxBins: Long = 1L << 22,
+      maxSpine: Long = 1L << 26): DataFrame = {
+    val counts = bucketProf
+      .groupBy(col(groupCol), col("bucket_start"), col("bin"))
+      .agg(sum("n").as("n_b"))
+      .select(col(groupCol), col("bucket_start"), col("bin").as("__cat"),
+        col("n_b"))
+      .persistTracked()
+    timelineByGroupFromCounts(counts, refProfile, "bin", groupCol,
+        maxBuckets, maxBins, maxSpine, "numericDriftTimelineByGroup")
+      .withColumnRenamed("top_cat", "top_bin")
+  }
+
+  /** SEGMENTED [[timelineAnomalies]] — Hampel median + k·MAD per GROUP
+    * over a segmented drift timeline ((group, bucket_start, chi2_micro,
+    * …) — [[categoryDriftTimelineByGroup]]'s or
+    * [[numericDriftTimelineByGroup]]'s output): each group is its own
+    * alerting baseline, so a noisy source cannot inflate a quiet
+    * source's threshold. Lower medians keep it exact-integer, as the
+    * global rule. Output: (group, bucket_start, chi2_micro, med_micro,
+    * mad_micro, is_anomaly).
+    *
+    * Scale shape: the four stacked windows are GROUP-partitioned — each
+    * group's buckets-bounded slice sorts in its own tasks (better than
+    * the global rule's single bounded task), nothing event-sized. */
+  def timelineAnomaliesByGroup(timeline: DataFrame, groupCol: String,
+      k: Long = 3L): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    val whole = Window.partitionBy(col(groupCol))
+    val wChi = Window.partitionBy(col(groupCol))
+      .orderBy(col("chi2_micro").asc, col("bucket_start").asc)
+    val wDev = Window.partitionBy(col(groupCol))
+      .orderBy(col("__dev").asc, col("bucket_start").asc)
+    def lowerRank = call_function("div", col("__n") + lit(1L), lit(2L))
+    timeline.select(col(groupCol), col("bucket_start"), col("chi2_micro"))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .withColumn("__rk", row_number().over(wChi))
+      .withColumn("med_micro",
+        max(when(col("__rk") === lowerRank, col("chi2_micro"))).over(whole))
+      .withColumn("__dev", abs(col("chi2_micro") - col("med_micro")))
+      .withColumn("__rk2", row_number().over(wDev))
+      .withColumn("mad_micro",
+        max(when(col("__rk2") === lowerRank, col("__dev"))).over(whole))
+      .select(col(groupCol), col("bucket_start"), col("chi2_micro"),
+        col("med_micro"), col("mad_micro"),
+        (col("chi2_micro") > col("med_micro") + lit(k) * col("mad_micro"))
+          .as("is_anomaly"))
+  }
+
   /** Anomaly flags over a drift TIMELINE — the alerting layer: a bucket
     * is anomalous when its chi2 exceeds the timeline's LOWER MEDIAN plus
     * `k` times the median absolute deviation (Hampel's robust outlier

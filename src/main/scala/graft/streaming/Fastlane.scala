@@ -633,6 +633,51 @@ object Fastlane {
       ()
     }
 
+  /** SEGMENTED streaming NUMERIC-TIMELINE maintenance —
+    * [[ingestBucketNumericProfile]] keyed (group, bucket_start, bin):
+    * each micro-batch buckets and bins ONLY its own values per group
+    * ([[graft.ops.Events.bucketNumericProfileByGroup]]) and merge-ADDS
+    * them into the stored segmented timeline profile, which
+    * [[graft.ops.Events.numericDriftTimelineByGroupFromProfiles]] then
+    * serves with zero event scans — "when did source X's value
+    * distribution shift" reads storage. Late values fold into their TRUE
+    * (group, bucket); per-batch cost O(batch + touched buckets) via
+    * `readTouched`. Stream-grown ≡ batch-built (spec-asserted); adds are
+    * not idempotent → the shared lineage fence; Σn == values ingested is
+    * the cheap audit. */
+  def ingestBucketNumericProfileByGroup(
+      stream: DataFrame, valueCol: String, tsCol: String, groupCol: String,
+      bucketSec: Long,
+      store: graft.core.BucketedStore, feature: String,
+      checkpointDir: String,
+      bins: Int = 16, binWidthMicro: Long = 31250000L,
+      trigger: Trigger = Trigger.AvailableNow())
+      (implicit spark: SparkSession): StreamingQuery =
+    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
+      fencedApply(store, feature, checkpointDir, batchId) {
+        // persisted: read by the touched-bucket probe AND the merge add
+        val bp = graft.ops.Events.bucketNumericProfileByGroup(
+          batch, valueCol, tsCol, groupCol, bucketSec, bins, binWidthMicro)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val keys = Seq(groupCol, "bucket_start", "bin")
+        if (store.latestVersion(feature).isEmpty)
+          store.write(bp, feature, keys)
+        else {
+          val touched = store.readTouched(feature, keys,
+            bp.select(keys.head, keys.tail: _*), None)
+          val merged = touched
+            .select(col(groupCol), col("bucket_start"), col("bin"),
+              col("n").as("__n0"))
+            .join(bp, keys, "full_outer")
+            .select(col(groupCol), col("bucket_start"), col("bin"),
+              (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"))
+          store.merge(feature, merged, keys)
+        }
+        bp.unpersist()
+      }
+      ()
+    }
+
   /** SEGMENTED streaming embedding-profile maintenance —
     * [[ingestEmbeddingProfile]] keyed (group, pos, bin): each micro-batch
     * profiles its own vectors per group

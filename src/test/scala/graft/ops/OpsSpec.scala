@@ -3664,6 +3664,52 @@ class EwmaSpec extends SparkSpec {
     assert(eBk.getMessage.contains("numericDriftTimeline"), eBk.getMessage)
   }
 
+  test("numericDriftTimelineByGroup: per-group hand case == the global numeric timeline within the group; served == direct; anomalies-by-group uses per-group baselines") {
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // g1 = the numeric-timeline hand case verbatim (10.0->bin0,
+    // 40.0->bin1); g2 = one stable bucket matching its own ref
+    val df = Seq(
+      ("g1", ts("2024-01-01 10:00:00"), 10.0), ("g1", ts("2024-01-01 10:20:00"), 10.0),
+      ("g1", ts("2024-01-01 10:59:00"), 40.0),
+      ("g1", ts("2024-01-01 11:05:00"), 40.0), ("g1", ts("2024-01-01 11:30:00"), 40.0),
+      ("g2", ts("2024-01-01 10:10:00"), 10.0), ("g2", ts("2024-01-01 10:40:00"), 40.0))
+      .toDF("g", "ts", "v")
+    val ref = Seq(("g1", 0L, 1L), ("g1", 1L, 1L),
+      ("g2", 0L, 1L), ("g2", 1L, 1L)).toDF("g", "bin", "n")
+    val out = Events.numericDriftTimelineByGroup(df, "v", "ts", "g", ref, 3600L)
+      .orderBy("g", "bucket_start")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    val g1 = out.filter(_._1 == "g1")
+    assert(g1.size == 2 && g1(0)._3 == 3L && g1(0)._4 == 55555L + 83333L &&
+      g1(0)._5 == 1L && g1(0)._6 == 83333L, s"g1 bucket0: $g1")
+    assert(g1(1)._3 == 2L && g1(1)._4 == 1000000L + 333333L &&
+      g1(1)._5 == 0L && g1(1)._6 == 1000000L, s"g1 bucket1: $g1")
+    val g2 = out.filter(_._1 == "g2")
+    assert(g2.size == 1 && g2.head._4 == 0L, s"stable group must score 0: $g2")
+    // profile-served == direct, bit-identical
+    val served = Events.numericDriftTimelineByGroupFromProfiles(
+        Events.bucketNumericProfileByGroup(df, "v", "ts", "g", 3600L),
+        ref, "g")
+      .orderBy("g", "bucket_start")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    assert(served == out, s"served $served vs direct $out")
+    // per-group anomalies: each group ranks against ITS OWN median/MAD —
+    // g1's buckets [138888, 1333333] give med 138888, mad 0 (single-side
+    // deviations [0, 1194445] -> lower rank 1 = 0), so k=0 flags only the
+    // larger bucket; g2's single bucket is its own median -> not flagged
+    val an = Events.timelineAnomaliesByGroup(
+        Events.numericDriftTimelineByGroup(df, "v", "ts", "g", ref, 3600L),
+        "g", k = 0L)
+      .orderBy("g", "bucket_start")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toList
+    val ag1 = an.filter(_._1 == "g1")
+    assert(ag1.map(_._6) == List(false, true), s"g1 flags: $ag1")
+    assert(ag1.forall(_._4 == 138888L), s"g1 per-group median: $ag1")
+    val ag2 = an.filter(_._1 == "g2")
+    assert(ag2.size == 1 && !ag2.head._6, s"g2 flags: $ag2")
+  }
+
   test("bucketCategoryProfile: FLOOR bucketing — a pre-1970 event lands in the bucket starting BEFORE it") {
     import org.apache.spark.sql.functions._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

@@ -554,6 +554,53 @@ class FastlaneSpec extends SparkSpec {
     assert(storedRows() == grown, "replayed batches must not double-count")
   }
 
+  test("ingestBucketNumericProfileByGroup: stream-grown segmented numeric timeline bit-identical to one-shot; served == direct; replay fenced") {
+    import graft.ops.{Events, Stats}
+    val srcDir = tmpDir("gbnp_src")
+    val store = new graft.core.BucketedStore(tmpDir("gbnp_store"), numBuckets = 8)
+    val ckpt = tmpDir("gbnp_ckpt")
+    def stream() = spark.readStream
+      .schema("g STRING, ts TIMESTAMP, v DOUBLE").json(s"$srcDir/*")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = Seq(("s1", t("2024-01-01 10:00:00"), 10.0),
+      ("s1", t("2024-01-01 10:20:00"), 10.0), ("s2", t("2024-01-01 10:30:00"), 40.0))
+    // b2 carries a LATE value for s1's 10:00 bucket
+    val b2 = Seq(("s1", t("2024-01-01 11:05:00"), 40.0),
+      ("s1", t("2024-01-01 10:59:00"), 40.0), ("s2", t("2024-01-01 11:10:00"), 90.0))
+    b1.toDF("g", "ts", "v").write.mode("overwrite").json(s"$srcDir/b1")
+    Fastlane.ingestBucketNumericProfileByGroup(stream(), "v", "ts", "g",
+      3600L, store, "gbnp", ckpt).awaitTermination(60000)
+    b2.toDF("g", "ts", "v").write.mode("overwrite").json(s"$srcDir/b2")
+    Fastlane.ingestBucketNumericProfileByGroup(stream(), "v", "ts", "g",
+      3600L, store, "gbnp", ckpt).awaitTermination(60000)
+    def storedRows() = store.read("gbnp", Seq("g", "bucket_start", "bin"))
+      .select("g", "bucket_start", "bin", "n")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val grown = storedRows()
+    val union = (b1 ++ b2).toDF("g", "ts", "v")
+    val oneShot = Events.bucketNumericProfileByGroup(union, "v", "ts", "g", 3600L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(grown.nonEmpty && grown == oneShot,
+      "additive growth must be BIT-identical to a one-shot segmented count")
+    assert(grown.toSeq.map(_._4).sum == 6L) // Σn == values ingested
+    // per-group served timeline answers identically to the direct route
+    val ref = Stats.numericProfileByGroup(
+      Seq(("s1", 10.0), ("s1", 40.0), ("s2", 40.0), ("s2", 90.0)).toDF("g", "v"),
+      "v", "g")
+    val served = Events.numericDriftTimelineByGroupFromProfiles(
+        store.read("gbnp", Seq("g", "bucket_start", "bin")), ref, "g")
+      .orderBy("g", "bucket_start").collect().toSeq
+    val direct = Events.numericDriftTimelineByGroup(union, "v", "ts", "g",
+        ref, 3600L)
+      .orderBy("g", "bucket_start").collect().toSeq
+    assert(served.nonEmpty && served == direct,
+      "profile-served segmented numeric timeline must equal the direct route")
+    // a replayed run under the same checkpoint lineage is fenced out
+    Fastlane.ingestBucketNumericProfileByGroup(stream(), "v", "ts", "g",
+      3600L, store, "gbnp", ckpt).awaitTermination(60000)
+    assert(storedRows() == grown, "replayed batches must not double-count")
+  }
+
   test("ingestTokenProfileByGroup: stream-grown segmented profile bit-identical to one-shot; per-group drift served from storage == direct; replay fenced") {
     import graft.ops.TextOps
     val srcDir = tmpDir("gtprof_src")
