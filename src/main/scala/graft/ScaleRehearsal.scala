@@ -623,6 +623,13 @@ object ScaleRehearsal {
         "q251_numeric_drift_timeline" -> (() => force(
           ops.Events.numericDriftTimeline(ev, "value", "ts",
             ops.Stats.numericProfile(ev, "value"), bucketSec = 604800L))),
+        // segmented numeric timeline: ONE event-sized (group, bucket, bin)
+        // count; group-keyed spine — expect ~scan-linear
+        "q262_numeric_drift_timeline_by_group" -> (() => force(
+          ops.Events.numericDriftTimelineByGroup(ev, "value", "ts",
+            "event_type",
+            ops.Stats.numericProfileByGroup(ev, "value", "event_type"),
+            bucketSec = 604800L))),
         // segmented timeline: ONE event-sized (group, bucket, cat) count;
         // every downstream join keyed group-first — expect ~scan-linear
         // (replicas add USERS, so cohorts keep their shape)

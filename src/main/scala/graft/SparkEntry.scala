@@ -4589,6 +4589,77 @@ object SparkEntry {
       },
       Some(sqlVocabularyNoveltyByGroupStoreVersions)),
 
+    // -- q267: TIME-SLICE serve of a stored timeline with PRUNED IO —
+    //    the "last N weeks of a year-long dashboard" read: the additive
+    //    (bucket, cat) profile is stored CLUSTERED by bucket_start
+    //    (q116's Z-order machinery, 1-D case), so the slice read opens
+    //    only the files whose [min, max] bucket range intersects the
+    //    window; the per-bucket chi-square is bucket-local, so the
+    //    sliced serve is EXACTLY the full timeline filtered to the
+    //    window (the oracle computes it that way). Zero event scans,
+    //    file IO proportional to the slice — not the retention period --
+    Q("q267_timeline_slice_pruned",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        val root = storeFixtureRoot(s, dir, "cdtclu", "events")
+        val store = new core.BucketedStore(root, numBuckets = 16)(s)
+        if (store.latestVersion("cdtprof").isEmpty)
+          store.writeClustered(
+            ops.Events.bucketCategoryProfile(ev, "event_type", "ts", 604800L),
+            "cdtprof", Seq("bucket_start", "event_type"),
+            clusterCols = Seq("bucket_start"))
+        val ref = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        // slice bounds from the stored profile itself: weeks [2, 5) after
+        // the first bucket — a 1-row bounded agg, not an event scan
+        val lo = store.read("cdtprof", Seq("bucket_start", "event_type"))
+          .agg(min("bucket_start")).head().getLong(0) + 2L * 604800L
+        val hi = lo + 3L * 604800L
+        val prof = store.scanPrunedMulti("cdtprof",
+          Seq("bucket_start", "event_type"),
+          Seq(("bucket_start", lo.toDouble, hi.toDouble)))
+        ops.Events.categoryDriftTimelineFromProfiles(prof, ref, "event_type")
+          .orderBy("bucket_start")
+      },
+      Some("""
+        WITH ev AS (SELECT (CAST(epoch_us(ts) AS BIGINT) // 604800000000) * 604800
+                      AS bucket_start, event_type AS cat
+                    FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        c0 AS (SELECT bucket_start, cat, CAST(count(*) AS HUGEINT) AS n_b
+               FROM ev GROUP BY 1, 2),
+        w AS (SELECT min(bucket_start) + 1209600 AS lo FROM c0),
+        c AS (SELECT c0.* FROM c0, w
+              WHERE bucket_start >= w.lo AND bucket_start <= w.lo + 1814400),
+        ref AS (SELECT event_type AS cat, CAST(count(*) AS HUGEINT) AS n_a
+                FROM events GROUP BY 1),
+        bk AS (SELECT bucket_start, sum(n_b) AS t_b,
+                      CAST(sum(n_b) AS BIGINT) AS n_events FROM c GROUP BY 1),
+        cats AS (SELECT DISTINCT cat FROM
+                 (SELECT cat FROM c UNION SELECT cat FROM ref)),
+        t AS (SELECT sum(n_a) AS t_a FROM ref),
+        sp AS (SELECT bk.bucket_start, bk.n_events, cats.cat,
+                  COALESCE(ref.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b,
+                  t.t_a, bk.t_b
+               FROM bk CROSS JOIN cats
+               LEFT JOIN ref ON ref.cat = cats.cat
+               LEFT JOIN c ON c.bucket_start = bk.bucket_start
+                          AND c.cat = cats.cat
+               CROSS JOIN t),
+        sc AS (SELECT bucket_start, n_events, cat,
+                  CASE WHEN t_a = 0 OR t_b = 0 OR n_a + n_b = 0
+                       THEN CAST(0 AS HUGEINT)
+                       ELSE (1000000 * (n_a*t_b - n_b*t_a) * (n_a*t_b - n_b*t_a))
+                            // ((n_a + n_b) * t_a * t_b) END AS contrib
+               FROM sp),
+        rk AS (SELECT *, row_number() OVER
+                 (PARTITION BY bucket_start ORDER BY contrib DESC, cat) AS rk
+               FROM sc)
+        SELECT bucket_start,
+          CAST(max(n_events) AS BIGINT) AS n_events,
+          CAST(sum(contrib) AS BIGINT) AS chi2_micro,
+          max(CASE WHEN rk = 1 THEN cat END) AS top_cat,
+          CAST(max(CASE WHEN rk = 1 THEN contrib END) AS BIGINT) AS top_chi2_micro
+        FROM rk GROUP BY bucket_start ORDER BY bucket_start""")),
+
     // -- q237: anomaly flags over the drift timeline — Hampel median +
     //    k·MAD in exact integers (lower medians, no interpolation); the
     //    alerting layer over q229's dashboard -----------------------------
