@@ -63,6 +63,13 @@ final class FeatureStore(val root: String)(implicit spark: SparkSession) {
     spark.read.parquet(versionDir(feature, v))
   }
 
+  /** Read a version the caller already KNOWS is committed (e.g. the
+    * version its own `write` just returned) — skips the manifest listing
+    * the checked [[read]] pays per call. The caller owns the existence
+    * guarantee; a wrong version fails at scan time, not analysis time. */
+  private[graft] def readCommitted(feature: String, v: Long): DataFrame =
+    spark.read.parquet(versionDir(feature, v))
+
   def readOrEmpty(feature: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
     latestVersion(feature) match {
       case Some(_) => read(feature)

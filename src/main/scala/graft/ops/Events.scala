@@ -432,9 +432,9 @@ object Events {
         coalesce(col("n_b"), lit(0L)).as("n_b"),
         // the family's decimal(38,0) headroom guard, per (group, bucket)
         (coalesce(col("t_a"), lit(0L)) + when(
-          dec(coalesce(col("t_a"), lit(0L))) * dec(col("t_b")) >
+          dec(coalesce(col("t_a"), lit(0L))) * dec(col("t_b")) >=
             dec(lit(10000000000000000L)),
-          raise_error(lit(s"$opName: t_a·t_b > 1e16 exceeds the " +
+          raise_error(lit(s"$opName: t_a·t_b ≥ 1e16 exceeds the " +
             "decimal(38,0) headroom of the exact chi-square — " +
             "pre-aggregate or subsample the sides")))
           .otherwise(lit(0L))).as("t_a"),
@@ -750,8 +750,8 @@ object Events {
         // 10⁶·(t_a·t_b)², which exceeds decimal(38,0) — a silent NULL —
         // once t_a·t_b > 10¹⁶; fail loudly instead
         (col("t_a") + when(
-          dec(col("t_a")) * dec(col("t_b")) > dec(lit(10000000000000000L)),
-          raise_error(lit(s"$opName: t_a·t_b > 1e16 exceeds " +
+          dec(col("t_a")) * dec(col("t_b")) >= dec(lit(10000000000000000L)),
+          raise_error(lit(s"$opName: t_a·t_b ≥ 1e16 exceeds " +
             "the decimal(38,0) headroom of the exact chi-square — " +
             "pre-aggregate or subsample the sides")))
           .otherwise(lit(0L))).as("t_a"),

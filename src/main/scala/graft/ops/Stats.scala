@@ -1242,8 +1242,8 @@ object Stats {
         coalesce(sum("n_b"), lit(0L)).as("t_b"))
       .select(
         (col("t_a") + when(
-          dec(col("t_a")) * dec(col("t_b")) > dec(lit(10000000000000000L)),
-          raise_error(lit("numericShapeDrift: t_a·t_b > 1e16 exceeds the " +
+          dec(col("t_a")) * dec(col("t_b")) >= dec(lit(10000000000000000L)),
+          raise_error(lit("numericShapeDrift: t_a·t_b ≥ 1e16 exceeds the " +
             "decimal(38,0) headroom of the exact chi-square — " +
             "pre-aggregate or subsample the sides")))
           .otherwise(lit(0L))).as("t_a"),
@@ -1371,8 +1371,8 @@ object Stats {
                 "per-group totals broadcast one row per group; a group " +
                 "column this wide is an id, not a segmentation — raise the " +
                 "cap if the executors have the memory")))).otherwise(lit(0L))
-          + when(dec(col("t_a")) * dec(col("t_b")) > dec(lit(10000000000000000L)),
-            raise_error(lit("numericShapeDriftByGroup: t_a·t_b > 1e16 " +
+          + when(dec(col("t_a")) * dec(col("t_b")) >= dec(lit(10000000000000000L)),
+            raise_error(lit("numericShapeDriftByGroup: t_a·t_b ≥ 1e16 " +
               "exceeds the decimal(38,0) headroom of the exact chi-square " +
               "— pre-aggregate or subsample the sides"))).otherwise(lit(0L))
         ).as("t_a"),

@@ -85,25 +85,38 @@ object Fastlane {
     * (b) a SECOND scheduler job per call to materialize the broadcast
     * side of the anti-join MERGE, and (c) with AQE on, each exchange
     * stage of these row-sized plans scheduled as its own job. The
-    * session removes all three: the current version is tracked
-    * in-session (single-writer per feature is already the store's
-    * contract), the merge is ONE fused action — union + per-key
-    * update-wins window filter inside the write job, no broadcast build
-    * — and AQE is pinned off around the session's own actions (adaptive
-    * re-planning buys nothing on serving-sized frames and costs a
-    * scheduler round per stage). Results are IDENTICAL to
+    * session removes all three: the current table is re-anchored on the
+    * version its own write just committed through an UNCHECKED read
+    * (single-writer per feature is already the store's contract; the one
+    * remaining listing per call is `write`'s version allocation — the
+    * commit protocol itself), the merge is ONE fused action — union +
+    * per-key update-wins window filter inside the write job, no
+    * broadcast build — and AQE is pinned off around the session's own
+    * actions (adaptive re-planning buys nothing on serving-sized frames
+    * and costs a scheduler round per stage). Results are IDENTICAL to
     * [[serveOnce]]'s merge (update rows replace current rows per entity
-    * key, unmatched rows carry over — spec-asserted), and every call
-    * still commits a durable store version.
-    */
+    * key, unmatched — including NULL-KEY rows, which an equi-join merge
+    * never matches — carry over; spec-asserted), and every call still
+    * commits a durable store version.
+    *
+    * Shared-session caveat: the AQE pin is a session-level conf, so an
+    * UNRELATED query planned concurrently on the same SparkSession during
+    * a serve call plans without AQE. The saved value is captured ONCE at
+    * construction and restored after every call, so interleaved sessions
+    * converge back to the constructor-time setting rather than trading
+    * stale per-call snapshots. A dedicated serving SparkSession (the
+    * deployment shape for a latency-critical server) avoids the caveat
+    * entirely. */
   final class ServingSession(feature: FeatureDef, store: FeatureStore)
       (implicit spark: SparkSession) {
     import org.apache.spark.sql.expressions.Window
-    private var curVersion: Option[Long] = store.latestVersion(feature.name)
+    private val aqe0 = spark.conf.get("spark.sql.adaptive.enabled", "true")
     // the current table, re-anchored after each commit on the version this
-    // session itself wrote — never re-discovered through the manifest
+    // session itself wrote — the checked read's manifest listing happens
+    // once here, never per call
     private var current: Option[DataFrame] =
-      curVersion.map(v => store.read(feature.name, Some(v)))
+      store.latestVersion(feature.name)
+        .map(v => store.readCommitted(feature.name, v))
 
     /** Serve one mini-frame: transform, merge, commit — ONE Spark action.
       * Returns the new store version. The merge plan: union(current,
@@ -117,28 +130,31 @@ object Fastlane {
       * overhead dominates. Measured on the ServeLatency harness the
       * p50 sits within ~1.2× of the bare scan+write floor. */
     def serve(rows: DataFrame): Long = {
-      val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
         val out = Versioning.withSystemColumns(feature.transform(rows), feature)
         val merged = current match {
           case None => out
           case Some(cur) =>
-            val w = Window.partitionBy(feature.entityKeys.map(col): _*)
+            val keyCols = feature.entityKeys.map(col)
+            val w = Window.partitionBy(keyCols: _*)
+            // a NULL-key current row is kept unconditionally: the
+            // anti-join merge's equi-join never matches NULL keys, while
+            // the window would group NULLs together and drop them
+            val anyNullKey = keyCols.map(_.isNull).reduce(_ || _)
             cur.withColumn("__upd", lit(0))
               .unionByName(out.withColumn("__upd", lit(1)),
                 allowMissingColumns = true)
               .coalesce(1)
               .withColumn("__anyUpd", max(col("__upd")).over(w))
-              .where(col("__upd") === 1 || col("__anyUpd") === 0)
+              .where(col("__upd") === 1 || col("__anyUpd") === 0 || anyNullKey)
               .drop("__upd", "__anyUpd")
         }
         val v = store.write(merged, feature.name,
           Map("mode" -> "fastlane_session", "operation" -> "merge"))
-        curVersion = Some(v)
-        current = Some(store.read(feature.name, Some(v)))
+        current = Some(store.readCommitted(feature.name, v))
         v
-      } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqe0)
     }
   }
 
@@ -176,6 +192,45 @@ object Fastlane {
         }
       }
       .start()
+
+  /** Shared body of every ADDITIVE-COUNT profile-maintenance loop
+    * (token/categorical/numeric, global and segmented, flat and
+    * time-bucketed): per micro-batch, `builder` counts ONLY the batch's
+    * own (keys…, n) rows, and the counts merge-ADD into the stored
+    * profile under the lineage fence, touching only the hash buckets
+    * carrying the batch's keys (`readTouched` — rows of OTHER keys
+    * sharing a touched bucket ride the full-outer join with a +0 add and
+    * merge back unchanged; the merge rewrites whole touched buckets
+    * anyway). ONE code path so the eight loops cannot drift on the
+    * merge-add mechanics — the first version bootstraps with a plain
+    * write. The embedding loops keep their own bodies: their profiles
+    * carry TWO additive columns (n, s). */
+  private def ingestAdditiveCounts(
+      stream: DataFrame, checkpointDir: String, trigger: Trigger,
+      store: graft.core.BucketedStore, feature: String, keys: Seq[String])(
+      builder: DataFrame => DataFrame)
+      (implicit spark: SparkSession): StreamingQuery =
+    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
+      fencedApply(store, feature, checkpointDir, batchId) {
+        // persisted: read by the touched-bucket probe AND the merge add
+        val bp = builder(batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (store.latestVersion(feature).isEmpty)
+          store.write(bp, feature, keys)
+        else {
+          val keyCols = keys.map(col)
+          val touched = store.readTouched(feature, keys,
+            bp.select(keyCols: _*), None)
+          val merged = touched.select(keyCols :+ col("n").as("__n0"): _*)
+            .join(bp, keys, "full_outer")
+            .select(keyCols :+
+              (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"): _*)
+          store.merge(feature, merged, keys)
+        }
+        bp.unpersist()
+      }
+      ()
+    }
 
   /** Streaming retrieval-index maintenance — keep a persisted BM25
     * postings index current as documents arrive: each micro-batch appends
@@ -304,29 +359,8 @@ object Fastlane {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow())
       (implicit spark: SparkSession): StreamingQuery =
-    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
-      fencedApply(store, feature, checkpointDir, batchId) {
-        // persisted: read by the touched-bucket probe AND the merge add
-        val bp = graft.ops.TextOps.tokenProfile(batch, textCol)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        if (store.latestVersion(feature).isEmpty)
-          store.write(bp, feature, Seq("token"))
-        else {
-          // touched buckets carry OTHER tokens sharing them — their rows
-          // ride the full-outer join with a +0 add and merge back
-          // unchanged (the merge rewrites whole touched buckets anyway)
-          val touched = store.readTouched(feature, Seq("token"),
-            bp.select("token"), None)
-          val merged = touched.select(col("token"), col("n").as("__n0"))
-            .join(bp, Seq("token"), "full_outer")
-            .select(col("token"),
-              (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"))
-          store.merge(feature, merged, Seq("token"))
-        }
-        bp.unpersist()
-      }
-      ()
-    }
+    ingestAdditiveCounts(stream, checkpointDir, trigger, store, feature,
+      Seq("token"))(b => graft.ops.TextOps.tokenProfile(b, textCol))
 
   /** Streaming DRIFT-MONITOR maintenance — keep a persisted
     * [[graft.ops.Similarity.embeddingProfile]] current as embedding
@@ -390,26 +424,9 @@ object Fastlane {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow())
       (implicit spark: SparkSession): StreamingQuery =
-    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
-      fencedApply(store, feature, checkpointDir, batchId) {
-        // persisted: read by the touched-bucket probe AND the merge add
-        val bp = graft.ops.TextOps.tokenProfileByGroup(batch, textCol, groupCol)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        if (store.latestVersion(feature).isEmpty)
-          store.write(bp, feature, Seq(groupCol, "token"))
-        else {
-          val touched = store.readTouched(feature, Seq(groupCol, "token"),
-            bp.select(groupCol, "token"), None)
-          val merged = touched.select(col(groupCol), col("token"), col("n").as("__n0"))
-            .join(bp, Seq(groupCol, "token"), "full_outer")
-            .select(col(groupCol), col("token"),
-              (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"))
-          store.merge(feature, merged, Seq(groupCol, "token"))
-        }
-        bp.unpersist()
-      }
-      ()
-    }
+    ingestAdditiveCounts(stream, checkpointDir, trigger, store, feature,
+      Seq(groupCol, "token"))(b =>
+      graft.ops.TextOps.tokenProfileByGroup(b, textCol, groupCol))
 
   /** Streaming SCALAR-monitor maintenance — keep a persisted
     * [[graft.ops.Stats.numericProfile]] current as batches arrive: each
@@ -432,25 +449,9 @@ object Fastlane {
       bins: Int = 16, binWidthMicro: Long = 31250000L,
       trigger: Trigger = Trigger.AvailableNow())
       (implicit spark: SparkSession): StreamingQuery =
-    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
-      fencedApply(store, feature, checkpointDir, batchId) {
-        val bp = graft.ops.Stats.numericProfile(
-          batch, valueCol, bins, binWidthMicro)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        if (store.latestVersion(feature).isEmpty)
-          store.write(bp, feature, Seq("bin"))
-        else {
-          val merged = store.read(feature, Seq("bin"))
-            .select(col("bin"), col("n").as("__n0"))
-            .join(bp, Seq("bin"), "full_outer")
-            .select(col("bin"),
-              (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"))
-          store.merge(feature, merged, Seq("bin"))
-        }
-        bp.unpersist()
-      }
-      ()
-    }
+    ingestAdditiveCounts(stream, checkpointDir, trigger, store, feature,
+      Seq("bin"))(b =>
+      graft.ops.Stats.numericProfile(b, valueCol, bins, binWidthMicro))
 
   /** SEGMENTED streaming scalar-monitor maintenance —
     * [[ingestNumericProfile]] keyed (group, bin): each micro-batch bins
@@ -474,28 +475,10 @@ object Fastlane {
       bins: Int = 16, binWidthMicro: Long = 31250000L,
       trigger: Trigger = Trigger.AvailableNow())
       (implicit spark: SparkSession): StreamingQuery =
-    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
-      fencedApply(store, feature, checkpointDir, batchId) {
-        // persisted: read by the touched-bucket probe AND the merge add
-        val bp = graft.ops.Stats.numericProfileByGroup(
-          batch, valueCol, groupCol, bins, binWidthMicro)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        if (store.latestVersion(feature).isEmpty)
-          store.write(bp, feature, Seq(groupCol, "bin"))
-        else {
-          val touched = store.readTouched(feature, Seq(groupCol, "bin"),
-            bp.select(groupCol, "bin"), None)
-          val merged = touched
-            .select(col(groupCol), col("bin"), col("n").as("__n0"))
-            .join(bp, Seq(groupCol, "bin"), "full_outer")
-            .select(col(groupCol), col("bin"),
-              (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"))
-          store.merge(feature, merged, Seq(groupCol, "bin"))
-        }
-        bp.unpersist()
-      }
-      ()
-    }
+    ingestAdditiveCounts(stream, checkpointDir, trigger, store, feature,
+      Seq(groupCol, "bin"))(b =>
+      graft.ops.Stats.numericProfileByGroup(b, valueCol, groupCol, bins,
+        binWidthMicro))
 
   /** Streaming TIMELINE maintenance — keep a persisted
     * [[graft.ops.Events.bucketCategoryProfile]] current as event batches
@@ -520,28 +503,9 @@ object Fastlane {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow())
       (implicit spark: SparkSession): StreamingQuery =
-    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
-      fencedApply(store, feature, checkpointDir, batchId) {
-        // persisted: read by the touched-bucket probe AND the merge add
-        val bp = graft.ops.Events.bucketCategoryProfile(
-          batch, catCol, tsCol, bucketSec)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        if (store.latestVersion(feature).isEmpty)
-          store.write(bp, feature, Seq("bucket_start", catCol))
-        else {
-          val touched = store.readTouched(feature, Seq("bucket_start", catCol),
-            bp.select("bucket_start", catCol), None)
-          val merged = touched
-            .select(col("bucket_start"), col(catCol), col("n").as("__n0"))
-            .join(bp, Seq("bucket_start", catCol), "full_outer")
-            .select(col("bucket_start"), col(catCol),
-              (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"))
-          store.merge(feature, merged, Seq("bucket_start", catCol))
-        }
-        bp.unpersist()
-      }
-      ()
-    }
+    ingestAdditiveCounts(stream, checkpointDir, trigger, store, feature,
+      Seq("bucket_start", catCol))(b =>
+      graft.ops.Events.bucketCategoryProfile(b, catCol, tsCol, bucketSec))
 
   /** SEGMENTED streaming timeline maintenance —
     * [[ingestBucketCategoryProfile]] keyed (group, bucket_start, cat):
@@ -563,30 +527,10 @@ object Fastlane {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow())
       (implicit spark: SparkSession): StreamingQuery =
-    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
-      fencedApply(store, feature, checkpointDir, batchId) {
-        // persisted: read by the touched-bucket probe AND the merge add
-        val bp = graft.ops.Events.bucketCategoryProfileByGroup(
-          batch, catCol, tsCol, groupCol, bucketSec)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val keys = Seq(groupCol, "bucket_start", catCol)
-        if (store.latestVersion(feature).isEmpty)
-          store.write(bp, feature, keys)
-        else {
-          val touched = store.readTouched(feature, keys,
-            bp.select(keys.head, keys.tail: _*), None)
-          val merged = touched
-            .select(col(groupCol), col("bucket_start"), col(catCol),
-              col("n").as("__n0"))
-            .join(bp, keys, "full_outer")
-            .select(col(groupCol), col("bucket_start"), col(catCol),
-              (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"))
-          store.merge(feature, merged, keys)
-        }
-        bp.unpersist()
-      }
-      ()
-    }
+    ingestAdditiveCounts(stream, checkpointDir, trigger, store, feature,
+      Seq(groupCol, "bucket_start", catCol))(b =>
+      graft.ops.Events.bucketCategoryProfileByGroup(b, catCol, tsCol,
+        groupCol, bucketSec))
 
   /** Streaming NUMERIC-TIMELINE maintenance — keep a persisted
     * [[graft.ops.Events.bucketNumericProfile]] current as event batches
@@ -610,28 +554,10 @@ object Fastlane {
       bins: Int = 16, binWidthMicro: Long = 31250000L,
       trigger: Trigger = Trigger.AvailableNow())
       (implicit spark: SparkSession): StreamingQuery =
-    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
-      fencedApply(store, feature, checkpointDir, batchId) {
-        // persisted: read by the touched-bucket probe AND the merge add
-        val bp = graft.ops.Events.bucketNumericProfile(
-          batch, valueCol, tsCol, bucketSec, bins, binWidthMicro)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        if (store.latestVersion(feature).isEmpty)
-          store.write(bp, feature, Seq("bucket_start", "bin"))
-        else {
-          val touched = store.readTouched(feature, Seq("bucket_start", "bin"),
-            bp.select("bucket_start", "bin"), None)
-          val merged = touched
-            .select(col("bucket_start"), col("bin"), col("n").as("__n0"))
-            .join(bp, Seq("bucket_start", "bin"), "full_outer")
-            .select(col("bucket_start"), col("bin"),
-              (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"))
-          store.merge(feature, merged, Seq("bucket_start", "bin"))
-        }
-        bp.unpersist()
-      }
-      ()
-    }
+    ingestAdditiveCounts(stream, checkpointDir, trigger, store, feature,
+      Seq("bucket_start", "bin"))(b =>
+      graft.ops.Events.bucketNumericProfile(b, valueCol, tsCol, bucketSec,
+        bins, binWidthMicro))
 
   /** SEGMENTED streaming NUMERIC-TIMELINE maintenance —
     * [[ingestBucketNumericProfile]] keyed (group, bucket_start, bin):
@@ -653,30 +579,10 @@ object Fastlane {
       bins: Int = 16, binWidthMicro: Long = 31250000L,
       trigger: Trigger = Trigger.AvailableNow())
       (implicit spark: SparkSession): StreamingQuery =
-    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
-      fencedApply(store, feature, checkpointDir, batchId) {
-        // persisted: read by the touched-bucket probe AND the merge add
-        val bp = graft.ops.Events.bucketNumericProfileByGroup(
-          batch, valueCol, tsCol, groupCol, bucketSec, bins, binWidthMicro)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val keys = Seq(groupCol, "bucket_start", "bin")
-        if (store.latestVersion(feature).isEmpty)
-          store.write(bp, feature, keys)
-        else {
-          val touched = store.readTouched(feature, keys,
-            bp.select(keys.head, keys.tail: _*), None)
-          val merged = touched
-            .select(col(groupCol), col("bucket_start"), col("bin"),
-              col("n").as("__n0"))
-            .join(bp, keys, "full_outer")
-            .select(col(groupCol), col("bucket_start"), col("bin"),
-              (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"))
-          store.merge(feature, merged, keys)
-        }
-        bp.unpersist()
-      }
-      ()
-    }
+    ingestAdditiveCounts(stream, checkpointDir, trigger, store, feature,
+      Seq(groupCol, "bucket_start", "bin"))(b =>
+      graft.ops.Events.bucketNumericProfileByGroup(b, valueCol, tsCol,
+        groupCol, bucketSec, bins, binWidthMicro))
 
   /** SEGMENTED streaming embedding-profile maintenance —
     * [[ingestEmbeddingProfile]] keyed (group, pos, bin): each micro-batch

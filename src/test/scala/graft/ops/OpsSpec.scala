@@ -3712,13 +3712,15 @@ class EwmaSpec extends SparkSpec {
 
   test("bucketCategoryProfile: FLOOR bucketing — a pre-1970 event lands in the bucket starting BEFORE it") {
     import org.apache.spark.sql.functions._
-    def ts(s: String) = java.sql.Timestamp.valueOf(s)
-    // 1969-12-31 23:30:00 UTC = epoch −1800 s: truncate-toward-zero would
+    // epoch-anchored (NOT Timestamp.valueOf, which parses in the JVM
+    // default TZ and would shift the instants on a non-UTC machine):
+    // epoch −1800 s = 1969-12-31 23:30 UTC — truncate-toward-zero would
     // put it in bucket 0 (which STARTS AFTER the event); floor puts it in
     // bucket −3600 — SQL `//` semantics, as the DuckDB oracle computes
+    def ts(epochSec: Long) = new java.sql.Timestamp(epochSec * 1000L)
     val df = Seq(
-      (ts("1969-12-31 23:30:00"), "a"),
-      (ts("1970-01-01 00:30:00"), "a"))
+      (ts(-1800L), "a"),
+      (ts(1800L), "a"))
       .toDF("ts", "cat")
     val out = Events.bucketCategoryProfile(df, "cat", "ts", 3600L)
       .orderBy("bucket_start")

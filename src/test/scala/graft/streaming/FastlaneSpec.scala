@@ -56,19 +56,28 @@ class FastlaneSpec extends SparkSpec {
     val session = new Fastlane.ServingSession(feature, storeB)
     def table(st: FeatureStore) = st.read(feature.name)
       .select("user_id", "sum_value", "n")
-      .as[(Long, Double, Long)].collect().sorted.toList
+      .as[(Option[Long], Double, Long)].collect().sortBy(r => (r._1, r._2))
+      .toList
+    val nullKey = Seq((0L, 7.0)).toDF("user_id", "value")
+      .withColumn("user_id", lit(null).cast("long"))
     val calls = Seq(
-      Seq((2L, 100.0)),                    // update an existing key
-      Seq((3L, 7.0)),                      // insert a new key
-      Seq((1L, 1.0), (1L, 2.0), (4L, 4.0)) // multi-row frame, dup key inside
+      Seq((2L, 100.0)).toDF("user_id", "value"), // update an existing key
+      Seq((3L, 7.0)).toDF("user_id", "value"),   // insert a new key
+      Seq((1L, 1.0), (1L, 2.0), (4L, 4.0))       // multi-row frame, dup key
+        .toDF("user_id", "value"),
+      // NULL entity key, TWICE: an equi-join merge never matches NULL
+      // keys, so both routes must ACCUMULATE the null-key rows
+      nullKey, nullKey
     )
-    for (c <- calls) {
-      val df = c.toDF("user_id", "value")
+    for ((df, i) <- calls.zipWithIndex) {
       Fastlane.serveOnce(feature, df, storeA)
       session.serve(df)
       assert(table(storeB) == table(storeA),
-        s"session diverged from serveOnce after $c")
+        s"session diverged from serveOnce after call $i")
     }
+    // the null-key convention is the accumulate one (not silently replaced)
+    assert(table(storeA).count(_._1.isEmpty) == 2,
+      s"null-key rows must accumulate: ${table(storeA)}")
     // every call committed a durable, time-travelable version
     assert(storeB.versions(feature.name).size == 1 + calls.size)
     // a session starting on an EMPTY feature bootstraps like serveOnce
