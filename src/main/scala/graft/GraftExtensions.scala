@@ -264,7 +264,7 @@ object GraftExtensions {
         ops.Similarity.mmrSelect(table(str(args(0), "corpusTable")),
           str(args(1), "idCol"), str(args(2), "vecCol"),
           table(str(args(3), "queryTable")), str(args(4), "queryVecCol"),
-          int(args(5), "k"), int(args(6), "lambdaMicro").toLong)
+          int(args(5), "k"), lng(args(6), "lambdaMicro"))
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_ivf_recall_curve"),
@@ -346,7 +346,7 @@ object GraftExtensions {
           int(args(5), "numBuckets"))(SparkSession.active)
         store.changes(str(args(1), "feature"),
             str(args(2), "entityKeysCsv").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-            int(args(3), "fromVersion").toLong, int(args(4), "toVersion").toLong)
+            lng(args(3), "fromVersion"), lng(args(4), "toVersion"))
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_time_travel"),
@@ -355,7 +355,7 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 5,
           "usage: graft_time_travel(storeRoot, feature, entityKeysCsv, asOfVersion, numBuckets)")
-        val v = int(args(3), "asOfVersion").toLong
+        val v = lng(args(3), "asOfVersion")
         val store = new core.BucketedStore(str(args(0), "storeRoot"),
           int(args(4), "numBuckets"))(SparkSession.active)
         store.read(str(args(1), "feature"),
@@ -743,7 +743,7 @@ object GraftExtensions {
           "usage: graft_category_drift_timeline(table, catCol, tsCol, refTable, bucketSec)")
         ops.Events.categoryDriftTimeline(table(str(args(0), "table")),
           str(args(1), "catCol"), str(args(2), "tsCol"),
-          table(str(args(3), "refTable")), int(args(4), "bucketSec").toLong)
+          table(str(args(3), "refTable")), lng(args(4), "bucketSec"))
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_embedding_drift_attribution_by_group"),
@@ -788,7 +788,7 @@ object GraftExtensions {
         require(args.length == 2,
           "usage: graft_timeline_anomalies(timelineTable, k)")
         ops.Events.timelineAnomalies(table(str(args(0), "timelineTable")),
-          int(args(1), "k").toLong)
+          lng(args(1), "k"))
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_numeric_profile"),
@@ -799,7 +799,7 @@ object GraftExtensions {
           "usage: graft_numeric_profile(table, valueCol, bins, binWidthMicro)")
         ops.Stats.numericProfile(table(str(args(0), "table")),
           str(args(1), "valueCol"), int(args(2), "bins"),
-          int(args(3), "binWidthMicro").toLong)
+          lng(args(3), "binWidthMicro"))
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_numeric_shape_drift"),
@@ -810,7 +810,7 @@ object GraftExtensions {
           "usage: graft_numeric_shape_drift(tableA, tableB, valueCol, bins, binWidthMicro)")
         ops.Stats.numericShapeDrift(table(str(args(0), "tableA")),
           table(str(args(1), "tableB")), str(args(2), "valueCol"),
-          int(args(3), "bins"), int(args(4), "binWidthMicro").toLong)
+          int(args(3), "bins"), lng(args(4), "binWidthMicro"))
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_numeric_shape_drift_from_profiles"),
@@ -831,7 +831,7 @@ object GraftExtensions {
           "usage: graft_numeric_profile_by_group(table, valueCol, groupCol, bins, binWidthMicro)")
         ops.Stats.numericProfileByGroup(table(str(args(0), "table")),
           str(args(1), "valueCol"), str(args(2), "groupCol"),
-          int(args(3), "bins"), int(args(4), "binWidthMicro").toLong)
+          int(args(3), "bins"), lng(args(4), "binWidthMicro"))
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_numeric_shape_drift_by_group"),
@@ -843,7 +843,7 @@ object GraftExtensions {
         ops.Stats.numericShapeDriftByGroup(table(str(args(0), "tableA")),
           table(str(args(1), "tableB")), str(args(2), "valueCol"),
           str(args(3), "groupCol"), int(args(4), "bins"),
-          int(args(5), "binWidthMicro").toLong)
+          lng(args(5), "binWidthMicro"))
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_numeric_shape_drift_by_group_from_profiles"),
@@ -865,7 +865,7 @@ object GraftExtensions {
           "usage: graft_bucket_category_profile(table, catCol, tsCol, bucketSec)")
         ops.Events.bucketCategoryProfile(table(str(args(0), "table")),
           str(args(1), "catCol"), str(args(2), "tsCol"),
-          int(args(3), "bucketSec").toLong)
+          lng(args(3), "bucketSec"))
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_category_drift_timeline_from_profiles"),
@@ -888,7 +888,7 @@ object GraftExtensions {
         ops.Events.categoryDriftTimelineByGroup(table(str(args(0), "table")),
           str(args(1), "catCol"), str(args(2), "tsCol"),
           str(args(3), "groupCol"), table(str(args(4), "refTable")),
-          int(args(5), "bucketSec").toLong)
+          lng(args(5), "bucketSec"))
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_bucket_category_profile_by_group"),
@@ -899,7 +899,7 @@ object GraftExtensions {
           "usage: graft_bucket_category_profile_by_group(table, catCol, tsCol, groupCol, bucketSec)")
         ops.Events.bucketCategoryProfileByGroup(table(str(args(0), "table")),
           str(args(1), "catCol"), str(args(2), "tsCol"),
-          str(args(3), "groupCol"), int(args(4), "bucketSec").toLong)
+          str(args(3), "groupCol"), lng(args(4), "bucketSec"))
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_category_drift_timeline_by_group_from_profiles"),
@@ -922,8 +922,8 @@ object GraftExtensions {
         ops.Events.numericDriftTimelineByGroup(table(str(args(0), "table")),
           str(args(1), "valueCol"), str(args(2), "tsCol"),
           str(args(3), "groupCol"), table(str(args(4), "refTable")),
-          int(args(5), "bucketSec").toLong, int(args(6), "bins"),
-          int(args(7), "binWidthMicro").toLong)
+          lng(args(5), "bucketSec"), int(args(6), "bins"),
+          lng(args(7), "binWidthMicro"))
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_bucket_numeric_profile_by_group"),
@@ -934,8 +934,8 @@ object GraftExtensions {
           "usage: graft_bucket_numeric_profile_by_group(table, valueCol, tsCol, groupCol, bucketSec, bins, binWidthMicro)")
         ops.Events.bucketNumericProfileByGroup(table(str(args(0), "table")),
           str(args(1), "valueCol"), str(args(2), "tsCol"),
-          str(args(3), "groupCol"), int(args(4), "bucketSec").toLong,
-          int(args(5), "bins"), int(args(6), "binWidthMicro").toLong)
+          str(args(3), "groupCol"), lng(args(4), "bucketSec"),
+          int(args(5), "bins"), lng(args(6), "binWidthMicro"))
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_numeric_drift_timeline_by_group_from_profiles"),
@@ -956,7 +956,7 @@ object GraftExtensions {
         require(args.length == 3,
           "usage: graft_timeline_anomalies_by_group(timelineTable, groupCol, k)")
         ops.Events.timelineAnomaliesByGroup(table(str(args(0), "timelineTable")),
-          str(args(1), "groupCol"), int(args(2), "k").toLong)
+          str(args(1), "groupCol"), lng(args(2), "k"))
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_vocabulary_novelty"),
@@ -977,8 +977,8 @@ object GraftExtensions {
           "usage: graft_numeric_drift_timeline(table, valueCol, tsCol, refTable, bucketSec, bins, binWidthMicro)")
         ops.Events.numericDriftTimeline(table(str(args(0), "table")),
           str(args(1), "valueCol"), str(args(2), "tsCol"),
-          table(str(args(3), "refTable")), int(args(4), "bucketSec").toLong,
-          int(args(5), "bins"), int(args(6), "binWidthMicro").toLong)
+          table(str(args(3), "refTable")), lng(args(4), "bucketSec"),
+          int(args(5), "bins"), lng(args(6), "binWidthMicro"))
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_bucket_numeric_profile"),
@@ -989,8 +989,8 @@ object GraftExtensions {
           "usage: graft_bucket_numeric_profile(table, valueCol, tsCol, bucketSec, bins, binWidthMicro)")
         ops.Events.bucketNumericProfile(table(str(args(0), "table")),
           str(args(1), "valueCol"), str(args(2), "tsCol"),
-          int(args(3), "bucketSec").toLong, int(args(4), "bins"),
-          int(args(5), "binWidthMicro").toLong)
+          lng(args(3), "bucketSec"), int(args(4), "bins"),
+          lng(args(5), "binWidthMicro"))
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_numeric_drift_timeline_from_profiles"),

@@ -4608,7 +4608,11 @@ object SparkEntry {
             ops.Events.bucketCategoryProfile(ev, "event_type", "ts", 604800L),
             "cdtprof", Seq("bucket_start", "event_type"),
             clusterCols = Seq("bucket_start"))
-        val ref = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        // NULL categories filtered from the ref, matching the sibling
+        // timeline queries (q229/q256): a NULL ref category would ride the
+        // scoring spine and tie-break differently across engines
+        val ref = ev.where(col("event_type").isNotNull)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
         // slice bounds from the stored profile itself: weeks [2, 5) after
         // the first bucket — a 1-row bounded agg, not an event scan
         val lo = store.read("cdtprof", Seq("bucket_start", "event_type"))
@@ -4630,7 +4634,7 @@ object SparkEntry {
         c AS (SELECT c0.* FROM c0, w
               WHERE bucket_start >= w.lo AND bucket_start <= w.lo + 1814400),
         ref AS (SELECT event_type AS cat, CAST(count(*) AS HUGEINT) AS n_a
-                FROM events GROUP BY 1),
+                FROM events WHERE event_type IS NOT NULL GROUP BY 1),
         bk AS (SELECT bucket_start, sum(n_b) AS t_b,
                       CAST(sum(n_b) AS BIGINT) AS n_events FROM c GROUP BY 1),
         cats AS (SELECT DISTINCT cat FROM

@@ -54,11 +54,19 @@ object Events {
     *
     * Scale shape: the only data-sized pass is the keyed daily aggregation
     * (one shuffle). The day spine is generated from the 1-row min/max
-    * aggregate (`sequence` + explode — days, not events), the key list is
-    * the post-agg distinct, and the fill join runs small×small post-agg —
-    * at 100 TB the grid is |keys|·|days|, never event-sized.
+    * aggregate (`sequence` + explode — days, not events), BROADCAST into
+    * the fill (the key side — the big one at scale — never shuffles for
+    * the grid), and the fill join runs small×small post-agg — at 100 TB
+    * the grid is |keys|·|days|, never event-sized. The grid IS the
+    * output, so it rides the family's loud PRODUCT guard: |keys|·|days|
+    * over `maxGrid` fails in-plan (a 10⁹-key table crossed with a
+    * 10-year spine is a 3.6×10¹²-row grid no caller wants silently) —
+    * evaluated on the broadcast spine side, so the guard fires while the
+    * broadcast builds, before any grid row materializes.
     */
-  def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+  def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String,
+      maxGrid: Long = 1L << 26): DataFrame = {
+    require(maxGrid >= 1, s"maxGrid must be >= 1, got $maxGrid")
     // persisted: the spine bounds, the key list, and the fill join all read
     // this grid-sized frame — without the persist each use re-runs the
     // event-sized aggregation (three full scans at 100 TB)
@@ -68,9 +76,23 @@ object Events {
       .persistTracked()
     val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
-    val grid = daily.select(col(keyCol)).distinct().crossJoin(spine)
+    // 1-row guard stats: both factors are post-agg bounded aggregates
+    val stats = daily.select(col(keyCol)).distinct().agg(count(lit(1)).as("__nk"))
+      .crossJoin(daily.agg(
+        (datediff(max(col("day")), min(col("day"))) + 1).cast("long").as("__nd")))
+    val spineGuarded = spine.crossJoin(broadcast(stats))
+      .select(col("day"),
+        when(col("__nk") * col("__nd") > maxGrid,
+          raise_error(concat(lit("gapFillDaily: grid "), col("__nk"),
+            lit(" keys × "), col("__nd"),
+            lit(s" days > maxGrid=$maxGrid — bound the key set or the time " +
+              "range; raise the cap only if the cluster can hold the full " +
+              "grid"))))
+          .otherwise(lit(0L)).as("__zero"))
+    val grid = daily.select(col(keyCol)).distinct().crossJoin(broadcast(spineGuarded))
     grid.join(daily, Seq(keyCol, "day"), "left")
-      .na.fill(0L, Seq("n_events"))
+      .select(col(keyCol), col("day"),
+        (coalesce(col("n_events"), lit(0L)) + col("__zero")).as("n_events"))
   }
 
   /** Three-step funnel in ONE user-keyed shuffle — no self-joins. For each
@@ -263,7 +285,16 @@ object Events {
     * a bucket STARTING AFTER it; subtracting the non-negative `pmod`
     * remainder first makes the division exact, so truncation == floor on
     * the whole timeline — matching SQL `//` floor semantics and the
-    * library's own RangeJoin bucketing. */
+    * library's own RangeJoin bucketing.
+    *
+    * MIGRATION NOTE (r17 change): builds before this used
+    * truncate-toward-zero, which assigns pre-1970 (negative-epoch) events
+    * to a DIFFERENT bucket_start than floor does. A stored bucket*Profile
+    * feature containing pre-1970 events and written by an earlier build
+    * will not merge-align with newly computed buckets — the same period
+    * splits into two bucket_start keys on merge-add. Rebuild such
+    * profiles from the events once; profiles with no pre-1970 data are
+    * unaffected (the two rules agree on non-negative epochs). */
   private[graft] def floorBucket(ts: Column, bucketSec: Long): Column = {
     val us = TimeCols.epochMicros(ts)
     val w = bucketSec * 1000000L
@@ -447,8 +478,12 @@ object Events {
         (dec(col("n_a")) + dec(col("n_b"))) * dec(col("t_a")) * dec(col("t_b")))
         .cast("long"))
     val scored = spine.withColumn("__contrib", contrib)
+    // nulls LAST on the tie-break: a NULL category can only enter via the
+    // caller's reference profile (observed counts filter NULLs), and SQL
+    // engines put NULLs last on ASC — nulls-first would let a NULL ref
+    // category win an all-zero tie and diverge from every SQL oracle
     val wTop = Window.partitionBy(col(groupCol), col("bucket_start"))
-      .orderBy(col("__contrib").desc, col("__cat").asc)
+      .orderBy(col("__contrib").desc, col("__cat").asc_nulls_last)
     scored
       .withColumn("__rk", row_number().over(wTop))
       .groupBy(col(groupCol), col("bucket_start"))
@@ -764,8 +799,9 @@ object Events {
         (dec(col("n_a")) + dec(col("n_b"))) * dec(col("t_a")) * dec(col("t_b")))
         .cast("long"))
     val scored = spine.withColumn("__contrib", contrib)
+    // nulls LAST on the tie-break — see timelineByGroupFromCounts
     val wTop = Window.partitionBy("bucket_start")
-      .orderBy(col("__contrib").desc, col("__cat").asc)
+      .orderBy(col("__contrib").desc, col("__cat").asc_nulls_last)
     scored
       .withColumn("__rk", row_number().over(wTop))
       .groupBy("bucket_start")

@@ -3241,6 +3241,23 @@ class EventsSpec extends SparkSpec {
       ("a", "2024-01-01", 1L), ("a", "2024-01-02", 0L), ("a", "2024-01-03", 1L),
       ("b", "2024-01-01", 0L), ("b", "2024-01-02", 1L), ("b", "2024-01-03", 0L)))
   }
+
+  test("gapFillDaily: |keys|·|days| over maxGrid fails loudly in-plan") {
+    val df = Seq(
+      ("a", ts("2024-01-01 05:00:00")),
+      ("a", ts("2024-01-03 05:00:00")),
+      ("b", ts("2024-01-02 05:00:00")))
+      .toDF("event_type", "ts")
+    // 2 keys × 3 days = 6 > 5 — the grid guard must fire before the fill
+    val e = intercept[Exception] {
+      Events.gapFillDaily(df, "event_type", "ts", maxGrid = 5L).collect()
+    }
+    assert(e.getMessage.contains("maxGrid"), e.getMessage)
+    // at the cap exactly, the op passes and the answer is unchanged
+    val ok = Events.gapFillDaily(df, "event_type", "ts", maxGrid = 6L)
+      .agg(count(lit(1)), sum("n_events")).as[(Long, Long)].head()
+    assert(ok == ((6L, 3L)))
+  }
 }
 
 class KeywordsSpec extends SparkSpec {
