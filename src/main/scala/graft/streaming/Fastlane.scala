@@ -91,32 +91,64 @@ object Fastlane {
     * remaining listing per call is `write`'s version allocation — the
     * commit protocol itself), the merge is ONE fused action — union +
     * per-key update-wins window filter inside the write job, no
-    * broadcast build — and AQE is pinned off around the session's own
-    * actions (adaptive re-planning buys nothing on serving-sized frames
-    * and costs a scheduler round per stage). Results are IDENTICAL to
+    * broadcast build — and AQE is pinned off on the session's own
+    * dedicated clone (adaptive re-planning buys nothing on serving-sized
+    * frames and costs a scheduler round per stage). Results are IDENTICAL to
     * [[serveOnce]]'s merge (update rows replace current rows per entity
     * key, unmatched — including NULL-KEY rows, which an equi-join merge
     * never matches — carry over; spec-asserted), and every call still
     * commits a durable store version.
     *
-    * Shared-session caveat: the AQE pin is a session-level conf, so an
-    * UNRELATED query planned concurrently on the same SparkSession during
-    * a serve call plans without AQE. The saved value is captured ONCE at
-    * construction and restored after every call, so interleaved sessions
-    * converge back to the constructor-time setting rather than trading
-    * stale per-call snapshots. A dedicated serving SparkSession (the
-    * deployment shape for a latency-critical server) avoids the caveat
-    * entirely. */
+    * Session isolation: the AQE pin is a session-level conf, so pinning
+    * it on the CALLER's SparkSession would make every unrelated query
+    * planned concurrently on that session plan without AQE (the r17
+    * footgun). The constructor therefore CLONES a dedicated serving
+    * session (`spark.newSession()` — same SparkContext, cached data and
+    * UDF/extension registrations, isolated SQLConf), copies the caller's
+    * runtime conf onto it so tuning carries over, and pins AQE off on the
+    * CLONE once — concurrent queries on the caller's session always plan
+    * with their own settings, and the pin needs no per-call save/restore.
+    * Incoming row frames are re-bound onto the serving session (their
+    * ANALYZED plan transplants — resolution already happened against the
+    * caller's catalog), so the whole serve plan executes under the clone.
+    * `serve` is synchronized: the session holds mutable `current` state
+    * and commits versions serially by contract, so a server thread pool
+    * can share one instance safely (calls serialize; run multiple
+    * sessions for parallel serving of DIFFERENT features). */
   final class ServingSession(feature: FeatureDef, store: FeatureStore)
       (implicit spark: SparkSession) {
     import org.apache.spark.sql.expressions.Window
-    private val aqe0 = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    private val serving: SparkSession = {
+      val s = spark.newSession()
+      // carry the caller's runtime tuning onto the clone (newSession starts
+      // from the context defaults, not the caller's runtime sets); static
+      // or unsettable keys are skipped — they can't differ at runtime
+      spark.conf.getAll.foreach { case (k, v) =>
+        try { if (s.conf.get(k, null) != v) s.conf.set(k, v) }
+        catch { case scala.util.control.NonFatal(_) => }
+      }
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s
+    }
+    // the store re-bound to the serving session: FeatureStore plans its
+    // reads/writes on the session it was constructed with, and the AQE pin
+    // only helps if THOSE plans run under the clone
+    private val servingStore = new FeatureStore(store.root)(serving)
+    /** Transplant a caller-session frame onto the serving session: the
+      * analyzed plan is session-independent (resolution already ran), only
+      * the planner/conf binding changes. */
+    private def onServing(df: DataFrame): DataFrame =
+      if (df.sparkSession eq serving) df
+      else new org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row](
+        serving.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        df.queryExecution.analyzed,
+        org.apache.spark.sql.Encoders.row(df.schema))
     // the current table, re-anchored after each commit on the version this
     // session itself wrote — the checked read's manifest listing happens
     // once here, never per call
     private var current: Option[DataFrame] =
-      store.latestVersion(feature.name)
-        .map(v => store.readCommitted(feature.name, v))
+      servingStore.latestVersion(feature.name)
+        .map(v => servingStore.readCommitted(feature.name, v))
 
     /** Serve one mini-frame: transform, merge, commit — ONE Spark action.
       * Returns the new store version. The merge plan: union(current,
@@ -129,32 +161,30 @@ object Fastlane {
       * multi-task parallelism buys nothing and per-file committer
       * overhead dominates. Measured on the ServeLatency harness the
       * p50 sits within ~1.2× of the bare scan+write floor. */
-    def serve(rows: DataFrame): Long = {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try {
-        val out = Versioning.withSystemColumns(feature.transform(rows), feature)
-        val merged = current match {
-          case None => out
-          case Some(cur) =>
-            val keyCols = feature.entityKeys.map(col)
-            val w = Window.partitionBy(keyCols: _*)
-            // a NULL-key current row is kept unconditionally: the
-            // anti-join merge's equi-join never matches NULL keys, while
-            // the window would group NULLs together and drop them
-            val anyNullKey = keyCols.map(_.isNull).reduce(_ || _)
-            cur.withColumn("__upd", lit(0))
-              .unionByName(out.withColumn("__upd", lit(1)),
-                allowMissingColumns = true)
-              .coalesce(1)
-              .withColumn("__anyUpd", max(col("__upd")).over(w))
-              .where(col("__upd") === 1 || col("__anyUpd") === 0 || anyNullKey)
-              .drop("__upd", "__anyUpd")
-        }
-        val v = store.write(merged, feature.name,
-          Map("mode" -> "fastlane_session", "operation" -> "merge"))
-        current = Some(store.readCommitted(feature.name, v))
-        v
-      } finally spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+    def serve(rows: DataFrame): Long = synchronized {
+      val out = Versioning.withSystemColumns(
+        feature.transform(onServing(rows)), feature)
+      val merged = current match {
+        case None => out
+        case Some(cur) =>
+          val keyCols = feature.entityKeys.map(col)
+          val w = Window.partitionBy(keyCols: _*)
+          // a NULL-key current row is kept unconditionally: the
+          // anti-join merge's equi-join never matches NULL keys, while
+          // the window would group NULLs together and drop them
+          val anyNullKey = keyCols.map(_.isNull).reduce(_ || _)
+          cur.withColumn("__upd", lit(0))
+            .unionByName(out.withColumn("__upd", lit(1)),
+              allowMissingColumns = true)
+            .coalesce(1)
+            .withColumn("__anyUpd", max(col("__upd")).over(w))
+            .where(col("__upd") === 1 || col("__anyUpd") === 0 || anyNullKey)
+            .drop("__upd", "__anyUpd")
+      }
+      val v = servingStore.write(merged, feature.name,
+        Map("mode" -> "fastlane_session", "operation" -> "merge"))
+      current = Some(servingStore.readCommitted(feature.name, v))
+      v
     }
   }
 

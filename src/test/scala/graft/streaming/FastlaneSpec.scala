@@ -87,6 +87,35 @@ class FastlaneSpec extends SparkSpec {
     assert(storeC.read(feature.name).count() == 1L)
   }
 
+  test("ServingSession: AQE pin is isolated to the session's clone — the caller session plans with AQE mid-serve") {
+    val caller = spark
+    caller.conf.set("spark.sql.adaptive.enabled", "true")
+    val root = tmpDir("sess_aqe"); val store = new FeatureStore(root)
+    // the transform runs INSIDE serve: a concurrent query planned on the
+    // CALLER's session at that moment must still see AQE on — the r17
+    // shape pinned the shared conf and this probe would have read "false"
+    var aqeDuringServe: Option[String] = None
+    val probing = FeatureDef(
+      name = "aqe_probe",
+      entityKeys = Seq("user_id"),
+      codeVersion = "v1",
+      transform = df => {
+        aqeDuringServe = Some(caller.conf.get("spark.sql.adaptive.enabled"))
+        df.groupBy("user_id").agg(sum(col("value")).as("sum_value"))
+      })
+    val session = new Fastlane.ServingSession(probing, store)
+    session.serve(Seq((1L, 2.0)).toDF("user_id", "value"))
+    session.serve(Seq((1L, 5.0), (2L, 1.0)).toDF("user_id", "value"))
+    assert(aqeDuringServe.contains("true"),
+      s"caller-session AQE leaked during serve: $aqeDuringServe")
+    // and after: the caller conf was never touched
+    assert(caller.conf.get("spark.sql.adaptive.enabled") == "true")
+    // served results land correctly (the serve plan ran on the clone)
+    val out = store.read(probing.name)
+      .select("user_id", "sum_value").as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 5.0, 2L -> 1.0))
+  }
+
   test("ingestDeduped: streaming near-dup gate admits only novel docs across batches") {
     val corpusDir = tmpDir("ing_corpus") + "/c"
     val profileDir = tmpDir("ing_prof") + "/p"
