@@ -1014,6 +1014,78 @@ object GraftExtensions {
           str(args(2), "groupCol"))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_embedding_drift_timeline"),
+      info("graft_embedding_drift_timeline",
+        "graft_embedding_drift_timeline(table, vecCol, tsCol, refProfTable, bucketSec, dim, bins, binWidthMicro) - per-time-bucket exact binned chi-square drift of an embedding column against a fixed reference graft_embedding_profile refProfTable(pos, bin, n): one row per non-empty bucket (bucket_start, n_components, chi2_micro, top_pos, top_bin, top_chi2_micro) - the representation monitor as a dashboard time series"),
+      (args: Seq[Expression]) => {
+        require(args.length == 8,
+          "usage: graft_embedding_drift_timeline(table, vecCol, tsCol, refProfTable, bucketSec, dim, bins, binWidthMicro)")
+        ops.Events.embeddingDriftTimeline(table(str(args(0), "table")),
+          str(args(1), "vecCol"), str(args(2), "tsCol"),
+          table(str(args(3), "refProfTable")), lng(args(4), "bucketSec"),
+          int(args(5), "dim"), int(args(6), "bins"),
+          lng(args(7), "binWidthMicro"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_bucket_embedding_profile"),
+      info("graft_bucket_embedding_profile",
+        "graft_bucket_embedding_profile(table, vecCol, tsCol, bucketSec, dim, bins, binWidthMicro) - the embedding timeline's ADDITIVE sufficient statistic: per (bucket_start, pos, bin) component counts and exact micro sums, additive under (bucket_start, pos, bin)-keyed sum; serves graft_embedding_drift_timeline_from_profiles without re-touching the vectors"),
+      (args: Seq[Expression]) => {
+        require(args.length == 7,
+          "usage: graft_bucket_embedding_profile(table, vecCol, tsCol, bucketSec, dim, bins, binWidthMicro)")
+        ops.Events.bucketEmbeddingProfile(table(str(args(0), "table")),
+          str(args(1), "vecCol"), str(args(2), "tsCol"),
+          lng(args(3), "bucketSec"), int(args(4), "dim"),
+          int(args(5), "bins"), lng(args(6), "binWidthMicro"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_embedding_drift_timeline_from_profiles"),
+      info("graft_embedding_drift_timeline_from_profiles",
+        "graft_embedding_drift_timeline_from_profiles(profTable, refTable) - the embedding drift timeline SERVED from a stored graft_bucket_embedding_profile frame: identical answer to the direct route over the vectors the profile summarizes, vectors never touched at serve time; (bucket_start, n_components, chi2_micro, top_pos, top_bin, top_chi2_micro)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "usage: graft_embedding_drift_timeline_from_profiles(profTable, refTable)")
+        ops.Events.embeddingDriftTimelineFromProfiles(
+          table(str(args(0), "profTable")), table(str(args(1), "refTable")))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_embedding_drift_timeline_by_group"),
+      info("graft_embedding_drift_timeline_by_group",
+        "graft_embedding_drift_timeline_by_group(table, vecCol, tsCol, groupCol, refTable, bucketSec, dim, bins, binWidthMicro) - SEGMENTED embedding drift timeline: per (group, time bucket) the exact binned chi-square of an embedding column against the GROUP'S OWN reference graft_embedding_profile_by_group refTable(groupCol, pos, bin, n); (group, bucket_start, n_components, chi2_micro, top_pos, top_bin, top_chi2_micro)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 9,
+          "usage: graft_embedding_drift_timeline_by_group(table, vecCol, tsCol, groupCol, refTable, bucketSec, dim, bins, binWidthMicro)")
+        ops.Events.embeddingDriftTimelineByGroup(table(str(args(0), "table")),
+          str(args(1), "vecCol"), str(args(2), "tsCol"),
+          str(args(3), "groupCol"), table(str(args(4), "refTable")),
+          lng(args(5), "bucketSec"), int(args(6), "dim"),
+          int(args(7), "bins"), lng(args(8), "binWidthMicro"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_bucket_embedding_profile_by_group"),
+      info("graft_bucket_embedding_profile_by_group",
+        "graft_bucket_embedding_profile_by_group(table, vecCol, tsCol, groupCol, bucketSec, dim, bins, binWidthMicro) - the SEGMENTED embedding timeline's ADDITIVE sufficient statistic: per (group, bucket_start, pos, bin) component counts and micro sums; serves graft_embedding_drift_timeline_by_group_from_profiles without re-touching the vectors"),
+      (args: Seq[Expression]) => {
+        require(args.length == 8,
+          "usage: graft_bucket_embedding_profile_by_group(table, vecCol, tsCol, groupCol, bucketSec, dim, bins, binWidthMicro)")
+        ops.Events.bucketEmbeddingProfileByGroup(table(str(args(0), "table")),
+          str(args(1), "vecCol"), str(args(2), "tsCol"),
+          str(args(3), "groupCol"), lng(args(4), "bucketSec"),
+          int(args(5), "dim"), int(args(6), "bins"),
+          lng(args(7), "binWidthMicro"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_embedding_drift_timeline_by_group_from_profiles"),
+      info("graft_embedding_drift_timeline_by_group_from_profiles",
+        "graft_embedding_drift_timeline_by_group_from_profiles(profTable, groupCol, refTable) - the SEGMENTED embedding drift timeline SERVED from a stored graft_bucket_embedding_profile_by_group frame: identical answer to the direct route, vectors never touched at serve time"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "usage: graft_embedding_drift_timeline_by_group_from_profiles(profTable, groupCol, refTable)")
+        ops.Events.embeddingDriftTimelineByGroupFromProfiles(
+          table(str(args(0), "profTable")), table(str(args(2), "refTable")),
+          str(args(1), "groupCol"))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_exact_percentiles"),
       info("graft_exact_percentiles",
         "graft_exact_percentiles(table, valueCol, psCsv) - EXACT percentiles of an unbounded-cardinality double column by iterative rank-selection (one p<NN> column per requested percentile). NOTE: the narrowing rounds RUN at analysis time"),

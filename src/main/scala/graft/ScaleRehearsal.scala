@@ -630,6 +630,18 @@ object ScaleRehearsal {
             "event_type",
             ops.Stats.numericProfileByGroup(ev, "value", "event_type"),
             bucketSec = 604800L))),
+        // embedding timeline: ONE vector-sized (bucket, pos, bin) count
+        // (posexplode map-side partial agg); spine and scoring
+        // (buckets × dim·bins)-bounded — expect ~scan-linear. Replicas
+        // extend the id range, so the TIME AXIS grows linearly while the
+        // cell universe stays fixed — the shape of a dashboard aging
+        "q268_embedding_drift_timeline" -> (() => {
+          val embTs = emb.withColumn("ts",
+            timestamp_micros(col("vec_id") * lit(3600000000L)))
+          force(ops.Events.embeddingDriftTimeline(embTs, "embedding", "ts",
+            ops.Similarity.embeddingProfile(emb, "embedding"),
+            bucketSec = 604800L))
+        }),
         // segmented timeline: ONE event-sized (group, bucket, cat) count;
         // every downstream join keyed group-first — expect ~scan-linear
         // (replicas add USERS, so cohorts keep their shape)

@@ -665,6 +665,157 @@ object SparkEntry {
         JOIN mad ON mad.cohort = tl.cohort
         ORDER BY tl.cohort, tl.bucket_start"""
 
+  /** q268 / q269 / q270 shared oracle: EMBEDDING drift timeline — per
+    * weekly bucket the exact binned chi-square of the bucket's
+    * per-(dimension, bin) component distribution against the whole
+    * table's embeddingProfile as reference ([[sqlNumericDriftTimeline]]'s
+    * structure with [[sqlEmbeddingShapeDrift]]'s (pos, bin) cells as the
+    * categories), plus the bucket's top-contribution cell (ties →
+    * smallest (pos, bin)). Vector timestamps are synthesized
+    * deterministically as vec_id HOURS since epoch (the embeddings
+    * fixture carries no ts column), identically on both engines. q269
+    * serves the identical answer from additive (bucket, pos, bin)
+    * profiles, q270 is the SQL-TVF route. */
+  private lazy val sqlEmbeddingDriftTimeline: String = s"""
+        WITH e AS MATERIALIZED (
+          SELECT ((vec_id * 3600) // 604800) * 604800 AS bucket_start,
+                 $sqlQVec AS v FROM embeddings),
+        c AS MATERIALIZED (SELECT bucket_start, i.range - 1 AS pos,
+               least(greatest(CAST(floor(CAST(COALESCE(v[i.range], 0) AS DOUBLE) / 31250) AS BIGINT), -8), 7) AS bin,
+               CAST(count(*) AS HUGEINT) AS n_b
+             FROM e CROSS JOIN range(1, 65) i GROUP BY 1, 2, 3),
+        ref AS MATERIALIZED (SELECT i.range - 1 AS pos,
+               least(greatest(CAST(floor(CAST(COALESCE(v[i.range], 0) AS DOUBLE) / 31250) AS BIGINT), -8), 7) AS bin,
+               CAST(count(*) AS HUGEINT) AS n_a
+             FROM e CROSS JOIN range(1, 65) i GROUP BY 1, 2),
+        bk AS (SELECT bucket_start, sum(n_b) AS t_b,
+                      CAST(sum(n_b) AS BIGINT) AS n_components FROM c GROUP BY 1),
+        cells AS (SELECT DISTINCT pos, bin FROM
+                 (SELECT pos, bin FROM c UNION SELECT pos, bin FROM ref)),
+        t AS (SELECT sum(n_a) AS t_a FROM ref),
+        sp AS (SELECT bk.bucket_start, bk.n_components, cells.pos, cells.bin,
+                  COALESCE(ref.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b,
+                  t.t_a, bk.t_b
+               FROM bk CROSS JOIN cells
+               LEFT JOIN ref ON ref.pos = cells.pos AND ref.bin = cells.bin
+               LEFT JOIN c ON c.bucket_start = bk.bucket_start
+                          AND c.pos = cells.pos AND c.bin = cells.bin
+               CROSS JOIN t),
+        sc AS (SELECT bucket_start, n_components, pos, bin,
+                  CASE WHEN t_a = 0 OR t_b = 0 OR n_a + n_b = 0
+                       THEN CAST(0 AS HUGEINT)
+                       ELSE (1000000 * (n_a*t_b - n_b*t_a) * (n_a*t_b - n_b*t_a))
+                            // ((n_a + n_b) * t_a * t_b) END AS contrib
+               FROM sp),
+        rk AS (SELECT *, row_number() OVER
+                 (PARTITION BY bucket_start ORDER BY contrib DESC, pos, bin) AS rk
+               FROM sc)
+        SELECT bucket_start,
+          CAST(max(n_components) AS BIGINT) AS n_components,
+          CAST(sum(contrib) AS BIGINT) AS chi2_micro,
+          CAST(max(CASE WHEN rk = 1 THEN pos END) AS INT) AS top_pos,
+          CAST(max(CASE WHEN rk = 1 THEN bin END) AS BIGINT) AS top_bin,
+          CAST(max(CASE WHEN rk = 1 THEN contrib END) AS BIGINT) AS top_chi2_micro
+        FROM rk GROUP BY bucket_start ORDER BY bucket_start"""
+
+  /** q271 / q272 / q273 shared oracle: SEGMENTED embedding drift timeline
+    * — per (label, weekly bucket) the exact binned (pos, bin)-cell
+    * chi-square against the LABEL'S OWN whole-table embedding profile
+    * ([[sqlNumericDriftTimelineByGroup]]'s structure with embedding
+    * cells). q272 serves the identical answer from additive
+    * (group, bucket, pos, bin) profiles, q273 is the SQL-TVF route. */
+  private lazy val sqlEmbeddingDriftTimelineByGroup: String = s"""
+        WITH e AS MATERIALIZED (
+          SELECT label AS g, ((vec_id * 3600) // 604800) * 604800 AS bucket_start,
+                 $sqlQVec AS v FROM embeddings WHERE label IS NOT NULL),
+        c AS MATERIALIZED (SELECT g, bucket_start, i.range - 1 AS pos,
+               least(greatest(CAST(floor(CAST(COALESCE(v[i.range], 0) AS DOUBLE) / 31250) AS BIGINT), -8), 7) AS bin,
+               CAST(count(*) AS HUGEINT) AS n_b
+             FROM e CROSS JOIN range(1, 65) i GROUP BY 1, 2, 3, 4),
+        ref AS MATERIALIZED (SELECT g, i.range - 1 AS pos,
+               least(greatest(CAST(floor(CAST(COALESCE(v[i.range], 0) AS DOUBLE) / 31250) AS BIGINT), -8), 7) AS bin,
+               CAST(count(*) AS HUGEINT) AS n_a
+             FROM e CROSS JOIN range(1, 65) i GROUP BY 1, 2, 3),
+        bk AS (SELECT g, bucket_start, sum(n_b) AS t_b,
+                      CAST(sum(n_b) AS BIGINT) AS n_components FROM c GROUP BY 1, 2),
+        cells AS (SELECT DISTINCT g, pos, bin FROM
+                 (SELECT g, pos, bin FROM c UNION SELECT g, pos, bin FROM ref)),
+        t AS (SELECT g, sum(n_a) AS t_a FROM ref GROUP BY 1),
+        sp AS (SELECT bk.g, bk.bucket_start, bk.n_components, cells.pos, cells.bin,
+                  COALESCE(ref.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b,
+                  COALESCE(t.t_a, 0) AS t_a, bk.t_b
+               FROM bk JOIN cells ON cells.g = bk.g
+               LEFT JOIN ref ON ref.g = bk.g AND ref.pos = cells.pos
+                            AND ref.bin = cells.bin
+               LEFT JOIN c ON c.g = bk.g AND c.bucket_start = bk.bucket_start
+                          AND c.pos = cells.pos AND c.bin = cells.bin
+               LEFT JOIN t ON t.g = bk.g),
+        sc AS (SELECT g, bucket_start, n_components, pos, bin,
+                  CASE WHEN t_a = 0 OR t_b = 0 OR n_a + n_b = 0
+                       THEN CAST(0 AS HUGEINT)
+                       ELSE (1000000 * (n_a*t_b - n_b*t_a) * (n_a*t_b - n_b*t_a))
+                            // ((n_a + n_b) * t_a * t_b) END AS contrib
+               FROM sp),
+        rk AS (SELECT *, row_number() OVER
+                 (PARTITION BY g, bucket_start ORDER BY contrib DESC, pos, bin) AS rk
+               FROM sc)
+        SELECT CAST(g AS INT) AS label, bucket_start,
+          CAST(max(n_components) AS BIGINT) AS n_components,
+          CAST(sum(contrib) AS BIGINT) AS chi2_micro,
+          CAST(max(CASE WHEN rk = 1 THEN pos END) AS INT) AS top_pos,
+          CAST(max(CASE WHEN rk = 1 THEN bin END) AS BIGINT) AS top_bin,
+          CAST(max(CASE WHEN rk = 1 THEN contrib END) AS BIGINT) AS top_chi2_micro
+        FROM rk GROUP BY 1, 2 ORDER BY label, bucket_start"""
+
+  /** q274 oracle: [[timelineAnomalies]] applied VERBATIM to the embedding
+    * timeline (k=1) — the alerting layer consumes only (bucket_start,
+    * chi2_micro), so the representation leg reuses it unchanged; the
+    * Hampel chain is [[sqlTimelineAnomalies]]'s with the embedding
+    * timeline as `tl`. */
+  private lazy val sqlEmbeddingTimelineAnomalies: String = s"""
+        WITH e AS MATERIALIZED (
+          SELECT ((vec_id * 3600) // 604800) * 604800 AS bucket_start,
+                 $sqlQVec AS v FROM embeddings),
+        c AS MATERIALIZED (SELECT bucket_start, i.range - 1 AS pos,
+               least(greatest(CAST(floor(CAST(COALESCE(v[i.range], 0) AS DOUBLE) / 31250) AS BIGINT), -8), 7) AS bin,
+               CAST(count(*) AS HUGEINT) AS n_b
+             FROM e CROSS JOIN range(1, 65) i GROUP BY 1, 2, 3),
+        ref AS MATERIALIZED (SELECT i.range - 1 AS pos,
+               least(greatest(CAST(floor(CAST(COALESCE(v[i.range], 0) AS DOUBLE) / 31250) AS BIGINT), -8), 7) AS bin,
+               CAST(count(*) AS HUGEINT) AS n_a
+             FROM e CROSS JOIN range(1, 65) i GROUP BY 1, 2),
+        bk AS (SELECT bucket_start, sum(n_b) AS t_b FROM c GROUP BY 1),
+        cells AS (SELECT DISTINCT pos, bin FROM
+                 (SELECT pos, bin FROM c UNION SELECT pos, bin FROM ref)),
+        t AS (SELECT sum(n_a) AS t_a FROM ref),
+        sp AS (SELECT bk.bucket_start, cells.pos, cells.bin,
+                  COALESCE(ref.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b,
+                  t.t_a, bk.t_b
+               FROM bk CROSS JOIN cells
+               LEFT JOIN ref ON ref.pos = cells.pos AND ref.bin = cells.bin
+               LEFT JOIN c ON c.bucket_start = bk.bucket_start
+                          AND c.pos = cells.pos AND c.bin = cells.bin
+               CROSS JOIN t),
+        sc AS (SELECT bucket_start,
+                  CASE WHEN t_a = 0 OR t_b = 0 OR n_a + n_b = 0
+                       THEN CAST(0 AS HUGEINT)
+                       ELSE (1000000 * (n_a*t_b - n_b*t_a) * (n_a*t_b - n_b*t_a))
+                            // ((n_a + n_b) * t_a * t_b) END AS contrib
+               FROM sp),
+        tl AS MATERIALIZED (SELECT bucket_start,
+                  CAST(sum(contrib) AS BIGINT) AS chi2
+               FROM sc GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM tl),
+        medr AS (SELECT chi2, row_number() OVER (ORDER BY chi2, bucket_start) AS r FROM tl),
+        med AS (SELECT max(chi2) AS med FROM medr, nn WHERE r = (nn.n + 1) // 2),
+        devr AS (SELECT bucket_start, abs(chi2 - med.med) AS dev FROM tl, med),
+        madr AS (SELECT dev, row_number() OVER (ORDER BY dev, bucket_start) AS r FROM devr),
+        mad AS (SELECT max(dev) AS mad FROM madr, nn WHERE r = (nn.n + 1) // 2)
+        SELECT tl.bucket_start, tl.chi2 AS chi2_micro,
+          med.med AS med_micro, mad.mad AS mad_micro,
+          tl.chi2 > med.med + 1 * mad.mad AS is_anomaly
+        FROM tl, med, mad ORDER BY bucket_start"""
+
   /** q266 oracle: SEGMENTED retrospective novelty between STORE VERSIONS
     * — the q261 pattern per source: v1 = snapshot A's grouped profile,
     * v2 = the accumulated A ∪ B, so side B = the WHOLE corpus per
@@ -4663,6 +4814,122 @@ object SparkEntry {
           max(CASE WHEN rk = 1 THEN cat END) AS top_cat,
           CAST(max(CASE WHEN rk = 1 THEN contrib END) AS BIGINT) AS top_chi2_micro
         FROM rk GROUP BY bucket_start ORDER BY bucket_start""")),
+
+    // -- q268: EMBEDDING drift timeline — the last modality gains its
+    //    time axis: per weekly bucket the exact binned (pos, bin)-cell
+    //    chi-square of the embedding distribution vs the whole table's
+    //    profile; vectors touched once, all downstream frames
+    //    (buckets × dim·bins)-bounded. Vector timestamps synthesized as
+    //    vec_id HOURS (deterministic; the fixture has no ts column) -----
+    Q("q268_embedding_drift_timeline",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+          .withColumn("ts", timestamp_micros(col("vec_id") * lit(3600000000L)))
+        ops.Events.embeddingDriftTimeline(emb, "embedding", "ts",
+          ops.Similarity.embeddingProfile(T(s, dir, "embeddings"), "embedding"),
+          bucketSec = 604800L)
+          .orderBy("bucket_start")
+      },
+      Some(sqlEmbeddingDriftTimeline)),
+
+    // -- q269: the embedding timeline SERVED from a stored additive
+    //    (bucket, pos, bin) profile — q268's oracle verbatim (route
+    //    equivalence, vectors untouched at serve time) --------------------
+    Q("q269_embedding_timeline_from_profiles",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+          .withColumn("ts", timestamp_micros(col("vec_id") * lit(3600000000L)))
+        ops.Events.embeddingDriftTimelineFromProfiles(
+          ops.Events.bucketEmbeddingProfile(emb, "embedding", "ts", 604800L),
+          ops.Similarity.embeddingProfile(T(s, dir, "embeddings"), "embedding"))
+          .orderBy("bucket_start")
+      },
+      Some(sqlEmbeddingDriftTimeline)),
+
+    // -- q270: end-to-end SQL for the embedding timeline — builder TVFs
+    //    feed the timeline TVF; q268's oracle verbatim --------------------
+    Q("q270_sql_tvf_embedding_drift_timeline",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val emb = T(s, dir, "embeddings")
+          .withColumn("ts", timestamp_micros(col("vec_id") * lit(3600000000L)))
+        emb.createOrReplaceTempView(s"edt_ev_$sfx")
+        s.sql(s"SELECT * FROM graft_embedding_profile('edt_ev_$sfx', 'embedding')")
+          .createOrReplaceTempView(s"edt_ref_$sfx")
+        s.sql(s"""
+          SELECT bucket_start, n_components, chi2_micro, top_pos, top_bin, top_chi2_micro
+          FROM graft_embedding_drift_timeline('edt_ev_$sfx', 'embedding', 'ts',
+            'edt_ref_$sfx', 604800, 64, 16, 31250)
+          ORDER BY bucket_start""")
+      },
+      Some(sqlEmbeddingDriftTimeline)),
+
+    // -- q271: SEGMENTED embedding drift timeline — "when did LABEL X's
+    //    representation shift"; per (group, bucket) cell chi-square vs
+    //    the group's own profile, all joins group-prefixed-keyed ---------
+    Q("q271_embedding_drift_timeline_by_group",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+          .withColumn("ts", timestamp_micros(col("vec_id") * lit(3600000000L)))
+        ops.Events.embeddingDriftTimelineByGroup(emb, "embedding", "ts",
+          "label",
+          ops.Similarity.embeddingProfileByGroup(T(s, dir, "embeddings"),
+            "embedding", "label"),
+          bucketSec = 604800L)
+          .orderBy("label", "bucket_start")
+      },
+      Some(sqlEmbeddingDriftTimelineByGroup)),
+
+    // -- q272: the segmented embedding timeline SERVED from a stored
+    //    additive (group, bucket, pos, bin) profile — q271's oracle
+    //    verbatim -------------------------------------------------------
+    Q("q272_embedding_timeline_by_group_profiles",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+          .withColumn("ts", timestamp_micros(col("vec_id") * lit(3600000000L)))
+        ops.Events.embeddingDriftTimelineByGroupFromProfiles(
+          ops.Events.bucketEmbeddingProfileByGroup(emb, "embedding", "ts",
+            "label", 604800L),
+          ops.Similarity.embeddingProfileByGroup(T(s, dir, "embeddings"),
+            "embedding", "label"),
+          "label")
+          .orderBy("label", "bucket_start")
+      },
+      Some(sqlEmbeddingDriftTimelineByGroup)),
+
+    // -- q273: the SQL-TVF route for the segmented embedding timeline ----
+    Q("q273_sql_tvf_embedding_timeline_by_group",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val emb = T(s, dir, "embeddings")
+          .withColumn("ts", timestamp_micros(col("vec_id") * lit(3600000000L)))
+        emb.createOrReplaceTempView(s"gedt_ev_$sfx")
+        s.sql(s"SELECT * FROM graft_embedding_profile_by_group('gedt_ev_$sfx', 'embedding', 'label')")
+          .createOrReplaceTempView(s"gedt_ref_$sfx")
+        s.sql(s"""
+          SELECT label, bucket_start, n_components, chi2_micro, top_pos, top_bin, top_chi2_micro
+          FROM graft_embedding_drift_timeline_by_group('gedt_ev_$sfx',
+            'embedding', 'ts', 'label', 'gedt_ref_$sfx', 604800, 64, 16, 31250)
+          ORDER BY label, bucket_start""")
+      },
+      Some(sqlEmbeddingDriftTimelineByGroup)),
+
+    // -- q274: the alerting layer applied VERBATIM to the embedding
+    //    timeline — timelineAnomalies consumes only (bucket_start,
+    //    chi2_micro), so the representation leg reuses it unchanged ------
+    Q("q274_embedding_timeline_anomalies",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+          .withColumn("ts", timestamp_micros(col("vec_id") * lit(3600000000L)))
+        ops.Events.timelineAnomalies(
+          ops.Events.embeddingDriftTimeline(emb, "embedding", "ts",
+            ops.Similarity.embeddingProfile(T(s, dir, "embeddings"), "embedding"),
+            bucketSec = 604800L),
+          k = 1L).orderBy("bucket_start")
+      },
+      Some(sqlEmbeddingTimelineAnomalies)),
 
     // -- q237: anomaly flags over the drift timeline — Hampel median +
     //    k·MAD in exact integers (lower medians, no interpolation); the

@@ -643,6 +643,198 @@ object Events {
       .withColumnRenamed("top_cat", "top_bin")
   }
 
+  /** EMBEDDING drift TIMELINE — the last modality gains its time axis
+    * ("WHEN did the representation shift", not just "did it"): per time
+    * bucket, the exact binned chi-square of the bucket's per-(dimension,
+    * bin) component distribution against a fixed REFERENCE
+    * [[graft.ops.Similarity.embeddingProfile]] — an encoder upgrade or a
+    * broken preprocessing step shows up as the bucket where chi2 jumps.
+    * Components quantize and bin through the embedding family's ONE
+    * shared expression ([[graft.ops.Similarity.componentBin]] — the
+    * routes cannot drift on bin edges); the per-bucket statistic is the
+    * categorical timeline's chi-square verbatim with (dimension, bin)
+    * PAIRS as the categories (a composite struct key through the shared
+    * scoring tail), so a pair observed in the bucket but not the
+    * reference — or vice versa — contributes exactly as an unseen
+    * category does. Padded positions of short vectors land in bin 0 with
+    * component 0, the family convention. Output, one row per non-empty
+    * bucket: (bucket_start, n_components, chi2_micro, top_pos, top_bin,
+    * top_chi2_micro) with (top_pos, top_bin) the bucket's
+    * highest-contribution cell (ties → smallest (pos, bin)).
+    * [[timelineAnomalies]] applies to the output unchanged — same
+    * (bucket_start, chi2_micro) contract.
+    *
+    * Scale shape: the corpus is touched ONCE — the (bucket, pos, bin)
+    * keyed count is the only vector-sized pass (posexplode map-side,
+    * partial aggregation collapses each task to ≤ buckets·dim·bins rows
+    * before the exchange). Everything downstream is (buckets × dim·bins)
+    * -bounded under the categorical timeline's guards (dim·bins ≤ 4096·256
+    * by construction). Counts are ADDITIVE under (bucket, pos, bin)-keyed
+    * sum — [[graft.streaming.Fastlane.ingestBucketEmbeddingProfile]]
+    * grows a stored timeline O(batch + touched buckets) per micro-batch
+    * and [[embeddingDriftTimelineFromProfiles]] serves it with zero
+    * corpus scans. */
+  def embeddingDriftTimeline(df: DataFrame, vecCol: String, tsCol: String,
+      refProfile: DataFrame, bucketSec: Long, dim: Int = 64,
+      bins: Int = 16, binWidthMicro: Long = 31250L,
+      maxBuckets: Long = 1L << 20, maxSpine: Long = 1L << 26): DataFrame = {
+    val counts = bucketEmbeddingProfile(df, vecCol, tsCol, bucketSec,
+        dim, bins, binWidthMicro)
+      .select(col("bucket_start"), pbKey.as("__cat"), col("n").as("n_b"))
+      .persistTracked()
+    decodeTopCell(timelineFromCounts(counts, refAsPb(refProfile), "__cat",
+      maxBuckets, 1L << 22, maxSpine, "embeddingDriftTimeline"))
+  }
+
+  /** The embedding timeline's ADDITIVE sufficient statistic: per
+    * (bucket, dimension, bin) component counts and exact micro sums —
+    * [[graft.ops.Similarity.embeddingProfile]]'s shape with a time-bucket
+    * key prepended, binned by the SAME shared expression. Additive under
+    * (bucket_start, pos, bin)-keyed sum, exact integers — maintained
+    * O(batch + touched buckets) by
+    * [[graft.streaming.Fastlane.ingestBucketEmbeddingProfile]]; bucketing
+    * (floor) and the padding convention are the family's verbatim. The
+    * `s` sums ride along so a stored timeline profile also answers
+    * per-bucket MEAN questions, exactly as the flat embeddingProfile
+    * serves both monitors. */
+  def bucketEmbeddingProfile(df: DataFrame, vecCol: String, tsCol: String,
+      bucketSec: Long, dim: Int = 64, bins: Int = 16,
+      binWidthMicro: Long = 31250L): DataFrame = {
+    require(bucketSec >= 1, s"bucketSec must be >= 1, got $bucketSec")
+    Similarity.requireEmbeddingBinSpec(dim, bins, binWidthMicro)
+    df.where(col(tsCol).isNotNull)
+      .select(floorBucket(col(tsCol), bucketSec).as("bucket_start"),
+        posexplode(Similarity.quantize(col(vecCol), dim)).as(Seq("pos", "__q")))
+      .select(col("bucket_start"), col("pos"),
+        Similarity.componentBin(col("__q"), bins, binWidthMicro).as("bin"),
+        coalesce(col("__q"), lit(0L)).as("__q0"))
+      .groupBy("bucket_start", "pos", "bin")
+      .agg(count(lit(1)).as("n"), sum(col("__q0")).as("s"))
+  }
+
+  /** [[embeddingDriftTimeline]] computed from a STORED
+    * [[bucketEmbeddingProfile]] frame instead of the vectors — the
+    * serving read of the streaming representation dashboard: identical
+    * answer to the direct route over the corpora the profile summarizes
+    * (spec- and oracle-asserted). Inputs re-aggregate by
+    * (bucket_start, pos, bin) first, so concatenated partial profiles
+    * are accepted. Cost: one (buckets × dim·bins)-bounded scan — the
+    * vectors are never touched at serve time. */
+  def embeddingDriftTimelineFromProfiles(bucketProf: DataFrame,
+      refProfile: DataFrame,
+      maxBuckets: Long = 1L << 20, maxSpine: Long = 1L << 26): DataFrame = {
+    val counts = bucketProf
+      .groupBy(col("bucket_start"), col("pos"), col("bin"))
+      .agg(sum("n").as("n_b"))
+      .select(col("bucket_start"), pbKey.as("__cat"), col("n_b"))
+      .persistTracked()
+    decodeTopCell(timelineFromCounts(counts, refAsPb(refProfile), "__cat",
+      maxBuckets, 1L << 22, maxSpine, "embeddingDriftTimeline"))
+  }
+
+  /** SEGMENTED embedding drift TIMELINE — "when did SOURCE X's
+    * representation shift" as one frame: [[embeddingDriftTimeline]] per
+    * group, each (group, bucket) scored against the GROUP'S OWN reference
+    * [[graft.ops.Similarity.embeddingProfileByGroup]] frame
+    * (groupCol, pos, bin, n). The scoring tail is the segmented
+    * categorical timeline's verbatim with (pos, bin) cells as the
+    * categories — per-group spine by group-keyed joins, loud factor +
+    * Σ_g spine + headroom guards, a ref-less group scores 0.
+    * [[timelineAnomaliesByGroup]] applies to the output unchanged. */
+  def embeddingDriftTimelineByGroup(df: DataFrame, vecCol: String,
+      tsCol: String, groupCol: String, refProfile: DataFrame,
+      bucketSec: Long, dim: Int = 64, bins: Int = 16,
+      binWidthMicro: Long = 31250L,
+      maxBuckets: Long = 1L << 20, maxSpine: Long = 1L << 26): DataFrame = {
+    val counts = bucketEmbeddingProfileByGroup(df, vecCol, tsCol, groupCol,
+        bucketSec, dim, bins, binWidthMicro)
+      .select(col(groupCol), col("bucket_start"), pbKey.as("__cat"),
+        col("n").as("n_b"))
+      .persistTracked()
+    decodeTopCell(timelineByGroupFromCounts(counts,
+      refAsPbByGroup(refProfile, groupCol), "__cat", groupCol,
+      maxBuckets, 1L << 22, maxSpine, "embeddingDriftTimelineByGroup"))
+  }
+
+  /** The segmented embedding timeline's ADDITIVE sufficient statistic:
+    * per (group, bucket, dimension, bin) component counts and micro sums,
+    * additive under (group, bucket_start, pos, bin)-keyed sum; bucketing
+    * (floor), binning (shared expression), padding, and null-group
+    * handling are the family's verbatim. Maintained O(batch + touched
+    * buckets) by
+    * [[graft.streaming.Fastlane.ingestBucketEmbeddingProfileByGroup]]. */
+  def bucketEmbeddingProfileByGroup(df: DataFrame, vecCol: String,
+      tsCol: String, groupCol: String, bucketSec: Long, dim: Int = 64,
+      bins: Int = 16, binWidthMicro: Long = 31250L): DataFrame = {
+    require(bucketSec >= 1, s"bucketSec must be >= 1, got $bucketSec")
+    Similarity.requireEmbeddingBinSpec(dim, bins, binWidthMicro)
+    require(groupCol != "bucket_start" && groupCol != "n" &&
+      groupCol != "s" && groupCol != "pos" && groupCol != "bin",
+      s"groupCol collides with an output column name: $groupCol")
+    df.where(col(groupCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(groupCol), floorBucket(col(tsCol), bucketSec).as("bucket_start"),
+        posexplode(Similarity.quantize(col(vecCol), dim)).as(Seq("pos", "__q")))
+      .select(col(groupCol), col("bucket_start"), col("pos"),
+        Similarity.componentBin(col("__q"), bins, binWidthMicro).as("bin"),
+        coalesce(col("__q"), lit(0L)).as("__q0"))
+      .groupBy(groupCol, "bucket_start", "pos", "bin")
+      .agg(count(lit(1)).as("n"), sum(col("__q0")).as("s"))
+  }
+
+  /** [[embeddingDriftTimelineByGroup]] computed from a STORED
+    * [[bucketEmbeddingProfileByGroup]] frame instead of the vectors —
+    * the serving read of the segmented representation dashboard:
+    * identical answer to the direct route (spec- and oracle-asserted);
+    * concatenated partial profiles re-aggregate; vectors never touched
+    * at serve time. */
+  def embeddingDriftTimelineByGroupFromProfiles(bucketProf: DataFrame,
+      refProfile: DataFrame, groupCol: String,
+      maxBuckets: Long = 1L << 20, maxSpine: Long = 1L << 26): DataFrame = {
+    val counts = bucketProf
+      .groupBy(col(groupCol), col("bucket_start"), col("pos"), col("bin"))
+      .agg(sum("n").as("n_b"))
+      .select(col(groupCol), col("bucket_start"), pbKey.as("__cat"),
+        col("n_b"))
+      .persistTracked()
+    decodeTopCell(timelineByGroupFromCounts(counts,
+      refAsPbByGroup(refProfile, groupCol), "__cat", groupCol,
+      maxBuckets, 1L << 22, maxSpine, "embeddingDriftTimelineByGroup"))
+  }
+
+  /** The embedding timeline's composite category key: (pos, bin) as ONE
+    * struct column, so the (dimension, bin) cell rides the shared
+    * categorical scoring tail unchanged. Explicit casts pin the struct
+    * schema on every route (a stored profile reads pos back as int and
+    * bin as long; the direct route produces the same). */
+  private def pbKey: Column =
+    struct(col("pos").cast("int").as("pos"), col("bin").cast("long").as("bin"))
+
+  /** A reference [[graft.ops.Similarity.embeddingProfile]] (pos, bin, n)
+    * re-keyed on the composite cell for the shared tail; re-aggregated so
+    * concatenated partial profiles are accepted. */
+  private def refAsPb(refProfile: DataFrame): DataFrame =
+    refProfile.groupBy(pbKey.as("__cat")).agg(sum("n").as("n"))
+      .select(col("__cat"), col("n"))
+
+  /** Segmented twin of [[refAsPb]] over an
+    * [[graft.ops.Similarity.embeddingProfileByGroup]] frame. */
+  private def refAsPbByGroup(refProfile: DataFrame, groupCol: String): DataFrame =
+    refProfile.groupBy(col(groupCol), pbKey.as("__cat")).agg(sum("n").as("n"))
+      .select(col(groupCol), col("__cat"), col("n"))
+
+  /** Decode the shared tail's composite top category back to
+    * (top_pos, top_bin) and rename the count to n_components (each vector
+    * contributes `dim` components per bucket — the honest unit). */
+  private def decodeTopCell(tl: DataFrame): DataFrame = {
+    val cols = tl.columns.toSeq.flatMap {
+      case "n_events" => Seq(col("n_events").as("n_components"))
+      case "top_cat" => Seq(col("top_cat.pos").as("top_pos"),
+        col("top_cat.bin").as("top_bin"))
+      case c => Seq(col(c))
+    }
+    tl.select(cols: _*)
+  }
+
   /** SEGMENTED [[timelineAnomalies]] — Hampel median + k·MAD per GROUP
     * over a segmented drift timeline ((group, bucket_start, chi2_micro,
     * …) — [[categoryDriftTimelineByGroup]]'s or

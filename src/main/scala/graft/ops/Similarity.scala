@@ -80,6 +80,32 @@ object Similarity {
       .reduce(_ + _)
   }
 
+  /** The embedding family's ONE shared component-binning expression —
+    * every monitor, profile, and timeline bins a 1e-6-quantized component
+    * through this: floor(q / binWidthMicro) clamped to
+    * [-bins/2, bins/2-1] (tails fold into the edge buckets), PADDED
+    * positions (null components) land in bin 0. One expression, so the
+    * direct, profile-served, and timeline routes cannot drift on bin
+    * edges (the scalar family's `Stats.microBin` discipline). The double
+    * division is exact for |q| ≤ 2³¹ at any width ≥ 1 — the quotient's
+    * distance to an integer boundary (≥ 1/width) dwarfs the half-ulp. */
+  private[graft] def componentBin(q: Column, bins: Int,
+      binWidthMicro: Long): Column = {
+    val hb = bins / 2
+    least(greatest(floor(coalesce(q, lit(0L)) / lit(binWidthMicro)),
+      lit(-hb.toLong)), lit(hb - 1L))
+  }
+
+  /** The embedding family's shared bin/dim/width contract checks. */
+  private[graft] def requireEmbeddingBinSpec(dim: Int, bins: Int,
+      binWidthMicro: Long): Unit = {
+    require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
+    require(bins >= 2 && bins <= 256 && bins % 2 == 0,
+      s"bins must be even and in [2, 256], got $bins")
+    require(binWidthMicro >= 1,
+      s"binWidthMicro must be >= 1, got $binWidthMicro")
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * corpus vectors. The query side is broadcast (queries ≪ corpus); the
     * corpus streams through once; per-query top-k is a keyed window, so no
@@ -814,12 +840,10 @@ object Similarity {
       s"bins must be even and in [2, 256], got $bins")
     require(binWidthMicro >= 1,
       s"binWidthMicro must be >= 1, got $binWidthMicro")
-    val hb = bins / 2
     def binCounts(df: DataFrame, out: String) = df
       .select(posexplode(quantize(col(vecCol), dim)).as(Seq("pos", "__q")))
       .select(col("pos"),
-        least(greatest(floor(coalesce(col("__q"), lit(0L)) / lit(binWidthMicro)),
-          lit(-hb.toLong)), lit(hb - 1L)).as("bin"))
+        componentBin(col("__q"), bins, binWidthMicro).as("bin"))
       .groupBy("pos", "bin").agg(count(lit(1)).as(out))
     shapeDriftFromBinned(
       binCounts(dfA, "n_a").join(binCounts(dfB, "n_b"), Seq("pos", "bin"), "full_outer"))
@@ -892,12 +916,10 @@ object Similarity {
       s"bins must be even and in [2, 256], got $bins")
     require(binWidthMicro >= 1,
       s"binWidthMicro must be >= 1, got $binWidthMicro")
-    val hb = bins / 2
     def binCounts(df: DataFrame, out: String) = df
       .select(col(groupCol), posexplode(quantize(col(vecCol), dim)).as(Seq("pos", "__q")))
       .select(col(groupCol), col("pos"),
-        least(greatest(floor(coalesce(col("__q"), lit(0L)) / lit(binWidthMicro)),
-          lit(-hb.toLong)), lit(hb - 1L)).as("bin"))
+        componentBin(col("__q"), bins, binWidthMicro).as("bin"))
       .groupBy(groupCol, "pos", "bin").agg(count(lit(1)).as(out))
     shapeDriftByGroupFromBinned(
       binCounts(dfA, "n_a")
@@ -982,11 +1004,9 @@ object Similarity {
       s"bins must be even and in [2, 256], got $bins")
     require(binWidthMicro >= 1,
       s"binWidthMicro must be >= 1, got $binWidthMicro")
-    val hb = bins / 2
     df.select(posexplode(quantize(col(vecCol), dim)).as(Seq("pos", "__q")))
       .select(col("pos"),
-        least(greatest(floor(coalesce(col("__q"), lit(0L)) / lit(binWidthMicro)),
-          lit(-hb.toLong)), lit(hb - 1L)).as("bin"),
+        componentBin(col("__q"), bins, binWidthMicro).as("bin"),
         coalesce(col("__q"), lit(0L)).as("__q0"))
       .groupBy("pos", "bin")
       .agg(count(lit(1)).as("n"), sum(col("__q0")).as("s"))
@@ -1017,11 +1037,9 @@ object Similarity {
       s"bins must be even and in [2, 256], got $bins")
     require(binWidthMicro >= 1,
       s"binWidthMicro must be >= 1, got $binWidthMicro")
-    val hb = bins / 2
     df.select(col(groupCol), posexplode(quantize(col(vecCol), dim)).as(Seq("pos", "__q")))
       .select(col(groupCol), col("pos"),
-        least(greatest(floor(coalesce(col("__q"), lit(0L)) / lit(binWidthMicro)),
-          lit(-hb.toLong)), lit(hb - 1L)).as("bin"),
+        componentBin(col("__q"), bins, binWidthMicro).as("bin"),
         coalesce(col("__q"), lit(0L)).as("__q0"))
       .groupBy(groupCol, "pos", "bin")
       .agg(count(lit(1)).as("n"), sum(col("__q0")).as("s"))

@@ -233,8 +233,8 @@ object Fastlane {
     * merge back unchanged; the merge rewrites whole touched buckets
     * anyway). ONE code path so the eight loops cannot drift on the
     * merge-add mechanics — the first version bootstraps with a plain
-    * write. The embedding loops keep their own bodies: their profiles
-    * carry TWO additive columns (n, s). */
+    * write. The embedding loops ride [[ingestAdditiveNS]], the same body
+    * with TWO additive columns (n, s). */
   private def ingestAdditiveCounts(
       stream: DataFrame, checkpointDir: String, trigger: Trigger,
       store: graft.core.BucketedStore, feature: String, keys: Seq[String])(
@@ -255,6 +255,41 @@ object Fastlane {
             .join(bp, keys, "full_outer")
             .select(keyCols :+
               (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"): _*)
+          store.merge(feature, merged, keys)
+        }
+        bp.unpersist()
+      }
+      ()
+    }
+
+  /** [[ingestAdditiveCounts]] for the EMBEDDING-profile loops: identical
+    * fence/readTouched/full-outer-add mechanics with TWO additive columns
+    * — the count `n` AND the exact micro component sum `s` (both additive
+    * integers, so the merge-add is the same full-outer +0 fold twice).
+    * ONE code path for every (n, s) loop (segmented monitor profile,
+    * global and segmented timeline profiles) so they cannot drift. */
+  private def ingestAdditiveNS(
+      stream: DataFrame, checkpointDir: String, trigger: Trigger,
+      store: graft.core.BucketedStore, feature: String, keys: Seq[String])(
+      builder: DataFrame => DataFrame)
+      (implicit spark: SparkSession): StreamingQuery =
+    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
+      fencedApply(store, feature, checkpointDir, batchId) {
+        // persisted: read by the touched-bucket probe AND the merge add
+        val bp = builder(batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (store.latestVersion(feature).isEmpty)
+          store.write(bp, feature, keys)
+        else {
+          val keyCols = keys.map(col)
+          val touched = store.readTouched(feature, keys,
+            bp.select(keyCols: _*), None)
+          val merged = touched.select(
+              keyCols ++ Seq(col("n").as("__n0"), col("s").as("__s0")): _*)
+            .join(bp, keys, "full_outer")
+            .select(keyCols ++ Seq(
+              (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"),
+              (coalesce(col("__s0"), lit(0L)) + coalesce(col("s"), lit(0L))).as("s")): _*)
           store.merge(feature, merged, keys)
         }
         bp.unpersist()
@@ -636,28 +671,57 @@ object Fastlane {
       dim: Int = 64, bins: Int = 16, binWidthMicro: Long = 31250L,
       trigger: Trigger = Trigger.AvailableNow())
       (implicit spark: SparkSession): StreamingQuery =
-    ingestLoop(stream, checkpointDir, trigger) { (batch, batchId) =>
-      fencedApply(store, feature, checkpointDir, batchId) {
-        val bp = graft.ops.Similarity.embeddingProfileByGroup(
-            batch, vecCol, groupCol, dim, bins, binWidthMicro)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        if (store.latestVersion(feature).isEmpty)
-          store.write(bp, feature, Seq(groupCol, "pos", "bin"))
-        else {
-          val touched = store.readTouched(feature, Seq(groupCol, "pos", "bin"),
-            bp.select(groupCol, "pos", "bin"), None)
-          val merged = touched.select(col(groupCol), col("pos"), col("bin"),
-              col("n").as("__n0"), col("s").as("__s0"))
-            .join(bp, Seq(groupCol, "pos", "bin"), "full_outer")
-            .select(col(groupCol), col("pos"), col("bin"),
-              (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"),
-              (coalesce(col("__s0"), lit(0L)) + coalesce(col("s"), lit(0L))).as("s"))
-          store.merge(feature, merged, Seq(groupCol, "pos", "bin"))
-        }
-        bp.unpersist()
-      }
-      ()
-    }
+    ingestAdditiveNS(stream, checkpointDir, trigger, store, feature,
+      Seq(groupCol, "pos", "bin"))(b =>
+      graft.ops.Similarity.embeddingProfileByGroup(b, vecCol, groupCol,
+        dim, bins, binWidthMicro))
+
+  /** Streaming EMBEDDING-TIMELINE maintenance — keep a persisted
+    * [[graft.ops.Events.bucketEmbeddingProfile]] current as embedding
+    * batches arrive: each micro-batch buckets, explodes, and bins ONLY
+    * its own vectors ((its-buckets × dim·bins)-row output, one
+    * corpus-free exchange) and merge-ADDS the (n, s) statistics into the
+    * stored profile keyed (bucket_start, pos, bin) — late vectors fold
+    * into their TRUE bucket, and the stream-grown profile is
+    * BIT-IDENTICAL to one computed over the accumulated vectors in a
+    * single batch (spec-asserted).
+    * [[graft.ops.Events.embeddingDriftTimelineFromProfiles]] then serves
+    * the representation dashboard with zero corpus scans. Per-batch cost:
+    * O(batch + touched buckets) via `readTouched`.
+    *
+    * Replay contract: adds are not idempotent → the shared lineage fence
+    * ([[fencedApply]]); Σn == dim · (vectors ingested) is the cheap
+    * audit. */
+  def ingestBucketEmbeddingProfile(
+      stream: DataFrame, vecCol: String, tsCol: String, bucketSec: Long,
+      store: graft.core.BucketedStore, feature: String,
+      checkpointDir: String,
+      dim: Int = 64, bins: Int = 16, binWidthMicro: Long = 31250L,
+      trigger: Trigger = Trigger.AvailableNow())
+      (implicit spark: SparkSession): StreamingQuery =
+    ingestAdditiveNS(stream, checkpointDir, trigger, store, feature,
+      Seq("bucket_start", "pos", "bin"))(b =>
+      graft.ops.Events.bucketEmbeddingProfile(b, vecCol, tsCol, bucketSec,
+        dim, bins, binWidthMicro))
+
+  /** SEGMENTED streaming embedding-timeline maintenance —
+    * [[ingestBucketEmbeddingProfile]] keyed (group, bucket_start, pos,
+    * bin), so the per-source representation dashboard
+    * ([[graft.ops.Events.embeddingDriftTimelineByGroupFromProfiles]])
+    * reads storage instead of re-exploding the corpus per refresh. Same
+    * mechanics, fence, and audit as the sibling loops. */
+  def ingestBucketEmbeddingProfileByGroup(
+      stream: DataFrame, vecCol: String, tsCol: String, groupCol: String,
+      bucketSec: Long,
+      store: graft.core.BucketedStore, feature: String,
+      checkpointDir: String,
+      dim: Int = 64, bins: Int = 16, binWidthMicro: Long = 31250L,
+      trigger: Trigger = Trigger.AvailableNow())
+      (implicit spark: SparkSession): StreamingQuery =
+    ingestAdditiveNS(stream, checkpointDir, trigger, store, feature,
+      Seq(groupCol, "bucket_start", "pos", "bin"))(b =>
+      graft.ops.Events.bucketEmbeddingProfileByGroup(b, vecCol, tsCol,
+        groupCol, bucketSec, dim, bins, binWidthMicro))
 
   /** Cheap double-apply detector for a streaming-grown BM25 index (the
     * residual [[ingestBm25Indexed]]'s at-least-once fence cannot close:

@@ -3727,6 +3727,102 @@ class EwmaSpec extends SparkSpec {
     assert(ag2.size == 1 && !ag2.head._6, s"g2 flags: $ag2")
   }
 
+  test("embeddingDriftTimeline: the numeric hand case at dim=1 (cells == bins); served == direct; concatenated partials; padding convention; anomalies apply; guards by name") {
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // dim=1, binWidth=1.0: component 0.5 -> cell (0,0), 1.5 -> cell (0,1)
+    // — the numericDriftTimeline hand case verbatim with (pos,bin) cells,
+    // so the exact chi-squares must match it number for number
+    val df = Seq(
+      (ts("2024-01-01 10:00:00"), Seq(0.5f)), (ts("2024-01-01 10:20:00"), Seq(0.5f)),
+      (ts("2024-01-01 10:59:00"), Seq(1.5f)),
+      (ts("2024-01-01 11:05:00"), Seq(1.5f)), (ts("2024-01-01 11:30:00"), Seq(1.5f)))
+      .toDF("ts", "vec")
+    val ref = Seq((0, 0L, 1L), (0, 1L, 1L)).toDF("pos", "bin", "n")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Events.embeddingDriftTimeline(d, "vec", "ts", ref, 3600L,
+          dim = 1, bins = 4, binWidthMicro = 1000000L)
+        .orderBy("bucket_start")
+        .as[(Long, Long, Long, Int, Long, Long)].collect().toList
+    val out = run(df)
+    assert(out.size == 2 && out(1)._1 - out(0)._1 == 3600L, s"buckets: $out")
+    assert(out(0)._2 == 3L && out(0)._3 == 55555L + 83333L &&
+      out(0)._4 == 0 && out(0)._5 == 1L && out(0)._6 == 83333L, s"bucket0: ${out(0)}")
+    assert(out(1)._2 == 2L && out(1)._3 == 1000000L + 333333L &&
+      out(1)._4 == 0 && out(1)._5 == 0L && out(1)._6 == 1000000L, s"bucket1: ${out(1)}")
+    // profile-served == direct, bit-identical; concatenated partials OK
+    val served = Events.embeddingDriftTimelineFromProfiles(
+        Events.bucketEmbeddingProfile(df, "vec", "ts", 3600L,
+          dim = 1, bins = 4, binWidthMicro = 1000000L), ref)
+      .orderBy("bucket_start")
+      .as[(Long, Long, Long, Int, Long, Long)].collect().toList
+    assert(served == out, s"served $served vs direct $out")
+    val half1 = df.limit(2)
+    val half2 = df.except(half1)
+    def prof(d: org.apache.spark.sql.DataFrame) =
+      Events.bucketEmbeddingProfile(d, "vec", "ts", 3600L,
+        dim = 1, bins = 4, binWidthMicro = 1000000L)
+    val concat = Events.embeddingDriftTimelineFromProfiles(
+        prof(half1).unionByName(prof(half2)), ref)
+      .orderBy("bucket_start")
+      .as[(Long, Long, Long, Int, Long, Long)].collect().toList
+    assert(concat == out, s"concat $concat vs direct $out")
+    // padding: a SHORT (empty) vector pads to dim — cell (0, bin 0) with
+    // n counted and s += 0, the embeddingProfile convention
+    val padded = prof(Seq((ts("2024-01-01 10:01:00"), Seq.empty[Float]))
+        .toDF("ts", "vec"))
+      .as[(Long, Int, Long, Long, Long)].collect().toList
+    assert(padded.size == 1 && padded.head._2 == 0 && padded.head._3 == 0L &&
+      padded.head._4 == 1L && padded.head._5 == 0L, s"padding: $padded")
+    // the alerting layer consumes the embedding timeline unchanged
+    val an = Events.timelineAnomalies(
+        Events.embeddingDriftTimeline(df, "vec", "ts", ref, 3600L,
+          dim = 1, bins = 4, binWidthMicro = 1000000L), k = 0L)
+      .orderBy("bucket_start")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toList
+    assert(an.map(_._2) == out.map(_._3),
+      "anomaly layer must carry the timeline's chi2 through")
+    // guards fire by the EMBEDDING op's name
+    val eBk = intercept[Exception] {
+      Events.embeddingDriftTimeline(df, "vec", "ts", ref, 3600L,
+        dim = 1, bins = 4, binWidthMicro = 1000000L,
+        maxBuckets = 1L).collect()
+    }
+    assert(eBk.getMessage.contains("embeddingDriftTimeline"), eBk.getMessage)
+  }
+
+  test("embeddingDriftTimelineByGroup: per-group hand case == the global embedding timeline within the group; served == direct; ref-less group scores 0") {
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      ("g1", ts("2024-01-01 10:00:00"), Seq(0.5f)), ("g1", ts("2024-01-01 10:20:00"), Seq(0.5f)),
+      ("g1", ts("2024-01-01 10:59:00"), Seq(1.5f)),
+      ("g1", ts("2024-01-01 11:05:00"), Seq(1.5f)), ("g1", ts("2024-01-01 11:30:00"), Seq(1.5f)),
+      ("g2", ts("2024-01-01 10:10:00"), Seq(0.5f)))
+      .toDF("g", "ts", "vec")
+    val ref = Seq(("g1", 0, 0L, 1L), ("g1", 0, 1L, 1L)).toDF("g", "pos", "bin", "n")
+    val out = Events.embeddingDriftTimelineByGroup(df, "vec", "ts", "g", ref,
+        3600L, dim = 1, bins = 4, binWidthMicro = 1000000L)
+      .orderBy("g", "bucket_start")
+      .as[(String, Long, Long, Long, Int, Long, Long)].collect().toList
+    val g1 = out.filter(_._1 == "g1")
+    assert(g1.size == 2 && g1(0)._3 == 3L && g1(0)._4 == 55555L + 83333L &&
+      g1(0)._6 == 1L && g1(0)._7 == 83333L, s"g1 bucket0: $g1")
+    assert(g1(1)._3 == 2L && g1(1)._4 == 1000000L + 333333L &&
+      g1(1)._6 == 0L && g1(1)._7 == 1000000L, s"g1 bucket1: $g1")
+    // g2 has no reference profile: every bucket scores 0 by convention
+    val g2 = out.filter(_._1 == "g2")
+    assert(g2.size == 1 && g2.head._4 == 0L, s"ref-less group must score 0: $g2")
+    // profile-served == direct, bit-identical
+    val served = Events.embeddingDriftTimelineByGroupFromProfiles(
+        Events.bucketEmbeddingProfileByGroup(df, "vec", "ts", "g", 3600L,
+          dim = 1, bins = 4, binWidthMicro = 1000000L),
+        ref, "g")
+      .orderBy("g", "bucket_start")
+      .as[(String, Long, Long, Long, Int, Long, Long)].collect().toList
+    assert(served == out, s"served $served vs direct $out")
+  }
+
   test("bucketCategoryProfile: FLOOR bucketing — a pre-1970 event lands in the bucket starting BEFORE it") {
     import org.apache.spark.sql.functions._
     // epoch-anchored (NOT Timestamp.valueOf, which parses in the JVM

@@ -592,6 +592,57 @@ class FastlaneSpec extends SparkSpec {
     assert(storedRows() == grown, "replayed batches must not double-count")
   }
 
+  test("ingestBucketEmbeddingProfile: stream-grown embedding timeline bit-identical to one-shot; profile-served timeline == direct; late vectors fold into their true bucket; replay fenced") {
+    import graft.ops.{Events, Similarity}
+    val srcDir = tmpDir("bep_src")
+    val store = new graft.core.BucketedStore(tmpDir("bep_store"), numBuckets = 8)
+    val ckpt = tmpDir("bep_ckpt")
+    def stream() = spark.readStream
+      .schema("ts TIMESTAMP, vec ARRAY<FLOAT>").json(s"$srcDir/*")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = Seq((t("2024-01-01 10:00:00"), Seq(0.5f, 1.5f)),
+      (t("2024-01-01 10:20:00"), Seq(0.5f, 0.5f)),
+      (t("2024-01-01 11:05:00"), Seq(1.5f, 1.5f)))
+    // b2 carries a LATE vector for the 10:00 bucket — it must fold into
+    // its true bucket, not a new one
+    val b2 = Seq((t("2024-01-01 11:30:00"), Seq(1.5f, 0.5f)),
+      (t("2024-01-01 10:59:00"), Seq(1.5f, 1.5f)))
+    def ingest() = Fastlane.ingestBucketEmbeddingProfile(stream(), "vec",
+      "ts", 3600L, store, "bep", ckpt,
+      dim = 2, bins = 4, binWidthMicro = 1000000L).awaitTermination(60000)
+    b1.toDF("ts", "vec").write.mode("overwrite").json(s"$srcDir/b1")
+    ingest()
+    b2.toDF("ts", "vec").write.mode("overwrite").json(s"$srcDir/b2")
+    ingest()
+    def storedRows() = store.read("bep", Seq("bucket_start", "pos", "bin"))
+      .select("bucket_start", "pos", "bin", "n", "s")
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    val grown = storedRows()
+    val union = (b1 ++ b2).toDF("ts", "vec")
+    val oneShot = Events.bucketEmbeddingProfile(union, "vec", "ts", 3600L,
+        dim = 2, bins = 4, binWidthMicro = 1000000L)
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    assert(grown.nonEmpty && grown == oneShot,
+      "additive growth must be BIT-identical to a one-shot profile")
+    // two buckets — the late vector folded back into 10:00's
+    assert(grown.map(_._1).size == 2, s"got $grown")
+    assert(grown.toSeq.map(_._4).sum == 10L) // Σn == dim · vectors ingested
+    // profile-served timeline answers identically to the direct route
+    val ref = Similarity.embeddingProfile(union.select("vec"), "vec",
+      dim = 2, bins = 4, binWidthMicro = 1000000L)
+    val served = Events.embeddingDriftTimelineFromProfiles(
+        store.read("bep", Seq("bucket_start", "pos", "bin")), ref)
+      .orderBy("bucket_start").collect().toSeq
+    val direct = Events.embeddingDriftTimeline(union, "vec", "ts", ref,
+        3600L, dim = 2, bins = 4, binWidthMicro = 1000000L)
+      .orderBy("bucket_start").collect().toSeq
+    assert(served.nonEmpty && served == direct,
+      "profile-served embedding timeline must equal the direct route")
+    // a replayed run under the same checkpoint lineage is fenced out
+    ingest()
+    assert(storedRows() == grown, "replayed batches must not double-count")
+  }
+
   test("ingestBucketNumericProfileByGroup: stream-grown segmented numeric timeline bit-identical to one-shot; served == direct; replay fenced") {
     import graft.ops.{Events, Stats}
     val srcDir = tmpDir("gbnp_src")
