@@ -1086,6 +1086,26 @@ object GraftExtensions {
           str(args(1), "groupCol"))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_monitor_run_anomalies"),
+      info("graft_monitor_run_anomalies",
+        "graft_monitor_run_anomalies(historyTable, k) - DRIFT-OF-DRIFT: Hampel median + k*MAD anomaly flags over a persisted monitor-run history ((run_ts, stat_micro, ...) rows, one monitor's slice): (run_ts, stat_micro, med_micro, mad_micro, is_anomaly) - the alerting layer with a self-contained baseline instead of a caller threshold"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "usage: graft_monitor_run_anomalies(historyTable, k)")
+        ops.Events.monitorRunAnomalies(table(str(args(0), "historyTable")),
+          lng(args(1), "k"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_monitor_run_anomalies_by_monitor"),
+      info("graft_monitor_run_anomalies_by_monitor",
+        "graft_monitor_run_anomalies_by_monitor(historyTable, k) - PER-MONITOR drift-of-drift over a shared history feature ((monitor, run_ts, stat_micro) rows): each monitor is its own Hampel baseline; (monitor, run_ts, stat_micro, med_micro, mad_micro, is_anomaly)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "usage: graft_monitor_run_anomalies_by_monitor(historyTable, k)")
+        ops.Events.monitorRunAnomaliesByMonitor(table(str(args(0), "historyTable")),
+          lng(args(1), "k"))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_exact_percentiles"),
       info("graft_exact_percentiles",
         "graft_exact_percentiles(table, valueCol, psCsv) - EXACT percentiles of an unbounded-cardinality double column by iterative rank-selection (one p<NN> column per requested percentile). NOTE: the narrowing rounds RUN at analysis time"),

@@ -816,6 +816,143 @@ object SparkEntry {
           tl.chi2 > med.med + 1 * mad.mad AS is_anomaly
         FROM tl, med, mad ORDER BY bucket_start"""
 
+  /** q275 oracle: drift-of-drift over the persisted "value_weekly"
+    * monitor history — each run IS a q251 weekly bucket (run_ts =
+    * bucket_start, stat = chi2_micro), so the reference is
+    * [[sqlNumericTimelineAnomalies]]'s chain with the run/stat column
+    * names; k = 1. */
+  private lazy val sqlMonitorHistoryAnomalies: String = """
+        WITH vv AS (SELECT (CAST(epoch_us(ts) AS BIGINT) // 604800000000) * 604800
+                      AS bucket_start,
+                    least(greatest(CAST(floor(CAST(CAST(round(CAST(value AS DOUBLE)*1000000) AS BIGINT) AS DOUBLE)/31250000) AS BIGINT), -8), 7) AS bin
+                    FROM events WHERE ts IS NOT NULL
+                      AND value IS NOT NULL AND NOT isnan(value)),
+        c AS (SELECT bucket_start, bin, CAST(count(*) AS HUGEINT) AS n_b
+              FROM vv GROUP BY 1, 2),
+        ref AS (SELECT least(greatest(CAST(floor(CAST(CAST(round(CAST(value AS DOUBLE)*1000000) AS BIGINT) AS DOUBLE)/31250000) AS BIGINT), -8), 7) AS bin,
+                       CAST(count(*) AS HUGEINT) AS n_a
+                FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+                GROUP BY 1),
+        bk AS (SELECT bucket_start, sum(n_b) AS t_b FROM c GROUP BY 1),
+        bins AS (SELECT DISTINCT bin FROM
+                 (SELECT bin FROM c UNION SELECT bin FROM ref)),
+        t AS (SELECT sum(n_a) AS t_a FROM ref),
+        sp AS (SELECT bk.bucket_start, bins.bin,
+                  COALESCE(ref.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b,
+                  t.t_a, bk.t_b
+               FROM bk CROSS JOIN bins
+               LEFT JOIN ref ON ref.bin = bins.bin
+               LEFT JOIN c ON c.bucket_start = bk.bucket_start
+                          AND c.bin = bins.bin
+               CROSS JOIN t),
+        sc AS (SELECT bucket_start,
+                  CASE WHEN t_a = 0 OR t_b = 0 OR n_a + n_b = 0
+                       THEN CAST(0 AS HUGEINT)
+                       ELSE (1000000 * (n_a*t_b - n_b*t_a) * (n_a*t_b - n_b*t_a))
+                            // ((n_a + n_b) * t_a * t_b) END AS contrib
+               FROM sp),
+        tl AS MATERIALIZED (SELECT bucket_start,
+                  CAST(sum(contrib) AS BIGINT) AS chi2
+               FROM sc GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM tl),
+        medr AS (SELECT chi2, row_number() OVER (ORDER BY chi2, bucket_start) AS r FROM tl),
+        med AS (SELECT max(chi2) AS med FROM medr, nn WHERE r = (nn.n + 1) // 2),
+        devr AS (SELECT bucket_start, abs(chi2 - med.med) AS dev FROM tl, med),
+        madr AS (SELECT dev, row_number() OVER (ORDER BY dev, bucket_start) AS r FROM devr),
+        mad AS (SELECT max(dev) AS mad FROM madr, nn WHERE r = (nn.n + 1) // 2)
+        SELECT tl.bucket_start AS run_ts, tl.chi2 AS stat_micro,
+          med.med AS med_micro, mad.mad AS mad_micro,
+          tl.chi2 > med.med + 1 * mad.mad AS is_anomaly
+        FROM tl, med, mad ORDER BY run_ts"""
+
+  /** q276 / q277 shared oracle: PER-MONITOR drift-of-drift over the
+    * shared history feature — the "value_weekly" (q251 numeric) and
+    * "cat_weekly" (q229 categorical) run series each get their own
+    * Hampel baseline ([[sqlTimelineAnomaliesByGroup]]'s rule with
+    * monitors as the groups); k = 1. q277 is the SQL-TVF route. */
+  private lazy val sqlMonitorHistoryAnomaliesByMonitor: String = """
+        WITH vv AS (SELECT (CAST(epoch_us(ts) AS BIGINT) // 604800000000) * 604800
+                      AS bucket_start,
+                    least(greatest(CAST(floor(CAST(CAST(round(CAST(value AS DOUBLE)*1000000) AS BIGINT) AS DOUBLE)/31250000) AS BIGINT), -8), 7) AS bin
+                    FROM events WHERE ts IS NOT NULL
+                      AND value IS NOT NULL AND NOT isnan(value)),
+        cv AS (SELECT bucket_start, bin, CAST(count(*) AS HUGEINT) AS n_b
+               FROM vv GROUP BY 1, 2),
+        refv AS (SELECT least(greatest(CAST(floor(CAST(CAST(round(CAST(value AS DOUBLE)*1000000) AS BIGINT) AS DOUBLE)/31250000) AS BIGINT), -8), 7) AS bin,
+                        CAST(count(*) AS HUGEINT) AS n_a
+                 FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+                 GROUP BY 1),
+        bkv AS (SELECT bucket_start, sum(n_b) AS t_b FROM cv GROUP BY 1),
+        binsv AS (SELECT DISTINCT bin FROM
+                  (SELECT bin FROM cv UNION SELECT bin FROM refv)),
+        tv AS (SELECT sum(n_a) AS t_a FROM refv),
+        spv AS (SELECT bkv.bucket_start,
+                   COALESCE(refv.n_a, 0) AS n_a, COALESCE(cv.n_b, 0) AS n_b,
+                   tv.t_a, bkv.t_b
+                FROM bkv CROSS JOIN binsv
+                LEFT JOIN refv ON refv.bin = binsv.bin
+                LEFT JOIN cv ON cv.bucket_start = bkv.bucket_start
+                            AND cv.bin = binsv.bin
+                CROSS JOIN tv),
+        scv AS (SELECT bucket_start,
+                   CASE WHEN t_a = 0 OR t_b = 0 OR n_a + n_b = 0
+                        THEN CAST(0 AS HUGEINT)
+                        ELSE (1000000 * (n_a*t_b - n_b*t_a) * (n_a*t_b - n_b*t_a))
+                             // ((n_a + n_b) * t_a * t_b) END AS contrib
+                FROM spv),
+        tlv AS (SELECT bucket_start, CAST(sum(contrib) AS BIGINT) AS chi2
+                FROM scv GROUP BY 1),
+        evc AS (SELECT (CAST(epoch_us(ts) AS BIGINT) // 604800000000) * 604800
+                      AS bucket_start, event_type AS cat
+                FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        cc AS (SELECT bucket_start, cat, CAST(count(*) AS HUGEINT) AS n_b
+               FROM evc GROUP BY 1, 2),
+        refc AS (SELECT event_type AS cat, CAST(count(*) AS HUGEINT) AS n_a
+                 FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        bkc AS (SELECT bucket_start, sum(n_b) AS t_b FROM cc GROUP BY 1),
+        catsc AS (SELECT DISTINCT cat FROM
+                  (SELECT cat FROM cc UNION SELECT cat FROM refc)),
+        tc AS (SELECT sum(n_a) AS t_a FROM refc),
+        spc AS (SELECT bkc.bucket_start,
+                   COALESCE(refc.n_a, 0) AS n_a, COALESCE(cc.n_b, 0) AS n_b,
+                   tc.t_a, bkc.t_b
+                FROM bkc CROSS JOIN catsc
+                LEFT JOIN refc ON refc.cat = catsc.cat
+                LEFT JOIN cc ON cc.bucket_start = bkc.bucket_start
+                            AND cc.cat = catsc.cat
+                CROSS JOIN tc),
+        scc AS (SELECT bucket_start,
+                   CASE WHEN t_a = 0 OR t_b = 0 OR n_a + n_b = 0
+                        THEN CAST(0 AS HUGEINT)
+                        ELSE (1000000 * (n_a*t_b - n_b*t_a) * (n_a*t_b - n_b*t_a))
+                             // ((n_a + n_b) * t_a * t_b) END AS contrib
+                FROM spc),
+        tlc AS (SELECT bucket_start, CAST(sum(contrib) AS BIGINT) AS chi2
+                FROM scc GROUP BY 1),
+        tl AS MATERIALIZED (
+          SELECT 'value_weekly' AS monitor, bucket_start, chi2 FROM tlv
+          UNION ALL
+          SELECT 'cat_weekly' AS monitor, bucket_start, chi2 FROM tlc),
+        nn AS (SELECT monitor, count(*) AS n FROM tl GROUP BY 1),
+        medr AS (SELECT monitor, chi2, row_number() OVER
+                   (PARTITION BY monitor ORDER BY chi2, bucket_start) AS r FROM tl),
+        med AS (SELECT medr.monitor, max(chi2) AS med FROM medr
+                JOIN nn ON nn.monitor = medr.monitor
+                WHERE r = (nn.n + 1) // 2 GROUP BY 1),
+        devr AS (SELECT tl.monitor, bucket_start, abs(chi2 - med.med) AS dev
+                 FROM tl JOIN med ON med.monitor = tl.monitor),
+        madr AS (SELECT monitor, dev, row_number() OVER
+                   (PARTITION BY monitor ORDER BY dev, bucket_start) AS r FROM devr),
+        mad AS (SELECT madr.monitor, max(dev) AS mad FROM madr
+                JOIN nn ON nn.monitor = madr.monitor
+                WHERE r = (nn.n + 1) // 2 GROUP BY 1)
+        SELECT tl.monitor, tl.bucket_start AS run_ts, tl.chi2 AS stat_micro,
+          med.med AS med_micro, mad.mad AS mad_micro,
+          tl.chi2 > med.med + 1 * mad.mad AS is_anomaly
+        FROM tl JOIN med ON med.monitor = tl.monitor
+        JOIN mad ON mad.monitor = tl.monitor
+        ORDER BY tl.monitor, tl.bucket_start"""
+
   /** q266 oracle: SEGMENTED retrospective novelty between STORE VERSIONS
     * — the q261 pattern per source: v1 = snapshot A's grouped profile,
     * v2 = the accumulated A ∪ B, so side B = the WHOLE corpus per
@@ -866,6 +1003,38 @@ object SparkEntry {
         .select(col("token"),
           (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"))
       store.merge("tprof", merged, Seq("token"))
+    }
+    root
+  }
+
+  /** Build-once monitor-run HISTORY store for q275/q276 — the
+    * drift-of-drift fixture: TWO monitors' runs persisted
+    * run-by-run through [[graft.ops.Events.recordMonitorRun]] (the
+    * production write path — one row-sized keyed merge per run).
+    * "value_weekly" = every weekly bucket of the q251 numeric drift
+    * timeline as one run (run_ts = bucket_start, stat = chi2_micro);
+    * "cat_weekly" = the q229 categorical timeline's buckets likewise.
+    * Both frames are buckets-bounded, so the per-run collect is bounded
+    * by the timelines' own maxBuckets guards. */
+  private def monitorHistoryFixture(s: SparkSession, dir: String): String = {
+    val root = storeFixtureRoot(s, dir, "monhist", "events")
+    val store = new core.BucketedStore(root, numBuckets = 8)(s)
+    if (store.latestVersion("monhist").isEmpty) {
+      val ev = T(s, dir, "events")
+      val runsV = ops.Events.numericDriftTimeline(ev, "value", "ts",
+          ops.Stats.numericProfile(ev, "value"), bucketSec = 604800L)
+        .select(col("bucket_start"), col("chi2_micro"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val runsC = ops.Events.categoryDriftTimeline(ev, "event_type", "ts",
+          ev.where(col("event_type").isNotNull)
+            .groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+          bucketSec = 604800L)
+        .select(col("bucket_start"), col("chi2_micro"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      runsV.foreach { case (ts, stat) =>
+        ops.Events.recordMonitorRun(store, "monhist", "value_weekly", ts, stat)(s) }
+      runsC.foreach { case (ts, stat) =>
+        ops.Events.recordMonitorRun(store, "monhist", "cat_weekly", ts, stat)(s) }
     }
     root
   }
@@ -4930,6 +5099,49 @@ object SparkEntry {
           k = 1L).orderBy("bucket_start")
       },
       Some(sqlEmbeddingTimelineAnomalies)),
+
+    // -- q275: DRIFT-OF-DRIFT — Hampel flags over a PERSISTED monitor-run
+    //    history: each run was recorded through recordMonitorRun (one
+    //    row-sized keyed merge), so the alerting layer reads storage and
+    //    needs no caller-invented threshold ------------------------------
+    Q("q275_monitor_history_anomalies",
+      (s, dir) => {
+        val root = monitorHistoryFixture(s, dir)
+        val store = new core.BucketedStore(root, numBuckets = 8)(s)
+        ops.Events.monitorRunAnomalies(
+          store.read("monhist", Seq("monitor", "run_ts"))
+            .where(col("monitor") === "value_weekly"),
+          k = 1L).orderBy("run_ts")
+      },
+      Some(sqlMonitorHistoryAnomalies)),
+
+    // -- q276: PER-MONITOR drift-of-drift — two monitors share one
+    //    history feature, each its own Hampel baseline ------------------
+    Q("q276_monitor_history_anomalies_by_monitor",
+      (s, dir) => {
+        val root = monitorHistoryFixture(s, dir)
+        val store = new core.BucketedStore(root, numBuckets = 8)(s)
+        ops.Events.monitorRunAnomaliesByMonitor(
+          store.read("monhist", Seq("monitor", "run_ts")), k = 1L)
+          .orderBy("monitor", "run_ts")
+      },
+      Some(sqlMonitorHistoryAnomaliesByMonitor)),
+
+    // -- q277: the SQL-TVF route for the per-monitor drift-of-drift ------
+    Q("q277_sql_tvf_monitor_history_anomalies",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val root = monitorHistoryFixture(s, dir)
+        val store = new core.BucketedStore(root, numBuckets = 8)(s)
+        store.read("monhist", Seq("monitor", "run_ts"))
+          .createOrReplaceTempView(s"monhist_$sfx")
+        s.sql(s"""
+          SELECT monitor, run_ts, stat_micro, med_micro, mad_micro, is_anomaly
+          FROM graft_monitor_run_anomalies_by_monitor('monhist_$sfx', 1)
+          ORDER BY monitor, run_ts""")
+      },
+      Some(sqlMonitorHistoryAnomaliesByMonitor)),
 
     // -- q237: anomaly flags over the drift timeline — Hampel median +
     //    k·MAD in exact integers (lower medians, no interpolation); the

@@ -916,6 +916,60 @@ object Events {
           .as("is_anomaly"))
   }
 
+  /** Record ONE monitor run into a persisted HISTORY feature — the write
+    * half of the drift-of-drift layer: every snapshot-pair monitor
+    * (tokenDrift's Σchi2, ksDrift's ks_micro, a timeline bucket's
+    * chi2_micro…) produces one scalar per run, and persisting those as
+    * (monitor, run_ts, stat_micro) rows turns the caller-invented alert
+    * threshold into a SELF-CONTAINED baseline: [[monitorRunAnomalies]]
+    * flags the runs that exceed the history's own Hampel bound. Keyed
+    * merge on (monitor, run_ts): re-recording a run overwrites it
+    * (idempotent under retries — the at-least-once-safe shape), distinct
+    * monitors share one history feature without clashing. Cost: one
+    * row-sized merge touching 1/numBuckets of the table. */
+  def recordMonitorRun(store: graft.core.BucketedStore, feature: String,
+      monitor: String, runTs: Long, statMicro: Long)
+      (implicit spark: org.apache.spark.sql.SparkSession): Long = {
+    import spark.implicits._
+    val row = Seq((monitor, runTs, statMicro))
+      .toDF("monitor", "run_ts", "stat_micro")
+    if (store.latestVersion(feature).isEmpty)
+      store.write(row, feature, Seq("monitor", "run_ts"))
+    else
+      store.merge(feature, row, Seq("monitor", "run_ts"))
+  }
+
+  /** Drift-of-drift: Hampel anomaly flags over a STORED monitor-run
+    * HISTORY ((run_ts, stat_micro, …) rows — [[recordMonitorRun]]'s
+    * shape, one monitor's slice). [[timelineAnomalies]]'s rule verbatim
+    * with runs as the buckets — median + k·MAD of the history decides
+    * which runs fired, so the alerting layer needs no caller-invented
+    * threshold and tightens itself as the history grows. The history is
+    * runs-bounded by construction (one row per monitor run), so the
+    * single-task windows inside are bounded the same way. */
+  def monitorRunAnomalies(history: DataFrame, k: Long = 3L): DataFrame =
+    timelineAnomalies(
+      history.select(col("run_ts").as("bucket_start"),
+        col("stat_micro").as("chi2_micro")), k)
+      .select(col("bucket_start").as("run_ts"),
+        col("chi2_micro").as("stat_micro"),
+        col("med_micro"), col("mad_micro"), col("is_anomaly"))
+
+  /** [[monitorRunAnomalies]] per MONITOR over a shared history feature —
+    * each monitor is its own baseline ([[timelineAnomaliesByGroup]]'s
+    * rule with monitors as the groups), so a noisy monitor cannot
+    * inflate a quiet monitor's threshold. Input:
+    * (monitor, run_ts, stat_micro) rows — [[recordMonitorRun]]'s shape,
+    * unsliced. */
+  def monitorRunAnomaliesByMonitor(history: DataFrame,
+      k: Long = 3L): DataFrame =
+    timelineAnomaliesByGroup(
+      history.select(col("monitor"), col("run_ts").as("bucket_start"),
+        col("stat_micro").as("chi2_micro")), "monitor", k)
+      .select(col("monitor"), col("bucket_start").as("run_ts"),
+        col("chi2_micro").as("stat_micro"),
+        col("med_micro"), col("mad_micro"), col("is_anomaly"))
+
   /** Shared scoring tail of [[categoryDriftTimeline]] /
     * [[categoryDriftTimelineFromProfiles]] — one code path so the direct
     * and profile-served routes cannot drift. Input: per-(bucket, __cat)

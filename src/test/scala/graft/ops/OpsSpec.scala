@@ -3823,6 +3823,36 @@ class EwmaSpec extends SparkSpec {
     assert(served == out, s"served $served vs direct $out")
   }
 
+  test("recordMonitorRun + monitorRunAnomalies: history grows one keyed merge per run, re-record overwrites, flags == timelineAnomalies on the same series; per-monitor baselines independent") {
+    val store = new graft.core.BucketedStore(tmpDir("monhist"), numBuckets = 4)
+    // monitor A: a quiet series with one spike; monitor B: all-large runs
+    // (its own baseline — nothing flags)
+    val runsA = Seq((10L, 3L), (20L, 1L), (30L, 4L), (40L, 2L), (50L, 100L))
+    val runsB = Seq((10L, 900L), (20L, 1000L), (30L, 950L))
+    runsA.foreach { case (t, v) =>
+      Events.recordMonitorRun(store, "hist", "A", t, v) }
+    runsB.foreach { case (t, v) =>
+      Events.recordMonitorRun(store, "hist", "B", t, v) }
+    // re-recording a run is an overwrite, not a duplicate
+    Events.recordMonitorRun(store, "hist", "A", 50L, 100L)
+    val hist = store.read("hist", Seq("monitor", "run_ts"))
+    assert(hist.count() == 8L, "re-record must overwrite, not append")
+    val flagged = Events.monitorRunAnomalies(
+        hist.where(col("monitor") === "A"), k = 3L)
+      .orderBy("run_ts")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toList
+    // identical numbers to the timelineAnomalies hand case (med 3, mad 1)
+    assert(flagged.forall(r => r._3 == 3L && r._4 == 1L), s"med/mad: $flagged")
+    assert(flagged.map(r => r._1 -> r._5).toMap ==
+      Map(10L -> false, 20L -> false, 30L -> false, 40L -> false, 50L -> true))
+    // per-monitor: B's large-but-stable runs don't flag, A's spike still does
+    val byMon = Events.monitorRunAnomaliesByMonitor(hist, k = 3L)
+      .orderBy("monitor", "run_ts")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toList
+    assert(byMon.filter(_._1 == "B").forall(!_._6), s"B must not flag: $byMon")
+    assert(byMon.count(r => r._1 == "A" && r._6) == 1, s"A's spike: $byMon")
+  }
+
   test("bucketCategoryProfile: FLOOR bucketing — a pre-1970 event lands in the bucket starting BEFORE it") {
     import org.apache.spark.sql.functions._
     // epoch-anchored (NOT Timestamp.valueOf, which parses in the JVM
