@@ -5143,6 +5143,86 @@ object SparkEntry {
       },
       Some(sqlMonitorHistoryAnomaliesByMonitor)),
 
+    // -- q278: TIME-SLICE serve of the GROUPED numeric timeline store with
+    //    PRUNED IO — q267's clustered layout applied to the segmented
+    //    store: the additive (group, bucket, bin) profile is written
+    //    CLUSTERED by bucket_start, so the "last N weeks per source" read
+    //    opens only the files whose bucket range intersects the window;
+    //    the per-(group, bucket) chi-square is bucket-local, so the
+    //    sliced serve is EXACTLY the full segmented timeline filtered to
+    //    the window. Zero event scans, file IO proportional to the slice -
+    Q("q278_grouped_timeline_slice_pruned",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        val root = storeFixtureRoot(s, dir, "gndtclu", "events")
+        val store = new core.BucketedStore(root, numBuckets = 16)(s)
+        if (store.latestVersion("gndtprof").isEmpty)
+          store.writeClustered(
+            ops.Events.bucketNumericProfileByGroup(ev, "value", "ts",
+              "event_type", 604800L),
+            "gndtprof", Seq("event_type", "bucket_start", "bin"),
+            clusterCols = Seq("bucket_start"))
+        val ref = ops.Stats.numericProfileByGroup(ev, "value", "event_type")
+        // slice bounds from the stored profile itself: weeks [2, 5) after
+        // the first bucket — a 1-row bounded agg, not an event scan
+        val lo = store.read("gndtprof", Seq("event_type", "bucket_start", "bin"))
+          .agg(min("bucket_start")).head().getLong(0) + 2L * 604800L
+        val hi = lo + 3L * 604800L
+        val prof = store.scanPrunedMulti("gndtprof",
+          Seq("event_type", "bucket_start", "bin"),
+          Seq(("bucket_start", lo.toDouble, hi.toDouble)))
+        ops.Events.numericDriftTimelineByGroupFromProfiles(prof, ref,
+          "event_type")
+          .orderBy("event_type", "bucket_start")
+      },
+      Some("""
+        WITH vv AS (SELECT event_type AS g,
+                      (CAST(epoch_us(ts) AS BIGINT) // 604800000000) * 604800
+                        AS bucket_start,
+                      least(greatest(CAST(floor(CAST(CAST(round(CAST(value AS DOUBLE)*1000000) AS BIGINT) AS DOUBLE)/31250000) AS BIGINT), -8), 7) AS bin
+                    FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                      AND value IS NOT NULL AND NOT isnan(value)),
+        c0 AS (SELECT g, bucket_start, bin, CAST(count(*) AS HUGEINT) AS n_b
+               FROM vv GROUP BY 1, 2, 3),
+        w AS (SELECT min(bucket_start) + 1209600 AS lo FROM c0),
+        c AS (SELECT c0.* FROM c0, w
+              WHERE bucket_start >= w.lo AND bucket_start <= w.lo + 1814400),
+        ref AS (SELECT event_type AS g,
+                  least(greatest(CAST(floor(CAST(CAST(round(CAST(value AS DOUBLE)*1000000) AS BIGINT) AS DOUBLE)/31250000) AS BIGINT), -8), 7) AS bin,
+                  CAST(count(*) AS HUGEINT) AS n_a
+                FROM events WHERE event_type IS NOT NULL
+                  AND value IS NOT NULL AND NOT isnan(value)
+                GROUP BY 1, 2),
+        bk AS (SELECT g, bucket_start, sum(n_b) AS t_b,
+                      CAST(sum(n_b) AS BIGINT) AS n_events FROM c GROUP BY 1, 2),
+        bins AS (SELECT DISTINCT g, bin FROM
+                 (SELECT g, bin FROM c UNION SELECT g, bin FROM ref)),
+        t AS (SELECT g, sum(n_a) AS t_a FROM ref GROUP BY 1),
+        sp AS (SELECT bk.g, bk.bucket_start, bk.n_events, bins.bin,
+                  COALESCE(ref.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b,
+                  COALESCE(t.t_a, 0) AS t_a, bk.t_b
+               FROM bk JOIN bins ON bins.g = bk.g
+               LEFT JOIN ref ON ref.g = bk.g AND ref.bin = bins.bin
+               LEFT JOIN c ON c.g = bk.g
+                          AND c.bucket_start = bk.bucket_start
+                          AND c.bin = bins.bin
+               LEFT JOIN t ON t.g = bk.g),
+        sc AS (SELECT g, bucket_start, n_events, bin,
+                  CASE WHEN t_a = 0 OR t_b = 0 OR n_a + n_b = 0
+                       THEN CAST(0 AS HUGEINT)
+                       ELSE (1000000 * (n_a*t_b - n_b*t_a) * (n_a*t_b - n_b*t_a))
+                            // ((n_a + n_b) * t_a * t_b) END AS contrib
+               FROM sp),
+        rk AS (SELECT *, row_number() OVER
+                 (PARTITION BY g, bucket_start ORDER BY contrib DESC, bin) AS rk
+               FROM sc)
+        SELECT g AS event_type, bucket_start,
+          CAST(max(n_events) AS BIGINT) AS n_events,
+          CAST(sum(contrib) AS BIGINT) AS chi2_micro,
+          max(CASE WHEN rk = 1 THEN bin END) AS top_bin,
+          CAST(max(CASE WHEN rk = 1 THEN contrib END) AS BIGINT) AS top_chi2_micro
+        FROM rk GROUP BY 1, 2 ORDER BY event_type, bucket_start""")),
+
     // -- q237: anomaly flags over the drift timeline — Hampel median +
     //    k·MAD in exact integers (lower medians, no interpolation); the
     //    alerting layer over q229's dashboard -----------------------------
