@@ -13,9 +13,21 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ServeLatency [calls]  (default 100)
   * Prints one JSON line {"metric":"serve_latency", ...}.
+  *
+  * `--sustained [seconds]` (default 120): the THROUGHPUT record — drive
+  * the [[graft.streaming.Fastlane.ServingSession]] and appendDelta routes
+  * continuously for N seconds each and report serves/sec with p50/p95/p99
+  * over the whole window; the append window runs ONE `store.compact`
+  * cycle at half-time (the batch-lane maintenance a production deployment
+  * interleaves), so the tail latencies include serving THROUGH a
+  * compaction and the record shows the post-compaction window separately.
   */
 object ServeLatency {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--sustained")) {
+      sustained(args.lift(1).map(_.toInt).getOrElse(120))
+      return
+    }
     val calls = args.headOption.map(_.toInt).getOrElse(100)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
@@ -124,6 +136,86 @@ object ServeLatency {
       (System.nanoTime() - t0) / 1e6
     }.sorted
     println(s"""{"metric":"serve_latency_large_table","rows":$bigN,"flat_merge_p50_ms":${fmt(flatLarge(flatLarge.size / 2))},"bucketed_merge_p50_ms":${fmt(buckLarge(buckLarge.size / 2))}}""")
+    spark.stop()
+  }
+
+  /** Sustained-throughput record: serve continuously for `seconds` per
+    * route and report serves/sec + tail latencies. The append route runs
+    * one `store.compact` at half-time IN the serving loop, so its p95/p99
+    * and the post-compaction split show what maintenance costs a live
+    * server. */
+  private def sustained(seconds: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft_sustained").toString
+    val store = new core.FeatureStore(root)
+    val feature = core.FeatureDef(
+      name = "user_value_sum",
+      entityKeys = Seq("user_id"),
+      codeVersion = "v1",
+      transform = df => df.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").cast("double").as("sum_value")))
+    val seed = (1L to 1000L).map(i => (i, i * 1.5)).toDF("user_id", "value")
+    store.write(core.Versioning.withSystemColumns(feature.transform(seed), feature),
+      feature.name, Map("mode" -> "seed"))
+    def oneRow(i: Long) = Seq((i, i * 2.0)).toDF("user_id", "value")
+
+    def fmt(v: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    def pcts(lat: Seq[Double]): (Double, Double, Double) = {
+      val s = lat.sorted
+      def p(q: Double) = s((q * (s.size - 1)).round.toInt)
+      (p(0.5), p(0.95), p(0.99))
+    }
+
+    // route 1: the warm ServingSession (COW merge on a dedicated clone)
+    val session = new streaming.Fastlane.ServingSession(feature, store)
+    (1 to 5).foreach(i => session.serve(oneRow(9500000L + i)))
+    val deadline1 = System.nanoTime() + seconds * 1000000000L
+    var i1 = 0L
+    val lat1 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    while (System.nanoTime() < deadline1) {
+      val t0 = System.nanoTime()
+      session.serve(oneRow(7000000L + i1)); i1 += 1
+      lat1 += (System.nanoTime() - t0) / 1e6
+    }
+    val (s1p50, s1p95, s1p99) = pcts(lat1.toSeq)
+    println(s"""{"metric":"sustained_serve","route":"serving_session","seconds":$seconds,"serves":${lat1.size},"serves_per_sec":${fmt(lat1.size.toDouble / seconds)},"p50_ms":${fmt(s1p50)},"p95_ms":${fmt(s1p95)},"p99_ms":${fmt(s1p99)},"max_ms":${fmt(lat1.max)}}""")
+
+    // route 2: O(batch) delta appends with ONE compact cycle at half-time
+    val deadline2 = System.nanoTime() + seconds * 1000000000L
+    val half = System.nanoTime() + seconds * 500000000L
+    var i2 = 0L
+    var compacted = false
+    var compactMs = 0.0
+    var postCompactFrom = -1
+    val lat2 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    while (System.nanoTime() < deadline2) {
+      if (!compacted && System.nanoTime() >= half) {
+        val t0 = System.nanoTime()
+        store.compact(feature.name, feature.entityKeys)
+        compactMs = (System.nanoTime() - t0) / 1e6
+        compacted = true
+        postCompactFrom = lat2.size
+      }
+      val out = core.Versioning.withSystemColumns(
+        feature.transform(oneRow(3000000L + i2)), feature)
+      val t0 = System.nanoTime()
+      store.appendDelta(feature.name, out); i2 += 1
+      lat2 += (System.nanoTime() - t0) / 1e6
+    }
+    val (a50, a95, a99) = pcts(lat2.toSeq)
+    val post = lat2.drop(math.max(postCompactFrom, 0)).toSeq
+    val (pc50, pc95, _) = if (post.nonEmpty) pcts(post) else (0.0, 0.0, 0.0)
+    println(s"""{"metric":"sustained_serve","route":"append_delta","seconds":$seconds,"serves":${lat2.size},"serves_per_sec":${fmt(lat2.size.toDouble / seconds)},"p50_ms":${fmt(a50)},"p95_ms":${fmt(a95)},"p99_ms":${fmt(a99)},"max_ms":${fmt(lat2.max)},"compact_ms":${fmt(compactMs)},"post_compact_p50_ms":${fmt(pc50)},"post_compact_p95_ms":${fmt(pc95)},"post_compact_serves":${post.size}}""")
     spark.stop()
   }
 }
