@@ -953,6 +953,64 @@ object SparkEntry {
         JOIN mad ON mad.monitor = tl.monitor
         ORDER BY tl.monitor, tl.bucket_start"""
 
+  /** q279 oracle: PER-LABEL Hampel anomaly flags over the q271 segmented
+    * embedding timeline — each label its own median/MAD baseline
+    * ([[sqlTimelineAnomaliesByGroup]]'s rule with the embedding-by-group
+    * chain as `tl`), k = 1. */
+  private lazy val sqlEmbeddingTimelineAnomaliesByGroup: String = s"""
+        WITH e AS MATERIALIZED (
+          SELECT label AS g, ((vec_id * 3600) // 604800) * 604800 AS bucket_start,
+                 $sqlQVec AS v FROM embeddings WHERE label IS NOT NULL),
+        c AS MATERIALIZED (SELECT g, bucket_start, i.range - 1 AS pos,
+               least(greatest(CAST(floor(CAST(COALESCE(v[i.range], 0) AS DOUBLE) / 31250) AS BIGINT), -8), 7) AS bin,
+               CAST(count(*) AS HUGEINT) AS n_b
+             FROM e CROSS JOIN range(1, 65) i GROUP BY 1, 2, 3, 4),
+        ref AS MATERIALIZED (SELECT g, i.range - 1 AS pos,
+               least(greatest(CAST(floor(CAST(COALESCE(v[i.range], 0) AS DOUBLE) / 31250) AS BIGINT), -8), 7) AS bin,
+               CAST(count(*) AS HUGEINT) AS n_a
+             FROM e CROSS JOIN range(1, 65) i GROUP BY 1, 2, 3),
+        bk AS (SELECT g, bucket_start, sum(n_b) AS t_b FROM c GROUP BY 1, 2),
+        cells AS (SELECT DISTINCT g, pos, bin FROM
+                 (SELECT g, pos, bin FROM c UNION SELECT g, pos, bin FROM ref)),
+        t AS (SELECT g, sum(n_a) AS t_a FROM ref GROUP BY 1),
+        sp AS (SELECT bk.g, bk.bucket_start,
+                  COALESCE(ref.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b,
+                  COALESCE(t.t_a, 0) AS t_a, bk.t_b
+               FROM bk JOIN cells ON cells.g = bk.g
+               LEFT JOIN ref ON ref.g = bk.g AND ref.pos = cells.pos
+                            AND ref.bin = cells.bin
+               LEFT JOIN c ON c.g = bk.g AND c.bucket_start = bk.bucket_start
+                          AND c.pos = cells.pos AND c.bin = cells.bin
+               LEFT JOIN t ON t.g = bk.g),
+        sc AS (SELECT g, bucket_start,
+                  CASE WHEN t_a = 0 OR t_b = 0 OR n_a + n_b = 0
+                       THEN CAST(0 AS HUGEINT)
+                       ELSE (1000000 * (n_a*t_b - n_b*t_a) * (n_a*t_b - n_b*t_a))
+                            // ((n_a + n_b) * t_a * t_b) END AS contrib
+               FROM sp),
+        tl AS MATERIALIZED (SELECT g, bucket_start,
+                  CAST(sum(contrib) AS BIGINT) AS chi2
+               FROM sc GROUP BY 1, 2),
+        nn AS (SELECT g, count(*) AS n FROM tl GROUP BY 1),
+        medr AS (SELECT g, chi2, row_number() OVER
+                   (PARTITION BY g ORDER BY chi2, bucket_start) AS r FROM tl),
+        med AS (SELECT medr.g, max(chi2) AS med FROM medr
+                JOIN nn ON nn.g = medr.g
+                WHERE r = (nn.n + 1) // 2 GROUP BY 1),
+        devr AS (SELECT tl.g, bucket_start, abs(chi2 - med.med) AS dev
+                 FROM tl JOIN med ON med.g = tl.g),
+        madr AS (SELECT g, dev, row_number() OVER
+                   (PARTITION BY g ORDER BY dev, bucket_start) AS r FROM devr),
+        mad AS (SELECT madr.g, max(dev) AS mad FROM madr
+                JOIN nn ON nn.g = madr.g
+                WHERE r = (nn.n + 1) // 2 GROUP BY 1)
+        SELECT CAST(tl.g AS INT) AS label, tl.bucket_start, tl.chi2 AS chi2_micro,
+          med.med AS med_micro, mad.mad AS mad_micro,
+          tl.chi2 > med.med + 1 * mad.mad AS is_anomaly
+        FROM tl JOIN med ON med.g = tl.g
+        JOIN mad ON mad.g = tl.g
+        ORDER BY label, tl.bucket_start"""
+
   /** q266 oracle: SEGMENTED retrospective novelty between STORE VERSIONS
     * — the q261 pattern per source: v1 = snapshot A's grouped profile,
     * v2 = the accumulated A ∪ B, so side B = the WHOLE corpus per
@@ -5222,6 +5280,97 @@ object SparkEntry {
           max(CASE WHEN rk = 1 THEN bin END) AS top_bin,
           CAST(max(CASE WHEN rk = 1 THEN contrib END) AS BIGINT) AS top_chi2_micro
         FROM rk GROUP BY 1, 2 ORDER BY event_type, bucket_start""")),
+
+    // -- q279: PER-LABEL anomaly flags over the segmented embedding
+    //    timeline — each label its own Hampel baseline, completing
+    //    modality × segmentation × alerting symmetry ---------------------
+    Q("q279_embedding_timeline_anomalies_by_group",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+          .withColumn("ts", timestamp_micros(col("vec_id") * lit(3600000000L)))
+        ops.Events.timelineAnomaliesByGroup(
+          ops.Events.embeddingDriftTimelineByGroup(emb, "embedding", "ts",
+            "label",
+            ops.Similarity.embeddingProfileByGroup(T(s, dir, "embeddings"),
+              "embedding", "label"),
+            bucketSec = 604800L),
+          "label", k = 1L).orderBy("label", "bucket_start")
+      },
+      Some(sqlEmbeddingTimelineAnomaliesByGroup)),
+
+    // -- q280: TIME-SLICE serve of the stored EMBEDDING timeline with
+    //    PRUNED IO — q267's clustered layout on the (bucket, pos, bin)
+    //    profile: the slice read opens only the files whose bucket range
+    //    intersects the window; per-bucket chi-square is bucket-local, so
+    //    the sliced serve == the full timeline filtered to the window ----
+    Q("q280_embedding_timeline_slice_pruned",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+          .withColumn("ts", timestamp_micros(col("vec_id") * lit(3600000000L)))
+        val root = storeFixtureRoot(s, dir, "edtclu", "embeddings")
+        val store = new core.BucketedStore(root, numBuckets = 16)(s)
+        if (store.latestVersion("edtprof").isEmpty)
+          store.writeClustered(
+            ops.Events.bucketEmbeddingProfile(emb, "embedding", "ts", 604800L),
+            "edtprof", Seq("bucket_start", "pos", "bin"),
+            clusterCols = Seq("bucket_start"))
+        val ref = ops.Similarity.embeddingProfile(T(s, dir, "embeddings"),
+          "embedding")
+        // slice: weeks [2, 5) after the first bucket — bounds from the
+        // stored profile itself, never an event scan
+        val lo = store.read("edtprof", Seq("bucket_start", "pos", "bin"))
+          .agg(min("bucket_start")).head().getLong(0) + 2L * 604800L
+        val hi = lo + 3L * 604800L
+        val prof = store.scanPrunedMulti("edtprof",
+          Seq("bucket_start", "pos", "bin"),
+          Seq(("bucket_start", lo.toDouble, hi.toDouble)))
+        ops.Events.embeddingDriftTimelineFromProfiles(prof, ref)
+          .orderBy("bucket_start")
+      },
+      Some(s"""
+        WITH e AS MATERIALIZED (
+          SELECT ((vec_id * 3600) // 604800) * 604800 AS bucket_start,
+                 $sqlQVec AS v FROM embeddings),
+        c0 AS MATERIALIZED (SELECT bucket_start, i.range - 1 AS pos,
+               least(greatest(CAST(floor(CAST(COALESCE(v[i.range], 0) AS DOUBLE) / 31250) AS BIGINT), -8), 7) AS bin,
+               CAST(count(*) AS HUGEINT) AS n_b
+             FROM e CROSS JOIN range(1, 65) i GROUP BY 1, 2, 3),
+        w AS (SELECT min(bucket_start) + 1209600 AS lo FROM c0),
+        c AS (SELECT c0.* FROM c0, w
+              WHERE bucket_start >= w.lo AND bucket_start <= w.lo + 1814400),
+        ref AS MATERIALIZED (SELECT i.range - 1 AS pos,
+               least(greatest(CAST(floor(CAST(COALESCE(v[i.range], 0) AS DOUBLE) / 31250) AS BIGINT), -8), 7) AS bin,
+               CAST(count(*) AS HUGEINT) AS n_a
+             FROM e CROSS JOIN range(1, 65) i GROUP BY 1, 2),
+        bk AS (SELECT bucket_start, sum(n_b) AS t_b,
+                      CAST(sum(n_b) AS BIGINT) AS n_components FROM c GROUP BY 1),
+        cells AS (SELECT DISTINCT pos, bin FROM
+                 (SELECT pos, bin FROM c UNION SELECT pos, bin FROM ref)),
+        t AS (SELECT sum(n_a) AS t_a FROM ref),
+        sp AS (SELECT bk.bucket_start, bk.n_components, cells.pos, cells.bin,
+                  COALESCE(ref.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b,
+                  t.t_a, bk.t_b
+               FROM bk CROSS JOIN cells
+               LEFT JOIN ref ON ref.pos = cells.pos AND ref.bin = cells.bin
+               LEFT JOIN c ON c.bucket_start = bk.bucket_start
+                          AND c.pos = cells.pos AND c.bin = cells.bin
+               CROSS JOIN t),
+        sc AS (SELECT bucket_start, n_components, pos, bin,
+                  CASE WHEN t_a = 0 OR t_b = 0 OR n_a + n_b = 0
+                       THEN CAST(0 AS HUGEINT)
+                       ELSE (1000000 * (n_a*t_b - n_b*t_a) * (n_a*t_b - n_b*t_a))
+                            // ((n_a + n_b) * t_a * t_b) END AS contrib
+               FROM sp),
+        rk AS (SELECT *, row_number() OVER
+                 (PARTITION BY bucket_start ORDER BY contrib DESC, pos, bin) AS rk
+               FROM sc)
+        SELECT bucket_start,
+          CAST(max(n_components) AS BIGINT) AS n_components,
+          CAST(sum(contrib) AS BIGINT) AS chi2_micro,
+          CAST(max(CASE WHEN rk = 1 THEN pos END) AS INT) AS top_pos,
+          CAST(max(CASE WHEN rk = 1 THEN bin END) AS BIGINT) AS top_bin,
+          CAST(max(CASE WHEN rk = 1 THEN contrib END) AS BIGINT) AS top_chi2_micro
+        FROM rk GROUP BY bucket_start ORDER BY bucket_start""")),
 
     // -- q237: anomaly flags over the drift timeline — Hampel median +
     //    k·MAD in exact integers (lower medians, no interpolation); the
