@@ -183,13 +183,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial"), s"map-side partial aggregate missing:\n$p")
   }
 
-  test("q106: gap-fill's event-sized work is a single keyed agg; the fill join is grid-sized") {
+  test("q106: gap-fill's event-sized work is a single keyed agg; the fill join is grid-sized and the spine broadcasts") {
     val df = SparkEntry.queries("q106_gapfill_daily")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
-    // the spine bounds, the key list, and the fill join must ALL read the
-    // persisted post-agg frame — any InMemoryTableScan short of 3 means one
-    // consumer re-runs the event-sized aggregation (a full re-scan at 100 TB)
-    assert("InMemoryTableScan".r.findAllIn(p).size == 3, p)
+    // every consumer (spine bounds, the two 1-row guard stats, the key
+    // list, the fill join) must read the persisted post-agg frame — any
+    // InMemoryTableScan short of 5 means one consumer re-runs the
+    // event-sized aggregation (a full re-scan at 100 TB)...
+    assert("InMemoryTableScan".r.findAllIn(p).size == 5, p)
+    // the guarded day spine BROADCASTS into the grid — the key side (the
+    // big one at scale) never shuffles for the cross join
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
+    // and the fill itself is a broadcast join, not a shuffled one
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("q108: histogram aggregates partial+final (exchange carries bins, not rows)") {
@@ -691,6 +697,29 @@ class PlanSpec extends SparkSpec {
       assert(scans.forall(_.contains("plan_prof16")),
         s"$nm serve plan scans a non-profile relation:\n${scans.filterNot(_.contains("plan_prof16"))}")
     }
+  }
+
+  test("r18 profile-served embedding timeline plans zero corpus work from stored profiles — no Generate, only profile scans") {
+    // the serve-time contract for the round's new leg: against a persisted
+    // (bucket, pos, bin) profile the embedding timeline scans ONLY the
+    // bounded profile parquet — no embeddings relation, and no posexplode
+    // (Generate) anywhere in the plan
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .withColumn("ts", timestamp_micros(col("vec_id") * lit(3600000000L)))
+    val dir = tmpDir("plan_prof18")
+    graft.ops.Events.bucketEmbeddingProfile(emb, "embedding", "ts", 604800L)
+      .write.parquet(s"$dir/etl")
+    graft.ops.Similarity.embeddingProfile(emb, "embedding")
+      .write.parquet(s"$dir/eref")
+    val serve = graft.ops.Events.embeddingDriftTimelineFromProfiles(
+      spark.read.parquet(s"$dir/etl"), spark.read.parquet(s"$dir/eref"))
+    val p = serve.queryExecution.executedPlan.toString
+    val scans = "file:[^ ,\\]]*".r.findAllIn(p).toList
+    assert(scans.nonEmpty && scans.forall(_.contains("plan_prof18")),
+      s"embedding timeline serve plan scans a non-profile relation:\n${scans.filterNot(_.contains("plan_prof18"))}")
+    assert(!p.contains("Generate"),
+      "serve plan must not re-explode vectors (no Generate)")
   }
 
   test("q225: KS drift's cumulative is the two-level prefix sum — a range exchange, and every data-sized Window is __pid-partitioned") {
