@@ -1086,6 +1086,29 @@ object GraftExtensions {
           str(args(1), "groupCol"))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_embedding_meanshift_timeline"),
+      info("graft_embedding_meanshift_timeline",
+        "graft_embedding_meanshift_timeline(table, vecCol, tsCol, refProfTable, bucketSec, dim, bins, binWidthMicro) - the MEAN leg of the embedding timeline: per time bucket each dimension's exact cleared mean shift vs a reference graft_embedding_profile, folded from the same (n, s) statistic as the shape leg; (bucket_start, n_components, l1_shift_micro, top_pos, top_shift_micro, direction)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 8,
+          "usage: graft_embedding_meanshift_timeline(table, vecCol, tsCol, refProfTable, bucketSec, dim, bins, binWidthMicro)")
+        ops.Events.embeddingMeanShiftTimeline(table(str(args(0), "table")),
+          str(args(1), "vecCol"), str(args(2), "tsCol"),
+          table(str(args(3), "refProfTable")), lng(args(4), "bucketSec"),
+          int(args(5), "dim"), int(args(6), "bins"),
+          lng(args(7), "binWidthMicro"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_embedding_meanshift_timeline_from_profiles"),
+      info("graft_embedding_meanshift_timeline_from_profiles",
+        "graft_embedding_meanshift_timeline_from_profiles(profTable, refTable) - the embedding MEAN-shift timeline SERVED from a stored graft_bucket_embedding_profile frame (the same store serves both legs); vectors never touched at serve time"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "usage: graft_embedding_meanshift_timeline_from_profiles(profTable, refTable)")
+        ops.Events.embeddingMeanShiftTimelineFromProfiles(
+          table(str(args(0), "profTable")), table(str(args(1), "refTable")))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_monitor_run_anomalies"),
       info("graft_monitor_run_anomalies",
         "graft_monitor_run_anomalies(historyTable, k) - DRIFT-OF-DRIFT: Hampel median + k*MAD anomaly flags over a persisted monitor-run history ((run_ts, stat_micro, ...) rows, one monitor's slice): (run_ts, stat_micro, med_micro, mad_micro, is_anomaly) - the alerting layer with a self-contained baseline instead of a caller threshold"),

@@ -1011,6 +1011,46 @@ object SparkEntry {
         JOIN mad ON mad.g = tl.g
         ORDER BY label, tl.bucket_start"""
 
+  /** q281 / q282 / q283 shared oracle: embedding MEAN-SHIFT timeline —
+    * per weekly bucket each dimension's exact cleared mean shift
+    * ([[sqlEmbeddingDrift]]'s statistic with the bucket as snapshot B)
+    * against the whole table's per-dim sums; per bucket the L1 norm of
+    * the shift vector, the worst-moved dimension (ties → smallest pos),
+    * and its direction (+1 = reference mean higher). q282 serves the
+    * identical answer from the stored (bucket, pos, bin) profile's (n, s)
+    * sums, q283 is the SQL-TVF route. */
+  private lazy val sqlEmbeddingMeanShiftTimeline: String = s"""
+        WITH e AS MATERIALIZED (
+          SELECT ((vec_id * 3600) // 604800) * 604800 AS bucket_start,
+                 $sqlQVec AS v FROM embeddings),
+        b AS (SELECT bucket_start, i.range - 1 AS pos,
+                CAST(count(*) AS HUGEINT) AS n_b,
+                CAST(sum(COALESCE(v[i.range], 0)) AS HUGEINT) AS s_b
+              FROM e CROSS JOIN range(1, 65) i GROUP BY 1, 2),
+        ref AS (SELECT i.range - 1 AS pos,
+                CAST(count(*) AS HUGEINT) AS n_a,
+                CAST(sum(COALESCE(v[i.range], 0)) AS HUGEINT) AS s_a
+              FROM e CROSS JOIN range(1, 65) i GROUP BY 1),
+        j AS (SELECT b.bucket_start, b.pos, b.n_b,
+                COALESCE(ref.n_a, 0) AS n_a, b.s_b,
+                COALESCE(ref.s_a, 0) * b.n_b - b.s_b * COALESCE(ref.n_a, 0) AS diff
+              FROM b LEFT JOIN ref ON ref.pos = b.pos),
+        r AS (SELECT bucket_start, pos, n_b,
+                CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(0 AS HUGEINT)
+                     ELSE abs(diff) // (n_a * n_b) END AS shift,
+                CASE WHEN diff > 0 THEN 1 WHEN diff < 0 THEN -1 ELSE 0 END AS dir
+              FROM j),
+        rk AS (SELECT *, row_number() OVER
+                 (PARTITION BY bucket_start ORDER BY shift DESC, pos) AS rk
+               FROM r)
+        SELECT bucket_start,
+          CAST(sum(n_b) AS BIGINT) AS n_components,
+          CAST(sum(shift) AS BIGINT) AS l1_shift_micro,
+          CAST(max(CASE WHEN rk = 1 THEN pos END) AS INT) AS top_pos,
+          CAST(max(CASE WHEN rk = 1 THEN shift END) AS BIGINT) AS top_shift_micro,
+          CAST(max(CASE WHEN rk = 1 THEN dir END) AS INT) AS direction
+        FROM rk GROUP BY bucket_start ORDER BY bucket_start"""
+
   /** q266 oracle: SEGMENTED retrospective novelty between STORE VERSIONS
     * — the q261 pattern per source: v1 = snapshot A's grouped profile,
     * v2 = the accumulated A ∪ B, so side B = the WHOLE corpus per
@@ -5371,6 +5411,54 @@ object SparkEntry {
           CAST(max(CASE WHEN rk = 1 THEN bin END) AS BIGINT) AS top_bin,
           CAST(max(CASE WHEN rk = 1 THEN contrib END) AS BIGINT) AS top_chi2_micro
         FROM rk GROUP BY bucket_start ORDER BY bucket_start""")),
+
+    // -- q281: embedding MEAN-SHIFT timeline — the MEAN leg of the time
+    //    axis (q268 is the shape leg; a mean-only and a variance-only
+    //    shift are distinct failure modes): per bucket the L1 of the
+    //    cleared per-dim mean shifts vs the whole-table profile, plus the
+    //    worst-moved dimension and its direction -------------------------
+    Q("q281_embedding_meanshift_timeline",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+          .withColumn("ts", timestamp_micros(col("vec_id") * lit(3600000000L)))
+        ops.Events.embeddingMeanShiftTimeline(emb, "embedding", "ts",
+          ops.Similarity.embeddingProfile(T(s, dir, "embeddings"), "embedding"),
+          bucketSec = 604800L)
+          .orderBy("bucket_start")
+      },
+      Some(sqlEmbeddingMeanShiftTimeline)),
+
+    // -- q282: the mean-shift timeline SERVED from the SAME stored
+    //    (bucket, pos, bin) profile that serves the shape leg — the (n, s)
+    //    statistic answers both; q281's oracle verbatim ------------------
+    Q("q282_embedding_meanshift_timeline_profiles",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+          .withColumn("ts", timestamp_micros(col("vec_id") * lit(3600000000L)))
+        ops.Events.embeddingMeanShiftTimelineFromProfiles(
+          ops.Events.bucketEmbeddingProfile(emb, "embedding", "ts", 604800L),
+          ops.Similarity.embeddingProfile(T(s, dir, "embeddings"), "embedding"))
+          .orderBy("bucket_start")
+      },
+      Some(sqlEmbeddingMeanShiftTimeline)),
+
+    // -- q283: the SQL-TVF route for the mean-shift timeline -------------
+    Q("q283_sql_tvf_embedding_meanshift_timeline",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val emb = T(s, dir, "embeddings")
+          .withColumn("ts", timestamp_micros(col("vec_id") * lit(3600000000L)))
+        emb.createOrReplaceTempView(s"emst_ev_$sfx")
+        s.sql(s"SELECT * FROM graft_embedding_profile('emst_ev_$sfx', 'embedding')")
+          .createOrReplaceTempView(s"emst_ref_$sfx")
+        s.sql(s"""
+          SELECT bucket_start, n_components, l1_shift_micro, top_pos, top_shift_micro, direction
+          FROM graft_embedding_meanshift_timeline('emst_ev_$sfx', 'embedding',
+            'ts', 'emst_ref_$sfx', 604800, 64, 16, 31250)
+          ORDER BY bucket_start""")
+      },
+      Some(sqlEmbeddingMeanShiftTimeline)),
 
     // -- q237: anomaly flags over the drift timeline — Hampel median +
     //    k·MAD in exact integers (lower medians, no interpolation); the

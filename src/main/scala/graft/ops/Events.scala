@@ -801,6 +801,80 @@ object Events {
       maxBuckets, 1L << 22, maxSpine, "embeddingDriftTimelineByGroup"))
   }
 
+  /** EMBEDDING MEAN-SHIFT timeline — the time axis of the MEAN monitor
+    * ([[embeddingDriftTimeline]] is the SHAPE leg; a mean-only shift and
+    * a variance-only shift are distinct failure modes, so the dashboard
+    * needs both): per time bucket, each dimension's exact cleared mean
+    * shift against a fixed REFERENCE
+    * [[graft.ops.Similarity.embeddingProfile]] —
+    * [[graft.ops.Similarity.embeddingDrift]]'s statistic verbatim with
+    * the bucket as snapshot B, folded from the SAME stored
+    * [[bucketEmbeddingProfile]] rows (the (n, s) sums are why the
+    * timeline statistic carries `s`). Output, one row per non-empty
+    * bucket: (bucket_start, n_components, l1_shift_micro, top_pos,
+    * top_shift_micro, direction) — `l1_shift_micro` = Σ_pos shift (the
+    * L1 norm of the bucket's mean-shift vector, the scalar the alerting
+    * layer consumes), (top_pos, top_shift_micro, direction) the
+    * worst-moved dimension (ties → smallest pos; direction +1 = the
+    * reference mean is higher). An empty side scores 0 by the family's
+    * convention; padded positions count with component 0.
+    *
+    * Scale shape: the vectors are touched ONCE ([[bucketEmbeddingProfile]]
+    * — posexplode map-side, ≤ buckets·dim·bins rows after partial
+    * aggregation); the per-(bucket, pos) fold, the broadcast dim-sized
+    * reference join, and the per-bucket rank window all run on
+    * spine-bounded frames. Serving: pass a STORED profile through
+    * [[embeddingMeanShiftTimelineFromProfiles]] — zero corpus scans. */
+  def embeddingMeanShiftTimeline(df: DataFrame, vecCol: String,
+      tsCol: String, refProfile: DataFrame, bucketSec: Long, dim: Int = 64,
+      bins: Int = 16, binWidthMicro: Long = 31250L): DataFrame =
+    embeddingMeanShiftTimelineFromProfiles(
+      bucketEmbeddingProfile(df, vecCol, tsCol, bucketSec, dim, bins,
+        binWidthMicro),
+      refProfile)
+
+  /** [[embeddingMeanShiftTimeline]] computed from a STORED
+    * [[bucketEmbeddingProfile]] frame — also the direct route's whole
+    * body (the direct route just builds the profile inline), so the two
+    * routes are ONE code path by construction. Folding bins per
+    * (bucket, pos) recovers the exact per-bucket per-dim (n, s) —
+    * padding included — exactly as
+    * [[graft.ops.Similarity.embeddingDriftFromProfiles]] folds the flat
+    * profile. */
+  def embeddingMeanShiftTimelineFromProfiles(bucketProf: DataFrame,
+      refProfile: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val perDim = bucketProf.groupBy(col("bucket_start"), col("pos"))
+      .agg(sum("n").as("n_b"), sum(dec(col("s"))).as("s_b"))
+    val ref = refProfile.groupBy(col("pos"))
+      .agg(sum("n").as("n_a"), sum(dec(col("s"))).as("s_a"))
+    val rawDiff = col("s_a") * dec(col("n_b")) - col("s_b") * dec(col("n_a"))
+    val shift = when(col("n_a") === 0 || col("n_b") === 0, lit(0L))
+      .otherwise(call_function("div", abs(rawDiff),
+        dec(col("n_a")) * dec(col("n_b")))).cast("long")
+    // left join: a dimension absent from the reference (never observed
+    // there) scores 0 on the empty-side rule via the coalesced n_a = 0
+    val scored = perDim.join(broadcast(ref), Seq("pos"), "left")
+      .select(col("bucket_start"), col("pos"), col("n_b"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("s_a"), lit(0L).cast("decimal(38,0)")).as("s_a"),
+        col("s_b"))
+      .withColumn("__shift", shift)
+      .withColumn("__dir",
+        when(col("n_a") === 0 || col("n_b") === 0, 0)
+          .when(rawDiff > 0, 1).when(rawDiff < 0, -1).otherwise(0))
+    val wTop = Window.partitionBy("bucket_start")
+      .orderBy(col("__shift").desc, col("pos").asc)
+    scored
+      .withColumn("__rk", row_number().over(wTop))
+      .groupBy("bucket_start")
+      .agg(sum("n_b").as("n_components"),
+        sum("__shift").as("l1_shift_micro"),
+        max(when(col("__rk") === 1, col("pos"))).as("top_pos"),
+        max(when(col("__rk") === 1, col("__shift"))).as("top_shift_micro"),
+        max(when(col("__rk") === 1, col("__dir"))).as("direction"))
+  }
+
   /** The embedding timeline's composite category key: (pos, bin) as ONE
     * struct column, so the (dimension, bin) cell rides the shared
     * categorical scoring tail unchanged. Explicit casts pin the struct

@@ -3823,6 +3823,40 @@ class EwmaSpec extends SparkSpec {
     assert(served == out, s"served $served vs direct $out")
   }
 
+  test("embeddingMeanShiftTimeline: hand-computed per-bucket cleared shifts at dim=1, direction signs, L1; served route is the direct route's own body") {
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // ref = one 0.5 and one 1.5 component: n_a=2, s_a=2,000,000 micro.
+    // bucket0 = [0.5, 0.5, 1.5]: n_b=3, s_b=2,500,000 ->
+    //   diff = 2e6*3 - 2.5e6*2 = +1e6 -> dir +1, shift = 1e6 // 6 = 166666
+    // bucket1 = [1.5, 1.5]: n_b=2, s_b=3,000,000 ->
+    //   diff = 2e6*2 - 3e6*2 = -2e6 -> dir -1, shift = 2e6 // 4 = 500000
+    val df = Seq(
+      (ts("2024-01-01 10:00:00"), Seq(0.5f)), (ts("2024-01-01 10:20:00"), Seq(0.5f)),
+      (ts("2024-01-01 10:59:00"), Seq(1.5f)),
+      (ts("2024-01-01 11:05:00"), Seq(1.5f)), (ts("2024-01-01 11:30:00"), Seq(1.5f)))
+      .toDF("ts", "vec")
+    val ref = Seq((0, 0L, 1L, 500000L), (0, 1L, 1L, 1500000L))
+      .toDF("pos", "bin", "n", "s")
+    val out = Events.embeddingMeanShiftTimeline(df, "vec", "ts", ref, 3600L,
+        dim = 1, bins = 4, binWidthMicro = 1000000L)
+      .orderBy("bucket_start")
+      .as[(Long, Long, Long, Int, Long, Int)].collect().toList
+    assert(out.size == 2, s"buckets: $out")
+    assert(out(0)._2 == 3L && out(0)._3 == 166666L && out(0)._4 == 0 &&
+      out(0)._5 == 166666L && out(0)._6 == 1, s"bucket0: ${out(0)}")
+    assert(out(1)._2 == 2L && out(1)._3 == 500000L && out(1)._4 == 0 &&
+      out(1)._5 == 500000L && out(1)._6 == -1, s"bucket1: ${out(1)}")
+    // profile-served == direct (one code path by construction, asserted
+    // anyway against a ROUND-TRIPPED stored profile)
+    val served = Events.embeddingMeanShiftTimelineFromProfiles(
+        Events.bucketEmbeddingProfile(df, "vec", "ts", 3600L,
+          dim = 1, bins = 4, binWidthMicro = 1000000L), ref)
+      .orderBy("bucket_start")
+      .as[(Long, Long, Long, Int, Long, Int)].collect().toList
+    assert(served == out, s"served $served vs direct $out")
+  }
+
   test("recordMonitorRun + monitorRunAnomalies: history grows one keyed merge per run, re-record overwrites, flags == timelineAnomalies on the same series; per-monitor baselines independent") {
     val store = new graft.core.BucketedStore(tmpDir("monhist"), numBuckets = 4)
     // monitor A: a quiet series with one spike; monitor B: all-large runs
