@@ -417,8 +417,14 @@ object Events {
       s"guards must be >= 1, got maxBuckets=$maxBuckets maxCats=$maxCats " +
         s"maxSpine=$maxSpine")
     def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // persisted (bounded: ≤ groups·cats rows after the re-aggregation):
+    // THREE consumers read it (the category-universe union, the per-group
+    // totals, the spine join) — without the persist each one re-runs the
+    // caller's reference plan, which on the DIRECT routes is a full
+    // corpus-sized aggregation (3× the corpus at 100 TB for free)
     val ref = refProfile.groupBy(col(groupCol), col(catCol).as("__cat"))
       .agg(sum("n").as("n_a"))
+      .persistTracked()
     // per-group category universe + per-(group, bucket) totals: persisted —
     // each feeds the spine AND its guard statistic
     val gcats = counts.select(col(groupCol), col("__cat"))
@@ -1055,8 +1061,11 @@ object Events {
       s"guards must be >= 1, got maxBuckets=$maxBuckets maxCats=$maxCats " +
         s"maxSpine=$maxSpine")
     def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // persisted (bounded: ≤ cats rows): the category union, the reference
+    // total, and the spine join all read it — see the grouped tail's note
     val ref = refProfile.groupBy(col(catCol).as("__cat"))
       .agg(sum("n").as("n_a"))
+      .persistTracked()
     // bounded frames + loud guards: a bucket column this fine-grained is a
     // timestamp, a category column this wide is an id
     val nbk = counts.select("bucket_start").distinct()
