@@ -642,6 +642,27 @@ object ScaleRehearsal {
             ops.Similarity.embeddingProfile(emb, "embedding"),
             bucketSec = 604800L))
         }),
+        // segmented embedding timeline: group count FIXED (8 labels) while
+        // buckets grow with the id range and cells stay (dim·bins)-bounded
+        // — spine strictly linear; expect ~scan-linear like the global leg
+        "q271_embedding_timeline_by_group" -> (() => {
+          def lab(df: DataFrame) = df.withColumn("label", (col("vec_id") % 8).cast("int"))
+          val embTs = lab(emb).withColumn("ts",
+            timestamp_micros(col("vec_id") * lit(3600000000L)))
+          force(ops.Events.embeddingDriftTimelineByGroup(embTs, "embedding",
+            "ts", "label",
+            ops.Similarity.embeddingProfileByGroup(lab(emb), "embedding", "label"),
+            bucketSec = 604800L))
+        }),
+        // embedding MEAN-shift timeline: the same one vector-sized pass
+        // folded to (bucket, dim) — expect ~scan-linear
+        "q281_embedding_meanshift_timeline" -> (() => {
+          val embTs = emb.withColumn("ts",
+            timestamp_micros(col("vec_id") * lit(3600000000L)))
+          force(ops.Events.embeddingMeanShiftTimeline(embTs, "embedding", "ts",
+            ops.Similarity.embeddingProfile(emb, "embedding"),
+            bucketSec = 604800L))
+        }),
         // segmented timeline: ONE event-sized (group, bucket, cat) count;
         // every downstream join keyed group-first — expect ~scan-linear
         // (replicas add USERS, so cohorts keep their shape)

@@ -5460,6 +5460,65 @@ object SparkEntry {
       },
       Some(sqlEmbeddingMeanShiftTimeline)),
 
+    // -- q284: TOKEN drift timeline — the text modality's time axis as a
+    //    PURE COMPOSITION (no new operator): tokens are categories, so
+    //    categoryDriftTimeline over the exploded token stream against a
+    //    tokenProfile reference IS the "when did the vocabulary mix
+    //    shift" dashboard; the vocab-wide spine rides the family's
+    //    maxCats/maxSpine guards. Timestamps synthesized as doc_id hours
+    //    (deterministic, both engines) -----------------------------------
+    Q("q284_token_drift_timeline",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+          .withColumn("ts", timestamp_micros(col("doc_id") * lit(3600000000L)))
+        val toks = docs.select(col("ts"),
+            explode(split(col("text"), " ")).as("token"))
+          .where(col("token") =!= "")
+        ops.Events.categoryDriftTimeline(toks, "token", "ts",
+          ops.TextOps.tokenProfile(T(s, dir, "documents"), "text"),
+          bucketSec = 604800L)
+          .orderBy("bucket_start")
+      },
+      Some("""
+        WITH tv AS (SELECT ((doc_id * 3600) // 604800) * 604800 AS bucket_start,
+                      unnest(string_split(text, ' ')) AS cat
+                    FROM documents),
+        ev AS (SELECT bucket_start, cat FROM tv WHERE cat <> ''),
+        c AS MATERIALIZED (SELECT bucket_start, cat,
+               CAST(count(*) AS HUGEINT) AS n_b
+             FROM ev GROUP BY 1, 2),
+        ref AS MATERIALIZED (SELECT cat, CAST(count(*) AS HUGEINT) AS n_a
+              FROM (SELECT unnest(string_split(text, ' ')) AS cat FROM documents)
+              WHERE cat <> '' GROUP BY 1),
+        bk AS (SELECT bucket_start, sum(n_b) AS t_b,
+                      CAST(sum(n_b) AS BIGINT) AS n_events FROM c GROUP BY 1),
+        cats AS (SELECT DISTINCT cat FROM
+                 (SELECT cat FROM c UNION SELECT cat FROM ref)),
+        t AS (SELECT sum(n_a) AS t_a FROM ref),
+        sp AS (SELECT bk.bucket_start, bk.n_events, cats.cat,
+                  COALESCE(ref.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b,
+                  t.t_a, bk.t_b
+               FROM bk CROSS JOIN cats
+               LEFT JOIN ref ON ref.cat = cats.cat
+               LEFT JOIN c ON c.bucket_start = bk.bucket_start
+                          AND c.cat = cats.cat
+               CROSS JOIN t),
+        sc AS (SELECT bucket_start, n_events, cat,
+                  CASE WHEN t_a = 0 OR t_b = 0 OR n_a + n_b = 0
+                       THEN CAST(0 AS HUGEINT)
+                       ELSE (1000000 * (n_a*t_b - n_b*t_a) * (n_a*t_b - n_b*t_a))
+                            // ((n_a + n_b) * t_a * t_b) END AS contrib
+               FROM sp),
+        rk AS (SELECT *, row_number() OVER
+                 (PARTITION BY bucket_start ORDER BY contrib DESC, cat) AS rk
+               FROM sc)
+        SELECT bucket_start,
+          CAST(max(n_events) AS BIGINT) AS n_events,
+          CAST(sum(contrib) AS BIGINT) AS chi2_micro,
+          max(CASE WHEN rk = 1 THEN cat END) AS top_cat,
+          CAST(max(CASE WHEN rk = 1 THEN contrib END) AS BIGINT) AS top_chi2_micro
+        FROM rk GROUP BY bucket_start ORDER BY bucket_start""")),
+
     // -- q237: anomaly flags over the drift timeline — Hampel median +
     //    k·MAD in exact integers (lower medians, no interpolation); the
     //    alerting layer over q229's dashboard -----------------------------
