@@ -1109,6 +1109,30 @@ object GraftExtensions {
           table(str(args(0), "profTable")), table(str(args(1), "refTable")))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_embedding_meanshift_timeline_by_group"),
+      info("graft_embedding_meanshift_timeline_by_group",
+        "graft_embedding_meanshift_timeline_by_group(table, vecCol, tsCol, groupCol, refTable, bucketSec, dim, bins, binWidthMicro) - SEGMENTED embedding MEAN-shift timeline: per (group, bucket) each dimension's exact cleared mean shift vs the GROUP'S OWN graft_embedding_profile_by_group reference; (group, bucket_start, n_components, l1_shift_micro, top_pos, top_shift_micro, direction)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 9,
+          "usage: graft_embedding_meanshift_timeline_by_group(table, vecCol, tsCol, groupCol, refTable, bucketSec, dim, bins, binWidthMicro)")
+        ops.Events.embeddingMeanShiftTimelineByGroup(table(str(args(0), "table")),
+          str(args(1), "vecCol"), str(args(2), "tsCol"),
+          str(args(3), "groupCol"), table(str(args(4), "refTable")),
+          lng(args(5), "bucketSec"), int(args(6), "dim"),
+          int(args(7), "bins"), lng(args(8), "binWidthMicro"))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_embedding_meanshift_timeline_by_group_from_profiles"),
+      info("graft_embedding_meanshift_timeline_by_group_from_profiles",
+        "graft_embedding_meanshift_timeline_by_group_from_profiles(profTable, groupCol, refTable) - the SEGMENTED embedding MEAN-shift timeline SERVED from a stored graft_bucket_embedding_profile_by_group frame (the same store serves the shape leg); vectors never touched at serve time"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "usage: graft_embedding_meanshift_timeline_by_group_from_profiles(profTable, groupCol, refTable)")
+        ops.Events.embeddingMeanShiftTimelineByGroupFromProfiles(
+          table(str(args(0), "profTable")), table(str(args(2), "refTable")),
+          str(args(1), "groupCol"))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_monitor_run_anomalies"),
       info("graft_monitor_run_anomalies",
         "graft_monitor_run_anomalies(historyTable, k) - DRIFT-OF-DRIFT: Hampel median + k*MAD anomaly flags over a persisted monitor-run history ((run_ts, stat_micro, ...) rows, one monitor's slice): (run_ts, stat_micro, med_micro, mad_micro, is_anomaly) - the alerting layer with a self-contained baseline instead of a caller threshold"),

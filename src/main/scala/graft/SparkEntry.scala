@@ -1051,6 +1051,42 @@ object SparkEntry {
           CAST(max(CASE WHEN rk = 1 THEN dir END) AS INT) AS direction
         FROM rk GROUP BY bucket_start ORDER BY bucket_start"""
 
+  /** q286 / q287 shared oracle: SEGMENTED embedding MEAN-shift timeline
+    * — [[sqlEmbeddingMeanShiftTimeline]]'s chain per label, each
+    * (label, bucket) scored against the LABEL'S OWN per-dim sums, rank
+    * per (label, bucket). q287 is the SQL-TVF route. */
+  private lazy val sqlEmbeddingMeanShiftTimelineByGroup: String = s"""
+        WITH e AS MATERIALIZED (
+          SELECT label AS g, ((vec_id * 3600) // 604800) * 604800 AS bucket_start,
+                 $sqlQVec AS v FROM embeddings WHERE label IS NOT NULL),
+        b AS (SELECT g, bucket_start, i.range - 1 AS pos,
+                CAST(count(*) AS HUGEINT) AS n_b,
+                CAST(sum(COALESCE(v[i.range], 0)) AS HUGEINT) AS s_b
+              FROM e CROSS JOIN range(1, 65) i GROUP BY 1, 2, 3),
+        ref AS (SELECT g, i.range - 1 AS pos,
+                CAST(count(*) AS HUGEINT) AS n_a,
+                CAST(sum(COALESCE(v[i.range], 0)) AS HUGEINT) AS s_a
+              FROM e CROSS JOIN range(1, 65) i GROUP BY 1, 2),
+        j AS (SELECT b.g, b.bucket_start, b.pos, b.n_b,
+                COALESCE(ref.n_a, 0) AS n_a, b.s_b,
+                COALESCE(ref.s_a, 0) * b.n_b - b.s_b * COALESCE(ref.n_a, 0) AS diff
+              FROM b LEFT JOIN ref ON ref.g = b.g AND ref.pos = b.pos),
+        r AS (SELECT g, bucket_start, pos, n_b,
+                CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(0 AS HUGEINT)
+                     ELSE abs(diff) // (n_a * n_b) END AS shift,
+                CASE WHEN diff > 0 THEN 1 WHEN diff < 0 THEN -1 ELSE 0 END AS dir
+              FROM j),
+        rk AS (SELECT *, row_number() OVER
+                 (PARTITION BY g, bucket_start ORDER BY shift DESC, pos) AS rk
+               FROM r)
+        SELECT CAST(g AS INT) AS label, bucket_start,
+          CAST(sum(n_b) AS BIGINT) AS n_components,
+          CAST(sum(shift) AS BIGINT) AS l1_shift_micro,
+          CAST(max(CASE WHEN rk = 1 THEN pos END) AS INT) AS top_pos,
+          CAST(max(CASE WHEN rk = 1 THEN shift END) AS BIGINT) AS top_shift_micro,
+          CAST(max(CASE WHEN rk = 1 THEN dir END) AS INT) AS direction
+        FROM rk GROUP BY 1, 2 ORDER BY label, bucket_start"""
+
   /** q266 oracle: SEGMENTED retrospective novelty between STORE VERSIONS
     * — the q261 pattern per source: v1 = snapshot A's grouped profile,
     * v2 = the accumulated A ∪ B, so side B = the WHOLE corpus per
@@ -5518,6 +5554,102 @@ object SparkEntry {
           max(CASE WHEN rk = 1 THEN cat END) AS top_cat,
           CAST(max(CASE WHEN rk = 1 THEN contrib END) AS BIGINT) AS top_chi2_micro
         FROM rk GROUP BY bucket_start ORDER BY bucket_start""")),
+
+    // -- q285: SEGMENTED token drift timeline — "when did SOURCE X's
+    //    vocabulary mix shift", again a PURE COMPOSITION: the grouped
+    //    categorical timeline over the exploded token stream vs the
+    //    grouped token profile -------------------------------------------
+    Q("q285_token_drift_timeline_by_group",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+          .withColumn("ts", timestamp_micros(col("doc_id") * lit(3600000000L)))
+        val toks = docs.select(col("source"), col("ts"),
+            explode(split(col("text"), " ")).as("token"))
+          .where(col("token") =!= "")
+        ops.Events.categoryDriftTimelineByGroup(toks, "token", "ts",
+          "source",
+          ops.TextOps.tokenProfileByGroup(T(s, dir, "documents"), "text",
+            "source"),
+          bucketSec = 604800L)
+          .orderBy("source", "bucket_start")
+      },
+      Some("""
+        WITH tv AS (SELECT source AS g,
+                      ((doc_id * 3600) // 604800) * 604800 AS bucket_start,
+                      unnest(string_split(text, ' ')) AS cat
+                    FROM documents WHERE source IS NOT NULL),
+        ev AS (SELECT g, bucket_start, cat FROM tv WHERE cat <> ''),
+        c AS MATERIALIZED (SELECT g, bucket_start, cat,
+               CAST(count(*) AS HUGEINT) AS n_b
+             FROM ev GROUP BY 1, 2, 3),
+        ref AS MATERIALIZED (SELECT g, cat, CAST(count(*) AS HUGEINT) AS n_a
+              FROM (SELECT source AS g, unnest(string_split(text, ' ')) AS cat
+                    FROM documents WHERE source IS NOT NULL)
+              WHERE cat <> '' GROUP BY 1, 2),
+        bk AS (SELECT g, bucket_start, sum(n_b) AS t_b,
+                      CAST(sum(n_b) AS BIGINT) AS n_events FROM c GROUP BY 1, 2),
+        cats AS (SELECT DISTINCT g, cat FROM
+                 (SELECT g, cat FROM c UNION SELECT g, cat FROM ref)),
+        t AS (SELECT g, sum(n_a) AS t_a FROM ref GROUP BY 1),
+        sp AS (SELECT bk.g, bk.bucket_start, bk.n_events, cats.cat,
+                  COALESCE(ref.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b,
+                  COALESCE(t.t_a, 0) AS t_a, bk.t_b
+               FROM bk JOIN cats ON cats.g = bk.g
+               LEFT JOIN ref ON ref.g = bk.g AND ref.cat = cats.cat
+               LEFT JOIN c ON c.g = bk.g
+                          AND c.bucket_start = bk.bucket_start
+                          AND c.cat = cats.cat
+               LEFT JOIN t ON t.g = bk.g),
+        sc AS (SELECT g, bucket_start, n_events, cat,
+                  CASE WHEN t_a = 0 OR t_b = 0 OR n_a + n_b = 0
+                       THEN CAST(0 AS HUGEINT)
+                       ELSE (1000000 * (n_a*t_b - n_b*t_a) * (n_a*t_b - n_b*t_a))
+                            // ((n_a + n_b) * t_a * t_b) END AS contrib
+               FROM sp),
+        rk AS (SELECT *, row_number() OVER
+                 (PARTITION BY g, bucket_start ORDER BY contrib DESC, cat) AS rk
+               FROM sc)
+        SELECT g AS source, bucket_start,
+          CAST(max(n_events) AS BIGINT) AS n_events,
+          CAST(sum(contrib) AS BIGINT) AS chi2_micro,
+          max(CASE WHEN rk = 1 THEN cat END) AS top_cat,
+          CAST(max(CASE WHEN rk = 1 THEN contrib END) AS BIGINT) AS top_chi2_micro
+        FROM rk GROUP BY 1, 2 ORDER BY source, bucket_start""")),
+
+    // -- q286: SEGMENTED embedding MEAN-shift timeline — per (label,
+    //    bucket) the cleared per-dim mean shifts vs the label's own
+    //    profile; the SAME stored segmented (n, s) profile serves the
+    //    shape leg (q271) and this mean leg ------------------------------
+    Q("q286_embedding_meanshift_timeline_by_group",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+          .withColumn("ts", timestamp_micros(col("vec_id") * lit(3600000000L)))
+        ops.Events.embeddingMeanShiftTimelineByGroup(emb, "embedding", "ts",
+          "label",
+          ops.Similarity.embeddingProfileByGroup(T(s, dir, "embeddings"),
+            "embedding", "label"),
+          bucketSec = 604800L)
+          .orderBy("label", "bucket_start")
+      },
+      Some(sqlEmbeddingMeanShiftTimelineByGroup)),
+
+    // -- q287: the SQL-TVF route for the segmented mean-shift timeline ---
+    Q("q287_sql_tvf_embedding_meanshift_by_group",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val emb = T(s, dir, "embeddings")
+          .withColumn("ts", timestamp_micros(col("vec_id") * lit(3600000000L)))
+        emb.createOrReplaceTempView(s"gemst_ev_$sfx")
+        s.sql(s"SELECT * FROM graft_embedding_profile_by_group('gemst_ev_$sfx', 'embedding', 'label')")
+          .createOrReplaceTempView(s"gemst_ref_$sfx")
+        s.sql(s"""
+          SELECT label, bucket_start, n_components, l1_shift_micro, top_pos, top_shift_micro, direction
+          FROM graft_embedding_meanshift_timeline_by_group('gemst_ev_$sfx',
+            'embedding', 'ts', 'label', 'gemst_ref_$sfx', 604800, 64, 16, 31250)
+          ORDER BY label, bucket_start""")
+      },
+      Some(sqlEmbeddingMeanShiftTimelineByGroup)),
 
     // -- q237: anomaly flags over the drift timeline — Hampel median +
     //    k·MAD in exact integers (lower medians, no interpolation); the

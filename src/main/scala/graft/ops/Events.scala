@@ -881,6 +881,69 @@ object Events {
         max(when(col("__rk") === 1, col("__dir"))).as("direction"))
   }
 
+  /** SEGMENTED [[embeddingMeanShiftTimeline]] — "when did SOURCE X's
+    * representation MEAN move, and along which dimension": per
+    * (group, bucket) each dimension's exact cleared mean shift against
+    * the GROUP'S OWN reference
+    * [[graft.ops.Similarity.embeddingProfileByGroup]] frame
+    * (groupCol, pos, bin, n, s). Conventions are the global op's per
+    * group: a group absent from the reference scores 0 on every bucket
+    * (empty-side rule via the coalesced sums), padded positions carry
+    * component 0. Output: (group, bucket_start, n_components,
+    * l1_shift_micro, top_pos, top_shift_micro, direction).
+    *
+    * Scale shape: one vector-sized pass
+    * ([[bucketEmbeddingProfileByGroup]]); the (group, bucket, pos) fold,
+    * the (group, pos)-keyed reference join, and the rank window
+    * PARTITIONED by (group, bucket) all run on spine-bounded frames —
+    * scales with group count, no single-task funnel. */
+  def embeddingMeanShiftTimelineByGroup(df: DataFrame, vecCol: String,
+      tsCol: String, groupCol: String, refProfile: DataFrame,
+      bucketSec: Long, dim: Int = 64, bins: Int = 16,
+      binWidthMicro: Long = 31250L): DataFrame =
+    embeddingMeanShiftTimelineByGroupFromProfiles(
+      bucketEmbeddingProfileByGroup(df, vecCol, tsCol, groupCol, bucketSec,
+        dim, bins, binWidthMicro),
+      refProfile, groupCol)
+
+  /** [[embeddingMeanShiftTimelineByGroup]] computed from a STORED
+    * [[bucketEmbeddingProfileByGroup]] frame — also the direct route's
+    * whole body (one code path by construction, the global op's
+    * discipline); the SAME stored segmented profile serves the shape leg
+    * ([[embeddingDriftTimelineByGroupFromProfiles]]) and this mean leg. */
+  def embeddingMeanShiftTimelineByGroupFromProfiles(bucketProf: DataFrame,
+      refProfile: DataFrame, groupCol: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val perDim = bucketProf
+      .groupBy(col(groupCol), col("bucket_start"), col("pos"))
+      .agg(sum("n").as("n_b"), sum(dec(col("s"))).as("s_b"))
+    val ref = refProfile.groupBy(col(groupCol), col("pos"))
+      .agg(sum("n").as("n_a"), sum(dec(col("s"))).as("s_a"))
+    val rawDiff = col("s_a") * dec(col("n_b")) - col("s_b") * dec(col("n_a"))
+    val shift = when(col("n_a") === 0 || col("n_b") === 0, lit(0L))
+      .otherwise(call_function("div", abs(rawDiff),
+        dec(col("n_a")) * dec(col("n_b")))).cast("long")
+    val scored = perDim.join(ref, Seq(groupCol, "pos"), "left")
+      .select(col(groupCol), col("bucket_start"), col("pos"), col("n_b"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("s_a"), lit(0L).cast("decimal(38,0)")).as("s_a"),
+        col("s_b"))
+      .withColumn("__shift", shift)
+      .withColumn("__dir",
+        when(col("n_a") === 0 || col("n_b") === 0, 0)
+          .when(rawDiff > 0, 1).when(rawDiff < 0, -1).otherwise(0))
+    val wTop = Window.partitionBy(col(groupCol), col("bucket_start"))
+      .orderBy(col("__shift").desc, col("pos").asc)
+    scored
+      .withColumn("__rk", row_number().over(wTop))
+      .groupBy(col(groupCol), col("bucket_start"))
+      .agg(sum("n_b").as("n_components"),
+        sum("__shift").as("l1_shift_micro"),
+        max(when(col("__rk") === 1, col("pos"))).as("top_pos"),
+        max(when(col("__rk") === 1, col("__shift"))).as("top_shift_micro"),
+        max(when(col("__rk") === 1, col("__dir"))).as("direction"))
+  }
+
   /** The embedding timeline's composite category key: (pos, bin) as ONE
     * struct column, so the (dimension, bin) cell rides the shared
     * categorical scoring tail unchanged. Explicit casts pin the struct
