@@ -3857,6 +3857,38 @@ class EwmaSpec extends SparkSpec {
     assert(served == out, s"served $served vs direct $out")
   }
 
+  test("embeddingMeanShiftTimelineByGroup: per-group hand case == the global mean-shift timeline within the group; ref-less group scores 0; served == direct") {
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // g1 = the global mean-shift hand case verbatim; g2 has no reference
+    val df = Seq(
+      ("g1", ts("2024-01-01 10:00:00"), Seq(0.5f)), ("g1", ts("2024-01-01 10:20:00"), Seq(0.5f)),
+      ("g1", ts("2024-01-01 10:59:00"), Seq(1.5f)),
+      ("g1", ts("2024-01-01 11:05:00"), Seq(1.5f)), ("g1", ts("2024-01-01 11:30:00"), Seq(1.5f)),
+      ("g2", ts("2024-01-01 10:10:00"), Seq(0.5f)))
+      .toDF("g", "ts", "vec")
+    val ref = Seq(("g1", 0, 0L, 1L, 500000L), ("g1", 0, 1L, 1L, 1500000L))
+      .toDF("g", "pos", "bin", "n", "s")
+    val out = Events.embeddingMeanShiftTimelineByGroup(df, "vec", "ts", "g",
+        ref, 3600L, dim = 1, bins = 4, binWidthMicro = 1000000L)
+      .orderBy("g", "bucket_start")
+      .as[(String, Long, Long, Long, Int, Long, Int)].collect().toList
+    val g1 = out.filter(_._1 == "g1")
+    assert(g1.size == 2 &&
+      g1(0)._3 == 3L && g1(0)._4 == 166666L && g1(0)._6 == 166666L && g1(0)._7 == 1 &&
+      g1(1)._3 == 2L && g1(1)._4 == 500000L && g1(1)._6 == 500000L && g1(1)._7 == -1,
+      s"g1: $g1")
+    val g2 = out.filter(_._1 == "g2")
+    assert(g2.size == 1 && g2.head._4 == 0L && g2.head._7 == 0,
+      s"ref-less group must score 0: $g2")
+    val served = Events.embeddingMeanShiftTimelineByGroupFromProfiles(
+        Events.bucketEmbeddingProfileByGroup(df, "vec", "ts", "g", 3600L,
+          dim = 1, bins = 4, binWidthMicro = 1000000L), ref, "g")
+      .orderBy("g", "bucket_start")
+      .as[(String, Long, Long, Long, Int, Long, Int)].collect().toList
+    assert(served == out, s"served $served vs direct $out")
+  }
+
   test("recordMonitorRun + monitorRunAnomalies: history grows one keyed merge per run, re-record overwrites, flags == timelineAnomalies on the same series; per-monitor baselines independent") {
     val store = new graft.core.BucketedStore(tmpDir("monhist"), numBuckets = 4)
     // monitor A: a quiet series with one spike; monitor B: all-large runs
