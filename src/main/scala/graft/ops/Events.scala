@@ -258,7 +258,6 @@ object Events {
     val counts = bucketCategoryProfile(df, catCol, tsCol, bucketSec)
       .select(col("bucket_start"), col(catCol).as("__cat"),
         col("n").as("n_b"))
-      .persistTracked()
     timelineFromCounts(counts, refProfile, catCol, maxBuckets, maxCats, maxSpine)
   }
 
@@ -317,7 +316,6 @@ object Events {
     val counts = bucketProf.groupBy(col("bucket_start"), col(catCol))
       .agg(sum("n").as("n_b"))
       .select(col("bucket_start"), col(catCol).as("__cat"), col("n_b"))
-      .persistTracked()
     timelineFromCounts(counts, refProfile, catCol, maxBuckets, maxCats, maxSpine)
   }
 
@@ -342,8 +340,8 @@ object Events {
     * buckets × its own category union, built by a group-keyed join, NOT
     * a global cross product — a category alien to a group never charges
     * it), so no single-task funnels and no data-sized broadcasts at ANY
-    * group count; the only broadcast is the 1-row guard-stats frame. The
-    * loud guards bound the factors AND the true spine size
+    * group count; the only broadcast is the 1-row guard frame. The
+    * loud guards bound the worst group's factors AND the true spine size
     * Σ_g buckets_g · cats_g. */
   def categoryDriftTimelineByGroup(df: DataFrame, catCol: String,
       tsCol: String, groupCol: String, refProfile: DataFrame,
@@ -354,7 +352,6 @@ object Events {
         bucketSec)
       .select(col(groupCol), col("bucket_start"), col(catCol).as("__cat"),
         col("n").as("n_b"))
-      .persistTracked()
     timelineByGroupFromCounts(counts, refProfile, catCol, groupCol,
       maxBuckets, maxCats, maxSpine, "categoryDriftTimelineByGroup")
   }
@@ -398,7 +395,6 @@ object Events {
       .agg(sum("n").as("n_b"))
       .select(col(groupCol), col("bucket_start"), col(catCol).as("__cat"),
         col("n_b"))
-      .persistTracked()
     timelineByGroupFromCounts(counts, refProfile, catCol, groupCol,
       maxBuckets, maxCats, maxSpine, "categoryDriftTimelineByGroup")
   }
@@ -406,7 +402,7 @@ object Events {
   /** Shared scoring tail of [[categoryDriftTimelineByGroup]] /
     * [[categoryDriftTimelineByGroupFromProfiles]] — one code path so the
     * direct and profile-served routes cannot drift. Input: per-(group,
-    * bucket, __cat) counts, already persisted by the caller. See
+    * bucket, __cat) counts (the tail repartitions and persists them). See
     * [[categoryDriftTimelineByGroup]] for the group-keyed scale
     * argument. */
   private def timelineByGroupFromCounts(counts: DataFrame,
@@ -417,64 +413,96 @@ object Events {
       s"guards must be >= 1, got maxBuckets=$maxBuckets maxCats=$maxCats " +
         s"maxSpine=$maxSpine")
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    // persisted (bounded: ≤ groups·cats rows after the re-aggregation):
-    // THREE consumers read it (the category-universe union, the per-group
-    // totals, the spine join) — without the persist each one re-runs the
-    // caller's reference plan, which on the DIRECT routes is a full
-    // corpus-sized aggregation (3× the corpus at 100 TB for free)
-    val ref = refProfile.groupBy(col(groupCol), col(catCol).as("__cat"))
-      .agg(sum("n").as("n_a"))
-      .persistTracked()
-    // per-group category universe + per-(group, bucket) totals: persisted —
-    // each feeds the spine AND its guard statistic
-    val gcats = counts.select(col(groupCol), col("__cat"))
-      .unionByName(ref.select(col(groupCol), col("__cat"))).distinct()
-      .persistTracked()
-    val gbkts = counts.groupBy(col(groupCol), col("bucket_start"))
+    val np = scala.util.Try(counts.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
+    // EXCHANGE-MINIMAL tail (r19) — see timelineFromCounts. The pinned key
+    // here is the GROUP: the bounded counts repartition by groupCol once
+    // (explicit np so AQE cannot re-coalesce one side out of
+    // co-partitioning), and every downstream groupBy, per-group window,
+    // and join is keyed on a superset of it, so the whole scoring tail —
+    // per-group universe, per-(group, bucket) totals, guard statistics,
+    // the spine cross, the counts join, the rank window, the final
+    // rollup — runs exchange-free on that one clustering: 3 exchanges +
+    // 1 broadcast total (the r18 shape paid ~30 AQE stage/broadcast
+    // rounds; profiled at 31 of q272's 33 jobs). Skew note: a single
+    // group's slice is one task, but every frame on the key is
+    // spine-bounded by the loud guards — never event-sized.
+    // NO persist — see timelineFromCounts: exchange reuse over identical
+    // repartition subtrees keeps the corpus one-pass WITHOUT hiding the
+    // pinned partitioning behind a cached AQE plan.
+    val cnt = counts.repartition(np, col(groupCol))
+    val wG = Window.partitionBy(groupCol)
+    // per-group category universe WITH the group's reference mass and
+    // total: observed cats enter with n_a=0 via the union (absence needs
+    // no later left join), t_a/__nc/__rnc ride the same group-keyed sort
+    val uni = cnt.select(col(groupCol), col("__cat"), lit(0L).as("n_a"))
+      .unionByName(refProfile.select(col(groupCol),
+        col(catCol).as("__cat"), col("n").cast("long").as("n_a")))
+      .repartition(np, col(groupCol))
+      .groupBy(col(groupCol), col("__cat")).agg(sum("n_a").as("n_a"))
+      .withColumn("t_a", sum("n_a").over(wG))
+      .withColumn("__nc", count(lit(1)).over(wG))
+      .withColumn("__rnc", row_number().over(wG.orderBy(col("__cat"))))
+    val gbkts = cnt.groupBy(col(groupCol), col("bucket_start"))
       .agg(sum("n_b").as("t_b"), sum("n_b").as("n_events"))
-      .persistTracked()
-    // the 1-row guard frame: factor caps AND the true per-group spine sum
-    val stats = gbkts.select("bucket_start").distinct()
-      .agg(count(lit(1)).as("__nbk"))
-      .crossJoin(gcats.select("__cat").distinct()
-        .agg(count(lit(1)).as("__ncat")))
-      .crossJoin(gbkts.groupBy(groupCol).agg(count(lit(1)).as("__nb"))
-        .join(gcats.groupBy(groupCol).agg(count(lit(1)).as("__nc")),
-          Seq(groupCol))
-        .agg(coalesce(sum(col("__nb") * col("__nc")), lit(0L)).as("__spine")))
-    val buckets = gbkts.crossJoin(broadcast(stats))
-      .select(col(groupCol), col("bucket_start"), col("n_events"),
-        (col("t_b") + when(col("__nbk") > maxBuckets,
-            raise_error(concat(lit(s"$opName: "), col("__nbk"),
-              lit(s" buckets > maxBuckets=$maxBuckets — widen bucketSec " +
-                "or raise the cap if the executors have the memory"))))
-          .when(col("__ncat") > maxCats,
-            raise_error(concat(lit(s"$opName: "), col("__ncat"),
-              lit(s" categories > maxCats=$maxCats — a category column " +
-                "this wide is an id, not a categorical"))))
-          .when(col("__spine") > maxSpine,
-            raise_error(concat(lit(s"$opName: spine "), col("__spine"),
-              lit(s" (Σ_g buckets·cats) > maxSpine=$maxSpine — widen " +
-                "bucketSec or coarsen the category column; raise the cap " +
-                "only if the cluster can hold the full scoring spine"))))
-          .otherwise(lit(0L))).as("t_b"))
-    val tTot = ref.groupBy(col(groupCol)).agg(sum("n_a").as("t_a"))
-    val spine = buckets.join(gcats, Seq(groupCol))
-      .join(ref, Seq(groupCol, "__cat"), "left")
-      .join(counts, Seq(groupCol, "bucket_start", "__cat"), "left")
-      .join(tTot, Seq(groupCol), "left")
-      .select(col(groupCol), col("bucket_start"), col("__cat"),
-        col("n_events"),
-        coalesce(col("n_a"), lit(0L)).as("n_a"),
-        coalesce(col("n_b"), lit(0L)).as("n_b"),
-        // the family's decimal(38,0) headroom guard, per (group, bucket)
-        (coalesce(col("t_a"), lit(0L)) + when(
-          dec(coalesce(col("t_a"), lit(0L))) * dec(col("t_b")) >=
-            dec(lit(10000000000000000L)),
+      .withColumn("__nb", count(lit(1)).over(wG))
+      .withColumn("__tbmax", max("t_b").over(wG))
+      .withColumn("__rnb", row_number().over(wG.orderBy(col("bucket_start"))))
+    // ONE 1-row guard frame: worst-group factor caps (the per-group frame
+    // is the honest unit for a segmented op — a quiet source cannot hide a
+    // source whose bucket or category count explodes), the TRUE spine size
+    // Σ_g buckets·cats, and the decimal(38,0) headroom of the exact
+    // chi-square — all from one bounded join of the rn=1 rows, armed by
+    // ONE raise_error projection that fires while the guard broadcast
+    // builds, before any spine row materializes.
+    val guard = gbkts.where(col("__rnb") === 1)
+      .select(col(groupCol), col("__nb"), col("__tbmax"))
+      .join(uni.where(col("__rnc") === 1)
+        .select(col(groupCol), col("__nc"), col("t_a")), Seq(groupCol))
+      .agg(
+        coalesce(max("__nb"), lit(0L)).as("__nbk"),
+        coalesce(max("__nc"), lit(0L)).as("__ncat"),
+        coalesce(sum(col("__nb") * col("__nc")), lit(0L)).as("__spine"),
+        coalesce(max(when(dec(col("t_a")) * dec(col("__tbmax")) >=
+            dec(lit(10000000000000000L)), lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("__hviol"))
+      .select(
+        when(col("__nbk") > maxBuckets,
+          raise_error(concat(lit(s"$opName: "), col("__nbk"),
+            lit(s" buckets in one group > maxBuckets=$maxBuckets — widen " +
+              "bucketSec or raise the cap if the executors have the memory"))))
+        .when(col("__ncat") > maxCats,
+          raise_error(concat(lit(s"$opName: "), col("__ncat"),
+            lit(s" categories in one group > maxCats=$maxCats — a category " +
+              "column this wide is an id, not a categorical"))))
+        .when(col("__spine") > maxSpine,
+          raise_error(concat(lit(s"$opName: spine "), col("__spine"),
+            lit(s" (Σ_g buckets·cats) > maxSpine=$maxSpine — widen " +
+              "bucketSec or coarsen the category column; raise the cap " +
+              "only if the cluster can hold the full scoring spine"))))
+        .when(col("__hviol") > 0,
           raise_error(lit(s"$opName: t_a·t_b ≥ 1e16 exceeds the " +
             "decimal(38,0) headroom of the exact chi-square — " +
             "pre-aggregate or subsample the sides")))
-          .otherwise(lit(0L))).as("t_a"),
+        .otherwise(lit(0L)).as("__zero"))
+    // the guard's __zero rides n_a so the optimizer cannot prune it; the
+    // group-keyed stream side keeps the pinned hash(groupCol) partitioning
+    // through the broadcast, so everything below joins exchange-free
+    val uniG = uni.select(col(groupCol), col("__cat"), col("n_a"),
+        col("t_a"))
+      .crossJoin(broadcast(guard))
+      .select(col(groupCol), col("__cat"),
+        (col("n_a") + col("__zero")).as("n_a"), col("t_a"))
+    val spine = gbkts
+      .select(col(groupCol), col("bucket_start"), col("n_events"),
+        col("t_b"))
+      .join(uniG, Seq(groupCol))
+      .join(cnt, Seq(groupCol, "bucket_start", "__cat"), "left")
+      .select(col(groupCol), col("bucket_start"), col("__cat"),
+        col("n_events"),
+        col("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        col("t_a"),
         col("t_b"))
     val diff = dec(col("n_a")) * dec(col("t_b")) - dec(col("n_b")) * dec(col("t_a"))
     val contrib = when(col("t_a") === 0 || col("t_b") === 0 ||
@@ -531,7 +559,6 @@ object Events {
         bins, binWidthMicro)
       .select(col("bucket_start"), col("bin").as("__cat"),
         col("n").as("n_b"))
-      .persistTracked()
     timelineFromCounts(counts, refProfile, "bin", maxBuckets, maxBins,
         maxSpine, "numericDriftTimeline")
       .withColumnRenamed("top_cat", "top_bin")
@@ -572,7 +599,6 @@ object Events {
     val counts = bucketProf.groupBy(col("bucket_start"), col("bin"))
       .agg(sum("n").as("n_b"))
       .select(col("bucket_start"), col("bin").as("__cat"), col("n_b"))
-      .persistTracked()
     timelineFromCounts(counts, refProfile, "bin", maxBuckets, maxBins,
         maxSpine, "numericDriftTimeline")
       .withColumnRenamed("top_cat", "top_bin")
@@ -598,7 +624,6 @@ object Events {
         bucketSec, bins, binWidthMicro)
       .select(col(groupCol), col("bucket_start"), col("bin").as("__cat"),
         col("n").as("n_b"))
-      .persistTracked()
     timelineByGroupFromCounts(counts, refProfile, "bin", groupCol,
         maxBuckets, maxBins, maxSpine, "numericDriftTimelineByGroup")
       .withColumnRenamed("top_cat", "top_bin")
@@ -643,7 +668,6 @@ object Events {
       .agg(sum("n").as("n_b"))
       .select(col(groupCol), col("bucket_start"), col("bin").as("__cat"),
         col("n_b"))
-      .persistTracked()
     timelineByGroupFromCounts(counts, refProfile, "bin", groupCol,
         maxBuckets, maxBins, maxSpine, "numericDriftTimelineByGroup")
       .withColumnRenamed("top_cat", "top_bin")
@@ -687,7 +711,6 @@ object Events {
     val counts = bucketEmbeddingProfile(df, vecCol, tsCol, bucketSec,
         dim, bins, binWidthMicro)
       .select(col("bucket_start"), pbKey.as("__cat"), col("n").as("n_b"))
-      .persistTracked()
     decodeTopCell(timelineFromCounts(counts, refAsPb(refProfile), "__cat",
       maxBuckets, 1L << 22, maxSpine, "embeddingDriftTimeline"))
   }
@@ -733,7 +756,6 @@ object Events {
       .groupBy(col("bucket_start"), col("pos"), col("bin"))
       .agg(sum("n").as("n_b"))
       .select(col("bucket_start"), pbKey.as("__cat"), col("n_b"))
-      .persistTracked()
     decodeTopCell(timelineFromCounts(counts, refAsPb(refProfile), "__cat",
       maxBuckets, 1L << 22, maxSpine, "embeddingDriftTimeline"))
   }
@@ -756,7 +778,6 @@ object Events {
         bucketSec, dim, bins, binWidthMicro)
       .select(col(groupCol), col("bucket_start"), pbKey.as("__cat"),
         col("n").as("n_b"))
-      .persistTracked()
     decodeTopCell(timelineByGroupFromCounts(counts,
       refAsPbByGroup(refProfile, groupCol), "__cat", groupCol,
       maxBuckets, 1L << 22, maxSpine, "embeddingDriftTimelineByGroup"))
@@ -801,7 +822,6 @@ object Events {
       .agg(sum("n").as("n_b"))
       .select(col(groupCol), col("bucket_start"), pbKey.as("__cat"),
         col("n_b"))
-      .persistTracked()
     decodeTopCell(timelineByGroupFromCounts(counts,
       refAsPbByGroup(refProfile, groupCol), "__cat", groupCol,
       maxBuckets, 1L << 22, maxSpine, "embeddingDriftTimelineByGroup"))
@@ -1116,7 +1136,7 @@ object Events {
   /** Shared scoring tail of [[categoryDriftTimeline]] /
     * [[categoryDriftTimelineFromProfiles]] — one code path so the direct
     * and profile-served routes cannot drift. Input: per-(bucket, __cat)
-    * counts, already persisted by the caller. */
+    * counts (the tail repartitions and persists them). */
   private def timelineFromCounts(counts: DataFrame, refProfile: DataFrame,
       catCol: String, maxBuckets: Long, maxCats: Long,
       maxSpine: Long, opName: String = "categoryDriftTimeline"): DataFrame = {
@@ -1124,64 +1144,91 @@ object Events {
       s"guards must be >= 1, got maxBuckets=$maxBuckets maxCats=$maxCats " +
         s"maxSpine=$maxSpine")
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    // persisted (bounded: ≤ cats rows): the category union, the reference
-    // total, and the spine join all read it — see the grouped tail's note
-    val ref = refProfile.groupBy(col(catCol).as("__cat"))
-      .agg(sum("n").as("n_a"))
-      .persistTracked()
-    // bounded frames + loud guards: a bucket column this fine-grained is a
-    // timestamp, a category column this wide is an id
-    val nbk = counts.select("bucket_start").distinct()
-      .agg(count(lit(1)).as("__nbk"))
-    val buckets = counts.groupBy("bucket_start")
+    val np = scala.util.Try(counts.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
+    // EXCHANGE-MINIMAL tail (r19): the r18 shape built a separate bounded
+    // frame per guard statistic and let the planner key each join its own
+    // way — with AQE every exchange materializes as its own scheduler job,
+    // so a buckets-bounded serve paid ~30 broadcast/stage rounds of fixed
+    // latency (r18 profile: 31 of q272's 33 jobs). This shape pins ONE
+    // partitioning up front — the bounded counts repartitioned by
+    // bucket_start (explicit np so AQE cannot re-coalesce it out of
+    // co-partitioning) — and every downstream groupBy/window/join is keyed
+    // on a superset of it, so Spark's subset-clustering rule keeps the
+    // whole scoring tail exchange-free: 3 exchanges + 2 broadcasts total.
+    // The corpus pass (the caller's partial-aggregated counts) is
+    // untouched; only bounded frames ride the pinned key.
+    // NO persist on these shared frames: a cached AQE plan hides its
+    // partitioning from consumers (InMemoryTableScan reports unknown →
+    // every consumer re-exchanges). Unpersisted, each consumer sees the
+    // IDENTICAL repartition exchange subtree and Spark's exchange reuse
+    // executes the corpus pass once and ReusedExchanges the rest — same
+    // one-pass guarantee, with the partitioning visible to the planner.
+    val cnt = counts.repartition(np, col("bucket_start"))
+    // category universe WITH the reference mass: observed cats enter with
+    // n_a=0 via the union, so absence-of-a-ref-category needs no later
+    // left join — uni IS ref ∪ observed, one frame instead of two
+    val uni = cnt.select(col("__cat"), lit(0L).as("n_a"))
+      .unionByName(refProfile.select(col(catCol).as("__cat"),
+        col("n").cast("long").as("n_a")))
+      .repartition(np, col("__cat"))
+      .groupBy("__cat").agg(sum("n_a").as("n_a"))
+    val bkts = cnt.groupBy("bucket_start")
       .agg(sum("n_b").as("t_b"), sum("n_b").as("n_events"))
-      .crossJoin(nbk)
-      .select(col("bucket_start"), col("n_events"),
-        (col("t_b") + when(col("__nbk") > maxBuckets,
+    // ONE 1-row guard frame: every guard statistic — bucket count, category
+    // count, the PRODUCT spine bound (each factor can sit under its own
+    // cap while buckets × cats is still a spine no cluster wants), and the
+    // decimal(38,0) headroom of the exact chi-square, whose summand peaks
+    // at 10⁶·(t_a·t_b)² and silently NULLs once t_a·t_b > 10¹⁶ — folds out
+    // of a single union+aggregate pass, armed by ONE raise_error
+    // projection that fires while the guard broadcast builds, before any
+    // spine row materializes.
+    val guard = bkts.select(lit("b").as("__src"), col("t_b").as("__v"))
+      .unionByName(uni.select(lit("c").as("__src"), col("n_a").as("__v")))
+      .agg(
+        coalesce(sum(when(col("__src") === "b", lit(1L))), lit(0L))
+          .as("__nbk"),
+        max(when(col("__src") === "b", col("__v"))).as("__tbmax"),
+        coalesce(sum(when(col("__src") === "c", lit(1L))), lit(0L))
+          .as("__ncat"),
+        coalesce(sum(when(col("__src") === "c", col("__v"))), lit(0L))
+          .as("t_a"))
+      .select(col("t_a"),
+        when(col("__nbk") > maxBuckets,
           raise_error(concat(lit(s"$opName: "), col("__nbk"),
             lit(s" buckets > maxBuckets=$maxBuckets — widen bucketSec or " +
               "raise the cap if the executors have the memory"))))
-          .otherwise(lit(0L))).as("t_b"))
-    val ncat = counts.select("__cat").distinct()
-      .unionByName(ref.select("__cat")).distinct()
-      .agg(count(lit(1)).as("__ncat"))
-    // the PRODUCT guard: each factor can sit under its own cap while
-    // buckets × cats is still a spine no cluster wants — bound the spine
-    // itself, not just its factors
-    val cats = counts.select("__cat").distinct()
-      .unionByName(ref.select("__cat")).distinct()
-      .crossJoin(ncat).crossJoin(nbk)
-      .select(col("__cat"),
-        when(col("__ncat") > maxCats,
+        .when(col("__ncat") > maxCats,
           raise_error(concat(lit(s"$opName: "), col("__ncat"),
             lit(s" categories > maxCats=$maxCats — a category column this " +
               "wide is an id, not a categorical"))))
-          .when(col("__ncat") * col("__nbk") > maxSpine,
-            raise_error(concat(lit(s"$opName: spine "),
-              col("__nbk"), lit(" buckets × "), col("__ncat"),
-              lit(s" categories > maxSpine=$maxSpine — widen bucketSec or " +
-                "coarsen the category column; raise the cap only if the " +
-                "cluster can hold the full scoring spine"))))
-          .otherwise(lit(0L))
-          .as("__zero"))
-    val tTot = ref.agg(coalesce(sum("n_a"), lit(0L)).as("t_a"))
-    // spine = buckets × (ref ∪ observed) categories: bounded × bounded
-    val spine = broadcast(buckets).crossJoin(broadcast(cats))
-      .join(broadcast(ref), Seq("__cat"), "left")
-      .join(counts, Seq("bucket_start", "__cat"), "left")
-      .crossJoin(broadcast(tTot))
-      .select(col("bucket_start"), col("__cat"), col("n_events"),
-        (coalesce(col("n_a"), lit(0L)) + col("__zero")).as("n_a"),
-        coalesce(col("n_b"), lit(0L)).as("n_b"),
-        // exact-integer headroom guard: the chi-square summand peaks at
-        // 10⁶·(t_a·t_b)², which exceeds decimal(38,0) — a silent NULL —
-        // once t_a·t_b > 10¹⁶; fail loudly instead
-        (col("t_a") + when(
-          dec(col("t_a")) * dec(col("t_b")) >= dec(lit(10000000000000000L)),
+        .when(col("__ncat") * col("__nbk") > maxSpine,
+          raise_error(concat(lit(s"$opName: spine "),
+            col("__nbk"), lit(" buckets × "), col("__ncat"),
+            lit(s" categories > maxSpine=$maxSpine — widen bucketSec or " +
+              "coarsen the category column; raise the cap only if the " +
+              "cluster can hold the full scoring spine"))))
+        .when(dec(col("t_a")) * dec(coalesce(col("__tbmax"), lit(0L))) >=
+            dec(lit(10000000000000000L)),
           raise_error(lit(s"$opName: t_a·t_b ≥ 1e16 exceeds " +
             "the decimal(38,0) headroom of the exact chi-square — " +
             "pre-aggregate or subsample the sides")))
-          .otherwise(lit(0L))).as("t_a"),
+        .otherwise(lit(0L)).as("__zero"))
+    // the guard's __zero rides n_a so the optimizer cannot prune it; t_a
+    // (the reference total) rides the same 1-row broadcast
+    val uniG = uni.crossJoin(broadcast(guard))
+      .select(col("__cat"), (col("n_a") + col("__zero")).as("n_a"),
+        col("t_a"))
+    // spine = buckets × (ref ∪ observed) categories: the stream side keeps
+    // the pinned hash(bucket_start) partitioning through the broadcast
+    // join, so the counts join, the rank window, and the final rollup all
+    // run exchange-free on it
+    val spine = bkts.crossJoin(broadcast(uniG))
+      .join(cnt, Seq("bucket_start", "__cat"), "left")
+      .select(col("bucket_start"), col("__cat"), col("n_events"),
+        col("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        col("t_a"),
         col("t_b"))
     val diff = dec(col("n_a")) * dec(col("t_b")) - dec(col("n_b")) * dec(col("t_a"))
     val contrib = when(col("t_a") === 0 || col("t_b") === 0 ||
