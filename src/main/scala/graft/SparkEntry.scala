@@ -5142,9 +5142,14 @@ object SparkEntry {
       (s, dir) => {
         val emb = T(s, dir, "embeddings")
           .withColumn("ts", timestamp_micros(col("vec_id") * lit(3600000000L)))
-        ops.Events.embeddingDriftTimelineFromProfiles(
-          ops.Events.bucketEmbeddingProfile(emb, "embedding", "ts", 604800L),
-          ops.Similarity.embeddingProfile(T(s, dir, "embeddings"), "embedding"))
+        // the reference derives from the SAME stored profile (additive:
+        // summing the bucket axis out recovers embeddingProfile exactly —
+        // every vector has a synthesized ts, so the populations match):
+        // one corpus pass total, and serve time reads only the profile
+        val prof = ops.Events.bucketEmbeddingProfile(emb, "embedding", "ts",
+          604800L)
+        ops.Events.embeddingDriftTimelineFromProfiles(prof,
+          prof.select("pos", "bin", "n"))
           .orderBy("bucket_start")
       },
       Some(sqlEmbeddingDriftTimeline)),
@@ -5191,11 +5196,12 @@ object SparkEntry {
       (s, dir) => {
         val emb = T(s, dir, "embeddings")
           .withColumn("ts", timestamp_micros(col("vec_id") * lit(3600000000L)))
-        ops.Events.embeddingDriftTimelineByGroupFromProfiles(
-          ops.Events.bucketEmbeddingProfileByGroup(emb, "embedding", "ts",
-            "label", 604800L),
-          ops.Similarity.embeddingProfileByGroup(T(s, dir, "embeddings"),
-            "embedding", "label"),
+        // reference derived from the SAME stored profile (see q269): one
+        // corpus pass total, exchange-reused across the two reads
+        val prof = ops.Events.bucketEmbeddingProfileByGroup(emb, "embedding",
+          "ts", "label", 604800L)
+        ops.Events.embeddingDriftTimelineByGroupFromProfiles(prof,
+          prof.select("label", "pos", "bin", "n"),
           "label")
           .orderBy("label", "bucket_start")
       },
@@ -5390,12 +5396,13 @@ object SparkEntry {
             ops.Events.bucketEmbeddingProfile(emb, "embedding", "ts", 604800L),
             "edtprof", Seq("bucket_start", "pos", "bin"),
             clusterCols = Seq("bucket_start"))
-        val ref = ops.Similarity.embeddingProfile(T(s, dir, "embeddings"),
-          "embedding")
+        // reference derived from the stored profile's FULL bucket range
+        // (additive — see q269): serve time never scans the vectors at all
+        val full = store.read("edtprof", Seq("bucket_start", "pos", "bin"))
+        val ref = full.select("pos", "bin", "n")
         // slice: weeks [2, 5) after the first bucket — bounds from the
         // stored profile itself, never an event scan
-        val lo = store.read("edtprof", Seq("bucket_start", "pos", "bin"))
-          .agg(min("bucket_start")).head().getLong(0) + 2L * 604800L
+        val lo = full.agg(min("bucket_start")).head().getLong(0) + 2L * 604800L
         val hi = lo + 3L * 604800L
         val prof = store.scanPrunedMulti("edtprof",
           Seq("bucket_start", "pos", "bin"),
@@ -5471,9 +5478,12 @@ object SparkEntry {
       (s, dir) => {
         val emb = T(s, dir, "embeddings")
           .withColumn("ts", timestamp_micros(col("vec_id") * lit(3600000000L)))
-        ops.Events.embeddingMeanShiftTimelineFromProfiles(
-          ops.Events.bucketEmbeddingProfile(emb, "embedding", "ts", 604800L),
-          ops.Similarity.embeddingProfile(T(s, dir, "embeddings"), "embedding"))
+        // reference derived from the SAME stored profile (see q269): the
+        // (n, s) sums fold out of the bucket axis exactly
+        val prof = ops.Events.bucketEmbeddingProfile(emb, "embedding", "ts",
+          604800L)
+        ops.Events.embeddingMeanShiftTimelineFromProfiles(prof,
+          prof.select("pos", "n", "s"))
           .orderBy("bucket_start")
       },
       Some(sqlEmbeddingMeanShiftTimeline)),

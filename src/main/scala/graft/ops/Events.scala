@@ -973,17 +973,17 @@ object Events {
     struct(col("pos").cast("int").as("pos"), col("bin").cast("long").as("bin"))
 
   /** A reference [[graft.ops.Similarity.embeddingProfile]] (pos, bin, n)
-    * re-keyed on the composite cell for the shared tail; re-aggregated so
-    * concatenated partial profiles are accepted. */
+    * re-keyed on the composite cell for the shared tail. A pure
+    * projection: the tails re-aggregate the reference by category anyway
+    * (that is what makes concatenated partial profiles acceptable), so a
+    * pre-aggregation here would only add an exchange. */
   private def refAsPb(refProfile: DataFrame): DataFrame =
-    refProfile.groupBy(pbKey.as("__cat")).agg(sum("n").as("n"))
-      .select(col("__cat"), col("n"))
+    refProfile.select(pbKey.as("__cat"), col("n"))
 
   /** Segmented twin of [[refAsPb]] over an
     * [[graft.ops.Similarity.embeddingProfileByGroup]] frame. */
   private def refAsPbByGroup(refProfile: DataFrame, groupCol: String): DataFrame =
-    refProfile.groupBy(col(groupCol), pbKey.as("__cat")).agg(sum("n").as("n"))
-      .select(col(groupCol), col("__cat"), col("n"))
+    refProfile.select(col(groupCol), pbKey.as("__cat"), col("n"))
 
   /** Decode the shared tail's composite top category back to
     * (top_pos, top_bin) and rename the count to n_components (each vector
