@@ -213,9 +213,16 @@ object ServeLatency {
       lat2 += (System.nanoTime() - t0) / 1e6
     }
     val (a50, a95, a99) = pcts(lat2.toSeq)
-    val post = lat2.drop(math.max(postCompactFrom, 0)).toSeq
-    val (pc50, pc95, _) = if (post.nonEmpty) pcts(post) else (0.0, 0.0, 0.0)
-    println(s"""{"metric":"sustained_serve","route":"append_delta","seconds":$seconds,"serves":${lat2.size},"serves_per_sec":${fmt(lat2.size.toDouble / seconds)},"p50_ms":${fmt(a50)},"p95_ms":${fmt(a95)},"p99_ms":${fmt(a99)},"max_ms":${fmt(lat2.max)},"compact_ms":${fmt(compactMs)},"post_compact_p50_ms":${fmt(pc50)},"post_compact_p95_ms":${fmt(pc95)},"post_compact_serves":${post.size}}""")
+    // the compact fields only exist when a compact cycle actually RAN: if
+    // the loop exited before half-time, a drop(-1 -> 0) split would report
+    // the ENTIRE window as "post-compaction" beside compact_ms=0.0 — a
+    // misleading record; omit the fields instead
+    val compactFields = if (compacted) {
+      val post = lat2.drop(postCompactFrom).toSeq
+      val (pc50, pc95, _) = if (post.nonEmpty) pcts(post) else (0.0, 0.0, 0.0)
+      s""","compact_ms":${fmt(compactMs)},"post_compact_p50_ms":${fmt(pc50)},"post_compact_p95_ms":${fmt(pc95)},"post_compact_serves":${post.size}"""
+    } else ""
+    println(s"""{"metric":"sustained_serve","route":"append_delta","seconds":$seconds,"serves":${lat2.size},"serves_per_sec":${fmt(lat2.size.toDouble / seconds)},"p50_ms":${fmt(a50)},"p95_ms":${fmt(a95)},"p99_ms":${fmt(a99)},"max_ms":${fmt(lat2.max)}$compactFields}""")
     spark.stop()
   }
 }

@@ -80,14 +80,27 @@ object Events {
     val stats = daily.select(col(keyCol)).distinct().agg(count(lit(1)).as("__nk"))
       .crossJoin(daily.agg(
         (datediff(max(col("day")), min(col("day"))) + 1).cast("long").as("__nd")))
+    // the PRODUCT guard multiplies in decimal(38,0): at extreme
+    // cardinalities a long __nk·__nd overflows negative and would pass
+    // silently. The day factor ALSO gets its own bound — the spine is
+    // BROADCAST below, so a million-day range (a key set of 1 with a
+    // corrupted far-future timestamp) must fail loudly rather than build
+    // a driver-sized broadcast the old shuffled cross join would have
+    // absorbed gracefully.
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val spineGuarded = spine.crossJoin(broadcast(stats))
       .select(col("day"),
-        when(col("__nk") * col("__nd") > maxGrid,
-          raise_error(concat(lit("gapFillDaily: grid "), col("__nk"),
-            lit(" keys × "), col("__nd"),
-            lit(s" days > maxGrid=$maxGrid — bound the key set or the time " +
-              "range; raise the cap only if the cluster can hold the full " +
-              "grid"))))
+        when(col("__nd") > maxGrid,
+          raise_error(concat(lit("gapFillDaily: "), col("__nd"),
+            lit(s" days > maxGrid=$maxGrid — the day spine broadcasts, so " +
+              "the time range alone must stay grid-bounded; check for " +
+              "outlier timestamps or bound the range"))))
+          .when(dec(col("__nk")) * dec(col("__nd")) > dec(lit(maxGrid)),
+            raise_error(concat(lit("gapFillDaily: grid "), col("__nk"),
+              lit(" keys × "), col("__nd"),
+              lit(s" days > maxGrid=$maxGrid — bound the key set or the " +
+                "time range; raise the cap only if the cluster can hold " +
+                "the full grid"))))
           .otherwise(lit(0L)).as("__zero"))
     val grid = daily.select(col(keyCol)).distinct().crossJoin(broadcast(spineGuarded))
     grid.join(daily, Seq(keyCol, "day"), "left")

@@ -118,18 +118,31 @@ object Fastlane {
   final class ServingSession(feature: FeatureDef, store: FeatureStore)
       (implicit spark: SparkSession) {
     import org.apache.spark.sql.expressions.Window
-    private val serving: SparkSession = {
+    private val (serving: SparkSession, skippedKeys: Seq[String]) = {
       val s = spark.newSession()
+      val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
       // carry the caller's runtime tuning onto the clone (newSession starts
       // from the context defaults, not the caller's runtime sets); static
-      // or unsettable keys are skipped — they can't differ at runtime
+      // or unsettable keys are skipped — they can't differ at runtime —
+      // but each skip is RECORDED and logged once, so a tunable key that
+      // fails to carry over (leaving the clone diverged from the caller's
+      // tuning) is diagnosable instead of silent
       spark.conf.getAll.foreach { case (k, v) =>
         try { if (s.conf.get(k, null) != v) s.conf.set(k, v) }
-        catch { case scala.util.control.NonFatal(_) => }
+        catch { case scala.util.control.NonFatal(_) => skipped += k }
       }
+      if (skipped.nonEmpty)
+        org.slf4j.LoggerFactory.getLogger(classOf[ServingSession]).warn(
+          s"ServingSession: ${skipped.size} caller conf key(s) could not " +
+            s"be copied onto the serving clone (static/unsettable): " +
+            s"${skipped.sorted.mkString(", ")}")
       s.conf.set("spark.sql.adaptive.enabled", "false")
-      s
+      (s, skipped.toSeq)
     }
+    /** Conf keys the clone could NOT adopt from the caller (static or
+      * otherwise unsettable at runtime) — logged once at construction,
+      * exposed so callers (and the spec) can audit the carry-over. */
+    def skippedConfKeys: Seq[String] = skippedKeys
     // the store re-bound to the serving session: FeatureStore plans its
     // reads/writes on the session it was constructed with, and the AQE pin
     // only helps if THOSE plans run under the clone

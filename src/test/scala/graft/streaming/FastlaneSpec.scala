@@ -116,6 +116,33 @@ class FastlaneSpec extends SparkSpec {
     assert(out == Map(1L -> 5.0, 2L -> 1.0))
   }
 
+  test("ServingSession: an unsettable caller conf key is skipped, REPORTED, and does not break construction") {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // smuggle a STATIC key with a clone-divergent value into the caller's
+    // session conf via SQLConf (the RuntimeConfig wrapper would reject the
+    // set; the copy loop then hits it and must skip-and-record, not die)
+    classic.sessionState.conf.setConfString("spark.sql.extensions",
+      "graft.test.BogusExtensions")
+    try {
+      val root = tmpDir("sess_skip"); val store = new FeatureStore(root)
+      val feature = FeatureDef(
+        name = "skip_probe",
+        entityKeys = Seq("user_id"),
+        codeVersion = "v1",
+        transform = df => df.groupBy("user_id")
+          .agg(sum(col("value")).as("sum_value")))
+      val session = new Fastlane.ServingSession(feature, store)
+      // the static key failed to copy but construction survived, and the
+      // failure is auditable instead of silent
+      assert(session.skippedConfKeys.contains("spark.sql.extensions"),
+        s"skipped keys: ${session.skippedConfKeys}")
+      session.serve(Seq((1L, 2.0)).toDF("user_id", "value"))
+      val out = store.read(feature.name)
+        .select("user_id", "sum_value").as[(Long, Double)].collect().toMap
+      assert(out == Map(1L -> 2.0))
+    } finally classic.sessionState.conf.unsetConf("spark.sql.extensions")
+  }
+
   test("ingestDeduped: streaming near-dup gate admits only novel docs across batches") {
     val corpusDir = tmpDir("ing_corpus") + "/c"
     val profileDir = tmpDir("ing_prof") + "/p"
