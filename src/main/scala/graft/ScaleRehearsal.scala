@@ -251,6 +251,26 @@ object ScaleRehearsal {
           ev, "user_id", "ts", "event_id", "event_type", gapSec = 1800))),
         "q71_minhash_lsh" -> (() => force(ops.Dedup.minhashNearDupPairs(
           docs, "doc_id", "text", n = 3, numHashes = 12, bands = 4, threshold = 0.2))),
+        // image near-dup: REAL BMP build + wire decode + dHash + banded
+        // Hamming pairs — the q288 pipeline over doc-derived images; the
+        // docs replicas give disjoint id families (disjoint base patterns),
+        // so true pair count scales linearly and the banded join must too
+        "q288_image_dhash" -> (() => {
+          import spark.implicits._
+          val imgs = docs.select(col("doc_id").cast("long").as("img_id"))
+            .where(pmod(col("img_id"), lit(16)) < 2)
+            .as[Long].mapPartitions(_.map { id =>
+              val base = id / 2
+              (id, ops.Multimodal.syntheticBmp(18, 16, (x, y) => {
+                val v = ((base * 7919L + x * 31L + y * 17L) % 199L).toInt
+                if (id % 2 == 1 && x < 4 && y < 4) v + 40 else v
+              }))
+            }).toDF("img_id", "img")
+          val hashed = ops.Multimodal.imageDhash(imgs, "img",
+              new ops.Multimodal.BmpDecoder())
+            .select(col("img_id"), col("dhashed.dhash").as("dhash"))
+          force(ops.Dedup.hammingNearDupPairs(hashed, "img_id", "dhash", 3))
+        }),
         "q73_ngram_jaccard" -> (() => force(ops.Dedup.ngramJaccardPairs(
           docs, "doc_id", "text", blockCol = "source", n = 3, threshold = 0.2))),
         // the asymmetric variant: contained-side prefix × container's full

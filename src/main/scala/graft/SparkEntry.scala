@@ -5661,6 +5661,67 @@ object SparkEntry {
       },
       Some(sqlEmbeddingMeanShiftTimelineByGroup)),
 
+    // -- q288: IMAGE perceptual-hash near-dup — the decode layer becomes a
+    //    pipeline leg: REAL 24-bpp BMP payloads are synthesized per doc
+    //    (pixel luma a pure integer function of (doc_id, x, y), so the
+    //    oracle replays the arithmetic while Spark decodes the ACTUAL
+    //    bytes through the wire decoder — a parse bug diverges the hash),
+    //    dHashed (9×8 pooled luma grid, gradient bits), and paired by
+    //    exact pigeonhole banding (never all pairs). Constructed near-dups:
+    //    ids 16m and 16m+1 share a base pattern, the odd twin +40 luma on
+    //    the top-left 4×4 pixel block — at most the two block-boundary
+    //    gradient bits flip, so every twin pair lands within hamming 3;
+    //    distinct bases sit ~32 bits apart and never pair. --------------
+    Q("q288_image_dhash_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val ids = T(s, dir, "documents")
+          .where(pmod(col("doc_id"), lit(16)) < 2)
+          .select(col("doc_id").cast("long").as("img_id"))
+        val imgs = ids.as[Long].mapPartitions(_.map { id =>
+          val base = id / 2
+          val bytes = ops.Multimodal.syntheticBmp(18, 16, (x, y) => {
+            val v = ((base * 7919L + x * 31L + y * 17L) % 199L).toInt
+            if (id % 2 == 1 && x < 4 && y < 4) v + 40 else v
+          })
+          (id, bytes)
+        }).toDF("img_id", "img")
+        val hashed = ops.Multimodal.imageDhash(imgs, "img",
+            new ops.Multimodal.BmpDecoder())
+          .select(col("img_id"), col("dhashed.dhash").as("dhash"))
+        ops.Dedup.hammingNearDupPairs(hashed, "img_id", "dhash", maxHamming = 3)
+          .select(col("id_l"), col("id_r"),
+            col("hamming").cast("long").as("hamming"))
+          .orderBy("id_l", "id_r")
+      },
+      Some("""
+        WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+                     WHERE doc_id % 16 < 2),
+        px AS (SELECT id, x.range AS x, y.range AS y,
+                 ((id // 2) * 7919 + x.range * 31 + y.range * 17) % 199
+                 + CASE WHEN id % 2 = 1 AND x.range < 4 AND y.range < 4
+                        THEN 40 ELSE 0 END AS v
+               FROM ids CROSS JOIN range(0, 18) x CROSS JOIN range(0, 16) y),
+        cells AS MATERIALIZED (
+          SELECT id, x // 2 AS gx, y // 2 AS gy, sum(v) AS s
+          FROM px GROUP BY 1, 2, 3),
+        bits AS MATERIALIZED (
+          SELECT a.id, a.gy * 8 + a.gx AS i,
+                 CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+          FROM cells a JOIN cells b
+            ON a.id = b.id AND b.gx = a.gx + 1 AND b.gy = a.gy
+          WHERE a.gx < 8),
+        h AS MATERIALIZED (
+          SELECT id,
+            CAST(sum(CASE WHEN i < 32 THEN bit * (1::BIGINT << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+            CAST(sum(CASE WHEN i >= 32 THEN bit * (1::BIGINT << CAST(i - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+          FROM bits GROUP BY 1)
+        SELECT l.id AS id_l, r.id AS id_r,
+               CAST(bit_count(xor(l.lo, r.lo)) + bit_count(xor(l.hi, r.hi)) AS BIGINT) AS hamming
+        FROM h l JOIN h r ON l.id < r.id
+        WHERE bit_count(xor(l.lo, r.lo)) + bit_count(xor(l.hi, r.hi)) <= 3
+        ORDER BY id_l, id_r""")),
+
     // -- q237: anomaly flags over the drift timeline — Hampel median +
     //    k·MAD in exact integers (lower medians, no interpolation); the
     //    alerting layer over q229's dashboard -----------------------------

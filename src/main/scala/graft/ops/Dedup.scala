@@ -543,6 +543,44 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup pairs over ANY precomputed 64-bit fingerprint column within
+    * `maxHamming`, by EXACT pigeonhole banding — the [[simhashNearDupPairs]]
+    * machinery generalized to an externally-supplied hash (an image dHash
+    * from [[graft.ops.Multimodal.imageDhash]], a rolling doc fingerprint…):
+    * the 64 bits split into maxHamming+1 bands, any pair within the radius
+    * must agree on at least one whole band, so candidates are a
+    * band-keyed equi-join — never all pairs — and every candidate verifies
+    * with the exact popcount. Zero recall loss. Output: (id_l, id_r,
+    * hamming ≤ maxHamming), id_l < id_r. NULL hashes are excluded.
+    *
+    * Scale shape: one projection pass emits maxHamming+1 rows per input
+    * row; the join is keyed on (band_id, band_key) — a band shared by k
+    * rows costs k² candidate pairs, the LSH-family cost profile (dense
+    * clusters surface, unrelated rows never meet). */
+  def hammingNearDupPairs(df: DataFrame, idCol: String, hashCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    require(nBands >= 1 && 64 % nBands == 0,
+      s"maxHamming+1 must divide 64 (1, 3, 7, 15, 31, 63), got $maxHamming")
+    val bitsPer = 64 / nBands
+    val mask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
+    val h = df.where(col(hashCol).isNotNull)
+      .select(col(idCol), col(hashCol).cast("long").as("__h"))
+    val banded = h.select(col(idCol), col("__h"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+        b => call_function("shiftright", col("__h"), b * lit(bitsPer))
+          .bitwiseAND(lit(mask)))).as(Seq("band_id", "band_key")))
+    val l = banded.select(col(idCol).as("id_l"), col("__h").as("__h_l"),
+      col("band_id"), col("band_key"))
+    val r = banded.select(col(idCol).as("id_r"), col("__h").as("__h_r"),
+      col("band_id"), col("band_key"))
+    l.join(r, Seq("band_id", "band_key")).where(col("id_l") < col("id_r"))
+      .select(col("id_l"), col("id_r"),
+        bit_count(col("__h_l").bitwiseXOR(col("__h_r"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard pairs within a blocking column (e.g. same
     * `source`), candidates generated by EXACT prefix filtering (the PPJoin
     * bound): under any global total order of the shingle universe — here the

@@ -74,6 +74,20 @@ object Multimodal {
     def decode(bytes: Array[Byte]): Array[Float]
   }
 
+  /** A decoder that can WALK the image's pixels in visual (top-down,
+    * left-right) order — the raw-pixel contract behind orientation-
+    * sensitive consumers like the [[imageDhash]] perceptual hash, where
+    * the 8-feature summary of [[MediaDecoder.decode]] is not enough.
+    * `f` receives (x, y, r, g, b) per pixel; returns (width, height). */
+  trait PixelDecoder extends Serializable {
+    private[ops] def walkPixels(bytes: Array[Byte])
+        (f: (Int, Int, Int, Int, Int) => Unit): (Int, Int)
+    /** (width, height) from the HEADER only — O(1), no pixel decode, so
+      * consumers that need dims before walking (the dHash pooling grid)
+      * don't pay the decode twice. Validation stays in the walk. */
+    private[ops] def dims(bytes: Array[Byte]): (Int, Int)
+  }
+
   /** Deterministic STUB for the missing codec libraries: a normalized
     * byte-value histogram. Stands in for "decode image → embed"; swap for a
     * real codec behind the same trait. */
@@ -164,9 +178,23 @@ object Multimodal {
     * mean luma (all per 255), and luma standard deviation — the "decode
     * image → embed" contract on the format the JVM can honestly decode;
     * JPEG/PNG still need external codecs behind the same trait. */
-  final class BmpDecoder extends MediaDecoder {
+  final class BmpDecoder extends MediaDecoder with PixelDecoder {
     val dim = 8
-    def decode(bytes: Array[Byte]): Array[Float] = {
+    private[ops] def dims(bytes: Array[Byte]): (Int, Int) = {
+      import java.nio.{ByteBuffer, ByteOrder}
+      if (bytes == null || bytes.length < 54)
+        throw new IllegalArgumentException("payload too short for a BMP header")
+      if (bytes(0) != 'B' || bytes(1) != 'M')
+        throw new IllegalArgumentException("not a BMP payload")
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val width = bb.getInt(18)
+      val heightRaw = bb.getInt(22)
+      if (width <= 0 || heightRaw == 0)
+        throw new IllegalArgumentException(s"bad dimensions ${width}x$heightRaw")
+      (width, math.abs(heightRaw))
+    }
+    private[ops] def walkPixels(bytes: Array[Byte])
+        (f: (Int, Int, Int, Int, Int) => Unit): (Int, Int) = {
       import java.nio.{ByteBuffer, ByteOrder}
       if (bytes == null || bytes.length < 54)
         throw new IllegalArgumentException("payload too short for a BMP header")
@@ -186,25 +214,35 @@ object Multimodal {
       val rowBytes = ((width * 3 + 3) / 4) * 4
       if (dataOff < 54 || dataOff.toLong + rowBytes.toLong * height > bytes.length)
         throw new IllegalArgumentException("pixel array overruns payload")
-      var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
       var y = 0
       while (y < height) {
         val row = dataOff + y * rowBytes
+        // positive height = bottom-up storage: emit VISUAL coordinates so
+        // orientation-sensitive consumers (the dHash grid) see the image,
+        // not the file layout; orientation-free stats are unaffected
+        val vy = if (heightRaw > 0) height - 1 - y else y
         var x = 0
         while (x < width) {
           val b = bytes(row + x * 3) & 0xff
           val g = bytes(row + x * 3 + 1) & 0xff
           val r = bytes(row + x * 3 + 2) & 0xff
-          val l = 0.299 * r + 0.587 * g + 0.114 * b
-          sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+          f(x, vy, r, g, b)
           x += 1
         }
         y += 1
       }
+      (width, height)
+    }
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
+      val (width, height) = walkPixels(bytes) { (_, _, r, g, b) =>
+        val l = 0.299 * r + 0.587 * g + 0.114 * b
+        sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+      }
       val n = width.toDouble * height
       val meanL = sl / n
       Array(
-        width / 4096f, height / 4096f, bpp / 32f,
+        width / 4096f, height / 4096f, 24 / 32f,
         (sr / n / 255).toFloat, (sg / n / 255).toFloat, (sb / n / 255).toFloat,
         (meanL / 255).toFloat,
         (math.sqrt(math.max(0, sl2 / n - meanL * meanL)) / 255).toFloat)
@@ -222,9 +260,30 @@ object Multimodal {
     * standard deviation — alpha is parsed but excluded from the stats.
     * Palette/grayscale/16-bit/interlaced variants throw (captured per-row
     * by [[decodeFeatures]]); JPEG still needs an external codec. */
-  final class PngDecoder extends MediaDecoder {
+  final class PngDecoder extends MediaDecoder with PixelDecoder {
     val dim = 8
-    def decode(bytes: Array[Byte]): Array[Float] = {
+    private[ops] def dims(bytes: Array[Byte]): (Int, Int) = {
+      import java.nio.ByteBuffer
+      if (bytes == null || bytes.length < 33)
+        throw new IllegalArgumentException("payload too short for a PNG stream")
+      val bb = ByteBuffer.wrap(bytes)
+      var off = 8
+      while (off + 8 <= bytes.length) {
+        val len = bb.getInt(off)
+        if (len < 0 || off + 12 + len.toLong > bytes.length)
+          throw new IllegalArgumentException("chunk overruns payload")
+        if (new String(bytes, off + 4, 4, "US-ASCII") == "IHDR") {
+          val w = bb.getInt(off + 8); val h = bb.getInt(off + 12)
+          if (w <= 0 || h <= 0)
+            throw new IllegalArgumentException(s"bad dimensions ${w}x$h")
+          return (w, h)
+        }
+        off += 12 + len
+      }
+      throw new IllegalArgumentException("missing IHDR chunk")
+    }
+    private[ops] def walkPixels(bytes: Array[Byte])
+        (f: (Int, Int, Int, Int, Int) => Unit): (Int, Int) = {
       import java.nio.ByteBuffer
       if (bytes == null || bytes.length < 45)
         throw new IllegalArgumentException("payload too short for a PNG stream")
@@ -294,7 +353,6 @@ object Multimodal {
       } finally inf.end()
       if (got < raw.length)
         throw new IllegalArgumentException("short pixel data")
-      var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
       var y = 0
       while (y < height) {
         val rowOff = y * (stride + 1)
@@ -324,19 +382,39 @@ object Multimodal {
         }
         var px = 0
         while (px < width) {
-          val r = raw(cur + px * bpp) & 0xff
-          val g = raw(cur + px * bpp + 1) & 0xff
-          val bch = raw(cur + px * bpp + 2) & 0xff
-          val l = 0.299 * r + 0.587 * g + 0.114 * bch
-          sr += r; sg += g; sb += bch; sl += l; sl2 += l * l
+          f(px, y,
+            raw(cur + px * bpp) & 0xff,
+            raw(cur + px * bpp + 1) & 0xff,
+            raw(cur + px * bpp + 2) & 0xff)
           px += 1
         }
         y += 1
       }
+      (width, height)
+    }
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
+      var bpp8 = 24
+      val (width, height) = walkPixels(bytes) { (_, _, r, g, b) =>
+        val l = 0.299 * r + 0.587 * g + 0.114 * b
+        sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+      }
+      // bits-per-pixel feature: re-find IHDR's color type in the chunk list
+      // the walk already validated (type 6 carries alpha = 32 bpp)
+      val bbh = java.nio.ByteBuffer.wrap(bytes)
+      var offh = 8
+      var found = false
+      while (!found && offh + 8 <= bytes.length) {
+        val len = bbh.getInt(offh)
+        if (new String(bytes, offh + 4, 4, "US-ASCII") == "IHDR") {
+          bpp8 = if ((bytes(offh + 17) & 0xff) == 6) 32 else 24
+          found = true
+        } else offh += 12 + len
+      }
       val n = width.toDouble * height
       val meanL = sl / n
       Array(
-        width / 4096f, height / 4096f, (bpp * 8) / 32f,
+        width / 4096f, height / 4096f, bpp8 / 32f,
         (sr / n / 255).toFloat, (sg / n / 255).toFloat, (sb / n / 255).toFloat,
         (meanL / 255).toFloat,
         (math.sqrt(math.max(0, sl2 / n - meanL * meanL)) / 255).toFloat)
@@ -355,9 +433,44 @@ object Multimodal {
     * (which prove the byte-level parse and serve as an independent
     * cross-check — spec-asserted equal on shared PNG inputs); lossy
     * formats with no JDK codec (MP3/H.264) still need [[StubDecoder]]. */
-  final class ImageIODecoder extends MediaDecoder {
+  final class ImageIODecoder extends MediaDecoder with PixelDecoder {
     val dim = 8
-    def decode(bytes: Array[Byte]): Array[Float] = {
+    private[ops] def walkPixels(bytes: Array[Byte])
+        (f: (Int, Int, Int, Int, Int) => Unit): (Int, Int) = {
+      val img = readGuarded(bytes)
+      val width = img.getWidth; val height = img.getHeight
+      val row = new Array[Int](width)
+      var y = 0
+      while (y < height) {
+        img.getRGB(0, y, width, 1, row, 0, width)
+        var x = 0
+        while (x < width) {
+          val argb = row(x)
+          f(x, y, (argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      (width, height)
+    }
+    private[ops] def dims(bytes: Array[Byte]): (Int, Int) = {
+      if (bytes == null || bytes.length == 0)
+        throw new IllegalArgumentException("empty payload")
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext)
+        throw new IllegalArgumentException("no ImageIO reader recognizes the payload")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+        if (w <= 0 || h <= 0)
+          throw new IllegalArgumentException(s"bad dimensions ${w}x$h")
+        (w, h)
+      } finally { reader.dispose(); iis.close() }
+    }
+    private def readGuarded(bytes: Array[Byte]): java.awt.image.BufferedImage = {
       if (bytes == null || bytes.length == 0)
         throw new IllegalArgumentException("empty payload")
       // HEADER dims first, pixel buffers after: a tiny crafted payload can
@@ -378,9 +491,14 @@ object Multimodal {
         Multimodal.checkPixelCount(w0, h0)
         reader.read(0)
       } finally { reader.dispose(); iis.close() }
+      if (img.getWidth <= 0 || img.getHeight <= 0)
+        throw new IllegalArgumentException(
+          s"bad dimensions ${img.getWidth}x${img.getHeight}")
+      img
+    }
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val img = readGuarded(bytes)
       val width = img.getWidth; val height = img.getHeight
-      if (width <= 0 || height <= 0)
-        throw new IllegalArgumentException(s"bad dimensions ${width}x$height")
       val bpp = img.getColorModel.getPixelSize
       var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
       val row = new Array[Int](width)
@@ -436,6 +554,111 @@ object Multimodal {
         Row.fromSeq(r.toSeq :+ out)
       }
     }
+  }
+
+  /** 64-bit DIFFERENCE HASH (dHash) of one decoded image — the perceptual
+    * fingerprint that makes image near-dup a pipeline operator (Krawetz's
+    * public dHash recipe): pool the pixels into a 9-wide × 8-tall
+    * grayscale grid, then bit (gy·8 + gx) is set iff cell (gx, gy) is
+    * strictly brighter than its right neighbour (gx+1, gy). Resizes,
+    * re-encodes, and global brightness/contrast shifts preserve the
+    * gradient signs, so true near-duplicates land within a few bits.
+    *
+    * EXACT integer arithmetic end-to-end, so any engine replays it
+    * bit-for-bit: luma is the integer per-mille 299·r + 587·g + 114·b,
+    * pooling buckets pixel x into column ⌊x·9/w⌋ (y likewise into 8
+    * rows), and the brightness comparison cross-multiplies sums by
+    * counts — sumL·cntR > sumR·cntL — so unequal cell sizes never meet a
+    * division. Requires w ≥ 9 and h ≥ 8 (fewer pixels than cells has no
+    * honest gradient; throws — captured per-row by [[imageDhash]]). */
+  def dhash64(decoder: PixelDecoder, bytes: Array[Byte]): Long = {
+    val (w, h) = decoder.dims(bytes) // header-only: no double decode
+    if (w < 9 || h < 8)
+      throw new IllegalArgumentException(
+        s"image ${w}x$h too small for a 9x8 dHash grid")
+    val sums = new Array[Long](9 * 8)
+    val cnts = new Array[Long](9 * 8)
+    decoder.walkPixels(bytes) { (x, y, r, g, b) =>
+      val gx = ((x.toLong * 9) / w).toInt
+      val gy = ((y.toLong * 8) / h).toInt
+      val i = gy * 9 + gx
+      sums(i) += 299L * r + 587L * g + 114L * b
+      cnts(i) += 1L
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val l = gy * 9 + gx
+        if (sums(l) * cnts(l + 1) > sums(l + 1) * cnts(l))
+          hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** Row-level dHash outcome: errors travel as data (SafeMap contract, A2). */
+  private val dhashResultType = StructType(Seq(
+    StructField("ok", BooleanType, nullable = true),
+    StructField("dhash", LongType, nullable = true),
+    StructField("error", StringType, nullable = true)))
+
+  /** Perceptual-hash a binary image column via mapPartitions — the same
+    * shape as [[decodeFeatures]]: one decoder per partition, corrupt
+    * payloads captured per-row as (ok, dhash, error), schema appended.
+    * Feed the hashes to [[graft.ops.Dedup.hammingNearDupPairs]] for
+    * banded image near-dup at corpus scale. */
+  def imageDhash(df: DataFrame, binCol: String, decoder: PixelDecoder,
+                 outCol: String = "dhashed"): DataFrame = {
+    val schema = df.schema.add(outCol, dhashResultType)
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val out =
+          try Row(true, dhash64(decoder, r.getAs[Array[Byte]](idx)), null)
+          catch {
+            case e: Throwable =>
+              Row(false, null, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }
+  }
+
+  /** Build a REAL uncompressed 24-bpp BMP (bottom-up, 4-byte row padding)
+    * with r = g = b = luma(x, y) & 0xff per VISUAL pixel — the fixture/
+    * spec generator whose payloads exercise the genuine wire decoders
+    * while staying arithmetic an oracle can replay from (x, y) alone. */
+  def syntheticBmp(w: Int, h: Int, luma: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val size = 54 + rowBytes * h
+    val bb = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    val bytes = bb.array()
+    var sy = 0
+    while (sy < h) {
+      val vy = h - 1 - sy // bottom-up storage ← visual row
+      val row = 54 + sy * rowBytes
+      var x = 0
+      while (x < w) {
+        val v = (luma(x, vy) & 0xff).toByte
+        bytes(row + x * 3) = v
+        bytes(row + x * 3 + 1) = v
+        bytes(row + x * 3 + 2) = v
+        x += 1
+      }
+      sy += 1
+    }
+    bytes
   }
 
   /** Frame-sample a "video" payload: slice the body into fixed-size frames

@@ -690,7 +690,7 @@ object TextOps {
       .select(col(sourceCol), floor(col("__rate") * lit(1000000.0)).as("__thresh"))
     df.join(broadcast(rates), Seq(sourceCol))
       .where(pmod(Dedup.md5Hash60(col(idCol).cast("string")), lit(1000000L)) < col("__thresh"))
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
   /** UniMax budget-capped mixture (Chung et al. 2023, arXiv:2304.09151):

@@ -501,6 +501,34 @@ class DedupSpec extends SparkSpec {
       .select(col("l.doc_id"), col("r.doc_id")).as[(Long, Long)].collect().toSet
     assert(viaBanding == brute, "banding must be lossless within the radius")
   }
+
+  test("hammingNearDupPairs: exact pigeonhole over a precomputed 64-bit hash, boundary-inclusive, NULLs excluded") {
+    // hand-built hashes with KNOWN distances to a base b: 0, 1, exactly 3
+    // (the boundary — pigeonhole must still catch it), 4 (outside), and a
+    // far-away value; plus a NULL hash that must not pair with anything
+    val b = 0x0123456789abcdefL
+    val rows = Seq(
+      (1L, Some(b)),
+      (2L, Some(b)),                                  // hamming 0
+      (3L, Some(b ^ (1L << 63))),                     // hamming 1 (sign bit)
+      (4L, Some(b ^ 0x8000000100000002L)),            // hamming 3, spread bands
+      (5L, Some(b ^ 0x000000000000000fL)),            // hamming 4, one band
+      (6L, Some(~b)),                                 // hamming 64
+      (7L, None: Option[Long]))
+      .toDF("id", "h")
+    val pairs = Dedup.hammingNearDupPairs(rows, "id", "h", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0), (1L, 3L, 1), (1L, 4L, 3),
+      (2L, 3L, 1), (2L, 4L, 3), (3L, 4L, 2)),
+      s"got $pairs")
+    // hamming(3,4): b^(1<<63) vs b^0x8000000100000002 = xor 0x...1...2 -> 2 bits
+    // radius boundary honored: 4 pairs with 1/2 at distance 4, not reported
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.hammingNearDupPairs(rows, "id", "h", maxHamming = 4)
+    }
+    assert(e.getMessage.contains("divide 64"))
+  }
 }
 
 class LshCalibrationSpec extends SparkSpec {
@@ -1643,6 +1671,77 @@ class SafeMapSpec extends SparkSpec {
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
+
+  private def bmpOf(w: Int, h: Int)(luma: (Int, Int) => Int): Array[Byte] =
+    Multimodal.syntheticBmp(w, h, luma)
+
+  private def pngOf(w: Int, h: Int)(luma: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = luma(x, y) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dhash64: dual-decoder identity (BMP wire == ImageIO; PNG wire == ImageIO), hand case, brightness invariance") {
+    def pat(x: Int, y: Int) = (x * 37 + y * 11) % 251
+    val bmp = bmpOf(18, 16)(pat)
+    val png = pngOf(18, 16)(pat)
+    // the same pixels through three independent parse paths hash identically
+    val hBmpWire = Multimodal.dhash64(new Multimodal.BmpDecoder(), bmp)
+    val hBmpIio = Multimodal.dhash64(new Multimodal.ImageIODecoder(), bmp)
+    val hPngWire = Multimodal.dhash64(new Multimodal.PngDecoder(), png)
+    val hPngIio = Multimodal.dhash64(new Multimodal.ImageIODecoder(), png)
+    assert(hBmpWire == hBmpIio, f"BMP wire $hBmpWire%016x != ImageIO $hBmpIio%016x")
+    assert(hPngWire == hPngIio, f"PNG wire $hPngWire%016x != ImageIO $hPngIio%016x")
+    assert(hBmpWire == hPngWire, "same pixels, different container, same hash")
+    // hand case on a 9x8 image (one pixel per cell): row 0 strictly
+    // increasing -> its 8 gradient bits all 0 (left never brighter);
+    // row 1 strictly decreasing -> its 8 bits all 1
+    val hand = bmpOf(9, 8)((x, y) =>
+      if (y == 0) x * 10 else if (y == 1) 200 - x * 10 else 7)
+    val hh = Multimodal.dhash64(new Multimodal.BmpDecoder(), hand)
+    assert((hh & 0xffL) == 0L, f"row0 bits: ${hh & 0xffL}%02x")
+    assert(((hh >> 8) & 0xffL) == 0xffL, f"row1 bits: ${(hh >> 8) & 0xffL}%02x")
+    assert((hh >> 16) == 0L, "flat rows must contribute no bits")
+    // a global brightness shift preserves every gradient sign -> hamming 0
+    val bright = bmpOf(18, 16)((x, y) => math.min(pat(x, y) + 30, 255))
+    val hB = Multimodal.dhash64(new Multimodal.BmpDecoder(), bright)
+    assert(java.lang.Long.bitCount(hBmpWire ^ hB) == 0,
+      "brightness shift must not move the dHash")
+    // resize DOWN to half (9x8, the grid itself): pooling means the
+    // gradient signs survive -> near-dup distance, not a random 32
+    val half = bmpOf(9, 8)((gx, gy) => {
+      var s = 0
+      for (dx <- 0 until 2; dy <- 0 until 2) s += pat(gx * 2 + dx, gy * 2 + dy)
+      s / 4
+    })
+    val hHalf = Multimodal.dhash64(new Multimodal.BmpDecoder(), half)
+    assert(java.lang.Long.bitCount(hBmpWire ^ hHalf) <= 8,
+      s"resized twin drifted ${java.lang.Long.bitCount(hBmpWire ^ hHalf)} bits")
+  }
+
+  test("imageDhash: per-partition hashing with per-row failure capture (corrupt and too-small payloads)") {
+    val good = bmpOf(18, 16)((x, y) => (x + y) % 200)
+    val tiny = bmpOf(8, 4)((x, y) => x) // under the 9x8 grid
+    val df = Seq((1L, good), (2L, Array[Byte](1, 2, 3)), (3L, tiny))
+      .toDF("id", "img")
+    val out = Multimodal.imageDhash(df, "img", new Multimodal.BmpDecoder())
+      .select(col("id"), col("dhashed.ok"), col("dhashed.dhash"),
+        col("dhashed.error"))
+      .as[(Long, Boolean, Option[Long], Option[String])].collect().sortBy(_._1)
+    assert(out(0)._2 && out(0)._3.isDefined)
+    assert(!out(1)._2 && out(1)._4.exists(_.contains("BMP")))
+    assert(!out(2)._2 && out(2)._4.exists(_.contains("too small")))
+    // deterministic across runs
+    val again = Multimodal.imageDhash(df, "img", new Multimodal.BmpDecoder())
+      .where(col("id") === 1).select("dhashed.dhash").as[Long].head()
+    assert(out(0)._3.contains(again))
+  }
 
   test("decodeFeatures: per-partition decode with per-row failure capture") {
     val df = Seq(
