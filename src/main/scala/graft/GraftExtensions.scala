@@ -969,6 +969,28 @@ object GraftExtensions {
           table(str(args(1), "profTableB")))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_vocabulary_novelty_timeline"),
+      info("graft_vocabulary_novelty_timeline",
+        "graft_vocabulary_novelty_timeline(bucketProfTable, refProfTable) - WHEN did the new vocabulary arrive: per-bucket novelty of a stored (bucket_start, token, n) graft_bucket_category_profile over the token stream vs a fixed graft_token_profile reference; (bucket_start, new_types, new_mass, types_b, mass_b, novelty_micro) - profile-served, corpora never touched"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "usage: graft_vocabulary_novelty_timeline(bucketProfTable, refProfTable)")
+        ops.TextOps.vocabularyNoveltyTimeline(
+          table(str(args(0), "bucketProfTable")),
+          table(str(args(1), "refProfTable")))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_vocabulary_novelty_timeline_by_group"),
+      info("graft_vocabulary_novelty_timeline_by_group",
+        "graft_vocabulary_novelty_timeline_by_group(bucketProfTable, refProfTable, groupCol) - per-group vocabulary-novelty timeline: each (group, bucket) scored against the group's own stored token profile; (group, bucket_start, new_types, new_mass, types_b, mass_b, novelty_micro)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "usage: graft_vocabulary_novelty_timeline_by_group(bucketProfTable, refProfTable, groupCol)")
+        ops.TextOps.vocabularyNoveltyTimelineByGroup(
+          table(str(args(0), "bucketProfTable")),
+          table(str(args(1), "refProfTable")), str(args(2), "groupCol"))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_numeric_drift_timeline"),
       info("graft_numeric_drift_timeline",
         "graft_numeric_drift_timeline(table, valueCol, tsCol, refTable, bucketSec, bins, binWidthMicro) - per-time-bucket exact binned chi-square drift of a numeric column against a fixed reference graft_numeric_profile refTable(bin, n): one row per non-empty bucket (bucket_start, n_events, chi2_micro, top_bin, top_chi2_micro) - the scalar monitor as a dashboard time series"),

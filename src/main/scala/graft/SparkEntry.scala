@@ -420,6 +420,32 @@ object SparkEntry {
     * sorted element at rank (n+1)//2 — no interpolation, engine-exact).
     * The timeline CTE is MATERIALIZED (referenced by the median, MAD,
     * and flag passes — DuckDB would otherwise inline it 4×). */
+  /** Shared oracle of q289/q290 (the direct and TVF routes produce the
+    * identical plan): per weekly bucket, the token-type count and mass
+    * absent from the first-week reference profile; exact integer
+    * novelty_micro. */
+  private lazy val sqlVocabularyNoveltyTimeline: String = """
+    WITH tv AS (SELECT ((doc_id * 3600) // 604800) * 604800 AS bucket_start,
+                  unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+    b AS MATERIALIZED (SELECT bucket_start, tok,
+           CAST(count(*) AS BIGINT) AS n_b
+         FROM tv WHERE tok <> '' GROUP BY 1, 2),
+    ref AS MATERIALIZED (SELECT tok, count(*) AS n_a
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE doc_id < 168)
+          WHERE tok <> '' GROUP BY 1)
+    SELECT b.bucket_start,
+      CAST(sum(CASE WHEN ref.n_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS new_types,
+      CAST(sum(CASE WHEN ref.n_a IS NULL THEN b.n_b ELSE 0 END) AS BIGINT) AS new_mass,
+      CAST(count(*) AS BIGINT) AS types_b,
+      CAST(sum(b.n_b) AS BIGINT) AS mass_b,
+      CAST(CASE WHEN sum(b.n_b) = 0 THEN 0
+           ELSE (1000000 * sum(CASE WHEN ref.n_a IS NULL THEN b.n_b ELSE 0 END))
+                // sum(b.n_b) END AS BIGINT) AS novelty_micro
+    FROM b LEFT JOIN ref ON ref.tok = b.tok
+    GROUP BY 1 ORDER BY bucket_start"""
+
   private lazy val sqlTimelineAnomalies: String = """
         WITH ev AS (SELECT (CAST(epoch_us(ts) AS BIGINT) // 604800000000) * 604800
                       AS bucket_start, event_type AS cat
@@ -5721,6 +5747,95 @@ object SparkEntry {
         FROM h l JOIN h r ON l.id < r.id
         WHERE bit_count(xor(l.lo, r.lo)) + bit_count(xor(l.hi, r.hi)) <= 3
         ORDER BY id_l, id_r""")),
+
+    // -- q289: vocabulary-novelty TIMELINE — "WHEN did the new vocabulary
+    //    arrive": per weekly bucket, the count and mass of tokens absent
+    //    from the FIRST WEEK's reference profile — a pure composition
+    //    (q284's bucketed token statistic + the novelty join); the SAME
+    //    stored (bucket, token, n) profile that serves the token-drift
+    //    timeline serves this leg. Timestamps doc_id hours. ------------
+    Q("q289_vocabulary_novelty_timeline",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+          .withColumn("ts", timestamp_micros(col("doc_id") * lit(3600000000L)))
+        val toks = docs.select(col("ts"),
+            explode(split(col("text"), " ")).as("token"))
+          .where(col("token") =!= "")
+        ops.TextOps.vocabularyNoveltyTimeline(
+          ops.Events.bucketCategoryProfile(toks, "token", "ts", 604800L),
+          ops.TextOps.tokenProfile(
+            T(s, dir, "documents").where(col("doc_id") < 168), "text"))
+          .orderBy("bucket_start")
+      },
+      Some(sqlVocabularyNoveltyTimeline)),
+
+    // -- q290: end-to-end SQL for the novelty timeline — builder TVFs
+    //    feed the timeline TVF; q289's oracle verbatim -------------------
+    Q("q290_sql_tvf_vocabulary_novelty_timeline",
+      (s, dir) => {
+        GraftExtensions.install(s)
+        val sfx = dir.replaceAll("[^0-9]", "")
+        val docs = T(s, dir, "documents")
+          .withColumn("ts", timestamp_micros(col("doc_id") * lit(3600000000L)))
+        docs.select(col("ts"), explode(split(col("text"), " ")).as("token"))
+          .where(col("token") =!= "")
+          .createOrReplaceTempView(s"vnt_toks_$sfx")
+        T(s, dir, "documents").where(col("doc_id") < 168)
+          .createOrReplaceTempView(s"vnt_early_$sfx")
+        s.sql(s"SELECT * FROM graft_token_profile('vnt_early_$sfx', 'text')")
+          .createOrReplaceTempView(s"vnt_ref_$sfx")
+        s.sql(s"""
+          SELECT * FROM graft_bucket_category_profile('vnt_toks_$sfx',
+            'token', 'ts', 604800)""")
+          .createOrReplaceTempView(s"vnt_prof_$sfx")
+        s.sql(s"""
+          SELECT bucket_start, new_types, new_mass, types_b, mass_b, novelty_micro
+          FROM graft_vocabulary_novelty_timeline('vnt_prof_$sfx', 'vnt_ref_$sfx')
+          ORDER BY bucket_start""")
+      },
+      Some(sqlVocabularyNoveltyTimeline)),
+
+    // -- q291: SEGMENTED novelty timeline — "when did SOURCE X's new
+    //    vocabulary arrive", each (source, bucket) scored against the
+    //    source's OWN first-week profile ---------------------------------
+    Q("q291_vocabulary_novelty_timeline_by_group",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+          .withColumn("ts", timestamp_micros(col("doc_id") * lit(3600000000L)))
+        val toks = docs.select(col("source"), col("ts"),
+            explode(split(col("text"), " ")).as("token"))
+          .where(col("token") =!= "")
+        ops.TextOps.vocabularyNoveltyTimelineByGroup(
+          ops.Events.bucketCategoryProfileByGroup(toks, "token", "ts",
+            "source", 604800L),
+          ops.TextOps.tokenProfileByGroup(
+            T(s, dir, "documents").where(col("doc_id") < 168), "text",
+            "source"),
+          "source")
+          .orderBy("source", "bucket_start")
+      },
+      Some("""
+        WITH tv AS (SELECT source AS g,
+                      ((doc_id * 3600) // 604800) * 604800 AS bucket_start,
+                      unnest(string_split(text, ' ')) AS tok
+                    FROM documents WHERE source IS NOT NULL),
+        b AS MATERIALIZED (SELECT g, bucket_start, tok,
+               CAST(count(*) AS BIGINT) AS n_b
+             FROM tv WHERE tok <> '' GROUP BY 1, 2, 3),
+        ref AS MATERIALIZED (SELECT g, tok, count(*) AS n_a
+              FROM (SELECT source AS g, unnest(string_split(text, ' ')) AS tok
+                    FROM documents WHERE source IS NOT NULL AND doc_id < 168)
+              WHERE tok <> '' GROUP BY 1, 2)
+        SELECT b.g AS source, b.bucket_start,
+          CAST(sum(CASE WHEN ref.n_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS new_types,
+          CAST(sum(CASE WHEN ref.n_a IS NULL THEN b.n_b ELSE 0 END) AS BIGINT) AS new_mass,
+          CAST(count(*) AS BIGINT) AS types_b,
+          CAST(sum(b.n_b) AS BIGINT) AS mass_b,
+          CAST(CASE WHEN sum(b.n_b) = 0 THEN 0
+               ELSE (1000000 * sum(CASE WHEN ref.n_a IS NULL THEN b.n_b ELSE 0 END))
+                    // sum(b.n_b) END AS BIGINT) AS novelty_micro
+        FROM b LEFT JOIN ref ON ref.g = b.g AND ref.tok = b.tok
+        GROUP BY 1, 2 ORDER BY source, bucket_start""")),
 
     // -- q237: anomaly flags over the drift timeline — Hampel median +
     //    k·MAD in exact integers (lower medians, no interpolation); the

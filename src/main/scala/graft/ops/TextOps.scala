@@ -2403,6 +2403,77 @@ object TextOps {
             .cast("long")).as("novelty_micro"))
   }
 
+  /** Vocabulary-novelty TIMELINE — "WHEN did the new vocabulary arrive":
+    * per time bucket, [[vocabularyNovelty]]'s statistic against one fixed
+    * reference [[tokenProfile]] — (bucket_start, new_types, new_mass,
+    * types_b, mass_b, novelty_micro), one row per non-empty bucket, with
+    * novelty_micro = ⌊10⁶·new_mass/mass_b⌋ exact. `bucketProf` is a
+    * (bucket_start, token, n) frame — [[graft.ops.Events
+    * .bucketCategoryProfile]] over the exploded token stream (tokens ARE
+    * categories, the q284 composition), so the same stored additive
+    * statistic that serves the token-drift timeline serves this leg too,
+    * and [[graft.streaming.Fastlane.ingestBucketCategoryProfile]]
+    * maintains it O(batch). [[graft.ops.Events.timelineAnomalies]]
+    * applies to the output verbatim after renaming novelty_micro →
+    * chi2_micro ("which week's vocabulary influx is abnormal").
+    * Concatenated partial profiles re-aggregate on both sides.
+    *
+    * Scale shape: one token-keyed left join of two bounded profiles
+    * (buckets·vocab and vocab), collapsing to a buckets-bounded rollup —
+    * the corpora are never touched. */
+  def vocabularyNoveltyTimeline(bucketProf: DataFrame,
+      refProfile: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val b = bucketProf.groupBy("bucket_start", "token")
+      .agg(sum("n").as("n_b"))
+    val a = refProfile.groupBy("token").agg(sum("n").as("n_a"))
+    b.join(a, Seq("token"), "left")
+      .groupBy("bucket_start")
+      .agg(
+        sum(when(col("n_a").isNull, 1L).otherwise(0L)).as("new_types"),
+        sum(when(col("n_a").isNull, col("n_b")).otherwise(0L)).as("new_mass"),
+        count(lit(1)).as("types_b"),
+        sum("n_b").as("mass_b"))
+      .select(col("bucket_start"), col("new_types"), col("new_mass"),
+        col("types_b"), col("mass_b"),
+        when(col("mass_b") === 0, lit(0L))
+          .otherwise(call_function("div",
+            dec(lit(1000000L)) * dec(col("new_mass")), dec(col("mass_b")))
+            .cast("long")).as("novelty_micro"))
+  }
+
+  /** SEGMENTED [[vocabularyNoveltyTimeline]] — "when did SOURCE X's new
+    * vocabulary arrive": per (group, bucket) the novelty statistic
+    * against the GROUP'S OWN reference [[tokenProfileByGroup]] frame
+    * (groupCol, token, n). `bucketProf` is (groupCol, bucket_start,
+    * token, n) — [[graft.ops.Events.bucketCategoryProfileByGroup]] over
+    * the token stream. A group absent from the reference counts ALL its
+    * mass as novel (the honest reading: nothing was ever seen from it).
+    * [[graft.ops.Events.timelineAnomaliesByGroup]] applies verbatim
+    * after the rename. Joins are group-prefixed-keyed — scales with
+    * group count, no cross-group mixing. */
+  def vocabularyNoveltyTimelineByGroup(bucketProf: DataFrame,
+      refProfile: DataFrame, groupCol: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val b = bucketProf.groupBy(col(groupCol), col("bucket_start"), col("token"))
+      .agg(sum("n").as("n_b"))
+    val a = refProfile.groupBy(col(groupCol), col("token"))
+      .agg(sum("n").as("n_a"))
+    b.join(a, Seq(groupCol, "token"), "left")
+      .groupBy(col(groupCol), col("bucket_start"))
+      .agg(
+        sum(when(col("n_a").isNull, 1L).otherwise(0L)).as("new_types"),
+        sum(when(col("n_a").isNull, col("n_b")).otherwise(0L)).as("new_mass"),
+        count(lit(1)).as("types_b"),
+        sum("n_b").as("mass_b"))
+      .select(col(groupCol), col("bucket_start"), col("new_types"),
+        col("new_mass"), col("types_b"), col("mass_b"),
+        when(col("mass_b") === 0, lit(0L))
+          .otherwise(call_function("div",
+            dec(lit(1000000L)) * dec(col("new_mass")), dec(col("mass_b")))
+            .cast("long")).as("novelty_micro"))
+  }
+
   /** SEGMENTED [[tokenDriftAttribution]] — per group the same question:
     * for each of the group's top-M drifted tokens, WHICH documents carry
     * the movement (the group's own snapshot-A docs for a shrinking token,

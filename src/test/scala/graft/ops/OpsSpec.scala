@@ -2286,6 +2286,53 @@ class TextOpsSpec extends SparkSpec {
     assert(concat == out, s"concat $concat vs $out")
   }
 
+  test("vocabularyNoveltyTimeline: hand-computed per-bucket novelty; segmented twin; anomalies ride after rename; ref-less group all-novel") {
+    import graft.ops.{TextOps, Events}
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // ref vocabulary: {x, y}. bucket 0: x x z (z new, 1 of 3 mass);
+    // bucket 1: w w w (all new)
+    val toks = Seq(
+      (ts("2024-01-01 10:00:00"), "x"), (ts("2024-01-01 10:10:00"), "x"),
+      (ts("2024-01-01 10:20:00"), "z"),
+      (ts("2024-01-01 11:05:00"), "w"), (ts("2024-01-01 11:30:00"), "w"),
+      (ts("2024-01-01 11:45:00"), "w")).toDF("ts", "token")
+    val ref = TextOps.tokenProfile(Seq("x x y").toDF("text"), "text")
+    val out = TextOps.vocabularyNoveltyTimeline(
+        Events.bucketCategoryProfile(toks, "token", "ts", 3600L), ref)
+      .orderBy("bucket_start")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(out.size == 2 && out(1)._1 - out(0)._1 == 3600L, s"buckets: $out")
+    assert(out(0) == ((out(0)._1, 1L, 1L, 2L, 3L, 333333L)), s"b0: ${out(0)}")
+    assert(out(1) == ((out(1)._1, 1L, 3L, 1L, 3L, 1000000L)), s"b1: ${out(1)}")
+    // the alerting layer applies verbatim after the rename
+    val anom = Events.timelineAnomalies(
+        TextOps.vocabularyNoveltyTimeline(
+          Events.bucketCategoryProfile(toks, "token", "ts", 3600L), ref)
+          .select(col("bucket_start"),
+            col("novelty_micro").as("chi2_micro")), k = 0L)
+      .orderBy("bucket_start")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toList
+    assert(anom.size == 2 && anom(1)._5 && !anom(0)._5,
+      s"the all-novel bucket must flag: $anom")
+    // segmented: g2 absent from the reference -> ALL its mass novel
+    val gtoks = toks.withColumn("g", lit("g1"))
+      .unionByName(Seq((ts("2024-01-01 10:30:00"), "q", "g2"))
+        .toDF("ts", "token", "g"))
+    val gref = TextOps.tokenProfileByGroup(
+      Seq(("g1", "x x y")).toDF("g", "text"), "text", "g")
+    val gout = TextOps.vocabularyNoveltyTimelineByGroup(
+        Events.bucketCategoryProfileByGroup(gtoks, "token", "ts", "g", 3600L),
+        gref, "g")
+      .orderBy("g", "bucket_start")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toList
+    val g1 = gout.filter(_._1 == "g1").map(t => (t._2, t._3, t._4, t._5, t._6, t._7))
+    assert(g1 == out.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)),
+      s"g1 must equal the global hand case: $g1 vs $out")
+    val g2 = gout.filter(_._1 == "g2")
+    assert(g2.size == 1 && g2.head._3 == 1L && g2.head._7 == 1000000L,
+      s"ref-less group must be all-novel: $g2")
+  }
+
   test("vocabularyNovelty (global): hand case; == the lit-group segmented answer; empty-B and store-shape edges") {
     import graft.ops.TextOps
     // A: x x y p p; B: x z z p p p m  ->  new: z(2) m(1) = 3 of 7 types {x,z,p,m}
