@@ -5837,6 +5837,57 @@ object SparkEntry {
         FROM b LEFT JOIN ref ON ref.g = b.g AND ref.tok = b.tok
         GROUP BY 1, 2 ORDER BY source, bucket_start""")),
 
+    // -- q292: the END-TO-END COMPOSED pipeline — the real user's chain as
+    //    ONE oracle-checked run: quality filter (lang/quality/Gopher/C4)
+    //    → paragraph dedup (rewrites text) → MinHash-LSH near-dup
+    //    canonical gate ON the cleaned text → exact n-gram
+    //    decontamination vs the held-out split → temperature mixture over
+    //    the SURVIVOR source histogram → deterministic shard assignment.
+    //    Every stage is verified alone elsewhere (q150/q128/q71+q86/q99/
+    //    q144/q132); this query verifies their COMPOSITION — column
+    //    contracts across stages, rates computed from survivors not the
+    //    raw corpus, the dedup keyed on the REWRITTEN text. Stage
+    //    boundaries persist (each stage's corpus-sized work runs once —
+    //    the PlanSpec lock counts the parquet scans). -------------------
+    Q("q292_composed_pipeline",
+      (s, dir) => {
+        import graft.core.TrackedCache.TrackedDataset
+        val docs = T(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 10 < 9)
+          .select("doc_id", "text", "source")
+        val evalSet = docs.filter(col("doc_id") % 10 === 9)
+        val fdocs = ops.TextOps.filterPipeline(corpus, "doc_id", "text",
+            wantedLangs = Seq("en", "de"),
+            gopherMinWords = 10, gopherMinStopHits = 1, c4MinSentences = 1,
+            passthrough = Seq("text", "source"))
+          .where(col("accept"))
+          .select(col("id").as("doc_id"), col("text"), col("source"))
+          .persistTracked()
+        val pdocs = ops.Dedup.paragraphDedup(fdocs, "doc_id", "text", 20)
+          .where(col("n_kept") > 0)
+          .select(col("id").as("doc_id"), col("clean_text").as("text"))
+          .join(fdocs.select("doc_id", "source"), Seq("doc_id"))
+          .persistTracked()
+        val ndocs = ops.Dedup.dedupCorpusNear(pdocs, "doc_id", "text",
+            n = 3, numHashes = 12, bands = 4, threshold = 0.2)
+          .persistTracked()
+        val contaminated = ops.TextOps.contaminationReport(ndocs, evalSet,
+            "doc_id", "text", "doc_id", "text", n = 3, minShared = 2)
+          .select("doc_id").distinct()
+        // persisted: temperatureMixture reads its input twice (source
+        // histogram + the acceptance filter) — without the boundary the
+        // decontamination anti-join (and the eval scan under it) runs twice
+        val ddocs = ndocs.join(contaminated, Seq("doc_id"), "left_anti")
+          .persistTracked()
+        val mdocs = ops.TextOps.temperatureMixture(
+          ddocs.select("doc_id", "source"), "doc_id", "source",
+          temperature = 0.5)
+        ops.Shards.assign(mdocs, "doc_id", nShards = 8)
+          .select("doc_id", "source", "shard")
+          .orderBy("doc_id")
+      },
+      Some(sqlComposedPipeline)),
+
     // -- q237: anomaly flags over the drift timeline — Hampel median +
     //    k·MAD in exact integers (lower medians, no interpolation); the
     //    alerting layer over q229's dashboard -----------------------------
@@ -8633,6 +8684,143 @@ object SparkEntry {
 
   /** The q150 oracle, shared verbatim by q153's SQL-TVF route — the two
     * surfaces can never drift (the q125 pattern). */
+  /** Oracle of q292 — the real user's WHOLE chain replayed: quality
+    * filter → paragraph dedup → MinHash near-dup canonical gate → exact
+    * n-gram decontamination → temperature mixture → shard assignment,
+    * every stage the corresponding single-stage oracle's SQL verbatim,
+    * rebased onto the previous stage's survivors. */
+  private lazy val sqlComposedPipeline: String = {
+    // the q78/q150 langId fold, verbatim
+    val profiles = ops.TextOps.langProfiles.sortBy(_._1)
+    val scoreExprs = profiles.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(string_split(lower(text),' '), t -> list_contains($arr, t))) AS s_$lang"
+    }.mkString(", ")
+    val (bestLang, bestScore) = profiles.foldLeft(("'unknown'", "0")) {
+      case ((bl, bs), (lang, _)) =>
+        (s"CASE WHEN s_$lang > $bs THEN '$lang' ELSE $bl END",
+         s"greatest(s_$lang, $bs)")
+    }
+    // the q71/q86 MinHash generators, verbatim
+    val coeffs = ops.Dedup.hashCoeffs(12)
+    val sig = coeffs.map { case (a, b) =>
+      s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))"
+    }.mkString("[", ", ", "]")
+    val bandKeys = (0 until 4).map(bi =>
+      s"md5(concat_ws(',', sig[${bi * 3 + 1}], sig[${bi * 3 + 2}], sig[${bi * 3 + 3}]))")
+      .mkString("[", ", ", "]")
+    s"""
+    WITH RECURSIVE
+    corp AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 10 < 9),
+    lang AS (
+      SELECT id, CASE WHEN $bestScore > 0 THEN $bestLang ELSE 'unknown' END AS lang_guess
+      FROM (SELECT doc_id AS id, $scoreExprs FROM corp)),
+    q AS (
+      SELECT doc_id AS id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS uniq_ratio,
+        CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+          / length(text) AS punct_ratio
+      FROM corp),
+    g AS (
+      SELECT id,
+        ((n_words >= 10 AND n_words <= 100000)
+          AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+          AND (alpha_ratio >= 0.8) AND (stop_hits >= 1)) AS r_gopher
+      FROM (
+        SELECT doc_id AS id, CAST(len(toks) AS BIGINT) AS n_words,
+          CASE WHEN len(toks) > 0
+            THEN CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks)
+            ELSE 0.0 END AS mean_word_len,
+          CASE WHEN len(toks) > 0
+            THEN CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(toks)
+            ELSE 0.0 END AS alpha_ratio,
+          len(list_intersect(list_distinct(toks),
+            ['the','be','to','of','and','that','have','with'])) AS stop_hits
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corp))),
+    c AS (
+      SELECT doc_id AS id,
+        (CAST(len(list_filter(regexp_split_to_array(text, '[.!?]'),
+           x -> len(trim(x)) > 0)) AS BIGINT) >= 1
+         AND CAST(len(list_filter(
+           list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0),
+           l -> len(list_filter(string_split(trim(l), ' '),
+                    w -> len(w) > 0)) < 5)) AS BIGINT) = 0
+         AND NOT (instr(lower(text), 'lorem ipsum') > 0)
+         AND NOT (instr(text, '{') > 0)) AS r_c4
+      FROM corp),
+    acc AS (
+      SELECT lang.id FROM lang JOIN q USING (id) JOIN g USING (id) JOIN c USING (id)
+      WHERE (lang.lang_guess IN ('en', 'de'))
+        AND (q.n_tokens >= 5 AND q.avg_token_len <= 20.0
+             AND q.uniq_ratio >= 0.2 AND q.punct_ratio <= 0.3)
+        AND g.r_gopher AND c.r_c4),
+    fdocs AS (SELECT corp.doc_id, corp.text, corp.source
+              FROM corp JOIN acc ON acc.id = corp.doc_id),
+    np AS (SELECT doc_id AS id, string_split(text, ' ') AS t,
+                  CAST(ceil(len(string_split(text, ' ')) / 20.0) AS BIGINT) AS n_total
+           FROM fdocs),
+    ptext AS (SELECT id, unnest(range(0, n_total)) AS passage_idx, t FROM np),
+    passages AS (
+      SELECT id, passage_idx,
+        array_to_string(list_slice(t, CAST(passage_idx*20+1 AS INT), CAST(passage_idx*20+20 AS INT)), ' ') AS passage
+      FROM ptext),
+    keptp AS (
+      SELECT id, passage_idx, passage,
+        row_number() OVER (PARTITION BY md5(passage) ORDER BY id, passage_idx) AS rn
+      FROM passages),
+    recon AS (
+      SELECT id, string_agg(passage, ' ' ORDER BY passage_idx) AS clean_text,
+             count(*) AS n_kept
+      FROM keptp WHERE rn = 1 GROUP BY id),
+    pdocs AS (SELECT r.id AS doc_id, r.clean_text AS text, f.source
+              FROM recon r JOIN fdocs f ON f.doc_id = r.id WHERE r.n_kept > 0),
+    sh AS (SELECT doc_id, ${sqlShingles("text")} AS sh FROM pdocs),
+    sig AS (SELECT doc_id, sh, $sig AS sig FROM sh),
+    banded AS (SELECT doc_id, sh, unnest($bandKeys) AS band_key,
+                      unnest(range(0, 4)) AS band_id FROM sig),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+      FROM banded l JOIN banded r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+    verified AS (
+      SELECT c.id_l, c.id_r
+      FROM cand c JOIN sh l ON c.id_l = l.doc_id JOIN sh r ON c.id_r = r.doc_id
+      WHERE CASE WHEN len(list_distinct(l.sh || r.sh)) = 0 THEN 1.0
+                 ELSE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                      / len(list_distinct(l.sh || r.sh)) END >= 0.2),
+    edges AS (SELECT id_l AS src, id_r AS dst FROM verified
+              UNION SELECT id_r, id_l FROM verified),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+    reps AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+    ndocs AS (SELECT p.* FROM pdocs p LEFT JOIN reps ON reps.id = p.doc_id
+              WHERE reps.id IS NULL OR reps.rep = p.doc_id),
+    eg AS (SELECT doc_id AS eval_id, unnest(${sqlShingles60("text")}) AS h
+           FROM documents WHERE doc_id % 10 = 9),
+    cg AS (SELECT doc_id, unnest(${sqlShingles60("text")}) AS h FROM ndocs),
+    contaminated AS (
+      SELECT DISTINCT cg.doc_id FROM cg JOIN eg ON cg.h = eg.h
+      GROUP BY cg.doc_id, eg.eval_id HAVING count(*) >= 2),
+    ddocs AS (SELECT * FROM ndocs
+              WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    nsrc AS (SELECT source, count(*) AS n FROM ddocs GROUP BY source),
+    rel AS (SELECT source, sqrt(CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS rel FROM nsrc),
+    thr AS (SELECT source,
+              CAST(floor((rel / (SELECT max(rel) FROM rel)) * 1000000.0) AS BIGINT) AS thresh
+            FROM rel),
+    mdocs AS (SELECT d.doc_id, d.source FROM ddocs d JOIN thr USING (source)
+      WHERE (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000) < thresh)
+    SELECT doc_id, source,
+      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 13) AS BIGINT) % 8 AS shard
+    FROM mdocs ORDER BY doc_id"""
+  }
+
   private lazy val sqlFilterPipeline: String = {
         // the same langId fold as q78's oracle
         val profiles = ops.TextOps.langProfiles.sortBy(_._1)

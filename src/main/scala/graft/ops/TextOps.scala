@@ -925,17 +925,26 @@ object TextOps {
     *
     * Scale shape: ONE zero-shuffle codegen projection — the fused pass
     * reads a 100 TB corpus once where chaining the standalone ops scans
-    * it four times; no UDFs, no exchange, no join. */
+    * it four times; no UDFs, no exchange, no join. `passthrough` columns
+    * ride the same projection, so a pipeline that needs the surviving
+    * TEXT (not just ids) still touches the raw corpus exactly once —
+    * without it the caller must semi-join the verdicts back against a
+    * second corpus scan. */
   def filterPipeline(df: DataFrame, idCol: String, textCol: String,
                      wantedLangs: Seq[String] = Seq("en"),
                      minTokens: Int = 5, maxAvgTokenLen: Double = 20.0,
-                     minUniqRatio: Double = 0.2, maxPunctRatio: Double = 0.3): DataFrame = {
+                     minUniqRatio: Double = 0.2, maxPunctRatio: Double = 0.3,
+                     gopherMinWords: Int = 50, gopherMinStopHits: Int = 2,
+                     c4MinSentences: Int = 3,
+                     passthrough: Seq[String] = Nil): DataFrame = {
     require(wantedLangs.nonEmpty, "wantedLangs must not be empty")
     val t = col(textCol)
-    df.select(col(idCol).as("id"), langId(t).as("lang_guess"),
+    df.select(Seq(col(idCol).as("id"), langId(t).as("lang_guess"),
         qualityFeatures(t).as("__q"),
-        gopherStruct(t, 50, 100000, 3.0, 10.0, 0.8, 2).as("__g"),
-        c4Struct(t, 3, 5).as("__c"))
+        gopherStruct(t, gopherMinWords, 100000, 3.0, 10.0, 0.8,
+          gopherMinStopHits).as("__g"),
+        c4Struct(t, c4MinSentences, 5).as("__c")) ++
+        passthrough.map(col): _*)
       .withColumn("n_tokens", col("__q.n_tokens").cast("long"))
       .withColumn("r_lang", col("lang_guess").isin(wantedLangs: _*))
       .withColumn("r_quality",
@@ -947,8 +956,8 @@ object TextOps {
       .withColumn("r_c4", col("__c.accept"))
       .withColumn("accept",
         col("r_lang") && col("r_quality") && col("r_gopher") && col("r_c4"))
-      .select("id", "lang_guess", "n_tokens", "r_lang", "r_quality",
-        "r_gopher", "r_c4", "accept")
+      .select((Seq("id", "lang_guess", "n_tokens", "r_lang", "r_quality",
+        "r_gopher", "r_c4", "accept") ++ passthrough).map(col): _*)
   }
 
   /** DSIR-style hashed n-gram importance scores (Xie et al. 2023,
