@@ -28,6 +28,10 @@ object ServeLatency {
       sustained(args.lift(1).map(_.toInt).getOrElse(120))
       return
     }
+    if (args.headOption.contains("--concurrent")) {
+      concurrent(args.lift(1).map(_.toInt).getOrElse(30))
+      return
+    }
     val calls = args.headOption.map(_.toInt).getOrElse(100)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
@@ -136,6 +140,73 @@ object ServeLatency {
       (System.nanoTime() - t0) / 1e6
     }.sorted
     println(s"""{"metric":"serve_latency_large_table","rows":$bigN,"flat_merge_p50_ms":${fmt(flatLarge(flatLarge.size / 2))},"bucketed_merge_p50_ms":${fmt(buckLarge(buckLarge.size / 2))}}""")
+    spark.stop()
+  }
+
+  /** Concurrency record: N caller threads sharing ONE [[streaming.Fastlane
+    * .ServingSession]] — the r18 contract serializes `serve` (the COW merge
+    * commits a store version per call; two interleaved merges would race
+    * the version chain), so this measures what that serialization costs
+    * callers: aggregate serves/sec should hold ~flat across thread counts
+    * (the session is the bottleneck, not the callers) while per-call wall
+    * latency grows ~linearly with queue depth. A deployment needing
+    * parallel serving capacity runs one session PER feature (clones are
+    * cheap — `newSession()` shares the SparkContext), not more threads on
+    * one session; this record is the measured argument. */
+  private def concurrent(secondsPerLevel: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft_concserve").toString
+    val store = new core.FeatureStore(root)
+    val feature = core.FeatureDef(
+      name = "user_value_sum",
+      entityKeys = Seq("user_id"),
+      codeVersion = "v1",
+      transform = df => df.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").cast("double").as("sum_value")))
+    val seed = (1L to 1000L).map(i => (i, i * 1.5)).toDF("user_id", "value")
+    store.write(core.Versioning.withSystemColumns(feature.transform(seed), feature),
+      feature.name, Map("mode" -> "seed"))
+
+    val session = new streaming.Fastlane.ServingSession(feature, store)
+    (1 to 5).foreach(i =>
+      session.serve(Seq((9500000L + i, i * 2.0)).toDF("user_id", "value")))
+
+    def fmt(v: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    for (threads <- Seq(1, 2, 4, 8)) {
+      val deadline = System.nanoTime() + secondsPerLevel * 1000000000L
+      val buffers = Array.fill(threads)(
+        scala.collection.mutable.ArrayBuffer.empty[Double])
+      val workers = (0 until threads).map { t =>
+        new Thread(() => {
+          // serve() plans on the serving clone internally; the caller
+          // thread needs no session bookkeeping of its own
+          var i = 0L
+          while (System.nanoTime() < deadline) {
+            val row = Seq((1000000L * (t + 1) + i, i * 2.0))
+              .toDF("user_id", "value")
+            val t0 = System.nanoTime()
+            session.serve(row)
+            buffers(t) += (System.nanoTime() - t0) / 1e6
+            i += 1
+          }
+        }, s"serve-caller-$t")
+      }
+      workers.foreach(_.start())
+      workers.foreach(_.join())
+      val lat = buffers.flatten.sorted.toSeq
+      def p(q: Double) = lat((q * (lat.size - 1)).round.toInt)
+      println(s"""{"metric":"concurrent_serve","threads":$threads,"seconds":$secondsPerLevel,"serves":${lat.size},"serves_per_sec":${fmt(lat.size.toDouble / secondsPerLevel)},"p50_ms":${fmt(p(0.5))},"p95_ms":${fmt(p(0.95))},"p99_ms":${fmt(p(0.99))},"max_ms":${fmt(lat.max)}}""")
+    }
     spark.stop()
   }
 
