@@ -271,6 +271,44 @@ object ScaleRehearsal {
             .select(col("img_id"), col("dhashed.dhash").as("dhash"))
           force(ops.Dedup.hammingNearDupPairs(hashed, "img_id", "dhash", 3))
         }),
+        // the q292 chain END-TO-END: fused filter (passthrough) → paragraph
+        // dedup → MinHash near-dup canonical gate → decontamination vs the
+        // held-out split → temperature mixture → shards, with the same
+        // persisted stage boundaries. The replica families are shingle-
+        // disjoint, so every downstream stage's true work scales linearly;
+        // the LEXICAL gate is widened (unknown lang ok, no stop-word
+        // minimum) because the token-prefixed replicas have no English stop
+        // words — the filter stage itself is a zero-shuffle projection
+        // whose scaling is not in question, the chain's keyed joins are
+        "q292_composed_pipeline" -> (() => {
+          val corpus = docs.filter(col("doc_id") % 10 < 9)
+            .select("doc_id", "text", "source")
+          val evalSet = docs.filter(col("doc_id") % 10 === 9)
+          val fdocs = ops.TextOps.filterPipeline(corpus, "doc_id", "text",
+              wantedLangs = Seq("en", "unknown"),
+              gopherMinWords = 10, gopherMinStopHits = 0, c4MinSentences = 1,
+              passthrough = Seq("text", "source"))
+            .where(col("accept"))
+            .select(col("id").as("doc_id"), col("text"), col("source"))
+            .persist()
+          val pdocs = ops.Dedup.paragraphDedup(fdocs, "doc_id", "text", 20)
+            .where(col("n_kept") > 0)
+            .select(col("id").as("doc_id"), col("clean_text").as("text"))
+            .join(fdocs.select("doc_id", "source"), Seq("doc_id"))
+            .persist()
+          val ndocs = ops.Dedup.dedupCorpusNear(pdocs, "doc_id", "text",
+              n = 3, numHashes = 12, bands = 4, threshold = 0.2).persist()
+          val contaminated = ops.TextOps.contaminationReport(ndocs, evalSet,
+              "doc_id", "text", "doc_id", "text", n = 3, minShared = 2)
+            .select("doc_id").distinct()
+          val ddocs = ndocs.join(contaminated, Seq("doc_id"), "left_anti")
+            .persist()
+          val mdocs = ops.TextOps.temperatureMixture(
+            ddocs.select("doc_id", "source"), "doc_id", "source",
+            temperature = 0.5)
+          force(ops.Shards.assign(mdocs, "doc_id", nShards = 8)
+            .select("doc_id", "source", "shard"))
+        }),
         "q73_ngram_jaccard" -> (() => force(ops.Dedup.ngramJaccardPairs(
           docs, "doc_id", "text", blockCol = "source", n = 3, threshold = 0.2))),
         // the asymmetric variant: contained-side prefix × container's full
