@@ -5888,6 +5888,54 @@ object SparkEntry {
       },
       Some(sqlComposedPipeline)),
 
+    // -- q293: the composed MULTIMODAL pipeline — the image leg fused into
+    //    the document chain as a GATE, not a demo: lexical quality filter
+    //    → per-doc image decode → dHash → banded-Hamming near-dup drop
+    //    (any doc whose image has a smaller-id near-dup goes — the q128
+    //    first-wins convention) → text MinHash canonical gate on the
+    //    survivors → deterministic shards. Decode runs ONLY on filter
+    //    survivors (at 100 TB the decode is the expensive leg; the cheap
+    //    lexical gate must precede it), and the image near-dup pair join
+    //    stays keyed by Hamming band — never all-pairs. Images are the
+    //    q288 generator keyed by doc_id (odd ids brightness-shifted near-
+    //    dups of their even partner), so the oracle replays the exact
+    //    integer pixel → pooled-luma → dHash pipeline in SQL. ----------
+    Q("q293_composed_multimodal_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        import graft.core.TrackedCache.TrackedDataset
+        val corpus = T(s, dir, "documents").select("doc_id", "text", "source")
+        val fdocs = ops.TextOps.filterPipeline(corpus, "doc_id", "text",
+            wantedLangs = Seq("en", "de"),
+            gopherMinWords = 10, gopherMinStopHits = 1, c4MinSentences = 1,
+            passthrough = Seq("text", "source"))
+          .where(col("accept"))
+          .select(col("id").as("doc_id"), col("text"), col("source"))
+          .persistTracked()
+        val imgs = fdocs.select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val base = id / 2
+            (id, ops.Multimodal.syntheticBmp(18, 16, (x, y) => {
+              val v = ((base * 7919L + x * 31L + y * 17L) % 199L).toInt
+              if (id % 2 == 1 && x < 4 && y < 4) v + 40 else v
+            }))
+          }).toDF("doc_id", "img")
+        val hashed = ops.Multimodal.imageDhash(imgs, "img",
+            new ops.Multimodal.BmpDecoder())
+          .select(col("doc_id"), col("dhashed.dhash").as("dhash"))
+        val imgDups = ops.Dedup.hammingNearDupPairs(hashed, "doc_id", "dhash",
+            maxHamming = 3)
+          .select(col("id_r").as("doc_id")).distinct()
+        val idocs = fdocs.join(imgDups, Seq("doc_id"), "left_anti")
+          .persistTracked()
+        val ndocs = ops.Dedup.dedupCorpusNear(idocs, "doc_id", "text",
+            n = 3, numHashes = 12, bands = 4, threshold = 0.2)
+        ops.Shards.assign(ndocs, "doc_id", nShards = 8)
+          .select("doc_id", "source", "shard")
+          .orderBy("doc_id")
+      },
+      Some(sqlComposedMultimodal)),
+
     // -- q237: anomaly flags over the drift timeline — Hampel median +
     //    k·MAD in exact integers (lower medians, no interpolation); the
     //    alerting layer over q229's dashboard -----------------------------
@@ -8689,7 +8737,11 @@ object SparkEntry {
     * n-gram decontamination → temperature mixture → shard assignment,
     * every stage the corresponding single-stage oracle's SQL verbatim,
     * rebased onto the previous stage's survivors. */
-  private lazy val sqlComposedPipeline: String = {
+  /** The q150-style filter CTE block (lang/q/g/c/acc over a `corp` CTE),
+    * shared by the composed-pipeline oracles so the two chains cannot
+    * drift on the filter semantics. Thresholds mirror the Spark side's
+    * fixture-tuned filterPipeline call. */
+  private def sqlFilterAccCtes: String = {
     // the q78/q150 langId fold, verbatim
     val profiles = ops.TextOps.langProfiles.sortBy(_._1)
     val scoreExprs = profiles.map { case (lang, words) =>
@@ -8701,18 +8753,7 @@ object SparkEntry {
         (s"CASE WHEN s_$lang > $bs THEN '$lang' ELSE $bl END",
          s"greatest(s_$lang, $bs)")
     }
-    // the q71/q86 MinHash generators, verbatim
-    val coeffs = ops.Dedup.hashCoeffs(12)
-    val sig = coeffs.map { case (a, b) =>
-      s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))"
-    }.mkString("[", ", ", "]")
-    val bandKeys = (0 until 4).map(bi =>
-      s"md5(concat_ws(',', sig[${bi * 3 + 1}], sig[${bi * 3 + 2}], sig[${bi * 3 + 3}]))")
-      .mkString("[", ", ", "]")
-    s"""
-    WITH RECURSIVE
-    corp AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 10 < 9),
-    lang AS (
+    s"""lang AS (
       SELECT id, CASE WHEN $bestScore > 0 THEN $bestLang ELSE 'unknown' END AS lang_guess
       FROM (SELECT doc_id AS id, $scoreExprs FROM corp)),
     q AS (
@@ -8756,7 +8797,22 @@ object SparkEntry {
       WHERE (lang.lang_guess IN ('en', 'de'))
         AND (q.n_tokens >= 5 AND q.avg_token_len <= 20.0
              AND q.uniq_ratio >= 0.2 AND q.punct_ratio <= 0.3)
-        AND g.r_gopher AND c.r_c4),
+        AND g.r_gopher AND c.r_c4)"""
+  }
+
+  private lazy val sqlComposedPipeline: String = {
+    // the q71/q86 MinHash generators, verbatim
+    val coeffs = ops.Dedup.hashCoeffs(12)
+    val sig = coeffs.map { case (a, b) =>
+      s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))"
+    }.mkString("[", ", ", "]")
+    val bandKeys = (0 until 4).map(bi =>
+      s"md5(concat_ws(',', sig[${bi * 3 + 1}], sig[${bi * 3 + 2}], sig[${bi * 3 + 3}]))")
+      .mkString("[", ", ", "]")
+    s"""
+    WITH RECURSIVE
+    corp AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 10 < 9),
+    $sqlFilterAccCtes,
     fdocs AS (SELECT corp.doc_id, corp.text, corp.source
               FROM corp JOIN acc ON acc.id = corp.doc_id),
     np AS (SELECT doc_id AS id, string_split(text, ' ') AS t,
@@ -8819,6 +8875,78 @@ object SparkEntry {
     SELECT doc_id, source,
       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 13) AS BIGINT) % 8 AS shard
     FROM mdocs ORDER BY doc_id"""
+  }
+
+  /** Oracle of q293 — the multimodal chain replayed: the shared filter
+    * CTE block, then the q288 integer pixel → pooled-luma → dHash →
+    * banded-Hamming replay as a first-wins drop gate, then the q292
+    * MinHash canonical gate over the survivors, then the q132 shard
+    * hash. */
+  private lazy val sqlComposedMultimodal: String = {
+    val coeffs = ops.Dedup.hashCoeffs(12)
+    val sig = coeffs.map { case (a, b) =>
+      s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))"
+    }.mkString("[", ", ", "]")
+    val bandKeys = (0 until 4).map(bi =>
+      s"md5(concat_ws(',', sig[${bi * 3 + 1}], sig[${bi * 3 + 2}], sig[${bi * 3 + 3}]))")
+      .mkString("[", ", ", "]")
+    s"""
+    WITH RECURSIVE
+    corp AS (SELECT doc_id, text, source FROM documents),
+    $sqlFilterAccCtes,
+    fdocs AS (SELECT corp.doc_id, corp.text, corp.source
+              FROM corp JOIN acc ON acc.id = corp.doc_id),
+    px AS (SELECT CAST(f.doc_id AS BIGINT) AS id, x.range AS x, y.range AS y,
+             ((CAST(f.doc_id AS BIGINT) // 2) * 7919 + x.range * 31 + y.range * 17) % 199
+             + CASE WHEN CAST(f.doc_id AS BIGINT) % 2 = 1 AND x.range < 4 AND y.range < 4
+                    THEN 40 ELSE 0 END AS v
+           FROM fdocs f CROSS JOIN range(0, 18) x CROSS JOIN range(0, 16) y),
+    cells AS MATERIALIZED (
+      SELECT id, x // 2 AS gx, y // 2 AS gy, sum(v) AS s
+      FROM px GROUP BY 1, 2, 3),
+    bits AS MATERIALIZED (
+      SELECT a.id, a.gy * 8 + a.gx AS i,
+             CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+      FROM cells a JOIN cells b
+        ON a.id = b.id AND b.gx = a.gx + 1 AND b.gy = a.gy
+      WHERE a.gx < 8),
+    h AS MATERIALIZED (
+      SELECT id,
+        CAST(sum(CASE WHEN i < 32 THEN bit * (1::BIGINT << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+        CAST(sum(CASE WHEN i >= 32 THEN bit * (1::BIGINT << CAST(i - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+      FROM bits GROUP BY 1),
+    imgdups AS (
+      SELECT DISTINCT r.id AS doc_id FROM h l JOIN h r ON l.id < r.id
+      WHERE bit_count(xor(l.lo, r.lo)) + bit_count(xor(l.hi, r.hi)) <= 3),
+    idocs AS (SELECT * FROM fdocs
+              WHERE doc_id NOT IN (SELECT doc_id FROM imgdups)),
+    sh AS (SELECT doc_id, ${sqlShingles("text")} AS sh FROM idocs),
+    sig AS (SELECT doc_id, sh, $sig AS sig FROM sh),
+    banded AS (SELECT doc_id, sh, unnest($bandKeys) AS band_key,
+                      unnest(range(0, 4)) AS band_id FROM sig),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+      FROM banded l JOIN banded r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+    verified AS (
+      SELECT c.id_l, c.id_r
+      FROM cand c JOIN sh l ON c.id_l = l.doc_id JOIN sh r ON c.id_r = r.doc_id
+      WHERE CASE WHEN len(list_distinct(l.sh || r.sh)) = 0 THEN 1.0
+                 ELSE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                      / len(list_distinct(l.sh || r.sh)) END >= 0.2),
+    edges AS (SELECT id_l AS src, id_r AS dst FROM verified
+              UNION SELECT id_r, id_l FROM verified),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+    reps AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+    ndocs AS (SELECT p.* FROM idocs p LEFT JOIN reps ON reps.id = p.doc_id
+              WHERE reps.id IS NULL OR reps.rep = p.doc_id)
+    SELECT doc_id, source,
+      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 13) AS BIGINT) % 8 AS shard
+    FROM ndocs ORDER BY doc_id"""
   }
 
   private lazy val sqlFilterPipeline: String = {

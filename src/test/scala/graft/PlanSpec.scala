@@ -795,6 +795,50 @@ class PlanSpec extends SparkSpec {
       s"expected >= 4 persisted stage boundaries (filtered, paragraph-deduped, near-dup-survivors, decontaminated), got $cacheStages")
   }
 
+  test("q293: multimodal chain scans the raw corpus ONCE; the image near-dup pair join is banded, never a cartesian product") {
+    // the q292 walker, retargeted: the image leg derives from the
+    // persisted filter survivors (decode only runs on them), so exactly
+    // one raw documents scan exists anywhere in the composed plan — and
+    // the Hamming pair join must stay keyed on the pigeonhole band
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val df = SparkEntry.queries("q293_composed_multimodal_pipeline")(spark, sfDir)
+    val seen = scala.collection.mutable.Set[Int]()
+    var fileScans = 0
+    var cartesian = 0
+    def walkPhys(p: SparkPlan): Unit = p.foreach {
+      case a: AdaptiveSparkPlanExec => walkPhys(a.initialPlan)
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("documents")) =>
+        fileScans += 1
+      case _: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        cartesian += 1
+      case c: InMemoryTableScanExec =>
+        val cp = c.relation.cacheBuilder.cachedPlan
+        if (seen.add(System.identityHashCode(cp))) walkPhys(cp)
+      case _ => ()
+    }
+    df.queryExecution.optimizedPlan.foreach {
+      case lr: LogicalRelation if (lr.relation match {
+            case fs: HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains("documents"))
+            case _ => false
+          }) =>
+        fileScans += 1
+      case im: InMemoryRelation =>
+        val cp = im.cacheBuilder.cachedPlan
+        if (seen.add(System.identityHashCode(cp))) walkPhys(cp)
+      case _ => ()
+    }
+    assert(fileScans == 1,
+      s"expected exactly 1 raw documents scan (images derive from the persisted filter survivors), got $fileScans")
+    assert(cartesian == 0,
+      s"expected no CartesianProduct anywhere (Hamming pairs are band-keyed), found $cartesian")
+  }
+
   test("q229: the drift timeline has exactly one Window (the per-bucket rank) and the spine sides broadcast") {
     val p = planOf("q229_category_drift_timeline")
     assert("Window \\[".r.findAllIn(p).size == 1,
