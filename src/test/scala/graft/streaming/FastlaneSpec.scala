@@ -854,6 +854,56 @@ class FastlaneSpec extends SparkSpec {
     assert(nDigests == 4L, s"expected 4 admitted passage digests, got $nDigests")
   }
 
+  test("composed streaming ingest: filter gate + passage dedup over micro-batches == the batch chain") {
+    // the q292/q293 chain's streaming leg, pure composition: filterPipeline
+    // is a stateless projection so it gates the STREAM directly, and the
+    // passage-dedup ingest consumes the survivors — accumulated output
+    // must equal the batch chain (filter → paragraphDedup) over the union
+    val corpusDir = tmpDir("ingf_corpus") + "/c"
+    val srcDir = tmpDir("ingf_src")
+    val store = new graft.core.BucketedStore(tmpDir("ingf_idx"), numBuckets = 16)
+    val w = 3
+    val p1 = "alpha beta gamma"; val p2 = "delta epsilon zeta"
+    val p3 = "eta theta iota";   val p4 = "kappa lambda mu"
+    // docs 9 and 8 fail the filter (a brace → C4, lorem ipsum → C4) and
+    // must never reach the dedup gate or the corpus
+    val b1 = Seq((1L, s"$p1 $p2"), (2L, s"$p1 $p3"),
+      (9L, "omega brace doc failing here {"))
+    val b2 = Seq((3L, s"$p2 $p3"), (4L, s"$p4 $p1"),
+      (8L, "lorem ipsum filler words here rejected"))
+    def gated(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextOps.filterPipeline(df, "doc_id", "text",
+          wantedLangs = Seq("unknown"), minTokens = 2,
+          gopherMinWords = 2, gopherMinStopHits = 0, c4MinSentences = 1,
+          passthrough = Seq("text"))
+        .where(col("accept"))
+        .select(col("id").as("doc_id"), col("text"))
+    val ckpt = tmpDir("ingf_ckpt")
+    def stream() = spark.readStream
+      .schema("doc_id LONG, text STRING").json(s"$srcDir/*")
+    b1.toDF("doc_id", "text").write.mode("overwrite").json(s"$srcDir/b1")
+    Fastlane.ingestPassageDeduped(gated(stream()),
+      "doc_id", "text", store, "corpus", corpusDir, ckpt, tokensPerPassage = w)
+      .awaitTermination(60000)
+    b2.toDF("doc_id", "text").write.mode("overwrite").json(s"$srcDir/b2")
+    Fastlane.ingestPassageDeduped(gated(stream()),
+      "doc_id", "text", store, "corpus", corpusDir, ckpt, tokensPerPassage = w)
+      .awaitTermination(60000)
+    val streamed = spark.read.parquet(corpusDir)
+      .select("id", "clean_text", "n_kept", "n_total")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val batchOp = graft.ops.Dedup.paragraphDedup(
+        gated((b1 ++ b2).toDF("doc_id", "text")), "doc_id", "text", w)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(streamed == batchOp, s"stream $streamed != batch $batchOp")
+    // the filter-rejected docs never entered the corpus or the digest index
+    assert(!streamed.exists(r => r._1 == 8L || r._1 == 9L),
+      "filter-rejected docs leaked into the deduped corpus")
+    val nDigests = store.read("corpus_passages", Seq("digest"))
+      .select("digest").distinct().count()
+    assert(nDigests == 4L, s"expected 4 admitted passage digests, got $nDigests")
+  }
+
   test("ingestVectorsIndexed: streaming semantic-dedup gate over the persistent ANN index") {
     // unit vectors in a 64-dim space: v(deg) rotates in the (0,1) plane;
     // axis(k) is orthogonal to everything else. threshold 0.9 ~ 25.8 deg.
