@@ -1167,6 +1167,36 @@ object SparkEntry {
     root
   }
 
+  /** Build-once VERSIONED (bucket_start, token, n) profile store for
+    * q294 — the retrospective novelty-timeline fixture: v1 holds the
+    * first two weeks' bucketed token counts, v2 merge-ADDs the rest
+    * (the additive maintenance write), so reading v_head vs v_last
+    * replays "what the timeline store looked like then vs now". */
+  private def bucketTokenProfileStoreFixture(s: SparkSession, dir: String): String = {
+    val root = storeFixtureRoot(s, dir, "btprofstore", "documents")
+    val store = new core.BucketedStore(root, numBuckets = 16)(s)
+    if (store.latestVersion("btprof").isEmpty) {
+      def prof(d: DataFrame): DataFrame = {
+        val toks = d
+          .withColumn("ts", timestamp_micros(col("doc_id") * lit(3600000000L)))
+          .select(col("ts"), explode(split(col("text"), " ")).as("token"))
+          .where(col("token") =!= "")
+        ops.Events.bucketCategoryProfile(toks, "token", "ts", 604800L)
+      }
+      val docs = T(s, dir, "documents")
+      val keys = Seq("bucket_start", "token")
+      store.write(prof(docs.filter(col("doc_id") < 336)), "btprof", keys)
+      val b = prof(docs.filter(col("doc_id") >= 336))
+      val merged = store.read("btprof", keys)
+        .select(col("bucket_start"), col("token"), col("n").as("__n0"))
+        .join(b, keys, "full_outer")
+        .select(col("bucket_start"), col("token"),
+          (coalesce(col("__n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"))
+      store.merge("btprof", merged, keys)
+    }
+    root
+  }
+
   /** Build-once monitor-run HISTORY store for q275/q276 — the
     * drift-of-drift fixture: TWO monitors' runs persisted
     * run-by-run through [[graft.ops.Events.recordMonitorRun]] (the
@@ -5836,6 +5866,45 @@ object SparkEntry {
                     // sum(b.n_b) END AS BIGINT) AS novelty_micro
         FROM b LEFT JOIN ref ON ref.g = b.g AND ref.tok = b.tok
         GROUP BY 1, 2 ORDER BY source, bucket_start""")),
+
+    // -- q294: RETROSPECTIVE novelty timeline between store versions —
+    //    "which weeks carry vocabulary that did not exist at version N":
+    //    the SAME stored (bucket, token, n) feature serves as its own
+    //    earlier-version reference (the op collapses v1 over buckets),
+    //    zero corpus scans — the q261 time-travel pattern on the q289
+    //    timeline statistic -----------------------------------------------
+    Q("q294_novelty_timeline_between_store_versions",
+      (s, dir) => {
+        val root = bucketTokenProfileStoreFixture(s, dir)
+        val store = new core.BucketedStore(root, numBuckets = 16)(s)
+        val keys = Seq("bucket_start", "token")
+        val vs = store.versions("btprof")
+        ops.TextOps.vocabularyNoveltyTimeline(
+          store.read("btprof", keys, Some(vs.last)),
+          store.read("btprof", keys, Some(vs.head)))
+          .orderBy("bucket_start")
+      },
+      Some("""
+        WITH tv AS (SELECT ((doc_id * 3600) // 604800) * 604800 AS bucket_start,
+                      unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+        b AS MATERIALIZED (SELECT bucket_start, tok,
+               CAST(count(*) AS BIGINT) AS n_b
+             FROM tv WHERE tok <> '' GROUP BY 1, 2),
+        ref AS MATERIALIZED (SELECT tok, count(*) AS n_a
+              FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                    FROM documents WHERE doc_id < 336)
+              WHERE tok <> '' GROUP BY 1)
+        SELECT b.bucket_start,
+          CAST(sum(CASE WHEN ref.n_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS new_types,
+          CAST(sum(CASE WHEN ref.n_a IS NULL THEN b.n_b ELSE 0 END) AS BIGINT) AS new_mass,
+          CAST(count(*) AS BIGINT) AS types_b,
+          CAST(sum(b.n_b) AS BIGINT) AS mass_b,
+          CAST(CASE WHEN sum(b.n_b) = 0 THEN 0
+               ELSE (1000000 * sum(CASE WHEN ref.n_a IS NULL THEN b.n_b ELSE 0 END))
+                    // sum(b.n_b) END AS BIGINT) AS novelty_micro
+        FROM b LEFT JOIN ref ON ref.tok = b.tok
+        GROUP BY 1 ORDER BY bucket_start""")),
 
     // -- q292: the END-TO-END COMPOSED pipeline — the real user's chain as
     //    ONE oracle-checked run: quality filter (lang/quality/Gopher/C4)
