@@ -33,11 +33,24 @@ object Profile {
 
     if (jobsMode) {
       val descs = scala.collection.mutable.ArrayBuffer.empty[String]
+      // job id → (start ms, description); end time filled on JobEnd so the
+      // printout carries each job's WALL time — job counts alone can't
+      // separate "many cheap broadcast builds" from "few expensive actions"
+      val starts = scala.collection.mutable.Map.empty[Int, (Long, String)]
+      val durs = scala.collection.mutable.Map.empty[Int, Long]
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           descs.synchronized {
-            descs += Option(js.properties.getProperty("spark.job.description"))
-              .getOrElse(js.stageInfos.headOption.map(_.name).getOrElse("?")).take(90)
+            val d = (Option(js.properties.getProperty("spark.job.description")).toSeq ++
+              js.stageInfos.map(si => si.name.take(60) + s"[${si.numTasks}t]")).mkString(" | ").take(240)
+            descs += d
+            starts(js.jobId) = (js.time, d)
+            ()
+          }
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          descs.synchronized {
+            starts.get(je.jobId).foreach { case (t0, _) => durs(je.jobId) = je.time - t0 }
             ()
           }
         }
@@ -49,14 +62,16 @@ object Profile {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         graft.core.TrackedCache.release()
         spark.catalog.clearCache()
-        Thread.sleep(300); descs.synchronized(descs.clear())
+        Thread.sleep(300); descs.synchronized { descs.clear(); starts.clear(); durs.clear() }
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val wallMs = (System.nanoTime() - t0) / 1e6
         Thread.sleep(300)
         descs.synchronized {
-          println(f"[jobs] $name%-34s JOBS=${descs.size}%3d wall=$wallMs%8.1fms")
-          descs.zipWithIndex.foreach { case (d, i) => println(f"  job$i%02d $d") }
+          println(f"[jobs] $name%-34s JOBS=${descs.size}%3d wall=$wallMs%8.1fms jobms=${durs.values.sum}")
+          starts.toSeq.sortBy(_._1).foreach { case (id, (_, d)) =>
+            println(f"  job$id%02d ${durs.getOrElse(id, -1L)}%6dms $d")
+          }
         }
         graft.core.TrackedCache.release()
         spark.catalog.clearCache()

@@ -695,9 +695,14 @@ object Dedup {
     // pipeline) is analyzed/optimized ONCE here instead of on every round's
     // action — without it each iteration re-plans the full upstream tree
     // (twice, via the union branches) and driver planning dominates the loop.
-    val edges = pairs.select(col(idLCol).as("src"), col(idRCol).as("dst"))
-      .union(pairs.select(col(idRCol).as("src"), col(idLCol).as("dst")))
+    // Checkpoint the DIRECTED pairs, not the union: a checkpointed union
+    // materializes the pair pipeline once per branch (both union legs run
+    // the upstream map stages — measured as two equal back-to-back jobs in
+    // q292's schedule), while the flip into the second direction is a
+    // narrow projection over the already-materialized partitions.
+    val p = pairs.select(col(idLCol).as("src"), col(idRCol).as("dst"))
       .localCheckpoint()
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
     // round 0 folded into initialization: label = min(self, direct neighbors)
     var labels = edges.select(col("src").as("id"), col("dst").as("rep"))
       .union(edges.select(col("src").as("id"), col("src").as("rep")))
