@@ -28,7 +28,8 @@ object Bench {
       // 10-100x more) on 1-2 cores. 512 KB keeps every core fed on
       // single-file fixtures without fragmenting many-file scans, whose
       // split packing still respects total bytes.
-      .config("spark.sql.files.openCostInBytes", (512 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", (512 * 1024).toString))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
