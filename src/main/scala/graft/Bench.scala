@@ -21,6 +21,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Respect the advisory partition size when coalescing instead of
+      // stopping at defaultParallelism: the default (parallelismFirst=true)
+      // keeps `cpus` near-empty reduce partitions for kilobyte-sized
+      // bounded exchanges, so every post-shuffle stage dispatches `cpus`
+      // tasks that carry no data. Spark's own config guide recommends
+      // false in production; the advisory size (not the core count) is
+      // what governs at real scale, which keeps this setting
+      // scale-correct rather than a local-mode hack. Env-tunable for A/B.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "8m"))
       // scan-split floor: FileSourcePartitions sizes splits at
       // min(maxPartitionBytes, max(openCostInBytes, bytes/defaultParallelism));
       // the 4 MB default floor leaves a single-file compressed-text table
