@@ -32,7 +32,7 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "8m"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "1m"))
       // scan-split floor: FileSourcePartitions sizes splits at
       // min(maxPartitionBytes, max(openCostInBytes, bytes/defaultParallelism));
       // the 4 MB default floor leaves a single-file compressed-text table
