@@ -2074,11 +2074,27 @@ object TextOps {
   def tokenDrift(dfA: DataFrame, dfB: DataFrame, textCol: String,
       topM: Int): DataFrame = {
     require(topM >= 1, s"topM must be >= 1, got $topM")
-    def counts(df: DataFrame, out: String) = df
-      .select(explode(split(col(textCol), " ")).as("token"))
+    tokenDriftFromJoined(tokenCountsBoth(dfA, dfB, textCol, Nil), topM)
+  }
+
+  /** (token, n_a, n_b) per optional group — BOTH snapshots' occurrence
+    * counts from ONE tagged-union aggregation (the [[graft.ops.Stats]]
+    * ksDrift discipline): each side enters with a (1,0)/(0,1) indicator
+    * pair and one vocab-keyed exchange sums both, replacing the previous
+    * two per-side aggregations + full-outer join (3 exchanges → 1;
+    * row-identical by construction — a token present in either side
+    * appears once with both counts, absent side 0). */
+  private def tokenCountsBoth(dfA: DataFrame, dfB: DataFrame,
+      textCol: String, groupCols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, ca: Long, cb: Long) = df
+      .select(groupCols.map(col) :+
+        explode(split(col(textCol), " ")).as("token"): _*)
       .where(col("token") =!= "")
-      .groupBy("token").agg(count(lit(1)).as(out))
-    tokenDriftFromCounts(counts(dfA, "n_a"), counts(dfB, "n_b"), topM)
+      .select(groupCols.map(col) :+ col("token") :+
+        lit(ca).as("__ca") :+ lit(cb).as("__cb"): _*)
+    side(dfA, 1L, 0L).unionByName(side(dfB, 0L, 1L))
+      .groupBy((groupCols :+ "token").map(col): _*)
+      .agg(sum("__ca").as("n_a"), sum("__cb").as("n_b"))
   }
 
   /** The monitoring family's token-side ADDITIVE sufficient statistic:
@@ -2116,17 +2132,24 @@ object TextOps {
     * — one code path so the direct and profile-served routes cannot
     * drift. Inputs: per-token counts (token, n_a) / (token, n_b). */
   private def tokenDriftFromCounts(ca: DataFrame, cb: DataFrame,
+      topM: Int): DataFrame =
+    tokenDriftFromJoined(ca.join(cb, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b")), topM)
+
+  /** The tail of [[tokenDriftFromCounts]] over an already-joined
+    * (token, n_a, n_b) frame — the direct route feeds it from the
+    * one-pass [[tokenCountsBoth]], the profile-served route from the
+    * full-outer join of two stored profiles. */
+  private def tokenDriftFromJoined(joined0: DataFrame,
       topM: Int): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     // persisted (vocab-bounded): the totals branch and the scoring branch
     // both read it — without the cache each branch re-scans BOTH corpora
     // (measured 4 parquet scans where 2 suffice); the broadcast build of
     // `totals` materializes it before the scoring stages read it
-    val joined = ca.join(cb, Seq("token"), "full_outer")
-      .select(col("token"),
-        coalesce(col("n_a"), lit(0L)).as("n_a"),
-        coalesce(col("n_b"), lit(0L)).as("n_b"))
-      .persistTracked()
+    val joined = joined0.persistTracked()
     val totals = joined.agg(sum("n_a").as("t_a"), sum("n_b").as("t_b"))
     val diff = dec(col("n_a")) * dec(col("t_b")) - dec(col("n_b")) * dec(col("t_a"))
     // an EMPTY snapshot (t_a or t_b = 0 — e.g. the first crawl of a
@@ -2175,23 +2198,20 @@ object TextOps {
     * exchange carries only the drifted tokens' occurrences — and the
     * per-token rank rides a WindowGroupLimit-prefiltered exchange. Four
     * corpus scans total (two count, two occurrence), none shuffling at
-    * corpus width; fusing the pairs would swap the vocab-bounded count
-    * exchanges for (doc, token)-keyed ones, a strictly worse trade. */
+    * corpus width; the count pair rides ONE tagged-union aggregation and
+    * the occurrence pair ONE tagged-union pass against a single top-M
+    * broadcast (the per-side direction filter is a predicate on the
+    * tag), halving the exchange/broadcast count at identical output.
+    * Fusing count with occurrence passes would swap the vocab-bounded
+    * count exchanges for (doc, token)-keyed ones — still a worse trade,
+    * still not taken. */
   def tokenDriftAttribution(dfA: DataFrame, dfB: DataFrame, idCol: String,
       textCol: String, topM: Int, topK: Int): DataFrame = {
     require(topM >= 1, s"topM must be >= 1, got $topM")
     require(topK >= 1, s"topK must be >= 1, got $topK")
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    def counts(df: DataFrame, out: String) = df
-      .select(explode(split(col(textCol), " ")).as("token"))
-      .where(col("token") =!= "")
-      .groupBy("token").agg(count(lit(1)).as(out))
     // persisted (vocab-bounded): totals and scoring both read it
-    val joined = counts(dfA, "n_a").join(counts(dfB, "n_b"), Seq("token"), "full_outer")
-      .select(col("token"),
-        coalesce(col("n_a"), lit(0L)).as("n_a"),
-        coalesce(col("n_b"), lit(0L)).as("n_b"))
-      .persistTracked()
+    val joined = tokenCountsBoth(dfA, dfB, textCol, Nil).persistTracked()
     val totals = joined.agg(sum("n_a").as("t_a"), sum("n_b").as("t_b"))
     val diff = dec(col("n_a")) * dec(col("t_b")) - dec(col("n_b")) * dec(col("t_a"))
     val contrib = when(col("t_a") === 0 || col("t_b") === 0, lit(0L))
@@ -2209,15 +2229,21 @@ object TextOps {
           .orderBy(col("chi2_micro").desc, col("token").asc)))
       .where(col("direction") =!= 0)
       .persistTracked()
-    def side(df: DataFrame, d: Int) = df
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("token"))
+    // ONE occurrence pass over the tagged union: each side's rows join
+    // the single top-M broadcast and the per-side direction filter is the
+    // tag predicate — row-identical to the former per-side pair of
+    // broadcast joins (direction ∈ {+1, −1} partitions the top rows)
+    def tagged(df: DataFrame, d: Int) = df
+      .select(lit(d).as("__d"), col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("token"))
       .where(col("token") =!= "")
-      .join(broadcast(top.where(col("direction") === d)), Seq("token"))
-      .groupBy("token", "chi2_micro", "direction", "rank", "doc_id")
-      .agg(count(lit(1)).as("n_occ"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("token")
       .orderBy(col("n_occ").desc, col("doc_id").asc)
-    side(dfA, 1).unionByName(side(dfB, -1))
+    tagged(dfA, 1).unionByName(tagged(dfB, -1))
+      .join(broadcast(top), Seq("token"))
+      .where(col("direction") === col("__d"))
+      .groupBy("token", "chi2_micro", "direction", "rank", "doc_id")
+      .agg(count(lit(1)).as("n_occ"))
       .select(col("token"), col("chi2_micro"), col("direction"), col("rank"),
         col("doc_id"), col("n_occ"))
       .withColumn("contrib_rank", row_number().over(w))
@@ -2252,12 +2278,9 @@ object TextOps {
       groupCol: String, topM: Int,
       maxBroadcastGroups: Long = 1L << 22): DataFrame = {
     require(topM >= 1, s"topM must be >= 1, got $topM")
-    def counts(df: DataFrame, out: String) = df
-      .select(col(groupCol), explode(split(col(textCol), " ")).as("token"))
-      .where(col("token") =!= "")
-      .groupBy(groupCol, "token").agg(count(lit(1)).as(out))
-    tokenDriftByGroupFromCounts(counts(dfA, "n_a"), counts(dfB, "n_b"),
-      groupCol, topM, maxBroadcastGroups)
+    tokenDriftByGroupScoredJoined(
+      tokenCountsBoth(dfA, dfB, textCol, Seq(groupCol)),
+      groupCol, topM, maxBroadcastGroups).drop("direction")
   }
 
   /** SEGMENTED [[tokenProfile]] — the additive sufficient statistic per
@@ -2311,17 +2334,26 @@ object TextOps {
     * public readers drop the column so their oracle-checked schemas stay
     * fixed. */
   private def tokenDriftByGroupScored(ca: DataFrame, cb: DataFrame,
+      groupCol: String, topM: Int, maxBroadcastGroups: Long): DataFrame =
+    tokenDriftByGroupScoredJoined(
+      ca.join(cb, Seq(groupCol, "token"), "full_outer")
+        .select(col(groupCol), col("token"),
+          coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b")),
+      groupCol, topM, maxBroadcastGroups)
+
+  /** The tail of [[tokenDriftByGroupScored]] over an already-joined
+    * (group, token, n_a, n_b) frame — the direct route feeds it from the
+    * one-pass [[tokenCountsBoth]], the profile-served route from the
+    * full-outer join of two stored profiles. */
+  private def tokenDriftByGroupScoredJoined(joined0: DataFrame,
       groupCol: String, topM: Int, maxBroadcastGroups: Long): DataFrame = {
     require(maxBroadcastGroups >= 1,
       s"maxBroadcastGroups must be >= 1, got $maxBroadcastGroups")
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     // persisted (vocab-bounded): the totals aggregation and the scoring
     // join both read it — uncached each branch re-counts BOTH corpora
-    val joined = ca.join(cb, Seq(groupCol, "token"), "full_outer")
-      .select(col(groupCol), col("token"),
-        coalesce(col("n_a"), lit(0L)).as("n_a"),
-        coalesce(col("n_b"), lit(0L)).as("n_b"))
-      .persistTracked()
+    val joined = joined0.persistTracked()
     // persisted (one row per group): the guard's count and the broadcast
     // rows both read it inside the one build
     val totals0 = joined.groupBy(groupCol)
@@ -2512,29 +2544,28 @@ object TextOps {
       idCol: String, textCol: String, groupCol: String, topM: Int,
       topK: Int, maxBroadcastGroups: Long = 1L << 22): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    def counts(df: DataFrame, out: String) = df
-      .select(col(groupCol), explode(split(col(textCol), " ")).as("token"))
-      .where(col("token") =!= "")
-      .groupBy(groupCol, "token").agg(count(lit(1)).as(out))
-    // persisted (≤ groups·topM rows): BOTH occurrence passes broadcast it
-    val top = tokenDriftByGroupScored(counts(dfA, "n_a"), counts(dfB, "n_b"),
+    // persisted (≤ groups·topM rows): the one tagged occurrence pass
+    // broadcasts it (count pair and occurrence pair each ride ONE
+    // tagged-union pass — see tokenDriftAttribution)
+    val top = tokenDriftByGroupScoredJoined(
+        tokenCountsBoth(dfA, dfB, textCol, Seq(groupCol)),
         groupCol, topM, maxBroadcastGroups)
       .where(col("direction") =!= 0)
       .select(col(groupCol), col("token"), col("chi2_micro"),
         col("direction"), col("rank"))
       .persistTracked()
-    def side(df: DataFrame, d: Int) = df
-      .select(col(groupCol), col(idCol).as("doc_id"),
+    def tagged(df: DataFrame, d: Int) = df
+      .select(lit(d).as("__d"), col(groupCol), col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("token"))
       .where(col("token") =!= "")
-      .join(broadcast(top.where(col("direction") === d)),
-        Seq(groupCol, "token"))
-      .groupBy(groupCol, "token", "chi2_micro", "direction", "rank", "doc_id")
-      .agg(count(lit(1)).as("n_occ"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol), col("token"))
       .orderBy(col("n_occ").desc, col("doc_id").asc)
-    side(dfA, 1).unionByName(side(dfB, -1))
+    tagged(dfA, 1).unionByName(tagged(dfB, -1))
+      .join(broadcast(top), Seq(groupCol, "token"))
+      .where(col("direction") === col("__d"))
+      .groupBy(groupCol, "token", "chi2_micro", "direction", "rank", "doc_id")
+      .agg(count(lit(1)).as("n_occ"))
       .select(col(groupCol), col("token"), col("chi2_micro"),
         col("direction"), col("rank"), col("doc_id"), col("n_occ"))
       .withColumn("contrib_rank", row_number().over(w))
