@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// the bench-contract JSON; sbt's "[success] Total time: ..." trailer has
+// displaced it every round (BENCH_r01..r19 all "parsed": null). Suppress it
+// so graft.Bench's final contract line is genuinely last.
+Global / showSuccess := false
+Global / showTiming := false
+// Forked run output is LoggedOutput by default, which prefixes every program
+// stdout line with "[info] " — the driver's JSON parse must see the bench
+// contract line verbatim, so route the forked JVM's stdio straight through.
+run / connectInput := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

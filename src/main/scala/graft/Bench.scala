@@ -10,11 +10,43 @@ import org.apache.spark.sql.SparkSession
   * under-reports). A generic warmup (small parquet read + shuffle) runs
   * first so JVM/classloader startup isn't billed to the first query.
   */
+/** Shared scale-adaptive config derivations (Bench + Profile). */
+object BenchConf {
+  /** AQE advisory partition size derived from the INPUT SCALE (guide §2.2):
+    * clamp(inputBytes / cores, 1m, 256m).
+    *
+    *  - A full-input-sized exchange coalesces to ~`cores` partitions, so
+    *    per-partition bytes stay constant as data and cluster scale
+    *    together (the §2.2 invariant); smaller (bounded/vocab-sized)
+    *    exchanges coalesce further, which is exactly what kills the
+    *    near-empty-reduce-task tax.
+    *  - Floor 1m = Spark's own `coalescePartitions.minPartitionSize`
+    *    default (below it, coalescing cannot subdivide anyway). On the
+    *    ~17 MB sf0.1 fixture at 32 cores the derivation hits this floor,
+    *    i.e. resolves to the same value the r19 bench used as a constant —
+    *    numbers stay comparable — but nothing fixture-sized lives in code.
+    *  - Cap 256m = the guide §9 production advisory; with no readable
+    *    input the derivation falls back to a production-plausible 64m.
+    */
+  def advisoryFor(sfDir: String, cpus: Int): Long = {
+    val inputBytes: Long =
+      try {
+        val p = new org.apache.hadoop.fs.Path(sfDir)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    if (inputBytes <= 0L) 64L << 20
+    else math.max(1L << 20,
+      math.min(256L << 20, inputBytes / math.max(1, cpus)))
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val advisoryBytes = BenchConf.advisoryFor(sfDir, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,13 +58,16 @@ object Bench {
       // keeps `cpus` near-empty reduce partitions for kilobyte-sized
       // bounded exchanges, so every post-shuffle stage dispatches `cpus`
       // tasks that carry no data. Spark's own config guide recommends
-      // false in production; the advisory size (not the core count) is
-      // what governs at real scale, which keeps this setting
-      // scale-correct rather than a local-mode hack. Env-tunable for A/B.
+      // false in production. The advisory SIZE is derived from the input
+      // scale (see [[BenchConf.advisoryFor]]) instead of a constant — the
+      // r19 default of 1m was a fixture-sized tune living in code (r19
+      // verdict item 2/6); the derivation resolves to the same 1m on the
+      // sf0.1 fixture (so bench numbers stay comparable) and to the §9
+      // production sizes on production inputs. Env-tunable for A/B.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "1m"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", advisoryBytes.toString))
       // scan-split floor: FileSourcePartitions sizes splits at
       // min(maxPartitionBytes, max(openCostInBytes, bytes/defaultParallelism));
       // the 4 MB default floor leaves a single-file compressed-text table
@@ -325,21 +360,18 @@ object Bench {
     val nProcs =
       try new java.io.File("/proc").listFiles.count(_.getName.forall(_.isDigit))
       catch { case scala.util.control.NonFatal(_) => -1 }
-    // Bulky diagnostics (per-query loadavgs) go FIRST in the line and the
-    // adjudication payload (per-query times, total) LAST: the driver's
-    // record keeps only a ~2000-char stdout TAIL, and the r10 ordering —
-    // "queries" before "query_loads" — let the loads displace every time.
-    val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","loadavg":"$loadavg","loadavg_at_start":${fmt(loadavgAtStart)},"idle_gate_met":$idleGateMet,"n_processes":$nProcs,"runs_per_query":$runs,"floor_job_noop":${fmt(floorNoop)},"floor_job_scan":${fmt(floorScan)},"floor_job_shuffle":${fmt(floorShuffle)},"spread_retries":$nRetries,"prior_median_retries":$nPriorRetries,"load_retries":$nLoadRetries,"drift_retries":$nDriftRetries,"query_loads":$loads,"query_jobs":$jobsJson,"queries":$qs,"value":${fmt(total)}}"""
+    // ALL diagnostics print BEFORE the final line (r19 verdict item 1: the
+    // driver's parse failed in every round because the contract line was
+    // followed by more output — slowest-20 summary, then sbt's own
+    // "[success] Total time" trailer, which build.sbt now suppresses via
+    // showSuccess/showTiming := false).
+    val full = s"""{"metric":"total_diagnostics","unit":"sec","sf":"$sfDir","loadavg":"$loadavg","loadavg_at_start":${fmt(loadavgAtStart)},"idle_gate_met":$idleGateMet,"n_processes":$nProcs,"runs_per_query":$runs,"floor_job_noop":${fmt(floorNoop)},"floor_job_scan":${fmt(floorScan)},"floor_job_shuffle":${fmt(floorShuffle)},"spread_retries":$nRetries,"prior_median_retries":$nPriorRetries,"load_retries":$nLoadRetries,"drift_retries":$nDriftRetries,"query_loads":$loads,"query_jobs":$jobsJson,"queries":$qs,"value":${fmt(total)}}"""
     println(full)
     // the full JSON also goes to a FILE — immune to any log-capture truncation
     try {
       val w = new java.io.PrintWriter("BENCH_LOCAL.json")
       try w.println(full) finally w.close()
     } catch { case scala.util.control.NonFatal(_) => () }
-    // Final line: the driver-schema JSON (metric/value/unit/queries/sf),
-    // compact enough to survive the tail whole — per-query times restricted
-    // to the slowest 20 (the only ones any perf adjudication reads; the
-    // complete set is in BENCH_LOCAL.json and the full line above).
     val slow20 = driftDefended.sortBy(-_._2).take(20)
       .map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -366,7 +398,15 @@ object Bench {
       .sortBy(-_._4).take(12)
       .map { case (k, p, v, _) => "\"" + k + "\":[" + fmt(p) + "," + fmt(v) + "]" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_sec","value":${fmt(total)},"unit":"sec","n_queries":${driftDefended.size},"drift_1p5x":$drift,"slowest":$slow20,"slowest_jobs":$slow20Jobs,"floor_job_shuffle":${fmt(floorShuffle)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_summary","value":${fmt(total)},"unit":"sec","n_queries":${driftDefended.size},"drift_1p5x":$drift,"slowest":$slow20,"slowest_jobs":$slow20Jobs,"floor_job_shuffle":${fmt(floorShuffle)},"sf":"$sfDir"}""")
+    // stop Spark BEFORE the contract line: anything the JVM/Spark shutdown
+    // path might still print must not land after it
     spark.stop()
+    System.err.flush()
+    // FINAL LINE = THE DRIVER CONTRACT (header comment, lines 5-6), exactly
+    // {"metric","value","unit","queries","sf"} with the COMPLETE per-query
+    // map, and NOTHING printed after it.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
