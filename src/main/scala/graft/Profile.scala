@@ -28,7 +28,8 @@ object Profile {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "1m"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY",
+          BenchConf.advisoryFor(sfDir, cpus.toInt).toString))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
