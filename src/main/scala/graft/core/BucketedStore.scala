@@ -167,20 +167,36 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64,
   /** manifest = bucket id -> relative file dirs. One dir per bucket after a
     * full write/merge; [[appendBucketed]] adds dirs (";"-joined in the JSON
     * — the separator can't occur in the `files_vN/__b=K` paths the store
-    * generates) and [[compactBuckets]] folds them back to one. */
-  private def readManifest(feature: String, v: Long): Map[Int, Seq[String]] = {
-    val in = fs.open(new Path(logDir(feature), s"$v.json"))
-    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    // minimal parser for {"<bucket>": "<path>[;<path>...]", ...}
-    "\"([0-9]+)\"\\s*:\\s*\"([^\"]+)\"".r.findAllMatchIn(json)
-      .map(m => m.group(1).toInt -> m.group(2).split(';').toSeq).toMap
-  }
+    * generates) and [[compactBuckets]] folds them back to one.
+    *
+    * Cached per (root, feature, version) in the JVM-wide
+    * [[BucketedStore.manifestCache]] — sound because a version's manifest
+    * is IMMUTABLE once committed (see the invalidation contract on the
+    * companion object). */
+  private def readManifest(feature: String, v: Long): Map[Int, Seq[String]] =
+    BucketedStore.manifestCache.getOrElseUpdate((root, feature, v), {
+      val in = fs.open(new Path(logDir(feature), s"$v.json"))
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      // minimal parser for {"<bucket>": "<path>[;<path>...]", ...}
+      "\"([0-9]+)\"\\s*:\\s*\"([^\"]+)\"".r.findAllMatchIn(json)
+        .map(m => m.group(1).toInt -> m.group(2).split(';').toSeq).toMap
+    })
 
   private def writeManifest(feature: String, v: Long, manifest: Map[Int, Seq[String]]): Unit = {
     val json = manifest.toSeq.sortBy(_._1)
       .map { case (b, ps) => s""""$b": "${ps.mkString(";")}"""" }.mkString("{", ", ", "}")
     val out = fs.create(new Path(logDir(feature), s"$v.json"), true)
     out.write(json.getBytes(StandardCharsets.UTF_8)); out.close()
+    // committing v through THIS JVM refreshes every cache entry the new
+    // version touches — covers the root-recreated-in-place edge (a fresh
+    // store at a previously-used root restarts at v=0 and overwrites any
+    // stale entries as it commits)
+    BucketedStore.manifestCache.put((root, feature, v), manifest)
+    BucketedStore.statsCache.remove((root, feature, v))
+    BucketedStore.mergedSchemaCache.keySet
+      .filter(k => k._1 == root && k._2 == feature && k._3 == v)
+      .foreach(BucketedStore.mergedSchemaCache.remove)
+    ()
   }
 
   // ---- per-bucket column stats (file-skipping, Delta/Z-order-style) --------
@@ -191,21 +207,22 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64,
     * may still skip them — see there). */
   private def statsFile(feature: String, v: Long) = new Path(logDir(feature), s"$v.stats.tsv")
 
-  private def readStats(feature: String, v: Long): Map[Int, Map[String, (Double, Double)]] = {
-    val p = statsFile(feature, v)
-    if (!fs.exists(p)) Map.empty
-    else {
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      txt.linesIterator.filter(_.nonEmpty).toSeq
-        .map { line =>
-          val Array(b, c, mn, mx) = line.split('\t')
-          (b.toInt, c, (mn.toDouble, mx.toDouble))
-        }
-        .groupBy(_._1)
-        .map { case (b, rows) => b -> rows.map(r => r._2 -> r._3).toMap }
-    }
-  }
+  private def readStats(feature: String, v: Long): Map[Int, Map[String, (Double, Double)]] =
+    BucketedStore.statsCache.getOrElseUpdate((root, feature, v), {
+      val p = statsFile(feature, v)
+      if (!fs.exists(p)) Map.empty
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        txt.linesIterator.filter(_.nonEmpty).toSeq
+          .map { line =>
+            val Array(b, c, mn, mx) = line.split('\t')
+            (b.toInt, c, (mn.toDouble, mx.toDouble))
+          }
+          .groupBy(_._1)
+          .map { case (b, rows) => b -> rows.map(r => r._2 -> r._3).toMap }
+      }
+    })
 
   private def writeStats(feature: String, v: Long,
                          stats: Map[Int, Map[String, (Double, Double)]]): Unit = {
@@ -215,6 +232,8 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64,
     }.mkString("\n")
     val out = fs.create(statsFile(feature, v), true)
     out.write(txt.getBytes(StandardCharsets.UTF_8)); out.close()
+    BucketedStore.statsCache.put((root, feature, v), stats)
+    ()
   }
 
   /** One narrow agg pass over the already-bucketed frame: per-bucket min/max
@@ -568,13 +587,30 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64,
     * otherwise infers from one arbitrary footer, silently dropping the new
     * columns — and a compaction after that would make the loss permanent).
     * Empty path lists fail LOUDLY: an empty write leaves no footer to
-    * recover a schema from, so there is no correct silent answer. */
+    * recover a schema from, so there is no correct silent answer.
+    *
+    * The MERGED SCHEMA is cached per (root, feature, version, file set):
+    * mergeSchema inference runs a distributed footer-read job per call, so
+    * an indexed query that re-reads the same committed version paid 1-2
+    * Spark jobs per read for a schema that cannot change (a version's file
+    * set is immutable once manifested — see the companion's invalidation
+    * contract). First read infers + caches; repeat reads pass the schema
+    * explicitly and skip the job. Keyed by the exact rel list because a
+    * SUBSET read (scanPruned/readTouched) of a schema-evolved version may
+    * legitimately merge to a narrower schema than the full set. */
   private def readPaths(feature: String, v: Long, rels: Seq[String]): DataFrame = {
     if (rels.isEmpty)
       throw new IllegalStateException(
         s"feature $feature v$v references no data files (empty write?)")
-    spark.read.option("mergeSchema", "true")
-      .parquet(rels.map(p => s"$root/$feature/$p"): _*)
+    val paths = rels.map(p => s"$root/$feature/$p")
+    val key = (root, feature, v, rels.sorted.mkString(";"))
+    BucketedStore.mergedSchemaCache.get(key) match {
+      case Some(schema) => spark.read.schema(schema).parquet(paths: _*)
+      case None =>
+        val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        BucketedStore.mergedSchemaCache.put(key, df.schema)
+        df
+    }
   }
 
   /** Read a version (default latest) by loading exactly the files its
@@ -1068,6 +1104,32 @@ final class BucketedStore(val root: String, val numBuckets: Int = 64,
 }
 
 object BucketedStore {
+  // ---- session metadata cache ----------------------------------------------
+  // JVM-wide caches for IMMUTABLE version-keyed artifacts (the Delta/Iceberg
+  // snapshot-cache analogue). INVALIDATION CONTRACT:
+  //  * A version's manifest, stats sidecar and file set never change after
+  //    the manifest commit (manifest-last protocol; merge/append/compact
+  //    always create a NEW version) — so (root, feature, version)-keyed
+  //    entries can never go stale under the store's own API.
+  //  * Concurrent writers only ADD versions. Version RESOLUTION
+  //    (versions()/latestVersion/vacuumHorizon) is deliberately NOT cached:
+  //    every read re-lists the log dir, so a version committed by another
+  //    writer (or a horizon moved by a concurrent vacuum) is visible
+  //    immediately.
+  //  * vacuum() deletes data files but never rewrites manifests; a read of
+  //    a reclaimed version fails loudly at scan time with or without the
+  //    cache (and resolveVersion's horizon check reads the live marker).
+  //  * Out of contract: an external process deleting a store root and
+  //    recreating different content at the same path while this JVM holds
+  //    entries for it. Recreation through THIS JVM's API is covered —
+  //    writeManifest refreshes/invalidates the keys it commits.
+  private[core] val manifestCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long), Map[Int, Seq[String]]]
+  private[core] val statsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long), Map[Int, Map[String, (Double, Double)]]]
+  private[core] val mergedSchemaCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long, String), org.apache.spark.sql.types.StructType]
+
   // Checkpoint row layout (the open Delta checkpoint schema, minimal
   // columns): one action per row, the others null. Top-level case classes so
   // Spark's product encoder derives the nullable-struct schema.
