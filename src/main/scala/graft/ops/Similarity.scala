@@ -563,12 +563,40 @@ object Similarity {
       s"dim must be in [1, 4096], got $dim — the final rank is a " +
         "partition-less window over one dim-sized frame (one task); a " +
         "corpus-scale dim would funnel it through a single task")
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
-    def sums(df: DataFrame, n: String, s: String) = df
+    // ONE tagged-union dim-keyed aggregation for both sides (the
+    // tokenCountsBoth/ksDrift discipline): replaces two per-side
+    // aggregations + a dim-keyed full-outer join. Row-identical: n was
+    // count(*) (rows incl. padded-null components) = sum of a 1-indicator;
+    // s was sum(q) null-skipping = sum of coalesce(q, 0).
+    def side(df: DataFrame, isA: Boolean) = df
       .select(posexplode(quantize(col(vecCol), dim)).as(Seq("pos", "__q")))
-      .groupBy("pos")
-      .agg(count(lit(1)).as(n), sum(dec(col("__q"))).as(s))
-    meanDriftFromSums(sums(dfA, "n_a", "s_a"), sums(dfB, "n_b", "s_b"))
+      .select(col("pos"), lit(1L).as("__n"),
+        coalesce(col("__q"), lit(0L)).as("__s"))
+    meanDriftFromJoined(sideSumsBoth(side(dfA, true), side(dfB, false), Seq("pos")))
+  }
+
+  /** ONE tagged-union aggregation producing BOTH sides' (n, s) sums keyed
+    * on `keys` — each side's rows enter as (keys, __n, __s) and are tagged
+    * into (n, 0, s, 0) / (0, n, 0, s) indicator quads; one keyed exchange
+    * sums all four. Row-identical to two per-side aggregations + a keyed
+    * full-outer join with coalesce(0): a key present on either side
+    * appears once with both sums, absent side 0 — and NULL keys merge
+    * under groupBy semantics exactly as a direct aggregation would
+    * (full-outer joins never match NULL = NULL, which silently split
+    * NULL-group rows on the profile-served routes). */
+  private def sideSumsBoth(rowsA: DataFrame, rowsB: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def tag(df: DataFrame, isA: Boolean) = df.select(
+      keys.map(col) ++ Seq(
+        (if (isA) col("__n") else lit(0L)).as("__na"),
+        (if (isA) lit(0L) else col("__n")).as("__nb"),
+        (if (isA) dec(col("__s")) else dec(lit(0L))).as("__sa"),
+        (if (isA) dec(lit(0L)) else dec(col("__s"))).as("__sb")): _*)
+    tag(rowsA, true).unionByName(tag(rowsB, false))
+      .groupBy(keys.map(col): _*)
+      .agg(sum("__na").as("n_a"), sum("__nb").as("n_b"),
+        sum("__sa").as("s_a"), sum("__sb").as("s_b"))
   }
 
   /** SEGMENTED [[embeddingDrift]] — per group (label, source, encoder
@@ -588,13 +616,14 @@ object Similarity {
   def embeddingDriftByGroup(dfA: DataFrame, dfB: DataFrame, vecCol: String,
       groupCol: String, dim: Int = 64): DataFrame = {
     require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
-    def sums(df: DataFrame, n: String, s: String) = df
+    // ONE tagged-union (group, dim)-keyed aggregation for both sides —
+    // see [[embeddingDrift]]/[[sideSumsBoth]]
+    def side(df: DataFrame) = df
       .select(col(groupCol), posexplode(quantize(col(vecCol), dim)).as(Seq("pos", "__q")))
-      .groupBy(groupCol, "pos")
-      .agg(count(lit(1)).as(n), sum(dec(col("__q"))).as(s))
-    meanDriftByGroupFromSums(sums(dfA, "n_a", "s_a"), sums(dfB, "n_b", "s_b"),
-      groupCol)
+      .select(col(groupCol), col("pos"), lit(1L).as("__n"),
+        coalesce(col("__q"), lit(0L)).as("__s"))
+    meanDriftByGroupFromJoined(
+      sideSumsBoth(side(dfA), side(dfB), Seq(groupCol, "pos")), groupCol)
   }
 
   /** SEGMENTED [[embeddingDriftAttribution]] — per group the same
@@ -651,27 +680,25 @@ object Similarity {
     * ≤ groups·dim·bins-row scans — the corpora are never touched. */
   def embeddingDriftByGroupFromProfiles(profA: DataFrame, profB: DataFrame,
       groupCol: String): DataFrame = {
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
-    def sums(p: DataFrame, n: String, s: String) = p
-      .groupBy(groupCol, "pos").agg(sum(col("n")).as(n), sum(dec(col("s"))).as(s))
-    meanDriftByGroupFromSums(sums(profA, "n_a", "s_a"),
-      sums(profB, "n_b", "s_b"), groupCol)
+    // ONE tagged-union aggregation over BOTH stored profiles (the per-side
+    // re-aggregation of concatenated partials rides the same exchange);
+    // groupBy key semantics also merge NULL groups exactly as the direct
+    // route's aggregation does — a full-outer join never matches
+    // NULL = NULL and split NULL-group rows per side
+    def side(p: DataFrame) = p.select(col(groupCol), col("pos"),
+      col("n").as("__n"), col("s").as("__s"))
+    meanDriftByGroupFromJoined(
+      sideSumsBoth(side(profA), side(profB), Seq(groupCol, "pos")), groupCol)
   }
 
   /** Shared per-group mean-shift tail of [[embeddingDriftByGroup]] /
     * [[embeddingDriftByGroupFromProfiles]] — one code path so the direct
-    * and profile-served routes cannot drift. Inputs: (group, pos, n, s)
-    * sums with s already DECIMAL(38,0). */
-  private def meanDriftByGroupFromSums(sumsA: DataFrame, sumsB: DataFrame,
+    * and profile-served routes cannot drift. Input: the tagged-union
+    * (group, pos, n_a, n_b, s_a, s_b) sums ([[sideSumsBoth]]), s already
+    * DECIMAL(38,0), non-null by construction. */
+  private def meanDriftByGroupFromJoined(joined: DataFrame,
       groupCol: String): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val joined = sumsA
-      .join(sumsB, Seq(groupCol, "pos"), "full_outer")
-      .select(col(groupCol), col("pos"),
-        coalesce(col("n_a"), lit(0L)).as("n_a"),
-        coalesce(col("n_b"), lit(0L)).as("n_b"),
-        coalesce(col("s_a"), lit(0L).cast("decimal(38,0)")).as("s_a"),
-        coalesce(col("s_b"), lit(0L).cast("decimal(38,0)")).as("s_b"))
     val rawDiff = col("s_a") * dec(col("n_b")) - col("s_b") * dec(col("n_a"))
     val shift = when(col("n_a") === 0 || col("n_b") === 0, lit(0L))
       .otherwise(call_function("div", abs(rawDiff), dec(col("n_a")) * dec(col("n_b"))))
@@ -696,26 +723,21 @@ object Similarity {
     * oracle verbatim). Cost: two ≤ dim·bins-row scans — the corpora are
     * never touched. */
   def embeddingDriftFromProfiles(profA: DataFrame, profB: DataFrame): DataFrame = {
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
-    def sums(p: DataFrame, n: String, s: String) = p
-      .groupBy("pos").agg(sum(col("n")).as(n), sum(dec(col("s"))).as(s))
-    meanDriftFromSums(sums(profA, "n_a", "s_a"), sums(profB, "n_b", "s_b"))
+    // ONE tagged-union aggregation over BOTH stored profiles — see
+    // [[embeddingDriftByGroupFromProfiles]]
+    def side(p: DataFrame) = p.select(col("pos"),
+      col("n").as("__n"), col("s").as("__s"))
+    meanDriftFromJoined(sideSumsBoth(side(profA), side(profB), Seq("pos")))
   }
 
   /** Shared mean-shift tail of [[embeddingDrift]] /
-    * [[embeddingDriftFromProfiles]]: the dim-keyed full-outer join, the
-    * cleared integer shift, and the dim-row rank window — one code path
-    * so the direct and profile-served routes cannot drift. Inputs:
-    * (pos, n_a, s_a) / (pos, n_b, s_b) with s already DECIMAL(38,0). */
-  private def meanDriftFromSums(sumsA: DataFrame, sumsB: DataFrame): DataFrame = {
+    * [[embeddingDriftFromProfiles]]: the cleared integer shift and the
+    * dim-row rank window — one code path so the direct and profile-served
+    * routes cannot drift. Input: the tagged-union (pos, n_a, n_b, s_a,
+    * s_b) sums ([[sideSumsBoth]]), s already DECIMAL(38,0), non-null by
+    * construction. */
+  private def meanDriftFromJoined(joined: DataFrame): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val joined = sumsA
-      .join(sumsB, Seq("pos"), "full_outer")
-      .select(col("pos"),
-        coalesce(col("n_a"), lit(0L)).as("n_a"),
-        coalesce(col("n_b"), lit(0L)).as("n_b"),
-        coalesce(col("s_a"), lit(0L).cast("decimal(38,0)")).as("s_a"),
-        coalesce(col("s_b"), lit(0L).cast("decimal(38,0)")).as("s_b"))
     val rawDiff = col("s_a") * dec(col("n_b")) - col("s_b") * dec(col("n_a"))
     val shift = when(col("n_a") === 0 || col("n_b") === 0, lit(0L))
       .otherwise(call_function("div", abs(rawDiff), dec(col("n_a")) * dec(col("n_b"))))
@@ -770,11 +792,12 @@ object Similarity {
     require(topD >= 1 && topD <= dim, s"topD must be in [1, dim=$dim], got $topD")
     require(topK >= 1, s"topK must be >= 1, got $topK")
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    def sums(df: DataFrame, n: String, s: String) = df
+    def side(df: DataFrame) = df
       .select(posexplode(quantize(col(vecCol), dim)).as(Seq("pos", "__q")))
-      .groupBy("pos")
-      .agg(count(lit(1)).as(n), sum(dec(col("__q"))).as(s))
-    val drifted = meanDriftFromSums(sums(dfA, "n_a", "s_a"), sums(dfB, "n_b", "s_b"))
+      .select(col("pos"), lit(1L).as("__n"),
+        coalesce(col("__q"), lit(0L)).as("__s"))
+    val drifted = meanDriftFromJoined(
+        sideSumsBoth(side(dfA), side(dfB), Seq("pos")))
       .where(col("rank") <= topD)
       .select(col("pos"), col("n_a"), col("s_a"), col("shift_micro"), col("direction"))
     val exploded = dfB
@@ -840,13 +863,19 @@ object Similarity {
       s"bins must be even and in [2, 256], got $bins")
     require(binWidthMicro >= 1,
       s"binWidthMicro must be >= 1, got $binWidthMicro")
-    def binCounts(df: DataFrame, out: String) = df
+    // ONE tagged-union (dim, bin)-keyed aggregation for both sides (the
+    // tokenCountsBoth/ksDrift discipline) — replaces two per-side
+    // aggregations + a full-outer join; row-identical (a (pos, bin)
+    // present on either side appears once with both counts, absent side 0)
+    def side(df: DataFrame, a: Long, b: Long) = df
       .select(posexplode(quantize(col(vecCol), dim)).as(Seq("pos", "__q")))
       .select(col("pos"),
-        componentBin(col("__q"), bins, binWidthMicro).as("bin"))
-      .groupBy("pos", "bin").agg(count(lit(1)).as(out))
+        componentBin(col("__q"), bins, binWidthMicro).as("bin"),
+        lit(a).as("__ca"), lit(b).as("__cb"))
     shapeDriftFromBinned(
-      binCounts(dfA, "n_a").join(binCounts(dfB, "n_b"), Seq("pos", "bin"), "full_outer"))
+      side(dfA, 1L, 0L).unionByName(side(dfB, 0L, 1L))
+        .groupBy("pos", "bin")
+        .agg(sum("__ca").as("n_a"), sum("__cb").as("n_b")))
   }
 
   /** [[embeddingShapeDrift]] computed from two STORED [[embeddingProfile]]
@@ -860,14 +889,17 @@ object Similarity {
     * ≤ dim·bins-row scans — the corpora are never touched. */
   def embeddingShapeDriftFromProfiles(profA: DataFrame, profB: DataFrame): DataFrame =
     shapeDriftFromBinned(
-      profA.groupBy("pos", "bin").agg(sum(col("n")).as("n_a"))
-        .join(profB.groupBy("pos", "bin").agg(sum(col("n")).as("n_b")),
-          Seq("pos", "bin"), "full_outer"))
+      profA.select(col("pos"), col("bin"), col("n").as("__ca"), lit(0L).as("__cb"))
+        .unionByName(profB.select(col("pos"), col("bin"),
+          lit(0L).as("__ca"), col("n").as("__cb")))
+        .groupBy("pos", "bin")
+        .agg(sum("__ca").as("n_a"), sum("__cb").as("n_b")))
 
   /** Shared chi-square tail of [[embeddingShapeDrift]] /
     * [[embeddingShapeDriftFromProfiles]] — one code path so the direct
-    * and profile-served routes cannot drift. Input: the full-outer-joined
-    * per-(pos, bin) counts with nullable n_a / n_b. */
+    * and profile-served routes cannot drift. Input: per-(pos, bin) counts
+    * n_a / n_b (from the tagged-union aggregation — non-null there; the
+    * coalesce below keeps the tail total on any caller). */
   private def shapeDriftFromBinned(joinedBins: DataFrame): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     // persisted (bounded: ≤ dim·bins rows): the totals agg and the scoring
@@ -916,14 +948,17 @@ object Similarity {
       s"bins must be even and in [2, 256], got $bins")
     require(binWidthMicro >= 1,
       s"binWidthMicro must be >= 1, got $binWidthMicro")
-    def binCounts(df: DataFrame, out: String) = df
+    // ONE tagged-union (group, dim, bin)-keyed aggregation for both sides
+    // — see [[embeddingShapeDrift]]
+    def side(df: DataFrame, a: Long, b: Long) = df
       .select(col(groupCol), posexplode(quantize(col(vecCol), dim)).as(Seq("pos", "__q")))
       .select(col(groupCol), col("pos"),
-        componentBin(col("__q"), bins, binWidthMicro).as("bin"))
-      .groupBy(groupCol, "pos", "bin").agg(count(lit(1)).as(out))
+        componentBin(col("__q"), bins, binWidthMicro).as("bin"),
+        lit(a).as("__ca"), lit(b).as("__cb"))
     shapeDriftByGroupFromBinned(
-      binCounts(dfA, "n_a")
-        .join(binCounts(dfB, "n_b"), Seq(groupCol, "pos", "bin"), "full_outer"),
+      side(dfA, 1L, 0L).unionByName(side(dfB, 0L, 1L))
+        .groupBy(groupCol, "pos", "bin")
+        .agg(sum("__ca").as("n_a"), sum("__cb").as("n_b")),
       groupCol)
   }
 
@@ -940,18 +975,21 @@ object Similarity {
   def embeddingShapeDriftByGroupFromProfiles(profA: DataFrame,
       profB: DataFrame, groupCol: String): DataFrame =
     shapeDriftByGroupFromBinned(
-      profA.groupBy(groupCol, "pos", "bin").agg(sum(col("n")).as("n_a"))
-        .join(profB.groupBy(groupCol, "pos", "bin").agg(sum(col("n")).as("n_b")),
-          Seq(groupCol, "pos", "bin"), "full_outer"),
+      profA.select(col(groupCol), col("pos"), col("bin"),
+          col("n").as("__ca"), lit(0L).as("__cb"))
+        .unionByName(profB.select(col(groupCol), col("pos"), col("bin"),
+          lit(0L).as("__ca"), col("n").as("__cb")))
+        .groupBy(groupCol, "pos", "bin")
+        .agg(sum("__ca").as("n_a"), sum("__cb").as("n_b")),
       groupCol)
 
   /** Shared per-group chi-square tail of [[embeddingShapeDriftByGroup]] /
     * [[embeddingShapeDriftByGroupFromProfiles]] — one code path so the
-    * direct and profile-served routes cannot drift. Input: the
-    * full-outer-joined per-(group, pos, bin) counts with nullable
-    * n_a / n_b. The per-(group, dim) totals window is bounded by `bins`
-    * rows per frame — no vocab-sized buffering (unlike the token family,
-    * which broadcasts its totals for exactly that reason). */
+    * direct and profile-served routes cannot drift. Input: per-(group,
+    * pos, bin) counts n_a / n_b (from the tagged-union aggregation —
+    * non-null there). The per-(group, dim) totals window is bounded by
+    * `bins` rows per frame — no vocab-sized buffering (unlike the token
+    * family, which broadcasts its totals for exactly that reason). */
   private def shapeDriftByGroupFromBinned(joinedBins: DataFrame,
       groupCol: String): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")

@@ -1199,12 +1199,22 @@ object Stats {
     * output one row per occupied bin: (bin, n_a, n_b, chi2_micro, rank),
     * rank by contribution (ties → smaller bin). An empty side scores 0. */
   def numericShapeDrift(dfA: DataFrame, dfB: DataFrame, valueCol: String,
-      bins: Int = 16, binWidthMicro: Long = 31250000L): DataFrame =
-    numericShapeDriftFromCounts(
-      numericProfile(dfA, valueCol, bins, binWidthMicro)
-        .withColumnRenamed("n", "n_a"),
-      numericProfile(dfB, valueCol, bins, binWidthMicro)
-        .withColumnRenamed("n", "n_b"))
+      bins: Int = 16, binWidthMicro: Long = 31250000L): DataFrame = {
+    requireBinSpec(bins, binWidthMicro)
+    // ONE tagged-union aggregation for both sides (the tokenCountsBoth /
+    // ksDrift discipline): each side's binned rows enter with a (1,0)/(0,1)
+    // indicator pair and one bin-keyed exchange sums both — replacing two
+    // per-side aggregations + a full-outer join (row-identical: a bin
+    // present on either side appears once with both counts, absent side 0).
+    def side(df: DataFrame, a: Long, b: Long) = df
+      .select(col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull && !isnan(col("__v")))
+      .select(microBin(col("__v"), bins, binWidthMicro).as("bin"),
+        lit(a).as("__ca"), lit(b).as("__cb"))
+    numericShapeDriftFromJoined(
+      side(dfA, 1L, 0L).unionByName(side(dfB, 0L, 1L))
+        .groupBy("bin").agg(sum("__ca").as("n_a"), sum("__cb").as("n_b")))
+  }
 
   /** [[numericShapeDrift]] computed from two STORED [[numericProfile]]
     * frames instead of the corpora — the serving read of the streaming
@@ -1216,24 +1226,23 @@ object Stats {
     * never touched at serve time. */
   def numericShapeDriftFromProfiles(profA: DataFrame,
       profB: DataFrame): DataFrame =
-    numericShapeDriftFromCounts(
-      profA.groupBy("bin").agg(sum(col("n")).as("n_a")),
-      profB.groupBy("bin").agg(sum(col("n")).as("n_b")))
+    numericShapeDriftFromJoined(
+      profA.select(col("bin"), col("n").as("__ca"), lit(0L).as("__cb"))
+        .unionByName(
+          profB.select(col("bin"), lit(0L).as("__ca"), col("n").as("__cb")))
+        .groupBy("bin").agg(sum("__ca").as("n_a"), sum("__cb").as("n_b")))
 
   /** Shared chi-square tail of [[numericShapeDrift]] /
     * [[numericShapeDriftFromProfiles]] — one code path so the direct and
-    * profile-served routes cannot drift. The frame is ≤ bins rows
-    * throughout; the unpartitioned rank window is bins-bounded by
-    * construction. */
-  private def numericShapeDriftFromCounts(ca: DataFrame,
-      cb: DataFrame): DataFrame = {
+    * profile-served routes cannot drift. Input: the tagged-union
+    * (bin, n_a, n_b) counts (non-null by construction; the per-side
+    * re-aggregation of concatenated partial profiles rides the same
+    * exchange). The frame is ≤ bins rows throughout; the unpartitioned
+    * rank window is bins-bounded by construction. */
+  private def numericShapeDriftFromJoined(joined0: DataFrame): DataFrame = {
     import graft.core.TrackedCache.TrackedDataset
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val joined = ca.join(cb, Seq("bin"), "full_outer")
-      .select(col("bin"),
-        coalesce(col("n_a"), lit(0L)).as("n_a"),
-        coalesce(col("n_b"), lit(0L)).as("n_b"))
-      .persistTracked()
+    val joined = joined0.persistTracked()
     // exact-integer headroom guard: the chi-square summand peaks at
     // 10⁶·(t_a·t_b)², which exceeds decimal(38,0) — a silent NULL —
     // once t_a·t_b > 10¹⁶; fail loudly instead
@@ -1312,13 +1321,25 @@ object Stats {
   def numericShapeDriftByGroup(dfA: DataFrame, dfB: DataFrame,
       valueCol: String, groupCol: String, bins: Int = 16,
       binWidthMicro: Long = 31250000L,
-      maxBroadcastGroups: Long = 1L << 22): DataFrame =
-    numericShapeDriftByGroupFromCounts(
-      numericProfileByGroup(dfA, valueCol, groupCol, bins, binWidthMicro)
-        .withColumnRenamed("n", "n_a"),
-      numericProfileByGroup(dfB, valueCol, groupCol, bins, binWidthMicro)
-        .withColumnRenamed("n", "n_b"),
+      maxBroadcastGroups: Long = 1L << 22): DataFrame = {
+    requireBinSpec(bins, binWidthMicro)
+    require(groupCol != "bin" && groupCol != "n" && groupCol != "__v",
+      s"groupCol collides with an internal column name: $groupCol")
+    // ONE tagged-union (group, bin)-keyed aggregation for both sides —
+    // see [[numericShapeDrift]]; NULL groups excluded as in
+    // [[numericProfileByGroup]] (a null segment is not a segment)
+    def side(df: DataFrame, a: Long, b: Long) = df
+      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .where(col(groupCol).isNotNull &&
+        col("__v").isNotNull && !isnan(col("__v")))
+      .select(col(groupCol), microBin(col("__v"), bins, binWidthMicro).as("bin"),
+        lit(a).as("__ca"), lit(b).as("__cb"))
+    numericShapeDriftByGroupFromJoined(
+      side(dfA, 1L, 0L).unionByName(side(dfB, 0L, 1L))
+        .groupBy(groupCol, "bin")
+        .agg(sum("__ca").as("n_a"), sum("__cb").as("n_b")),
       groupCol, maxBroadcastGroups)
+  }
 
   /** [[numericShapeDriftByGroup]] computed from two STORED
     * [[numericProfileByGroup]] frames instead of the corpora — the
@@ -1332,18 +1353,23 @@ object Stats {
   def numericShapeDriftByGroupFromProfiles(profA: DataFrame,
       profB: DataFrame, groupCol: String,
       maxBroadcastGroups: Long = 1L << 22): DataFrame =
-    numericShapeDriftByGroupFromCounts(
-      profA.groupBy(groupCol, "bin").agg(sum(col("n")).as("n_a")),
-      profB.groupBy(groupCol, "bin").agg(sum(col("n")).as("n_b")),
+    numericShapeDriftByGroupFromJoined(
+      profA.select(col(groupCol), col("bin"),
+          col("n").as("__ca"), lit(0L).as("__cb"))
+        .unionByName(profB.select(col(groupCol), col("bin"),
+          lit(0L).as("__ca"), col("n").as("__cb")))
+        .groupBy(groupCol, "bin")
+        .agg(sum("__ca").as("n_a"), sum("__cb").as("n_b")),
       groupCol, maxBroadcastGroups)
 
   /** Shared per-group chi-square tail of [[numericShapeDriftByGroup]] /
     * [[numericShapeDriftByGroupFromProfiles]] — one code path so the
     * direct and profile-served routes cannot drift; the grouped twin of
-    * [[numericShapeDriftFromCounts]], carrying the same decimal(38,0)
-    * headroom guard per group. */
-  private def numericShapeDriftByGroupFromCounts(ca: DataFrame,
-      cb: DataFrame, groupCol: String,
+    * [[numericShapeDriftFromJoined]], carrying the same decimal(38,0)
+    * headroom guard per group. Input: tagged-union (group, bin, n_a, n_b)
+    * counts, non-null by construction. */
+  private def numericShapeDriftByGroupFromJoined(joined0: DataFrame,
+      groupCol: String,
       maxBroadcastGroups: Long): DataFrame = {
     import graft.core.TrackedCache.TrackedDataset
     require(maxBroadcastGroups >= 1,
@@ -1351,11 +1377,7 @@ object Stats {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     // persisted ((groups·bins)-bounded): the totals aggregation and the
     // scoring join both read it
-    val joined = ca.join(cb, Seq(groupCol, "bin"), "full_outer")
-      .select(col(groupCol), col("bin"),
-        coalesce(col("n_a"), lit(0L)).as("n_a"),
-        coalesce(col("n_b"), lit(0L)).as("n_b"))
-      .persistTracked()
+    val joined = joined0.persistTracked()
     // persisted (one row per group): the guard's count and the broadcast
     // rows both read it inside the one build
     val totals0 = joined.groupBy(groupCol)

@@ -2123,25 +2123,24 @@ object TextOps {
   def tokenDriftFromProfiles(profA: DataFrame, profB: DataFrame,
       topM: Int): DataFrame = {
     require(topM >= 1, s"topM must be >= 1, got $topM")
-    tokenDriftFromCounts(
-      profA.groupBy("token").agg(sum(col("n")).as("n_a")),
-      profB.groupBy("token").agg(sum(col("n")).as("n_b")), topM)
+    // ONE tagged-union vocab-keyed aggregation over BOTH stored profiles
+    // (the [[tokenCountsBoth]] discipline applied to the serving route):
+    // replaces two per-side re-aggregations + a full-outer join —
+    // row-identical (a token present in either profile appears once with
+    // both counts, absent side 0), and the per-side re-aggregation of
+    // concatenated partial profiles rides the same single exchange.
+    tokenDriftFromJoined(
+      profA.select(col("token"), col("n").as("__ca"), lit(0L).as("__cb"))
+        .unionByName(
+          profB.select(col("token"), lit(0L).as("__ca"), col("n").as("__cb")))
+        .groupBy("token")
+        .agg(sum("__ca").as("n_a"), sum("__cb").as("n_b")), topM)
   }
 
-  /** Shared chi-square tail of [[tokenDrift]] / [[tokenDriftFromProfiles]]
-    * — one code path so the direct and profile-served routes cannot
-    * drift. Inputs: per-token counts (token, n_a) / (token, n_b). */
-  private def tokenDriftFromCounts(ca: DataFrame, cb: DataFrame,
-      topM: Int): DataFrame =
-    tokenDriftFromJoined(ca.join(cb, Seq("token"), "full_outer")
-      .select(col("token"),
-        coalesce(col("n_a"), lit(0L)).as("n_a"),
-        coalesce(col("n_b"), lit(0L)).as("n_b")), topM)
-
-  /** The tail of [[tokenDriftFromCounts]] over an already-joined
-    * (token, n_a, n_b) frame — the direct route feeds it from the
-    * one-pass [[tokenCountsBoth]], the profile-served route from the
-    * full-outer join of two stored profiles. */
+  /** The chi-square tail over a joined (token, n_a, n_b) frame — the
+    * direct route feeds it from the one-pass [[tokenCountsBoth]], the
+    * profile-served route from the equivalent tagged-union aggregation of
+    * two stored profiles. */
   private def tokenDriftFromJoined(joined0: DataFrame,
       topM: Int): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
@@ -2313,39 +2312,29 @@ object TextOps {
       groupCol: String, topM: Int,
       maxBroadcastGroups: Long = 1L << 22): DataFrame = {
     require(topM >= 1, s"topM must be >= 1, got $topM")
-    tokenDriftByGroupFromCounts(
-      profA.groupBy(groupCol, "token").agg(sum(col("n")).as("n_a")),
-      profB.groupBy(groupCol, "token").agg(sum(col("n")).as("n_b")),
-      groupCol, topM, maxBroadcastGroups)
+    // ONE tagged-union (group, vocab)-keyed aggregation over BOTH stored
+    // profiles (the [[tokenCountsBoth]] discipline applied to the serving
+    // route): replaces two per-side re-aggregations + a full-outer join —
+    // row-identical on non-null keys, and NULL group keys MERGE under
+    // groupBy semantics exactly as the direct route's aggregation does
+    // (the former full-outer join never matched NULL = NULL and silently
+    // split NULL-group rows per side, breaking the spec-asserted
+    // direct ≡ profile-served identity — q207/q212 share an oracle).
+    tokenDriftByGroupScoredJoined(
+      profA.select(col(groupCol), col("token"),
+          col("n").as("__ca"), lit(0L).as("__cb"))
+        .unionByName(profB.select(col(groupCol), col("token"),
+          lit(0L).as("__ca"), col("n").as("__cb")))
+        .groupBy(groupCol, "token")
+        .agg(sum("__ca").as("n_a"), sum("__cb").as("n_b")),
+      groupCol, topM, maxBroadcastGroups).drop("direction")
   }
 
-  /** Shared per-group chi-square tail of [[tokenDriftByGroup]] /
-    * [[tokenDriftByGroupFromProfiles]] — one code path so the direct and
-    * profile-served routes cannot drift. Inputs: per-(group, token) counts.
-    * See [[tokenDriftByGroup]] for the broadcast-totals scale argument. */
-  private def tokenDriftByGroupFromCounts(ca: DataFrame, cb: DataFrame,
-      groupCol: String, topM: Int, maxBroadcastGroups: Long): DataFrame =
-    tokenDriftByGroupScored(ca, cb, groupCol, topM, maxBroadcastGroups)
-      .drop("direction")
-
-  /** [[tokenDriftByGroupFromCounts]] plus the per-(group, token) drift
-    * DIRECTION (sign of n_a·t_b − n_b·t_a under the group's own totals) —
-    * the internal frame [[tokenDriftAttributionByGroup]] consumes; the
-    * public readers drop the column so their oracle-checked schemas stay
-    * fixed. */
-  private def tokenDriftByGroupScored(ca: DataFrame, cb: DataFrame,
-      groupCol: String, topM: Int, maxBroadcastGroups: Long): DataFrame =
-    tokenDriftByGroupScoredJoined(
-      ca.join(cb, Seq(groupCol, "token"), "full_outer")
-        .select(col(groupCol), col("token"),
-          coalesce(col("n_a"), lit(0L)).as("n_a"),
-          coalesce(col("n_b"), lit(0L)).as("n_b")),
-      groupCol, topM, maxBroadcastGroups)
-
-  /** The tail of [[tokenDriftByGroupScored]] over an already-joined
-    * (group, token, n_a, n_b) frame — the direct route feeds it from the
-    * one-pass [[tokenCountsBoth]], the profile-served route from the
-    * full-outer join of two stored profiles. */
+  /** The per-group chi-square tail over a joined (group, token, n_a, n_b)
+    * frame — the direct route feeds it from the one-pass
+    * [[tokenCountsBoth]], the profile-served route from the equivalent
+    * tagged-union aggregation of two stored profiles; the attribution op
+    * reads the scored frame (incl. direction) directly. */
   private def tokenDriftByGroupScoredJoined(joined0: DataFrame,
       groupCol: String, topM: Int, maxBroadcastGroups: Long): DataFrame = {
     require(maxBroadcastGroups >= 1,
